@@ -1,13 +1,267 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+import graft.Tables._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the training-data-pipeline extensions), each paired
+  * with ANSI SQL for the DuckDB oracle where SQL-expressible.
+  *
+  * Conventions keeping the hash-compare stable (SURVEY.md §7 risks):
+  * every computed column is aliased identically on both sides; float
+  * aggregates are `round(x, 4)` (or 2 for money) on both sides; integer
+  * sums are cast to BIGINT in DuckDB (which otherwise widens to
+  * HUGEINT); DuckDB `date_trunc` returns DATE for day-or-coarser so
+  * those are cast back to TIMESTAMP; ties in top-k/dedup are pinned
+  * with a stable key on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    JoinOps.revenueByNation(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: event analytics (SURVEY §2.4-2.6) ----
+    "user_activity" -> ((s, d) => EventOps.userActivity(events(s, d))),
+    "active_users" -> ((s, d) => EventOps.activeUsers(events(s, d), 5)),
+    "hourly_counts" -> ((s, d) => EventOps.hourlyCounts(events(s, d))),
+    "daily_counts" -> ((s, d) => EventOps.dailyCounts(events(s, d))),
+    "daily_type_counts" -> ((s, d) => EventOps.dailyTypeCounts(events(s, d))),
+    "avg_value_by_user" -> ((s, d) => EventOps.avgValuePerUser(events(s, d))),
+    "minute_window_counts" -> ((s, d) => EventOps.minuteWindowCounts(events(s, d))),
+    "latest_per_user" -> ((s, d) => EventOps.latestPerUser(events(s, d))),
+    "top_type_per_day" -> ((s, d) => EventOps.topTypePerDay(events(s, d))),
+    "distinct_users_daily" -> ((s, d) => EventOps.distinctUsersDaily(events(s, d))),
+    "approx_distinct_users_daily" ->
+      ((s, d) => EventOps.approxDistinctUsersDaily(events(s, d))),
+    "props_key_counts" -> ((s, d) => EventOps.propsKeyCounts(events(s, d))),
+    "running_value_per_user" -> ((s, d) => EventOps.runningValuePerUser(events(s, d))),
+    "lag_value_per_user" -> ((s, d) => EventOps.lagValuePerUser(events(s, d))),
+    "session_stats" -> ((s, d) => EventOps.sessionStats(events(s, d), 30)),
+    // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
+    "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
+    "keyword_lang_counts" -> ((s, d) =>
+      DocOps.keywordLangCounts(documents(s, d), Seq("spark", "stream", "window"))),
+    "hashtag_counts" -> ((s, d) => DocOps.hashtagCounts(documents(s, d))),
+    "token_counts" -> ((s, d) => DocOps.tokenCounts(documents(s, d))),
+    "bpeish_token_counts" -> ((s, d) => DocOps.bpeishTokenCounts(documents(s, d))),
+    "token_stats_by_source" -> ((s, d) => DocOps.tokenStatsBySource(documents(s, d))),
+    "quality_signals" -> ((s, d) => DocOps.qualitySignals(documents(s, d))),
+    "quality_by_lang" -> ((s, d) => DocOps.qualityByLang(documents(s, d))),
+    "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
+    "language_id" -> ((s, d) => DocOps.languageId(documents(s, d))),
+    // ---- joins / set ops (reference gap, SURVEY §2.3) ----
+    "revenue_by_mktsegment" -> ((s, d) =>
+      JoinOps.revenueByMktSegment(lineitem(s, d), orders(s, d), customer(s, d))),
+    "revenue_by_nation" -> ((s, d) => JoinOps.revenueByNation(s, d)),
+    "customers_with_orders" -> ((s, d) =>
+      JoinOps.customersWithOrders(customer(s, d), orders(s, d))),
+    "customers_without_orders" -> ((s, d) =>
+      JoinOps.customersWithoutOrders(customer(s, d), orders(s, d))),
+    "priority_line_status" -> ((s, d) =>
+      JoinOps.priorityLineStatus(lineitem(s, d), orders(s, d))),
+    "union_distinct_users" -> ((s, d) => JoinOps.unionDistinctUsers(events(s, d))),
+    "supplier_part_revenue" -> ((s, d) =>
+      JoinOps.supplierPartRevenue(lineitem(s, d), supplier(s, d), part(s, d))),
+    "top_orders_per_customer" -> ((s, d) =>
+      JoinOps.topOrdersPerCustomer(orders(s, d), 3)),
+    // ---- aggregate extensions (SURVEY §2.4 gaps) ----
+    "pricing_summary" -> ((s, d) => AggOps.pricingSummary(lineitem(s, d))),
+    "rollup_qty" -> ((s, d) => AggOps.rollupQtyByFlagStatus(lineitem(s, d))),
+    "top_orders_by_price" -> ((s, d) => AggOps.topOrdersByPrice(orders(s, d), 10)),
+    "monthly_order_stats" -> ((s, d) => AggOps.monthlyOrderStats(orders(s, d))),
+    // ---- dedup (north star) ----
+    "exact_dup_groups" -> ((s, d) => DedupOps.exactDupGroups(documents(s, d))),
+    "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
+    "ngram_jaccard_pairs" -> ((s, d) =>
+      DedupOps.ngramJaccardPairs(documents(s, d), 0.5)),
+    "minhash_near_dups" -> ((s, d) => DedupOps.minhashNearDups(documents(s, d), 0.5)),
+    "simhash_fingerprints" -> ((s, d) => DedupOps.simhashes(documents(s, d))),
+    "simhash_near_dups" -> ((s, d) => DedupOps.simhashNearDups(documents(s, d), 3)),
+    // ---- similarity search (north star) ----
+    "knn_brute" -> ((s, d) => VectorOps.knnBrute(embeddings(s, d), 0, 10)),
+    "knn_lsh" -> ((s, d) => VectorOps.knnLsh(embeddings(s, d), 0, 10)),
+    "cosine_near_dups" -> ((s, d) => VectorOps.cosineNearDups(embeddings(s, d), 0.9)),
+    "label_centroids" -> ((s, d) => VectorOps.labelCentroids(embeddings(s, d))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "user_activity" ->
+      "SELECT user_id, count(*) AS toot_count FROM events GROUP BY user_id",
+    "active_users" ->
+      "SELECT user_id, count(*) AS toot_count FROM events GROUP BY user_id HAVING count(*) >= 5",
+    "hourly_counts" ->
+      "SELECT date_trunc('hour', ts) AS hour, count(*) AS toots FROM events GROUP BY 1",
+    "daily_counts" ->
+      "SELECT CAST(ts AS DATE) AS day, count(*) AS toots FROM events GROUP BY 1",
+    "daily_type_counts" ->
+      "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt FROM events GROUP BY 1, 2",
+    "avg_value_by_user" ->
+      ("SELECT user_id, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) " +
+        "/ count(*), 4) AS avg_value FROM events GROUP BY user_id"),
+    "minute_window_counts" ->
+      ("SELECT date_trunc('minute', ts) AS window_start, " +
+        "date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end, " +
+        "count(*) AS cnt FROM events GROUP BY 1, 2"),
+    "latest_per_user" ->
+      ("SELECT event_id, ts, user_id, event_type, value, props FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn " +
+        "FROM events) WHERE rn = 1"),
+    "top_type_per_day" ->
+      ("WITH c AS (SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt " +
+        "FROM events GROUP BY 1, 2) " +
+        "SELECT day, event_type, cnt FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY day ORDER BY cnt DESC, event_type ASC) AS rn " +
+        "FROM c) WHERE rn = 1"),
+    "distinct_users_daily" ->
+      "SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS users FROM events GROUP BY 1",
+    "props_key_counts" ->
+      ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
+        "count(*) AS cnt FROM events GROUP BY 1"),
+    "running_value_per_user" ->
+      ("SELECT event_id, user_id, ts, CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS running_value " +
+        "FROM events"),
+    "lag_value_per_user" ->
+      ("SELECT event_id, user_id, ts, lag(value) OVER (" +
+        "PARTITION BY user_id ORDER BY ts, event_id) AS prev_value FROM events"),
+    "session_stats" ->
+      ("WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+        "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 " +
+        "THEN 1 ELSE 0 END AS ns FROM o), " +
+        "s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f) " +
+        "SELECT user_id, session_id, count(*) AS n_events, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS session_value, " +
+        "min(ts) AS session_start, max(ts) AS session_end " +
+        "FROM s GROUP BY user_id, session_id"),
+    "avg_len_by_lang" ->
+      ("SELECT lang, round(avg(length(text)), 4) AS avg_len, count(*) AS docs " +
+        "FROM documents GROUP BY lang"),
+    "keyword_lang_counts" ->
+      ("SELECT lang, count(*) AS cnt FROM documents " +
+        "WHERE regexp_matches(text, '(?i)(spark|stream|window)') GROUP BY lang"),
+    "hashtag_counts" ->
+      ("WITH tags AS (SELECT unnest(regexp_extract_all(text, '#(\\w+)', 1)) AS hashtag " +
+        "FROM documents) " +
+        "SELECT lower(hashtag) AS hashtag, count(*) AS cnt FROM tags " +
+        "WHERE trim(hashtag) <> '' GROUP BY 1"),
+    "token_counts" ->
+      ("SELECT doc_id, CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) " +
+        "AS n_tokens FROM documents"),
+    "bpeish_token_counts" ->
+      ("SELECT doc_id, CAST(length(regexp_extract_all(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens FROM documents"),
+    "token_stats_by_source" ->
+      ("WITH t AS (SELECT source, length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens " +
+        "FROM documents) " +
+        "SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
+        "round(avg(n_tokens), 4) AS avg_tokens, count(*) AS docs FROM t GROUP BY source"),
+    "quality_signals" ->
+      ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio, " +
+        "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct, " +
+        "round(length(text) * 1.0 / length(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len " +
+        "FROM documents"),
+    "quality_by_lang" ->
+      ("WITH r AS (SELECT lang, length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 " +
+        "/ length(text) AS alpha_ratio FROM documents) " +
+        "SELECT lang, round(avg(alpha_ratio), 4) AS avg_alpha_ratio, " +
+        "round(min(alpha_ratio), 4) AS min_alpha_ratio, " +
+        "round(max(alpha_ratio), 4) AS max_alpha_ratio FROM r GROUP BY lang"),
+    "doc_fingerprints" ->
+      ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM documents"),
+    "revenue_by_mktsegment" ->
+      ("SELECT c_mktsegment, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment"),
+    "revenue_by_nation" ->
+      ("SELECT r_name, n_name, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name"),
+    "customers_with_orders" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "customers_without_orders" ->
+      ("SELECT c_custkey, c_name, c_mktsegment FROM customer " +
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"),
+    "priority_line_status" ->
+      ("SELECT o_orderpriority, l_linestatus, count(*) AS n_lines, " +
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 4) AS DOUBLE) AS sum_qty FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2"),
+    "union_distinct_users" ->
+      ("SELECT user_id FROM events WHERE event_type = 'click' " +
+        "UNION SELECT user_id FROM events WHERE event_type = 'view'"),
+    "supplier_part_revenue" ->
+      ("SELECT s_name, p_brand, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN part ON l_partkey = p_partkey GROUP BY 1, 2"),
+    "top_orders_per_customer" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+        "FROM orders) WHERE rn <= 3"),
+    "pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty, " +
+        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price, " +
+        "round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_disc, " +
+        "count(*) AS count_order " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
+        "GROUP BY l_returnflag, l_linestatus"),
+    "rollup_qty" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n_lines FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "top_orders_by_price" ->
+      ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),
+    "monthly_order_stats" ->
+      ("SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, " +
+        "count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price, " +
+        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price FROM orders GROUP BY 1"),
+    "exact_dup_groups" ->
+      ("SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id " +
+        "FROM documents GROUP BY 1 HAVING count(*) > 1"),
+    "dedup_exact" ->
+      ("SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, " +
+        "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+    "ngram_jaccard_pairs" ->
+      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
+        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
+        "pruned AS (SELECT * FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df " +
+        "FROM inv) WHERE df <= 1000), " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),
+    "knn_brute" ->
+      ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "s AS (SELECT e.vec_id, e.label, " +
+        "list_sum(list_transform(range(len(e.embedding)), " +
+        "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) AS dp, " +
+        "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na, " +
+        "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0) " +
+        "SELECT vec_id, label, round(dp / (na * nb), 4) AS cos_sim FROM s " +
+        "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"),
+  )
 }

@@ -11,14 +11,29 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // µs parquet timestamps (not INT96) so the DuckDB side reads the
+      // same logical type it produces itself.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val out = fn(spark, sfDir)
+        // DuckDB produces naive (NTZ) timestamps; Spark's TimestampType
+        // writes as UTC-adjusted. Cast so the oracle compare sees the
+        // same logical type and wall-clock values (session tz is UTC).
+        import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.TimestampType
+        val cols = out.schema.fields.map { f =>
+          if (f.dataType == TimestampType)
+            col(f.name).cast("timestamp_ntz").as(f.name)
+          else col(f.name)
+        }
+        out.select(cols.toSeq: _*).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Document/text analytics: the reference's text surface (length, trim,
+  * lower, regex keyword filters, hashtag extraction —
+  * `/root/reference/src/batch_analytics.py`, `src/spark_stream.py:94-104`,
+  * `PART3.ipynb` cell 8) over the driver `documents` table
+  * (doc_id, text, lang, source, n_chars), plus the text-analysis
+  * operators a training-data pipeline needs (quality scoring, token
+  * counting, fingerprinting). Everything is built from codegen'd
+  * `functions._` — no UDFs — so the whole pipeline stays inside
+  * whole-stage codegen.
+  */
+object DocOps {
+
+  /** Language equality filter (P8, `src/spark_stream.py:95-96`). */
+  def filterLanguage(docs: DataFrame, language: String): DataFrame =
+    docs.filter(col("lang") === lit(language.toLowerCase))
+
+  /** Case-insensitive keyword filter over text (P9,
+    * `src/spark_stream.py:98-104`): single pre-built alternation regex,
+    * exactly like the reference builds its pattern driver-side. */
+  def keywordRegex(keywords: Seq[String]): String =
+    keywords.map(_.toLowerCase).mkString("(?i)(", "|", ")")
+
+  def filterKeywords(docs: DataFrame, keywords: Seq[String]): DataFrame =
+    docs.filter(col("text").rlike(keywordRegex(keywords)))
+
+  /** Per-language doc counts after a keyword filter — the reference's
+    * filter-then-aggregate shape as one compact query. */
+  def keywordLangCounts(docs: DataFrame, keywords: Seq[String]): DataFrame =
+    filterKeywords(docs, keywords)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Average text length per language (A4/F1 over documents). */
+  def avgLengthByLang(docs: DataFrame): DataFrame =
+    docs
+      .groupBy("lang")
+      .agg(
+        round(avg(length(col("text"))), 4).as("avg_len"),
+        count(lit(1)).as("docs"))
+
+  /** Hashtag extraction (F5 corrected): `regexp_extract_all` over ALL
+    * matches, not the reference's first-match-only bug
+    * (`PART3.ipynb` cell 8 — SURVEY.md §7 "bugs to not copy"),
+    * exploded to per-tag counts (F16/A2, `batch_analytics.py:39-45`). */
+  def hashtagCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(
+        regexp_extract_all(col("text"), lit("#(\\w+)"), lit(1))).as("hashtag"))
+      .filter(trim(col("hashtag")) =!= "")
+      .groupBy(lower(col("hashtag")).as("hashtag"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** HTML strip (F8 — producer-side in the reference,
+    * `/root/reference/src/mastodon_to_kafka.py:26-29` — pulled into the
+    * engine as a column transform). */
+  def stripHtml(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(text, "<[^>]+>", "")
+
+  // ----- training-data-pipeline text analysis (north-star extensions) -----
+
+  /** Whitespace token count per document. The `\s+` split is the
+    * baseline tokenizer; see [[bpeishTokenCounts]] for the regex
+    * (BPE-ish) variant. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+
+  /** Token statistics per source — aggregate shape used for corpus
+    * accounting at scale (one shuffle on `source`). */
+  def tokenStatsBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        count(lit(1)).as("docs"))
+
+  /** BPE-ish subword-boundary token count: words, numbers, and single
+    * punctuation marks counted separately (a common pre-tokenizer
+    * regex). Pure codegen'd expression — no UDF. */
+  def bpeishTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(
+        col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+        .as("n_tokens"))
+
+  /** Quality signals per document: char length, alphabetic ratio,
+    * punctuation count, mean word length — the length/punct heuristics
+    * of a data-quality pass, all as codegen'd expressions. */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val nChars = length(col("text"))
+    val alpha = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+    val punct = length(regexp_replace(col("text"), "[^.!?,;:]", ""))
+    val nTokens = size(split(trim(col("text")), "\\s+"))
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      round(alpha.cast("double") / nChars, 4).as("alpha_ratio"),
+      punct.as("n_punct"),
+      round(nChars.cast("double") / nTokens, 4).as("avg_word_len"))
+  }
+
+  /** Quality score distribution per language — corpus-level view. */
+  def qualityByLang(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        (length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          length(col("text"))).as("alpha_ratio"))
+      .groupBy("lang")
+      .agg(
+        round(avg("alpha_ratio"), 4).as("avg_alpha_ratio"),
+        round(min("alpha_ratio"), 4).as("min_alpha_ratio"),
+        round(max("alpha_ratio"), 4).as("max_alpha_ratio"))
+
+  /** Canonical document fingerprint: md5 of the whitespace-collapsed,
+    * lowercased text. The join key for exact near-layout dedup — cheap,
+    * deterministic, oracle-checkable. */
+  def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+
+  /** Stopword-ratio language scorer (n-gram/stopword heuristic
+    * language-ID): counts hits of per-language function-word regexes and
+    * picks the argmax language. Deterministic, pure expressions; the
+    * stopword lists are the classic top function words per language.
+    * On real text this is the standard cheap langid; on the synthetic
+    * driver corpus it exercises the identical plan shape. */
+  val stopwordPatterns: Map[String, String] = Map(
+    "en" -> "\\b(the|and|of|to|in|is|you|that|it|for)\\b",
+    "fr" -> "\\b(le|la|les|de|et|un|une|que|pas|pour)\\b",
+    "es" -> "\\b(el|la|los|de|que|y|en|un|por|con)\\b",
+    "de" -> "\\b(der|die|das|und|ist|von|mit|den|nicht|ein)\\b",
+    "zh" -> "(的|是|在|了|我|有|和|不|人|这)")
+
+  def languageId(docs: DataFrame): DataFrame = {
+    val scored = stopwordPatterns.foldLeft(docs) { case (df, (language, pat)) =>
+      df.withColumn(
+        s"score_$language",
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))))
+    }
+    val langs = stopwordPatterns.keys.toSeq.sorted
+    val best = langs
+      .map(l => struct(col(s"score_$l").as("score"), lit(l).as("language")))
+      .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    scored
+      .withColumn("pred_lang",
+        when(greatest(langs.map(l => col(s"score_$l")): _*) === 0, lit("und"))
+          .otherwise(best.getField("language")))
+      .select((docs.columns.map(col) :+ col("pred_lang")): _*)
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join / set-operation coverage. The reference contains ZERO joins
+  * (verified in SURVEY.md §2.3) — all its analytics are single-table
+  * group-bys — so this module fills the category with the star-schema
+  * joins its data model implies, over the driver TPC-H-ish tables.
+  *
+  * Scale posture: dimension tables (region 5, nation 25, customer,
+  * supplier, part) are explicitly `broadcast()` so the fact-table scan
+  * never shuffles for them; only fact⋈fact (lineitem⋈orders) is a
+  * shuffle join, on the natural key both sides. AQE handles skew.
+  */
+object JoinOps {
+
+  /** Revenue per market segment: lineitem ⋈ orders ⋈ customer.
+    * orders⋈customer is broadcast (customer is 1.5% of lineitem);
+    * lineitem⋈orders shuffles on the order key. */
+  def revenueByMktSegment(li: DataFrame, orders: DataFrame,
+      customer: DataFrame): DataFrame =
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        Num.sumRound(Num.dec2(col("l_extendedprice")) *
+          Num.oneMinus(col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** Revenue per nation/region: the full star
+    * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with every dim
+    * broadcast. One shuffle total (li⋈orders) + final aggregation. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    val r = Tables.region(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Num.sumRound(Num.dec2(col("l_extendedprice")) *
+          Num.oneMinus(col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Customers that have at least one order — left-semi (EXISTS). */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** Customers with no orders — left-anti (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** Order priority × line status counts — an inner join whose payload
+    * exercises multi-key aggregation after the shuffle join. */
+  def priorityLineStatus(li: DataFrame, orders: DataFrame): DataFrame =
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy("o_orderpriority", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        Num.sumRound(Num.dec2(col("l_quantity")), 4).as("sum_qty"))
+
+  /** Union of two event slices, distinct — set-op coverage (the
+    * reference's implied streamed-vs-batch comparison, SURVEY.md §2.3). */
+  def unionDistinctUsers(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click").select("user_id")
+      .union(events.filter(col("event_type") === "view").select("user_id"))
+      .distinct()
+
+  /** Supplier revenue by part brand — a second join path through the
+    * star (li ⋈ supplier ⋈ part), both dims broadcast. */
+  def supplierPartRevenue(li: DataFrame, supplier: DataFrame,
+      part: DataFrame): DataFrame =
+    li.join(broadcast(supplier), li("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy("s_name", "p_brand")
+      .agg(Num.sumRound(Num.dec2(col("l_extendedprice")) *
+        Num.oneMinus(col("l_discount")), 2).as("revenue"))
+
+  /** Top-N orders per customer by total price — per-group top-k via
+    * row_number (W2 pattern at join scale). Deterministic tie-break on
+    * the order key. */
+  def topOrdersPerCustomer(orders: DataFrame, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+  }
+}

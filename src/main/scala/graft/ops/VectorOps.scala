@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — the
+  * north-star ANN operators. All vector math is built from codegen'd
+  * higher-order functions (`zip_with` + `aggregate`), computed in
+  * double precision; no UDFs, no driver-side loops.
+  *
+  * Scale design: brute-force top-k is the exact baseline (one scan +
+  * TakeOrderedAndProject — each partition keeps k rows, the driver
+  * merges P×k candidates). The LSH path (random-hyperplane signs) and
+  * the IVF path (coarse centroids) bound the scanned fraction for
+  * 100 TB corpora; both bucket via deterministic hashes so results are
+  * reproducible run-to-run.
+  */
+object VectorOps {
+
+  /** Elementwise float→double cast, so all accumulation is fp64. */
+  def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k by cosine against one query vector, which
+    * is carried as a 1-row broadcast (cross) join — the query never
+    * round-trips through the driver. Ordered by rounded similarity with
+    * a vec_id tie-break so the result is deterministic and
+    * oracle-comparable. */
+  def knnBrute(embeddings: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
+    val q = embeddings
+      .filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qv"))
+    embeddings
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic ±1 pseudo-random hyperplane component for plane `p`,
+    * dimension `j` — derived from xxhash64 so every executor computes
+    * the same planes without any broadcast of random state. */
+  private def hyperplaneSign(p: Int, j: Column): Column =
+    when(pmod(xxhash64(lit(p.toLong) * 4099L + j), lit(2)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** Sign-LSH bucket code: `planes` random-hyperplane sign bits packed
+    * into a long. Vectors with high cosine land in the same bucket
+    * w.h.p. (Charikar '02). */
+  def lshBucket(v: Column, planes: Int = 12): Column = {
+    val dv = asDouble(v)
+    val withIdx = zip_with(dv, sequence(lit(0), size(dv) - 1), (x, j) =>
+      struct(x.as("x"), j.as("j")))
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(withIdx, lit(0.0),
+        (acc, e) => acc + e.getField("x") * hyperplaneSign(p, e.getField("j")))
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** ANN top-k via sign-LSH: score only vectors in the query's bucket
+    * (and, for recall, buckets at Hamming distance ≤1 — the standard
+    * multi-probe trick). Scanned fraction ≈ (planes+1)/2^planes. */
+  def knnLsh(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
+      planes: Int = 8): DataFrame = {
+    val coded = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
+    val q = coded
+      .filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding")).as("qv"), col("bucket").as("qbucket"))
+    val probes = coded
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      // same bucket, or differs in exactly one bit (multi-probe)
+      .filter(bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= 1)
+    probes
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF coarse quantization: deterministic sample of `nlist` vectors
+    * as centroids (cheap stand-in for k-means — same plan shape), each
+    * vector assigned to its nearest centroid. Returns (vec_id, list_id).
+    * Query-time IVF then scans only `nprobe` lists. The centroid table
+    * is broadcast — assignment is one scan of the corpus. */
+  def ivfAssign(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+    val centroids = embeddings
+      .filter(pmod(col("vec_id"), lit(997)) < nlist)  // deterministic spread
+      .select(col("vec_id").as("list_id"), asDouble(col("embedding")).as("cv"))
+    embeddings
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", cosine(asDouble(col("embedding")), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("d").desc, col("list_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("list_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, pair
+    * within buckets, verify with exact cosine ≥ threshold. Σ bucket²
+    * join cost, never n². */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double = 0.95,
+      planes: Int = 10): DataFrame = {
+    val coded = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    coded.as("a")
+      .join(coded.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("a_id"),
+        col("b.vec_id").as("b_id"),
+        round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Per-label centroid of embeddings — aggregate over vector columns
+    * via elementwise array aggregation (posexplode → per-dimension avg
+    * → re-assemble). Shuffles (label, dim) pairs, never whole vectors
+    * to the driver. */
+  def labelCentroids(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy("label", "dim")
+      .agg(avg("x").as("mean_x"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_x"))))
+        .as("pairs"))
+      .select(col("label"),
+        transform(col("pairs"), p => round(p.getField("mean_x"), 4))
+          .as("centroid"))
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.DedupOps
+
+/** Near-dup stack over planted duplicates: exact, n-gram Jaccard,
+  * MinHash/LSH, SimHash all must find the planted pair and none of the
+  * unrelated pairs.
+  */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog " +
+    "while the rain in spain falls mainly on the plain every day"
+  private val nearDup = base.replace("every day", "each morning")
+  private val unrelated =
+    "completely different content about database engines and query " +
+      "optimization with columnar storage and vectorized execution"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, nearDup), (2L, unrelated),
+    (3L, base), // exact dup of 0
+    (4L, base.toUpperCase + "  "), // case/whitespace variant
+  ).toDF("doc_id", "text")
+
+  test("exactDupGroups finds the byte-identical pair only") {
+    val groups = DedupOps.exactDupGroups(docs).collect()
+    assert(groups.length == 1)
+    assert(groups.head.getAs[Long]("n_docs") == 2)
+    assert(groups.head.getAs[Long]("keep_id") == 0)
+  }
+
+  test("dedupExact normalizes case+whitespace (0, 3, 4 collapse)") {
+    val d = DedupOps.dedupExact(docs).collect()
+    val big = d.filter(_.getAs[Long]("n_dups") == 3)
+    assert(big.length == 1)
+    assert(big.head.getAs[Long]("keep_id") == 0)
+  }
+
+  test("ngramJaccardPairs finds the planted near-dup, not the unrelated") {
+    val pairs = DedupOps.ngramJaccardPairs(docs, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"missing planted pair in $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"unrelated doc paired: $pairs")
+  }
+
+  test("minhashNearDups agrees with the exact pipeline on planted pair") {
+    val pairs = DedupOps.minhashNearDups(docs, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash signature is deterministic across evaluations") {
+    val a = DedupOps.minhashSignature(
+      org.apache.spark.sql.functions.col("text"))
+    val s1 = docs.select(a.as("sig")).collect().map(_.getSeq[Long](0).toVector)
+    val s2 = docs.select(a.as("sig")).collect().map(_.getSeq[Long](0).toVector)
+    assert(s1.toSeq == s2.toSeq)
+  }
+
+  test("simhash: near-dups within small hamming distance, unrelated far") {
+    val fps = DedupOps.simhashes(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
+      .toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0), fps(1)) <= 12, s"planted pair ${ham(fps(0), fps(1))}")
+    assert(ham(fps(0), fps(2)) > 12, s"unrelated ${ham(fps(0), fps(2))}")
+    assert(fps(0) == fps(3)) // exact dup → identical fingerprint
+  }
+
+  test("simhashNearDups surfaces the exact dup at distance 0") {
+    val pairs = DedupOps.simhashNearDups(docs, maxHamming = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))
+  }
+
+  test("shingles: short docs yield empty array, no negative-range blowup") {
+    val tiny = Seq((0L, "one two"), (1L, "a b c")).toDF("doc_id", "text")
+    val sh = tiny.select(DedupOps.shingles(
+      org.apache.spark.sql.functions.col("text"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(sh(0).isEmpty)
+    assert(sh(1) == Seq("a b c"))
+  }
+}

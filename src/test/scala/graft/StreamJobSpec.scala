@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamJob
+import scala.collection.mutable
+
+/** Streaming semantics tests (SURVEY.md §2.8): per-batch partial window
+  * rows keyed by batch_id, three-sink fan-out, and the idiomatic
+  * watermarked alternative. Batch boundaries are controlled via
+  * MemoryStream.addData + processAllAvailable — never wall clock.
+  */
+class StreamJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tootJson(id: Long, ts: String, user: String, text: String) =
+    s"""{"id": $id, "created_at": "$ts", "language": "en", "text": "$text",
+       |"hashtags": [], "user_id": 1, "username": "$user",
+       |"display_name": null, "favourites": 0, "reblogs": 0, "replies": 0,
+       |"url": "u"}""".stripMargin.replaceAll("\n", " ")
+
+  test("foreachBatch fan-out preserves per-batch append semantics") {
+    val input = MemoryStream[String](spark)
+    val parsed = ops.TootOps.parseJsonLines(input.toDF().withColumnRenamed("value", "value"))
+    val prepared = StreamJob.prepare(parsed)
+
+    val sunk = mutable.Map[String, mutable.Buffer[DataFrame]]()
+    val appender: StreamJob.Appender = (table, df) => sunk.synchronized {
+      sunk.getOrElseUpdate(table, mutable.Buffer()) += df.cache()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val q = StreamJob.start(prepared, appender, ckpt)
+    try {
+      // batch 0: two toots in the same minute, one in another
+      input.addData(
+        tootJson(1, "2025-10-03 10:00:05", "leo", "first"),
+        tootJson(2, "2025-10-03 10:00:40", "leo", "second"),
+        tootJson(3, "2025-10-03 10:02:10", "demo", "third"))
+      q.processAllAvailable()
+      // batch 1: a LATE toot for the 10:00 window — must append a
+      // SECOND partial row for that window (the reference's contract).
+      input.addData(tootJson(4, "2025-10-03 10:00:55", "demo", "late arrival"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val posts = sunk("mastodon_posts").map(_.count()).sum
+    assert(posts == 4)
+
+    val windows = sunk("streamed_toot_counts")
+      .reduce(_ union _)
+      .select(col("batch_id"),
+        date_format(col("window_start"), "HH:mm").as("w"), col("cnt"))
+      .as[(Long, String, Long)].collect().toSet
+    // 10:00 window appears TWICE: cnt=2 in batch 0, cnt=1 in batch 1.
+    assert(windows.contains((0L, "10:00", 2L)), s"got $windows")
+    assert(windows.contains((0L, "10:02", 1L)))
+    assert(windows.contains((1L, "10:00", 1L)), "late row must be a new partial")
+
+    val avg = sunk("avg_toot_length_by_user").reduce(_ union _)
+      .filter(col("batch_id") === 0 && col("username") === "leo")
+      .select("avg_length").as[Double].head()
+    assert(avg == 5.5) // "first"(5) + "second"(6)
+  }
+
+  test("windowedCountsNative: watermarked update-mode totals") {
+    val input = MemoryStream[String](spark)
+    val prepared = StreamJob.prepare(
+      ops.TootOps.parseJsonLines(input.toDF()))
+    val agg = StreamJob.windowedCountsNative(prepared, "2 minutes")
+    val q = agg.writeStream.outputMode("update")
+      .format("memory").queryName("native_counts").start()
+    try {
+      input.addData(
+        tootJson(1, "2025-10-03 10:00:05", "leo", "a"),
+        tootJson(2, "2025-10-03 10:00:40", "leo", "b"))
+      q.processAllAvailable()
+      val rows = spark.table("native_counts")
+        .select(date_format(col("window_start"), "HH:mm").as("w"), col("cnt"))
+        .as[(String, Long)].collect().toSet
+      assert(rows.contains(("10:00", 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("batchOutputs drops null-text rows (P7 validity)") {
+    val df = Seq(
+      ("leo", Some("hello"), "2025-10-03 10:00:00"),
+      ("demo", None: Option[String], "2025-10-03 10:00:00"),
+    ).toDF("username", "text", "created_at")
+      .withColumn("created_at", col("created_at").cast("timestamp"))
+    val outs = StreamJob.batchOutputs(df, 7L)
+    assert(outs("mastodon_posts").count() == 1)
+    assert(outs("streamed_toot_counts").select("batch_id")
+      .as[Long].head() == 7L)
+  }
+}

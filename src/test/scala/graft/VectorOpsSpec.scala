@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.VectorOps
+
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f), 0),  // near query
+    (2L, Array(0.0f, 1.0f, 0.0f), 1),  // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f), 1), // opposite
+    (4L, Array(0.8f, 0.2f, 0.1f), 0),  // near-ish
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnBrute ranks by cosine with deterministic tie-break") {
+    val got = VectorOps.knnBrute(vecs, queryVecId = 0, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L, 2L), s"got $got")
+  }
+
+  test("cosine of identical vector is 1, opposite is -1") {
+    val c = vecs.filter(col("vec_id") === 0)
+      .select(VectorOps.cosine(
+        VectorOps.asDouble(col("embedding")),
+        VectorOps.asDouble(col("embedding"))).as("c"))
+      .as[Double].head()
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  test("knnLsh finds a planted high-cosine neighbor") {
+    // Sign-LSH only has collision probability (1 - θ/π)^planes — high
+    // for genuinely-similar vectors, tiny for uniform-random ones. So
+    // the recall contract is over a PLANTED near neighbor (cos ≈ 0.999),
+    // not over uniform noise where ANN recall is inherently ~0.
+    val rnd = new scala.util.Random(7)
+    def randVec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val q = randVec()
+    val near = q.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val rows = (0L, q, 0) +: (1L, near, 0) +:
+      (2L to 100L).map(i => (i, randVec(), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val approx = VectorOps.knnLsh(df, queryVecId = 0, k = 5, planes = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(approx.headOption.contains(1L),
+      s"planted neighbor not ranked first: $approx")
+  }
+
+  test("cosineNearDups finds planted high-cosine pair") {
+    val pairs = VectorOps.cosineNearDups(vecs, threshold = 0.95, planes = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"got $pairs")
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  test("labelCentroids computes per-dimension means in order") {
+    val cents = VectorOps.labelCentroids(vecs)
+      .collect().map(r => r.getAs[Int]("label") -> r.getSeq[Double](1)).toMap
+    assert(cents(0).head == 0.9) // (1.0 + 0.9 + 0.8) / 3
+    assert(cents(1) == Seq(-0.5, 0.5, 0.0))
+  }
+
+  test("ivfAssign gives every vector exactly one list") {
+    val emb = Tables.embeddings(spark, sf0)
+    val assigned = VectorOps.ivfAssign(emb, nlist = 8)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("vec_id").distinct().count() == emb.count())
+  }
+}

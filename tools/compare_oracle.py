@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle compare.
+
+Usage: compare_oracle.py <sfDir> <verifyOutDir>
+
+For each query dir in verifyOutDir: read the Spark parquet result, run the
+matching oracle SQL (verifyOutDir/oracle_sql.json) in DuckDB with the sfDir
+parquet tables registered as views, sort columns by name + rows, and
+compare values (floats to 1e-9). Prints PASS/FAIL per query.
+"""
+import json, math, sys
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def norm(rows):
+    def k(v):
+        return tuple("\0" if x is None else str(x) for x in v)
+    return sorted(rows, key=k)
+
+def eq(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
+        except (TypeError, ValueError):
+            return False
+    return str(a) == str(b)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    import os
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(os.listdir(out_dir)):
+        path = os.path.join(out_dir, name)
+        if not os.path.isdir(path):
+            continue
+        got_rel = con.sql(f"SELECT * FROM '{path}/*.parquet'")
+        got_cols = sorted(got_rel.columns)
+        got = norm(con.sql(
+            f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall())
+        if name not in oracle:
+            print(f"SKIP {name}: no oracle ({len(got)} rows)")
+            n_skip += 1
+            continue
+        try:
+            exp_rel = con.sql(oracle[name])
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        exp_cols = sorted(exp_rel.columns)
+        exp = norm(con.sql(
+            f"SELECT {', '.join(exp_cols)} FROM exp_rel").fetchall())
+        if got_cols != exp_cols:
+            print(f"FAIL {name}: columns {got_cols} vs {exp_cols}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (g, x) in enumerate(zip(got, exp)):
+            if not all(eq(a, b) for a, b in zip(g, x)):
+                bad = (i, g, x)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}: got {bad[1]} exp {bad[2]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
