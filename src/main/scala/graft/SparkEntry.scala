@@ -40,6 +40,10 @@ object SparkEntry {
     "running_value_per_user" -> ((s, d) => EventOps.runningValuePerUser(events(s, d))),
     "lag_value_per_user" -> ((s, d) => EventOps.lagValuePerUser(events(s, d))),
     "session_stats" -> ((s, d) => EventOps.sessionStats(events(s, d), 30)),
+    "user_type_pivot" -> ((s, d) => EventOps.userTypePivot(events(s, d))),
+    "value_percentiles" -> ((s, d) => EventOps.valuePercentiles(events(s, d))),
+    "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
+    "range_join_pairs" -> ((s, d) => EventOps.rangeJoinPairs(events(s, d), 60)),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
     "keyword_lang_counts" -> ((s, d) =>
@@ -85,6 +89,11 @@ object SparkEntry {
     "knn_lsh" -> ((s, d) => VectorOps.knnLsh(embeddings(s, d), 0, 10)),
     "cosine_near_dups" -> ((s, d) => VectorOps.cosineNearDups(embeddings(s, d), 0.9)),
     "label_centroids" -> ((s, d) => VectorOps.labelCentroids(embeddings(s, d))),
+    // ---- multimodal plumbing (north star) ----
+    "media_byte_stats" -> ((s, d) => multimodal.Multimodal.byteStatsByKind(
+      multimodal.Multimodal.syntheticMedia(documents(s, d)))),
+    "media_features" -> ((s, d) => multimodal.Multimodal.extractFeatures(
+      multimodal.Multimodal.mediaDataset(s, documents(s, d))).toDF()),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -139,6 +148,39 @@ object SparkEntry {
         "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS session_value, " +
         "min(ts) AS session_start, max(ts) AS session_end " +
         "FROM s GROUP BY user_id, session_id"),
+    "user_type_pivot" ->
+      ("SELECT user_id, " +
+        "count(*) FILTER (event_type = 'click') AS click, " +
+        "count(*) FILTER (event_type = 'error') AS error, " +
+        "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (event_type = 'signup') AS signup, " +
+        "count(*) FILTER (event_type = 'view') AS view " +
+        "FROM events GROUP BY user_id"),
+    "value_percentiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.9), 4) AS p90, " +
+        "round(quantile_cont(value, 0.99), 4) AS p99 " +
+        "FROM events GROUP BY event_type"),
+    "asof_last_purchase" ->
+      ("WITH p AS (SELECT user_id, ts, event_id, value FROM (" +
+        "SELECT user_id, ts, event_id, value, row_number() OVER (" +
+        "PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+        "FROM events WHERE event_type = 'purchase') WHERE rn = 1) " +
+        "SELECT e.event_id, e.user_id, e.ts, " +
+        "p.event_id AS last_purchase_event, p.value AS last_purchase_value " +
+        "FROM events e ASOF LEFT JOIN p " +
+        "ON e.user_id = p.user_id AND e.ts > p.ts"),
+    "range_join_pairs" ->
+      ("SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 SECONDS " +
+        "AND a.event_id < b.event_id"),
+    "media_byte_stats" ->
+      ("WITH m AS (SELECT CASE CAST(doc_id % 3 AS INT) " +
+        "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
+        "octet_length(CAST(text AS BLOB)) AS nb FROM documents) " +
+        "SELECT kind, count(*) AS n_media, CAST(sum(nb) AS BIGINT) AS total_bytes, " +
+        "min(nb) AS min_bytes, max(nb) AS max_bytes FROM m GROUP BY kind"),
     "avg_len_by_lang" ->
       ("SELECT lang, round(avg(length(text)), 4) AS avg_len, count(*) AS docs " +
         "FROM documents GROUP BY lang"),

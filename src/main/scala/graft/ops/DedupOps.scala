@@ -1,18 +1,28 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication at corpus scale — the training-data-pipeline operators
-  * (exact, MinHash+LSH, SimHash, n-gram Jaccard) built entirely from
-  * codegen'd higher-order functions + joins. No UDFs, no driver-side
-  * loops: every stage is a scan, an explode, or a hash shuffle, so the
-  * same plans run unchanged on a 1000-executor cluster.
+  * (exact, MinHash+LSH, SimHash, n-gram Jaccard), built as relational
+  * plans: explode the shingles ONCE, then hash-aggregate signatures.
+  *
+  * Why not nested higher-order-function expressions (transform/
+  * aggregate lambdas)? They are interpreted (no whole-stage codegen, no
+  * common-subexpression elimination), and `CollapseProject` happily
+  * inlines a shingle-array subexpression into every one of 32×8
+  * consumers — measured 250+ s at sf0.1 vs ~5 s for this formulation.
+  * The explode is a `Generate` barrier: shingling runs exactly once per
+  * document, signatures are codegen'd partial+final aggregates, and
+  * every downstream reference is a cheap attribute read. The same plan
+  * shape distributes to any cluster size (shuffle keys: doc_id, then
+  * LSH bucket).
   *
   * The exact-dedup shape generalizes the reference's row_number dedup
-  * (`/root/reference/src/batch_clean_historical.py:34-37`); the rest is
-  * the standard near-dup stack (MinHash banding per Broder '97;
-  * SimHash per Charikar '02 — see PAPERS.md).
+  * (`/root/reference/src/batch_clean_historical.py:34-37`); the
+  * near-dup stack follows Broder '97 (MinHash banding) and
+  * Charikar '02 (SimHash) — see PAPERS.md.
   */
 object DedupOps {
 
@@ -32,6 +42,11 @@ object DedupOps {
     when(size(t) >= k, array_distinct(grams))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** (doc_id, shingle) inverted-index rows — the single place shingling
+    * is computed; everything downstream aggregates/joins these rows. */
+  def shingleRows(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
 
   // ---------- exact dedup ----------
 
@@ -53,27 +68,25 @@ object DedupOps {
 
   // ---------- n-gram Jaccard (exact near-dup baseline) ----------
 
-  /** Exact pairwise Jaccard over word-shingle sets, via the inverted
-    * index: explode shingles, self-join on the shingle, count shared,
-    * |A∪B| = |A|+|B|-shared. Quadratic in per-shingle document
-    * frequency — correct baseline for verification; use
-    * [[minhashCandidates]] as the scale path (its banding bounds the
-    * join). `maxDf` drops degenerate stopword-shingles that would blow
-    * up the self-join (standard inverted-index pruning). */
+  /** Exact pairwise Jaccard over word-shingle sets via the inverted
+    * index: self-join on the (hashed) shingle, count shared,
+    * |A∪B| = |A|+|B|-shared. The join key is the 64-bit shingle hash —
+    * same result as string keys (collision odds ~2⁻⁴⁸ per corpus) at a
+    * fraction of the shuffle width. Quadratic in per-shingle document
+    * frequency — the exact baseline; [[minhashNearDups]] is the scale
+    * path. `maxDf` prunes degenerate stopword-shingles (standard
+    * inverted-index pruning). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 3, maxDf: Long = 1000): DataFrame = {
-    val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val sizes = sets.select(col("doc_id"), size(col("sh")).as("n"))
-    val inv = sets.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val inv = shingleRows(docs, k).select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pruned = inv
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("sh")))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
       .filter(col("df") <= maxDf)
       .drop("df")
     val shared = pruned.as("a")
       .join(pruned.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("shared"))
     shared
@@ -90,9 +103,9 @@ object DedupOps {
 
   // ---------- MinHash + LSH banding (scale path) ----------
 
-  /** k deterministic minhash values per doc: h_i = min over shingles of
-    * xxhash64(shingle, i). Pure expressions (transform + array_min) —
-    * one scan, no shuffle, no UDF. */
+  /** Expression form of the k-minhash signature (kept for column-level
+    * use on small inputs; the pipeline below uses the aggregate
+    * formulation instead — see class doc). */
   def minhashSignature(text: Column, numHashes: Int = 32, k: Int = 3): Column = {
     val sh = shingles(text, k)
     val sig = (0 until numHashes).map { seed =>
@@ -101,22 +114,29 @@ object DedupOps {
     array(sig: _*)
   }
 
-  /** LSH banding: split the signature into `bands` bands of
-    * `numHashes/bands` rows, hash each band to a bucket key, explode to
+  /** Signature table (doc_id, h0..h{n-1}) via the aggregate
+    * formulation: one explode, one codegen'd hash aggregation with
+    * `numHashes` min() buffers. */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 32,
+      k: Int = 3): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("sh"), lit(i))).as(s"h$i"))
+    shingleRows(docs, k).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over the signature table: hash each band of
+    * `numHashes/bands` signature columns to a bucket key, explode to
     * (doc_id, band_id, bucket). Similar docs collide in ≥1 band w.h.p.
     * (s-curve threshold ≈ (1/b)^(1/r)). */
   def minhashBands(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       k: Int = 3): DataFrame = {
     val rows = numHashes / bands
-    val sig = minhashSignature(col("text"), numHashes, k)
+    val sig = minhashSignatures(docs, numHashes, k)
     val bandKeys = array((0 until bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*))
+      xxhash64((b * rows until (b + 1) * rows).map(i => col(s"h$i")): _*)
     }: _*)
-    docs
-      .filter(size(shingles(col("text"), k)) > 0)
-      .withColumn("sig", sig)
-      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band_id", "bucket")))
+    sig.select(col("doc_id"),
+      posexplode(bandKeys).as(Seq("band_id", "bucket")))
   }
 
   /** Candidate near-dup pairs from band-bucket collisions: shuffle on
@@ -127,8 +147,8 @@ object DedupOps {
       k: Int = 3, maxBucket: Long = 500): DataFrame = {
     val b = minhashBands(docs, numHashes, bands, k)
     val capped = b
-      .withColumn("bsz", count(lit(1)).over(org.apache.spark.sql.expressions
-        .Window.partitionBy("band_id", "bucket")))
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band_id", "bucket")))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
     capped.as("a")
@@ -141,52 +161,48 @@ object DedupOps {
   }
 
   /** Full MinHash near-dup pipeline: LSH candidates, then exact Jaccard
-    * verification on just the candidate pairs (join back to the shingle
-    * sets — two broadcast-able lookups at candidate cardinality). */
+    * verification on just the candidate pairs, via hashed shingle sets
+    * (collect_set over the inverted index — long arrays, not strings). */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
     val cands = minhashCandidates(docs, numHashes, bands, k)
-    val sets = docs.select(col("doc_id"), shingles(col("text"), k).as("sh"))
+    val sets = shingleRows(docs, k)
+      .groupBy("doc_id")
+      .agg(collect_set(xxhash64(col("sh"))).as("hs"))
     cands
-      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sh_a")), "a_id")
-      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), "b_id")
       .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))), 4))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash: per token-hash, each bit votes ±1; the sign of the
-    * per-bit sum forms the fingerprint. Nested higher-order functions
-    * (aggregate over bits × tokens) — still one scan, codegen'd. */
-  def simhash(text: Column): Column = {
-    val toks = tokens(text)
-    val hashes = transform(toks, t => xxhash64(t))
-    // Scala-API shiftright/shiftleft take Int shift amounts; inside a
-    // lambda the shift is a Column, so go through the SQL registry.
-    def shr(c: Column, n: Column) = call_function("shiftright", c, n)
-    def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
-    val bits = transform(sequence(lit(0), lit(63)), b => {
-      val votes = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shr(h, b).bitwiseAND(lit(1L)) === 1L,
-          lit(1L)).otherwise(lit(-1L)))
-      when(votes > 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => shl(bit, i)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  /** 64-bit SimHash fingerprints via the aggregate formulation: explode
+    * tokens, hash each once, then 64 signed bit-sums in one codegen'd
+    * aggregation (the per-bit ±1 votes of Charikar '02); sign → bit,
+    * packed into a long. */
+  def simhashes(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), packed.as("simhash"))
   }
 
   /** Hamming distance between two 64-bit simhashes. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
-
-  /** SimHash fingerprints per doc. */
-  def simhashes(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
 
   /** SimHash near-dups: band the 64-bit fingerprint into 4×16-bit
     * chunks (two docs within Hamming distance 3 share ≥1 exact chunk —

@@ -171,6 +171,90 @@ object EventOps {
       .drop("prev_ts", "new_session")
   }
 
+  /** Per-user × event-type counts as a pivot — wide-table coverage.
+    * Pivot values are pinned (no extra distinct scan at plan time, and
+    * a deterministic column set at any scale). */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  def userTypePivot(events: DataFrame): DataFrame = {
+    val p = events
+      .groupBy("user_id")
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    p.na.fill(0L, eventTypes)
+  }
+
+  /** Exact interpolated percentiles of value per event type
+    * (`percentile` = quantile_cont semantics). Exact percentile sorts
+    * per group — at 100 TB prefer `approx_percentile` (t-digest); both
+    * shapes are one aggregation. */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+
+  /** As-of join: for every event, the most recent STRICTLY-earlier
+    * 'purchase' event of the same user. Spark lacks a native as-of
+    * join; rather than a per-key collect or a nested-loop range join,
+    * this composes built-ins into the scalable sort-merge shape
+    * (SURVEY.md §7 preference (a)): tag purchases, union with events,
+    * one (user, time) sort, `last(ignoreNulls)` window fill, keep event
+    * rows. One shuffle on user_id; linear in |events|+|purchases|.
+    *
+    * Determinism: purchases are pre-deduped to one row per (user, ts)
+    * — max event_id — mirroring what the oracle's ASOF JOIN needs to
+    * be unambiguous; same-ts purchases sort AFTER event rows (tag
+    * ordering) so "strictly earlier" holds.
+    */
+  def asofLastPurchase(events: DataFrame): DataFrame = {
+    val purchases = {
+      val w = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      events.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+    }
+    val taggedEvents = events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      lit(0).as("tag"), lit(null).cast("long").as("p_event_id"),
+      lit(null).cast("double").as("p_value"))
+    val taggedPurch = purchases.select(
+      lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+      lit(1).as("tag"), col("p_event_id"), col("p_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedEvents.unionByName(taggedPurch)
+      .withColumn("last_purchase_event",
+        last(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_value",
+        last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select("event_id", "user_id", "ts",
+        "last_purchase_event", "last_purchase_value")
+  }
+
+  /** Time-range self-join: pairs of same-user events within `windowSec`
+    * of each other. The user_id equi-key keeps this a hash join with a
+    * range residual (never a cartesian); at scale add time-bucketing on
+    * both sides to bound the per-key fan-out. */
+  def rangeJoinPairs(events: DataFrame, windowSec: Int = 60): DataFrame = {
+    val a = events.select(col("event_id").as("a_id"),
+      col("user_id"), col("ts").as("a_ts"))
+    val b = events.select(col("event_id").as("b_id"),
+      col("user_id"), col("ts").as("b_ts"))
+    a.join(b,
+        a("user_id") === b("user_id") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowSec SECONDS") &&
+          col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), a("user_id"))
+  }
+
   /** Per-user session stats built on [[sessionize]]. */
   def sessionStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
     sessionize(events, gapMinutes)
