@@ -2,11 +2,14 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.CosineSim.cosineFused
 
 /** Similarity search over an embedding column (`Array[Float]`) — the
-  * north-star ANN operators. All vector math is built from codegen'd
-  * higher-order functions (`zip_with` + `aggregate`), computed in
-  * double precision; no UDFs, no driver-side loops.
+  * north-star ANN operators. The scoring hot path uses the native
+  * codegen'd [[graft.functions.CosineSim]] expression (one fused
+  * allocation-free fp64 loop per row); the composable HOF forms
+  * ([[dot]]/[[norm]]/[[cosine]]) are kept as the readable baseline and
+  * produce bit-identical results. No UDFs, no driver-side loops.
   *
   * Scale design: brute-force top-k is the exact baseline (one scan +
   * TakeOrderedAndProject — each partition keeps k rows, the driver
@@ -35,14 +38,14 @@ object VectorOps {
   def knnBrute(embeddings: DataFrame, queryVecId: Long, k: Int = 10): DataFrame = {
     val q = embeddings
       .filter(col("vec_id") === queryVecId)
-      .select(asDouble(col("embedding")).as("qv"))
+      .select(col("embedding").as("qv"))
     embeddings
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(
         col("vec_id"),
         col("label"),
-        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos_sim"))
+        round(cosineFused(col("embedding"), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -77,7 +80,7 @@ object VectorOps {
     val coded = embeddings.withColumn("bucket", lshBucket(col("embedding"), planes))
     val q = coded
       .filter(col("vec_id") === queryVecId)
-      .select(asDouble(col("embedding")).as("qv"), col("bucket").as("qbucket"))
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
     val probes = coded
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= queryVecId)
@@ -87,7 +90,7 @@ object VectorOps {
       .select(
         col("vec_id"),
         col("label"),
-        round(cosine(asDouble(col("embedding")), col("qv")), 4).as("cos_sim"))
+        round(cosineFused(col("embedding"), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -100,10 +103,10 @@ object VectorOps {
   def ivfAssign(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
     val centroids = embeddings
       .filter(pmod(col("vec_id"), lit(997)) < nlist)  // deterministic spread
-      .select(col("vec_id").as("list_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("vec_id").as("list_id"), col("embedding").as("cv"))
     embeddings
       .crossJoin(broadcast(centroids))
-      .withColumn("d", cosine(asDouble(col("embedding")), col("cv")))
+      .withColumn("d", cosineFused(col("embedding"), col("cv")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
           .orderBy(col("d").desc, col("list_id").asc)))
@@ -117,7 +120,7 @@ object VectorOps {
   def cosineNearDups(embeddings: DataFrame, threshold: Double = 0.95,
       planes: Int = 10): DataFrame = {
     val coded = embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
     coded.as("a")
       .join(coded.as("b"),
@@ -126,7 +129,7 @@ object VectorOps {
       .select(
         col("a.vec_id").as("a_id"),
         col("b.vec_id").as("b_id"),
-        round(cosine(col("a.v"), col("b.v")), 4).as("cos_sim"))
+        round(cosineFused(col("a.v"), col("b.v")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

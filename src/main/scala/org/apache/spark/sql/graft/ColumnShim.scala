@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and catalyst Expressions.
+  *
+  * Spark 4 backs `Column` with connect-compatible `ColumnNode`s; the
+  * conversion helpers live in `org.apache.spark.sql.classic` and are
+  * `private[sql]`, so this one-file shim sits inside the sql package
+  * namespace to re-export them to the engine (the standard technique
+  * for libraries shipping native expressions).
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

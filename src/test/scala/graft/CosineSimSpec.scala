@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.CosineSim
+import graft.ops.VectorOps
+
+/** Native codegen'd cosine expression: equivalence with the HOF
+  * baseline, SQL registration, null/edge behavior, and that codegen is
+  * actually exercised (the expression is not CodegenFallback). */
+class CosineSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.5f, -2.5f, 0.5f), Array(-0.5f, 1.0f, 4.0f)),
+    (3L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)), // zero norm
+  ).toDF("id", "a", "b")
+
+  test("matches the HOF composition bit-for-bit") {
+    // ANSI mode (Spark 4 default) makes the HOF division THROW on the
+    // zero-norm row; the fused expression returns null instead — so the
+    // HOF baseline is only evaluated on non-degenerate rows.
+    val both = vecs.filter(col("id") =!= 3L).select(
+      col("id"),
+      CosineSim.cosineFused(col("a"), col("b")).as("fused"),
+      VectorOps.cosine(
+        VectorOps.asDouble(col("a")), VectorOps.asDouble(col("b"))).as("hof"))
+      .collect()
+    assert(both.length == 3)
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(2),
+        s"id=${r.getLong(0)} fused=${r.getDouble(1)} hof=${r.getDouble(2)}")
+    }
+    val zeroNorm = vecs.filter(col("id") === 3L)
+      .select(CosineSim.cosineFused(col("a"), col("b"))).collect()
+    assert(zeroNorm.head.isNullAt(0), "zero-norm must be null, not an error")
+  }
+
+  test("identical vectors → 1.0; orthogonal → 0.0") {
+    val m = vecs.select(col("id"),
+      CosineSim.cosineFused(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(m(0L).get - 1.0) < 1e-15)
+    assert(m(1L).get == 0.0)
+    assert(m(3L).isEmpty)
+  }
+
+  test("null inputs propagate null (nullIntolerant)") {
+    val withNull = Seq((Some(Array(1.0f)), None: Option[Array[Float]]))
+      .toDF("a", "b")
+    val out = withNull.select(CosineSim.cosineFused(col("a"), col("b")))
+      .collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("registered SQL function graft_cosine works") {
+    CosineSim.register(spark)
+    vecs.createOrReplaceTempView("cs_vecs")
+    val r = spark.sql(
+      "SELECT id, round(graft_cosine(a, b), 4) AS c FROM cs_vecs WHERE id = 0")
+      .as[(Long, Double)].head()
+    assert(r == (0L, 1.0))
+  }
+
+  test("session extensions wire graft_cosine into new sessions") {
+    // withExtensions on the running builder applies GraftExtensions to
+    // the shared session state (extensions are builder-time config).
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    import s2.implicits._
+    val one = s2.sql("SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))")
+      .as[Double].head()
+    assert(one == 1.0)
+  }
+
+  test("participates in whole-stage codegen (no fallback)") {
+    // A LocalTableScan is evaluated eagerly without codegen; use a
+    // range-backed plan so a real Project stage is generated.
+    // build arrays with codegen-supported array() — transform() lambdas
+    // would knock the whole Project out of WSCG regardless of our expr
+    val df = spark.range(4).select(
+      array((0 until 8).map(i => (col("id") + i).cast("float")): _*).as("a"),
+      array((0 until 8).map(i => lit(i * 2 + 1).cast("float")): _*).as("b"))
+    val q = df.select(CosineSim.cosineFused(col("a"), col("b")).as("c"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project .*graft_cosine.*"), plan)
+    assert(q.filter(col("c").isNull).count() == 0)
+  }
+}
