@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom streaming state (`KeyValueGroupedDataset` +
+  * map/flatMapGroupsWithState) — the Structured Streaming capability
+  * the reference never reaches (its state is only per-batch, SURVEY.md
+  * §2.8). Two canonical stateful operators:
+  *
+  *  - [[dedupStream]]: exactly-once emission per key across the whole
+  *    stream — the streaming fix for the reference's at-least-once JDBC
+  *    appends (it compensates with a batch-layer dedup instead).
+  *  - [[runningCounts]]: per-key running totals maintained in state and
+  *    re-emitted every update.
+  *
+  * State is per-key and partitioned by the grouping key — scales
+  * horizontally; state growth is the operational concern, so
+  * [[dedupStream]] takes a processing-time timeout to expire keys.
+  */
+object StatefulOps {
+
+  /** Emit each key's FIRST record only, across micro-batches. Seen-keys
+    * state expires after `timeoutMs` of inactivity (bounds state size;
+    * pass 0 for no timeout). */
+  def dedupStream[K, V](grouped: Dataset[V], key: V => K,
+      timeoutMs: Long = 0)(
+      implicit kEnc: org.apache.spark.sql.Encoder[K],
+      vEnc: org.apache.spark.sql.Encoder[V]): Dataset[V] = {
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    grouped
+      .groupByKey(key)
+      .flatMapGroupsWithState[Boolean, V](
+        OutputMode.Append(), timeoutConf) {
+        (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            Iterator.empty // key already emitted
+          } else {
+            state.update(true)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            rows.take(1)
+          }
+      }(Encoders.scalaBoolean, vEnc)
+  }
+
+  /** Per-key running count across the stream; emits the new total for
+    * every key present in the batch (update-mode shape). */
+  def runningCounts[K, V](ds: Dataset[V], key: V => K)(
+      implicit kEnc: org.apache.spark.sql.Encoder[K],
+      outEnc: org.apache.spark.sql.Encoder[(K, Long)]): Dataset[(K, Long)] =
+    ds.groupByKey(key)
+      .mapGroupsWithState[Long, (K, Long)](
+        GroupStateTimeout.NoTimeout()) {
+        (k: K, rows: Iterator[V], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + rows.size
+          state.update(total)
+          (k, total)
+      }(Encoders.scalaLong, outEnc)
+}

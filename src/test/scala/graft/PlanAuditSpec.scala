@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Physical-plan audits: the scale posture (pushdown, broadcast,
+  * partial aggregation, true top-k) asserted as tests so a regression
+  * in plan shape fails CI, not just the benchmark.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def formatted(df: DataFrame): String = {
+    df.queryExecution.optimizedPlan // force analysis
+    org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    planOf(df)
+  }
+
+  test("filter + projection are pushed into the parquet scan") {
+    val df = Tables.lineitem(spark, sf0)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select("l_returnflag", "l_quantity")
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate,"), scan)
+    // pruned to exactly the projected + filtered columns — none of the
+    // other 8 lineitem columns reach the scan
+    assert(scan.contains("l_quantity") && scan.contains("l_returnflag") &&
+      scan.contains("l_shipdate"), scan)
+    assert(!scan.contains("l_extendedprice") && !scan.contains("l_partkey"),
+      s"projection not pruned: $scan")
+  }
+
+  test("star join broadcasts every dimension (single fact shuffle)") {
+    val plan = planOf(JoinOps.revenueByNation(spark, sf0))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$plan")
+    // only the li⋈orders join (+ final agg) may shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
+  }
+
+  test("ordered limit plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(AggOps.topOrdersByPrice(Tables.orders(spark, sf0), 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Sort ["), s"unexpected full sort:\n$plan")
+  }
+
+  test("grouped aggregation is partial+final (map-side combine)") {
+    val plan = planOf(EventOps.userActivity(Tables.events(spark, sf0)))
+    assert(plan.contains("HashAggregate(keys=[user_id"), plan)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("semi/anti joins plan as joins, not subquery re-scans") {
+    val semi = planOf(JoinOps.customersWithOrders(
+      Tables.customer(spark, sf0), Tables.orders(spark, sf0)))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = planOf(JoinOps.customersWithoutOrders(
+      Tables.customer(spark, sf0), Tables.orders(spark, sf0)))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("knnBrute: broadcast query vector + TakeOrderedAndProject") {
+    val plan = planOf(VectorOps.knnBrute(Tables.embeddings(spark, sf0), 0, 10))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("minhash signatures aggregate partially before the doc_id shuffle") {
+    val plan = planOf(DedupOps.minhashSignatures(
+      Tables.documents(spark, sf0), numHashes = 8))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan)
+    assert(plan.contains("Generate explode"), plan)
+  }
+
+  test("range-join pairs keep the equi-key (no cartesian)") {
+    val plan = planOf(EventOps.rangeJoinPairs(Tables.events(spark, sf0), 60))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("user_id"), plan)
+  }
+}
