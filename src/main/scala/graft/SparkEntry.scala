@@ -74,6 +74,12 @@ object SparkEntry {
     // ---- aggregate extensions (SURVEY §2.4 gaps) ----
     "pricing_summary" -> ((s, d) => AggOps.pricingSummary(lineitem(s, d))),
     "rollup_qty" -> ((s, d) => AggOps.rollupQtyByFlagStatus(lineitem(s, d))),
+    "cube_qty" -> ((s, d) => AggOps.cubeQtyByFlagStatus(lineitem(s, d))),
+    "grouping_sets_qty" -> ((s, d) => AggOps.groupingSetsQty(lineitem(s, d))),
+    "value_corr_stats" -> ((s, d) => AggOps.valueCorrStats(events(s, d))),
+    "approx_value_percentiles" ->
+      ((s, d) => AggOps.approxValuePercentiles(events(s, d))),
+    "customer_name_funcs" -> ((s, d) => AggOps.customerNameFuncs(customer(s, d))),
     "top_orders_by_price" -> ((s, d) => AggOps.topOrdersByPrice(orders(s, d), 10)),
     "monthly_order_stats" -> ((s, d) => AggOps.monthlyOrderStats(orders(s, d))),
     // ---- dedup (north star) ----
@@ -268,6 +274,35 @@ object SparkEntry {
       ("SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, " +
         "count(*) AS n_lines FROM lineitem " +
         "GROUP BY ROLLUP(l_returnflag, l_linestatus)"),
+    "cube_qty" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"),
+    "grouping_sets_qty" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, " +
+        "count(*) AS n_lines FROM lineitem " +
+        "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"),
+    "value_corr_stats" ->
+      ("WITH s AS (SELECT event_type, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(12,2))) AS sx, " +
+        "sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(12,2))) AS sy, " +
+        "sum(CAST(value AS DECIMAL(12,2)) * CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(12,2))) AS sxy, " +
+        "sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sxx, " +
+        "sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(12,2)) * CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DECIMAL(12,2))) AS syy " +
+        "FROM events GROUP BY event_type) " +
+        "SELECT event_type, n, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 4) AS corr_vk, " +
+        "round(sqrt(CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)), 4) AS stddev_v " +
+        "FROM s"),
+    "customer_name_funcs" ->
+      ("SELECT c_custkey, upper(c_name) AS upper_name, " +
+        "substring(c_name, 10, 9) AS digits, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key, " +
+        "concat_ws('|', c_mktsegment, c_name) AS seg_name, " +
+        "length(c_name) AS name_len, " +
+        "regexp_replace(c_name, '0+', '0', 'g') AS squeezed " +
+        "FROM customer"),
     "top_orders_by_price" ->
       ("SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"),

@@ -52,6 +52,67 @@ object AggOps {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .limit(k)
 
+  /** Explicit GROUPING SETS (only reachable through SQL in Spark) —
+    * subtotal rows per flag, per status, and the grand total. */
+  def groupingSetsQty(li: DataFrame): DataFrame = {
+    val s = li.sparkSession
+    li.createOrReplaceTempView("li_gs")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM li_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |""".stripMargin)
+  }
+
+  /** Pearson correlation + sample stddev per event type, computed from
+    * EXACT decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) so both engines do
+    * the identical IEEE double arithmetic on identical operands —
+    * `corr()`/`stddev()` built-ins are summation-order dependent and
+    * won't hash-match an oracle. Same single-pass aggregation shape. */
+  def valueCorrStats(events: DataFrame): DataFrame = {
+    val x = col("value").cast("decimal(12,2)")
+    val y = get_json_object(col("props"), "$.k").cast("long").cast("decimal(12,2)")
+    events
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(
+        col("event_type"),
+        col("n"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          4).as("corr_vk"),
+        round(sqrt(
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            (col("n") * (col("n") - 1)).cast("double")), 4).as("stddev_v"))
+  }
+
+  /** Approximate percentiles (t-digest family) — the 100 TB variant of
+    * exact percentile; not oracle-comparable (different sketch). */
+  def approxValuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy("event_type")
+      .agg(approx_percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(10000)).as("approx_p"))
+
+  /** Scalar string-function battery over customer names — F-category
+    * coverage in one oracle-checkable projection. */
+  def customerNameFuncs(customer: DataFrame): DataFrame =
+    customer.select(
+      col("c_custkey"),
+      upper(col("c_name")).as("upper_name"),
+      substring(col("c_name"), 10, 9).as("digits"),
+      lpad(col("c_custkey").cast("string"), 12, "0").as("padded_key"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+      length(col("c_name")).cast("long").as("name_len"),
+      regexp_replace(col("c_name"), "0+", "0").as("squeezed"))
+
   /** Per-month order stats — date_trunc bucketing on the fact table. */
   def monthlyOrderStats(orders: DataFrame): DataFrame =
     orders

@@ -43,10 +43,32 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** k-shingles from an already-materialized token ARRAY COLUMN (an
+    * attribute, not an expression): every `element_at` reference is a
+    * cheap column read. Passing `tokens(text)` directly instead would
+    * let Catalyst inline the split() into each of the 3k references per
+    * shingle — measured ~9 s of pure re-tokenization at sf0.1. */
+  def shinglesFromTokens(t: Column, k: Int): Column = {
+    val idx = sequence(lit(0), size(t) - k)
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until k).map(o => element_at(t, i + o + 1)): _*))
+    when(size(t) >= k, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** (doc_id, shingle) inverted-index rows — the single place shingling
-    * is computed; everything downstream aggregates/joins these rows. */
+    * is computed; everything downstream aggregates/joins these rows.
+    *
+    * The `repartition(doc_id)` is a deliberate materialization barrier:
+    * it pins the token array as a concrete column (CollapseProject
+    * cannot inline through an Exchange), and the downstream
+    * `groupBy(doc_id)` stages reuse the partitioning, so the shuffle is
+    * not an extra exchange for the signature/set paths. */
   def shingleRows(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), k)).as("sh"))
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("t"), k)).as("sh"))
 
   // ---------- exact dedup ----------
 
