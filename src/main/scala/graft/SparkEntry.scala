@@ -40,6 +40,10 @@ object SparkEntry {
     "running_value_per_user" -> ((s, d) => EventOps.runningValuePerUser(events(s, d))),
     "lag_value_per_user" -> ((s, d) => EventOps.lagValuePerUser(events(s, d))),
     "session_stats" -> ((s, d) => EventOps.sessionStats(events(s, d), 30)),
+    "sliding_window_counts" ->
+      ((s, d) => EventOps.slidingWindowCounts(events(s, d))),
+    "session_window_stats" ->
+      ((s, d) => EventOps.sessionWindowStats(events(s, d), 30)),
     "user_type_pivot" -> ((s, d) => EventOps.userTypePivot(events(s, d))),
     "value_percentiles" -> ((s, d) => EventOps.valuePercentiles(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
@@ -154,6 +158,22 @@ object SparkEntry {
         "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS session_value, " +
         "min(ts) AS session_start, max(ts) AS session_end " +
         "FROM s GROUP BY user_id, session_id"),
+    "sliding_window_counts" ->
+      ("WITH w AS (SELECT date_trunc('minute', ts) - (INTERVAL 1 MINUTE * i) AS window_start " +
+        "FROM events, (SELECT unnest(range(5)) AS i) s) " +
+        "SELECT window_start, window_start + INTERVAL 5 MINUTE AS window_end, " +
+        "count(*) AS cnt FROM w GROUP BY 1, 2"),
+    "session_window_stats" ->
+      ("WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+        "epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM o), " +
+        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f) " +
+        "SELECT user_id, min(ts) AS session_start, " +
+        "max(ts) + INTERVAL 30 MINUTE AS session_end, " +
+        "count(*) AS n_events, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS session_value " +
+        "FROM s GROUP BY user_id, sid"),
     "user_type_pivot" ->
       ("SELECT user_id, " +
         "count(*) FILTER (event_type = 'click') AS click, " +

@@ -65,6 +65,37 @@ object EventOps {
         col("w.end").as("window_end"),
         col("cnt"))
 
+  /** 5-minute windows sliding every minute (A5 extended): each event
+    * lands in 5 overlapping buckets — Spark's `window()` expands them
+    * inline (a Generate, no self-join). */
+  def slidingWindowCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "5 minutes", "1 minute").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("cnt"))
+
+  /** Gap-merged sessions via the NATIVE `session_window` operator (the
+    * idiomatic form of [[sessionize]]; also usable in streaming with a
+    * watermark). Window end = last event + gap; a gap of exactly
+    * `gapMinutes` starts a NEW session (strict merge inequality). */
+  def sessionWindowStats(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(Num.dec2(col("value"))), 4).cast("double")
+          .as("session_value"))
+      .select(
+        col("user_id"),
+        col("w.start").as("session_start"),
+        col("w.end").as("session_end"),
+        col("n_events"),
+        col("session_value"))
+
   /** Keep only the most-recent event per user (W1 dedup,
     * `/root/reference/src/batch_clean_historical.py:34-37`). The
     * reference tie-breaks only on the timestamp; we add `event_id` as a
