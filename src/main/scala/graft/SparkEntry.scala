@@ -97,6 +97,7 @@ object SparkEntry {
     // ---- similarity search (north star) ----
     "knn_brute" -> ((s, d) => VectorOps.knnBrute(embeddings(s, d), 0, 10)),
     "knn_lsh" -> ((s, d) => VectorOps.knnLsh(embeddings(s, d), 0, 10)),
+    "knn_ivf" -> ((s, d) => VectorOps.knnIvf(embeddings(s, d), 0, 10)),
     "cosine_near_dups" -> ((s, d) => VectorOps.cosineNearDups(embeddings(s, d), 0.9)),
     "label_centroids" -> ((s, d) => VectorOps.labelCentroids(embeddings(s, d))),
     // ---- multimodal plumbing (north star) ----

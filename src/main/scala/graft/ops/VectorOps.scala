@@ -114,6 +114,40 @@ object VectorOps {
       .select(col("vec_id"), col("list_id"))
   }
 
+  /** IVF query-time search: score the query against the `nlist`
+    * centroids (broadcast), keep the `nprobe` closest lists, and scan
+    * ONLY vectors assigned to those lists — the scanned fraction is
+    * ~nprobe/nlist of the corpus, the standard coarse-quantization
+    * trade. All joins against the probe set and query are broadcasts;
+    * the corpus side is one filtered scan. */
+  def knnIvf(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val assigned = ivfAssign(embeddings, nlist)
+    val centroids = embeddings
+      .filter(pmod(col("vec_id"), lit(997)) < nlist)
+      .select(col("vec_id").as("list_id"), col("embedding").as("cv"))
+    val q = embeddings
+      .filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val probeLists = centroids
+      .crossJoin(broadcast(q))
+      .select(col("list_id"), cosineFused(col("cv"), col("qv")).as("d"))
+      .orderBy(col("d").desc, col("list_id").asc)
+      .limit(nprobe)
+      .select("list_id")
+    embeddings
+      .join(assigned, "vec_id")
+      .join(broadcast(probeLists), Seq("list_id"), "left_semi")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(
+        col("vec_id"),
+        col("label"),
+        round(cosineFused(col("embedding"), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, pair
     * within buckets, verify with exact cosine ≥ threshold. Σ bucket²
     * join cost, never n². */

@@ -61,6 +61,22 @@ class VectorOpsSpec extends SparkSpec {
     assert(cents(1) == Seq(-0.5, 0.5, 0.0))
   }
 
+  test("knnIvf finds a planted neighbor through probed lists only") {
+    val rnd = new scala.util.Random(11)
+    def randVec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val q = randVec()
+    val near = q.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+    val rows = (0L, q, 0) +: (1L, near, 0) +:
+      (2L to 200L).map(i => (i, randVec(), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = VectorOps.knnIvf(df, queryVecId = 0, k = 5,
+      nlist = 8, nprobe = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    // query and its near-twin share the nearest centroid, so the
+    // planted neighbor must survive the nprobe list filter and rank 1st
+    assert(got.headOption.contains(1L), s"got $got")
+  }
+
   test("ivfAssign gives every vector exactly one list") {
     val emb = Tables.embeddings(spark, sf0)
     val assigned = VectorOps.ivfAssign(emb, nlist = 8)
