@@ -75,6 +75,12 @@ object SparkEntry {
       JoinOps.supplierPartRevenue(lineitem(s, d), supplier(s, d), part(s, d))),
     "top_orders_per_customer" -> ((s, d) =>
       JoinOps.topOrdersPerCustomer(orders(s, d), 3)),
+    "top_orders_native" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      plans.TopK.perGroup(orders(s, d), Seq(col("o_custkey")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    }),
     // ---- aggregate extensions (SURVEY §2.4 gaps) ----
     "pricing_summary" -> ((s, d) => AggOps.pricingSummary(lineitem(s, d))),
     "rollup_qty" -> ((s, d) => AggOps.rollupQtyByFlagStatus(lineitem(s, d))),
@@ -276,6 +282,11 @@ object SparkEntry {
         "JOIN part ON l_partkey = p_partkey GROUP BY 1, 2"),
     "top_orders_per_customer" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (" +
+        "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
+        "FROM orders) WHERE rn <= 3"),
+    "top_orders_native" ->
+      ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
         "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
         "FROM orders) WHERE rn <= 3"),

@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
