@@ -34,6 +34,27 @@ class TootOpsSpec extends SparkSpec {
     assert(valid.select("id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("golden replay: reference sample.jsonl yields exactly 135 valid toots") {
+    // The reference's captured Kafka topic dump (SURVEY.md §5 fixture 3).
+    // Its consumer log says "Processed a total of 138 messages", but 3
+    // of those are the plain-text probe lines (msg1..msg3) — line-level
+    // ground truth is 135 toot JSONs + 6 non-JSON lines (3 probes + 3
+    // trailing kafka-console-consumer error lines).
+    val path = "/root/reference/sample.jsonl"
+    assume(new java.io.File(path).exists())
+    val lines = spark.read.text(path).withColumnRenamed("value", "value")
+    val parsed = TootOps.parseJsonLines(lines)
+    val valid = TootOps.cleanToots(parsed)
+    assert(valid.count() == 135)
+    assert(parsed.count() === lines.count()) // malformed → null rows, kept
+    val normalized = TootOps.normalizeTimestamps(valid)
+    assert(normalized.filter(col("created_at").isNull).count() == 0)
+    // the dump contains ONE genuinely duplicated id (115311590921522048
+    // — the at-least-once redelivery the reference's batch dedup exists
+    // for), so W1 collapses 135 → 134 on real data
+    assert(TootOps.dedupById(normalized).count() == 134)
+  }
+
   test("timestamp chain parses every observed format (F10)") {
     val cases = Seq(
       "2025-10-03 18:14:46.665000+00:00", // producer format
