@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.propBoolean
+import graft.ops.{DedupOps, EventOps, TootOps}
+
+/** Property-based coverage (ScalaCheck generators + single-pass Spark
+  * assertions — one job over a generated batch, not one job per case).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(50), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("timestamp chain: every supported rendering parses to the instant") {
+    val genEpoch = Gen.choose(1500000000L, 1900000000L) // 2017..2030
+    val fmts = Seq[java.time.format.DateTimeFormatter](
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS'+00:00'"),
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS'+00:00'"),
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"),
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'"))
+    val cases = Gen.listOfN(200, for {
+      epoch <- genEpoch
+      fi <- Gen.choose(0, fmts.size - 1)
+    } yield (epoch, fi)).sample.get
+    val rendered = cases.map { case (epoch, fi) =>
+      val inst = java.time.LocalDateTime.ofEpochSecond(epoch, 0,
+        java.time.ZoneOffset.UTC)
+      (epoch, fmts(fi).format(inst))
+    }
+    val got = rendered.toDF("epoch", "created_at")
+      .select(col("epoch"),
+        TootOps.parseCreatedAt(col("created_at")).cast("long").as("parsed"))
+      .filter(col("epoch") =!= col("parsed"))
+    assert(got.count() == 0, got.limit(5).collect().mkString(", "))
+  }
+
+  test("latestPerUser keeps exactly the (ts, event_id)-max row per user") {
+    val gen = Gen.listOfN(300, for {
+      user <- Gen.choose(0L, 20L)
+      tsSec <- Gen.choose(0L, 50L) // force ts collisions
+      id <- Gen.choose(0L, 100000L)
+      v <- Gen.choose(0.0, 100.0)
+    } yield (id, tsSec, user, v)).sample.get.distinctBy(_._1)
+    val df = gen.toDF("event_id", "sec", "user_id", "value")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .select("event_id", "ts", "user_id", "value")
+    val kept = EventOps.latestPerUser(df)
+      .select(col("user_id"), col("ts").cast("long").as("sec"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+    val expected = gen.groupBy(_._3).view.mapValues(rows =>
+      rows.maxBy(r => (r._2, r._1))).toMap
+    assert(kept.length == expected.size)
+    kept.foreach { case (user, sec, id) =>
+      val e = expected(user)
+      assert((e._2, e._1) == (sec, id), s"user $user: got ($sec,$id) exp $e")
+    }
+  }
+
+  test("minhash signature agreement estimates jaccard (±0.25 @ 32 hashes)") {
+    val vocab = ('a' to 'z').map(_.toString)
+    val genDoc = Gen.listOfN(40, Gen.oneOf(vocab)).map(_.mkString(" "))
+    val pairs = Gen.listOfN(30, Gen.zip(genDoc, genDoc)).sample.get
+    val docs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2L, a), (i * 2L + 1, b))
+    }.toDF("doc_id", "text")
+    val sigs = DedupOps.minhashSignatures(docs, numHashes = 32)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 32).map(i => r.getLong(i)).toVector).toMap
+    val sets = DedupOps.shingleRows(docs).groupBy("doc_id")
+      .agg(collect_set(col("sh")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    pairs.indices.foreach { i =>
+      val (a, b) = (i * 2L, i * 2L + 1)
+      val jac = sets(a).intersect(sets(b)).size.toDouble /
+        sets(a).union(sets(b)).size
+      val est = sigs(a).zip(sigs(b)).count(p => p._1 == p._2) / 32.0
+      assert(math.abs(jac - est) <= 0.25,
+        f"pair $i: jaccard=$jac%.3f minhash-est=$est%.3f")
+    }
+  }
+
+  test("scalacheck: keywordRegex matches iff some keyword is a substring") {
+    val word = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
+    val prop = Prop.forAll(Gen.listOfN(3, word), word) { (kws, text) =>
+      kws.nonEmpty ==> {
+        val re = ops.DocOps.keywordRegex(kws)
+        val expected = kws.exists(k => text.contains(k))
+        text.matches(s".*$re.*") == expected
+      }
+    }
+    check(prop)
+  }
+}
