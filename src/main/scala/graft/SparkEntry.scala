@@ -60,6 +60,7 @@ object SparkEntry {
     "quality_by_lang" -> ((s, d) => DocOps.qualityByLang(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "language_id" -> ((s, d) => DocOps.languageId(documents(s, d))),
+    "clean_corpus" -> ((s, d) => DocOps.cleanCorpus(documents(s, d), 100, 0.5)),
     // ---- joins / set ops (reference gap, SURVEY §2.3) ----
     "revenue_by_mktsegment" -> ((s, d) =>
       JoinOps.revenueByMktSegment(lineitem(s, d), orders(s, d), customer(s, d))),
@@ -251,6 +252,13 @@ object SparkEntry {
     "doc_fingerprints" ->
       ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents"),
+    "clean_corpus" ->
+      ("WITH q AS (SELECT * FROM documents WHERE length(text) >= 100 AND " +
+        "length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text) >= 0.5), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY " +
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) " +
+        "ORDER BY doc_id ASC) AS rn FROM q) " +
+        "SELECT doc_id, text, lang, source, n_chars FROM r WHERE rn = 1"),
     "revenue_by_mktsegment" ->
       ("SELECT c_mktsegment, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, " +
         "count(*) AS n_lines FROM lineitem " +

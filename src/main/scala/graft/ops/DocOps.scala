@@ -130,6 +130,28 @@ object DocOps {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** The composite corpus-cleaning pass a training-data pipeline runs
+    * before tokenization: length + alphabetic-ratio quality gates, then
+    * exact near-layout dedup keeping the smallest doc_id per normalized
+    * fingerprint. One scan + one hash shuffle on the 16-byte
+    * fingerprint — the cheapest correct formulation at any scale; chain
+    * [[graft.ops.DedupOps.minhashNearDups]] after it for fuzzy dedup. */
+  def cleanCorpus(docs: DataFrame, minChars: Int = 100,
+      minAlphaRatio: Double = 0.5): DataFrame = {
+    val quality = docs
+      .filter(length(col("text")) >= minChars)
+      .filter(
+        length(regexp_replace(col("text"), "[^A-Za-z ]", "")).cast("double") /
+          length(col("text")) >= minAlphaRatio)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprint(col("text")))
+      .orderBy(col("doc_id").asc)
+    quality
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   /** Stopword-ratio language scorer (n-gram/stopword heuristic
     * language-ID): counts hits of per-language function-word regexes and
     * picks the argmax language. Deterministic, pure expressions; the
