@@ -105,6 +105,9 @@ object SparkEntry {
     "knn_brute" -> ((s, d) => VectorOps.knnBrute(embeddings(s, d), 0, 10)),
     "knn_lsh" -> ((s, d) => VectorOps.knnLsh(embeddings(s, d), 0, 10)),
     "knn_ivf" -> ((s, d) => VectorOps.knnIvf(embeddings(s, d), 0, 10)),
+    "knn_all_brute" -> ((s, d) => VectorOps.knnAllBrute(embeddings(s, d), 5)),
+    "knn_all_lsh" -> ((s, d) => VectorOps.knnAllLsh(embeddings(s, d), 5)),
+    "table_profile_events" -> ((s, d) => ProfileOps.profile(events(s, d))),
     "cosine_near_dups" -> ((s, d) => VectorOps.cosineNearDups(embeddings(s, d), 0.9)),
     "label_centroids" -> ((s, d) => VectorOps.labelCentroids(embeddings(s, d))),
     // ---- multimodal plumbing (north star) ----
@@ -370,6 +373,21 @@ object SparkEntry {
         "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
         "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),
+    "table_profile_events" ->
+      (Seq(
+        ("event_id", "bigint", true), ("ts", "timestamp", false),
+        ("user_id", "bigint", true), ("event_type", "string", false),
+        ("value", "double", true), ("props", "string", false),
+      ).map { case (c, t, num) =>
+        val mean = if (num) s"round(avg(CAST($c AS DOUBLE)), 4)"
+          else "CAST(NULL AS DOUBLE)"
+        s"SELECT count(*) AS n_rows, '$c' AS col_name, '$t' AS dtype, " +
+          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+          s"count(DISTINCT $c) AS n_distinct, " +
+          s"CAST(min($c) AS VARCHAR) AS min_value, " +
+          s"CAST(max($c) AS VARCHAR) AS max_value, " +
+          s"$mean AS mean FROM events"
+      }.mkString(" UNION ALL ")),
     "knn_brute" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
         "s AS (SELECT e.vec_id, e.label, " +

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Schema-driven data profiling — the "what's in this table" pass run
+  * before designing a pipeline over an unknown 100 TB input. One
+  * aggregation job regardless of column count: every per-column
+  * statistic is an aggregate expression over the same scan, emitted as
+  * one row per column via an explode of a struct array (no per-column
+  * jobs, no driver loops over data).
+  */
+object ProfileOps {
+
+  /** One row per column: (n_rows, col_name, dtype, n_nulls, n_distinct,
+    * min_value, max_value, mean) — min/max rendered as strings so the
+    * profile has a fixed schema for any input table; `mean` is null for
+    * non-numeric columns. */
+  def profile(df: DataFrame): DataFrame = {
+    val perCol = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val isNumeric = f.dataType match {
+        case _: NumericType => true
+        case _ => false
+      }
+      struct(
+        lit(f.name).as("col_name"),
+        lit(f.dataType.simpleString).as("dtype"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(c).as("n_distinct"),
+        min(c).cast("string").as("min_value"),
+        max(c).cast("string").as("max_value"),
+        (if (isNumeric) round(avg(c.cast("double")), 4)
+         else lit(null).cast("double")).as("mean")).as(s"p_${f.name}")
+    }
+    val aggs = count(lit(1)).as("n_rows") +: perCol
+    df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      .select(col("n_rows"),
+        explode(array(df.schema.fields.map(f =>
+          col(s"p_${f.name}")): _*)).as("c"))
+      .select(col("n_rows"), col("c.*"))
+  }
+}

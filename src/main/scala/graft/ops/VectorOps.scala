@@ -167,6 +167,48 @@ object VectorOps {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Batch KNN, exact: top-k cosine neighbors for EVERY vector — the
+    * O(n²) baseline (broadcast nested-loop pairs scored by the fused
+    * codegen'd cosine, then the native per-group top-k bounds each
+    * group to k before any exchange). Correct at any scale but
+    * quadratic — [[knnAllLsh]] is the scale path. */
+  def knnAllBrute(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("a_id"), col("embedding").as("va"))
+    val b = embeddings.select(col("vec_id").as("b_id"), col("embedding").as("vb"))
+    val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosineFused(col("va"), col("vb")), 4).as("cos_sim"))
+    graft.plans.TopK.perGroup(scored, Seq(col("a_id")),
+      Seq(col("cos_sim").desc, col("b_id").asc), k)
+  }
+
+  /** Batch ANN: each vector probes its own bucket plus every
+    * 1-bit-flipped bucket (multi-probe), EXPLODED so the candidate join
+    * is an equi-join on the bucket key — a hash shuffle with Σ bucket²
+    * cost, never the n² nested loop a Hamming-distance predicate would
+    * plan. Candidates are deduped, rescored exactly with the fused
+    * cosine, and bounded per vector by the native top-k. */
+  def knnAllLsh(embeddings: DataFrame, k: Int = 5, planes: Int = 8): DataFrame = {
+    val coded = embeddings
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), planes).as("bucket"))
+    val probeBuckets = array(
+      col("bucket") +: (0 until planes).map(p =>
+        col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val probes = coded.select(col("vec_id").as("a_id"),
+      col("embedding").as("va"), explode(probeBuckets).as("probe"))
+    val pairs = probes
+      .join(coded.select(col("vec_id").as("b_id"),
+        col("embedding").as("vb"), col("bucket")),
+        col("probe") === col("bucket") && col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id", "va", "vb")
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(cosineFused(col("va"), col("vb")), 4).as("cos_sim"))
+    graft.plans.TopK.perGroup(pairs, Seq(col("a_id")),
+      Seq(col("cos_sim").desc, col("b_id").asc), k)
+  }
+
   /** Per-label centroid of embeddings — aggregate over vector columns
     * via elementwise array aggregation (posexplode → per-dimension avg
     * → re-assemble). Shuffles (label, dim) pairs, never whole vectors

@@ -43,7 +43,8 @@ def main(sf_dir, out_dir):
         got_rel = con.sql(f"SELECT * FROM '{path}/*.parquet'")
         got_cols = sorted(got_rel.columns)
         got = norm(con.sql(
-            f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall())
+            "SELECT " + ", ".join(f'"{c}"' for c in got_cols) +
+            " FROM got_rel").fetchall())
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(got)} rows)")
             n_skip += 1
@@ -56,7 +57,8 @@ def main(sf_dir, out_dir):
             continue
         exp_cols = sorted(exp_rel.columns)
         exp = norm(con.sql(
-            f"SELECT {', '.join(exp_cols)} FROM exp_rel").fetchall())
+            "SELECT " + ", ".join(f'"{c}"' for c in exp_cols) +
+            " FROM exp_rel").fetchall())
         if got_cols != exp_cols:
             print(f"FAIL {name}: columns {got_cols} vs {exp_cols}")
             n_fail += 1
