@@ -77,6 +77,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.headOption.contains(1L), s"got $got")
   }
 
+  test("knnAllBrute returns each vector's true top-k") {
+    val got = VectorOps.knnAllBrute(vecs, k = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // vec 0 = (1,0,0): nearest are 1 (0.995) and 4 (0.96)
+    assert(got(0L) == Set(1L, 4L), s"got ${got(0L)}")
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(got.values.forall(_.size == 2))
+  }
+
+  test("knnAllLsh finds planted neighbors for every query point") {
+    val rnd = new scala.util.Random(23)
+    def randVec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 20L).flatMap { i =>
+      val v = randVec()
+      val twin = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i * 2, v, 0), (i * 2 + 1, twin, 0))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = VectorOps.knnAllLsh(df, k = 1, planes = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toMap
+    val found = (0L until 20L).count { i =>
+      got.get(i * 2).contains(i * 2 + 1) && got.get(i * 2 + 1).contains(i * 2)
+    }
+    assert(found >= 18, s"only $found/20 twins found: $got")
+  }
+
   test("ivfAssign gives every vector exactly one list") {
     val emb = Tables.embeddings(spark, sf0)
     val assigned = VectorOps.ivfAssign(emb, nlist = 8)
