@@ -109,6 +109,25 @@ object StreamJob {
   def parquetAppender(baseDir: String): Appender =
     (table, df) => df.write.mode("append").parquet(s"$baseDir/$table")
 
+  /** Stream-stream inner join with watermarks and a time-range bound —
+    * the remaining Structured Streaming category (the reference joins
+    * nothing, SURVEY.md §2.3). Both sides carry watermarks so the state
+    * store can evict rows once the range condition can no longer match;
+    * without the bound the join state would grow forever. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      watermark: String = "10 minutes",
+      within: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+        l(key) === r(key) &&
+          r(rightTs) >= l(leftTs) &&
+          r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions
+            .expr(s"INTERVAL $within"))
+      .drop(r(key)) // keep one unambiguous copy of the join key
+  }
+
   /** The idiomatic Spark-native alternative the reference lacks
     * (SURVEY.md §2.8): true streaming windowed aggregation with a
     * watermark — one row per window in update mode, late data beyond

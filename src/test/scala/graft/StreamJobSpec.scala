@@ -82,6 +82,33 @@ class StreamJobSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join matches rows within the time bound only") {
+    val clicks = MemoryStream[(Long, String)](spark)
+    val views = MemoryStream[(Long, String)](spark)
+    def ts(s: String) = s"2025-10-03 $s"
+    val l = clicks.toDF().toDF("user", "t")
+      .withColumn("click_ts", col("t").cast("timestamp")).drop("t")
+    val r = views.toDF().toDF("user", "t")
+      .withColumn("view_ts", col("t").cast("timestamp")).drop("t")
+      .withColumnRenamed("user", "vuser")
+    val joined = graft.streaming.StreamJob.streamStreamJoin(
+      l.withColumnRenamed("user", "juser"),
+      r.withColumnRenamed("vuser", "juser"),
+      "juser", "click_ts", "view_ts")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_join").start()
+    try {
+      clicks.addData((1L, ts("10:00:00")), (2L, ts("10:00:00")))
+      views.addData(
+        (1L, ts("10:02:00")),  // within 5 min of user 1's click → match
+        (2L, ts("10:30:00")),  // far outside the range → no match
+        (3L, ts("10:01:00")))  // no matching click
+      q.processAllAvailable()
+      val got = spark.table("ss_join").select("juser").as[Long].collect().toSeq
+      assert(got == Seq(1L), s"got $got")
+    } finally q.stop()
+  }
+
   test("batchOutputs drops null-text rows (P7 validity)") {
     val df = Seq(
       ("leo", Some("hello"), "2025-10-03 10:00:00"),
