@@ -76,6 +76,11 @@ object SparkEntry {
       JoinOps.supplierPartRevenue(lineitem(s, d), supplier(s, d), part(s, d))),
     "top_orders_per_customer" -> ((s, d) =>
       JoinOps.topOrdersPerCustomer(orders(s, d), 3)),
+    "tpch_q3" -> ((s, d) =>
+      JoinOps.tpchQ3(lineitem(s, d), orders(s, d), customer(s, d))),
+    "tpch_q5" -> ((s, d) => JoinOps.tpchQ5(s, d)),
+    "top_bigrams_by_lang" -> ((s, d) =>
+      DocOps.topBigramsByLang(documents(s, d), 5)),
     "top_orders_native" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       plans.TopK.perGroup(orders(s, d), Seq(col("o_custkey")),
@@ -296,6 +301,32 @@ object SparkEntry {
         "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +
         "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn " +
         "FROM orders) WHERE rn <= 3"),
+    "tpch_q3" ->
+      ("SELECT l_orderkey, o_orderdate, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "tpch_q5" ->
+      ("SELECT n_name, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "top_bigrams_by_lang" ->
+      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 1), " +
+        "i -> t[i+1] || ' ' || t[i+2])) AS sh FROM toks WHERE len(t) >= 2), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS bigram FROM sets), " +
+        "c AS (SELECT lang, bigram, count(*) AS cnt FROM inv " +
+        "JOIN documents USING (doc_id) GROUP BY 1, 2) " +
+        "SELECT lang, bigram, cnt FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY lang ORDER BY cnt DESC, bigram ASC) AS rn FROM c) " +
+        "WHERE rn <= 5"),
     "top_orders_native" ->
       ("SELECT o_custkey, o_orderkey, o_totalprice FROM (" +
         "SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (" +

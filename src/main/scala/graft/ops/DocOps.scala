@@ -130,6 +130,19 @@ object DocOps {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Top word-bigrams per language — n-gram frequency analysis built on
+    * the shared shingle machinery (k=2) joined back to the language
+    * column; per-language top-5 via the native top-k operator. */
+  def topBigramsByLang(docs: DataFrame, k: Int = 5): DataFrame = {
+    val counts = DedupOps
+      .shingleRows(docs.select(col("doc_id"), col("text")), 2)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"), col("sh").as("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.plans.TopK.perGroup(counts, Seq(col("lang")),
+      Seq(col("cnt").desc, col("bigram").asc), k)
+  }
+
   /** The composite corpus-cleaning pass a training-data pipeline runs
     * before tokenization: length + alphabetic-ratio quality gates, then
     * exact near-layout dedup keeping the smallest doc_id per normalized

@@ -87,6 +87,41 @@ object JoinOps {
       .agg(Num.sumRound(Num.dec2(col("l_extendedprice")) *
         Num.oneMinus(col("l_discount")), 2).as("revenue"))
 
+  /** TPC-H Q3 (shipping priority) adapted to the driver schema: the
+    * composite filter→join→aggregate→ordered-limit shape. Dims
+    * broadcast, one fact shuffle, TakeOrderedAndProject top-10. */
+  def tpchQ3(li: DataFrame, orders: DataFrame, customer: DataFrame,
+      segment: String = "BUILDING", cutoff: String = "1998-01-01"): DataFrame =
+    li.filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .join(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(Num.sumRound(Num.dec2(col("l_extendedprice")) *
+        Num.oneMinus(col("l_discount")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  /** TPC-H Q5 (local supplier volume) adapted: revenue per nation where
+    * the supplier and the ordering customer share a nation — the
+    * five-way join with a cross-table equality predicate. */
+  def tpchQ5(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val n = Tables.nation(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+        sup("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(Num.sumRound(Num.dec2(col("l_extendedprice")) *
+        Num.oneMinus(col("l_discount")), 2).as("revenue"))
+  }
+
   /** Top-N orders per customer by total price — per-group top-k via
     * row_number (W2 pattern at join scale). Deterministic tie-break on
     * the order key. */
