@@ -98,6 +98,7 @@ object SparkEntry {
     "customer_name_funcs" -> ((s, d) => AggOps.customerNameFuncs(customer(s, d))),
     "top_orders_by_price" -> ((s, d) => AggOps.topOrdersByPrice(orders(s, d), 10)),
     "monthly_order_stats" -> ((s, d) => AggOps.monthlyOrderStats(orders(s, d))),
+    "global_order_stats" -> ((s, d) => AggOps.globalOrderStats(orders(s, d))),
     // ---- dedup (north star) ----
     "exact_dup_groups" -> ((s, d) => DedupOps.exactDupGroups(documents(s, d))),
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
@@ -118,8 +119,17 @@ object SparkEntry {
     // ---- multimodal plumbing (north star) ----
     "media_byte_stats" -> ((s, d) => multimodal.Multimodal.byteStatsByKind(
       multimodal.Multimodal.syntheticMedia(documents(s, d)))),
-    "media_features" -> ((s, d) => multimodal.Multimodal.extractFeatures(
-      multimodal.Multimodal.mediaDataset(s, documents(s, d))).toDF()),
+    "media_features" -> ((s, d) => {
+      // flattened to one scalar column per feature slot — array output
+      // columns crash the driver's pandas row-sort
+      import org.apache.spark.sql.functions.col
+      val feats = multimodal.Multimodal.extractFeatures(
+        multimodal.Multimodal.mediaDataset(s, documents(s, d))).toDF()
+      val slots = (0 until 8).map(i =>
+        col("feature").getItem(i).cast("double").as(s"f$i"))
+      feats.select(Seq(col("media_id"), col("kind"), col("n_bytes"),
+        col("mean_sample").cast("double").as("mean_sample")) ++ slots: _*)
+    }),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -134,8 +144,8 @@ object SparkEntry {
     "daily_type_counts" ->
       "SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS cnt FROM events GROUP BY 1, 2",
     "avg_value_by_user" ->
-      ("SELECT user_id, round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) " +
-        "/ count(*), 4) AS avg_value FROM events GROUP BY user_id"),
+      (s"SELECT user_id, ${Num.avgSql("value", "avg_value")} " +
+        "FROM events GROUP BY user_id"),
     "minute_window_counts" ->
       ("SELECT date_trunc('minute', ts) AS window_start, " +
         "date_trunc('minute', ts) + INTERVAL 1 MINUTE AS window_end, " +
@@ -338,9 +348,9 @@ object SparkEntry {
         "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price, " +
         "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price, " +
         "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge, " +
-        "round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_qty, " +
-        "round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price, " +
-        "round(CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_disc, " +
+        Num.avgSql("l_quantity", "avg_qty") + ", " +
+        Num.avgSql("l_extendedprice", "avg_price") + ", " +
+        Num.avgSql("l_discount", "avg_disc") + ", " +
         "count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus"),
@@ -383,7 +393,7 @@ object SparkEntry {
     "monthly_order_stats" ->
       ("SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, " +
         "count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price, " +
-        "round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS avg_price FROM orders GROUP BY 1"),
+        Num.avgSql("o_totalprice", "avg_price") + " FROM orders GROUP BY 1"),
     "exact_dup_groups" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY 1 HAVING count(*) > 1"),
@@ -429,5 +439,49 @@ object SparkEntry {
         "FROM embeddings e, q WHERE e.vec_id <> 0) " +
         "SELECT vec_id, label, round(dp / (na * nb), 4) AS cos_sim FROM s " +
         "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"),
+    "knn_all_brute" ->
+      ("WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id) " +
+        "SELECT a_id, b_id, cos_sim FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn FROM s) " +
+        "WHERE rn <= 5"),
+    "label_centroids" ->
+      ("WITH x AS (SELECT label, unnest(list_transform(range(len(embedding)), " +
+        "i -> {'d': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS s FROM embeddings) " +
+        "SELECT label, CAST(s.d AS INTEGER) AS dim, round(avg(s.v), 4) AS mean_x " +
+        "FROM x GROUP BY 1, 2"),
+    "language_id" -> languageIdSql,
+    "approx_value_percentiles" ->
+      ("SELECT event_type, " +
+        "quantile_disc(value, 0.5) AS approx_p50, " +
+        "quantile_disc(value, 0.9) AS approx_p90, " +
+        "quantile_disc(value, 0.99) AS approx_p99 " +
+        "FROM events GROUP BY event_type"),
+    "global_order_stats" ->
+      ("SELECT max(o_totalprice) AS max_price, min(o_totalprice) AS min_price, " +
+        "count(*) AS n_orders FROM orders"),
   )
+
+  /** DuckDB mirror of [[graft.ops.DocOps.languageId]]: same stopword
+    * regex counts, same first-max-wins argmax (struct sort on
+    * (-score, lang) — ascending struct order = score desc, lang asc —
+    * matches the fold over alphabetically-sorted languages). */
+  private def languageIdSql: String = {
+    val langs = graft.ops.DocOps.stopwordPatterns.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val pat = graft.ops.DocOps.stopwordPatterns(l).replace("'", "''")
+      s"len(regexp_extract_all(lower(text), '$pat')) AS s_$l"
+    }.mkString(", ")
+    val structs = langs
+      .map(l => s"{'s': -s_$l, 'l': '$l'}").mkString("[", ", ", "]")
+    val greatest = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    s"WITH s AS (SELECT doc_id, text, lang, source, n_chars, $scores FROM documents) " +
+      s"SELECT doc_id, text, lang, source, n_chars, " +
+      s"CASE WHEN $greatest = 0 THEN 'und' " +
+      s"ELSE (list_sort($structs))[1].l END AS pred_lang FROM s"
+  }
 }

@@ -38,6 +38,13 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  /** Always nullable: zero-norm inputs yield null even when both
+    * children are non-nullable. Without this override the generated
+    * code assigns `isNull = true` into a slot codegen may have
+    * constant-folded to false — a compile failure that silently falls
+    * back to the interpreted path. */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_cosine"
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -52,19 +52,16 @@ object AggOps {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .limit(k)
 
-  /** Explicit GROUPING SETS (only reachable through SQL in Spark) —
-    * subtotal rows per flag, per status, and the grand total. */
-  def groupingSetsQty(li: DataFrame): DataFrame = {
-    val s = li.sparkSession
-    li.createOrReplaceTempView("li_gs")
-    s.sql(
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
-        |  count(*) AS n_lines
-        |FROM li_gs
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |""".stripMargin)
-  }
+  /** Explicit GROUPING SETS — subtotal rows per flag, per status, and
+    * the grand total, via the Spark 4 `Dataset.groupingSets` API (no
+    * session-state mutation: the old SQL route needed a temp view). */
+  def groupingSetsQty(li: DataFrame): DataFrame =
+    li.groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        Num.sumRound(Num.dec2(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
 
   /** Pearson correlation + sample stddev per event type, computed from
     * EXACT decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) so both engines do
@@ -93,13 +90,21 @@ object AggOps {
             (col("n") * (col("n") - 1)).cast("double")), 4).as("stddev_v"))
   }
 
-  /** Approximate percentiles (t-digest family) — the 100 TB variant of
-    * exact percentile; not oracle-comparable (different sketch). */
+  /** Approximate percentiles (GK sketch) — the 100 TB variant of exact
+    * percentile. Flattened to one scalar column per quantile (array
+    * output columns crash the driver's pandas row-sort). At accuracy
+    * 10000 over the test SFs the sketch is exact, so rank-based
+    * `quantile_disc` oracles it; at scale it degrades gracefully to
+    * ±1/accuracy rank error with bounded memory. */
   def approxValuePercentiles(events: DataFrame): DataFrame =
     events
       .groupBy("event_type")
       .agg(approx_percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
-        lit(10000)).as("approx_p"))
+        lit(10000)).as("p"))
+      .select(col("event_type"),
+        col("p").getItem(0).as("approx_p50"),
+        col("p").getItem(1).as("approx_p90"),
+        col("p").getItem(2).as("approx_p99"))
 
   /** Scalar string-function battery over customer names — F-category
     * coverage in one oracle-checkable projection. */
@@ -112,6 +117,15 @@ object AggOps {
       concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
       length(col("c_name")).cast("long").as("name_len"),
       regexp_replace(col("c_name"), "0+", "0").as("squeezed"))
+
+  /** Bare global aggregate, no grouping (A6, `Demo.ipynb` cell 1's
+    * `agg(max(...))`): one output row; partial aggregation collapses
+    * each partition to a single row before the 1-row exchange. */
+  def globalOrderStats(orders: DataFrame): DataFrame =
+    orders.agg(
+      max(col("o_totalprice")).as("max_price"),
+      min(col("o_totalprice")).as("min_price"),
+      count(lit(1)).as("n_orders"))
 
   /** Per-month order stats — date_trunc bucketing on the fact table. */
   def monthlyOrderStats(orders: DataFrame): DataFrame =

@@ -270,20 +270,30 @@ object EventOps {
   }
 
   /** Time-range self-join: pairs of same-user events within `windowSec`
-    * of each other. The user_id equi-key keeps this a hash join with a
-    * range residual (never a cartesian); at scale add time-bucketing on
-    * both sides to bound the per-key fan-out. */
+    * of each other, as a TIME-BUCKETED equi-join: each row gets a
+    * `windowSec`-wide epoch bucket; the left side probes its own bucket
+    * and the next one (a forward window of `windowSec` can only land in
+    * those two), so the join key is (user_id, bucket) and the per-key
+    * fan-out is bounded by two buckets of one user's events — a skewed
+    * user is no longer quadratic in their full history. Each qualifying
+    * pair matches exactly one probe bucket, so no dedup is needed. The
+    * range + id predicates remain as post-join filters. */
   def rangeJoinPairs(events: DataFrame, windowSec: Int = 60): DataFrame = {
-    val a = events.select(col("event_id").as("a_id"),
-      col("user_id"), col("ts").as("a_ts"))
-    val b = events.select(col("event_id").as("b_id"),
-      col("user_id"), col("ts").as("b_ts"))
-    a.join(b,
-        a("user_id") === b("user_id") &&
-          col("b_ts") >= col("a_ts") &&
+    val base = events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      floor(unix_timestamp(col("ts")) / lit(windowSec)).cast("long").as("tb"))
+    val probes = base.select(
+      col("event_id").as("a_id"), col("user_id"), col("ts").as("a_ts"),
+      explode(array(col("tb"), col("tb") + 1)).as("tb"))
+    val build = base.select(
+      col("event_id").as("b_id"), col("user_id"), col("ts").as("b_ts"),
+      col("tb"))
+    probes.join(build, Seq("user_id", "tb"))
+      .filter(
+        col("b_ts") >= col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $windowSec SECONDS") &&
           col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), a("user_id"))
+      .select(col("a_id"), col("b_id"), col("user_id"))
   }
 
   /** Per-user session stats built on [[sessionize]]. */

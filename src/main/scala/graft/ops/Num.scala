@@ -31,9 +31,42 @@ object Num {
   def sumRound(c: Column, scale: Int): Column =
     round(sum(c), scale).cast("double")
 
-  /** Exact-decimal average: exact sum → double → divide by count →
-    * round. The double quotient is a single IEEE op on identical
-    * operands in both engines, hence deterministic. */
-  def avgRound(c: Column, scale: Int = 4): Column =
-    round(sum(dec2(c)).cast("double") / count(lit(1)), scale)
+  /** Exact-decimal average rounded HALF_UP at `scale`, computed
+    * entirely in integer space: the exact decimal sum is scaled to
+    * 10^-scale units (a long), and `(2·num + n) div (2·n)` is the
+    * half-up-rounded quotient — no floating point until the final
+    * exact `long / 10^scale` division, which is a single correctly-
+    * rounded IEEE op on identical operands in both engines.
+    *
+    * Why not `round(sumDouble / n, scale)`? Spark rounds the double
+    * quotient half-up over its full binary expansion while DuckDB
+    * scales-and-nearbyints — on a .…5-boundary quotient they land on
+    * opposite sides (observed on `monthly_order_stats`). Integer
+    * arithmetic is identical everywhere. Requires a nonnegative sum
+    * (true for every engine money/value column) and `scale >= 2`
+    * (inputs carry ≤2 decimals). Mirror with `avgSql` on the oracle
+    * side. */
+  def avgRound(c: Column, scale: Int = 4): Column = {
+    require(scale >= 2, s"avgRound scale must be >= 2, got $scale")
+    val pow = math.round(math.pow(10, scale - 2.0))
+    val num = (sum(dec2(c)) * lit(100)).cast("long") * lit(pow)
+    val n = count(lit(1))
+    intDiv(num * lit(2L) + n, n * lit(2L)).cast("double") /
+      lit(math.pow(10, scale.toDouble))
+  }
+
+  /** The DuckDB mirror of [[avgRound]] (scale 4): same integer
+    * arithmetic, `//` = BIGINT division. */
+  def avgSql(sqlExpr: String, alias: String): String =
+    s"CAST((2 * CAST(sum(CAST($sqlExpr AS DECIMAL(12,2))) * 100 AS BIGINT) * 100" +
+      s" + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS $alias"
+
+  /** Exact long division (`a div b`) — Spark's `/` on integral columns
+    * promotes to double, which loses exactness past 2^53. */
+  private def intDiv(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+    import org.apache.spark.sql.graft.ColumnShim
+    ColumnShim.column(new IntegralDivide(
+      ColumnShim.expression(a), ColumnShim.expression(b)))
+  }
 }

