@@ -49,42 +49,91 @@ case class TopKPerGroupExec(
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(grouping) :: Nil
 
+  /** The FINAL phase streams over (group, order)-sorted input, so it
+    * needs O(k) memory regardless of group count — the planner inserts
+    * a SPILLABLE SortExec to satisfy this, which is what makes the
+    * operator safe on high-cardinality groupings (a per-partition map
+    * of heaps over millions of groups would OOM where the sort
+    * spills). The partial phase stays heap-based and unordered. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(grouping.map(SortOrder(_, Ascending)) ++ order)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else grouping.map(SortOrder(_, Ascending)) ++ order
+
   override protected def doExecute(): RDD[InternalRow] = {
     val groupingExprs = grouping
     val sortOrder = order
     val limit = k
     val childOutput = child.output
-    child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
-      val ord: Ordering[InternalRow] =
-        org.apache.spark.sql.catalyst.expressions.RowOrdering
-          .create(sortOrder, childOutput)
-      // max-heap of the k best-so-far rows per group: head = the WORST
-      // kept row; a new row replaces it iff it sorts strictly before.
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElse(key, null) match {
-          case null =>
-            val h = mutable.PriorityQueue.empty[InternalRow](ord)
-            heaps.put(key.copy(), h)
-            h
-          case h => h
+    if (partial) {
+      // Bounded-memory guard: past this many distinct groups in one
+      // input partition, new groups PASS THROUGH untrimmed (a correct
+      // superset — the final phase trims exactly) instead of growing
+      // the heap map without limit. Tracked groups keep filtering.
+      val maxGroups = conf.getConfString(
+        TopKPerGroupExec.maxGroupsKey, "65536").toInt
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
+        val ord: Ordering[InternalRow] =
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .create(sortOrder, childOutput)
+        // max-heap of the k best-so-far rows per group: head = the WORST
+        // kept row; a new row replaces it iff it sorts strictly before.
+        val heaps =
+          mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+        val passedThrough = iter.filter { row =>
+          heaps.getOrElse(keyProj(row), null) match {
+            case null =>
+              if (heaps.size >= maxGroups) true // untracked: emit as-is
+              else {
+                val h = mutable.PriorityQueue.empty[InternalRow](ord)
+                h.enqueue(row.copy())
+                heaps.put(keyProj(row).copy(), h)
+                false
+              }
+            case heap =>
+              if (heap.size < limit) heap.enqueue(row.copy())
+              else if (ord.compare(row, heap.head) < 0) {
+                heap.dequeue()
+                heap.enqueue(row.copy())
+              }
+              false
+          }
         }
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+        // ++ is by-name: heaps drain only after the input is exhausted
+        passedThrough ++ heaps.iterator.flatMap { case (_, heap) =>
+          heap.dequeueAll.reverseIterator // rank order within the group
         }
-      }
-      heaps.iterator.flatMap { case (_, heap) =>
-        heap.dequeueAll.reverseIterator // rank order within the group
-      }
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    } else {
+      // Sorted streaming: input arrives (group, order)-sorted, so the
+      // first k rows of each group run ARE its top-k.
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
+        var currentKey: UnsafeRow = null
+        var emitted = 0
+        iter.filter { row =>
+          val key = keyProj(row)
+          if (currentKey == null || currentKey != key) {
+            currentKey = key.copy()
+            emitted = 0
+          }
+          emitted += 1
+          emitted <= limit
+        }
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =
     copy(child = c)
+}
+
+object TopKPerGroupExec {
+  /** Partial-phase heap-map cap (groups per input partition). */
+  val maxGroupsKey = "spark.graft.topk.maxGroupsPerPartition"
 }
 
 /** Planner strategy: partial (pre-shuffle) + final (post-shuffle)

@@ -76,6 +76,20 @@ class CosineSimSpec extends SparkSpec {
     assert(one == 1.0)
   }
 
+  test("zero-norm null survives NON-nullable children under codegen") {
+    // array(lit…) children are non-nullable; without the nullable=true
+    // override the expression declared itself non-nullable while the
+    // generated code assigns isNull = true on the zero-norm path — a
+    // codegen compile failure that silently falls back to interpreted.
+    val df = spark.range(2).select(
+      array(lit(0f), lit(0f)).as("a"),
+      array((col("id") + 1).cast("float"), lit(2f)).as("b"))
+    assert(!df.schema("a").nullable && !df.schema("b").nullable)
+    val out = df.select(CosineSim.cosineFused(col("a"), col("b")).as("c"))
+    assert(out.schema("c").nullable, "graft_cosine must declare nullable")
+    assert(out.collect().forall(_.isNullAt(0)))
+  }
+
   test("participates in whole-stage codegen (no fallback)") {
     // A LocalTableScan is evaluated eagerly without codegen; use a
     // range-backed plan so a real Project stage is generated.

@@ -23,7 +23,7 @@ class TopKPerGroupSpec extends SparkSpec {
       baseline.exceptAll(native).isEmpty)
   }
 
-  test("plans two TopKPerGroupExec phases and never sorts the input") {
+  test("plans two phases; only the heap-trimmed side is ever sorted") {
     val df = TopK.perGroup(orders, Seq(col("o_custkey")),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
     val plan = df.queryExecution.executedPlan.toString
@@ -32,7 +32,31 @@ class TopKPerGroupSpec extends SparkSpec {
     assert("TopKPerGroup \\[".r.findAllIn(plan).length == 2, plan)
     assert(plan.contains(", 3, true") && plan.contains(", 3, false"), plan)
     assert(plan.contains("Exchange hashpartitioning"), plan)
-    assert(!plan.contains("Sort ["), s"unexpected sort:\n$plan")
+    // exactly ONE sort, and it sits ABOVE the exchange (plan prints
+    // top-down): the spillable streaming sort of the ≤ k·groups rows
+    // the partial phase kept — the raw input is never sorted.
+    assert("Sort \\[".r.findAllIn(plan).length == 1, plan)
+    assert(plan.indexOf("Sort [") < plan.indexOf("Exchange hashpartitioning"),
+      s"sort must be post-exchange (above it in the printed plan):\n$plan")
+  }
+
+  test("partial heap cap: overflow groups pass through, result exact") {
+    // Cap the partial phase's heap map at 2 groups per partition — with
+    // 50 groups, most rows pass through untrimmed and the sorted final
+    // phase must still produce exactly the window-baseline answer.
+    spark.conf.set(plans.TopKPerGroupExec.maxGroupsKey, "2")
+    try {
+      val df = (1 to 50)
+        .flatMap(g => (1 to 5).map(i => (g.toLong, (g * 10 + i).toDouble)))
+        .toDF("g", "v")
+        .repartition(3)
+      val got = TopK.perGroup(df, Seq(col("g")), Seq(col("v").asc), 2)
+        .as[(Long, Double)].collect().toSet
+      val want = (1 to 50)
+        .flatMap(g => Seq((g.toLong, (g * 10 + 1).toDouble),
+          (g.toLong, (g * 10 + 2).toDouble))).toSet
+      assert(got == want)
+    } finally spark.conf.unset(plans.TopKPerGroupExec.maxGroupsKey)
   }
 
   test("groups smaller than k pass through whole") {
