@@ -10,11 +10,20 @@ import org.apache.spark.sql.SparkSession
   * end-to-end execution (scan → transform → row production) with no
   * output I/O. `count()` would let Catalyst prune every projection and
   * under-measure expression-heavy queries.
+  *
+  * Methodology (stability over single-shot): each query gets its own
+  * warm-up run (JIT + codegen cache + shuffle-file page cache for ITS
+  * plan), then `SPARK_GRAFT_REPS` (default 3) timed runs, and the
+  * reported number is the MEDIAN — first-run JIT and GC outliers no
+  * longer swing round-over-round comparisons 2×. A query that throws
+  * is recorded in `"failed"` with its error, NOT silently timed as a
+  * fast no-op; total covers the successful medians only.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       // native functions + TopKPerGroup strategy + row_number rewrite
       .withExtensions(new graft.functions.GraftExtensions)
@@ -26,24 +35,46 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/codegen warm-up on the smallest SF so per-query timings
-    // measure the plan, not first-run JIT + classloading.
-    SparkEntry.queries.get("pricing_summary").foreach { fn =>
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Double = {
+      val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        runOnce(fn) // per-query warm-up: JIT + codegen for THIS plan
+        val runs = Seq.fill(math.max(1, reps))(runOnce(fn)).sorted
+        timings(name) = runs(runs.length / 2) // median
+      } catch {
+        case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+      }
     }
-    val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = timings
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val fs = failed
+      .map { case (k, v) => jstr(k) + ":" + jstr(v) }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps,"sf":${jstr(sfDir)}}""")
+    if (failed.nonEmpty) {
+      failed.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
+    }
     spark.stop()
   }
 }
