@@ -29,8 +29,9 @@ object BatchJobs {
   }
 
   /** JDBC-backed store — the reference's actual sink
-    * (`src/batch_analytics.py:26-52`). Unexercised in this container
-    * (no database), kept for API parity. */
+    * (`src/batch_analytics.py:26-52`). Exercised end-to-end against
+    * embedded Derby in JdbcStoreSpec (append, overwrite, read-back,
+    * and the stage-3 seven-table fan-out). */
   final class JdbcStore(spark: org.apache.spark.sql.SparkSession,
       url: String, props: java.util.Properties) extends TableStore {
     def read(table: String): DataFrame = spark.read.jdbc(url, table, props)

@@ -22,6 +22,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(p: Int,
+            org.apache.spark.sql.types.IntegerType) => LshBucket(exprs(0), p)
+        case other => throw new IllegalArgumentException(
+          s"graft_lsh_bucket(v, planes): planes must be an int literal, got $other")
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }

@@ -59,8 +59,17 @@ object VectorOps {
 
   /** Sign-LSH bucket code: `planes` random-hyperplane sign bits packed
     * into a long. Vectors with high cosine land in the same bucket
-    * w.h.p. (Charikar '02). */
-  def lshBucket(v: Column, planes: Int = 12): Column = {
+    * w.h.p. (Charikar '02). Delegates to the fused native expression
+    * ([[graft.functions.LshBucket]] — one codegen'd loop over a
+    * precomputed sign table); [[lshBucketHof]] is the readable
+    * bit-identical baseline it is spec-checked against. */
+  def lshBucket(v: Column, planes: Int = 12): Column =
+    graft.functions.LshBucket.lshBucketFused(v, planes)
+
+  /** The higher-order-function composition of [[lshBucket]] — one
+    * interpreted `aggregate(zip_with(...))` fold per plane. Kept as the
+    * parity baseline for the fused expression's spec. */
+  def lshBucketHof(v: Column, planes: Int = 12): Column = {
     val dv = asDouble(v)
     val withIdx = zip_with(dv, sequence(lit(0), size(dv) - 1), (x, j) =>
       struct(x.as("x"), j.as("j")))
