@@ -9,20 +9,39 @@ import graft.Tables
   * group-bys — so this module fills the category with the star-schema
   * joins its data model implies, over the driver TPC-H-ish tables.
   *
-  * Scale posture: dimension tables (region 5, nation 25, customer,
-  * supplier, part) are explicitly `broadcast()` so the fact-table scan
-  * never shuffles for them; only fact⋈fact (lineitem⋈orders) is a
-  * shuffle join, on the natural key both sides. AQE handles skew.
+  * Scale posture: constant-size dims (region 5, nation 25 rows at any
+  * SF) are unconditionally `broadcast()`; SF-proportional dims
+  * (customer, supplier, part) go through [[maybeBroadcast]] — hinted
+  * only while their stats fit `autoBroadcastJoinThreshold`, falling
+  * back to the planner's shuffle join beyond it. Only fact⋈fact
+  * (lineitem⋈orders) always shuffles, on the natural key both sides.
+  * AQE handles skew.
   */
 object JoinOps {
 
+  /** Broadcast `dim` only when its optimizer-estimated size fits the
+    * session's `autoBroadcastJoinThreshold`. A bare `broadcast()` hint
+    * is unconditional — fine for the constant-size dims (nation 25,
+    * region 5 rows at ANY scale factor) but wrong for the dims that
+    * GROW with SF (customer, supplier, part): at 100 TB a forced
+    * customer broadcast OOMs the driver where the planner would have
+    * picked a shuffle join. Parquet relations carry file-size stats, so
+    * the guard is a plan-time metadata check, not a scan. */
+  def maybeBroadcast(dim: DataFrame): DataFrame = {
+    val classicDf = dim.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    val threshold = classicDf.sparkSession.sessionState.conf
+      .autoBroadcastJoinThreshold
+    val size = classicDf.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && size <= threshold) broadcast(dim) else dim
+  }
+
   /** Revenue per market segment: lineitem ⋈ orders ⋈ customer.
-    * orders⋈customer is broadcast (customer is 1.5% of lineitem);
-    * lineitem⋈orders shuffles on the order key. */
+    * orders⋈customer is broadcast when customer fits (1.5% of
+    * lineitem); lineitem⋈orders shuffles on the order key. */
   def revenueByMktSegment(li: DataFrame, orders: DataFrame,
       customer: DataFrame): DataFrame =
     li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(maybeBroadcast(customer), orders("o_custkey") === customer("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
         Num.sumRound(Num.dec2(col("l_extendedprice")) *
@@ -39,7 +58,7 @@ object JoinOps {
     val n = Tables.nation(s, d)
     val r = Tables.region(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -81,8 +100,8 @@ object JoinOps {
     * star (li ⋈ supplier ⋈ part), both dims broadcast. */
   def supplierPartRevenue(li: DataFrame, supplier: DataFrame,
       part: DataFrame): DataFrame =
-    li.join(broadcast(supplier), li("l_suppkey") === supplier("s_suppkey"))
-      .join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    li.join(maybeBroadcast(supplier), li("l_suppkey") === supplier("s_suppkey"))
+      .join(maybeBroadcast(part), li("l_partkey") === part("p_partkey"))
       .groupBy("s_name", "p_brand")
       .agg(Num.sumRound(Num.dec2(col("l_extendedprice")) *
         Num.oneMinus(col("l_discount")), 2).as("revenue"))
@@ -95,7 +114,7 @@ object JoinOps {
     li.filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
       .join(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+      .join(maybeBroadcast(customer.filter(col("c_mktsegment") === segment)),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(Num.sumRound(Num.dec2(col("l_extendedprice")) *
@@ -113,8 +132,8 @@ object JoinOps {
     val sup = Tables.supplier(s, d)
     val n = Tables.nation(s, d)
     li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
+      .join(maybeBroadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(maybeBroadcast(sup), li("l_suppkey") === sup("s_suppkey") &&
         sup("s_nationkey") === c("c_nationkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))

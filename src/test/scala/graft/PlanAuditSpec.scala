@@ -85,4 +85,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("user_id"), plan)
   }
+
+  test("size guard: oversized dims are NOT force-broadcast") {
+    // with the threshold floored, maybeBroadcast must decline the hint
+    // and let the planner shuffle — the 100 TB posture where customer
+    // no longer fits on the driver
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      val plan = planOf(JoinOps.revenueByMktSegment(
+        Tables.lineitem(spark, sf0), Tables.orders(spark, sf0),
+        Tables.customer(spark, sf0)))
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+      spark.conf.set(key, old)
+      val planDefault = planOf(JoinOps.revenueByMktSegment(
+        Tables.lineitem(spark, sf0), Tables.orders(spark, sf0),
+        Tables.customer(spark, sf0)))
+      assert(planDefault.contains("BroadcastHashJoin"), planDefault)
+    } finally spark.conf.set(key, old)
+  }
 }
