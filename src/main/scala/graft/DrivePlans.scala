@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md: `spark.explain("formatted")` captures of the
+  * headline queries at sf0.001 with `GraftExtensions` active.
+  *
+  *   sbt "runMain graft.DrivePlans /root/testdata/sf0.001 PLANS.md"
+  */
+object DrivePlans {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("PLANS.md")
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions)
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val sections = Seq(
+      ("pricing_summary (TPC-H Q1 shape)",
+        "Filter pushed to the scan, 8 aggregates partial+final, one exchange."),
+      ("revenue_by_nation (broadcast star join)",
+        "Every dim broadcast (size-guarded for customer), one fact shuffle."),
+      ("latest_per_user (row_number dedup, auto-rewritten to TopKPerGroup)",
+        "TopKRewrite turns the rn=1 filter into the native operator: " +
+          "capped partial heaps before the exchange, spillable sort + " +
+          "streaming final after it — the full-table window sort is gone."),
+      ("range_join_pairs (time-bucketed self-join)",
+        "Equi-join on (user_id, bucket) with a 2-probe explode — a hash " +
+          "join whose per-key fan-out is bounded by two windowSec buckets; " +
+          "the range predicate is a post-join filter, never a cartesian."),
+      ("minhash_near_dups (explode + hash-agg signatures + LSH banding)",
+        "Shingles explode once; 32 min-hashes fold in one codegen'd " +
+          "aggregate; banding buckets join Σ bucket²."),
+      ("knn_brute (fused codegen cosine + TakeOrderedAndProject)",
+        "1-row broadcast query vector; graft_cosine inside the generated " +
+          "stage; per-partition top-k merge, no global sort."),
+      ("knn_all_lsh (fused graft_lsh_bucket + exploded multi-probe equi-join)",
+        "Buckets computed by the native expression in one codegen'd pass; " +
+          "probes exploded so candidates form a bucket equi-join; native " +
+          "top-k bounds each vector's candidates."),
+    )
+    val dfs = Map(
+      "pricing_summary" -> SparkEntry.queries("pricing_summary"),
+      "revenue_by_nation" -> SparkEntry.queries("revenue_by_nation"),
+      "latest_per_user" -> SparkEntry.queries("latest_per_user"),
+      "range_join_pairs" -> SparkEntry.queries("range_join_pairs"),
+      "minhash_near_dups" -> SparkEntry.queries("minhash_near_dups"),
+      "knn_brute" -> SparkEntry.queries("knn_brute"),
+      "knn_all_lsh" -> SparkEntry.queries("knn_all_lsh"),
+    )
+
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of headline queries\n\n")
+    sb.append("Captured from `spark.explain(\"formatted\")` at sf0.001 with\n")
+    sb.append("`GraftExtensions` active. Regenerate with `sbt \"runMain " +
+      "graft.DrivePlans\"`.\n")
+    sections.foreach { case (title, note) =>
+      val name = title.split(" ").head
+      val df = dfs(name)(spark, sfDir)
+      val plan = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("formatted"))
+      sb.append(s"\n## $title\n\n$note\n\n```\n$plan```\n")
+    }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
