@@ -114,6 +114,7 @@ object SparkEntry {
     "knn_all_brute" -> ((s, d) => VectorOps.knnAllBrute(embeddings(s, d), 5)),
     "knn_all_lsh" -> ((s, d) => VectorOps.knnAllLsh(embeddings(s, d), 5)),
     "table_profile_events" -> ((s, d) => ProfileOps.profile(events(s, d))),
+    "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
     "cosine_near_dups" -> ((s, d) => VectorOps.cosineNearDups(embeddings(s, d), 0.9)),
     "label_centroids" -> ((s, d) => VectorOps.labelCentroids(embeddings(s, d))),
     // ---- multimodal plumbing (north star) ----

@@ -16,7 +16,14 @@ object ProfileOps {
   /** One row per column: (n_rows, col_name, dtype, n_nulls, n_distinct,
     * min_value, max_value, mean) — min/max rendered as strings so the
     * profile has a fixed schema for any input table; `mean` is null for
-    * non-numeric columns. */
+    * non-numeric columns.
+    *
+    * Scale note: EXACT multi-column `countDistinct` makes Catalyst plan
+    * an Expand (one replica of every row per distinct aggregate — 7×
+    * the scan here) before the shuffle; that is the profiler's cost
+    * ceiling at 100 TB. [[profileApprox]] is the scale path: HLL++
+    * sketches keep it a single-pass partial+final aggregation with no
+    * Expand. This exact form is the oracle-checked baseline. */
   def profile(df: DataFrame): DataFrame = {
     val perCol = df.schema.fields.map { f =>
       val c = col(f.name)
@@ -29,6 +36,35 @@ object ProfileOps {
         lit(f.dataType.simpleString).as("dtype"),
         sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
         countDistinct(c).as("n_distinct"),
+        min(c).cast("string").as("min_value"),
+        max(c).cast("string").as("max_value"),
+        (if (isNumeric) round(avg(c.cast("double")), 4)
+         else lit(null).cast("double")).as("mean")).as(s"p_${f.name}")
+    }
+    val aggs = count(lit(1)).as("n_rows") +: perCol
+    df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+      .select(col("n_rows"),
+        explode(array(df.schema.fields.map(f =>
+          col(s"p_${f.name}")): _*)).as("c"))
+      .select(col("n_rows"), col("c.*"))
+  }
+
+  /** [[profile]] with `approx_count_distinct` (HLL++, `rsd` relative
+    * error) in place of exact distinct counts — no Expand, one
+    * partial+final pass over the scan regardless of column count. The
+    * 100 TB default; same output schema as the exact form. */
+  def profileApprox(df: DataFrame, rsd: Double = 0.05): DataFrame = {
+    val perCol = df.schema.fields.map { f =>
+      val c = col(f.name)
+      val isNumeric = f.dataType match {
+        case _: NumericType => true
+        case _ => false
+      }
+      struct(
+        lit(f.name).as("col_name"),
+        lit(f.dataType.simpleString).as("dtype"),
+        sum(when(c.isNull, 1L).otherwise(0L)).as("n_nulls"),
+        approx_count_distinct(c, rsd).as("n_distinct"),
         min(c).cast("string").as("min_value"),
         max(c).cast("string").as("max_value"),
         (if (isNumeric) round(avg(c.cast("double")), 4)

@@ -51,6 +51,18 @@ object StatefulOps {
       }(Encoders.scalaBoolean, vEnc)
   }
 
+  /** The Spark-native watermarked streaming dedup —
+    * `dropDuplicatesWithinWatermark` — the built-in alternative to
+    * [[dedupStream]] when "once per key within the watermark horizon"
+    * is acceptable: no custom state code, and the state store evicts a
+    * key as soon as the watermark passes its event time (bounded state
+    * without a processing-time timeout). */
+  def dedupWithinWatermark(df: org.apache.spark.sql.DataFrame,
+      keyCols: Seq[String], tsCol: String,
+      watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Per-key running count across the stream; emits the new total for
     * every key present in the batch (update-mode shape). */
   def runningCounts[K, V](ds: Dataset[V], key: V => K)(

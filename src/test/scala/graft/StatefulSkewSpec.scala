@@ -44,6 +44,24 @@ class StatefulSkewSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark drops in-horizon duplicates natively") {
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)](spark)
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-03-01 10:$m%02d:00")
+    val deduped = StatefulOps.dedupWithinWatermark(
+      input.toDF().toDF("id", "ts", "payload"), Seq("id"), "ts", "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup_out").start()
+    try {
+      input.addData((1L, ts(0), "a"), (1L, ts(1), "a-dup"), (2L, ts(2), "b"))
+      q.processAllAvailable()
+      input.addData((1L, ts(3), "a-dup-next-batch"), (3L, ts(4), "c"))
+      q.processAllAvailable()
+      val got = spark.table("wm_dedup_out")
+        .select("id").as[Long].collect().toSeq.sorted
+      assert(got == Seq(1L, 2L, 3L), s"got $got")
+    } finally q.stop()
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = (1 to 1000).map(i =>
