@@ -1,7 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Custom streaming state (`KeyValueGroupedDataset` +
   * map/flatMapGroupsWithState) — the Structured Streaming capability
@@ -76,4 +76,39 @@ object StatefulOps {
           state.update(total)
           (k, total)
       }(Encoders.scalaLong, outEnc)
+
+  /** Per-key running (count, sum) via the Spark 4 arbitrary-state API
+    * (`transformWithState` + typed [[ValueState]]) — the modern
+    * replacement for `mapGroupsWithState`: named state variables with
+    * per-state TTL, composable List/Map state, timers, and the
+    * RocksDB-backed store it requires (changelog-checkpointed,
+    * horizontally partitioned by key like all graft state). */
+  class RunningTotalsProcessor[K](ttl: TTLConfig = TTLConfig.NONE)(
+      implicit stateEnc: Encoder[(Long, Double)])
+      extends StatefulProcessor[K, (K, Double), (K, Long, Double)] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals", stateEnc, ttl)
+
+    override def handleInputRows(key: K, rows: Iterator[(K, Double)],
+        timerValues: TimerValues): Iterator[(K, Long, Double)] = {
+      var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { case (_, v) => n += 1; sum += v }
+      totals.update((n, sum))
+      Iterator.single((key, n, sum))
+    }
+  }
+
+  /** [[RunningTotalsProcessor]] wired over a keyed (K, value) stream.
+    * Requires the RocksDB state store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider`). */
+  def runningTotals[K](ds: Dataset[(K, Double)])(
+      implicit kEnc: Encoder[K],
+      stateEnc: Encoder[(Long, Double)],
+      outEnc: Encoder[(K, Long, Double)]): Dataset[(K, Long, Double)] =
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor[K](),
+        TimeMode.None(), OutputMode.Update())
 }

@@ -62,6 +62,33 @@ class StatefulSkewSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across batches") {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val old = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(String, Double)](spark)
+      val totals = StatefulOps.runningTotals[String](input.toDS())
+      val q = totals.writeStream.outputMode("update")
+        .format("memory").queryName("tws_out").start()
+      try {
+        input.addData(("leo", 2.0), ("leo", 3.0), ("demo", 1.0))
+        q.processAllAvailable()
+        input.addData(("leo", 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_out")
+          .as[(String, Long, Double)].collect().toSet
+        assert(rows.contains(("leo", 2L, 5.0)) && rows.contains(("leo", 3L, 10.0)),
+          s"got $rows")
+        assert(rows.contains(("demo", 1L, 1.0)))
+      } finally q.stop()
+    } finally old match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
   test("saltedJoin equals the plain join on skewed data") {
     // 90% of fact rows share one hot key
     val fact = (1 to 1000).map(i =>
