@@ -87,6 +87,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketed rangeJoinPairs equals the naive O(n²) definition") {
+    // random sub-second timestamps clustered near bucket boundaries —
+    // the 2-probe bucket pruning must lose no pair and invent none
+    val windowSec = 60
+    val rows = Gen.listOfN(300, for {
+      user <- Gen.choose(1L, 5L)
+      // cluster around multiples of windowSec, with millis
+      base <- Gen.choose(1709280000L, 1709280000L + 600L)
+      ms <- Gen.choose(0, 999)
+    } yield (user, base * 1000L + ms)).sample.get
+      .zipWithIndex.map { case ((u, tsMs), i) => (i.toLong, u, tsMs) }
+    val df = rows.toDF("event_id", "user_id", "ts_ms")
+      .select(col("event_id"), col("user_id"),
+        timestamp_millis(col("ts_ms")).as("ts"))
+    val got = EventOps.rangeJoinPairs(df, windowSec)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (aId, aU, aTs) <- rows
+      (bId, bU, bTs) <- rows
+      if aU == bU && aId < bId &&
+        bTs >= aTs && bTs <= aTs + windowSec * 1000L
+    } yield (aId, bId)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("scalacheck: keywordRegex matches iff some keyword is a substring") {
     val word = Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))
     val prop = Prop.forAll(Gen.listOfN(3, word), word) { (kws, text) =>
