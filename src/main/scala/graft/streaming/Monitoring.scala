@@ -17,15 +17,20 @@ object Monitoring {
       numInputRows: Long,
       processedRowsPerSecond: Double)
 
-  /** Listener accumulating per-batch progress for inspection. */
+  /** Listener accumulating per-batch progress (and any `observe()`d
+    * metric rows) for inspection. */
   final class ProgressRecorder extends StreamingQueryListener {
     private val buf = mutable.Buffer.empty[BatchProgress]
+    private val obs =
+      mutable.Buffer.empty[(Long, String, org.apache.spark.sql.Row)]
     def batches: Seq[BatchProgress] = buf.synchronized(buf.toSeq)
+    def observed: Seq[(Long, String, org.apache.spark.sql.Row)] =
+      obs.synchronized(obs.toSeq)
 
     override def onQueryStarted(
         e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(
-        e: StreamingQueryListener.QueryProgressEvent): Unit =
+        e: StreamingQueryListener.QueryProgressEvent): Unit = {
       buf.synchronized {
         buf += BatchProgress(
           Option(e.progress.name).getOrElse(""),
@@ -34,8 +39,29 @@ object Monitoring {
           e.progress.processedRowsPerSecond)
         ()
       }
+      obs.synchronized {
+        e.progress.observedMetrics.forEach { (name, row) =>
+          obs += ((e.progress.batchId, name, row))
+        }
+      }
+    }
     override def onQueryTerminated(
         e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /** Inline data-quality metrics via `observe()` — computed WITH the
+    * batch's own job (no second pass over the data, unlike a separate
+    * `count()`): row count, null/empty text, distinct-ish user reach.
+    * Values surface per batch through [[ProgressRecorder.observed]] in
+    * streaming, or a `QueryExecutionListener` in batch. */
+  def withQualityMetrics(df: DataFrame,
+      name: String = "graft_quality"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.observe(name,
+      count(lit(1)).as("rows"),
+      sum(when(col("text").isNull || trim(col("text")) === "", 1L)
+        .otherwise(0L)).as("blank_text"),
+      approx_count_distinct(col("username")).as("approx_users"))
   }
 
   def attach(spark: SparkSession): ProgressRecorder = {

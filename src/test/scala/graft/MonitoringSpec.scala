@@ -29,6 +29,31 @@ class MonitoringSpec extends SparkSpec {
     }
   }
 
+  test("observe() quality metrics ride the batch job into progress") {
+    val recorder = Monitoring.attach(spark)
+    val input = MemoryStream[(String, String)](spark)
+    val observed = Monitoring.withQualityMetrics(
+      input.toDF().toDF("username", "text"))
+    val q = observed.writeStream
+      .outputMode("append").format("memory").queryName("obs_out").start()
+    try {
+      input.addData(("u1", "hello"), ("u2", "  "), ("u3", null))
+      q.processAllAvailable()
+      spark.streams.awaitAnyTermination(1)
+      Thread.sleep(500)
+      val metric = recorder.observed
+        .collectFirst { case (_, "graft_quality", row) => row }
+      assert(metric.isDefined, s"no observed metrics: ${recorder.observed}")
+      val m = metric.get
+      assert(m.getAs[Long]("rows") == 3L)
+      assert(m.getAs[Long]("blank_text") == 2L)
+      assert(m.getAs[Long]("approx_users") == 3L)
+    } finally {
+      q.stop()
+      Monitoring.detach(spark, recorder)
+    }
+  }
+
   test("Replay streams a file in deterministic fixed-size batches") {
     val tmp = java.nio.file.Files.createTempFile("replay", ".jsonl")
     java.nio.file.Files.writeString(tmp,
