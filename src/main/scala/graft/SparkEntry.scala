@@ -59,6 +59,8 @@ object SparkEntry {
     "quality_signals" -> ((s, d) => DocOps.qualitySignals(documents(s, d))),
     "quality_by_lang" -> ((s, d) => DocOps.qualityByLang(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
+    "winnowed_fingerprints" ->
+      ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
     "language_id" -> ((s, d) => DocOps.languageId(documents(s, d))),
     "clean_corpus" -> ((s, d) => DocOps.cleanCorpus(documents(s, d), 100, 0.5)),
     // ---- joins / set ops (reference gap, SURVEY §2.3) ----
@@ -271,6 +273,27 @@ object SparkEntry {
     "doc_fingerprints" ->
       ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents"),
+    // winnowing (k=5, w=4, B=257, M=2^31-1): same normalization, same
+    // polynomial k-gram hash via lead(), same rightmost-min-per-window
+    // via min over a (h, -i) struct — exact integer arithmetic both sides
+    "winnowed_fingerprints" ->
+      ("WITH base AS (SELECT doc_id, regexp_replace(regexp_replace(lower(text), " +
+        "'[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g') AS t FROM documents), " +
+        "chars AS (SELECT doc_id, unnest(range(length(t))) AS i, t " +
+        "FROM base WHERE length(t) >= 5), " +
+        "coded AS (SELECT doc_id, i, " +
+        "CAST(ascii(substr(t, CAST(i + 1 AS INTEGER), 1)) AS BIGINT) AS code FROM chars), " +
+        "hashed AS (SELECT doc_id, i, " +
+        "(code * 4362470401 " +
+        "+ lead(code, 1) OVER w * 16974593 " +
+        "+ lead(code, 2) OVER w * 66049 " +
+        "+ lead(code, 3) OVER w * 257 " +
+        "+ lead(code, 4) OVER w) % 2147483647 AS h " +
+        "FROM coded WINDOW w AS (PARTITION BY doc_id ORDER BY i)), " +
+        "sel AS (SELECT doc_id, i, min({'h': h, 'ni': -i}) OVER (" +
+        "PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m " +
+        "FROM hashed WHERE h IS NOT NULL) " +
+        "SELECT DISTINCT doc_id, -(m.ni) AS pos, m.h AS fp FROM sel WHERE i >= 3"),
     "clean_corpus" ->
       ("WITH q AS (SELECT * FROM documents WHERE length(text) >= 100 AND " +
         "length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text) >= 0.5), " +

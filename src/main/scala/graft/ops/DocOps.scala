@@ -130,6 +130,53 @@ object DocOps {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Winnowed rolling-hash fingerprints (Schleimer et al. '03, the
+    * MOSS scheme): polynomial k-gram hashes over the normalized
+    * character stream, then the rightmost-minimum of every `w`-window
+    * selected as a fingerprint — the plagiarism/near-dup fingerprint
+    * family the md5 [[fingerprint]] can't give (it only matches whole
+    * documents). Emitted as (doc_id, pos, fp) rows.
+    *
+    * Relational formulation (the repo's sketch rule — no HOF lambdas):
+    * one posexplode to the char stream, the k-gram hash as k codegen'd
+    * `lead()` terms, the rightmost-min via `min(struct(h, -i))` over a
+    * w-row window. Shuffles once on doc_id; every operator is
+    * window/aggregate machinery that spills. Exact integer arithmetic
+    * (B=257, M=2^31-1) so the DuckDB oracle reproduces it bit-for-bit. */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val B = 257L
+    val M = 2147483647L
+    val norm = regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " ")
+    val base = docs
+      .select(col("doc_id"), norm.as("t"))
+      .filter(length(col("t")) >= k)
+    val chars = base
+      .select(col("doc_id"), posexplode(split(col("t"), "")).as(Seq("i", "c")))
+      // split-by-empty-regex appends one trailing "" (limit -1
+      // semantics) — a phantom char DuckDB's range(length) never sees
+      .filter(col("c") =!= "")
+      .select(col("doc_id"), col("i"), ascii(col("c")).cast("long").as("code"))
+    val win = Window.partitionBy("doc_id").orderBy("i")
+    val h = (0 until k).map { j =>
+      val code = if (j == 0) col("code") else lead(col("code"), j).over(win)
+      code * lit(Seq.fill(k - 1 - j)(B).product)
+    }.reduce(_ + _) % M
+    val hashed = chars
+      .select(col("doc_id"), col("i"), h.as("h"))
+      .filter(col("h").isNotNull) // tail rows with no full k-gram
+    val sel = hashed
+      .withColumn("m",
+        min(struct(col("h"), (-col("i")).as("ni")))
+          .over(win.rowsBetween(-(w - 1), 0)))
+      .filter(col("i") >= w - 1) // full windows only
+    sel
+      .select(col("doc_id"), (-col("m.ni")).cast("long").as("pos"),
+        col("m.h").as("fp"))
+      .distinct()
+  }
+
   /** Top word-bigrams per language — n-gram frequency analysis built on
     * the shared shingle machinery (k=2) joined back to the language
     * column; per-language top-5 via the native top-k operator. */
