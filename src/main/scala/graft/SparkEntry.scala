@@ -61,6 +61,7 @@ object SparkEntry {
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
+    "winnow_near_dups" -> ((s, d) => DocOps.winnowNearDups(documents(s, d))),
     "language_id" -> ((s, d) => DocOps.languageId(documents(s, d))),
     "clean_corpus" -> ((s, d) => DocOps.cleanCorpus(documents(s, d), 100, 0.5)),
     // ---- joins / set ops (reference gap, SURVEY §2.3) ----
@@ -273,27 +274,20 @@ object SparkEntry {
     "doc_fingerprints" ->
       ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents"),
-    // winnowing (k=5, w=4, B=257, M=2^31-1): same normalization, same
-    // polynomial k-gram hash via lead(), same rightmost-min-per-window
-    // via min over a (h, -i) struct — exact integer arithmetic both sides
+    // winnowing: same normalization, same mod-reduced Rabin-Karp k-gram
+    // hash via lead(), same rightmost-min-per-window via min over a
+    // (h, -i) struct — exact integer arithmetic both sides
     "winnowed_fingerprints" ->
-      ("WITH base AS (SELECT doc_id, regexp_replace(regexp_replace(lower(text), " +
-        "'[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g') AS t FROM documents), " +
-        "chars AS (SELECT doc_id, unnest(range(length(t))) AS i, t " +
-        "FROM base WHERE length(t) >= 5), " +
-        "coded AS (SELECT doc_id, i, " +
-        "CAST(ascii(substr(t, CAST(i + 1 AS INTEGER), 1)) AS BIGINT) AS code FROM chars), " +
-        "hashed AS (SELECT doc_id, i, " +
-        "(code * 4362470401 " +
-        "+ lead(code, 1) OVER w * 16974593 " +
-        "+ lead(code, 2) OVER w * 66049 " +
-        "+ lead(code, 3) OVER w * 257 " +
-        "+ lead(code, 4) OVER w) % 2147483647 AS h " +
-        "FROM coded WINDOW w AS (PARTITION BY doc_id ORDER BY i)), " +
-        "sel AS (SELECT doc_id, i, min({'h': h, 'ni': -i}) OVER (" +
-        "PARTITION BY doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m " +
-        "FROM hashed WHERE h IS NOT NULL) " +
-        "SELECT DISTINCT doc_id, -(m.ni) AS pos, m.h AS fp FROM sel WHERE i >= 3"),
+      (winnowSelCte(5, 4) +
+        " SELECT DISTINCT doc_id, -(m.ni) AS pos, m.h AS fp FROM sel WHERE i >= 3"),
+    "winnow_near_dups" ->
+      (winnowSelCte(12, 8) +
+        ", fps AS (SELECT DISTINCT doc_id, m.h AS fp FROM sel WHERE i >= 7)" +
+        ", pruned AS (SELECT * FROM (SELECT doc_id, fp, " +
+        "count(*) OVER (PARTITION BY fp) AS df FROM fps) WHERE df <= 50) " +
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2 HAVING count(*) >= 8"),
     "clean_corpus" ->
       ("WITH q AS (SELECT * FROM documents WHERE length(text) >= 100 AND " +
         "length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text) >= 0.5), " +
@@ -489,6 +483,29 @@ object SparkEntry {
       ("SELECT max(o_totalprice) AS max_price, min(o_totalprice) AS min_price, " +
         "count(*) AS n_orders FROM orders"),
   )
+
+  /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]
+    * up to the winnow selection (`sel`): normalization, char codes,
+    * mod-reduced Rabin-Karp k-gram hash (same `polyPow` coefficients),
+    * rightmost-min per w-window. */
+  private def winnowSelCte(k: Int, w: Int): String = {
+    val terms = (0 until k).map { j =>
+      val coeff = graft.ops.DocOps.polyPow(k - 1 - j)
+      val code = if (j == 0) "code" else s"lead(code, $j) OVER w"
+      if (coeff == 1L) code else s"$code * $coeff"
+    }.mkString(" + ")
+    s"WITH base AS (SELECT doc_id, regexp_replace(regexp_replace(lower(text), " +
+      s"'[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g') AS t FROM documents), " +
+      s"chars AS (SELECT doc_id, unnest(range(length(t))) AS i, t " +
+      s"FROM base WHERE length(t) >= $k), " +
+      s"coded AS (SELECT doc_id, i, " +
+      s"CAST(ascii(substr(t, CAST(i + 1 AS INTEGER), 1)) AS BIGINT) AS code FROM chars), " +
+      s"hashed AS (SELECT doc_id, i, ($terms) % 2147483647 AS h " +
+      s"FROM coded WINDOW w AS (PARTITION BY doc_id ORDER BY i)), " +
+      s"sel AS (SELECT doc_id, i, min({'h': h, 'ni': -i}) OVER (" +
+      s"PARTITION BY doc_id ORDER BY i ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW) AS m " +
+      s"FROM hashed WHERE h IS NOT NULL)"
+  }
 
   /** DuckDB mirror of [[graft.ops.DocOps.languageId]]: same stopword
     * regex counts, same first-max-wins argmax (struct sort on

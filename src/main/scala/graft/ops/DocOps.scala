@@ -143,9 +143,14 @@ object DocOps {
     * w-row window. Shuffles once on doc_id; every operator is
     * window/aggregate machinery that spills. Exact integer arithmetic
     * (B=257, M=2^31-1) so the DuckDB oracle reproduces it bit-for-bit. */
+  /** Rabin-Karp coefficient `B^j mod M` — mod-reduced so `code * coeff`
+    * stays inside BIGINT at any k, in Spark AND the DuckDB oracle
+    * (straight powers overflow both past k ≈ 8). */
+  private[graft] def polyPow(j: Int): Long =
+    BigInt(257).modPow(BigInt(j), BigInt(2147483647L)).toLong
+
   def winnowedFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val B = 257L
     val M = 2147483647L
     val norm = regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " ")
@@ -161,7 +166,7 @@ object DocOps {
     val win = Window.partitionBy("doc_id").orderBy("i")
     val h = (0 until k).map { j =>
       val code = if (j == 0) col("code") else lead(col("code"), j).over(win)
-      code * lit(Seq.fill(k - 1 - j)(B).product)
+      code * lit(polyPow(k - 1 - j))
     }.reduce(_ + _) % M
     val hashed = chars
       .select(col("doc_id"), col("i"), h.as("h"))
@@ -175,6 +180,29 @@ object DocOps {
       .select(col("doc_id"), (-col("m.ni")).cast("long").as("pos"),
         col("m.h").as("fp"))
       .distinct()
+  }
+
+  /** Near-duplicate pairs by shared winnowed fingerprints — the MOSS
+    * similarity join: docs sharing >= `minShared` selected fingerprints.
+    * Inverted-index shape (join on fp, never doc×doc): Σ df² join cost
+    * with the same document-frequency cap as the n-gram Jaccard path
+    * (a fingerprint appearing in > `maxDf` docs is boilerplate and is
+    * dropped — at corpus scale this bounds the hot posting lists). */
+  def winnowNearDups(docs: DataFrame, k: Int = 12, w: Int = 8,
+      minShared: Int = 8, maxDf: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = winnowedFingerprints(docs, k, w)
+      .select(col("doc_id"), col("fp")).distinct()
+    val pruned = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("df") <= maxDf)
+    val a = pruned.select(col("doc_id").as("a_id"), col("fp"))
+    val b = pruned.select(col("doc_id").as("b_id"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
   }
 
   /** Top word-bigrams per language — n-gram frequency analysis built on

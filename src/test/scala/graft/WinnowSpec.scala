@@ -17,12 +17,11 @@ class WinnowSpec extends SparkSpec {
     val t = text.toLowerCase.replaceAll("[^a-z0-9 ]", "")
       .replaceAll("\\s+", " ")
     if (t.length < k) return Set.empty
-    val B = 257L
     val M = 2147483647L
     val codes = t.map(_.toLong)
     val hashes = (0 to t.length - k).map { i =>
-      (0 until k).map(j => codes(i + j) *
-        Seq.fill(k - 1 - j)(B).product).sum % M
+      (0 until k).map(j =>
+        codes(i + j) * DocOps.polyPow(k - 1 - j)).sum % M
     }
     (w - 1 until hashes.length).map { tEnd =>
       // rightmost minimum of the window ending at tEnd
