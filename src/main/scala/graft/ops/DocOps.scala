@@ -130,32 +130,53 @@ object DocOps {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
-  /** Winnowed rolling-hash fingerprints (Schleimer et al. '03, the
-    * MOSS scheme): polynomial k-gram hashes over the normalized
-    * character stream, then the rightmost-minimum of every `w`-window
-    * selected as a fingerprint — the plagiarism/near-dup fingerprint
-    * family the md5 [[fingerprint]] can't give (it only matches whole
-    * documents). Emitted as (doc_id, pos, fp) rows.
-    *
-    * Relational formulation (the repo's sketch rule — no HOF lambdas):
-    * one posexplode to the char stream, the k-gram hash as k codegen'd
-    * `lead()` terms, the rightmost-min via `min(struct(h, -i))` over a
-    * w-row window. Shuffles once on doc_id; every operator is
-    * window/aggregate machinery that spills. Exact integer arithmetic
-    * (B=257, M=2^31-1) so the DuckDB oracle reproduces it bit-for-bit. */
+  // --- Winnowed rolling-hash fingerprints (Schleimer et al. '03, the
+  // MOSS scheme): mod-reduced Rabin-Karp k-gram hashes over the
+  // normalized character stream, rightmost-minimum of every w-window
+  // selected — the shared-substring fingerprint family the md5
+  // fingerprint() can't give. Two bit-identical formulations below:
+  // the fused native expression (default) and the relational
+  // window-function form (parity baseline + DuckDB-oracle mirror).
+
   /** Rabin-Karp coefficient `B^j mod M` — mod-reduced so `code * coeff`
     * stays inside BIGINT at any k, in Spark AND the DuckDB oracle
     * (straight powers overflow both past k ≈ 8). */
   private[graft] def polyPow(j: Int): Long =
     BigInt(257).modPow(BigInt(j), BigInt(2147483647L)).toLong
 
-  def winnowedFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+  /** The shared winnowing normalization: lowercase, strip to
+    * `[a-z0-9 ]`, collapse whitespace. */
+  private def winnowNorm: org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " ")
+
+  /** Winnowed fingerprints via the fused native expression
+    * ([[graft.functions.WinnowFingerprints]]): the whole document in
+    * one codegen'd pass inside the scan stage — no char-row explode,
+    * no doc_id shuffle, no window sorts. Bit-identical to
+    * [[winnowedFingerprintsRelational]] (spec-checked) and to the
+    * DuckDB oracle. */
+  def winnowedFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame =
+    docs
+      .select(col("doc_id"), winnowNorm.as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFingerprints
+          .winnowFused(col("t"), k, w)).as("s"))
+      .select(col("doc_id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+
+  /** The relational formulation (the repo's sketch rule — no HOF
+    * lambdas): one posexplode to the char stream, the k-gram hash as k
+    * codegen'd `lead()` terms, the rightmost-min via `min(struct(h,
+    * -i))` over a w-row window. One doc_id shuffle; all spillable
+    * window machinery. Kept as the parity baseline for the fused
+    * expression and as the shape the DuckDB oracle mirrors. */
+  def winnowedFingerprintsRelational(docs: DataFrame, k: Int = 5,
+      w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val M = 2147483647L
-    val norm = regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "\\s+", " ")
     val base = docs
-      .select(col("doc_id"), norm.as("t"))
+      .select(col("doc_id"), winnowNorm.as("t"))
       .filter(length(col("t")) >= k)
     val chars = base
       .select(col("doc_id"), posexplode(split(col("t"), "")).as(Seq("i", "c")))

@@ -55,6 +55,26 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("fused expression matches the relational formulation on real docs") {
+    for ((kk, ww) <- Seq((5, 4), (12, 8))) {
+      val docs = Tables.documents(spark, sf0)
+      val fused = DocOps.winnowedFingerprints(docs, kk, ww)
+      val relational = DocOps.winnowedFingerprintsRelational(docs, kk, ww)
+      assert(fused.count() > 0)
+      assert(fused.exceptAll(relational).isEmpty &&
+        relational.exceptAll(fused).isEmpty, s"k=$kk w=$ww diverged")
+    }
+  }
+
+  test("fused winnow participates in whole-stage codegen") {
+    val q = DocOps.winnowedFingerprints(Tables.documents(spark, sf0))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_winnow"), plan)
+    // the expression evaluates inside a codegen'd stage (Generate
+    // explode sits above it; no interpreted HOF projection)
+    assert(!plan.contains("Window"), s"fused path must not need windows:\n$plan")
+  }
+
   test("documents sharing a long substring share fingerprints") {
     val shared = "winnowing selects the same fingerprints from shared text"
     val got = engine(Seq(
