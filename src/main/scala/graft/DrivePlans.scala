@@ -43,6 +43,10 @@ object DrivePlans {
         "Buckets computed by the native expression in one codegen'd pass; " +
           "probes exploded so candidates form a bucket equi-join; native " +
           "top-k bounds each vector's candidates."),
+      ("winnowed_fingerprints (fused graft_winnow in the scan stage)",
+        "The whole rolling-hash + winnow selection happens inside one " +
+          "generated stage per document — no char explode, no doc_id " +
+          "shuffle, no window sorts; Generate just unnests the result."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -52,6 +56,7 @@ object DrivePlans {
       "minhash_near_dups" -> SparkEntry.queries("minhash_near_dups"),
       "knn_brute" -> SparkEntry.queries("knn_brute"),
       "knn_all_lsh" -> SparkEntry.queries("knn_all_lsh"),
+      "winnowed_fingerprints" -> SparkEntry.queries("winnowed_fingerprints"),
     )
 
     val sb = new StringBuilder

@@ -31,6 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"graft_lsh_bucket(v, planes): planes must be an int literal, got $other")
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
+        case (org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
+            org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.catalyst.expressions.Literal(w: Int,
+            org.apache.spark.sql.types.IntegerType)) =>
+          WinnowFingerprints(exprs(0), k, w)
+        case other => throw new IllegalArgumentException(
+          s"graft_winnow(text, k, w): k and w must be int literals, got $other")
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
