@@ -30,6 +30,14 @@ object ColumnShim {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** Apply a SparkSessionExtensions' injected functions to a registry —
+    * lets specs unit-test extension wiring without building a session
+    * (`registerFunctions` is private[sql]). */
+  def registerFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      registry: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(registry)
+
   /** DataFrame over an InternalRow RDD, optionally flagged streaming —
     * what a V1 streaming `Source.getBatch` must return
     * (`internalCreateDataFrame` is private[sql]). */

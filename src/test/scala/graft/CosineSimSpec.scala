@@ -64,16 +64,28 @@ class CosineSimSpec extends SparkSpec {
     assert(r == (0L, 1.0))
   }
 
-  test("session extensions wire graft_cosine into new sessions") {
-    // withExtensions on the running builder applies GraftExtensions to
-    // the shared session state (extensions are builder-time config).
-    val s2 = org.apache.spark.sql.SparkSession.builder()
-      .withExtensions(new graft.functions.GraftExtensions)
-      .getOrCreate()
-    import s2.implicits._
-    val one = s2.sql("SELECT graft_cosine(array(1.0F, 0.0F), array(1.0F, 0.0F))")
-      .as[Double].head()
-    assert(one == 1.0)
+  test("session extensions register every native function (no session)") {
+    // Unit-tests the wiring itself, order-independently: a builder
+    // cannot inject extensions into the already-created shared test
+    // session, so apply GraftExtensions to a fresh registry and build
+    // each injected function directly. (End-to-end, the extensions are
+    // exercised by every Verify/Bench session.)
+    import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    val registry = org.apache.spark.sql.graft.ColumnShim
+      .registerFunctions(ext, FunctionRegistry.builtin.clone())
+    for (name <- Seq("graft_cosine", "graft_lsh_bucket", "graft_winnow"))
+      assert(registry.functionExists(FunctionIdentifier(name)), name)
+    val cos = registry.lookupFunctionBuilder(FunctionIdentifier("graft_cosine"))
+      .get(Seq(Literal.create(Array(1.0f, 0.0f)), Literal.create(Array(1.0f, 0.0f))))
+    assert(cos.eval(null) == 1.0)
+    val winnow = registry
+      .lookupFunctionBuilder(FunctionIdentifier("graft_winnow"))
+      .get(Seq(Literal.create("abcdef"), Literal(5), Literal(4)))
+    assert(winnow.eval(null) != null)
   }
 
   test("zero-norm null survives NON-nullable children under codegen") {
