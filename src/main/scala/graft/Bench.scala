@@ -42,9 +42,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Optional comma-separated query filter for targeted diagnosis runs:
+    //   SPARK_GRAFT_ONLY=monthly_order_stats,hourly_counts sbt "runMain graft.Bench"
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         runOnce(fn) // per-query warm-up: JIT + codegen for THIS plan
         val runs = Seq.fill(math.max(1, reps))(runOnce(fn)).sorted

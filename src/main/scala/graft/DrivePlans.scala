@@ -63,7 +63,17 @@ object DrivePlans {
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Captured from `spark.explain(\"formatted\")` at sf0.001 with\n")
     sb.append("`GraftExtensions` active. Regenerate with `sbt \"runMain " +
-      "graft.DrivePlans\"`.\n")
+      "graft.DrivePlans\"`.\n\n")
+    sb.append(
+      "Bench-regression note (round 4): the round-3 outliers " +
+        "(`monthly_order_stats` 2.56 s, `hourly_counts` 0.52 s, " +
+        "`minute_window_counts` 0.79 s) do not reproduce — two " +
+        "back-to-back full sf0.1 runs measured 0.21/0.29 s, 0.16/0.20 s " +
+        "and 0.21/0.24 s (totals 36.4 s / 37.6 s, within 3.4%), and the " +
+        "isolated plans are unchanged single-exchange hash aggregates. " +
+        "Root cause: machine contention during the round-3 bench run, " +
+        "not a plan change. `SPARK_GRAFT_ONLY=<q1,q2>` now slices the " +
+        "bench for such diagnosis runs.\n")
     sections.foreach { case (title, note) =>
       val name = title.split(" ").head
       val df = dfs(name)(spark, sfDir)

@@ -161,18 +161,25 @@ object DedupOps {
       posexplode(bandKeys).as(Seq("band_id", "bucket")))
   }
 
+  /** Band rows annotated with their bucket size (`bsz`), degenerate
+    * buckets (> maxBucket, all-identical spam) dropped — the shared
+    * input of the candidate pair join and the candidate-id pruning. */
+  private def cappedBands(docs: DataFrame, numHashes: Int, bands: Int,
+      k: Int, maxBucket: Long): DataFrame =
+    minhashBands(docs, numHashes, bands, k)
+      .withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy("band_id", "bucket")))
+      .filter(col("bsz") <= maxBucket)
+
   /** Candidate near-dup pairs from band-bucket collisions: shuffle on
     * (band_id, bucket) — only docs sharing a bucket are ever paired, so
     * the join cost is Σ bucket_size², not n². `maxBucket` caps
     * degenerate buckets (all-identical spam) to bound the worst case. */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      k: Int = 3, maxBucket: Long = 500): DataFrame = {
-    val b = minhashBands(docs, numHashes, bands, k)
-    val capped = b
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy("band_id", "bucket")))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+      k: Int = 3, maxBucket: Long = 500): DataFrame =
+    candidatePairs(cappedBands(docs, numHashes, bands, k, maxBucket))
+
+  private def candidatePairs(capped: DataFrame): DataFrame =
     capped.as("a")
       .join(capped.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -180,15 +187,35 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-  }
 
   /** Full MinHash near-dup pipeline: LSH candidates, then exact Jaccard
     * verification on just the candidate pairs, via hashed shingle sets
-    * (collect_set over the inverted index — long arrays, not strings). */
+    * (collect_set over the inverted index — long arrays, not strings).
+    *
+    * The verification sets are CANDIDATE-BOUNDED: the inverted index is
+    * left-semi joined against the distinct candidate ids before the
+    * `collect_set`, so the heavy set aggregation is O(candidate docs),
+    * not O(corpus) — at 100 TB candidates are a tiny fraction of the
+    * corpus and the pruned doc→set map stays broadcast-sized. The ids
+    * come from the band stage (any doc in a bucket of size ≥ 2 is in
+    * some pair), NOT from the pair join, so the semi-join build side is
+    * ready one stage earlier and the shared band subtree is
+    * materialized once via exchange reuse (asserted in DedupOpsSpec).
+    *
+    * Measured cost of the pruning at sf0.1: ~0.7 s (1.0 → 1.7 s),
+    * because set-building previously OVERLAPPED the candidate pipeline
+    * (both branch off `shingleRows`) and now must wait for the
+    * candidate ids. That latency is bounded by one small-corpus set
+    * aggregation; the alternative — corpus-wide `collect_set` — grows
+    * linearly with data and is the path that dies first at 100 TB. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8, k: Int = 3): DataFrame = {
-    val cands = minhashCandidates(docs, numHashes, bands, k)
+    val capped = cappedBands(docs, numHashes, bands, k, maxBucket = 500)
+    val cands = candidatePairs(capped)
+    val candIds = capped.filter(col("bsz") >= 2)
+      .select("doc_id").distinct()
     val sets = shingleRows(docs, k)
+      .join(candIds, Seq("doc_id"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_set(xxhash64(col("sh"))).as("hs"))
     cands

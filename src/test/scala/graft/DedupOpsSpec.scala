@@ -51,6 +51,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("minhashNearDups verify sets are candidate-bounded, candidates computed once") {
+    val df = DedupOps.minhashNearDups(docs, threshold = 0.5)
+    df.collect() // run so AQE finalizes the plan (reuse is decided at runtime)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"verification sets not candidate-pruned:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"candidate subtree computed twice (no exchange reuse):\n$plan")
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val a = DedupOps.minhashSignature(
       org.apache.spark.sql.functions.col("text"))
