@@ -104,15 +104,56 @@ object VectorOps {
       .limit(k)
   }
 
-  /** IVF coarse quantization: deterministic sample of `nlist` vectors
-    * as centroids (cheap stand-in for k-means — same plan shape), each
-    * vector assigned to its nearest centroid. Returns (vec_id, list_id).
-    * Query-time IVF then scans only `nprobe` lists. The centroid table
-    * is broadcast — assignment is one scan of the corpus. */
-  def ivfAssign(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
-    val centroids = embeddings
+  /** Deterministic sample of `nlist` vectors as (list_id, cv) IVF
+    * centroids — the zero-cost init/fallback. List ids are the sampled
+    * vec_ids (stable across [[learnedCentroids]] refinement). */
+  def sampleCentroids(embeddings: DataFrame, nlist: Int = 16): DataFrame =
+    embeddings
       .filter(pmod(col("vec_id"), lit(997)) < nlist)  // deterministic spread
       .select(col("vec_id").as("list_id"), col("embedding").as("cv"))
+
+  /** Learned IVF centroids: `iters` Lloyd's rounds (spherical k-means,
+    * cosine assignment + per-dimension mean update) over a
+    * deterministic `1/sampleMod` id-hash sample, initialized from
+    * [[sampleCentroids]]. Each round is one distributed assignment scan
+    * plus one (list_id, dim) mean aggregation; only the nlist×dim
+    * centroid means return to the driver between rounds — the same
+    * bounded driver loop `ml.clustering.KMeans` runs, NOT a data
+    * collect, so the pattern holds at 100 TB (where one would also
+    * subsample harder). Lists that go empty keep their previous
+    * centroid. Fully deterministic: init, sample and tie-breaks are
+    * id-based, no RNG. */
+  def learnedCentroids(embeddings: DataFrame, nlist: Int = 16,
+      iters: Int = 3, sampleMod: Int = 4): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    val sample = embeddings
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .select("vec_id", "embedding")
+    var cents: Seq[(Long, Seq[Float])] = sampleCentroids(embeddings, nlist)
+      .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val centDf = broadcast(cents.toDF("list_id", "cv"))
+      val means = ivfAssignTo(sample, centDf)
+        .join(sample, "vec_id")
+        .select(col("list_id"),
+          posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .groupBy("list_id", "dim")
+        .agg(avg("x").as("m"))
+        .groupBy("list_id")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("ps"))
+        .select(col("list_id"),
+          transform(col("ps"), p => p.getField("m").cast("float")).as("cv"))
+        .as[(Long, Seq[Float])].collect().toMap
+      cents = cents.map { case (id, cv) => (id, means.getOrElse(id, cv)) }
+    }
+    cents.toDF("list_id", "cv")
+  }
+
+  /** Nearest-centroid assignment (cosine, list_id tie-break) of every
+    * vector against a broadcastable (list_id, cv) table — one scan of
+    * the corpus. Returns (vec_id, list_id). */
+  def ivfAssignTo(embeddings: DataFrame, centroids: DataFrame): DataFrame =
     embeddings
       .crossJoin(broadcast(centroids))
       .withColumn("d", cosineFused(col("embedding"), col("cv")))
@@ -121,20 +162,34 @@ object VectorOps {
           .orderBy(col("d").desc, col("list_id").asc)))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("list_id"))
-  }
 
-  /** IVF query-time search: score the query against the `nlist`
-    * centroids (broadcast), keep the `nprobe` closest lists, and scan
-    * ONLY vectors assigned to those lists — the scanned fraction is
-    * ~nprobe/nlist of the corpus, the standard coarse-quantization
-    * trade. All joins against the probe set and query are broadcasts;
-    * the corpus side is one filtered scan. */
+  /** IVF coarse quantization with the sample centroids. */
+  def ivfAssign(embeddings: DataFrame, nlist: Int = 16): DataFrame =
+    ivfAssignTo(embeddings, sampleCentroids(embeddings, nlist))
+
+  /** IVF query-time search with centroids chosen here: learned by
+    * default (Lloyd's list balance beats the raw sample's on clustered
+    * real data; `learn = false` falls back to the zero-cost sample
+    * init). The fit is a build-once index artifact — callers issuing
+    * many queries should fit once via [[learnedCentroids]] and pass the
+    * table to [[knnIvfWith]] instead of re-learning per query. */
   def knnIvf(embeddings: DataFrame, queryVecId: Long, k: Int = 10,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    val assigned = ivfAssign(embeddings, nlist)
-    val centroids = embeddings
-      .filter(pmod(col("vec_id"), lit(997)) < nlist)
-      .select(col("vec_id").as("list_id"), col("embedding").as("cv"))
+      nlist: Int = 16, nprobe: Int = 4, learn: Boolean = true): DataFrame =
+    knnIvfWith(embeddings,
+      if (learn) learnedCentroids(embeddings, nlist)
+      else sampleCentroids(embeddings, nlist),
+      queryVecId, k, nprobe)
+
+  /** IVF query-time search against a prebuilt (list_id, cv) centroid
+    * table: score the query against the centroids (broadcast), keep the
+    * `nprobe` closest lists, and scan ONLY vectors assigned to those
+    * lists — the scanned fraction is ~nprobe/nlist of the corpus, the
+    * standard coarse-quantization trade. All joins against the probe
+    * set and query are broadcasts; the corpus side is one filtered
+    * scan. */
+  def knnIvfWith(embeddings: DataFrame, centroids: DataFrame,
+      queryVecId: Long, k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val assigned = ivfAssignTo(embeddings, centroids)
     val q = embeddings
       .filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv"))

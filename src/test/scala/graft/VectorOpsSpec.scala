@@ -108,6 +108,37 @@ class VectorOpsSpec extends SparkSpec {
     assert(found >= 18, s"only $found/20 twins found: $got")
   }
 
+  test("learned IVF centroids beat the sample init on planted clusters") {
+    // 8 clusters on orthogonal prototype blocks, laid out in id-blocks
+    // of 50 so the pmod sample init is DEGENERATE: all 16 init
+    // centroids fall in cluster 0 — the clustered-real-data failure
+    // mode of sample centroids. Lloyd's must recover list balance.
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 400L).map { i =>
+      val c = (i / 50).toInt
+      val v = Array.tabulate(32) { d =>
+        val proto = if (d / 4 == c) 1.0f else 0.0f
+        proto + 0.05f * rnd.nextGaussian().toFloat
+      }
+      (i, v, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val queryId = 201L // cluster 4
+    val truth = VectorOps.knnBrute(df, queryId, k = 10)
+      .select("vec_id").as[Long].collect().toSet
+    def recallOf(learn: Boolean): Double = {
+      val got = VectorOps.knnIvf(df, queryId, k = 10,
+        nlist = 16, nprobe = 2, learn = learn)
+        .select("vec_id").as[Long].collect().toSet
+      truth.intersect(got).size.toDouble / truth.size
+    }
+    val learned = recallOf(learn = true)
+    val sampled = recallOf(learn = false)
+    assert(learned >= sampled,
+      s"learned recall $learned < sample-centroid recall $sampled")
+    assert(learned >= 0.6, s"learned recall too low: $learned")
+  }
+
   test("ivfAssign gives every vector exactly one list") {
     val emb = Tables.embeddings(spark, sf0)
     val assigned = VectorOps.ivfAssign(emb, nlist = 8)
