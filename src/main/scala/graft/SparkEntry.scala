@@ -250,6 +250,28 @@ object SparkEntry {
         "octet_length(CAST(text AS BLOB)) AS nb FROM documents) " +
         "SELECT kind, count(*) AS n_media, CAST(sum(nb) AS BIGINT) AS total_bytes, " +
         "min(nb) AS min_bytes, max(nb) AS max_bytes FROM m GROUP BY kind"),
+    // Mirrors MediaCodec.decodeStub + extractFeatures byte-for-byte:
+    // text is pure ASCII in the driver data (verified octet_length ==
+    // length at every SF), so byte i == unicode(char i+1); samples are
+    // fp32 b/255 (double-rounding-free for all 256 byte values, checked
+    // exhaustively), folds run in DOUBLE left-to-right exactly like the
+    // stub's while-loop, with one final CAST to REAL per feature.
+    "media_features" -> {
+      val slots = (0 until 8).map(j =>
+        s"CAST(CAST(list_reduce(list_transform(range(${j + 1}, len(s) + 1, 8), " +
+          s"i -> s[i]), (a, b) -> a + b) AS REAL) AS DOUBLE) AS f$j")
+        .mkString(", ")
+      "WITH m AS (SELECT doc_id AS media_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
+        "ELSE 'video' END AS kind, " +
+        "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, " +
+        "list_transform(range(1, least(length(text), 256) + 1), " +
+        "i -> CAST(CAST(unicode(substr(text, CAST(i AS INT), 1)) AS REAL) " +
+        "/ CAST(255.0 AS REAL) AS DOUBLE)) AS s FROM documents) " +
+        "SELECT media_id, kind, n_bytes, " +
+        "CAST(CAST(list_reduce(s, (a, b) -> a + b) / CAST(len(s) AS DOUBLE) " +
+        s"AS REAL) AS DOUBLE) AS mean_sample, $slots FROM m"
+    },
     "avg_len_by_lang" ->
       ("SELECT lang, round(avg(length(text)), 4) AS avg_len, count(*) AS docs " +
         "FROM documents GROUP BY lang"),

@@ -116,15 +116,22 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
           val d = MediaCodec.decodeStub(m)
-          val feat = new Array[Float](featureDim)
+          // fp64 accumulation with a single fp32 rounding at the end:
+          // better numerics than a running fp32 `+=`, and the ordered
+          // left fold is exactly mirrorable in the DuckDB oracle
+          // (list_reduce over DOUBLE, then one CAST to REAL).
+          val acc = new Array[Double](featureDim)
+          var meanAcc = 0.0
           var i = 0
           while (i < d.samples.length) {
-            feat(i % featureDim) += d.samples(i)
+            acc(i % featureDim) += d.samples(i)
+            meanAcc += d.samples(i)
             i += 1
           }
+          val feat = Array.tabulate(featureDim)(j => acc(j).toFloat)
           val mean =
             if (d.samples.isEmpty) 0f
-            else d.samples.sum / d.samples.length
+            else (meanAcc / d.samples.length).toFloat
           MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, mean, feat)
         }
       }
