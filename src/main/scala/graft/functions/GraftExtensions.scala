@@ -17,33 +17,66 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * ad-hoc per-session alternative.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions.{checkArity, foldableInt}
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_cosine", "graft_cosine(a, b)", exprs, 2)
+        CosineSim(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(p: Int,
-            org.apache.spark.sql.types.IntegerType) => LshBucket(exprs(0), p)
-        case other => throw new IllegalArgumentException(
-          s"graft_lsh_bucket(v, planes): planes must be an int literal, got $other")
-      }))
+      (exprs: Seq[Expression]) => GraftExtensions.buildLshBucket(exprs)))
     ext.injectFunction((
       FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
-      (exprs: Seq[Expression]) => (exprs(1), exprs(2)) match {
-        case (org.apache.spark.sql.catalyst.expressions.Literal(k: Int,
-            org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.catalyst.expressions.Literal(w: Int,
-            org.apache.spark.sql.types.IntegerType)) =>
-          WinnowFingerprints(exprs(0), k, w)
-        case other => throw new IllegalArgumentException(
-          s"graft_winnow(text, k, w): k and w must be int literals, got $other")
+      (exprs: Seq[Expression]) => {
+        val usage = "graft_winnow(text, k, w)"
+        checkArity("graft_winnow", usage, exprs, 3)
+        WinnowFingerprints(exprs(0),
+          foldableInt(usage, "k", exprs(1)),
+          foldableInt(usage, "w", exprs(2)))
       }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+
+  /** Analysis-friendly arity guard — a wrong-arity SQL call gets the
+    * usage string, not a raw IndexOutOfBoundsException. */
+  private[functions] def checkArity(name: String, usage: String,
+      exprs: Seq[Expression], n: Int): Unit =
+    if (exprs.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments but got ${exprs.length}; usage: $usage")
+
+  /** Constant-parameter extraction: any FOLDABLE integral expression
+    * resolves (`8`, `8L`, `CAST(8 AS TINYINT)`, `4 + 4`), not just bare
+    * int literals; anything else gets a targeted error. */
+  private[functions] def foldableInt(usage: String, arg: String,
+      e: Expression): Int = e.dataType match {
+    case ByteType | ShortType | IntegerType | LongType if e.foldable =>
+      e.eval() match {
+        case n: Number if n.longValue() == n.intValue() => n.intValue()
+        case bad => throw new IllegalArgumentException(
+          s"$usage: $arg must be a constant int, got $bad")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$usage: $arg must be a foldable integral literal, got $e")
+  }
+
+  /** Shared builder for the SQL registration paths (extensions and
+    * [[LshBucket.register]]). */
+  private[functions] def buildLshBucket(exprs: Seq[Expression]): Expression = {
+    val usage = "graft_lsh_bucket(v, planes)"
+    checkArity("graft_lsh_bucket", usage, exprs, 2)
+    LshBucket(exprs(0), foldableInt(usage, "planes", exprs(1)))
   }
 }

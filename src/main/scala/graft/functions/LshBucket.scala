@@ -62,13 +62,21 @@ case class LshBucket(child: Expression, planes: Int)
   }
 
   /** The fused kernel — also the codegen target (called through a
-    * reference to this instance, staying inside the generated stage). */
+    * reference to this instance, staying inside the generated stage).
+    *
+    * Degenerate inputs match the HOF exactly, keeping the bit-parity
+    * contract unconditional: an empty array folds to bucket 0 (the
+    * HOF's null projection falls through `when(...).otherwise(0)` on
+    * every plane), and a null element nulls every plane's fold the
+    * same way — also bucket 0. */
   def compute(arr: ArrayData): Long = {
     val n = arr.numElements()
+    if (n == 0) return 0L
     val signs = signsFor(n)
     val proj = new Array[Double](planes)
     var j = 0
     while (j < n) {
+      if (arr.isNullAt(j)) return 0L
       val x = arr.getFloat(j).toDouble
       val base = j * planes
       var p = 0
@@ -128,12 +136,5 @@ object LshBucket {
     * session (ad-hoc alternative to `GraftExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_lsh_bucket",
-      exprs => exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(p: Int,
-            org.apache.spark.sql.types.IntegerType) => LshBucket(exprs(0), p)
-        case other => throw new IllegalArgumentException(
-          s"graft_lsh_bucket(v, planes): planes must be an int literal, got $other")
-      },
-      "scala_udf")
+      "graft_lsh_bucket", GraftExtensions.buildLshBucket, "scala_udf")
 }

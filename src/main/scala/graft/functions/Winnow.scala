@@ -49,40 +49,53 @@ case class WinnowFingerprints(child: Expression, k: Int, w: Int)
   private val coeffs: Array[Long] =
     (0 until k).map(j => graft.ops.DocOps.polyPow(k - 1 - j)).toArray
 
-  /** The fused kernel — also the codegen target. */
+  /** The fused kernel — also the codegen target. O(n): the k-gram
+    * hash ROLLS (subtract the outgoing char's `B^(k-1)` term, multiply
+    * by B, add the incoming char — all mod M, identical residues to
+    * the direct sum), and the rightmost-minimum per w-window comes
+    * from a monotonic deque instead of a per-window rescan. */
   def compute(text: UTF8String): ArrayData = {
     val s = text.toString
     val n = s.length
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val nh = n - k + 1
     val hashes = new Array[Long](nh)
-    var i = 0
+    var h = 0L
+    var j = 0
+    while (j < k) { h += s.charAt(j).toLong * coeffs(j); j += 1 }
+    h %= M
+    hashes(0) = h
+    val topCoeff = coeffs(0) // B^(k-1) mod M
+    var i = 1
     while (i < nh) {
-      var h = 0L
-      var j = 0
-      while (j < k) {
-        h += s.charAt(i + j).toLong * coeffs(j)
-        j += 1
-      }
-      hashes(i) = h % M
+      var d = (h - s.charAt(i - 1).toLong * topCoeff % M) % M
+      if (d < 0) d += M
+      h = (d * 257L + s.charAt(i + k - 1).toLong) % M // d*B+c < 2^40
+      hashes(i) = h
       i += 1
     }
+    // Monotonic deque of indices with strictly increasing hashes; the
+    // `>=` pop keeps the RIGHTMOST of equal minima (the same tie-break
+    // as the rescan form), so the front is the window's selection. A
+    // pos can only be re-selected by consecutive windows, so dedupe
+    // against the last emitted.
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val dq = new Array[Int](nh)
+    var head = 0
+    var tail = 0 // live slice is dq[head until tail]
     var lastPos = -1
-    var t = w - 1
+    var t = 0
     while (t < nh) {
-      // rightmost minimum of window [t-w+1, t] — a pos can only be
-      // re-selected by consecutive windows, so dedupe against the last
-      var best = t
-      var p = t - 1
-      val lo = t - w + 1
-      while (p >= lo) {
-        if (hashes(p) < hashes(best)) best = p
-        p -= 1
-      }
-      if (best != lastPos) {
-        out += InternalRow(best.toLong, hashes(best))
-        lastPos = best
+      while (tail > head && hashes(dq(tail - 1)) >= hashes(t)) tail -= 1
+      dq(tail) = t
+      tail += 1
+      while (dq(head) < t - w + 1) head += 1
+      if (t >= w - 1) {
+        val best = dq(head)
+        if (best != lastPos) {
+          out += InternalRow(best.toLong, hashes(best))
+          lastPos = best
+        }
       }
       t += 1
     }

@@ -49,17 +49,29 @@ object Num {
   def avgRound(c: Column, scale: Int = 4): Column = {
     require(scale >= 2, s"avgRound scale must be >= 2, got $scale")
     val pow = math.round(math.pow(10, scale - 2.0))
-    val num = (sum(dec2(c)) * lit(100)).cast("long") * lit(pow)
+    val raw = (sum(dec2(c)) * lit(100)).cast("long") * lit(pow)
+    // Loud guard: the half-up `(2·num + n) div (2·n)` trick is only
+    // correct for nonnegative sums (and the DuckDB mirror's `//` would
+    // FLOOR a negative quotient while Spark's div truncates) — fail at
+    // runtime instead of silently rounding the wrong way.
+    val num = when(raw >= 0, raw).otherwise(raise_error(lit(
+      "avgRound requires a nonnegative sum (its half-up integer " +
+        "rounding and the DuckDB `//` mirror diverge on negatives)")))
     val n = count(lit(1))
     intDiv(num * lit(2L) + n, n * lit(2L)).cast("double") /
       lit(math.pow(10, scale.toDouble))
   }
 
-  /** The DuckDB mirror of [[avgRound]] (scale 4): same integer
-    * arithmetic, `//` = BIGINT division. */
-  def avgSql(sqlExpr: String, alias: String): String =
-    s"CAST((2 * CAST(sum(CAST($sqlExpr AS DECIMAL(12,2))) * 100 AS BIGINT) * 100" +
-      s" + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS $alias"
+  /** The DuckDB mirror of [[avgRound]]: same integer arithmetic,
+    * `//` = BIGINT division, powers generated from the SAME scale
+    * parameter so the two sides cannot drift. */
+  def avgSql(sqlExpr: String, alias: String, scale: Int = 4): String = {
+    require(scale >= 2, s"avgSql scale must be >= 2, got $scale")
+    val pow = math.round(math.pow(10, scale - 2.0))
+    val denom = math.round(math.pow(10, scale.toDouble))
+    s"CAST((2 * CAST(sum(CAST($sqlExpr AS DECIMAL(12,2))) * 100 AS BIGINT) * $pow" +
+      s" + count(*)) // (2 * count(*)) AS DOUBLE) / $denom.0 AS $alias"
+  }
 
   /** Exact long division (`a div b`) — Spark's `/` on integral columns
     * promotes to double, which loses exactness past 2^53. */

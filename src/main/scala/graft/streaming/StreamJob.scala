@@ -95,15 +95,19 @@ object StreamJob {
     prepared.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Empty-batch guard (P16, `5SPAR.ipynb` cell 24): skip the
-        // three output jobs + appends when the trigger had no data.
-        if (!batch.isEmpty) {
-          // Cache: the three outputs each trigger a job over this batch.
-          batch.persist()
-          try batchOutputs(batch, batchId).foreach { case (table, out) =>
-            appender(table, out)
-          } finally batch.unpersist()
-        }
+        // Cache FIRST, then probe: the three outputs each trigger a job
+        // over this batch, and persisting before the empty-batch guard
+        // (P16, `5SPAR.ipynb` cell 24) means the isEmpty take(1) WARMS
+        // the cache instead of paying an extra source scan on every
+        // non-empty microbatch.
+        batch.persist()
+        try {
+          if (!batch.isEmpty) {
+            batchOutputs(batch, batchId).foreach { case (table, out) =>
+              appender(table, out)
+            }
+          }
+        } finally batch.unpersist()
         ()
       }
       .start()

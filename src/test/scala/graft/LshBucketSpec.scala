@@ -37,6 +37,41 @@ class LshBucketSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 2L).get.isNullAt(1))
   }
 
+  test("degenerate inputs keep HOF parity: empty array and null element -> 0") {
+    val df = Seq(
+      (1L, Array.empty[java.lang.Float]),
+      (2L, Array[java.lang.Float](1.0f, null, 3.0f)),
+    ).toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = df.select(col("id"),
+      VectorOps.lshBucket(col("embedding"), 8).as("fused"),
+      VectorOps.lshBucketHof(col("embedding"), 8).as("hof"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((0L, 0L)), s"empty-array parity broke: ${out(1L)}")
+    assert(out(2L) == ((0L, 0L)), s"null-element parity broke: ${out(2L)}")
+  }
+
+  test("SQL builders take foldable integral args and report arity clearly") {
+    graft.functions.LshBucket.register(spark)
+    randVecs(5, 8, seed = 7).createOrReplaceTempView("lsh_vecs")
+    // a long literal (8L) and an arithmetic constant (4 + 4) both fold
+    val viaLong = spark.sql(
+      "SELECT graft_lsh_bucket(embedding, 8L) AS b FROM lsh_vecs")
+      .as[Long].collect().toSeq
+    val viaExpr = spark.sql(
+      "SELECT graft_lsh_bucket(embedding, 4 + 4) AS b FROM lsh_vecs")
+      .as[Long].collect().toSeq
+    val viaInt = spark.sql(
+      "SELECT graft_lsh_bucket(embedding, 8) AS b FROM lsh_vecs")
+      .as[Long].collect().toSeq
+    assert(viaLong == viaInt && viaExpr == viaInt)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_lsh_bucket(embedding) FROM lsh_vecs").collect()
+    }
+    assert(err.getMessage.contains("graft_lsh_bucket(v, planes)"),
+      s"arity error not descriptive: ${err.getMessage}")
+  }
+
   test("participates in whole-stage codegen (no interpreted HOFs)") {
     val df = spark.range(8).select(
       array((0 until 16).map(i => (col("id") + i).cast("float")): _*)
