@@ -63,6 +63,62 @@ object Bench {
       }
     }
 
+    // ---- streaming throughput ----
+    // rate source → synthesized toot JSON → the PRODUCTION path
+    // (parseJsonLines → prepare → StreamJob.start foreachBatch fan-out)
+    // with noop appenders: no output I/O, so the number is engine
+    // throughput (parse + normalize + 3 per-batch aggregates), not sink
+    // speed. The first batch (planning + codegen) is dropped; rows/s is
+    // summed input rows over summed trigger execution time.
+    val streamSecs = sys.env.getOrElse("SPARK_GRAFT_STREAM_SECS", "40").toInt
+    val streamRate = sys.env.getOrElse("SPARK_GRAFT_STREAM_RATE", "500000")
+    def streamingRowsPerSec(): Double = {
+      import org.apache.spark.sql.functions._
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-bench-ckpt").toString
+      val rate = spark.readStream.format("rate")
+        .option("rowsPerSecond", streamRate)
+        .option("numPartitions", "8")
+        .load()
+      val json = rate.select(format_string(
+        "{\"id\":%d,\"created_at\":\"%s\",\"language\":\"en\"," +
+          "\"text\":\"benchmark toot payload %d with a plausible text length\"," +
+          "\"hashtags\":[\"bench\"],\"user_id\":%d,\"username\":\"user%d\"," +
+          "\"display_name\":\"User\",\"favourites\":1,\"reblogs\":0," +
+          "\"replies\":0,\"url\":\"https://example.invalid/%d\"}",
+        col("value"),
+        date_format(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
+        col("value"), pmod(col("value"), lit(1000)),
+        pmod(col("value"), lit(1000)), col("value")).as("value"))
+      val prepared = graft.streaming.StreamJob.prepare(
+        graft.ops.TootOps.parseJsonLines(json))
+      val noop: graft.streaming.StreamJob.Appender =
+        (_, df) => df.write.format("noop").mode("overwrite").save()
+      val q = graft.streaming.StreamJob.start(prepared, noop, ckpt)
+      // Poll until enough batches completed for a stable number —
+      // progress is only reported at batch END, so a fixed sleep can
+      // catch a huge in-flight batch with nothing measured yet.
+      val deadline = System.nanoTime() + streamSecs * 1000000000L
+      while (q.recentProgress.count(_.numInputRows > 0) < 6 &&
+          System.nanoTime() < deadline && q.exception.isEmpty) {
+        Thread.sleep(250)
+      }
+      q.stop()
+      q.awaitTermination(30000)
+      q.exception.foreach(e => System.err.println(s"[bench] stream failed: $e"))
+      // Drop the first two non-empty batches (planning + codegen
+      // warm-up); rows/s over the remaining completed batches.
+      val rest = q.recentProgress.toSeq.filter(_.numInputRows > 0).drop(2)
+      val rows = rest.map(_.numInputRows).sum
+      val secs = rest.flatMap(p => Option(p.durationMs.get("triggerExecution")))
+        .map(_.toDouble / 1000.0).sum
+      if (secs <= 0) 0.0 else rows / secs
+    }
+    val streaming: Option[Double] =
+      if (streamSecs > 0 && only.forall(_.contains("streaming")))
+        Some(try streamingRowsPerSec() catch { case _: Throwable => -1.0 })
+      else None
+
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -77,8 +133,11 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = timings.values.sum
+    val streamJson = streaming
+      .map(r => f""","streaming":{"rows_per_sec":$r%.0f,"secs":$streamSecs}""")
+      .getOrElse("")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps,"sf":${jstr(sfDir)}}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps$streamJson,"sf":${jstr(sfDir)}}""")
     if (failed.nonEmpty) {
       failed.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
     }
