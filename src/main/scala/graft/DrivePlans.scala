@@ -35,7 +35,11 @@ object DrivePlans {
           "the range predicate is a post-join filter, never a cartesian."),
       ("minhash_near_dups (explode + hash-agg signatures + LSH banding)",
         "Shingles explode once; 32 min-hashes fold in one codegen'd " +
-          "aggregate; banding buckets join Σ bucket²."),
+          "aggregate; banding buckets join Σ bucket². The verify-side " +
+          "shingle sets are candidate-bounded: a LeftSemi join against " +
+          "the band-derived candidate ids prunes the collect_set build " +
+          "to O(candidates), and AQE reuses the shared band exchange " +
+          "at runtime (asserted in DedupOpsSpec)."),
       ("knn_brute (fused codegen cosine + TakeOrderedAndProject)",
         "1-row broadcast query vector; graft_cosine inside the generated " +
           "stage; per-partition top-k merge, no global sort."),
