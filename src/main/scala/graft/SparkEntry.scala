@@ -70,6 +70,8 @@ object SparkEntry {
     "token_stats_by_source" -> ((s, d) => DocOps.tokenStatsBySource(documents(s, d))),
     "quality_signals" -> ((s, d) => DocOps.qualitySignals(documents(s, d))),
     "quality_by_lang" -> ((s, d) => DocOps.qualityByLang(documents(s, d))),
+    "gopher_quality_flags" ->
+      ((s, d) => DocOps.gopherQualityFlags(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
@@ -306,6 +308,40 @@ object SparkEntry {
         "SELECT lang, round(avg(alpha_ratio), 4) AS avg_alpha_ratio, " +
         "round(min(alpha_ratio), 4) AS min_alpha_ratio, " +
         "round(max(alpha_ratio), 4) AS max_alpha_ratio FROM r GROUP BY lang"),
+    // Mirrors DocOps.gopherQualityFlags: thresholds and stop-list come
+    // from the same GopherRules constants, every ratio is a double
+    // division of the SAME integer operands (no rounding step), and
+    // the regex/split/replace semantics line up (both engines match
+    // non-overlapping leftmost; str_split/split keep trailing empties).
+    "gopher_quality_flags" -> {
+      import graft.ops.DocOps.GopherRules
+      val sw = GopherRules.stopwords.map(w =>
+        s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val mwl = "CAST(chars_no_ws AS DOUBLE) / CAST(n_words AS DOUBLE)"
+      val hr = "CAST(n_hash AS DOUBLE) / CAST(n_words AS DOUBLE)"
+      val elr = "n_ellipsis / CAST(n_lines AS DOUBLE)"
+      val awr = "CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)"
+      val dlf = "1.0 - CAST(n_dlines AS DOUBLE) / CAST(n_lines AS DOUBLE)"
+      "WITH m AS (SELECT doc_id, " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS n_words, " +
+        "length(regexp_replace(text, '\\s', '', 'g')) AS chars_no_ws, " +
+        "length(text) - length(replace(text, '#', '')) AS n_hash, " +
+        "CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0 AS n_ellipsis, " +
+        "len(str_split(text, chr(10))) AS n_lines, " +
+        "len(list_distinct(str_split(text, chr(10)))) AS n_dlines, " +
+        s"($sw) AS n_stop, " +
+        "len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS n_alpha " +
+        "FROM documents) " +
+        "SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, " +
+        s"$mwl AS mean_word_len, $hr AS hash_ratio, " +
+        s"$elr AS ellipsis_line_ratio, CAST(n_stop AS BIGINT) AS n_stopwords, " +
+        s"$awr AS alpha_word_ratio, $dlf AS dup_line_frac, " +
+        s"CAST((n_words BETWEEN ${GopherRules.minWords} AND ${GopherRules.maxWords}) " +
+        s"AND ($mwl BETWEEN 3.0 AND 10.0) AND ($hr <= 0.1) AND ($elr <= 0.3) " +
+        s"AND (n_stop >= 2) AND ($awr >= 0.8) AND ($dlf <= 0.3) AS BIGINT) AS keep " +
+        "FROM m"
+    },
     "doc_fingerprints" ->
       ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents"),

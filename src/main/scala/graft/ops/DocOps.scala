@@ -109,6 +109,50 @@ object DocOps {
       round(nChars.cast("double") / nTokens, 4).as("avg_word_len"))
   }
 
+  /** Gopher-style quality-filter flags (Rae et al. '21 §A1.1 — the
+    * published heuristics used by real training-data pipelines),
+    * adapted to the documents table: word-count bounds, mean-word-length
+    * bounds, symbol-to-word ratio, ellipsis-per-line ratio, stop-word
+    * presence, alphabetic-word ratio, duplicate-line fraction, and the
+    * combined keep decision. One scan, no shuffle, all codegen'd
+    * expressions. Every ratio is a double division of the SAME integer
+    * operands in Spark and the DuckDB oracle, so the values are
+    * bit-identical with no rounding step at all. */
+  def gopherQualityFlags(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nWords = size(split(trim(t), "\\s+"))
+    val charsNoWs = length(regexp_replace(t, "\\s", ""))
+    val nHash = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val lines = split(t, "\n", -1)
+    val nLines = size(lines)
+    val nDistinctLines = size(array_distinct(lines))
+    val nStop = GopherRules.stopwords
+      .map(w => when(lower(t).rlike(s"\\b$w\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val nAlphaWords = size(regexp_extract_all(t, lit("\\S*[A-Za-z]\\S*"), lit(0)))
+    val meanWordLen = charsNoWs.cast("double") / nWords.cast("double")
+    val hashRatio = nHash.cast("double") / nWords.cast("double")
+    val ellipsisLineRatio = nEllipsis.cast("double") / nLines.cast("double")
+    val alphaWordRatio = nAlphaWords.cast("double") / nWords.cast("double")
+    val dupLineFrac =
+      lit(1.0) - nDistinctLines.cast("double") / nLines.cast("double")
+    val keep = nWords.between(GopherRules.minWords, GopherRules.maxWords) &&
+      meanWordLen >= 3.0 && meanWordLen <= 10.0 &&
+      hashRatio <= 0.1 && ellipsisLineRatio <= 0.3 &&
+      nStop >= 2 && alphaWordRatio >= 0.8 && dupLineFrac <= 0.3
+    docs.select(
+      col("doc_id"),
+      nWords.cast("long").as("n_words"),
+      meanWordLen.as("mean_word_len"),
+      hashRatio.as("hash_ratio"),
+      ellipsisLineRatio.as("ellipsis_line_ratio"),
+      nStop.cast("long").as("n_stopwords"),
+      alphaWordRatio.as("alpha_word_ratio"),
+      dupLineFrac.as("dup_line_frac"),
+      keep.cast("long").as("keep"))
+  }
+
   /** Quality score distribution per language — corpus-level view. */
   def qualityByLang(docs: DataFrame): DataFrame =
     docs
@@ -120,6 +164,16 @@ object DocOps {
         round(avg("alpha_ratio"), 4).as("avg_alpha_ratio"),
         round(min("alpha_ratio"), 4).as("min_alpha_ratio"),
         round(max("alpha_ratio"), 4).as("max_alpha_ratio"))
+
+  /** Shared constants of [[gopherQualityFlags]] — one definition for
+    * the Spark expressions AND the DuckDB oracle generator, so the two
+    * sides cannot drift. */
+  object GopherRules {
+    val minWords = 50
+    val maxWords = 100000
+    val stopwords: Seq[String] =
+      Seq("the", "and", "to", "of", "that", "with", "have", "for")
+  }
 
   /** Canonical document fingerprint: md5 of the whitespace-collapsed,
     * lowercased text. The join key for exact near-layout dedup — cheap,

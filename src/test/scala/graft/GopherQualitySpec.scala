@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.DocOps
+
+/** Gopher-rule quality flags over planted documents: each heuristic
+  * must fire on its planted violation and pass on the good document.
+  */
+class GopherQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // 60 words, stopwords present, clean prose — passes every rule
+  private val good = (("the quick brown fox jumps over and over the lazy dog " +
+    "with great enthusiasm for every morning run that anyone have seen ") * 3).trim
+  // 10 words — fails the min-word bound
+  private val short_ = "the cat and the dog have fun with that ball"
+  // hashtag spam — fails the hash ratio
+  private val hashy = ("the post with many tags have that reach for all " +
+    "viewers and more words to pass the other rules here now okay " +
+    "#a #b #c #d #e #f #g #h #i #j #k #l #m #n #o #p #q #r " +
+    "#s #t #u #v #w #x #y #z #aa #bb #cc #dd #ee #ff #gg #hh").trim
+  // numeric noise — fails the alphabetic-word ratio
+  private val nums = ("the data and the value of that run with 1 2 3 4 5 6 7 " +
+    "8 9 10 11 12 13 14 15 16 17 18 19 20 21 22 23 24 25 26 27 28 29 30 31 " +
+    "32 33 34 35 36 37 38 39 40 41 42 43 44").trim
+  // one line duplicated many times — fails the duplicate-line fraction
+  private val dupLines = Iterator.fill(10)(
+    "the same line repeats here with that and have for all of the time")
+    .mkString("\n")
+
+  private lazy val flags = DocOps.gopherQualityFlags(
+    Seq((0L, good), (1L, short_), (2L, hashy), (3L, nums), (4L, dupLines))
+      .toDF("doc_id", "text"))
+    .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("clean prose passes every rule") {
+    assert(flags(0L).getAs[Long]("keep") == 1L,
+      s"good doc rejected: ${flags(0L)}")
+  }
+
+  test("short document fails the word-count bound") {
+    assert(flags(1L).getAs[Long]("n_words") == 10L)
+    assert(flags(1L).getAs[Long]("keep") == 0L)
+  }
+
+  test("hashtag spam fails the hash ratio") {
+    assert(flags(2L).getAs[Double]("hash_ratio") > 0.1, flags(2L).toString)
+    assert(flags(2L).getAs[Long]("keep") == 0L)
+  }
+
+  test("numeric noise fails the alphabetic-word ratio") {
+    assert(flags(3L).getAs[Double]("alpha_word_ratio") < 0.8, flags(3L).toString)
+    assert(flags(3L).getAs[Long]("keep") == 0L)
+  }
+
+  test("duplicated lines fail the dup-line fraction") {
+    assert(flags(4L).getAs[Double]("dup_line_frac") > 0.3, flags(4L).toString)
+    assert(flags(4L).getAs[Long]("keep") == 0L)
+  }
+
+  test("stopword counting sees word boundaries, not substrings") {
+    val one = DocOps.gopherQualityFlags(
+      Seq((9L, "theme android tomato often without shave forward " +
+        "bathe brandy")).toDF("doc_id", "text"))
+      .collect().head
+    assert(one.getAs[Long]("n_stopwords") == 0L, one.toString)
+  }
+}
