@@ -131,6 +131,8 @@ object SparkEntry {
       VectorOps.knnIvfWith(embeddings(s, d), ivfCentroids(s, d), 0, 10)),
     "knn_all_brute" -> ((s, d) => VectorOps.knnAllBrute(embeddings(s, d), 5)),
     "knn_all_lsh" -> ((s, d) => VectorOps.knnAllLsh(embeddings(s, d), 5)),
+    "knn_all_ivf" -> ((s, d) =>
+      VectorOps.knnAllIvf(embeddings(s, d), ivfCentroids(s, d), 5)),
     "table_profile_events" -> ((s, d) => ProfileOps.profile(events(s, d))),
     "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
     "cosine_near_dups" -> ((s, d) => VectorOps.cosineNearDups(embeddings(s, d), 0.9)),

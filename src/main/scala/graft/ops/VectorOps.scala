@@ -273,6 +273,38 @@ object VectorOps {
       Seq(col("cos_sim").desc, col("b_id").asc), k)
   }
 
+  /** Batch ANN via IVF, the coarse-quantization analogue of
+    * [[knnAllLsh]]: every vector probes its `nprobe` nearest lists
+    * (one broadcast crossJoin against the tiny centroid table, bounded
+    * per-vector by the native top-k), candidates are the vectors
+    * ASSIGNED to a probed list — an equi-join on `list_id` whose cost
+    * is Σ(probers × members) per list, never n². Because each vector
+    * is assigned to exactly ONE list, a pair can only form once — no
+    * dedup pass, unlike the LSH multi-probe. Exact rescoring with the
+    * fused cosine; per-vector result bounded by the native top-k. */
+  def knnAllIvf(embeddings: DataFrame, centroids: DataFrame, k: Int = 5,
+      nprobe: Int = 2): DataFrame = {
+    val scored = embeddings
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("list_id"),
+        cosineFused(col("embedding"), col("cv")).as("d"))
+    val probes = graft.plans.TopK.perGroup(scored, Seq(col("vec_id")),
+      Seq(col("d").desc, col("list_id").asc), nprobe)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        col("list_id"))
+    val members = graft.plans.TopK.perGroup(scored, Seq(col("vec_id")),
+      Seq(col("d").desc, col("list_id").asc), 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+        col("list_id"))
+    val pairs = probes
+      .join(members, Seq("list_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosineFused(col("va"), col("vb")), 4).as("cos_sim"))
+    graft.plans.TopK.perGroup(pairs, Seq(col("a_id")),
+      Seq(col("cos_sim").desc, col("b_id").asc), k)
+  }
+
   /** Per-label centroid of embeddings — aggregate over vector columns
     * via elementwise array aggregation (posexplode → per-dimension
     * avg). Emitted in LONG form, one (label, dim, mean_x) row per

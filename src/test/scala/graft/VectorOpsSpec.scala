@@ -108,6 +108,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(found >= 18, s"only $found/20 twins found: $got")
   }
 
+  test("knnAllIvf finds planted twins through probed lists, no dup pairs") {
+    val rnd = new scala.util.Random(31)
+    def randVec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 20L).flatMap { i =>
+      val v = randVec()
+      val twin = v.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i * 2, v, 0), (i * 2 + 1, twin, 0))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = VectorOps.learnedCentroids(df, nlist = 8, sampleMod = 1)
+    val out = VectorOps.knnAllIvf(df, cents, k = 1, nprobe = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(out.length == out.map(_._1).distinct.length,
+      "duplicate a_id rows — pair formed more than once")
+    val got = out.toMap
+    val found = (0L until 20L).count { i =>
+      got.get(i * 2).contains(i * 2 + 1) && got.get(i * 2 + 1).contains(i * 2)
+    }
+    // twins are near-identical, so they share a nearest centroid and
+    // must survive the list filter
+    assert(found >= 18, s"only $found/20 twins found: ${got.toSeq.sorted}")
+  }
+
   test("learned IVF centroids beat the sample init on planted clusters") {
     // 8 clusters on orthogonal prototype blocks, laid out in id-blocks
     // of 50 so the pmod sample init is DEGENERATE: all 16 init
