@@ -102,10 +102,14 @@ object DedupOps {
       k: Int = 3, maxDf: Long = 1000): DataFrame = {
     val inv = shingleRows(docs, k).select(col("doc_id"), xxhash64(col("sh")).as("h"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pruned = inv
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+    // df via aggregate + join, NOT a count window: the partial
+    // aggregation collapses each shingle to one row per map task
+    // before the shuffle and nothing gets sorted, where the window
+    // form shuffles AND sorts the entire inverted index; the join is
+    // co-partitioned on `h` with the self-join that follows.
+    val dfCounts = inv.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .drop("df")
+    val pruned = inv.join(dfCounts, "h").drop("df")
     val shared = pruned.as("a")
       .join(pruned.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -163,13 +167,21 @@ object DedupOps {
 
   /** Band rows annotated with their bucket size (`bsz`), degenerate
     * buckets (> maxBucket, all-identical spam) dropped — the shared
-    * input of the candidate pair join and the candidate-id pruning. */
+    * input of the candidate pair join and the candidate-id pruning.
+    * The band rows are pinned behind ONE `repartition(band_id, bucket)`
+    * exchange that the size aggregation, the size join, and the pair
+    * self-join downstream all reuse — bucket sizes come from a hash
+    * aggregate on the co-partitioned rows instead of a count window,
+    * so nothing is sorted and the band projection is computed once. */
   private def cappedBands(docs: DataFrame, numHashes: Int, bands: Int,
-      k: Int, maxBucket: Long): DataFrame =
-    minhashBands(docs, numHashes, bands, k)
-      .withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy("band_id", "bucket")))
+      k: Int, maxBucket: Long): DataFrame = {
+    val b = minhashBands(docs, numHashes, bands, k)
+      .repartition(col("band_id"), col("bucket"))
+    val sizes = b.groupBy("band_id", "bucket")
+      .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
+    b.join(sizes, Seq("band_id", "bucket"))
+  }
 
   /** Candidate near-dup pairs from band-bucket collisions: shuffle on
     * (band_id, bucket) — only docs sharing a bucket are ever paired, so
