@@ -72,6 +72,8 @@ object SparkEntry {
     "quality_by_lang" -> ((s, d) => DocOps.qualityByLang(documents(s, d))),
     "gopher_quality_flags" ->
       ((s, d) => DocOps.gopherQualityFlags(documents(s, d))),
+    "repetition_signals" ->
+      ((s, d) => DocOps.repetitionSignals(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
@@ -344,6 +346,22 @@ object SparkEntry {
         s"AND (n_stop >= 2) AND ($awr >= 0.8) AND ($dlf <= 0.3) AS BIGINT) AS keep " +
         "FROM m"
     },
+    // Mirrors DocOps.repetitionSignals: same lowercased whitespace
+    // split, raw bigram multiplicities, double divisions of identical
+    // integer operands.
+    "repetition_signals" ->
+      ("WITH w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS ws " +
+        "FROM documents), " +
+        "s AS (SELECT doc_id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct FROM w), " +
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)), " +
+        "i -> ws[i] || ' ' || ws[i + 1])) AS bg FROM w WHERE len(ws) >= 2), " +
+        "c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2), " +
+        "t AS (SELECT doc_id, max(c) AS top_c FROM c GROUP BY 1) " +
+        "SELECT s.doc_id, CAST(s.n_words AS BIGINT) AS n_words, " +
+        "1.0 - CAST(s.n_distinct AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS dup_word_frac, " +
+        "CASE WHEN s.n_words >= 2 THEN CAST(COALESCE(t.top_c, 0) AS DOUBLE) " +
+        "/ CAST(s.n_words - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac " +
+        "FROM s LEFT JOIN t USING (doc_id)"),
     "doc_fingerprints" ->
       ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents"),

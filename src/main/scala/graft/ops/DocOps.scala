@@ -165,6 +165,42 @@ object DocOps {
         round(min("alpha_ratio"), 4).as("min_alpha_ratio"),
         round(max("alpha_ratio"), 4).as("max_alpha_ratio"))
 
+  /** Repetition signals (the Gopher repetition family, Rae et al. '21
+    * §A1.1): duplicate-word fraction and the fraction of bigrams taken
+    * by the single most frequent bigram — high values mean boilerplate
+    * or degenerate generation loops. Relational shape: the bigram mode
+    * needs a per-(doc, bigram) count, so bigrams explode once and two
+    * hash aggregations (both keyed by doc_id after the first) produce
+    * the per-doc maximum; word stats ride the same scan. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val w = split(trim(lower(col("text"))), "\\s+")
+    val base = docs.select(col("doc_id"), w.as("ws"))
+    val stats = base.select(
+      col("doc_id"),
+      size(col("ws")).as("n_words"),
+      size(array_distinct(col("ws"))).as("n_distinct"))
+    // raw (non-distinct) bigrams — repetition needs multiplicities
+    val bigramArr = transform(
+      sequence(lit(0), size(col("ws")) - 2),
+      i => concat_ws(" ", element_at(col("ws"), i + 1),
+        element_at(col("ws"), i + 2)))
+    val top = base
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(bigramArr).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_c"))
+    stats.join(top, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_words").cast("long").as("n_words"),
+        (lit(1.0) - col("n_distinct").cast("double") /
+          col("n_words").cast("double")).as("dup_word_frac"),
+        when(col("n_words") >= 2,
+          coalesce(col("top_c"), lit(0L)).cast("double") /
+            (col("n_words") - 1).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Shared constants of [[gopherQualityFlags]] — one definition for
     * the Spark expressions AND the DuckDB oracle generator, so the two
     * sides cannot drift. */

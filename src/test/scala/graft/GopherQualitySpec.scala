@@ -57,6 +57,22 @@ class GopherQualitySpec extends SparkSpec {
     assert(flags(4L).getAs[Long]("keep") == 0L)
   }
 
+  test("repetitionSignals: dup words and a dominant bigram are measured") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // all distinct
+      (1L, "spam spam spam spam spam spam"),       // one word repeated
+      (2L, "one two one two one two one two"),     // dominant bigram
+    ).toDF("doc_id", "text")
+    val got = DocOps.repetitionSignals(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(got(0L).getAs[Double]("top_bigram_frac") == 0.2) // 1 of 5
+    assert(got(1L).getAs[Double]("dup_word_frac") == 1.0 - 1.0 / 6.0)
+    assert(got(1L).getAs[Double]("top_bigram_frac") == 1.0) // "spam spam" x5
+    // "one two" appears 4 times of 7 bigrams
+    assert(got(2L).getAs[Double]("top_bigram_frac") == 4.0 / 7.0)
+  }
+
   test("stopword counting sees word boundaries, not substrings") {
     val one = DocOps.gopherQualityFlags(
       Seq((9L, "theme android tomato often without shave forward " +
