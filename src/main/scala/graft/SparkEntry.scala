@@ -139,6 +139,8 @@ object SparkEntry {
     "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
     "cosine_near_dups" -> ((s, d) => VectorOps.cosineNearDups(embeddings(s, d), 0.9)),
     "label_centroids" -> ((s, d) => VectorOps.labelCentroids(embeddings(s, d))),
+    "embedding_quantize" ->
+      ((s, d) => VectorOps.quantizeEmbeddings(embeddings(s, d))),
     // ---- multimodal plumbing (north star) ----
     "media_byte_stats" -> ((s, d) => multimodal.Multimodal.byteStatsByKind(
       multimodal.Multimodal.syntheticMedia(documents(s, d)))),
@@ -563,6 +565,20 @@ object SparkEntry {
         "i -> {'d': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS s FROM embeddings) " +
         "SELECT label, CAST(s.d AS INTEGER) AS dim, round(avg(s.v), 4) AS mean_x " +
         "FROM x GROUP BY 1, 2"),
+    // Mirrors VectorOps.quantizeEmbeddings: fp64 left-fold norm,
+    // float-space max|x|, explicit floor(x/scale + 0.5) rounding.
+    "embedding_quantize" -> {
+      val qs = (0 until 8).map(j =>
+        "CASE WHEN max_abs > 0 THEN CAST(floor(CAST(embedding[" + (j + 1) +
+          "] AS DOUBLE) / (max_abs / 127.0) + 0.5) AS BIGINT) ELSE 0 " +
+          s"END AS q$j").mkString(", ")
+      "WITH m AS (SELECT vec_id, embedding, " +
+        "sqrt(list_reduce(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2_norm, " +
+        "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs " +
+        "FROM embeddings) " +
+        s"SELECT vec_id, l2_norm, max_abs, max_abs / 127.0 AS scale, $qs FROM m"
+    },
     "language_id" -> languageIdSql,
     "approx_value_percentiles" ->
       ("SELECT event_type, " +

@@ -305,6 +305,32 @@ object VectorOps {
       Seq(col("cos_sim").desc, col("b_id").asc), k)
   }
 
+  /** Int8 symmetric quantization stats per embedding — the standard
+    * storage/compression fit for large vector corpora (4× smaller than
+    * fp32, fidelity tracked by the norm): L2 norm, max |x|, the scale
+    * `max|x|/127`, and the first 8 quantized values as scalar columns
+    * (array outputs crash the driver's pandas row-sort; 8 slots prove
+    * the arithmetic, the full vector is the same expression per slot).
+    * Quantization rounds with an explicit `floor(x/scale + 0.5)` so
+    * Spark and the DuckDB oracle agree on negatives (their `round`
+    * built-ins differ there: half-up vs half-away-from-zero); norms
+    * fold left-to-right in fp64 on both sides. */
+  def quantizeEmbeddings(embeddings: DataFrame, slots: Int = 8): DataFrame = {
+    val v = col("embedding")
+    val l2 = sqrt(dot(asDouble(v), asDouble(v)))
+    val maxAbs = array_max(transform(v, abs(_))).cast("double")
+    val scale = maxAbs / lit(127.0)
+    val qs = (0 until slots).map { j =>
+      when(scale > 0,
+        floor(element_at(v, j + 1).cast("double") / scale + lit(0.5))
+          .cast("long"))
+        .otherwise(lit(0L)).as(s"q$j")
+    }
+    embeddings.select(
+      Seq(col("vec_id"), l2.as("l2_norm"), maxAbs.as("max_abs"),
+        scale.as("scale")) ++ qs: _*)
+  }
+
   /** Per-label centroid of embeddings — aggregate over vector columns
     * via elementwise array aggregation (posexplode → per-dimension
     * avg). Emitted in LONG form, one (label, dim, mean_x) row per

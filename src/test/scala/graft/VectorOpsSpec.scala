@@ -162,6 +162,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(learned >= 0.6, s"learned recall too low: $learned")
   }
 
+  test("quantizeEmbeddings: scale fits max|x|, negatives round half-up, zero vec safe") {
+    val df = Seq(
+      (0L, Array(1.27f, -1.27f, 0.635f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), 0), // zero vector -> scale 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.quantizeEmbeddings(df, slots = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val r0 = got(0L)
+    assert(math.abs(r0.getAs[Double]("scale") - 0.01) < 1e-9)
+    assert(r0.getAs[Long]("q0") == 127L)
+    assert(r0.getAs[Long]("q1") == -127L)
+    // 0.635/0.01 = 63.5 -> floor(64.0) = 64 (half-up, both engines)
+    assert(r0.getAs[Long]("q2") == 64L)
+    assert(r0.getAs[Long]("q3") == 0L)
+    val r1 = got(1L)
+    assert(r1.getAs[Double]("scale") == 0.0 && r1.getAs[Long]("q0") == 0L)
+    assert(r1.getAs[Double]("l2_norm") == 0.0)
+  }
+
   test("ivfAssign gives every vector exactly one list") {
     val emb = Tables.embeddings(spark, sf0)
     val assigned = VectorOps.ivfAssign(emb, nlist = 8)
