@@ -40,13 +40,23 @@ object JoinOps {
     * lineitem); lineitem⋈orders shuffles on the order key. */
   def revenueByMktSegment(li: DataFrame, orders: DataFrame,
       customer: DataFrame): DataFrame =
-    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+    // Eager aggregation (a rewrite Catalyst does not do itself): sum
+    // the per-order revenue BEFORE the fact⋈fact join, so the shuffle
+    // carries one narrow row per order instead of every lineitem —
+    // exact, because the decimal sums are associative. At 100 TB this
+    // is the difference between shuffling the whole lineitem table and
+    // shuffling ~a quarter of it at 32 bytes a row.
+    li.groupBy(col("l_orderkey"))
+      .agg(
+        sum(Num.dec2(col("l_extendedprice")) *
+          Num.oneMinus(col("l_discount"))).as("rev_order"),
+        count(lit(1)).as("n_order_lines"))
+      .join(orders, col("l_orderkey") === orders("o_orderkey"))
       .join(maybeBroadcast(customer), orders("o_custkey") === customer("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
-        Num.sumRound(Num.dec2(col("l_extendedprice")) *
-          Num.oneMinus(col("l_discount")), 2).as("revenue"),
-        count(lit(1)).as("n_lines"))
+        Num.sumRound(col("rev_order"), 2).as("revenue"),
+        sum(col("n_order_lines")).as("n_lines"))
 
   /** Revenue per nation/region: the full star
     * lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region with every dim
