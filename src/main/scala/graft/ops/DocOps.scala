@@ -301,12 +301,15 @@ object DocOps {
     * dropped — at corpus scale this bounds the hot posting lists). */
   def winnowNearDups(docs: DataFrame, k: Int = 12, w: Int = 8,
       minShared: Int = 8, maxDf: Int = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // df via aggregate + join, not a count window: nothing gets
+    // sorted, and the single repartition(fp) exchange is reused by the
+    // size aggregation, the size join, and the pair self-join below.
     val fps = winnowedFingerprints(docs, k, w)
       .select(col("doc_id"), col("fp")).distinct()
-    val pruned = fps
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("fp")))
+      .repartition(col("fp"))
+    val sizes = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    val pruned = fps.join(sizes, Seq("fp")).drop("df")
     val a = pruned.select(col("doc_id").as("a_id"), col("fp"))
     val b = pruned.select(col("doc_id").as("b_id"), col("fp"))
     a.join(b, Seq("fp"))
