@@ -74,6 +74,7 @@ object SparkEntry {
       ((s, d) => DocOps.gopherQualityFlags(documents(s, d))),
     "repetition_signals" ->
       ((s, d) => DocOps.repetitionSignals(documents(s, d))),
+    "scrub_pii" -> ((s, d) => DocOps.scrubPii(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
@@ -364,6 +365,20 @@ object SparkEntry {
         "CASE WHEN s.n_words >= 2 THEN CAST(COALESCE(t.top_c, 0) AS DOUBLE) " +
         "/ CAST(s.n_words - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac " +
         "FROM s LEFT JOIN t USING (doc_id)"),
+    // Mirrors DocOps.scrubPii: same RE2-safe patterns (shared
+    // PiiPatterns constants), same progressive URL→email→phone order.
+    "scrub_pii" -> {
+      import graft.ops.DocOps.PiiPatterns
+      s"WITH a AS (SELECT doc_id, len(regexp_extract_all(text, '${PiiPatterns.url}')) AS n_urls, " +
+        s"regexp_replace(text, '${PiiPatterns.url}', '<URL>', 'g') AS t1 FROM documents), " +
+        s"b AS (SELECT doc_id, n_urls, len(regexp_extract_all(t1, '${PiiPatterns.email}')) AS n_emails, " +
+        s"regexp_replace(t1, '${PiiPatterns.email}', '<EMAIL>', 'g') AS t2 FROM a), " +
+        s"c AS (SELECT doc_id, n_urls, n_emails, len(regexp_extract_all(t2, '${PiiPatterns.phone}')) AS n_phones, " +
+        s"regexp_replace(t2, '${PiiPatterns.phone}', '<PHONE>', 'g') AS scrubbed FROM b) " +
+        "SELECT doc_id, CAST(n_urls AS BIGINT) AS n_urls, " +
+        "CAST(n_emails AS BIGINT) AS n_emails, CAST(n_phones AS BIGINT) AS n_phones, " +
+        "scrubbed FROM c"
+    },
     "doc_fingerprints" ->
       ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents"),

@@ -201,6 +201,37 @@ object DocOps {
           .otherwise(lit(0.0)).as("top_bigram_frac"))
   }
 
+  /** Shared regex patterns of [[scrubPii]] — one definition for the
+    * Spark expressions AND the DuckDB oracle (both RE2-compatible: no
+    * backreferences or lookaround). */
+  object PiiPatterns {
+    val url = "https?://[^\\s]+"
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\b\\d{3}[-. ]?\\d{3}[-. ]?\\d{4}\\b"
+  }
+
+  /** PII/link scrubbing — the redaction pass of a training-data
+    * pipeline: URLs → `<URL>`, emails → `<EMAIL>`, NANP-style phone
+    * numbers → `<PHONE>`, with per-doc match counts. Progressive order
+    * (URLs first) so an email-shaped userinfo inside a URL is counted
+    * once; each stage counts on the PREVIOUS stage's output. Pure
+    * codegen'd regex expressions, one scan, no shuffle. */
+  def scrubPii(docs: DataFrame): DataFrame = {
+    val t0 = col("text")
+    val nUrls = size(regexp_extract_all(t0, lit(PiiPatterns.url), lit(0)))
+    val t1 = regexp_replace(t0, PiiPatterns.url, "<URL>")
+    val nEmails = size(regexp_extract_all(t1, lit(PiiPatterns.email), lit(0)))
+    val t2 = regexp_replace(t1, PiiPatterns.email, "<EMAIL>")
+    val nPhones = size(regexp_extract_all(t2, lit(PiiPatterns.phone), lit(0)))
+    val t3 = regexp_replace(t2, PiiPatterns.phone, "<PHONE>")
+    docs.select(
+      col("doc_id"),
+      nUrls.cast("long").as("n_urls"),
+      nEmails.cast("long").as("n_emails"),
+      nPhones.cast("long").as("n_phones"),
+      t3.as("scrubbed"))
+  }
+
   /** Shared constants of [[gopherQualityFlags]] — one definition for
     * the Spark expressions AND the DuckDB oracle generator, so the two
     * sides cannot drift. */

@@ -73,6 +73,29 @@ class GopherQualitySpec extends SparkSpec {
     assert(got(2L).getAs[Double]("top_bigram_frac") == 4.0 / 7.0)
   }
 
+  test("scrubPii redacts URLs, emails, and phones progressively") {
+    val docs = Seq(
+      (0L, "mail john.doe+x@example.com or visit https://ex.com/a?b=c#d now"),
+      (1L, "call 415-555-1234 or 4155551234 today"),
+      (2L, "https://user:pw@host.com/path is one URL, not an email"),
+      (3L, "nothing sensitive here at all"),
+    ).toDF("doc_id", "text")
+    val got = DocOps.scrubPii(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(0L).getAs[Long]("n_urls") == 1L)
+    assert(got(0L).getAs[Long]("n_emails") == 1L)
+    val s0 = got(0L).getAs[String]("scrubbed")
+    assert(s0.contains("<EMAIL>") && s0.contains("<URL>"), s0)
+    assert(!s0.contains("example.com") && !s0.contains("ex.com"), s0)
+    assert(got(1L).getAs[Long]("n_phones") == 2L)
+    assert(got(1L).getAs[String]("scrubbed")
+      == "call <PHONE> or <PHONE> today")
+    // the URL scrub runs first, so its userinfo is not counted as email
+    assert(got(2L).getAs[Long]("n_urls") == 1L)
+    assert(got(2L).getAs[Long]("n_emails") == 0L)
+    assert(got(3L).getAs[String]("scrubbed") == "nothing sensitive here at all")
+  }
+
   test("stopword counting sees word boundaries, not substrings") {
     val one = DocOps.gopherQualityFlags(
       Seq((9L, "theme android tomato often without shave forward " +
