@@ -99,6 +99,8 @@ object SparkEntry {
     "tpch_q3" -> ((s, d) =>
       JoinOps.tpchQ3(lineitem(s, d), orders(s, d), customer(s, d))),
     "tpch_q5" -> ((s, d) => JoinOps.tpchQ5(s, d)),
+    "tpch_q10" -> ((s, d) => JoinOps.tpchQ10(
+      lineitem(s, d), orders(s, d), customer(s, d), Tables.nation(s, d))),
     "top_bigrams_by_lang" -> ((s, d) =>
       DocOps.topBigramsByLang(documents(s, d), 5)),
     "top_orders_native" -> ((s, d) => {
@@ -446,6 +448,16 @@ object SparkEntry {
         "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
         "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' " +
         "GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "tpch_q10" ->
+      ("SELECT c_custkey, c_name, n_name, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' " +
+        "AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00' " +
+        "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"),
     "tpch_q5" ->
       ("SELECT n_name, " +
         "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue " +

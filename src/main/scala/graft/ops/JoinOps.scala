@@ -116,6 +116,33 @@ object JoinOps {
       .agg(Num.sumRound(Num.dec2(col("l_extendedprice")) *
         Num.oneMinus(col("l_discount")), 2).as("revenue"))
 
+  /** TPC-H Q10 (returned-item reporting) adapted to the driver schema:
+    * customers ranked by revenue lost to returns in a quarter — the
+    * lineitem⋈orders⋈customer⋈nation shape with an ordered limit.
+    * The time-sliced orders side is the SMALL side (one quarter), so
+    * it goes through the broadcast stats guard and the R-filtered
+    * lineitem scan joins it map-side with no fact shuffle at all;
+    * nation broadcasts unconditionally (25 rows at any SF), customer
+    * through the guard; one aggregation after the joins (exact decimal
+    * sums), and the top-k plans TakeOrderedAndProject. Beyond the
+    * broadcast threshold the guard falls back to the planner's shuffle
+    * join. */
+  def tpchQ10(li: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, from: String = "1997-07-01",
+      until: String = "1997-10-01", k: Int = 20): DataFrame =
+    li.filter(col("l_returnflag") === "R")
+      .join(maybeBroadcast(orders.filter(
+        col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(until).cast("timestamp"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(maybeBroadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(Num.sumRound(Num.dec2(col("l_extendedprice")) *
+        Num.oneMinus(col("l_discount")), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+
   /** TPC-H Q3 (shipping priority) adapted to the driver schema: the
     * composite filter→join→aggregate→ordered-limit shape. Dims
     * broadcast, one fact shuffle, TakeOrderedAndProject top-10. */
