@@ -58,6 +58,7 @@ object SparkEntry {
       ((s, d) => EventOps.sessionWindowStats(events(s, d), 30)),
     "user_type_pivot" -> ((s, d) => EventOps.userTypePivot(events(s, d))),
     "value_percentiles" -> ((s, d) => EventOps.valuePercentiles(events(s, d))),
+    "value_histogram" -> ((s, d) => EventOps.valueHistogram(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
     "range_join_pairs" -> ((s, d) => EventOps.rangeJoinPairs(events(s, d), 60)),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
@@ -241,6 +242,10 @@ object SparkEntry {
         "round(quantile_cont(value, 0.9), 4) AS p90, " +
         "round(quantile_cont(value, 0.99), 4) AS p99 " +
         "FROM events GROUP BY event_type"),
+    "value_histogram" ->
+      ("SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket, " +
+        "floor(value / 50.0) * 50.0 AS lo, count(*) AS n " +
+        "FROM events GROUP BY 1, 2, 3"),
     "asof_last_purchase" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM (" +
         "SELECT user_id, ts, event_id, value, row_number() OVER (" +

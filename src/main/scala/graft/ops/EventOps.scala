@@ -227,6 +227,20 @@ object EventOps {
         round(percentile(col("value"), lit(0.9)), 4).as("p90"),
         round(percentile(col("value"), lit(0.99)), 4).as("p99"))
 
+  /** Fixed-width histogram of `value` per event type — the profiling
+    * companion of the percentile queries: bucket = floor(value/width),
+    * one partial+final hash aggregation (each map task emits at most
+    * types × buckets rows), trivially parallel at any scale. The
+    * `floor` of a double is identical in Spark and DuckDB, so the
+    * bucket edges cannot disagree. */
+  def valueHistogram(events: DataFrame, width: Double = 50.0): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        floor(col("value") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("bucket"),
+        (col("bucket") * lit(width)).as("lo"), col("n"))
+
   /** As-of join: for every event, the most recent STRICTLY-earlier
     * 'purchase' event of the same user. Spark lacks a native as-of
     * join; rather than a per-key collect or a nested-loop range join,

@@ -44,6 +44,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n$plan")
   }
 
+  test("tpch_q10: joins broadcast under the guard, top-k is TakeOrdered") {
+    val plan = planOf(JoinOps.tpchQ10(
+      Tables.lineitem(spark, sf0), Tables.orders(spark, sf0),
+      Tables.customer(spark, sf0), Tables.nation(spark, sf0)))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected 3 broadcast joins, got $broadcasts\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the only exchange allowed is the final aggregation's
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"unexpected fact shuffle ($exchanges):\n$plan")
+  }
+
   test("ordered limit plans TakeOrderedAndProject, not a global sort") {
     val plan = planOf(AggOps.topOrdersByPrice(Tables.orders(spark, sf0), 10))
     assert(plan.contains("TakeOrderedAndProject"), plan)
