@@ -47,23 +47,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try {
-        runOnce(fn) // per-query warm-up: JIT + codegen for THIS plan
-        val runs = Seq.fill(math.max(1, reps))(runOnce(fn)).sorted
-        timings(name) = runs(runs.length / 2) // median
-      } catch {
-        case e: Throwable =>
-          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.take(1).mkString.take(200)
-      }
-    }
-
     // ---- streaming throughput ----
+    // Measured BEFORE the batch queries: after ~80 batch plans the JVM
+    // carries GC/codegen-cache pressure that halves the observed
+    // rows/s (221k vs 480k measured), so the fresh-session number is
+    // the stable, comparable one.
     // rate source → synthesized toot JSON → the PRODUCTION path
     // (parseJsonLines → prepare → StreamJob.start foreachBatch fan-out)
     // with noop appenders: no output I/O, so the number is engine
@@ -118,6 +106,22 @@ object Bench {
       if (streamSecs > 0 && only.forall(_.contains("streaming")))
         Some(try streamingRowsPerSec() catch { case _: Throwable => -1.0 })
       else None
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+      try {
+        runOnce(fn) // per-query warm-up: JIT + codegen for THIS plan
+        val runs = Seq.fill(math.max(1, reps))(runOnce(fn)).sorted
+        timings(name) = runs(runs.length / 2) // median
+      } catch {
+        case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(1).mkString.take(200)
+      }
+    }
 
     def jstr(s: String): String =
       "\"" + s.flatMap {
