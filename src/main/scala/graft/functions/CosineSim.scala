@@ -54,6 +54,9 @@ case class CosineSim(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      // null element → null result (the HOF composition's behavior);
+      // getFloat on a null slot would read garbage
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -71,16 +74,19 @@ case class CosineSim(left: Expression, right: Expression)
       val na = ctx.freshName("na")
       val nb = ctx.freshName("nb")
       val denom = ctx.freshName("denom")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
          |  double x = (double) $a.getFloat($i);
          |  double y = (double) $b.getFloat($i);
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |if ($denom == 0.0) { ${ev.isNull} = true; }
+         |if ($hasNull || $denom == 0.0) { ${ev.isNull} = true; }
          |else { ${ev.value} = $dot / $denom; }
        """.stripMargin
     })

@@ -55,6 +55,23 @@ class CosineSimSpec extends SparkSpec {
     assert(out.head.isNullAt(0))
   }
 
+  test("null ELEMENTS propagate null in both eval paths (HOF behavior)") {
+    val df = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f),
+        Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f, 3.0f),
+        Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+    ).toDF("id", "a", "b")
+      .select(col("id"),
+        col("a").cast("array<float>").as("a"),
+        col("b").cast("array<float>").as("b"))
+    val out = df.select(col("id"),
+      CosineSim.cosineFused(col("a"), col("b")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(1L), "null element must yield null, not garbage-0 arithmetic")
+    assert(!out(2L))
+  }
+
   test("registered SQL function graft_cosine works") {
     CosineSim.register(spark)
     vecs.createOrReplaceTempView("cs_vecs")
