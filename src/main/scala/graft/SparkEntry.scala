@@ -76,6 +76,7 @@ object SparkEntry {
     "repetition_signals" ->
       ((s, d) => DocOps.repetitionSignals(documents(s, d))),
     "scrub_pii" -> ((s, d) => DocOps.scrubPii(documents(s, d))),
+    "vocab_stats_by_lang" -> ((s, d) => DocOps.vocabStatsByLang(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
@@ -372,6 +373,17 @@ object SparkEntry {
         "CASE WHEN s.n_words >= 2 THEN CAST(COALESCE(t.top_c, 0) AS DOUBLE) " +
         "/ CAST(s.n_words - 1 AS DOUBLE) ELSE 0.0 END AS top_bigram_frac " +
         "FROM s LEFT JOIN t USING (doc_id)"),
+    // Mirrors DocOps.vocabStatsByLang: same lowercased split, counts
+    // cast to BIGINT, ratio as a double division of identical ints.
+    "vocab_stats_by_lang" ->
+      ("WITH w AS (SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w " +
+        "FROM documents), " +
+        "c AS (SELECT lang, w, count(*) AS c FROM w GROUP BY 1, 2) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS vocab, " +
+        "CAST(sum(c) AS BIGINT) AS total_tokens, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, " +
+        "CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS type_token_ratio " +
+        "FROM c GROUP BY lang"),
     // Mirrors DocOps.scrubPii: same RE2-safe patterns (shared
     // PiiPatterns constants), same progressive URL→email→phone order.
     "scrub_pii" -> {

@@ -153,6 +153,25 @@ object DocOps {
       keep.cast("long").as("keep"))
   }
 
+  /** Corpus vocabulary accounting per language: vocabulary size,
+    * total token count, hapax legomena (words seen once), and the
+    * type-token ratio — the Zipf-curve health stats of a training
+    * corpus. Two hash aggregations: (lang, word) counts collapse
+    * map-side (partial agg absorbs the stopword skew), then a tiny
+    * per-lang rollup. */
+  def vocabStatsByLang(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"), explode(DedupOps.tokens(col("text"))).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum("c").as("total_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("lang"), col("vocab"), col("total_tokens"), col("hapax"),
+        (col("vocab").cast("double") / col("total_tokens").cast("double"))
+          .as("type_token_ratio"))
+
   /** Quality score distribution per language — corpus-level view. */
   def qualityByLang(docs: DataFrame): DataFrame =
     docs
