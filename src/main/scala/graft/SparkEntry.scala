@@ -77,6 +77,7 @@ object SparkEntry {
       ((s, d) => DocOps.repetitionSignals(documents(s, d))),
     "scrub_pii" -> ((s, d) => DocOps.scrubPii(documents(s, d))),
     "vocab_stats_by_lang" -> ((s, d) => DocOps.vocabStatsByLang(documents(s, d))),
+    "dataset_splits" -> ((s, d) => DocOps.datasetSplits(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
@@ -384,6 +385,13 @@ object SparkEntry {
         "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax, " +
         "CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS type_token_ratio " +
         "FROM c GROUP BY lang"),
+    // Mirrors DocOps.datasetSplits: the Knuth multiplicative bucket is
+    // pure integer arithmetic — identical in any engine.
+    "dataset_splits" ->
+      ("SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bucket, " +
+        "CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train' " +
+        "WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val' " +
+        "ELSE 'test' END AS split FROM documents"),
     // Mirrors DocOps.scrubPii: same RE2-safe patterns (shared
     // PiiPatterns constants), same progressive URL→email→phone order.
     "scrub_pii" -> {

@@ -261,6 +261,25 @@ object DocOps {
       Seq("the", "and", "to", "of", "that", "with", "have", "for")
   }
 
+  /** Deterministic train/val/test assignment — the reproducible-split
+    * primitive of a dataset pipeline. The bucket is a Knuth
+    * multiplicative hash of the id (`id * 2654435761 mod 2^32 mod
+    * 100`): pure integer arithmetic, identical in any engine, stable
+    * across runs/partitionings, and independent of row order — unlike
+    * `rand(seed)` or `randomSplit`, which change with the partition
+    * layout. Default 90/5/5. */
+  def datasetSplits(docs: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
+      lit(4294967296L)), lit(100))
+    docs.select(
+      col("doc_id"),
+      bucket.cast("long").as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Canonical document fingerprint: md5 of the whitespace-collapsed,
     * lowercased text. The join key for exact near-layout dedup — cheap,
     * deterministic, oracle-checkable. */

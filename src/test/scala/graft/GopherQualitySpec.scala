@@ -96,6 +96,20 @@ class GopherQualitySpec extends SparkSpec {
     assert(got(3L).getAs[String]("scrubbed") == "nothing sensitive here at all")
   }
 
+  test("datasetSplits is deterministic, order-independent, roughly 90/5/5") {
+    val docs = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = DocOps.datasetSplits(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // identical assignment after a different partition layout
+    val b = DocOps.datasetSplits(docs.repartition(17))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(a == b, "split assignment depends on partitioning")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.03, frac.toString)
+    assert(math.abs(frac("val") - 0.05) < 0.02, frac.toString)
+    assert(math.abs(frac("test") - 0.05) < 0.02, frac.toString)
+  }
+
   test("stopword counting sees word boundaries, not substrings") {
     val one = DocOps.gopherQualityFlags(
       Seq((9L, "theme android tomato often without shave forward " +
