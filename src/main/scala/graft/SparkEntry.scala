@@ -26,13 +26,20 @@ object SparkEntry {
     * ANN library's fit step): learn on first use per dataset dir,
     * reuse thereafter — so repeated `knn_ivf` calls (and the bench's
     * timed reps, whose warm-up run absorbs the fit) measure query-time
-    * search, not a per-query re-fit. The cached table is driver-local
-    * nlist×dim floats. */
+    * search, not a per-query re-fit. The cache holds the COLLECTED
+    * nlist×dim floats, not a DataFrame — a DataFrame is bound to the
+    * session that built it, so caching one would hand a second
+    * SparkSession in the same JVM a plan from a possibly-stopped
+    * session; the plain Seq is session-free and rebuilt per caller. */
   private val ivfCentroidCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Float])]]
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     ivfCentroidCache.getOrElseUpdate(d,
-      VectorOps.learnedCentroids(embeddings(s, d), nlist = 16))
+        VectorOps.learnedCentroids(embeddings(s, d), nlist = 16)
+          .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1))
+      .toDF("list_id", "cv")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: event analytics (SURVEY §2.4-2.6) ----
@@ -275,9 +282,13 @@ object SparkEntry {
     // exhaustively), folds run in DOUBLE left-to-right exactly like the
     // stub's while-loop, with one final CAST to REAL per feature.
     "media_features" -> {
+      // Each slot/mean fold is guarded: DuckDB's list_reduce ERRORS on
+      // an empty list, so a doc shorter than j+1 chars (or empty) must
+      // short-circuit to the stub's 0.0 instead of evaluating the fold.
       val slots = (0 until 8).map(j =>
-        s"CAST(CAST(list_reduce(list_transform(range(${j + 1}, len(s) + 1, 8), " +
-          s"i -> s[i]), (a, b) -> a + b) AS REAL) AS DOUBLE) AS f$j")
+        s"CASE WHEN len(s) < ${j + 1} THEN 0.0 ELSE " +
+          s"CAST(CAST(list_reduce(list_transform(range(${j + 1}, len(s) + 1, 8), " +
+          s"i -> s[i]), (a, b) -> a + b) AS REAL) AS DOUBLE) END AS f$j")
         .mkString(", ")
       "WITH m AS (SELECT doc_id AS media_id, " +
         "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' " +
@@ -287,8 +298,9 @@ object SparkEntry {
         "i -> CAST(CAST(unicode(substr(text, CAST(i AS INT), 1)) AS REAL) " +
         "/ CAST(255.0 AS REAL) AS DOUBLE)) AS s FROM documents) " +
         "SELECT media_id, kind, n_bytes, " +
+        "CASE WHEN len(s) = 0 THEN 0.0 ELSE " +
         "CAST(CAST(list_reduce(s, (a, b) -> a + b) / CAST(len(s) AS DOUBLE) " +
-        s"AS REAL) AS DOUBLE) AS mean_sample, $slots FROM m"
+        s"AS REAL) AS DOUBLE) END AS mean_sample, $slots FROM m"
     },
     "avg_len_by_lang" ->
       ("SELECT lang, round(avg(length(text)), 4) AS avg_len, count(*) AS docs " +
@@ -386,12 +398,18 @@ object SparkEntry {
         "CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS type_token_ratio " +
         "FROM c GROUP BY lang"),
     // Mirrors DocOps.datasetSplits: the Knuth multiplicative bucket is
-    // pure integer arithmetic — identical in any engine.
+    // pure integer arithmetic — identical in any engine. Same split
+    // 16-bit-halves multiply as the Spark side, so neither engine can
+    // overflow BIGINT no matter how large doc_id grows.
     "dataset_splits" ->
-      ("SELECT doc_id, (doc_id * 2654435761) % 4294967296 % 100 AS bucket, " +
-        "CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'train' " +
-        "WHEN (doc_id * 2654435761) % 4294967296 % 100 < 95 THEN 'val' " +
-        "ELSE 'test' END AS split FROM documents"),
+      ("SELECT doc_id, bucket, " +
+        "CASE WHEN bucket < 90 THEN 'train' " +
+        "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, " +
+        "((CAST(floor((doc_id % 4294967296) / 65536) AS BIGINT) " +
+        "* 2654435761) % 65536 * 65536 " +
+        "+ (doc_id % 4294967296) % 65536 * 2654435761) " +
+        "% 4294967296 % 100 AS bucket FROM documents)"),
     // Mirrors DocOps.scrubPii: same RE2-safe patterns (shared
     // PiiPatterns constants), same progressive URL→email→phone order.
     "scrub_pii" -> {

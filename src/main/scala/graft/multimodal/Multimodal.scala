@@ -57,11 +57,13 @@ object Multimodal {
       * executor, every run, same output. Replace with a real codec
       * (e.g. javax.imageio / ffmpeg bindings) in production. */
     def decodeStub(m: MediaFile): Decoded = {
-      val n = math.max(1, math.min(m.bytes.length, 256))
+      // Empty payload -> empty samples (downstream features/mean fold
+      // to 0), not a modulo-by-zero crash.
+      val n = math.min(m.bytes.length, 256)
       val samples = new Array[Float](n)
       var i = 0
       while (i < n) {
-        samples(i) = (m.bytes(i % m.bytes.length) & 0xFF) / 255.0f
+        samples(i) = (m.bytes(i) & 0xFF) / 255.0f
         i += 1
       }
       val w = if (m.width > 0) m.width else math.max(1, math.sqrt(n.toDouble).toInt)

@@ -267,10 +267,23 @@ object DocOps {
     * 100`): pure integer arithmetic, identical in any engine, stable
     * across runs/partitionings, and independent of row order — unlike
     * `rand(seed)` or `randomSplit`, which change with the partition
-    * layout. Default 90/5/5. */
+    * layout. Default 90/5/5.
+    *
+    * The 32×32-bit multiply is split into 16-bit halves so every
+    * intermediate stays below 2^48: a naive `doc_id * 2654435761`
+    * overflows a signed long for ids ≳ 3.47e9 — wrapping (or, under
+    * ANSI mode, throwing) exactly where a 100 TB corpus would have
+    * ids that large, and diverging from engines that raise on BIGINT
+    * overflow. (floor-div by 65536 is a power-of-two scale, exact in
+    * any arithmetic.) */
   def datasetSplits(docs: DataFrame, trainPct: Int = 90,
       valPct: Int = 5): DataFrame = {
-    val bucket = pmod(pmod(col("doc_id") * lit(2654435761L),
+    val c = 2654435761L
+    val a = pmod(col("doc_id"), lit(4294967296L)) // unsigned-32 space
+    val aHi = floor(a / lit(65536L)).cast("long")
+    val aLo = pmod(a, lit(65536L))
+    val bucket = pmod(pmod(
+      pmod(aHi * c, lit(65536L)) * 65536L + aLo * c,
       lit(4294967296L)), lit(100))
     docs.select(
       col("doc_id"),

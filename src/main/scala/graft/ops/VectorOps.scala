@@ -121,8 +121,12 @@ object VectorOps {
     * bounded driver loop `ml.clustering.KMeans` runs, NOT a data
     * collect, so the pattern holds at 100 TB (where one would also
     * subsample harder). Lists that go empty keep their previous
-    * centroid. Fully deterministic: init, sample and tie-breaks are
-    * id-based, no RNG. */
+    * centroid. Deterministic up to floating-point reduction order:
+    * init, sample and tie-breaks are id-based with no RNG, but the
+    * per-dimension `avg` reduces in partition/merge order, so centroids
+    * (and downstream IVF assignments on near-ties) can differ across
+    * partition layouts by ulps — the same caveat every distributed
+    * mean (incl. ml.KMeans) carries. */
   def learnedCentroids(embeddings: DataFrame, nlist: Int = 16,
       iters: Int = 3, sampleMod: Int = 4): DataFrame = {
     val session = embeddings.sparkSession

@@ -110,6 +110,21 @@ class GopherQualitySpec extends SparkSpec {
     assert(math.abs(frac("test") - 0.05) < 0.02, frac.toString)
   }
 
+  test("datasetSplits matches the exact Knuth hash on overflow-range ids") {
+    // ids ≳ 3.47e9 overflow a naive doc_id * 2654435761 in signed
+    // 64-bit; the split-multiply must still equal the mathematical
+    // (id * C) mod 2^32 mod 100 computed in unbounded integers.
+    val ids = Seq(0L, 1L, 3470000000L, 4294967295L, 4294967296L,
+      1234567890123L, Long.MaxValue)
+    val got = DocOps.datasetSplits(ids.map(i => (i, "x")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      val want = ((BigInt(id) * BigInt(2654435761L))
+        .mod(BigInt(4294967296L)).mod(BigInt(100))).toLong
+      assert(got(id) == want, s"doc_id=$id: got ${got(id)}, want $want")
+    }
+  }
+
   test("stopword counting sees word boundaries, not substrings") {
     val one = DocOps.gopherQualityFlags(
       Seq((9L, "theme android tomato often without shave forward " +

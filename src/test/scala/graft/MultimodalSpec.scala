@@ -49,6 +49,17 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 4)
   }
 
+  test("decode stub: empty payload decodes to zero features, no crash") {
+    val m = MediaFile(7L, "image", Array.empty[Byte], "x", 0, 0, 0)
+    val d = MediaCodec.decodeStub(m)
+    assert(d.samples.isEmpty)
+    val feats = Multimodal.extractFeatures(Seq(m).toDS(), featureDim = 8)
+      .collect().head
+    assert(feats.n_bytes == 0L)
+    assert(feats.mean_sample == 0f)
+    assert(feats.feature.toSeq == Seq.fill(8)(0f))
+  }
+
   test("byteStatsByKind aggregates binary lengths") {
     val stats = Multimodal.byteStatsByKind(Multimodal.syntheticMedia(docs))
       .collect().map(r => r.getAs[String]("kind") ->
