@@ -343,9 +343,10 @@ object SparkEntry {
     // non-overlapping leftmost; str_split/split keep trailing empties).
     "gopher_quality_flags" -> {
       import graft.ops.DocOps.GopherRules
-      val sw = GopherRules.stopwords.map(w =>
-        s"(CASE WHEN regexp_matches(lower(text), '\\b$w\\b') THEN 1 ELSE 0 END)")
-        .mkString(" + ")
+      // Same fused single-pass stopword count as the Spark side: one
+      // extract-all over the shared alternation, distinct, length.
+      val sw = "len(list_distinct(regexp_extract_all(lower(text), " +
+        s"'${GopherRules.stopwordPattern}', 1)))"
       val mwl = "CAST(chars_no_ws AS DOUBLE) / CAST(n_words AS DOUBLE)"
       val hr = "CAST(n_hash AS DOUBLE) / CAST(n_words AS DOUBLE)"
       val elr = "n_ellipsis / CAST(n_lines AS DOUBLE)"

@@ -127,9 +127,8 @@ object DocOps {
     val lines = split(t, "\n", -1)
     val nLines = size(lines)
     val nDistinctLines = size(array_distinct(lines))
-    val nStop = GopherRules.stopwords
-      .map(w => when(lower(t).rlike(s"\\b$w\\b"), 1).otherwise(0))
-      .reduce(_ + _)
+    val nStop = size(array_distinct(regexp_extract_all(
+      lower(t), lit(GopherRules.stopwordPattern), lit(1))))
     val nAlphaWords = size(regexp_extract_all(t, lit("\\S*[A-Za-z]\\S*"), lit(0)))
     val meanWordLen = charsNoWs.cast("double") / nWords.cast("double")
     val hashRatio = nHash.cast("double") / nWords.cast("double")
@@ -259,6 +258,12 @@ object DocOps {
     val maxWords = 100000
     val stopwords: Seq[String] =
       Seq("the", "and", "to", "of", "that", "with", "have", "for")
+    /** One whole-word alternation over every stopword — the SINGLE
+      * regex pass both engines use to count distinct stopwords present
+      * (replaces one scan per stopword). Word boundaries make the
+      * branches non-overlapping, so extract-all + distinct counts
+      * exactly the stopwords that a per-word `rlike` would flag. */
+    def stopwordPattern: String = "\\b(" + stopwords.mkString("|") + ")\\b"
   }
 
   /** Deterministic train/val/test assignment — the reproducible-split
