@@ -98,6 +98,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("user_id"), plan)
   }
 
+  test("pricing_summary: pushed scan filter, partial+final agg, ONE exchange") {
+    val df = AggOps.pricingSummary(Tables.lineitem(spark, sf0))
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate,"), s"ship-date filter not pushed: $scan")
+    val plan = planOf(df)
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$plan")
+  }
+
+  test("minhash_near_dups: verification sets are candidate-bounded") {
+    // the collect_set build must sit behind a LEFT SEMI prune against
+    // the candidate ids — the corpus-wide set build is the path that
+    // dies first at 100 TB (DedupOps.minhashNearDups docstring)
+    val plan = planOf(DedupOps.minhashNearDups(
+      Tables.documents(spark, sf0), 0.5))
+    assert(plan.contains("LeftSemi"), s"candidate semi-join missing:\n$plan")
+    assert(plan.contains("collect_set"), plan)
+  }
+
   test("size guard: oversized dims are NOT force-broadcast") {
     // with the threshold floored, maybeBroadcast must decline the hint
     // and let the planner shuffle — the 100 TB posture where customer
