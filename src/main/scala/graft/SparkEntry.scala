@@ -85,6 +85,8 @@ object SparkEntry {
     "scrub_pii" -> ((s, d) => DocOps.scrubPii(documents(s, d))),
     "vocab_stats_by_lang" -> ((s, d) => DocOps.vocabStatsByLang(documents(s, d))),
     "dataset_splits" -> ((s, d) => DocOps.datasetSplits(documents(s, d))),
+    "stratified_sample" -> ((s, d) => DocOps.stratifiedSample(documents(s, d))),
+    "tfidf_top_terms" -> ((s, d) => DocOps.tfidfTopTerms(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
@@ -121,6 +123,7 @@ object SparkEntry {
     }),
     // ---- aggregate extensions (SURVEY §2.4 gaps) ----
     "pricing_summary" -> ((s, d) => AggOps.pricingSummary(lineitem(s, d))),
+    "tpch_q6" -> ((s, d) => AggOps.tpchQ6(lineitem(s, d))),
     "rollup_qty" -> ((s, d) => AggOps.rollupQtyByFlagStatus(lineitem(s, d))),
     "cube_qty" -> ((s, d) => AggOps.cubeQtyByFlagStatus(lineitem(s, d))),
     "grouping_sets_qty" -> ((s, d) => AggOps.groupingSetsQty(lineitem(s, d))),
@@ -133,6 +136,8 @@ object SparkEntry {
     "global_order_stats" -> ((s, d) => AggOps.globalOrderStats(orders(s, d))),
     // ---- dedup (north star) ----
     "exact_dup_groups" -> ((s, d) => DedupOps.exactDupGroups(documents(s, d))),
+    "boilerplate_phrases" -> ((s, d) =>
+      DedupOps.boilerplatePhrases(documents(s, d))),
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
     "ngram_jaccard_pairs" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(documents(s, d), 0.5)),
@@ -399,18 +404,37 @@ object SparkEntry {
         "CAST(count(*) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) AS type_token_ratio " +
         "FROM c GROUP BY lang"),
     // Mirrors DocOps.datasetSplits: the Knuth multiplicative bucket is
-    // pure integer arithmetic — identical in any engine. Same split
-    // 16-bit-halves multiply as the Spark side, so neither engine can
-    // overflow BIGINT no matter how large doc_id grows.
+    // pure integer arithmetic — identical in any engine. The SQL hash
+    // comes from the same DocOps.knuthHash32Sql the Spark hash pairs
+    // with, so the overflow-free split multiply cannot drift.
     "dataset_splits" ->
       ("SELECT doc_id, bucket, " +
         "CASE WHEN bucket < 90 THEN 'train' " +
         "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
-        "FROM (SELECT doc_id, " +
-        "((CAST(floor((doc_id % 4294967296) / 65536) AS BIGINT) " +
-        "* 2654435761) % 65536 * 65536 " +
-        "+ (doc_id % 4294967296) % 65536 * 2654435761) " +
-        "% 4294967296 % 100 AS bucket FROM documents)"),
+        s"FROM (SELECT doc_id, ${DocOps.knuthHash32Sql("doc_id")} % 100 " +
+        "AS bucket FROM documents)"),
+    // Mirrors DocOps.stratifiedSample: same hash, same (h, doc_id)
+    // total order, same per-stratum cap.
+    "stratified_sample" ->
+      ("SELECT doc_id, lang, rn FROM (SELECT doc_id, lang, " +
+        "row_number() OVER (PARTITION BY lang ORDER BY " +
+        s"${DocOps.knuthHash32Sql("doc_id")} ASC, doc_id ASC) AS rn " +
+        "FROM documents) WHERE rn <= 100"),
+    // Mirrors DocOps.tfidfTopTerms: identical integer tf/df/N operands,
+    // score as one double division (bit-identical, no rounding step),
+    // ties pinned by term ASC.
+    "tfidf_top_terms" ->
+      ("WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM (" +
+        "SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents) GROUP BY 1, 2), " +
+        "df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "n AS (SELECT count(*) AS n_total FROM documents) " +
+        "SELECT doc_id, term, tf, df, score FROM (" +
+        "SELECT doc_id, term, tf, df, " +
+        "CAST(tf * n_total AS DOUBLE) / CAST(df AS DOUBLE) AS score, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY " +
+        "CAST(tf * n_total AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS rn " +
+        "FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rn <= 3"),
     // Mirrors DocOps.scrubPii: same RE2-safe patterns (shared
     // PiiPatterns constants), same progressive URL→email→phone order.
     "scrub_pii" -> {
@@ -536,6 +560,14 @@ object SparkEntry {
         "count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' " +
         "GROUP BY l_returnflag, l_linestatus"),
+    // Mirrors AggOps.tpchQ6: exact-decimal product sum over the pushed
+    // conjunctive filter (date window shifted into the data's range).
+    "tpch_q6" ->
+      ("SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"),
     "rollup_qty" ->
       ("SELECT l_returnflag, l_linestatus, CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty, " +
         "count(*) AS n_lines FROM lineitem " +
@@ -582,6 +614,19 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, " +
         "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+    // Mirrors DedupOps.boilerplatePhrases: per-doc-distinct word
+    // 5-grams (same shingle form as ngram_jaccard_pairs at k=5), so a
+    // plain count is the distinct-doc count.
+    "boilerplate_phrases" -> {
+      val gram = (1 to 5).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+      "WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 4), " +
+        s"i -> $gram)) AS sh FROM toks WHERE len(t) >= 5), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS phrase FROM sets) " +
+        "SELECT phrase, count(*) AS n_docs FROM inv " +
+        "GROUP BY phrase HAVING count(*) >= 2"
+    },
     "ngram_jaccard_pairs" ->
       ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
         "FROM documents), " +

@@ -30,6 +30,25 @@ object AggOps {
         Num.avgRound(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** TPC-H Q6 (forecasting revenue change): highly selective
+    * conjunctive filter + one global aggregate — the canonical
+    * "pushdown wins" query. Every predicate reaches the parquet scan
+    * (shipdate range + discount band + quantity cap are all plain
+    * comparisons), so at 100 TB the scan skips row groups on
+    * min/max stats and the aggregate sees only the surviving sliver;
+    * the exact-decimal product keeps the sum oracle-identical. The
+    * date window is shifted to the driver data's 1995-2001 shipdate
+    * range (TPC-H's 1994 year would select zero rows). */
+  def tpchQ6(li: DataFrame): DataFrame =
+    li.filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(Num.sumRound(
+        Num.dec2(col("l_extendedprice")) * Num.rate(col("l_discount")), 2)
+        .as("revenue"))
+
   /** Rollup over (returnflag, linestatus): subtotals + grand total in
     * one pass — grouping-set coverage (absent from the reference). */
   def rollupQtyByFlagStatus(li: DataFrame): DataFrame =

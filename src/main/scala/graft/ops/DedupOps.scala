@@ -69,6 +69,22 @@ object DedupOps {
       .repartition(col("doc_id"))
       .select(col("doc_id"), explode(shinglesFromTokens(col("t"), k)).as("sh"))
 
+  /** Boilerplate-phrase detector (the C4/RefinedWeb "repeated span"
+    * family at phrase granularity): word k-grams occurring in at least
+    * `minDocs` DISTINCT documents, with the document count. Each doc
+    * contributes a shingle at most once ([[shingles]] is per-doc
+    * distinct), so a plain `count` IS the distinct-doc count — no
+    * count-distinct expand. One explode + one hash agg keyed by
+    * phrase; map-side partials absorb hot-phrase skew, and the 32-byte
+    * phrase rows are all that shuffles — the same posture as
+    * [[exactDupGroups]] one level down. */
+  def boilerplatePhrases(docs: DataFrame, k: Int = 5,
+      minDocs: Int = 2): DataFrame =
+    shingleRows(docs, k)
+      .groupBy(col("sh").as("phrase"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   // ---------- exact dedup ----------
 
   /** Exact-duplicate groups by content hash: one hash-shuffle groupBy.

@@ -281,21 +281,86 @@ object DocOps {
     * ids that large, and diverging from engines that raise on BIGINT
     * overflow. (floor-div by 65536 is a power-of-two scale, exact in
     * any arithmetic.) */
-  def datasetSplits(docs: DataFrame, trainPct: Int = 90,
-      valPct: Int = 5): DataFrame = {
+  /** Overflow-free Knuth 32-bit multiplicative hash of a BIGINT id:
+    * `(id * 2654435761) mod 2^32` with the 32×32-bit multiply split
+    * into 16-bit halves so every intermediate stays below 2^48 —
+    * ANSI-safe for any id. The deterministic pseudo-random ordering /
+    * bucketing primitive shared by [[datasetSplits]] and
+    * [[stratifiedSample]]; mirror with [[knuthHash32Sql]]. */
+  def knuthHash32(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val c = 2654435761L
-    val a = pmod(col("doc_id"), lit(4294967296L)) // unsigned-32 space
+    val a = pmod(id, lit(4294967296L)) // unsigned-32 space
     val aHi = floor(a / lit(65536L)).cast("long")
     val aLo = pmod(a, lit(65536L))
-    val bucket = pmod(pmod(
-      pmod(aHi * c, lit(65536L)) * 65536L + aLo * c,
-      lit(4294967296L)), lit(100))
+    pmod(pmod(aHi * c, lit(65536L)) * 65536L + aLo * c, lit(4294967296L))
+  }
+
+  /** The DuckDB mirror of [[knuthHash32]] — generated from one place so
+    * the two engines cannot drift. Fully parenthesized; safe to append
+    * `% 100` or use in ORDER BY. */
+  def knuthHash32Sql(id: String): String =
+    s"((CAST(floor(($id % 4294967296) / 65536) AS BIGINT) * 2654435761) " +
+      s"% 65536 * 65536 + ($id % 4294967296) % 65536 * 2654435761) % 4294967296"
+
+  def datasetSplits(docs: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val bucket = pmod(knuthHash32(col("doc_id")), lit(100))
     docs.select(
       col("doc_id"),
       bucket.cast("long").as("bucket"),
       when(bucket < trainPct, "train")
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test").as("split"))
+  }
+
+  /** Deterministic stratified sample: the first `perLang` documents per
+    * language in Knuth-hash order — a reproducible, partition-layout-
+    * independent per-stratum subsample. `DataFrameStatFunctions
+    * .sampleBy` can't promise any of that (Bernoulli per partition,
+    * changes with layout and seed plumbing); hash order is a fixed
+    * total order, so re-running on re-partitioned (or incrementally
+    * grown) data keeps previously sampled ids stable. Plans as a
+    * top-k per group (TopKRewrite → capped per-partition heaps, one
+    * exchange on lang), so no stratum ever needs a full sort. */
+  def stratifiedSample(docs: DataFrame, perLang: Int = 100): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), knuthHash32(col("doc_id")).as("h"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("h").asc, col("doc_id").asc)))
+      .filter(col("rn") <= perLang)
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"))
+
+  /** Top-k salient terms per document by tf·idf with a LINEAR idf
+    * (`tf * N / df` instead of `tf * ln(N/df)`): the ranking it induces
+    * per document is identical whenever df ordering agrees (both idfs
+    * are strictly decreasing in df), and the score stays pure rational
+    * arithmetic of exact integers — `CAST(tf*N AS DOUBLE)/CAST(df AS
+    * DOUBLE)` is bit-identical in Spark and DuckDB, where `ln`'s
+    * last-ulp varies by libm and can flip a rounded value or a
+    * near-tie. Ties pinned by term ASC.
+    *
+    * Shape at scale: tf is a (doc_id, term) hash agg with map-side
+    * partials absorbing token skew; df is a second agg keyed by term;
+    * the tf⋈df join shuffles on term (both sides already keyed there);
+    * the per-doc top-k plans as TopKRewrite's capped heaps — no
+    * full sort, one exchange on doc_id. N arrives via a broadcast of a
+    * 1-row aggregate, not a driver-side `count()`. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val tf = docs
+      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        (col("tf") * col("n_total")).cast("double") / col("df").cast("double"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("term").asc)))
+      .filter(col("rn") <= k)
+      .select("doc_id", "term", "tf", "df", "score")
   }
 
   /** Canonical document fingerprint: md5 of the whitespace-collapsed,

@@ -22,6 +22,24 @@ class DedupOpsSpec extends SparkSpec {
     (4L, base.toUpperCase + "  "), // case/whitespace variant
   ).toDF("doc_id", "text")
 
+  test("boilerplatePhrases: cross-doc 5-grams only, one vote per doc") {
+    val phrases = DedupOps.boilerplatePhrases(docs, k = 5, minDocs = 2)
+      .collect().map(r => r.getAs[String]("phrase") -> r.getAs[Long]("n_docs"))
+      .toMap
+    // base/nearDup/exact-dup share their common prefix 5-grams
+    assert(phrases.contains("the quick brown fox jumps"))
+    // docs 0, 1 and 3 all contain it; doc 4 is uppercased but tokens
+    // are lowercased, so it votes too — but each doc votes ONCE
+    assert(phrases("the quick brown fox jumps") == 4L)
+    // nothing from the unrelated doc reaches minDocs
+    assert(!phrases.keys.exists(_.contains("columnar")), phrases.toString)
+    // a phrase repeated twice inside ONE doc does not reach minDocs=2
+    val selfRep = Seq((0L, "a b c d e x a b c d e"), (1L, "unrelated words"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.boilerplatePhrases(selfRep, k = 5, minDocs = 2)
+      .count() == 0)
+  }
+
   test("exactDupGroups finds the byte-identical pair only") {
     val groups = DedupOps.exactDupGroups(docs).collect()
     assert(groups.length == 1)

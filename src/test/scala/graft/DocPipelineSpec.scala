@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DocOps
+
+/** Dataset-assembly primitives: deterministic stratified sampling and
+  * per-document salient-term extraction. */
+class DocPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratifiedSample: per-stratum cap, partition-layout independent") {
+    val langs = Seq("en", "fr", "de")
+    val docs = (0L until 900L).map(i => (i, langs((i % 3).toInt), s"doc $i"))
+      .toDF("doc_id", "lang", "text")
+    val a = DocOps.stratifiedSample(docs, perLang = 50)
+    val perLang = a.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ == 50L), perLang.toString)
+    // identical selection (ids AND ranks) after a different layout
+    val got = a.as[(Long, String, Long)].collect().toSet
+    val again = DocOps.stratifiedSample(docs.repartition(13), perLang = 50)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == again, "sample depends on partitioning")
+    // ranks follow the Knuth-hash total order within each stratum
+    val enRanked = a.filter(col("lang") === "en")
+      .select(col("doc_id"), col("rn")).as[(Long, Long)].collect()
+      .sortBy(_._2)
+    val hashes = docs.filter(col("lang") === "en")
+      .select(col("doc_id"), DocOps.knuthHash32(col("doc_id")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(enRanked.map(r => hashes(r._1)).sameElements(
+      enRanked.map(r => hashes(r._1)).sorted), "ranks not in hash order")
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones, ties pin on term") {
+    val docs = Seq(
+      (1L, "shared shared zebra"),
+      (2L, "shared shared quark"),
+      (3L, "shared alpha beta"),
+    ).toDF("doc_id", "text")
+    val top = DocOps.tfidfTopTerms(docs, k = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"), r.getAs[Long]("df")))
+      .toMap
+    // "shared" appears in all 3 docs (df=3); each doc's unique term
+    // (df=1) scores tf*3/1 >= 3 vs shared's tf*3/3 = tf — unique wins
+    // whenever its 3*tf beats shared's tf
+    assert(top(1L)._1 == "zebra", top.toString)
+    assert(top(2L)._1 == "quark", top.toString)
+    // doc 3: alpha and beta tie exactly (tf=1, df=1) — term ASC pins
+    assert(top(3L)._1 == "alpha", top.toString)
+    // k respected and score is the documented rational
+    val k2 = DocOps.tfidfTopTerms(docs, k = 2)
+    assert(k2.groupBy("doc_id").count().as[(Long, Long)]
+      .collect().forall(_._2 == 2L))
+    val z = k2.filter(col("doc_id") === 1L && col("term") === "zebra")
+      .select("score").as[Double].collect().head
+    assert(z == 1.0 * 3 / 1, s"score formula drifted: $z")
+  }
+}

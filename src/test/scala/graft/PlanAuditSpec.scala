@@ -110,6 +110,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one exchange, got $exchanges:\n$plan")
   }
 
+  test("tpch_q6: every predicate reaches the parquet scan") {
+    val df = AggOps.tpchQ6(Tables.lineitem(spark, sf0))
+    // read the scan's metadata, not toString — simpleString truncates
+    // long PushedFilters lists (and AdaptiveSparkPlanExec is childless,
+    // so collectLeaves would return the wrapper, not the scan)
+    val inner = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scan = inner.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("no parquet scan leaf"))
+    val pushedFilters = scan.metadata("PushedFilters")
+    for (pushed <- Seq("GreaterThanOrEqual(l_shipdate,", "LessThan(l_shipdate,",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)"))
+      assert(pushedFilters.contains(pushed), s"$pushed not pushed: $pushedFilters")
+  }
+
   test("minhash_near_dups: verification sets are candidate-bounded") {
     // the collect_set build must sit behind a LEFT SEMI prune against
     // the candidate ids — the corpus-wide set build is the path that
