@@ -111,6 +111,12 @@ object SparkEntry {
     "tpch_q3" -> ((s, d) =>
       JoinOps.tpchQ3(lineitem(s, d), orders(s, d), customer(s, d))),
     "tpch_q5" -> ((s, d) => JoinOps.tpchQ5(s, d)),
+    "slow_orders_by_priority" -> ((s, d) =>
+      JoinOps.slowOrdersByPriority(orders(s, d), lineitem(s, d))),
+    "tpch_q14" -> ((s, d) => JoinOps.tpchQ14(lineitem(s, d), part(s, d))),
+    "tpch_q18" -> ((s, d) =>
+      JoinOps.tpchQ18(lineitem(s, d), orders(s, d), customer(s, d))),
+    "tpch_q19" -> ((s, d) => JoinOps.tpchQ19(lineitem(s, d), part(s, d))),
     "tpch_q10" -> ((s, d) => JoinOps.tpchQ10(
       lineitem(s, d), orders(s, d), customer(s, d), Tables.nation(s, d))),
     "top_bigrams_by_lang" -> ((s, d) =>
@@ -533,6 +539,43 @@ object SparkEntry {
         "JOIN customer ON o_custkey = c_custkey " +
         "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    // Mirrors JoinOps.slowOrdersByPriority: EXISTS == the semi join.
+    "slow_orders_by_priority" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) " +
+        "GROUP BY o_orderpriority"),
+    // Mirrors JoinOps.tpchQ14: both sums stay exact DECIMAL until the
+    // final casts, so the percentage divides identical doubles.
+    "tpch_q14" ->
+      ("WITH j AS (SELECT CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2))) AS disc, p_type " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-09-01' " +
+        "AND l_shipdate < TIMESTAMP '1996-10-01') " +
+        "SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN disc END), 2) AS DOUBLE) AS promo_revenue, " +
+        "CAST(round(sum(disc), 2) AS DOUBLE) AS total_revenue, " +
+        "CAST(sum(CASE WHEN p_type = 'PROMO' THEN disc END) * 100 AS DOUBLE) " +
+        "/ CAST(sum(disc) AS DOUBLE) AS promo_pct FROM j"),
+    // Mirrors JoinOps.tpchQ18: per-order quantity rollup first, then
+    // detail joins, deterministic (o_totalprice DESC, o_orderkey) top-k.
+    "tpch_q18" ->
+      ("WITH big AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty_dec " +
+        "FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150) " +
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, " +
+        "CAST(round(qty_dec, 2) AS DOUBLE) AS total_qty " +
+        "FROM big JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100"),
+    // Mirrors JoinOps.tpchQ19: same three brand/size/quantity bands.
+    "tpch_q19" ->
+      ("SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
     "top_bigrams_by_lang" ->
       ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), " +
         "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 1), " +

@@ -178,6 +178,89 @@ object JoinOps {
         Num.oneMinus(col("l_discount")), 2).as("revenue"))
   }
 
+  /** TPC-H Q4 adapted (order priority checking): orders with at least
+    * one line shipped more than `lateDays` after the order date,
+    * counted per priority. The EXISTS subquery is a LEFT SEMI join —
+    * equi on the order key with the date comparison as a residual —
+    * so lineitem is never materialized per order and each order counts
+    * once no matter how many late lines it has. (The reference data
+    * carries no commit/receipt dates, so "late" is ship-vs-order
+    * lag rather than Q4's commit-vs-receipt.) */
+  def slowOrdersByPriority(orders: DataFrame, li: DataFrame,
+      lateDays: Int = 90): DataFrame =
+    orders
+      .join(li.select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** TPC-H Q14 (promotion effect): conditional aggregation over the
+    * lineitem⋈part join in one month. The promo share divides the two
+    * EXACT decimal sums (cast to double only at the end), so the
+    * percentage is bit-identical in any engine and summation order;
+    * `sum(when(...))` skips non-promo rows via SQL null semantics —
+    * no second scan. Part is a guarded broadcast. */
+  def tpchQ14(li: DataFrame, part: DataFrame,
+      monthStart: String = "1996-09-01", monthEnd: String = "1996-10-01")
+      : DataFrame = {
+    val disc = Num.dec2(col("l_extendedprice")) * Num.oneMinus(col("l_discount"))
+    li.filter(col("l_shipdate") >= lit(monthStart).cast("timestamp") &&
+        col("l_shipdate") < lit(monthEnd).cast("timestamp"))
+      .join(maybeBroadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc)).as("promo_dec"),
+        sum(disc).as("total_dec"))
+      .select(
+        round(col("promo_dec"), 2).cast("double").as("promo_revenue"),
+        round(col("total_dec"), 2).cast("double").as("total_revenue"),
+        ((col("promo_dec") * lit(100)).cast("double") /
+          col("total_dec").cast("double")).as("promo_pct"))
+  }
+
+  /** TPC-H Q18 (large-volume customers): the aggregate-then-join
+    * shape — per-order quantity sums FIRST (the `IN (GROUP BY …
+    * HAVING)` subquery collapses lineitem to one 16-byte row per
+    * order before anything joins), then orders and a guarded customer
+    * broadcast attach detail, TakeOrderedAndProject keeps the top k.
+    * At 100 TB the only wide shuffle is lineitem's orderkey agg —
+    * the same exchange any per-order rollup pays. */
+  def tpchQ18(li: DataFrame, orders: DataFrame, customer: DataFrame,
+      minQty: Double = 150, k: Int = 100): DataFrame =
+    li.groupBy("l_orderkey")
+      .agg(sum(Num.dec2(col("l_quantity"))).as("qty_dec"))
+      .filter(col("qty_dec") > minQty)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(maybeBroadcast(customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        round(col("qty_dec"), 2).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** TPC-H Q19 (discounted revenue): one disjunction of three
+    * brand/size/quantity bands over lineitem⋈part. The OR-of-ANDs
+    * can't prune the scan, but the per-branch part predicates reduce
+    * the broadcast side and the whole filter is one codegen'd
+    * conjunction pass post-join. */
+  def tpchQ19(li: DataFrame, part: DataFrame): DataFrame = {
+    val bands = Seq(("Brand#12", 1, 5, 1, 11), ("Brand#23", 1, 10, 10, 20),
+      ("Brand#3", 1, 15, 20, 30))
+    val pred = bands.map { case (brand, s0, s1, q0, q1) =>
+      col("p_brand") === brand && col("p_size").between(s0, s1) &&
+        col("l_quantity").between(q0, q1)
+    }.reduce(_ || _)
+    li.join(maybeBroadcast(part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(pred)
+      .agg(Num.sumRound(Num.dec2(col("l_extendedprice")) *
+        Num.oneMinus(col("l_discount")), 2).as("revenue"))
+  }
+
   /** Top-N orders per customer by total price — per-group top-k via
     * row_number (W2 pattern at join scale). Deterministic tie-break on
     * the order key. */

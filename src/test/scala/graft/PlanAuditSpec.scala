@@ -140,6 +140,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("collect_set"), plan)
   }
 
+  test("slow_orders_by_priority: EXISTS plans as one semi join") {
+    val plan = planOf(JoinOps.slowOrdersByPriority(
+      Tables.orders(spark, sf0), Tables.lineitem(spark, sf0)))
+    assert(plan.contains("LeftSemi"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("tpch_q18: lineitem collapses to per-order rows BEFORE any join") {
+    val plan = planOf(JoinOps.tpchQ18(Tables.lineitem(spark, sf0),
+      Tables.orders(spark, sf0), Tables.customer(spark, sf0)))
+    // the qty rollup's aggregate keys on l_orderkey and sits under the
+    // join with orders (string order suffices: aggregates print before
+    // the join's other side in the tree dump)
+    assert(plan.contains("HashAggregate(keys=[l_orderkey"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("tpch_q14/q19: part joins broadcast under the size guard") {
+    for (df <- Seq(
+        JoinOps.tpchQ14(Tables.lineitem(spark, sf0), Tables.part(spark, sf0)),
+        JoinOps.tpchQ19(Tables.lineitem(spark, sf0), Tables.part(spark, sf0)))) {
+      val plan = planOf(df)
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    }
+  }
+
   test("size guard: oversized dims are NOT force-broadcast") {
     // with the threshold floored, maybeBroadcast must decline the hint
     // and let the planner shuffle — the 100 TB posture where customer
