@@ -51,6 +51,16 @@ object DrivePlans {
         "The whole rolling-hash + winnow selection happens inside one " +
           "generated stage per document — no char explode, no doc_id " +
           "shuffle, no window sorts; Generate just unnests the result."),
+      ("tpch_q18 (aggregate-then-join)",
+        "Lineitem collapses to one narrow row per order (partial+final " +
+          "agg on l_orderkey) BEFORE the orders join; customer is a " +
+          "guarded broadcast; the top-100 is TakeOrderedAndProject. The " +
+          "only wide shuffle is the per-order rollup itself."),
+      ("tfidf_top_terms (two-level term stats + native top-k)",
+        "tf is a (doc_id, term) hash agg with map-side partials; df " +
+          "reuses tf's exchange; the tf-df join shuffles on term; the " +
+          "per-doc top-k goes through TopKRewrite's capped heaps — no " +
+          "full sort anywhere."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -61,6 +71,8 @@ object DrivePlans {
       "knn_brute" -> SparkEntry.queries("knn_brute"),
       "knn_all_lsh" -> SparkEntry.queries("knn_all_lsh"),
       "winnowed_fingerprints" -> SparkEntry.queries("winnowed_fingerprints"),
+      "tpch_q18" -> SparkEntry.queries("tpch_q18"),
+      "tfidf_top_terms" -> SparkEntry.queries("tfidf_top_terms"),
     )
 
     val sb = new StringBuilder
@@ -69,15 +81,13 @@ object DrivePlans {
     sb.append("`GraftExtensions` active. Regenerate with `sbt \"runMain " +
       "graft.DrivePlans\"`.\n\n")
     sb.append(
-      "Bench-regression note (round 4): the round-3 outliers " +
-        "(`monthly_order_stats` 2.56 s, `hourly_counts` 0.52 s, " +
-        "`minute_window_counts` 0.79 s) do not reproduce — two " +
-        "back-to-back full sf0.1 runs measured 0.21/0.29 s, 0.16/0.20 s " +
-        "and 0.21/0.24 s (totals 36.4 s / 37.6 s, within 3.4%), and the " +
-        "isolated plans are unchanged single-exchange hash aggregates. " +
-        "Root cause: machine contention during the round-3 bench run, " +
-        "not a plan change. `SPARK_GRAFT_ONLY=<q1,q2>` now slices the " +
-        "bench for such diagnosis runs.\n")
+      "Bench noise (r3 and r4 both published load-contaminated " +
+        "artifacts): trust `BENCH_FLOOR.md` — quiet-box per-query " +
+        "medians recorded round 5 — over any single `BENCH_rN.json`, " +
+        "and check that artifact's own `\"sentinel\"`/`\"contaminated\"` " +
+        "fields (Bench stamps runs whose load sentinel swings >30%). " +
+        "`SPARK_GRAFT_ONLY=<q1,q2>` slices the bench for isolated " +
+        "diagnosis runs.\n")
     sections.foreach { case (title, note) =>
       val name = title.split(" ").head
       val df = dfs(name)(spark, sfDir)
