@@ -86,6 +86,8 @@ object SparkEntry {
     "vocab_stats_by_lang" -> ((s, d) => DocOps.vocabStatsByLang(documents(s, d))),
     "dataset_splits" -> ((s, d) => DocOps.datasetSplits(documents(s, d))),
     "stratified_sample" -> ((s, d) => DocOps.stratifiedSample(documents(s, d))),
+    "split_contamination" -> ((s, d) =>
+      DocOps.splitContamination(documents(s, d))),
     "tfidf_top_terms" -> ((s, d) => DocOps.tfidfTopTerms(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "winnowed_fingerprints" ->
@@ -426,6 +428,27 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY lang ORDER BY " +
         s"${DocOps.knuthHash32Sql("doc_id")} ASC, doc_id ASC) AS rn " +
         "FROM documents) WHERE rn <= 100"),
+    // Mirrors DocOps.splitContamination: same Knuth buckets as
+    // dataset_splits, same 8-gram shingle form, IN == the semi join,
+    // contamination as one double division of identical integers.
+    "split_contamination" -> {
+      val gram = (1 to 8).map(o => s"t[i+$o]").mkString(" || ' ' || ")
+      "WITH toks AS (SELECT doc_id, " +
+        s"${DocOps.knuthHash32Sql("doc_id")} % 100 AS bucket, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "sets AS (SELECT doc_id, bucket, list_distinct(list_transform(" +
+        s"range(len(t) - 7), i -> $gram)) AS sh FROM toks WHERE len(t) >= 8), " +
+        "inv AS (SELECT doc_id, bucket, unnest(sh) AS sh FROM sets), " +
+        "te AS (SELECT doc_id, sh FROM inv WHERE bucket >= 95), " +
+        "tr AS (SELECT DISTINCT sh FROM inv WHERE bucket < 90), " +
+        "pd AS (SELECT doc_id, count(*) AS n_shingles FROM te GROUP BY 1), " +
+        "ct AS (SELECT doc_id, count(*) AS n_contaminated FROM te " +
+        "WHERE sh IN (SELECT sh FROM tr) GROUP BY 1) " +
+        "SELECT doc_id, n_shingles, " +
+        "CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated, " +
+        "CAST(COALESCE(n_contaminated, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS contamination " +
+        "FROM pd LEFT JOIN ct USING (doc_id)"
+    },
     // Mirrors DocOps.tfidfTopTerms: identical integer tf/df/N operands,
     // score as one double division (bit-identical, no rounding step),
     // ties pinned by term ASC.

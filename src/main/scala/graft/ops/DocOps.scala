@@ -363,6 +363,48 @@ object DocOps {
       .select("doc_id", "term", "tf", "df", "score")
   }
 
+  /** Train→test decontamination check (the GPT-3-style n-gram overlap
+    * audit): for every TEST-split document, the fraction of its
+    * distinct word `k`-grams that also occur anywhere in the TRAIN
+    * split. Splits come from the same Knuth buckets as
+    * [[datasetSplits]], so the audit matches what the split actually
+    * shipped. The train membership test is a LEFT SEMI join on the
+    * shingle — no train-side distinct needed (semi stops at the first
+    * match) and each test shingle counts once.
+    *
+    * Scale note: here both sides derive from one corpus, so the semi
+    * join shuffles on the shingle; in production decontamination the
+    * benchmark side is the small one — build ITS shingle set and
+    * broadcast it against the corpus scan, the same plan with the
+    * build side flipped. Docs with fewer than k tokens have no
+    * shingles and drop out (mirrored in the oracle). */
+  def splitContamination(docs: DataFrame, k: Int = 8, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val bucket = pmod(knuthHash32(col("doc_id")), lit(100))
+    val base = docs
+      .select(col("doc_id"), bucket.as("bucket"),
+        DedupOps.tokens(col("text")).as("t"))
+      // materialization barrier: pins the token array so CollapseProject
+      // cannot inline split() into every shingle reference (same trap
+      // DedupOps.shingleRows documents)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), col("bucket"),
+        explode(DedupOps.shinglesFromTokens(col("t"), k)).as("sh"))
+    val train = base.filter(col("bucket") < trainPct).select("sh")
+    val test = base.filter(col("bucket") >= trainPct + valPct)
+      .select("doc_id", "sh")
+    val perDoc = test.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val contaminated = test.join(train, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(contaminated, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_shingles").cast("double")).as("contamination"))
+  }
+
   /** Canonical document fingerprint: md5 of the whitespace-collapsed,
     * lowercased text. The join key for exact near-layout dedup — cheap,
     * deterministic, oracle-checkable. */

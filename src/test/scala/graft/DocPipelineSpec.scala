@@ -31,6 +31,30 @@ class DocPipelineSpec extends SparkSpec {
       enRanked.map(r => hashes(r._1)).sorted), "ranks not in hash order")
   }
 
+  test("splitContamination: planted train-test leak is measured exactly") {
+    // find ids landing in train (<90) and test (>=95) buckets
+    def bucket(id: Long): Long =
+      (BigInt(id) * BigInt(2654435761L)).mod(BigInt(4294967296L))
+        .mod(BigInt(100)).toLong
+    val trainId = (0L until 1000L).find(bucket(_) < 90).get
+    val testId = (0L until 1000L).find(bucket(_) >= 95).get
+    val leaked = "alpha bravo charlie delta echo foxtrot golf hotel" // 8 words
+    val clean = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (trainId, s"$leaked filler words beyond the leak zone here"),
+      (testId, s"$leaked $clean"),
+    ).toDF("doc_id", "text")
+    val out = DocOps.splitContamination(docs, k = 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set(testId), out.toString)
+    // test doc has 11 distinct 8-grams (18 tokens); only the exact
+    // leaked 8-gram also occurs in the train doc
+    val (n, c, frac) = out(testId)
+    assert(n == 11L && c == 1L, out.toString)
+    assert(frac == 1.0 / 11.0)
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones, ties pin on term") {
     val docs = Seq(
       (1L, "shared shared zebra"),
