@@ -154,6 +154,7 @@ object SparkEntry {
     "simhash_near_dups" -> ((s, d) => DedupOps.simhashNearDups(documents(s, d), 3)),
     // ---- similarity search (north star) ----
     "knn_brute" -> ((s, d) => VectorOps.knnBrute(embeddings(s, d), 0, 10)),
+    "knn_quantized" -> ((s, d) => VectorOps.knnQuantized(embeddings(s, d), 0, 10)),
     "knn_lsh" -> ((s, d) => VectorOps.knnLsh(embeddings(s, d), 0, 10)),
     "knn_ivf" -> ((s, d) =>
       VectorOps.knnIvfWith(embeddings(s, d), ivfCentroids(s, d), 0, 10)),
@@ -730,6 +731,25 @@ object SparkEntry {
         "sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na, " +
         "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb " +
         "FROM embeddings e, q WHERE e.vec_id <> 0) " +
+        "SELECT vec_id, label, round(dp / (na * nb), 4) AS cos_sim FROM s " +
+        "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"),
+    // Mirrors VectorOps.knnQuantized: same floor(x/scale + 0.5) codes
+    // (scale = max|x|/127), integer dot/norms — exact in fp64 — and
+    // the scales cancel in the cosine.
+    "knn_quantized" ->
+      ("WITH c AS (SELECT vec_id, label, " +
+        "CASE WHEN mx > 0 THEN list_transform(embedding, " +
+        "x -> floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5)) " +
+        "ELSE list_transform(embedding, x -> 0.0) END AS qc " +
+        "FROM (SELECT vec_id, label, embedding, " +
+        "CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS mx " +
+        "FROM embeddings)), " +
+        "q AS (SELECT qc AS qv FROM c WHERE vec_id = 0), " +
+        "s AS (SELECT c.vec_id, c.label, " +
+        "list_sum(list_transform(range(len(c.qc)), i -> c.qc[i+1] * qv[i+1])) AS dp, " +
+        "sqrt(list_sum(list_transform(c.qc, x -> x * x))) AS na, " +
+        "sqrt(list_sum(list_transform(qv, x -> x * x))) AS nb " +
+        "FROM c, q WHERE c.vec_id <> 0) " +
         "SELECT vec_id, label, round(dp / (na * nb), 4) AS cos_sim FROM s " +
         "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"),
     "knn_all_brute" ->

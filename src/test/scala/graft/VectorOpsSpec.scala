@@ -20,6 +20,24 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 4L, 2L), s"got $got")
   }
 
+  test("knnQuantized: integer codes, scale cancellation, brute agreement") {
+    // codes are integers in [-127, 127]; max-magnitude element -> ±127
+    val codes = vecs.select(col("vec_id"),
+      VectorOps.quantizeCodes(col("embedding")).as("qc"))
+      .as[(Long, Seq[Float])].collect().toMap
+    assert(codes.values.flatten.forall(c => c == c.floor && math.abs(c) <= 127))
+    assert(codes(0L) == Seq(127f, 0f, 0f))
+    assert(codes(3L) == Seq(-127f, 0f, 0f))
+    // quantized ranking agrees with brute on well-separated vectors
+    val got = VectorOps.knnQuantized(vecs, queryVecId = 0, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L, 2L), s"got $got")
+    // zero vector quantizes to all-zero codes, no crash
+    val z = Seq((9L, Array(0.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label")
+    assert(z.select(VectorOps.quantizeCodes(col("embedding")).as("qc"))
+      .as[Seq[Float]].collect().head == Seq(0f, 0f, 0f))
+  }
+
   test("cosine of identical vector is 1, opposite is -1") {
     val c = vecs.filter(col("vec_id") === 0)
       .select(VectorOps.cosine(
