@@ -67,6 +67,7 @@ object SparkEntry {
     "value_percentiles" -> ((s, d) => EventOps.valuePercentiles(events(s, d))),
     "value_histogram" -> ((s, d) => EventOps.valueHistogram(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
+    "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
     "range_join_pairs" -> ((s, d) => EventOps.rangeJoinPairs(events(s, d), 60)),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
@@ -278,6 +279,22 @@ object SparkEntry {
         "p.event_id AS last_purchase_event, p.value AS last_purchase_value " +
         "FROM events e ASOF LEFT JOIN p " +
         "ON e.user_id = p.user_id AND e.ts > p.ts"),
+    // Mirrors EventOps.conversionFunnel: same strict-after milestone
+    // chain; count(col) counts non-null stage timestamps.
+    "conversion_funnel" ->
+      ("WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "fc AS (SELECT e.user_id, min(e.ts) AS first_click FROM events e " +
+        "JOIN fv USING (user_id) " +
+        "WHERE e.event_type = 'click' AND e.ts > fv.first_view GROUP BY 1), " +
+        "fp AS (SELECT e.user_id, min(e.ts) AS first_purchase FROM events e " +
+        "JOIN fc USING (user_id) " +
+        "WHERE e.event_type = 'purchase' AND e.ts > fc.first_click GROUP BY 1) " +
+        "SELECT CAST(first_view AS DATE) AS cohort_day, " +
+        "count(*) AS n_viewed, count(first_click) AS n_clicked, " +
+        "count(first_purchase) AS n_purchased " +
+        "FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id) " +
+        "GROUP BY 1"),
     "range_join_pairs" ->
       ("SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id " +
         "FROM events a JOIN events b ON a.user_id = b.user_id " +

@@ -320,4 +320,33 @@ object EventOps {
           .as("session_value"),
         min("ts").as("session_start"),
         max("ts").as("session_end"))
+
+  /** Ordered conversion funnel (view → click → purchase), cohorted by
+    * first-view day: per user, the first view, the first click STRICTLY
+    * AFTER it, and the first purchase strictly after that — the
+    * sequential-milestone analysis every product pipeline runs.
+    * Relational shape: three per-user `min` aggregations, each joined
+    * to the previous stage's timestamp, all keyed on user_id — one
+    * exchange whose partitioning every later stage reuses; `count(col)`
+    * over the left-joined stage timestamps counts converters without
+    * conditionals. No windows, no per-user sort. */
+  def conversionFunnel(events: DataFrame): DataFrame = {
+    val fv = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("first_view"))
+    val fc = events.filter(col("event_type") === "click")
+      .join(fv, "user_id")
+      .filter(col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val fp = events.filter(col("event_type") === "purchase")
+      .join(fc, "user_id")
+      .filter(col("ts") > col("first_click"))
+      .groupBy("user_id").agg(min("ts").as("first_purchase"))
+    fv.join(fc, Seq("user_id"), "left")
+      .join(fp, Seq("user_id"), "left")
+      .groupBy(to_date(col("first_view")).as("cohort_day"))
+      .agg(
+        count(lit(1)).as("n_viewed"),
+        count(col("first_click")).as("n_clicked"),
+        count(col("first_purchase")).as("n_purchased"))
+  }
 }
