@@ -77,6 +77,9 @@ object SparkEntry {
     "token_counts" -> ((s, d) => DocOps.tokenCounts(documents(s, d))),
     "bpeish_token_counts" -> ((s, d) => DocOps.bpeishTokenCounts(documents(s, d))),
     "token_stats_by_source" -> ((s, d) => DocOps.tokenStatsBySource(documents(s, d))),
+    "top_terms" -> ((s, d) => DocOps.topTerms(documents(s, d))),
+    "token_percentiles_by_source" ->
+      ((s, d) => DocOps.tokenPercentilesBySource(documents(s, d))),
     "quality_signals" -> ((s, d) => DocOps.qualitySignals(documents(s, d))),
     "quality_by_lang" -> ((s, d) => DocOps.qualityByLang(documents(s, d))),
     "gopher_quality_flags" ->
@@ -355,6 +358,20 @@ object SparkEntry {
         "FROM documents) " +
         "SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, " +
         "round(avg(n_tokens), 4) AS avg_tokens, count(*) AS docs FROM t GROUP BY source"),
+    // Mirrors DocOps.topTerms: same tokenizer, cnt DESC / term ASC ties.
+    "top_terms" ->
+      ("SELECT term, count(*) AS cnt FROM (" +
+        "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents) GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20"),
+    // Mirrors DocOps.tokenPercentilesBySource: quantile_cont == Spark's
+    // exact continuous percentile.
+    "token_percentiles_by_source" ->
+      ("WITH t AS (SELECT source, " +
+        "length(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens " +
+        "FROM documents) " +
+        "SELECT source, round(quantile_cont(n_tokens, 0.5), 4) AS p50, " +
+        "round(quantile_cont(n_tokens, 0.9), 4) AS p90, " +
+        "round(quantile_cont(n_tokens, 0.99), 4) AS p99 FROM t GROUP BY source"),
     "quality_signals" ->
       ("SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, " +
         "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio, " +

@@ -83,6 +83,31 @@ object DocOps {
         round(avg("n_tokens"), 4).as("avg_tokens"),
         count(lit(1)).as("docs"))
 
+  /** Exact global top-k vocabulary: one (term) hash aggregation with
+    * map-side partials absorbing hot-term skew, then
+    * TakeOrderedAndProject — each partition keeps k rows, no global
+    * sort. Ties pinned by term. */
+  def topTerms(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(explode(DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(k)
+
+  /** Document-length distribution per source: exact continuous
+    * percentiles of the whitespace token count — the corpus-shape
+    * accounting behind truncation/packing decisions. `percentile` ↔
+    * DuckDB `quantile_cont` share the same interpolated-rank
+    * definition. */
+  def tokenPercentilesBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        round(percentile(col("n_tokens"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("n_tokens"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("n_tokens"), lit(0.99)), 4).as("p99"))
+
   /** BPE-ish subword-boundary token count: words, numbers, and single
     * punctuation marks counted separately (a common pre-tokenizer
     * regex). Pure codegen'd expression — no UDF. */
