@@ -20,6 +20,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulOps {
 
+  /** Stream-static enrichment join: every micro-batch left-joins the
+    * static dimension snapshot, broadcast so the streaming side never
+    * shuffles (the dim ships once per executor, not once per batch
+    * row). The static side is pinned at query start — Spark's standard
+    * stream-static contract; restart the query to pick up a new dim
+    * version. The streaming analogue of the batch star joins in
+    * [[graft.ops.JoinOps]]. */
+  def enrichWithStatic(stream: org.apache.spark.sql.DataFrame,
+      dim: org.apache.spark.sql.DataFrame,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** Emit each key's FIRST record only, across micro-batches. Seen-keys
     * state expires after `timeoutMs` of inactivity (bounds state size;
     * pass 0 for no timeout). */

@@ -62,6 +62,27 @@ class StatefulSkewSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichWithStatic joins each micro-batch against the broadcast dim") {
+    val input = MemoryStream[(Long, String)](spark)
+    val dim = Seq(("en", "English"), ("fr", "French"))
+      .toDF("lang", "lang_name")
+    val enriched = StatefulOps.enrichWithStatic(
+      input.toDF().toDF("id", "lang"), dim, Seq("lang"))
+    val q = enriched.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      input.addData((1L, "en"), (2L, "xx"))
+      q.processAllAvailable()
+      input.addData((3L, "fr"))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("id", "lang_name").as[(Long, Option[String])]
+        .collect().toMap
+      assert(got == Map(1L -> Some("English"), 2L -> None,
+        3L -> Some("French")), got.toString)
+    } finally q.stop()
+  }
+
   test("transformWithState running totals accumulate across batches") {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val old = spark.conf.getOption(providerKey)
