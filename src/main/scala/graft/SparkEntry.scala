@@ -68,6 +68,7 @@ object SparkEntry {
     "value_histogram" -> ((s, d) => EventOps.valueHistogram(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
+    "value_outliers" -> ((s, d) => EventOps.valueOutliers(events(s, d))),
     "range_join_pairs" -> ((s, d) => EventOps.rangeJoinPairs(events(s, d), 60)),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
@@ -282,6 +283,19 @@ object SparkEntry {
         "p.event_id AS last_purchase_event, p.value AS last_purchase_value " +
         "FROM events e ASOF LEFT JOIN p " +
         "ON e.user_id = p.user_id AND e.ts > p.ts"),
+    // Mirrors EventOps.valueOutliers: identical exact-decimal moment
+    // algebra, double casts at the same fixed points.
+    "value_outliers" ->
+      ("WITH m AS (SELECT user_id, count(*) AS n, " +
+        "sum(CAST(value AS DECIMAL(12,2))) AS sx, " +
+        "sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sxx " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_id, user_id, value, " +
+        "CAST(n * CAST(value AS DECIMAL(12,2)) - sx AS DOUBLE) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS zscore " +
+        "FROM events JOIN m USING (user_id) " +
+        "WHERE n >= 2 AND abs(CAST(n * CAST(value AS DECIMAL(12,2)) - sx AS DOUBLE) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) > 3"),
     // Mirrors EventOps.conversionFunnel: same strict-after milestone
     // chain; count(col) counts non-null stage timestamps.
     "conversion_funnel" ->

@@ -321,6 +321,29 @@ object EventOps {
         min("ts").as("session_start"),
         max("ts").as("session_end"))
 
+  /** Per-user z-score outliers from EXACT decimal moments — anomaly
+    * flagging without `stddev()` (whose float sum is summation-order
+    * dependent and can't hash-match an oracle). Algebra avoids the
+    * mean entirely: z = (n·x − Σx) / sqrt(n·Σx² − (Σx)²), every
+    * operand an exact decimal cast to double at a fixed point, so the
+    * score — and therefore the |z| > threshold row set — is
+    * bit-identical in both engines. One user-keyed moment aggregation
+    * joined back to the events; both sides shuffle on user_id, one
+    * reused exchange. Users with n < 2 have no spread and are
+    * excluded (their z would be 0/0). */
+  def valueOutliers(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    val x = Num.dec2(col("value"))
+    val m = events.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"),
+      sum(x * x).as("sxx"))
+    val z = (col("n") * x - col("sx")).cast("double") /
+      sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+    events.join(m, "user_id")
+      .filter(col("n") >= 2 && abs(z) > threshold)
+      .select(col("event_id"), col("user_id"), col("value"), z.as("zscore"))
+  }
+
   /** Ordered conversion funnel (view → click → purchase), cohorted by
     * first-view day: per user, the first view, the first click STRICTLY
     * AFTER it, and the first purchase strictly after that — the
