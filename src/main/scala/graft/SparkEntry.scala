@@ -152,6 +152,7 @@ object SparkEntry {
     "boilerplate_phrases" -> ((s, d) =>
       DedupOps.boilerplatePhrases(documents(s, d))),
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
+    "dedup_keep_longest" -> ((s, d) => DedupOps.dedupKeepLongest(documents(s, d))),
     "ngram_jaccard_pairs" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(documents(s, d), 0.5)),
     "minhash_near_dups" -> ((s, d) => DedupOps.minhashNearDups(documents(s, d), 0.5)),
@@ -729,6 +730,16 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, " +
         "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+    // Mirrors DedupOps.dedupKeepLongest: same normalized fingerprint,
+    // same (n_chars DESC, doc_id ASC) argmax.
+    "dedup_keep_longest" ->
+      ("SELECT fp, doc_id AS keep_id, CAST(n_chars AS BIGINT) AS n_chars " +
+        "FROM (SELECT doc_id, " +
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, " +
+        "length(text) AS n_chars, row_number() OVER (" +
+        "PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) " +
+        "ORDER BY length(text) DESC, doc_id ASC) AS rn FROM documents) " +
+        "WHERE rn = 1"),
     // Mirrors DedupOps.boilerplatePhrases: per-doc-distinct word
     // 5-grams (same shingle form as ngram_jaccard_pairs at k=5), so a
     // plain count is the distinct-doc count.

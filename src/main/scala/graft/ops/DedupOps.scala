@@ -103,6 +103,26 @@ object DedupOps {
       .groupBy(DocOps.fingerprint(col("text")).as("fp"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup with the quality-aware keep policy: the LONGEST
+    * raw text per normalized fingerprint wins (doc_id breaks exact-
+    * length ties) — the "keep the most complete copy" rule real
+    * pipelines prefer over min-id when near-layout variants differ in
+    * trailing content. An argmax per group: row_number over
+    * (n_chars DESC, doc_id ASC), auto-rewritten by TopKRewrite into
+    * the capped-heap TopKPerGroup — one fp-keyed exchange, no
+    * full-group sort. */
+  def dedupKeepLongest(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"), DocOps.fingerprint(col("text")).as("fp"),
+        length(col("text")).as("n_chars"))
+      .withColumn("rn", row_number().over(Window.partitionBy("fp")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("fp"), col("doc_id").as("keep_id"),
+        col("n_chars").cast("long").as("n_chars"))
+  }
+
   // ---------- n-gram Jaccard (exact near-dup baseline) ----------
 
   /** Exact pairwise Jaccard over word-shingle sets via the inverted

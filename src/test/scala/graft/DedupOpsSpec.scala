@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.ops.DedupOps
 
 /** Near-dup stack over planted duplicates: exact, n-gram Jaccard,
@@ -21,6 +22,23 @@ class DedupOpsSpec extends SparkSpec {
     (3L, base), // exact dup of 0
     (4L, base.toUpperCase + "  "), // case/whitespace variant
   ).toDF("doc_id", "text")
+
+  test("dedupKeepLongest keeps the longest copy, doc_id on exact ties") {
+    // docs 0, 3, 4 share one normalized fingerprint; doc 4's raw text
+    // (uppercased + trailing spaces) is the LONGEST variant
+    val kept = DedupOps.dedupKeepLongest(docs)
+      .collect().map(r => r.getAs[String]("fp") -> r.getAs[Long]("keep_id"))
+      .toMap
+    val fp = graft.ops.DocOps.fingerprints(docs)
+      .filter(col("doc_id") === 0L).select("fp").as[String].collect().head
+    assert(kept(fp) == 4L, s"longest variant not kept: $kept")
+    // equal-length exact dups (0 and 3) tie-break by doc_id when the
+    // longer variant is absent
+    val noVariant = DedupOps.dedupKeepLongest(docs.filter(col("doc_id") =!= 4L))
+      .collect().map(r => r.getAs[String]("fp") -> r.getAs[Long]("keep_id"))
+      .toMap
+    assert(noVariant(fp) == 0L, noVariant.toString)
+  }
 
   test("boilerplatePhrases: cross-doc 5-grams only, one vote per doc") {
     val phrases = DedupOps.boilerplatePhrases(docs, k = 5, minDocs = 2)
