@@ -155,6 +155,7 @@ object SparkEntry {
     "dedup_keep_longest" -> ((s, d) => DedupOps.dedupKeepLongest(documents(s, d))),
     "ngram_jaccard_pairs" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(documents(s, d), 0.5)),
+    "dup_clusters" -> ((s, d) => DedupOps.dupClusters(documents(s, d))),
     "minhash_near_dups" -> ((s, d) => DedupOps.minhashNearDups(documents(s, d), 0.5)),
     "simhash_fingerprints" -> ((s, d) => DedupOps.simhashes(documents(s, d))),
     "simhash_near_dups" -> ((s, d) => DedupOps.simhashNearDups(documents(s, d), 3)),
@@ -767,6 +768,30 @@ object SparkEntry {
         "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
         "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),
+    // Mirrors DedupOps.dupClusters: the ngram_jaccard_pairs CTE chain,
+    // then connected components as a recursive transitive closure
+    // (min reachable id == the label min-propagation converges to).
+    "dup_clusters" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
+        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
+        "pruned AS (SELECT * FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df " +
+        "FROM inv) WHERE df <= 1000), " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5), " +
+        "e AS (SELECT a_id AS u, b_id AS v FROM pairs " +
+        "UNION SELECT b_id, a_id FROM pairs), " +
+        "r(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u), " +
+        "lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u) " +
+        "SELECT doc_id, cluster_id, " +
+        "count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lbl"),
     "table_profile_events" ->
       (Seq(
         ("event_id", "bigint", true), ("ts", "timestamp", false),

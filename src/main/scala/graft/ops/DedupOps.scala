@@ -300,6 +300,70 @@ object DedupOps {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  // ---------- transitive cluster assignment ----------
+
+  /** Connected components over an undirected pair list
+    * (`a_id`, `b_id`) → (`doc_id`, `cluster_id`), cluster_id = the
+    * minimum doc_id reachable through the pair graph. This is the step
+    * every near-dup pipeline needs AFTER pair generation: "A≈B, B≈C"
+    * must collapse to ONE keep decision even though (A, C) was never
+    * emitted as a pair.
+    *
+    * Algorithm: distributed min-label propagation — each round joins
+    * the edge list to the current labels and takes the per-vertex min
+    * over the neighborhood (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC '14 — the baseline their star
+    * algorithms refine). Rounds = graph diameter; dedup similarity
+    * graphs are dense small clusters (diameter ≤ ~3 in practice), so
+    * the loop converges in 2-4 rounds of one edge-keyed shuffle each,
+    * with only a per-round `count` action on the driver (the same
+    * bounded control loop as any iterative MLlib algorithm — no data
+    * collects). `localCheckpoint` truncates lineage so round N's plan
+    * does not replay rounds 1..N-1. At 100 TB the edge list (two longs
+    * a row) is orders of magnitude smaller than the corpus that
+    * produced it; an adversarial long-chain graph would need the
+    * O(log n) large-star/small-star variant, which real near-dup
+    * graphs don't. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // both directions, so one join per round sees the full neighborhood
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("v_id")).distinct()
+      .withColumn("cluster_id", col("v_id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("v_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.join(nbrMin, labels("v_id") === nbrMin("src"), "left")
+        .select(col("v_id"),
+          least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
+            .as("cluster_id"),
+          (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
+            .as("changed"))
+        .localCheckpoint()
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select("v_id", "cluster_id")
+      round += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate cluster assignment: exact n-gram Jaccard pairs →
+    * connected components → (doc_id, cluster_id, cluster_size). Only
+    * documents that belong to some near-dup cluster appear; a keep
+    * policy is then one `min`/argmax per cluster_id (see
+    * [[dedupKeepLongest]] for the quality-aware variant of that step). */
+  def dupClusters(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 3): DataFrame = {
+    val labels = connectedComponents(ngramJaccardPairs(docs, threshold, k))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("v_id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
   /** SimHash near-dups: band the 64-bit fingerprint into 4×16-bit
     * chunks (two docs within Hamming distance 3 share ≥1 exact chunk —
     * pigeonhole), bucket-join on the chunks, verify with exact Hamming.

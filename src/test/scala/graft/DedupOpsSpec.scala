@@ -121,6 +121,38 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 3L)))
   }
 
+  test("connectedComponents: chains collapse transitively, min id labels") {
+    // chain 10-20-30 (via two pairs, (10,30) never emitted) + isolated
+    // pair (40,50): exactly the "A~B, B~C must become one cluster" case
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L)).toDF("a_id", "b_id")
+    val labels = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getAs[Long]("v_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(labels == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L), labels.toString)
+    // a longer chain than one propagation round resolves (diameter 4)
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val chainLabels = DedupOps.connectedComponents(chain)
+      .collect().map(r => r.getAs[Long]("cluster_id")).toSet
+    assert(chainLabels == Set(1L), chainLabels.toString)
+  }
+
+  test("dupClusters groups the near-dup family, sizes counted per cluster") {
+    // 0~1 (near-dup) and 0~3 (exact dup) chain into one cluster even if
+    // (1, 3) similarity alone might not pair them; 2 stays out
+    val clusters = DedupOps.dupClusters(docs, threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(clusters.keySet.intersect(Set(0L, 1L, 3L)) == Set(0L, 1L, 3L),
+      clusters.toString)
+    assert(!clusters.contains(2L), clusters.toString)
+    assert(clusters(0L)._1 == 0L && clusters(1L)._1 == 0L
+      && clusters(3L)._1 == 0L, clusters.toString)
+    assert(clusters(0L)._2 == clusters.count(_._2._1 == 0L), clusters.toString)
+  }
+
   test("shingles: short docs yield empty array, no negative-range blowup") {
     val tiny = Seq((0L, "one two"), (1L, "a b c")).toDF("doc_id", "text")
     val sh = tiny.select(DedupOps.shingles(
