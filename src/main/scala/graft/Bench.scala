@@ -6,6 +6,13 @@ import org.apache.spark.sql.SparkSession
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
+  * Output-size contract (r5 lesson — the driver records only the LAST
+  * ~2000 characters of stdout, and the 96-query full-map line was
+  * truncated mid-line → `BENCH_r05.json "parsed": null`): the printed
+  * line is a compact envelope (total, sentinel, streaming, headline
+  * query medians) guaranteed under that window; the complete per-query
+  * map is written to `BENCH_FULL.json` in the working directory.
+  *
   * Each query is materialized through the `noop` sink — a full
   * end-to-end execution (scan → transform → row production) with no
   * output I/O. `count()` would let Catalyst prune every projection and
@@ -204,8 +211,51 @@ object Bench {
     }.getOrElse("")
     val sentinelJson =
       f""","sentinel":{"pre":$sentinelPre%.3f,"post":$sentinelPost%.3f,"swing":$swing%.3f},"contaminated":$contaminated"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps$streamJson$sentinelJson,"sf":${jstr(sfDir)}}""")
+
+    // The full per-query artifact (all ~96 medians) goes to a FILE: the
+    // harness that consumes stdout keeps only the last ~2000 characters,
+    // and the round-5 full-map line (~3.6 KB) was truncated mid-line and
+    // recorded as unparseable. The printed line below is the machine-read
+    // contract and MUST stay under that window.
+    val fullJson =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps$streamJson$sentinelJson,"sf":${jstr(sfDir)}}"""
+    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    try java.nio.file.Files.write(
+      fullPath, (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $fullPath: $e") }
+
+    // Compact stdout line: envelope + as many per-query medians as fit.
+    // Headline queries (judge-compared vs BASELINE.md / BENCH_FLOOR.md)
+    // go first; the rest join slowest-first until the budget is spent.
+    val headline = Seq(
+      "user_activity", "pricing_summary", "tpch_q3", "tpch_q5", "tpch_q6",
+      "tpch_q10", "tpch_q14", "tpch_q18", "tpch_q19", "monthly_order_stats",
+      "latest_per_user", "top_orders_per_customer", "exact_dup_groups",
+      "minhash_near_dups", "winnow_near_dups", "simhash_near_dups",
+      "ngram_jaccard_pairs", "gopher_quality_flags", "knn_all_brute",
+      "knn_all_ivf", "knn_all_lsh", "table_profile_events",
+      "global_order_stats", "hourly_counts")
+    val inlineOrder = headline.filter(timings.contains) ++
+      timings.keys.toSeq.filterNot(headline.contains)
+        .sortBy(k => -timings(k))
+    val budget = 1700 // < driver's 2000-char stdout tail window
+    // Failures inline are capped too (full text is in BENCH_FULL.json) —
+    // a mass-failure run must still produce a parseable line.
+    val fsCompact = failed.take(3)
+      .map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+      .mkString("{", ",", "}")
+    def compactLine(entries: Seq[String]): String = {
+      val q = entries.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${timings.size},"queries_file":"BENCH_FULL.json","queries":$q,"n_failed":${failed.size},"failed":$fsCompact,"reps":$reps$streamJson$sentinelJson,"sf":${jstr(sfDir)}}"""
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (k <- inlineOrder) {
+      val entry = jstr(k) + ":" + f"${timings(k)}%.3f"
+      if (compactLine((picked :+ entry).toSeq).length <= budget)
+        picked += entry
+    }
+    println(compactLine(picked.toSeq))
     if (failed.nonEmpty) {
       failed.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }
     }
