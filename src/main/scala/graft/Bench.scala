@@ -167,6 +167,7 @@ object Bench {
       else None
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val minimums = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -175,6 +176,7 @@ object Bench {
         runOnce(fn) // per-query warm-up: JIT + codegen for THIS plan
         val runs = Seq.fill(math.max(1, reps))(runOnce(fn)).sorted
         timings(name) = runs(runs.length / 2) // median
+        minimums(name) = runs.head
       } catch {
         case e: Throwable =>
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -200,6 +202,14 @@ object Bench {
     val qs = timings
       .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // Per-query best-of-reps, published next to the medians in the full
+    // artifact: a median far above its own min within one run marks a
+    // transient (GC pause, contention burst) the before/after load
+    // sentinel is too coarse to catch — the r5 run showed one query at
+    // 8.1 s whose isolated median is 0.8 s with a clean sentinel.
+    val qmins = minimums
+      .map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val fs = failed
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
@@ -218,7 +228,7 @@ object Bench {
     // recorded as unparseable. The printed line below is the machine-read
     // contract and MUST stay under that window.
     val fullJson =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$fs,"reps":$reps$streamJson$sentinelJson,"sf":${jstr(sfDir)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmins,"failed":$fs,"reps":$reps$streamJson$sentinelJson,"sf":${jstr(sfDir)}}"""
     val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
     try java.nio.file.Files.write(
       fullPath, (fullJson + "\n").getBytes("UTF-8"))
