@@ -70,6 +70,8 @@ object SparkEntry {
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
     "value_outliers" -> ((s, d) => EventOps.valueOutliers(events(s, d))),
     "range_join_pairs" -> ((s, d) => EventOps.rangeJoinPairs(events(s, d), 60)),
+    "value_rank_stats" -> ((s, d) => EventOps.valueRankStats(events(s, d))),
+    "value_mad_by_type" -> ((s, d) => EventOps.valueMadByType(events(s, d))),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
     "keyword_lang_counts" -> ((s, d) =>
@@ -94,6 +96,8 @@ object SparkEntry {
     "split_contamination" -> ((s, d) =>
       DocOps.splitContamination(documents(s, d))),
     "tfidf_top_terms" -> ((s, d) => DocOps.tfidfTopTerms(documents(s, d))),
+    "ttr_by_source" -> ((s, d) => DocOps.ttrBySource(documents(s, d))),
+    "doclen_histogram" -> ((s, d) => DocOps.doclenHistogram(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
@@ -126,6 +130,7 @@ object SparkEntry {
     "tpch_q19" -> ((s, d) => JoinOps.tpchQ19(lineitem(s, d), part(s, d))),
     "tpch_q10" -> ((s, d) => JoinOps.tpchQ10(
       lineitem(s, d), orders(s, d), customer(s, d), Tables.nation(s, d))),
+    "tpch_q13" -> ((s, d) => JoinOps.tpchQ13(customer(s, d), orders(s, d))),
     "top_bigrams_by_lang" -> ((s, d) =>
       DocOps.topBigramsByLang(documents(s, d), 5)),
     "top_orders_native" -> ((s, d) => {
@@ -173,6 +178,8 @@ object SparkEntry {
     "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
     "cosine_near_dups" -> ((s, d) => VectorOps.cosineNearDups(embeddings(s, d), 0.9)),
     "label_centroids" -> ((s, d) => VectorOps.labelCentroids(embeddings(s, d))),
+    "embedding_norm_stats" ->
+      ((s, d) => VectorOps.normStatsByLabel(embeddings(s, d))),
     "embedding_quantize" ->
       ((s, d) => VectorOps.quantizeEmbeddings(embeddings(s, d))),
     // ---- multimodal plumbing (north star) ----
@@ -319,6 +326,21 @@ object SparkEntry {
         "FROM events a JOIN events b ON a.user_id = b.user_id " +
         "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 SECONDS " +
         "AND a.event_id < b.event_id"),
+    // Mirrors EventOps.valueRankStats: the (value, event_id) total
+    // order pins ntile's tie-splitting in both engines.
+    "value_rank_stats" ->
+      ("SELECT event_id, user_id, value, " +
+        "CAST(ntile(4) OVER w AS BIGINT) AS quartile, " +
+        "round(percent_rank() OVER w, 4) AS pct_rank, " +
+        "round(cume_dist() OVER w, 4) AS cum_dist " +
+        "FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY value ASC, event_id ASC)"),
+    "value_mad_by_type" ->
+      ("WITH m AS (SELECT event_type, median(value) AS med " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_type, round(max(med), 4) AS med, " +
+        "round(median(abs(value - med)), 4) AS mad, count(*) AS n " +
+        "FROM events JOIN m USING (event_type) GROUP BY event_type"),
     "media_byte_stats" ->
       ("WITH m AS (SELECT CASE CAST(doc_id % 3 AS INT) " +
         "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
@@ -515,6 +537,19 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY doc_id ORDER BY " +
         "CAST(tf * n_total AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS rn " +
         "FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rn <= 3"),
+    // Mirrors DocOps.ttrBySource: same lowercased whitespace tokenizer
+    // as token_counts/top_terms; the DOUBLE cast lands on the same side
+    // of the division.
+    "ttr_by_source" ->
+      ("WITH t AS (SELECT source, " +
+        "CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS DOUBLE) / " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) AS ttr FROM documents) " +
+        "SELECT source, round(avg(ttr), 4) AS avg_ttr, count(*) AS docs " +
+        "FROM t GROUP BY source"),
+    "doclen_histogram" ->
+      ("SELECT source, CAST(floor(n_chars / 100.0) AS BIGINT) AS bucket, " +
+        "count(*) AS n, CAST(floor(n_chars / 100.0) AS BIGINT) * 100 AS lo " +
+        "FROM documents GROUP BY 1, 2"),
     // Mirrors DocOps.scrubPii: same RE2-safe patterns (shared
     // PiiPatterns constants), same progressive URL→email→phone order.
     "scrub_pii" -> {
@@ -606,6 +641,16 @@ object SparkEntry {
         "AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00' " +
         "AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00' " +
         "GROUP BY 1, 2, 3 ORDER BY revenue DESC, c_custkey ASC LIMIT 20"),
+    // Mirrors JoinOps.tpchQ13's semantics via the spec's own shape —
+    // the LEFT JOIN null-count and the eager-aggregation rewrite agree
+    // by construction (count(*) per matched custkey == count of
+    // non-null o_orderkey).
+    "tpch_q13" ->
+      ("WITH oc AS (SELECT o_custkey, count(*) AS cnt FROM orders " +
+        "WHERE o_orderpriority <> '1-URGENT' GROUP BY 1) " +
+        "SELECT c_count, count(*) AS custdist FROM (" +
+        "SELECT COALESCE(cnt, 0) AS c_count FROM customer " +
+        "LEFT JOIN oc ON c_custkey = o_custkey) GROUP BY c_count"),
     "tpch_q5" ->
       ("SELECT n_name, " +
         "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue " +
@@ -851,6 +896,17 @@ object SparkEntry {
         "i -> {'d': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS s FROM embeddings) " +
         "SELECT label, CAST(s.d AS INTEGER) AS dim, round(avg(s.v), 4) AS mean_x " +
         "FROM x GROUP BY 1, 2"),
+    // Mirrors VectorOps.normStatsByLabel: the same fp64 left-fold norm
+    // as embedding_quantize's l2_norm (list_reduce == aggregate-from-0.0
+    // since 0.0 + x == x exactly).
+    "embedding_norm_stats" ->
+      ("WITH x AS (SELECT label, " +
+        "sqrt(list_reduce(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2 " +
+        "FROM embeddings) " +
+        "SELECT label, count(*) AS n, round(avg(l2), 4) AS avg_norm, " +
+        "round(min(l2), 4) AS min_norm, round(max(l2), 4) AS max_norm " +
+        "FROM x GROUP BY label"),
     // Mirrors VectorOps.quantizeEmbeddings: fp64 left-fold norm,
     // float-space max|x|, explicit floor(x/scale + 0.5) rounding.
     "embedding_quantize" -> {

@@ -83,6 +83,33 @@ object DocOps {
         round(avg("n_tokens"), 4).as("avg_tokens"),
         count(lit(1)).as("docs"))
 
+  /** Type-token ratio (lexical diversity) per source: per document,
+    * distinct lowercased whitespace tokens over total tokens, averaged
+    * by source. TTR is the cheap repetition/diversity signal quality
+    * filters threshold on (Gopher's "fraction of unique words"
+    * cousin). Pure per-row expressions into one `source` aggregation —
+    * a single scan and one tiny shuffle at any corpus size. */
+  def ttrBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        (size(array_distinct(split(lower(trim(col("text"))), "\\s+")))
+          .cast("double") /
+          size(split(trim(col("text")), "\\s+"))).as("ttr"))
+      .groupBy("source")
+      .agg(round(avg("ttr"), 4).as("avg_ttr"), count(lit(1)).as("docs"))
+
+  /** Document-length histogram per source: fixed-width `bucket`-char
+    * bins over the precomputed `n_chars` column — the corpus-shape
+    * profile behind truncation/packing decisions. GroupBy on
+    * (source, bucket) keeps partial aggregation effective however
+    * skewed the length distribution is. */
+  def doclenHistogram(docs: DataFrame, bucket: Int = 100): DataFrame =
+    docs
+      .groupBy(col("source"),
+        floor(col("n_chars") / lit(bucket.toDouble)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("lo", col("bucket") * bucket)
+
   /** Exact global top-k vocabulary: one (term) hash aggregation with
     * map-side partials absorbing hot-term skew, then
     * TakeOrderedAndProject — each partition keeps k rows, no global

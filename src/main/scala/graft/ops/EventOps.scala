@@ -372,4 +372,42 @@ object EventOps {
         count(col("first_click")).as("n_clicked"),
         count(col("first_purchase")).as("n_purchased"))
   }
+
+  /** Distribution-position window functions per user: quartile
+    * (ntile), percent_rank and cume_dist of each event's value within
+    * its user's history. The window orders by (value, event_id) — a
+    * TOTAL order, which ntile needs for determinism (ties split
+    * arbitrarily under a partial order) and which pins percent_rank /
+    * cume_dist too. One exchange on user_id + one in-partition sort;
+    * user partitions are small and uniform, so no skew handling
+    * needed — this is the W-family shape at its cheapest. */
+  def valueRankStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").asc, col("event_id").asc)
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 4).as("pct_rank"),
+      round(cume_dist().over(w), 4).as("cum_dist"))
+  }
+
+  /** Robust center/spread per event type: exact median and MAD
+    * (median absolute deviation) — the outlier-resistant counterpart
+    * to [[valueOutliers]]'s moment z-scores. Two passes by necessity
+    * (MAD is a median OF deviations from a median): a per-type median
+    * agg broadcast back onto the stream, then a second median agg of
+    * the absolute deviations. Exact `median` sorts within each group —
+    * the documented cost ceiling; at 100 TB swap `percentile_approx`
+    * (same shape, sketch merge instead of sort) exactly as
+    * [[approxValuePercentiles]] does for [[valuePercentiles]]. */
+  def valueMadByType(events: DataFrame): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(median(col("value")).as("med"))
+    events.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(
+        round(max(col("med")), 4).as("med"),
+        round(median(abs(col("value") - col("med"))), 4).as("mad"),
+        count(lit(1)).as("n"))
+  }
 }

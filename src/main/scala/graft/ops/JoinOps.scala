@@ -261,6 +261,29 @@ object JoinOps {
         Num.oneMinus(col("l_discount")), 2).as("revenue"))
   }
 
+  /** TPC-H Q13 (customer distribution): how many customers placed
+    * 0, 1, 2, … orders. Written with the eager-aggregation rewrite the
+    * spec's LEFT OUTER JOIN + GROUP BY c_custkey invites: orders
+    * collapse to one (o_custkey, cnt) row per customer FIRST, so the
+    * outer join carries a pre-aggregated right side instead of every
+    * order row — the fact table's only shuffle is its own custkey agg,
+    * and `coalesce(cnt, 0)` restores the zero-order customers the spec
+    * gets from counting nulls. The second aggregate (distribution over
+    * counts) is a few hundred rows. (No o_comment column in the driver
+    * schema; the priority filter stands in for Q13's comment
+    * NOT LIKE.) */
+  def tpchQ13(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    customer.select("c_custkey")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   /** Top-N orders per customer by total price — per-group top-k via
     * row_number (W2 pattern at join scale). Deterministic tie-break on
     * the order key. */

@@ -390,4 +390,21 @@ object VectorOps {
         posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
       .groupBy("label", "dim")
       .agg(round(avg("x"), 4).as("mean_x"))
+
+  /** Embedding-health profile per label: count and avg/min/max of the
+    * L2 norm. Un-normalized or collapsed embeddings (norm ≈ 0, wild
+    * norm spread) are the first thing to check before any cosine-based
+    * dedup/ANN — cosine silently degrades when norms are degenerate.
+    * The per-row norm folds in ascending element order in fp64 (the
+    * same [[norm]] the oracle mirrors elementwise), then one tiny
+    * `label` aggregation: a single scan at any scale. */
+  def normStatsByLabel(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), norm(asDouble(col("embedding"))).as("l2"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("l2"), 4).as("avg_norm"),
+        round(min("l2"), 4).as("min_norm"),
+        round(max("l2"), 4).as("max_norm"))
 }

@@ -1,0 +1,94 @@
+package graft
+
+import graft.ops.{DocOps, EventOps, JoinOps, VectorOps}
+
+/** Round-6 operators: distribution-position windows, robust
+  * median/MAD, lexical diversity, length histogram, TPC-H Q13's
+  * eager-aggregation rewrite, and embedding norm profiling — planted
+  * tiny inputs with hand-computed expectations. (The sf0.01 DuckDB
+  * oracle is the volume gate; these pin the SEMANTICS.) */
+class RankStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("valueRankStats: quartiles, percent_rank, cume_dist over a total order") {
+    val events = (1L to 8L).map(i => (i, 1L, i.toDouble))
+      .toDF("event_id", "user_id", "value")
+    val out = EventOps.valueRankStats(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("quartile"), r.getAs[Double]("pct_rank"),
+          r.getAs[Double]("cum_dist")))).toMap
+    assert(out(1L) == ((1L, 0.0, 0.125)))       // lowest value
+    assert(out(8L) == ((4L, 1.0, 1.0)))         // highest value
+    assert(out(4L) == ((2L, 0.4286, 0.5)))      // (rank-1)/(n-1) = 3/7, round 4
+  }
+
+  test("valueRankStats: ties split deterministically by event_id") {
+    val events = Seq((1L, 1L, 5.0), (2L, 1L, 5.0), (3L, 1L, 5.0), (4L, 1L, 5.0))
+      .toDF("event_id", "user_id", "value")
+    val q = EventOps.valueRankStats(events).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("quartile")).toMap
+    assert(q == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("valueMadByType: exact median and MAD") {
+    val events = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 100.0),
+      (5L, "b", 10.0),
+    ).toDF("event_id", "event_type", "value")
+    val out = EventOps.valueMadByType(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("med"), r.getAs[Double]("mad"), r.getAs[Long]("n")))).toMap
+    // a: median(1,2,3,100) = 2.5; |x-2.5| = 1.5, .5, .5, 97.5 -> median 1.0
+    assert(out("a") == ((2.5, 1.0, 4L)))
+    assert(out("b") == ((10.0, 0.0, 1L)))
+  }
+
+  test("ttrBySource: distinct-over-total token ratio, case-folded") {
+    val docs = Seq(
+      (1L, "a b a b", "s1"),    // 2 distinct / 4 tokens = 0.5
+      (2L, "A a x y", "s1"),    // lowercased: 3 distinct / 4 = 0.75
+      (3L, "w w w w", "s2"),    // 1 / 4 = 0.25
+    ).toDF("doc_id", "text", "source")
+    val out = DocOps.ttrBySource(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("avg_ttr"), r.getAs[Long]("docs")))).toMap
+    assert(out("s1") == ((0.625, 2L)))  // avg(0.5, 0.75)
+    assert(out("s2") == ((0.25, 1L)))
+  }
+
+  test("doclenHistogram: fixed-width buckets with lo edge") {
+    val docs = Seq((1L, "s1", 0L), (2L, "s1", 99L), (3L, "s1", 100L),
+      (4L, "s2", 250L)).toDF("doc_id", "source", "n_chars")
+    val out = DocOps.doclenHistogram(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("lo")))).toMap
+    assert(out(("s1", 0L)) == ((2L, 0L)))
+    assert(out(("s1", 1L)) == ((1L, 100L)))
+    assert(out(("s2", 2L)) == ((1L, 200L)))
+  }
+
+  test("tpchQ13: zero-order customers land in the c_count=0 bin") {
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L, "5-LOW"), (11L, 1L, "5-LOW"),
+      (12L, 2L, "1-URGENT"), // filtered out -> customer 2 has 0 orders
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val out = JoinOps.tpchQ13(customer, orders).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    assert(out == Map(0L -> 2L, 2L -> 1L))
+  }
+
+  test("normStatsByLabel: exact norms on planted vectors") {
+    val emb = Seq(
+      (1L, Seq(3.0f, 4.0f), 0),   // norm 5
+      (2L, Seq(0.0f, 0.0f), 0),   // norm 0 — the degenerate case to surface
+      (3L, Seq(6.0f, 8.0f), 1),   // norm 10
+    ).toDF("vec_id", "embedding", "label")
+    val out = VectorOps.normStatsByLabel(emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("avg_norm"),
+          r.getAs[Double]("min_norm"), r.getAs[Double]("max_norm")))).toMap
+    assert(out(0) == ((2L, 2.5, 0.0, 5.0)))
+    assert(out(1) == ((1L, 10.0, 10.0, 10.0)))
+  }
+}
