@@ -64,6 +64,7 @@ object SparkEntry {
     "session_window_stats" ->
       ((s, d) => EventOps.sessionWindowStats(events(s, d), 30)),
     "user_type_pivot" -> ((s, d) => EventOps.userTypePivot(events(s, d))),
+    "user_type_unpivot" -> ((s, d) => EventOps.userTypeUnpivot(events(s, d))),
     "value_percentiles" -> ((s, d) => EventOps.valuePercentiles(events(s, d))),
     "value_histogram" -> ((s, d) => EventOps.valueHistogram(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
@@ -274,6 +275,21 @@ object SparkEntry {
         "count(*) FILTER (event_type = 'signup') AS signup, " +
         "count(*) FILTER (event_type = 'view') AS view " +
         "FROM events GROUP BY user_id"),
+    // Mirrors EventOps.userTypeUnpivot (pivot's inverse): the UNION
+    // ALL spells out what Spark's Expand-based unpivot produces.
+    "user_type_unpivot" ->
+      ("WITH p AS (SELECT user_id, " +
+        "count(*) FILTER (event_type = 'click') AS click, " +
+        "count(*) FILTER (event_type = 'error') AS error, " +
+        "count(*) FILTER (event_type = 'purchase') AS purchase, " +
+        "count(*) FILTER (event_type = 'signup') AS signup, " +
+        "count(*) FILTER (event_type = 'view') AS view " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, 'click' AS event_type, click AS cnt FROM p " +
+        "UNION ALL SELECT user_id, 'error', error FROM p " +
+        "UNION ALL SELECT user_id, 'purchase', purchase FROM p " +
+        "UNION ALL SELECT user_id, 'signup', signup FROM p " +
+        "UNION ALL SELECT user_id, 'view', view FROM p"),
     "value_percentiles" ->
       ("SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, " +
         "round(quantile_cont(value, 0.9), 4) AS p90, " +

@@ -215,6 +215,17 @@ object EventOps {
     p.na.fill(0L, eventTypes)
   }
 
+  /** Melt ([[userTypePivot]]'s inverse): wide per-type count columns
+    * back to (user_id, event_type, cnt) long form via the native
+    * `unpivot` — an Expand node, rows × types with NO shuffle or
+    * UNION-of-selects re-scan, which is what makes wide→long cheap at
+    * any scale. */
+  def userTypeUnpivot(events: DataFrame): DataFrame =
+    userTypePivot(events).unpivot(
+      Array(col("user_id")),
+      eventTypes.map(col).toArray,
+      "event_type", "cnt")
+
   /** Exact interpolated percentiles of value per event type
     * (`percentile` = quantile_cont semantics). Exact percentile sorts
     * per group — at 100 TB prefer `approx_percentile` (t-digest); both
