@@ -72,6 +72,7 @@ object SparkEntry {
     "value_outliers" -> ((s, d) => EventOps.valueOutliers(events(s, d))),
     "range_join_pairs" -> ((s, d) => EventOps.rangeJoinPairs(events(s, d), 60)),
     "value_rank_stats" -> ((s, d) => EventOps.valueRankStats(events(s, d))),
+    "daily_moving_avg" -> ((s, d) => EventOps.dailyMovingAvg(events(s, d))),
     "value_mad_by_type" -> ((s, d) => EventOps.valueMadByType(events(s, d))),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
@@ -342,6 +343,14 @@ object SparkEntry {
         "FROM events a JOIN events b ON a.user_id = b.user_id " +
         "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 SECONDS " +
         "AND a.event_id < b.event_id"),
+    "daily_moving_avg" ->
+      ("WITH d AS (SELECT CAST(ts AS DATE) AS day, count(*) AS toots " +
+        "FROM events GROUP BY 1) " +
+        "SELECT day, toots, " +
+        "round(avg(toots) OVER (ORDER BY day " +
+        "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7, " +
+        "round(CAST(toots - lag(toots) OVER (ORDER BY day) AS DOUBLE) / " +
+        "lag(toots) OVER (ORDER BY day), 4) AS dod_change FROM d"),
     // Mirrors EventOps.valueRankStats: the (value, event_id) total
     // order pins ntile's tie-splitting in both engines.
     "value_rank_stats" ->

@@ -384,6 +384,25 @@ object EventOps {
         count(col("first_purchase")).as("n_purchased"))
   }
 
+  /** Trend smoothing over the daily series: 7-day trailing moving
+    * average (a ROWS frame) and day-over-day percent change (lag) on
+    * top of the daily counts. The window is GLOBAL (one partition) —
+    * safe ONLY because it runs over the already-aggregated series (one
+    * row per day: 36,500 rows for a century), never over raw events;
+    * the heavy lifting is the same partial+final count as
+    * [[dailyCounts]]. Day-over-day division is BIGINT-exact before one
+    * final rounding. */
+  def dailyMovingAvg(events: DataFrame): DataFrame = {
+    val byDay = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("toots"))
+    val w = Window.orderBy(col("day"))
+    byDay.select(
+      col("day"), col("toots"),
+      round(avg(col("toots")).over(w.rowsBetween(-6, 0)), 4).as("ma7"),
+      round((col("toots") - lag(col("toots"), 1).over(w)).cast("double") /
+        lag(col("toots"), 1).over(w), 4).as("dod_change"))
+  }
+
   /** Distribution-position window functions per user: quartile
     * (ntile), percent_rank and cume_dist of each event's value within
     * its user's history. The window orders by (value, event_id) — a
