@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default timezone too: specs build fixtures with
+  // java.sql.Timestamp.valueOf (JVM zone) and compare against Spark
+  // date_format (session zone, UTC) — on a host west of UTC-7 the two
+  // would disagree about which day a timestamp lands in.
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -12,6 +12,12 @@ import org.apache.spark.sql.SparkSession
   * line is a compact envelope (total, sentinel, streaming, headline
   * query medians) guaranteed under that window; the complete per-query
   * map is written to `BENCH_FULL.json` in the working directory.
+  * SCHEMA NOTE (stdout line only): its `"queries"` key is a TRUNCATED
+  * SUBSET of the medians — headline queries first, then slowest-first
+  * until the budget is spent. Consumers must check `"n_queries"`
+  * against the map size and read `"queries_file"` (BENCH_FULL.json)
+  * for the complete map; treating the inline subset as complete is the
+  * exact mistake this note exists to prevent.
   *
   * Each query is materialized through the `noop` sink — a full
   * end-to-end execution (scan → transform → row production) with no

@@ -923,11 +923,16 @@ object SparkEntry {
         "FROM x GROUP BY 1, 2"),
     // Mirrors VectorOps.normStatsByLabel: the same fp64 left-fold norm
     // as embedding_quantize's l2_norm (list_reduce == aggregate-from-0.0
-    // since 0.0 + x == x exactly).
+    // since 0.0 + x == x exactly). The len()=0 guard matches the Spark
+    // fold's 0.0 on an empty embedding — DuckDB's list_reduce raises on
+    // an empty list instead of degrading (list_sum would not, but could
+    // change the fp summation order; the CASE keeps non-empty rows
+    // bit-identical to the hash-green form).
     "embedding_norm_stats" ->
       ("WITH x AS (SELECT label, " +
+        "CASE WHEN len(embedding) = 0 THEN 0.0 ELSE " +
         "sqrt(list_reduce(list_transform(embedding, " +
-        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2 " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) END AS l2 " +
         "FROM embeddings) " +
         "SELECT label, count(*) AS n, round(avg(l2), 4) AS avg_norm, " +
         "round(min(l2), 4) AS min_norm, round(max(l2), 4) AS max_norm " +
@@ -939,10 +944,15 @@ object SparkEntry {
         "CASE WHEN max_abs > 0 THEN CAST(floor(CAST(embedding[" + (j + 1) +
           "] AS DOUBLE) / (max_abs / 127.0) + 0.5) AS BIGINT) ELSE 0 " +
           s"END AS q$j").mkString(", ")
+      // Same empty-list guards as embedding_norm_stats: Spark's fold
+      // yields l2_norm 0.0 and array_max yields NULL max_abs on an
+      // empty embedding; list_reduce/list_max would raise instead.
       "WITH m AS (SELECT vec_id, embedding, " +
+        "CASE WHEN len(embedding) = 0 THEN 0.0 ELSE " +
         "sqrt(list_reduce(list_transform(embedding, " +
-        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2_norm, " +
-        "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS max_abs " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) END AS l2_norm, " +
+        "CASE WHEN len(embedding) = 0 THEN NULL ELSE " +
+        "CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) END AS max_abs " +
         "FROM embeddings) " +
         s"SELECT vec_id, l2_norm, max_abs, max_abs / 127.0 AS scale, $qs FROM m"
     },

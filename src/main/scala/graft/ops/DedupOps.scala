@@ -135,7 +135,17 @@ object DedupOps {
     * inverted-index pruning). */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 3, maxDf: Long = 1000): DataFrame = {
-    val inv = shingleRows(docs, k).select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    // The hashed inverted index is pinned behind ONE repartition(h)
+    // exchange: the df aggregation (groupBy h — partitioning already
+    // satisfied), the df-prune join, and BOTH sides of the pair
+    // self-join consume the same shuffle files, so tokenize + shingle +
+    // explode + hash executes exactly once. The per-doc set sizes also
+    // aggregate from that exchange's 16-byte (doc_id, h) rows — one
+    // cheap reshuffle — instead of re-shingling from the doc_id
+    // exchange, which re-ran the explode once per consumer branch.
+    val inv = shingleRows(docs, k)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .repartition(col("h"))
     val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // df via aggregate + join, NOT a count window: the partial
     // aggregation collapses each shingle to one row per map task
@@ -316,35 +326,57 @@ object DedupOps {
     * algorithms refine). Rounds = graph diameter; dedup similarity
     * graphs are dense small clusters (diameter ≤ ~3 in practice), so
     * the loop converges in 2-4 rounds of one edge-keyed shuffle each,
-    * with only a per-round `count` action on the driver (the same
+    * with only a per-round scalar metric on the driver (the same
     * bounded control loop as any iterative MLlib algorithm — no data
-    * collects). `localCheckpoint` truncates lineage so round N's plan
+    * collects). The convergence check rides the SAME job that
+    * materializes the round's labels: the checkpoint is LAZY and the
+    * `max(changed)` aggregate is its first action, so each round is
+    * exactly ONE job — not an eager checkpoint plus a separate
+    * `isEmpty` scan (which doubled the per-round driver overhead).
+    * `localCheckpoint` truncates lineage so round N's plan
     * does not replay rounds 1..N-1. At 100 TB the edge list (two longs
     * a row) is orders of magnitude smaller than the corpus that
     * produced it; an adversarial long-chain graph would need the
     * O(log n) large-star/small-star variant, which real near-dup
     * graphs don't. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
-    // both directions, so one join per round sees the full neighborhood
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    // Both directions, so one join per round sees the full
+    // neighborhood. Exploded from ONE subtree, not pairs ∪ pairs.swap:
+    // the union form carries two copies of the (expensive) pair
+    // pipeline whose post-exchange stages re-execute per branch inside
+    // this checkpoint's job — explode duplicates rows, not plans.
+    val edges = pairs.select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
+    // No checkpoint on the initial labels: round 1 plans the distinct
+    // inline over the cached edges (one tiny stage) and its OWN
+    // checkpoint truncates the lineage — a separate init job bought
+    // nothing but scheduler latency.
     var labels = edges.select(col("src").as("v_id")).distinct()
       .withColumn("cluster_id", col("v_id"))
-      .localCheckpoint()
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("v_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      // LAZY checkpoint: the convergence aggregate below is the first
+      // action, so ONE job both materializes the cached round result
+      // and returns max(changed) — no separate isEmpty scan, and no
+      // Observation listener-bus wait (measured slower than the job
+      // it saved).
       val next = labels.join(nbrMin, labels("v_id") === nbrMin("src"), "left")
         .select(col("v_id"),
           least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id")))
             .as("cluster_id"),
           (coalesce(col("nbr_min"), col("cluster_id")) < col("cluster_id"))
             .as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
+        .localCheckpoint(eager = false)
+      // max over an empty frame is NULL → converged (only possible on
+      // an empty edge list, but guard).
+      val anyChanged = next.agg(max(col("changed"))).head.apply(0)
+      converged = !Option(anyChanged).exists(_.asInstanceOf[Boolean])
       labels = next.select("v_id", "cluster_id")
       round += 1
     }

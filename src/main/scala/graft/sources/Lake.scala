@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
 object Lake {
 
   /** Write `df` partitioned by the DATE of `tsCol` under `path`
-    * (overwrite). The partition column is named `day` and materialized
-    * as a string `yyyy-MM-dd` — Hive directory values are strings, and
-    * an explicit cast keeps the read-side filter type exact. */
+    * (overwrite). The partition column is named `day` and written as a
+    * string `yyyy-MM-dd` directory value. NOTE: on read, Spark's
+    * partition column type inference (on by default) recognizes the
+    * values as dates and surfaces `day` as DATE — filters like
+    * `$"day" === "2024-01-01"` still prune via an implicit cast
+    * (asserted in PartitionPruneSpec), but code must not assume string
+    * semantics (e.g. `substring`) on the read-back column. */
   def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
     df.withColumn("day", date_format(col(tsCol), "yyyy-MM-dd"))
       .repartition(col("day"))
