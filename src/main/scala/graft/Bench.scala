@@ -66,6 +66,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dailyMovingAvg's global window over the ≤1-row-per-day series is
+    // documented-safe (EventOps.dailyMovingAvg scaladoc; PLANS.md
+    // "Global-window warning") but WindowExec warns on every run —
+    // quiet exactly that logger so the bench stderr tail stays free of
+    // scary-but-explained noise. Catalyst strips foldable partition
+    // keys, so a lit(0) partitionBy cannot silence it at the source.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Double = {

@@ -19,6 +19,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // documented-safe global window in dailyMovingAvg — see PLANS.md
+    // "Global-window warning" for why this logger is quieted
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated filter (same contract as Bench) for
     // cheap single-query oracle pre-flights while iterating.

@@ -395,6 +395,13 @@ object EventOps {
   def dailyMovingAvg(events: DataFrame): DataFrame = {
     val byDay = events.groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("toots"))
+    // NOTE: WindowExec logs "No Partition Defined ... serious
+    // performance degradation" for this window on every run. It is
+    // safe HERE for the reason in the scaladoc (post-aggregation
+    // series, ≤1 row/day); a constant partitionBy(lit) does not
+    // silence it — Catalyst strips foldable partition expressions —
+    // so Bench/Verify quiet that one logger instead (see PLANS.md
+    // "Global-window warning").
     val w = Window.orderBy(col("day"))
     byDay.select(
       col("day"), col("toots"),

@@ -167,6 +167,32 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tpch_q13: orders collapse to per-customer counts BEFORE the outer join") {
+    val plan = planOf(JoinOps.tpchQ13(
+      Tables.customer(spark, sf0), Tables.orders(spark, sf0)))
+    // the eager-aggregation rewrite: an aggregate keyed on o_custkey
+    // must exist (a regression to join-then-count would group on
+    // c_custkey only and carry every order row through the outer join)
+    assert(plan.contains("HashAggregate(keys=[o_custkey"), plan)
+    // orders' own custkey agg + the final c_count distribution agg —
+    // no full-fact join shuffle beyond them
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"unexpected extra shuffles ($exchanges):\n$plan")
+  }
+
+  test("user_type_unpivot: one Expand, adds no shuffle over the pivot") {
+    val pivotPlan = planOf(EventOps.userTypePivot(Tables.events(spark, sf0)))
+    val plan = planOf(EventOps.userTypeUnpivot(Tables.events(spark, sf0)))
+    assert(plan.contains("Expand"), plan)
+    // the unpivot itself is shuffle-free: exactly the exchanges the
+    // pivot aggregation already pays, and not a UNION-of-selects that
+    // would re-scan the wide table once per melted column
+    def exchanges(p: String) = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges(plan) == exchanges(pivotPlan),
+      s"unpivot added a shuffle (${exchanges(plan)} vs ${exchanges(pivotPlan)}):\n$plan")
+    assert(!plan.contains("Union"), plan)
+  }
+
   test("size guard: oversized dims are NOT force-broadcast") {
     // with the threshold floored, maybeBroadcast must decline the hint
     // and let the planner shuffle — the 100 TB posture where customer
