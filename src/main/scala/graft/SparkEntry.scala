@@ -133,6 +133,21 @@ object SparkEntry {
     "tpch_q10" -> ((s, d) => JoinOps.tpchQ10(
       lineitem(s, d), orders(s, d), customer(s, d), Tables.nation(s, d))),
     "tpch_q13" -> ((s, d) => JoinOps.tpchQ13(customer(s, d), orders(s, d))),
+    // The remaining TPC-H family (TpchOps) — schema adaptations in its
+    // class doc; with these, all 22 query shapes are covered.
+    "tpch_q2" -> ((s, d) => TpchOps.tpchQ2(s, d)),
+    "tpch_q4" -> ((s, d) => TpchOps.tpchQ4(orders(s, d), lineitem(s, d))),
+    "tpch_q7" -> ((s, d) => TpchOps.tpchQ7(s, d)),
+    "tpch_q8" -> ((s, d) => TpchOps.tpchQ8(s, d)),
+    "tpch_q9" -> ((s, d) => TpchOps.tpchQ9(s, d)),
+    "tpch_q11" -> ((s, d) => TpchOps.tpchQ11(s, d)),
+    "tpch_q12" -> ((s, d) => TpchOps.tpchQ12(lineitem(s, d), orders(s, d))),
+    "tpch_q15" -> ((s, d) => TpchOps.tpchQ15(lineitem(s, d), supplier(s, d))),
+    "tpch_q16" -> ((s, d) => TpchOps.tpchQ16(lineitem(s, d), part(s, d))),
+    "tpch_q17" -> ((s, d) => TpchOps.tpchQ17(lineitem(s, d), part(s, d))),
+    "tpch_q20" -> ((s, d) => TpchOps.tpchQ20(s, d)),
+    "tpch_q21" -> ((s, d) => TpchOps.tpchQ21(s, d)),
+    "tpch_q22" -> ((s, d) => TpchOps.tpchQ22(customer(s, d), orders(s, d))),
     "top_bigrams_by_lang" -> ((s, d) =>
       DocOps.topBigramsByLang(documents(s, d), 5)),
     "top_orders_native" -> ((s, d) => {
@@ -720,6 +735,167 @@ object SparkEntry {
         "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
         "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
         "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)"),
+    // ---- TpchOps: the remaining TPC-H family. Every scalar
+    // threshold cross-multiplies in integer hundredths (the avgSql
+    // pattern) so neither engine divides before comparing; raw-double
+    // outputs (q2's unit cost, the /100.0 re-scales) are single IEEE
+    // ops on identical operands and ship unrounded.
+    "tpch_q2" ->
+      ("WITH euro_sup AS (SELECT s_suppkey, s_name, s_acctbal, n_name " +
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), " +
+        "offers AS (SELECT l_partkey, l_suppkey, " +
+        "min(l_extendedprice / l_quantity) AS cost " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD' " +
+        "AND l_suppkey IN (SELECT s_suppkey FROM euro_sup) GROUP BY 1, 2), " +
+        "mins AS (SELECT l_partkey AS m_partkey, min(cost) AS min_cost " +
+        "FROM offers GROUP BY 1) " +
+        "SELECT s_acctbal, s_name, n_name, l_partkey AS p_partkey, " +
+        "min_cost AS unit_cost " +
+        "FROM offers JOIN mins ON l_partkey = m_partkey AND cost = min_cost " +
+        "JOIN euro_sup ON l_suppkey = s_suppkey " +
+        "ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC " +
+        "LIMIT 100"),
+    "tpch_q4" ->
+      ("SELECT o_orderpriority, count(*) AS n_orders FROM orders o " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1997-04-01' " +
+        "AND EXISTS (SELECT 1 FROM lineitem l " +
+        "WHERE l.l_orderkey = o.o_orderkey " +
+        "AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) " +
+        "GROUP BY 1"),
+    "tpch_q7" ->
+      ("SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, " +
+        "CAST(year(l_shipdate) AS INTEGER) AS l_year, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue, " +
+        "count(*) AS n_lines " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey " +
+        "WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') " +
+        "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1') " +
+        "GROUP BY 1, 2, 3"),
+    "tpch_q8" ->
+      ("WITH j AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2))) AS disc, " +
+        "sn.n_name AS supp_nation " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey " +
+        "WHERE p_type = 'PROMO' " +
+        "AND o_orderdate >= TIMESTAMP '1997-01-01' " +
+        "AND o_orderdate < TIMESTAMP '1999-01-01' " +
+        "AND c_nationkey IN (SELECT n_nationkey FROM nation " +
+        "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')) " +
+        "SELECT o_year, " +
+        "CAST(round(COALESCE(sum(CASE WHEN supp_nation = 'NATION_2' THEN disc END), 0), 2) AS DOUBLE) AS nation_revenue, " +
+        "CAST(round(sum(disc), 2) AS DOUBLE) AS total_revenue, " +
+        "CAST(COALESCE(sum(CASE WHEN supp_nation = 'NATION_2' THEN disc END), 0) AS DOUBLE) " +
+        "/ CAST(sum(disc) AS DOUBLE) AS mkt_share FROM j GROUP BY 1"),
+    "tpch_q9" ->
+      ("SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year, " +
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2))) - " +
+        "CAST(p_retailprice AS DECIMAL(12,2)) * " +
+        "CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.5 AS DECIMAL(2,1))), 2) " +
+        "AS DOUBLE) AS sum_profit " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_name LIKE '%widget%' GROUP BY 1, 2"),
+    "tpch_q11" ->
+      ("WITH vals AS (SELECT l_partkey, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS val_c " +
+        "FROM lineitem WHERE l_suppkey IN (SELECT s_suppkey FROM supplier " +
+        "JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3') " +
+        "GROUP BY 1) " +
+        "SELECT l_partkey AS p_partkey, CAST(val_c AS DOUBLE) / 100.0 AS part_value " +
+        "FROM vals CROSS JOIN (SELECT CAST(sum(val_c) AS BIGINT) AS tot_c FROM vals) t " +
+        "WHERE val_c * 1000 > tot_c"),
+    "tpch_q12" ->
+      ("SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 " +
+        "THEN 'QUICK' WHEN datediff('day', o_orderdate, l_shipdate) <= 90 " +
+        "THEN 'NORMAL' ELSE 'LATE' END AS ship_bucket, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"),
+    "tpch_q15" ->
+      ("WITH per_supp AS (SELECT l_suppkey, " +
+        "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01' " +
+        "AND l_shipdate < TIMESTAMP '1998-04-01' GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, CAST(round(rev_dec, 2) AS DOUBLE) AS total_revenue " +
+        "FROM per_supp JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE rev_dec = (SELECT max(rev_dec) FROM per_supp)"),
+    "tpch_q16" ->
+      ("SELECT p_brand, p_type, p_size, count(*) AS supplier_cnt FROM (" +
+        "SELECT DISTINCT p_brand, p_type, p_size, l_suppkey " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand <> 'Brand#45' AND p_type <> 'ECONOMY' " +
+        "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)) " +
+        "GROUP BY 1, 2, 3"),
+    "tpch_q17" ->
+      ("WITH pruned AS (SELECT l_partkey, " +
+        "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qty_c, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS ext_c " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "WHERE p_brand = 'Brand#23' AND p_size <= 10), " +
+        "stats AS (SELECT l_partkey AS st_partkey, " +
+        "CAST(sum(qty_c) AS BIGINT) AS qty_sum_c, count(*) AS qty_n " +
+        "FROM pruned GROUP BY 1) " +
+        "SELECT CAST(CAST(sum(ext_c) AS BIGINT) AS DOUBLE) / 700.0 AS avg_yearly " +
+        "FROM pruned JOIN stats ON l_partkey = st_partkey " +
+        "WHERE qty_c * 5 * qty_n < qty_sum_c"),
+    "tpch_q20" ->
+      ("WITH per_supp AS (SELECT l_suppkey, " +
+        "COALESCE(CAST(sum(CASE WHEN CAST(year(l_shipdate) AS INTEGER) = 1999 " +
+        "THEN CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) END) AS BIGINT), 0) AS qy_c, " +
+        "CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS qt_c " +
+        "FROM lineitem WHERE l_partkey IN (SELECT p_partkey FROM part " +
+        "WHERE p_name LIKE '%red%') GROUP BY 1) " +
+        "SELECT s_suppkey, s_name, CAST(qy_c AS DOUBLE) / 100.0 AS qty_in_year, " +
+        "CAST(qt_c AS DOUBLE) / 100.0 AS qty_total " +
+        "FROM per_supp JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'EUROPE' AND qy_c * 8 > qt_c"),
+    "tpch_q21" ->
+      ("WITH base AS (SELECT l_orderkey AS ok, l_suppkey AS sk, " +
+        "l_shipdate AS sd, o_orderdate AS od " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'F'), " +
+        "late AS (SELECT DISTINCT ok, sk FROM base " +
+        "WHERE sd > od + INTERVAL 60 DAY), " +
+        "sups AS (SELECT DISTINCT ok, sk FROM base) " +
+        "SELECT s_name, count(*) AS numwait " +
+        "FROM late l1 JOIN supplier ON l1.sk = s_suppkey " +
+        "WHERE EXISTS (SELECT 1 FROM sups s2 WHERE s2.ok = l1.ok AND s2.sk <> l1.sk) " +
+        "AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.ok = l1.ok AND l3.sk <> l1.sk) " +
+        "GROUP BY 1 ORDER BY numwait DESC, s_name ASC LIMIT 20"),
+    "tpch_q22" ->
+      ("WITH coded AS (SELECT CAST(c_custkey % 10 AS INTEGER) AS cntrycode, " +
+        "c_custkey, c_acctbal FROM customer " +
+        "WHERE CAST(c_custkey % 10 AS INTEGER) IN (1, 2, 3, 4, 5)), " +
+        "stats AS (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bal_sum, " +
+        "count(*) AS bal_n FROM coded WHERE c_acctbal > 0) " +
+        "SELECT cntrycode, count(*) AS numcust, " +
+        "CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal " +
+        "FROM coded CROSS JOIN stats " +
+        "WHERE CAST(c_acctbal AS DECIMAL(12,2)) * bal_n > bal_sum " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '1999-01-01') " +
+        "GROUP BY 1"),
     "top_bigrams_by_lang" ->
       ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), " +
         "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 1), " +
