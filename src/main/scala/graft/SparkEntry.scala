@@ -98,6 +98,9 @@ object SparkEntry {
     "split_contamination" -> ((s, d) =>
       DocOps.splitContamination(documents(s, d))),
     "tfidf_top_terms" -> ((s, d) => DocOps.tfidfTopTerms(documents(s, d))),
+    "unigram_freq_score" -> ((s, d) => DocOps.unigramFreqScore(documents(s, d))),
+    "distinctive_terms_by_source" ->
+      ((s, d) => DocOps.distinctiveTermsBySource(documents(s, d))),
     "ttr_by_source" -> ((s, d) => DocOps.ttrBySource(documents(s, d))),
     "doclen_histogram" -> ((s, d) => DocOps.doclenHistogram(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
@@ -577,6 +580,37 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY doc_id ORDER BY " +
         "CAST(tf * n_total AS DOUBLE) / CAST(df AS DOUBLE) DESC, term ASC) AS rn " +
         "FROM tf JOIN df USING (term) CROSS JOIN n) WHERE rn <= 3"),
+    // Mirrors DocOps.unigramFreqScore: integer sums, one final double
+    // division per column — no ln, no order-dependent float summation.
+    "unigram_freq_score" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1), " +
+        "total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts) " +
+        "SELECT doc_id, count(*) AS n_tokens, " +
+        "CAST(CAST(sum(cnt) AS BIGINT) AS DOUBLE) / " +
+        "CAST(count(*) * n_total AS DOUBLE) AS mean_rel_freq, " +
+        "CAST(CAST(sum(CASE WHEN cnt <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE) " +
+        "/ CAST(count(*) AS DOUBLE) AS rare_ratio " +
+        "FROM toks JOIN counts USING (term) CROSS JOIN total " +
+        "GROUP BY doc_id, n_total"),
+    // Mirrors DocOps.distinctiveTermsBySource: lift as one cross-product
+    // division of exact integer products (the tfidf trick, twice).
+    "distinctive_terms_by_source" ->
+      ("WITH st AS (SELECT source, term, count(*) AS cnt FROM (" +
+        "SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents) GROUP BY 1, 2), " +
+        "corpus AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM st GROUP BY 1), " +
+        "srct AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS src_total FROM st GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS n_total FROM corpus), " +
+        "scored AS (SELECT source, term, cnt, " +
+        "CAST(cnt * n_total AS DOUBLE) / CAST(src_total * cnt_all AS DOUBLE) AS lift " +
+        "FROM st JOIN corpus USING (term) JOIN srct USING (source) CROSS JOIN tot " +
+        "WHERE cnt >= 5) " +
+        "SELECT source, term, cnt, lift FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY source ORDER BY lift DESC, term ASC) AS rn FROM scored) " +
+        "WHERE rn <= 5"),
     // Mirrors DocOps.ttrBySource: same lowercased whitespace tokenizer
     // as token_counts/top_terms; the DOUBLE cast lands on the same side
     // of the division.

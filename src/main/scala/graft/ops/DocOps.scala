@@ -415,6 +415,77 @@ object DocOps {
       .select("doc_id", "term", "tf", "df", "score")
   }
 
+  /** Unigram-LM quality proxy with exact arithmetic: per document,
+    * the mean relative corpus frequency of its tokens (how "ordinary"
+    * its vocabulary is — the monotone stand-in for unigram logprob)
+    * and the fraction of tokens whose corpus count is ≤ `rareMax`
+    * (OCR garbage / tokenizer debris shows up as a high rare ratio).
+    * A true logprob would sum `ln(cnt/N)` per token — and `ln`'s
+    * last-ulp varies by libm ([[tfidfTopTerms]] scaladoc), with the
+    * summation order varying by join order on top. Both signals here
+    * are integer sums (Σcnt, rare-count) with ONE final double
+    * division, so they are bit-identical in any engine and any
+    * execution order while ranking documents the same way a unigram
+    * LM's mean token probability would.
+    *
+    * Shape at scale: the corpus count is a term-keyed hash agg with
+    * map-side partials; the token⋈count join shuffles on term (the
+    * TF-IDF plan); the per-doc rollup re-keys on doc_id; N arrives
+    * as a broadcast 1-row aggregate. */
+  def unigramFreqScore(docs: DataFrame, rareMax: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(DedupOps.tokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("n_total"))
+    toks.join(counts, "term")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("freq_mass"),
+        sum(when(col("cnt") <= rareMax, 1L).otherwise(0L)).as("rare"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("freq_mass").cast("double") /
+          (col("n_tokens") * col("n_total")).cast("double"))
+          .as("mean_rel_freq"),
+        (col("rare").cast("double") / col("n_tokens").cast("double"))
+          .as("rare_ratio"))
+  }
+
+  /** Per-source domain signature: the k terms most over-represented
+    * in each source vs the whole corpus, ranked by lift =
+    * (cnt_src/total_src) / (cnt_corpus/total_corpus) — the
+    * domain-drift diagnostic run before mixing corpora. Lift is the
+    * [[tfidfTopTerms]] integer-ratio trick twice over: both rates
+    * become one cross-product division `(cnt·N) / (srcTotal·cntAll)`
+    * of exact integer products, identical in both engines. Hapax
+    * noise is cut by `minCount`; ties pinned by term.
+    *
+    * Shape at scale: one (source, term) hash agg feeds everything —
+    * corpus counts re-aggregate it by term (a second small shuffle),
+    * source totals by source (tiny, broadcast back), and the final
+    * per-source top-k plans as TopKRewrite's capped heaps. */
+  def distinctiveTermsBySource(docs: DataFrame, k: Int = 5,
+      minCount: Int = 5): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val corpus = st.groupBy("term").agg(sum(col("cnt")).as("cnt_all"))
+    val srcTot = st.groupBy("source").agg(sum(col("cnt")).as("src_total"))
+    val corpTot = corpus.agg(sum(col("cnt_all")).as("n_total"))
+    st.filter(col("cnt") >= minCount)
+      .join(corpus, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpTot))
+      .withColumn("lift", (col("cnt") * col("n_total")).cast("double") /
+        (col("src_total") * col("cnt_all")).cast("double"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(col("lift").desc, col("term").asc)))
+      .filter(col("rn") <= k)
+      .select("source", "term", "cnt", "lift")
+  }
+
   /** Train→test decontamination check (the GPT-3-style n-gram overlap
     * audit): for every TEST-split document, the fraction of its
     * distinct word `k`-grams that also occur anywhere in the TRAIN

@@ -80,4 +80,30 @@ class DocPipelineSpec extends SparkSpec {
       .select("score").as[Double].collect().head
     assert(z == 1.0 * 3 / 1, s"score formula drifted: $z")
   }
+
+  test("unigramFreqScore: exact integer-ratio frequency and rare-token math") {
+    // corpus: a=3, b=1, c=1, N=5
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = DocOps.unigramFreqScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 1: mass = 3+3+1 = 7 over 3 tokens → 7/15; rare (cnt<=2): b → 1/3
+    assert(out(1L) == ((3L, 7.0 / 15.0, 1.0 / 3.0)), out.toString)
+    // doc 2: mass = 3+1 = 4 over 2 tokens → 4/10; rare: c → 1/2
+    assert(out(2L) == ((2L, 4.0 / 10.0, 1.0 / 2.0)), out.toString)
+  }
+
+  test("distinctiveTermsBySource: lift ranks each source's signature term") {
+    // per source: signature term x/y (cnt 6), shared "common" (cnt 2 —
+    // under minCount, filtered)
+    val docs = Seq(
+      (1L, "A", "x x x x x x common common"),
+      (2L, "B", "y y y y y y common common")).toDF("doc_id", "source", "text")
+    val out = DocOps.distinctiveTermsBySource(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getDouble(3))).toMap
+    // lift(x|A) = (6·16)/(8·6) = 2.0 — exactly, by integer products
+    assert(out("A") == (("x", 6L, 2.0)), out.toString)
+    assert(out("B") == (("y", 6L, 2.0)), out.toString)
+  }
 }
