@@ -74,6 +74,7 @@ object SparkEntry {
     "value_rank_stats" -> ((s, d) => EventOps.valueRankStats(events(s, d))),
     "daily_moving_avg" -> ((s, d) => EventOps.dailyMovingAvg(events(s, d))),
     "value_mad_by_type" -> ((s, d) => EventOps.valueMadByType(events(s, d))),
+    "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
     "keyword_lang_counts" -> ((s, d) =>
@@ -101,6 +102,9 @@ object SparkEntry {
     "unigram_freq_score" -> ((s, d) => DocOps.unigramFreqScore(documents(s, d))),
     "distinctive_terms_by_source" ->
       ((s, d) => DocOps.distinctiveTermsBySource(documents(s, d))),
+    "zipf_slope_by_lang" -> ((s, d) => DocOps.zipfSlopeByLang(documents(s, d))),
+    "unigram_kl_by_source" ->
+      ((s, d) => DocOps.unigramKlBySource(documents(s, d))),
     "ttr_by_source" -> ((s, d) => DocOps.ttrBySource(documents(s, d))),
     "doclen_histogram" -> ((s, d) => DocOps.doclenHistogram(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
@@ -172,12 +176,15 @@ object SparkEntry {
     "top_orders_by_price" -> ((s, d) => AggOps.topOrdersByPrice(orders(s, d), 10)),
     "monthly_order_stats" -> ((s, d) => AggOps.monthlyOrderStats(orders(s, d))),
     "global_order_stats" -> ((s, d) => AggOps.globalOrderStats(orders(s, d))),
+    "lineitem_correlations" ->
+      ((s, d) => AggOps.lineitemCorrelations(lineitem(s, d))),
     // ---- dedup (north star) ----
     "exact_dup_groups" -> ((s, d) => DedupOps.exactDupGroups(documents(s, d))),
     "boilerplate_phrases" -> ((s, d) =>
       DedupOps.boilerplatePhrases(documents(s, d))),
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
     "dedup_keep_longest" -> ((s, d) => DedupOps.dedupKeepLongest(documents(s, d))),
+    "span_dedup_stats" -> ((s, d) => DedupOps.spanDedupStats(documents(s, d))),
     "ngram_jaccard_pairs" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(documents(s, d), 0.5)),
     "dup_clusters" -> ((s, d) => DedupOps.dupClusters(documents(s, d))),
@@ -384,6 +391,19 @@ object SparkEntry {
         "SELECT event_type, round(max(med), 4) AS med, " +
         "round(median(abs(value - med)), 4) AS mad, count(*) AS n " +
         "FROM events JOIN m USING (event_type) GROUP BY event_type"),
+    // Mirrors EventOps.eventTransitions: same (ts, event_id) total
+    // order under lead(), same exact-integer ratio for P(next|cur).
+    "event_transitions" ->
+      ("WITH steps AS (SELECT event_type, lead(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS next_type " +
+        "FROM events), " +
+        "agg AS (SELECT event_type, next_type, count(*) AS n_steps " +
+        "FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2), " +
+        "tot AS (SELECT event_type, CAST(sum(n_steps) AS BIGINT) AS n_from " +
+        "FROM agg GROUP BY 1) " +
+        "SELECT event_type, next_type, n_steps, " +
+        "round(CAST(n_steps AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p_next " +
+        "FROM agg JOIN tot USING (event_type)"),
     "media_byte_stats" ->
       ("WITH m AS (SELECT CASE CAST(doc_id % 3 AS INT) " +
         "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
@@ -611,6 +631,37 @@ object SparkEntry {
         "SELECT source, term, cnt, lift FROM (SELECT *, row_number() OVER (" +
         "PARTITION BY source ORDER BY lift DESC, term ASC) AS rn FROM scored) " +
         "WHERE rn <= 5"),
+    // Mirrors DocOps.zipfSlopeByLang: same tie-pinned (cnt DESC, term
+    // ASC) ranks, same ln-space moment-sum slope, one final rounding.
+    "zipf_slope_by_lang" ->
+      ("WITH vocab AS (SELECT lang, term, count(*) AS cnt FROM (" +
+        "SELECT lang, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents) GROUP BY 1, 2), " +
+        "ranked AS (SELECT lang, " +
+        "ln(CAST(row_number() OVER (PARTITION BY lang " +
+        "ORDER BY cnt DESC, term ASC) AS DOUBLE)) AS x, " +
+        "ln(CAST(cnt AS DOUBLE)) AS y FROM vocab) " +
+        "SELECT lang, count(*) AS n_terms, " +
+        "round((count(*) * sum(x * y) - sum(x) * sum(y)) / " +
+        "(count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope " +
+        "FROM ranked GROUP BY lang"),
+    // Mirrors DocOps.unigramKlBySource: each cross-product factor cast
+    // to DOUBLE before multiplying (exact casts, identical IEEE
+    // products), one final rounding.
+    "unigram_kl_by_source" ->
+      ("WITH st AS (SELECT source, term, count(*) AS cnt FROM (" +
+        "SELECT source, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents) GROUP BY 1, 2), " +
+        "corpus AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS cnt_all FROM st GROUP BY 1), " +
+        "srct AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS src_total FROM st GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS n_total FROM corpus) " +
+        "SELECT source, count(*) AS n_terms, " +
+        "round(sum((CAST(cnt AS DOUBLE) / CAST(src_total AS DOUBLE)) * " +
+        "ln((CAST(cnt AS DOUBLE) * CAST(n_total AS DOUBLE)) / " +
+        "(CAST(src_total AS DOUBLE) * CAST(cnt_all AS DOUBLE)))), 6) " +
+        "AS kl_vs_corpus " +
+        "FROM st JOIN corpus USING (term) JOIN srct USING (source) " +
+        "CROSS JOIN tot GROUP BY source"),
     // Mirrors DocOps.ttrBySource: same lowercased whitespace tokenizer
     // as token_counts/top_terms; the DOUBLE cast lands on the same side
     // of the division.
@@ -1005,6 +1056,35 @@ object SparkEntry {
       ("SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, " +
         "count(*) AS n_orders, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_price, " +
         Num.avgSql("o_totalprice", "avg_price") + " FROM orders GROUP BY 1"),
+    // Mirrors AggOps.lineitemCorrelations: identical scaled-BIGINT
+    // moment sums in DECIMAL(38,0) (exact in both engines), identical
+    // double-space combination — the ulp-exact corr construction.
+    "lineitem_correlations" ->
+      ("WITH s AS (SELECT " +
+        "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p, " +
+        "CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS d " +
+        "FROM lineitem), " +
+        "m AS (SELECT CAST(count(*) AS DECIMAL(38,0)) AS n, " +
+        "sum(CAST(q AS DECIMAL(28,0))) AS sq, " +
+        "sum(CAST(p AS DECIMAL(28,0))) AS sp, " +
+        "sum(CAST(d AS DECIMAL(28,0))) AS sd, " +
+        "sum(CAST(q * q AS DECIMAL(28,0))) AS sqq, " +
+        "sum(CAST(p * p AS DECIMAL(28,0))) AS spp, " +
+        "sum(CAST(d * d AS DECIMAL(28,0))) AS sdd, " +
+        "sum(CAST(q * p AS DECIMAL(28,0))) AS sqp, " +
+        "sum(CAST(q * d AS DECIMAL(28,0))) AS sqd, " +
+        "sum(CAST(p * d AS DECIMAL(28,0))) AS spd FROM s) " +
+        "SELECT CAST(n AS BIGINT) AS n_rows, " +
+        "round(CAST(n * sqp - sq * sp AS DOUBLE) / " +
+        "sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * " +
+        "CAST(n * spp - sp * sp AS DOUBLE)), 6) AS corr_qty_price, " +
+        "round(CAST(n * sqd - sq * sd AS DOUBLE) / " +
+        "sqrt(CAST(n * sqq - sq * sq AS DOUBLE) * " +
+        "CAST(n * sdd - sd * sd AS DOUBLE)), 6) AS corr_qty_disc, " +
+        "round(CAST(n * spd - sp * sd AS DOUBLE) / " +
+        "sqrt(CAST(n * spp - sp * sp AS DOUBLE) * " +
+        "CAST(n * sdd - sd * sd AS DOUBLE)), 6) AS corr_price_disc FROM m"),
     "exact_dup_groups" ->
       ("SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id " +
         "FROM documents GROUP BY 1 HAVING count(*) > 1"),
@@ -1021,6 +1101,25 @@ object SparkEntry {
         "PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) " +
         "ORDER BY length(text) DESC, doc_id ASC) AS rn FROM documents) " +
         "WHERE rn = 1"),
+    // Mirrors DedupOps.spanDedupStats: same tokenizer, same k=20
+    // non-overlapping spans (complete spans only), same md5 span key,
+    // and the same (doc_id, idx) first-occurrence ownership — here as
+    // a row_number argmin over the span hash.
+    "span_dedup_stats" ->
+      ("WITH toks AS (SELECT doc_id, source, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "spans AS (SELECT doc_id, source, i AS idx, " +
+        "md5(array_to_string(list_slice(t, i * 20 + 1, i * 20 + 20), ' ')) AS h " +
+        "FROM toks, unnest(range(len(t) // 20)) AS u(i) WHERE len(t) >= 20), " +
+        "owners AS (SELECT h, source FROM (SELECT h, source, " +
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id ASC, idx ASC) AS rn " +
+        "FROM spans) WHERE rn = 1), " +
+        "own AS (SELECT source, count(*) AS n_owned FROM owners GROUP BY 1), " +
+        "inst AS (SELECT source, count(*) AS n_spans FROM spans GROUP BY 1) " +
+        "SELECT source, n_spans, COALESCE(n_owned, 0) AS n_owned, " +
+        "round(1.0 - CAST(COALESCE(n_owned, 0) AS DOUBLE) / " +
+        "CAST(n_spans AS DOUBLE), 6) AS dup_ratio " +
+        "FROM inst LEFT JOIN own USING (source)"),
     // Mirrors DedupOps.boilerplatePhrases: per-doc-distinct word
     // 5-grams (same shingle form as ngram_jaccard_pairs at k=5), so a
     // plain count is the distinct-doc count.

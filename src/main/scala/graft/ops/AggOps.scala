@@ -154,4 +154,44 @@ object AggOps {
         count(lit(1)).as("n_orders"),
         Num.sumRound(Num.dec2(col("o_totalprice")), 2).as("total_price"),
         Num.avgRound(col("o_totalprice"), 4).as("avg_price"))
+
+  /** Pearson correlations between the fact table's measures, computed
+    * EXACTLY in integer space: each ≤2-decimal column is scaled to a
+    * BIGINT (×100 through DECIMAL(12,2), the [[Num.dec2]] rule), the
+    * five moment sums Σx Σy Σxy Σx² Σy² accumulate as DECIMAL(38,0)
+    * (per-row products fit BIGINT; sums do not at scale), and
+    * n·Σxy − Σx·Σy forms in DECIMAL(38,0) — every engine computes the
+    * IDENTICAL integers, so the single final double division + sqrt
+    * is bit-stable where a native streaming `corr` (Welford-style,
+    * order-dependent) is not. The scale factors cancel in the ratio,
+    * so no descaling is needed.
+    *
+    * Bounds: DECIMAL(38,0) holds n·Σx² exactly to ~10⁹ rows at these
+    * magnitudes; past that swap the built-in `corr` (same one-scan
+    * shape, last-ulp nondeterminism accepted). One scan, one
+    * partial+final agg, one output row — nothing else moves. */
+  def lineitemCorrelations(li: DataFrame): DataFrame = {
+    def scaled(c: String) =
+      (Num.dec2(col(c)) * lit(100)).cast("long")
+    val (q, p, d) = (scaled("l_quantity"), scaled("l_extendedprice"),
+      scaled("l_discount"))
+    def s(c: org.apache.spark.sql.Column) = sum(c.cast("decimal(28,0)"))
+    val agg = li.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      s(q).as("sq"), s(p).as("sp"), s(d).as("sd"),
+      s(q * q).as("sqq"), s(p * p).as("spp"), s(d * d).as("sdd"),
+      s(q * p).as("sqp"), s(q * d).as("sqd"), s(p * d).as("spd"))
+    def corr(sxy: String, sx: String, sy: String, sxx: String,
+        syy: String) = {
+      val num = (col("n") * col(sxy) - col(sx) * col(sy)).cast("double")
+      val dx = (col("n") * col(sxx) - col(sx) * col(sx)).cast("double")
+      val dy = (col("n") * col(syy) - col(sy) * col(sy)).cast("double")
+      round(num / sqrt(dx * dy), 6)
+    }
+    agg.select(
+      col("n").cast("long").as("n_rows"),
+      corr("sqp", "sq", "sp", "sqq", "spp").as("corr_qty_price"),
+      corr("sqd", "sq", "sd", "sqq", "sdd").as("corr_qty_disc"),
+      corr("spd", "sp", "sd", "spp", "sdd").as("corr_price_disc"))
+  }
 }

@@ -417,4 +417,62 @@ object DedupOps {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  // ---------- span-level (sub-document) dedup ----------
+
+  /** Span-level exact dedup, C4-style but at token-block granularity:
+    * chop each document into consecutive non-overlapping `k`-token
+    * spans, dedupe spans across the WHOLE corpus (the first occurrence
+    * — smallest (doc_id, span_idx) — owns the span), and report the
+    * per-source duplicate mass: how many span instances each source
+    * contributes vs how many it actually owns. This is the
+    * sub-document counterpart to [[exactDupGroups]] — whole-document
+    * dedup misses the boilerplate a source repeats INSIDE otherwise
+    * distinct pages; span stats expose it before training data ships.
+    *
+    * Shape at scale: a SINGLE linear pipeline — one explode (a
+    * Generate barrier, same rationale as the header note) to span
+    * rows, md5 collapses each span to 32 bytes BEFORE the one wide
+    * shuffle (a (hash, source) agg: instance count + the source's
+    * best (doc_id, idx)), then a window over the hash marks each
+    * span's owning source and one tiny source agg emits both counts.
+    * No self-join, no second scan (an earlier two-branch formulation
+    * pruned the branches differently, defeating ReuseExchange — this
+    * shape cannot fork); hot boilerplate spans fold map-side in the
+    * first agg, and the window sorts only the already-collapsed
+    * (hash, source) frame. Docs shorter than `k` tokens have no
+    * complete span and drop out (the sequence() guard below — and
+    * mirrored in the oracle). */
+  def spanDedupStats(docs: DataFrame, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = docs
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+      // complete k-token spans only; filter BEFORE sequence() so the
+      // n=0 case can never build the descending [0,-1] footgun
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), col("source"), col("t"),
+        explode(sequence(lit(0), (size(col("t")) / k).cast("int") - 1))
+          .as("idx"))
+      .select(col("doc_id"), col("source"), col("idx"),
+        md5(concat_ws(" ", slice(col("t"), col("idx") * k + 1, lit(k))))
+          .as("h"))
+    // the one wide agg: per (span hash, source) instance count + the
+    // source's best (doc_id, idx); everything downstream is tiny
+    val perSrc = spans
+      .groupBy("h", "source")
+      .agg(count(lit(1)).as("n_inst"),
+        min(struct(col("doc_id"), col("idx"))).as("m"))
+    // first occurrence across sources owns the span
+    val owned = perSrc.withColumn("owner",
+      first(col("source")).over(Window.partitionBy("h")
+        .orderBy(col("m.doc_id").asc, col("m.idx").asc)))
+    owned
+      .groupBy("source")
+      .agg(sum(col("n_inst")).as("n_spans"),
+        sum(when(col("source") === col("owner"), 1L).otherwise(0L))
+          .as("n_owned"))
+      .select(col("source"), col("n_spans"), col("n_owned"),
+        round(lit(1.0) - col("n_owned").cast("double") /
+          col("n_spans").cast("double"), 6).as("dup_ratio"))
+  }
 }

@@ -700,4 +700,74 @@ object DocOps {
           .otherwise(best.getField("language")))
       .select((docs.columns.map(col) :+ col("pred_lang")): _*)
   }
+
+  /** Zipf fit per language: the least-squares slope of
+    * ln(freq) ~ ln(rank) over each language's unigram
+    * rank–frequency curve — natural text sits near −1; a corpus that
+    * drifts far off is synthetic, templated, or mis-tokenized (a
+    * standard corpus-health probe). Ranks are pinned to a TOTAL order
+    * (count DESC, term ASC) so both engines rank ties identically;
+    * the slope is assembled from the classic moment sums, one final
+    * rounding absorbing last-ulp ln/summation drift.
+    *
+    * Shape at scale: the (lang, term) hash agg does the heavy
+    * lifting; the rank window partitions BY LANGUAGE over the
+    * aggregated vocab (bounded by distinct-term count, not corpus
+    * size — and per-language, so no global single-partition sort);
+    * the moment agg collapses it to one row per language. */
+  def zipfSlopeByLang(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs
+      .select(col("lang"), explode(DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+    val ranked = vocab
+      .withColumn("rank", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("term").asc)))
+      .select(col("lang"), log(col("rank").cast("double")).as("x"),
+        log(col("cnt").cast("double")).as("y"))
+    ranked.groupBy("lang").agg(
+      count(lit(1)).as("n_terms"),
+      round((count(lit(1)) * sum(col("x") * col("y")) -
+        sum(col("x")) * sum(col("y"))) /
+        (count(lit(1)) * sum(col("x") * col("x")) -
+          sum(col("x")) * sum(col("x"))), 6).as("zipf_slope"))
+  }
+
+  /** Per-source unigram KL divergence from the corpus distribution:
+    * D(source ‖ corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the
+    * information-theoretic "how far does this source's vocabulary
+    * drift from the mix" number behind [[distinctiveTermsBySource]]'s
+    * per-term lifts. Every p_s(t) > 0 term also occurs in the corpus
+    * by construction, so the log is always finite. The ratio inside
+    * the log is the cross product (cnt·N)/(srcTotal·cnt_all) with
+    * each factor cast to double BEFORE multiplying — exact casts
+    * (counts < 2⁵³) and correctly-rounded IEEE products, so both
+    * engines feed ln the identical double with no BIGINT overflow at
+    * web scale — and one final rounding absorbs summation-order
+    * drift.
+    *
+    * Shape at scale: same skeleton as [[distinctiveTermsBySource]] —
+    * one (source, term) hash agg feeds the corpus re-agg (by term)
+    * and the source totals (tiny, broadcast); output is one row per
+    * source. */
+  def unigramKlBySource(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val corpus = st.groupBy("term").agg(sum(col("cnt")).as("cnt_all"))
+    val srcTot = st.groupBy("source").agg(sum(col("cnt")).as("src_total"))
+    val corpTot = corpus.agg(sum(col("cnt_all")).as("n_total"))
+    st.join(corpus, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpTot))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(sum((col("cnt").cast("double") /
+          col("src_total").cast("double")) *
+          log((col("cnt").cast("double") * col("n_total").cast("double")) /
+            (col("src_total").cast("double") *
+              col("cnt_all").cast("double")))), 6)
+          .as("kl_vs_corpus"))
+  }
 }

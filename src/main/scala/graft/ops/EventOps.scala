@@ -447,4 +447,35 @@ object EventOps {
         round(median(abs(col("value") - col("med"))), 4).as("mad"),
         count(lit(1)).as("n"))
   }
+
+  /** First-order Markov transition matrix over event types: for each
+    * (type → next type) step within a user's timeline, the step count
+    * and the conditional probability P(next | current). The sequence
+    * is pinned to a TOTAL order (ts, event_id) so `lead` is
+    * deterministic under timestamp ties. The probability is an exact
+    * integer ratio (count / row-count of the from-type) divided once
+    * in double — bit-stable across engines.
+    *
+    * Shape at scale: ONE exchange on user_id + an in-partition sort
+    * feeds `lead`, then the (type, next) agg is a tiny hash agg whose
+    * output is at most |types|² rows; the per-from-type totals come
+    * from the SAME aggregated frame (a second agg over |types|² rows,
+    * broadcast back) — the raw stream is scanned once and shuffled
+    * once. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val steps = events
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy("event_type", "next_type")
+      .agg(count(lit(1)).as("n_steps"))
+    val fromTot = steps.groupBy("event_type")
+      .agg(sum(col("n_steps")).as("n_from"))
+    steps.join(broadcast(fromTot), "event_type")
+      .select(col("event_type"), col("next_type"), col("n_steps"),
+        round(col("n_steps").cast("double") / col("n_from").cast("double"),
+          6).as("p_next"))
+  }
 }

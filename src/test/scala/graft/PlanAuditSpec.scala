@@ -193,6 +193,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Union"), plan)
   }
 
+  test("span_dedup_stats: single linear pipeline — one scan, one " +
+    "explode, no self-join") {
+    val plan = planOf(DedupOps.spanDedupStats(Tables.documents(spark, sf0)))
+    val generates = "Generate explode".r.findAllIn(plan).length
+    assert(generates == 1, s"expected 1 explode, got $generates:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
+
   test("size guard: oversized dims are NOT force-broadcast") {
     // with the threshold floored, maybeBroadcast must decline the hint
     // and let the planner shuffle — the 100 TB posture where customer

@@ -1,0 +1,108 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.ops.{AggOps, DedupOps, DocOps, EventOps}
+
+/** Round-7 corpus/sequence statistics: span-level dedup, Markov
+  * transitions, exact integer-space correlation, Zipf slope, unigram
+  * KL — all against small planted fixtures with hand-computable
+  * answers. */
+class SequenceStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("spanDedupStats: first occurrence owns the span; short docs drop") {
+    // doc 1 (srcA): 40 tokens -> spans [a0..a19], [b0..b19]
+    // doc 2 (srcB): 20 tokens, byte-identical to doc 1's FIRST span
+    // doc 3 (srcB): 10 tokens -> no complete span, drops out
+    val docs = Seq(
+      (1L, words("a", 20) + " " + words("b", 20), "srcA"),
+      (2L, words("a", 20), "srcB"),
+      (3L, words("c", 10), "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = DedupOps.spanDedupStats(docs, k = 20)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("srcA") == ((2L, 2L, 0.0)), got.toString) // owns both
+    assert(got("srcB") == ((1L, 0L, 1.0)), got.toString) // pure dup mass
+    // ownership is (doc_id, idx)-min, not arrival order: layout change
+    // must not flip the owner
+    val again = DedupOps.spanDedupStats(docs.repartition(7), k = 20)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == got, "span ownership depends on partitioning")
+  }
+
+  test("eventTransitions: lead is (ts, event_id)-deterministic; " +
+    "probabilities are exact per-from-type ratios") {
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // user 1: A B B C ; user 2: A B (same ts for the user-2 pair —
+    // event_id must break the tie)
+    val events = Seq(
+      (1L, t(1), 1L, "A"), (2L, t(2), 1L, "B"),
+      (3L, t(3), 1L, "B"), (4L, t(4), 1L, "C"),
+      (5L, t(10), 2L, "A"), (6L, t(10), 2L, "B")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = EventOps.eventTransitions(events)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("A", "B")) == ((2L, 1.0)), got.toString)
+    assert(got(("B", "B")) == ((1L, 0.5)), got.toString)
+    assert(got(("B", "C")) == ((1L, 0.5)), got.toString)
+    assert(got.size == 3, got.toString) // no C->null ghost rows
+  }
+
+  test("lineitemCorrelations: planted perfect (anti)correlation") {
+    // price = 3*qty (corr +1), disc = -0.01*qty + 0.6 (corr -1)
+    val li = (1 to 50).map { i =>
+      (i.toDouble, 3.0 * i, 0.6 - 0.01 * i)
+    }.toDF("l_quantity", "l_extendedprice", "l_discount")
+    val r = AggOps.lineitemCorrelations(li)
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 == 50L)
+    assert(r._2 == 1.0, s"corr_qty_price ${r._2}")
+    assert(r._3 == -1.0, s"corr_qty_disc ${r._3}")
+    assert(r._4 == -1.0, s"corr_price_disc ${r._4}")
+  }
+
+  test("zipfSlopeByLang: matches the closed-form moment slope") {
+    // counts 8,4,2,1 for terms w0..w3 (one lang) -> slope of
+    // ln(cnt) ~ ln(rank) computable directly
+    val text = (0 until 8).map(_ => "w0").mkString(" ") + " " +
+      (0 until 4).map(_ => "w1").mkString(" ") + " " +
+      "w2 w2 w3"
+    val docs = Seq((1L, text, "en")).toDF("doc_id", "text", "lang")
+    val got = DocOps.zipfSlopeByLang(docs)
+      .as[(String, Long, Double)].head()
+    val xy = Seq((1, 8), (2, 4), (3, 2), (4, 1))
+      .map { case (r, c) => (math.log(r.toDouble), math.log(c.toDouble)) }
+    val (n, sx, sy) = (xy.size.toDouble, xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val want = math.rint((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6) / 1e6
+    assert(got._1 == "en" && got._2 == 4L)
+    assert(math.abs(got._3 - want) < 1e-9, s"${got._3} vs $want")
+  }
+
+  test("unigramKlBySource: zero iff the source matches the corpus mix") {
+    // srcSame has the corpus distribution (KL 0 against itself only
+    // when it IS the whole corpus) — plant two identical sources so
+    // each equals the mix exactly; a third skewed source must be > 0
+    val docs = Seq(
+      (1L, "x x y", "srcA"),
+      (2L, "x x y", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val kl0 = DocOps.unigramKlBySource(docs)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(kl0("srcA") == 0.0 && kl0("srcB") == 0.0, kl0.toString)
+    val skewed = DocOps.unigramKlBySource(
+      docs.union(Seq((3L, "z z z z", "srcC")).toDF("doc_id", "text", "source")))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(skewed("srcC") > 0.5, skewed.toString) // near-disjoint vocab
+    assert(skewed("srcA") > 0.0, skewed.toString) // mix shifted under it
+  }
+}
