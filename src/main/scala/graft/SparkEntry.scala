@@ -103,6 +103,7 @@ object SparkEntry {
     "distinctive_terms_by_source" ->
       ((s, d) => DocOps.distinctiveTermsBySource(documents(s, d))),
     "zipf_slope_by_lang" -> ((s, d) => DocOps.zipfSlopeByLang(documents(s, d))),
+    "nfc_stats" -> ((s, d) => DocOps.nfcStats(documents(s, d))),
     "unigram_kl_by_source" ->
       ((s, d) => DocOps.unigramKlBySource(documents(s, d))),
     "ttr_by_source" -> ((s, d) => DocOps.ttrBySource(documents(s, d))),
@@ -645,6 +646,15 @@ object SparkEntry {
         "round((count(*) * sum(x * y) - sum(x) * sum(y)) / " +
         "(count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope " +
         "FROM ranked GROUP BY lang"),
+    // Mirrors DocOps.nfcStats: DuckDB's nfc_normalize implements the
+    // same UAX #15 algorithm as java.text.Normalizer; both length()s
+    // count code points.
+    "nfc_stats" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_changed, " +
+        "CAST(sum(length(nfc_normalize(text))) AS BIGINT) AS sum_len_nfc " +
+        "FROM documents GROUP BY source"),
     // Mirrors DocOps.unigramKlBySource: each cross-product factor cast
     // to DOUBLE before multiplying (exact casts, identical IEEE
     // products), one final rounding.

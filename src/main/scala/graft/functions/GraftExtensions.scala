@@ -41,6 +41,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           foldableInt(usage, "k", exprs(1)),
           foldableInt(usage, "w", exprs(2)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        "graft_normalize"),
+      (exprs: Seq[Expression]) => UnicodeNormalize.buildSql(exprs)))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }

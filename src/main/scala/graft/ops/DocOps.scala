@@ -701,6 +701,24 @@ object DocOps {
       .select((docs.columns.map(col) :+ col("pred_lang")): _*)
   }
 
+  /** Unicode-normalization audit per source: how many documents are
+    * not NFC-normal (é composed vs e+combining-acute — they hash,
+    * dedupe, and tokenize DIFFERENTLY until normalized) and the
+    * post-NFC character mass. Runs on the native
+    * [[graft.functions.UnicodeNormalize]] expression — codegen'd, with
+    * a zero-allocation pass-through for already-normal (e.g. ASCII)
+    * text, so the audit is one cheap scan + a tiny source agg. The
+    * pipeline rule this audits: normalize BEFORE [[fingerprint]] /
+    * [[DedupOps]] hashing, or composed and decomposed copies of the
+    * same text count as distinct documents. */
+  def nfcStats(docs: DataFrame): DataFrame = {
+    val n = graft.functions.UnicodeNormalize.nfc(col("text"))
+    docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(n =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+      sum(length(n)).as("sum_len_nfc"))
+  }
+
   /** Zipf fit per language: the least-squares slope of
     * ln(freq) ~ ln(rank) over each language's unigram
     * rank–frequency curve — natural text sits near −1; a corpus that
