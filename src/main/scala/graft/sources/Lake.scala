@@ -41,4 +41,47 @@ object Lake {
     * range predicates on it prune directories at planning time. */
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  // ---------- format breadth (interchange in/out of the lake) ----------
+
+  /** Format-parameterized writer: `parquet` | `orc` | `json` | `csv`.
+    *
+    * Posture: parquet and ORC are the only formats data should LIVE
+    * in at scale — columnar, splittable, self-describing, with filter
+    * pushdown and column pruning at the scan (ORC pushdown asserted
+    * in FormatRoundTripSpec). JSON-lines and CSV exist for
+    * interchange at the edges (ingest from exports, handoff to
+    * non-Spark consumers); they scan whole rows, carry no types
+    * (CSV) or expensive inference (JSON), and should be converted to
+    * parquet on arrival — exactly what the reference's first batch
+    * hop does with its JSON feed.
+    *
+    * CSV nulls: by default Spark WRITES null as an empty field and
+    * READS empty fields as null, silently conflating `""` with null —
+    * both sides here pin `nullValue` to `\N` (the classic dump
+    * convention) so empty strings survive a round trip. */
+  def writeAs(df: DataFrame, path: String, format: String): Unit = {
+    val w = df.write.mode("overwrite").format(format)
+    (format match {
+      case "csv" => w.option("header", "true").option("nullValue", "\\N")
+      case _ => w
+    }).save(path)
+  }
+
+  /** Format-parameterized reader. Text formats (csv/json) take the
+    * caller's schema — NEVER schema inference in production: inference
+    * is an extra full scan of the data before the real one, and a
+    * sampling-dependent type lottery (a column of "1", "2", "x" flips
+    * type on the x). Columnar formats carry their own schema. */
+  def readAs(spark: SparkSession, path: String, format: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read.format(format)
+    val withSchema = schema.map(r.schema).getOrElse(r)
+    (format match {
+      case "csv" => withSchema.option("header", "true")
+        .option("nullValue", "\\N")
+      case _ => withSchema
+    }).load(path)
+  }
 }
