@@ -104,6 +104,11 @@ object SparkEntry {
       ((s, d) => DocOps.distinctiveTermsBySource(documents(s, d))),
     "zipf_slope_by_lang" -> ((s, d) => DocOps.zipfSlopeByLang(documents(s, d))),
     "nfc_stats" -> ((s, d) => DocOps.nfcStats(documents(s, d))),
+    "lang_confusion" -> ((s, d) => DocOps.langConfusion(documents(s, d))),
+    "importance_sample" ->
+      ((s, d) => DocOps.importanceSample(documents(s, d))),
+    "shard_assignments" ->
+      ((s, d) => DocOps.shardAssignments(documents(s, d))),
     "unigram_kl_by_source" ->
       ((s, d) => DocOps.unigramKlBySource(documents(s, d))),
     "ttr_by_source" -> ((s, d) => DocOps.ttrBySource(documents(s, d))),
@@ -655,6 +660,27 @@ object SparkEntry {
         "AS BIGINT) AS n_changed, " +
         "CAST(sum(length(nfc_normalize(text))) AS BIGINT) AS sum_len_nfc " +
         "FROM documents GROUP BY source"),
+    // Mirrors DocOps.langConfusion: the languageIdSql detector (same
+    // stopword patterns, same tie-break) re-aggregated to the matrix.
+    "lang_confusion" ->
+      (s"SELECT lang, pred_lang, count(*) AS n_docs FROM ($languageIdSql) " +
+        "GROUP BY 1, 2"),
+    // Mirrors DocOps.importanceSample: the identical Knuth hash and the
+    // same division-free integer cross-multiply predicate.
+    "importance_sample" ->
+      ("SELECT doc_id, source, n_chars FROM documents " +
+        s"WHERE (${DocOps.knuthHash32Sql("doc_id")}) % 1000000 * 1000 " +
+        "< n_chars * 1000000"),
+    // Mirrors DocOps.shardAssignments: exclusive prefix sum in doc_id
+    // order per source, BIGINT floor-division shard ids (both engines
+    // divide exact integers; inputs are nonnegative so div == //).
+    "shard_assignments" ->
+      ("WITH c AS (SELECT doc_id, source, n_chars, " +
+        "sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) " +
+        "- n_chars AS cum_excl FROM documents) " +
+        "SELECT source, cum_excl // 10000 AS shard_id, " +
+        "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
+        "FROM c GROUP BY 1, 2"),
     // Mirrors DocOps.unigramKlBySource: each cross-product factor cast
     // to DOUBLE before multiplying (exact casts, identical IEEE
     // products), one final rounding.

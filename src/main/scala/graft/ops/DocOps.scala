@@ -701,6 +701,66 @@ object DocOps {
       .select((docs.columns.map(col) :+ col("pred_lang")): _*)
   }
 
+  /** Language-ID confusion matrix: declared `lang` × [[languageId]]'s
+    * `pred_lang`, with document counts — the calibration readout that
+    * tells you whether to trust the declared labels or the detector
+    * before filtering a corpus by language. Diagonal = agreement;
+    * heavy off-diagonal cells localize either mislabeled sources or
+    * detector blind spots (`und` column = texts with no stopword
+    * evidence). One scan (the detector is a fixed set of
+    * regexp_extract_all counts) + one tiny (lang, pred) agg. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    languageId(docs)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Deterministic importance sampling: keep each document with
+    * probability proportional to its length (capped at 1), decided by
+    * the SAME Knuth multiplicative hash as [[datasetSplits]] — i.e.
+    * quality/size-weighted downsampling that is reproducible across
+    * runs, partition layouts, and engines (no RNG, no seed state).
+    * The comparison is a single integer cross-multiply — keep iff
+    * `(hash(doc_id) mod 10⁶) · scaleChars < n_chars · 10⁶` — so no
+    * division (float OR floor) ever enters the predicate and both
+    * engines decide identically: docs at or above `scaleChars`
+    * characters always survive (the left side is < 10⁶·scaleChars),
+    * a 100-char doc survives at 100/scaleChars odds. Embarrassingly
+    * parallel: one scan, a per-row filter, no shuffle at all. */
+  def importanceSample(docs: DataFrame, scaleChars: Int = 1000): DataFrame =
+    docs
+      .filter(pmod(knuthHash32(col("doc_id")), lit(1000000L)) *
+        lit(scaleChars.toLong) < col("n_chars") * lit(1000000L))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  /** Training-shard packing manifest: assign documents to ~`shardChars`
+    * shards per source in deterministic doc_id order (the dataloader
+    * contract — every rebuild of the corpus must produce identical
+    * shards), then emit one manifest row per shard with its document
+    * count and byte mass. Shard id = exclusive-prefix-sum of character
+    * mass floor-divided by the target — offset binning: a document
+    * belongs to the shard its start offset falls in, so every shard's
+    * mass lands within ±(one max document) of the target.
+    *
+    * Shape at scale: the running sum is a window per SOURCE (one
+    * exchange + in-partition sort) — never a global single-partition
+    * window; the manifest agg collapses to ~(total chars / shardChars)
+    * rows. For sources too big for one task's sort, pre-bucket the
+    * window key (source, hash(doc_id) div B) exactly like the salting
+    * note in SkewOps. */
+  def shardAssignments(docs: DataFrame, shardChars: Long = 10000L)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum_excl", sum(col("n_chars")).over(w) - col("n_chars"))
+      // BIGINT `div`, not `/` — Spark's `/` promotes to double, which
+      // drifts from DuckDB's exact `//` past 2^53
+      .withColumn("shard_id", expr(s"cum_excl div ${shardChars}L"))
+      .groupBy("source", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+  }
+
   /** Unicode-normalization audit per source: how many documents are
     * not NFC-normal (é composed vs e+combining-acute — they hash,
     * dedupe, and tokenize DIFFERENTLY until normalized) and the

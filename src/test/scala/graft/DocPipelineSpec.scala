@@ -106,4 +106,56 @@ class DocPipelineSpec extends SparkSpec {
     assert(out("A") == (("x", 6L, 2.0)), out.toString)
     assert(out("B") == (("y", 6L, 2.0)), out.toString)
   }
+
+  test("importanceSample: long docs always kept; selection is " +
+    "deterministic and layout-independent") {
+    val docs = (0L until 500L)
+      .map(i => (i, "s", if (i < 100) 5000L else 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = DocOps.importanceSample(docs, scaleChars = 1000)
+      .select("doc_id").as[Long].collect().toSet
+    // every >=scaleChars doc survives
+    assert((0L until 100L).forall(kept.contains), "long doc dropped")
+    // short docs thinned to roughly n_chars/scale = 10% (400 * 0.1)
+    val short = kept.count(_ >= 100L)
+    assert(short > 10 && short < 90, s"short keep count $short")
+    val again = DocOps.importanceSample(docs.repartition(13), 1000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept, "sample depends on partitioning")
+  }
+
+  test("shardAssignments: offset binning keeps every shard near target") {
+    // 10 docs of 3000 chars; start offsets 0,3000,...,27000 bin by
+    // 10000 into shards of 4 (starts < 10000), 3, 3 docs
+    val docs = (1L to 10L).map(i => (i, "s", 3000L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = DocOps.shardAssignments(docs, shardChars = 10000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(got == Map(0L -> ((4L, 12000L)), 1L -> ((3L, 9000L)),
+      2L -> ((3L, 9000L))), got.toString)
+    // layout independence: the manifest is a pure function of the data
+    val again = DocOps.shardAssignments(docs.repartition(7), 10000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4))).toMap
+    assert(again == got, "manifest depends on partitioning")
+  }
+
+  test("langConfusion: planted mislabels land off-diagonal") {
+    val en = "the of and to in is was for on with"
+    val fr = "le la les des une est dans pour sur avec"
+    val docs = Seq(
+      (1L, en, "en"), (2L, en, "en"),
+      (3L, fr, "fr"),
+      (4L, en, "fr"),        // mislabeled: detector should say en
+      (5L, "zz qq xx", "en") // no stopword evidence -> und
+    ).toDF("doc_id", "text", "lang")
+    val got = DocOps.langConfusion(docs)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("en", "en")) == 2L, got.toString)
+    assert(got(("fr", "fr")) == 1L, got.toString)
+    assert(got(("fr", "en")) == 1L, got.toString)
+    assert(got(("en", "und")) == 1L, got.toString)
+  }
 }
