@@ -197,6 +197,21 @@ object SparkEntry {
     "minhash_near_dups" -> ((s, d) => DedupOps.minhashNearDups(documents(s, d), 0.5)),
     "simhash_fingerprints" -> ((s, d) => DedupOps.simhashes(documents(s, d))),
     "simhash_near_dups" -> ((s, d) => DedupOps.simhashNearDups(documents(s, d), 3)),
+    // The fingerprint VALUES are xxhash64-seeded (not DuckDB-
+    // expressible) but their invariants are: simhash is a pure function
+    // of text, so within every text-equality group there is exactly ONE
+    // fingerprint — countDistinct(text, simhash) == countDistinct(text)
+    // — and every non-null-text doc gets one. A nondeterministic or
+    // partial implementation breaks the hash.
+    "simhash_invariants" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = documents(s, d).filter(col("text").isNotNull)
+      docs.join(DedupOps.simhashes(docs), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_texts"),
+          countDistinct(col("text"), col("simhash")).as("n_fp_groups"))
+    }),
     // ---- similarity search (north star) ----
     "knn_brute" -> ((s, d) => VectorOps.knnBrute(embeddings(s, d), 0, 10)),
     "knn_quantized" -> ((s, d) => VectorOps.knnQuantized(embeddings(s, d), 0, 10)),
@@ -209,7 +224,14 @@ object SparkEntry {
       VectorOps.knnAllIvf(embeddings(s, d), ivfCentroids(s, d), 5)),
     "table_profile_events" -> ((s, d) => ProfileOps.profile(events(s, d))),
     "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
-    "cosine_near_dups" -> ((s, d) => VectorOps.cosineNearDups(embeddings(s, d), 0.9)),
+    // Registered over planted deterministic dups (scaled copies — see
+    // VectorOps.withPlantedDups): the natural corpus has no pair above
+    // cos 0.52 at test SF, so the bare operator at 0.9 returns 0 rows
+    // and the gate is vacuous; planting makes it a real hash gate with
+    // an exact all-pairs oracle (LSH recall of scaled copies is 1).
+    "cosine_near_dups" -> ((s, d) =>
+      VectorOps.cosineNearDups(
+        VectorOps.withPlantedDups(embeddings(s, d)), 0.9)),
     "label_centroids" -> ((s, d) => VectorOps.labelCentroids(embeddings(s, d))),
     "embedding_norm_stats" ->
       ((s, d) => VectorOps.normStatsByLabel(embeddings(s, d))),
@@ -292,8 +314,8 @@ object SparkEntry {
       ("WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
         "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
         "epoch_us(ts) - epoch_us(prev_ts) >= 1800000000 THEN 1 ELSE 0 END AS ns FROM o), " +
-        "s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f) " +
+        "s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f) " +
         "SELECT user_id, min(ts) AS session_start, " +
         "max(ts) + INTERVAL 30 MINUTE AS session_end, " +
         "count(*) AS n_events, " +
@@ -676,9 +698,9 @@ object SparkEntry {
     // divide exact integers; inputs are nonnegative so div == //).
     "shard_assignments" ->
       ("WITH c AS (SELECT doc_id, source, n_chars, " +
-        "sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) " +
-        "- n_chars AS cum_excl FROM documents) " +
-        "SELECT source, cum_excl // 10000 AS shard_id, " +
+        "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) " +
+        "AS BIGINT) - n_chars AS cum_excl FROM documents) " +
+        "SELECT source, CAST(cum_excl // 10000 AS BIGINT) AS shard_id, " +
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
         "FROM c GROUP BY 1, 2"),
     // Mirrors DocOps.unigramKlBySource: each cross-product factor cast
@@ -1146,7 +1168,7 @@ object SparkEntry {
         "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), " +
         "spans AS (SELECT doc_id, source, i AS idx, " +
         "md5(array_to_string(list_slice(t, i * 20 + 1, i * 20 + 20), ' ')) AS h " +
-        "FROM toks, unnest(range(len(t) // 20)) AS u(i) WHERE len(t) >= 20), " +
+        "FROM toks, unnest(range(CAST(len(t) // 20 AS BIGINT))) AS u(i) WHERE len(t) >= 20), " +
         "owners AS (SELECT h, source FROM (SELECT h, source, " +
         "row_number() OVER (PARTITION BY h ORDER BY doc_id ASC, idx ASC) AS rn " +
         "FROM spans) WHERE rn = 1), " +
@@ -1261,6 +1283,29 @@ object SparkEntry {
         "SELECT a_id, b_id, cos_sim FROM (SELECT *, row_number() OVER (" +
         "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn FROM s) " +
         "WHERE rn <= 5"),
+    // Mirrors the planted-dup registration (VectorOps.withPlantedDups):
+    // exact ALL-pairs cosine in DuckDB — sound because sign-LSH recall
+    // of a positive scalar multiple is exactly 1, so the bucketed Spark
+    // form finds every ≥-threshold pair the exhaustive oracle does.
+    "cosine_near_dups" ->
+      ("WITH av AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, " +
+        "list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding " +
+        "FROM embeddings), " +
+        "s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim " +
+        "FROM av a JOIN av b ON a.vec_id < b.vec_id) " +
+        "SELECT a_id, b_id, cos_sim FROM s WHERE cos_sim >= 0.9"),
+    // Mirrors simhash_invariants: the fingerprint is a pure function of
+    // text, so distinct (text, simhash) pairs == distinct texts.
+    "simhash_invariants" ->
+      ("SELECT source, count(*) AS n_docs, " +
+        "count(DISTINCT text) AS n_texts, " +
+        "count(DISTINCT text) AS n_fp_groups " +
+        "FROM documents WHERE text IS NOT NULL GROUP BY source"),
     "label_centroids" ->
       ("WITH x AS (SELECT label, unnest(list_transform(range(len(embedding)), " +
         "i -> {'d': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS s FROM embeddings) " +

@@ -380,6 +380,16 @@ object DedupOps {
       labels = next.select("v_id", "cluster_id")
       round += 1
     }
+    // A graph whose diameter exceeds maxRounds would otherwise publish
+    // PARTIAL labels (two docs of one dup cluster under different ids)
+    // with no signal — refuse loudly instead. Real near-dup graphs are
+    // dense blobs (diameter ≤ a few); hitting this means either raise
+    // maxRounds or the adversarial-chain case has arrived and the
+    // O(log n) large-star/small-star variant is warranted.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: not converged after $maxRounds rounds " +
+        "(graph diameter exceeds the bound); refusing to emit partial " +
+        "cluster labels — raise maxRounds")
     labels
   }
 

@@ -741,19 +741,38 @@ object DocOps {
     * belongs to the shard its start offset falls in, so every shard's
     * mass lands within ±(one max document) of the target.
     *
-    * Shape at scale: the running sum is a window per SOURCE (one
-    * exchange + in-partition sort) — never a global single-partition
-    * window; the manifest agg collapses to ~(total chars / shardChars)
-    * rows. For sources too big for one task's sort, pre-bucket the
-    * window key (source, hash(doc_id) div B) exactly like the salting
-    * note in SkewOps. */
-  def shardAssignments(docs: DataFrame, shardChars: Long = 10000L)
-      : DataFrame = {
+    * Shape at scale — TWO-LEVEL prefix sum, the textbook distributed
+    * scan: a flat `partitionBy(source)` window caps parallelism at the
+    * source count and makes one giant source one sorting task. Instead
+    * (1) range-bucket ids (`doc_id div idBucket` — monotone in doc_id
+    * for the nonnegative ids this manifest requires, so per-source
+    * order by (bucket, doc_id) IS order by doc_id), (2) prefix-sum
+    * WITHIN each (source, bucket) — parallelism = #buckets, not
+    * #sources, (3) prefix-sum the per-bucket totals per source — a
+    * tiny frame (~rows/idBucket) that broadcasts back as each bucket's
+    * starting offset. Identical output to the flat window, bit for
+    * bit. `idBucket` assumes dense-ish ids (ours are row numbers);
+    * for sparse hash ids pick ~(maxId-minId)/wantedTasks instead. */
+  def shardAssignments(docs: DataFrame, shardChars: Long = 10000L,
+      idBucket: Long = 512L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    docs
+    val base = docs
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("cum_excl", sum(col("n_chars")).over(w) - col("n_chars"))
+      .withColumn("b", expr(s"doc_id div ${idBucket}L"))
+    val intra = base
+      .withColumn("intra_excl",
+        sum(col("n_chars")).over(
+          Window.partitionBy("source", "b").orderBy("doc_id")) -
+          col("n_chars"))
+    val offsets = base
+      .groupBy("source", "b").agg(sum(col("n_chars")).as("b_total"))
+      .withColumn("b_offset",
+        sum(col("b_total")).over(
+          Window.partitionBy("source").orderBy("b")) - col("b_total"))
+      .select("source", "b", "b_offset")
+    intra
+      .join(broadcast(offsets), Seq("source", "b"))
+      .withColumn("cum_excl", col("b_offset") + col("intra_excl"))
       // BIGINT `div`, not `/` — Spark's `/` promotes to double, which
       // drifts from DuckDB's exact `//` past 2^53
       .withColumn("shard_id", expr(s"cum_excl div ${shardChars}L"))

@@ -216,6 +216,24 @@ object VectorOps {
       .limit(k)
   }
 
+  /** Embeddings ∪ deterministic planted near-duplicates: every vector
+    * reappears as `vec_id + idOffset`, scaled 2× elementwise. A
+    * positive scalar multiple keeps the SAME sign against every
+    * hyperplane, so the copy lands in the same sign-LSH bucket with
+    * probability 1 — recall of the planted pairs under
+    * [[cosineNearDups]] is exactly 1 regardless of plane count, which
+    * is what makes an exact all-pairs SQL oracle sound for the
+    * LSH-bucketed operator. (Scaling by 2 is exact in fp, so cosine of
+    * each planted pair rounds to exactly 1.0 in both engines.) This is
+    * the driver-gate harness: the synthetic corpus at test SF has no
+    * natural pair above cos 0.52, so without planting, a ≥0.9 gate
+    * returns 0 rows and can never fail. */
+  def withPlantedDups(embeddings: DataFrame, idOffset: Long = 1000000L): DataFrame =
+    embeddings.unionByName(embeddings.select(
+      (col("vec_id") + lit(idOffset)).as("vec_id"),
+      transform(col("embedding"), x => x * lit(2.0f)).as("embedding"),
+      col("label")))
+
   /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, pair
     * within buckets, verify with exact cosine ≥ threshold. Σ bucket²
     * join cost, never n². */

@@ -137,6 +137,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(chainLabels == Set(1L), chainLabels.toString)
   }
 
+  test("connectedComponents refuses to emit partial labels past maxRounds") {
+    // a 30-hop path: min-label propagation moves the min ONE hop per
+    // round, so diameter 30 > maxRounds 20 — emitting at round 20 would
+    // publish two different cluster ids for one true component. The
+    // contract is to refuse loudly, not return wrong clusters.
+    val longChain = (0L until 30L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[IllegalStateException] {
+      DedupOps.connectedComponents(longChain, maxRounds = 20).collect()
+    }
+    assert(e.getMessage.contains("not converged"), e.getMessage)
+    // with the bound raised the same graph converges to one cluster
+    val labels = DedupOps.connectedComponents(longChain, maxRounds = 40)
+      .collect().map(r => r.getAs[Long]("cluster_id")).toSet
+    assert(labels == Set(0L), labels.toString)
+  }
+
   test("dupClusters groups the near-dup family, sizes counted per cluster") {
     // 0~1 (near-dup) and 0~3 (exact dup) chain into one cluster even if
     // (1, 3) similarity alone might not pair them; 2 stays out

@@ -141,6 +141,27 @@ class DocPipelineSpec extends SparkSpec {
     assert(again == got, "manifest depends on partitioning")
   }
 
+  test("shardAssignments: two-level prefix sum == flat, parallel by bucket") {
+    // interleaved sources with ids crossing bucket boundaries at every
+    // idBucket tried; per-doc masses vary so any mis-ordered or
+    // mis-offset prefix sum shifts a shard boundary
+    val docs = (0L until 200L).map(i =>
+      (i, s"s${i % 3}", 100L + (i % 7) * 300L))
+      .toDF("doc_id", "source", "n_chars")
+    def manifest(bucket: Long) =
+      DocOps.shardAssignments(docs, shardChars = 5000L, idBucket = bucket)
+        .as[(String, Long, Long, Long)].collect().toSet
+    val flat = manifest(1L << 40) // one bucket == the flat window
+    assert(manifest(4L) == flat, "idBucket=4 diverges from flat window")
+    assert(manifest(32L) == flat, "idBucket=32 diverges from flat window")
+    // the intra-bucket window stage partitions by (source, bucket) —
+    // parallelism scales with buckets, not the source count
+    val plan = DocOps.shardAssignments(docs, 5000L, 32L)
+      .queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*hashpartitioning\\(source#\\d+, b#\\d+.*"),
+      plan.take(2000))
+  }
+
   test("langConfusion: planted mislabels land off-diagonal") {
     val en = "the of and to in is was for on with"
     val fr = "le la les des une est dans pour sur avec"

@@ -1,0 +1,158 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lints every `SparkEntry.oracleSql` string for the two DuckDB
+  * HUGEINT-widening paths that have each cost a round a red row
+  * (r7 `shard_assignments`; the SparkEntry header convention exists
+  * because of earlier ones):
+  *
+  *   1. an integer `sum(...)` whose result can reach the output
+  *      un-CAST — DuckDB widens `sum(BIGINT)` (plain or windowed) to
+  *      HUGEINT, which breaks the driver's hash canonicalization
+  *      against Spark's LONG;
+  *   2. a `//` floor-division whose result is not wrapped in a CAST —
+  *      `HUGEINT // int` stays HUGEINT.
+  *
+  * The rule is deliberately stricter than "only outputs matter":
+  * EVERY `sum(` must be immediately disciplined (enclosed by `cast(`
+  * or `round(`, or summing an explicit `AS DOUBLE` expression, or an
+  * explicitly allowlisted float column), and EVERY `//` must sit
+  * inside a `cast(`. Casting intermediates is semantically free and
+  * keeps the lint a scanner instead of a SQL type-checker.
+  */
+class OracleLintSpec extends AnyFunSuite {
+
+  /** Columns that are DOUBLE in the driver parquet schema — summing
+    * them never widens to HUGEINT, so a bare `sum(col)` is fine
+    * (float-stability rounding is a separate, existing convention). */
+  private val doubleColumns = Set("value", "x", "y", "l2", "cos", "v")
+
+  /** Blank out single-quoted SQL string literals (preserving length so
+    * reported positions stay valid): regex patterns inside them carry
+    * parens and `//` that would corrupt the paren stack / false-flag. */
+  private def maskLiterals(s: String): String = {
+    val b = s.toCharArray
+    var i = 0
+    var in = false
+    while (i < b.length) {
+      if (b(i) == '\'') {
+        if (in && i + 1 < b.length && b(i + 1) == '\'') { b(i) = ' '; b(i + 1) = ' '; i += 1 }
+        else in = !in
+      } else if (in) b(i) = ' '
+      i += 1
+    }
+    new String(b)
+  }
+
+  /** For each occurrence of `needle` in `sql`, the lowercased names of
+    * the calls enclosing it (innermost last) and the argument text of
+    * the needle's own parens (empty for non-call needles like `//`).
+    * Call needles (ending in `(`) only match at word boundaries, so
+    * `sum(` does not match `list_sum(`. */
+  private def occurrences(sql: String, needle: String)
+      : Seq[(Int, Seq[String], String)] = {
+    val s = maskLiterals(sql.toLowerCase)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Seq[String], String)]
+    def nextMatch(start: Int): Int = {
+      var f = s.indexOf(needle, start)
+      while (f > 0 && needle.endsWith("(") &&
+          (s.charAt(f - 1).isLetterOrDigit || s.charAt(f - 1) == '_'))
+        f = s.indexOf(needle, f + 1)
+      f
+    }
+    var from = nextMatch(0)
+    while (from >= 0) {
+      // enclosing call names: walk left-to-right to `from` keeping a
+      // stack of (call-name) for each unmatched '('
+      val stack = scala.collection.mutable.Stack.empty[String]
+      var i = 0
+      while (i < from) {
+        s.charAt(i) match {
+          case '(' =>
+            var j = i - 1
+            while (j >= 0 && (s.charAt(j).isWhitespace)) j -= 1
+            val end = j
+            while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+            stack.push(s.substring(j + 1, end + 1))
+          case ')' => if (stack.nonEmpty) stack.pop()
+          case _ =>
+        }
+        i += 1
+      }
+      // argument extent of the needle's own parens, if it is a call
+      val arg =
+        if (needle.endsWith("(")) {
+          var depth = 1
+          var k = from + needle.length
+          while (k < s.length && depth > 0) {
+            s.charAt(k) match {
+              case '(' => depth += 1
+              case ')' => depth -= 1
+              case _ =>
+            }
+            k += 1
+          }
+          s.substring(from + needle.length, math.max(from + needle.length, k - 1))
+        } else ""
+      out += ((from, stack.toSeq, arg))
+      from = nextMatch(from + 1)
+    }
+    out.toSeq
+  }
+
+  private def sumViolations(sql: String): Seq[Int] =
+    occurrences(sql, "sum(").collect {
+      case (pos, enclosing, arg)
+          if !enclosing.exists(n => n == "cast" || n == "round") &&
+            !arg.contains("as double") &&
+            // DECIMAL sums stay DECIMAL (no HUGEINT path); every such
+            // oracle casts the decimal to DOUBLE downstream
+            !arg.contains("as decimal") &&
+            !doubleColumns.contains(arg.trim) =>
+        pos
+    }
+
+  private def floorDivViolations(sql: String): Seq[Int] =
+    occurrences(sql, "//").collect {
+      case (pos, enclosing, _) if !enclosing.contains("cast") => pos
+    }
+
+  test("every oracle sum( is CAST/round-disciplined or explicitly double") {
+    val bad = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      pos <- sumViolations(sql)
+    } yield s"$name: un-disciplined sum( at char $pos — DuckDB widens " +
+      "integer sum to HUGEINT; wrap in CAST(... AS BIGINT) or round(), " +
+      "or sum an explicit `AS DOUBLE` cast"
+    assert(bad.isEmpty, bad.mkString("\n", "\n", ""))
+  }
+
+  test("every oracle // floor-division result is inside a CAST") {
+    val bad = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      pos <- floorDivViolations(sql)
+    } yield s"$name: // at char $pos not inside CAST(...) — a HUGEINT " +
+      "operand keeps // HUGEINT; wrap as CAST(a // b AS BIGINT)"
+    assert(bad.isEmpty, bad.mkString("\n", "\n", ""))
+  }
+
+  test("the lint catches both bug classes that caused red rows") {
+    // round-7 shard_assignments: un-CAST // on a window-sum column
+    val r7 = "WITH c AS (SELECT sum(n_chars) OVER (ORDER BY doc_id) " +
+      "- n_chars AS cum_excl FROM documents) " +
+      "SELECT cum_excl // 10000 AS shard_id FROM c"
+    assert(floorDivViolations(r7).nonEmpty)
+    assert(sumViolations(r7).nonEmpty)
+    // earlier class: bare integer sum straight to output
+    assert(sumViolations("SELECT sum(n_chars) AS total FROM documents").nonEmpty)
+    // disciplined forms pass
+    assert(sumViolations(
+      "SELECT CAST(sum(n_chars) AS BIGINT) AS total FROM documents").isEmpty)
+    assert(sumViolations(
+      "SELECT round(sum(CAST(v AS DOUBLE)), 4) AS s FROM t").isEmpty)
+    assert(floorDivViolations(
+      "SELECT CAST(a // 7 AS BIGINT) AS q FROM t").isEmpty)
+  }
+}

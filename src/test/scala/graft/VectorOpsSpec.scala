@@ -72,6 +72,26 @@ class VectorOpsSpec extends SparkSpec {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("withPlantedDups: every planted pair found at cos exactly 1.0") {
+    // a positive scalar multiple keeps the same sign on every
+    // hyperplane, so each planted copy shares its original's LSH
+    // bucket with probability 1: recall of planted pairs must be
+    // EXACTLY 1 at any plane count — the property that makes the
+    // all-pairs SQL oracle sound for the bucketed operator.
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 50L).map(i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat), 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = VectorOps.cosineNearDups(
+        VectorOps.withPlantedDups(df, idOffset = 1000L), 0.9, planes = 12)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos_sim")))
+    val planted = pairs.filter(p => p._2 == p._1 + 1000L)
+    assert(planted.length == 50, s"recall not 1: ${planted.length}/50")
+    assert(planted.forall(_._3 == 1.0), "scaled-copy cosine not exactly 1.0")
+  }
+
   test("labelCentroids computes per-dimension means in long form") {
     val cents = VectorOps.labelCentroids(vecs)
       .collect()
