@@ -61,6 +61,12 @@ object DrivePlans {
           "reuses tf's exchange; the tf-df join shuffles on term; the " +
           "per-doc top-k goes through TopKRewrite's capped heaps — no " +
           "full sort anywhere."),
+      ("shard_assignments (two-level distributed prefix sum)",
+        "The intra window hash-partitions by (source, b) — parallelism " +
+          "scales with id-range buckets, not the source count, so one " +
+          "giant source is never one sorting task; the per-bucket " +
+          "offsets frame (~rows/idBucket) comes back as a broadcast " +
+          "join, and the manifest agg collapses the result."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -73,6 +79,7 @@ object DrivePlans {
       "winnowed_fingerprints" -> SparkEntry.queries("winnowed_fingerprints"),
       "tpch_q18" -> SparkEntry.queries("tpch_q18"),
       "tfidf_top_terms" -> SparkEntry.queries("tfidf_top_terms"),
+      "shard_assignments" -> SparkEntry.queries("shard_assignments"),
     )
 
     val sb = new StringBuilder

@@ -55,6 +55,8 @@ object SparkEntry {
     "distinct_users_daily" -> ((s, d) => EventOps.distinctUsersDaily(events(s, d))),
     "approx_distinct_users_daily" ->
       ((s, d) => EventOps.approxDistinctUsersDaily(events(s, d))),
+    "approx_distinct_audit" ->
+      ((s, d) => EventOps.approxDistinctAudit(events(s, d))),
     "props_key_counts" -> ((s, d) => EventOps.propsKeyCounts(events(s, d))),
     "running_value_per_user" -> ((s, d) => EventOps.runningValuePerUser(events(s, d))),
     "lag_value_per_user" -> ((s, d) => EventOps.lagValuePerUser(events(s, d))),
@@ -202,15 +204,18 @@ object SparkEntry {
     // of text, so within every text-equality group there is exactly ONE
     // fingerprint — countDistinct(text, simhash) == countDistinct(text)
     // — and every non-null-text doc gets one. A nondeterministic or
-    // partial implementation breaks the hash.
+    // partial implementation breaks the hash. Texts are md5-collapsed
+    // BEFORE the distinct (md5 is identical in both engines) so the
+    // Expand's distinct state carries 32 hex chars per doc, not whole
+    // documents — the 100 TB shape for any distinct-over-long-strings.
     "simhash_invariants" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val docs = documents(s, d).filter(col("text").isNotNull)
       docs.join(DedupOps.simhashes(docs), "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("text")).as("n_texts"),
-          countDistinct(col("text"), col("simhash")).as("n_fp_groups"))
+          countDistinct(md5(col("text"))).as("n_texts"),
+          countDistinct(md5(col("text")), col("simhash")).as("n_fp_groups"))
     }),
     // ---- similarity search (north star) ----
     "knn_brute" -> ((s, d) => VectorOps.knnBrute(embeddings(s, d), 0, 10)),
@@ -222,6 +227,26 @@ object SparkEntry {
     "knn_all_lsh" -> ((s, d) => VectorOps.knnAllLsh(embeddings(s, d), 5)),
     "knn_all_ivf" -> ((s, d) =>
       VectorOps.knnAllIvf(embeddings(s, d), ivfCentroids(s, d), 5)),
+    // Driver-level gate for the hash-seed-bound ANN paths: over the
+    // planted frame, EVERY method's top-1 for query 0 must be the
+    // scaled copy at cos exactly 1.0 — LSH because a positive scalar
+    // multiple shares its original's sign bucket with probability 1,
+    // IVF because assignment is by cosine (identical for the copy, so
+    // same list, and the query's own list is always probed first),
+    // quantized because the copy's int8 codes are identical. A recall
+    // or ranking regression in any path flips a constant row.
+    "ann_top1_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit}
+      val planted = VectorOps.withPlantedDups(embeddings(s, d))
+      def top1(m: String, df: DataFrame) = df.limit(1)
+        .select(lit(m).as("method"), col("vec_id").as("top1_id"),
+          col("cos_sim"))
+      top1("brute", VectorOps.knnBrute(planted, 0, 1))
+        .unionByName(top1("lsh", VectorOps.knnLsh(planted, 0, 1)))
+        .unionByName(top1("ivf",
+          VectorOps.knnIvfWith(planted, ivfCentroids(s, d), 0, 1)))
+        .unionByName(top1("quantized", VectorOps.knnQuantized(planted, 0, 1)))
+    }),
     "table_profile_events" -> ((s, d) => ProfileOps.profile(events(s, d))),
     "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
     // Registered over planted deterministic dups (scaled copies — see
@@ -283,6 +308,14 @@ object SparkEntry {
         "FROM c) WHERE rn = 1"),
     "distinct_users_daily" ->
       "SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS users FROM events GROUP BY 1",
+    // Mirrors EventOps.approxDistinctAudit: the HLL++ ESTIMATE is not
+    // SQL-derivable, but the sketch is a pure function of the value
+    // set, so its ±3·rsd accuracy flag is a deterministic constant the
+    // oracle can assert.
+    "approx_distinct_audit" ->
+      ("SELECT CAST(ts AS DATE) AS day, " +
+        "count(DISTINCT user_id) AS n_exact, true AS within_3rsd " +
+        "FROM events GROUP BY 1"),
     "props_key_counts" ->
       ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
         "count(*) AS cnt FROM events GROUP BY 1"),
@@ -1205,6 +1238,38 @@ object SparkEntry {
         "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
         "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),
+    // Mirrors DedupOps.minhashNearDups AGAINST THE EXACT PIPELINE: the
+    // operator verifies every banded candidate with exact Jaccard over
+    // the full shingle-hash sets, so precision is 1 by construction
+    // and the only hash-seed-bound part is banding recall. This
+    // corpus's entire ≥0.5 near-dup population sits at J ≥ 0.9, where
+    // a band of 4 matches with p = J⁴ ≥ 0.656 and missing all 8 bands
+    // has p = (1-J⁴)⁸ ≤ 3.5e-5 — and the fixed xxhash64 seed makes the
+    // outcome deterministic: verified equal to the exact pair set,
+    // value for value. A banding/verification regression breaks this
+    // hash; the RecallGateSpec covers the probabilistic contract.
+    "minhash_near_dups" ->
+      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
+        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),
+    // Mirrors ann_top1_audit: constants by construction (see the
+    // registration comment — planted scaled copies are rank-1 under
+    // every method with cosine exactly 1.0).
+    "ann_top1_audit" ->
+      ("SELECT * FROM (VALUES " +
+        "('brute', CAST(1000000 AS BIGINT), 1.0), " +
+        "('lsh', CAST(1000000 AS BIGINT), 1.0), " +
+        "('ivf', CAST(1000000 AS BIGINT), 1.0), " +
+        "('quantized', CAST(1000000 AS BIGINT), 1.0)" +
+        ") AS t(method, top1_id, cos_sim)"),
     // Mirrors DedupOps.dupClusters: the ngram_jaccard_pairs CTE chain,
     // then connected components as a recursive transitive closure
     // (min reachable id == the label min-propagation converges to).
@@ -1300,11 +1365,13 @@ object SparkEntry {
         "FROM av a JOIN av b ON a.vec_id < b.vec_id) " +
         "SELECT a_id, b_id, cos_sim FROM s WHERE cos_sim >= 0.9"),
     // Mirrors simhash_invariants: the fingerprint is a pure function of
-    // text, so distinct (text, simhash) pairs == distinct texts.
+    // text, so distinct (text, simhash) pairs == distinct texts — both
+    // sides md5-collapse the text before the distinct (identical
+    // digests in both engines).
     "simhash_invariants" ->
       ("SELECT source, count(*) AS n_docs, " +
-        "count(DISTINCT text) AS n_texts, " +
-        "count(DISTINCT text) AS n_fp_groups " +
+        "count(DISTINCT md5(text)) AS n_texts, " +
+        "count(DISTINCT md5(text)) AS n_fp_groups " +
         "FROM documents WHERE text IS NOT NULL GROUP BY source"),
     "label_centroids" ->
       ("WITH x AS (SELECT label, unnest(list_transform(range(len(embedding)), " +

@@ -389,7 +389,8 @@ object DedupOps {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents: not converged after $maxRounds rounds " +
         "(graph diameter exceeds the bound); refusing to emit partial " +
-        "cluster labels — raise maxRounds")
+        "cluster labels — raise maxRounds or use the O(log n) " +
+        "connectedComponentsStar variant")
     labels
   }
 
@@ -404,6 +405,93 @@ object DedupOps {
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("v_id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+  }
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14): O(log n) ROUNDS regardless of graph diameter — the
+    * variant [[connectedComponents]]'s scaladoc defers to for
+    * adversarial long-chain graphs (min-label propagation is
+    * O(diameter) and refuses past its round bound; this one converges
+    * where it cannot).
+    *
+    *  - large-star: each node u points every LARGER neighbor at the
+    *    minimum of its closed neighborhood — hooks whole subtrees onto
+    *    small ids without ever creating an edge that points upward.
+    *  - small-star: each node u re-points its smaller-or-equal
+    *    neighbors (and itself) at that minimum — flattens chains into
+    *    stars.
+    *
+    * Each round is two self-groupings of the EDGE list (two longs a
+    * row, orders of magnitude smaller than the corpus); the edge set
+    * is localCheckpointed per round so plans don't replay history, and
+    * convergence = the large-star pass changed nothing (its output
+    * equals its input as a set, checked with one exceptAll count on
+    * the tiny edge frame). Returns the same (v_id, cluster_id) schema
+    * and exactly the same labels as [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50)
+      : DataFrame = {
+    val init = pairs
+      .select(col("a_id").as("u"), col("b_id").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var edges = init // invariant: u > v, distinct
+    var round = 0
+    var converged = edges.isEmpty
+    while (!converged && round < maxRounds) {
+      // large-star: over BOTH directions, m(x) = min of closed
+      // neighborhood of x; emit (n, m) for every neighbor n > x.
+      val dir = edges.select(explode(array(
+          struct(col("u").as("x"), col("v").as("n")),
+          struct(col("v").as("x"), col("u").as("n")))).as("e"))
+        .select(col("e.x").as("x"), col("e.n").as("n"))
+      val mins = dir.groupBy("x")
+        .agg(least(min(col("n")), first(col("x"))).as("m"))
+      val large = dir.join(mins, "x")
+        .filter(col("n") > col("x"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // small-star: edges already point large→small; emit (n, m) for
+      // the ≤-neighbors plus (x, m) — flattens every chain one level.
+      val sMins = large.groupBy(col("u").as("x"))
+        .agg(min(col("v")).as("m"))
+      val small = large.join(sMins, large("u") === sMins("x"))
+        .select(explode(array(
+          struct(col("v").as("a"), col("m").as("b")),
+          struct(col("u").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // fixed point: star edges pass both transforms unchanged
+      converged = small.count() == edges.count() &&
+        small.exceptAll(edges).isEmpty
+      edges = small
+      round += 1
+    }
+    if (!converged && round >= maxRounds) throw new IllegalStateException(
+      s"connectedComponentsStar: not converged after $maxRounds rounds " +
+        "— maxRounds is far above the O(log n) bound, so this indicates " +
+        "a bug or a pathological id space, not a long chain")
+    val roots = edges.select(col("v").as("v_id")).distinct()
+      .withColumn("cluster_id", col("v_id"))
+    // vertices that reached the fixed point with no edge left (nodes of
+    // self-loop-only pairs, dropped by init) label themselves
+    val isolated = pairs.select(col("a_id").as("x"))
+      .unionByName(pairs.select(col("b_id").as("x")))
+      .distinct()
+      .join(edges.select(col("u").as("x"))
+        .unionByName(edges.select(col("v").as("x"))).distinct(),
+        Seq("x"), "left_anti")
+      .select(col("x").as("v_id"), col("x").as("cluster_id"))
+    edges.select(col("u").as("v_id"), col("v").as("cluster_id"))
+      .unionByName(roots)
+      .unionByName(isolated)
+      .distinct()
   }
 
   /** SimHash near-dups: band the 64-bit fingerprint into 4×16-bit

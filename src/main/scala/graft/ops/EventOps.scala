@@ -144,6 +144,23 @@ object EventOps {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(approx_count_distinct(col("user_id"), 0.05).as("approx_users"))
 
+  /** Sketch-accuracy audit for [[approxDistinctUsersDaily]]: HLL++
+    * estimate vs exact distinct per day, flagged when outside ±15%
+    * (3× the configured 5% rsd). The estimate itself is not
+    * SQL-derivable, but the FLAG is oracle-checkable because HLL++ is
+    * a pure function of the value set — partition- and
+    * order-independent — so a broken sketch (or a silently changed
+    * rsd) flips `within_3rsd` and fails the driver's hash gate, which
+    * the rows-only approx query alone never could. */
+  def approxDistinctAudit(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.05).as("n_approx"))
+      .select(col("day"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <=
+          col("n_exact") * lit(0.15)).as("within_3rsd"))
+
   /** JSON field extraction from the `props` payload (P2/P4/F17,
     * `src/spark_stream.py:76`, `5SPAR.ipynb` cell 20) — schema-less
     * `get_json_object` path, aggregated to keep the result compact. */

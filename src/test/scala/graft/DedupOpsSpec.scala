@@ -153,6 +153,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(labels == Set(0L), labels.toString)
   }
 
+  test("connectedComponentsStar: O(log n) — solves the chain propagation can't") {
+    // same 30-hop adversarial path that makes min-label propagation
+    // refuse at maxRounds=20: large-star/small-star halves chain depth
+    // per round, so 8 rounds are ample
+    val longChain = (0L until 30L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = DedupOps.connectedComponentsStar(longChain, maxRounds = 8)
+      .collect().map(r => r.getAs[Long]("v_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(labels.size == 31 && labels.values.toSet == Set(0L), labels.toString)
+    // agrees with the propagation variant on a multi-component graph,
+    // including a self-loop-only isolated node (60)
+    val pairs = Seq((10L, 20L), (20L, 30L), (40L, 50L), (60L, 60L))
+      .toDF("a_id", "b_id")
+    val star = DedupOps.connectedComponentsStar(pairs)
+      .collect().map(r => r.getAs[Long]("v_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(star == Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L, 60L -> 60L), star.toString)
+  }
+
   test("dupClusters groups the near-dup family, sizes counted per cluster") {
     // 0~1 (near-dup) and 0~3 (exact dup) chain into one cluster even if
     // (1, 3) similarity alone might not pair them; 2 stays out

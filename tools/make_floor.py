@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Regenerate BENCH_FLOOR.md from one or more clean BENCH_FULL.json runs.
+
+Usage: make_floor.py run1.json [run2.json ...] > BENCH_FLOOR.md
+
+Floor per query = the MINIMUM of the runs' medians (a floor is the
+best believed-quiet number, so minima across clean runs are the right
+aggregation). Streaming/sentinel metadata is taken from the last run
+listed (pass the cleanest run last).
+"""
+import json
+import sys
+
+
+def main(paths):
+    runs = [json.load(open(p)) for p in paths]
+    floor = {}
+    for r in runs:
+        for q, v in r["queries"].items():
+            floor[q] = min(floor.get(q, float("inf")), v)
+    last = runs[-1]
+    names = sorted(floor)
+    total = sum(floor.values())
+    # streaming floor = the best (highest-throughput) clean measurement
+    stream = max((r.get("streaming") or {} for r in runs),
+                 key=lambda s: s.get("rows_per_sec") or 0)
+    sent = last.get("sentinel") or {}
+    print(f"""# BENCH_FLOOR — quiet-box per-query reference medians
+
+A trustworthy per-query floor for future rounds: the per-query MINIMUM
+of {len(runs)} clean run(s) ({len(names)} queries, sf0.1,
+`local[32]`, reps={last.get('reps')} medians after per-query warm-up,
+noop sink). Last run's sentinel: pre {sent.get('pre')} s / post
+{sent.get('post')} s, swing {round(100 * sent.get('swing', 0))}% —
+`"contaminated": {str(last.get('contaminated')).lower()}`. Sum of
+floors {total:.2f} s; streaming {stream.get('rows_per_sec'):,} rows/s
+(best clean run) over {stream.get('n_batches')} completed batches at
+{stream.get('rows_per_batch')} rows/batch. Streaming methodology
+changed r8: numPartitions now = cores (the r7 "12% gap" was an
+8-source-partition cap on a 32-core box, worth ~2.3x), and the metric
+is the STEADY-STATE MEDIAN of per-batch rows/s (4 warm-up batches
+dropped, up to 16 sampled) with a `batch_spread` (max/min) stability
+stamp — sum/sum over a small fixed sample swung 346k-914k across
+clean runs purely from the ~4-6-batch JIT ramp and host-neighbor
+bursts the pre/post sentinel cannot see. Clean-box medians observed:
+935k-965k rows/s; treat < ~500k WITH batch_spread < 2 as a real
+regression, and distrust any value whose spread is > 2. Diff future
+`BENCH_rN.json` per-query entries against THIS table, not against
+other BENCH artifacts — any entry >2x its floor on a run whose own
+sentinel swung is machine noise, not a regression (the r4 lesson).
+Regenerate: `tools/make_floor.py BENCH_FULL.json > BENCH_FLOOR.md`
+(quiet box only — do NOT run anything else, even a test suite, while
+the bench runs).
+
+| query | median s | query | median s |
+|---|---|---|---|""")
+    half = (len(names) + 1) // 2
+    for i in range(half):
+        left = f"| {names[i]} | {floor[names[i]]:.3f} "
+        j = i + half
+        right = f"| {names[j]} | {floor[names[j]]:.3f} |" if j < len(names) else "| | |"
+        print(left + right)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
