@@ -41,6 +41,12 @@ object SparkEntry {
       .toDF("list_id", "cv")
   }
 
+  /** Fixed demo mix for `mixture_sample`: the 20 synthetic sources at
+    * rates 0 / 0.25 / 0.5 / 0.75 / 1.0 ppm-million by index — exercises
+    * full drop, partial down-sampling, and always-keep in one gate. */
+  private val mixtureRates: Seq[(String, Long)] =
+    (0 until 20).map(i => s"src$i" -> (i % 5).toLong * 250000L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: event analytics (SURVEY §2.4-2.6) ----
     "user_activity" -> ((s, d) => EventOps.userActivity(events(s, d))),
@@ -100,6 +106,8 @@ object SparkEntry {
     "stratified_sample" -> ((s, d) => DocOps.stratifiedSample(documents(s, d))),
     "split_contamination" -> ((s, d) =>
       DocOps.splitContamination(documents(s, d))),
+    "fuzzy_contamination" -> ((s, d) =>
+      DedupOps.fuzzyContamination(documents(s, d))),
     "tfidf_top_terms" -> ((s, d) => DocOps.tfidfTopTerms(documents(s, d))),
     "unigram_freq_score" -> ((s, d) => DocOps.unigramFreqScore(documents(s, d))),
     "distinctive_terms_by_source" ->
@@ -109,6 +117,8 @@ object SparkEntry {
     "lang_confusion" -> ((s, d) => DocOps.langConfusion(documents(s, d))),
     "importance_sample" ->
       ((s, d) => DocOps.importanceSample(documents(s, d))),
+    "mixture_sample" ->
+      ((s, d) => DocOps.mixtureSample(documents(s, d), mixtureRates)),
     "shard_assignments" ->
       ((s, d) => DocOps.shardAssignments(documents(s, d))),
     "unigram_kl_by_source" ->
@@ -196,6 +206,8 @@ object SparkEntry {
     "ngram_jaccard_pairs" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(documents(s, d), 0.5)),
     "dup_clusters" -> ((s, d) => DedupOps.dupClusters(documents(s, d))),
+    "cluster_keep_longest" ->
+      ((s, d) => DedupOps.clusterKeepLongest(documents(s, d))),
     "minhash_near_dups" -> ((s, d) => DedupOps.minhashNearDups(documents(s, d), 0.5)),
     "simhash_fingerprints" -> ((s, d) => DedupOps.simhashes(documents(s, d))),
     "simhash_near_dups" -> ((s, d) => DedupOps.simhashNearDups(documents(s, d), 3)),
@@ -726,6 +738,12 @@ object SparkEntry {
       ("SELECT doc_id, source, n_chars FROM documents " +
         s"WHERE (${DocOps.knuthHash32Sql("doc_id")}) % 1000000 * 1000 " +
         "< n_chars * 1000000"),
+    // Mirrors DocOps.mixtureSample: identical Knuth hash, identical
+    // literal rate CASE (built from the same Scala constant).
+    "mixture_sample" ->
+      ("SELECT doc_id, source, n_chars FROM documents " +
+        s"WHERE (${DocOps.knuthHash32Sql("doc_id")}) % 1000000 < " +
+        s"${DocOps.mixtureRateSql(mixtureRates)}"),
     // Mirrors DocOps.shardAssignments: exclusive prefix sum in doc_id
     // order per source, BIGINT floor-division shard ids (both engines
     // divide exact integers; inputs are nonnegative so div == //).
@@ -1270,6 +1288,34 @@ object SparkEntry {
         "('ivf', CAST(1000000 AS BIGINT), 1.0), " +
         "('quantized', CAST(1000000 AS BIGINT), 1.0)" +
         ") AS t(method, top1_id, cos_sim)"),
+    // Mirrors DedupOps.fuzzyContamination: the exact cross-split pair
+    // set (same soundness argument as minhash_near_dups — banded
+    // candidates are exact-verified, and this corpus's near-dup
+    // population sits at J ≥ 0.9 where band-miss probability is
+    // ≤ 3.5e-5/pair), re-oriented eval-side-first.
+    "fuzzy_contamination" ->
+      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
+        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5), " +
+        "spl AS (SELECT doc_id, CASE WHEN bucket < 90 THEN 'train' " +
+        "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
+        s"FROM (SELECT doc_id, ${graft.ops.DocOps.knuthHash32Sql("doc_id")} % 100 " +
+        "AS bucket FROM documents)), " +
+        "x AS (SELECT a_id, b_id, jaccard, sa.split AS a_split, sb.split AS b_split " +
+        "FROM pairs JOIN spl sa ON sa.doc_id = a_id JOIN spl sb ON sb.doc_id = b_id " +
+        "WHERE (sa.split = 'train') <> (sb.split = 'train')) " +
+        "SELECT CASE WHEN a_split = 'train' THEN b_id ELSE a_id END AS eval_id, " +
+        "CASE WHEN a_split = 'train' THEN b_split ELSE a_split END AS eval_split, " +
+        "CASE WHEN a_split = 'train' THEN a_id ELSE b_id END AS train_id, " +
+        "jaccard FROM x"),
     // Mirrors DedupOps.dupClusters: the ngram_jaccard_pairs CTE chain,
     // then connected components as a recursive transitive closure
     // (min reachable id == the label min-propagation converges to).
@@ -1294,6 +1340,33 @@ object SparkEntry {
         "lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u) " +
         "SELECT doc_id, cluster_id, " +
         "count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lbl"),
+    // Mirrors DedupOps.clusterKeepLongest: the dup_clusters transitive
+    // closure, then longest-doc-wins (doc_id on ties) per cluster.
+    "cluster_keep_longest" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
+        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
+        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
+        "pruned AS (SELECT * FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df " +
+        "FROM inv) WHERE df <= 1000), " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5), " +
+        "e AS (SELECT a_id AS u, b_id AS v FROM pairs " +
+        "UNION SELECT b_id, a_id FROM pairs), " +
+        "r(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u), " +
+        "lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u) " +
+        "SELECT cluster_id, doc_id AS keep_id, n_chars AS keep_chars, n_docs FROM (" +
+        "SELECT l.cluster_id, d.doc_id, d.n_chars, " +
+        "count(*) OVER (PARTITION BY l.cluster_id) AS n_docs, " +
+        "row_number() OVER (PARTITION BY l.cluster_id " +
+        "ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn " +
+        "FROM lbl l JOIN documents d ON d.doc_id = l.doc_id) WHERE rn = 1"),
     "table_profile_events" ->
       (Seq(
         ("event_id", "bigint", true), ("ts", "timestamp", false),

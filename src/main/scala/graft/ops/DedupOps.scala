@@ -407,6 +407,43 @@ object DedupOps {
       .select(col("v_id").as("doc_id"), col("cluster_id"), col("cluster_size"))
   }
 
+  /** Fuzzy train→eval decontamination: near-duplicate pairs that CROSS
+    * the dataset-split boundary. Exact n-gram containment
+    * ([[DocOps.splitContamination]]) catches verbatim leaks; this
+    * catches the lightly-edited / re-templated class that survives it —
+    * the standard second pass before an eval set is trusted. Same
+    * machinery as [[minhashNearDups]] (banded candidates, exact-Jaccard
+    * verification — so precision is 1 and every reported leak is real),
+    * with the split labels of [[DocOps.datasetSplits]] joined onto the
+    * verified pairs and only train↔non-train pairs kept, re-oriented as
+    * (eval_id, eval_split, train_id, jaccard).
+    *
+    * Shape at scale: the split join touches only the (tiny) verified
+    * pair list, so this is free when near-dup dedup already runs. A
+    * DEDICATED decontamination pass over a corpus that is not being
+    * deduped would instead filter candidates to cross-split pairs
+    * BEFORE the exact verification (and for an external benchmark
+    * suite, build its shingle sets and broadcast them — the
+    * splitContamination scaladoc note, same build-side flip). */
+  def fuzzyContamination(docs: DataFrame, threshold: Double = 0.5)
+      : DataFrame = {
+    val splits = DocOps.datasetSplits(docs).select(col("doc_id"), col("split"))
+    minhashNearDups(docs, threshold)
+      .join(splits.select(col("doc_id").as("a_id"), col("split").as("a_split")),
+        "a_id")
+      .join(splits.select(col("doc_id").as("b_id"), col("split").as("b_split")),
+        "b_id")
+      .filter((col("a_split") === "train") =!= (col("b_split") === "train"))
+      .select(
+        when(col("a_split") === "train", col("b_id")).otherwise(col("a_id"))
+          .as("eval_id"),
+        when(col("a_split") === "train", col("b_split")).otherwise(col("a_split"))
+          .as("eval_split"),
+        when(col("a_split") === "train", col("a_id")).otherwise(col("b_id"))
+          .as("train_id"),
+        col("jaccard"))
+  }
+
   /** Connected components via alternating large-star/small-star
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC '14): O(log n) ROUNDS regardless of graph diameter — the
@@ -492,6 +529,28 @@ object DedupOps {
       .unionByName(roots)
       .unionByName(isolated)
       .distinct()
+  }
+
+  /** The keep decision [[dupClusters]] feeds: one keeper per
+    * transitive near-dup cluster — longest document wins, smallest
+    * doc_id on ties (the quality-aware policy of [[dedupKeepLongest]]
+    * lifted from exact-fingerprint groups to NEAR-dup clusters, which
+    * is what actually ships: "A≈B, B≈C" must yield ONE kept document
+    * even though A and C were never paired). Returns the per-cluster
+    * manifest (cluster_id, keep_id, keep_chars, n_docs); the dedup
+    * itself is then a left-semi of the corpus against keep_id. The
+    * argmax is a single min(struct) aggregate over the (tiny) labeled
+    * frame — no window, no second shuffle beyond the label join. */
+  def clusterKeepLongest(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 3): DataFrame = {
+    val labels = connectedComponents(ngramJaccardPairs(docs, threshold, k))
+    labels
+      .join(docs.select(col("doc_id").as("v_id"), col("n_chars")), "v_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col("n_chars")).as("neg"), col("v_id").as("id"))).as("m"))
+      .select(col("cluster_id"), col("m.id").as("keep_id"),
+        (-col("m.neg")).as("keep_chars"), col("n_docs"))
   }
 
   /** SimHash near-dups: band the 64-bit fingerprint into 4×16-bit

@@ -726,6 +726,40 @@ object DocOps {
     * characters always survive (the left side is < 10⁶·scaleChars),
     * a 100-char doc survives at 100/scaleChars odds. Embarrassingly
     * parallel: one scan, a per-row filter, no shuffle at all. */
+  /** Deterministic source-mixture sampling: keep each document with
+    * its SOURCE's configured probability — the primitive behind
+    * per-source token budgets / mixture re-weighting (up-sample the
+    * curated sources, down-sample the crawl) when assembling a
+    * training mix. Rates are parts-per-million integers so the keep
+    * predicate is a pure integer compare against the same Knuth hash
+    * as [[datasetSplits]] — no RNG, no floats, reproducible across
+    * runs, partition layouts, and engines. Sources absent from the
+    * map are dropped (rate 0) — an explicit mix is the contract.
+    * One scan, a per-row hash + map lookup, no shuffle. The rate map
+    * enters the plan as a literal CASE (built by [[mixtureRateExpr]],
+    * shared with the SQL oracle), not a join — mixes are tens of
+    * sources, far under any broadcast threshold concern. */
+  def mixtureSample(docs: DataFrame, ratesPpm: Seq[(String, Long)]): DataFrame =
+    docs
+      .filter(pmod(knuthHash32(col("doc_id")), lit(1000000L)) <
+        mixtureRateExpr(ratesPpm))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+
+  /** The mixture-rate lookup as a CASE expression — one literal plan
+    * both engines share (`when` chain here, the identical CASE text in
+    * the oracle via [[mixtureRateSql]]). */
+  private[graft] def mixtureRateExpr(ratesPpm: Seq[(String, Long)])
+      : org.apache.spark.sql.Column =
+    ratesPpm.foldLeft(lit(0L)) { case (acc, (src, ppm)) =>
+      when(col("source") === src, lit(ppm)).otherwise(acc)
+    }
+
+  /** DuckDB text of the same rate CASE, for the oracle. */
+  private[graft] def mixtureRateSql(ratesPpm: Seq[(String, Long)]): String =
+    ratesPpm.reverse
+      .map { case (src, ppm) => s"WHEN source = '$src' THEN ${ppm}" }
+      .mkString("CASE ", " ", " ELSE 0 END")
+
   def importanceSample(docs: DataFrame, scaleChars: Int = 1000): DataFrame =
     docs
       .filter(pmod(knuthHash32(col("doc_id")), lit(1000000L)) *

@@ -153,6 +153,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(labels == Set(0L), labels.toString)
   }
 
+  test("fuzzyContamination: only cross-split near-dups, eval side first") {
+    // pick ids by their ACTUAL Knuth-hash split so the planted leak is
+    // guaranteed cross-boundary whatever the hash constants are
+    val ids = (0L until 200L)
+    val sm = graft.ops.DocOps.datasetSplits(ids.toDF("doc_id"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+      .toMap
+    val trainId = ids.find(sm(_) == "train").get
+    val testId = ids.find(sm(_) == "test").get
+    val Seq(t2, t3) = ids.filter(i => sm(i) == "train" && i != trainId)
+      .take(2).toSeq
+    val docs = Seq(
+      (trainId, base), (testId, nearDup), // the planted cross-split leak
+      (t2, unrelated), (t3, unrelated + " now"), // train-train near-dup
+    ).toDF("doc_id", "text")
+    val got = DedupOps.fuzzyContamination(docs, threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("eval_id"),
+        r.getAs[String]("eval_split"), r.getAs[Long]("train_id")))
+    assert(got.toSeq == Seq((testId, "test", trainId)),
+      s"got ${got.toSeq}; split map ($trainId ${sm(trainId)}, $testId ${sm(testId)})")
+  }
+
   test("connectedComponentsStar: O(log n) — solves the chain propagation can't") {
     // same 30-hop adversarial path that makes min-label propagation
     // refuse at maxRounds=20: large-star/small-star halves chain depth
@@ -187,6 +209,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(clusters(0L)._1 == 0L && clusters(1L)._1 == 0L
       && clusters(3L)._1 == 0L, clusters.toString)
     assert(clusters(0L)._2 == clusters.count(_._2._1 == 0L), clusters.toString)
+  }
+
+  test("clusterKeepLongest: one keeper per transitive cluster, longest wins") {
+    import org.apache.spark.sql.functions.{col, length}
+    val withChars = docs.withColumn("n_chars", length(col("text")).cast("long"))
+    val got = DedupOps.clusterKeepLongest(withChars, threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("keep_chars"),
+          r.getAs[Long]("n_docs"))))
+      .toMap
+    // 0/1/3/4 chain into one cluster labeled 0; doc 1 (nearDup) is the
+    // longest raw text ("each morning" vs "every day" is +3, the
+    // uppercased variant only +2); doc 2 is clean and absent
+    assert(got.keySet == Set(0L), got.toString)
+    assert(got(0L) == ((1L, nearDup.length.toLong, 4L)), got.toString)
   }
 
   test("shingles: short docs yield empty array, no negative-range blowup") {

@@ -141,6 +141,28 @@ class DocPipelineSpec extends SparkSpec {
     assert(again == got, "manifest depends on partitioning")
   }
 
+  test("mixtureSample: per-source rates honored, deterministic, 0 drops, 1M keeps") {
+    val docs = (0L until 900L).map(i => (i, s"s${i % 3}", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val rates = Seq("s0" -> 0L, "s1" -> 1000000L, "s2" -> 500000L)
+    val kept = DocOps.mixtureSample(docs, rates)
+      .collect().map(r => r.getAs[String]("source"))
+    val bySrc = kept.groupBy(identity).view.mapValues(_.size).toMap
+    assert(!bySrc.contains("s0"), s"rate-0 source leaked: $bySrc")
+    assert(bySrc("s1") == 300, s"rate-1.0 source not fully kept: $bySrc")
+    // rate 0.5 over 300 docs: hash-uniform, allow a wide band
+    assert(bySrc("s2") > 100 && bySrc("s2") < 200, bySrc.toString)
+    // unmapped sources are dropped (explicit mix is the contract)
+    val unmapped = DocOps.mixtureSample(
+      docs.withColumn("source", lit("sX")), rates).count()
+    assert(unmapped == 0L)
+    // layout independence
+    val again = DocOps.mixtureSample(docs.repartition(11), rates)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == DocOps.mixtureSample(docs, rates)
+      .collect().map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("shardAssignments: two-level prefix sum == flat, parallel by bucket") {
     // interleaved sources with ids crossing bucket boundaries at every
     // idBucket tried; per-doc masses vary so any mis-ordered or
