@@ -201,6 +201,9 @@ object SparkEntry {
     "boilerplate_phrases" -> ((s, d) =>
       DedupOps.boilerplatePhrases(documents(s, d))),
     "dedup_exact" -> ((s, d) => DedupOps.dedupExact(documents(s, d))),
+    "dup_stats_by_source" ->
+      ((s, d) => DedupOps.dupStatsBySource(documents(s, d))),
+    "ngram_novelty" -> ((s, d) => DocOps.ngramNovelty(documents(s, d))),
     "dedup_keep_longest" -> ((s, d) => DedupOps.dedupKeepLongest(documents(s, d))),
     "span_dedup_stats" -> ((s, d) => DedupOps.spanDedupStats(documents(s, d))),
     "ngram_jaccard_pairs" -> ((s, d) =>
@@ -1200,6 +1203,33 @@ object SparkEntry {
     "dedup_exact" ->
       ("SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp, " +
         "min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1"),
+    // Mirrors DedupOps.dupStatsBySource: same normalized fingerprint,
+    // duplicated-mass counts per source.
+    "dup_stats_by_source" ->
+      ("WITH fps AS (SELECT doc_id, source, " +
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM documents), " +
+        "g AS (SELECT fp, count(*) AS grp FROM fps GROUP BY 1) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs, " +
+        "count(DISTINCT fp) AS n_unique_texts " +
+        "FROM fps JOIN g USING (fp) GROUP BY source"),
+    // Mirrors DocOps.ngramNovelty: per-doc distinct 3-gram shingles
+    // (same lambda shingling as ngram_jaccard_pairs), corpus df, and
+    // the df=1 fraction; the division is double/bigint in both engines
+    // with one final rounding.
+    "ngram_novelty" ->
+      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
+        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
+        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
+        "dfs AS (SELECT sh, count(*) AS df FROM inv GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_shingles, " +
+        "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
+        "round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1.0 " +
+        "/ count(*), 4) AS novelty " +
+        "FROM inv JOIN dfs USING (sh) GROUP BY doc_id"),
     // Mirrors DedupOps.dedupKeepLongest: same normalized fingerprint,
     // same (n_chars DESC, doc_id ASC) argmax.
     "dedup_keep_longest" ->

@@ -96,6 +96,26 @@ object DedupOps {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .filter(col("n_docs") > 1)
 
+  /** Per-source duplication audit: how much of each source is exact
+    * duplicate mass (same normalized fingerprint as [[dedupExact]]) —
+    * the first number a corpus report leads with, per source so the
+    * offending feed is identifiable. `n_dup_docs` counts every doc in
+    * a >1 group (keeper included: it measures duplicated MASS, the
+    * docs whose fingerprint is not unique). One fingerprint groupBy +
+    * a broadcast-size join back — the md5 collapses docs to 32 bytes
+    * before the only wide shuffle, same 100 TB shape as
+    * [[exactDupGroups]]. */
+  def dupStatsBySource(docs: DataFrame): DataFrame = {
+    val fps = docs.select(col("doc_id"), col("source"),
+      DocOps.fingerprint(col("text")).as("fp"))
+    val groupSizes = fps.groupBy("fp").agg(count(lit(1)).as("grp"))
+    fps.join(groupSizes, "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+        countDistinct(col("fp")).as("n_unique_texts"))
+  }
+
   /** Exact dedup keeping the smallest doc_id per normalized fingerprint
     * (whitespace-collapsed, lowercased — DocOps.fingerprint). */
   def dedupExact(docs: DataFrame): DataFrame =

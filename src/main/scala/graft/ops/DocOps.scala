@@ -528,6 +528,30 @@ object DocOps {
           col("n_shingles").cast("double")).as("contamination"))
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's
+    * distinct word k-grams that occur in NO other document (corpus
+    * df = 1). High novelty = genuinely fresh text; low novelty =
+    * boilerplate/template mass even when no single pair crosses a
+    * dedup threshold — the document-granular complement to
+    * [[graft.ops.DedupOps.boilerplatePhrases]] (which reports the
+    * phrases) and a standard train-mix quality signal. Shape: one
+    * shingle explode, ONE wide groupBy(sh) for the df counts, a join
+    * back on the shingle, and a doc-keyed agg that reuses
+    * shingleRows' doc_id partitioning. Shingles stay raw strings here
+    * (they are ~20-30 chars — hash-collapsing to md5's 32 would
+    * widen, not narrow, the shuffle). */
+  def ngramNovelty(docs: DataFrame, k: Int = 3): DataFrame = {
+    val rows = graft.ops.DedupOps.shingleRows(docs, k)
+    val dfs = rows.groupBy("sh").agg(count(lit(1)).as("df"))
+    rows.join(dfs, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_shingles"), 4)
+          .as("novelty"))
+  }
+
   /** Canonical document fingerprint: md5 of the whitespace-collapsed,
     * lowercased text. The join key for exact near-layout dedup — cheap,
     * deterministic, oracle-checkable. */

@@ -58,6 +58,22 @@ class DedupOpsSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("dupStatsBySource: duplicated mass counted per source, keeper included") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "sA", base), (1L, "sA", base), // dup pair inside sA
+      (2L, "sB", base), // same text from sB — cross-source group of 3
+      (3L, "sB", unrelated), // clean
+    ).toDF("doc_id", "source", "text")
+    val got = DedupOps.dupStatsBySource(docs)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"),
+          r.getAs[Long]("n_unique_texts"))))
+      .toMap
+    assert(got("sA") == ((2L, 2L, 1L)), got.toString)
+    assert(got("sB") == ((2L, 1L, 2L)), got.toString)
+  }
+
   test("exactDupGroups finds the byte-identical pair only") {
     val groups = DedupOps.exactDupGroups(docs).collect()
     assert(groups.length == 1)

@@ -141,6 +141,23 @@ class DocPipelineSpec extends SparkSpec {
     assert(again == got, "manifest depends on partitioning")
   }
 
+  test("ngramNovelty: unique docs score 1, copies 0, partial overlap between") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, a), (1L, a), // exact copies: every shingle has df 2 → novelty 0
+      (2L, "one two three four five six seven"), // all-unique → 1.0
+      (3L, "one two three completely different ending here"), // shares prefix
+    ).toDF("doc_id", "text")
+    val got = DocOps.ngramNovelty(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Double]("novelty"))))
+      .toMap
+    assert(got(0L)._2 == 0.0 && got(1L)._2 == 0.0, got.toString)
+    // doc 2 shares exactly one 3-gram ("one two three") with doc 3
+    assert(got(2L) == ((5L, 0.8)), got.toString)
+    assert(got(3L) == ((5L, 0.8)), got.toString)
+  }
+
   test("mixtureSample: per-source rates honored, deterministic, 0 drops, 1M keeps") {
     val docs = (0L until 900L).map(i => (i, s"s${i % 3}", 10L))
       .toDF("doc_id", "source", "n_chars")
