@@ -534,16 +534,19 @@ object DocOps {
     * boilerplate/template mass even when no single pair crosses a
     * dedup threshold — the document-granular complement to
     * [[graft.ops.DedupOps.boilerplatePhrases]] (which reports the
-    * phrases) and a standard train-mix quality signal. Shape: one
-    * shingle explode, ONE wide groupBy(sh) for the df counts, a join
-    * back on the shingle, and a doc-keyed agg that reuses
-    * shingleRows' doc_id partitioning. Shingles stay raw strings here
-    * (they are ~20-30 chars — hash-collapsing to md5's 32 would
-    * widen, not narrow, the shuffle). */
+    * phrases) and a standard train-mix quality signal. Shape: ONE
+    * linear pipeline — scan, shingle explode, df via a window over the
+    * shingle, doc-keyed agg. The groupBy(sh)+join-back formulation
+    * reads better but physically DUPLICATES the whole explode subtree
+    * (two scans, two explodes — the same two-branch trap the
+    * spanDedupStats scaladoc documents, caught here by PlanAuditSpec);
+    * the window pays one sort within the sh exchange instead of
+    * re-running the pipeline. Shingles stay raw strings (~20-30
+    * chars — md5-collapsing to 32 would widen the shuffle). */
   def ngramNovelty(docs: DataFrame, k: Int = 3): DataFrame = {
-    val rows = graft.ops.DedupOps.shingleRows(docs, k)
-    val dfs = rows.groupBy("sh").agg(count(lit(1)).as("df"))
-    rows.join(dfs, "sh")
+    import org.apache.spark.sql.expressions.Window
+    graft.ops.DedupOps.shingleRows(docs, k)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))

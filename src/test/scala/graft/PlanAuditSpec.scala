@@ -203,6 +203,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
 
+  test("ngram_novelty: single linear pipeline — one scan, one explode, no join") {
+    val plan = planOf(DocOps.ngramNovelty(Tables.documents(spark, sf0)))
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    val generates = "Generate explode".r.findAllIn(plan).length
+    assert(generates == 1, s"expected 1 explode, got $generates:\n$plan")
+    assert(!plan.contains("Join"), s"df must come from the window:\n$plan")
+  }
+
+  test("dup_stats_by_source: md5 collapses before the fp shuffle, no cartesian") {
+    val plan = planOf(DedupOps.dupStatsBySource(Tables.documents(spark, sf0)))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the group-size frame joins back on fp (an equi hash join)
+    assert(plan.contains("hashpartitioning(fp") ||
+      plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("fuzzy_contamination: split labels join the verified pairs, no cartesian") {
+    val plan = planOf(DedupOps.fuzzyContamination(Tables.documents(spark, sf0)))
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("mixture_sample: literal CASE filter, no join, no shuffle") {
+    val plan = planOf(DocOps.mixtureSample(Tables.documents(spark, sf0),
+      (0 until 20).map(i => s"src$i" -> 500000L)))
+    assert(!plan.contains("Join"), s"rate lookup must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
   test("size guard: oversized dims are NOT force-broadcast") {
     // with the threshold floored, maybeBroadcast must decline the hint
     // and let the planner shuffle — the 100 TB posture where customer

@@ -42,6 +42,39 @@ class PropertySpec extends SparkSpec {
     assert(got.count() == 0, got.limit(5).collect().mkString(", "))
   }
 
+  test("mixtureSample: keeps are monotone in the rate and exact at 0/1M") {
+    import graft.ops.DocOps
+    val docs = (0L until 600L).map(i => (i, "s", 1L))
+      .toDF("doc_id", "source", "n_chars")
+    val genRates = Gen.listOfN(6, Gen.choose(0L, 1000000L)).sample.get.sorted
+    // raising a source's rate can only ADD documents (the keep
+    // predicate is hash < rate — a threshold on a fixed per-doc hash)
+    val keptSets = genRates.map(r =>
+      DocOps.mixtureSample(docs, Seq("s" -> r))
+        .collect().map(_.getAs[Long]("doc_id")).toSet)
+    keptSets.sliding(2).foreach {
+      case Seq(lo, hi) => assert(lo.subsetOf(hi),
+        s"monotonicity broken: ${lo.size} !⊆ ${hi.size}")
+      case _ =>
+    }
+    assert(DocOps.mixtureSample(docs, Seq("s" -> 0L)).count() == 0L)
+    assert(DocOps.mixtureSample(docs, Seq("s" -> 1000000L)).count() == 600L)
+  }
+
+  test("ngramNovelty: bounded in [0,1], counts consistent") {
+    import graft.ops.DocOps
+    val words = Gen.listOfN(400, for {
+      n <- Gen.choose(3, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e", "f", "g"))
+    } yield ws.mkString(" ")).sample.get
+    val docs = words.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val bad = DocOps.ngramNovelty(docs)
+      .filter(col("novelty") < 0.0 || col("novelty") > 1.0 ||
+        col("n_novel") > col("n_shingles") || col("n_shingles") <= 0)
+    assert(bad.count() == 0, bad.limit(5).collect().mkString(", "))
+  }
+
   test("latestPerUser keeps exactly the (ts, event_id)-max row per user") {
     val gen = Gen.listOfN(300, for {
       user <- Gen.choose(0L, 20L)
