@@ -214,6 +214,24 @@ object SparkEntry {
     "minhash_near_dups" -> ((s, d) => DedupOps.minhashNearDups(documents(s, d), 0.5)),
     "simhash_fingerprints" -> ((s, d) => DedupOps.simhashes(documents(s, d))),
     "simhash_near_dups" -> ((s, d) => DedupOps.simhashNearDups(documents(s, d), 3)),
+    // Subset invariant gating the hash-seed-bound simhash_near_dups:
+    // equal normalized fingerprints ⇒ equal token sequences ⇒ equal
+    // simhashes (hamming 0), and hamming-0 pairs share all four chunks,
+    // so EVERY exact-dup pair must appear in the near-dup output —
+    // n_missing is structurally 0 and n_exact_pairs is SQL-derivable.
+    "simhash_exactdup_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val docs = documents(s, d)
+      val fp = docs.select(col("doc_id"), DocOps.fingerprint(col("text")).as("fp"))
+      val exactPairs = fp.as("a")
+        .join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      val near = DedupOps.simhashNearDups(docs, 3).select("a_id", "b_id")
+      exactPairs.agg(count(lit(1)).as("n_exact_pairs"))
+        .crossJoin(exactPairs.join(near, Seq("a_id", "b_id"), "left_anti")
+          .agg(count(lit(1)).as("n_missing")))
+    }),
     // The fingerprint VALUES are xxhash64-seeded (not DuckDB-
     // expressible) but their invariants are: simhash is a pure function
     // of text, so within every text-equality group there is exactly ONE
@@ -250,6 +268,24 @@ object SparkEntry {
     // same list, and the query's own list is always probed first),
     // quantized because the copy's int8 codes are identical. A recall
     // or ranking regression in any path flips a constant row.
+    // Batch-ANN counterpart of ann_top1_audit: over the planted frame
+    // EVERY vector's top-1 must be its twin (original↔scaled copy,
+    // ids ±1e6, cos exactly 1.0) — gates the whole knn_all_lsh /
+    // knn_all_ivf search paths whose raw outputs are hash-seed-bound.
+    // Twins share buckets (sign-LSH) and lists (cosine assignment)
+    // with probability 1, so both counts are corpus-size constants.
+    "ann_batch_recall_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{abs, col, count, lit, sum, when}
+      val planted = VectorOps.withPlantedDups(embeddings(s, d))
+      def recallRow(m: String, df: DataFrame) = df.agg(
+          count(lit(1)).as("n_vectors"),
+          sum(when(abs(col("b_id") - col("a_id")) === 1000000L, 1L)
+            .otherwise(0L)).as("n_twin_top1"))
+        .select(lit(m).as("method"), col("n_vectors"), col("n_twin_top1"))
+      recallRow("lsh", VectorOps.knnAllLsh(planted, 1))
+        .unionByName(recallRow("ivf",
+          VectorOps.knnAllIvf(planted, ivfCentroids(s, d), 1)))
+    }),
     "ann_top1_audit" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit}
       val planted = VectorOps.withPlantedDups(embeddings(s, d))
@@ -264,6 +300,21 @@ object SparkEntry {
     }),
     "table_profile_events" -> ((s, d) => ProfileOps.profile(events(s, d))),
     "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
+    // Accuracy audit gating the rows-only HLL++ profile: per column,
+    // the sketch estimate must sit within ±3·rsd of the exact count —
+    // deterministic (the sketch is a pure function of the value set),
+    // so the flag column is an oracle-checkable constant.
+    "table_profile_approx_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{abs, col}
+      val exact = ProfileOps.profile(events(s, d))
+        .select(col("col_name"), col("n_distinct").as("n_exact"))
+      ProfileOps.profileApprox(events(s, d))
+        .select(col("col_name"), col("n_distinct").as("n_approx"))
+        .join(exact, "col_name")
+        .select(col("col_name"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.15).as("within_3rsd"))
+    }),
     // Registered over planted deterministic dups (scaled copies — see
     // VectorOps.withPlantedDups): the natural corpus has no pair above
     // cos 0.52 at test SF, so the bare operator at 0.9 returns 0 rows
@@ -1308,6 +1359,26 @@ object SparkEntry {
         "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
         "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),
+    // Mirrors ann_batch_recall_audit: both counts equal twice the
+    // corpus size by construction (every vector and every planted copy
+    // has its twin as top-1).
+    "ann_batch_recall_audit" ->
+      ("WITH n AS (SELECT 2 * count(*) AS nv FROM embeddings) " +
+        "SELECT 'lsh' AS method, CAST(nv AS BIGINT) AS n_vectors, " +
+        "CAST(nv AS BIGINT) AS n_twin_top1 FROM n " +
+        "UNION ALL SELECT 'ivf' AS method, CAST(nv AS BIGINT), " +
+        "CAST(nv AS BIGINT) FROM n"),
+    // Mirrors simhash_exactdup_audit: the exact-pair count from the
+    // same normalized fingerprint; n_missing is 0 by the subset
+    // invariant (hamming-0 pairs always share a band chunk).
+    "simhash_exactdup_audit" ->
+      ("WITH fp AS (SELECT doc_id, " +
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM documents), " +
+        "p AS (SELECT count(*) AS n FROM fp a " +
+        "JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id) " +
+        "SELECT CAST(n AS BIGINT) AS n_exact_pairs, " +
+        "CAST(0 AS BIGINT) AS n_missing FROM p"),
     // Mirrors ann_top1_audit: constants by construction (see the
     // registration comment — planted scaled copies are rank-1 under
     // every method with cosine exactly 1.0).
@@ -1412,6 +1483,13 @@ object SparkEntry {
           s"CAST(max($c) AS VARCHAR) AS max_value, " +
           s"$mean AS mean FROM events"
       }.mkString(" UNION ALL ")),
+    // Mirrors table_profile_approx_audit: exact per-column distincts,
+    // accuracy flag constant-true (see registration comment).
+    "table_profile_approx_audit" ->
+      (Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .map(c => s"SELECT '$c' AS col_name, count(DISTINCT $c) AS n_exact, " +
+          "true AS within_3rsd FROM events")
+        .mkString(" UNION ALL ")),
     "knn_brute" ->
       ("WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
         "s AS (SELECT e.vec_id, e.label, " +
