@@ -12,9 +12,19 @@ import graft.Tables._
   * every computed column is aliased identically on both sides; float
   * aggregates are `round(x, 4)` (or 2 for money) on both sides; integer
   * sums are cast to BIGINT in DuckDB (which otherwise widens to
-  * HUGEINT); DuckDB `date_trunc` returns DATE for day-or-coarser so
-  * those are cast back to TIMESTAMP; ties in top-k/dedup are pinned
-  * with a stable key on both sides.
+  * HUGEINT — enforced by OracleLintSpec since r8); DuckDB `date_trunc`
+  * returns DATE for day-or-coarser so those are cast back to
+  * TIMESTAMP; ties in top-k/dedup are pinned with a stable key on
+  * both sides.
+  *
+  * Hash-seed-bound operators (sketches, LSH/IVF search) whose raw
+  * outputs are not SQL-expressible are gated through derived AUDIT
+  * queries instead of staying rows-only: planted scaled-copy twins
+  * (recall exactly 1 under sign-LSH and cosine IVF assignment),
+  * pure-function invariants (simhash constant per text; hamming-0
+  * pairs always banded together), and deterministic accuracy flags
+  * (HLL++ within ±3·rsd of exact). A gate must return rows at
+  * sf0.01 — a 0-row result can never fail and is vacuous.
   */
 object SparkEntry {
 
