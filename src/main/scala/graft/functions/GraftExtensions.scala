@@ -28,6 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         CosineSim(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_dot", "graft_dot(a, b)", exprs, 2)
+        DotProduct(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (exprs: Seq[Expression]) => GraftExtensions.buildLshBucket(exprs)))

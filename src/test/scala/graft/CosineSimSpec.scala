@@ -72,6 +72,36 @@ class CosineSimSpec extends SparkSpec {
     assert(!out(2L))
   }
 
+  test("graft_dot: norm-precomputed scoring is bit-identical to the fused cosine") {
+    import graft.functions.DotProduct.{dotFused, normFused}
+    // the exact decomposition knnAllBrute relies on: dot / (na * nb)
+    // must equal the single-loop fused cosine bit for bit, since the
+    // accumulation order and the final operation sequence are the same
+    val rnd = new scala.util.Random(5)
+    val pairs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat),
+        Array.fill(64)(rnd.nextGaussian().toFloat))
+    }.toDF("id", "a", "b")
+    val diff = pairs.select(
+        CosineSim.cosineFused(col("a"), col("b")).as("fused"),
+        (dotFused(col("a"), col("b")) /
+          (normFused(col("a")) * normFused(col("b")))).as("decomposed"))
+      .filter(col("fused") =!= col("decomposed"))
+    assert(diff.count() == 0, diff.limit(3).collect().mkString(", "))
+    // null element and empty-array behavior
+    val edge = Seq(
+      (1L, Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)),
+      (2L, Array.empty[java.lang.Float], Array.empty[java.lang.Float]),
+    ).toDF("id", "a", "b")
+      .select(col("id"), col("a").cast("array<float>").as("a"),
+        col("b").cast("array<float>").as("b"))
+      .select(col("id"), dotFused(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(edge(1L).isEmpty, "null element must yield null")
+    assert(edge(2L).contains(0.0), "empty arrays dot to 0.0")
+  }
+
   test("registered SQL function graft_cosine works") {
     CosineSim.register(spark)
     vecs.createOrReplaceTempView("cs_vecs")
@@ -94,7 +124,8 @@ class CosineSimSpec extends SparkSpec {
     new graft.functions.GraftExtensions().apply(ext)
     val registry = org.apache.spark.sql.graft.ColumnShim
       .registerFunctions(ext, FunctionRegistry.builtin.clone())
-    for (name <- Seq("graft_cosine", "graft_lsh_bucket", "graft_winnow"))
+    for (name <- Seq("graft_cosine", "graft_dot", "graft_lsh_bucket",
+        "graft_winnow"))
       assert(registry.functionExists(FunctionIdentifier(name)), name)
     val cos = registry.lookupFunctionBuilder(FunctionIdentifier("graft_cosine"))
       .get(Seq(Literal.create(Array(1.0f, 0.0f)), Literal.create(Array(1.0f, 0.0f))))
