@@ -131,6 +131,26 @@ object SparkEntry {
       ((s, d) => DocOps.mixtureSample(documents(s, d), mixtureRates)),
     "shard_assignments" ->
       ((s, d) => DocOps.shardAssignments(documents(s, d))),
+    "shard_fill_stats" ->
+      ((s, d) => DocOps.shardFillStats(documents(s, d))),
+    // Per-doc ratios are deflate-bound (rows-only); the audit below
+    // carries the gated invariants.
+    "compression_signals" ->
+      ((s, d) => DocOps.compressionSignals(documents(s, d))),
+    // Invariants of the deflate ratio that ARE SQL-derivable: every
+    // non-empty doc compresses to a positive length no more than
+    // 2× raw (these synthetic docs are ~300-byte word soup, far from
+    // the tiny-string header-overhead regime), so n_in_bounds must
+    // equal n_docs — a broken or nondeterministic compressor breaks
+    // the count.
+    "compression_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      DocOps.compressionSignals(documents(s, d))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ratio") > 0.0 && col("ratio") <= 2.0, 1L)
+            .otherwise(0L)).as("n_in_bounds"))
+    }),
     "unigram_kl_by_source" ->
       ((s, d) => DocOps.unigramKlBySource(documents(s, d))),
     "ttr_by_source" -> ((s, d) => DocOps.ttrBySource(documents(s, d))),
@@ -818,6 +838,24 @@ object SparkEntry {
         "SELECT source, CAST(cum_excl // 10000 AS BIGINT) AS shard_id, " +
         "count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars " +
         "FROM c GROUP BY 1, 2"),
+    // Mirrors DocOps.shardFillStats: the shard manifest CTE, then one
+    // per-source packing agg.
+    "shard_fill_stats" ->
+      ("WITH c AS (SELECT doc_id, source, n_chars, " +
+        "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) " +
+        "AS BIGINT) - n_chars AS cum_excl FROM documents), " +
+        "m AS (SELECT source, CAST(cum_excl // 10000 AS BIGINT) AS shard_id, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars FROM c GROUP BY 1, 2) " +
+        "SELECT source, count(*) AS n_shards, " +
+        "CAST(sum(n_chars) AS BIGINT) AS n_chars_total, " +
+        "min(n_chars) AS min_shard_chars, max(n_chars) AS max_shard_chars, " +
+        "round(avg(n_chars) / 10000.0, 4) AS avg_fill " +
+        "FROM m GROUP BY source"),
+    // Mirrors compression_audit: counts only (the deflate length is
+    // not SQL-derivable; the in-bounds invariant is).
+    "compression_audit" ->
+      ("SELECT source, count(*) AS n_docs, count(*) AS n_in_bounds " +
+        "FROM documents GROUP BY source"),
     // Mirrors DocOps.unigramKlBySource: each cross-product factor cast
     // to DOUBLE before multiplying (exact casts, identical IEEE
     // products), one final rounding.

@@ -35,6 +35,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProduct(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_deflate_len", "graft_deflate_len(text)", exprs, 1)
+        DeflateLength(exprs(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (exprs: Seq[Expression]) => GraftExtensions.buildLshBucket(exprs)))

@@ -555,6 +555,41 @@ object DocOps {
           .as("novelty"))
   }
 
+  /** Compression-ratio quality signal (RedPajama-v2 family): DEFLATE
+    * length / raw byte length per document. Repetitive or templated
+    * text compresses far below prose; random noise sits near (or
+    * above) 1.0 — a cheap repetition detector that catches structure
+    * n-gram heuristics miss. One scan through the native codegen'd
+    * [[graft.functions.DeflateLength]]; no shuffle. The ratio itself
+    * is not SQL-derivable (no deflate in DuckDB) — see
+    * `compression_audit` in SparkEntry for the gated invariants. */
+  def compressionSignals(docs: DataFrame): DataFrame = {
+    val rawLen = octet_length(col("text"))
+    docs.select(col("doc_id"), col("source"),
+      rawLen.as("n_bytes"),
+      graft.functions.DeflateLength.deflateLen(col("text")).as("n_deflate"))
+      .withColumn("ratio",
+        when(col("n_bytes") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_deflate").cast("double") / col("n_bytes"), 4)))
+  }
+
+  /** Shard-packing efficiency audit over [[shardAssignments]]: per
+    * source, how many shards the manifest produced and how tightly
+    * they pack against the target (offset binning guarantees every
+    * shard's mass within ±one max document of `shardChars`; this
+    * measures the realized fill). The only additions to the manifest
+    * plan are one tiny per-source agg. */
+  def shardFillStats(docs: DataFrame, shardChars: Long = 10000L,
+      idBucket: Long = 512L): DataFrame =
+    shardAssignments(docs, shardChars, idBucket)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("n_chars")).as("n_chars_total"),
+        min(col("n_chars")).as("min_shard_chars"),
+        max(col("n_chars")).as("max_shard_chars"),
+        round(avg(col("n_chars")).cast("double") / shardChars.toDouble, 4)
+          .as("avg_fill"))
+
   /** Canonical document fingerprint: md5 of the whitespace-collapsed,
     * lowercased text. The join key for exact near-layout dedup — cheap,
     * deterministic, oracle-checkable. */

@@ -201,6 +201,40 @@ class DocPipelineSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("compressionSignals: repetitive text compresses below diverse text") {
+    val repetitive = ("spam ham " * 200).trim
+    val rnd = new scala.util.Random(9)
+    val diverse = Seq.fill(400)(rnd.alphanumeric.take(8).mkString).mkString(" ")
+    val docs = Seq((0L, "s", repetitive), (1L, "s", diverse), (2L, "s", ""))
+      .toDF("doc_id", "source", "text")
+    val got = DocOps.compressionSignals(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_deflate"),
+          if (r.isNullAt(r.fieldIndex("ratio"))) None
+          else Some(r.getAs[Double]("ratio")))))
+      .toMap
+    assert(got(0L)._2.get < 0.05, s"repetitive should crush: ${got(0L)}")
+    assert(got(1L)._2.get > 0.5, s"diverse should resist: ${got(1L)}")
+    assert(got(2L)._2.isEmpty, "empty text must yield null ratio, not /0")
+    // determinism across evaluations (fixed level, fixed JVM zlib)
+    val again = DocOps.compressionSignals(docs.repartition(5))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_deflate"))
+      .toMap
+    assert(again == got.map { case (k, v) => k -> v._1 })
+  }
+
+  test("shardFillStats: packing stats match the manifest") {
+    val docs = (1L to 10L).map(i => (i, "s", 3000L))
+      .toDF("doc_id", "source", "n_chars")
+    // manifest is shards of 4/3/3 docs = 12000/9000/9000 chars
+    val got = DocOps.shardFillStats(docs, shardChars = 10000L).collect().head
+    assert(got.getAs[Long]("n_shards") == 3L, got.toString)
+    assert(got.getAs[Long]("n_chars_total") == 30000L, got.toString)
+    assert(got.getAs[Long]("min_shard_chars") == 9000L, got.toString)
+    assert(got.getAs[Long]("max_shard_chars") == 12000L, got.toString)
+    assert(got.getAs[Double]("avg_fill") == 1.0, got.toString)
+  }
+
   test("langConfusion: planted mislabels land off-diagonal") {
     val en = "the of and to in is was for on with"
     val fr = "le la les des une est dans pour sur avec"
