@@ -67,6 +67,18 @@ object DrivePlans {
           "giant source is never one sorting task; the per-bucket " +
           "offsets frame (~rows/idBucket) comes back as a broadcast " +
           "join, and the manifest agg collapses the result."),
+      ("knn_all_brute (norm-precomputed all-pairs, codegen trap documented)",
+        "Each side's norm is computed ONCE per row (graft_dot + sqrt) " +
+          "and carried through the join; the stream side needs the tiny " +
+          "repartition barrier or whole-stage codegen re-evaluates the " +
+          "projected norm inside the per-PAIR loop (measured 20% slower " +
+          "than fused cosine without it, 18% faster with it). The pair " +
+          "loop itself is the fused dot only."),
+      ("fuzzy_contamination (cross-split near-dup decontamination)",
+        "The banded-candidate + exact-verify minhash pipeline, with the " +
+          "dataset-split labels joined onto the VERIFIED pair list only " +
+          "— the split join touches a few dozen rows, so fuzzy " +
+          "decontamination is free when near-dup dedup already runs."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -80,6 +92,8 @@ object DrivePlans {
       "tpch_q18" -> SparkEntry.queries("tpch_q18"),
       "tfidf_top_terms" -> SparkEntry.queries("tfidf_top_terms"),
       "shard_assignments" -> SparkEntry.queries("shard_assignments"),
+      "knn_all_brute" -> SparkEntry.queries("knn_all_brute"),
+      "fuzzy_contamination" -> SparkEntry.queries("fuzzy_contamination"),
     )
 
     val sb = new StringBuilder
