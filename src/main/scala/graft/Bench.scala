@@ -210,9 +210,13 @@ object Bench {
         p => Option(p.durationMs.get("triggerExecution"))
           .map(ms => (p.numInputRows * 1000L / math.max(1L, ms)).toString)
       }.mkString(" "))
+      // max(1, ms): a sub-millisecond batch (tiny SPARK_GRAFT_STREAM_
+      // ROWS_PER_BATCH diagnosis runs) reports 0 ms — an unguarded
+      // division publishes Infinity, which is invalid JSON
       val perBatch = all.drop(4).flatMap { p =>
         Option(p.durationMs.get("triggerExecution"))
-          .map(ms => p.numInputRows.toDouble / (ms.toDouble / 1000.0))
+          .map(ms => p.numInputRows.toDouble /
+            (math.max(1L, ms).toDouble / 1000.0))
       }.sorted
       q.exception match {
         case Some(e) =>

@@ -374,6 +374,25 @@ object SparkEntry {
     }),
   )
 
+  /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
+    * (per-doc distinct shingles, set sizes, inverted index) — the ONE
+    * definition every jaccard-family oracle inlines so the shingling
+    * cannot drift between them (six copies had already accumulated;
+    * a k-change missed in one would red-row as a phantom engine bug).
+    * Prefix with `WITH ` or `WITH RECURSIVE `. The df-capped `pruned`
+    * variant mirrors ngramJaccardPairs' maxDf inverted-index cap. */
+  private val shingleCtes: String =
+    "toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+      "FROM documents), " +
+      "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
+      "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
+      "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
+      "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets)"
+
+  private val prunedShingleCte: String =
+    "pruned AS (SELECT * FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df " +
+      "FROM inv) WHERE df <= 1000)"
+
   def oracleSql: Map[String, String] = Map(
     "user_activity" ->
       "SELECT user_id, count(*) AS toot_count FROM events GROUP BY user_id",
@@ -852,9 +871,14 @@ object SparkEntry {
         "round(avg(n_chars) / 10000.0, 4) AS avg_fill " +
         "FROM m GROUP BY source"),
     // Mirrors compression_audit: counts only (the deflate length is
-    // not SQL-derivable; the in-bounds invariant is).
+    // not SQL-derivable; the in-bounds invariant is). Null/empty texts
+    // carry a null ratio on the Spark side and count as OUT of bounds
+    // — mirrored here so a future corpus with empty docs doesn't
+    // red-row a healthy compressor.
     "compression_audit" ->
-      ("SELECT source, count(*) AS n_docs, count(*) AS n_in_bounds " +
+      ("SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND strlen(text) > 0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_in_bounds " +
         "FROM documents GROUP BY source"),
     // Mirrors DocOps.unigramKlBySource: each cross-product factor cast
     // to DOUBLE before multiplying (exact casts, identical IEEE
@@ -1318,11 +1342,7 @@ object SparkEntry {
     // the df=1 fraction; the division is double/bigint in both engines
     // with one final rounding.
     "ngram_novelty" ->
-      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents), " +
-        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
-        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
-        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
+      (s"WITH $shingleCtes, " +
         "dfs AS (SELECT sh, count(*) AS df FROM inv GROUP BY 1) " +
         "SELECT doc_id, count(*) AS n_shingles, " +
         "CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, " +
@@ -1372,14 +1392,7 @@ object SparkEntry {
         "GROUP BY phrase HAVING count(*) >= 2"
     },
     "ngram_jaccard_pairs" ->
-      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents), " +
-        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
-        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
-        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
-        "pruned AS (SELECT * FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df " +
-        "FROM inv) WHERE df <= 1000), " +
+      (s"WITH $shingleCtes, $prunedShingleCte, " +
         "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
         "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
@@ -1396,12 +1409,7 @@ object SparkEntry {
     // value for value. A banding/verification regression breaks this
     // hash; the RecallGateSpec covers the probabilistic contract.
     "minhash_near_dups" ->
-      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents), " +
-        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
-        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
-        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
+      (s"WITH $shingleCtes, " +
         "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
         "FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
@@ -1430,12 +1438,14 @@ object SparkEntry {
     // Mirrors ann_top1_audit: constants by construction (see the
     // registration comment — planted scaled copies are rank-1 under
     // every method with cosine exactly 1.0).
+    // (1.0 is CAST to DOUBLE — a bare literal is DECIMAL(2,1) in
+    // DuckDB, the same type-drift class as the HUGEINT sums.)
     "ann_top1_audit" ->
       ("SELECT * FROM (VALUES " +
-        "('brute', CAST(1000000 AS BIGINT), 1.0), " +
-        "('lsh', CAST(1000000 AS BIGINT), 1.0), " +
-        "('ivf', CAST(1000000 AS BIGINT), 1.0), " +
-        "('quantized', CAST(1000000 AS BIGINT), 1.0)" +
+        "('brute', CAST(1000000 AS BIGINT), CAST(1.0 AS DOUBLE)), " +
+        "('lsh', CAST(1000000 AS BIGINT), CAST(1.0 AS DOUBLE)), " +
+        "('ivf', CAST(1000000 AS BIGINT), CAST(1.0 AS DOUBLE)), " +
+        "('quantized', CAST(1000000 AS BIGINT), CAST(1.0 AS DOUBLE))" +
         ") AS t(method, top1_id, cos_sim)"),
     // Mirrors DedupOps.fuzzyContamination: the exact cross-split pair
     // set (same soundness argument as minhash_near_dups — banded
@@ -1443,12 +1453,7 @@ object SparkEntry {
     // population sits at J ≥ 0.9 where band-miss probability is
     // ≤ 3.5e-5/pair), re-oriented eval-side-first.
     "fuzzy_contamination" ->
-      ("WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents), " +
-        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
-        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
-        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
+      (s"WITH $shingleCtes, " +
         "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
         "FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "pairs AS (SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
@@ -1469,14 +1474,7 @@ object SparkEntry {
     // then connected components as a recursive transitive closure
     // (min reachable id == the label min-propagation converges to).
     "dup_clusters" ->
-      ("WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents), " +
-        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
-        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
-        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
-        "pruned AS (SELECT * FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df " +
-        "FROM inv) WHERE df <= 1000), " +
+      (s"WITH RECURSIVE $shingleCtes, $prunedShingleCte, " +
         "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
         "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "pairs AS (SELECT a_id, b_id " +
@@ -1492,14 +1490,7 @@ object SparkEntry {
     // Mirrors DedupOps.clusterKeepLongest: the dup_clusters transitive
     // closure, then longest-doc-wins (doc_id on ties) per cluster.
     "cluster_keep_longest" ->
-      ("WITH RECURSIVE toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
-        "FROM documents), " +
-        "sets AS (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), " +
-        "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
-        "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
-        "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets), " +
-        "pruned AS (SELECT * FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df " +
-        "FROM inv) WHERE df <= 1000), " +
+      (s"WITH RECURSIVE $shingleCtes, $prunedShingleCte, " +
         "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
         "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
         "pairs AS (SELECT a_id, b_id " +

@@ -13,6 +13,8 @@ import sys
 
 
 def main(paths):
+    if not paths:
+        sys.exit("usage: make_floor.py run1.json [run2.json ...] > BENCH_FLOOR.md")
     runs = [json.load(open(p)) for p in paths]
     floor = {}
     for r in runs:
@@ -21,9 +23,13 @@ def main(paths):
     last = runs[-1]
     names = sorted(floor)
     total = sum(floor.values())
-    # streaming floor = the best (highest-throughput) clean measurement
-    stream = max((r.get("streaming") or {} for r in runs),
-                 key=lambda s: s.get("rows_per_sec") or 0)
+    # streaming floor = the best (highest-throughput) clean measurement;
+    # runs whose stream failed publish rows_per_sec null — skip them
+    stream = max(
+        (r.get("streaming") or {} for r in runs),
+        key=lambda s: s.get("rows_per_sec") or 0)
+    if stream.get("rows_per_sec") is None:
+        stream = {"rows_per_sec": 0, "n_batches": 0, "rows_per_batch": "?"}
     sent = last.get("sentinel") or {}
     print(f"""# BENCH_FLOOR — quiet-box per-query reference medians
 
