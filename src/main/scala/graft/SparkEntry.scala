@@ -137,18 +137,19 @@ object SparkEntry {
     // carries the gated invariants.
     "compression_signals" ->
       ((s, d) => DocOps.compressionSignals(documents(s, d))),
-    // Invariants of the deflate ratio that ARE SQL-derivable: every
-    // non-empty doc compresses to a positive length no more than
-    // 2× raw (these synthetic docs are ~300-byte word soup, far from
-    // the tiny-string header-overhead regime), so n_in_bounds must
-    // equal n_docs — a broken or nondeterministic compressor breaks
-    // the count.
+    // Invariants of the deflate ratio that ARE SQL-derivable. The
+    // bound only legitimately applies to docs long enough that zlib's
+    // ~11-byte header cannot dominate — at >=64 raw bytes even
+    // incompressible input stays under 2x — so BOTH sides restrict to
+    // that domain (a short doc would otherwise red-row a healthy
+    // compressor: 'hi' deflates to ~10 bytes, ratio 5).
     "compression_audit" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       DocOps.compressionSignals(documents(s, d))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("ratio") > 0.0 && col("ratio") <= 2.0, 1L)
+          sum(when(col("n_bytes") >= 64 &&
+              col("ratio") > 0.0 && col("ratio") <= 2.0, 1L)
             .otherwise(0L)).as("n_in_bounds"))
     }),
     "unigram_kl_by_source" ->
@@ -871,13 +872,14 @@ object SparkEntry {
         "round(avg(n_chars) / 10000.0, 4) AS avg_fill " +
         "FROM m GROUP BY source"),
     // Mirrors compression_audit: counts only (the deflate length is
-    // not SQL-derivable; the in-bounds invariant is). Null/empty texts
-    // carry a null ratio on the Spark side and count as OUT of bounds
-    // — mirrored here so a future corpus with empty docs doesn't
-    // red-row a healthy compressor.
+    // not SQL-derivable; the in-bounds invariant is). Both sides
+    // restrict the bound to docs >= 64 raw bytes — below that zlib
+    // header overhead can exceed 2x on a healthy compressor — and
+    // null/empty texts carry a null ratio (out of the domain) on the
+    // Spark side, mirrored by strlen here.
     "compression_audit" ->
       ("SELECT source, count(*) AS n_docs, " +
-        "CAST(sum(CASE WHEN text IS NOT NULL AND strlen(text) > 0 " +
+        "CAST(sum(CASE WHEN text IS NOT NULL AND strlen(text) >= 64 " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_in_bounds " +
         "FROM documents GROUP BY source"),
     // Mirrors DocOps.unigramKlBySource: each cross-product factor cast

@@ -101,9 +101,12 @@ object DedupOps {
     * the first number a corpus report leads with, per source so the
     * offending feed is identifiable. `n_dup_docs` counts every doc in
     * a >1 group (keeper included: it measures duplicated MASS, the
-    * docs whose fingerprint is not unique). One fingerprint groupBy +
-    * a broadcast-size join back — the md5 collapses docs to 32 bytes
-    * before the only wide shuffle, same 100 TB shape as
+    * docs whose fingerprint is not unique). One fingerprint groupBy,
+    * then a join back that is fp-CO-PARTITIONED with it (group sizes
+    * are ~one row per distinct fingerprint — corpus-scale, NOT
+    * broadcast-size; the planner reuses the fp hash partitioning so
+    * the join adds no third exchange). The md5 collapses docs to 32
+    * bytes before the wide shuffles, same 100 TB shape as
     * [[exactDupGroups]]. */
   def dupStatsBySource(docs: DataFrame): DataFrame = {
     val fps = docs.select(col("doc_id"), col("source"),
@@ -557,10 +560,14 @@ object DedupOps {
     * lifted from exact-fingerprint groups to NEAR-dup clusters, which
     * is what actually ships: "A≈B, B≈C" must yield ONE kept document
     * even though A and C were never paired). Returns the per-cluster
-    * manifest (cluster_id, keep_id, keep_chars, n_docs); the dedup
-    * itself is then a left-semi of the corpus against keep_id. The
-    * argmax is a single min(struct) aggregate over the (tiny) labeled
-    * frame — no window, no second shuffle beyond the label join. */
+    * manifest (cluster_id, keep_id, keep_chars, n_docs) — NOTE it
+    * covers only documents that belong to some near-dup cluster;
+    * singletons (the vast majority of a real corpus) have no row. The
+    * dedup itself is therefore an ANTI-join of the corpus against the
+    * non-keepers (cluster members minus keep_id) — a left-semi on
+    * keep_id would silently drop every clean document. The argmax is a
+    * single min(struct) aggregate over the (tiny) labeled frame — no
+    * window, no second shuffle beyond the label join. */
   def clusterKeepLongest(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 3): DataFrame = {
     val labels = connectedComponents(ngramJaccardPairs(docs, threshold, k))

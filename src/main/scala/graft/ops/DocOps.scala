@@ -845,10 +845,15 @@ object DocOps {
     * order by (bucket, doc_id) IS order by doc_id), (2) prefix-sum
     * WITHIN each (source, bucket) — parallelism = #buckets, not
     * #sources, (3) prefix-sum the per-bucket totals per source — a
-    * tiny frame (~rows/idBucket) that broadcasts back as each bucket's
-    * starting offset. Identical output to the flat window, bit for
-    * bit. `idBucket` assumes dense-ish ids (ours are row numbers);
-    * for sparse hash ids pick ~(maxId-minId)/wantedTasks instead. */
+    * frame of ~rows/idBucket that joins back as each bucket's
+    * starting offset. The offsets join carries NO broadcast hint:
+    * offsets size is data-proportional, so a forced broadcast would
+    * OOM the driver exactly at the scale this operator exists for —
+    * the planner auto-broadcasts under the threshold (every test SF)
+    * and falls back to a shuffle join above it. Identical output to
+    * the flat window, bit for bit. `idBucket` assumes dense-ish ids
+    * (ours are row numbers); for sparse hash ids pick
+    * ~(maxId-minId)/wantedTasks instead. */
   def shardAssignments(docs: DataFrame, shardChars: Long = 10000L,
       idBucket: Long = 512L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -867,7 +872,7 @@ object DocOps {
           Window.partitionBy("source").orderBy("b")) - col("b_total"))
       .select("source", "b", "b_offset")
     intra
-      .join(broadcast(offsets), Seq("source", "b"))
+      .join(offsets, Seq("source", "b"))
       .withColumn("cum_excl", col("b_offset") + col("intra_excl"))
       // BIGINT `div`, not `/` — Spark's `/` promotes to double, which
       // drifts from DuckDB's exact `//` past 2^53

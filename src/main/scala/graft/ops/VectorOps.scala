@@ -227,7 +227,10 @@ object VectorOps {
     * each planted pair rounds to exactly 1.0 in both engines.) This is
     * the driver-gate harness: the synthetic corpus at test SF has no
     * natural pair above cos 0.52, so without planting, a ≥0.9 gate
-    * returns 0 rows and can never fail. */
+    * returns 0 rows and can never fail. CONTRACT: callers guarantee
+    * max natural vec_id < idOffset (true for every driver corpus by
+    * orders of magnitude) — a collision would silently alias a
+    * planted id onto a real vector and corrupt the twin audits. */
   def withPlantedDups(embeddings: DataFrame, idOffset: Long = 1000000L): DataFrame =
     embeddings.unionByName(embeddings.select(
       (col("vec_id") + lit(idOffset)).as("vec_id"),

@@ -64,23 +64,7 @@ class OracleLintSpec extends AnyFunSuite {
     }
     var from = nextMatch(0)
     while (from >= 0) {
-      // enclosing call names: walk left-to-right to `from` keeping a
-      // stack of (call-name) for each unmatched '('
-      val stack = scala.collection.mutable.Stack.empty[String]
-      var i = 0
-      while (i < from) {
-        s.charAt(i) match {
-          case '(' =>
-            var j = i - 1
-            while (j >= 0 && (s.charAt(j).isWhitespace)) j -= 1
-            val end = j
-            while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
-            stack.push(s.substring(j + 1, end + 1))
-          case ')' => if (stack.nonEmpty) stack.pop()
-          case _ =>
-        }
-        i += 1
-      }
+      val stack = occurrencesEnclosing(s, from)
       // argument extent of the needle's own parens, if it is a call
       val arg =
         if (needle.endsWith("(")) {
@@ -96,7 +80,7 @@ class OracleLintSpec extends AnyFunSuite {
           }
           s.substring(from + needle.length, math.max(from + needle.length, k - 1))
         } else ""
-      out += ((from, stack.toSeq, arg))
+      out += ((from, stack, arg))
       from = nextMatch(from + 1)
     }
     out.toSeq
@@ -136,6 +120,54 @@ class OracleLintSpec extends AnyFunSuite {
     } yield s"$name: // at char $pos not inside CAST(...) — a HUGEINT " +
       "operand keeps // HUGEINT; wrap as CAST(a // b AS BIGINT)"
     assert(bad.isEmpty, bad.mkString("\n", "\n", ""))
+  }
+
+  private def valuesLiteralViolations(sql: String): Seq[Int] = {
+    // inside a VALUES(...) row constructor, a bare decimal literal is
+    // DECIMAL(p,s) in DuckDB, not DOUBLE — same type-drift class as
+    // the HUGEINT sums (caught live in review of ann_top1_audit)
+    val s = maskLiterals(sql.toLowerCase)
+    "\\d+\\.\\d+".r.findAllMatchIn(s).collect {
+      case m if {
+        val enclosing = occurrencesEnclosing(s, m.start)
+        enclosing.contains("values") && !enclosing.contains("cast")
+      } => m.start
+    }.toSeq
+  }
+
+  /** Enclosing call names for an arbitrary position (shared scanner). */
+  private def occurrencesEnclosing(s: String, pos: Int): Seq[String] = {
+    val stack = scala.collection.mutable.Stack.empty[String]
+    var i = 0
+    while (i < pos) {
+      s.charAt(i) match {
+        case '(' =>
+          var j = i - 1
+          while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+          val end = j
+          while (j >= 0 && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j -= 1
+          stack.push(s.substring(j + 1, end + 1))
+        case ')' => if (stack.nonEmpty) stack.pop()
+        case _ =>
+      }
+      i += 1
+    }
+    stack.toSeq
+  }
+
+  test("VALUES decimal literals are CAST (DuckDB types them DECIMAL, not DOUBLE)") {
+    val bad = for {
+      (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
+      pos <- valuesLiteralViolations(sql)
+    } yield s"$name: bare decimal literal in VALUES at char $pos — " +
+      "DuckDB types it DECIMAL(p,s); wrap in CAST(x AS DOUBLE)"
+    assert(bad.isEmpty, bad.mkString("\n", "\n", ""))
+    // regression canary: the pre-fix ann_top1_audit shape fails
+    assert(valuesLiteralViolations(
+      "SELECT * FROM (VALUES ('brute', CAST(1 AS BIGINT), 1.0)) t(a, b, c)")
+      .nonEmpty)
+    assert(valuesLiteralViolations(
+      "SELECT * FROM (VALUES ('brute', CAST(1.0 AS DOUBLE))) t(a, b)").isEmpty)
   }
 
   test("the lint catches both bug classes that caused red rows") {
