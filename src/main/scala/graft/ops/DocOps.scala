@@ -845,12 +845,22 @@ object DocOps {
     * order by (bucket, doc_id) IS order by doc_id), (2) prefix-sum
     * WITHIN each (source, bucket) — parallelism = #buckets, not
     * #sources, (3) prefix-sum the per-bucket totals per source — a
-    * frame of ~rows/idBucket that joins back as each bucket's
-    * starting offset. The offsets join carries NO broadcast hint:
-    * offsets size is data-proportional, so a forced broadcast would
-    * OOM the driver exactly at the scale this operator exists for —
-    * the planner auto-broadcasts under the threshold (every test SF)
-    * and falls back to a shuffle join above it. Identical output to
+    * frame with ONE ROW PER BUCKET that joins back as each bucket's
+    * starting offset. The offsets join is a broadcast BY CONTRACT:
+    * offsets cardinality = the bucket count, and `idBucket` must be
+    * chosen so bucket count ≈ wanted parallelism (thousands — see the
+    * sizing note below), which is broadcast-size at any corpus scale.
+    * The hint is explicit because Catalyst overestimates an
+    * aggregate's output from its input size and would otherwise plan
+    * a shuffle join (two pointless exchanges + a sort) for a 200-row
+    * frame; a stats guard (maybeBroadcast) declines for the same
+    * reason. (At test SF the two plans time the same — the cost is
+    * the scan+window, and an SMJ over 200 rows is sub-ms — this is
+    * plan hygiene for the cluster case, where the extra exchange is a
+    * real stage.) Do NOT leave idBucket at a small constant on a
+    * corpus orders of magnitude larger — that breaks the
+    * bounded-bucket contract, not just performance. Identical output
+    * to
     * the flat window, bit for bit. `idBucket` assumes dense-ish ids
     * (ours are row numbers); for sparse hash ids pick
     * ~(maxId-minId)/wantedTasks instead. */
@@ -872,7 +882,7 @@ object DocOps {
           Window.partitionBy("source").orderBy("b")) - col("b_total"))
       .select("source", "b", "b_offset")
     intra
-      .join(offsets, Seq("source", "b"))
+      .join(broadcast(offsets), Seq("source", "b"))
       .withColumn("cum_excl", col("b_offset") + col("intra_excl"))
       // BIGINT `div`, not `/` — Spark's `/` promotes to double, which
       // drifts from DuckDB's exact `//` past 2^53
