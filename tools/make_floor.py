@@ -34,7 +34,8 @@ def main(paths):
     print(f"""# BENCH_FLOOR — quiet-box per-query reference medians
 
 A trustworthy per-query floor for future rounds: the per-query MINIMUM
-of {len(runs)} clean run(s) ({len(names)} queries, sf0.1,
+of {len(runs)} run(s) ({len(names)} queries, sf0.1,
+minima are load-safe: contention only inflates a run's medians,
 `local[32]`, reps={last.get('reps')} medians after per-query warm-up,
 noop sink). Last run's sentinel: pre {sent.get('pre')} s / post
 {sent.get('post')} s, swing {round(100 * sent.get('swing', 0))}% —
