@@ -75,6 +75,42 @@ class PropertySpec extends SparkSpec {
     assert(bad.count() == 0, bad.limit(5).collect().mkString(", "))
   }
 
+  test("connectedComponentsStar ≡ min-label propagation on random graphs") {
+    // both algorithms must produce identical (vertex → component-min)
+    // labels on arbitrary edge sets: chains, blobs, self-loops,
+    // duplicate and reversed edges all mixed
+    val rnd = new scala.util.Random(17)
+    val edges = (Seq.tabulate(40)(i => (i.toLong, i + 1L)) ++ // one long chain
+      Seq.fill(60)((rnd.nextInt(30) + 100L, rnd.nextInt(30) + 100L)) ++
+      Seq.fill(20)((rnd.nextInt(10) + 200L, rnd.nextInt(10) + 200L)))
+      .map { case (a, b) => if (rnd.nextBoolean()) (a, b) else (b, a) }
+    val pairs = edges.toDF("a_id", "b_id")
+    val star = DedupOps.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = DedupOps.connectedComponents(pairs, maxRounds = 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop,
+      s"disagreement: ${(star.toSet diff prop.toSet).take(5)} / ${
+        (prop.toSet diff star.toSet).take(5)}")
+  }
+
+  test("shardAssignments: two-level ≡ flat window on random sparse ids") {
+    import graft.ops.DocOps
+    val rnd = new scala.util.Random(23)
+    // sparse, shuffled, non-contiguous ids across skewed sources
+    val docs = Seq.fill(300)((
+        rnd.nextLong(1L << 40).abs,
+        s"s${rnd.nextInt(4)}",
+        (rnd.nextInt(5000) + 1).toLong))
+      .distinctBy(_._1)
+      .toDF("doc_id", "source", "n_chars")
+    def m(bucket: Long) = DocOps.shardAssignments(docs, 7000L, bucket)
+      .as[(String, Long, Long, Long)].collect().toSet
+    val flat = m(1L << 50)
+    assert(m(1L << 30) == flat, "sparse-id bucketing diverged from flat")
+    assert(m(977L) == flat, "odd bucket width diverged from flat")
+  }
+
   test("latestPerUser keeps exactly the (ts, event_id)-max row per user") {
     val gen = Gen.listOfN(300, for {
       user <- Gen.choose(0L, 20L)
