@@ -545,7 +545,7 @@ object DocOps {
     * chars — md5-collapsing to 32 would widen the shuffle). */
   def ngramNovelty(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.ops.DedupOps.shingleRows(docs, k)
+    DedupOps.shingleRows(docs, k)
       .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
