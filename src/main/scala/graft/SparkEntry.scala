@@ -133,6 +133,8 @@ object SparkEntry {
       ((s, d) => DocOps.shardAssignments(documents(s, d))),
     "shard_fill_stats" ->
       ((s, d) => DocOps.shardFillStats(documents(s, d))),
+    "token_budget_select" ->
+      ((s, d) => DocOps.selectUnderBudget(documents(s, d), 50000L)),
     // Per-doc ratios are deflate-bound (rows-only); the audit below
     // carries the gated invariants.
     "compression_signals" ->
@@ -871,6 +873,15 @@ object SparkEntry {
         "min(n_chars) AS min_shard_chars, max(n_chars) AS max_shard_chars, " +
         "round(avg(n_chars) / 10000.0, 4) AS avg_fill " +
         "FROM m GROUP BY source"),
+    // Mirrors DocOps.selectUnderBudget: exclusive prefix sum over the
+    // (n_chars DESC, doc_id ASC) value order, kept while the start
+    // offset fits the budget.
+    "token_budget_select" ->
+      ("WITH c AS (SELECT doc_id, source, n_chars, " +
+        "CAST(sum(n_chars) OVER (ORDER BY n_chars DESC, doc_id ASC) " +
+        "AS BIGINT) - n_chars AS cum_excl FROM documents) " +
+        "SELECT doc_id, source, n_chars, cum_excl FROM c " +
+        "WHERE cum_excl < 50000"),
     // Mirrors compression_audit: counts only (the deflate length is
     // not SQL-derivable; the in-bounds invariant is). Both sides
     // restrict the bound to docs >= 64 raw bytes — below that zlib

@@ -590,6 +590,50 @@ object DocOps {
         round(avg(col("n_chars")).cast("double") / shardChars.toDouble, 4)
           .as("avg_fill"))
 
+  /** Budget-capped selection: keep the highest-value documents until a
+    * character budget is filled — the data-selection primitive behind
+    * "train on the best N tokens" (value here = document length, the
+    * deterministic stand-in; swap the sort key for any per-doc quality
+    * score with the same plan). A document is kept iff the cumulative
+    * mass of every STRICTLY better document (longer, or equal-length
+    * with smaller doc_id) fits the budget — i.e. its start offset in
+    * the value-ordered corpus lies inside the budget, the same offset
+    * binning as [[shardAssignments]].
+    *
+    * Scale shape: the same TWO-LEVEL prefix sum as the shard manifest,
+    * decomposed on the value key instead of doc_id — a flat
+    * `Window.orderBy(...)` with no partition is the classic
+    * single-task trap. (1) bucket by `n_chars div valueBucket`
+    * (monotone in the sort key), (2) exclusive prefix-sum within each
+    * bucket ordered (n_chars DESC, doc_id ASC), (3) per-bucket totals
+    * — ONE ROW PER BUCKET, bounded by maxChars/valueBucket, broadcast
+    * by that contract exactly like the shard offsets — prefix-summed
+    * from the TOP bucket down. Bit-identical to the flat window. */
+  def selectUnderBudget(docs: DataFrame, budgetChars: Long,
+      valueBucket: Long = 64L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("vb", expr(s"n_chars div ${valueBucket}L"))
+    val intra = base
+      .withColumn("intra_excl",
+        sum(col("n_chars")).over(
+          Window.partitionBy("vb")
+            .orderBy(col("n_chars").desc, col("doc_id").asc)) -
+          col("n_chars"))
+    val offsets = base
+      .groupBy("vb").agg(sum(col("n_chars")).as("vb_total"))
+      .withColumn("vb_offset",
+        sum(col("vb_total")).over(
+          Window.orderBy(col("vb").desc)) - col("vb_total"))
+      .select("vb", "vb_offset")
+    intra
+      .join(broadcast(offsets), Seq("vb"))
+      .withColumn("cum_excl", col("vb_offset") + col("intra_excl"))
+      .filter(col("cum_excl") < budgetChars)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("cum_excl"))
+  }
+
   /** Canonical document fingerprint: md5 of the whitespace-collapsed,
     * lowercased text. The join key for exact near-layout dedup — cheap,
     * deterministic, oracle-checkable. */

@@ -235,6 +235,31 @@ class DocPipelineSpec extends SparkSpec {
     assert(got.getAs[Double]("avg_fill") == 1.0, got.toString)
   }
 
+  test("selectUnderBudget: longest-first greedy prefix, two-level ≡ flat") {
+    // lengths 100..1000 step 100; longest-first cumulative: 1000, 1900,
+    // 2700, 3400, 4000, ... — budget 3500 keeps starts 0/1000/1900/2700
+    // (the 700-length doc STARTS at 3400 < 3500 and may overshoot;
+    // offset binning semantics, same as the shard manifest)
+    val docs = (1L to 10L).map(i => (i, "s", i * 100L))
+      .toDF("doc_id", "source", "n_chars")
+    val got = DocOps.selectUnderBudget(docs, budgetChars = 3500L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_excl"))
+      .toMap
+    assert(got == Map(10L -> 0L, 9L -> 1000L, 8L -> 1900L, 7L -> 2700L,
+      6L -> 3400L), got.toString)
+    // two-level decomposition is bit-identical to one flat window for
+    // random data, any bucket width, and ties broken by doc_id
+    val rnd = new scala.util.Random(31)
+    val noisy = (0L until 300L).map(i => (i, s"s${i % 3}",
+      (rnd.nextInt(20) + 1) * 10L)) // heavy ties
+      .toDF("doc_id", "source", "n_chars")
+    def sel(b: Long) = DocOps.selectUnderBudget(noisy, 9000L, b)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cum_excl")))
+      .toSet
+    val flat = sel(1L << 40)
+    assert(sel(64L) == flat && sel(7L) == flat, "bucketed diverged from flat")
+  }
+
   test("langConfusion: planted mislabels land off-diagonal") {
     val en = "the of and to in is was for on with"
     val fr = "le la les des une est dans pour sur avec"
