@@ -296,7 +296,14 @@ object VectorOps {
     * is an equi-join on the bucket key — a hash shuffle with Σ bucket²
     * cost, never the n² nested loop a Hamming-distance predicate would
     * plan. Candidates are deduped, rescored exactly with the fused
-    * cosine, and bounded per vector by the native top-k. */
+    * cosine, and bounded per vector by the native top-k.
+    *
+    * Negative result (r8, so it isn't re-tried): the knnAllBrute
+    * norm-precompute trick does NOT pay here — measured 1.12 s
+    * (fused cosine) vs 1.16 s (dot + carried norms) at sf0.1. The
+    * candidate volume is bucket-bounded and the cost sits in the
+    * dedup/bucket shuffles, which the extra norm columns widen;
+    * rescoring flops are not the bottleneck. */
   def knnAllLsh(embeddings: DataFrame, k: Int = 5, planes: Int = 8): DataFrame = {
     val coded = embeddings
       .select(col("vec_id"), col("embedding"),
