@@ -157,7 +157,7 @@ object Bench {
       * host-contended 60 s streaming phase in the middle — a spread
       * near 1 says the measured batches were steady; >2 says the
       * median itself deserves suspicion. */
-    def streamingRowsPerSec(): (Option[Double], Int, Option[String], Option[Double]) = {
+    def streamingRowsPerSec(): (Option[Double], Int, Option[String], Option[Double], Option[Double]) = {
       import org.apache.spark.sql.functions._
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-bench-ckpt").toString
@@ -222,21 +222,34 @@ object Bench {
           .map(ms => p.numInputRows.toDouble /
             (math.max(1L, ms).toDouble / 1000.0))
       }.sorted
+      // Two stability stamps. Raw spread (max/min) is a faithful stat
+      // but fragile as an ACCEPTANCE rule: one GC-paused batch among a
+      // dozen steady ones flips it past 2 on a provably quiet box
+      // (observed: 501k outlier in an 863k-1052k sample, sentinel 5%,
+      // median unmoved). The trimmed spread drops the single best and
+      // worst batch first — a lone transient can't flip it, while a
+      // genuinely unstable sample (ramp not finished, sustained
+      // contention) still shows. Acceptance keys on the TRIMMED stamp;
+      // the raw one stays published for full disclosure.
+      val trimmed = if (perBatch.size >= 4) {
+        val t = perBatch.slice(1, perBatch.size - 1)
+        Some(t.last / t.head)
+      } else None
       q.exception match {
         case Some(e) =>
-          (None, all.size, Some(s"stream_failed: ${e.getMessage().take(120)}"), None)
+          (None, all.size, Some(s"stream_failed: ${e.getMessage().take(120)}"), None, None)
         case None if perBatch.isEmpty =>
-          (None, all.size, Some("insufficient_batches"), None)
+          (None, all.size, Some("insufficient_batches"), None, None)
         case None => (Some(perBatch(perBatch.size / 2)), all.size, None,
-          Some(perBatch.last / perBatch.head))
+          Some(perBatch.last / perBatch.head), trimmed)
       }
     }
-    val streaming: Option[(Option[Double], Int, Option[String], Option[Double])] =
+    val streaming: Option[(Option[Double], Int, Option[String], Option[Double], Option[Double])] =
       if (streamSecs > 0 && only.forall(_.contains("streaming")))
         Some(try streamingRowsPerSec() catch {
           case e: Throwable =>
             (None, 0, Some(s"stream_failed: ${
-              Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}"), None)
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}"), None, None)
         })
       else None
 
@@ -343,11 +356,12 @@ object Bench {
       .map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = timings.values.sum
-    val streamJson = streaming.map { case (rps, nBatches, reason, spread) =>
+    val streamJson = streaming.map { case (rps, nBatches, reason, spread, trimmedSpread) =>
       val rate = rps.map(r => f"$r%.0f").getOrElse("null")
       val why = reason.map(r => s""","reason":${jstr(r)}""").getOrElse("")
       val sp = spread.map(s => f""","batch_spread":$s%.2f""").getOrElse("")
-      s""","streaming":{"rows_per_sec":$rate,"n_batches":$nBatches,"rows_per_batch":$streamRowsPerBatch$why$sp,"secs":$streamSecs}"""
+      val spt = trimmedSpread.map(s => f""","batch_spread_trimmed":$s%.2f""").getOrElse("")
+      s""","streaming":{"rows_per_sec":$rate,"n_batches":$nBatches,"rows_per_batch":$streamRowsPerBatch$why$sp$spt,"secs":$streamSecs}"""
     }.getOrElse("")
     val retriedJson = retried.map(jstr).mkString("[", ",", "]")
     val sentinelJson =

@@ -580,7 +580,7 @@ object DocOps {
     * measures the realized fill). The only additions to the manifest
     * plan are one tiny per-source agg. */
   def shardFillStats(docs: DataFrame, shardChars: Long = 10000L,
-      idBucket: Long = 512L): DataFrame =
+      idBucket: Long = 0L): DataFrame =
     shardAssignments(docs, shardChars, idBucket)
       .groupBy("source")
       .agg(count(lit(1)).as("n_shards"),
@@ -606,15 +606,20 @@ object DocOps {
     * single-task trap. (1) bucket by `n_chars div valueBucket`
     * (monotone in the sort key), (2) exclusive prefix-sum within each
     * bucket ordered (n_chars DESC, doc_id ASC), (3) per-bucket totals
-    * — ONE ROW PER BUCKET, bounded by maxChars/valueBucket, broadcast
-    * by that contract exactly like the shard offsets — prefix-summed
-    * from the TOP bucket down. Bit-identical to the flat window. */
+    * — ONE ROW PER BUCKET, bounded by maxChars/valueBucket — prefix-
+    * summed from the TOP bucket down. Bit-identical to the flat
+    * window. The bucket width defaults to derived-from-range and the
+    * offsets broadcast hint is measurement-guarded, exactly as in
+    * [[shardAssignments]]. */
   def selectUnderBudget(docs: DataFrame, budgetChars: Long,
-      valueBucket: Long = 64L): DataFrame = {
+      valueBucket: Long = 0L, targetBuckets: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (vbw, offsetRowBound) =
+      derivedBucketWidth(docs, "n_chars", valueBucket, targetBuckets,
+        perSource = false)
     val base = docs
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("vb", expr(s"n_chars div ${valueBucket}L"))
+      .withColumn("vb", expr(s"n_chars div ${vbw}L"))
     val intra = base
       .withColumn("intra_excl",
         sum(col("n_chars")).over(
@@ -628,7 +633,7 @@ object DocOps {
           Window.orderBy(col("vb").desc)) - col("vb_total"))
       .select("vb", "vb_offset")
     intra
-      .join(broadcast(offsets), Seq("vb"))
+      .join(guardedBroadcast(offsets, offsetRowBound), Seq("vb"))
       .withColumn("cum_excl", col("vb_offset") + col("intra_excl"))
       .filter(col("cum_excl") < budgetChars)
       .select(col("doc_id"), col("source"), col("n_chars"), col("cum_excl"))
@@ -872,6 +877,46 @@ object DocOps {
         lit(scaleChars.toLong) < col("n_chars") * lit(1000000L))
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  /** Broadcast-hint cap for the two-level prefix-sum offset frames:
+    * ~262k (source, bucket) rows ≈ 10 MB of (string, long, long) —
+    * comfortably executor-memory-safe; past it [[guardedBroadcast]]
+    * drops the hint and lets the planner decide. */
+  private[graft] val maxOffsetBroadcastRows = 1L << 18
+
+  /** Apply the broadcast hint only when a measured/derived upper bound
+    * on the frame's rows sits under [[maxOffsetBroadcastRows]]. Output
+    * is identical either way — the hint is plan hygiene for the
+    * Catalyst agg-size overestimate, not a correctness knob. */
+  private def guardedBroadcast(offsets: DataFrame, rowBound: Long): DataFrame =
+    if (rowBound <= maxOffsetBroadcastRows) broadcast(offsets) else offsets
+
+  /** Bucket width for the two-level prefix sums, plus an upper bound
+    * on the resulting offsets frame's row count. One tiny
+    * column-pruned agg job against the ACTUAL key range: with
+    * `explicitWidth = 0` the width is derived so the global bucket
+    * count is ~`targetBuckets` regardless of corpus size; a positive
+    * `explicitWidth` is honored unchanged but still measured, so the
+    * broadcast hint downstream is guarded by data rather than by the
+    * caller having read the sizing note. `perSource` multiplies the
+    * bound by the (approx) source count — the worst case for a
+    * (source, bucket)-keyed offsets frame with interleaved sources. */
+  private def derivedBucketWidth(docs: DataFrame, key: String,
+      explicitWidth: Long, targetBuckets: Long,
+      perSource: Boolean): (Long, Long) = {
+    val st = docs
+      .agg(min(col(key)), max(col(key)),
+        approx_count_distinct(col("source"))).head()
+    if (st.isNullAt(0)) (math.max(1L, explicitWidth), 0L)
+    else {
+      val span = st.getLong(1) - st.getLong(0) + 1L
+      val w =
+        if (explicitWidth > 0) explicitWidth
+        else math.max(1L, (span + targetBuckets - 1L) / targetBuckets)
+      val mult = if (perSource) math.max(1L, st.getLong(2)) else 1L
+      (w, (span / w + 1L) * mult)
+    }
+  }
+
   /** Training-shard packing manifest: assign documents to ~`shardChars`
     * shards per source in deterministic doc_id order (the dataloader
     * contract — every rebuild of the corpus must produce identical
@@ -890,30 +935,36 @@ object DocOps {
     * WITHIN each (source, bucket) — parallelism = #buckets, not
     * #sources, (3) prefix-sum the per-bucket totals per source — a
     * frame with ONE ROW PER BUCKET that joins back as each bucket's
-    * starting offset. The offsets join is a broadcast BY CONTRACT:
-    * offsets cardinality = the bucket count, and `idBucket` must be
-    * chosen so bucket count ≈ wanted parallelism (thousands — see the
-    * sizing note below), which is broadcast-size at any corpus scale.
-    * The hint is explicit because Catalyst overestimates an
-    * aggregate's output from its input size and would otherwise plan
-    * a shuffle join (two pointless exchanges + a sort) for a 200-row
-    * frame; a stats guard (maybeBroadcast) declines for the same
-    * reason. (At test SF the two plans time the same — the cost is
-    * the scan+window, and an SMJ over 200 rows is sub-ms — this is
-    * plan hygiene for the cluster case, where the extra exchange is a
-    * real stage.) Do NOT leave idBucket at a small constant on a
-    * corpus orders of magnitude larger — that breaks the
-    * bounded-bucket contract, not just performance. Identical output
-    * to
-    * the flat window, bit for bit. `idBucket` assumes dense-ish ids
-    * (ours are row numbers); for sparse hash ids pick
-    * ~(maxId-minId)/wantedTasks instead. */
+    * starting offset. The offsets join is broadcast-hinted because
+    * Catalyst overestimates an aggregate's output from its input size
+    * and would otherwise plan a shuffle join (two pointless exchanges
+    * + a sort) for a bucket-count-sized frame; a stats guard
+    * (maybeBroadcast) declines for the same reason. (At test SF the
+    * two plans time the same — the cost is the scan+window, and an
+    * SMJ over 200 rows is sub-ms — this is plan hygiene for the
+    * cluster case, where the extra exchange is a real stage.)
+    *
+    * The hint is GUARDED BY MEASUREMENT, not by a scaladoc contract:
+    * by default (`idBucket = 0`) the bucket width is derived from the
+    * actual id range so the offsets frame is ~`targetBuckets` rows per
+    * source at ANY corpus scale, and an explicitly pinned `idBucket`
+    * is honored but the same range stats bound the offsets row count —
+    * past [[maxOffsetBroadcastRows]] the join runs unhinted and the
+    * planner decides, instead of force-broadcasting a frame that only
+    * the docs promised would stay small (a caller who forgot to retune
+    * a pinned width on a 1000× corpus would otherwise OOM the driver).
+    * The derivation is one tiny column-pruned agg job; output is
+    * bit-identical to the flat window for EVERY width. Dense-ish ids
+    * assumed for efficiency only — sparse hash ids just derive a
+    * proportionally wider bucket. */
   def shardAssignments(docs: DataFrame, shardChars: Long = 10000L,
-      idBucket: Long = 512L): DataFrame = {
+      idBucket: Long = 0L, targetBuckets: Long = 4096L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val (ib, offsetRowBound) =
+      derivedBucketWidth(docs, "doc_id", idBucket, targetBuckets, perSource = true)
     val base = docs
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .withColumn("b", expr(s"doc_id div ${idBucket}L"))
+      .withColumn("b", expr(s"doc_id div ${ib}L"))
     val intra = base
       .withColumn("intra_excl",
         sum(col("n_chars")).over(
@@ -926,7 +977,7 @@ object DocOps {
           Window.partitionBy("source").orderBy("b")) - col("b_total"))
       .select("source", "b", "b_offset")
     intra
-      .join(broadcast(offsets), Seq("source", "b"))
+      .join(guardedBroadcast(offsets, offsetRowBound), Seq("source", "b"))
       .withColumn("cum_excl", col("b_offset") + col("intra_excl"))
       // BIGINT `div`, not `/` — Spark's `/` promotes to double, which
       // drifts from DuckDB's exact `//` past 2^53

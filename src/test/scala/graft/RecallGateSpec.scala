@@ -22,6 +22,30 @@ class RecallGateSpec extends SparkSpec {
 
   private lazy val exactPairs = pairSet(DedupOps.ngramJaccardPairs(docs, 0.5))
 
+  test("corpus property: every exact J>=0.5 pair sits at J>=0.9 " +
+      "(minhash/fuzzy_contamination oracle precondition)") {
+    // The minhash_near_dups and fuzzy_contamination ORACLES assert
+    // exact equality with the exhaustive-Jaccard pair set. That is
+    // sound only because (a) candidates are exact-verified (precision
+    // 1 by construction) and (b) this corpus's entire >=0.5 near-dup
+    // population sits at J >= 0.9, where missing all 8 bands of 4 has
+    // p = (1-J^4)^8 <= 3.5e-5. (b) is a TESTDATA property: regenerated
+    // data or changed shingle/band parameters could silently break it
+    // and surface as a phantom red oracle row that looks like an
+    // engine bug. Assert it here so the precondition fails loudly at
+    // its source instead.
+    val js = DedupOps.ngramJaccardPairs(docs, 0.5)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(js.nonEmpty, "no exact >=0.5 pairs at sf0.01 — the " +
+      "minhash oracle would be vacuous")
+    assert(js.min >= 0.9, s"corpus property violated: a J=${js.min} " +
+      "pair in (0.5, 0.9) voids the band-miss bound behind the " +
+      "minhash_near_dups / fuzzy_contamination exact-equality " +
+      "oracles. This is a testdata/parameter change, not an engine " +
+      "bug — rederive the oracle precondition before trusting those " +
+      "gates.")
+  }
+
   test("MinHash+LSH banding recalls >= 90% of exact jaccard-0.5 pairs") {
     assert(exactPairs.nonEmpty)
     val got = pairSet(DedupOps.minhashNearDups(docs, 0.5))

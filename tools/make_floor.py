@@ -29,7 +29,10 @@ def main(paths):
         (r.get("streaming") or {} for r in runs),
         key=lambda s: s.get("rows_per_sec") or 0)
     if stream.get("rows_per_sec") is None:
-        stream = {"rows_per_sec": 0, "n_batches": 0, "rows_per_batch": "?"}
+        # every run's stream failed — say so explicitly rather than
+        # printing placeholder values into the generated doc
+        stream = {"rows_per_sec": 0, "n_batches": 0,
+                  "rows_per_batch": 0, "unavailable": True}
     sent = last.get("sentinel") or {}
     print(f"""# BENCH_FLOOR — quiet-box per-query reference medians
 
@@ -38,11 +41,9 @@ of {len(runs)} run(s) ({len(names)} queries, sf0.1,
 minima are load-safe: contention only inflates a run's medians,
 `local[32]`, reps={last.get('reps')} medians after per-query warm-up,
 noop sink). Last run's sentinel: pre {sent.get('pre')} s / post
-{sent.get('post')} s, swing {round(100 * sent.get('swing', 0))}% —
+{sent.get('post')} s, swing {round(100 * (sent.get('swing') or 0))}% —
 `"contaminated": {str(last.get('contaminated')).lower()}`. Sum of
-floors {total:.2f} s; streaming {stream.get('rows_per_sec'):,} rows/s
-(best clean run) over {stream.get('n_batches')} completed batches at
-{stream.get('rows_per_batch')} rows/batch. Streaming methodology
+floors {total:.2f} s; streaming {'UNAVAILABLE (every run failed to complete enough batches)' if stream.get('unavailable') else f"{stream.get('rows_per_sec'):,} rows/s (best clean run) over {stream.get('n_batches')} completed batches at {stream.get('rows_per_batch'):,} rows/batch"}. Streaming methodology
 changed r8: numPartitions now = cores (the r7 "12% gap" was an
 8-source-partition cap on a 32-core box, worth ~2.3x), and the metric
 is the STEADY-STATE MEDIAN of per-batch rows/s (4 warm-up batches
