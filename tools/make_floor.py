@@ -51,8 +51,14 @@ dropped, up to 16 sampled) with a `batch_spread` (max/min) stability
 stamp — sum/sum over a small fixed sample swung 346k-914k across
 clean runs purely from the ~4-6-batch JIT ramp and host-neighbor
 bursts the pre/post sentinel cannot see. Clean-box medians observed:
-935k-965k rows/s; treat < ~500k WITH batch_spread < 2 as a real
-regression, and distrust any value whose spread is > 2. Diff future
+935k-965k rows/s; treat < ~500k WITH an acceptable spread stamp as a
+real regression. Since r9 the acceptance stamp is
+`batch_spread_trimmed` (max/min AFTER dropping the single best and
+worst batch): one GC-paused batch in an otherwise steady sample flips
+raw max/min past 2 on a provably quiet box without moving the median,
+while the trimmed stamp still catches unfinished ramps and sustained
+contention. Distrust any value whose TRIMMED spread is > 2 (raw
+spread stays published for disclosure). Diff future
 `BENCH_rN.json` per-query entries against THIS table, not against
 other BENCH artifacts — any entry >2x its floor on a run whose own
 sentinel swung is machine noise, not a regression (the r4 lesson).
