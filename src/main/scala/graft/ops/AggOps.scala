@@ -49,18 +49,40 @@ object AggOps {
         Num.dec2(col("l_extendedprice")) * Num.rate(col("l_discount")), 2)
         .as("revenue"))
 
-  /** Rollup over (returnflag, linestatus): subtotals + grand total in
-    * one pass — grouping-set coverage (absent from the reference). */
-  def rollupQtyByFlagStatus(li: DataFrame): DataFrame =
-    li.rollup("l_returnflag", "l_linestatus")
+  /** Pre-aggregated base for the grouping-set family below: one plain
+    * hash-agg to the (returnflag, linestatus) grain — ~a dozen rows —
+    * carrying EXACT partial sums (decimal) and counts. Catalyst plans
+    * rollup/cube/grouping-sets as an Expand that multiplies every
+    * INPUT row by the number of grouping sets before the partial agg;
+    * over raw lineitem that is 3-4× the full table through the
+    * aggregation hash map. Sum and count are algebraic, so
+    * re-aggregating the exact partials through the Expand is
+    * bit-identical (decimal addition is associative; rounding happens
+    * once, at the end) while the Expand now multiplies a dozen rows
+    * instead of the table. Spark has no such reaggregation rewrite —
+    * the split must be declared. */
+  private def qtyByFlagStatusPartials(li: DataFrame): DataFrame =
+    li.groupBy("l_returnflag", "l_linestatus")
       .agg(
-        Num.sumRound(Num.dec2(col("l_quantity")), 2).as("sum_qty"),
-        count(lit(1)).as("n_lines"))
+        sum(Num.dec2(col("l_quantity"))).as("part_qty"),
+        count(lit(1)).as("part_n"))
 
-  /** Cube over (returnflag, linestatus). */
+  /** Rollup over (returnflag, linestatus): subtotals + grand total —
+    * grouping-set coverage (absent from the reference). Expands the
+    * pre-aggregated grain, not the table (see
+    * [[qtyByFlagStatusPartials]]). */
+  def rollupQtyByFlagStatus(li: DataFrame): DataFrame =
+    qtyByFlagStatusPartials(li)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(col("part_qty")), 2).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n_lines"))
+
+  /** Cube over (returnflag, linestatus), same pre-aggregated shape. */
   def cubeQtyByFlagStatus(li: DataFrame): DataFrame =
-    li.cube("l_returnflag", "l_linestatus")
-      .agg(Num.sumRound(Num.dec2(col("l_quantity")), 2).as("sum_qty"))
+    qtyByFlagStatusPartials(li)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum(col("part_qty")), 2).cast("double").as("sum_qty"))
 
   /** Global ordered-limit top-k (O3, `Demo.ipynb` cell 1's
     * `ORDER BY … LIMIT`): Catalyst plans TakeOrderedAndProject — each
@@ -73,14 +95,16 @@ object AggOps {
 
   /** Explicit GROUPING SETS — subtotal rows per flag, per status, and
     * the grand total, via the Spark 4 `Dataset.groupingSets` API (no
-    * session-state mutation: the old SQL route needed a temp view). */
+    * session-state mutation: the old SQL route needed a temp view).
+    * Expands the pre-aggregated grain, not the table. */
   def groupingSetsQty(li: DataFrame): DataFrame =
-    li.groupingSets(
+    qtyByFlagStatusPartials(li)
+      .groupingSets(
         Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
         col("l_returnflag"), col("l_linestatus"))
       .agg(
-        Num.sumRound(Num.dec2(col("l_quantity")), 2).as("sum_qty"),
-        count(lit(1)).as("n_lines"))
+        round(sum(col("part_qty")), 2).cast("double").as("sum_qty"),
+        sum(col("part_n")).as("n_lines"))
 
   /** Pearson correlation + sample stddev per event type, computed from
     * EXACT decimal sums (n, Σx, Σy, Σxy, Σx², Σy²) so both engines do
