@@ -87,6 +87,7 @@ object SparkEntry {
     "value_histogram" -> ((s, d) => EventOps.valueHistogram(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
+    "cohort_retention" -> ((s, d) => EventOps.cohortRetention(events(s, d))),
     "value_outliers" -> ((s, d) => EventOps.valueOutliers(events(s, d))),
     "range_join_pairs" -> ((s, d) => EventOps.rangeJoinPairs(events(s, d), 60)),
     "value_rank_stats" -> ((s, d) => EventOps.valueRankStats(events(s, d))),
@@ -130,6 +131,13 @@ object SparkEntry {
       DocOps.splitContamination(documents(s, d))),
     "fuzzy_contamination" -> ((s, d) =>
       DedupOps.fuzzyContamination(documents(s, d))),
+    // Production bloom path is rows-only by nature (the ~fpp
+    // over-drop is bloom-bit-dependent); its invariants are gated by
+    // bloom_contamination_audit below plus BloomDecontamSpec.
+    "bloom_decontaminate" -> ((s, d) =>
+      DocOps.bloomDecontaminate(documents(s, d))),
+    "bloom_contamination_audit" -> ((s, d) =>
+      DocOps.bloomContaminationAudit(documents(s, d))),
     "tfidf_top_terms" -> ((s, d) => DocOps.tfidfTopTerms(documents(s, d))),
     "unigram_freq_score" -> ((s, d) => DocOps.unigramFreqScore(documents(s, d))),
     "distinctive_terms_by_source" ->
@@ -387,6 +395,17 @@ object SparkEntry {
     "cosine_near_dups" -> ((s, d) =>
       VectorOps.cosineNearDups(
         VectorOps.withPlantedDups(embeddings(s, d)), 0.9)),
+    // Same planted construction, cluster-scoped (SemDeDup): at 0.9 the
+    // only ≥-threshold pairs are the planted twins (natural max cos
+    // 0.52, and scaling never changes a cosine), and a twin shares its
+    // original's nearest-centroid list with probability 1 — so the
+    // cluster-scoped search provably equals the exhaustive all-pairs
+    // oracle. list_id is centroid-seed-bound and projected out.
+    "semdedup_pairs" -> ((s, d) =>
+      VectorOps.semDedupPairs(
+        VectorOps.withPlantedDups(embeddings(s, d)),
+        ivfCentroids(s, d), 0.9)
+        .select("a_id", "b_id", "cos_sim")),
     "label_centroids" -> ((s, d) => VectorOps.labelCentroids(embeddings(s, d))),
     "embedding_norm_stats" ->
       ((s, d) => VectorOps.normStatsByLabel(embeddings(s, d))),
@@ -573,6 +592,16 @@ object SparkEntry {
         "count(first_purchase) AS n_purchased " +
         "FROM fv LEFT JOIN fc USING (user_id) LEFT JOIN fp USING (user_id) " +
         "GROUP BY 1"),
+    // Mirrors EventOps.cohortRetention: distinct active days, window
+    // min as the cohort day, exact counts per (cohort, offset).
+    "cohort_retention" ->
+      ("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day " +
+        "FROM events), " +
+        "c AS (SELECT user_id, day, " +
+        "min(day) OVER (PARTITION BY user_id) AS cohort_day FROM days) " +
+        "SELECT cohort_day, " +
+        "CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset, " +
+        "count(*) AS n_users FROM c GROUP BY 1, 2"),
     "range_join_pairs" ->
       ("SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id " +
         "FROM events a JOIN events b ON a.user_id = b.user_id " +
@@ -1521,6 +1550,24 @@ object SparkEntry {
         "CASE WHEN a_split = 'train' THEN b_split ELSE a_split END AS eval_split, " +
         "CASE WHEN a_split = 'train' THEN a_id ELSE b_id END AS train_id, " +
         "jaccard FROM x"),
+    // Mirrors DocOps.bloomContaminationAudit's INVARIANT columns: the
+    // exact counts are recomputed relationally (md5 stands in for the
+    // Spark side's xxhash64 — both are injective stand-ins for
+    // normalized-text equality); n_missed = 0 is the no-false-negative
+    // Bloom guarantee and fp_within_bound = true the generous FP-excess
+    // bound — a broken bloom build or probe flips either constant.
+    "bloom_contamination_audit" ->
+      ("WITH b AS (SELECT doc_id, " +
+        s"${graft.ops.DocOps.knuthHash32Sql("doc_id")} % 100 AS bucket, " +
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM documents), " +
+        "t AS (SELECT fp FROM b WHERE bucket < 90), " +
+        "e AS (SELECT DISTINCT fp FROM b WHERE bucket >= 90) " +
+        "SELECT (SELECT count(*) FROM t) AS n_train, " +
+        "(SELECT count(*) FROM b WHERE bucket >= 90) AS n_eval, " +
+        "(SELECT count(*) FROM t WHERE fp IN (SELECT fp FROM e)) " +
+        "AS n_exact_leaks, " +
+        "CAST(0 AS BIGINT) AS n_missed, true AS fp_within_bound"),
     // Mirrors DedupOps.dupClusters: the ngram_jaccard_pairs CTE chain,
     // then connected components as a recursive transitive closure
     // (min reachable id == the label min-propagation converges to).
@@ -1624,6 +1671,24 @@ object SparkEntry {
     // of a positive scalar multiple is exactly 1, so the bucketed Spark
     // form finds every ≥-threshold pair the exhaustive oracle does.
     "cosine_near_dups" ->
+      ("WITH av AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000 AS vec_id, " +
+        "list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding " +
+        "FROM embeddings), " +
+        "s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim " +
+        "FROM av a JOIN av b ON a.vec_id < b.vec_id) " +
+        "SELECT a_id, b_id, cos_sim FROM s WHERE cos_sim >= 0.9"),
+    // Mirrors the semdedup_pairs registration: the SAME exhaustive
+    // all-pairs oracle as cosine_near_dups — sound because every
+    // ≥0.9 pair in the planted frame is an (original, scaled-twin)
+    // pair, and a twin's centroid cosines are bit-identical to its
+    // original's (×2 scales dot and norm-product exactly), so the
+    // cluster-scoped search misses nothing the exhaustive form finds.
+    "semdedup_pairs" ->
       ("WITH av AS (SELECT vec_id, embedding FROM embeddings " +
         "UNION ALL SELECT vec_id + 1000000 AS vec_id, " +
         "list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding " +

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShim
 
 /** Document/text analytics: the reference's text surface (length, trim,
   * lower, regex keyword filters, hashtag extraction —
@@ -526,6 +527,110 @@ object DocOps {
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
         (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
           col("n_shingles").cast("double")).as("contamination"))
+  }
+
+  // --- Bloom-filter decontamination: the shuffle-free membership
+  // variant of [[splitContamination]]. A decontamination pass checks
+  // TRAIN documents against an eval/benchmark set; the exact form is
+  // a fp-keyed semi-join (one shuffle of the full train side). When
+  // the eval side is benchmark-sized — always, by construction: eval
+  // sets are curated, not crawled — a Bloom filter over its
+  // fingerprints is a few MB of bits that ships to every executor and
+  // turns the check into a codegen'd scan-local predicate: ZERO
+  // shuffle of the 100 TB train side, the decisive shape at scale.
+  // The probe is Spark's own BloomFilterMightContain (the expression
+  // behind runtime row-level filtering — eval + doGenCode, bloom
+  // deserialized once per task), not a UDF.
+
+  /** Eval-side fingerprints (normalized-text xxhash64) split from the
+    * train side by the [[datasetSplits]] bucket rule. */
+  private def splitFpFrames(docs: DataFrame, trainPct: Int)
+      : (DataFrame, DataFrame) = {
+    val bucket = pmod(knuthHash32(col("doc_id")), lit(100))
+    val base = docs.select(col("doc_id"),
+      bucket.cast("long").as("bucket"),
+      xxhash64(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+        .as("fp"))
+    (base.filter(col("bucket") < trainPct),
+      base.filter(col("bucket") >= trainPct))
+  }
+
+  /** Bloom bits over the eval fingerprints, serialized for the probe
+    * expression, plus the eval count. The count action sizes the
+    * filter from the data (one column-pruned job); the `require` is
+    * the driver-memory contract made loud — at the default 1% fpp the
+    * filter is ~1.2 GB at the 10^9 cap, and an eval set that size is
+    * not an eval set: use the exact [[splitContamination]] join
+    * instead. */
+  private def evalBloomBytes(evalDocs: DataFrame, fpp: Double,
+      maxBloomItems: Long): (Array[Byte], Long) = {
+    val nEval = evalDocs.count()
+    require(nEval <= maxBloomItems,
+      s"eval split has $nEval docs > maxBloomItems=$maxBloomItems; " +
+        "a bloom this size does not belong on the driver - use the " +
+        "exact splitContamination semi-join for eval sides this large")
+    val bf = evalDocs.stat.bloomFilter(col("fp"), math.max(1L, nEval), fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    (bos.toByteArray, nEval)
+  }
+
+  /** `might_contain(bloomBits, fp)` as a Column — Spark's native
+    * codegen'd probe expression, bloom deserialized once per task. */
+  private def bloomMightContain(bytes: Array[Byte],
+      value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    ColumnShim.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(bytes),
+        ColumnShim.expression(value)))
+
+  /** Production decontamination: train doc_ids whose normalized text
+    * does NOT hit the eval bloom. No false negatives by construction
+    * (every true leak is removed); a ~fpp fraction of clean train docs
+    * is over-dropped — the standard, deliberate trade (dropping 1% of
+    * train mass is free; leaking eval into train is not). Output is
+    * bloom-dependent, so the driver gate is rows-only; the invariants
+    * are gated by [[bloomContaminationAudit]] and BloomDecontamSpec. */
+  def bloomDecontaminate(docs: DataFrame, fpp: Double = 0.01,
+      trainPct: Int = 90, maxBloomItems: Long = 1000000000L): DataFrame = {
+    val (train, evalDocs) = splitFpFrames(docs, trainPct)
+    val (bytes, _) = evalBloomBytes(evalDocs, fpp, maxBloomItems)
+    train.filter(!bloomMightContain(bytes, col("fp")))
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** Oracle-gateable audit of the bloom path: one row of invariants.
+    * `n_missed` (true leaks the bloom failed to flag) must be 0 — a
+    * Bloom filter has NO false negatives, so any nonzero value is a
+    * broken build/probe, not noise. `fp_within_bound` checks the
+    * false-positive EXCESS (flagged − exact) against a generous
+    * 5×fpp·n_train + 20 bound: loose enough that a statistical
+    * fluctuation cannot flip it, tight enough that a filter flagging
+    * everything (wrong bits, wrong hash input) fails loudly. The
+    * exact-leak join is the audit's own scaffolding — the production
+    * path ([[bloomDecontaminate]]) never shuffles. */
+  def bloomContaminationAudit(docs: DataFrame, fpp: Double = 0.01,
+      trainPct: Int = 90, maxBloomItems: Long = 1000000000L): DataFrame = {
+    val (train, evalDocs) = splitFpFrames(docs, trainPct)
+    val (bytes, nEval) = evalBloomBytes(evalDocs, fpp, maxBloomItems)
+    val evalFps = evalDocs.select(col("fp")).distinct()
+      .withColumn("in_eval", lit(true))
+    train
+      .withColumn("bloom_hit", bloomMightContain(bytes, col("fp")))
+      .join(evalFps, Seq("fp"), "left")
+      .agg(
+        count(lit(1)).as("n_train"),
+        count(col("in_eval")).as("n_exact_leaks"),
+        count(when(col("in_eval") && !col("bloom_hit"), 1)).as("n_missed"),
+        count(when(col("bloom_hit"), 1)).as("n_flagged"))
+      .select(
+        col("n_train"),
+        lit(nEval).as("n_eval"),
+        col("n_exact_leaks"),
+        col("n_missed"),
+        ((col("n_flagged") - col("n_exact_leaks")).cast("double") <=
+          col("n_train").cast("double") * fpp * 5.0 + 20.0)
+          .as("fp_within_bound"))
   }
 
   /** Per-document n-gram novelty: the fraction of a document's

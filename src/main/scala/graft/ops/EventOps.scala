@@ -349,6 +349,32 @@ object EventOps {
         min("ts").as("session_start"),
         max("ts").as("session_end"))
 
+  /** Cohort retention: users bucketed by their first-active day (the
+    * cohort), counted on each later active day as an offset from that
+    * day — the (cohort_day, day_offset, n_users) triangle every
+    * product-analytics stack derives. Row at offset 0 is the cohort's
+    * size, so rates are a ratio away; counts are kept exact (no
+    * engine-dependent float division in the gated output).
+    *
+    * Shape: distinct (user, day) pairs — one exchange — then the
+    * per-user first day as a window min — second exchange, on the
+    * 100×-smaller distinct frame — then one small aggregation on
+    * (cohort, offset), which is bounded by the SQUARE of the date
+    * span regardless of corpus size. No joins: the window form reads
+    * the distinct frame once, where the textbook first-day-join shape
+    * would shuffle it twice more. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    days
+      .withColumn("cohort_day",
+        min(col("day")).over(Window.partitionBy("user_id")))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-user z-score outliers from EXACT decimal moments — anomaly
     * flagging without `stddev()` (whose float sum is summation-order
     * dependent and can't hash-match an oracle). Algebra avoids the

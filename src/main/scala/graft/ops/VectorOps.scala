@@ -256,6 +256,61 @@ object VectorOps {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) candidate pairs:
+    * semantic near-duplicates scoped to k-means cluster lists —
+    * assign every vector to its nearest centroid (the same coarse
+    * quantization IVF search uses), then compare ONLY within a list
+    * and keep exact cosine ≥ threshold. The paper's observation is
+    * that semantic duplicates land in the same k-means cluster with
+    * probability ≈ 1, so the all-pairs O(n²) collapses to Σ list² —
+    * with balanced lists, n²/nlist — and `nlist` is the knob that
+    * keeps per-list work bounded as the corpus grows (the registered
+    * audit plants exact twins, which share a list with probability 1:
+    * scaling a vector scales both the dot and the norm product by
+    * exactly 2, so every centroid cosine — and the argmax — is
+    * bit-identical for the twin).
+    *
+    * Shape: one broadcast of the centroid frame (nlist rows), a
+    * vec_id-keyed window to pick the argmax list, then a list-keyed
+    * self-equi-join — the two join inputs are identical subtrees
+    * shuffled on the same key, so the exchange is planned once and
+    * reused. No driver collects beyond the centroid frame the caller
+    * already holds. */
+  def semDedupPairs(embeddings: DataFrame, centroids: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    val assigned = embeddings
+      .crossJoin(broadcast(centroids))
+      .withColumn("d", cosineFused(col("embedding"), col("cv")))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("d").desc, col("list_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("list_id"), col("embedding").as("v"))
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("a_id"),
+        col("b.vec_id").as("b_id"),
+        col("a.list_id").as("list_id"),
+        round(cosineFused(col("a.v"), col("b.v")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** The keep decision SemDeDup feeds: greedy min-id — a vector is
+    * dropped iff it is the HIGHER id of some ≥-threshold pair in its
+    * cluster (the paper keeps one representative per ε-group; min-id
+    * is the deterministic choice, mirroring [[DedupOps.dedupExact]]).
+    * One left-anti join of the (tiny) dropped-id list against the
+    * corpus. */
+  def semDedupKeep(embeddings: DataFrame, centroids: DataFrame,
+      threshold: Double = 0.95): DataFrame =
+    embeddings.join(
+      semDedupPairs(embeddings, centroids, threshold)
+        .select(col("b_id").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+
   /** Batch KNN, exact: top-k cosine neighbors for EVERY vector — the
     * O(n²) baseline (broadcast nested-loop pairs, then the native
     * per-group top-k bounds each group to k before any exchange).

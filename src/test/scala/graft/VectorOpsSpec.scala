@@ -225,4 +225,40 @@ class VectorOpsSpec extends SparkSpec {
     assert(assigned.count() == emb.count())
     assert(assigned.select("vec_id").distinct().count() == emb.count())
   }
+
+  test("semDedupPairs: candidates are cluster-scoped and every planted " +
+      "twin is found at cos 1.0") {
+    val emb = Tables.embeddings(spark, sf0)
+    val planted = VectorOps.withPlantedDups(emb)
+    val cents = VectorOps.learnedCentroids(emb, nlist = 8)
+    // at threshold 0 the output is ALL within-cluster pairs: each must
+    // agree with the independent assignment on both endpoints
+    val assign = VectorOps.ivfAssignTo(planted, cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = VectorOps.semDedupPairs(planted, cents, threshold = -1.0)
+      .collect()
+    assert(all.nonEmpty)
+    all.foreach { r =>
+      val (a, b, l) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(assign(a) == l && assign(b) == l,
+        s"pair ($a,$b) reported in list $l but assigned ${assign(a)}/${assign(b)}")
+      assert(a < b, "pair ordering broken")
+    }
+    // at 0.95 every (original, scaled-twin) pair appears at exactly 1.0
+    val twins = VectorOps.semDedupPairs(planted, cents, threshold = 0.95)
+      .filter(col("b_id") - col("a_id") === 1000000L)
+    assert(twins.count() == emb.count())
+    assert(twins.filter(col("cos_sim") =!= 1.0).count() == 0L)
+  }
+
+  test("semDedupKeep drops exactly the higher id of each twin pair") {
+    val emb = Tables.embeddings(spark, sf0)
+    val planted = VectorOps.withPlantedDups(emb)
+    val cents = VectorOps.learnedCentroids(emb, nlist = 8)
+    val kept = VectorOps.semDedupKeep(planted, cents, threshold = 0.95)
+    // natural pairs never reach 0.95 on this corpus, so the dropped
+    // set is exactly the scaled copies
+    assert(kept.count() == emb.count())
+    assert(kept.filter(col("vec_id") >= 1000000L).count() == 0L)
+  }
 }
