@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // would disagree about which day a timestamp lands in.
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Commit the WHOLE heap at JVM start, not lazily at first allocation:
+  // this container's hypervisor backs anonymous pages at only
+  // ~325 MB/s first-touch (measured r9; re-touch is 7x faster), so a
+  // growing heap made the first 3M-row streaming batches pay ~100 s of
+  // page-commit inside the measured window (the r8 driver artifact's
+  // null streaming metric) and let G1 re-pay it after every uncommit.
+  // Xms=Xmx stops G1 resizing; AlwaysPreTouch moves the one-time
+  // commit cost to JVM startup, outside every measured phase.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )
