@@ -94,6 +94,11 @@ object SparkEntry {
     "daily_moving_avg" -> ((s, d) => EventOps.dailyMovingAvg(events(s, d))),
     "value_mad_by_type" -> ((s, d) => EventOps.valueMadByType(events(s, d))),
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
+    "scd2_type_history" -> ((s, d) => EventOps.scd2TypeHistory(events(s, d))),
+    "incremental_daily_stats" -> ((s, d) =>
+      EventOps.incrementalDailyStats(events(s, d))),
+    "daily_orders_vs_events" -> ((s, d) =>
+      JoinOps.dailyOrdersVsEvents(orders(s, d), events(s, d))),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
     "keyword_lang_counts" -> ((s, d) =>
@@ -643,6 +648,38 @@ object SparkEntry {
         "SELECT event_type, next_type, n_steps, " +
         "round(CAST(n_steps AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p_next " +
         "FROM agg JOIN tot USING (event_type)"),
+    // Mirrors EventOps.scd2TypeHistory: same (ts, event_id) total order
+    // for both the change flags and the island numbering, so ties
+    // resolve identically in both engines.
+    "scd2_type_history" ->
+      ("WITH o AS (SELECT user_id, event_type, ts, event_id, " +
+        "CASE WHEN lag(event_type) OVER w IS NULL " +
+        "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)), " +
+        "i AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM o), " +
+        "g AS (SELECT user_id, island, event_type, min(ts) AS valid_from, " +
+        "count(*) AS n_events FROM i GROUP BY 1, 2, 3) " +
+        "SELECT user_id, event_type, valid_from, " +
+        "lead(valid_from) OVER (PARTITION BY user_id ORDER BY island ASC) AS valid_to, " +
+        "n_events FROM g"),
+    // Oracle recomputes FROM SCRATCH what the engine produces by
+    // merging base+delta partials — the gate IS the merge ≡ recompute
+    // proof (exact decimal sums make it bit-for-bit).
+    "incremental_daily_stats" ->
+      ("SELECT CAST(ts AS DATE) AS day, count(*) AS toots, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS value_sum " +
+        "FROM events GROUP BY 1"),
+    "daily_orders_vs_events" ->
+      ("WITH o AS (SELECT o_orderdate AS day, count(*) AS n_orders " +
+        "FROM orders GROUP BY 1), " +
+        "e AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events " +
+        "FROM events GROUP BY 1) " +
+        "SELECT COALESCE(o.day, e.day) AS day, " +
+        "COALESCE(n_orders, 0) AS n_orders, " +
+        "COALESCE(n_events, 0) AS n_events " +
+        "FROM o FULL OUTER JOIN e ON o.day = e.day"),
     "media_byte_stats" ->
       ("WITH m AS (SELECT CASE CAST(doc_id % 3 AS INT) " +
         "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +

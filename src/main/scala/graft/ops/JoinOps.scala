@@ -297,4 +297,29 @@ object JoinOps {
       .filter(col("rn") <= n)
       .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
   }
+
+  /** Full-outer daily reconciliation of two independent activity logs
+    * (orders vs events): one row per day seen by EITHER side, with
+    * zero-filled counts — the audit query that surfaces days where one
+    * pipeline recorded activity and the other went dark. Completes the
+    * join-type family (inner/left/semi/anti/as-of/range already
+    * covered; SURVEY.md §2.3 gap-fill): FULL OUTER is the one shape
+    * where neither side may be pruned.
+    *
+    * Shape at scale: each side pre-aggregates to |days| rows BEFORE
+    * the join — the full-outer join itself runs on two date-cardinality
+    * frames (a sort-merge over trivially small inputs; broadcast is
+    * deliberately NOT hinted because full-outer cannot broadcast
+    * either side), so cost is dominated by the two scans, each a
+    * map-side partial count. */
+  def dailyOrdersVsEvents(orders: DataFrame, events: DataFrame): DataFrame = {
+    val o = orders.groupBy(col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    val e = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    o.join(e, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
 }
