@@ -99,6 +99,10 @@ object SparkEntry {
       EventOps.incrementalDailyStats(events(s, d))),
     "daily_orders_vs_events" -> ((s, d) =>
       JoinOps.dailyOrdersVsEvents(orders(s, d), events(s, d))),
+    "trailing_revenue_30d" -> ((s, d) => AggOps.trailingRevenue(orders(s, d))),
+    "fuzzy_name_pairs" -> ((s, d) => JoinOps.fuzzyNamePairs(part(s, d))),
+    "salted_nation_activity" -> ((s, d) =>
+      SkewOps.saltedNationActivity(events(s, d), customer(s, d))),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
     "keyword_lang_counts" -> ((s, d) =>
@@ -680,6 +684,34 @@ object SparkEntry {
         "COALESCE(n_orders, 0) AS n_orders, " +
         "COALESCE(n_events, 0) AS n_events " +
         "FROM o FULL OUTER JOIN e ON o.day = e.day"),
+    // RANGE frame over epoch-day numbers; DECIMAL sum keeps the frame
+    // total exact so intra-frame order cannot perturb the hash.
+    "trailing_revenue_30d" ->
+      ("WITH o AS (SELECT o_custkey, o_orderkey, " +
+        "CAST(o_orderdate AS DATE) AS day, " +
+        "CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders) " +
+        "SELECT o_custkey, o_orderkey, day, " +
+        "CAST(round(sum(price) OVER w, 4) AS DOUBLE) AS trailing_revenue, " +
+        "CAST(count(*) OVER w AS BIGINT) AS trailing_orders " +
+        "FROM o WINDOW w AS (PARTITION BY o_custkey " +
+        "ORDER BY datediff('day', DATE '1970-01-01', day) " +
+        "RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)"),
+    "fuzzy_name_pairs" ->
+      ("WITH n AS (SELECT p_name AS name, count(*) AS n_parts " +
+        "FROM part GROUP BY 1) " +
+        "SELECT a.name AS name_a, b.name AS name_b, " +
+        "CAST(levenshtein(a.name, b.name) AS INT) AS dist, " +
+        "a.n_parts AS n_parts_a, b.n_parts AS n_parts_b " +
+        "FROM n a JOIN n b ON a.name < b.name " +
+        "AND abs(length(a.name) - length(b.name)) <= 3 " +
+        "WHERE levenshtein(a.name, b.name) <= 3"),
+    // Oracle is the PLAIN join + group-by: the hash gate proves the
+    // salted path is result-identical to the unsalted one.
+    "salted_nation_activity" ->
+      ("SELECT c_nationkey, count(*) AS n_events, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) " +
+        "AS value_sum " +
+        "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1"),
     "media_byte_stats" ->
       ("WITH m AS (SELECT CASE CAST(doc_id % 3 AS INT) " +
         "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +

@@ -218,4 +218,37 @@ object AggOps {
       corr("sqd", "sq", "sd", "sqq", "sdd").as("corr_qty_disc"),
       corr("spd", "sp", "sd", "spp", "sdd").as("corr_price_disc"))
   }
+
+  /** Trailing `days`-day revenue per customer at each order — the
+    * RANGE window frame, the one frame type the engine had not yet
+    * exercised. ROWS frames count physical rows; RANGE frames bound by
+    * the ORDER-BY VALUE, so same-day orders are always frame peers and
+    * calendar gaps shrink the window — `[day-29, day]` exactly, however
+    * many orders land in it. Ordering is by epoch-day number so the
+    * numeric frame offsets mean days.
+    *
+    * Determinism: a RANGE frame is a set (all value-peers included
+    * regardless of tie order) and the sum runs in DECIMAL, so the
+    * result is independent of intra-frame order — safe for the
+    * hash-equality oracle gate.
+    *
+    * Shape at scale: one exchange on o_custkey + one in-partition sort
+    * — the standard per-key window cost; frames never cross customers,
+    * so 1000 executors each window their own key ranges with no
+    * driver coordination. */
+  def trailingRevenue(orders: DataFrame, days: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("day_num"))
+      .rangeBetween(-(days - 1), 0)
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("day"),
+        Num.dec2(col("o_totalprice")).as("price"))
+      .withColumn("day_num",
+        datediff(col("day"), lit("1970-01-01").cast("date")))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"),
+        round(sum(col("price")).over(w), 4).cast("double")
+          .as("trailing_revenue"),
+        count(lit(1)).over(w).as("trailing_orders"))
+  }
 }

@@ -312,6 +312,35 @@ object JoinOps {
     * deliberately NOT hinted because full-outer cannot broadcast
     * either side), so cost is dominated by the two scans, each a
     * map-side partial count. */
+  /** Fuzzy entity resolution over the part-name vocabulary: pairs of
+    * DISTINCT names within edit distance `maxDist`, each annotated with
+    * how many parts carry it — the blocked-similarity-join primitive
+    * behind catalog dedup and record linkage.
+    *
+    * Vocabulary-first is the scale move: the distinct projection
+    * collapses the row count to the name vocabulary (2000 parts → 64
+    * names at sf0.01; real vocabularies grow sublinearly in rows), so
+    * the quadratic pair stage runs on the collapsed frame, pruned by
+    * the length band |len(a)-len(b)| ≤ maxDist that edit distance
+    * implies. The band prune rides inside the (broadcast) nested-loop
+    * join condition; `levenshtein` itself is the codegen'd built-in.
+    * For vocabularies too large for O(V²), swap the band prune for
+    * multi-pass token blocking (equi-joins on first/last token,
+    * unioned) — same frame contract, bounded recall loss. */
+  def fuzzyNamePairs(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val names = part.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val a = names.select(col("name").as("name_a"),
+      col("n_parts").as("n_parts_a"))
+    val b = names.select(col("name").as("name_b"),
+      col("n_parts").as("n_parts_b"))
+    a.join(b, col("name_a") < col("name_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+  }
+
   def dailyOrdersVsEvents(orders: DataFrame, events: DataFrame): DataFrame = {
     val o = orders.groupBy(col("o_orderdate").as("day"))
       .agg(count(lit(1)).as("n_orders"))

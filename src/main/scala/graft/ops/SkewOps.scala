@@ -30,6 +30,26 @@ object SkewOps {
       .drop("__salt")
   }
 
+  /** Salted join driven end-to-end: enrich the event log with the
+    * customer dim through `saltedJoin`, then aggregate per nation. The
+    * oracle recomputes the same result as a PLAIN join + group-by, so
+    * the hash gate IS the identity proof salted ≡ unsalted — the
+    * correctness contract the salting pattern rests on, asserted on
+    * real data rather than in a scaladoc.
+    *
+    * The dim explodes n× before the join (the deliberate cost of
+    * spreading one hot key over n reducers); the aggregate after it is
+    * an ordinary partial+final hash agg on a 25-row group space. */
+  def saltedNationActivity(events: DataFrame, customer: DataFrame,
+      n: Int = 8): DataFrame = {
+    val dim = customer.select(col("c_custkey").as("user_id"),
+      col("c_nationkey"))
+    saltedJoin(events, dim, "user_id", "event_id", n)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_events"),
+        Num.sumRound(Num.dec2(col("value")), 4).as("value_sum"))
+  }
+
   /** Top-k keys by frequency — the diagnostic used to decide whether a
     * join needs salting (run on a sample at scale). */
   def keyHistogram(df: DataFrame, key: String, k: Int = 20): DataFrame =

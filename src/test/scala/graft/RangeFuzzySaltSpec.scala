@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{AggOps, JoinOps, SkewOps}
+
+/** trailingRevenue, fuzzyNamePairs, saltedNationActivity: planted
+  * fixtures with hand-checked frames/pairs, plus the salted ≡ plain
+  * and RANGE-vs-ROWS invariants on real data. */
+class RangeFuzzySaltSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(d: Int) = Timestamp.valueOf(f"2024-01-$d%02d 12:00:00")
+
+  test("trailingRevenue RANGE frame spans days, not rows") {
+    val orders = Seq(
+      // cust 1: two orders same day (peers — both see both), one 29
+      // days later (still in frame), one 31 days later (out of frame)
+      (1L, 10L, ts(1), 100.0), (1L, 11L, ts(1), 50.0),
+      (1L, 12L, ts(30), 25.0),
+      (1L, 13L, Timestamp.valueOf("2024-02-01 12:00:00"), 10.0),
+    ).toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = AggOps.trailingRevenue(orders).collect()
+      .map(r => r.getLong(1) -> (r.getDouble(3), r.getLong(4))).toMap
+    assert(got == Map(
+      10L -> (150.0, 2L), // same-day peer included despite row order
+      11L -> (150.0, 2L),
+      12L -> (175.0, 3L), // day 30 still covers day 1 (29 preceding)
+      13L -> (35.0, 2L),  // day 32: day-1 orders aged out, day 30 in
+    ), got.toString)
+  }
+
+  test("trailingRevenue frames never cross customers") {
+    val orders = Seq((1L, 1L, ts(1), 100.0), (2L, 2L, ts(1), 7.0))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    val got = AggOps.trailingRevenue(orders).collect()
+      .map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got == Map(1L -> 100.0, 2L -> 7.0))
+  }
+
+  test("fuzzyNamePairs finds planted near-names and respects the band") {
+    val part = Seq(
+      (1L, "red widget"), (2L, "red widgets"), // dist 1
+      (3L, "red widget"),                      // dup name → n_parts 2
+      (4L, "blue bolt"),                       // far from both
+    ).toDF("p_partkey", "p_name")
+    val got = JoinOps.fuzzyNamePairs(part).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(("red widget", "red widgets", 1, 2L, 1L)),
+      got.toString)
+  }
+
+  test("fuzzyNamePairs pairs are ordered and within threshold on real data") {
+    val rows = JoinOps.fuzzyNamePairs(Tables.part(spark, sf0)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 3)
+    }
+  }
+
+  test("saltedNationActivity equals the plain join + group-by") {
+    val events = Tables.events(spark, sf0)
+    val customer = Tables.customer(spark, sf0)
+    val salted = SkewOps.saltedNationActivity(events, customer)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val plain = events
+      .join(customer, col("user_id") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(12,2)")), 4).cast("double"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted == plain)
+  }
+}
