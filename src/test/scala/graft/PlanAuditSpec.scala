@@ -232,6 +232,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("trailingRevenue: RANGE frame, single customer exchange") {
+    val plan = planOf(AggOps.trailingRevenue(Tables.orders(spark, sf0)))
+    assert(plan.contains("RangeFrame"), s"frame is not RANGE:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
+  test("fuzzyNamePairs: pair stage runs on the collapsed vocabulary") {
+    val plan = planOf(JoinOps.fuzzyNamePairs(Tables.part(spark, sf0)))
+    // non-equi band join over the distinct-name frames broadcasts one
+    // side — never a partitioned cartesian over raw parts
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // both join inputs are the post-aggregation vocabulary frame
+    val aggs = "HashAggregate".r.findAllIn(plan).length
+    assert(aggs >= 4, s"vocab agg missing below the join:\n$plan")
+  }
+
+  test("saltedNationActivity: join key carries the salt") {
+    val plan = planOf(SkewOps.saltedNationActivity(
+      Tables.events(spark, sf0), Tables.customer(spark, sf0)))
+    assert(plan.contains("__salt"), s"salt not in join keys:\n$plan")
+    assert(plan.contains("Generate explode") || plan.contains("explode"),
+      s"dim not exploded:\n$plan")
+  }
+
   test("size guard: oversized dims are NOT force-broadcast") {
     // with the threshold floored, maybeBroadcast must decline the hint
     // and let the planner shuffle — the 100 TB posture where customer
