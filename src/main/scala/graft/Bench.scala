@@ -110,7 +110,19 @@ object Bench {
           .select(sum(pmod(xxhash64(col("id")), lit(1000000L)))).collect()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warm-up: JIT + codegen for the sentinel plan
+      // Warm until the plan stops speeding up, not a fixed single
+      // pass: on a fresh JVM one warm-up leaves C2 mid-tier and the
+      // PRE median lands ~1.6 s vs POST ~1.2 s on a provably quiet
+      // box — a permanent phantom 32% "swing" that stamps every run
+      // contaminated. Converged = two consecutive runs within 10%;
+      // cap at 5 extra passes (post-side calls converge immediately,
+      // so the cap only ever costs the pre side a few seconds).
+      var prev = once()
+      var cur = once()
+      var left = 5
+      while (left > 0 && math.abs(cur - prev) / math.min(cur, prev) > 0.10) {
+        prev = cur; cur = once(); left -= 1
+      }
       Seq.fill(3)(once()).sorted.apply(1)
     }
     val sentinelPre = sentinelSecs()
