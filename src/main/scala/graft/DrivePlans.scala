@@ -74,6 +74,19 @@ object DrivePlans {
           "projected norm inside the per-PAIR loop (measured 20% slower " +
           "than fused cosine without it, 18% faster with it). The pair " +
           "loop itself is the fused dot only."),
+      ("scd2_type_history (gaps-and-islands on one exchange)",
+        "Both event-level windows (lag change flag, running-sum island " +
+          "number) and the island aggregation share ONE user_id " +
+          "exchange and sort; the lead() that closes each interval " +
+          "windows the collapsed islands frame — orders of magnitude " +
+          "smaller than the log — so the second sort is cheap by " +
+          "construction."),
+      ("trailing_revenue_30d (time-valued RANGE frame)",
+        "A RangeFrame over epoch-day numbers: [day-29, day] regardless " +
+          "of how many orders land in it, same-day orders always frame " +
+          "peers. One customer exchange + one sort; the DECIMAL sum " +
+          "keeps the frame total exact so intra-frame order cannot " +
+          "change the result."),
       ("fuzzy_contamination (cross-split near-dup decontamination)",
         "The banded-candidate + exact-verify minhash pipeline, with the " +
           "dataset-split labels joined onto the VERIFIED pair list only " +
@@ -93,6 +106,8 @@ object DrivePlans {
       "tfidf_top_terms" -> SparkEntry.queries("tfidf_top_terms"),
       "shard_assignments" -> SparkEntry.queries("shard_assignments"),
       "knn_all_brute" -> SparkEntry.queries("knn_all_brute"),
+      "scd2_type_history" -> SparkEntry.queries("scd2_type_history"),
+      "trailing_revenue_30d" -> SparkEntry.queries("trailing_revenue_30d"),
       "fuzzy_contamination" -> SparkEntry.queries("fuzzy_contamination"),
     )
 
