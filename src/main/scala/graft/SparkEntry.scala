@@ -103,6 +103,8 @@ object SparkEntry {
     "fuzzy_name_pairs" -> ((s, d) => JoinOps.fuzzyNamePairs(part(s, d))),
     "salted_nation_activity" -> ((s, d) =>
       SkewOps.saltedNationActivity(events(s, d), customer(s, d))),
+    "zorder_layout_audit" -> ((s, d) =>
+      LayoutOps.zorderLayoutAudit(events(s, d))),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
     "keyword_lang_counts" -> ((s, d) =>
@@ -712,6 +714,12 @@ object SparkEntry {
         "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) " +
         "AS value_sum " +
         "FROM events JOIN customer ON user_id = c_custkey GROUP BY 1"),
+    // Mirrors LayoutOps.zorderLayoutAudit bit-for-bit: same collected
+    // domain semantics (min/max computed in SQL equal Spark's
+    // collected literals), same IEEE-754 bucket arithmetic, same
+    // Morton interleave (built by zorderAuditSql to keep the 16
+    // shift/mask terms in lockstep with LayoutOps.zvalue).
+    "zorder_layout_audit" -> zorderAuditSql,
     "media_byte_stats" ->
       ("WITH m AS (SELECT CASE CAST(doc_id % 3 AS INT) " +
         "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
@@ -1857,6 +1865,36 @@ object SparkEntry {
     * regex counts, same first-max-wins argmax (struct sort on
     * (-score, lang) — ascending struct order = score desc, lang asc —
     * matches the fold over alphabetically-sorted languages). */
+  /** DuckDB mirror of [[graft.ops.LayoutOps.zorderLayoutAudit]]: the
+    * 8-bit equi-width buckets, the 16-term Morton interleave (value
+    * bits at even positions, day bits at odd — generated so the term
+    * layout cannot drift from LayoutOps.zvalue), and the top-4-bit
+    * cell envelopes. */
+  private def zorderAuditSql: String = {
+    val terms = (for {
+      i <- 0 until 8
+      (b, j) <- Seq("bv", "bd").zipWithIndex
+    } yield s"((($b >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+    def bucket(c: String, lo: String, hi: String) =
+      s"CAST(least(greatest(floor(($c - $lo) / " +
+        s"(CASE WHEN $hi > $lo THEN $hi - $lo ELSE 1 END) * 256), 0), " +
+        s"255) AS BIGINT)"
+    "WITH e AS (SELECT value, CAST(datediff('day', DATE '1970-01-01', " +
+      "CAST(ts AS DATE)) AS DOUBLE) AS dayn FROM events), " +
+      "d AS (SELECT min(value) AS vlo, max(value) AS vhi, " +
+      "min(dayn) AS dlo, max(dayn) AS dhi FROM e), " +
+      "b AS (SELECT value, dayn, " +
+      bucket("value", "vlo", "vhi") + " AS bv, " +
+      bucket("dayn", "dlo", "dhi") + " AS bd FROM e, d), " +
+      s"z AS (SELECT value, dayn, ($terms) AS zv FROM b) " +
+      "SELECT (zv >> 8) AS zcell, count(*) AS n, " +
+      "CAST(min(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_min, " +
+      "CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_max, " +
+      "CAST(min(dayn) AS BIGINT) AS d_min, " +
+      "CAST(max(dayn) AS BIGINT) AS d_max " +
+      "FROM z GROUP BY 1"
+  }
+
   private def languageIdSql: String = {
     val langs = graft.ops.DocOps.stopwordPatterns.keys.toSeq.sorted
     val scores = langs.map { l =>

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.LayoutOps
+
+/** Z-order layout: interleave correctness on hand-computed bits, and
+  * the pruning claim itself — per-file envelopes tight in BOTH
+  * dimensions, which a single-column sort cannot deliver. */
+class LayoutOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zvalue interleaves bits: bit i of column j at position i*k+j") {
+    // bv=0b101 (5), bd=0b011 (3) with 3 bits, k=2:
+    // positions: v0→0, d0→1, v1→2, d1→3, v2→4, d2→5
+    // v=101: bits (1,0,1) → 1<<0 | 0<<2 | 1<<4 = 17
+    // d=011: bits (1,1,0) → 1<<1 | 1<<3 | 0<<5 = 10  → z = 27
+    val df = Seq((5L, 3L)).toDF("bv", "bd")
+    val z = df.select(
+      LayoutOps.zvalue(Seq(col("bv"), col("bd")), 3).as("z")).head.getLong(0)
+    assert(z == 27L, s"got $z")
+  }
+
+  test("bucket clamps the domain edges and lands max in the top bucket") {
+    val df = Seq(-5.0, 0.0, 50.0, 100.0, 200.0).toDF("v")
+    val got = df.select(LayoutOps.bucket(col("v"), 0.0, 100.0, 8).as("b"))
+      .collect().map(_.getLong(0))
+    assert(got(0) == 0L)   // below lo → clamped
+    assert(got(1) == 0L)
+    assert(got(2) == 128L) // midpoint → middle bucket
+    assert(got(4) == 255L) // above hi → clamped to top
+  }
+
+  test("z-ordered files are tight in BOTH dims; value-sort is not") {
+    val events = Tables.events(spark, sf0)
+      .select(col("value"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("double").as("dayn"))
+      .na.drop()
+    val (vlo, vhi) = LayoutOps.domain(events, "value")
+    val (dlo, dhi) = LayoutOps.domain(events, "dayn")
+    val (vspan, dspan) = (vhi - vlo, dhi - dlo)
+
+    def fileSpans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val dir = java.nio.file.Files.createTempDirectory("layout").toString
+      df.write.mode("overwrite").parquet(dir)
+      val spans = spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg((max("value") - min("value")).as("vs"),
+          (max("dayn") - min("dayn")).as("ds"))
+        .agg(avg("vs"), avg("ds")).head()
+      (spans.getDouble(0), spans.getDouble(1))
+    }
+
+    val (zV, zD) = fileSpans(LayoutOps.zorderLayout(
+      events, Seq(("value", vlo, vhi), ("dayn", dlo, dhi)), 8, 16))
+    val (sV, sD) = fileSpans(
+      events.repartitionByRange(16, col("value"))
+        .sortWithinPartitions("value"))
+
+    // single-column sort: perfect on value, useless on day
+    assert(sV < 0.2 * vspan, s"sorted value span $sV vs $vspan")
+    assert(sD > 0.8 * dspan, s"sorted day span $sD vs $dspan")
+    // z-order: tight on BOTH (16 files over 2 dims → ~1/4 per dim)
+    assert(zV < 0.5 * vspan, s"z value span $zV vs $vspan")
+    assert(zD < 0.5 * dspan, s"z day span $zD vs $dspan")
+  }
+}
