@@ -105,6 +105,8 @@ object SparkEntry {
       SkewOps.saltedNationActivity(events(s, d), customer(s, d))),
     "zorder_layout_audit" -> ((s, d) =>
       LayoutOps.zorderLayoutAudit(events(s, d))),
+    "winsorized_value_stats" -> ((s, d) =>
+      EventOps.winsorizedValueStats(events(s, d))),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
     "avg_len_by_lang" -> ((s, d) => DocOps.avgLengthByLang(documents(s, d))),
     "keyword_lang_counts" -> ((s, d) =>
@@ -720,6 +722,20 @@ object SparkEntry {
     // Morton interleave (built by zorderAuditSql to keep the 16
     // shift/mask terms in lockstep with LayoutOps.zvalue).
     "zorder_layout_audit" -> zorderAuditSql,
+    // quantile_cont ≡ Spark `percentile` (interpolation parity proven
+    // by value_percentiles); the mean is exact-sum / count as double.
+    "winsorized_value_stats" ->
+      ("WITH b AS (SELECT event_type, " +
+        "quantile_cont(value, 0.05) AS lo, " +
+        "quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1) " +
+        "SELECT event_type, count(*) AS n, " +
+        "round(CAST(sum(CAST(least(greatest(value, lo), hi) " +
+        "AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS w_mean, " +
+        "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_lo, " +
+        "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_hi " +
+        "FROM events JOIN b USING (event_type) GROUP BY 1"),
     "media_byte_stats" ->
       ("WITH m AS (SELECT CASE CAST(doc_id % 3 AS INT) " +
         "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +

@@ -561,6 +561,37 @@ object EventOps {
       .select("user_id", "event_type", "valid_from", "valid_to", "n_events")
   }
 
+  /** Winsorized per-type value statistics: clamp each value into its
+    * type's [p05, p95] band, then aggregate — the outlier-robust mean
+    * a metrics pipeline uses when raw means are one fat-finger away
+    * from garbage. Reports the clamped mean plus how many rows hit
+    * each edge (the winsorization audit trail).
+    *
+    * Two-pass shape: an exact-percentile aggregation collapses to one
+    * row per type (tiny), comes back as a BROADCAST join onto the raw
+    * log (no second shuffle of the fact), and the clamped aggregation
+    * is an ordinary partial+final hash agg. The mean is an exact
+    * DECIMAL sum divided as a final double, so it is
+    * summation-order-independent for the oracle gate. At 100 TB swap
+    * the exact percentile for `approx_percentile` (same two-pass
+    * shape, documented trade like valuePercentiles). */
+  def winsorizedValueStats(events: DataFrame): DataFrame = {
+    val bounds = events.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.05)).as("lo"),
+        percentile(col("value"), lit(0.95)).as("hi"))
+    events.join(broadcast(bounds), Seq("event_type"))
+      .select(col("event_type"),
+        least(greatest(col("value"), col("lo")), col("hi")).as("w"),
+        (col("value") < col("lo")).cast("long").as("is_lo"),
+        (col("value") > col("hi")).cast("long").as("is_hi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(Num.dec2(col("w"))).cast("double") / count(lit(1)), 4)
+          .as("w_mean"),
+        sum(col("is_lo")).as("n_lo"),
+        sum(col("is_hi")).as("n_hi"))
+  }
+
   /** Incremental aggregation maintenance: daily (count, value-sum)
     * rollups computed as BASE PARTIALS (history before `cutoff`)
     * merged with DELTA PARTIALS (the new arrivals) — the union of two

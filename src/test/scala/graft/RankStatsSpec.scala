@@ -91,4 +91,16 @@ class RankStatsSpec extends SparkSpec {
     assert(out(0) == ((2L, 2.5, 0.0, 5.0)))
     assert(out(1) == ((1L, 10.0, 10.0, 10.0)))
   }
+
+  test("winsorizedValueStats clamps outliers into the [p05, p95] band") {
+    // 21 values 0..20: p05 = 1.0, p95 = 19.0 (quantile_cont on a
+    // 0..20 lattice) → 0 clamps up to 1, 20 clamps down to 19; mean
+    // of the winsorized set = (1 + 1..19 + 19)/21 = 10.0 exactly
+    val events = (0 to 20).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val r = EventOps.winsorizedValueStats(events).collect().head
+    assert(r.getAs[Long]("n") == 21L)
+    assert(r.getAs[Double]("w_mean") == 10.0)
+    assert(r.getAs[Long]("n_lo") == 1L && r.getAs[Long]("n_hi") == 1L)
+  }
 }
