@@ -419,7 +419,12 @@ object Bench {
     // contract and MUST stay under that window.
     val fullJson =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_min":$qmins,"failed":$fs,"retried":$retriedJson,"reps":$reps$streamJson$sentinelJson,"sf":${jstr(sfDir)}}"""
-    val fullPath = java.nio.file.Paths.get("BENCH_FULL.json")
+    // A SPARK_GRAFT_ONLY subset run writes to BENCH_ONLY.json: the
+    // full-surface artifact (which make_floor.py and round diffs
+    // consume) must never be silently replaced by a 3-query diagnosis
+    // run — exactly that clobbered the committed BENCH_FULL.json once.
+    val fullPath = java.nio.file.Paths.get(
+      if (only.isDefined) "BENCH_ONLY.json" else "BENCH_FULL.json")
     try java.nio.file.Files.write(
       fullPath, (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>
@@ -450,7 +455,7 @@ object Bench {
     val retriedCompact = retried.take(10).map(jstr).mkString("[", ",", "]")
     def compactLine(entries: Seq[String]): String = {
       val q = entries.mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${timings.size},"queries_file":"BENCH_FULL.json","queries":$q,"n_failed":${failed.size},"failed":$fsCompact,"n_retried":${retried.size},"retried":$retriedCompact,"reps":$reps$streamJson$sentinelJson,"sf":${jstr(sfDir)}}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${timings.size},"queries_file":${jstr(fullPath.toString)},"queries":$q,"n_failed":${failed.size},"failed":$fsCompact,"n_retried":${retried.size},"retried":$retriedCompact,"reps":$reps$streamJson$sentinelJson,"sf":${jstr(sfDir)}}"""
     }
     val picked = scala.collection.mutable.ArrayBuffer.empty[String]
     for (k <- inlineOrder) {

@@ -87,6 +87,14 @@ object DrivePlans {
           "peers. One customer exchange + one sort; the DECIMAL sum " +
           "keeps the frame total exact so intra-frame order cannot " +
           "change the result."),
+      ("heavy_hitter_terms (Misra–Gries sketch-then-confirm)",
+        "Pass 1 is a bounded-memory mapPartitions (k counters per " +
+          "partition, vocabulary never shuffled); the ≤ parts·k " +
+          "candidate union is the ONLY exchange of term identities. " +
+          "Pass 2 broadcast-semi-joins the candidates into the token " +
+          "scan and hash-aggregates exact counts — the output equals " +
+          "brute-force GROUP BY ... HAVING but the wide vocab shuffle " +
+          "is gone (billions of distinct tokens at 100 TB)."),
       ("fuzzy_contamination (cross-split near-dup decontamination)",
         "The banded-candidate + exact-verify minhash pipeline, with the " +
           "dataset-split labels joined onto the VERIFIED pair list only " +
@@ -108,6 +116,7 @@ object DrivePlans {
       "knn_all_brute" -> SparkEntry.queries("knn_all_brute"),
       "scd2_type_history" -> SparkEntry.queries("scd2_type_history"),
       "trailing_revenue_30d" -> SparkEntry.queries("trailing_revenue_30d"),
+      "heavy_hitter_terms" -> SparkEntry.queries("heavy_hitter_terms"),
       "fuzzy_contamination" -> SparkEntry.queries("fuzzy_contamination"),
     )
 

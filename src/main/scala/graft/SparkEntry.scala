@@ -128,6 +128,8 @@ object SparkEntry {
     "bpeish_token_counts" -> ((s, d) => DocOps.bpeishTokenCounts(documents(s, d))),
     "token_stats_by_source" -> ((s, d) => DocOps.tokenStatsBySource(documents(s, d))),
     "top_terms" -> ((s, d) => DocOps.topTerms(documents(s, d))),
+    "heavy_hitter_terms" ->
+      ((s, d) => DocOps.heavyHitterTerms(documents(s, d))),
     "token_percentiles_by_source" ->
       ((s, d) => DocOps.tokenPercentilesBySource(documents(s, d))),
     "quality_signals" -> ((s, d) => DocOps.qualitySignals(documents(s, d))),
@@ -799,6 +801,20 @@ object SparkEntry {
       ("SELECT term, count(*) AS cnt FROM (" +
         "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
         "FROM documents) GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20"),
+    // heavyHitterTerms' sketch-then-confirm output is EXACT by
+    // construction (MG only prunes candidates; the final counts and
+    // HAVING are exact), so the oracle is the brute-force form the
+    // plan is provably equivalent to. count(*) is BIGINT in DuckDB —
+    // no HUGEINT cast needed (the sum() convention does not apply).
+    "heavy_hitter_terms" ->
+      ("WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), " +
+        "'\\s+')) AS term FROM documents), " +
+        "tot AS (SELECT count(*) AS n_total FROM toks) " +
+        "SELECT term, count(*) AS cnt, " +
+        "round(count(*) * 1.0 / n_total, 6) AS share " +
+        "FROM toks, tot GROUP BY term, n_total " +
+        "HAVING count(*) >= ceil(n_total * 0.001) " +
+        "ORDER BY cnt DESC, term ASC"),
     // Mirrors DocOps.tokenPercentilesBySource: quantile_cont == Spark's
     // exact continuous percentile.
     "token_percentiles_by_source" ->

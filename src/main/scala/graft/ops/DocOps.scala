@@ -1178,4 +1178,84 @@ object DocOps {
               col("cnt_all").cast("double")))), 6)
           .as("kl_vs_corpus"))
   }
+
+  /** Heavy-hitter terms: every term whose corpus frequency is at least
+    * `minShare` of all tokens, with its EXACT count — found without
+    * ever shuffling the vocabulary.
+    *
+    * [[topTerms]] is the exact baseline: one (term) hash aggregation
+    * whose shuffle carries every distinct term each partition saw. At
+    * web scale that per-partition vocabulary is the problem — a 100 TB
+    * corpus has billions of distinct tokens (typos, ids, urls), so the
+    * exact plan shuffles billions of rows to answer a question whose
+    * answer is a few hundred terms. This is the classic two-pass
+    * sketch-then-confirm plan (Misra–Gries 1982; MAD-sketch /
+    * frequent-items in every warehouse engine):
+    *
+    *   pass 1 (candidates): per PARTITION, a Misra–Gries summary with
+    *     k = ⌈1/minShare⌉ counters over the token stream —
+    *     O(k) memory, one decrement-all amortized per non-resident
+    *     token. Pigeonhole guarantee: any term with GLOBAL count
+    *     > n/(k+1) exceeds the per-partition bound n_p/(k+1) in at
+    *     least one partition, so the UNION of per-partition survivors
+    *     (≤ parts·k tiny rows, the only shuffle) is a superset of
+    *     every term at share ≥ minShare ≥ 1/k > 1/(k+1).
+    *   pass 2 (confirm): re-scan tokens, keep only candidates (the
+    *     ≤ parts·k candidate set broadcasts; the semi-join is a local
+    *     hash probe, no shuffle of the token stream), count EXACTLY,
+    *     and keep counts ≥ ⌈minShare·n_total⌉.
+    *
+    * The output is therefore exact and deterministic — identical to
+    * the brute-force `GROUP BY term HAVING cnt ≥ T` — while the only
+    * full-vocabulary structure ever built is k counters per partition.
+    * MG's false positives (survivors below the threshold) cost only
+    * wasted confirm-pass counters; they are filtered by the final
+    * HAVING. `n_total` is computed as a one-row aggregate and
+    * cross-joined (broadcast) rather than collected to the driver.
+    *
+    * mapPartitions is the deliberate choice for pass 1 (SURVEY §2
+    * "last resort" clause): the MG summary is genuine per-partition
+    * imperative state — size-BOUNDED, unlike a groupBy partial whose
+    * hash map grows with the partition's vocabulary. */
+  def heavyHitterTerms(docs: DataFrame, minShare: Double = 0.001)
+      : DataFrame = {
+    require(minShare > 0 && minShare <= 1, s"minShare in (0,1]: $minShare")
+    val k = math.ceil(1.0 / minShare).toInt
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val toks = docs.select(explode(DedupOps.tokens(col("text"))).as("term"))
+
+    // Pass 1: per-partition Misra–Gries, k counters. Survivor terms
+    // only (counts are lower bounds, useless once exactness is free).
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None => // decrement-all; drop zeros (classic MG step)
+            val dead = List.newBuilder[String]
+            counters.foreach { case (term, c) =>
+              if (c == 1L) dead += term else counters.update(term, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("term").distinct()
+
+    // Pass 2: exact counts for candidates only. The candidate frame is
+    // ≤ parts·k rows by construction — the broadcast is bounded, not
+    // data-dependent (contrast maybeBroadcast's stats guard for dims).
+    val nTotal = toks.agg(count(lit(1)).as("n_total"))
+    toks
+      .join(broadcast(candidates), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(nTotal))
+      .filter(col("cnt") >= ceil(col("n_total") * minShare))
+      .select(col("term"), col("cnt"),
+        round(col("cnt") / col("n_total"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("term").asc)
+  }
 }
