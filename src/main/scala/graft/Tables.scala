@@ -14,16 +14,35 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 cannot read
-    * as a timestamp — read it as a long (legacy conf) and truncate to
-    * microseconds (`div 1000`, integer division: doubles would lose
-    * precision at 1e18 ns). DuckDB truncates ns→µs the same way, so the
-    * oracle sees identical instants. */
+  /** `events.ts` normalization — the driver has shipped this column as
+    * two different physical types across testdata generations, so the
+    * loader adapts to whichever it finds instead of assuming one:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 cannot read nanos as a timestamp —
+    *    the legacy conf surfaces it as a LONG, truncated to
+    *    microseconds (`div 1000`, integer division: doubles would lose
+    *    precision at 1e18 ns). DuckDB truncates ns→µs the same way.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    TIMESTAMP_NTZ; cast to TIMESTAMP so downstream window/trunc
+    *    functions and result schemas keep the type every oracle
+    *    compares against (session zone is pinned UTC in build.sbt, so
+    *    the wall-clock reinterpretation is the identity — exactly the
+    *    instants DuckDB's naive read produces).
+    *
+    * Either path yields the same µs instants, keeping every operator
+    * and oracle unchanged across testdata generations. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    table(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
