@@ -285,6 +285,16 @@ object Bench {
           (None, all.size, Some(s"stream_failed: ${e.getMessage().take(120)}"), None, None)
         case None if perBatch.size < 2 =>
           (None, all.size, Some("insufficient_batches"), None, None)
+        case None if trimmed.isEmpty =>
+          // r10: a 2-3 batch sample CAN compute a median but CANNOT
+          // carry the trimmed-spread stamp acceptance keys on — and an
+          // unstamped number from a slow host is exactly the sample
+          // class that published the misleading r9 282k rows/s (judge
+          // isolated rerun: 916k, trimmed spread 1.20). Refuse to
+          // publish a rate at all; disclose the raw spread so the
+          // artifact still shows what the crippled sample looked like.
+          (None, all.size, Some("insufficient_batches_for_stamp"),
+            Some(perBatch.last / perBatch.head), None)
         case None => (Some(perBatch(perBatch.size / 2)), all.size, None,
           Some(perBatch.last / perBatch.head), trimmed)
       }

@@ -101,6 +101,8 @@ object SparkEntry {
       JoinOps.dailyOrdersVsEvents(orders(s, d), events(s, d))),
     "trailing_revenue_30d" -> ((s, d) => AggOps.trailingRevenue(orders(s, d))),
     "fuzzy_name_pairs" -> ((s, d) => JoinOps.fuzzyNamePairs(part(s, d))),
+    "fuzzy_name_pairs_blocked" -> ((s, d) =>
+      JoinOps.fuzzyNamePairsBlocked(part(s, d))),
     "salted_nation_activity" -> ((s, d) =>
       SkewOps.saltedNationActivity(events(s, d), customer(s, d))),
     "zorder_layout_audit" -> ((s, d) =>
@@ -711,6 +713,27 @@ object SparkEntry {
         "FROM n a JOIN n b ON a.name < b.name " +
         "AND abs(length(a.name) - length(b.name)) <= 3 " +
         "WHERE levenshtein(a.name, b.name) <= 3"),
+    // Mirrors JoinOps.fuzzyNamePairsBlocked: two equi-join blocking
+    // passes (shared first token, shared last token), UNION-dedup'd,
+    // then the same levenshtein gate.
+    "fuzzy_name_pairs_blocked" ->
+      ("WITH n AS (SELECT p_name AS name, count(*) AS n_parts " +
+        "FROM part GROUP BY 1), " +
+        "t AS (SELECT name, n_parts, " +
+        "split_part(name, ' ', 1) AS tok_first, " +
+        "list_extract(string_split(name, ' '), " +
+        "len(string_split(name, ' '))) AS tok_last FROM n), " +
+        "cand AS (" +
+        "SELECT a.name AS name_a, b.name AS name_b, " +
+        "a.n_parts AS n_parts_a, b.n_parts AS n_parts_b " +
+        "FROM t a JOIN t b ON a.tok_first = b.tok_first AND a.name < b.name " +
+        "UNION " +
+        "SELECT a.name, b.name, a.n_parts, b.n_parts " +
+        "FROM t a JOIN t b ON a.tok_last = b.tok_last AND a.name < b.name) " +
+        "SELECT name_a, name_b, " +
+        "CAST(levenshtein(name_a, name_b) AS INT) AS dist, " +
+        "n_parts_a, n_parts_b FROM cand " +
+        "WHERE levenshtein(name_a, name_b) <= 3"),
     // Oracle is the PLAIN join + group-by: the hash gate proves the
     // salted path is result-identical to the unsalted one.
     "salted_nation_activity" ->

@@ -41,7 +41,14 @@ object Tables {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw
+      case other =>
+        // fail fast at the loader: a silent pass-through of e.g. a
+        // string or int32-epoch ts would surface as confusing operator
+        // errors (or wrong comparisons) far downstream
+        throw new IllegalStateException(
+          s"events.ts: unexpected physical type $other " +
+            "(expected TIMESTAMP, TIMESTAMP_NTZ, or nanos-as-LONG)")
     }
   }
 

@@ -341,6 +341,43 @@ object JoinOps {
       .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
   }
 
+  /** Token-blocking form of [[fuzzyNamePairs]] — the large-vocabulary
+    * path the band-pruned variant's scaladoc promises. Instead of the
+    * O(V²) nested-loop with a length-band prune, candidate pairs are
+    * generated by TWO equi-join passes over the vocabulary — names
+    * sharing their FIRST whitespace token, and names sharing their
+    * LAST — unioned and dedup'd, then scored with the codegen'd
+    * `levenshtein` and filtered to `maxDist`.
+    *
+    * Scale contract: each pass is a plain shuffle-hash/sort-merge
+    * equi-join on the token key, so cost is Σ block² per token bucket
+    * rather than V² — the standard blocking trade from the record-
+    * linkage literature. Recall is bounded, not perfect: a true pair
+    * survives iff at least one of its end tokens is untouched by the
+    * edit, which holds for the dominant single-token typo/transposition
+    * class (FuzzyBlockedSpec pins this with a planted transposition)
+    * and fails only when BOTH end tokens mutate. Same output frame as
+    * the band-pruned form, so callers can swap on vocabulary size. */
+  def fuzzyNamePairsBlocked(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val names = part.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+    val toks = names
+      .withColumn("tok_first", split(col("name"), " ").getItem(0))
+      .withColumn("tok_last", element_at(split(col("name"), " "), -1))
+    def pass(key: String): DataFrame = {
+      val a = toks.select(col(key).as("k"), col("name").as("name_a"),
+        col("n_parts").as("n_parts_a"))
+      val b = toks.select(col(key).as("k"), col("name").as("name_b"),
+        col("n_parts").as("n_parts_b"))
+      a.join(b, Seq("k")).filter(col("name_a") < col("name_b")).drop("k")
+    }
+    // distinct over the full row dedups pairs blocked by BOTH passes
+    pass("tok_first").unionByName(pass("tok_last")).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+  }
+
   def dailyOrdersVsEvents(orders: DataFrame, events: DataFrame): DataFrame = {
     val o = orders.groupBy(col("o_orderdate").as("day"))
       .agg(count(lit(1)).as("n_orders"))

@@ -60,6 +60,48 @@ class RangeFuzzySaltSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyNamePairsBlocked finds >= the band-pruned pairs on a " +
+      "planted-transposition fixture") {
+    // The transposition sits in a MIDDLE token ("lavender" →
+    // "lavedner"), so both end tokens survive the edit — the class of
+    // error token blocking is designed to catch. The dup-name and
+    // far-name rows from the band-pruned fixture come along too.
+    val part = Seq(
+      (1L, "golden lavender lace"), (2L, "golden lavedner lace"), // dist 2
+      (3L, "golden lavender lace"),            // dup name → n_parts 2
+      (4L, "red widget"), (5L, "red widgets"), // dist 1, shares "red"
+      (6L, "blue bolt"),                       // far from everything
+    ).toDF("p_partkey", "p_name")
+    def asSet(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val banded = asSet(JoinOps.fuzzyNamePairs(part).collect())
+    val blocked = asSet(JoinOps.fuzzyNamePairsBlocked(part).collect())
+    assert(blocked.contains(
+      ("golden lavedner lace", "golden lavender lace", 2, 1L, 2L)),
+      blocked.toString)
+    // band prune is exhaustive (|len diff| <= d is NECESSARY for
+    // dist <= d), so >= here means the blocking lost nothing on the
+    // fixture's edit class
+    assert(banded.subsetOf(blocked), s"blocked=$blocked banded=$banded")
+  }
+
+  test("fuzzyNamePairsBlocked is recall-bounded by the exhaustive form " +
+      "on real data") {
+    val part = Tables.part(spark, sf0)
+    def asSet(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val banded = asSet(JoinOps.fuzzyNamePairs(part).collect())
+    val blocked = asSet(JoinOps.fuzzyNamePairsBlocked(part).collect())
+    // blocked can only MISS pairs relative to the exhaustive band
+    // prune, never invent them
+    assert(blocked.subsetOf(banded), (blocked -- banded).toString)
+    blocked.foreach { case (a, b, d, _, _) =>
+      assert(a < b && d >= 1 && d <= 3)
+    }
+  }
+
   test("saltedNationActivity equals the plain join + group-by") {
     val events = Tables.events(spark, sf0)
     val customer = Tables.customer(spark, sf0)
