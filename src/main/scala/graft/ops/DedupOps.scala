@@ -421,10 +421,17 @@ object DedupOps {
     * connected components → (doc_id, cluster_id, cluster_size). Only
     * documents that belong to some near-dup cluster appear; a keep
     * policy is then one `min`/argmax per cluster_id (see
-    * [[dedupKeepLongest]] for the quality-aware variant of that step). */
+    * [[dedupKeepLongest]] for the quality-aware variant of that step).
+    *
+    * Labels come from [[connectedComponentsStar]] (r10 default): the
+    * O(log n) round bound holds on ANY graph shape, so the cluster
+    * queries can never hit the propagation variant's
+    * diameter-exceeds-maxRounds refusal. [[connectedComponents]] stays
+    * as the comparison baseline — PropertySpec pins the two to
+    * identical labels on random graphs. */
   def dupClusters(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 3): DataFrame = {
-    val labels = connectedComponents(ngramJaccardPairs(docs, threshold, k))
+    val labels = connectedComponentsStar(ngramJaccardPairs(docs, threshold, k))
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "cluster_id")
       .select(col("v_id").as("doc_id"), col("cluster_id"), col("cluster_size"))
@@ -567,10 +574,11 @@ object DedupOps {
     * non-keepers (cluster members minus keep_id) — a left-semi on
     * keep_id would silently drop every clean document. The argmax is a
     * single min(struct) aggregate over the (tiny) labeled frame — no
-    * window, no second shuffle beyond the label join. */
+    * window, no second shuffle beyond the label join. Labels via the
+    * star variant, same rationale as [[dupClusters]]. */
   def clusterKeepLongest(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 3): DataFrame = {
-    val labels = connectedComponents(ngramJaccardPairs(docs, threshold, k))
+    val labels = connectedComponentsStar(ngramJaccardPairs(docs, threshold, k))
     labels
       .join(docs.select(col("doc_id").as("v_id"), col("n_chars")), "v_id")
       .groupBy("cluster_id")

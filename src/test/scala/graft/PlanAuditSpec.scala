@@ -258,6 +258,25 @@ class PlanAuditSpec extends SparkSpec {
       s"dim not exploded:\n$plan")
   }
 
+  test("dupClusters labels route through the star CC variant") {
+    import spark.implicits._
+    // Signature of connectedComponentsStar's label frame: a 3-way
+    // Union (star edges ∪ roots ∪ isolated) with a LeftAnti for the
+    // isolated branch. The propagation baseline's final labels are a
+    // single lazily-checkpointed frame — no Union, no anti-join — so
+    // a silent revert to it would fail both asserts. (Label equality
+    // between the variants is pinned by PropertySpec; result hashes by
+    // the dup_clusters / cluster_keep_longest oracle gates.)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta zeta"),
+      (2L, "totally different words here now")).toDF("doc_id", "text")
+    val plan = planOf(DedupOps.dupClusters(docs))
+    assert(plan.contains("Union"), s"no star-label union:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"no isolated-vertex anti-join:\n$plan")
+  }
+
   test("size guard: oversized dims are NOT force-broadcast") {
     // with the threshold floored, maybeBroadcast must decline the hint
     // and let the planner shuffle — the 100 TB posture where customer
