@@ -117,6 +117,92 @@ object StreamJob {
   def parquetAppender(baseDir: String): Appender =
     (table, df) => df.write.mode("append").parquet(s"$baseDir/$table")
 
+  // ---------- incremental daily rollup sink ----------
+  //
+  // EventOps.incrementalDailyStats lifted into the stream: the
+  // reference appends per-batch PARTIAL rows and defers the merge to
+  // every reader (`streamed_toot_counts`, src/spark_stream.py:119-131
+  // — totals need a downstream SUM GROUP BY); the idiomatic end-state
+  // maintains the merged rollup itself, one MERGE per micro-batch.
+
+  /** Durable rollup state for [[startIncrementalDaily]]. */
+  trait RollupStore {
+    /** Current rollup snapshot; None before the first merge. */
+    def read(): Option[DataFrame]
+    /** Highest batch id already merged; -1 when fresh. */
+    def lastBatchId(): Long
+    /** Replace the rollup with the merge result for `batchId`.
+      * Implementations must fully materialize `rollup` before exposing
+      * it as the new current snapshot. */
+    def write(rollup: DataFrame, batchId: Long): Unit
+  }
+
+  /** Versioned-directory parquet [[RollupStore]]: each merge writes
+    * `dir/v<batchId>` and then flips the tiny `latest` pointer file —
+    * the previous snapshot is never overwritten mid-scan (the merge
+    * READS it while writing the new version), and a crash between
+    * write and flip leaves the old snapshot current with the new
+    * directory orphaned, to be rewritten idempotently on replay. */
+  class ParquetRollupStore(spark: SparkSession, dir: String)
+      extends RollupStore {
+    private val ptr = java.nio.file.Paths.get(dir, "latest")
+    def lastBatchId(): Long =
+      if (java.nio.file.Files.exists(ptr))
+        new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim.toLong
+      else -1L
+    def read(): Option[DataFrame] = lastBatchId() match {
+      case -1L => None
+      case id  => Some(spark.read.parquet(s"$dir/v$id"))
+    }
+    def write(rollup: DataFrame, batchId: Long): Unit = {
+      rollup.write.mode("overwrite").parquet(s"$dir/v$batchId")
+      java.nio.file.Files.write(ptr, s"$batchId\n".getBytes("UTF-8"))
+    }
+  }
+
+  /** Daily delta partials of one micro-batch of prepared toots:
+    * (day, toots, chars). Counts and Long char sums merge EXACTLY, so
+    * incremental maintenance ≡ from-scratch recompute bit-for-bit —
+    * the invariant StreamJobSpec asserts across batch boundaries. */
+  def dailyDelta(batch: DataFrame): DataFrame = batch
+    .filter(col("created_at").isNotNull && col("text").isNotNull)
+    .groupBy(to_date(col("created_at")).as("day"))
+    .agg(count(lit(1)).as("toots"), sum(length(col("text"))).as("chars"))
+
+  /** Associative partial merge — the same union-then-reaggregate shape
+    * as `EventOps.incrementalDailyStats`, over ≤ 2·|days| rows. */
+  def mergeDaily(base: DataFrame, delta: DataFrame): DataFrame =
+    base.unionByName(delta)
+      .groupBy("day")
+      .agg(sum("toots").as("toots"), sum("chars").as("chars"))
+
+  /** Streaming maintenance of the daily rollup: each micro-batch
+    * computes its delta partials and merges them into the stored
+    * rollup. The 100 TB shape: the store is ∝ |days|, the delta
+    * touches only the batch — history is NEVER rescanned, exactly the
+    * incrementalDailyStats contract driven by a stream.
+    *
+    * Exactly-once: foreachBatch is at-least-once (a batch REPLAYS
+    * after checkpoint recovery); the store records the batch id each
+    * snapshot merged, so a replayed id is a no-op instead of a
+    * double-count — idempotent because [[ParquetRollupStore]] rewrites
+    * `v<batchId>` and flips the pointer only after the write lands. */
+  def startIncrementalDaily(prepared: DataFrame, store: RollupStore,
+      checkpointDir: String): StreamingQuery =
+    prepared.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > store.lastBatchId()) {
+          val merged = store.read() match {
+            case Some(base) => mergeDaily(base, dailyDelta(batch))
+            case None       => dailyDelta(batch)
+          }
+          store.write(merged, batchId)
+        }
+        ()
+      }
+      .start()
+
   /** Stream-stream inner join with watermarks and a time-range bound —
     * the remaining Structured Streaming category (the reference joins
     * nothing, SURVEY.md §2.3). Both sides carry watermarks so the state

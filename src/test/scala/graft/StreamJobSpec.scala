@@ -63,6 +63,49 @@ class StreamJobSpec extends SparkSpec {
     assert(avg == 5.5) // "first"(5) + "second"(6)
   }
 
+  test("incremental daily rollup: merged store ≡ from-scratch recompute") {
+    val input = MemoryStream[String](spark)
+    val prepared = StreamJob.prepare(
+      ops.TootOps.parseJsonLines(input.toDF()))
+    val dir = java.nio.file.Files.createTempDirectory("rollup").toString
+    val store = new StreamJob.ParquetRollupStore(spark, dir)
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val batches = Seq(
+      // batch 0: two days
+      Seq(tootJson(1, "2025-10-07 10:00:05", "leo", "first"),
+        tootJson(2, "2025-10-07 11:30:00", "leo", "second"),
+        tootJson(3, "2025-10-08 09:00:00", "demo", "third")),
+      // batch 1: a LATE row for day 07 (must merge into the stored
+      // partial, not append a second row) + a new day
+      Seq(tootJson(4, "2025-10-07 23:59:59", "demo", "late arrival"),
+        tootJson(5, "2025-10-09 08:00:00", "leo", "fresh day")),
+      // batch 2: more mass on the middle day
+      Seq(tootJson(6, "2025-10-08 12:00:00", "leo", "midday post")))
+    val q = StreamJob.startIncrementalDaily(prepared, store, ckpt)
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    def rows(df: DataFrame) = df
+      .select(col("day").cast("string"), col("toots"), col("chars"))
+      .as[(String, Long, Long)].collect().toSet
+    val got = rows(store.read().get)
+    // from-scratch recompute over ALL input as one batch — the merge
+    // must be indistinguishable from never having been incremental
+    val scratch = rows(StreamJob.dailyDelta(StreamJob.prepare(
+      ops.TootOps.parseJsonLines(batches.flatten.toDF("value")))))
+    assert(got == scratch, s"got $got\nscratch $scratch")
+    assert(got.map(_._1) == Set("2025-10-07", "2025-10-08", "2025-10-09"))
+    assert(got.find(_._1 == "2025-10-07").get._2 == 3L) // late row merged
+    assert(store.lastBatchId() == 2L)
+
+    // restart from the same checkpoint with no new data: no batch
+    // replays past the guard, the snapshot is untouched
+    val q2 = StreamJob.startIncrementalDaily(prepared, store, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(store.lastBatchId() == 2L && rows(store.read().get) == scratch)
+  }
+
   test("windowedCountsNative: watermarked update-mode totals") {
     val input = MemoryStream[String](spark)
     val prepared = StreamJob.prepare(
