@@ -30,6 +30,62 @@ class LayoutOpsSpec extends SparkSpec {
     assert(got(4) == 255L) // above hi → clamped to top
   }
 
+  test("2-D range predicate reads measurably fewer rows off the " +
+      "z-ordered layout than off the time-sorted one") {
+    // The payoff the layout exists for, measured end-to-end: write the
+    // SAME events two ways — the natural time-sorted log vs Z-ordered
+    // on (value, day) — then run one 2-D range predicate (tight on
+    // value, broad on day) against both and read the scan's
+    // numOutputRows metric. Parquet row-group pruning uses footer
+    // min/max, so rows-read ≈ rows in surviving row groups: the
+    // time-sorted layout can only prune the day dimension (~half the
+    // files), while the Z-order's per-file envelopes are tight in BOTH
+    // dims and also prune on value.
+    val events = Tables.events(spark, "/root/testdata/sf0.01")
+      .select(col("value"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("double").as("dayn"))
+      .na.drop()
+    val (vlo, vhi) = LayoutOps.domain(events, "value")
+    val (dlo, dhi) = LayoutOps.domain(events, "dayn")
+    val (vspan, dspan) = (vhi - vlo, dhi - dlo)
+
+    def write(df: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("prune").toString
+      df.write.mode("overwrite").parquet(dir)
+      dir
+    }
+    val zDir = write(LayoutOps.zorderLayout(
+      events, Seq(("value", vlo, vhi), ("dayn", dlo, dhi)), 8, 32))
+    val tDir = write(events.repartitionByRange(32, col("dayn"))
+      .sortWithinPartitions("dayn"))
+
+    // 10% slab on value × middle 50% of days
+    val pred = col("value").between(
+        vlo + 0.45 * vspan, vlo + 0.55 * vspan) &&
+      col("dayn").between(dlo + 0.25 * dspan, dlo + 0.75 * dspan)
+    def scanRows(dir: String): (Long, Long) = {
+      val df = spark.read.parquet(dir).filter(pred)
+      val kept = df.count()
+      df.collect() // materialize the un-aggregated plan for its metrics
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      (scan.metrics("numOutputRows").value, kept)
+    }
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // AQE wraps the plan and hides leaf metrics until finalization —
+      // measure without it
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val (zRead, zKept) = scanRows(zDir)
+      val (tRead, tKept) = scanRows(tDir)
+      assert(zKept == tKept, s"layouts disagree: $zKept vs $tKept")
+      assert(zKept > 0, "empty predicate box proves nothing")
+      // the measured claim: ≥2× fewer rows decoded (observed ~3-5×)
+      assert(zRead * 2 <= tRead,
+        s"z-order read $zRead rows vs time-sorted $tRead — no pruning win")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("z-ordered files are tight in BOTH dims; value-sort is not") {
     val events = Tables.events(spark, sf0)
       .select(col("value"),
