@@ -432,9 +432,11 @@ object DedupOps {
   def dupClusters(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 3): DataFrame = {
     val labels = connectedComponentsStar(ngramJaccardPairs(docs, threshold, k))
-    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, "cluster_id")
-      .select(col("v_id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+    // cluster_size via a count window: the groupBy+self-join form
+    // evaluated the (unmaterialized) label plan twice
+    labels.select(col("v_id").as("doc_id"), col("cluster_id"),
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")).as("cluster_size"))
   }
 
   /** Fuzzy train→eval decontamination: near-duplicate pairs that CROSS
@@ -492,51 +494,87 @@ object DedupOps {
     * Each round is two self-groupings of the EDGE list (two longs a
     * row, orders of magnitude smaller than the corpus); the edge set
     * is localCheckpointed per round so plans don't replay history, and
-    * convergence = the large-star pass changed nothing (its output
-    * equals its input as a set, checked with one exceptAll count on
-    * the tiny edge frame). Returns the same (v_id, cluster_id) schema
-    * and exactly the same labels as [[connectedComponents]]. */
+    * convergence = the round changed nothing (its output equals its
+    * input as a set). Returns the same (v_id, cluster_id) schema
+    * and exactly the same labels as [[connectedComponents]].
+    *
+    * Driver-loop cost (r10): each round is ONE job — the large/small
+    * checkpoints are LAZY and materialized by a single
+    * (count, sum(xxhash64)) signature aggregate, and the exact
+    * `exceptAll` set-equality check runs only on the round where the
+    * signature first repeats (a signature match that fails the exact
+    * check — a hash-sum collision — just keeps looping, so
+    * correctness never rests on the hash). The eager-checkpoint form
+    * spent 4 scheduler jobs per round on count + exceptAll +
+    * materialization, tripling wall-clock on the dense little graphs
+    * real near-dup corpora produce. */
   def connectedComponentsStar(pairs: DataFrame, maxRounds: Int = 50)
       : DataFrame = {
-    val init = pairs
-      .select(col("a_id").as("u"), col("b_id").as("v"))
+    // ONE evaluation of the (potentially expensive) pair pipeline:
+    // the raw 2-long projection is checkpointed and every later
+    // reference — init, the isolated-vertex branch, and both of the
+    // caller's evaluations of the returned labels — reads the
+    // checkpoint. Referencing `pairs` directly from the final plan
+    // re-ran the whole upstream candidate pipeline up to four times
+    // inside dupClusters (~3.5 s of the observed 5.6 s at sf0.1).
+    val raw = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .localCheckpoint()
+    val init = raw
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // materialized by the signature
+    // Order-insensitive set signature: equal signatures (count +
+    // XOR-folded row hash; bit_xor cannot overflow under ANSI mode)
+    // are NECESSARY for set equality, so they gate the expensive
+    // exact check; never sufficient on their own.
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
     var edges = init // invariant: u > v, distinct
+    var sig = signature(edges)
     var round = 0
-    var converged = edges.isEmpty
+    var converged = sig._1 == 0L
+    val wX = org.apache.spark.sql.expressions.Window.partitionBy("x")
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     while (!converged && round < maxRounds) {
       // large-star: over BOTH directions, m(x) = min of closed
       // neighborhood of x; emit (n, m) for every neighbor n > x.
+      // The per-x min rides a WINDOW over the one shuffle on x —
+      // the groupBy+join form paid a second exchange (and a distinct)
+      // for the same rows. Duplicate (n, m) pairs are left in place:
+      // they are bounded by 2|edges| and collapse at the round-end
+      // distinct, which the invariant needs anyway.
       val dir = edges.select(explode(array(
           struct(col("u").as("x"), col("v").as("n")),
           struct(col("v").as("x"), col("u").as("n")))).as("e"))
         .select(col("e.x").as("x"), col("e.n").as("n"))
-      val mins = dir.groupBy("x")
-        .agg(least(min(col("n")), first(col("x"))).as("m"))
-      val large = dir.join(mins, "x")
+      val large = dir
+        .withColumn("m", least(min(col("n")).over(wX), col("x")))
         .filter(col("n") > col("x"))
         .select(col("n").as("u"), col("m").as("v"))
-        .distinct()
-        .localCheckpoint()
       // small-star: edges already point large→small; emit (n, m) for
       // the ≤-neighbors plus (x, m) — flattens every chain one level.
-      val sMins = large.groupBy(col("u").as("x"))
-        .agg(min(col("v")).as("m"))
-      val small = large.join(sMins, large("u") === sMins("x"))
+      // Same window trick on u; `large` has a single consumer, so it
+      // needs no checkpoint of its own.
+      val small = large
+        .withColumn("m", min(col("v")).over(wU))
         .select(explode(array(
           struct(col("v").as("a"), col("m").as("b")),
           struct(col("u").as("a"), col("m").as("b")))).as("e"))
         .select(col("e.a").as("u"), col("e.b").as("v"))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
-      // fixed point: star edges pass both transforms unchanged
-      converged = small.count() == edges.count() &&
-        small.exceptAll(edges).isEmpty
+        .localCheckpoint(eager = false)
+      // fixed point: star edges pass both transforms unchanged. The
+      // signature aggregate is the round's one action (materializing
+      // the checkpoint); only a repeat triggers the exact check.
+      val newSig = signature(small)
+      converged = newSig == sig && small.exceptAll(edges).isEmpty
+      sig = newSig
       edges = small
       round += 1
     }
@@ -548,8 +586,8 @@ object DedupOps {
       .withColumn("cluster_id", col("v_id"))
     // vertices that reached the fixed point with no edge left (nodes of
     // self-loop-only pairs, dropped by init) label themselves
-    val isolated = pairs.select(col("a_id").as("x"))
-      .unionByName(pairs.select(col("b_id").as("x")))
+    val isolated = raw.select(col("u").as("x"))
+      .unionByName(raw.select(col("v").as("x")))
       .distinct()
       .join(edges.select(col("u").as("x"))
         .unionByName(edges.select(col("v").as("x"))).distinct(),
