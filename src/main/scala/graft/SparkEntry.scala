@@ -301,6 +301,20 @@ object SparkEntry {
     "cluster_keep_longest" ->
       ((s, d) => DedupOps.clusterKeepLongest(documents(s, d))),
     "minhash_near_dups" -> ((s, d) => DedupOps.minhashNearDups(documents(s, d), 0.5)),
+    // Continual-ingestion dedup: docs with doc_id ≡ 7 (mod 10) play
+    // the newly-arrived shard, the rest the existing corpus — every
+    // emitted pair touches the shard, old-vs-old is never re-paired.
+    // Same oracle soundness as minhash_near_dups (exact-Jaccard
+    // verification ⇒ precision 1; the corpus's near-dup population
+    // sits at J≥0.9 where band recall loss is ≤3.5e-5/pair), with the
+    // ≥1-new-side restriction mirrored in the SQL.
+    "incremental_near_dups" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = documents(s, d)
+      DedupOps.incrementalNearDups(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7))
+    }),
     "simhash_fingerprints" -> ((s, d) => DedupOps.simhashes(documents(s, d))),
     "simhash_near_dups" -> ((s, d) => DedupOps.simhashNearDups(documents(s, d), 3)),
     // Subset invariant gating the hash-seed-bound simhash_near_dups:
@@ -1638,6 +1652,17 @@ object SparkEntry {
         "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
         "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),
+    // Mirrors incremental_near_dups: the SAME exact all-pairs Jaccard
+    // oracle, restricted to pairs touching the doc_id ≡ 7 (mod 10)
+    // shard — exactly the pair population the incremental path owns.
+    "incremental_near_dups" ->
+      (s"WITH $shingleCtes, " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5 " +
+        "AND (a_id % 10 = 7 OR b_id % 10 = 7)"),
     // Mirrors ann_batch_recall_audit: both counts equal twice the
     // corpus size by construction (every vector and every planted copy
     // has its twin as top-1).

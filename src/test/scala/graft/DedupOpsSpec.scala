@@ -113,6 +113,33 @@ class DedupOpsSpec extends SparkSpec {
       s"candidate subtree computed twice (no exchange reuse):\n$plan")
   }
 
+  test("incrementalNearDups: shard-touching pairs only, union ≡ full recompute") {
+    // old corpus: base (0), exact dup of base (3) — an OLD-OLD pair
+    // the incremental path must NOT re-emit — plus unrelated (2);
+    // the new shard carries a near-dup of base (10) and its own
+    // unrelated doc (11)
+    val oldDocs = Seq((0L, base), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+    val newDocs = Seq((10L, nearDup),
+      (11L, "fresh shard content with nothing in common at all here"))
+      .toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val inc = pairSet(DedupOps.incrementalNearDups(oldDocs, newDocs))
+    // the new doc pairs against BOTH old copies of base
+    assert(inc.contains((0L, 10L)) && inc.contains((3L, 10L)), inc.toString)
+    // the old-old exact pair is someone else's job — never re-emitted
+    assert(!inc.contains((0L, 3L)), inc.toString)
+    assert(inc.forall(p => p._1 >= 10L || p._2 >= 10L), inc.toString)
+    // maintenance contract: incremental ∪ old-corpus pairs ≡ a full
+    // recompute over old ∪ new
+    val full = pairSet(DedupOps.minhashNearDups(
+      oldDocs.unionByName(newDocs), threshold = 0.5))
+    val oldPairs = pairSet(DedupOps.minhashNearDups(oldDocs, threshold = 0.5))
+    assert((inc ++ oldPairs) == full,
+      s"inc=$inc old=$oldPairs full=$full")
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val a = DedupOps.minhashSignature(
       org.apache.spark.sql.functions.col("text"))
