@@ -100,6 +100,12 @@ object DrivePlans {
           "dataset-split labels joined onto the VERIFIED pair list only " +
           "— the split join touches a few dozen rows, so fuzzy " +
           "decontamination is free when near-dup dedup already runs."),
+      ("incremental_near_dups (shard-vs-index banded join)",
+        "Continual-ingestion dedup: the new shard's band rows " +
+          "LeftSemi-select out of the full banded index, then equi-join " +
+          "back against it on (band_id, bucket) — pair cost tracks the " +
+          "shard, old-vs-old pairs are structurally absent, and the " +
+          "shared band subtree materializes once via exchange reuse."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -118,6 +124,7 @@ object DrivePlans {
       "trailing_revenue_30d" -> SparkEntry.queries("trailing_revenue_30d"),
       "heavy_hitter_terms" -> SparkEntry.queries("heavy_hitter_terms"),
       "fuzzy_contamination" -> SparkEntry.queries("fuzzy_contamination"),
+      "incremental_near_dups" -> SparkEntry.queries("incremental_near_dups"),
     )
 
     val sb = new StringBuilder
