@@ -336,6 +336,11 @@ object DedupOps {
     val capped = cappedBands(all, numHashes, bands, k, maxBucket = 500)
     val newBands = capped
       .join(newDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+    // the pair list is checkpointed: it is referenced three times
+    // (both candIds branches + the verification join) and each
+    // reference would otherwise duplicate the whole union-of-scans
+    // band pipeline in the plan — a few hundred 16-byte rows of state
+    // buys a single evaluation of the expensive subtree
     val cands = newBands.as("a")
       .join(capped.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -344,6 +349,7 @@ object DedupOps {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       .distinct()
+      .localCheckpoint()
     val candIds = cands.select(col("a_id").as("doc_id"))
       .unionByName(cands.select(col("b_id").as("doc_id")))
       .distinct()
