@@ -140,6 +140,26 @@ class DedupOpsSpec extends SparkSpec {
       s"inc=$inc old=$oldPairs full=$full")
   }
 
+  test("incrementalNearDups: candidate list materialized once, plan stays bounded") {
+    // regression guard for the r10 plan blowup: the pair frame is
+    // referenced three times, and without its checkpoint each
+    // reference duplicated the union-of-scans band pipeline (~100
+    // parquet scans in the executed plan; 22 with it)
+    val oldDocs = Seq((0L, base), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+    val newDocs = Seq((10L, nearDup)).toDF("doc_id", "text")
+    val df = DedupOps.incrementalNearDups(oldDocs, newDocs)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "Scan ExistingRDD|LocalTableScan".r.findAllIn(plan).length
+    // the fixture frames are LocalTableScans; the checkpointed pair
+    // list shows up as an ExistingRDD scan — the duplication class
+    // scales the LEAF count, so a loose cap catches a reintroduction
+    assert(scans <= 30, s"plan leaf blowup ($scans leaves):\n$plan")
+    assert(plan.contains("ExistingRDD"),
+      s"candidate list no longer checkpointed:\n$plan")
+  }
+
   test("minhash signature is deterministic across evaluations") {
     val a = DedupOps.minhashSignature(
       org.apache.spark.sql.functions.col("text"))
