@@ -170,6 +170,36 @@ class OracleLintSpec extends AnyFunSuite {
       "SELECT * FROM (VALUES ('brute', CAST(1.0 AS DOUBLE))) t(a, b)").isEmpty)
   }
 
+  test("rows-only queries are a pinned allowlist, each with a named gate") {
+    // The correctness gate is the DuckDB oracle; a query without one
+    // is acceptable ONLY when its result is seed/sketch/reduction-
+    // order-bound AND a paired hash-gated audit (or recall-gate spec)
+    // covers it. This pins that set: a new query silently landing
+    // without an oracle fails here, as does an allowlist entry whose
+    // named audit oracle has been dropped.
+    val pairedGate = Map(
+      "approx_distinct_users_daily" -> "approx_distinct_audit",
+      "bloom_decontaminate" -> "bloom_contamination_audit",
+      "compression_signals" -> "compression_audit",
+      "knn_lsh" -> "ann_top1_audit",
+      "knn_ivf" -> "knn_ivf_pinned",
+      "knn_all_lsh" -> "ann_batch_recall_audit",
+      "knn_all_ivf" -> "ann_batch_recall_audit",
+      "simhash_fingerprints" -> "simhash_invariants",
+      "simhash_near_dups" -> "simhash_exactdup_audit",
+      "table_profile_approx" -> "table_profile_approx_audit",
+    )
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == pairedGate.keySet,
+      s"rows-only drift: unexpected=${rowsOnly -- pairedGate.keySet} " +
+        s"missing=${pairedGate.keySet -- rowsOnly}")
+    val missingGates = pairedGate.filterNot { case (_, gate) =>
+      SparkEntry.oracleSql.contains(gate)
+    }
+    assert(missingGates.isEmpty,
+      s"paired audit oracle(s) gone: $missingGates")
+  }
+
   test("the lint catches both bug classes that caused red rows") {
     // round-7 shard_assignments: un-CAST // on a window-sum column
     val r7 = "WITH c AS (SELECT sum(n_chars) OVER (ORDER BY doc_id) " +
