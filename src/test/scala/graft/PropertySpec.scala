@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.Prop.propBoolean
-import graft.ops.{DedupOps, EventOps, TootOps}
+import graft.ops.{DedupOps, EventOps, JoinOps, TootOps}
 
 /** Property-based coverage (ScalaCheck generators + single-pass Spark
   * assertions — one job over a generated batch, not one job per case).
@@ -73,6 +73,49 @@ class PropertySpec extends SparkSpec {
       .filter(col("novelty") < 0.0 || col("novelty") > 1.0 ||
         col("n_novel") > col("n_shingles") || col("n_shingles") <= 0)
     assert(bad.count() == 0, bad.limit(5).collect().mkString(", "))
+  }
+
+  test("fuzzyNamePairsBlocked finds every random single middle-token edit") {
+    // The recall contract token blocking is allowed to promise: an
+    // edit confined to a MIDDLE token leaves both end tokens intact,
+    // so at least one blocking pass pairs the names and the
+    // levenshtein gate (dist 1-2 ≤ 3) keeps them. 120 random cases —
+    // substitution, deletion, insertion, adjacent transposition —
+    // checked against ONE Spark evaluation of the operator.
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val cases = (0 until 120).flatMap { _ =>
+      val toks = Vector.fill(3 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+      val mi = 1 + rnd.nextInt(toks.length - 2)
+      val t = toks(mi)
+      val op = rnd.nextInt(4)
+      val edited =
+        if (op == 0) { // substitution, guaranteed to change the char
+          val p = rnd.nextInt(t.length)
+          t.updated(p, if (t(p) == 'z') 'y' else 'z')
+        } else if (op == 1 && t.length > 1) { // deletion
+          val p = rnd.nextInt(t.length)
+          t.take(p) + t.drop(p + 1)
+        } else if (op == 2) { // insertion (always changes length)
+          val p = rnd.nextInt(t.length + 1)
+          t.take(p) + "q" + t.drop(p)
+        } else if (t.length > 1) { // adjacent transposition
+          val p = rnd.nextInt(t.length - 1)
+          if (t(p) == t(p + 1)) t.updated(p, 'z')
+          else t.take(p) + t(p + 1) + t(p) + t.drop(p + 2)
+        } else t + "q"
+      val a = toks.mkString(" ")
+      val b = (toks.take(mi) :+ edited).++(toks.drop(mi + 1)).mkString(" ")
+      if (a == b) Nil else Seq((a, b))
+    }
+    val part = cases.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((i * 2L, a), (i * 2L + 1L, b)) }.toDF("p_partkey", "p_name")
+    val found = JoinOps.fuzzyNamePairsBlocked(part, maxDist = 3)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    val missing = cases.filterNot { case (a, b) =>
+      found.contains(if (a < b) (a, b) else (b, a)) }
+    assert(missing.isEmpty, s"missed ${missing.take(5)}")
   }
 
   test("connectedComponentsStar ≡ min-label propagation on random graphs") {
