@@ -155,8 +155,25 @@ object StreamJob {
       case id  => Some(spark.read.parquet(s"$dir/v$id"))
     }
     def write(rollup: DataFrame, batchId: Long): Unit = {
+      val prev = lastBatchId()
       rollup.write.mode("overwrite").parquet(s"$dir/v$batchId")
       java.nio.file.Files.write(ptr, s"$batchId\n".getBytes("UTF-8"))
+      // retention: keep the snapshot just superseded (crash-recovery
+      // margin — a reader may still be mid-scan on it) and drop
+      // everything older, so the store holds ≤2 versions instead of
+      // one directory per batch forever
+      val keep = Set(s"v$batchId", s"v$prev")
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v") &&
+          !keep.contains(f.getName))
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
     }
   }
 

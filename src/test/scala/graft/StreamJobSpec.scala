@@ -104,6 +104,13 @@ class StreamJobSpec extends SparkSpec {
     val q2 = StreamJob.startIncrementalDaily(prepared, store, ckpt)
     try q2.processAllAvailable() finally q2.stop()
     assert(store.lastBatchId() == 2L && rows(store.read().get) == scratch)
+
+    // retention: after 3 merges only the current + one superseded
+    // version directory remain — the store does not grow per batch
+    val versions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName).toSet
+    assert(versions == Set("v1", "v2"), versions.toString)
   }
 
   test("windowedCountsNative: watermarked update-mode totals") {
