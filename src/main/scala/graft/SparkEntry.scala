@@ -94,6 +94,7 @@ object SparkEntry {
     "daily_moving_avg" -> ((s, d) => EventOps.dailyMovingAvg(events(s, d))),
     "value_mad_by_type" -> ((s, d) => EventOps.valueMadByType(events(s, d))),
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
+    "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
     "scd2_type_history" -> ((s, d) => EventOps.scd2TypeHistory(events(s, d))),
     "incremental_daily_stats" -> ((s, d) =>
       EventOps.incrementalDailyStats(events(s, d))),
@@ -685,6 +686,49 @@ object SparkEntry {
         "SELECT event_type, next_type, n_steps, " +
         "round(CAST(n_steps AS DOUBLE) / CAST(n_from AS DOUBLE), 6) AS p_next " +
         "FROM agg JOIN tot USING (event_type)"),
+    // Mirrors GraphOps.eventTypePageRank: the 5 damped iterations are
+    // UNROLLED as chained CTEs (c_k = inflow aggregation, r_k = rank
+    // update) with every arithmetic step in the same order and type
+    // (DOUBLE) as the Spark loop, so the 6dp-rounded ranks hash
+    // identically. `pr` not `rank` as the CTE column — keyword-safe.
+    "event_pagerank" ->
+      ("WITH steps AS (SELECT event_type AS src, lead(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst " +
+        "FROM events), " +
+        "edges AS (SELECT src, dst, count(*) AS w FROM steps " +
+        "WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes), " +
+        "probs AS (SELECT src, dst, CAST(w AS DOUBLE) / " +
+        "sum(CAST(w AS DOUBLE)) OVER (PARTITION BY src) AS p FROM edges), " +
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes), " +
+        "c1 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "FROM probs o JOIN r0 r ON r.node = o.src GROUP BY 1), " +
+        "r1 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
+        "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
+        "FROM nodes n LEFT JOIN c1 c USING (node)), " +
+        "c2 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "FROM probs o JOIN r1 r ON r.node = o.src GROUP BY 1), " +
+        "r2 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
+        "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
+        "FROM nodes n LEFT JOIN c2 c USING (node)), " +
+        "c3 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "FROM probs o JOIN r2 r ON r.node = o.src GROUP BY 1), " +
+        "r3 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
+        "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
+        "FROM nodes n LEFT JOIN c3 c USING (node)), " +
+        "c4 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "FROM probs o JOIN r3 r ON r.node = o.src GROUP BY 1), " +
+        "r4 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
+        "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
+        "FROM nodes n LEFT JOIN c4 c USING (node)), " +
+        "c5 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "FROM probs o JOIN r4 r ON r.node = o.src GROUP BY 1), " +
+        "r5 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
+        "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
+        "FROM nodes n LEFT JOIN c5 c USING (node)) " +
+        "SELECT node AS event_type, round(pr, 6) AS pagerank " +
+        "FROM r5 ORDER BY event_type ASC"),
     // Mirrors EventOps.scd2TypeHistory: same (ts, event_id) total order
     // for both the change flags and the island numbering, so ties
     // resolve identically in both engines.

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists, complementing the connected-
+  * components family in [[DedupOps]] (min-label propagation +
+  * large-star/small-star). The reference computes no graph measures;
+  * this fills the gap Spark-first: edges and ranks stay DataFrames,
+  * each iteration is a join + partial-aggregated groupBy, and lineage
+  * is truncated per round exactly like the CC loops so a deep
+  * iteration count cannot blow up the plan.
+  *
+  * Scale notes (100 TB posture): the per-iteration work is one
+  * rank⋈edge hash join on `src` plus one groupBy on `dst` — the
+  * Pregel message pattern. Edge probabilities are computed ONCE
+  * up front (weights normalized per source) and localCheckpointed, so
+  * iterations never re-derive them; the rank frame is node-sized (≪
+  * edge-sized) and the planner broadcasts it when small. The only
+  * driver-side scalar is the node COUNT.
+  */
+object GraphOps {
+
+  /** Weighted, damped PageRank with a fixed iteration count.
+    *
+    * `edges` must have columns (`src`: string, `dst`: string,
+    * `weight`: numeric > 0). Rank update per iteration:
+    *
+    *   rank'(v) = (1-d)/N + d · Σ_{u→v} p(u,v) · rank(u)
+    *
+    * where p(u,v) = weight(u,v) / Σ_w weight(u,w). Nodes with no
+    * in-edges keep the teleport term; DANGLING nodes (no out-edges)
+    * are refused loudly rather than silently leaking rank mass —
+    * callers whose graphs can dangle must add self-loops or a sink
+    * redistribution first (same loud-refusal contract as
+    * [[DedupOps.connectedComponents]] non-convergence).
+    *
+    * Returns (`node`, `pagerank` rounded to 6dp) — rounding pinned so
+    * the DuckDB oracle's unrolled-iteration recomputation hashes
+    * identically despite double arithmetic.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    // One scalar to the driver: N. (Node count, not rows — bounded.)
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val dangling = nodes
+      .join(edges.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .limit(1).collect()
+    require(dangling.isEmpty,
+      s"pageRank: dangling node '${dangling.headOption.map(_.get(0))}' " +
+        "has no out-edges; add self-loops or sink redistribution first")
+
+    // p(u,v) — computed once, checkpointed, reused every iteration.
+    val wOut = Window.partitionBy("src")
+    val probs = edges.select(col("src"), col("dst"),
+        (col("weight").cast("double") /
+          sum(col("weight").cast("double")).over(wOut)).as("p"))
+      .localCheckpoint()
+
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to iters) {
+      val contribs = probs
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("rank")).as("inflow"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        // same lineage-truncation discipline as the CC loops: round
+        // k's plan must not replay rounds 1..k-1. Lazy — materialized
+        // by the next round's join (or the caller's action).
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("pagerank"))
+  }
+
+  /** PageRank over the event-type transition graph: edges are the
+    * first-order Markov transitions of [[EventOps.eventTransitions]]
+    * (consecutive same-user event pairs, weighted by occurrence
+    * count). The stationary-importance ranking of event types — which
+    * states the user flow concentrates on. The edge derivation (one
+    * window pass + one groupBy over the full log) is the distributed
+    * heavy part; the iteration then runs on the collapsed type-level
+    * graph, so cost scales with the LOG, not with iterations × log.
+    */
+  def eventTypePageRank(events: DataFrame, iters: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val edges = events
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("weight"))
+    pageRank(edges, iters)
+      .select(col("node").as("event_type"), col("pagerank"))
+      .orderBy(col("event_type").asc)
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.ops.GraphOps
+
+/** PageRank contract: matches a naive in-memory power iteration on a
+  * fixture, conserves rank mass (no dangling leak by construction),
+  * and refuses dangling graphs loudly instead of silently leaking.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    // a -> b (2), a -> c (1), b -> c (3), c -> a (1): strongly
+    // connected, asymmetric weights.
+    ("a", "b", 2L), ("a", "c", 1L), ("b", "c", 3L), ("c", "a", 1L))
+
+  /** Naive reference: dense power iteration, same update rule. */
+  private def naive(edges: Seq[(String, String, Long)], iters: Int,
+      d: Double): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.size
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    var rank = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val inflow = nodes.map { v =>
+        v -> edges.filter(_._2 == v)
+          .map { case (u, _, w) => (w.toDouble / outW(u)) * rank(u) }.sum
+      }.toMap
+      rank = nodes.map(v => v -> ((1.0 - d) / n + d * inflow(v))).toMap
+    }
+    rank
+  }
+
+  test("pageRank matches naive power iteration on the fixture") {
+    val edges = fixture.toDF("src", "dst", "weight")
+    val got = GraphOps.pageRank(edges, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = naive(fixture, iters = 5, d = 0.85)
+    assert(got.keySet == want.keySet)
+    for ((node, w) <- want)
+      assert(math.abs(got(node) - w) < 1e-6, s"$node: ${got(node)} vs $w")
+  }
+
+  test("rank mass is conserved (sums to 1)") {
+    val edges = fixture.toDF("src", "dst", "weight")
+    val total = GraphOps.pageRank(edges, iters = 5)
+      .agg(org.apache.spark.sql.functions.sum("pagerank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-5, s"mass leaked: $total")
+  }
+
+  test("dangling nodes are refused loudly") {
+    // d has no out-edges: its rank mass would silently leak.
+    val edges = (fixture :+ ("a", "d", 1L)).toDF("src", "dst", "weight")
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.pageRank(edges, iters = 2).collect()
+    }
+    assert(e.getMessage.contains("dangling"), e.getMessage)
+  }
+
+  test("eventTypePageRank over real events: rows, mass, determinism") {
+    val events = Tables.events(spark, sf0)
+    val out = GraphOps.eventTypePageRank(events).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"mass: $total")
+    val again = GraphOps.eventTypePageRank(events).collect()
+    assert(out.toSeq == again.toSeq, "non-deterministic ranks")
+  }
+}
