@@ -73,6 +73,8 @@ object SparkEntry {
       ((s, d) => EventOps.approxDistinctUsersDaily(events(s, d))),
     "approx_distinct_audit" ->
       ((s, d) => EventOps.approxDistinctAudit(events(s, d))),
+    "hll_union_rollup_audit" ->
+      ((s, d) => EventOps.hllUnionRollupAudit(events(s, d))),
     "props_key_counts" -> ((s, d) => EventOps.propsKeyCounts(events(s, d))),
     "running_value_per_user" -> ((s, d) => EventOps.runningValuePerUser(events(s, d))),
     "lag_value_per_user" -> ((s, d) => EventOps.lagValuePerUser(events(s, d))),
@@ -526,6 +528,14 @@ object SparkEntry {
     "approx_distinct_audit" ->
       ("SELECT CAST(ts AS DATE) AS day, " +
         "count(DISTINCT user_id) AS n_exact, true AS within_3rsd " +
+        "FROM events GROUP BY 1"),
+    // Mirrors EventOps.hllUnionRollupAudit: the day-sketch → week-union
+    // estimate is sketch-bound, but a pure function of the user set —
+    // its 5%-tolerance flag is a deterministic constant beside the
+    // exact weekly distincts the oracle recomputes.
+    "hll_union_rollup_audit" ->
+      ("SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, " +
+        "count(DISTINCT user_id) AS n_exact, true AS within_tol " +
         "FROM events GROUP BY 1"),
     "props_key_counts" ->
       ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +

@@ -617,4 +617,36 @@ object EventOps {
       .agg(sum(col("toots")).as("toots"),
         round(sum(col("value_sum")), 4).cast("double").as("value_sum"))
   }
+
+  /** Mergeable-sketch rollup: per-DAY Datasketches HLL sketches of the
+    * user set (`hll_sketch_agg`), merged to WEEK level with
+    * `hll_union_agg` — never re-touching raw rows. This is the 100 TB
+    * distinct-count architecture [[incrementalDailyStats]]'s exact
+    * counters cannot give: `count(DISTINCT)` partials don't merge
+    * (distinct isn't associative), so a weekly exact rollup must
+    * rescan the raw week; a stored day-sketch table is a few KB per
+    * day and unions in microseconds. (`approx_count_distinct`'s HLL++
+    * estimates never surface as a mergeable value — the Datasketches
+    * functions expose the sketch itself as a column.)
+    *
+    * Audit shape (same contract as [[approxDistinctAudit]]): the
+    * estimate is sketch-bound, not SQL-derivable, but it is a PURE
+    * function of the value set, so `within_tol` — the merged weekly
+    * estimate landing within max(1, 5%) of the exact weekly distinct
+    * (3× the lgK=12 sketch's ~1.6% rsd) — is a deterministic constant
+    * the DuckDB oracle asserts alongside the exact counts. */
+  def hllUnionRollupAudit(events: DataFrame): DataFrame = {
+    val week = date_trunc("week", col("ts"))
+    val daySketches = events
+      .groupBy(week.as("week"), date_trunc("day", col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val est = daySketches.groupBy("week")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n_est"))
+    val exact = events.groupBy(week.as("week"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(est, "week")
+      .select(col("week"), col("n_exact"),
+        (abs(col("n_est") - col("n_exact")).cast("double") <=
+          greatest(lit(1.0), lit(0.05) * col("n_exact"))).as("within_tol"))
+  }
 }
