@@ -133,6 +133,7 @@ object SparkEntry {
     "bpeish_token_counts" -> ((s, d) => DocOps.bpeishTokenCounts(documents(s, d))),
     "token_stats_by_source" -> ((s, d) => DocOps.tokenStatsBySource(documents(s, d))),
     "top_terms" -> ((s, d) => DocOps.topTerms(documents(s, d))),
+    "term_cooccurrence" -> ((s, d) => MiningOps.termCooccurrence(documents(s, d))),
     "heavy_hitter_terms" ->
       ((s, d) => DocOps.heavyHitterTerms(documents(s, d))),
     "token_percentiles_by_source" ->
@@ -903,6 +904,31 @@ object SparkEntry {
       ("SELECT term, count(*) AS cnt FROM (" +
         "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
         "FROM documents) GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20"),
+    // Mirrors MiningOps.termCooccurrence: distinct doc-term pairs,
+    // df-pruned vocabulary [20, 0.9N], pair self-join on doc_id with
+    // binary term order, HAVING >= 10, and every ratio in DOUBLE with
+    // the same operand order before the 6dp round.
+    "term_cooccurrence" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b, " +
+        "CAST(count(*) AS BIGINT) AS n_pair " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10) " +
+        "SELECT term_a, term_b, n_pair, " +
+        "round(CAST(n_pair AS DOUBLE) / (SELECT CAST(n AS DOUBLE) FROM nd), 6) AS support, " +
+        "round(CAST(n_pair AS DOUBLE) / CAST(da.df AS DOUBLE), 6) AS conf_a_b, " +
+        "round(CAST(n_pair AS DOUBLE) / CAST(db.df AS DOUBLE), 6) AS conf_b_a, " +
+        "round(CAST(n_pair AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM nd) / " +
+        "(CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)), 6) AS lift " +
+        "FROM p JOIN v da ON da.term = p.term_a JOIN v db ON db.term = p.term_b"),
     // heavyHitterTerms' sketch-then-confirm output is EXACT by
     // construction (MG only prunes candidates; the final counts and
     // HAVING are exact), so the oracle is the brute-force form the

@@ -1,0 +1,60 @@
+package graft
+
+import graft.ops.MiningOps
+
+/** Association-rule contract on a planted fixture: exact
+  * support/confidence/lift values, both df pruning bounds, and the
+  * within-doc distinctness of the basket (duplicate tokens count
+  * once). */
+class MiningOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 10 docs. "alpha beta" co-occur in 4; "alpha gamma" in 2;
+  // "rare" appears once (below minDf=2); "stop" is in 9 of 10 docs
+  // (above maxDfShare=0.8 → pruned).
+  private val docs = Seq(
+    (1L, "alpha beta stop"), (2L, "alpha beta stop"),
+    (3L, "alpha beta stop"), (4L, "alpha beta alpha stop"),
+    (5L, "alpha gamma stop"), (6L, "alpha gamma stop"),
+    (7L, "beta stop"), (8L, "gamma stop rare"),
+    (9L, "stop delta delta"), (10L, "delta beta")
+  ).toDF("doc_id", "text")
+
+  private def rules = MiningOps
+    .termCooccurrence(docs, minDf = 2, maxDfShare = 0.8, minPair = 2)
+    .collect()
+    .map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+        r.getDouble(6)))
+    .toMap
+
+  test("support, confidence and lift are exact on the fixture") {
+    val r = rules
+    // alpha df=6, beta df=6, gamma df=3, delta df=2, N=10.
+    val (np, sup, cab, cba, lift) = r(("alpha", "beta"))
+    assert(np == 4L)
+    assert(sup == 0.4)
+    assert(cab == math.rint(4.0 / 6.0 * 1e6) / 1e6)
+    assert(cba == math.rint(4.0 / 6.0 * 1e6) / 1e6)
+    assert(lift == math.rint(4.0 * 10.0 / 36.0 * 1e6) / 1e6)
+    val (np2, _, _, _, lift2) = r(("alpha", "gamma"))
+    assert(np2 == 2L)
+    assert(lift2 == math.rint(2.0 * 10.0 / 18.0 * 1e6) / 1e6)
+  }
+
+  test("df bounds prune rare terms and stopwords before the pair join") {
+    val terms = rules.keySet.flatMap(p => Set(p._1, p._2))
+    assert(!terms.contains("rare"), "df=1 term must fall below minDf")
+    assert(!terms.contains("stop"), "df=9/10 term must exceed maxDfShare")
+  }
+
+  test("duplicate tokens inside one doc count once (doc 4 has alpha twice)") {
+    assert(rules(("alpha", "beta"))._1 == 4L)
+  }
+
+  test("minPair filters inside the aggregation") {
+    // beta+delta co-occur once (doc 10) — under minPair=2.
+    assert(!rules.contains(("beta", "delta")))
+    assert(!rules.contains(("delta", "beta")))
+  }
+}
