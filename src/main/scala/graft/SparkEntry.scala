@@ -106,6 +106,8 @@ object SparkEntry {
     "fuzzy_name_pairs" -> ((s, d) => JoinOps.fuzzyNamePairs(part(s, d))),
     "fuzzy_name_pairs_blocked" -> ((s, d) =>
       JoinOps.fuzzyNamePairsBlocked(part(s, d))),
+    "fuzzy_name_pairs_jw" -> ((s, d) =>
+      JoinOps.fuzzyNamePairsJw(part(s, d))),
     "salted_nation_activity" -> ((s, d) =>
       SkewOps.saltedNationActivity(events(s, d), customer(s, d))),
     "zorder_layout_audit" -> ((s, d) =>
@@ -814,6 +816,29 @@ object SparkEntry {
         "CAST(levenshtein(name_a, name_b) AS INT) AS dist, " +
         "n_parts_a, n_parts_b FROM cand " +
         "WHERE levenshtein(name_a, name_b) <= 3"),
+    // Mirrors JoinOps.fuzzyNamePairsJw: same blocked candidates, scored
+    // by DuckDB's own jaro_winkler_similarity — the native expression's
+    // semantics were pinned against it (empty→0, window ⌊max/2⌋-1,
+    // boost only past 0.7, prefix cap 4, raw-byte comparison), and both
+    // sides round to 6dp BEFORE the threshold.
+    "fuzzy_name_pairs_jw" ->
+      ("WITH n AS (SELECT p_name AS name, count(*) AS n_parts " +
+        "FROM part GROUP BY 1), " +
+        "t AS (SELECT name, n_parts, " +
+        "split_part(name, ' ', 1) AS tok_first, " +
+        "list_extract(string_split(name, ' '), " +
+        "len(string_split(name, ' '))) AS tok_last FROM n), " +
+        "cand AS (" +
+        "SELECT a.name AS name_a, b.name AS name_b, " +
+        "a.n_parts AS n_parts_a, b.n_parts AS n_parts_b " +
+        "FROM t a JOIN t b ON a.tok_first = b.tok_first AND a.name < b.name " +
+        "UNION " +
+        "SELECT a.name, b.name, a.n_parts, b.n_parts " +
+        "FROM t a JOIN t b ON a.tok_last = b.tok_last AND a.name < b.name) " +
+        "SELECT name_a, name_b, " +
+        "round(jaro_winkler_similarity(name_a, name_b), 6) AS jw, " +
+        "n_parts_a, n_parts_b FROM cand " +
+        "WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.93"),
     // Oracle is the PLAIN join + group-by: the hash gate proves the
     // salted path is result-identical to the unsalted one.
     "salted_nation_activity" ->

@@ -42,6 +42,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DeflateLength(exprs(0))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerSim].getName,
+        "graft_jaro_winkler"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_jaro_winkler", "graft_jaro_winkler(a, b)",
+          exprs, 2)
+        JaroWinklerSim(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (exprs: Seq[Expression]) => GraftExtensions.buildLshBucket(exprs)))

@@ -358,7 +358,34 @@ object JoinOps {
     * class (FuzzyBlockedSpec pins this with a planted transposition)
     * and fails only when BOTH end tokens mutate. Same output frame as
     * the band-pruned form, so callers can swap on vocabulary size. */
-  def fuzzyNamePairsBlocked(part: DataFrame, maxDist: Int = 3): DataFrame = {
+  def fuzzyNamePairsBlocked(part: DataFrame, maxDist: Int = 3): DataFrame =
+    blockedNameCandidates(part)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
+
+  /** [[fuzzyNamePairsBlocked]] scored with the native Jaro–Winkler
+    * similarity ([[graft.functions.JaroWinkler]]) instead of raw edit
+    * distance — the scorer the record-linkage literature actually
+    * recommends for NAMES: already normalized to [0,1] (no
+    * length-relative threshold gymnastics), transposed middle
+    * characters penalized lightly, divergent prefixes heavily. Same
+    * token-blocked candidate generation, so the scale contract is
+    * unchanged (Σ block² per token, never V²); the similarity is
+    * rounded to 6dp BEFORE the threshold so the boundary decision is
+    * bit-identical to the DuckDB oracle's. */
+  def fuzzyNamePairsJw(part: DataFrame, minSim: Double = 0.93): DataFrame =
+    blockedNameCandidates(part)
+      .withColumn("jw", round(graft.functions.JaroWinkler
+        .jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= minSim)
+      .select("name_a", "name_b", "jw", "n_parts_a", "n_parts_b")
+
+  /** Shared token-blocking pass for the fuzzy name joins: candidate
+    * pairs sharing their FIRST or LAST whitespace token, unioned,
+    * dedup'd (distinct over the full row dedups pairs blocked by BOTH
+    * passes). */
+  private def blockedNameCandidates(part: DataFrame): DataFrame = {
     val names = part.groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("n_parts"))
     val toks = names
@@ -371,11 +398,7 @@ object JoinOps {
         col("n_parts").as("n_parts_b"))
       a.join(b, Seq("k")).filter(col("name_a") < col("name_b")).drop("k")
     }
-    // distinct over the full row dedups pairs blocked by BOTH passes
     pass("tok_first").unionByName(pass("tok_last")).distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
-      .select("name_a", "name_b", "dist", "n_parts_a", "n_parts_b")
   }
 
   def dailyOrdersVsEvents(orders: DataFrame, events: DataFrame): DataFrame = {
