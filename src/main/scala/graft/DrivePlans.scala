@@ -106,6 +106,23 @@ object DrivePlans {
           "back against it on (band_id, bucket) — pair cost tracks the " +
           "shard, old-vs-old pairs are structurally absent, and the " +
           "shared band subtree materializes once via exchange reuse."),
+      ("event_pagerank (iterative rank joins behind a truncated lineage)",
+        "The final round's plan reads the previous round from an " +
+          "ExistingRDD (per-round lazy localCheckpoint — the SAME " +
+          "lineage-truncation discipline as the CC loops), so round k " +
+          "never replays rounds 1..k-1: what remains is exactly one " +
+          "probs⋈rank hash join, one dst-keyed partial+final agg, and " +
+          "the teleport projection. Edge probabilities were computed " +
+          "once up front and checkpointed — iterations never re-derive " +
+          "them."),
+      ("term_cooccurrence (df-pruned pair self-join, shared subtree)",
+        "Both sides of the pair join are the SAME pruned doc-term " +
+          "frame, so its exchange plans once and is reused; the join " +
+          "keys on doc_id (pairs expand co-located inside each doc's " +
+          "partition), the vocabulary df bounds are applied BEFORE the " +
+          "join, and minPair filters inside the pair aggregation — the " +
+          "two quadratic levers the scaladoc names, visible in the " +
+          "plan as pre-join Filters and a post-agg HAVING."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -125,6 +142,8 @@ object DrivePlans {
       "heavy_hitter_terms" -> SparkEntry.queries("heavy_hitter_terms"),
       "fuzzy_contamination" -> SparkEntry.queries("fuzzy_contamination"),
       "incremental_near_dups" -> SparkEntry.queries("incremental_near_dups"),
+      "event_pagerank" -> SparkEntry.queries("event_pagerank"),
+      "term_cooccurrence" -> SparkEntry.queries("term_cooccurrence"),
     )
 
     val sb = new StringBuilder

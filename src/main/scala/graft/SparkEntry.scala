@@ -170,6 +170,8 @@ object SparkEntry {
     "lang_confusion" -> ((s, d) => DocOps.langConfusion(documents(s, d))),
     "importance_sample" ->
       ((s, d) => DocOps.importanceSample(documents(s, d))),
+    "weighted_sample" ->
+      ((s, d) => DocOps.weightedSample(documents(s, d))),
     "mixture_sample" ->
       ((s, d) => DocOps.mixtureSample(documents(s, d), mixtureRates)),
     "shard_assignments" ->
@@ -715,27 +717,27 @@ object SparkEntry {
         "probs AS (SELECT src, dst, CAST(w AS DOUBLE) / " +
         "sum(CAST(w AS DOUBLE)) OVER (PARTITION BY src) AS p FROM edges), " +
         "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM nodes), " +
-        "c1 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "c1 AS (SELECT o.dst AS node, sum(CAST(o.p * r.pr AS DOUBLE)) AS inflow " +
         "FROM probs o JOIN r0 r ON r.node = o.src GROUP BY 1), " +
         "r1 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
         "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
         "FROM nodes n LEFT JOIN c1 c USING (node)), " +
-        "c2 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "c2 AS (SELECT o.dst AS node, sum(CAST(o.p * r.pr AS DOUBLE)) AS inflow " +
         "FROM probs o JOIN r1 r ON r.node = o.src GROUP BY 1), " +
         "r2 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
         "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
         "FROM nodes n LEFT JOIN c2 c USING (node)), " +
-        "c3 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "c3 AS (SELECT o.dst AS node, sum(CAST(o.p * r.pr AS DOUBLE)) AS inflow " +
         "FROM probs o JOIN r2 r ON r.node = o.src GROUP BY 1), " +
         "r3 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
         "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
         "FROM nodes n LEFT JOIN c3 c USING (node)), " +
-        "c4 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "c4 AS (SELECT o.dst AS node, sum(CAST(o.p * r.pr AS DOUBLE)) AS inflow " +
         "FROM probs o JOIN r3 r ON r.node = o.src GROUP BY 1), " +
         "r4 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
         "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
         "FROM nodes n LEFT JOIN c4 c USING (node)), " +
-        "c5 AS (SELECT o.dst AS node, sum(o.p * r.pr) AS inflow " +
+        "c5 AS (SELECT o.dst AS node, sum(CAST(o.p * r.pr AS DOUBLE)) AS inflow " +
         "FROM probs o JOIN r4 r ON r.node = o.src GROUP BY 1), " +
         "r5 AS (SELECT n.node, CAST(0.15 AS DOUBLE) / (SELECT n FROM nn) + " +
         "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
@@ -1169,6 +1171,16 @@ object SparkEntry {
       ("SELECT doc_id, source, n_chars FROM documents " +
         s"WHERE (${DocOps.knuthHash32Sql("doc_id")}) % 1000000 * 1000 " +
         "< n_chars * 1000000"),
+    // Mirrors DocOps.weightedSample (Efraimidis–Spirakis): same Knuth
+    // u, same u^(1/n_chars) key in DOUBLE, both sides rank the
+    // 9dp-ROUNDED key with the doc_id tie-break.
+    "weighted_sample" ->
+      ("SELECT doc_id, source, n_chars, " +
+        s"round(pow((CAST((${DocOps.knuthHash32Sql("doc_id")}) AS DOUBLE) " +
+        "+ CAST(0.5 AS DOUBLE)) / CAST(4294967296 AS DOUBLE), " +
+        "CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE)), 9) AS es_key " +
+        "FROM documents WHERE n_chars > 0 " +
+        "ORDER BY es_key DESC, doc_id ASC LIMIT 50"),
     // Mirrors DocOps.mixtureSample: identical Knuth hash, identical
     // literal rate CASE (built from the same Scala constant).
     "mixture_sample" ->

@@ -982,6 +982,33 @@ object DocOps {
         lit(scaleChars.toLong) < col("n_chars") * lit(1000000L))
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  /** EXACT-k weighted sampling without replacement (Efraimidis &
+    * Spirakis '06 — "Weighted random sampling with a reservoir"):
+    * each doc draws u ∈ (0,1) from the shared Knuth hash and the k
+    * LARGEST keys u^(1/w), w = n_chars, are the sample — longer
+    * documents proportionally likelier, yet the draw is a pure
+    * function of doc_id (no RNG, reproducible across runs, partitions
+    * and engines — the same determinism contract as
+    * [[importanceSample]], which keeps each doc independently and so
+    * cannot hit an exact target count).
+    *
+    * Scale shape: the k-largest selection is TakeOrderedAndProject —
+    * per-partition capped heaps, no global sort. Keys round to 9dp
+    * BEFORE ranking with a doc_id tie-break, so the selection boundary
+    * is bit-identical in the DuckDB oracle (the sub-ulp pow()
+    * divergence between JVM and libm sits 7 orders of magnitude below
+    * the rounding step; inter-doc key spacing sits 4 above it). */
+  def weightedSample(docs: DataFrame, k: Int = 50): DataFrame = {
+    val u = (knuthHash32(col("doc_id")).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(pow(u, lit(1.0) / col("n_chars").cast("double")), 9)
+          .as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Broadcast-hint cap for the two-level prefix-sum offset frames:
     * ~262k (source, bucket) rows ≈ 10 MB of (string, long, long) —
     * comfortably executor-memory-safe; past it [[guardedBroadcast]]

@@ -277,4 +277,30 @@ class DocPipelineSpec extends SparkSpec {
     assert(got(("fr", "en")) == 1L, got.toString)
     assert(got(("en", "und")) == 1L, got.toString)
   }
+
+  test("weightedSample: exact k, layout-independent, matches the E-S " +
+    "keys computed in plain Scala") {
+    val docs = (1L to 200L)
+      .map(i => (i, s"src${i % 3}", (i % 7 + 1) * 100))
+      .toDF("doc_id", "source", "n_chars")
+    val got = DocOps.weightedSample(docs, k = 20)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(got.size == 20)
+    // reference: same Knuth hash + u^(1/w) in plain Scala
+    def knuth(id: Long): Long = {
+      val a = ((id % 4294967296L) + 4294967296L) % 4294967296L
+      ((a / 65536L * 2654435761L) % 65536L * 65536L +
+        a % 65536L * 2654435761L) % 4294967296L
+    }
+    val want = (1L to 200L).map { i =>
+      val w = (i % 7 + 1) * 100
+      val u = (knuth(i) + 0.5) / 4294967296.0
+      (i, math.rint(math.pow(u, 1.0 / w) * 1e9) / 1e9)
+    }.sortBy { case (id, key) => (-key, id) }.take(20)
+    assert(got.map(r => (r._1, r._4)) == want, "selection diverges")
+    // layout independence: repartitioned input → identical sample
+    val again = DocOps.weightedSample(docs.repartition(17), k = 20)
+      .as[(Long, String, Long, Double)].collect().toSeq
+    assert(again == got)
+  }
 }
