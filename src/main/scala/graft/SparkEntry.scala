@@ -108,6 +108,8 @@ object SparkEntry {
       JoinOps.fuzzyNamePairsBlocked(part(s, d))),
     "fuzzy_name_pairs_jw" -> ((s, d) =>
       JoinOps.fuzzyNamePairsJw(part(s, d))),
+    "sorted_neighborhood_pairs" -> ((s, d) =>
+      JoinOps.sortedNeighborhoodPairs(part(s, d))),
     "salted_nation_activity" -> ((s, d) =>
       SkewOps.saltedNationActivity(events(s, d), customer(s, d))),
     "zorder_layout_audit" -> ((s, d) =>
@@ -841,6 +843,23 @@ object SparkEntry {
         "round(jaro_winkler_similarity(name_a, name_b), 6) AS jw, " +
         "n_parts_a, n_parts_b FROM cand " +
         "WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.93"),
+    // Mirrors JoinOps.sortedNeighborhoodPairs: the two-level prefix-sum
+    // rank equals DuckDB's flat row_number over the same (distinct, so
+    // tie-free) name order; the neighborhood predicate and the
+    // 6dp-rounded JW threshold are identical.
+    "sorted_neighborhood_pairs" ->
+      ("WITH n AS (SELECT p_name AS name, count(*) AS n_parts " +
+        "FROM part GROUP BY 1), " +
+        "r AS (SELECT name, n_parts, " +
+        "row_number() OVER (ORDER BY name) AS rank FROM n), " +
+        "p AS (SELECT a.name AS name_a, b.name AS name_b, " +
+        "CAST(b.rank - a.rank AS INT) AS gap, " +
+        "a.n_parts AS n_parts_a, b.n_parts AS n_parts_b " +
+        "FROM r a JOIN r b ON b.rank > a.rank AND b.rank <= a.rank + 10) " +
+        "SELECT name_a, name_b, gap, " +
+        "round(jaro_winkler_similarity(name_a, name_b), 6) AS jw, " +
+        "n_parts_a, n_parts_b FROM p " +
+        "WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.88"),
     // Oracle is the PLAIN join + group-by: the hash gate proves the
     // salted path is result-identical to the unsalted one.
     "salted_nation_activity" ->

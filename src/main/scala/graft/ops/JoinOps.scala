@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -380,6 +381,52 @@ object JoinOps {
         .jaroWinkler(col("name_a"), col("name_b")), 6))
       .filter(col("jw") >= minSim)
       .select("name_a", "name_b", "jw", "n_parts_a", "n_parts_b")
+
+  /** Sorted-neighborhood record linkage (Hernández & Stolfo '95) —
+    * the third blocking strategy in the fuzzy family, catching what
+    * token blocking structurally cannot: pairs whose EVERY token
+    * mutated slightly but whose sort position barely moved. Names are
+    * ranked in one global lexicographic order; each name pairs with
+    * the `window` names after it; pairs score with the native
+    * Jaro–Winkler and keep at `minSim`.
+    *
+    * Scale shape: the textbook method needs a global sort — a single
+    * monolithic `row_number()` window would serialize the corpus
+    * through one task. The rank here is a TWO-LEVEL prefix sum (the
+    * [[graft.ops.DocOps.shardAssignments]] discipline): intra-rank
+    * within first-character buckets (parallel window per bucket), a
+    * bucket-count frame of |alphabet| rows windowed on the driver-tiny
+    * side and broadcast back. The neighborhood join is then an
+    * EQUI-join on rank+i with i exploded 1..window — never a range
+    * BNL. Window diameter bounds candidates at n·window. */
+  def sortedNeighborhoodPairs(part: DataFrame, window: Int = 10,
+      minSim: Double = 0.88): DataFrame = {
+    val names = part.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("b", substring(col("name"), 1, 1))
+    val wIntra = Window.partitionBy("b").orderBy("name")
+    val intra = names.withColumn("rn", row_number().over(wIntra))
+    // |alphabet| rows: the only serial window runs over ≤ 256 rows
+    val wOff = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = names.groupBy("b").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum("cnt").over(wOff), lit(0L)))
+      .select("b", "off")
+    val ranked = intra.join(broadcast(offsets), "b")
+      .select(col("name"), col("n_parts"),
+        (col("off") + col("rn")).as("rank"))
+    val probes = ranked
+      .withColumn("gap", explode(array((1 to window).map(lit): _*)))
+      .select(col("name").as("name_a"), col("n_parts").as("n_parts_a"),
+        (col("rank") + col("gap")).as("rank_b"), col("gap"))
+    probes
+      .join(ranked.select(col("name").as("name_b"),
+        col("n_parts").as("n_parts_b"), col("rank").as("rank_b")), "rank_b")
+      .withColumn("jw", round(graft.functions.JaroWinkler
+        .jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= minSim)
+      .select("name_a", "name_b", "gap", "jw", "n_parts_a", "n_parts_b")
+  }
 
   /** Shared token-blocking pass for the fuzzy name joins: candidate
     * pairs sharing their FIRST or LAST whitespace token, unioned,

@@ -117,4 +117,48 @@ class RangeFuzzySaltSpec extends SparkSpec {
         (r.getLong(1), r.getDouble(2))).toMap
     assert(salted == plain)
   }
+
+  test("sortedNeighborhoodPairs: two-level rank ≡ flat row_number, and " +
+    "it finds the every-token-mutated pair token blocking cannot") {
+    // both tokens of the planted pair mutate (first AND last differ),
+    // so neither token-blocking pass can pair them — but their sort
+    // positions are adjacent.
+    val parts = Seq(
+      "almond antique", "almond antiqux", // shared first token only
+      "misty rose", "mistz rosx",         // EVERY token mutated
+      "aaa zzz", "qqq hhh")
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+    val got = JoinOps.sortedNeighborhoodPairs(parts, window = 2,
+        minSim = 0.85)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(got.contains(("misty rose", "mistz rosx")), got)
+    val blocked = JoinOps.fuzzyNamePairsBlocked(parts, maxDist = 3)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(!blocked.contains(("misty rose", "mistz rosx")),
+      "token blocking unexpectedly paired the every-token mutation")
+
+    // the two-level prefix-sum rank must equal a flat global
+    // row_number: pair sets agree on real data
+    val real = Tables.part(spark, sf0)
+    val twoLevel = JoinOps.sortedNeighborhoodPairs(real, window = 5,
+        minSim = 0.85)
+      .select("name_a", "name_b", "gap").collect().toSet
+    import org.apache.spark.sql.expressions.{Window => W}
+    val flatRank = real.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"))
+      .withColumn("rank", row_number().over(W.orderBy("name")))
+    val a = flatRank.select(col("name").as("name_a"),
+      col("rank").as("ra"))
+    val b = flatRank.select(col("name").as("name_b"),
+      col("rank").as("rb"))
+    val flat = a.join(b, col("rb") > col("ra") &&
+        col("rb") <= col("ra") + 5)
+      .withColumn("gap", (col("rb") - col("ra")).cast("int"))
+      .withColumn("jw", round(graft.functions.JaroWinkler
+        .jaroWinkler(col("name_a"), col("name_b")), 6))
+      .filter(col("jw") >= 0.85)
+      .select("name_a", "name_b", "gap").collect().toSet
+    assert(twoLevel == flat, "two-level rank diverges from flat window")
+  }
 }
