@@ -138,6 +138,7 @@ object SparkEntry {
     "token_stats_by_source" -> ((s, d) => DocOps.tokenStatsBySource(documents(s, d))),
     "top_terms" -> ((s, d) => DocOps.topTerms(documents(s, d))),
     "term_cooccurrence" -> ((s, d) => MiningOps.termCooccurrence(documents(s, d))),
+    "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "heavy_hitter_terms" ->
       ((s, d) => DocOps.heavyHitterTerms(documents(s, d))),
     "token_percentiles_by_source" ->
@@ -975,6 +976,34 @@ object SparkEntry {
         "round(CAST(n_pair AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM nd) / " +
         "(CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)), 6) AS lift " +
         "FROM p JOIN v da ON da.term = p.term_a JOIN v db ON db.term = p.term_b"),
+    // Mirrors MiningOps.tfidfCosinePairs: identical linear-idf weight
+    // (tf·N/df, same DOUBLE operand order), per-term inverted-index
+    // dot, sqrt-sum norms, cosine rounded 6dp BEFORE the threshold.
+    "tfidf_cosine_pairs" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM toks GROUP BY 1, 2), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "w AS (SELECT doc_id, term, " +
+        "CAST(tf AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM nd) / " +
+        "CAST(df AS DOUBLE) AS w " +
+        "FROM tf JOIN df USING (term) " +
+        "WHERE CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "nrm AS (SELECT doc_id, sqrt(sum(CAST(w * w AS DOUBLE))) AS nrm " +
+        "FROM w GROUP BY 1), " +
+        "dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
+        "sum(CAST(a.w * b.w AS DOUBLE)) AS dot, " +
+        "CAST(count(*) AS BIGINT) AS shared_terms " +
+        "FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2) " +
+        "SELECT doc_a, doc_b, shared_terms, " +
+        "round(dot / (x.nrm * y.nrm), 6) AS cosine " +
+        "FROM dots JOIN nrm x ON x.doc_id = doc_a " +
+        "JOIN nrm y ON y.doc_id = doc_b " +
+        "WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.9"),
     // heavyHitterTerms' sketch-then-confirm output is EXACT by
     // construction (MG only prunes candidates; the final counts and
     // HAVING are exact), so the oracle is the brute-force form the

@@ -57,4 +57,33 @@ class MiningOpsSpec extends SparkSpec {
     assert(!rules.contains(("beta", "delta")))
     assert(!rules.contains(("delta", "beta")))
   }
+
+  test("tfidfCosinePairs: exact copies score 1, disjoint docs are absent, " +
+    "the df cap drops ubiquitous terms from scoring") {
+    val fixture = Seq(
+      (1L, "red fish blue fish"), (2L, "red fish blue fish"), // exact copy
+      (3L, "red fish green"),
+      (4L, "totally different words here"),
+      // "common" sits in every doc below → df share 1.0 > 0.9 cap
+      (5L, "common alpha"), (6L, "common beta"))
+      .toDF("doc_id", "text")
+    val pairs = MiningOps.tfidfCosinePairs(fixture, minSim = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs((1L, 2L)) == 1.0, pairs.toString)
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)),
+      "no shared scorable terms may never pair")
+    // docs 5 and 6 share ONLY a term that exceeds the df cap in the
+    // fixture where it is ubiquitous — with a corpus-wide term planted
+    // in all 6 docs they must not pair through it
+    val allCommon = Seq(
+      (1L, "x red fish"), (2L, "x red fish"), (3L, "x green"),
+      (4L, "x different"), (5L, "x only"), (6L, "x solo"))
+      .toDF("doc_id", "text")
+    val viaCommon = MiningOps.tfidfCosinePairs(allCommon, minSim = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!viaCommon.contains((5L, 6L)),
+      "df-capped term must not generate pairs")
+    assert(viaCommon.contains((1L, 2L)))
+  }
 }
