@@ -123,6 +123,14 @@ object DrivePlans {
           "join, and minPair filters inside the pair aggregation — the " +
           "two quadratic levers the scaladoc names, visible in the " +
           "plan as pre-join Filters and a post-agg HAVING."),
+      ("sorted_neighborhood_pairs (two-level rank, no monolithic window)",
+        "The textbook method's global sort appears here as per-bucket " +
+          "parallel row_number windows plus ONE window over the " +
+          "|alphabet|-row bucket-count frame (broadcast back) — the " +
+          "only serial sort in the plan runs over ≤ 256 rows. The " +
+          "neighborhood itself is an exploded EQUI-join on rank+i; " +
+          "the native graft_jaro_winkler scores inside the generated " +
+          "stage after the join."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -144,6 +152,8 @@ object DrivePlans {
       "incremental_near_dups" -> SparkEntry.queries("incremental_near_dups"),
       "event_pagerank" -> SparkEntry.queries("event_pagerank"),
       "term_cooccurrence" -> SparkEntry.queries("term_cooccurrence"),
+      "sorted_neighborhood_pairs" ->
+        SparkEntry.queries("sorted_neighborhood_pairs"),
     )
 
     val sb = new StringBuilder
