@@ -100,6 +100,8 @@ object SparkEntry {
     "scd2_type_history" -> ((s, d) => EventOps.scd2TypeHistory(events(s, d))),
     "incremental_daily_stats" -> ((s, d) =>
       EventOps.incrementalDailyStats(events(s, d))),
+    "cdc_apply_changes" -> ((s, d) =>
+      EventOps.cdcApplyChanges(events(s, d))),
     "daily_orders_vs_events" -> ((s, d) =>
       JoinOps.dailyOrdersVsEvents(orders(s, d), events(s, d))),
     "trailing_revenue_30d" -> ((s, d) => AggOps.trailingRevenue(orders(s, d))),
@@ -770,6 +772,16 @@ object SparkEntry {
       ("SELECT CAST(ts AS DATE) AS day, count(*) AS toots, " +
         "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS value_sum " +
         "FROM events GROUP BY 1"),
+    // Mirrors EventOps.cdcApplyChanges — but as the FULL RECOMPUTE of
+    // latest state over the whole log, so the hash gate IS the proof
+    // that merging the delta changelog onto the base snapshot equals
+    // rebuilding state from scratch (tombstones = error events).
+    "cdc_apply_changes" ->
+      ("WITH latest AS (SELECT user_id, ts, event_type, value, " +
+        "row_number() OVER (PARTITION BY user_id " +
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) " +
+        "SELECT user_id, value, ts AS updated_at FROM latest " +
+        "WHERE rn = 1 AND event_type <> 'error'"),
     "daily_orders_vs_events" ->
       ("WITH o AS (SELECT o_orderdate AS day, count(*) AS n_orders " +
         "FROM orders GROUP BY 1), " +

@@ -618,6 +618,50 @@ object EventOps {
         round(sum(col("value_sum")), 4).cast("double").as("value_sum"))
   }
 
+  /** CDC MERGE-apply: the event log read as a CHANGELOG over a
+    * user-keyed state table — `error` events are DELETE tombstones,
+    * everything else an UPSERT of `value`. The base snapshot (latest
+    * change per user before `cutoff`, tombstones RETAINED) is merged
+    * with the delta changelog through one user-keyed FULL OUTER join
+    * where a delta row wins wholesale (row-level precedence via
+    * `when(delta present)`, never per-column coalesce — a legitimate
+    * NULL in the delta must not resurrect the base's value);
+    * tombstones drop only at publish. This is the MERGE INTO shape
+    * Spark lacks without a table format: the contract the gate proves
+    * is apply(base, delta) ≡ latest-state recompute over the whole
+    * log — the DuckDB oracle does the full recompute.
+    *
+    * Scale: base and delta each collapse to ≤ |users| rows via
+    * TopKRewrite'd latest-per-key windows BEFORE the join (both sides
+    * user-partitioned, AQE-broadcastable when small); the raw log is
+    * scanned once per side, never joined row-to-row. */
+  def cdcApplyChanges(events: DataFrame,
+      cutoff: String = "2024-01-16"): DataFrame = {
+    def latestState(part: DataFrame): DataFrame = {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      part.select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert")).as("op"),
+          col("value"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn", "event_id")
+    }
+    val cut = to_timestamp(lit(cutoff))
+    val base = latestState(events.filter(col("ts") < cut)).as("b")
+    val delta = latestState(events.filter(col("ts") >= cut)).as("d")
+    val deltaWins = col("d.op").isNotNull
+    base.join(delta, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        when(deltaWins, col("d.op")).otherwise(col("b.op")).as("op"),
+        when(deltaWins, col("d.value")).otherwise(col("b.value"))
+          .as("value"),
+        when(deltaWins, col("d.ts")).otherwise(col("b.ts"))
+          .as("updated_at"))
+      .filter(col("op") =!= "delete")
+      .select("user_id", "value", "updated_at")
+  }
+
   /** Mergeable-sketch rollup: per-DAY Datasketches HLL sketches of the
     * user set (`hll_sketch_agg`), merged to WEEK level with
     * `hll_union_agg` — never re-touching raw rows. This is the 100 TB

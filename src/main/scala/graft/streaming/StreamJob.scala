@@ -228,16 +228,35 @@ object StreamJob {
   def streamStreamJoin(left: DataFrame, right: DataFrame,
       key: String, leftTs: String, rightTs: String,
       watermark: String = "10 minutes",
-      within: String = "5 minutes"): DataFrame = {
+      within: String = "5 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
     l.join(r,
         l(key) === r(key) &&
           r(rightTs) >= l(leftTs) &&
           r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions
-            .expr(s"INTERVAL $within"))
+            .expr(s"INTERVAL $within"),
+        joinType)
       .drop(r(key)) // keep one unambiguous copy of the join key
   }
+
+  /** LEFT OUTER stream-stream join: unmatched left rows surface
+    * null-padded — but only once the right-side WATERMARK passes the
+    * end of their match window (before that, a match could still
+    * arrive; the state store must hold the row). The time-range bound
+    * is what makes the outer semantics finite: without it an
+    * unmatched row could never be declared unmatched and its state
+    * never evicted. Emission latency for the null-padded rows is
+    * therefore governed by the watermark delay, not the trigger —
+    * the contract StreamJobSpec pins with a late watermark-advancing
+    * batch. */
+  def streamStreamJoinOuter(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      watermark: String = "10 minutes",
+      within: String = "5 minutes"): DataFrame =
+    streamStreamJoin(left, right, key, leftTs, rightTs, watermark,
+      within, "left_outer")
 
   /** The idiomatic Spark-native alternative the reference lacks
     * (SURVEY.md §2.8): true streaming windowed aggregation with a

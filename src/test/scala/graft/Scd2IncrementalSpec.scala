@@ -95,4 +95,40 @@ class Scd2IncrementalSpec extends SparkSpec {
       "2024-01-03" -> (1L, 0L), // orders only → events zero-filled
     ), got.toString)
   }
+
+  test("cdcApplyChanges: tombstone precedence on a planted changelog, " +
+    "merge ≡ recompute at every cutoff position") {
+    // cutoff 2024-01-16: days < 16 are base, ≥ 16 delta.
+    val log = Seq(
+      // A: base upsert, delta delete → absent
+      (1L, ts(10, 1), 100L, "view", 1.0),
+      (2L, ts(20, 1), 100L, "error", 2.0),
+      // B: base delete, delta upsert → present with delta value
+      (3L, ts(10, 2), 200L, "error", 3.0),
+      (4L, ts(20, 2), 200L, "click", 4.0),
+      // C: base-only upsert → survives the merge untouched
+      (5L, ts(10, 3), 300L, "purchase", 5.0),
+      // D: base-only delete → absent (tombstone retained in base)
+      (6L, ts(10, 4), 400L, "error", 6.0),
+      // E: two delta changes — later one wins
+      (7L, ts(20, 5), 500L, "view", 7.0),
+      (8L, ts(21, 5), 500L, "click", 8.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventOps.cdcApplyChanges(log)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(200L -> 4.0, 300L -> 5.0, 500L -> 8.0), got)
+
+    // on real data, the merged state equals the full recompute no
+    // matter where the base/delta boundary falls (incl. empty sides)
+    val events = Tables.events(spark, sf0)
+    val full = EventOps.cdcApplyChanges(events, "2020-01-01")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getTimestamp(2))).toSet
+    for (cut <- Seq("2024-01-10", "2024-01-16", "2030-01-01")) {
+      val merged = EventOps.cdcApplyChanges(events, cut)
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getTimestamp(2))).toSet
+      assert(merged == full, s"cutoff $cut diverged")
+    }
+  }
 }

@@ -159,6 +159,48 @@ class StreamJobSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join null-pads unmatched rows only " +
+    "after the watermark passes their window") {
+    val clicks = MemoryStream[(Long, String)](spark)
+    val views = MemoryStream[(Long, String)](spark)
+    def ts(s: String) = s"2025-10-03 $s"
+    val l = clicks.toDF().toDF("user", "t")
+      .withColumn("click_ts", col("t").cast("timestamp")).drop("t")
+      .withColumnRenamed("user", "juser")
+    val r = views.toDF().toDF("user", "t")
+      .withColumn("view_ts", col("t").cast("timestamp")).drop("t")
+      .withColumnRenamed("user", "juser")
+    val joined = graft.streaming.StreamJob.streamStreamJoinOuter(
+      l, r, "juser", "click_ts", "view_ts",
+      watermark = "2 minutes", within = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_outer").start()
+    try {
+      clicks.addData((1L, ts("10:00:00")), (2L, ts("10:00:00")))
+      views.addData((1L, ts("10:02:00"))) // user 1 matches; user 2 never will
+      q.processAllAvailable()
+      def rows() = spark.table("ss_outer")
+        .select("juser", "view_ts").collect()
+        .map(x => x.getLong(0) -> Option(x.get(1))).toSet
+      // watermark has not passed user 2's window end → only the match
+      assert(rows().map(_._1) == Set(1L), rows().toString)
+      // a late batch on BOTH streams drags both watermarks far past
+      // every open window → user 2 must surface null-padded
+      clicks.addData((9L, ts("11:00:00")))
+      views.addData((9L, ts("11:00:00")))
+      q.processAllAvailable()
+      // one more empty-ish microbatch lets the state-eviction result
+      // commit (watermark updates take effect at the NEXT batch)
+      clicks.addData((10L, ts("11:30:00")))
+      views.addData((10L, ts("11:30:00")))
+      q.processAllAvailable()
+      val got = rows()
+      assert(got.contains(2L -> None),
+        s"unmatched left row never surfaced: $got")
+      assert(got.filter(_._1 == 1L).forall(_._2.nonEmpty))
+    } finally q.stop()
+  }
+
   test("batchOutputs drops null-text rows (P7 validity)") {
     val df = Seq(
       ("leo", Some("hello"), "2025-10-03 10:00:00"),
