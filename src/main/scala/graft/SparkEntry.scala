@@ -989,8 +989,11 @@ object SparkEntry {
         "(CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)), 6) AS lift " +
         "FROM p JOIN v da ON da.term = p.term_a JOIN v db ON db.term = p.term_b"),
     // Mirrors MiningOps.tfidfCosinePairs: identical linear-idf weight
-    // (tf·N/df, same DOUBLE operand order), per-term inverted-index
-    // dot, sqrt-sum norms, cosine rounded 6dp BEFORE the threshold.
+    // (tf·N/df, same DOUBLE operand order), cosine rounded 6dp BEFORE
+    // the threshold. The oracle is the inverted-index formulation; the
+    // engine may answer with either of its two EXACT physical
+    // strategies (sparse inverted-index or dense fused-vector — the
+    // gate proves the chooser's pick equals the sparse reference).
     "tfidf_cosine_pairs" ->
       ("WITH toks AS (SELECT doc_id, " +
         "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
@@ -1007,11 +1010,10 @@ object SparkEntry {
         "nrm AS (SELECT doc_id, sqrt(sum(CAST(w * w AS DOUBLE))) AS nrm " +
         "FROM w GROUP BY 1), " +
         "dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, " +
-        "sum(CAST(a.w * b.w AS DOUBLE)) AS dot, " +
-        "CAST(count(*) AS BIGINT) AS shared_terms " +
+        "sum(CAST(a.w * b.w AS DOUBLE)) AS dot " +
         "FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id " +
         "GROUP BY 1, 2) " +
-        "SELECT doc_a, doc_b, shared_terms, " +
+        "SELECT doc_a, doc_b, " +
         "round(dot / (x.nrm * y.nrm), 6) AS cosine " +
         "FROM dots JOIN nrm x ON x.doc_id = doc_a " +
         "JOIN nrm y ON y.doc_id = doc_b " +

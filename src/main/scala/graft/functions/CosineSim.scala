@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnShim
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Fused cosine similarity over two `array<float>` columns as a native
-  * Catalyst expression with whole-stage codegen.
+/** Fused cosine similarity over two `array<float>` (or, since r11,
+  * `array<double>`) columns as a native Catalyst expression with
+  * whole-stage codegen — the double form keeps bit-parity with oracle
+  * computations that never leave fp64 (e.g. the TF-IDF dense path).
   *
   * Rationale (SURVEY.md §7 preference order (b)): the built-in
   * composition `aggregate(zip_with(a,b,*),0d,+) / (norms…)` allocates
@@ -30,9 +32,18 @@ case class CosineSim(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_cosine requires (array<float>, array<float>), got ($l, $r)")
+        "graft_cosine requires two arrays of float or two of double, " +
+          s"got ($l, $r)")
     }
+
+  /** Element accessor picked at PLAN time, not per row. */
+  private def isDoubleInput: Boolean = left.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = DoubleType
 
@@ -57,8 +68,8 @@ case class CosineSim(left: Expression, right: Expression)
       // null element → null result (the HOF composition's behavior);
       // getFloat on a null slot would read garbage
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getFloat(i).toDouble
-      val yi = y.getFloat(i).toDouble
+      val xi = if (isDoubleInput) x.getDouble(i) else x.getFloat(i).toDouble
+      val yi = if (isDoubleInput) y.getDouble(i) else y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -75,14 +86,15 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val denom = ctx.freshName("denom")
       val hasNull = ctx.freshName("hasNull")
+      val get = if (isDoubleInput) "getDouble" else "getFloat"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
-         |  double x = (double) $a.getFloat($i);
-         |  double y = (double) $b.getFloat($i);
+         |  double x = (double) $a.$get($i);
+         |  double y = (double) $b.$get($i);
          |  $dot += x * y; $na += x * x; $nb += y * y;
          |}
          |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);

@@ -73,51 +73,96 @@ object MiningOps {
           .as("lift"))
   }
 
-  /** Sparse TF-IDF cosine similarity join — the lexical-weighted
+  /** TF-IDF cosine similarity join — the lexical-weighted
     * near-duplicate detector between the set-based n-gram Jaccard and
-    * the dense embedding cosine: documents as sparse term vectors
+    * the dense embedding cosine: documents as term vectors with
     * w(d,t) = tf·N/df (the same linear idf as
     * [[DocOps.tfidfTopTerms]], rational so both engines compute the
-    * identical double), paired through a PER-TERM inverted-index join
-    * — dot products accumulate only over shared terms, never via a
-    * doc×doc matrix.
+    * identical double). Both physical strategies are EXACT and emit
+    * the same frame, so one oracle gates whichever the chooser picks:
     *
-    * Scale shape: pair-generation cost is Σ_t df(t)² — the
-    * `maxDfShare` cut removes the ubiquitous terms that dominate that
-    * sum (and contribute near-zero idf weight anyway); the weight
-    * frame is a shared subtree reused by the norms and both join
-    * sides, so its exchange plans once. At crawl scale the df cap is
-    * the knob; below it this is exact — no banding recall loss.
-    * Cosines round to 6dp before the threshold (fp-error ~1e-12 on
-    * these magnitudes, six orders under the rounding step). */
+    *  - SPARSE regime (big vocabulary, low df): per-term
+    *    inverted-index join — cost Σ_t df(t)², dominated by the
+    *    ubiquitous terms the `maxDfShare` cut removes.
+    *  - DENSE regime (small vocabulary, high df — this testdata's
+    *    corpus: ~31 terms each in ~80% of docs): Σ df² degenerates to
+    *    ~V·N² intermediate JOIN ROWS (measured 149 s at sf0.1), while
+    *    the same arithmetic as N²/2 fused-loop cosines over V-wide
+    *    vectors is a few seconds — so below `maxDenseVocab` the
+    *    operator pivots to per-doc dense vectors and a broadcast
+    *    nested-loop all-pairs with the codegen'd `graft_cosine`
+    *    (array<double> form — fp64 end-to-end, oracle bit-parity).
+    *
+    * The strategy choice is one tiny count over the pruned df frame —
+    * the same plan-time-scalar discipline as
+    * [[JoinOps.maybeBroadcast]]. Cosines round to 6dp before the
+    * threshold on both paths (fp error ~1e-12 on these magnitudes). */
   def tfidfCosinePairs(docs: DataFrame, minSim: Double = 0.9,
-      maxDfShare: Double = 0.9): DataFrame = {
+      maxDfShare: Double = 0.9, maxDenseVocab: Int = 256): DataFrame = {
+    val w = weights(docs, maxDfShare)
+    val vocab = w.select("term").distinct().orderBy("term")
+      .limit(maxDenseVocab + 1)
+      .collect().map(_.getString(0)).toSeq
+    if (vocab.size <= maxDenseVocab) tfidfCosinePairsDense(w, vocab, minSim)
+    else tfidfCosinePairsSparse(w, minSim)
+  }
+
+  /** Shared df-pruned weight frame (doc_id, term, w). */
+  private def weights(docs: DataFrame, maxDfShare: Double): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n"))
     val tf = docs
       .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val w = tf.join(df, "term").crossJoin(broadcast(nDocs))
+    tf.join(df, "term").crossJoin(broadcast(nDocs))
       .filter(col("df").cast("double") <=
         lit(maxDfShare) * col("n").cast("double"))
       .select(col("doc_id"), col("term"),
         (col("tf").cast("double") * col("n").cast("double") /
           col("df").cast("double")).as("w"))
+  }
+
+  /** Sparse-regime path: inverted-index dot accumulation. */
+  private[graft] def tfidfCosinePairsSparse(w: DataFrame,
+      minSim: Double): DataFrame = {
     val norms = w.groupBy("doc_id")
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
     val dots = w.as("a")
       .join(w.as("b"),
         col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(sum(col("a.w") * col("b.w")).as("dot"),
-        count(lit(1)).as("shared_terms"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
     dots
       .join(norms.select(col("doc_id").as("doc_a"), col("nrm").as("na")),
         "doc_a")
       .join(norms.select(col("doc_id").as("doc_b"), col("nrm").as("nb")),
         "doc_b")
-      .select(col("doc_a"), col("doc_b"), col("shared_terms"),
+      .select(col("doc_a"), col("doc_b"),
         round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= minSim)
+  }
+
+  /** Dense-regime path: per-doc V-wide fp64 vectors (map lookup per
+    * vocab term — runs once per DOC, not per pair), then an all-pairs
+    * broadcast nested-loop with the fused `graft_cosine`. Docs with no
+    * in-vocabulary terms have no vector and so no pairs — identical to
+    * the sparse path's no-shared-term behavior. */
+  private[graft] def tfidfCosinePairsDense(w: DataFrame,
+      vocab: Seq[String], minSim: Double): DataFrame = {
+    val docVecs = w.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("term"), col("w"))))
+        .as("m"))
+      .select(col("doc_id"),
+        array(vocab.map(t =>
+          coalesce(element_at(col("m"), lit(t)), lit(0.0))): _*).as("v"))
+    docVecs.as("a").crossJoin(broadcast(docVecs.as("b")))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(graft.functions.CosineSim
+          .cosineFused(col("a.v"), col("b.v")), 6).as("cosine"))
+      // `> 0` keeps the strategy contract identical to the sparse
+      // path, which structurally cannot emit a no-shared-term pair
+      // (weights are strictly positive, so shared ⟺ cosine > 0)
+      .filter(col("cosine") >= minSim && col("cosine") > 0.0)
   }
 }

@@ -69,7 +69,7 @@ class MiningOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val pairs = MiningOps.tfidfCosinePairs(fixture, minSim = 0.0)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs((1L, 2L)) == 1.0, pairs.toString)
     assert(!pairs.contains((1L, 4L)) && !pairs.contains((3L, 4L)),
       "no shared scorable terms may never pair")
@@ -85,5 +85,37 @@ class MiningOpsSpec extends SparkSpec {
     assert(!viaCommon.contains((5L, 6L)),
       "df-capped term must not generate pairs")
     assert(viaCommon.contains((1L, 2L)))
+  }
+
+  test("tfidfCosinePairs: dense and sparse strategies agree pair-for-pair " +
+    "on real data, and the chooser picks dense under the vocab cap") {
+    val docs = Tables.documents(spark, sf0)
+    val chosen = MiningOps.tfidfCosinePairs(docs, minSim = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(chosen.nonEmpty)
+    // reconstruct both strategies explicitly over the same weights
+    import org.apache.spark.sql.functions._
+    val n = docs.count().toDouble
+    val tf = docs.select(col("doc_id"),
+        explode(graft.ops.DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(df, "term")
+      .filter(col("df").cast("double") <= lit(0.9) * lit(n))
+      .select(col("doc_id"), col("term"),
+        (col("tf").cast("double") * lit(n) / col("df").cast("double"))
+          .as("w"))
+    val vocab = w.select("term").distinct().orderBy("term")
+      .as[String].collect().toSeq
+    assert(vocab.size <= 256, "fixture corpus should be dense-regime")
+    val dense = MiningOps.tfidfCosinePairsDense(w, vocab, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val sparse = MiningOps.tfidfCosinePairsSparse(w, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(dense == sparse, "physical strategies diverge")
+    assert(chosen == dense, "chooser result differs from dense path")
   }
 }
