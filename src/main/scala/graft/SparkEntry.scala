@@ -141,6 +141,11 @@ object SparkEntry {
     "top_terms" -> ((s, d) => DocOps.topTerms(documents(s, d))),
     "term_cooccurrence" -> ((s, d) => MiningOps.termCooccurrence(documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
+    "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
+    "peak_concurrency" -> ((s, d) => EventOps.peakConcurrency(events(s, d))),
+    "entity_clusters" -> ((s, d) => JoinOps.entityClusters(part(s, d))),
+    "embedding_covariance" -> ((s, d) =>
+      VectorOps.embeddingCovariance(embeddings(s, d))),
     "heavy_hitter_terms" ->
       ((s, d) => DocOps.heavyHitterTerms(documents(s, d))),
     "token_percentiles_by_source" ->
@@ -585,6 +590,29 @@ object SparkEntry {
         "count(*) AS n_events, " +
         "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS session_value " +
         "FROM s GROUP BY user_id, sid"),
+    // Mirrors EventOps.peakConcurrency: identical sessionization
+    // (same lag/sum windows as session_stats, strict > 1800 s gap),
+    // end = last event + gap (pure interval arithmetic), half-open
+    // overlap via the (t, delta) sort with ends first, and the flat
+    // global running sum — provably equal to the engine's two-level
+    // open(day) + intra-day prefix form.
+    "peak_concurrency" ->
+      ("WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+        "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 " +
+        "THEN 1 ELSE 0 END AS ns FROM o), " +
+        "s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM f), " +
+        "iv AS (SELECT user_id, sid, min(ts) AS start_ts, " +
+        "max(ts) + INTERVAL 30 MINUTE AS end_ex FROM s GROUP BY 1, 2), " +
+        "pts AS (SELECT start_ts AS t, CAST(1 AS BIGINT) AS delta FROM iv " +
+        "UNION ALL SELECT end_ex, CAST(-1 AS BIGINT) FROM iv), " +
+        "r AS (SELECT CAST(t AS DATE) AS day, delta, " +
+        "CAST(sum(delta) OVER (ORDER BY t, delta " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run FROM pts) " +
+        "SELECT day, max(run) AS peak_concurrency, " +
+        "CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_started " +
+        "FROM r GROUP BY 1"),
     "user_type_pivot" ->
       ("SELECT user_id, " +
         "count(*) FILTER (event_type = 'click') AS click, " +
@@ -856,6 +884,37 @@ object SparkEntry {
         "round(jaro_winkler_similarity(name_a, name_b), 6) AS jw, " +
         "n_parts_a, n_parts_b FROM cand " +
         "WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.93"),
+    // Mirrors JoinOps.entityClusters: the same token-blocked JW pairs
+    // as fuzzy_name_pairs_jw feed a recursive-CTE transitive closure
+    // whose per-node min reachable name IS the star CC's label
+    // (both algebras converge to the component's lexicographic-min
+    // member), so the hash gate proves the O(log n) distributed CC
+    // equals the textbook fixpoint.
+    "entity_clusters" ->
+      ("WITH RECURSIVE n AS (SELECT p_name AS name FROM part GROUP BY 1), " +
+        "t AS (SELECT name, " +
+        "split_part(name, ' ', 1) AS tok_first, " +
+        "list_extract(string_split(name, ' '), " +
+        "len(string_split(name, ' '))) AS tok_last FROM n), " +
+        "cand AS (" +
+        "SELECT a.name AS name_a, b.name AS name_b " +
+        "FROM t a JOIN t b ON a.tok_first = b.tok_first AND a.name < b.name " +
+        "UNION " +
+        "SELECT a.name, b.name " +
+        "FROM t a JOIN t b ON a.tok_last = b.tok_last AND a.name < b.name), " +
+        "p AS (SELECT name_a, name_b FROM cand " +
+        "WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.93), " +
+        "nodes AS (SELECT DISTINCT name FROM " +
+        "(SELECT name_a AS name FROM p UNION ALL SELECT name_b FROM p)), " +
+        "edges AS (SELECT name_a AS src, name_b AS dst FROM p " +
+        "UNION ALL SELECT name_b, name_a FROM p), " +
+        "reach(node, lab) AS (SELECT name, name FROM nodes " +
+        "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node), " +
+        "lab AS (SELECT node AS name, min(lab) AS cluster_rep FROM reach GROUP BY 1), " +
+        "sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members " +
+        "FROM lab GROUP BY 1) " +
+        "SELECT l.cluster_rep, l.name, s.n_members " +
+        "FROM lab l JOIN sz s USING (cluster_rep)"),
     // Mirrors JoinOps.sortedNeighborhoodPairs: the two-level prefix-sum
     // rank equals DuckDB's flat row_number over the same (distinct, so
     // tie-free) name order; the neighborhood predicate and the
@@ -1018,6 +1077,30 @@ object SparkEntry {
         "FROM dots JOIN nrm x ON x.doc_id = doc_a " +
         "JOIN nrm y ON y.doc_id = doc_b " +
         "WHERE round(dot / (x.nrm * y.nrm), 6) >= 0.9"),
+    // Mirrors MiningOps.bm25TopDocs: Lucene-variant idf, identical
+    // DOUBLE operand order (constants written as the same IEEE ops:
+    // (1.2 + 1.0), (1.0 - 0.75)), score rounded 6dp BEFORE the
+    // ORDER BY, doc_id tie-break, LIMIT 20.
+    "bm25_top_docs" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(len(toks)) AS BIGINT) AS total_len FROM toks), " +
+        "dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM " +
+        "(SELECT doc_id, unnest(toks) AS term FROM toks) " +
+        "WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1) " +
+        "SELECT doc_id, " +
+        "round(sum(ln(((SELECT CAST(n AS DOUBLE) FROM st) - CAST(df AS DOUBLE) + 0.5) / " +
+        "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+        "(CAST(tf AS DOUBLE) * (1.2 + 1.0)) / " +
+        "(CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / " +
+        "((SELECT CAST(total_len AS DOUBLE) FROM st) / (SELECT CAST(n AS DOUBLE) FROM st)))))), 6) AS bm25, " +
+        "CAST(count(*) AS BIGINT) AS n_matched, dl " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
+        "GROUP BY doc_id, dl " +
+        "ORDER BY bm25 DESC, doc_id ASC LIMIT 20"),
     // heavyHitterTerms' sketch-then-confirm output is EXACT by
     // construction (MG only prunes candidates; the final counts and
     // HAVING are exact), so the oracle is the brute-force form the
@@ -2110,6 +2193,23 @@ object SparkEntry {
         "SELECT label, count(*) AS n, round(avg(l2), 4) AS avg_norm, " +
         "round(min(l2), 4) AS min_norm, round(max(l2), 4) AS max_norm " +
         "FROM x GROUP BY label"),
+    // Mirrors VectorOps.embeddingCovariance: per-element float→DOUBLE
+    // cast before any product, biased 1/n normalizer with the pinned
+    // E[xy] − E[x]·E[y] operand order, upper triangle (i ≤ j,
+    // 1-based), 6dp round. The oracle computes the relational
+    // (explode + vec_id self-join) form the mapPartitions Gram
+    // accumulation is algebraically equal to.
+    "embedding_covariance" ->
+      ("WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings), " +
+        "m AS (SELECT i, sum(x) AS s FROM e GROUP BY 1), " +
+        "p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS pr " +
+        "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2) " +
+        "SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, " +
+        "round(pr / (SELECT n FROM nn) - " +
+        "(ma.s / (SELECT n FROM nn)) * (mb.s / (SELECT n FROM nn)), 6) + 0.0 AS cov " +
+        "FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j"),
     // Mirrors VectorOps.quantizeEmbeddings: fp64 left-fold norm,
     // float-space max|x|, explicit floor(x/scale + 0.5) rounding.
     "embedding_quantize" -> {

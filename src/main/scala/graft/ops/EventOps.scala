@@ -693,4 +693,57 @@ object EventOps {
         (abs(col("n_est") - col("n_exact")).cast("double") <=
           greatest(lit(1.0), lit(0.05) * col("n_exact"))).as("within_tol"))
   }
+
+  /** Peak session concurrency per day — the classic sweep-line over
+    * intervals: how many user sessions were simultaneously open at the
+    * busiest instant of each day (capacity planning / load-profile
+    * analytics the reference's per-minute counts approximate but never
+    * answer exactly). Sessions come from [[sessionize]]; a session
+    * spans [first event, last event + gap) — the same half-open
+    * timeout window `session_window` uses, so a session that ends
+    * exactly when another starts does NOT overlap it (ends sort before
+    * starts at equal timestamps via `delta` ASC).
+    *
+    * Scale shape: the sweep needs a GLOBAL running sum of +1/−1
+    * boundary points in time order — the textbook single
+    * `row_number`-style window would serialize the corpus through one
+    * task. This is the two-level prefix-sum discipline
+    * ([[graft.ops.DocOps.shardAssignments]]): intra-day running sums
+    * ride a window PARTITIONED by day (parallel across days), the
+    * per-day delta totals collapse to a days-cardinality frame whose
+    * exclusive cumulative sum is windowed on the tiny side and
+    * broadcast back as each day's opening concurrency. Peak(day) =
+    * open(day) + max intra-day running sum. */
+  def peakConcurrency(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val sessions = sessionize(events, gapMinutes)
+      .groupBy("user_id", "session_id")
+      .agg(min("ts").as("start_ts"), max("ts").as("end_ts"))
+      // pure microsecond-exact interval arithmetic — the same
+      // `last + gap` close [[sessionWindowStats]] publishes
+      .select(col("start_ts"),
+        (col("end_ts") + expr(s"INTERVAL $gapMinutes MINUTES")).as("end_ex"))
+    val points = sessions.select(col("start_ts").as("t"), lit(1L).as("delta"))
+      .unionByName(sessions.select(col("end_ex").as("t"), lit(-1L).as("delta")))
+    val day = to_date(col("t"))
+    val wIntra = Window.partitionBy("day")
+      .orderBy(col("t").asc, col("delta").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = points
+      .withColumn("day", day)
+      .withColumn("run", sum("delta").over(wIntra))
+    // exclusive prefix over the tiny per-day totals frame: the opening
+    // concurrency carried into each day from all prior days
+    val wDays = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val opening = points.groupBy(day.as("day"))
+      .agg(sum("delta").as("day_total"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_started"))
+      .withColumn("open", coalesce(sum("day_total").over(wDays), lit(0L)))
+      .select("day", "open", "n_started")
+    intra.groupBy("day").agg(max("run").as("max_run"))
+      .join(broadcast(opening), "day")
+      .select(col("day"),
+        (col("open") + col("max_run")).as("peak_concurrency"),
+        col("n_started"))
+  }
 }

@@ -458,4 +458,32 @@ object JoinOps {
         coalesce(col("n_orders"), lit(0L)).as("n_orders"),
         coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
+
+  /** Entity-resolution clusters — the step every fuzzy-pair family
+    * here feeds but none completed: pairwise matches are only HALF of
+    * entity resolution, because match sets are not transitive-closed
+    * ("acme corp"~"acme co" and "acme co"~"acme inc" without the
+    * direct pair). Takes [[fuzzyNamePairsJw]]'s token-blocked
+    * Jaro–Winkler matches as the match graph and runs
+    * [[graft.ops.DedupOps.connectedComponentsStar]] (O(log n)
+    * large-star/small-star — string vertex ids work unchanged: the
+    * label algebra only needs a total order, so the component label IS
+    * the lexicographic-min member name). One row per clustered name:
+    * (cluster_rep, name, n_members); singleton names with no fuzzy
+    * match carry no resolution information and are excluded (pairs
+    * define the vertex set).
+    *
+    * Scale shape: inherits the blocked pair generation (never all
+    * pairs) and the star CC's logarithmic round bound; the size join
+    * is a groupBy on the label — no new quadratic or serial stage. */
+  def entityClusters(part: DataFrame, minSim: Double = 0.93): DataFrame = {
+    val pairs = fuzzyNamePairsJw(part, minSim)
+      .select(col("name_a").as("a_id"), col("name_b").as("b_id"))
+    val labels = DedupOps.connectedComponentsStar(pairs)
+    val sizes = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "cluster_id")
+      .select(col("cluster_id").as("cluster_rep"),
+        col("v_id").as("name"), col("n_members"))
+  }
 }

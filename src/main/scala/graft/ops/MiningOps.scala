@@ -73,6 +73,61 @@ object MiningOps {
           .as("lift"))
   }
 
+  /** Okapi BM25 ranked retrieval — the classic lexical scoring
+    * function behind full-text search (Robertson & Zaragoza '09), here
+    * as a batch top-k over the corpus for a fixed term query: the
+    * retrieval primitive an LLM data pipeline uses to pull candidate
+    * context documents before embedding re-rank. Uses the Lucene
+    * BM25 idf variant `ln((N - df + 0.5)/(df + 0.5) + 1)` (always
+    * positive, so a ubiquitous term damps rather than flips a score).
+    *
+    * Scale shape: the query term set is a tiny literal `isin` filter
+    * pushed into the one token explode — per-doc work is O(matched
+    * terms), never O(vocabulary); df and corpus stats (N, avgdl) are
+    * single-row / |Q|-row aggregates broadcast back; the final top-k
+    * is ORDER BY + LIMIT, which Spark plans as TakeOrderedAndProject
+    * (per-partition heaps, no global sort). No self-joins anywhere —
+    * this stays linear in corpus size at any SF.
+    *
+    * Determinism contract with the oracle: every ratio is computed in
+    * DOUBLE with pinned operand order, the score rounds to 6dp BEFORE
+    * ordering, and ties break on doc_id — so the k-th boundary is
+    * stable across engines. */
+  def bm25TopDocs(docs: DataFrame,
+      queryTerms: Seq[String] = Seq("join", "filter", "scan"),
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      DedupOps.tokens(col("text")).as("toks"))
+    // one row: N and avgdl (total token count / N, both exact BIGINTs
+    // until the single division)
+    val stats = toks.agg(
+      count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("total_len"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = col("total_len").cast("double") / col("n").cast("double")
+    val idf = log(
+      (col("n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val termScore = idf *
+      (col("tf").cast("double") * lit(k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / avgdl)))
+    tf.join(df, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id", "dl")
+      .agg(round(sum(termScore), 6).as("bm25"),
+        count(lit(1)).as("n_matched"))
+      .select("doc_id", "bm25", "n_matched", "dl")
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** TF-IDF cosine similarity join — the lexical-weighted
     * near-duplicate detector between the set-based n-gram Jaccard and
     * the dense embedding cosine: documents as term vectors with

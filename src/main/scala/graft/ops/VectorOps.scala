@@ -510,4 +510,80 @@ object VectorOps {
         round(avg("l2"), 4).as("avg_norm"),
         round(min("l2"), 4).as("min_norm"),
         round(max("l2"), 4).as("max_norm"))
+
+  /** Empirical covariance matrix of the embedding dimensions — the
+    * PCA / whitening precursor (which dimensions carry variance, which
+    * co-vary — the health check before any projection of a training
+    * corpus's embedding space). Output: one row per upper-triangle
+    * cell (i ≤ j, 1-based), cov = E[x_i·x_j] − E[x_i]·E[x_j] with the
+    * biased 1/n normalizer, fp64 throughout, rounded 6dp.
+    *
+    * Scale shape — the X^T·X problem: the relational form (explode to
+    * (vec_id, i, x), self-join on vec_id, group by (i,j)) shuffles
+    * n·dim rows and materializes n·dim² join rows. This operator
+    * instead accumulates per-PARTITION rank-1 updates in a dim +
+    * dim×dim register block via `mapPartitions` (size-bounded
+    * imperative state, the [[graft.ops.DocOps.heavyHitterTerms]]
+    * justification — a groupBy partial cannot express "+= aᵢ·aⱼ into a
+    * fixed dense block"), then merges the ≤ parts tiny partial rows by
+    * dimension index: the ONLY shuffle is parts·dim² partial cells,
+    * independent of n. The relational form lives in the spec as the
+    * cross-check; the DuckDB oracle recomputes it exactly. */
+  def embeddingCovariance(embeddings: DataFrame): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // plan-time scalar (like the centroid/vocab collects): the dim must
+    // be uniform for a covariance to exist at all — fail loudly if not
+    val d = embeddings
+      .agg(min(size(col("embedding"))), max(size(col("embedding")))).head()
+    require(d.getInt(0) == d.getInt(1),
+      s"embeddingCovariance: ragged embedding dims [${d.getInt(0)}, ${d.getInt(1)}]")
+    val dim = d.getInt(0)
+
+    val vecs = embeddings.select(asDouble(col("embedding")).as("v"))
+      .as[Seq[Double]]
+    // per-partition Gram accumulation: n, Σx (dim), Σx·xᵀ upper
+    // triangle stored dense at p(i·dim + j) so the merge key is a
+    // plain array position
+    val partials = vecs.mapPartitions { it =>
+      val s = new Array[Double](dim)
+      val p = new Array[Double](dim * dim)
+      var n = 0L
+      it.foreach { v =>
+        val a = v.toArray
+        n += 1L
+        var i = 0
+        while (i < dim) {
+          val ai = a(i)
+          s(i) += ai
+          var j = i
+          while (j < dim) { p(i * dim + j) += ai * a(j); j += 1 }
+          i += 1
+        }
+      }
+      if (n == 0L) Iterator.empty
+      else Iterator((n, s.toSeq, p.toSeq))
+    }.toDF("n", "s", "p")
+      // single evaluation: three consumers (n, sums, prods) below
+      .localCheckpoint()
+
+    val nRow = partials.agg(sum(col("n")).as("n"))
+    val sums = partials.select(posexplode(col("s")).as(Seq("d0", "sv")))
+      .groupBy("d0").agg(sum("sv").as("s"))
+    val en = col("n").cast("double")
+    partials.select(posexplode(col("p")).as(Seq("k", "pv")))
+      .groupBy("k").agg(sum("pv").as("pr"))
+      .withColumn("i0", (col("k") / dim).cast("int"))
+      .withColumn("j0", pmod(col("k"), lit(dim)).cast("int"))
+      .filter(col("i0") <= col("j0"))
+      .join(sums.select(col("d0").as("i0"), col("s").as("s_i")), "i0")
+      .join(sums.select(col("d0").as("j0"), col("s").as("s_j")), "j0")
+      .crossJoin(broadcast(nRow))
+      .select((col("i0") + 1).as("i"), (col("j0") + 1).as("j"),
+        // + 0.0 canonicalizes IEEE −0.0 (a near-zero covariance rounded
+        // down) to +0.0 on both engines — DuckDB's DOUBLE round keeps
+        // the sign bit, Spark's BigDecimal round does not
+        (round(col("pr") / en - (col("s_i") / en) * (col("s_j") / en), 6)
+          + lit(0.0)).as("cov"))
+  }
 }

@@ -118,4 +118,58 @@ class MiningOpsSpec extends SparkSpec {
     assert(dense == sparse, "physical strategies diverge")
     assert(chosen == dense, "chooser result differs from dense path")
   }
+
+  test("bm25TopDocs: scores match a plain-Scala Okapi reference and " +
+    "unmatched docs never appear") {
+    val corpus = Seq(
+      (1L, "join filter join"),
+      (2L, "join scan"),
+      (3L, "other words here entirely"),
+      (4L, "filter"),
+      (5L, "join join join join filter scan")
+    ).toDF("doc_id", "text")
+    val q = Seq("join", "filter", "scan")
+    val got = MiningOps.bm25TopDocs(corpus, q, topK = 10)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // plain-Scala reference with the same formula
+    val toks = Map(1L -> Seq("join", "filter", "join"),
+      2L -> Seq("join", "scan"),
+      3L -> Seq("other", "words", "here", "entirely"),
+      4L -> Seq("filter"),
+      5L -> Seq("join", "join", "join", "join", "filter", "scan"))
+    val n = toks.size.toDouble
+    val avgdl = toks.values.map(_.size).sum.toDouble / n
+    val dfm = q.map(t => t -> toks.values.count(_.contains(t)).toDouble).toMap
+    def score(id: Long): Double = {
+      val dl = toks(id).size.toDouble
+      val s = q.flatMap { t =>
+        val tf = toks(id).count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(math.log((n - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0) *
+          (tf * (1.2 + 1.0)) /
+          (tf + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / avgdl))))
+      }.sum
+      math.rint(s * 1e6) / 1e6
+    }
+    assert(!got.contains(3L), "doc with no query term must not appear")
+    for (id <- Seq(1L, 2L, 4L, 5L)) {
+      val (bm25, nm, dl) = got(id)
+      assert(bm25 == score(id), s"doc $id: $bm25 vs ${score(id)}")
+      assert(nm == q.count(toks(id).contains).toLong)
+      assert(dl == toks(id).size.toLong)
+    }
+    // more matched distinct terms and higher tf must not rank below an
+    // otherwise-identical shorter match: doc5 hits all three terms
+    assert(got(5L)._1 > got(2L)._1)
+  }
+
+  test("bm25TopDocs: topK truncates with the rounded-score/doc_id order") {
+    val corpus = (1L to 30L).map(i => (i, "join x" + i)).toDF("doc_id", "text")
+    val got = MiningOps.bm25TopDocs(corpus, Seq("join"), topK = 7)
+      .select("doc_id").as[Long].collect().toSeq
+    // all docs tie on (tf=1, dl=2) — the boundary must cut by doc_id
+    assert(got == (1L to 7L))
+  }
 }

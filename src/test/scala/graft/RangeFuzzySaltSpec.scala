@@ -161,4 +161,31 @@ class RangeFuzzySaltSpec extends SparkSpec {
       .select("name_a", "name_b", "gap").collect().toSet
     assert(twoLevel == flat, "two-level rank diverges from flat window")
   }
+
+  test("entityClusters transitively closes pairwise matches: a chain " +
+    "with no direct end-to-end pair is ONE cluster") {
+    // chain: (acme corp)~(acme corpx) via first-token block,
+    // (acme corpx)~(acmex corpx) via last-token block; the ends share
+    // NO block and no direct pair — only the closure links them
+    val part = Seq("acme corp", "acme corpx", "acmex corpx",
+      "zzz unrelated")
+      .zipWithIndex.map { case (n, i) => (i.toLong, n) }
+      .toDF("p_partkey", "p_name")
+    val direct = JoinOps.fuzzyNamePairsJw(part, minSim = 0.9)
+      .select("name_a", "name_b").as[(String, String)].collect().toSet
+    assert(direct.contains(("acme corp", "acme corpx")))
+    assert(direct.contains(("acme corpx", "acmex corpx")))
+    assert(!direct.contains(("acme corp", "acmex corpx")),
+      "fixture broken: the chain ends must not pair directly")
+    val got = JoinOps.entityClusters(part, minSim = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet == Set(
+      ("acme corp", "acme corp", 3L),
+      ("acme corp", "acme corpx", 3L),
+      ("acme corp", "acmex corpx", 3L)), got.mkString(", "))
+    // the unmatched singleton carries no resolution info — excluded
+    assert(!got.exists(_._2 == "zzz unrelated"))
+    // partition of the matched vertex set: each name exactly once
+    assert(got.map(_._2).distinct.length == got.length)
+  }
 }

@@ -261,4 +261,60 @@ class VectorOpsSpec extends SparkSpec {
     assert(kept.count() == emb.count())
     assert(kept.filter(col("vec_id") >= 1000000L).count() == 0L)
   }
+
+  test("embeddingCovariance: exact values on a hand-computed fixture") {
+    // x = (1,3,5), y = (2,6,4): cov11 = 35/3 − 9 = 8/3,
+    // cov12 = 40/3 − 12 = 4/3, cov22 = 56/3 − 16 = 8/3
+    val tiny = Seq((0L, Array(1.0f, 2.0f), 0), (1L, Array(3.0f, 6.0f), 0),
+      (2L, Array(5.0f, 4.0f), 0)).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.embeddingCovariance(tiny)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 3)
+    assert(got((1, 1)) == math.rint(8.0 / 3.0 * 1e6) / 1e6)
+    assert(got((1, 2)) == math.rint(4.0 / 3.0 * 1e6) / 1e6)
+    assert(got((2, 2)) == math.rint(8.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("embeddingCovariance: mapPartitions Gram equals the relational " +
+    "form and is partition-layout invariant") {
+    val emb = Tables.embeddings(spark, sf0)
+    val got = VectorOps.embeddingCovariance(emb)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // relational reference: explode to (vec_id, i, x), self-join on
+    // vec_id, group by (i, j) — the plan the operator exists to avoid
+    val e = emb.select(col("vec_id"),
+      posexplode(VectorOps.asDouble(col("embedding"))).as(Seq("i", "x")))
+    val n = emb.count().toDouble
+    val m = e.groupBy("i").agg(sum("x").as("s"))
+    val ref = e.as("a").join(e.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.x") * col("b.x")).as("pr"))
+      .join(m.select(col("i"), col("s").as("s_i")), "i")
+      .join(m.select(col("i").as("j"), col("s").as("s_j")), "j")
+      .select((col("i") + 1).as("i"), (col("j") + 1).as("j"),
+        (col("pr") / n - (col("s_i") / n) * (col("s_j") / n)).as("cov"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == ref.keySet)
+    // fp sums associate differently across the two plans — compare to
+    // the shared 6dp publication grain with a 1-ulp-of-round slack
+    for ((k, v) <- got)
+      assert(math.abs(v - math.rint(ref(k) * 1e6) / 1e6) <= 1e-6,
+        s"cell $k: $v vs ${ref(k)}")
+    // layout invariance: the partial merge is associative+commutative,
+    // so a different partitioning must publish the same 6dp frame
+    val reparted = VectorOps.embeddingCovariance(emb.repartition(7))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for ((k, v) <- got)
+      assert(math.abs(v - reparted(k)) <= 1e-6, s"layout-sensitive cell $k")
+  }
+
+  test("embeddingCovariance refuses ragged embedding dimensions") {
+    val ragged = Seq((0L, Array(1.0f, 2.0f), 0), (1L, Array(3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.embeddingCovariance(ragged)
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
 }
