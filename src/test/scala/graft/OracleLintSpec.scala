@@ -26,7 +26,10 @@ class OracleLintSpec extends AnyFunSuite {
   /** Columns that are DOUBLE in the driver parquet schema — summing
     * them never widens to HUGEINT, so a bare `sum(col)` is fine
     * (float-stability rounding is a separate, existing convention). */
-  private val doubleColumns = Set("value", "x", "y", "l2", "cos", "v")
+  // `a.x * b.x` is embedding_covariance's Gram product — both factors
+  // are the CTE's explicit `CAST(... AS DOUBLE)` column, same as bare x.
+  private val doubleColumns =
+    Set("value", "x", "y", "l2", "cos", "v", "a.x * b.x")
 
   /** Blank out single-quoted SQL string literals (preserving length so
     * reported positions stay valid): regex patterns inside them carry
