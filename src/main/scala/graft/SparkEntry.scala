@@ -315,6 +315,8 @@ object SparkEntry {
     "span_dedup_stats" -> ((s, d) => DedupOps.spanDedupStats(documents(s, d))),
     "ngram_jaccard_pairs" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(documents(s, d), 0.5)),
+    "ngram_containment_pairs" -> ((s, d) =>
+      DedupOps.ngramContainmentPairs(documents(s, d), 0.8)),
     "dup_clusters" -> ((s, d) => DedupOps.dupClusters(documents(s, d))),
     "cluster_keep_longest" ->
       ((s, d) => DedupOps.clusterKeepLongest(documents(s, d))),
@@ -1897,6 +1899,19 @@ object SparkEntry {
         "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
         "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),
+    // Mirrors DedupOps.ngramContainmentPairs: same pruned inverted
+    // index, C = shared / min(|A|,|B|) — the quote/superset detector.
+    // The jaccard column rides along so the subset-relation pairs
+    // (high C, low J) are visible in the gated output itself.
+    "ngram_containment_pairs" ->
+      (s"WITH $shingleCtes, $prunedShingleCte, " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, " +
+        "round(shared * 1.0 / least(sa.n, sb.n), 4) AS containment, " +
+        "round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / least(sa.n, sb.n), 4) >= 0.8"),
     // Mirrors DedupOps.minhashNearDups AGAINST THE EXACT PIPELINE: the
     // operator verifies every banded candidate with exact Jaccard over
     // the full shingle-hash sets, so precision is 1 by construction

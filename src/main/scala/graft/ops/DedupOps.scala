@@ -195,6 +195,49 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Exact pairwise shingle CONTAINMENT via the same inverted index:
+    * C(A,B) = |A∩B| / min(|A|,|B|) — the asymmetric companion to
+    * [[ngramJaccardPairs]]. Jaccard divides by the UNION, so a short
+    * document quoted verbatim inside a much longer one scores near
+    * |A|/|B| ≈ 0 and survives dedup; containment scores it ≈ 1. This is
+    * the quote/superset detector (Broder '97 defines both measures
+    * side by side) — the pair class a training corpus most wants
+    * flagged, since a contained document adds no novel text.
+    *
+    * Plan shape is identical to the Jaccard form (one pinned
+    * repartition(h) exchange feeding df-prune and both self-join
+    * sides); only the final scalar differs, so the same df-cap
+    * scaling argument applies. Emits jaccard alongside containment —
+    * pairs with high containment but LOW jaccard are precisely the
+    * subset-relation pairs Jaccard-only dedup misses. */
+  def ngramContainmentPairs(docs: DataFrame, threshold: Double = 0.8,
+      k: Int = 3, maxDf: Long = 1000): DataFrame = {
+    val inv = shingleRows(docs, k)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .repartition(col("h"))
+    val sizes = inv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val dfCounts = inv.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+    val pruned = inv.join(dfCounts, "h").drop("df")
+    val shared = pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "n_a"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "n_b"), "b_id")
+      .withColumn("containment",
+        round(col("shared").cast("double") / least(col("n_a"), col("n_b")), 4))
+      .filter(col("containment") >= threshold)
+      .withColumn("jaccard",
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 4))
+      .select("a_id", "b_id", "containment", "jaccard")
+  }
+
   // ---------- MinHash + LSH banding (scale path) ----------
 
   /** Expression form of the k-minhash signature (kept for column-level

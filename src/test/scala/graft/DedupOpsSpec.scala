@@ -96,6 +96,29 @@ class DedupOpsSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("ngramContainmentPairs flags the verbatim quote Jaccard misses") {
+    // doc 1 is a verbatim substring of doc 0: every one of its
+    // shingles appears in doc 0, so containment = 1.0 — but the union
+    // is dominated by doc 0's extra shingles, so Jaccard sits far
+    // below the 0.5 dedup bar. This pair class is the operator's
+    // reason to exist.
+    val quoted = Seq(
+      (0L, base),
+      (1L, "the rain in spain falls mainly on the plain"),
+      (2L, unrelated)).toDF("doc_id", "text")
+    val rows = DedupOps.ngramContainmentPairs(quoted, threshold = 0.8)
+      .collect().map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        (r.getAs[Double]("containment"), r.getAs[Double]("jaccard")))).toMap
+    assert(rows.keySet == Set((0L, 1L)), s"expected only the quote pair: $rows")
+    val (c, j) = rows((0L, 1L))
+    assert(c == 1.0, s"verbatim quote must have containment 1.0, got $c")
+    assert(j < 0.5, s"the pair must be invisible to Jaccard-0.5 dedup, got $j")
+    // and the Jaccard operator indeed misses it
+    val jPairs = DedupOps.ngramJaccardPairs(quoted, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!jPairs.contains((0L, 1L)), s"fixture broken: $jPairs")
+  }
+
   test("minhashNearDups agrees with the exact pipeline on planted pair") {
     val pairs = DedupOps.minhashNearDups(docs, threshold = 0.5)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
