@@ -214,6 +214,7 @@ object SparkEntry {
     "ttr_by_source" -> ((s, d) => DocOps.ttrBySource(documents(s, d))),
     "doclen_histogram" -> ((s, d) => DocOps.doclenHistogram(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
+    "doc_chunks" -> ((s, d) => DocOps.chunkDocuments(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
     "winnow_near_dups" -> ((s, d) => DocOps.winnowNearDups(documents(s, d))),
@@ -1424,6 +1425,21 @@ object SparkEntry {
     "doc_fingerprints" ->
       ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents"),
+    // Mirrors DocOps.chunkDocuments(size=200, overlap=50): starts at
+    // step 150 capped at greatest(n-overlap-1, 0) — range() stop is
+    // exclusive, hence the +1 — so a start is emitted only while the
+    // tail still holds a novel character; both sides hash the chunk
+    // (md5) instead of shipping its text.
+    "doc_chunks" ->
+      ("WITH d AS (SELECT doc_id, source, text, length(text) AS n " +
+        "FROM documents WHERE length(text) >= 1), " +
+        "s AS (SELECT doc_id, source, text, " +
+        "unnest(range(0, greatest(n - 51, 0) + 1, 150)) AS start FROM d) " +
+        "SELECT doc_id, source, CAST(start // 150 AS INT) AS chunk_id, " +
+        "CAST(start AS BIGINT) AS char_start, " +
+        "CAST(length(substring(text, CAST(start + 1 AS INT), 200)) AS BIGINT) AS chunk_len, " +
+        "md5(substring(text, CAST(start + 1 AS INT), 200)) AS chunk_hash " +
+        "FROM s"),
     // winnowing: same normalization, same mod-reduced Rabin-Karp k-gram
     // hash via lead(), same rightmost-min-per-window via min over a
     // (h, -i) struct — exact integer arithmetic both sides

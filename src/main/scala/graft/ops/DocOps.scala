@@ -162,6 +162,45 @@ object DocOps {
       round(nChars.cast("double") / nTokens, 4).as("avg_word_len"))
   }
 
+  /** RAG / context-window chunking: split each document into
+    * fixed-size character chunks with `overlap` chars of left context
+    * carried into each successive chunk — the retrieval-indexing
+    * primitive every embedding pipeline runs before vectorizing
+    * (chunk granularity bounds both recall and context cost).
+    *
+    * Chunk starts are `0, step, 2·step, …` with `step = size −
+    * overlap`, capped so no start lands where the remaining text
+    * `[start, n)` is already covered by the previous chunk's
+    * `[start−step, start+overlap)` span: a start is emitted only while
+    * `start + overlap < n` (or start 0). The last chunk may be short
+    * but always contributes ≥1 novel character; empty documents yield
+    * zero chunks. Output carries md5 + length, not the chunk text —
+    * downstream exact chunk-dedup joins on the hash, and the gate
+    * stays narrow.
+    *
+    * Scale shape: sequence → posexplode → substring is a fully narrow,
+    * codegen'd pipeline — ZERO shuffles, parallelism = input splits;
+    * the chunk multiplier (~n/step rows per doc) hits the shuffle-free
+    * segment only. */
+  def chunkDocuments(docs: DataFrame, size: Int = 200,
+      overlap: Int = 50): DataFrame = {
+    require(overlap >= 0 && overlap < size,
+      s"chunkDocuments: need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    val n = length(col("text"))
+    val starts = sequence(lit(0), greatest(n - overlap - 1, lit(0)), lit(step))
+    docs
+      .filter(n >= 1)
+      .select(col("doc_id"), col("source"), col("text"),
+        posexplode(starts).as(Seq("chunk_id", "start")))
+      .select(
+        col("doc_id"), col("source"), col("chunk_id"),
+        col("start").cast("long").as("char_start"),
+        length(col("text").substr(col("start") + 1, lit(size)))
+          .cast("long").as("chunk_len"),
+        md5(col("text").substr(col("start") + 1, lit(size))).as("chunk_hash"))
+  }
+
   /** Gopher-style quality-filter flags (Rae et al. '21 §A1.1 — the
     * published heuristics used by real training-data pipelines),
     * adapted to the documents table: word-count bounds, mean-word-length

@@ -8,6 +8,50 @@ import graft.ops.DocOps
 class DocPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("chunkDocuments: full coverage, exact overlap, no vacuous tail") {
+    import java.security.MessageDigest
+    def hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val text = ("abcdefghij" * 47).take(463) // n=463: 4 starts at step 150? 0,150,300 then 450>463-51
+    val docs = Seq(
+      (1L, text, "s1"),
+      (2L, "short", "s1"),        // n < size -> exactly one chunk
+      (3L, "", "s1"),             // empty -> zero chunks
+      (4L, "x" * 250, "s2"))      // start 150 has 100-char tail, 50 novel
+      .toDF("doc_id", "text", "source")
+    val rows = DocOps.chunkDocuments(docs, size = 200, overlap = 50)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+        r.getAs[Long]("char_start"), r.getAs[Long]("chunk_len"),
+        r.getAs[String]("chunk_hash")))
+    val byDoc = rows.groupBy(_._1)
+    assert(!byDoc.contains(3L), "empty doc must yield zero chunks")
+    assert(byDoc(2L).toSeq == Seq((2L, 0, 0L, 5L, hex("short"))))
+    // doc 1: starts 0/150/300 (412 > 463-51 stops the 4th); chunks
+    // cover every char and each consecutive pair overlaps exactly 50
+    val c1 = byDoc(1L).sortBy(_._2)
+    assert(c1.map(_._3).toSeq == Seq(0L, 150L, 300L), c1.mkString(","))
+    assert(c1.map(_._4).toSeq == Seq(200L, 200L, 163L))
+    assert(c1.last._3 + c1.last._4 == 463L, "tail must reach end of text")
+    assert(c1.map(r => hex(text.substring(r._3.toInt,
+      (r._3 + r._4).toInt))).sameElements(c1.map(_._5)), "hash mismatch")
+    // doc 4 (n=250): second chunk [150,250) contributes 50 novel chars
+    assert(byDoc(4L).sortBy(_._2).map(r => (r._3, r._4)).toSeq ==
+      Seq((0L, 200L), (150L, 100L)))
+    // a start inside the previous chunk's overlap span never fires:
+    // n=240 < 200+50 would make chunk [150,240) ⊂ [0,200)∪overlap span
+    val tight = Seq((9L, "y" * 240, "s"))
+      .toDF("doc_id", "text", "source")
+    assert(DocOps.chunkDocuments(tight, 200, 50).count() == 2,
+      "240 > 200 still needs a second chunk for chars [200,240)")
+    val covered = Seq((8L, "z" * 249, "s")).toDF("doc_id", "text", "source")
+    // n=249: start 150 has tail [150,249) with novel chars [200,249) — emitted;
+    // but n=200 exactly -> single chunk
+    assert(DocOps.chunkDocuments(
+      Seq((7L, "w" * 200, "s")).toDF("doc_id", "text", "source"),
+      200, 50).count() == 1)
+    assert(DocOps.chunkDocuments(covered, 200, 50).count() == 2)
+  }
+
   test("stratifiedSample: per-stratum cap, partition-layout independent") {
     val langs = Seq("en", "fr", "de")
     val docs = (0L until 900L).map(i => (i, langs((i % 3).toInt), s"doc $i"))
