@@ -139,6 +139,8 @@ object SparkEntry {
     "bpeish_token_counts" -> ((s, d) => DocOps.bpeishTokenCounts(documents(s, d))),
     "token_stats_by_source" -> ((s, d) => DocOps.tokenStatsBySource(documents(s, d))),
     "top_terms" -> ((s, d) => DocOps.topTerms(documents(s, d))),
+    "bpe_merge_candidates" ->
+      ((s, d) => DocOps.bpeMergeCandidates(documents(s, d))),
     "term_cooccurrence" -> ((s, d) => MiningOps.termCooccurrence(documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
@@ -1025,6 +1027,17 @@ object SparkEntry {
       ("SELECT term, count(*) AS cnt FROM (" +
         "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
         "FROM documents) GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20"),
+    // Mirrors DocOps.bpeMergeCandidates: vocabulary-first (distinct
+    // word + count), then adjacent char pairs WITH multiplicity
+    // weighted by word count; ties break on the pair string.
+    "bpe_merge_candidates" ->
+      ("WITH v AS (SELECT w, count(*) AS cnt FROM (" +
+        "SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w " +
+        "FROM documents) WHERE length(w) >= 2 GROUP BY w), " +
+        "p AS (SELECT substring(w, CAST(unnest(range(1, length(w))) AS INT), 2) " +
+        "AS pair, cnt FROM v) " +
+        "SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_pairs FROM p " +
+        "GROUP BY pair ORDER BY n_pairs DESC, pair ASC LIMIT 20"),
     // Mirrors MiningOps.termCooccurrence: distinct doc-term pairs,
     // df-pruned vocabulary [20, 0.9N], pair self-join on doc_id with
     // binary term order, HAVING >= 10, and every ratio in DOUBLE with

@@ -121,6 +121,33 @@ object DocOps {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
 
+  /** First-iteration BPE merge candidates (Sennrich et al. '16): the
+    * top-k adjacent character pairs by corpus frequency — the pair a
+    * byte-pair-encoding tokenizer trainer would merge first, and the
+    * standard vocabulary-health probe ("what digraphs dominate this
+    * corpus?").
+    *
+    * Scale shape — vocabulary-first, exactly like the reference BPE
+    * trainer's word-frequency dict: the corpus collapses to DISTINCT
+    * words with counts BEFORE any character-level work, so the
+    * character explode runs over |vocab| rows (Heaps' law: ≪ corpus
+    * tokens), each pair weighted by its word's count. Pairs within a
+    * word count with multiplicity ("aaa" → "aa" twice), matching the
+    * BPE definition. Ties break on the pair string for a stable gate. */
+  def bpeMergeCandidates(docs: DataFrame, k: Int = 20): DataFrame = {
+    val vocab = docs
+      .select(explode(DedupOps.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    vocab
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("pair").asc)
+      .limit(k)
+  }
+
   /** Document-length distribution per source: exact continuous
     * percentiles of the whitespace token count — the corpus-shape
     * accounting behind truncation/packing decisions. `percentile` ↔

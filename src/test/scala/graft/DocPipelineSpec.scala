@@ -52,6 +52,22 @@ class DocPipelineSpec extends SparkSpec {
     assert(DocOps.chunkDocuments(covered, 200, 50).count() == 2)
   }
 
+  test("bpeMergeCandidates: pair multiplicity weighted by word count") {
+    val docs = Seq(
+      (1L, "aaa bb x"),     // "x" (len 1) contributes nothing
+      (2L, "aaa"),
+      (3L, "abab"))
+      .toDF("doc_id", "text")
+    val got = DocOps.bpeMergeCandidates(docs, k = 10)
+      .as[(String, Long)].collect().toMap
+    // "aaa" appears twice, each with pairs aa,aa -> 4; "abab" has
+    // ab,ba,ab -> ab:2, ba:1; "bb" -> 1
+    assert(got == Map("aa" -> 4L, "ab" -> 2L, "bb" -> 1L, "ba" -> 1L), got.toString)
+    // top-1 is the max pair; tie-break on pair string
+    val top = DocOps.bpeMergeCandidates(docs, k = 1).as[(String, Long)].collect()
+    assert(top.toSeq == Seq("aa" -> 4L))
+  }
+
   test("stratifiedSample: per-stratum cap, partition-layout independent") {
     val langs = Seq("en", "fr", "de")
     val docs = (0L until 900L).map(i => (i, langs((i % 3).toInt), s"doc $i"))
