@@ -394,6 +394,7 @@ object SparkEntry {
       VectorOps.knnIvfWith(embeddings(s, d),
         VectorOps.sampleCentroids(embeddings(s, d), 16), 0, 10)),
     "knn_all_brute" -> ((s, d) => VectorOps.knnAllBrute(embeddings(s, d), 5)),
+    "hard_negatives" -> ((s, d) => VectorOps.hardNegatives(embeddings(s, d), 3)),
     "knn_all_lsh" -> ((s, d) => VectorOps.knnAllLsh(embeddings(s, d), 5)),
     "knn_all_ivf" -> ((s, d) =>
       VectorOps.knnAllIvf(embeddings(s, d), ivfCentroids(s, d), 5)),
@@ -2173,6 +2174,19 @@ object SparkEntry {
         "SELECT a_id, b_id, cos_sim FROM (SELECT *, row_number() OVER (" +
         "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn FROM s) " +
         "WHERE rn <= 5"),
+    // Mirrors VectorOps.hardNegatives: the knn_all_brute cosine with
+    // the label inequality in the join predicate and per-vector top-3.
+    "hard_negatives" ->
+      ("WITH s AS (SELECT a.vec_id AS a_id, a.label AS a_label, " +
+        "b.vec_id AS b_id, b.label AS b_label, " +
+        "round(list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim " +
+        "FROM embeddings a JOIN embeddings b ON a.label <> b.label) " +
+        "SELECT a_id, a_label, b_id, b_label, cos_sim FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn " +
+        "FROM s) WHERE rn <= 3"),
     // Mirrors the planted-dup registration (VectorOps.withPlantedDups):
     // exact ALL-pairs cosine in DuckDB — sound because sign-LSH recall
     // of a positive scalar multiple is exactly 1, so the bucketed Spark

@@ -346,6 +346,40 @@ object VectorOps {
       Seq(col("cos_sim").desc, col("b_id").asc), k)
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch
+    * negatives literature, e.g. DPR Karpukhin et al. '20): for every
+    * vector, the k most cosine-similar vectors carrying a DIFFERENT
+    * label — the near-miss examples a contrastive or reranker
+    * objective learns the most from, and exactly the rows a
+    * random-negative sampler almost never draws.
+    *
+    * Same plan scaffold as [[knnAllBrute]] (repartitioned left,
+    * broadcast right, dot + carried norms, native capped-heap top-k),
+    * with the label inequality riding IN the join condition so
+    * same-label pairs never materialize (for C balanced classes that
+    * is the only change to the cost: (C-1)/C of the brute pairs).
+    * This exact form is the gate; at corpus scale the same
+    * mining runs list-scoped — [[knnAllIvf]]'s assignment join with
+    * this label predicate appended — trading recall for Σ list² cost
+    * exactly as documented there. */
+  def hardNegatives(embeddings: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.DotProduct.{dotFused, normFused}
+    val a = embeddings.select(col("vec_id").as("a_id"),
+      col("label").as("a_label"),
+      col("embedding").as("va"), normFused(col("embedding")).as("na"))
+      .repartition(col("a_id"))
+    val b = embeddings.select(col("vec_id").as("b_id"),
+      col("label").as("b_label"),
+      col("embedding").as("vb"), normFused(col("embedding")).as("nb"))
+    val scored = a.join(broadcast(b), col("a_label") =!= col("b_label"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        round(when(col("na") * col("nb") === 0.0, lit(null).cast("double"))
+          .otherwise(dotFused(col("va"), col("vb")) / (col("na") * col("nb"))),
+          4).as("cos_sim"))
+    graft.plans.TopK.perGroup(scored, Seq(col("a_id")),
+      Seq(col("cos_sim").desc, col("b_id").asc), k)
+  }
+
   /** Batch ANN: each vector probes its own bucket plus every
     * 1-bit-flipped bucket (multi-probe), EXPLODED so the candidate join
     * is an equi-join on the bucket key — a hash shuffle with Σ bucket²

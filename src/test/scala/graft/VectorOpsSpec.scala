@@ -20,6 +20,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 4L, 2L), s"got $got")
   }
 
+  test("hardNegatives: nearest cross-label only, same-label twin excluded") {
+    // doc 10's IDENTICAL twin (cos 1.0) shares its label — it must be
+    // invisible; the hard negative is the almost-identical vector with
+    // the other label, which random negative sampling would rarely draw.
+    val df = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f), 0),
+      (11L, Array(1.0f, 0.0f, 0.0f), 0),   // same-label twin: excluded
+      (12L, Array(0.99f, 0.1f, 0.0f), 1),  // THE hard negative for 10/11
+      (13L, Array(0.0f, 1.0f, 0.0f), 1),
+      (14L, Array(0.0f, 0.9f, 0.2f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.hardNegatives(df, k = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSeq }
+    assert(got(10L).head == 12L, s"hard negative for 10: ${got(10L)}")
+    assert(!got(10L).contains(11L) && !got(10L).contains(14L),
+      s"same-label ids leaked into 10's negatives: ${got(10L)}")
+    // every result row crosses the label boundary
+    val labels = df.select("vec_id", "label").as[(Long, Int)].collect().toMap
+    val crossed = VectorOps.hardNegatives(df, k = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+      .forall { case (a, b) => labels(a) != labels(b) }
+    assert(crossed, "same-label pair in output")
+    // k bounds each group
+    assert(got.values.forall(_.size <= 2), got.toString)
+  }
+
   test("knnQuantized: integer codes, scale cancellation, brute agreement") {
     // codes are integers in [-127, 127]; max-magnitude element -> ±127
     val codes = vecs.select(col("vec_id"),
