@@ -75,6 +75,8 @@ object SparkEntry {
       ((s, d) => EventOps.approxDistinctAudit(events(s, d))),
     "hll_union_rollup_audit" ->
       ((s, d) => EventOps.hllUnionRollupAudit(events(s, d))),
+    "theta_overlap_audit" ->
+      ((s, d) => EventOps.thetaOverlapAudit(events(s, d))),
     "props_key_counts" -> ((s, d) => EventOps.propsKeyCounts(events(s, d))),
     "running_value_per_user" -> ((s, d) => EventOps.runningValuePerUser(events(s, d))),
     "lag_value_per_user" -> ((s, d) => EventOps.lagValuePerUser(events(s, d))),
@@ -558,6 +560,22 @@ object SparkEntry {
       ("SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, " +
         "count(DISTINCT user_id) AS n_exact, true AS within_tol " +
         "FROM events GROUP BY 1"),
+    // Mirrors EventOps.thetaOverlapAudit: Theta sketches run in exact
+    // mode below their nominal-entries bound (4096 ≫ weekly audience
+    // here), so the day→week union + intersection/difference estimates
+    // are pure functions of the user sets and the tolerance flags are
+    // deterministic constants beside the exact per-user recompute.
+    "theta_overlap_audit" ->
+      ("WITH u AS (SELECT date_trunc('week', ts) AS week, user_id, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ha, " +
+        "max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS hb " +
+        "FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1, 2) " +
+        "SELECT CAST(week AS TIMESTAMP) AS week, " +
+        "CAST(sum(ha) AS BIGINT) AS n_a_exact, " +
+        "CAST(sum(hb) AS BIGINT) AS n_b_exact, " +
+        "CAST(sum(ha * hb) AS BIGINT) AS n_both_exact, " +
+        "true AS both_within_tol, true AS only_a_within_tol " +
+        "FROM u GROUP BY week"),
     "props_key_counts" ->
       ("SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, " +
         "count(*) AS cnt FROM events GROUP BY 1"),

@@ -694,6 +694,62 @@ object EventOps {
           greatest(lit(1.0), lit(0.05) * col("n_exact"))).as("within_tol"))
   }
 
+  /** Audience-overlap rollup via Theta sketches (Datasketches) — the
+    * mergeable SET-ALGEBRA capability the HLL rollup
+    * ([[hllUnionRollupAudit]]) cannot give: HLL sketches union but
+    * never intersect, so "how many users did BOTH typeA and typeB this
+    * week" needs either a raw-row rescan or Theta sketches, whose
+    * intersection/difference are first-class operations.
+    *
+    * 100 TB architecture: per-(day, type) sketches are stored once at
+    * ingest grain; any later audience question — overlap, exclusion,
+    * arbitrary date range — is sketch algebra over those stored
+    * blobs, never a rescan of raw events. The day→week `theta_union_agg`
+    * here proves the merge path; `theta_intersection` / `theta_difference`
+    * answer the two questions exact `count(DISTINCT)` partials
+    * structurally cannot.
+    *
+    * Audit contract (the [[hllUnionRollupAudit]] pattern): exact
+    * weekly audiences recomputed per-user alongside, estimates
+    * compared under a deterministic 5%-or-±1 tolerance → constant
+    * flags beside oracle-recomputable exact counts. Below the sketch's
+    * nominal-entries bound (4096 default) Theta runs in exact mode, so
+    * at gate scale the flags are equalities, not luck. */
+  def thetaOverlapAudit(events: DataFrame, typeA: String = "purchase",
+      typeB: String = "error"): DataFrame = {
+    val week = date_trunc("week", col("ts"))
+    val filtered = events.filter(col("event_type").isin(typeA, typeB))
+    val daySketches = filtered
+      .groupBy(week.as("week"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        expr(s"theta_sketch_agg(CASE WHEN event_type = '$typeA' THEN user_id END)")
+          .as("sk_a"),
+        expr(s"theta_sketch_agg(CASE WHEN event_type = '$typeB' THEN user_id END)")
+          .as("sk_b"))
+    val est = daySketches.groupBy("week").agg(
+      expr("theta_sketch_estimate(theta_intersection(" +
+        "theta_union_agg(sk_a), theta_union_agg(sk_b)))").as("n_both_est"),
+      expr("theta_sketch_estimate(theta_difference(" +
+        "theta_union_agg(sk_a), theta_union_agg(sk_b)))").as("n_only_a_est"))
+    val exact = filtered
+      .groupBy(week.as("week"), col("user_id"))
+      .agg(
+        max(when(col("event_type") === typeA, 1L).otherwise(0L)).as("ha"),
+        max(when(col("event_type") === typeB, 1L).otherwise(0L)).as("hb"))
+      .groupBy("week")
+      .agg(sum("ha").as("n_a_exact"), sum("hb").as("n_b_exact"),
+        sum(col("ha") * col("hb")).as("n_both_exact"))
+    val tol = (exactCol: org.apache.spark.sql.Column,
+        estCol: org.apache.spark.sql.Column) =>
+      abs(estCol.cast("double") - exactCol.cast("double")) <=
+        greatest(lit(1.0), lit(0.05) * exactCol.cast("double"))
+    exact.join(est, "week").select(
+      col("week"), col("n_a_exact"), col("n_b_exact"), col("n_both_exact"),
+      tol(col("n_both_exact"), col("n_both_est")).as("both_within_tol"),
+      tol(col("n_a_exact") - col("n_both_exact"), col("n_only_a_est"))
+        .as("only_a_within_tol"))
+  }
+
   /** Peak session concurrency per day — the classic sweep-line over
     * intervals: how many user sessions were simultaneously open at the
     * busiest instant of each day (capacity planning / load-profile

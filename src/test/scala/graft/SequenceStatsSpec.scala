@@ -15,6 +15,29 @@ class SequenceStatsSpec extends SparkSpec {
   private def words(prefix: String, n: Int): String =
     (0 until n).map(i => s"$prefix$i").mkString(" ")
 
+  test("thetaOverlapAudit: exact-mode sketch algebra equals set algebra") {
+    // One week, hand-computed audiences: A = {1,2,3}, B = {2,3,4,5};
+    // both = {2,3}, only-A = {1}. Below nominal entries the Theta
+    // sketch is a lossless sample, so the intersection/difference
+    // estimates must be EXACT and every tolerance flag true.
+    def ev(id: Long, day: Int, uid: Long, t: String) =
+      (id, Timestamp.valueOf(f"2024-03-0$day 10:00:00"), uid, t, 1.0, "{}")
+    val events = Seq(
+      ev(1, 4, 1, "purchase"), ev(2, 4, 2, "purchase"),
+      ev(3, 5, 3, "purchase"), ev(4, 5, 2, "error"),
+      ev(5, 6, 3, "error"), ev(6, 6, 4, "error"),
+      ev(7, 7, 5, "error"), ev(8, 7, 9, "view"), // view: filtered out
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = EventOps.thetaOverlapAudit(events).collect()
+    assert(rows.length == 1, rows.mkString(","))
+    val r = rows.head
+    assert(r.getAs[Long]("n_a_exact") == 3L)
+    assert(r.getAs[Long]("n_b_exact") == 4L)
+    assert(r.getAs[Long]("n_both_exact") == 2L)
+    assert(r.getAs[Boolean]("both_within_tol"))
+    assert(r.getAs[Boolean]("only_a_within_tol"))
+  }
+
   test("spanDedupStats: first occurrence owns the span; short docs drop") {
     // doc 1 (srcA): 40 tokens -> spans [a0..a19], [b0..b19]
     // doc 2 (srcB): 20 tokens, byte-identical to doc 1's FIRST span
