@@ -144,6 +144,8 @@ object SparkEntry {
     "bpe_merge_candidates" ->
       ((s, d) => DocOps.bpeMergeCandidates(documents(s, d))),
     "term_cooccurrence" -> ((s, d) => MiningOps.termCooccurrence(documents(s, d))),
+    "cooccurrence_triangles" ->
+      ((s, d) => GraphOps.cooccurrenceTriangles(documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
     "peak_concurrency" -> ((s, d) => EventOps.peakConcurrency(events(s, d))),
@@ -1082,6 +1084,29 @@ object SparkEntry {
         "round(CAST(n_pair AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM nd) / " +
         "(CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)), 6) AS lift " +
         "FROM p JOIN v da ON da.term = p.term_a JOIN v db ON db.term = p.term_b"),
+    // Mirrors GraphOps.cooccurrenceTriangles: the SAME pair CTE chain
+    // as term_cooccurrence builds the edge set, then the oracle closes
+    // triangles by plain string order (x < y < z, three edge lookups)
+    // — the degree-oriented Spark form enumerates the identical
+    // triangle set, just grouped at each triangle's min-degree corner.
+    "cooccurrence_triangles" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "tri AS (SELECT e1.term_a AS x, e1.term_b AS y, e2.term_b AS z " +
+        "FROM p e1 JOIN p e2 ON e2.term_a = e1.term_b " +
+        "JOIN p e3 ON e3.term_a = e1.term_a AND e3.term_b = e2.term_b) " +
+        "SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM " +
+        "(SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node"),
     // Mirrors MiningOps.tfidfCosinePairs: identical linear-idf weight
     // (tf·N/df, same DOUBLE operand order), cosine rounded 6dp BEFORE
     // the threshold. The oracle is the inverted-index formulation; the

@@ -94,6 +94,64 @@ object GraphOps {
     * heavy part; the iteration then runs on the collapsed type-level
     * graph, so cost scales with the LOG, not with iterations × log.
     */
+  /** Per-node triangle counts via the degree-oriented node-iterator
+    * (Suri & Vassilvitskii WWW '11, "the curse of the last reducer").
+    *
+    * `edges` is an undirected, deduplicated edge list (`src` < `dst`,
+    * string vertices). Naive wedge enumeration groups wedges at their
+    * CENTER, so one celebrity node with degree d contributes d²
+    * wedges to a single reducer — the skew that kills corpus-scale
+    * graphs. Orienting every edge along the total order (degree, id)
+    * instead makes each node's out-degree O(√m) on ANY graph, so the
+    * wedge join is Σ outdeg² ≤ O(m^1.5) spread evenly — the published
+    * bound, with no skew cliff.
+    *
+    * Each triangle is counted exactly once: its three edges orient
+    * consistently (the total order is total), the wedge forms at the
+    * <T-minimal corner, and the closing edge (b,c) is itself oriented
+    * low→high in the SAME order — carried as a struct comparison in
+    * the wedge condition — so the closure check is a pure EQUI-join on
+    * (b,c), never an OR-condition nested loop. Output: every corner of
+    * every triangle, counted per node (the clustering-coefficient
+    * numerator). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // The edge list feeds degree counting (2 scans), orientation, and
+    // both sides of the wedge/closure joins — 5 consumers. Materialize
+    // it ONCE so an expensive upstream (e.g. the co-occurrence mining
+    // pipeline) never recomputes per consumer; the frame is
+    // pair-thresholded, i.e. orders of magnitude below corpus size.
+    val und = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = und.select(col("src").as("v"))
+      .unionAll(und.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val lowFirst = struct(col("ds"), col("src")) < struct(col("dd"), col("dst"))
+    val oriented = und
+      .join(deg.select(col("v").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("v").as("dst"), col("deg").as("dd")), "dst")
+      .select(
+        when(lowFirst, col("src")).otherwise(col("dst")).as("u"),
+        when(lowFirst, col("dst")).otherwise(col("src")).as("w"),
+        when(lowFirst, col("dd")).otherwise(col("ds")).as("dw"))
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          struct(col("e1.dw"), col("e1.w")) < struct(col("e2.dw"), col("e2.w")))
+      .select(col("e1.u").as("a"), col("e1.w").as("b"), col("e2.w").as("c"))
+    wedges
+      .join(oriented.select(col("u").as("b"), col("w").as("c")), Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** [[triangleCounts]] over the term co-occurrence graph
+    * ([[MiningOps.termCooccurrence]]'s df-bounded, support-thresholded
+    * pair set): which vocabulary terms sit in tightly clustered topic
+    * neighborhoods. Node ids are term strings; the co-occurrence
+    * thresholds bound the graph before any triangle work. */
+  def cooccurrenceTriangles(docs: DataFrame): DataFrame =
+    triangleCounts(MiningOps.termCooccurrence(docs)
+      .select(col("term_a").as("src"), col("term_b").as("dst")))
+
   def eventTypePageRank(events: DataFrame, iters: Int = 5): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)

@@ -31,6 +31,32 @@ class GraphOpsSpec extends SparkSpec {
     rank
   }
 
+  test("triangleCounts: K4 + pendant star, orientation counts each once") {
+    // K4 on {a,b,c,d}: 4 triangles, every node in exactly 3. A high-
+    // degree star center s (the "celebrity" the orientation exists
+    // for) attached to leaves closes NO triangle; the chain x-y-z
+    // likewise. Edges are src < dst, distinct — the operator contract.
+    val k4 = Seq("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d")
+    val star = (0 until 6).map(i => s"l$i" -> "s")
+      .map { case (l, s) => if (l < s) (l, s) else (s, l) }
+    val chain = Seq("x" -> "y", "y" -> "z")
+    val edges = (k4 ++ star ++ chain).toDF("src", "dst")
+    val got = GraphOps.triangleCounts(edges)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L),
+      got.toString)
+    // naive string-ordered closure agrees on total count: Σ per-node
+    // participations = 3 × #triangles
+    val e = (k4 ++ star ++ chain).toSet
+    val vs = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val naive = (for {
+      x <- vs; y <- vs if x < y && e((x, y))
+      z <- vs if y < z && e((y, z)) && e((x, z))
+    } yield 1).size
+    assert(got.values.sum == 3L * naive, s"${got.values.sum} vs 3*$naive")
+  }
+
   test("pageRank matches naive power iteration on the fixture") {
     val edges = fixture.toDF("src", "dst", "weight")
     val got = GraphOps.pageRank(edges, iters = 5)
