@@ -146,6 +146,8 @@ object SparkEntry {
     "term_cooccurrence" -> ((s, d) => MiningOps.termCooccurrence(documents(s, d))),
     "cooccurrence_triangles" ->
       ((s, d) => GraphOps.cooccurrenceTriangles(documents(s, d))),
+    "cooccurrence_clustering" ->
+      ((s, d) => GraphOps.cooccurrenceClustering(documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
     "peak_concurrency" -> ((s, d) => EventOps.peakConcurrency(events(s, d))),
@@ -1107,6 +1109,33 @@ object SparkEntry {
         "JOIN p e3 ON e3.term_a = e1.term_a AND e3.term_b = e2.term_b) " +
         "SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM " +
         "(SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node"),
+    // Mirrors GraphOps.cooccurrenceClustering: same triangle CTE plus
+    // the degree frame; coef = 2·T/(deg·(deg−1)) in DOUBLE with the
+    // pinned operand order, deg < 2 excluded, triangle-free nodes 0.
+    "cooccurrence_clustering" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "deg AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM " +
+        "(SELECT term_a AS v FROM p UNION ALL SELECT term_b AS v FROM p) GROUP BY v), " +
+        "tri AS (SELECT e1.term_a AS x, e1.term_b AS y, e2.term_b AS z " +
+        "FROM p e1 JOIN p e2 ON e2.term_a = e1.term_b " +
+        "JOIN p e3 ON e3.term_a = e1.term_a AND e3.term_b = e2.term_b), " +
+        "tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM " +
+        "(SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node) " +
+        "SELECT deg.v AS node, deg.deg, coalesce(tc.n_triangles, 0) AS n_triangles, " +
+        "round(2.0 * CAST(coalesce(tc.n_triangles, 0) AS DOUBLE) / " +
+        "(CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0)), 6) AS clustering_coef " +
+        "FROM deg LEFT JOIN tc ON tc.node = deg.v WHERE deg.deg >= 2"),
     // Mirrors MiningOps.tfidfCosinePairs: identical linear-idf weight
     // (tf·N/df, same DOUBLE operand order), cosine rounded 6dp BEFORE
     // the threshold. The oracle is the inverted-index formulation; the

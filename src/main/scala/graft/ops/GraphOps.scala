@@ -143,6 +143,27 @@ object GraphOps {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node: 2·T(v) / (deg(v)·(deg(v)−1))
+    * — the fraction of a node's neighbor pairs that are themselves
+    * connected (Watts–Strogatz '98). Nodes of degree < 2 have no
+    * defined coefficient and are excluded; triangle-free nodes report
+    * 0. The division is pinned to DOUBLE with the oracle's operand
+    * order and 6dp round. Cost is [[triangleCounts]] plus one
+    * node-keyed left join against the (node-cardinality) degree frame. */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = und.select(col("src").as("v"))
+      .unionAll(und.select(col("dst").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(und).withColumnRenamed("node", "v"), Seq("v"), "left")
+      .select(col("v").as("node"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+          (col("deg").cast("double") * (col("deg").cast("double") - 1.0)), 6)
+          .as("clustering_coef"))
+  }
+
   /** [[triangleCounts]] over the term co-occurrence graph
     * ([[MiningOps.termCooccurrence]]'s df-bounded, support-thresholded
     * pair set): which vocabulary terms sit in tightly clustered topic
@@ -150,6 +171,13 @@ object GraphOps {
     * thresholds bound the graph before any triangle work. */
   def cooccurrenceTriangles(docs: DataFrame): DataFrame =
     triangleCounts(MiningOps.termCooccurrence(docs)
+      .select(col("term_a").as("src"), col("term_b").as("dst")))
+
+  /** [[clusteringCoefficients]] over the same co-occurrence graph:
+    * which terms sit in closed topic cliques (coef → 1) vs broad hub
+    * vocabulary bridging unrelated contexts (coef → 0). */
+  def cooccurrenceClustering(docs: DataFrame): DataFrame =
+    clusteringCoefficients(MiningOps.termCooccurrence(docs)
       .select(col("term_a").as("src"), col("term_b").as("dst")))
 
   def eventTypePageRank(events: DataFrame, iters: Int = 5): DataFrame = {

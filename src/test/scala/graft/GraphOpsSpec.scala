@@ -57,6 +57,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(got.values.sum == 3L * naive, s"${got.values.sum} vs 3*$naive")
   }
 
+  test("clusteringCoefficients: clique 1.0, bridges 0, deg<2 excluded") {
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", // triangle
+      "c" -> "d", "d" -> "e",                           // path off it
+      "f" -> "g")                                       // isolated edge
+      .toDF("src", "dst")
+    val got = GraphOps.clusteringCoefficients(edges)
+      .collect().map(r => r.getAs[String]("node") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering_coef")))).toMap
+    assert(got("a") == ((2L, 1L, 1.0)), got.toString)
+    assert(got("b") == ((2L, 1L, 1.0)))
+    // c: deg 3, 1 triangle of 3 possible neighbor pairs
+    assert(got("c") == ((3L, 1L, 0.333333)))
+    assert(got("d") == ((2L, 0L, 0.0)), "bridge node must report 0")
+    // e, f, g have degree 1 — no defined coefficient
+    assert(!got.contains("e") && !got.contains("f") && !got.contains("g"))
+  }
+
   test("pageRank matches naive power iteration on the fixture") {
     val edges = fixture.toDF("src", "dst", "weight")
     val got = GraphOps.pageRank(edges, iters = 5)
