@@ -159,6 +159,7 @@ object SparkEntry {
     "token_percentiles_by_source" ->
       ((s, d) => DocOps.tokenPercentilesBySource(documents(s, d))),
     "quality_signals" -> ((s, d) => DocOps.qualitySignals(documents(s, d))),
+    "pareto_frontier" -> ((s, d) => DocOps.paretoFrontier(documents(s, d))),
     "quality_by_lang" -> ((s, d) => DocOps.qualityByLang(documents(s, d))),
     "gopher_quality_flags" ->
       ((s, d) => DocOps.gopherQualityFlags(documents(s, d))),
@@ -1219,6 +1220,20 @@ object SparkEntry {
         "CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS BIGINT) AS n_punct, " +
         "round(length(text) * 1.0 / length(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len " +
         "FROM documents"),
+    // Mirrors DocOps.paretoFrontier: weak-domination skyline via the
+    // collapsed per-alpha frame — on the frontier iff the doc holds
+    // its 4dp-alpha group's max n_chars AND beats every strictly-
+    // cleaner group's max (exclusive DESC running max).
+    "pareto_frontier" ->
+      ("WITH q AS (SELECT doc_id, " +
+        "round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio, " +
+        "CAST(length(text) AS BIGINT) AS n_chars FROM documents), " +
+        "m AS (SELECT alpha_ratio, max(n_chars) AS mx FROM q GROUP BY 1), " +
+        "s AS (SELECT alpha_ratio, mx, max(mx) OVER (ORDER BY alpha_ratio DESC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_mx FROM m) " +
+        "SELECT q.doc_id, q.alpha_ratio, q.n_chars " +
+        "FROM q JOIN s USING (alpha_ratio) " +
+        "WHERE q.n_chars = s.mx AND (s.strict_mx IS NULL OR q.n_chars > s.strict_mx)"),
     "quality_by_lang" ->
       ("WITH r AS (SELECT lang, length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 " +
         "/ length(text) AS alpha_ratio FROM documents) " +

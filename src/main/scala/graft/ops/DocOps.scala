@@ -121,6 +121,38 @@ object DocOps {
       .orderBy(col("cnt").desc, col("term").asc)
       .limit(k)
 
+  /** Pareto frontier (skyline, Börzsönyi et al. ICDE '01) over the two
+    * quality axes a curation pass trades off: alphabetic ratio
+    * (cleanliness) vs character length (content volume). A document is
+    * on the frontier iff no other document weakly dominates it
+    * (≥ on both axes, > on at least one) — the "best N documents"
+    * candidates no scalarized quality score can rank away.
+    *
+    * Scale shape — the collapsed-frame skyline, NOT the textbook n²
+    * dominance self-join and NOT a serial window over the corpus: the
+    * corpus collapses to one row per distinct 4dp alpha value (≤ 10⁴
+    * rows by construction) carrying max(n_chars); the strict-better
+    * running max is a window over THAT frame only; membership joins
+    * back on the alpha value (broadcast-size right side). A document
+    * survives iff it holds its alpha group's max length and beats
+    * every strictly-cleaner group's max — algebraically the weak-
+    * domination skyline, in one small-frame window + one join. */
+  def paretoFrontier(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = docs.select(col("doc_id"),
+      round(length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+        .cast("double") / length(col("text")), 4).as("alpha_ratio"),
+      length(col("text")).cast("long").as("n_chars"))
+    val m = q.groupBy("alpha_ratio").agg(max("n_chars").as("mx"))
+    val strictBetter = Window.orderBy(col("alpha_ratio").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val s = m.withColumn("strict_mx", max("mx").over(strictBetter))
+    q.join(s, "alpha_ratio")
+      .filter(col("n_chars") === col("mx") &&
+        (col("strict_mx").isNull || col("n_chars") > col("strict_mx")))
+      .select("doc_id", "alpha_ratio", "n_chars")
+  }
+
   /** First-iteration BPE merge candidates (Sennrich et al. '16): the
     * top-k adjacent character pairs by corpus frequency — the pair a
     * byte-pair-encoding tokenizer trainer would merge first, and the

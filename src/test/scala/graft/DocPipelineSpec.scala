@@ -52,6 +52,34 @@ class DocPipelineSpec extends SparkSpec {
     assert(DocOps.chunkDocuments(covered, 200, 50).count() == 2)
   }
 
+  test("paretoFrontier: equals the naive weak-domination skyline") {
+    // alpha_ratio = alpha chars / length; lengths and ratios chosen to
+    // exercise: clean-and-long (frontier), clean-but-short (dominated),
+    // dirty-but-longest (frontier), exact ties on both axes (both kept)
+    def doc(id: Long, alpha: Int, digits: Int) =
+      (id, "a" * alpha + "1" * digits)
+    val docs = Seq(
+      doc(1, 10, 0),   // (1.0, 10) — frontier (cleanest, longest at 1.0)
+      doc(2, 4, 0),    // (1.0, 4)  — dominated by 1
+      doc(3, 18, 2),   // (0.9, 20) — frontier
+      doc(4, 9, 1),    // (0.9, 10) — dominated by 1 and 3
+      doc(5, 10, 10),  // (0.5, 20) — dominated by 3 (equal n, lower alpha)
+      doc(6, 10, 30),  // (0.25, 40) — frontier (longest overall)
+      doc(7, 18, 2),   // (0.9, 20) — exact tie with 3: BOTH on frontier
+    ).toDF("doc_id", "text")
+    val got = DocOps.paretoFrontier(docs).select("doc_id").as[Long]
+      .collect().toSet
+    // naive O(n²) weak-domination skyline over the same rounded pairs
+    val pts = Seq(1L -> (1.0, 10L), 2L -> (1.0, 4L), 3L -> (0.9, 20L),
+      4L -> (0.9, 10L), 5L -> (0.5, 20L), 6L -> (0.25, 40L), 7L -> (0.9, 20L))
+    val naive = pts.filter { case (id, (a, n)) =>
+      !pts.exists { case (id2, (a2, n2)) =>
+        id2 != id && a2 >= a && n2 >= n && (a2 > a || n2 > n) }
+    }.map(_._1).toSet
+    assert(naive == Set(1L, 3L, 6L, 7L), s"fixture arithmetic: $naive")
+    assert(got == naive, s"got $got, naive $naive")
+  }
+
   test("bpeMergeCandidates: pair multiplicity weighted by word count") {
     val docs = Seq(
       (1L, "aaa bb x"),     // "x" (len 1) contributes nothing
