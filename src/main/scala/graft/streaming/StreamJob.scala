@@ -220,6 +220,50 @@ object StreamJob {
       }
       .start()
 
+  // ---------- distinct-count sketch-blob sink ----------
+  //
+  // The one aggregate [[startIncrementalDaily]]'s exact partials CANNOT
+  // maintain: distinct counts don't merge (|A ∪ B| ≠ |A| + |B|), so an
+  // incremental rollup of daily-distinct users would need the full
+  // history rescanned every batch. Theta sketch BLOBS close the gap:
+  // each micro-batch appends its per-day sketch rows, and any reader
+  // answers distinct questions by sketch union over the stored blobs —
+  // a mergeable, append-only architecture (no read-modify-write at
+  // all), the streaming face of EventOps.thetaOverlapAudit's store.
+
+  /** Per-day Theta sketch of one micro-batch's distinct usernames. */
+  def sketchDelta(batch: DataFrame): DataFrame = batch
+    .filter(col("created_at").isNotNull && col("username").isNotNull)
+    .groupBy(to_date(col("created_at")).as("day"))
+    .agg(expr("theta_sketch_agg(username)").as("sk"))
+
+  /** Append-only sketch sink: each micro-batch OVERWRITES its own
+    * `b<batchId>` subdirectory, so an at-least-once replay after
+    * checkpoint recovery rewrites the same blobs instead of
+    * double-appending — idempotence by path, no pointer file needed
+    * (unlike the read-modify-write rollup store, appends of distinct
+    * batch ids commute). */
+  def startDistinctDailySketches(prepared: DataFrame, dir: String,
+      checkpointDir: String): StreamingQuery =
+    prepared.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          sketchDelta(batch).write.mode("overwrite").parquet(s"$dir/b$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Distinct usernames per day answered from the STORED blobs only —
+    * no raw-row rescan, any date grain (regroup `day` coarser and the
+    * same union still holds: sketches are associative). */
+  def distinctDailyFromSketches(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/b*")
+      .groupBy("day")
+      .agg(expr("CAST(theta_sketch_estimate(theta_union_agg(sk)) AS BIGINT)")
+        .as("n_users"))
+
   /** Stream-stream inner join with watermarks and a time-range bound —
     * the remaining Structured Streaming category (the reference joins
     * nothing, SURVEY.md §2.3). Both sides carry watermarks so the state

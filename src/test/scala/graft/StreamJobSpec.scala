@@ -113,6 +113,43 @@ class StreamJobSpec extends SparkSpec {
     assert(versions == Set("v1", "v2"), versions.toString)
   }
 
+  test("sketch-blob sink: stored-blob distincts ≡ exact, replay-safe") {
+    val input = MemoryStream[String](spark)
+    val prepared = StreamJob.prepare(
+      ops.TootOps.parseJsonLines(input.toDF()))
+    val dir = java.nio.file.Files.createTempDirectory("sketches").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val batches = Seq(
+      // day 07 users {leo, demo}; day 08 {demo}
+      Seq(tootJson(1, "2025-10-07 10:00:05", "leo", "a"),
+        tootJson(2, "2025-10-07 11:30:00", "leo", "b"),
+        tootJson(3, "2025-10-07 12:00:00", "demo", "c"),
+        tootJson(4, "2025-10-08 09:00:00", "demo", "d")),
+      // day 07 gains {ana}, repeats leo across the BATCH boundary —
+      // the case exact partials cannot merge; day 08 repeats demo
+      Seq(tootJson(5, "2025-10-07 23:59:59", "ana", "e"),
+        tootJson(6, "2025-10-07 23:00:00", "leo", "f"),
+        tootJson(7, "2025-10-08 12:00:00", "demo", "g")))
+    val q = StreamJob.startDistinctDailySketches(prepared, dir, ckpt)
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def readBack() = StreamJob.distinctDailyFromSketches(spark, dir)
+      .select(col("day").cast("string"), col("n_users"))
+      .as[(String, Long)].collect().toMap
+    // exact-mode sketches: union across batch blobs == true distincts
+    assert(readBack() == Map("2025-10-07" -> 3L, "2025-10-08" -> 1L),
+      readBack().toString)
+    // replay safety: restart on the same checkpoint adds no data and
+    // leaves exactly one blob dir per batch (idempotence by path)
+    val q2 = StreamJob.startDistinctDailySketches(prepared, dir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readBack() == Map("2025-10-07" -> 3L, "2025-10-08" -> 1L))
+    val blobDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.getName)
+    assert(blobDirs.sorted.toSeq == Seq("b0", "b1"), blobDirs.mkString(","))
+  }
+
   test("windowedCountsNative: watermarked update-mode totals") {
     val input = MemoryStream[String](spark)
     val prepared = StreamJob.prepare(
