@@ -250,6 +250,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(aggs >= 4, s"vocab agg missing below the join:\n$plan")
   }
 
+  test("doc_chunks: fully narrow — one scan, one explode, ZERO exchanges") {
+    val plan = planOf(DocOps.chunkDocuments(Tables.documents(spark, sf0)))
+    assert(!plan.contains("Exchange"),
+      s"chunking must never shuffle — the chunk multiplier is only safe " +
+        s"in the narrow segment:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected 1 scan, got $scans:\n$plan")
+    assert("Generate posexplode".r.findAllIn(plan).length == 1, plan)
+  }
+
+  test("triangleCounts: every join is an equi-join (no BNL from the " +
+    "closure check)") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c").toDF("src", "dst")
+    val plan = planOf(GraphOps.triangleCounts(edges))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"wedge closure must stay an equi-join on (b, c):\n$plan")
+  }
+
+  test("hardNegatives: broadcast candidate side + native top-k " +
+    "(no global sort, no window)") {
+    val plan = planOf(VectorOps.hardNegatives(
+      Tables.embeddings(spark, sf0), 3))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"the label-inequality join must build on the broadcast side:\n$plan")
+    assert(plan.contains("TopKPerGroup"),
+      s"per-vector bound must be the capped-heap operator:\n$plan")
+    assert(!plan.contains("Window"), s"no row_number fallback:\n$plan")
+  }
+
+  test("paretoFrontier: window runs over the COLLAPSED frame, never the corpus") {
+    val plan = planOf(DocOps.paretoFrontier(Tables.documents(spark, sf0)))
+    // the window's child must be the per-alpha aggregate (mx), i.e. a
+    // HashAggregate sits between the scan and the Window — a Window
+    // directly over scan rows would be the serial-corpus-sort trap
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, plan)
+    val below = plan.substring(winIdx)
+    assert(below.contains("HashAggregate"),
+      s"window must consume the collapsed per-alpha aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"no dominance self-join:\n$plan")
+  }
+
   test("saltedNationActivity: join key carries the salt") {
     val plan = planOf(SkewOps.saltedNationActivity(
       Tables.events(spark, sf0), Tables.customer(spark, sf0)))
