@@ -402,6 +402,11 @@ object SparkEntry {
         VectorOps.sampleCentroids(embeddings(s, d), 16), 0, 10)),
     "knn_all_brute" -> ((s, d) => VectorOps.knnAllBrute(embeddings(s, d), 5)),
     "hard_negatives" -> ((s, d) => VectorOps.hardNegatives(embeddings(s, d), 3)),
+    // Pinned deterministic centroids (the knn_ivf_pinned discipline):
+    // the IVF-scoped mining replays end-to-end in DuckDB, hash-gated.
+    "hard_negatives_ivf" -> ((s, d) =>
+      VectorOps.hardNegativesIvf(embeddings(s, d),
+        VectorOps.sampleCentroids(embeddings(s, d), 16), 3)),
     "knn_all_lsh" -> ((s, d) => VectorOps.knnAllLsh(embeddings(s, d), 5)),
     "knn_all_ivf" -> ((s, d) =>
       VectorOps.knnAllIvf(embeddings(s, d), ivfCentroids(s, d), 5)),
@@ -514,6 +519,15 @@ object SparkEntry {
       "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
       "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
       "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets)"
+
+  /** DuckDB mirror of the fused cosine (`graft_cosine`): index-order
+    * fp64 dot over the float→DOUBLE casts, divided by the two norms in
+    * the same operand order — bit-identical to the Spark expression. */
+  private def duckCos(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), " +
+      s"i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))) " +
+      s"/ (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+      s"* sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
 
   private val prunedShingleCte: String =
     "pruned AS (SELECT * FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df " +
@@ -2274,6 +2288,28 @@ object SparkEntry {
         "SELECT a_id, a_label, b_id, b_label, cos_sim FROM (SELECT *, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn " +
         "FROM s) WHERE rn <= 3"),
+    // Mirrors VectorOps.hardNegativesIvf with the pinned deterministic
+    // centroid sample (vec_id % 997 < 16): the oracle replays the FULL
+    // IVF-scoped mining — cosine argmax assignment (list_id ASC
+    // tie-break), nprobe=2 probe selection, in-list cross-label top-3 —
+    // with the same fp64 index-order dot the fused expression uses.
+    "hard_negatives_ivf" ->
+      ("WITH c AS (SELECT vec_id AS list_id, embedding AS cv " +
+        "FROM embeddings WHERE vec_id % 997 < 16), " +
+        "sc0 AS (SELECT e.vec_id, e.label, e.embedding, c.list_id, " +
+        duckCos("e.embedding", "c.cv") + " AS d FROM embeddings e, c), " +
+        "sc AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY d DESC, list_id ASC) AS rn FROM sc0), " +
+        "asn AS (SELECT vec_id, label, embedding, list_id FROM sc WHERE rn = 1), " +
+        "probes AS (SELECT vec_id, label, embedding, list_id FROM sc WHERE rn <= 2), " +
+        "pairs AS (SELECT p.vec_id AS a_id, p.label AS a_label, " +
+        "m.vec_id AS b_id, m.label AS b_label, " +
+        "round(" + duckCos("p.embedding", "m.embedding") + ", 4) AS cos_sim " +
+        "FROM probes p JOIN asn m ON m.list_id = p.list_id " +
+        "AND m.vec_id <> p.vec_id AND m.label <> p.label) " +
+        "SELECT a_id, a_label, b_id, b_label, cos_sim FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn " +
+        "FROM pairs) WHERE rn <= 3"),
     // Mirrors the planted-dup registration (VectorOps.withPlantedDups):
     // exact ALL-pairs cosine in DuckDB — sound because sign-LSH recall
     // of a positive scalar multiple is exactly 1, so the bucketed Spark

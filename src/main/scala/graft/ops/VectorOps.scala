@@ -380,6 +380,39 @@ object VectorOps {
       Seq(col("cos_sim").desc, col("b_id").asc), k)
   }
 
+  /** [[hardNegatives]]'s corpus-scale path: the same cross-label
+    * mining scoped to IVF lists — each vector probes its `nprobe`
+    * nearest lists and only meets the DIFFERENT-label members assigned
+    * there, so the pair volume drops from n² to Σ(probers × members)
+    * per list exactly as in [[knnAllIvf]], trading recall for the
+    * centroid partition. With pinned deterministic centroids
+    * ([[sampleCentroids]]) every stage is a pure function of the
+    * table, so the whole search — assignment, probe selection,
+    * in-list cross-label top-k — replays in the oracle and the query
+    * is hash-gated, not merely recall-gated. */
+  def hardNegativesIvf(embeddings: DataFrame, centroids: DataFrame,
+      k: Int = 3, nprobe: Int = 2): DataFrame = {
+    val scored = embeddings
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"),
+        cosineFused(col("embedding"), col("cv")).as("d"))
+    val probes = graft.plans.TopK.perGroup(scored, Seq(col("vec_id")),
+      Seq(col("d").desc, col("list_id").asc), nprobe)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("va"), col("list_id"))
+    val members = graft.plans.TopK.perGroup(scored, Seq(col("vec_id")),
+      Seq(col("d").desc, col("list_id").asc), 1)
+      .select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("embedding").as("vb"), col("list_id"))
+    val pairs = probes
+      .join(members, Seq("list_id"))
+      .filter(col("a_id") =!= col("b_id") && col("a_label") =!= col("b_label"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        round(cosineFused(col("va"), col("vb")), 4).as("cos_sim"))
+    graft.plans.TopK.perGroup(pairs, Seq(col("a_id")),
+      Seq(col("cos_sim").desc, col("b_id").asc), k)
+  }
+
   /** Batch ANN: each vector probes its own bucket plus every
     * 1-bit-flipped bucket (multi-probe), EXPLODED so the candidate join
     * is an equi-join on the bucket key — a hash shuffle with Σ bucket²

@@ -47,6 +47,31 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.values.forall(_.size <= 2), got.toString)
   }
 
+  test("hardNegativesIvf: pairs ⊆ brute at equal scores, cross-label only") {
+    // clustered fixture: two tight direction groups, labels crossing
+    // the cluster boundary so in-list cross-label pairs exist
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.05f * (i % 5), 0.0f)
+      else Array(0.0f, 0.05f * (i % 5), 1.0f)
+      (i.toLong, base, i % 3)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val cents = VectorOps.sampleCentroids(df, 4)
+    val ivf = VectorOps.hardNegativesIvf(df, cents, k = 2)
+      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(ivf.nonEmpty, "IVF mining found nothing on the clustered fixture")
+    // every IVF pair is a genuine cross-label pair scored identically
+    // by the exhaustive form (IVF trades recall, never correctness)
+    val brute = VectorOps.hardNegatives(df, k = 40)
+      .select("a_id", "b_id", "cos_sim").as[(Long, Long, Double)]
+      .collect().toSet
+    val missing = ivf -- brute
+    assert(missing.isEmpty, s"IVF pairs not in brute set: $missing")
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    assert(ivf.forall { case (a, b, _) => labels(a) != labels(b) })
+  }
+
   test("knnQuantized: integer codes, scale cancellation, brute agreement") {
     // codes are integers in [-127, 127]; max-magnitude element -> ±127
     val codes = vecs.select(col("vec_id"),
