@@ -89,6 +89,8 @@ object SparkEntry {
     "user_type_unpivot" -> ((s, d) => EventOps.userTypeUnpivot(events(s, d))),
     "value_percentiles" -> ((s, d) => EventOps.valuePercentiles(events(s, d))),
     "value_histogram" -> ((s, d) => EventOps.valueHistogram(events(s, d))),
+    "value_equidepth_histogram" ->
+      ((s, d) => EventOps.valueEquidepthHistogram(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(events(s, d))),
@@ -688,6 +690,21 @@ object SparkEntry {
       ("SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket, " +
         "floor(value / 50.0) * 50.0 AS lo, count(*) AS n " +
         "FROM events GROUP BY 1, 2, 3"),
+    // Mirrors EventOps.valueEquidepthHistogram: the 9 interior decile
+    // boundaries via quantile_cont (same interpolated-rank definition
+    // as Spark's percentile), membership = count of strict > wins —
+    // boundary ties go LOW on both engines.
+    "value_equidepth_histogram" -> {
+      val cases = (1 to 9)
+        .map(i => s"CASE WHEN value > bs[$i] THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      "WITH b AS (SELECT quantile_cont(value, " +
+        "[0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM events), " +
+        s"x AS (SELECT value, $cases AS bucket FROM events, b) " +
+        "SELECT bucket, count(*) AS n, " +
+        "min(value) AS min_value, max(value) AS max_value " +
+        "FROM x GROUP BY bucket"
+    },
     "asof_last_purchase" ->
       ("WITH p AS (SELECT user_id, ts, event_id, value FROM (" +
         "SELECT user_id, ts, event_id, value, row_number() OVER (" +

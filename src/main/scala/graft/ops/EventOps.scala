@@ -269,6 +269,38 @@ object EventOps {
       .select(col("event_type"), col("bucket"),
         (col("bucket") * lit(width)).as("lo"), col("n"))
 
+  /** Equi-DEPTH histogram of `value` — [[valueHistogram]]'s dual:
+    * buckets hold (approximately) equal row counts instead of equal
+    * width, the shape profilers and quantile-bucketed joins want when
+    * the distribution is skewed (equi-width piles everything into two
+    * buckets).
+    *
+    * Scale shape — the broadcast-boundary form, NOT ntile: ntile needs
+    * a TOTAL order, i.e. one serial global sort-and-number task. Here
+    * the `buckets−1` exact interior percentile boundaries collapse to a
+    * ONE-ROW frame (percentile's partial aggregation is distributed),
+    * cross-joined back as a broadcast, and membership is a chain of
+    * `value > boundary` comparisons — all codegen, no corpus sort.
+    * Boundary ties go LOW (strict >), pinned identically in the
+    * oracle; `percentile` ↔ DuckDB `quantile_cont` share the
+    * interpolated-rank definition ([[DocOps.tokenPercentilesBySource]]
+    * established the parity). */
+  def valueEquidepthHistogram(events: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val fracs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds = events.agg(percentile(col("value"),
+      array(fracs.map(lit): _*)).as("bs"))
+    val bucket = fracs.indices
+      .map(i => when(col("value") > element_at(col("bs"), i + 1), 1)
+        .otherwise(0))
+      .reduce(_ + _)
+    events.crossJoin(broadcast(bounds))
+      .select(col("value"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_value"), max("value").as("max_value"))
+  }
+
   /** As-of join: for every event, the most recent STRICTLY-earlier
     * 'purchase' event of the same user. Spark lacks a native as-of
     * join; rather than a per-key collect or a nested-loop range join,

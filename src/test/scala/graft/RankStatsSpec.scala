@@ -10,6 +10,32 @@ import graft.ops.{DocOps, EventOps, JoinOps, VectorOps}
 class RankStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("valueEquidepthHistogram: uniform input fills buckets evenly, " +
+    "boundary ties go low") {
+    val events = (1L to 100L).map(i => (i, 1L, i.toDouble))
+      .toDF("event_id", "user_id", "value")
+    val got = EventOps.valueEquidepthHistogram(events, buckets = 10)
+      .collect().map(r => r.getAs[Int]("bucket") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("min_value"),
+          r.getAs[Double]("max_value")))).toMap
+    assert(got.keySet == (0 to 9).toSet, got.toString)
+    // 1..100: interior boundaries land between deciles, so each bucket
+    // holds ~10 rows and covers a contiguous value run
+    assert(got.values.map(_._1).sum == 100L)
+    assert(got.values.forall { case (n, _, _) => n >= 9 && n <= 11 }, got.toString)
+    assert(got(0)._2 == 1.0 && got(9)._3 == 100.0)
+    // contiguity: bucket maxima strictly increase with the bucket id
+    val maxes = (0 to 9).map(b => got(b)._3)
+    assert(maxes == maxes.sorted, maxes.toString)
+    // massive ties: a constant column collapses into bucket 0 only
+    // (every comparison against the identical boundary is false)
+    val const = (1L to 50L).map(i => (i, 1L, 7.0))
+      .toDF("event_id", "user_id", "value")
+    val g2 = EventOps.valueEquidepthHistogram(const, buckets = 5)
+      .collect().map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(g2 == Map(0 -> 50L), g2.toString)
+  }
+
   test("valueRankStats: quartiles, percent_rank, cume_dist over a total order") {
     val events = (1L to 8L).map(i => (i, 1L, i.toDouble))
       .toDF("event_id", "user_id", "value")
