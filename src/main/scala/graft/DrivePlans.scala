@@ -131,6 +131,26 @@ object DrivePlans {
           "neighborhood itself is an exploded EQUI-join on rank+i; " +
           "the native graft_jaro_winkler scores inside the generated " +
           "stage after the join."),
+      ("doc_chunks (RAG chunking, zero exchanges)",
+        "The whole overlap grid — sequence of starts, posexplode, " +
+          "substr + md5 — runs inside one narrow codegen'd segment: " +
+          "no Exchange node exists in the plan, so the chunk " +
+          "multiplier rides the scan's parallelism untouched " +
+          "(PlanAuditSpec pins this)."),
+      ("cooccurrence_triangles (degree-oriented wedge closure)",
+        "Every join is an equi-join: the wedge join keys on the shared " +
+          "low vertex, the closure keys on (b, c) because the closing " +
+          "edge is oriented by the SAME (degree, id) total order the " +
+          "wedge carries as a struct comparison — the OR-condition " +
+          "nested loop the naive formulation plans is structurally " +
+          "absent, and the celebrity-node d² wedge pile-up cannot " +
+          "form (out-degree is O(√m) after orientation)."),
+      ("pareto_frontier (collapsed-frame skyline)",
+        "The corpus aggregates to one row per distinct 4dp alpha " +
+          "BEFORE the only Window in the plan — the window's child is " +
+          "the HashAggregate, so the strict-better running max sorts " +
+          "≤ 10⁴ rows, never documents; membership is one join back. " +
+          "No dominance self-join, no corpus-wide sort."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -154,6 +174,9 @@ object DrivePlans {
       "term_cooccurrence" -> SparkEntry.queries("term_cooccurrence"),
       "sorted_neighborhood_pairs" ->
         SparkEntry.queries("sorted_neighborhood_pairs"),
+      "doc_chunks" -> SparkEntry.queries("doc_chunks"),
+      "cooccurrence_triangles" -> SparkEntry.queries("cooccurrence_triangles"),
+      "pareto_frontier" -> SparkEntry.queries("pareto_frontier"),
     )
 
     val sb = new StringBuilder
