@@ -451,6 +451,9 @@ object SparkEntry {
         .unionByName(top1("quantized", VectorOps.knnQuantized(planted, 0, 1)))
     }),
     "table_profile_events" -> ((s, d) => ProfileOps.profile(events(s, d))),
+    "constraint_audit" -> ((s, d) => ProfileOps.constraintAudit(
+      orders(s, d), customer(s, d), lineitem(s, d), events(s, d),
+      documents(s, d))),
     "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
     // Accuracy audit gating the rows-only HLL++ profile: per column,
     // the sketch estimate must sit within ±3·rsd of the exact count —
@@ -2198,6 +2201,34 @@ object SparkEntry {
         "row_number() OVER (PARTITION BY l.cluster_id " +
         "ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn " +
         "FROM lbl l JOIN documents d ON d.doc_id = l.doc_id) WHERE rn = 1"),
+    // Mirrors ProfileOps.constraintAudit: each check recomputed as the
+    // equivalent anti-join / distinct-gap / conditional count.
+    "constraint_audit" ->
+      ("SELECT 'orders.o_custkey -> customer' AS check_name, " +
+        "CAST((SELECT count(*) FROM orders o WHERE NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_violations, " +
+        "(SELECT count(*) FROM orders o WHERE NOT EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) = 0 AS passed " +
+        "UNION ALL SELECT 'lineitem.l_orderkey -> orders', " +
+        "CAST((SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT), " +
+        "(SELECT count(*) FROM lineitem l WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0 " +
+        "UNION ALL SELECT 'customer.c_custkey unique', " +
+        "CAST((SELECT count(c_custkey) - count(DISTINCT c_custkey) FROM customer) AS BIGINT), " +
+        "(SELECT count(c_custkey) - count(DISTINCT c_custkey) FROM customer) = 0 " +
+        "UNION ALL SELECT 'orders.o_orderkey unique', " +
+        "CAST((SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders) AS BIGINT), " +
+        "(SELECT count(o_orderkey) - count(DISTINCT o_orderkey) FROM orders) = 0 " +
+        "UNION ALL SELECT 'documents.doc_id unique', " +
+        "CAST((SELECT count(doc_id) - count(DISTINCT doc_id) FROM documents) AS BIGINT), " +
+        "(SELECT count(doc_id) - count(DISTINCT doc_id) FROM documents) = 0 " +
+        "UNION ALL SELECT 'lineitem.l_quantity in (0, 50]', " +
+        "CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0.0 OR l_quantity > 50.0) AS BIGINT), " +
+        "(SELECT count(*) FROM lineitem WHERE l_quantity <= 0.0 OR l_quantity > 50.0) = 0 " +
+        "UNION ALL SELECT 'events.user_id not null', " +
+        "CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT), " +
+        "(SELECT count(*) FROM events WHERE user_id IS NULL) = 0"),
     "table_profile_events" ->
       (Seq(
         ("event_id", "bigint", true), ("ts", "timestamp", false),

@@ -77,4 +77,52 @@ object ProfileOps {
           col(s"p_${f.name}")): _*)).as("c"))
       .select(col("n_rows"), col("c.*"))
   }
+
+  /** Declarative data-quality constraint audit (the dbt-test /
+    * Deequ-check shape): referential integrity, key uniqueness, value
+    * ranges, and null contracts evaluated as one frame — the
+    * acceptance gate a pipeline runs before trusting a new drop of
+    * input data, with violation COUNTS (not booleans) so a regression
+    * is quantified, not just flagged.
+    *
+    * Scale shape: each FK check is a LEFT ANTI join (broadcast when the
+    * referenced key side is small, the same guarded pattern as the star
+    * joins) collapsed to one count; uniqueness is `count −
+    * countDistinct` on the key column only; range/null checks are
+    * single-scan conditional sums. Every branch emits ONE row — the
+    * union is |constraints| rows total, so the audit's output is
+    * constant-size at any input scale. */
+  def constraintAudit(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame, events: DataFrame,
+      documents: DataFrame): DataFrame = {
+    def row(name: String, violations: DataFrame): DataFrame =
+      violations.select(lit(name).as("check_name"),
+        coalesce(col("n_violations").cast("long"), lit(0L))
+          .as("n_violations"))
+        .withColumn("passed", col("n_violations") === 0L)
+    def orphans(name: String, child: DataFrame, childKey: String,
+        parent: DataFrame, parentKey: String): DataFrame =
+      row(name, child.select(col(childKey))
+        .join(parent.select(col(parentKey).as(childKey)), Seq(childKey),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations")))
+    def unique(name: String, df: DataFrame, key: String): DataFrame =
+      row(name, df.agg((count(col(key)) - countDistinct(col(key)))
+        .as("n_violations")))
+    Seq(
+      orphans("orders.o_custkey -> customer", orders, "o_custkey",
+        customer, "c_custkey"),
+      orphans("lineitem.l_orderkey -> orders", lineitem, "l_orderkey",
+        orders, "o_orderkey"),
+      unique("customer.c_custkey unique", customer, "c_custkey"),
+      unique("orders.o_orderkey unique", orders, "o_orderkey"),
+      unique("documents.doc_id unique", documents, "doc_id"),
+      row("lineitem.l_quantity in (0, 50]", lineitem.agg(
+        sum(when(col("l_quantity") <= 0.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("n_violations"))),
+      row("events.user_id not null", events.agg(
+        sum(when(col("user_id").isNull, 1L).otherwise(0L))
+          .as("n_violations")))
+    ).reduce(_ unionByName _)
+  }
 }

@@ -9,6 +9,35 @@ class ProfileOpsSpec extends SparkSpec {
 
   private lazy val events = Tables.events(spark, sf0)
 
+  test("constraintAudit: planted violations counted, clean data passes") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val customer = Seq((1L, "a"), (2L, "b"), (2L, "b2")) // dup key 2
+      .toDF("c_custkey", "c_name")
+    val orders = Seq((10L, 1L), (11L, 2L), (12L, 99L)) // orphan cust 99
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq((10L, 5.0), (11L, 51.0), (77L, -1.0)) // orphan + 2 bad qty
+      .toDF("l_orderkey", "l_quantity")
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:00"), Some(7L)),
+      (2L, Timestamp.valueOf("2024-01-01 00:00:00"), None)) // null user
+      .toDF("event_id", "ts", "user_id")
+    val documents = Seq((1L, "x"), (1L, "y"), (2L, "z")) // dup doc_id
+      .toDF("doc_id", "text")
+    val got = ProfileOps.constraintAudit(orders, customer, lineitem,
+        events, documents)
+      .collect().map(r => r.getAs[String]("check_name") ->
+        ((r.getAs[Long]("n_violations"), r.getAs[Boolean]("passed")))).toMap
+    assert(got("orders.o_custkey -> customer") == ((1L, false)))
+    assert(got("lineitem.l_orderkey -> orders") == ((1L, false)))
+    assert(got("customer.c_custkey unique") == ((1L, false)))
+    assert(got("orders.o_orderkey unique") == ((0L, true)))
+    assert(got("documents.doc_id unique") == ((1L, false)))
+    assert(got("lineitem.l_quantity in (0, 50]") == ((2L, false)))
+    assert(got("events.user_id not null") == ((1L, false)))
+    assert(got.size == 7)
+  }
+
   test("approx profile matches exact within HLL tolerance") {
     def byCol(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getAs[String]("col_name") ->
