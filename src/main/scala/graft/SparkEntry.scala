@@ -91,6 +91,7 @@ object SparkEntry {
     "value_histogram" -> ((s, d) => EventOps.valueHistogram(events(s, d))),
     "value_equidepth_histogram" ->
       ((s, d) => EventOps.valueEquidepthHistogram(events(s, d))),
+    "dow_anomalies" -> ((s, d) => EventOps.dowAnomalies(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(events(s, d))),
@@ -693,6 +694,24 @@ object SparkEntry {
       ("SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket, " +
         "floor(value / 50.0) * 50.0 AS lo, count(*) AS n " +
         "FROM events GROUP BY 1, 2, 3"),
+    // Mirrors EventOps.dowAnomalies: exact integer moments per
+    // (type, weekday) group, one double division — weekday NUMBERING
+    // differs across engines (Spark 1=Sun, DuckDB 0=Sun) but the
+    // number never escapes the GROUP BY, so partitions agree.
+    "dow_anomalies" ->
+      ("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, dayofweek(day) AS dow, " +
+        "CAST(count(*) AS BIGINT) AS k, CAST(sum(n) AS BIGINT) AS sn, " +
+        "CAST(sum(n * n) AS BIGINT) AS snn FROM daily GROUP BY 1, 2) " +
+        "SELECT d.event_type, d.day, d.n, " +
+        "round(CAST(m.k * d.n - m.sn AS DOUBLE) / " +
+        "sqrt(CAST(m.k * m.snn - m.sn * m.sn AS DOUBLE)), 4) AS zscore, " +
+        "abs(CAST(m.k * d.n - m.sn AS DOUBLE) / " +
+        "sqrt(CAST(m.k * m.snn - m.sn * m.sn AS DOUBLE))) >= 2.0 AS is_anomaly " +
+        "FROM daily d JOIN m ON m.event_type = d.event_type " +
+        "AND m.dow = dayofweek(d.day) " +
+        "WHERE m.k >= 2 AND m.k * m.snn - m.sn * m.sn > 0"),
     // Mirrors EventOps.valueEquidepthHistogram: the 9 interior decile
     // boundaries via quantile_cont (same interpolated-rank definition
     // as Spark's percentile), membership = count of strict > wins —

@@ -430,6 +430,40 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("value"), z.as("zscore"))
   }
 
+  /** Seasonal-baseline anomaly detection: each (event_type, day)'s
+    * count scored against ITS DAY-OF-WEEK's distribution — the
+    * seasonality [[valueOutliers]]'s global per-key z ignores (a quiet
+    * Sunday is normal; the same count on a Tuesday is an incident).
+    * The weekday grouping is the simplest seasonal profile real
+    * freshness monitors run.
+    *
+    * Determinism: daily counts are integers, so all moments (k, Σn,
+    * Σn²) stay exact in LONG and the z-score is a single division of
+    * exactly-computed operands — bit-identical in both engines, the
+    * [[valueOutliers]] discipline. Zero-variance groups (every same-
+    * weekday count identical) are excluded rather than emitting 0/0.
+    * The day-of-week NUMBER never appears in the output, so Spark's
+    * 1=Sunday vs DuckDB's 0=Sunday disagreement cannot matter — both
+    * partition the days identically. */
+  def dowAnomalies(events: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("day")))
+    val m = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("k"), sum("n").as("sn"),
+        sum(col("n") * col("n")).as("snn"))
+    // population z over exact integer moments: (k·n − Σn)/√(k·Σn² − Σn²)
+    val z = (col("k") * col("n") - col("sn")).cast("double") /
+      sqrt((col("k") * col("snn") - col("sn") * col("sn")).cast("double"))
+    daily.join(m, Seq("event_type", "dow"))
+      .filter(col("k") >= 2 &&
+        col("k") * col("snn") - col("sn") * col("sn") > 0L)
+      .select(col("event_type"), col("day"), col("n"),
+        round(z, 4).as("zscore"),
+        (abs(z) >= threshold).as("is_anomaly"))
+  }
+
   /** Ordered conversion funnel (view → click → purchase), cohorted by
     * first-view day: per user, the first view, the first click STRICTLY
     * AFTER it, and the first purchase strictly after that — the

@@ -10,6 +10,32 @@ import graft.ops.{DocOps, EventOps, JoinOps, VectorOps}
 class RankStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dowAnomalies: weekday-seasonal z, zero-variance groups excluded") {
+    import java.sql.Timestamp
+    var id = 0L
+    def dayEvents(date: String, count: Int) = (1 to count).map { _ =>
+      id += 1
+      (id, Timestamp.valueOf(s"$date 10:00:00"), 1L, "a", 1.0, "{}")
+    }
+    // five Mondays with counts 10,10,10,10,26: k=5, Σn=66, Σn²=1076,
+    // k·Σn²−(Σn)² = 1024 → √=32; z(26) = (5·26−66)/32 = 2.0 exactly
+    val mondays = Seq("2024-01-01" -> 10, "2024-01-08" -> 10,
+      "2024-01-15" -> 10, "2024-01-22" -> 10, "2024-01-29" -> 26)
+    // two Tuesdays with identical counts: zero variance — excluded
+    val tuesdays = Seq("2024-01-02" -> 5, "2024-01-09" -> 5)
+    val events = (mondays ++ tuesdays).flatMap { case (d, c) => dayEvents(d, c) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.dowAnomalies(events).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("zscore"),
+          r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(got.keySet == mondays.map(_._1).toSet,
+      s"zero-variance Tuesdays must be excluded: ${got.keySet}")
+    assert(got("2024-01-29") == ((26L, 2.0, true)), got.toString)
+    assert(got("2024-01-01") == ((10L, -0.5, false)))
+    assert(got.values.count(_._3) == 1, "exactly one anomaly planted")
+  }
+
   test("valueEquidepthHistogram: uniform input fills buckets evenly, " +
     "boundary ties go low") {
     val events = (1L to 100L).map(i => (i, 1L, i.toDouble))
