@@ -92,6 +92,8 @@ object SparkEntry {
     "value_equidepth_histogram" ->
       ((s, d) => EventOps.valueEquidepthHistogram(events(s, d))),
     "dow_anomalies" -> ((s, d) => EventOps.dowAnomalies(events(s, d))),
+    "daily_trend_by_type" ->
+      ((s, d) => EventOps.dailyTrendByType(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(events(s, d))),
@@ -694,6 +696,23 @@ object SparkEntry {
       ("SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket, " +
         "floor(value / 50.0) * 50.0 AS lo, count(*) AS n " +
         "FROM events GROUP BY 1, 2, 3"),
+    // Mirrors EventOps.dailyTrendByType: five exact LONG moments per
+    // type, slope/intercept as double divisions in the same operand
+    // order (slope stays UNROUNDED inside the intercept formula).
+    "daily_trend_by_type" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x, " +
+        "CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2), " +
+        "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx " +
+        "FROM daily GROUP BY 1), " +
+        "sl AS (SELECT *, CAST(k * sxy - sx * sy AS DOUBLE) / " +
+        "CAST(k * sxx - sx * sx AS DOUBLE) AS slope FROM m " +
+        "WHERE k >= 2 AND k * sxx - sx * sx > 0) " +
+        "SELECT event_type, k AS n_days, round(slope, 6) AS slope_per_day, " +
+        "round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / " +
+        "CAST(k AS DOUBLE), 4) AS intercept FROM sl"),
     // Mirrors EventOps.dowAnomalies: exact integer moments per
     // (type, weekday) group, one double division — weekday NUMBERING
     // differs across engines (Spark 1=Sun, DuckDB 0=Sun) but the

@@ -269,6 +269,36 @@ object EventOps {
       .select(col("event_type"), col("bucket"),
         (col("bucket") * lit(width)).as("lo"), col("n"))
 
+  /** Per-type volume trend: closed-form OLS of daily event counts over
+    * epoch-day — "is this source growing or dying", the monitor a
+    * pipeline points at every upstream feed. Same discipline as
+    * [[graft.ops.DocOps.zipfSlopeByLang]]: the regression collapses to
+    * five integer moments (k, Σx, Σy, Σxy, Σx²) accumulated EXACTLY in
+    * LONG by one partial+final aggregation over the (type, day) count
+    * frame, then slope = (k·Σxy − Σx·Σy)/(k·Σx² − (Σx)²) and the
+    * intercept are single double divisions of exact operands —
+    * bit-identical across engines, no per-group collect, no ML fit.
+    * Types observed on < 2 distinct days have no trend and are
+    * excluded. */
+  def dailyTrendByType(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+          .cast("long").as("x"))
+      .agg(count(lit(1)).as("y"))
+    val m = daily.groupBy("event_type").agg(
+      count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val denom = col("k") * col("sxx") - col("sx") * col("sx")
+    val slope = (col("k") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") / denom.cast("double")
+    m.filter(col("k") >= 2 && denom > 0L)
+      .select(col("event_type"), col("k").as("n_days"),
+        round(slope, 6).as("slope_per_day"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("k").cast("double"), 4).as("intercept"))
+  }
+
   /** Equi-DEPTH histogram of `value` — [[valueHistogram]]'s dual:
     * buckets hold (approximately) equal row counts instead of equal
     * width, the shape profilers and quantile-bucketed joins want when

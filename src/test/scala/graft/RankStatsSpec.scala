@@ -10,6 +10,35 @@ import graft.ops.{DocOps, EventOps, JoinOps, VectorOps}
 class RankStatsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dailyTrendByType: exact OLS on planted linear growth") {
+    import java.sql.Timestamp
+    var id = 0L
+    def dayEvents(tpe: String, date: String, count: Int) =
+      (1 to count).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(s"$date 10:00:00"), 1L, tpe, 1.0, "{}")
+      }
+    // "grow": counts 2,4,6,8 on consecutive days — slope exactly 2.0;
+    // intercept = mean(y) - slope*mean(x); "flat": 5,5 — slope 0;
+    // "once": single day — excluded (no trend from one point)
+    val events = (
+      dayEvents("grow", "2024-01-01", 2) ++ dayEvents("grow", "2024-01-02", 4) ++
+      dayEvents("grow", "2024-01-03", 6) ++ dayEvents("grow", "2024-01-04", 8) ++
+      dayEvents("flat", "2024-01-01", 5) ++ dayEvents("flat", "2024-01-02", 5) ++
+      dayEvents("once", "2024-01-01", 3)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.dailyTrendByType(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Double]("slope_per_day"),
+          r.getAs[Double]("intercept")))).toMap
+    assert(got.keySet == Set("grow", "flat"), got.toString)
+    val (kg, sg, ig) = got("grow")
+    assert(kg == 4L && sg == 2.0, got.toString)
+    // x for 2024-01-01 is epoch day 19723; mean x = 19724.5, mean y = 5
+    assert(math.abs(ig - (5.0 - 2.0 * 19724.5)) < 1e-6, ig.toString)
+    assert(got("flat")._2 == 0.0)
+  }
+
   test("dowAnomalies: weekday-seasonal z, zero-variance groups excluded") {
     import java.sql.Timestamp
     var id = 0L
