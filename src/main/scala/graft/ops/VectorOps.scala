@@ -653,4 +653,49 @@ object VectorOps {
         (round(col("pr") / en - (col("s_i") / en) * (col("s_j") / en), 6)
           + lit(0.0)).as("cov"))
   }
+
+  /** Top principal component by power iteration over
+    * [[embeddingCovariance]] — the PCA step the covariance operator is
+    * the precursor FOR, kept relational end to end: the corpus-scale
+    * work is the one covariance pass (Σ parts·dim² cells), and each of
+    * the `iters` rounds is a dim²-row join + dim-row aggregation with
+    * the [[graft.ops.GraphOps.pageRank]] lineage-truncation
+    * discipline, so cost never rescans the embeddings.
+    *
+    * Determinism: iteration starts from the ALL-POSITIVE uniform
+    * vector 1/√d (so the eigenvector's sign cannot flip between
+    * engines) over the 6dp-rounded covariance both engines already
+    * agree on bit-for-bit (its own hash gate), and the oracle unrolls
+    * the same `iters` rounds as chained CTEs in identical DOUBLE
+    * operand order — the `event_pagerank` contract. Output: one row
+    * per dimension with the loading and the shared Rayleigh-quotient
+    * eigenvalue, −0.0 canonicalized. */
+  def pcaTopComponent(embeddings: DataFrame, iters: Int = 5): DataFrame = {
+    val cov = embeddingCovariance(embeddings)
+    val full = cov
+      .unionByName(cov.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint()
+    val d = full.agg(max("j")).head().getInt(0)
+    var v: DataFrame = full.select(col("i").as("dim")).distinct()
+      .withColumn("v", lit(1.0 / math.sqrt(d.toDouble)))
+    for (_ <- 1 to iters) {
+      val w = full.join(v.select(col("dim").as("j"), col("v")), "j")
+        .groupBy(col("i").as("dim"))
+        .agg(sum(col("cov") * col("v")).as("w"))
+      val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("dim"), (col("w") / col("nrm")).as("v"))
+        .localCheckpoint(eager = false)
+    }
+    val wf = full.join(v.select(col("dim").as("j"), col("v")), "j")
+      .groupBy(col("i").as("dim"))
+      .agg(sum(col("cov") * col("v")).as("w"))
+    val lam = v.join(wf, "dim")
+      .agg(sum(col("v") * col("w")).as("ev"))
+    v.crossJoin(broadcast(lam))
+      .select(col("dim"),
+        (round(col("v"), 6) + lit(0.0)).as("loading"),
+        (round(col("ev"), 6) + lit(0.0)).as("eigenvalue"))
+  }
 }

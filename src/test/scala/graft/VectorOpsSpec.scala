@@ -47,6 +47,48 @@ class VectorOpsSpec extends SparkSpec {
     assert(got.values.forall(_.size <= 2), got.toString)
   }
 
+  test("pcaTopComponent: recovers the dominant axis, unit norm, " +
+    "plain-Scala power-iteration agreement") {
+    // variance concentrated on axis 0 (spread ±4), tiny noise on 1/2:
+    // the top PC must align with e0, positive sign (all-positive start)
+    val rows = (0 until 24).map { i =>
+      val main = (i % 9 - 4).toFloat
+      (i.toLong, Array(main, 0.1f * (i % 3 - 1), 0.05f * (i % 2)), 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = VectorOps.pcaTopComponent(df, iters = 5).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        ((r.getAs[Double]("loading"), r.getAs[Double]("eigenvalue")))).toMap
+    assert(out.keySet == Set(1, 2, 3), out.toString)
+    val l = (1 to 3).map(d => out(d)._1)
+    assert(math.abs(l.map(x => x * x).sum - 1.0) < 1e-4,
+      s"loadings not unit-norm: $l")
+    assert(l.head > 0.99, s"dominant axis not recovered: $l")
+    // plain-Scala replay: same covariance, same 5 rounds
+    val n = rows.size.toDouble
+    val xs = rows.map(_._2.map(_.toDouble))
+    val mean = (0 until 3).map(j => xs.map(_(j)).sum / n)
+    val cov = Array.tabulate(3, 3) { (i, j) =>
+      BigDecimal(xs.map(v => v(i) * v(j)).sum / n - mean(i) * mean(j))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    var v = Array.fill(3)(1.0 / math.sqrt(3.0))
+    for (_ <- 1 to 5) {
+      val w = Array.tabulate(3)(i => (0 until 3).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    (1 to 3).foreach { d =>
+      assert(math.abs(out(d)._1 - v(d - 1)) < 1e-4,
+        s"dim $d: ${out(d)._1} vs scala ${v(d - 1)}")
+    }
+    // all rows share one eigenvalue, and it is the Rayleigh quotient
+    assert(out.values.map(_._2).toSet.size == 1)
+    val wf = Array.tabulate(3)(i => (0 until 3).map(j => cov(i)(j) * v(j)).sum)
+    val lam = (0 until 3).map(i => v(i) * wf(i)).sum
+    assert(math.abs(out(1)._2 - lam) < 1e-4, s"${out(1)._2} vs $lam")
+  }
+
   test("hardNegativesIvf: pairs ⊆ brute at equal scores, cross-label only") {
     // clustered fixture: two tight direction groups, labels crossing
     // the cluster boundary so in-list cross-label pairs exist
