@@ -94,6 +94,7 @@ object SparkEntry {
     "dow_anomalies" -> ((s, d) => EventOps.dowAnomalies(events(s, d))),
     "daily_trend_by_type" ->
       ((s, d) => EventOps.dailyTrendByType(events(s, d))),
+    "user_day_streaks" -> ((s, d) => EventOps.userDayStreaks(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(events(s, d))),
@@ -715,6 +716,19 @@ object SparkEntry {
         "SELECT event_type, k AS n_days, round(slope, 6) AS slope_per_day, " +
         "round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / " +
         "CAST(k AS DOUBLE), 4) AS intercept FROM sl"),
+    // Mirrors EventOps.userDayStreaks: gaps-and-islands over the
+    // distinct (user, day) grid — epoch_day minus row_number is
+    // constant within a consecutive run. All-LONG arithmetic.
+    "user_day_streaks" ->
+      ("WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "i AS (SELECT user_id, " +
+        "CAST(datediff('day', DATE '1970-01-01', day) AS BIGINT) - " +
+        "row_number() OVER (PARTITION BY user_id ORDER BY day) AS island FROM d), " +
+        "s AS (SELECT user_id, island, CAST(count(*) AS BIGINT) AS len " +
+        "FROM i GROUP BY 1, 2) " +
+        "SELECT user_id, max(len) AS longest_streak, " +
+        "CAST(sum(len) AS BIGINT) AS active_days, " +
+        "count(*) AS n_streaks FROM s GROUP BY 1"),
     // Mirrors EventOps.dowAnomalies: exact integer moments per
     // (type, weekday) group, one double division — weekday NUMBERING
     // differs across engines (Spark 1=Sun, DuckDB 0=Sun) but the

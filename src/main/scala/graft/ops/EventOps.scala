@@ -898,4 +898,35 @@ object EventOps {
         (col("open") + col("max_run")).as("peak_concurrency"),
         col("n_started"))
   }
+
+  /** Longest consecutive-active-day streak per user — gaps-and-islands
+    * over the DISTINCT (user, day) grid (the engagement metric the
+    * reference's daily counts, `src/spark_stream.py:119-131`, stop one
+    * window short of). `epoch_day - row_number()` is constant within a
+    * run of consecutive days, so each island is one group; every value
+    * is exact LONG/DATE arithmetic — bit-identical across engines.
+    *
+    * Scale: the distinct pre-collapse bounds the windowed frame to
+    * users × calendar days (≤365/user/year regardless of event volume —
+    * the window never sees raw events), and both the distinct and the
+    * window hash-partition by user-led keys. Per-user state is one
+    * year-bounded sorted run, no skew risk beyond the calendar. */
+  def userDayStreaks(events: DataFrame): DataFrame = {
+    val days = events
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    days
+      .withColumn(
+        "island",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast("long") - row_number().over(w))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(
+        max("len").as("longest_streak"),
+        sum("len").as("active_days"),
+        count(lit(1)).as("n_streaks"))
+  }
 }

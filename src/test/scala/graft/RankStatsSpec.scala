@@ -173,6 +173,28 @@ class RankStatsSpec extends SparkSpec {
     assert(out(1) == ((1L, 10.0, 10.0, 10.0)))
   }
 
+  test("userDayStreaks: gaps-and-islands on planted day grids") {
+    import java.sql.Timestamp
+    def ev(id: Long, user: Long, date: String) =
+      (id, Timestamp.valueOf(s"$date 10:00:00"), user, "view", 1.0, "{}")
+    // user 1: 1,2,3 then 5,6 → streaks 3+2, longest 3, 5 active days;
+    // two same-day events must collapse to ONE active day.
+    // user 2: isolated days 1, 3, 7 → three length-1 streaks.
+    // user 3: single day → one streak of 1.
+    val events = Seq(
+      ev(1, 1, "2024-01-01"), ev(2, 1, "2024-01-01"), ev(3, 1, "2024-01-02"),
+      ev(4, 1, "2024-01-03"), ev(5, 1, "2024-01-05"), ev(6, 1, "2024-01-06"),
+      ev(7, 2, "2024-01-01"), ev(8, 2, "2024-01-03"), ev(9, 2, "2024-01-07"),
+      ev(10, 3, "2024-02-01"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.userDayStreaks(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("longest_streak"), r.getAs[Long]("active_days"),
+          r.getAs[Long]("n_streaks")))).toMap
+    assert(got == Map(1L -> ((3L, 5L, 2L)), 2L -> ((1L, 3L, 3L)),
+      3L -> ((1L, 1L, 1L))), got.toString)
+  }
+
   test("winsorizedValueStats clamps outliers into the [p05, p95] band") {
     // 21 values 0..20: p05 = 1.0, p95 = 19.0 (quantile_cont on a
     // 0..20 lattice) → 0 clamps up to 1, 20 clamps down to 19; mean
