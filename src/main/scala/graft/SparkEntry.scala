@@ -2499,32 +2499,38 @@ object SparkEntry {
     // DOUBLE operand order — the event_pagerank contract. The uniform
     // all-positive start vector pins the eigenvector sign; CAST(x AS
     // DOUBLE) inside the sums is a no-op satisfying the sum lint.
+    // Every CTE is AS MATERIALIZED (a pure evaluation hint — same
+    // rows): DuckDB 1.0 otherwise re-INLINES the multiply-referenced
+    // chain, and with 5 unrolled rounds each re-deriving f and a
+    // per-row scalar subquery per normalization, the plan re-expands
+    // the whole covariance exponentially — measured 0.09 s
+    // materialized vs >8 MINUTES inlined on the 500-vector sf0.01.
     "pca_top_component" -> {
       val covCte =
-        "e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+        "e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
           "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
-          "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings), " +
-          "m AS (SELECT i, sum(x) AS s FROM e GROUP BY 1), " +
-          "p AS (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS pr " +
+          "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings), " +
+          "m AS MATERIALIZED (SELECT i, sum(x) AS s FROM e GROUP BY 1), " +
+          "p AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS pr " +
           "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2), " +
-          "cv AS (SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, " +
+          "cv AS MATERIALIZED (SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, " +
           "round(pr / (SELECT n FROM nn) - " +
           "(ma.s / (SELECT n FROM nn)) * (mb.s / (SELECT n FROM nn)), 6) + 0.0 AS cov " +
           "FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j), " +
-          "f AS (SELECT i, j, cov FROM cv " +
+          "f AS MATERIALIZED (SELECT i, j, cov FROM cv " +
           "UNION ALL SELECT j AS i, i AS j, cov FROM cv WHERE i <> j), " +
-          "dd AS (SELECT CAST(max(j) AS DOUBLE) AS d FROM f), " +
-          "v0 AS (SELECT DISTINCT i AS dim, 1.0 / sqrt((SELECT d FROM dd)) AS v FROM f)"
+          "dd AS MATERIALIZED (SELECT CAST(max(j) AS DOUBLE) AS d FROM f), " +
+          "v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, 1.0 / sqrt((SELECT d FROM dd)) AS v FROM f)"
       val rounds = (1 to 5).map { k =>
-        s"w$k AS (SELECT f.i AS dim, sum(CAST(f.cov AS DOUBLE) * v${k - 1}.v) AS w " +
+        s"w$k AS MATERIALIZED (SELECT f.i AS dim, sum(CAST(f.cov AS DOUBLE) * v${k - 1}.v) AS w " +
           s"FROM f JOIN v${k - 1} ON v${k - 1}.dim = f.j GROUP BY 1), " +
-          s"n$k AS (SELECT sqrt(sum(CAST(w AS DOUBLE) * w)) AS nrm FROM w$k), " +
-          s"v$k AS (SELECT dim, w / (SELECT nrm FROM n$k) AS v FROM w$k)"
+          s"n$k AS MATERIALIZED (SELECT sqrt(sum(CAST(w AS DOUBLE) * w)) AS nrm FROM w$k), " +
+          s"v$k AS MATERIALIZED (SELECT dim, w / (SELECT nrm FROM n$k) AS v FROM w$k)"
       }.mkString(", ")
       "WITH " + covCte + ", " + rounds + ", " +
-        "wf AS (SELECT f.i AS dim, sum(CAST(f.cov AS DOUBLE) * v5.v) AS w " +
+        "wf AS MATERIALIZED (SELECT f.i AS dim, sum(CAST(f.cov AS DOUBLE) * v5.v) AS w " +
         "FROM f JOIN v5 ON v5.dim = f.j GROUP BY 1), " +
-        "lam AS (SELECT sum(CAST(v5.v AS DOUBLE) * wf.w) AS ev " +
+        "lam AS MATERIALIZED (SELECT sum(CAST(v5.v AS DOUBLE) * wf.w) AS ev " +
         "FROM v5 JOIN wf ON wf.dim = v5.dim) " +
         "SELECT v5.dim, round(v5.v, 6) + 0.0 AS loading, " +
         "round((SELECT ev FROM lam), 6) + 0.0 AS eigenvalue FROM v5"
