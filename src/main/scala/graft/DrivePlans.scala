@@ -151,6 +151,13 @@ object DrivePlans {
           "the HashAggregate, so the strict-better running max sorts " +
           "≤ 10⁴ rows, never documents; membership is one join back. " +
           "No dominance self-join, no corpus-wide sort."),
+      ("user_day_streaks (gaps-and-islands on the distinct day grid)",
+        "The DISTINCT (user, day) pre-collapse is the plan's load-" +
+          "bearing move: the Window's child is the distinct " +
+          "HashAggregate, so the per-user sort ranks calendar days " +
+          "(≤365/user/yr), never raw events. Both the distinct and " +
+          "the window hash-partition on user-led keys; the two " +
+          "stacked groupBys after it are partial+final aggregates."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -177,6 +184,7 @@ object DrivePlans {
       "doc_chunks" -> SparkEntry.queries("doc_chunks"),
       "cooccurrence_triangles" -> SparkEntry.queries("cooccurrence_triangles"),
       "pareto_frontier" -> SparkEntry.queries("pareto_frontier"),
+      "user_day_streaks" -> SparkEntry.queries("user_day_streaks"),
     )
 
     val sb = new StringBuilder
