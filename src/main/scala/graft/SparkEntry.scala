@@ -105,6 +105,10 @@ object SparkEntry {
     "value_mad_by_type" -> ((s, d) => EventOps.valueMadByType(events(s, d))),
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
+    "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
+    "linear_attribution" -> ((s, d) => EventOps.linearAttribution(events(s, d))),
+    "bitmap_distinct_rollup" ->
+      ((s, d) => EventOps.bitmapDistinctRollup(events(s, d))),
     "scd2_type_history" -> ((s, d) => EventOps.scd2TypeHistory(events(s, d))),
     "incremental_daily_stats" -> ((s, d) =>
       EventOps.incrementalDailyStats(events(s, d))),
@@ -154,6 +158,12 @@ object SparkEntry {
       ((s, d) => GraphOps.cooccurrenceTriangles(documents(s, d))),
     "cooccurrence_clustering" ->
       ((s, d) => GraphOps.cooccurrenceClustering(documents(s, d))),
+    "cooccurrence_bfs_hops" ->
+      ((s, d) => GraphOps.cooccurrenceBfsHops(documents(s, d))),
+    "pmi_collocations" ->
+      ((s, d) => MiningOps.pmiCollocations(documents(s, d))),
+    "bigram_perplexity" ->
+      ((s, d) => MiningOps.bigramPerplexity(documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
     "peak_concurrency" -> ((s, d) => EventOps.peakConcurrency(events(s, d))),
@@ -333,6 +343,8 @@ object SparkEntry {
     "span_dedup_stats" -> ((s, d) => DedupOps.spanDedupStats(documents(s, d))),
     "ngram_jaccard_pairs" -> ((s, d) =>
       DedupOps.ngramJaccardPairs(documents(s, d), 0.5)),
+    "jaccard_prefix_pairs" -> ((s, d) =>
+      DedupOps.jaccardPrefixPairs(documents(s, d), 0.5)),
     "ngram_containment_pairs" -> ((s, d) =>
       DedupOps.ngramContainmentPairs(documents(s, d), 0.8)),
     "dup_clusters" -> ((s, d) => DedupOps.dupClusters(documents(s, d))),
@@ -894,6 +906,58 @@ object SparkEntry {
         "FROM nodes n LEFT JOIN c5 c USING (node)) " +
         "SELECT node AS event_type, round(pr, 6) AS pagerank " +
         "FROM r5 ORDER BY event_type ASC"),
+    // Mirrors EventOps.cusumChangepoints: identical closed form
+    // cusum_k = S_k − k·(total/n_days). Every windowed quantity is an
+    // exact BIGINT (running count sum, row_number, totals), so the one
+    // double expression runs the same three IEEE ops on identical
+    // operands in both engines — no float summation anywhere; the
+    // argmax flag compares the ROUNDED cusum so ties agree too.
+    "cusum_changepoints" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "run AS (SELECT event_type, day, cnt, " +
+        "CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day ASC) AS BIGINT) AS s, " +
+        "CAST(row_number() OVER (PARTITION BY event_type ORDER BY day ASC) AS BIGINT) AS k, " +
+        "CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total, " +
+        "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days " +
+        "FROM daily), " +
+        "c AS (SELECT event_type, day, cnt, " +
+        "round(CAST(s AS DOUBLE) - CAST(k AS DOUBLE) * " +
+        "(CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)), 4) + 0.0 AS cusum FROM run) " +
+        "SELECT event_type, day, cnt, cusum, " +
+        "abs(cusum) = max(abs(cusum)) OVER (PARTITION BY event_type) AS is_changepoint " +
+        "FROM c"),
+    // Mirrors EventOps.linearAttribution: per-conversion credit is
+    // issued in integer micro-units (1000000 // n, identical floor
+    // division) and summed as BIGINT — exact in any order — so the
+    // gate needs no float-summation tolerance at all; the final
+    // /1e6 is one correctly-rounded IEEE division on both sides.
+    "linear_attribution" ->
+      ("WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "touch AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type " +
+        "FROM events WHERE event_type <> 'purchase'), " +
+        "j AS (SELECT c.conv_id, t.touch_type FROM conv c JOIN touch t " +
+        "ON t.user_id = c.user_id AND t.touch_ts < c.conv_ts " +
+        "AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY), " +
+        "pc AS (SELECT conv_id, touch_type, CAST(count(*) AS BIGINT) AS n_type " +
+        "FROM j GROUP BY 1, 2), " +
+        "pn AS (SELECT conv_id, touch_type, n_type, " +
+        "CAST(sum(n_type) OVER (PARTITION BY conv_id) AS BIGINT) AS n FROM pc) " +
+        "SELECT touch_type AS event_type, " +
+        "CAST(sum(n_type) AS BIGINT) AS n_touches, " +
+        "CAST(sum(n_type * (1000000 // n)) AS BIGINT) AS attributed_micro, " +
+        "round(CAST(CAST(sum(n_type * (1000000 // n)) AS BIGINT) AS DOUBLE) " +
+        "/ 1000000.0, 6) AS attributed_conversions " +
+        "FROM pn GROUP BY 1"),
+    // Mirrors EventOps.bitmapDistinctRollup: the day→week bitmap-OR
+    // rollup is EXACT (bitwise union is associative and lossless), so
+    // the oracle is plain count(DISTINCT) — the gate proves the native
+    // TypedImperativeAggregate pair end to end.
+    "bitmap_distinct_rollup" ->
+      ("SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM events GROUP BY 1"),
     // Mirrors EventOps.scd2TypeHistory: same (ts, event_id) total order
     // for both the change flags and the island numbering, so ties
     // resolve identically in both engines.
@@ -1225,6 +1289,80 @@ object SparkEntry {
         "round(2.0 * CAST(coalesce(tc.n_triangles, 0) AS DOUBLE) / " +
         "(CAST(deg.deg AS DOUBLE) * (CAST(deg.deg AS DOUBLE) - 1.0)), 6) AS clustering_coef " +
         "FROM deg LEFT JOIN tc ON tc.node = deg.v WHERE deg.deg >= 2"),
+    // Mirrors GraphOps.cooccurrenceBfsHops: the same co-occurrence
+    // pair chain builds the edge set, then a bounded RECURSIVE CTE
+    // enumerates (term, hops) reachability from the max-degree seed
+    // (UNION semantics dedupe against all prior rows, so the working
+    // set is ≤ V·maxHops — no path explosion) and min(hops) is the
+    // BFS level. Hop labels are unique per node (first frontier that
+    // reaches a node fixes it), so the iterative Spark loop and the
+    // oracle's transitive closure agree exactly — an ITERATIVE graph
+    // operator hash-gated, not just audited.
+    "cooccurrence_bfs_hops" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "e AS (SELECT term_a AS src, term_b AS dst FROM p " +
+        "UNION ALL SELECT term_b, term_a FROM p), " +
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg " +
+        "FROM e GROUP BY 1), " +
+        "seed AS (SELECT node FROM deg ORDER BY deg DESC, node ASC LIMIT 1), " +
+        "bfs(term, hops) AS (SELECT node, 0 FROM seed " +
+        "UNION SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.term " +
+        "WHERE b.hops < 4) " +
+        "SELECT term, min(hops) AS hops FROM bfs GROUP BY 1"),
+    // Mirrors MiningOps.pmiCollocations: occurrence (not distinct)
+    // counts, each factor cast to DOUBLE before the pinned-order
+    // products, ln on the identical double (the unigram_kl contract).
+    "pmi_collocations" ->
+      ("WITH toks AS (SELECT " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "uni AS (SELECT unnest(t) AS term FROM toks), " +
+        "cu AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY 1), " +
+        "nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM cu), " +
+        "bg AS (SELECT unnest(list_transform(range(len(t) - 1), " +
+        "i -> t[i+1] || ' ' || t[i+2])) AS bigram FROM toks), " +
+        "cb AS (SELECT split_part(bigram, ' ', 1) AS w1, " +
+        "split_part(bigram, ' ', 2) AS w2, CAST(count(*) AS BIGINT) AS n_pair " +
+        "FROM bg GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM bg) " +
+        "SELECT w1, w2, n_pair, " +
+        "round(ln(CAST(n_pair AS DOUBLE) * CAST(n_tok AS DOUBLE) * " +
+        "CAST(n_tok AS DOUBLE) / (CAST(n_big AS DOUBLE) * " +
+        "CAST(c1.cnt AS DOUBLE) * CAST(c2.cnt AS DOUBLE))), 6) AS pmi " +
+        "FROM cb JOIN cu c1 ON c1.term = cb.w1 " +
+        "JOIN cu c2 ON c2.term = cb.w2 CROSS JOIN nt CROSS JOIN nb"),
+    // Mirrors MiningOps.bigramPerplexity: add-one-smoothed corpus
+    // bigram LM scored over the corpus itself; the per-doc Σ ln is
+    // small (a document's bigram count) and rounds 6dp once — the
+    // unigram_kl summation convention.
+    "bigram_perplexity" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "uni AS (SELECT unnest(t) AS term FROM toks), " +
+        "cu AS (SELECT term, CAST(count(*) AS BIGINT) AS c1 FROM uni GROUP BY 1), " +
+        "vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM cu), " +
+        "bgs AS (SELECT doc_id, split_part(bigram, ' ', 1) AS w1, " +
+        "split_part(bigram, ' ', 2) AS w2 FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(len(t) - 1), " +
+        "i -> t[i+1] || ' ' || t[i+2])) AS bigram FROM toks)), " +
+        "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb " +
+        "FROM bgs GROUP BY 1, 2) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(-sum(ln((CAST(cb.cb AS DOUBLE) + 1.0) / " +
+        "(CAST(cu.c1 AS DOUBLE) + CAST(vv.v AS DOUBLE)))) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS cross_entropy " +
+        "FROM bgs JOIN cb USING (w1, w2) JOIN cu ON cu.term = bgs.w1 " +
+        "CROSS JOIN vv GROUP BY doc_id"),
     // Mirrors MiningOps.tfidfCosinePairs: identical linear-idf weight
     // (tf·N/df, same DOUBLE operand order), cosine rounded 6dp BEFORE
     // the threshold. The oracle is the inverted-index formulation; the
@@ -2101,6 +2239,18 @@ object SparkEntry {
       (s"WITH $shingleCtes, $prunedShingleCte, " +
         "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
         "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),
+    // Mirrors DedupOps.jaccardPrefixPairs: the oracle is the UNPRUNED
+    // exact all-pairs Jaccard (no df cap, no prefix anything) — the
+    // gate therefore proves the prefix filter's losslessness claim on
+    // real data, not just on a fixture: every pair the prefix/size
+    // bounds drop must be exactly a sub-threshold pair.
+    "jaccard_prefix_pairs" ->
+      (s"WITH $shingleCtes, " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
         "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
         "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
         "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5"),

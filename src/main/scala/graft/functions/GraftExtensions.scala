@@ -69,6 +69,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[UnicodeNormalize].getName,
         "graft_normalize"),
       (exprs: Seq[Expression]) => UnicodeNormalize.buildSql(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_build"),
+      new ExpressionInfo(classOf[BitmapBuild].getName, "graft_bitmap_build"),
+      (exprs: Seq[Expression]) => {
+        val usage = "graft_bitmap_build(id, maxId)"
+        checkArity("graft_bitmap_build", usage, exprs, 2)
+        BitmapBuild(exprs(0), foldableInt(usage, "maxId", exprs(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_bitmap_cardinality"),
+      new ExpressionInfo(classOf[BitmapCardinality].getName,
+        "graft_bitmap_cardinality"),
+      (exprs: Seq[Expression]) => {
+        val usage = "graft_bitmap_cardinality(blob, maxId)"
+        checkArity("graft_bitmap_cardinality", usage, exprs, 2)
+        BitmapCardinality(exprs(0), foldableInt(usage, "maxId", exprs(1)))
+      }))
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }

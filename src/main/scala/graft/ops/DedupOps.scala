@@ -195,6 +195,70 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** EXACT Jaccard similarity join via PREFIX FILTERING (SSJoin /
+    * PPJoin — Chaudhuri et al. ICDE '06, Xiao et al. WWW '08): the
+    * same output contract as [[ngramJaccardPairs]] but with a
+    * provably-lossless candidate generator in place of the df cap.
+    *
+    * The df-capped inverted index has two scale weaknesses: a shingle
+    * just UNDER the cap still generates df² candidate rows, and a
+    * shared shingle just OVER it silently vanishes from `shared`
+    * (sound only while no cross-doc-repeated shingle exceeds the
+    * cap). Prefix filtering removes both. Order the universe of
+    * shingles by (df ASC, hash ASC) — rarest first. For Jaccard ≥ t,
+    * any qualifying pair has |A∩B| ≥ ⌈t·|A|⌉ and ≥ ⌈t·|B|⌉ (from
+    * J ≤ |A|/|B| and I ≥ t(|A|+|B|)/(1+t)), so by pigeonhole each
+    * doc's first |X| − ⌈t·|X|⌉ + 1 shingles IN THAT GLOBAL ORDER —
+    * its "prefix" — must hit the intersection: every qualifying pair
+    * shares a PREFIX shingle. Candidates therefore come from the
+    * prefix-only index (half the posting rows at t=0.5, and skewed
+    * toward the RAREST shingles — the ordering exists precisely so
+    * hot shingles land in suffixes), a size band |B| ≥ t·|A| prunes
+    * inside the candidate join, and each candidate pair is verified
+    * with its exact intersection over the FULL index. No cap, no
+    * soundness precondition — exact at any df distribution.
+    *
+    * Plan shape: the posting frame is checkpointed once and feeds the
+    * df agg, the prefix ranking (one window sorted by doc), both
+    * candidate-join sides, and the verify joins; the verify is two
+    * hash joins keyed on doc_id against the candidate pair list,
+    * linear in candidate count. */
+  def jaccardPrefixPairs(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = shingleRows(docs, k)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .localCheckpoint()
+    val dfCounts = inv.groupBy("h").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id")
+    val wRank = wDoc.orderBy(col("df").asc, col("h").asc)
+    val ranked = inv.join(dfCounts, "h")
+      .select(col("doc_id"), col("h"),
+        row_number().over(wRank).cast("long").as("r"),
+        count(lit(1)).over(wDoc).as("n"))
+    val prefix = ranked
+      .filter(col("r") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+    val cands = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n").cast("double") >= lit(threshold) * col("a.n") &&
+          col("a.n").cast("double") >= lit(threshold) * col("b.n"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .distinct()
+    cands
+      .join(inv.select(col("doc_id").as("a_id"), col("h")), "a_id")
+      .join(inv.select(col("doc_id").as("b_id"), col("h")), Seq("b_id", "h"))
+      .groupBy("a_id", "b_id", "n_a", "n_b")
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Exact pairwise shingle CONTAINMENT via the same inverted index:
     * C(A,B) = |A∩B| / min(|A|,|B|) — the asymmetric companion to
     * [[ngramJaccardPairs]]. Jaccard divides by the UNION, so a short

@@ -299,6 +299,133 @@ object EventOps {
           col("k").cast("double"), 4).as("intercept"))
   }
 
+  /** Exact weekly distinct users via the day→week BITMAP rollup — the
+    * exact member of the mergeable-rollup trio beside
+    * [[hllUnionRollupAudit]] (approximate union) and
+    * [[thetaOverlapAudit]] (approximate set algebra), built on the
+    * engine's native [[graft.functions.BitmapBuild]] /
+    * [[graft.functions.BitmapCardinality]] typed-imperative
+    * aggregates.
+    *
+    * 100 TB architecture: per-day bitmap blobs are the stored ingest-
+    * grain partial (a few hundred KiB each, vs re-scanning raw
+    * events); weekly — or monthly, or arbitrary-segment — exact
+    * distincts are pure blob-ORs over them. `count(DISTINCT)` partials
+    * cannot do this (they aren't mergeable across grains), which at
+    * scale means every rollup question re-reads the raw log. Unlike
+    * the sketch paths this one is EXACT and hash-gated directly
+    * against the oracle's `count(DISTINCT)`, with the compact-id
+    * premise enforced loudly inside the aggregate itself. */
+  def bitmapDistinctRollup(events: DataFrame,
+      maxId: Int = 1 << 21): DataFrame = {
+    import graft.functions.BitmapAgg._
+    val dayBitmaps = events
+      .groupBy(date_trunc("week", col("ts")).as("week"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(bitmapBuild(col("user_id"), maxId).as("bm"))
+    dayBitmaps.groupBy("week")
+      .agg(bitmapCardinality(col("bm"), maxId).as("n_users"))
+  }
+
+  /** CUSUM change-point detection over each type's daily volume (Page
+    * '54): the cumulative sum of deviations from the series mean,
+    *
+    *   cusum_k = Σ_{i≤k} (cnt_i − mean),
+    *
+    * whose extremum marks the most likely level-shift day — the
+    * standard offline drift detector for ingestion-volume monitoring
+    * ([[dowAnomalies]] flags single outlier days; this finds the
+    * sustained regime change a per-day z-score can't see).
+    *
+    * Determinism: the naive form (windowed running sum of DOUBLE
+    * deviations) is association-order dependent — engines disagree in
+    * the low bits when their window implementations tree-reduce vs
+    * fold. Instead the identity cusum_k = S_k − k·mean is computed
+    * closed-form: S_k (running BIGINT count sum) and k (row_number)
+    * are EXACT integers in any evaluation order, and the final
+    * expression is three pinned IEEE ops on exact operands —
+    * bit-identical in both engines, no summation order anywhere.
+    * `is_changepoint` flags the max-|cusum| day(s) per type, compared
+    * on the ROUNDED value so the argmax agrees across engines too.
+    *
+    * Scale shape: one (type, day) hash agg over the log, then windows
+    * over the DAY-cardinality frame — both windows (running sum /
+    * rank and the per-type max) share the same partitioning, and the
+    * series frame is thousands of rows per year regardless of log
+    * size. */
+  def cusumChangepoints(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val wAll = Window.partitionBy("event_type")
+    val run = daily.select(col("event_type"), col("day"), col("cnt"),
+      sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"),
+      row_number().over(w).cast("long").as("k"),
+      sum(col("cnt")).over(wAll).as("total"),
+      count(lit(1)).over(wAll).cast("long").as("n_days"))
+    // + 0.0 normalizes IEEE negative zero: the series' LAST row is
+    // cusum_n = S_n − n·mean ≈ −0.0 by construction (an exactly-zero
+    // sum of deviations reached from below), and the engines disagree
+    // on whether round() preserves the sign bit — (−0.0 + 0.0) = +0.0
+    // in both.
+    val cusum = round(col("s").cast("double") - col("k").cast("double") *
+      (col("total").cast("double") / col("n_days").cast("double")), 4) + lit(0.0)
+    run
+      .select(col("event_type"), col("day"), col("cnt"), cusum.as("cusum"))
+      .withColumn("is_changepoint",
+        abs(col("cusum")) === max(abs(col("cusum"))).over(wAll))
+  }
+
+  /** Linear multi-touch attribution: every `purchase` conversion
+    * splits one unit of credit equally across the SAME user's
+    * non-purchase touch events in the preceding `windowDays` days
+    * (strictly earlier ts), and credit rolls up per touch type — the
+    * position-agnostic member of the marketing-attribution family
+    * (first/last-touch are the argmin/argmax specializations of the
+    * same touch join).
+    *
+    * Exactness: per-conversion credit 1/n is irrational in binary, so
+    * a double Σ is summation-order dependent. Credit is instead
+    * issued in integer MICRO-UNITS — `1000000 div n`, identical floor
+    * division in both engines — and summed as BIGINT (exact, any
+    * order); the reported `attributed_conversions` is that exact
+    * integer divided by 10⁶ in one final correctly-rounded IEEE op.
+    * (The div remainder — at most n−1 µunits per conversion — is
+    * dropped identically on both sides, so the gate is exact.)
+    *
+    * Scale shape: a per-user time-band join — hash join on `user_id`
+    * with the `[ts−window, ts)` band as residual predicate, the
+    * [[JoinOps]] range-join posture. Both sides are pre-filtered
+    * projections of the same log (conversions are one type; touches
+    * drop purchases), per-user event counts bound the fan-out, and
+    * the per-conversion `n` aggregation keys on the conversion's
+    * event_id — no window over the raw log. */
+  def linearAttribution(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"))
+    val touch = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("touch_type"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") -
+          expr(s"INTERVAL $windowDays DAYS"))
+    val perConv = joined.groupBy("conv_id", "touch_type")
+      .agg(count(lit(1)).as("n_type"))
+      .withColumn("n",
+        sum(col("n_type")).over(Window.partitionBy("conv_id")))
+    perConv
+      .groupBy(col("touch_type").as("event_type"))
+      .agg(sum(col("n_type")).as("n_touches"),
+        sum(col("n_type") * expr("CAST(1000000 AS BIGINT) div n"))
+          .as("attributed_micro"))
+      .withColumn("attributed_conversions",
+        round(col("attributed_micro").cast("double") / lit(1000000.0), 6))
+  }
+
   /** Equi-DEPTH histogram of `value` — [[valueHistogram]]'s dual:
     * buckets hold (approximately) equal row counts instead of equal
     * width, the shape profilers and quantile-bucketed joins want when

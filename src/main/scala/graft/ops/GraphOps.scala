@@ -180,6 +180,73 @@ object GraphOps {
     clusteringCoefficients(MiningOps.termCooccurrence(docs)
       .select(col("term_a").as("src"), col("term_b").as("dst")))
 
+  /** Multi-source BFS: minimum hop distance from a seed node set over
+    * an undirected edge list, bounded at `maxHops`. The level-
+    * synchronous frontier-expansion form every distributed graph
+    * engine uses (Pregel supersteps): round h joins the CURRENT
+    * frontier (nodes first reached at h−1) against the edge list,
+    * anti-joins the visited set, and labels the survivors h. Unlike
+    * the recursive-CTE formulation a single-node engine runs, no path
+    * enumeration ever happens — each round's work is one frontier⋈edge
+    * hash join (frontier is node-sized, broadcast when small) plus one
+    * anti-join, and rows are (node, hops) pairs, so the total state is
+    * V rows regardless of path multiplicity. Lineage is truncated per
+    * round exactly like [[pageRank]] and the CC loops.
+    *
+    * Hop distances are UNIQUE per node (the first round that reaches a
+    * node fixes its label), so the output is deterministic for any
+    * edge order — no tie-breaking needed. Nodes unreached within
+    * `maxHops` are absent, mirroring the oracle's bounded recursion.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    // Undirected: every edge usable in both directions. Checkpointed
+    // once — each of the maxHops rounds probes the same frame.
+    val both = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      // Frontier is at most node-cardinality and typically far
+      // smaller — let the planner broadcast it into the edge join so
+      // the (large) edge side never reshuffles per round.
+      val next = both.join(broadcast(frontier.select(col("node").as("src"))), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint() // eager: 2 consumers (union + next round)
+      visited = visited.unionAll(next).localCheckpoint(eager = false)
+      frontier = next
+    }
+    visited.select(col("node"), col("hops"))
+  }
+
+  /** [[bfsHops]] over the term co-occurrence graph, seeded at its
+    * highest-degree term (ties broken by binary string order — both
+    * engines agree): how many association steps separate the rest of
+    * the vocabulary from the corpus's most-connected hub term. The
+    * co-occurrence thresholds bound the graph BEFORE any traversal
+    * (same contract as [[cooccurrenceTriangles]]); the DuckDB oracle
+    * recomputes the identical reachability with a bounded recursive
+    * CTE, so the iterative frontier loop is hash-gated — not just
+    * audited — against an independent engine's transitive closure. */
+  def cooccurrenceBfsHops(docs: DataFrame, maxHops: Int = 4): DataFrame = {
+    val edges = MiningOps.termCooccurrence(docs)
+      .select(col("term_a").as("src"), col("term_b").as("dst"))
+      .localCheckpoint() // consumed by degree agg AND the BFS rounds
+    val deg = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(col("deg").desc, col("node").asc).limit(1)
+      .select("node")
+    bfsHops(edges, seed, maxHops)
+      .select(col("node").as("term"), col("hops"))
+      .orderBy(col("hops").asc, col("term").asc)
+  }
+
   def eventTypePageRank(events: DataFrame, iters: Int = 5): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)

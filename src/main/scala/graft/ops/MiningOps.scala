@@ -162,6 +162,107 @@ object MiningOps {
     else tfidfCosinePairsSparse(w, minSim)
   }
 
+  /** Adjacent-bigram occurrence rows (doc_id, w1, w2) — NON-distinct,
+    * positional (unlike [[DedupOps.shingleRows]]'s per-doc-distinct
+    * sets): the LM view of the corpus, where a bigram repeated in one
+    * document counts each occurrence. Built with pure array ops
+    * (`zip_with` over two slices of the token array) so no window
+    * shuffle-and-sort is ever planned — the explode is the only cost,
+    * exactly like the unigram token explode it sits beside. */
+  private def bigramRows(docs: DataFrame): DataFrame = {
+    val t = DedupOps.tokens(col("text"))
+    docs.select(col("doc_id"),
+        explode(zip_with(
+          slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Pointwise mutual information over ADJACENT word pairs — the
+    * collocation detector (Church & Hanks '90): word pairs that occur
+    * side by side far more often than their unigram frequencies
+    * predict ("new york", not "of the"). The doc-level
+    * [[termCooccurrence]] asks "travel in the same document"; this
+    * asks "form a phrase".
+    *
+    *   pmi(x,y) = ln( p(xy) / (p(x)·p(y)) )
+    *            = ln( (c(xy)·Nt·Nt) / (Nb·c(x)·c(y)) )
+    *
+    * with c over occurrence counts, Nt total tokens, Nb total
+    * bigrams. Each factor is cast to DOUBLE before multiplying
+    * (exact casts — counts ≪ 2⁵³; products stay finite since each
+    * factor < 2⁶³ ≪ DOUBLE max) with the operand order pinned to the
+    * oracle; `ln` on the identical double is identical in both
+    * engines (the contract [[graft.ops.DocOps.unigramKlBySource]]
+    * established). `minCount` prunes the long tail INSIDE the bigram
+    * aggregation, so rare pairs never reach the joins.
+    *
+    * Scale shape: two hash aggregations (bigram, unigram) over one
+    * scan each, two broadcast-size scalar frames, and one join of the
+    * thresholded bigram frame against the unigram counts — linear in
+    * corpus size, no self-joins, map-side partials absorbing the
+    * Zipf-skewed hot pairs. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 10): DataFrame = {
+    val uni = docs.select(explode(DedupOps.tokens(col("text"))).as("term"))
+    val cu = uni.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val nTok = cu.agg(sum(col("cnt")).as("n_tok"))
+    val bg = bigramRows(docs)
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val nBig = bg.agg(count(lit(1)).as("n_big"))
+    cb.join(cu.select(col("term").as("w1"), col("cnt").as("c1")), "w1")
+      .join(cu.select(col("term").as("w2"), col("cnt").as("c2")), "w2")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nBig))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log(
+          col("n_pair").cast("double") * col("n_tok").cast("double") *
+            col("n_tok").cast("double") /
+            (col("n_big").cast("double") * col("c1").cast("double") *
+              col("c2").cast("double"))), 6).as("pmi"))
+  }
+
+  /** Per-document cross-entropy under the corpus's own add-one-
+    * smoothed bigram language model — the classic LM-quality filter
+    * (CCNet / Wenzek et al. '20 score documents with exactly this
+    * shape, there under an external KenLM): documents whose word
+    * transitions are improbable under the corpus's aggregate
+    * statistics (boilerplate, gibberish, wrong-language fragments)
+    * surface with high entropy.
+    *
+    *   H(d) = −(1/m) Σ_{(w1,w2)∈d} ln( (c(w1 w2)+1) / (c(w1)+V) )
+    *
+    * with m the document's bigram count, c the corpus occurrence
+    * counts, V the vocabulary size (Laplace smoothing — every corpus
+    * bigram has c ≥ 1, so the log is always finite even without it,
+    * but the smoothed form is the one that generalizes to scoring
+    * held-out text). Single-doc documents (< 2 tokens) have no
+    * bigrams and are excluded, mirroring the oracle.
+    *
+    * Scale shape: the corpus model is ONE bigram hash agg + ONE
+    * unigram hash agg; scoring joins each document's bigram
+    * occurrences against those counts (both joins keyed on the
+    * Zipf-hot bigram/unigram — map-side partials on the per-doc
+    * aggregation absorb the skew) and collapses to one row per doc.
+    * The per-doc Σ of ln terms is summed in one aggregation and
+    * rounded 6dp — the same summation-order-absorbing convention as
+    * [[graft.ops.DocOps.unigramKlBySource]]. */
+  def bigramPerplexity(docs: DataFrame): DataFrame = {
+    val cu = docs.select(explode(DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c1"))
+    val vocab = cu.agg(count(lit(1)).as("v"))
+    val bg = bigramRows(docs).localCheckpoint() // model agg + scoring scan
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    bg.join(cb, Seq("w1", "w2"))
+      .join(cu.select(col("term").as("w1"), col("c1")), "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(log((col("cb").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + col("v").cast("double")))) /
+          count(lit(1)).cast("double"), 6).as("cross_entropy"))
+  }
+
   /** Shared df-pruned weight frame (doc_id, term, w). */
   private def weights(docs: DataFrame, maxDfShare: Double): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n"))

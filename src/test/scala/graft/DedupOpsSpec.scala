@@ -96,6 +96,39 @@ class DedupOpsSpec extends SparkSpec {
       s"unrelated doc paired: $pairs")
   }
 
+  test("jaccardPrefixPairs ≡ df-capped pipeline on the planted corpus") {
+    val prefix = DedupOps.jaccardPrefixPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = DedupOps.ngramJaccardPairs(docs, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(prefix == capped, s"prefix=$prefix capped=$capped")
+    assert(prefix.exists(p => p._1 == 0L && p._2 == 1L))
+  }
+
+  test("jaccardPrefixPairs stays exact where the df cap goes blind") {
+    // 12 docs all opening with "alpha beta gamma delta" — its two
+    // 3-shingles have df=12 > maxDf=10, so the capped pipeline drops
+    // both from the index and UNDERCOUNTS the planted twins (10,11):
+    // true J = 3/5 = 0.6, capped J = 1/7 < 0.5 → pair missed. The
+    // prefix filter has no cap: the hot shingles merely sort to the
+    // suffix end of each doc's global (df ASC) ordering, the twins'
+    // RARE shared shingle sits in the prefix, and the verify phase
+    // restores the exact score.
+    val hot = "alpha beta gamma delta"
+    val filler = (0 until 10).map(i =>
+      (i.toLong, s"$hot unique$i filler$i closing$i"))
+    val twinA = (10L, s"$hot shared here")
+    val twinB = (11L, s"$hot shared there")
+    val corpus = (filler :+ twinA :+ twinB).toDF("doc_id", "text")
+    val capped = DedupOps.ngramJaccardPairs(corpus, 0.5, maxDf = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val exact = DedupOps.jaccardPrefixPairs(corpus, 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(!capped.contains((10L, 11L)),
+      s"expected the capped pipeline to miss the pair here: $capped")
+    assert(exact.contains((10L, 11L)), s"prefix filter lost the pair: $exact")
+  }
+
   test("ngramContainmentPairs flags the verbatim quote Jaccard misses") {
     // doc 1 is a verbatim substring of doc 0: every one of its
     // shingles appears in doc 0, so containment = 1.0 — but the union

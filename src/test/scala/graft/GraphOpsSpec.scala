@@ -110,4 +110,34 @@ class GraphOpsSpec extends SparkSpec {
     val again = GraphOps.eventTypePageRank(events).collect()
     assert(out.toSeq == again.toSeq, "non-deterministic ranks")
   }
+
+  test("bfsHops: levels, multi-source min, maxHops bound, unreachable absent") {
+    // a-b-c-d-e chain, plus branch b-x; island p-q is unreachable.
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "d", "d" -> "e",
+      "b" -> "x", "p" -> "q").toDF("src", "dst")
+    val seed = Seq("a").toDF("node")
+    val got = GraphOps.bfsHops(edges, seed, maxHops = 3)
+      .as[(String, Int)].collect().toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2, "x" -> 2, "d" -> 3))
+    // e is 4 hops (beyond bound); p, q disconnected — all absent.
+
+    // Multi-source: hop is the MIN over seeds, and edges traverse in
+    // both directions (seed e reaches d at 1 even though the edge is
+    // d->e).
+    val multi = GraphOps.bfsHops(edges, Seq("a", "e").toDF("node"), 2)
+      .as[(String, Int)].collect().toMap
+    assert(multi("d") == 1 && multi("c") == 2 && multi("b") == 1)
+  }
+
+  test("cooccurrenceBfsHops: seed at hop 0, levels contiguous from 0") {
+    val docs = Tables.documents(spark, sf0)
+    val out = GraphOps.cooccurrenceBfsHops(docs).as[(String, Int)].collect()
+    assert(out.nonEmpty)
+    val levels = out.map(_._2).distinct.sorted.toVector
+    assert(levels.head == 0 && out.count(_._2 == 0) == 1,
+      "exactly one seed at hop 0")
+    // BFS levels have no gaps: a node at hop h implies a neighbor at
+    // h-1, so the distinct levels are 0..max.
+    assert(levels == (0 to levels.max).toVector, s"gapped levels: $levels")
+  }
 }

@@ -165,6 +165,40 @@ class MiningOpsSpec extends SparkSpec {
     assert(got(5L)._1 > got(2L)._1)
   }
 
+  test("pmiCollocations: hand-computed PMI, occurrence (not doc) counts") {
+    // Corpus: "a b a b" ×2 docs + "c d" ×1. Tokens: a×4, b×4, c, d
+    // (N=10). Bigrams: (a,b)×4, (b,a)×2, (c,d)×1 (Nb=7).
+    // pmi(a,b) = ln(4·10·10 / (7·4·4)) = ln(400/112).
+    val corpus = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val got = MiningOps.pmiCollocations(corpus, minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got(("a", "b"))._1 == 4L) // occurrences, not the 2 docs
+    assert(math.abs(got(("a", "b"))._2 -
+      math.rint(math.log(400.0 / 112.0) * 1e6) / 1e6) < 1e-9)
+    assert(got(("b", "a"))._1 == 2L)
+    assert(got(("c", "d"))._1 == 1L)
+  }
+
+  test("bigramPerplexity: repeated-corpus bigrams score low, rare high; " +
+      "sub-2-token docs absent") {
+    // Doc 3's lone bigram (c,d) is corpus-rare; docs 1-2 reuse (a,b).
+    // Add-one smoothing keeps everything finite; doc 4 has no bigrams.
+    val corpus = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "c d"),
+      (4L, "solo")).toDF("doc_id", "text")
+    val got = MiningOps.bigramPerplexity(corpus)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(4L), "bigram-free doc must be absent")
+    assert(got(1L)._1 == 3L && got(3L)._1 == 1L)
+    assert(got(1L)._2 < got(3L)._2,
+      s"repeated bigrams must score lower entropy: $got")
+    // Exact value for doc 3: V=5 distinct terms (a,b,c,d,solo);
+    // -ln((1+1)/(1+5)) = ln(3).
+    assert(math.abs(got(3L)._2 - math.rint(math.log(3.0) * 1e6) / 1e6) < 1e-9)
+  }
+
   test("bm25TopDocs: topK truncates with the rounded-score/doc_id order") {
     val corpus = (1L to 30L).map(i => (i, "join x" + i)).toDF("doc_id", "text")
     val got = MiningOps.bm25TopDocs(corpus, Seq("join"), topK = 7)

@@ -128,4 +128,53 @@ class SequenceStatsSpec extends SparkSpec {
     assert(skewed("srcC") > 0.5, skewed.toString) // near-disjoint vocab
     assert(skewed("srcA") > 0.0, skewed.toString) // mix shifted under it
   }
+
+  test("cusumChangepoints: the flag lands on the planted level shift") {
+    // Type A runs 6 days at 2/day then 6 days at 8/day: mean 5,
+    // cusum walks to its extremum |−18| exactly at the shift boundary
+    // (day 6), back to 0 by day 12. Type B is flat — every day ties
+    // at |cusum| = 0 and ALL rows flag (degenerate max, documented).
+    def day(d: Int, i: Int) = Timestamp.valueOf(f"2024-02-$d%02d 00:00:${i % 60}%02d")
+    val rows = (1 to 12).flatMap { d =>
+      val n = if (d <= 6) 2 else 8
+      (0 until n).map(i => ((d * 100 + i).toLong, day(d, i), 1L, "A", 0.0, ""))
+    } ++ (1 to 3).map(d => ((9000 + d).toLong, day(d, 0), 1L, "B", 0.0, ""))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.cusumChangepoints(events)
+      .as[(String, java.sql.Date, Long, Double, Boolean)].collect()
+    val a = got.filter(_._1 == "A").sortBy(_._2.toString)
+    assert(a.map(_._3).toSeq == Seq.fill(6)(2L) ++ Seq.fill(6)(8L))
+    // cusum: day k≤6: 2k − 5k = −3k (min −18 at k=6); then climbs by
+    // +3/day back to 0.
+    assert(a.map(_._4).toSeq ==
+      (1 to 6).map(k => -3.0 * k) ++ (1 to 6).map(k => -18.0 + 3 * k))
+    assert(a.filter(_._5).map(_._2.toString).toSeq == Seq("2024-02-06"),
+      "changepoint must flag exactly the shift boundary")
+    assert(got.filter(_._1 == "B").forall(r => r._4 == 0.0 && r._5))
+  }
+
+  test("linearAttribution: equal split, window bound, purchases excluded") {
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    val events = Seq(
+      // user 1: view+click inside the 7-day window → ½ each; an old
+      // view 8 days out is excluded.
+      (1L, t(1, 0), 1L, "view", 0.0, ""),
+      (2L, t(8, 0), 1L, "view", 0.0, ""),
+      (3L, t(8, 1), 1L, "click", 0.0, ""),
+      (4L, t(9, 0), 1L, "purchase", 0.0, ""),
+      // user 2: a prior purchase is NOT a touch; the lone click gets
+      // full credit for the second conversion.
+      (5L, t(10, 0), 2L, "purchase", 0.0, ""),
+      (6L, t(10, 1), 2L, "click", 0.0, ""),
+      (7L, t(10, 2), 2L, "purchase", 0.0, ""),
+      // user 3: conversion with no touches → no credit anywhere.
+      (8L, t(20, 0), 3L, "purchase", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.linearAttribution(events)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got("click") == ((2L, 1.5)), got.toString) // ½ + 1
+    assert(got("view") == ((1L, 0.5)), got.toString)  // the in-window one
+    assert(!got.contains("purchase"), got.toString)
+  }
 }
