@@ -106,6 +106,8 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
+    "dau_wau_stickiness" -> ((s, d) => EventOps.dauWauStickiness(events(s, d))),
+    "likely_event_paths" -> ((s, d) => GraphOps.likelyEventPaths(events(s, d))),
     "linear_attribution" -> ((s, d) => EventOps.linearAttribution(events(s, d))),
     "bitmap_distinct_rollup" ->
       ((s, d) => EventOps.bitmapDistinctRollup(events(s, d))),
@@ -927,6 +929,40 @@ object SparkEntry {
         "SELECT event_type, day, cnt, cusum, " +
         "abs(cusum) = max(abs(cusum)) OVER (PARTITION BY event_type) AS is_changepoint " +
         "FROM c"),
+    // Mirrors EventOps.dauWauStickiness: exact BIGINT distincts at two
+    // grains, one pinned DOUBLE division.
+    "dau_wau_stickiness" ->
+      ("WITH d AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM events GROUP BY 1) " +
+        "SELECT day, dau, wau, " +
+        "round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness " +
+        "FROM d JOIN w USING (week)"),
+    // Mirrors GraphOps.likelyEventPaths: the oracle enumerates every
+    // ≤4-hop path from the min-type seed with a bounded recursive CTE
+    // and takes min(dist) per node; the engine's Bellman-Ford rounds
+    // compute the same optimum because IEEE + is monotone
+    // (min(a,b)+w = min(a+w,b+w) exactly) and both engines
+    // left-associate each path's weight sum.
+    "likely_event_paths" ->
+      ("WITH RECURSIVE steps AS (SELECT event_type AS src, " +
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst " +
+        "FROM events), " +
+        "agg AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n_steps " +
+        "FROM steps WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+        "tot AS (SELECT src, CAST(sum(n_steps) AS BIGINT) AS n_from FROM agg GROUP BY 1), " +
+        "e AS (SELECT agg.src, agg.dst, " +
+        "-ln(CAST(n_steps AS DOUBLE) / CAST(n_from AS DOUBLE)) AS w " +
+        "FROM agg JOIN tot USING (src)), " +
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+        "seed AS (SELECT min(node) AS node FROM nodes), " +
+        "p(node, dist, hops) AS (SELECT node, CAST(0.0 AS DOUBLE), 0 FROM seed " +
+        "UNION ALL SELECT e.dst, p.dist + e.w, p.hops + 1 " +
+        "FROM p JOIN e ON e.src = p.node WHERE p.hops < 4) " +
+        "SELECT node AS event_type, round(min(dist), 6) AS neg_log_prob " +
+        "FROM p GROUP BY 1"),
     // Mirrors EventOps.linearAttribution: per-conversion credit is
     // issued in integer micro-units (1000000 // n, identical floor
     // division) and summed as BIGINT — exact in any order — so the

@@ -327,6 +327,30 @@ object EventOps {
       .agg(bitmapCardinality(col("bm"), maxId).as("n_users"))
   }
 
+  /** DAU/WAU stickiness — the engagement ratio product analytics
+    * reports beside retention: per day, the share of that ISO week's
+    * active users who were active on the day. 1.0 means everyone who
+    * shows up in a week shows up daily; 1/7 is the
+    * every-user-once-a-week floor.
+    *
+    * Shape: two countDistinct aggregations at different grains over
+    * the same scan (day-grain and week-grain), joined on week — the
+    * day frame is calendar-sized, so the join is trivially broadcast.
+    * The ratio is one pinned DOUBLE division of two exact BIGINTs.
+    * (The HLL/bitmap rollups are the store-once variants of exactly
+    * these distincts; this is the direct-query form.) */
+  def dauWauStickiness(events: DataFrame): DataFrame = {
+    val day = events.groupBy(date_trunc("week", col("ts")).as("week"),
+        to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val week = events.groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    day.join(broadcast(week), "week")
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+  }
+
   /** CUSUM change-point detection over each type's daily volume (Page
     * '54): the cumulative sum of deviations from the series mean,
     *

@@ -247,6 +247,80 @@ object GraphOps {
       .orderBy(col("hops").asc, col("term").asc)
   }
 
+  /** Single-source WEIGHTED shortest paths by bounded Bellman-Ford
+    * relaxation — the min-plus companion to [[bfsHops]]' unweighted
+    * levels: round k's distance frame is min over all ≤k-hop paths,
+    * computed as `min(dist, min_{u→v}(dist_u + w))` with one
+    * dist⋈edge join and one groupBy-min per round (the Pregel
+    * min-aggregation pattern; SSSP is its canonical example).
+    *
+    * Determinism with a DuckDB path-enumeration oracle: IEEE `+` is
+    * monotone, so `min(a,b) + w = min(a+w, b+w)` EXACTLY — the
+    * relaxation's nested mins equal the min over complete path sums,
+    * and each path's sum is left-associated in both engines (the
+    * accumulator order of the round loop here, of the recursive CTE
+    * there). Distances are rounded only at output.
+    *
+    * Weights must be ≥ 0 (Bellman-Ford with bounded rounds reports
+    * ≤maxRounds-hop optima either way, but negative weights would
+    * make that a truncation, not an approximation guarantee —
+    * refused loudly). */
+  def ssspBellmanFord(edges: DataFrame, seeds: DataFrame,
+      maxRounds: Int = 4): DataFrame = {
+    val neg = edges.filter(col("w") < 0).limit(1).collect()
+    require(neg.isEmpty,
+      s"ssspBellmanFord: negative edge weight ${neg.headOption.map(_.get(2))}" +
+        " — bounded relaxation only bounds HOPS, not correctness, under" +
+        " negative weights")
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double"))
+      .localCheckpoint()
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0.0)).localCheckpoint()
+    for (_ <- 1 to maxRounds) {
+      val relaxed = e
+        .join(broadcast(dist.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+
+  /** Most-probable event paths: shortest paths under w = −ln p over
+    * the first-order transition graph, seeded at the alphabetically
+    * first event type. Since −ln is monotone-decreasing and
+    * Σ −ln p = −ln Π p, the min-plus optimum IS the maximum-
+    * probability path (the Viterbi objective on the Markov chain) —
+    * `neg_log_prob` is −ln of the best ≤maxRounds-step path
+    * probability from the seed to each reachable type. Transition
+    * probabilities are the exact n_steps/n_from doubles (unrounded —
+    * the oracle mirrors the same two exact casts and one division);
+    * ln of identical doubles is identical (the unigram_kl contract).
+    */
+  def likelyEventPaths(events: DataFrame, maxRounds: Int = 4): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val steps = events
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n_steps"))
+    val totals = steps.groupBy("src").agg(sum(col("n_steps")).as("n_from"))
+    val edges = steps.join(totals, "src")
+      .select(col("src"), col("dst"),
+        (-log(col("n_steps").cast("double") / col("n_from").cast("double")))
+          .as("w"))
+      .localCheckpoint() // seeds scan + every relaxation round
+    val seed = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node")))
+      .distinct().orderBy(col("node").asc).limit(1)
+    ssspBellmanFord(edges, seed, maxRounds)
+      .select(col("node").as("event_type"),
+        round(col("dist"), 6).as("neg_log_prob"))
+      .orderBy(col("event_type").asc)
+  }
+
   def eventTypePageRank(events: DataFrame, iters: Int = 5): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)

@@ -129,6 +129,39 @@ class GraphOpsSpec extends SparkSpec {
     assert(multi("d") == 1 && multi("c") == 2 && multi("b") == 1)
   }
 
+  test("ssspBellmanFord: weighted optimum beats fewer-hop path; " +
+      "negative weights refused") {
+    // a→b (5.0) vs a→c (1.0), c→b (1.0): the 2-hop route wins (2.0).
+    // d is unreachable within bounds → absent.
+    val edges = Seq(("a", "b", 5.0), ("a", "c", 1.0), ("c", "b", 1.0),
+      ("x", "d", 1.0)).toDF("src", "dst", "w")
+    val got = GraphOps.ssspBellmanFord(edges, Seq("a").toDF("node"), 3)
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 0.0, "c" -> 1.0, "b" -> 2.0))
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.ssspBellmanFord(
+        Seq(("a", "b", -1.0)).toDF("src", "dst", "w"),
+        Seq("a").toDF("node"))
+    }
+    assert(e.getMessage.contains("negative edge weight"))
+  }
+
+  test("likelyEventPaths: −ln Π p along the best path, seed at 0") {
+    def t(s: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+    // user paths A→B→C and A→B (twice A→B, once B→C, once B→A):
+    // p(A→B)=1, p(B→C)=p(B→A)=0.5. Seed = min type = A (dist 0);
+    // B = −ln 1 = 0; C = −ln 1 + −ln 0.5 = ln 2.
+    val events = Seq(
+      (1L, t(1), 1L, "A"), (2L, t(2), 1L, "B"), (3L, t(3), 1L, "C"),
+      (4L, t(10), 2L, "A"), (5L, t(11), 2L, "B"), (6L, t(12), 2L, "A")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = GraphOps.likelyEventPaths(events)
+      .as[(String, Double)].collect().toMap
+    assert(got("A") == 0.0 && got("B") == 0.0)
+    assert(math.abs(got("C") - math.rint(math.log(2.0) * 1e6) / 1e6) < 1e-9,
+      got.toString)
+  }
+
   test("cooccurrenceBfsHops: seed at hop 0, levels contiguous from 0") {
     val docs = Tables.documents(spark, sf0)
     val out = GraphOps.cooccurrenceBfsHops(docs).as[(String, Int)].collect()

@@ -153,6 +153,22 @@ class SequenceStatsSpec extends SparkSpec {
     assert(got.filter(_._1 == "B").forall(r => r._4 == 0.0 && r._5))
   }
 
+  test("dauWauStickiness: per-day share of the week's distinct users") {
+    // One ISO week (2024-03-04 is a Monday): users {1,2,3} active Mon,
+    // {1} Tue → WAU 3, stickiness 1.0 and 1/3.
+    def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, t(4, 1), 1L), (2L, t(4, 2), 2L), (3L, t(4, 3), 3L),
+      (4L, t(4, 4), 1L), // same user twice in a day counts once
+      (5L, t(5, 1), 1L)
+    ).toDF("event_id", "ts", "user_id")
+    val got = EventOps.dauWauStickiness(events)
+      .as[(java.sql.Date, Long, Long, Double)].collect()
+      .map(r => r._1.toString -> ((r._2, r._3, r._4))).toMap
+    assert(got("2024-03-04") == ((3L, 3L, 1.0)), got.toString)
+    assert(got("2024-03-05") == ((1L, 3L, 0.333333)), got.toString)
+  }
+
   test("linearAttribution: equal split, window bound, purchases excluded") {
     def t(d: Int, h: Int) = Timestamp.valueOf(f"2024-03-$d%02d $h%02d:00:00")
     val events = Seq(
