@@ -151,6 +151,39 @@ object DrivePlans {
           "the HashAggregate, so the strict-better running max sorts " +
           "≤ 10⁴ rows, never documents; membership is one join back. " +
           "No dominance self-join, no corpus-wide sort."),
+      ("jaccard_prefix_pairs (lossless prefix-filtered similarity join)",
+        "The candidate join's both sides are the PREFIX index — the " +
+          "rank window keeps only each doc's first n−⌈t·n⌉+1 shingles " +
+          "in the global (df ASC, h ASC) order, so posting lists skew " +
+          "toward RARE shingles and the df² blow-up of hot shingles is " +
+          "structurally confined to suffixes. The checkpointed posting " +
+          "frame feeds the df agg, the rank window, and both verify " +
+          "joins from one materialization; verification is two " +
+          "doc_id-keyed hash joins over the candidate list only — " +
+          "exact output with NO df cap and no soundness precondition."),
+      ("cusum_changepoints (closed-form windows, one exchange)",
+        "All four windowed quantities (running sum, row_number, " +
+          "per-type total and day count) and the final max-|cusum| " +
+          "flag share ONE hashpartitioning(event_type) exchange over " +
+          "the DAY-grain frame — the log collapses to (type, day) " +
+          "counts first, so every sort ranks calendar days, never " +
+          "events. No double is ever summed: cusum_k = S_k − k·mean " +
+          "on exact integers keeps the gate float-drift-free."),
+      ("bitmap_distinct_rollup (mergeable exact distincts, no Expand)",
+        "Both grains are ObjectHashAggregate over the native bitmap " +
+          "aggregate: day groups fold raw ids into fixed-size blobs " +
+          "(partial+final), and the week rollup ORs those blobs — " +
+          "count(DISTINCT)'s Expand + re-shuffle of raw rows is " +
+          "absent, and the week stage's input is calendar-sized. At " +
+          "100 TB the day blobs persist once and every coarser " +
+          "distinct is sketch-free blob algebra with ZERO error."),
+      ("linear_attribution (per-user band join, credit in integers)",
+        "The touch⋈conversion join hashes on user_id with the 7-day " +
+          "band as a residual predicate — never a cartesian; the " +
+          "per-conversion fan-out is bounded by per-user activity. " +
+          "Credit is 1000000 div n in BIGINT all the way to the final " +
+          "projection, so the only double op in the plan is the last " +
+          "display division."),
       ("user_day_streaks (gaps-and-islands on the distinct day grid)",
         "The DISTINCT (user, day) pre-collapse is the plan's load-" +
           "bearing move: the Window's child is the distinct " +
@@ -185,6 +218,10 @@ object DrivePlans {
       "cooccurrence_triangles" -> SparkEntry.queries("cooccurrence_triangles"),
       "pareto_frontier" -> SparkEntry.queries("pareto_frontier"),
       "user_day_streaks" -> SparkEntry.queries("user_day_streaks"),
+      "jaccard_prefix_pairs" -> SparkEntry.queries("jaccard_prefix_pairs"),
+      "cusum_changepoints" -> SparkEntry.queries("cusum_changepoints"),
+      "bitmap_distinct_rollup" -> SparkEntry.queries("bitmap_distinct_rollup"),
+      "linear_attribution" -> SparkEntry.queries("linear_attribution"),
     )
 
     val sb = new StringBuilder

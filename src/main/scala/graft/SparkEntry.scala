@@ -162,6 +162,10 @@ object SparkEntry {
       ((s, d) => GraphOps.cooccurrenceClustering(documents(s, d))),
     "cooccurrence_bfs_hops" ->
       ((s, d) => GraphOps.cooccurrenceBfsHops(documents(s, d))),
+    "cooccurrence_kcore" ->
+      ((s, d) => GraphOps.cooccurrenceKCore(documents(s, d))),
+    "readability_scores" ->
+      ((s, d) => DocOps.readabilityScores(documents(s, d))),
     "pmi_collocations" ->
       ((s, d) => MiningOps.pmiCollocations(documents(s, d))),
     "bigram_perplexity" ->
@@ -1356,6 +1360,53 @@ object SparkEntry {
         "UNION SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.term " +
         "WHERE b.hops < 4) " +
         "SELECT term, min(hops) AS hops FROM bfs GROUP BY 1"),
+    // Mirrors GraphOps.cooccurrenceKCore: the same pair chain builds
+    // the edge set; the peeling fixpoint is UNROLLED as 6 chained
+    // membership CTEs (each: induced degree >= k over the previous
+    // survivors) plus the final degree frame — the engine runs the
+    // SAME 6 peels and REFUSES if a 7th would still change the set,
+    // so both sides compute the identical (unique) fixpoint.
+    "cooccurrence_kcore" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "e AS (SELECT term_a AS src, term_b AS dst FROM p " +
+        "UNION ALL SELECT term_b, term_a FROM p), " +
+        "m0 AS (SELECT DISTINCT src AS node FROM e), " +
+        (1 to 6).map(i =>
+          s"m$i AS (SELECT e.src AS node FROM e " +
+            s"JOIN m${i - 1} a ON a.node = e.src " +
+            s"JOIN m${i - 1} b ON b.node = e.dst " +
+            "GROUP BY 1 HAVING count(*) >= 3)").mkString(", ") + " " +
+        "SELECT e.src AS term, CAST(count(*) AS BIGINT) AS deg_in_core " +
+        "FROM e JOIN m6 a ON a.node = e.src JOIN m6 b ON b.node = e.dst " +
+        "GROUP BY 1 HAVING count(*) >= 3"),
+    // Mirrors DocOps.readabilityScores: vowel-run syllables on the
+    // lowercased tokens, sentence runs on the raw text, exact BIGINT
+    // counts into the pinned-order Flesch formula.
+    "readability_scores" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+        "CAST(sum(greatest(1, len(regexp_extract_all(term, '[aeiouy]+')))) AS BIGINT) " +
+        "AS n_syllables FROM toks GROUP BY 1), " +
+        "s AS (SELECT doc_id, CAST(greatest(1, " +
+        "len(regexp_extract_all(text, '[.!?]+'))) AS BIGINT) AS n_sentences " +
+        "FROM documents) " +
+        "SELECT doc_id, n_words, n_sentences, n_syllables, " +
+        "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) - " +
+        "84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch " +
+        "FROM pd JOIN s USING (doc_id)"),
     // Mirrors MiningOps.pmiCollocations: occurrence (not distinct)
     // counts, each factor cast to DOUBLE before the pinned-order
     // products, ln on the identical double (the unigram_kl contract).

@@ -221,6 +221,45 @@ object DocOps {
       round(nChars.cast("double") / nTokens, 4).as("avg_word_len"))
   }
 
+  /** Flesch reading-ease per document — the classic readability
+    * screen (Flesch '48; corpus pipelines bucket documents by it
+    * before sampling):
+    *
+    *   206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    *
+    * with the standard dictionary-free syllable heuristic: vowel-run
+    * count per token (`[aeiouy]+` matches on the lowercased token),
+    * floored at 1 per word. Sentences are `[.!?]+` runs floored at 1.
+    * Every input to the formula is an exact BIGINT; the two divisions
+    * and the three constant multiplies run in pinned DOUBLE order, so
+    * the 4dp-rounded score hashes identically in the oracle.
+    *
+    * Shape: one token explode → per-doc hash agg (words + syllable
+    * sum), sentence counts ride the original row — one exchange keyed
+    * by doc_id, everything else codegen'd regex work in the scan
+    * stage. */
+  def readabilityScores(docs: DataFrame): DataFrame = {
+    val syl = greatest(lit(1),
+      size(regexp_extract_all(col("term"), lit("[aeiouy]+"), lit(0))))
+    val perDoc = docs
+      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(syl.cast("long")).as("n_syllables"))
+    val sentences = docs.select(col("doc_id"),
+      greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+        .cast("long").as("n_sentences"))
+    perDoc.join(sentences, "doc_id")
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 4).as("flesch"))
+  }
+
   /** RAG / context-window chunking: split each document into
     * fixed-size character chunks with `overlap` chars of left context
     * carried into each successive chunk — the retrieval-indexing

@@ -247,6 +247,61 @@ object GraphOps {
       .orderBy(col("hops").asc, col("term").asc)
   }
 
+  /** k-core decomposition by iterative peeling (Seidman '83; the
+    * Batagelj–Zaveršnik distributed formulation): repeatedly drop
+    * nodes whose degree WITHIN the survivors is < k until stable —
+    * the maximal subgraph where everyone keeps ≥ k neighbors, the
+    * community-detection primitive between "has edges" and "is a
+    * clique". The fixpoint is UNIQUE (peeling order never matters),
+    * which is what makes an iterative operator like this gateable.
+    *
+    * Round contract (the same fixed-unroll discipline as
+    * [[pageRank]]'s oracle): the loop runs EXACTLY `rounds` peels —
+    * each one edge⋈members⋈members join + one grouped count, with
+    * per-round lineage truncation — then REQUIRES that one more peel
+    * is a no-op. Converged early, the extra peels are no-ops and the
+    * result equals the oracle's identically-unrolled rounds;
+    * unconverged, it throws (the [[graft.ops.DedupOps
+    * .connectedComponents]] loud-refusal contract) instead of
+    * shipping a superset of the core. Peeling is monotone
+    * (members_{i+1} ⊆ members_i), so a stable COUNT proves a stable
+    * SET. Returns each core member with its within-core degree. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1, got $k")
+    val both = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    def peel(members: DataFrame): DataFrame = both
+      .join(members.select(col("node").as("src")), "src")
+      .join(members.select(col("node").as("dst")), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+    var members = both.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      members = peel(members).select("node").localCheckpoint()
+    }
+    val n = members.count()
+    val stable = peel(members).count()
+    require(stable == n,
+      s"kCore(k=$k): not converged after $rounds peels ($n -> $stable " +
+        "members) — raise `rounds`; emitting the unconverged superset " +
+        "would mislabel non-core nodes as core")
+    peel(members).orderBy(col("node").asc)
+  }
+
+  /** [[kCore]] over the term co-occurrence graph: the vocabulary's
+    * densely inter-associated topical core — terms that keep ≥ k
+    * co-occurrence partners even after every loosely-attached term is
+    * peeled away (a stricter notion than high degree: a hub attached
+    * to leaves has high degree and NO core membership). */
+  def cooccurrenceKCore(docs: DataFrame, k: Int = 3): DataFrame =
+    kCore(MiningOps.termCooccurrence(docs)
+        .select(col("term_a").as("src"), col("term_b").as("dst")), k)
+      .select(col("node").as("term"), col("deg").as("deg_in_core"))
+
   /** Single-source WEIGHTED shortest paths by bounded Bellman-Ford
     * relaxation — the min-plus companion to [[bfsHops]]' unweighted
     * levels: round k's distance frame is min over all ≤k-hop paths,

@@ -264,6 +264,47 @@ object StreamJob {
       .agg(expr("CAST(theta_sketch_estimate(theta_union_agg(sk)) AS BIGINT)")
         .as("n_users"))
 
+  /** EXACT-distinct variant of the sketch-blob store: per-batch
+    * per-day dense BITMAP blobs ([[graft.functions.BitmapBuild]])
+    * under the same idempotent-by-path append contract as
+    * [[startDistinctDailySketches]]. Where the Theta store answers
+    * any-grain distincts within sketch tolerance, the bitmap store's
+    * blob-OR is lossless — the stored partials reproduce
+    * `count(DISTINCT)` exactly at any regrouping, which is the
+    * warehouse-grade guarantee for billing/compliance counts. Needs
+    * the dense-integral-id premise the aggregate enforces (maxId
+    * bits per blob); id spaces that can't promise it stay on the
+    * sketch path. */
+  def bitmapDelta(batch: DataFrame, idCol: String, tsCol: String,
+      maxId: Int): DataFrame = batch
+    .filter(col(tsCol).isNotNull && col(idCol).isNotNull)
+    .groupBy(to_date(col(tsCol)).as("day"))
+    .agg(graft.functions.BitmapAgg.bitmapBuild(col(idCol), maxId).as("bm"))
+
+  def startDistinctDailyBitmaps(prepared: DataFrame, dir: String,
+      checkpointDir: String, idCol: String, tsCol: String,
+      maxId: Int): StreamingQuery =
+    prepared.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          bitmapDelta(batch, idCol, tsCol, maxId)
+            .write.mode("overwrite").parquet(s"$dir/b$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Exact distinct ids per day from the STORED blobs only — no raw
+    * rescan; regroup coarser (week, month, all-time) and the same
+    * OR-merge still answers exactly. */
+  def distinctDailyFromBitmaps(spark: SparkSession, dir: String,
+      maxId: Int): DataFrame =
+    spark.read.parquet(s"$dir/b*")
+      .groupBy("day")
+      .agg(graft.functions.BitmapAgg.bitmapCardinality(col("bm"), maxId)
+        .as("n_users"))
+
   /** Stream-stream inner join with watermarks and a time-range bound —
     * the remaining Structured Streaming category (the reference joins
     * nothing, SURVEY.md §2.3). Both sides carry watermarks so the state

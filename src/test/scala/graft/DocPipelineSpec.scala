@@ -391,4 +391,28 @@ class DocPipelineSpec extends SparkSpec {
       .as[(Long, String, Long, Double)].collect().toSeq
     assert(again == got)
   }
+
+  test("readabilityScores: hand-computed Flesch, syllable floor, " +
+      "polysyllabic text scores lower") {
+    val docs = Seq(
+      (1L, "the cat sat."),            // 3 words, 1 sentence, 3 syllables
+      (2L, "onomatopoeia everywhere"), // 2 words, 10 vowel-run syllables
+      (3L, "hmm pfft")                 // vowel-free tokens floor at 1 each
+    ).toDF("doc_id", "text")
+    val got = DocOps.readabilityScores(docs)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // 206.835 − 1.015·(3/1) − 84.6·(3/3) = 119.19
+    assert(got(1L) == ((3L, 1L, 3L, 119.19)), got.toString)
+    // onomatopoeia → o|o|a|o|oeia = 5 runs; everywhere → e|e|y|e|e = 5
+    assert(got(2L) == ((2L, 1L, 10L,
+      math.rint((206.835 - 1.015 * 2.0 - 84.6 * 5.0) * 1e4) / 1e4)),
+      got.toString)
+    // polysyllabic text reads strictly harder
+    assert(got(2L)._4 < got(1L)._4, got.toString)
+    // vowel-free words: 1 syllable each by the floor
+    assert(got(3L) == ((2L, 1L, 2L,
+      math.rint((206.835 - 1.015 * 2.0 - 84.6 * 1.0) * 1e4) / 1e4)),
+      got.toString)
+  }
 }

@@ -162,6 +162,33 @@ class GraphOpsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("kCore: K4 survives, high-degree star center peels; " +
+      "unconverged rounds refuse") {
+    // K4 {a,b,c,d} is the 3-core. Star center s has degree 4 — HIGHER
+    // than any K4 node — but its leaves peel in round 1 and s follows
+    // in round 2: k-core is about mutual density, not degree.
+    val edges = (Seq("a" -> "b", "a" -> "c", "a" -> "d",
+      "b" -> "c", "b" -> "d", "c" -> "d") ++
+      Seq("s" -> "l1", "s" -> "l2", "s" -> "l3", "s" -> "l4"))
+      .toDF("src", "dst")
+    val got = GraphOps.kCore(edges, k = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), got.toString)
+    // rounds=1 leaves s in the set (its leaves only just peeled) —
+    // must refuse rather than mislabel s as core
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.kCore(edges, k = 3, rounds = 1)
+    }
+    assert(e.getMessage.contains("not converged"), e.getMessage)
+  }
+
+  test("cooccurrenceKCore: members keep >= k partners, subset of graph") {
+    val docs = Tables.documents(spark, sf0)
+    val out = GraphOps.cooccurrenceKCore(docs).as[(String, Long)].collect()
+    assert(out.nonEmpty, "expected a non-trivial 3-core at sf0.001")
+    assert(out.forall(_._2 >= 3L), out.mkString(","))
+  }
+
   test("cooccurrenceBfsHops: seed at hop 0, levels contiguous from 0") {
     val docs = Tables.documents(spark, sf0)
     val out = GraphOps.cooccurrenceBfsHops(docs).as[(String, Int)].collect()

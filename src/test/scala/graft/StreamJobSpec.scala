@@ -150,6 +150,43 @@ class StreamJobSpec extends SparkSpec {
     assert(blobDirs.sorted.toSeq == Seq("b0", "b1"), blobDirs.mkString(","))
   }
 
+  test("bitmap-blob sink: stored-blob distincts are EXACT, replay-safe") {
+    val input = MemoryStream[(Long, String)](spark)
+    val prepared = input.toDF().toDF("user_id", "t")
+      .withColumn("created_at", col("t").cast("timestamp")).drop("t")
+    val dir = java.nio.file.Files.createTempDirectory("bitmaps").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val batches = Seq(
+      // day 07 users {1, 2} (user 1 twice); day 08 {2}
+      Seq((1L, "2025-10-07 10:00:00"), (1L, "2025-10-07 11:00:00"),
+        (2L, "2025-10-07 12:00:00"), (2L, "2025-10-08 09:00:00")),
+      // day 07 gains {3} and repeats user 1 ACROSS the batch
+      // boundary — the overlap exact count-partials cannot merge but
+      // the blob OR absorbs; day 08 repeats user 2
+      Seq((3L, "2025-10-07 23:00:00"), (1L, "2025-10-07 23:30:00"),
+        (2L, "2025-10-08 12:00:00")))
+    val q = StreamJob.startDistinctDailyBitmaps(
+      prepared, dir, ckpt, "user_id", "created_at", maxId = 64)
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def readBack() = StreamJob.distinctDailyFromBitmaps(spark, dir, 64)
+      .select(col("day").cast("string"), col("n_users"))
+      .as[(String, Long)].collect().toMap
+    // bitmaps are EXACT (not within-tolerance): blob-OR == distincts
+    assert(readBack() == Map("2025-10-07" -> 3L, "2025-10-08" -> 1L),
+      readBack().toString)
+    // replay safety: restart on the same checkpoint adds no data,
+    // one blob dir per batch survives (idempotence by path)
+    val q2 = StreamJob.startDistinctDailyBitmaps(
+      prepared, dir, ckpt, "user_id", "created_at", maxId = 64)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readBack() == Map("2025-10-07" -> 3L, "2025-10-08" -> 1L))
+    val blobDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.getName)
+    assert(blobDirs.sorted.toSeq == Seq("b0", "b1"), blobDirs.mkString(","))
+  }
+
   test("windowedCountsNative: watermarked update-mode totals") {
     val input = MemoryStream[String](spark)
     val prepared = StreamJob.prepare(
