@@ -107,6 +107,8 @@ object SparkEntry {
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
     "dau_wau_stickiness" -> ((s, d) => EventOps.dauWauStickiness(events(s, d))),
+    "time_decay_engagement" ->
+      ((s, d) => EventOps.timeDecayEngagement(events(s, d))),
     "likely_event_paths" -> ((s, d) => GraphOps.likelyEventPaths(events(s, d))),
     "linear_attribution" -> ((s, d) => EventOps.linearAttribution(events(s, d))),
     "bitmap_distinct_rollup" ->
@@ -166,6 +168,10 @@ object SparkEntry {
       ((s, d) => GraphOps.cooccurrenceKCore(documents(s, d))),
     "readability_scores" ->
       ((s, d) => DocOps.readabilityScores(documents(s, d))),
+    "eval_overlap_scores" ->
+      ((s, d) => DocOps.evalOverlapScores(documents(s, d))),
+    "neyman_allocation" ->
+      ((s, d) => DocOps.neymanAllocation(documents(s, d))),
     "pmi_collocations" ->
       ((s, d) => MiningOps.pmiCollocations(documents(s, d))),
     "bigram_perplexity" ->
@@ -933,6 +939,20 @@ object SparkEntry {
         "SELECT event_type, day, cnt, cusum, " +
         "abs(cusum) = max(abs(cusum)) OVER (PARTITION BY event_type) AS is_changepoint " +
         "FROM c"),
+    // Mirrors EventOps.timeDecayEngagement: epoch seconds floored to
+    // exact BIGINTs (events.ts carries sub-second precision — Spark's
+    // unix_timestamp truncates, so the oracle floors), exp on the
+    // identical double with the same −ln2 literal, each term rounded
+    // 8dp into DECIMAL so the per-user sum is order-exact.
+    "time_decay_engagement" ->
+      ("WITH a AS (SELECT CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) " +
+        "AS anchor FROM events) " +
+        "SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, " +
+        "CAST(CAST(sum(CAST(round(exp(-0.6931471805599453 * " +
+        "(CAST(anchor - CAST(floor(epoch(ts)) AS BIGINT) AS DOUBLE) " +
+        "/ 86400.0 / 7.0)), 8) AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS DOUBLE) " +
+        "AS decay_score " +
+        "FROM events CROSS JOIN a GROUP BY 1"),
     // Mirrors EventOps.dauWauStickiness: exact BIGINT distincts at two
     // grains, one pinned DOUBLE division.
     "dau_wau_stickiness" ->
@@ -1407,6 +1427,48 @@ object SparkEntry {
         "round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) - " +
         "84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 4) AS flesch " +
         "FROM pd JOIN s USING (doc_id)"),
+    // Mirrors DocOps.evalOverlapScores: same knuth-hash split, same
+    // per-doc-distinct shingles; counts exact BIGINTs, one pinned
+    // division.
+    "eval_overlap_scores" ->
+      (s"WITH $shingleCtes, " +
+        "sp AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' " +
+        "WHEN b < 95 THEN 'val' ELSE 'test' END AS split FROM " +
+        s"(SELECT doc_id, ${DocOps.knuthHash32Sql("doc_id")} % 100 AS b " +
+        "FROM documents)), " +
+        "shs AS (SELECT inv.doc_id, inv.sh, sp.split FROM inv " +
+        "JOIN sp USING (doc_id)), " +
+        "tr AS (SELECT DISTINCT sh FROM shs WHERE split = 'train'), " +
+        "g AS (SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, " +
+        "CAST(sum(CASE WHEN tr.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_in_train " +
+        "FROM (SELECT doc_id, sh FROM shs WHERE split = 'test') ev " +
+        "LEFT JOIN tr ON tr.sh = ev.sh GROUP BY 1) " +
+        "SELECT doc_id, n_shingles, n_in_train, " +
+        "round(CAST(n_in_train AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) " +
+        "AS overlap_ratio FROM g"),
+    // Mirrors DocOps.neymanAllocation: exact BIGINT moments, identical
+    // pinned double σ, per-stratum weight rounded 6dp into DECIMAL so
+    // the total is order-exact, floor of identical doubles for the
+    // allocation.
+    "neyman_allocation" ->
+      ("WITH m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS sx, " +
+        "CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx " +
+        "FROM documents GROUP BY 1 HAVING count(*) >= 2), " +
+        "w AS (SELECT source, n_docs, " +
+        "round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) " +
+        "/ CAST(n_docs AS DOUBLE)) / (CAST(n_docs AS DOUBLE) - 1.0)), 6) AS sigma, " +
+        "CAST(round(CAST(n_docs AS DOUBLE) * " +
+        "sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) " +
+        "/ CAST(n_docs AS DOUBLE)) / (CAST(n_docs AS DOUBLE) - 1.0)), 6) " +
+        "AS DECIMAL(28,6)) AS w FROM m), " +
+        "t AS (SELECT CAST(sum(w) AS DECIMAL(38,6)) AS w_total FROM w) " +
+        "SELECT source, n_docs, sigma, " +
+        "round(CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE), 6) AS alloc_share, " +
+        "CAST(floor(1000.0 * (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE))) " +
+        "AS BIGINT) AS n_alloc " +
+        "FROM w CROSS JOIN t"),
     // Mirrors MiningOps.pmiCollocations: occurrence (not distinct)
     // counts, each factor cast to DOUBLE before the pinned-order
     // products, ln on the identical double (the unigram_kl contract).

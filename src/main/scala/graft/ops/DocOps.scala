@@ -221,6 +221,76 @@ object DocOps {
       round(nChars.cast("double") / nTokens, 4).as("avg_word_len"))
   }
 
+  /** Per-document n-gram contamination SCORE for the eval split — the
+    * GPT-3/PaLM-report shape (Brown et al. '20 App. C): for every
+    * `test`-split document, the fraction of its distinct 3-shingles
+    * that occur anywhere in the `train` split. [[splitContamination]]
+    * flags exact-duplicate membership and [[bloomDecontaminate]]
+    * drops probable members; this QUANTIFIES partial overlap per
+    * document, the number a contamination appendix actually reports
+    * (a 0.95-overlap eval doc is compromised even though no train doc
+    * equals it byte-for-byte).
+    *
+    * Shape: one shingle explode feeds both sides; the train side
+    * collapses to a distinct hash set (corpus-scale but
+    * shingle-typed, the standard decontamination join — the Bloom
+    * path is the scan-local alternative when even that join is too
+    * wide); the eval side left-joins the marker and folds to one row
+    * per doc. Counts are exact BIGINTs; the ratio is one pinned
+    * division. */
+  def evalOverlapScores(docs: DataFrame): DataFrame = {
+    val splits = datasetSplits(docs).select("doc_id", "split")
+    val sh = DedupOps.shingleRows(docs, 3)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+      .join(splits, "doc_id")
+    val trainH = sh.filter(col("split") === "train")
+      .select("h").distinct().withColumn("hit", lit(1L))
+    sh.filter(col("split") === "test")
+      .join(trainH, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_in_train"))
+      .select(col("doc_id"), col("n_shingles"), col("n_in_train"),
+        round(col("n_in_train").cast("double") /
+          col("n_shingles").cast("double"), 6).as("overlap_ratio"))
+  }
+
+  /** Neyman-optimal stratified sampling allocation (Neyman '34): for
+    * a total budget of `budget` documents, the per-stratum sample
+    * size that minimizes estimator variance is n_h ∝ N_h·σ_h —
+    * strata that are large or internally varied get more of the
+    * budget than proportional allocation would give. The planning
+    * step in front of [[stratifiedSample]]'s mechanical per-stratum
+    * draw, computed over the n_chars length distribution per source.
+    *
+    * Determinism: N, Σx, Σx² are exact BIGINTs (one hash agg), σ is
+    * pinned-order double arithmetic on them; each stratum weight
+    * N_h·σ_h is rounded 6dp and cast to DECIMAL so the TOTAL is an
+    * exact any-order sum, and the final share/allocation divide
+    * identical doubles in both engines (floor of identical doubles
+    * is identical). Single-doc strata have no variance and are
+    * excluded, mirroring the oracle. */
+  def neymanAllocation(docs: DataFrame, budget: Long = 1000): DataFrame = {
+    val m = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sx"),
+      sum(col("n_chars") * col("n_chars")).as("sxx"))
+      .filter(col("n_docs") >= 2)
+    val nD = col("n_docs").cast("double")
+    val variance = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / nD) / (nD - 1.0)
+    val weighted = m.select(col("source"), col("n_docs"),
+      round(sqrt(variance), 6).as("sigma"),
+      round(nD * sqrt(variance), 6).cast("decimal(28,6)").as("w"))
+    val total = weighted.agg(sum(col("w")).as("w_total"))
+    weighted.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("sigma"),
+        round(col("w").cast("double") / col("w_total").cast("double"), 6)
+          .as("alloc_share"),
+        floor(lit(budget.toDouble) * (col("w").cast("double") /
+          col("w_total").cast("double"))).cast("long").as("n_alloc"))
+  }
+
   /** Flesch reading-ease per document — the classic readability
     * screen (Flesch '48; corpus pipelines bucket documents by it
     * before sampling):

@@ -327,6 +327,37 @@ object EventOps {
       .agg(bitmapCardinality(col("bm"), maxId).as("n_users"))
   }
 
+  /** Exponential time-decay engagement score per user — the recency-
+    * weighted activity feature every ranking/churn model starts from:
+    *
+    *   score(u) = Σ_{e∈u} 2^(−age(e)/halfLife)
+    *
+    * An event today counts 1, an event `halfLifeDays` ago counts ½.
+    * The anchor is the LOG'S OWN max ts (deterministic — no wall
+    * clock, same contract as every other operator here).
+    *
+    * Determinism: age is an exact BIGINT of epoch seconds; the
+    * exponent and `exp` run on identical doubles in both engines (the
+    * unigram_kl ln contract extended to exp); each term is then
+    * rounded 8dp and cast to DECIMAL so the per-user Σ is EXACT in
+    * any summation order — the same absorb-the-float-sum trick as
+    * [[linearAttribution]]'s micro-units, at decimal grain.
+    *
+    * Shape: one scalar max-ts broadcast back, one per-user hash agg
+    * — linear, no windows. */
+  def timeDecayEngagement(events: DataFrame,
+      halfLifeDays: Double = 7.0): DataFrame = {
+    val anchor = events.agg(max(unix_timestamp(col("ts"))).as("anchor"))
+    val ageSecs = (col("anchor") - unix_timestamp(col("ts"))).cast("double")
+    val term = exp(lit(-math.log(2.0)) *
+      (ageSecs / lit(86400.0) / lit(halfLifeDays)))
+    events.crossJoin(broadcast(anchor))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(term, 8).cast("decimal(20,8)")).cast("double")
+          .as("decay_score"))
+  }
+
   /** DAU/WAU stickiness — the engagement ratio product analytics
     * reports beside retention: per day, the share of that ISO week's
     * active users who were active on the day. 1.0 means everyone who

@@ -392,6 +392,52 @@ class DocPipelineSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("evalOverlapScores: planted contamination quantified per eval doc") {
+    // Recreate the split hash to PLANT docs: find ids landing in
+    // train (bucket < 90) and test (bucket >= 95).
+    def knuth(id: Long): Long = {
+      val a = ((id % 4294967296L) + 4294967296L) % 4294967296L
+      ((a / 65536L * 2654435761L) % 65536L * 65536L +
+        a % 65536L * 2654435761L) % 4294967296L
+    }
+    def bucket(id: Long) = knuth(id) % 100
+    val trainId = (1L to 200L).find(bucket(_) < 90).get
+    val testIds = (1L to 200L).filter(bucket(_) >= 95).take(2)
+    val (contaminated, clean) = (testIds(0), testIds(1))
+    // Contaminated eval doc shares its first 4 tokens (2 of 4
+    // shingles) with the train doc; the clean one shares nothing.
+    val docs = Seq(
+      (trainId, "alpha beta gamma delta epsilon zeta"),
+      (contaminated, "alpha beta gamma delta unrelated suffix"),
+      (clean, "totally different words appear here now")
+    ).toDF("doc_id", "text")
+    val got = DocOps.evalOverlapScores(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // 4 shingles each; "alpha beta gamma" + "beta gamma delta" hit
+    assert(got(contaminated) == ((4L, 2L, 0.5)), got.toString)
+    assert(got(clean) == ((4L, 0L, 0.0)), got.toString)
+    assert(!got.contains(trainId), "train docs must not be scored")
+  }
+
+  test("neymanAllocation: budget skews to the high-variance stratum") {
+    // srcA: lengths {100, 300} (σ ≈ 141.42); srcB: {200, 200} (σ 0);
+    // srcC: single doc — excluded. All of the budget goes to A.
+    val docs = Seq(
+      (1L, "a", "srcA", 100L), (2L, "a", "srcA", 300L),
+      (3L, "a", "srcB", 200L), (4L, "a", "srcB", 200L),
+      (5L, "a", "srcC", 999L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val got = DocOps.neymanAllocation(docs, budget = 100)
+      .as[(String, Long, Double, Double, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(!got.contains("srcC"), got.toString)
+    val sigmaA = math.rint(math.sqrt(
+      (100.0 * 100 + 300.0 * 300 - 400.0 * 400 / 2) / 1.0) * 1e6) / 1e6
+    assert(got("srcA") == ((2L, sigmaA, 1.0, 100L)), got.toString)
+    assert(got("srcB") == ((2L, 0.0, 0.0, 0L)), got.toString)
+  }
+
   test("readabilityScores: hand-computed Flesch, syllable floor, " +
       "polysyllabic text scores lower") {
     val docs = Seq(

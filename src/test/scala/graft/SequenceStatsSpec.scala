@@ -153,6 +153,26 @@ class SequenceStatsSpec extends SparkSpec {
     assert(got.filter(_._1 == "B").forall(r => r._4 == 0.0 && r._5))
   }
 
+  test("timeDecayEngagement: anchor-relative half-life weights, exact sum") {
+    // Anchor = max ts (user 2's event, weight exactly 1.0). User 1's
+    // events sit at anchor−7d and anchor−14d → 0.5 + 0.25 under the
+    // 7-day half-life.
+    val t0 = Timestamp.valueOf("2024-06-29 12:00:00")
+    def daysBefore(d: Int) =
+      Timestamp.valueOf(f"2024-06-${29 - d}%02d 12:00:00")
+    val events = Seq(
+      (1L, daysBefore(7), 1L, "view", 0.0, ""),
+      (2L, daysBefore(14), 1L, "view", 0.0, ""),
+      (3L, t0, 2L, "view", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.timeDecayEngagement(events)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(2L) == ((1L, 1.0)), got.toString)
+    assert(got(1L)._1 == 2L, got.toString)
+    assert(math.abs(got(1L)._2 - 0.75) < 1e-7, got.toString)
+  }
+
   test("dauWauStickiness: per-day share of the week's distinct users") {
     // One ISO week (2024-03-04 is a Monday): users {1,2,3} active Mon,
     // {1} Tue → WAU 3, stickiness 1.0 and 1/3.
