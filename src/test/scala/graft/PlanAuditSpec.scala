@@ -343,4 +343,43 @@ class PlanAuditSpec extends SparkSpec {
       assert(planDefault.contains("BroadcastHashJoin"), planDefault)
     } finally spark.conf.set(key, old)
   }
+
+  test("bitmapDistinctRollup: ObjectHashAggregate partials, no Expand") {
+    val plan = planOf(EventOps.bitmapDistinctRollup(Tables.events(spark, sf0)))
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    // count(DISTINCT)'s Expand + raw-row reshuffle must be absent —
+    // that's the whole point of the mergeable blob partials
+    assert(!plan.contains("Expand"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected day + week exchanges only:\n$plan")
+  }
+
+  test("cusumChangepoints: day-grain collapse first, one shared sort") {
+    val plan = planOf(EventOps.cusumChangepoints(Tables.events(spark, sf0)))
+    // all three Window nodes (running sum + rank, per-type totals,
+    // the max-|cusum| flag) must sit over ONE sort of the day-grain
+    // frame — the log itself is never sorted
+    val sorts = "Sort ".r.findAllIn(plan).length
+    assert(sorts == 1, s"expected exactly one sort, got $sorts:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"agg + window exchanges only:\n$plan")
+    // the Window's child chain contains the HashAggregate collapse
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("jaccardPrefixPairs: every join is an equi-join (no nested loop)") {
+    val plan = planOf(graft.ops.DedupOps.jaccardPrefixPairs(
+      Tables.documents(spark, sf0), 0.5))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("timeDecayEngagement: one broadcast anchor, no windows") {
+    val plan = planOf(EventOps.timeDecayEngagement(Tables.events(spark, sf0)))
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan) // 1-row anchor cross join
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"one user_id agg exchange only:\n$plan")
+  }
 }
