@@ -109,6 +109,12 @@ object SparkEntry {
     "dau_wau_stickiness" -> ((s, d) => EventOps.dauWauStickiness(events(s, d))),
     "time_decay_engagement" ->
       ((s, d) => EventOps.timeDecayEngagement(events(s, d))),
+    "rolling_distinct_users" ->
+      ((s, d) => EventOps.rollingDistinctUsers(events(s, d))),
+    "event_snapshot_diff" ->
+      ((s, d) => EventOps.eventSnapshotDiff(events(s, d))),
+    "top_event_paths" ->
+      ((s, d) => EventOps.topEventPaths(events(s, d))),
     "likely_event_paths" -> ((s, d) => GraphOps.likelyEventPaths(events(s, d))),
     "linear_attribution" -> ((s, d) => EventOps.linearAttribution(events(s, d))),
     "bitmap_distinct_rollup" ->
@@ -953,6 +959,59 @@ object SparkEntry {
         "/ 86400.0 / 7.0)), 8) AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS DOUBLE) " +
         "AS decay_score " +
         "FROM events CROSS JOIN a GROUP BY 1"),
+    // Mirrors EventOps.rollingDistinctUsers: the engine slides exact
+    // per-day bitmap blobs under a 7-day RANGE window; the oracle
+    // recomputes each day's distinct set from raw rows with a range
+    // join — the gate proves windowed blob-OR ≡ sliding
+    // count(DISTINCT).
+    "rolling_distinct_users" ->
+      ("WITH d AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day " +
+        "FROM events) " +
+        "SELECT d.day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users_7d " +
+        "FROM d JOIN events e ON CAST(date_trunc('day', e.ts) AS DATE) " +
+        "BETWEEN d.day - 6 AND d.day GROUP BY 1"),
+    // Mirrors EventOps.eventSnapshotDiff: the content hashes are
+    // engine-LOCAL (double->string formatting differs across engines,
+    // but each engine compares ITS OWN old hash to ITS OWN new hash,
+    // so the change classification — the only thing emitted — is
+    // identical); epoch seconds floored to match Spark's
+    // unix_timestamp truncation.
+    "event_snapshot_diff" ->
+      ("WITH mm AS (SELECT CAST((CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) + " +
+        "CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)) // 2 AS BIGINT) AS mid FROM events), " +
+        "oh AS (SELECT event_id, md5(CAST(user_id AS VARCHAR) || event_type || " +
+        "CAST(value AS VARCHAR)) AS h_old FROM events CROSS JOIN mm " +
+        "WHERE CAST(floor(epoch(ts)) AS BIGINT) <= mid), " +
+        "nh AS (SELECT event_id, md5(CAST(user_id AS VARCHAR) || event_type || " +
+        "CAST(CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE value END " +
+        "AS VARCHAR)) AS h_new FROM events) " +
+        "SELECT coalesce(oh.event_id, nh.event_id) AS event_id, " +
+        "CASE WHEN oh.h_old IS NULL THEN 'added' " +
+        "WHEN nh.h_new IS NULL THEN 'removed' " +
+        "WHEN oh.h_old <> nh.h_new THEN 'changed' ELSE 'unchanged' END AS change " +
+        "FROM oh FULL OUTER JOIN nh ON nh.event_id = oh.event_id " +
+        "WHERE CASE WHEN oh.h_old IS NULL THEN 'added' " +
+        "WHEN nh.h_new IS NULL THEN 'removed' " +
+        "WHEN oh.h_old <> nh.h_new THEN 'changed' ELSE 'unchanged' END " +
+        "<> 'unchanged'"),
+    // Mirrors EventOps.topEventPaths: identical (ts, event_id) session
+    // islands; the oracle's ORDER BY inside string_agg equals the
+    // engine's array_sort struct order (event_id is unique, so the
+    // total order has no ties).
+    "top_event_paths" ->
+      ("WITH o AS (SELECT user_id, ts, event_id, event_type, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) - coalesce(" +
+        "CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC))) AS BIGINT), " +
+        "CAST(floor(epoch(ts)) AS BIGINT)) AS gap FROM events), " +
+        "s AS (SELECT *, CAST(sum(CASE WHEN gap > 1800 THEN 1 ELSE 0 END) " +
+        "OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id FROM o), " +
+        "p AS (SELECT user_id, sess_id, " +
+        "string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path " +
+        "FROM s GROUP BY 1, 2) " +
+        "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p " +
+        "GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20"),
     // Mirrors EventOps.dauWauStickiness: exact BIGINT distincts at two
     // grains, one pinned DOUBLE division.
     "dau_wau_stickiness" ->

@@ -358,6 +358,42 @@ object EventOps {
           .as("decay_score"))
   }
 
+  /** Rolling 7-day distinct users per day — the sliding-window
+    * DISTINCT, the aggregate plain partials structurally cannot
+    * slide (counts don't subtract; count(DISTINCT) partials don't
+    * even merge). The bitmap blobs make it one window pass: the log
+    * collapses to per-day bitmaps ONCE, then
+    * [[graft.functions.BitmapCardinality]] runs as a WINDOW aggregate
+    * over the day-grain frame with a 7-day RANGE frame — each output
+    * day ORs ≤7 fixed-size blobs, never re-touching raw events. The
+    * classic alternatives either rescan the log per window offset
+    * (7× the scan) or approximate (sliding HLL); this is exact and
+    * single-pass.
+    *
+    * The range frame keys on epoch-day longs (integer arithmetic —
+    * DATE range frames have interval-type pitfalls across engines).
+    * The window is unpartitioned BY DESIGN: its input is the
+    * CALENDAR-cardinality day frame (thousands of rows per year
+    * regardless of log size), so the single sorted task is bounded —
+    * the same collapsed-frame argument as the Pareto skyline; the
+    * distributed work (the per-day bitmap build) happened in the
+    * partitioned aggregation below it. */
+  def rollingDistinctUsers(events: DataFrame, windowDays: Int = 7,
+      maxId: Int = 1 << 21): DataFrame = {
+    import graft.functions.BitmapAgg._
+    val dayNum = datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+      .cast("long")
+    val daily = events
+      .groupBy(to_date(col("ts")).as("day"), dayNum.as("d"))
+      .agg(bitmapBuild(col("user_id"), maxId).as("bm"))
+    val w = Window.orderBy(col("d").asc)
+      .rangeBetween(-(windowDays - 1).toLong, Window.currentRow)
+    daily
+      .select(col("day"),
+        bitmapCardinality(col("bm"), maxId).over(w).as("n_users_7d"))
+      .orderBy(col("day").asc)
+  }
+
   /** DAU/WAU stickiness — the engagement ratio product analytics
     * reports beside retention: per day, the share of that ISO week's
     * active users who were active on the day. 1.0 means everyone who
@@ -380,6 +416,92 @@ object EventOps {
       .select(col("day"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau").cast("double"), 6)
           .as("stickiness"))
+  }
+
+  /** Snapshot reconciliation: key-level diff of two versions of the
+    * same table — the added / removed / changed report every data
+    * platform runs after a backfill or migration ([[cdcApplyChanges]]
+    * APPLIES a changelog; this DERIVES one from two materialized
+    * states). Full-outer join on the key, change detection on a
+    * content hash so wide rows compare in O(1) per row; unchanged
+    * keys are dropped (at 100 TB the overwhelmingly common case —
+    * emitting them would make the diff as big as the table).
+    *
+    * Here driven over the events log split at its median timestamp
+    * into "old" (first half) vs "new" (everything, value nudged for a
+    * deterministic subset) in the registered query; the operator
+    * itself takes any two keyed frames. */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: String,
+      hashCols: Seq[String]): DataFrame = {
+    val oh = old.select(col(key), md5(concat_ws("",
+      hashCols.map(c => col(c).cast("string")): _*)).as("h_old"))
+    val nh = neu.select(col(key), md5(concat_ws("",
+      hashCols.map(c => col(c).cast("string")): _*)).as("h_new"))
+    oh.join(nh, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("change"))
+      .filter(col("change") =!= "unchanged")
+  }
+
+  /** [[snapshotDiff]] registered form: "old" = events in the first
+    * half of the log's time range, "new" = all events with the values
+    * of a deterministic doc subset (event_id % 97 == 0) shifted —
+    * yielding all three change classes from one source table. */
+  def eventSnapshotDiff(events: DataFrame): DataFrame = {
+    val mid = events.agg(
+      ((min(unix_timestamp(col("ts"))) + max(unix_timestamp(col("ts")))) /
+        lit(2L)).cast("long").as("mid"))
+    val withMid = events.crossJoin(broadcast(mid))
+    val old = withMid.filter(unix_timestamp(col("ts")) <= col("mid"))
+    val neu = withMid.withColumn("value",
+      when(col("event_id") % 97 === 0, col("value") + 1.0)
+        .otherwise(col("value")))
+    snapshotDiff(old, neu, "event_id", Seq("user_id", "event_type", "value"))
+      .orderBy(col("event_id").asc)
+  }
+
+  /** Top user paths: the most common session-level event-type
+    * SEQUENCES ("view>click>purchase") — the free-form companion to
+    * the fixed-step [[conversionFunnel]]: instead of asking "how many
+    * completed THIS funnel", it surfaces which journeys actually
+    * happen. Sessions are the same `gapMinutes` islands as
+    * [[sessionStats]]; within a session the sequence is pinned by
+    * `array_sort` over (ts, event_id, type) structs — a total order,
+    * so the path string is deterministic in both engines (a bare
+    * collect_list order would not be).
+    *
+    * Shape: one user-keyed window pass for session ids (shared sort
+    * with the session aggregation), one hash agg to paths, one to
+    * path counts; the top-k is ORDER BY + LIMIT →
+    * TakeOrderedAndProject. Path length is bounded by the session,
+    * not the log. */
+  def topEventPaths(events: DataFrame, gapMinutes: Int = 30,
+      topK: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gapSecs = gapMinutes * 60L
+    val sessioned = events.select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        (unix_timestamp(col("ts")) -
+          coalesce(unix_timestamp(lag(col("ts"), 1).over(w)),
+            unix_timestamp(col("ts")))).as("gap"))
+      .withColumn("new_sess", (col("gap") > gapSecs).cast("long"))
+      .withColumn("sess_id",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sessioned
+      .groupBy("user_id", "sess_id")
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type").as("et")))),
+          x => x.getField("et"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
   }
 
   /** CUSUM change-point detection over each type's daily volume (Page

@@ -173,6 +173,51 @@ class SequenceStatsSpec extends SparkSpec {
     assert(math.abs(got(1L)._2 - 0.75) < 1e-7, got.toString)
   }
 
+  test("rollingDistinctUsers: sliding blob-OR equals per-window distincts") {
+    def t(d: Int) = Timestamp.valueOf(f"2024-05-$d%02d 10:00:00")
+    // user 1 on days 1 and 9 (outside each other's 7-day window),
+    // user 2 on days 1-2, user 3 on day 8 only.
+    val events = Seq(
+      (1L, t(1), 1L), (2L, t(1), 2L), (3L, t(2), 2L),
+      (4L, t(8), 3L), (5L, t(9), 1L)
+    ).map { case (e, ts, u) => (e, ts, u, "view", 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.rollingDistinctUsers(events, windowDays = 7, maxId = 64)
+      .as[(java.sql.Date, Long)].collect()
+      .map(r => r._1.toString -> r._2).toMap
+    // day 1: {1,2}; day 2: {1,2}; day 8: window covers day 2 (6 days
+    // back) → {2,3}; day 9: window [3,9] → {3,1}
+    assert(got == Map("2024-05-01" -> 2L, "2024-05-02" -> 2L,
+      "2024-05-08" -> 2L, "2024-05-09" -> 2L), got.toString)
+  }
+
+  test("snapshotDiff: added, removed, changed; unchanged suppressed") {
+    val old = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+      .toDF("id", "s", "v")
+    val neu = Seq((1L, "a", 1.0), (2L, "b", 9.0), (4L, "d", 4.0))
+      .toDF("id", "s", "v")
+    val got = EventOps.snapshotDiff(old, neu, "id", Seq("s", "v"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      got.toString)
+  }
+
+  test("topEventPaths: gap splits sessions, order pinned by (ts, event_id)") {
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + s / 3600}%02d:" +
+      f"${(s / 60) % 60}%02d:${s % 60}%02d")
+    val events = Seq(
+      // user 1 session 1: A,B (same second — event_id orders them);
+      // then a 31-minute gap starts session 2: C
+      (1L, t(0), 1L, "A"), (2L, t(0), 1L, "B"), (3L, t(1860), 1L, "C"),
+      // user 2: one session A,B
+      (4L, t(0), 2L, "A"), (5L, t(10), 2L, "B")
+    ).map { case (e, ts, u, ty) => (e, ts, u, ty, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.topEventPaths(events, gapMinutes = 30)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("A>B" -> 2L, "C" -> 1L), got.toString)
+  }
+
   test("dauWauStickiness: per-day share of the week's distinct users") {
     // One ISO week (2024-03-04 is a Monday): users {1,2,3} active Mon,
     // {1} Tue → WAU 3, stickiness 1.0 and 1/3.
