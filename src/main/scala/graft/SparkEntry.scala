@@ -115,6 +115,12 @@ object SparkEntry {
       ((s, d) => EventOps.eventSnapshotDiff(events(s, d))),
     "top_event_paths" ->
       ((s, d) => EventOps.topEventPaths(events(s, d))),
+    "interarrival_stats" ->
+      ((s, d) => EventOps.interarrivalStats(events(s, d))),
+    "user_activity_gini" ->
+      ((s, d) => EventOps.userActivityGini(events(s, d))),
+    "user_type_entropy" ->
+      ((s, d) => EventOps.userTypeEntropy(events(s, d))),
     "likely_event_paths" -> ((s, d) => GraphOps.likelyEventPaths(events(s, d))),
     "linear_attribution" -> ((s, d) => EventOps.linearAttribution(events(s, d))),
     "bitmap_distinct_rollup" ->
@@ -959,6 +965,49 @@ object SparkEntry {
         "/ 86400.0 / 7.0)), 8) AS DECIMAL(20,8))) AS DECIMAL(38,8)) AS DOUBLE) " +
         "AS decay_score " +
         "FROM events CROSS JOIN a GROUP BY 1"),
+    // Mirrors EventOps.interarrivalStats: exact BIGINT gaps from the
+    // same (ts, event_id) window order, exact integer moments into
+    // pinned-double mean/sd/CV.
+    "interarrival_stats" ->
+      ("WITH g AS (SELECT event_type, " +
+        "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER (" +
+        "PARTITION BY event_type ORDER BY ts ASC, event_id ASC))) AS BIGINT) AS g " +
+        "FROM events), " +
+        "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps, " +
+        "CAST(sum(g) AS BIGINT) AS sg, CAST(sum(g * g) AS BIGINT) AS sgg " +
+        "FROM g WHERE g IS NOT NULL GROUP BY 1 HAVING count(*) >= 2) " +
+        "SELECT event_type, n_gaps, " +
+        "round(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE), 4) AS mean_gap_s, " +
+        "round(sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
+        "/ CAST(n_gaps AS DOUBLE)) / (CAST(n_gaps AS DOUBLE) - 1.0)), 4) AS sd_gap_s, " +
+        "round(sqrt((CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) " +
+        "/ CAST(n_gaps AS DOUBLE)) / (CAST(n_gaps AS DOUBLE) - 1.0)) / " +
+        "(CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 6) AS burstiness_cv " +
+        "FROM m"),
+    // Mirrors EventOps.userActivityGini: all three sums exact BIGINTs
+    // over the same (count, user_id) rank order; two pinned divisions.
+    "user_activity_gini" ->
+      ("WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT x, CAST(row_number() OVER (ORDER BY x ASC, user_id ASC) " +
+        "AS BIGINT) AS i FROM c), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(x) AS BIGINT) AS total, CAST(sum(i * x) AS BIGINT) AS iwx FROM r) " +
+        "SELECT n_users, total, " +
+        "round(2.0 * CAST(iwx AS DOUBLE) / " +
+        "(CAST(n_users AS DOUBLE) * CAST(total AS DOUBLE)) - " +
+        "(CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE), 6) AS gini " +
+        "FROM a"),
+    // Mirrors EventOps.userTypeEntropy: −p·ln p on identical doubles,
+    // ≤5 addends per user, −0.0 normalized (single-type users).
+    "user_type_entropy" ->
+      ("WITH ut AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM events GROUP BY 1, 2), " +
+        "t AS (SELECT user_id, CAST(sum(cnt) AS BIGINT) AS total FROM ut GROUP BY 1) " +
+        "SELECT ut.user_id, CAST(count(*) AS BIGINT) AS n_types, " +
+        "round(sum(-(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * " +
+        "ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))) + 0.0, 6) AS entropy " +
+        "FROM ut JOIN t USING (user_id) GROUP BY 1"),
     // Mirrors EventOps.rollingDistinctUsers: the engine slides exact
     // per-day bitmap blobs under a 7-day RANGE window; the oracle
     // recomputes each day's distinct set from raw rows with a range

@@ -418,6 +418,92 @@ object EventOps {
           .as("stickiness"))
   }
 
+  /** Inter-arrival statistics per event type: mean gap, gap standard
+    * deviation, and burstiness CV = σ/μ (Goh & Barabási '08 use
+    * (σ−μ)/(σ+μ); CV is its monotone cousin) — Poisson-like arrivals
+    * sit near CV 1, heavy bursts push it far above, schedulers/bots
+    * far below. The temporal-behavior profile of a stream.
+    *
+    * Determinism: gaps are exact BIGINT epoch-second differences from
+    * ONE ordered window pass; Σg and Σg² aggregate as exact integers
+    * (gaps ≤ ~10⁶ s, squares ≤ 10¹², corpus sums well under 2⁶³),
+    * and μ, σ, CV are pinned-order double arithmetic on them —
+    * the [[graft.ops.DocOps.neymanAllocation]] moment pattern. */
+  def interarrivalStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val gaps = events.select(col("event_type"),
+        (unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w))).as("g"))
+      .filter(col("g").isNotNull)
+    val m = gaps.groupBy("event_type").agg(
+      count(lit(1)).as("n_gaps"),
+      sum(col("g")).as("sg"),
+      sum(col("g") * col("g")).as("sgg"))
+      .filter(col("n_gaps") >= 2)
+    val nD = col("n_gaps").cast("double")
+    val mean = col("sg").cast("double") / nD
+    val variance = (col("sgg").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double") / nD) / (nD - 1.0)
+    m.select(col("event_type"), col("n_gaps"),
+      round(mean, 4).as("mean_gap_s"),
+      round(sqrt(variance), 4).as("sd_gap_s"),
+      round(sqrt(variance) / mean, 6).as("burstiness_cv"))
+  }
+
+  /** Gini coefficient of per-user activity — the inequality number a
+    * corpus-health dashboard wants ("do 1% of accounts produce 90% of
+    * events?"), via the ranked closed form
+    *
+    *   G = (2·Σ_i i·x_i) / (n·Σx) − (n+1)/n
+    *
+    * over users sorted by (count, user_id). All three Σ are exact
+    * BIGINTs (rank·count stays far under 2⁶³ at any plausible user
+    * count), so the output is two pinned divisions and one subtract.
+    * The rank window runs over the USER-cardinality frame (already
+    * collapsed), same bounded-serial-window argument as
+    * [[rollingDistinctUsers]]. */
+  def userActivityGini(events: DataFrame): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("x"))
+    val ranked = counts.select(col("x"),
+      row_number().over(Window.orderBy(col("x").asc, col("user_id").asc))
+        .cast("long").as("i"))
+    ranked.agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x")).as("total"),
+        sum(col("i") * col("x")).as("iwx"))
+      .select(col("n_users"), col("total"),
+        round(lit(2.0) * col("iwx").cast("double") /
+          (col("n_users").cast("double") * col("total").cast("double")) -
+          (col("n_users").cast("double") + 1.0) /
+            col("n_users").cast("double"), 6).as("gini"))
+  }
+
+  /** Behavioral diversity per user: Shannon entropy of the user's
+    * event-type distribution, H = Σ −p ln p — 0 for single-track
+    * users, ln(5) for a uniform mix over this log's five types. The
+    * per-user feature beside [[timeDecayEngagement]]'s recency: how
+    * VARIED the activity is, not how much or how recent.
+    *
+    * p = cnt/total with both counts exact BIGINTs; each −p·ln p term
+    * is computed on identical doubles in both engines and the ≤5-term
+    * per-user sum is rounded once at 6dp (the unigram_kl summation
+    * convention — here the addend count is bounded by the type
+    * vocabulary, tighter still). */
+  def userTypeEntropy(events: DataFrame): DataFrame = {
+    val ut = events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val tot = ut.groupBy("user_id").agg(sum(col("cnt")).as("total"))
+    val p = col("cnt").cast("double") / col("total").cast("double")
+    ut.join(tot, "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_types"),
+        // + 0.0 normalizes the single-type case: −1·ln 1 = −0.0, and
+        // the engines disagree on round()'s sign-bit preservation
+        // (the cusumChangepoints contract).
+        round(sum(-p * log(p)) + lit(0.0), 6).as("entropy"))
+  }
+
   /** Snapshot reconciliation: key-level diff of two versions of the
     * same table — the added / removed / changed report every data
     * platform runs after a backfill or migration ([[cdcApplyChanges]]

@@ -173,6 +173,61 @@ class SequenceStatsSpec extends SparkSpec {
     assert(math.abs(got(1L)._2 - 0.75) < 1e-7, got.toString)
   }
 
+  test("interarrivalStats: metronome CV 0, bursts push CV up") {
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + s / 3600}%02d:" +
+      f"${(s / 60) % 60}%02d:${s % 60}%02d")
+    // "tick" arrives every 60 s (σ=0 → CV 0); "burst" alternates
+    // 1 s / 599 s gaps — high dispersion around its mean.
+    val ticks = (0 to 10).map(i => ((100 + i).toLong, t(i * 60), 1L, "tick"))
+    val bursts = Seq(0, 1, 600, 601, 1200, 1201)
+      .zipWithIndex.map { case (s, i) => ((200 + i).toLong, t(s), 1L, "burst") }
+    val events = (ticks ++ bursts)
+      .map { case (e, ts, u, ty) => (e, ts, u, ty, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.interarrivalStats(events)
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("tick") == ((10L, 60.0, 0.0, 0.0)), got.toString)
+    assert(got("burst")._1 == 5L, got.toString)
+    assert(got("burst")._4 > 0.9, s"bursty CV should be high: $got")
+  }
+
+  test("userActivityGini: uniform 0, total concentration (n-1)/n") {
+    def ev(rows: Seq[(Long, Long)]) = rows.zipWithIndex.map { case ((u, k), i) =>
+      ((i * 1000 + k).toLong, Timestamp.valueOf("2024-01-01 10:00:00"), u,
+        "view", 0.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val uniform = ev(for (u <- 1L to 4L; k <- 1L to 3L) yield (u, k))
+    val g0 = EventOps.userActivityGini(uniform)
+      .as[(Long, Long, Double)].head()
+    assert(g0 == ((4L, 12L, 0.0)), g0.toString)
+    // users 1-3 have one event each, user 4 has 97 — near-total
+    // concentration; assert the exact closed form on the fixture.
+    val skew = ev((1L to 3L).map(u => (u, 1L)) ++ (1L to 97L).map(k => (4L, k)))
+    val g1 = EventOps.userActivityGini(skew)
+      .as[(Long, Long, Double)].head()
+    // ranks: (1,1),(2,1),(3,1),(4,97) → Σi·x = 1+2+3+388 = 394
+    val expect = math.rint((2.0 * 394 / (4.0 * 100) - 5.0 / 4.0) * 1e6) / 1e6
+    assert(g1 == ((4L, 100L, expect)), g1.toString)
+  }
+
+  test("userTypeEntropy: single-track 0 (not −0), uniform mix ln k") {
+    def t(s: Int) = Timestamp.valueOf(f"2024-01-01 10:00:${s % 60}%02d")
+    val events = Seq(
+      (1L, t(1), 1L, "A"), (2L, t(2), 1L, "A"), // single type → 0.0
+      (3L, t(3), 2L, "A"), (4L, t(4), 2L, "B")  // uniform 2 → ln 2
+    ).map { case (e, ts, u, ty) => (e, ts, u, ty, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.userTypeEntropy(events)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((1L, 0.0)), got.toString)
+    assert(got(1L)._2.compareTo(0.0) == 0 &&
+      !got(1L)._2.toString.startsWith("-"), s"−0.0 leaked: $got")
+    assert(got(2L) ==
+      ((2L, math.rint(math.log(2.0) * 1e6) / 1e6)), got.toString)
+  }
+
   test("rollingDistinctUsers: sliding blob-OR equals per-window distincts") {
     def t(d: Int) = Timestamp.valueOf(f"2024-05-$d%02d 10:00:00")
     // user 1 on days 1 and 9 (outside each other's 7-day window),
