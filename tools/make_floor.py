@@ -1,20 +1,46 @@
 #!/usr/bin/env python3
 """Regenerate BENCH_FLOOR.md from one or more clean BENCH_FULL.json runs.
 
-Usage: make_floor.py run1.json [run2.json ...] > BENCH_FLOOR.md
+Usage: make_floor.py [--carry-notes OLD_FLOOR.md] run1.json [...] > BENCH_FLOOR.md
 
 Floor per query = the MINIMUM of the runs' medians (a floor is the
 best believed-quiet number, so minima across clean runs are the right
 aggregation). Streaming/sentinel metadata is taken from the last run
 listed (pass the cleanest run last).
+
+--carry-notes re-emits the adjudication paragraphs of an existing
+floor doc (every paragraph after the table whose first line starts
+with "r<digit>") below the new table — without it, a regeneration
+silently drops all per-round notes except the r10 one embedded here
+(that drop happened in r11 and had to be restored by hand).
 """
 import json
+import re
 import sys
+
+
+def carried_notes(path):
+    """Paragraphs after the floor table starting with r<digit> — the
+    per-round adjudication notes appended over time."""
+    txt = open(path).read()
+    # paragraphs = blank-line-separated blocks; keep note blocks that
+    # are not the r10 block this script already embeds
+    notes = []
+    for block in txt.split("\n\n"):
+        if re.match(r"^r\d+ ", block) and not block.startswith(
+                "r10 adjudication (`boilerplate_phrases`)"):
+            notes.append(block.strip())
+    return notes
 
 
 def main(paths):
     if not paths:
-        sys.exit("usage: make_floor.py run1.json [run2.json ...] > BENCH_FLOOR.md")
+        sys.exit("usage: make_floor.py [--carry-notes OLD.md] run1.json [...]"
+                 " > BENCH_FLOOR.md")
+    notes = []
+    if paths[0] == "--carry-notes":
+        notes = carried_notes(paths[1])
+        paths = paths[2:]
     runs = [json.load(open(p)) for p in paths]
     floor = {}
     for r in runs:
@@ -84,6 +110,9 @@ this query inside a full run, not with SPARK_GRAFT_ONLY.
         j = i + half
         right = f"| {names[j]} | {floor[names[j]]:.3f} |" if j < len(names) else "| | |"
         print(left + right)
+    for block in notes:
+        print()
+        print(block)
 
 
 if __name__ == "__main__":
