@@ -184,6 +184,15 @@ object DrivePlans {
           "Credit is 1000000 div n in BIGINT all the way to the final " +
           "projection, so the only double op in the plan is the last " +
           "display division."),
+      ("rolling_distinct_users (bitmap blobs under a RANGE window)",
+        "The native TypedImperativeAggregate runs twice: as the " +
+          "grouped day-bitmap build (ObjectHashAggregate, partial+" +
+          "final — the distributed pass over raw events), then as a " +
+          "WINDOW aggregate sliding a 7-day RANGE frame over the " +
+          "calendar-cardinality day frame. Each output day ORs ≤7 " +
+          "fixed-size blobs; no Expand, no re-scan per window offset " +
+          "— the exact sliding DISTINCT neither count partials nor " +
+          "count(DISTINCT) partials can express."),
       ("user_day_streaks (gaps-and-islands on the distinct day grid)",
         "The DISTINCT (user, day) pre-collapse is the plan's load-" +
           "bearing move: the Window's child is the distinct " +
@@ -222,6 +231,7 @@ object DrivePlans {
       "cusum_changepoints" -> SparkEntry.queries("cusum_changepoints"),
       "bitmap_distinct_rollup" -> SparkEntry.queries("bitmap_distinct_rollup"),
       "linear_attribution" -> SparkEntry.queries("linear_attribution"),
+      "rolling_distinct_users" -> SparkEntry.queries("rolling_distinct_users"),
     )
 
     val sb = new StringBuilder
