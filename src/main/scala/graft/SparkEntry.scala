@@ -119,6 +119,10 @@ object SparkEntry {
       ((s, d) => EventOps.interarrivalStats(events(s, d))),
     "user_activity_gini" ->
       ((s, d) => EventOps.userActivityGini(events(s, d))),
+    "activity_lorenz_deciles" ->
+      ((s, d) => EventOps.activityLorenzDeciles(events(s, d))),
+    "type_count_correlations" ->
+      ((s, d) => EventOps.typeCountCorrelations(events(s, d))),
     "user_type_entropy" ->
       ((s, d) => EventOps.userTypeEntropy(events(s, d))),
     "likely_event_paths" -> ((s, d) => GraphOps.likelyEventPaths(events(s, d))),
@@ -998,6 +1002,45 @@ object SparkEntry {
         "(CAST(n_users AS DOUBLE) * CAST(total AS DOUBLE)) - " +
         "(CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE), 6) AS gini " +
         "FROM a"),
+    // Mirrors EventOps.typeCountCorrelations: zero-filled day×type
+    // grid, six exact BIGINT moments, exact LONG numerator/variances
+    // cast to DOUBLE only at the final sqrt/division.
+    "type_count_correlations" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "d AS (SELECT DISTINCT day FROM daily), " +
+        "t AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, d.day, coalesce(daily.cnt, 0) AS cnt " +
+        "FROM d CROSS JOIN t LEFT JOIN daily " +
+        "ON daily.event_type = t.event_type AND daily.day = d.day), " +
+        "m AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(a.cnt) AS BIGINT) AS sx, CAST(sum(b.cnt) AS BIGINT) AS sy, " +
+        "CAST(sum(a.cnt * b.cnt) AS BIGINT) AS sxy, " +
+        "CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx, " +
+        "CAST(sum(b.cnt * b.cnt) AS BIGINT) AS syy " +
+        "FROM grid a JOIN grid b ON a.day = b.day AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, n AS n_days, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+        "CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr " +
+        "FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"),
+    // Mirrors EventOps.activityLorenzDeciles: same (count, user_id)
+    // total order into ntile(10) (shared Postgres remainder
+    // semantics), exact BIGINT counts, one pinned division per row.
+    "activity_lorenz_deciles" ->
+      ("WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x " +
+        "FROM events GROUP BY 1), " +
+        "r AS (SELECT user_id, x, ntile(10) OVER (ORDER BY x ASC, user_id ASC) " +
+        "AS decile FROM c), " +
+        "p AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(x) AS BIGINT) AS n_events FROM r GROUP BY 1) " +
+        "SELECT decile, n_users, n_events, " +
+        "round(CAST(CAST(sum(n_events) OVER (ORDER BY decile ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / " +
+        "CAST(CAST(sum(n_events) OVER () AS BIGINT) AS DOUBLE), 6) AS cum_share " +
+        "FROM p"),
     // Mirrors EventOps.userTypeEntropy: −p·ln p on identical doubles,
     // ≤5 addends per user, −0.0 normalized (single-type users).
     "user_type_entropy" ->

@@ -451,6 +451,81 @@ object EventOps {
       round(sqrt(variance) / mean, 6).as("burstiness_cv"))
   }
 
+  /** Cross-series co-movement: Pearson correlation between every pair
+    * of event types' DAILY VOLUME series — do errors spike when
+    * clicks spike? The series-level companion to
+    * [[graft.ops.AggOps.lineitemCorrelations]]' row-level
+    * correlations, and the detector behind "metric A leads metric B"
+    * dashboards.
+    *
+    * The day grid is ZERO-FILLED (days × types cross join, absent
+    * counts = 0) — correlating only days where both types occurred
+    * would bias every pair toward busy days. All six moments (n, Σx,
+    * Σy, Σxy, Σx², Σy²) are exact BIGINTs over the grid; the Pearson
+    * numerator and the two variance terms are exact LONG arithmetic,
+    * cast to DOUBLE only for the final sqrt/division (each term ≪
+    * 2⁵³, so the casts are exact). Zero-variance series are excluded.
+    *
+    * Shape: one (type, day) hash agg over the log, then everything
+    * runs on the CALENDAR×TYPES grid — tiny at any log size. */
+  def typeCountCorrelations(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.select("day").distinct()
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val m = grid.as("a")
+      .join(grid.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.cnt")).as("sx"), sum(col("b.cnt")).as("sy"),
+        sum(col("a.cnt") * col("b.cnt")).as("sxy"),
+        sum(col("a.cnt") * col("a.cnt")).as("sxx"),
+        sum(col("b.cnt") * col("b.cnt")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val da = col("n") * col("sxx") - col("sx") * col("sx")
+    val db = col("n") * col("syy") - col("sy") * col("sy")
+    m.filter(da > 0L && db > 0L)
+      .select(col("type_a"), col("type_b"), col("n").as("n_days"),
+        round(num.cast("double") /
+          sqrt(da.cast("double") * db.cast("double")), 6).as("corr"))
+  }
+
+  /** Lorenz-curve deciles of user activity — the distribution behind
+    * [[userActivityGini]]'s single number: users sorted by activity,
+    * cut into ntile(10) deciles, each with its exact event count and
+    * the CUMULATIVE share of all events ("the bottom 80% of users
+    * produce X% of traffic"). Total order (count, user_id) makes the
+    * decile assignment deterministic; both engines share Postgres
+    * ntile semantics (earlier buckets take the remainder). All counts
+    * exact BIGINTs; the share is one pinned division per decile row.
+    * The rank window runs over the collapsed user frame ([[
+    * userActivityGini]]'s bounded-serial argument), the cumulative
+    * window over 10 rows. */
+  def activityLorenzDeciles(events: DataFrame): DataFrame = {
+    val counts = events.groupBy("user_id").agg(count(lit(1)).as("x"))
+    val ranked = counts.select(col("user_id"), col("x"),
+      ntile(10).over(Window.orderBy(col("x").asc, col("user_id").asc))
+        .as("decile"))
+    val perDecile = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"))
+    val wCum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecile
+      .select(col("decile"), col("n_users"), col("n_events"),
+        sum(col("n_events")).over(wCum).as("cum_events"),
+        sum(col("n_events")).over(Window.partitionBy()).as("total"))
+      .select(col("decile"), col("n_users"), col("n_events"),
+        round(col("cum_events").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"))
+  }
+
   /** Gini coefficient of per-user activity — the inequality number a
     * corpus-health dashboard wants ("do 1% of accounts produce 90% of
     * events?"), via the ranked closed form

@@ -173,6 +173,48 @@ class SequenceStatsSpec extends SparkSpec {
     assert(math.abs(got(1L)._2 - 0.75) < 1e-7, got.toString)
   }
 
+  test("typeCountCorrelations: planted co-movement, zero-fill engaged") {
+    def day(d: Int, i: Int) = Timestamp.valueOf(f"2024-04-$d%02d 00:00:${i % 60}%02d")
+    // A and B move together day-by-day (1,2,3 events) → corr +1.
+    // C runs opposite (3,2,1) → corr −1 vs both. D appears ONLY on
+    // day 1 — its other days must zero-fill or every correlation
+    // against D is computed on a 1-point series and drops out.
+    def burst(ty: String, d: Int, n: Int, base: Int) =
+      (0 until n).map(i => ((base + d * 100 + i).toLong, day(d, i), 1L, ty))
+    val rows =
+      (1 to 3).flatMap(d => burst("A", d, d, 10000)) ++
+        (1 to 3).flatMap(d => burst("B", d, d, 20000)) ++
+        (1 to 3).flatMap(d => burst("C", d, 4 - d, 30000)) ++
+        burst("D", 1, 2, 40000)
+    val events = rows.map { case (e, ts, u, ty) => (e, ts, u, ty, 0.0, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.typeCountCorrelations(events)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(got(("A", "B")) == 1.0, got.toString)
+    assert(got(("A", "C")) == -1.0 && got(("B", "C")) == -1.0, got.toString)
+    // D's zero-filled series (2,0,0) is anti-correlated with A's
+    // (1,2,3): corr = −0.866025 by hand — only computable because
+    // missing days became zeros.
+    assert(math.abs(got(("A", "D")) + 0.866025) < 1e-6, got.toString)
+    assert(got.size == 6, got.toString)
+  }
+
+  test("activityLorenzDeciles: exact cumulative shares on 10 users") {
+    // users 1..10 with 1..10 events: decile i holds user i exactly;
+    // cum share after decile k = k(k+1)/2 / 55.
+    val rows = for (u <- 1L to 10L; k <- 1L to u) yield
+      (u * 100 + k, Timestamp.valueOf("2024-01-01 10:00:00"), u, "view", 0.0, "")
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.activityLorenzDeciles(events)
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == Seq.fill(10)(1L), got.mkString(","))
+    assert(got.map(_._3).toSeq == (1L to 10L), got.mkString(","))
+    val shares = (1 to 10).map(k =>
+      math.rint(k * (k + 1) / 2.0 / 55.0 * 1e6) / 1e6)
+    assert(got.map(_._4).toSeq == shares, got.mkString(","))
+  }
+
   test("interarrivalStats: metronome CV 0, bursts push CV up") {
     def t(s: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + s / 3600}%02d:" +
       f"${(s / 60) % 60}%02d:${s % 60}%02d")
