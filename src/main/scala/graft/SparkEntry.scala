@@ -554,6 +554,13 @@ object SparkEntry {
       feats.select(Seq(col("media_id"), col("kind"), col("n_bytes"),
         col("mean_sample").cast("double").as("mean_sample")) ++ slots: _*)
     }),
+    // ---- round-11 batch 8: exact-arithmetic series/profile/packing ----
+    "ewma_daily_counts" -> ((s, d) => EventOps.ewmaDailyCounts(events(s, d))),
+    "type_dow_mutual_info" ->
+      ((s, d) => EventOps.typeDowMutualInfo(events(s, d))),
+    "benford_first_digit" ->
+      ((s, d) => ProfileOps.benfordFirstDigit(orders(s, d), "o_totalprice")),
+    "sequence_packing" -> ((s, d) => DocOps.sequencePacking(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -3014,6 +3021,77 @@ object SparkEntry {
     "global_order_stats" ->
       ("SELECT max(o_totalprice) AS max_price, min(o_totalprice) AS min_price, " +
         "count(*) AS n_orders FROM orders"),
+    // Mirrors EventOps.ewmaDailyCounts: α=1/2 EWMA truncated at 30
+    // days ⇒ every weight is 2^(29-lag), so the scaled sum is a plain
+    // BIGINT and both engines do ONE division by 2^30 at the end —
+    // bit-deterministic in any summation order (power(2,·) is exact
+    // in fp64, so the weight cast is exact).
+    "ewma_daily_counts" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2) " +
+        "SELECT t.event_type, t.day, " +
+        "round(CAST(CAST(sum(s.cnt * CAST(power(2, 29 - " +
+        "datediff('day', s.day, t.day)) AS BIGINT)) AS BIGINT) AS DOUBLE) " +
+        "/ 1073741824.0, 6) AS ewma " +
+        "FROM daily t JOIN daily s ON s.event_type = t.event_type " +
+        "AND s.day <= t.day AND s.day > t.day - 30 " +
+        "GROUP BY 1, 2"),
+    // Mirrors EventOps.typeDowMutualInfo: exact BIGINT contingency
+    // counts; each ln argument is the cross product (nxy·N)/(nx·ny)
+    // with every factor cast to DOUBLE before multiplying; one final
+    // rounding absorbs summation-order drift (the unigram_kl
+    // convention). dayofweek matches Spark's numbering (dow_anomalies
+    // established this).
+    "type_dow_mutual_info" ->
+      ("WITH cells AS (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow, " +
+        "CAST(count(*) AS BIGINT) AS nxy FROM events GROUP BY 1, 2), " +
+        "tx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx " +
+        "FROM cells GROUP BY 1), " +
+        "td AS (SELECT dow, CAST(sum(nxy) AS BIGINT) AS ny " +
+        "FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells) " +
+        "SELECT CAST(count(DISTINCT c.event_type) AS BIGINT) AS n_types, " +
+        "CAST(count(DISTINCT c.dow) AS BIGINT) AS n_dows, " +
+        "CAST(count(*) AS BIGINT) AS n_cells, " +
+        "round(sum((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "ln((CAST(nxy AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+        "(CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)))), 6) AS mi_nats " +
+        "FROM cells c JOIN tx USING (event_type) JOIN td USING (dow) " +
+        "CROSS JOIN tot"),
+    // Mirrors ProfileOps.benfordFirstDigit: leading digit extracted
+    // TEXTUALLY from floor(amount) (exact, engine-identical — no
+    // log10 at decade boundaries); share is one pinned integer
+    // division; expectation is ln(1+1/d)/ln(10) on identical doubles.
+    "benford_first_digit" ->
+      ("WITH g AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) " +
+        "AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit, " +
+        "CAST(count(*) AS BIGINT) AS n FROM orders " +
+        "WHERE o_totalprice >= 1.0 GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g) " +
+        "SELECT digit, n, " +
+        "round(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share, " +
+        "round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) " +
+        "AS benford_expected FROM g CROSS JOIN tot"),
+    // Mirrors DocOps.sequencePacking: same bpeish token measure, the
+    // same per-source (n_tokens DESC, doc_id) prefix sum, and exact
+    // integer `//` for sequence index + straddle flag.
+    "sequence_packing" ->
+      ("WITH toks AS (SELECT doc_id, source, " +
+        "CAST(length(regexp_extract_all(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens " +
+        "FROM documents), " +
+        "p AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source " +
+        "ORDER BY n_tokens DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum FROM toks WHERE n_tokens > 0) " +
+        "SELECT source, CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS tokens_started, " +
+        "CAST(sum(CASE WHEN CAST((cum - 1) // 2048 AS BIGINT) > " +
+        "CAST((cum - n_tokens) // 2048 AS BIGINT) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling " +
+        "FROM p GROUP BY 1, 2"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -1492,4 +1492,46 @@ object DocOps {
         round(col("cnt") / col("n_total"), 6).as("share"))
       .orderBy(col("cnt").desc, col("term").asc)
   }
+
+  /** Greedy sequence packing for LLM pretraining: per source, docs are
+    * laid head-to-tail in (n_tokens DESC, doc_id) order into fixed
+    * `seqLen`-token training sequences, documents straddling sequence
+    * boundaries — the GPT-style concat-and-chunk packing that wastes
+    * zero pad tokens (vs first-fit bin packing, which is inherently
+    * sequential-stateful AND pads). The doc's start offset is one
+    * partitioned window prefix sum; sequence index and the straddle
+    * flag are exact integer `div` arithmetic, so the whole frame is
+    * bit-deterministic. Output is one row per (source, seq): how many
+    * docs START in the sequence, their token mass, and how many run
+    * past its end — the packing-efficiency view a data loader samples
+    * from. Tokens are the [[bpeishTokenCounts]] measure; empty-token
+    * docs are excluded (they occupy no stream positions).
+    *
+    * 100 TB shape: the window is PARTITIONED by source, so sources
+    * pack in parallel and the prefix sum is the only serial
+    * dependency within one source; production packing runs per shard
+    * — compose with [[shardAssignments]]'s two-level prefix-sum
+    * decomposition to bound any single window. */
+  def sequencePacking(docs: DataFrame, seqLen: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(seqLen >= 1, s"seqLen >= 1: $seqLen")
+    val toks = docs.select(col("doc_id"), col("source"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+          .as("n_tokens"))
+      .filter(col("n_tokens") > 0L)
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    toks
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq", expr(s"(cum - n_tokens) div ${seqLen}L"))
+      .withColumn("straddles",
+        when(expr(s"(cum - 1L) div ${seqLen}L") > col("seq"), 1L)
+          .otherwise(0L))
+      .groupBy(col("source"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens_started"),
+        sum("straddles").as("n_straddling"))
+  }
 }

@@ -1376,6 +1376,80 @@ object EventOps {
     * the window never sees raw events), and both the distinct and the
     * window hash-partition by user-led keys. Per-user state is one
     * year-bounded sorted run, no skew risk beyond the calendar. */
+  /** Exponentially-weighted moving average of daily event volume per
+    * type, computed EXACTLY in integer arithmetic. With decay α = 1/2
+    * truncated at a `horizon`-day tail, every weight is the binary
+    * fraction 2^-(k+1) (k = days of lag), so the weighted sum scaled
+    * by 2^horizon is a plain BIGINT — Σ cnt·2^(horizon-1-k) — with no
+    * floating-point accumulation at all. Both engines divide the
+    * IDENTICAL integer by 2^horizon once at the end, which makes the
+    * smoothed series bit-deterministic under any summation order (the
+    * property the textbook fp recursion S_t = αx_t + (1-α)S_{t-1}
+    * lacks); the truncation bias is < 2^-horizon of the running
+    * scale. Days with no events contribute weight·0 = 0, so the
+    * banded self-join over OBSERVED (type, day) rows needs no dense
+    * calendar grid; the EWMA is evaluated at each observed day.
+    *
+    * Shape at scale: one (type, day) hash agg first collapses the raw
+    * log to calendar cardinality, so the ≤`horizon`× banded expansion
+    * runs on tiny daily rows. The weight 2^(horizon-1-k) is
+    * CAST(pow(2,·) AS BIGINT) — powers of two are exact in fp64, so
+    * the cast is exact on both engines. */
+  def ewmaDailyCounts(events: DataFrame, horizon: Int = 30): DataFrame = {
+    require(horizon >= 1 && horizon <= 62, s"horizon in [1,62]: $horizon")
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val lag = datediff(col("t.day"), col("s.day"))
+    val weight = pow(lit(2.0), (lit(horizon - 1) - lag).cast("double"))
+      .cast("long")
+    daily.as("t")
+      .join(daily.as("s"),
+        col("s.event_type") === col("t.event_type") &&
+          col("s.day") <= col("t.day") &&
+          col("s.day") > date_sub(col("t.day"), horizon))
+      .groupBy(col("t.event_type").as("event_type"), col("t.day").as("day"))
+      .agg(sum(col("s.cnt") * weight).as("ewma_scaled"))
+      .select(col("event_type"), col("day"),
+        round(col("ewma_scaled").cast("double") /
+          pow(lit(2.0), lit(horizon.toDouble)), 6).as("ewma"))
+  }
+
+  /** Mutual information (nats) between event type and day-of-week —
+    * the single-number "is traffic mix seasonal?" dependence test
+    * behind [[dowAnomalies]]'s per-cell z-scores. MI = Σ p_xy ·
+    * ln(p_xy/(p_x·p_y)) over the (type, dow) contingency table; all
+    * counts are exact BIGINTs, every ln argument is the cross product
+    * (n_xy·N)/(n_x·n_y) with each factor cast to DOUBLE before
+    * multiplying (exact casts, counts ≪ 2^53; correctly-rounded IEEE
+    * products feed ln the identical double on both engines), and ONE
+    * final rounding absorbs summation-order drift — the
+    * [[graft.ops.DocOps.unigramKlBySource]] convention. MI ≥ 0 with
+    * equality iff independent, so no −0.0 hazard.
+    *
+    * Shape: one (type, dow) hash agg collapses the log to ≤ 7·|types|
+    * cells; margins and the total re-aggregate that tiny frame
+    * (broadcast), so the output is one row from one scan. */
+  def typeDowMutualInfo(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
+      .agg(count(lit(1)).as("nxy"))
+    val byType = cells.groupBy("event_type").agg(sum("nxy").as("nx"))
+    val byDow = cells.groupBy("dow").agg(sum("nxy").as("ny"))
+    val total = cells.agg(sum("nxy").as("n"))
+    cells.join(broadcast(byType), "event_type")
+      .join(broadcast(byDow), "dow")
+      .crossJoin(broadcast(total))
+      .agg(
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"),
+        count(lit(1)).as("n_cells"),
+        round(sum((col("nxy").cast("double") / col("n").cast("double")) *
+          log((col("nxy").cast("double") * col("n").cast("double")) /
+            (col("nx").cast("double") * col("ny").cast("double")))), 6)
+          .as("mi_nats"))
+  }
+
   def userDayStreaks(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

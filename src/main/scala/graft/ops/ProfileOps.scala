@@ -125,4 +125,37 @@ object ProfileOps {
           .as("n_violations")))
     ).reduce(_ unionByName _)
   }
+
+  /** Benford's-law first-digit profile of a positive amount column —
+    * the classic fabricated-/degenerate-data smell test a profiling
+    * pass runs over monetary fields: naturally-grown magnitudes put
+    * digit d first with probability log10(1+1/d) ≈ 30% for 1 down to
+    * 4.6% for 9, while synthetic or truncated data flattens the curve.
+    * One row per leading digit with its exact count, observed share,
+    * and the Benford expectation.
+    *
+    * Determinism: the leading digit is extracted TEXTUALLY from
+    * floor(amount) (floor of a double and the int64→string render are
+    * exact and engine-identical) rather than via log10/power, whose
+    * rounding at decade boundaries (10^k itself) differs per engine.
+    * share is one pinned integer division; the expectation is
+    * ln(1+1/d)/ln(10) on identical doubles (the established ln
+    * convention), rounded once. Rows below 1 (no leading digit in
+    * this scheme) are excluded and reported via the count.
+    *
+    * Shape: one 9-group hash agg over the scan; the grand total
+    * re-aggregates the 9-row frame (broadcast cross join). */
+  def benfordFirstDigit(df: DataFrame, amount: String): DataFrame = {
+    val digit = substring(floor(col(amount)).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val digits = df.filter(col(amount) >= 1.0)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum("n").as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        round(col("n").cast("double") / col("total").cast("double"), 6)
+          .as("share"),
+        round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)), 6).as("benford_expected"))
+  }
 }

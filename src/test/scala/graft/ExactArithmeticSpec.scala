@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.{DocOps, EventOps, ProfileOps}
+
+/** Round-11 batch-8 exact-arithmetic operators: binary-weighted EWMA,
+  * type×day-of-week mutual information, Benford first-digit profile,
+  * and greedy sequence packing — all against planted fixtures with
+  * hand-computable answers. */
+class ExactArithmeticSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, day: String, t: String) =
+    (id, Timestamp.valueOf(s"$day 10:00:00"), 1L, t, 1.0, "{}")
+  private val evCols =
+    Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("ewmaDailyCounts: binary weights halve per day and truncate at 30") {
+    // type a: 2 events on 03-01, 1 on 03-02, then 4 on 04-10 (>30 days
+    // past both, so the tail has fully truncated away).
+    val events = Seq(
+      ev(1, "2024-03-01", "a"), ev(2, "2024-03-01", "a"),
+      ev(3, "2024-03-02", "a"),
+      ev(4, "2024-04-10", "a"), ev(5, "2024-04-10", "a"),
+      ev(6, "2024-04-10", "a"), ev(7, "2024-04-10", "a"),
+    ).toDF(evCols: _*)
+    val got = EventOps.ewmaDailyCounts(events).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        r.getAs[Double]("ewma")).toMap
+    // day1: 2·2⁻¹ = 1.0; day2: 1·2⁻¹ + 2·2⁻² = 1.0;
+    // day40: 4·2⁻¹ = 2.0 (both March days are ≥30 days back)
+    assert(got == Map(
+      "2024-03-01" -> 1.0, "2024-03-02" -> 1.0, "2024-04-10" -> 2.0), got)
+  }
+
+  test("typeDowMutualInfo: ln 2 for perfect dependence, 0 for independence") {
+    // 03-04 is a Monday, 03-05 a Tuesday. Dependence: type a only on
+    // Mondays, b only on Tuesdays, equal mass -> MI = ln 2.
+    val dep = Seq(
+      ev(1, "2024-03-04", "a"), ev(2, "2024-03-11", "a"),
+      ev(3, "2024-03-05", "b"), ev(4, "2024-03-12", "b"),
+    ).toDF(evCols: _*)
+    val d = EventOps.typeDowMutualInfo(dep).collect().head
+    assert(d.getAs[Long]("n_types") == 2L)
+    assert(d.getAs[Long]("n_dows") == 2L)
+    assert(d.getAs[Long]("n_cells") == 2L)
+    assert(d.getAs[Double]("mi_nats") == 0.693147, d) // round(ln 2, 6)
+    // Independence: both types appear on both dows with equal mass.
+    val ind = Seq(
+      ev(1, "2024-03-04", "a"), ev(2, "2024-03-05", "a"),
+      ev(3, "2024-03-04", "b"), ev(4, "2024-03-05", "b"),
+    ).toDF(evCols: _*)
+    val i = EventOps.typeDowMutualInfo(ind).collect().head
+    assert(i.getAs[Long]("n_cells") == 4L)
+    assert(i.getAs[Double]("mi_nats") == 0.0, i)
+  }
+
+  test("benfordFirstDigit: textual leading digit, sub-1 rows excluded") {
+    val orders = Seq(1.5, 19.0, 25.0, 0.5, 900.0).toDF("o_totalprice")
+    val got = ProfileOps.benfordFirstDigit(orders, "o_totalprice")
+      .collect()
+      .map(r => r.getAs[Int]("digit") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("share"),
+          r.getAs[Double]("benford_expected")))).toMap
+    // 0.5 is excluded; digits: 1 (1.5, 19.0), 2 (25.0), 9 (900.0)
+    assert(got.keySet == Set(1, 2, 9), got)
+    assert(got(1) == ((2L, 0.5, 0.30103)), got)   // round(log10 2, 6)
+    assert(got(2)._1 == 1L && got(2)._2 == 0.25, got)
+    assert(got(9)._3 == 0.045757, got)            // round(log10 10/9, 6)
+  }
+
+  test("sequencePacking: desc-order prefix sum, straddle flags, empty docs drop") {
+    // pure-letter words: the bpeish regex would split "w0" into 2 tokens
+    def words(n: Int) = (0 until n).map(i => ('a' + i).toChar.toString).mkString(" ")
+    val docs = Seq(
+      (1L, words(5), "s"),  // cum 5:  seq 0, runs into seq 1 -> straddles
+      (2L, words(3), "s"),  // cum 8:  starts at 5 -> seq 1, ends at 7
+      (3L, words(2), "s"),  // cum 10: starts at 8 -> seq 2, ends at 9
+      (4L, "", "s"),        // 0 tokens -> excluded
+    ).toDF("doc_id", "text", "source")
+    val got = DocOps.sequencePacking(docs, seqLen = 4).collect()
+      .map(r => r.getAs[Long]("seq") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_started"),
+          r.getAs[Long]("n_straddling")))).toMap
+    assert(got == Map(
+      0L -> ((1L, 5L, 1L)), 1L -> ((1L, 3L, 0L)), 2L -> ((1L, 2L, 0L))), got)
+    // partitioned windows: a second source packs independently
+    val two = docs.union(Seq((9L, words(4), "t")).toDF("doc_id", "text", "source"))
+    val t = DocOps.sequencePacking(two, seqLen = 4)
+      .filter($"source" === "t").collect()
+    assert(t.length == 1 && t.head.getAs[Long]("n_straddling") == 0L, t.toSeq)
+  }
+}
