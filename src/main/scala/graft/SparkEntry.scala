@@ -561,6 +561,10 @@ object SparkEntry {
     "benford_first_digit" ->
       ((s, d) => ProfileOps.benfordFirstDigit(orders(s, d), "o_totalprice")),
     "sequence_packing" -> ((s, d) => DocOps.sequencePacking(documents(s, d))),
+    // ---- round-11 batch 9: hash-gated clustering + series memory ----
+    "kmeans_code_rounds" ->
+      ((s, d) => VectorOps.kmeansCodeRounds(embeddings(s, d))),
+    "acf_daily_counts" -> ((s, d) => EventOps.acfDailyCounts(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -3092,6 +3096,78 @@ object SparkEntry {
         "CAST((cum - n_tokens) // 2048 AS BIGINT) " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling " +
         "FROM p GROUP BY 1, 2"),
+    // Mirrors VectorOps.kmeansCodeRounds: the knn_quantized code CTE,
+    // the knn_ivf_pinned row_number assignment, integer SUM vectors as
+    // round-2 centroids (cosine scale-invariance makes sum ≡ mean —
+    // no division ever happens, so both rounds are exact integer
+    // arithmetic end-to-end).
+    "kmeans_code_rounds" ->
+      ("WITH b AS (SELECT vec_id, embedding, " +
+        "CAST(list_max(list_transform(embedding, " +
+        "x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS mx FROM embeddings), " +
+        "c AS (SELECT vec_id, CASE WHEN mx > 0 THEN " +
+        "list_transform(embedding, " +
+        "x -> floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5)) " +
+        "ELSE list_transform(embedding, x -> 0.0) END AS qc FROM b), " +
+        "cz AS (SELECT vec_id, qc FROM c " +
+        "WHERE list_sum(list_transform(qc, x -> x * x)) > 0), " +
+        "init AS (SELECT vec_id AS list_id, qc AS cv FROM cz " +
+        "WHERE vec_id % 997 < 16), " +
+        "s1 AS (SELECT z.vec_id, z.qc, i.list_id, " +
+        "list_sum(list_transform(range(len(z.qc)), " +
+        "j -> z.qc[j+1] * i.cv[j+1])) / " +
+        "(sqrt(list_sum(list_transform(z.qc, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(i.cv, x -> x * x)))) AS cos " +
+        "FROM cz z CROSS JOIN init i), " +
+        "a1 AS (SELECT vec_id, qc, list_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cos DESC, list_id ASC) AS rn FROM s1) WHERE rn = 1), " +
+        "e1 AS (SELECT list_id, unnest(range(len(qc))) AS j, " +
+        "unnest(qc) AS q FROM a1), " +
+        "d1 AS (SELECT list_id, j, CAST(sum(q) AS BIGINT) AS sq " +
+        "FROM e1 GROUP BY 1, 2), " +
+        "c2 AS (SELECT list_id, list(CAST(sq AS DOUBLE) ORDER BY j) AS cv " +
+        "FROM d1 GROUP BY 1), " +
+        "s2 AS (SELECT z.vec_id, z.qc, i.list_id, " +
+        "list_sum(list_transform(range(len(z.qc)), " +
+        "j -> z.qc[j+1] * i.cv[j+1])) / " +
+        "(sqrt(list_sum(list_transform(z.qc, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(i.cv, x -> x * x)))) AS cos " +
+        "FROM cz z CROSS JOIN c2 i), " +
+        "a2 AS (SELECT vec_id, qc, list_id AS list2 FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY cos DESC, list_id ASC) AS rn FROM s2) WHERE rn = 1) " +
+        "SELECT a2.list2 AS list_id, CAST(count(*) AS BIGINT) AS n_vecs, " +
+        "CAST(sum(CASE WHEN a1.list_id <> a2.list2 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_moved_in, " +
+        "CAST(sum(a2.qc[1]) AS BIGINT) AS sum_q0, " +
+        "CAST(sum(a2.qc[2]) AS BIGINT) AS sum_q1 " +
+        "FROM a2 JOIN a1 ON a1.vec_id = a2.vec_id GROUP BY 1"),
+    // Mirrors EventOps.acfDailyCounts: zero-filled min..max calendar,
+    // equi-join on the day+lag key, six exact BIGINT moments per lag,
+    // DOUBLE only at the final sqrt/division.
+    "acf_daily_counts" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT cal.day, coalesce(daily.cnt, 0) AS cnt " +
+        "FROM cal LEFT JOIN daily ON daily.day = cal.day), " +
+        "lags AS (SELECT CAST(unnest(range(1, 8)) AS INT) AS lag), " +
+        "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(a.cnt) AS BIGINT) AS sx, " +
+        "CAST(sum(b.cnt) AS BIGINT) AS sy, " +
+        "CAST(sum(a.cnt * b.cnt) AS BIGINT) AS sxy, " +
+        "CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx, " +
+        "CAST(sum(b.cnt * b.cnt) AS BIGINT) AS syy " +
+        "FROM grid a CROSS JOIN lags " +
+        "JOIN grid b ON b.day = a.day + lag GROUP BY 1) " +
+        "SELECT lag, n AS n_pairs, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+        "CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf " +
+        "FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

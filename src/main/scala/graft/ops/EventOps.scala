@@ -1450,6 +1450,54 @@ object EventOps {
           .as("mi_nats"))
   }
 
+  /** Autocorrelation function of daily total event volume at lags
+    * 1..maxLag — the "is there a weekly cycle, and how sticky is
+    * yesterday?" diagnostic behind [[dowAnomalies]] and
+    * [[ewmaDailyCounts]] (a lag-7 spike says weekly seasonality; slow
+    * lag-1 decay says trending volume). Pearson r between the series
+    * and its k-day shift over the ZERO-FILLED min..max calendar —
+    * correlating only co-observed days would bias toward busy weeks,
+    * the [[typeCountCorrelations]] argument. All six moments per lag
+    * are exact BIGINTs; the numerator and variance terms are exact
+    * LONG arithmetic cast to DOUBLE only for the final sqrt/division
+    * (each ≪ 2^53), one rounding at the end. Zero-variance slices
+    * (constant series) are excluded.
+    *
+    * Shape: one (day) hash agg collapses the log to calendar
+    * cardinality; the dense grid, the ×maxLag shift expansion and the
+    * per-lag moments all run on that tiny frame. The shift is an
+    * EQUI-join on the materialized `date_add(day, lag)` key, not a
+    * theta join. */
+  def acfDailyCounts(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag >= 1: $maxLag")
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val lags = events.sparkSession.range(1, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val shifted = grid.crossJoin(broadcast(lags))
+      .select(col("lag"), expr("date_add(day, lag)").as("tday"),
+        col("cnt").as("x"))
+    val m = shifted
+      .join(grid.select(col("day").as("tday"), col("cnt").as("y")), "tday")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    m.filter(dx > 0L && dy > 0L)
+      .select(col("lag"), col("n").as("n_pairs"),
+        round(num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")), 6).as("acf"))
+  }
+
   def userDayStreaks(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

@@ -698,4 +698,76 @@ object VectorOps {
         (round(col("v"), 6) + lit(0.0)).as("loading"),
         (round(col("ev"), 6) + lit(0.0)).as("eigenvalue"))
   }
+
+  /** Two unrolled rounds of spherical k-means over int8 quantization
+    * codes, hash-gated END-TO-END — closing the "clustering is
+    * floating-point-reduction-order-bound" gap ([[learnedCentroids]]'s
+    * caveat) the same way knn_ivf_pinned closed IVF search. Three pins
+    * make every stage a pure function of the table:
+    *
+    *   1. init = the deterministic id-hash sample ([[sampleCentroids]]
+    *      ids), taken over the CODES;
+    *   2. distances run on int8 codes ([[quantizeCodes]]): dots and
+    *      norms of small integers accumulate EXACTLY in fp64, so the
+    *      cosine ranking is bit-identical in any engine or summation
+    *      order (the [[knnQuantized]] argument);
+    *   3. the centroid update keeps the per-dimension integer SUM of
+    *      member codes, never the mean: cosine is scale-invariant, so
+    *      ranking against the sum vector IS ranking against the mean
+    *      — the one step textbook Lloyd's cannot do exactly (the mean
+    *      division) is simply never performed.
+    *
+    * Lists that attract no members die (standard Lloyd's); zero
+    * vectors quantize to all-zero codes, have no cosine direction,
+    * and are excluded up front. Output: one row per surviving list
+    * after round 2 — member count, how many members arrived from a
+    * different round-1 list, and the first two dimensions of its
+    * integer code sum as arithmetic witnesses (array columns crash
+    * the driver's row-sort; every other dimension is the same
+    * expression).
+    *
+    * Scale shape: per round, one broadcast of nlist tiny sum vectors,
+    * one assignment scan, one (list, dim) hash agg — the distributed
+    * kernel `ml.clustering.KMeans` runs, minus RNG; nothing returns
+    * to the driver. Exactness bound: sum-vector norms stay inside
+    * fp64's 2^53 for ≲3·10^5 members per list per dimension at
+    * |code| ≤ 127 — past that one subsamples the update (as
+    * production k-means does anyway), which re-pins the guarantee. */
+  def kmeansCodeRounds(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+    val codes = embeddings
+      .select(col("vec_id"), quantizeCodes(col("embedding")).as("qc"))
+      .filter(dot(asDouble(col("qc")), asDouble(col("qc"))) > 0.0)
+    val init = codes
+      .filter(pmod(col("vec_id"), lit(997)) < nlist)
+      .select(col("vec_id").as("list_id"), asDouble(col("qc")).as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+        .orderBy(col("cos").desc, col("list_id").asc)
+      codes.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("qc"), col("list_id"),
+          cosineFused(asDouble(col("qc")), col("cv")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("qc"), col("list_id"))
+    }
+    def sumVectors(assigned: DataFrame): DataFrame =
+      assigned
+        .select(col("list_id"), posexplode(col("qc")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("col").cast("long")).as("sq"))
+        .groupBy("list_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("sq")))),
+          e => e.getField("sq").cast("double")).as("cv"))
+    val a1 = assign(init)
+    val a2 = assign(sumVectors(a1))
+      .withColumnRenamed("list_id", "list2")
+    a2.join(a1.select(col("vec_id"), col("list_id").as("list1")), "vec_id")
+      .groupBy(col("list2").as("list_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("list1") =!= col("list2"), 1L).otherwise(0L))
+          .as("n_moved_in"),
+        sum(element_at(col("qc"), 1).cast("long")).as("sum_q0"),
+        sum(element_at(col("qc"), 2).cast("long")).as("sum_q1"))
+  }
 }

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.ops.{DocOps, EventOps, ProfileOps}
+import graft.ops.{DocOps, EventOps, ProfileOps, VectorOps}
 
 /** Round-11 batch-8 exact-arithmetic operators: binary-weighted EWMA,
   * type×day-of-week mutual information, Benford first-digit profile,
@@ -90,5 +90,52 @@ class ExactArithmeticSpec extends SparkSpec {
     val t = DocOps.sequencePacking(two, seqLen = 4)
       .filter($"source" === "t").collect()
     assert(t.length == 1 && t.head.getAs[Long]("n_straddling") == 0L, t.toSeq)
+  }
+
+  test("kmeansCodeRounds: integer-sum centroids pull members across rounds") {
+    // 2-D fixture, nlist=2 -> init centroids are vec 0 (x-axis) and
+    // vec 1 (26.6 deg). Round 1 assigns vec1/p/q and the three y-axis
+    // vectors to list 1; the updated SUM vector swings list 1's
+    // direction to ~57 deg, so round 2 hands the two low-angle members
+    // (vec 1 itself and q at 19 deg) to list 0. Codes (per-vector
+    // scale): (1,0)->(127,0), (1,.5)->(127,64), (1,1)->(127,127),
+    // (1,.35)->(127,44), (.05,1)->(6,127). Zero vector: excluded.
+    val emb = Seq(
+      0L -> Array(1f, 0f), 1L -> Array(1f, 0.5f),
+      2L -> Array(1f, 1f), 3L -> Array(1f, 0.35f),
+      4L -> Array(0.05f, 1f), 5L -> Array(0.05f, 1f),
+      6L -> Array(0.05f, 1f), 9L -> Array(0f, 0f),
+    ).toDF("vec_id", "embedding")
+    val got = VectorOps.kmeansCodeRounds(emb, nlist = 2).collect()
+      .map(r => r.getAs[Long]("list_id") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_moved_in"),
+          r.getAs[Long]("sum_q0"), r.getAs[Long]("sum_q1")))).toMap
+    // list 0 = {0, 1, 3} (1 and 3 moved in), list 1 = {2, 4, 5, 6}
+    assert(got == Map(
+      0L -> ((3L, 2L, 381L, 108L)),
+      1L -> ((4L, 0L, 145L, 508L))), got)
+  }
+
+  test("acfDailyCounts: exact moments on the zero-filled calendar") {
+    // alternating 2,1,2,1,2 over five consecutive days:
+    // acf(1) = -1, acf(2) = +1, acf(3) = -1; lag 4 has one pair
+    // (zero variance -> excluded), lags 5..7 have none.
+    def day(d: Int, n: Int) = (0 until n).map(i =>
+      ev(d * 100L + i, f"2024-03-0$d", "a"))
+    val alt = (day(1, 2) ++ day(2, 1) ++ day(3, 2) ++ day(4, 1) ++
+      day(5, 2)).toDF(evCols: _*)
+    val got = alt.transform(e => EventOps.acfDailyCounts(e)).collect()
+      .map(r => r.getAs[Int]("lag") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("acf")))).toMap
+    assert(got == Map(
+      1 -> ((4L, -1.0)), 2 -> ((3L, 1.0)), 3 -> ((2L, -1.0))), got)
+    // the calendar zero-fills gaps: 3,1,_,1,3 over days 1,2,4,5 is the
+    // series (3,1,0,1,3) -> lag-1 has FOUR pairs and acf -1/19
+    val gap = (day(1, 3) ++ day(2, 1) ++ day(4, 1) ++ day(5, 3))
+      .toDF(evCols: _*)
+    val g1 = EventOps.acfDailyCounts(gap).collect()
+      .find(_.getAs[Int]("lag") == 1).get
+    assert(g1.getAs[Long]("n_pairs") == 4L, g1)
+    assert(g1.getAs[Double]("acf") == -0.052632, g1) // round(-1/19, 6)
   }
 }
