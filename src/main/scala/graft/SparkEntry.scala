@@ -565,6 +565,10 @@ object SparkEntry {
     "kmeans_code_rounds" ->
       ((s, d) => VectorOps.kmeansCodeRounds(embeddings(s, d))),
     "acf_daily_counts" -> ((s, d) => EventOps.acfDailyCounts(events(s, d))),
+    // ---- round-11 batch 10: survival + market-basket ----
+    "km_survival_horizons" ->
+      ((s, d) => EventOps.kmSurvivalHorizons(events(s, d))),
+    "type_assoc_rules" -> ((s, d) => EventOps.typeAssocRules(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -3168,6 +3172,52 @@ object SparkEntry {
         "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
         "CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf " +
         "FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"),
+    // Mirrors EventOps.kmSurvivalHorizons: exact BIGINT risk sets
+    // (windowed cumsum over the tiny duration frame), ln factors on
+    // identical doubles summed then rounded ONCE before exp.
+    "km_survival_horizons" ->
+      ("WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f, " +
+        "CAST(max(ts) AS DATE) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events), " +
+        "dur AS (SELECT CAST(datediff('day', f, l) + 1 AS BIGINT) AS t, " +
+        "CASE WHEN l < max_day THEN 1 ELSE 0 END AS observed " +
+        "FROM u CROSS JOIN mx), " +
+        "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending, " +
+        "CAST(sum(observed) AS BIGINT) AS d FROM dur GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM dur), " +
+        "ar AS (SELECT t, d, n_users - CAST(sum(ending) OVER (" +
+        "ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending AS n " +
+        "FROM byt CROSS JOIN tot), " +
+        "h AS (SELECT CAST(unnest([1, 7, 14, 30]) AS INT) AS horizon), " +
+        "curve AS (SELECT horizon, CAST(sum(d) AS BIGINT) AS n_churned, " +
+        "round(exp(round(sum(ln((CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE))), 6)), 6) AS survival " +
+        "FROM ar CROSS JOIN h WHERE d > 0 AND t <= horizon GROUP BY 1) " +
+        "SELECT h.horizon, coalesce(c.n_churned, 0) AS n_churned, " +
+        "coalesce(c.survival, 1.0) AS survival " +
+        "FROM h LEFT JOIN curve c USING (horizon)"),
+    // Mirrors EventOps.typeAssocRules: distinct-user baskets, exact
+    // BIGINT pair/margin counts, three pinned divisions (lift's cross
+    // product casts each factor to DOUBLE before multiplying).
+    "type_assoc_rules" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_one " +
+        "FROM ut GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM ut), " +
+        "p AS (SELECT a.event_type AS antecedent, " +
+        "b.event_type AS consequent, CAST(count(*) AS BIGINT) AS n_both " +
+        "FROM ut a JOIN ut b ON a.user_id = b.user_id " +
+        "AND a.event_type <> b.event_type GROUP BY 1, 2) " +
+        "SELECT antecedent, consequent, n_both, " +
+        "round(CAST(n_both AS DOUBLE) / CAST(n_users AS DOUBLE), 6) " +
+        "AS support, " +
+        "round(CAST(n_both AS DOUBLE) / CAST(ma.n_one AS DOUBLE), 6) " +
+        "AS confidence, " +
+        "round((CAST(n_both AS DOUBLE) * CAST(n_users AS DOUBLE)) / " +
+        "(CAST(ma.n_one AS DOUBLE) * CAST(mc.n_one AS DOUBLE)), 6) AS lift " +
+        "FROM p JOIN m ma ON ma.event_type = p.antecedent " +
+        "JOIN m mc ON mc.event_type = p.consequent CROSS JOIN tot"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -1498,6 +1498,102 @@ object EventOps {
           sqrt(dx.cast("double") * dy.cast("double")), 6).as("acf"))
   }
 
+  /** Kaplan–Meier survival at fixed horizons — "what fraction of
+    * users are still active h days after their first event?", the
+    * churn curve a retention dashboard reports with CORRECT handling
+    * of right-censoring (a user whose last activity falls on the
+    * observation window's final day hasn't churned — they ran out of
+    * window; naive `last-first` retention undercounts exactly those).
+    * Duration t_u = days from first to last event inclusive; the
+    * churn is OBSERVED only when the last event predates the global
+    * max day. KM: S(h) = Π_{t≤h} (1 − d_t/n_t) with d_t = observed
+    * churns at duration t and n_t = users still at risk (duration
+    * ≥ t, censored included while they last).
+    *
+    * Determinism: d_t and n_t are exact BIGINTs (n_t = total −
+    * windowed cumsum over the tiny duration frame); each factor's
+    * ln((n_t−d_t)/n_t) is computed on identical doubles and the ≤h
+    * addends are summed then rounded ONCE before exp (the unigram_kl
+    * convention; exp on an identical double is identical).
+    *
+    * Shape: one (user) hash agg collapses the log, one (duration)
+    * re-agg collapses users to ≤ calendar-length rows; horizons are a
+    * 4-row broadcast. Nothing after the first agg exceeds calendar
+    * cardinality. */
+  def kmSurvivalHorizons(events: DataFrame,
+      horizons: Seq[Int] = Seq(1, 7, 14, 30)): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"), to_date(max(col("ts"))).as("l"))
+    val maxDay = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val dur = users.crossJoin(broadcast(maxDay))
+      .select((datediff(col("l"), col("f")) + 1).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("observed"))
+    val byT = dur.groupBy("t")
+      .agg(count(lit(1)).as("ending"), sum("observed").as("d"))
+    val total = dur.agg(count(lit(1)).as("n_users"))
+    val wPrior = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byT.crossJoin(broadcast(total))
+      .withColumn("n",
+        col("n_users") - sum(col("ending")).over(wPrior) + col("ending"))
+    val hs = events.sparkSession.createDataFrame(
+      horizons.map(Tuple1(_))).toDF("horizon")
+    val curve = atRisk.filter(col("d") > 0L)
+      .crossJoin(broadcast(hs))
+      .filter(col("t") <= col("horizon"))
+      .groupBy("horizon")
+      .agg(sum("d").as("n_churned"),
+        round(exp(round(sum(
+          log((col("n").cast("double") - col("d").cast("double")) /
+            col("n").cast("double"))), 6)), 6).as("survival"))
+    // horizons with no observed churn yet are S(h) = 1, not absent
+    hs.join(curve, Seq("horizon"), "left")
+      .select(col("horizon"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        coalesce(col("survival"), lit(1.0)).as("survival"))
+  }
+
+  /** Association rules over per-user event-type baskets — the
+    * market-basket view of the log ("users who ever `view` also
+    * `purchase`?"): every directed type pair with exact support,
+    * confidence and lift. Counts are distinct-user BIGINTs; the three
+    * metrics are single pinned divisions (lift's cross product casts
+    * each factor to DOUBLE before multiplying — the established
+    * convention), so every row is bit-deterministic. Rules with lift
+    * > 1 co-occur more than independence predicts.
+    *
+    * Shape: one (user, type) distinct collapse, a user-keyed
+    * self-join on that collapsed frame (the baskets frame is
+    * user-cardinality; with ≤ dozens of types per user the pair
+    * expansion is bounded), then a (type, type) hash agg at
+    * |types|² cardinality; margins broadcast back. */
+  def typeAssocRules(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val marg = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_one"))
+    val total = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val pairs = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("antecedent"),
+        col("b.event_type").as("consequent"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(marg.select(col("event_type").as("antecedent"),
+        col("n_one").as("n_ante"))), "antecedent")
+      .join(broadcast(marg.select(col("event_type").as("consequent"),
+        col("n_one").as("n_cons"))), "consequent")
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_both"),
+        round(col("n_both").cast("double") / col("n_users").cast("double"), 6)
+          .as("support"),
+        round(col("n_both").cast("double") / col("n_ante").cast("double"), 6)
+          .as("confidence"),
+        round((col("n_both").cast("double") * col("n_users").cast("double")) /
+          (col("n_ante").cast("double") * col("n_cons").cast("double")), 6)
+          .as("lift"))
+  }
+
   def userDayStreaks(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

@@ -138,4 +138,39 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(g1.getAs[Long]("n_pairs") == 4L, g1)
     assert(g1.getAs[Double]("acf") == -0.052632, g1) // round(-1/19, 6)
   }
+
+  test("kmSurvivalHorizons: censoring respected, product telescopes by horizon") {
+    // max day 03-31. u1 churns at duration 1, u2 at 7; u3 (full
+    // window) and u4 (joined late, active at the end) are censored.
+    def span(uid: Long, d0: Int, d1: Int) = Seq(
+      (uid * 10, Timestamp.valueOf(f"2024-03-$d0%02d 10:00:00"), uid, "a", 1.0, "{}"),
+      (uid * 10 + 1, Timestamp.valueOf(f"2024-03-$d1%02d 10:00:00"), uid, "a", 1.0, "{}"))
+    val events = (span(1, 1, 1) ++ span(2, 1, 7) ++ span(3, 1, 31) ++
+      span(4, 20, 31)).toDF(evCols: _*)
+    val got = EventOps.kmSurvivalHorizons(events).collect()
+      .map(r => r.getAs[Int]("horizon") ->
+        ((r.getAs[Long]("n_churned"), r.getAs[Double]("survival")))).toMap
+    // S(1) = 3/4; S(7) = 3/4 * 2/3 = 1/2; nothing churns past 7
+    assert(got == Map(
+      1 -> ((1L, 0.75)), 7 -> ((2L, 0.5)),
+      14 -> ((2L, 0.5)), 30 -> ((2L, 0.5))), got)
+  }
+
+  test("typeAssocRules: exact support/confidence/lift over distinct baskets") {
+    // baskets: u1{a,b} u2{a,b} u3{a} u4{b,c}; duplicates collapse
+    val events = Seq(
+      ev(1, "2024-03-01", "a").copy(_3 = 1L), ev(2, "2024-03-02", "b").copy(_3 = 1L),
+      ev(3, "2024-03-01", "b").copy(_3 = 1L), // dup (u1, b)
+      ev(4, "2024-03-01", "a").copy(_3 = 2L), ev(5, "2024-03-01", "b").copy(_3 = 2L),
+      ev(6, "2024-03-01", "a").copy(_3 = 3L),
+      ev(7, "2024-03-01", "b").copy(_3 = 4L), ev(8, "2024-03-01", "c").copy(_3 = 4L),
+    ).toDF(evCols: _*)
+    val got = EventOps.typeAssocRules(events).collect()
+      .map(r => (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) ->
+        ((r.getAs[Long]("n_both"), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift")))).toMap
+    assert(got.size == 4, got) // (a,b) (b,a) (b,c) (c,b)
+    assert(got(("a", "b")) == ((2L, 0.5, 0.666667, 0.888889)), got)
+    assert(got(("c", "b")) == ((1L, 0.25, 1.0, 1.333333)), got)
+  }
 }
