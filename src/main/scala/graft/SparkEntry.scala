@@ -569,6 +569,7 @@ object SparkEntry {
     "km_survival_horizons" ->
       ((s, d) => EventOps.kmSurvivalHorizons(events(s, d))),
     "type_assoc_rules" -> ((s, d) => EventOps.typeAssocRules(events(s, d))),
+    "bpe_train_rounds" -> ((s, d) => DocOps.bpeTrainRounds(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -3218,12 +3219,67 @@ object SparkEntry {
         "(CAST(ma.n_one AS DOUBLE) * CAST(mc.n_one AS DOUBLE)), 6) AS lift " +
         "FROM p JOIN m ma ON ma.event_type = p.antecedent " +
         "JOIN m mc ON mc.event_type = p.consequent CROSS JOIN tot"),
+    "bpe_train_rounds" -> bpeTrainSql(3),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]
     * up to the winnow selection (`sel`): normalization, char codes,
     * mod-reduced Rabin-Karp k-gram hash (same `polyPow` coefficients),
     * rightmost-min per w-window. */
+  /** DuckDB CTE chain mirroring [[graft.ops.DocOps.bpeTrainRounds]]:
+    * per round — lead() pair stats weighted by word freq, 1-row argmax
+    * with (count DESC, pair ASC) tie-break, gaps-and-islands odd-rank
+    * greedy non-overlap merge, position renumbering. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val base =
+      "WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
+        "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word " +
+        "FROM documents) WHERE length(word) >= 2 GROUP BY 1), " +
+        "s0 AS (SELECT word, freq, pos, " +
+        "substr(word, CAST(pos AS INT) + 1, 1) AS sym FROM " +
+        "(SELECT word, freq, CAST(unnest(range(length(word))) AS BIGINT) " +
+        "AS pos FROM v)), "
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s"nx$r AS (SELECT word, freq, pos, sym, lead(sym) OVER " +
+        s"(PARTITION BY word ORDER BY pos) AS sym2 FROM s$p), " +
+        s"pc$r AS (SELECT sym, sym2, CAST(sum(freq) AS BIGINT) AS cnt " +
+        s"FROM nx$r WHERE sym2 IS NOT NULL GROUP BY 1, 2), " +
+        s"b$r AS (SELECT sym AS bx, sym2 AS b_y, cnt FROM pc$r " +
+        "ORDER BY cnt DESC, sym ASC, sym2 ASC LIMIT 1), " +
+        s"mk$r AS (SELECT n.word, n.freq, n.pos, n.sym, n.sym2, " +
+        "(n.sym = b.bx AND n.sym2 = b.b_y) AS mark " +
+        s"FROM nx$r n CROSS JOIN b$r b), " +
+        s"kp$r AS (SELECT word, freq, pos, TRUE AS kept FROM " +
+        "(SELECT word, freq, pos, " +
+        "row_number() OVER (PARTITION BY word, island ORDER BY pos) AS rk " +
+        "FROM (SELECT word, freq, pos, pos - row_number() OVER " +
+        s"(PARTITION BY word ORDER BY pos) AS island FROM mk$r WHERE mark)) " +
+        "WHERE rk % 2 = 1), " +
+        s"ap$r AS (SELECT coalesce(CAST(sum(freq) AS BIGINT), 0) " +
+        s"AS n_merged FROM kp$r), " +
+        s"ab$r AS (SELECT word, pos + 1 AS pos, TRUE AS absorbed FROM kp$r), " +
+        s"s$r AS (SELECT word, freq, CAST(row_number() OVER " +
+        "(PARTITION BY word ORDER BY pos) - 1 AS BIGINT) AS pos, " +
+        "CASE WHEN kept THEN sym || sym2 ELSE sym END AS sym FROM " +
+        "(SELECT m.word, m.freq, m.pos, m.sym, m.sym2, k.kept, a.absorbed " +
+        s"FROM mk$r m LEFT JOIN kp$r k ON k.word = m.word AND k.pos = m.pos " +
+        s"LEFT JOIN ab$r a ON a.word = m.word AND a.pos = m.pos) " +
+        "WHERE absorbed IS NULL), "
+    }.mkString
+    val mg = (1 to rounds).map { r =>
+      s"SELECT $r AS round, bx AS sym1, b_y AS sym2, cnt AS pair_count, " +
+        s"n_merged FROM b$r CROSS JOIN ap$r"
+    }.mkString(" UNION ALL ")
+    base + roundCtes +
+      s"mg AS ($mg), " +
+      "it AS (SELECT CAST(sum(freq) AS BIGINT) AS total0 FROM s0) " +
+      "SELECT round, sym1, sym2, pair_count, n_merged, " +
+      "total0 - CAST(sum(n_merged) OVER (ORDER BY round ASC " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS corpus_symbols_after " +
+      "FROM mg CROSS JOIN it"
+  }
+
   private def winnowSelCte(k: Int, w: Int): String = {
     val terms = (0 until k).map { j =>
       val coeff = graft.ops.DocOps.polyPow(k - 1 - j)

@@ -1493,6 +1493,111 @@ object DocOps {
       .orderBy(col("cnt").desc, col("term").asc)
   }
 
+  /** In-engine BPE tokenizer TRAINING — `rounds` greedy merge rounds
+    * actually applied, not just round-0 candidates (contrast
+    * [[bpeMergeCandidates]], which scores the initial character
+    * bigrams and stops). Each round replays Sennrich et al.'s
+    * `get_stats` + `merge_vocab` relationally over the word-frequency
+    * dict:
+    *
+    *   1. pair stats: `lead(sym)` over each word's symbol sequence,
+    *      weighted by word count — overlapping pairs count with
+    *      multiplicity ("aaa" → (a,a) twice), the BPE definition;
+    *   2. best pair: global argmax with (count DESC, pair ASC)
+    *      tie-break — a 1-row broadcast;
+    *   3. merge: classic BPE replaces occurrences LEFT-TO-RIGHT
+    *      without overlap ("aaa" merging (a,a) → "aa"+"a"). Greedy
+    *      non-overlap is gaps-and-islands: consecutive marked
+    *      positions form runs, and within a run exactly the
+    *      odd-ranked marks merge. Absorbed symbols drop, positions
+    *      renumber, and the next round runs on the result.
+    *
+    * Everything is exact integer/string arithmetic — counts are
+    * BIGINTs, symbols are [a-z]+ strings (the vocabulary is
+    * restricted to alphabetic words, so concatenated merge symbols
+    * stay unambiguous and ASCII tie-breaks are engine-identical) —
+    * which makes the whole trainer hash-gateable, like the other
+    * unrolled iterative operators (pagerank, k-core, PCA). Output:
+    * one row per round — the merge learned, its `pair_count` (the
+    * get_stats RANKING statistic, which counts overlapping
+    * occurrences), the `n_merged` actually applied (kept marks ×
+    * word freq — strictly less than pair_count when the best pair
+    * overlaps itself, e.g. (a,a) in "aaa" counts twice but merges
+    * once), and the corpus symbol count after the round (telescopes
+    * by `n_merged`, NOT by pair_count).
+    *
+    * Scale shape: vocabulary-first (the corpus collapses to DISTINCT
+    * words with counts before any character-level work — Heaps' law
+    * keeps |vocab| ≪ corpus tokens); each round is one
+    * window-partitioned scan of the (vocab × word-length) symbol
+    * frame plus a tiny pair aggregation, every join keyed on `word`
+    * so the partitioning is reused across rounds. This is exactly
+    * the split a production distributed BPE trainer uses; more
+    * rounds unroll linearly. */
+  def bpeTrainRounds(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rounds >= 1 && rounds <= 10, s"rounds in [1,10]: $rounds")
+    val wm = Window.partitionBy("word").orderBy("pos")
+    val vocab = docs
+      .select(explode(regexp_extract_all(
+        lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val seqs0 = vocab.select(col("word"), col("freq"),
+      posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      .withColumn("pos", col("pos").cast("long"))
+    val initTotal = seqs0.agg(sum("freq").as("total0"))
+
+    def mergeRound(seqs: DataFrame, r: Int): (DataFrame, DataFrame) = {
+      val withNext = seqs.withColumn("sym2", lead(col("sym"), 1).over(wm))
+      val best = withNext.filter(col("sym2").isNotNull)
+        .groupBy("sym", "sym2").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("sym2").asc)
+        .limit(1)
+        .select(col("sym").as("bx"), col("sym2").as("by"), col("cnt"))
+      val marked = withNext.crossJoin(broadcast(best))
+      val kept = marked
+        .filter(col("sym") === col("bx") && col("sym2") === col("by"))
+        .withColumn("island", col("pos") - row_number().over(wm))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("word", "island").orderBy("pos")))
+        .filter(col("rk") % 2 === 1)
+        .select(col("word"), col("freq"), col("pos"), lit(true).as("kept"))
+      val applied = kept.agg(coalesce(sum("freq"), lit(0L)).as("n_merged"))
+      val absorbed = kept.select(col("word"), (col("pos") + 1L).as("pos"),
+        lit(true).as("absorbed"))
+      val next = marked
+        .join(kept.select("word", "pos", "kept"), Seq("word", "pos"), "left")
+        .join(absorbed, Seq("word", "pos"), "left")
+        .filter(col("absorbed").isNull)
+        .select(col("word"), col("freq"), col("pos"),
+          when(col("kept"), concat(col("sym"), col("sym2")))
+            .otherwise(col("sym")).as("sym"))
+        .withColumn("npos", (row_number().over(wm) - 1).cast("long"))
+        .select(col("word"), col("freq"), col("npos").as("pos"), col("sym"))
+      val mergeRow = best.crossJoin(applied).select(lit(r).as("round"),
+        col("bx").as("sym1"), col("by").as("sym2"),
+        col("cnt").as("pair_count"), col("n_merged"))
+      (next, mergeRow)
+    }
+
+    var seqs = seqs0
+    var merges = List.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val (next, mergeRow) = mergeRound(seqs, r)
+      seqs = next
+      merges = merges :+ mergeRow
+    }
+    val wRound = Window.orderBy(col("round").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merges.reduce(_ unionByName _)
+      .crossJoin(broadcast(initTotal))
+      .select(col("round"), col("sym1"), col("sym2"), col("pair_count"),
+        col("n_merged"),
+        (col("total0") - sum(col("n_merged")).over(wRound))
+          .as("corpus_symbols_after"))
+  }
+
   /** Greedy sequence packing for LLM pretraining: per source, docs are
     * laid head-to-tail in (n_tokens DESC, doc_id) order into fixed
     * `seqLen`-token training sequences, documents straddling sequence

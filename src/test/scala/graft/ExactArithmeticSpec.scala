@@ -173,4 +173,27 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(got(("a", "b")) == ((2L, 0.5, 0.666667, 0.888889)), got)
     assert(got(("c", "b")) == ((1L, 0.25, 1.0, 1.333333)), got)
   }
+
+  test("bpeTrainRounds: greedy non-overlap merge, stats vs applied diverge") {
+    // vocab: aaa (freq 2), banana (freq 1); 12 initial symbol
+    // instances. Hand-traced rounds:
+    //  r1: (a,a) stats 4 (overlaps counted) but only ONE merge fits
+    //      per "aaa" -> n_merged 2, aaa becomes [aa, a], 12-2=10
+    //  r2: tie at 2 between (a,n), (aa,a), (n,a) -> pair-ASC picks
+    //      (a,n); banana's two occurrences are non-adjacent, both
+    //      merge -> [b, an, an, a], 10-2=8
+    //  r3: (aa,a) at 2 wins; aaa collapses to one symbol -> 8-2=6
+    val docs = Seq(
+      (1L, "aaa aaa", "s"), (2L, "banana", "s"),
+    ).toDF("doc_id", "text", "source")
+    val got = DocOps.bpeTrainRounds(docs).collect()
+      .map(r => r.getAs[Int]("round") ->
+        ((r.getAs[String]("sym1"), r.getAs[String]("sym2"),
+          r.getAs[Long]("pair_count"), r.getAs[Long]("n_merged"),
+          r.getAs[Long]("corpus_symbols_after")))).toMap
+    assert(got == Map(
+      1 -> (("a", "a", 4L, 2L, 10L)),
+      2 -> (("a", "n", 2L, 2L, 8L)),
+      3 -> (("aa", "a", 2L, 2L, 6L))), got)
+  }
 }
