@@ -1581,11 +1581,16 @@ object DocOps {
       (next, mergeRow)
     }
 
-    var seqs = seqs0
+    // localCheckpoint per round: within a round the symbol frame is
+    // referenced three times (pair stats, kept marks, rebuild) and
+    // the next round builds on the result — without truncation the
+    // replayed lineage grows geometrically with rounds (the
+    // connectedComponents lesson, DedupOps.scala:525)
+    var seqs = seqs0.localCheckpoint()
     var merges = List.empty[DataFrame]
     for (r <- 1 to rounds) {
       val (next, mergeRow) = mergeRound(seqs, r)
-      seqs = next
+      seqs = next.localCheckpoint()
       merges = merges :+ mergeRow
     }
     val wRound = Window.orderBy(col("round").asc)
