@@ -570,6 +570,10 @@ object SparkEntry {
       ((s, d) => EventOps.kmSurvivalHorizons(events(s, d))),
     "type_assoc_rules" -> ((s, d) => EventOps.typeAssocRules(events(s, d))),
     "bpe_train_rounds" -> ((s, d) => DocOps.bpeTrainRounds(documents(s, d))),
+    // ---- round-11 batch 12: growth/monitoring analytics ----
+    "growth_accounting" -> ((s, d) => EventOps.growthAccounting(events(s, d))),
+    "funnel_latency" -> ((s, d) => EventOps.funnelLatency(events(s, d))),
+    "psi_type_drift" -> ((s, d) => EventOps.psiTypeDrift(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -3220,6 +3224,79 @@ object SparkEntry {
         "FROM p JOIN m ma ON ma.event_type = p.antecedent " +
         "JOIN m mc ON mc.event_type = p.consequent CROSS JOIN tot"),
     "bpe_train_rounds" -> bpeTrainSql(3),
+    // Mirrors EventOps.growthAccounting: per-user lag over the
+    // distinct (user, day) frame, exact BIGINT counts, churn from the
+    // reconciliation identity churned(d) = active(d-1) - retained(d).
+    "growth_accounting" ->
+      ("WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day " +
+        "FROM events), " +
+        "c AS (SELECT day, " +
+        "CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new, " +
+        "CASE WHEN datediff('day', prev, day) = 1 THEN 1 ELSE 0 END " +
+        "AS is_retained, " +
+        "CASE WHEN datediff('day', prev, day) > 1 THEN 1 ELSE 0 END " +
+        "AS is_resurrected FROM (SELECT user_id, day, lag(day) OVER " +
+        "(PARTITION BY user_id ORDER BY day ASC) AS prev FROM ud)), " +
+        "d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active, " +
+        "CAST(sum(is_new) AS BIGINT) AS n_new, " +
+        "CAST(sum(is_retained) AS BIGINT) AS n_retained, " +
+        "CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected " +
+        "FROM c GROUP BY 1) " +
+        "SELECT d.day, d.n_active, d.n_new, d.n_retained, " +
+        "d.n_resurrected, " +
+        "coalesce(p.n_active, 0) - d.n_retained AS n_churned " +
+        "FROM d LEFT JOIN (SELECT day + 1 AS day, n_active FROM d) p " +
+        "USING (day)"),
+    // Mirrors EventOps.funnelLatency: the conversionFunnel user frame,
+    // whole-second boundary gaps (cast-to-long diff == date_diff
+    // 'second'), quantile_cont's interpolated rank over the identical
+    // BIGINT multiset, one pinned /60 division rounded once.
+    "funnel_latency" ->
+      ("WITH fv AS (SELECT user_id, min(ts) AS first_view FROM events " +
+        "WHERE event_type = 'view' GROUP BY 1), " +
+        "fc AS (SELECT e.user_id, min(e.ts) AS first_click FROM events e " +
+        "JOIN fv ON fv.user_id = e.user_id WHERE e.event_type = 'click' " +
+        "AND e.ts > fv.first_view GROUP BY 1), " +
+        "fp AS (SELECT e.user_id, min(e.ts) AS first_purchase " +
+        "FROM events e JOIN fc ON fc.user_id = e.user_id " +
+        "WHERE e.event_type = 'purchase' AND e.ts > fc.first_click " +
+        "GROUP BY 1) " +
+        "SELECT 'view_to_click' AS stage, " +
+        "CAST(count(*) AS BIGINT) AS n_users, " +
+        "round(quantile_cont(date_diff('second', fv.first_view, " +
+        "fc.first_click), 0.5) / 60.0, 4) AS p50_minutes, " +
+        "round(quantile_cont(date_diff('second', fv.first_view, " +
+        "fc.first_click), 0.9) / 60.0, 4) AS p90_minutes " +
+        "FROM fc JOIN fv USING (user_id) " +
+        "UNION ALL " +
+        "SELECT 'click_to_purchase' AS stage, " +
+        "CAST(count(*) AS BIGINT) AS n_users, " +
+        "round(quantile_cont(date_diff('second', fc.first_click, " +
+        "fp.first_purchase), 0.5) / 60.0, 4) AS p50_minutes, " +
+        "round(quantile_cont(date_diff('second', fc.first_click, " +
+        "fp.first_purchase), 0.9) / 60.0, 4) AS p90_minutes " +
+        "FROM fp JOIN fc USING (user_id)"),
+    // Mirrors EventOps.psiTypeDrift: exact integer epoch-µs midpoint
+    // (shift-invariant, so engine epoch bases cancel), BIGINT half
+    // counts, pinned share divisions, cross-product ln argument.
+    "psi_type_drift" ->
+      ("WITH b AS (SELECT event_type, epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT min(us) AS lo, max(us) AS hi FROM b), " +
+        "h AS (SELECT event_type, CASE WHEN us <= " +
+        "CAST((lo + hi) // 2 AS BIGINT) THEN 1 ELSE 2 END AS half " +
+        "FROM b CROSS JOIN m), " +
+        "c AS (SELECT event_type, " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2 " +
+        "FROM h GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n1) AS BIGINT) AS t1, " +
+        "CAST(sum(n2) AS BIGINT) AS t2 FROM c) " +
+        "SELECT event_type, n1 AS n_first, n2 AS n_second, " +
+        "round((CAST(n2 AS DOUBLE) / CAST(t2 AS DOUBLE) - " +
+        "CAST(n1 AS DOUBLE) / CAST(t1 AS DOUBLE)) * " +
+        "ln((CAST(n2 AS DOUBLE) * CAST(t1 AS DOUBLE)) / " +
+        "(CAST(n1 AS DOUBLE) * CAST(t2 AS DOUBLE))), 6) AS psi_term " +
+        "FROM c CROSS JOIN t WHERE n1 > 0 AND n2 > 0"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

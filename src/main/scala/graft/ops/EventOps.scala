@@ -1594,6 +1594,124 @@ object EventOps {
           .as("lift"))
   }
 
+  /** Daily growth accounting — the canonical DAU decomposition every
+    * growth dashboard runs: each day's active users split into NEW
+    * (first day ever), RETAINED (also active yesterday) and
+    * RESURRECTED (active before, but not yesterday), plus CHURNED =
+    * yesterday's actives who went dark today (identity: churned(d) =
+    * active(d−1) − retained(d), so the four columns reconcile exactly
+    * — every count an exact BIGINT). Emitted for observed days;
+    * churn across an entirely-empty calendar day nets to zero by the
+    * same identity.
+    *
+    * Shape: one (user, day) distinct collapse, a per-user lag window
+    * over the collapsed frame, one (day) hash agg, and a day-1
+    * equi-join on the tiny daily frame. */
+  def growthAccounting(events: DataFrame): DataFrame = {
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy(col("day").asc)
+    val classed = ud
+      .withColumn("prev", lag(col("day"), 1).over(w))
+      .select(col("day"),
+        when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+        when(datediff(col("day"), col("prev")) === 1, 1L).otherwise(0L)
+          .as("is_retained"),
+        when(datediff(col("day"), col("prev")) > 1, 1L).otherwise(0L)
+          .as("is_resurrected"))
+    val daily = classed.groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum("is_new").as("n_new"),
+        sum("is_retained").as("n_retained"),
+        sum("is_resurrected").as("n_resurrected"))
+    val prevActive = daily.select(expr("date_add(day, 1)").as("day"),
+      col("n_active").as("prev_active"))
+    daily.join(prevActive, Seq("day"), "left")
+      .select(col("day"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+  }
+
+  /** Funnel latency percentiles — how LONG conversion takes, the
+    * timing counterpart of [[conversionFunnel]]'s how-many counts:
+    * exact interpolated p50/p90 minutes from first view to first
+    * subsequent click, and first click to first subsequent purchase
+    * (same strictly-increasing-timestamp user frame as the funnel).
+    * Gaps are exact BIGINT epoch-second differences (both engines
+    * count whole-second boundaries); `percentile` ↔ DuckDB
+    * `quantile_cont` share the interpolated-rank definition over the
+    * identical integer multiset, and minutes are one pinned division
+    * rounded once.
+    *
+    * Shape: three per-user min-aggregations (user-cardinality), two
+    * tiny global percentile aggs unioned — nothing beyond the funnel
+    * frame's cost. */
+  def funnelLatency(events: DataFrame): DataFrame = {
+    val fv = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("first_view"))
+    val fc = events.filter(col("event_type") === "click")
+      .join(fv, "user_id")
+      .filter(col("ts") > col("first_view"))
+      .groupBy("user_id").agg(min("ts").as("first_click"))
+    val fp = events.filter(col("event_type") === "purchase")
+      .join(fc, "user_id")
+      .filter(col("ts") > col("first_click"))
+      .groupBy("user_id").agg(min("ts").as("first_purchase"))
+    def stage(name: String, joined: DataFrame, a: String, b: String) =
+      joined
+        .select((col(b).cast("long") - col(a).cast("long")).as("gap_s"))
+        .agg(count(lit(1)).as("n_users"),
+          round(percentile(col("gap_s"), lit(0.5)) / 60.0, 4)
+            .as("p50_minutes"),
+          round(percentile(col("gap_s"), lit(0.9)) / 60.0, 4)
+            .as("p90_minutes"))
+        .select(lit(name).as("stage"), col("n_users"),
+          col("p50_minutes"), col("p90_minutes"))
+    stage("view_to_click", fc.join(fv, "user_id"), "first_view", "first_click")
+      .unionByName(stage("click_to_purchase", fp.join(fc, "user_id"),
+        "first_click", "first_purchase"))
+  }
+
+  /** Population-stability-index drift of the event-type mix between
+    * the first and second halves of the observed time range — the
+    * standard ML-monitoring "did the traffic distribution shift?"
+    * score, computed per type so each contribution is attributable
+    * (PSI_t = (p₂−p₁)·ln(p₂/p₁); the total is the sum of the rows;
+    * rule of thumb: > 0.2 total = significant drift). The midpoint is
+    * exact integer epoch-microsecond arithmetic; shares are pinned
+    * divisions of exact BIGINTs; the log argument is the cross
+    * product (n₂·N₁)/(n₁·N₂) with each factor cast to DOUBLE before
+    * multiplying (the unigram_kl convention). Types absent from
+    * either half have an undefined log and are excluded — at drift
+    * severities where that happens the absence itself is the alert.
+    *
+    * Shape: one (type, half) hash agg over the scan; everything
+    * after runs on ≤ 2·|types| rows. */
+  def psiTypeDrift(events: DataFrame): DataFrame = {
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(col("event_type"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val counts = half.groupBy("event_type")
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"))
+    val totals = counts.agg(sum("n1").as("t1"), sum("n2").as("t2"))
+    val p1 = col("n1").cast("double") / col("t1").cast("double")
+    val p2 = col("n2").cast("double") / col("t2").cast("double")
+    counts.filter(col("n1") > 0L && col("n2") > 0L)
+      .crossJoin(broadcast(totals))
+      .select(col("event_type"), col("n1").as("n_first"),
+        col("n2").as("n_second"),
+        round((p2 - p1) *
+          log((col("n2").cast("double") * col("t1").cast("double")) /
+            (col("n1").cast("double") * col("t2").cast("double"))), 6)
+          .as("psi_term"))
+  }
+
   def userDayStreaks(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

@@ -196,4 +196,62 @@ class ExactArithmeticSpec extends SparkSpec {
       2 -> (("a", "n", 2L, 2L, 8L)),
       3 -> (("aa", "a", 2L, 2L, 6L))), got)
   }
+
+  test("growthAccounting: new/retained/resurrected/churned reconcile") {
+    // u1: d1,d2,d4 (resurrects on d4); u2: d1 only (churns on d2);
+    // u3: d3,d4 (new on d3, retained d4)
+    def e(id: Long, d: Int, uid: Long) =
+      (id, Timestamp.valueOf(f"2024-03-0$d 10:00:00"), uid, "a", 1.0, "{}")
+    val events = Seq(
+      e(1, 1, 1), e(2, 2, 1), e(3, 4, 1),
+      e(4, 1, 2), e(5, 3, 3), e(6, 4, 3),
+    ).toDF(evCols: _*)
+    val got = EventOps.growthAccounting(events).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString.takeRight(2) ->
+        ((r.getAs[Long]("n_active"), r.getAs[Long]("n_new"),
+          r.getAs[Long]("n_retained"), r.getAs[Long]("n_resurrected"),
+          r.getAs[Long]("n_churned")))).toMap
+    assert(got == Map(
+      "01" -> ((2L, 2L, 0L, 0L, 0L)),
+      "02" -> ((1L, 0L, 1L, 0L, 1L)),
+      "03" -> ((1L, 1L, 0L, 0L, 1L)),
+      "04" -> ((2L, 0L, 1L, 1L, 0L))), got)
+  }
+
+  test("funnelLatency: interpolated percentiles of exact second gaps") {
+    def e(id: Long, hm: String, uid: Long, t: String) =
+      (id, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
+    val events = Seq(
+      e(1, "10:00", 1, "view"), e(2, "10:30", 1, "click"),
+      e(3, "12:30", 1, "purchase"),
+      e(4, "10:00", 2, "view"), e(5, "11:00", 2, "click"),
+    ).toDF(evCols: _*)
+    val got = EventOps.funnelLatency(events).collect()
+      .map(r => r.getAs[String]("stage") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("p50_minutes"),
+          r.getAs[Double]("p90_minutes")))).toMap
+    // view->click gaps {30, 60} min: p50 = 45, p90 = 57
+    assert(got("view_to_click") == ((2L, 45.0, 57.0)), got)
+    assert(got("click_to_purchase") == ((1L, 120.0, 120.0)), got)
+  }
+
+  test("psiTypeDrift: per-type drift terms; one-half-only types excluded") {
+    def e(id: Long, hm: String, t: String) =
+      (id, Timestamp.valueOf(s"2024-03-01 $hm:00"), 1L, t, 1.0, "{}")
+    // midpoint = 12:00; half1 = {a,a,a,b}, half2 = {a,b,b,b,c,c}
+    val events = Seq(
+      e(1, "01:00", "a"), e(2, "02:00", "a"), e(3, "03:00", "a"),
+      e(4, "04:00", "b"),
+      e(5, "20:00", "a"), e(6, "22:00", "b"), e(7, "22:30", "b"),
+      e(8, "23:00", "b"), e(9, "21:00", "c"), e(10, "21:30", "c"),
+    ).toDF(evCols: _*)
+    val got = EventOps.psiTypeDrift(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_first"), r.getAs[Long]("n_second"),
+          r.getAs[Double]("psi_term")))).toMap
+    // a: (1/6 - 3/4)·ln((1·4)/(3·6)); b: (3/6 - 1/4)·ln((3·4)/(1·6))
+    assert(got == Map(
+      "a" -> ((3L, 1L, 0.877378)),
+      "b" -> ((1L, 3L, 0.173287))), got) // c: second half only -> excluded
+  }
 }
