@@ -382,4 +382,59 @@ class PlanAuditSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 1, s"one user_id agg exchange only:\n$plan")
   }
+
+  test("ewmaDailyCounts: banded self-join runs on the COLLAPSED daily " +
+      "frame via the type equi-key, never the raw log") {
+    val plan = planOf(EventOps.ewmaDailyCounts(Tables.events(spark, sf0)))
+    // the (type, day) collapse precedes the join on both sides
+    assert("HashAggregate\\(keys=\\[event_type".r
+      .findAllIn(plan).length >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join lost its event_type equi-key:\n$plan")
+  }
+
+  test("sequencePacking: one partitioned window, no extra exchanges") {
+    val plan = planOf(DocOps.sequencePacking(Tables.documents(spark, sf0)))
+    assert("Window".r.findAllIn(plan).length == 1, plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"window + final agg only:\n$plan")
+    // partitioned by source, never a single-partition global window
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+  }
+
+  test("typeAssocRules: margins broadcast; basket self-join keeps its " +
+      "user_id equi-key") {
+    val plan = planOf(EventOps.typeAssocRules(Tables.events(spark, sf0)))
+    assert(!plan.contains("CartesianProduct"), plan)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"margin joins should broadcast:\n$plan")
+  }
+
+  test("growthAccounting: one user-partitioned lag window over the " +
+      "distinct frame; day-1 join is an equi-join") {
+    val plan = planOf(EventOps.growthAccounting(Tables.events(spark, sf0)))
+    assert("Window".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("acfDailyCounts: the lag shift is an equi-join on the " +
+      "materialized day+lag key, not a theta join") {
+    val plan = planOf(EventOps.acfDailyCounts(Tables.events(spark, sf0)))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // only the tiny lags/bounds frames may ride a nested-loop cross
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 2, s"shift join degenerated to BNL:\n$plan")
+  }
+
+  test("kmSurvivalHorizons and psiTypeDrift: single-scan collapses, " +
+      "scalar frames broadcast, no cartesian") {
+    val km = planOf(EventOps.kmSurvivalHorizons(Tables.events(spark, sf0)))
+    assert(!km.contains("CartesianProduct"), km)
+    val psi = planOf(EventOps.psiTypeDrift(Tables.events(spark, sf0)))
+    assert(!psi.contains("CartesianProduct"), psi)
+    // psi: the (type, half) collapse precedes everything
+    assert(psi.contains("HashAggregate(keys=[event_type"), psi)
+  }
 }
