@@ -574,6 +574,9 @@ object SparkEntry {
     "growth_accounting" -> ((s, d) => EventOps.growthAccounting(events(s, d))),
     "funnel_latency" -> ((s, d) => EventOps.funnelLatency(events(s, d))),
     "psi_type_drift" -> ((s, d) => EventOps.psiTypeDrift(events(s, d))),
+    "ks_value_drift" -> ((s, d) => EventOps.ksValueDrift(events(s, d))),
+    "cooccurrence_communities" ->
+      ((s, d) => GraphOps.cooccurrenceCommunities(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -3297,6 +3300,68 @@ object SparkEntry {
         "ln((CAST(n2 AS DOUBLE) * CAST(t1 AS DOUBLE)) / " +
         "(CAST(n1 AS DOUBLE) * CAST(t2 AS DOUBLE))), 6) AS psi_term " +
         "FROM c CROSS JOIN t WHERE n1 > 0 AND n2 > 0"),
+    // Mirrors EventOps.ksValueDrift: integer-width bins (floor is
+    // exact), BIGINT cumulative window ECDFs, pinned share divisions,
+    // (gap DESC, bin ASC) argmax.
+    "ks_value_drift" ->
+      ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bin, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT min(us) AS lo, max(us) AS hi FROM b), " +
+        "h AS (SELECT bin, CASE WHEN us <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half FROM b CROSS JOIN m), " +
+        "c AS (SELECT bin, " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM h GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, " +
+        "CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "e AS (SELECT bin, n1, n2, " +
+        "abs(CAST(CAST(sum(c1) OVER (ORDER BY bin ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / " +
+        "CAST(n1 AS DOUBLE) - " +
+        "CAST(CAST(sum(c2) OVER (ORDER BY bin ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE) / " +
+        "CAST(n2 AS DOUBLE)) AS gap FROM c CROSS JOIN t) " +
+        "SELECT n1 AS n_first, n2 AS n_second, round(gap, 6) AS ks_stat, " +
+        "bin AS at_bin FROM e ORDER BY gap DESC, bin ASC LIMIT 1"),
+    // Mirrors GraphOps.cooccurrenceCommunities: the term_cooccurrence
+    // pair chain builds the edge set; three unrolled synchronous LPA
+    // rounds, each one adjacency join + plurality argmax with the
+    // (count DESC, label ASC) tie-break.
+    "cooccurrence_communities" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "adj AS (SELECT term_a AS node, term_b AS nbr FROM p " +
+        "UNION ALL SELECT term_b, term_a FROM p), " +
+        "l0 AS (SELECT node, node AS label FROM " +
+        "(SELECT DISTINCT node FROM adj)), " +
+        "v1 AS (SELECT a.node, l.label, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM adj a JOIN l0 l ON l.node = a.nbr GROUP BY 1, 2), " +
+        "l1 AS (SELECT node, label FROM (SELECT node, label, row_number() " +
+        "OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk " +
+        "FROM v1) WHERE rk = 1), " +
+        "v2 AS (SELECT a.node, l.label, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM adj a JOIN l1 l ON l.node = a.nbr GROUP BY 1, 2), " +
+        "l2 AS (SELECT node, label FROM (SELECT node, label, row_number() " +
+        "OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk " +
+        "FROM v2) WHERE rk = 1), " +
+        "v3 AS (SELECT a.node, l.label, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM adj a JOIN l2 l ON l.node = a.nbr GROUP BY 1, 2), " +
+        "l3 AS (SELECT node, label FROM (SELECT node, label, row_number() " +
+        "OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk " +
+        "FROM v3) WHERE rk = 1) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_members " +
+        "FROM l3 GROUP BY 1"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

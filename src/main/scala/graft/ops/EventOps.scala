@@ -1712,6 +1712,48 @@ object EventOps {
           .as("psi_term"))
   }
 
+  /** Kolmogorov–Smirnov drift of the `value` distribution between the
+    * first and second halves of the time range — the CONTINUOUS
+    * counterpart of [[psiTypeDrift]]'s categorical score: D = max over
+    * the binned support of |ECDF₁ − ECDF₂|, with the bin achieving
+    * the max reported for attribution. Values are binned at integer
+    * width before the ECDF (the histogram-KS practice): the ECDF
+    * frame's cardinality is then bounded by the VALUE RANGE, not the
+    * row count, so the one global cumulative window runs over a few
+    * hundred rows at any data scale — the same bounded-serial-window
+    * argument as [[activityLorenzDeciles]], but guaranteed by the
+    * binning rather than by a cardinality assumption.
+    *
+    * Determinism: bin counts and cumulative counts are exact BIGINTs
+    * (floor on a double is exact); the two ECDF shares are pinned
+    * divisions; the argmax row is (gap DESC, bin ASC) — identical
+    * doubles row-for-row make the winner engine-identical. */
+  def ksValueDrift(events: DataFrame): DataFrame = {
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(floor(col("value")).cast("long").as("bin"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val counts = half.groupBy("bin")
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+    val totals = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("bin"), col("n1"), col("n2"),
+        abs(col("cum1").cast("double") / col("n1").cast("double") -
+          col("cum2").cast("double") / col("n2").cast("double")).as("gap"))
+      .orderBy(col("gap").desc, col("bin").asc).limit(1)
+      .select(col("n1").as("n_first"), col("n2").as("n_second"),
+        round(col("gap"), 6).as("ks_stat"), col("bin").as("at_bin"))
+  }
+
   def userDayStreaks(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

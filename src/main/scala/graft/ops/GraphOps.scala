@@ -302,6 +302,59 @@ object GraphOps {
         .select(col("term_a").as("src"), col("term_b").as("dst")), k)
       .select(col("node").as("term"), col("deg").as("deg_in_core"))
 
+  /** Synchronous label propagation (Raghavan et al. '07) for
+    * community detection, `rounds` unrolled and fully deterministic:
+    * labels start as each node's own id; each round every node adopts
+    * its neighbors' PLURALITY label under the (count DESC, label ASC)
+    * tie-break — pure neighbor majority, the node's own current label
+    * does not vote. Deterministic ties plus a fixed synchronous round
+    * count make the result a pure function of the edge set, so the
+    * whole detector is hash-gated (the pagerank/k-core discipline) —
+    * unlike the RNG-seeded async LPA most libraries ship. Contrast
+    * [[graft.ops.DedupOps.connectedComponentsStar]]: CC merges
+    * everything reachable; LPA keeps densely-knit regions apart even
+    * when bridges connect them.
+    *
+    * Output: one row per surviving community label with its size.
+    *
+    * Scale: per round one adjacency equi-join (edge cardinality), one
+    * (node, label) hash agg, one per-node argmax window — the Pregel
+    * message+combine shape; the label frame localCheckpoints per
+    * round so lineage stays flat. */
+  def labelPropagationRounds(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds in [1,10]: $rounds")
+    val und = edges.select(col("src"), col("dst"))
+    val adj = und
+      .unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      .toDF("node", "nbr").localCheckpoint()
+    var labels = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+      .orderBy(col("cnt").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("node", "label")
+        .localCheckpoint()
+    }
+    labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+  }
+
+  /** [[labelPropagationRounds]] over the term co-occurrence graph:
+    * topic-ish vocabulary communities, where [[cooccurrenceKCore]]
+    * finds the dense core and connected components would fuse every
+    * bridged topic into one blob. On the driver corpus the
+    * support-thresholded graph IS one dense blob, so this reports a
+    * single community — the separation behavior (barbell stays two
+    * communities) is spec-gated on a planted fixture. */
+  def cooccurrenceCommunities(docs: DataFrame): DataFrame =
+    labelPropagationRounds(MiningOps.termCooccurrence(docs)
+      .select(col("term_a").as("src"), col("term_b").as("dst")))
+
   /** Single-source WEIGHTED shortest paths by bounded Bellman-Ford
     * relaxation — the min-plus companion to [[bfsHops]]' unweighted
     * levels: round k's distance frame is min over all ≤k-hop paths,

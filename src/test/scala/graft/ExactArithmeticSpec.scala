@@ -254,4 +254,36 @@ class ExactArithmeticSpec extends SparkSpec {
       "a" -> ((3L, 1L, 0.877378)),
       "b" -> ((1L, 3L, 0.173287))), got) // c: second half only -> excluded
   }
+
+  test("ksValueDrift: max ECDF gap with bin attribution") {
+    def e(id: Long, hm: String, v: Double) =
+      (id, Timestamp.valueOf(s"2024-03-01 $hm:00"), 1L, "a", v, "{}")
+    // half1 values {0, 1}, half2 {10, 11}: ECDFs fully separate at
+    // bin 1 (gap 1.0, the first bin achieving the max)
+    val events = Seq(
+      e(1, "01:00", 0.2), e(2, "02:00", 1.7),
+      e(3, "22:00", 10.4), e(4, "23:00", 11.9),
+    ).toDF(evCols: _*)
+    val r = EventOps.ksValueDrift(events).collect().head
+    assert(r.getAs[Long]("n_first") == 2L && r.getAs[Long]("n_second") == 2L, r)
+    assert(r.getAs[Double]("ks_stat") == 1.0, r)
+    assert(r.getAs[Long]("at_bin") == 1L, r)
+  }
+
+  test("labelPropagationRounds: a barbell stays TWO communities " +
+      "(where connected components would fuse it)") {
+    import graft.ops.GraphOps
+    val edges = Seq(
+      ("a", "b"), ("a", "c"), ("b", "c"),   // left triangle
+      ("x", "y"), ("x", "z"), ("y", "z"),   // right triangle
+      ("c", "x"),                           // bridge
+    ).toDF("src", "dst")
+    val got = GraphOps.labelPropagationRounds(edges).collect()
+      .map(r => r.getAs[String]("label") -> r.getAs[Long]("n_members"))
+      .toMap
+    // hand-traced 3 synchronous rounds: {a,b,c} under label "a",
+    // {x,y,z} under label "c" (labels are arbitrary ids; the SPLIT is
+    // the point — CC would report one 6-node component)
+    assert(got == Map("a" -> 3L, "c" -> 3L), got)
+  }
 }
