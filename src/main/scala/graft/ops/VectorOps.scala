@@ -734,9 +734,13 @@ object VectorOps {
     * |code| ≤ 127 — past that one subsamples the update (as
     * production k-means does anyway), which re-pins the guarantee. */
   def kmeansCodeRounds(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+    // the codes frame feeds both assignment rounds and the interpreted
+    // `transform` quantizer is the expensive part — materialize once
+    // (the bpeTrainRounds lineage lesson)
     val codes = embeddings
       .select(col("vec_id"), quantizeCodes(col("embedding")).as("qc"))
       .filter(dot(asDouble(col("qc")), asDouble(col("qc"))) > 0.0)
+      .localCheckpoint()
     val init = codes
       .filter(pmod(col("vec_id"), lit(997)) < nlist)
       .select(col("vec_id").as("list_id"), asDouble(col("qc")).as("cv"))
@@ -759,7 +763,9 @@ object VectorOps {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("sq")))),
           e => e.getField("sq").cast("double")).as("cv"))
-    val a1 = assign(init)
+    // round-1 assignments feed BOTH the centroid update and the final
+    // moved-members join — one materialization, two consumers
+    val a1 = assign(init).localCheckpoint()
     val a2 = assign(sumVectors(a1))
       .withColumnRenamed("list_id", "list2")
     a2.join(a1.select(col("vec_id"), col("list_id").as("list1")), "vec_id")
