@@ -355,4 +355,65 @@ object StreamJob {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("cnt"))
+
+  // ---------- streaming distribution-drift monitor ----------
+
+  /** Per-micro-batch categorical drift monitor —
+    * `EventOps.psiTypeDrift` lifted into the stream: every batch's mix
+    * over `column` is scored against a FIXED reference distribution
+    * (`reference`: one (category, n) row per category) with the
+    * population-stability index, and one row per batch lands in the
+    * `drift_scores` table: (batch_id, n_rows, psi, n_unseen) — the
+    * alert feed a streaming data-quality dashboard tails (rule of
+    * thumb: psi > 0.2 = significant drift).
+    *
+    * PSI terms need BOTH shares > 0. Batch categories the reference
+    * never saw have no finite term and are counted in `n_unseen`
+    * instead — at real drift severity that count IS the alert.
+    * Reference categories absent from the batch contribute nothing
+    * (their batch share is 0); wholesale disappearance surfaces as
+    * PSI from the remaining mass plus a shrunken n_rows.
+    *
+    * Scale: the batch collapses to |categories| rows before the
+    * broadcast-joined scoring; the reference total is one bounded
+    * driver scalar computed at start; the appended row is O(1).
+    * Appends carry batch_id, so at-least-once replays dedupe
+    * downstream (the same contract as every other append sink
+    * here). */
+  def startDriftMonitor(prepared: DataFrame, column: String,
+      reference: DataFrame, appender: Appender,
+      checkpointDir: String): StreamingQuery = {
+    val refCounts = reference
+      .select(col("category"), col("n").cast("long").as("rn"))
+    val refTotal = refCounts.agg(sum("rn")).head.getLong(0)
+    require(refTotal > 0L, "drift reference must be non-empty")
+    prepared.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val bc = batch.groupBy(col(column).as("category"))
+          .agg(count(lit(1)).as("bn"))
+        val nRows = bc.agg(coalesce(sum("bn"), lit(0L))).head.getLong(0)
+        if (nRows > 0L) {
+          val pb = col("bn").cast("double") / lit(nRows.toDouble)
+          val pr = col("rn").cast("double") / lit(refTotal.toDouble)
+          val scored = bc.join(broadcast(refCounts), Seq("category"), "left")
+            .agg(
+              coalesce(sum(when(col("rn").isNotNull,
+                (pb - pr) * log((col("bn").cast("double") *
+                  lit(refTotal.toDouble)) /
+                  (col("rn").cast("double") * lit(nRows.toDouble))))),
+                lit(0.0)).as("psi"),
+              sum(when(col("rn").isNull, 1L).otherwise(0L)).as("n_unseen"))
+            .head
+          appender("drift_scores",
+            Seq((batchId, nRows, scored.getAs[Double]("psi"),
+              scored.getAs[Long]("n_unseen")))
+              .toDF("batch_id", "n_rows", "psi", "n_unseen"))
+        }
+        ()
+      }
+      .start()
+  }
 }

@@ -63,6 +63,38 @@ class StreamJobSpec extends SparkSpec {
     assert(avg == 5.5) // "first"(5) + "second"(6)
   }
 
+  test("drift monitor: per-batch PSI vs the reference; unseen categories counted") {
+    val input = MemoryStream[(Long, String)](spark)
+    val prepared = input.toDF().toDF("id", "lang")
+    val reference = Seq(("a", 3L), ("b", 1L)).toDF("category", "n")
+    val sunk = mutable.Buffer[DataFrame]()
+    val appender: StreamJob.Appender = (_, df) => sunk.synchronized {
+      sunk += df.cache(); ()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val q = StreamJob.startDriftMonitor(prepared, "lang", reference,
+      appender, ckpt)
+    try {
+      // batch 0 matches the reference mix exactly -> PSI 0
+      input.addData((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"))
+      q.processAllAvailable()
+      // batch 1 inverts the mix -> PSI = ln 3 (both terms 0.5·ln 3)
+      input.addData((5L, "a"), (6L, "b"), (7L, "b"), (8L, "b"))
+      q.processAllAvailable()
+      // batch 2 is all-new vocabulary -> no finite terms, n_unseen = 1
+      input.addData((9L, "c"), (10L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = sunk.reduce(_ union _)
+      .select("batch_id", "n_rows", "psi", "n_unseen")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(rows.length == 3, rows.toSeq)
+    assert(rows(0) == ((0L, 4L, 0.0, 0L)), rows(0))
+    assert(rows(1)._2 == 4L && rows(1)._4 == 0L, rows(1))
+    assert(math.abs(rows(1)._3 - math.log(3.0)) < 1e-12, rows(1))
+    assert(rows(2) == ((2L, 2L, 0.0, 1L)), rows(2))
+  }
+
   test("incremental daily rollup: merged store ≡ from-scratch recompute") {
     val input = MemoryStream[String](spark)
     val prepared = StreamJob.prepare(
