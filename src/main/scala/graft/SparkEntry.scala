@@ -575,6 +575,7 @@ object SparkEntry {
     "funnel_latency" -> ((s, d) => EventOps.funnelLatency(events(s, d))),
     "psi_type_drift" -> ((s, d) => EventOps.psiTypeDrift(events(s, d))),
     "ks_value_drift" -> ((s, d) => EventOps.ksValueDrift(events(s, d))),
+    "hazard_by_tenure" -> ((s, d) => EventOps.hazardByTenure(events(s, d))),
     "cooccurrence_communities" ->
       ((s, d) => GraphOps.cooccurrenceCommunities(documents(s, d))),
   )
@@ -3324,6 +3325,26 @@ object SparkEntry {
         "CAST(n2 AS DOUBLE)) AS gap FROM c CROSS JOIN t) " +
         "SELECT n1 AS n_first, n2 AS n_second, round(gap, 6) AS ks_stat, " +
         "bin AS at_bin FROM e ORDER BY gap DESC, bin ASC LIMIT 1"),
+    // Mirrors EventOps.hazardByTenure: the km_survival_horizons
+    // duration/risk-set CTEs with the per-tenure rate surfaced.
+    "hazard_by_tenure" ->
+      ("WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f, " +
+        "CAST(max(ts) AS DATE) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events), " +
+        "dur AS (SELECT CAST(datediff('day', f, l) + 1 AS BIGINT) AS t, " +
+        "CASE WHEN l < max_day THEN 1 ELSE 0 END AS observed " +
+        "FROM u CROSS JOIN mx), " +
+        "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending, " +
+        "CAST(sum(observed) AS BIGINT) AS d FROM dur GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM dur) " +
+        "SELECT t AS tenure_days, " +
+        "n_users - CAST(sum(ending) OVER (ORDER BY t ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending AS n_at_risk, " +
+        "d AS n_churned, " +
+        "round(CAST(d AS DOUBLE) / CAST(n_users - CAST(sum(ending) OVER (" +
+        "ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending " +
+        "AS DOUBLE), 6) AS hazard " +
+        "FROM byt CROSS JOIN tot WHERE d > 0"),
     // Mirrors GraphOps.cooccurrenceCommunities: the term_cooccurrence
     // pair chain builds the edge set; three unrolled synchronous LPA
     // rounds, each one adjacency join + plurality argmax with the

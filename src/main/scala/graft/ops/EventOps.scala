@@ -1553,6 +1553,36 @@ object EventOps {
         coalesce(col("survival"), lit(1.0)).as("survival"))
   }
 
+  /** Discrete hazard curve by tenure day — [[kmSurvivalHorizons]]'s
+    * intermediate surfaced as its own frame: for every duration t
+    * with an observed churn, the at-risk count n_t, the churn count
+    * d_t, and the hazard rate h(t) = d_t/n_t ("given a user survived
+    * t−1 days, how likely do they churn on day t?" — the curve that
+    * locates WHEN churn risk spikes, where the KM query reports how
+    * much survives). Same exact-BIGINT risk-set windowing and
+    * censoring rules; the rate is one pinned division. */
+  def hazardByTenure(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"), to_date(max(col("ts"))).as("l"))
+    val maxDay = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val dur = users.crossJoin(broadcast(maxDay))
+      .select((datediff(col("l"), col("f")) + 1).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("observed"))
+    val byT = dur.groupBy("t")
+      .agg(count(lit(1)).as("ending"), sum("observed").as("d"))
+    val total = dur.agg(count(lit(1)).as("n_users"))
+    val wPrior = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n",
+        col("n_users") - sum(col("ending")).over(wPrior) + col("ending"))
+      .filter(col("d") > 0L)
+      .select(col("t").as("tenure_days"), col("n").as("n_at_risk"),
+        col("d").as("n_churned"),
+        round(col("d").cast("double") / col("n").cast("double"), 6)
+          .as("hazard"))
+  }
+
   /** Association rules over per-user event-type baskets — the
     * market-basket view of the log ("users who ever `view` also
     * `purchase`?"): every directed type pair with exact support,

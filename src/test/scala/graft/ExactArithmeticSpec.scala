@@ -154,6 +154,13 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(got == Map(
       1 -> ((1L, 0.75)), 7 -> ((2L, 0.5)),
       14 -> ((2L, 0.5)), 30 -> ((2L, 0.5))), got)
+    // the hazard curve is the same risk sets surfaced per tenure day:
+    // h(1) = 1/4 (4 at risk), h(7) = 1/3 (u1 gone, censored still in)
+    val hz = EventOps.hazardByTenure(events).collect()
+      .map(r => r.getAs[Long]("tenure_days") ->
+        ((r.getAs[Long]("n_at_risk"), r.getAs[Long]("n_churned"),
+          r.getAs[Double]("hazard")))).toMap
+    assert(hz == Map(1L -> ((4L, 1L, 0.25)), 7L -> ((3L, 1L, 0.333333))), hz)
   }
 
   test("typeAssocRules: exact support/confidence/lift over distinct baskets") {
