@@ -576,6 +576,9 @@ object SparkEntry {
     "psi_type_drift" -> ((s, d) => EventOps.psiTypeDrift(events(s, d))),
     "ks_value_drift" -> ((s, d) => EventOps.ksValueDrift(events(s, d))),
     "hazard_by_tenure" -> ((s, d) => EventOps.hazardByTenure(events(s, d))),
+    "forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(events(s, d))),
+    "constraint_suggestions" ->
+      ((s, d) => ProfileOps.constraintSuggestions(events(s, d))),
     "cooccurrence_communities" ->
       ((s, d) => GraphOps.cooccurrenceCommunities(documents(s, d))),
   )
@@ -2757,21 +2760,19 @@ object SparkEntry {
         "UNION ALL SELECT 'events.user_id not null', " +
         "CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT), " +
         "(SELECT count(*) FROM events WHERE user_id IS NULL) = 0"),
-    "table_profile_events" ->
-      (Seq(
-        ("event_id", "bigint", true), ("ts", "timestamp", false),
-        ("user_id", "bigint", true), ("event_type", "string", false),
-        ("value", "double", true), ("props", "string", false),
-      ).map { case (c, t, num) =>
-        val mean = if (num) s"round(avg(CAST($c AS DOUBLE)), 4)"
-          else "CAST(NULL AS DOUBLE)"
-        s"SELECT count(*) AS n_rows, '$c' AS col_name, '$t' AS dtype, " +
-          s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
-          s"count(DISTINCT $c) AS n_distinct, " +
-          s"CAST(min($c) AS VARCHAR) AS min_value, " +
-          s"CAST(max($c) AS VARCHAR) AS max_value, " +
-          s"$mean AS mean FROM events"
-      }.mkString(" UNION ALL ")),
+    "table_profile_events" -> profileEventsSql,
+    // Mirrors ProfileOps.constraintSuggestions: the same per-column
+    // profile UNION, projected through the three rule predicates.
+    "constraint_suggestions" ->
+      (s"WITH p AS ($profileEventsSql) " +
+        "SELECT col_name, 'not_null' AS rule, " +
+        "CAST(NULL AS VARCHAR) AS lo, CAST(NULL AS VARCHAR) AS hi, " +
+        "n_rows AS support_rows FROM p WHERE n_nulls = 0 " +
+        "UNION ALL SELECT col_name, 'unique', " +
+        "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), n_rows " +
+        "FROM p WHERE n_nulls = 0 AND n_distinct = n_rows " +
+        "UNION ALL SELECT col_name, 'range', min_value, max_value, n_rows " +
+        "FROM p WHERE mean IS NOT NULL"),
     // Mirrors table_profile_approx_audit: exact per-column distincts,
     // accuracy flag constant-true (see registration comment).
     "table_profile_approx_audit" ->
@@ -3345,6 +3346,34 @@ object SparkEntry {
         "ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending " +
         "AS DOUBLE), 6) AS hazard " +
         "FROM byt CROSS JOIN tot WHERE d > 0"),
+    // Mirrors EventOps.forecastBacktest: the dense zero-filled
+    // calendar×type grid, lag(1)/lag(7) on the dense frame (== the
+    // calendar shift), exact BIGINT absolute errors, pinned MAE
+    // divisions.
+    "forecast_backtest" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "t AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, cal.day, " +
+        "coalesce(daily.cnt, 0) AS cnt FROM cal CROSS JOIN t " +
+        "LEFT JOIN daily ON daily.event_type = t.event_type " +
+        "AND daily.day = cal.day), " +
+        "lg AS (SELECT event_type, cnt, " +
+        "lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day ASC) AS l1, " +
+        "lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day ASC) AS l7 " +
+        "FROM grid) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, " +
+        "round(CAST(CAST(sum(abs(cnt - l1)) AS BIGINT) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS mae_naive, " +
+        "round(CAST(CAST(sum(abs(cnt - l7)) AS BIGINT) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS mae_seasonal, " +
+        "CAST(sum(CASE WHEN abs(cnt - l7) < abs(cnt - l1) THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS seasonal_wins " +
+        "FROM lg WHERE l1 IS NOT NULL AND l7 IS NOT NULL GROUP BY 1"),
     // Mirrors GraphOps.cooccurrenceCommunities: the term_cooccurrence
     // pair chain builds the edge set; three unrolled synchronous LPA
     // rounds, each one adjacency join + plurality argmax with the
@@ -3389,6 +3418,24 @@ object SparkEntry {
     * up to the winnow selection (`sel`): normalization, char codes,
     * mod-reduced Rabin-Karp k-gram hash (same `polyPow` coefficients),
     * rightmost-min per w-window. */
+  /** Per-column events profile as one DuckDB UNION — shared by the
+    * profile gate and the constraint-suggestion projection over it. */
+  private val profileEventsSql: String =
+    Seq(
+      ("event_id", "bigint", true), ("ts", "timestamp", false),
+      ("user_id", "bigint", true), ("event_type", "string", false),
+      ("value", "double", true), ("props", "string", false),
+    ).map { case (c, t, num) =>
+      val mean = if (num) s"round(avg(CAST($c AS DOUBLE)), 4)"
+        else "CAST(NULL AS DOUBLE)"
+      s"SELECT count(*) AS n_rows, '$c' AS col_name, '$t' AS dtype, " +
+        s"CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, " +
+        s"count(DISTINCT $c) AS n_distinct, " +
+        s"CAST(min($c) AS VARCHAR) AS min_value, " +
+        s"CAST(max($c) AS VARCHAR) AS max_value, " +
+        s"$mean AS mean FROM events"
+    }.mkString(" UNION ALL ")
+
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.bpeTrainRounds]]:
     * per round — lead() pair stats weighted by word freq, 1-row argmax
     * with (count DESC, pair ASC) tie-break, gaps-and-islands odd-rank

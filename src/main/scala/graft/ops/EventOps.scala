@@ -1784,6 +1784,49 @@ object EventOps {
         round(col("gap"), 6).as("ks_stat"), col("bin").as("at_bin"))
   }
 
+  /** Forecast backtest: naive (yesterday) vs seasonal-naive (same day
+    * last week) one-step-ahead forecasts of daily volume per type,
+    * scored by MAE over the zero-filled calendar — the model-selection
+    * diagnostic behind [[dowAnomalies]] and [[acfDailyCounts]]
+    * ("seasonal wins" ⇔ the lag-7 structure is real and a forecaster
+    * should use it). Every error is an exact BIGINT |difference| on
+    * the dense min..max day grid (lag(k) over a DENSE grid IS the
+    * calendar shift — on a sparse frame it would silently compare
+    * non-adjacent days); the two MAEs are single pinned divisions.
+    * Only days where both forecasts exist (the 8th grid day on) are
+    * scored, so the two models see the identical evaluation set.
+    *
+    * Shape: the (type, day) collapse bounds everything to calendar ×
+    * type cardinality; one partitioned window pass computes both
+    * lags. */
+  def forecastBacktest(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.crossJoin(daily.select("event_type").distinct())
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    grid
+      .withColumn("l1", lag(col("cnt"), 1).over(w))
+      .withColumn("l7", lag(col("cnt"), 7).over(w))
+      .filter(col("l1").isNotNull && col("l7").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("cnt") - col("l1"))).as("ae1"),
+        sum(abs(col("cnt") - col("l7"))).as("ae7"),
+        sum(when(abs(col("cnt") - col("l7")) < abs(col("cnt") - col("l1")),
+          1L).otherwise(0L)).as("seasonal_wins"))
+      .select(col("event_type"), col("n_days"),
+        round(col("ae1").cast("double") / col("n_days").cast("double"), 6)
+          .as("mae_naive"),
+        round(col("ae7").cast("double") / col("n_days").cast("double"), 6)
+          .as("mae_seasonal"),
+        col("seasonal_wins"))
+  }
+
   def userDayStreaks(events: DataFrame): DataFrame = {
     val days = events
       .select(col("user_id"), to_date(col("ts")).as("day"))

@@ -126,6 +126,36 @@ object ProfileOps {
     ).reduce(_ unionByName _)
   }
 
+  /** Constraint SUGGESTION from the observed profile — the autopilot
+    * companion to [[constraintAudit]]'s hand-written rules: columns
+    * with zero observed nulls propose `not_null`, null-free columns
+    * whose distinct count equals the row count propose `unique`, and
+    * numeric columns propose a `range` rule carrying the observed
+    * [min, max] envelope. Suggestions are hypotheses mined from one
+    * snapshot (support = the row count that exhibited them) — the
+    * intended loop is suggest → human review → promote into the
+    * audit. Pure projection of [[profile]]'s one-aggregation output,
+    * so it inherits that scan's cost and exactness; min/max render
+    * through the same string casts the profile gate already proves
+    * engine-identical. */
+  def constraintSuggestions(df: DataFrame): DataFrame = {
+    val p = profile(df)
+    val noLoHi = Seq(lit(null).cast("string").as("lo"),
+      lit(null).cast("string").as("hi"))
+    val notNull = p.filter(col("n_nulls") === 0L)
+      .select(Seq(col("col_name"), lit("not_null").as("rule")) ++ noLoHi :+
+        col("n_rows").as("support_rows"): _*)
+    val unique = p
+      .filter(col("n_nulls") === 0L && col("n_distinct") === col("n_rows"))
+      .select(Seq(col("col_name"), lit("unique").as("rule")) ++ noLoHi :+
+        col("n_rows").as("support_rows"): _*)
+    val range = p.filter(col("mean").isNotNull)
+      .select(col("col_name"), lit("range").as("rule"),
+        col("min_value").as("lo"), col("max_value").as("hi"),
+        col("n_rows").as("support_rows"))
+    notNull.unionByName(unique).unionByName(range)
+  }
+
   /** Benford's-law first-digit profile of a positive amount column —
     * the classic fabricated-/degenerate-data smell test a profiling
     * pass runs over monetary fields: naturally-grown magnitudes put

@@ -277,6 +277,39 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(r.getAs[Long]("at_bin") == 1L, r)
   }
 
+  test("forecastBacktest: seasonal-naive beats naive on a planted weekly cycle") {
+    // counts 5,1,1,1,1,1,1,5,1 over nine consecutive days: the 8th and
+    // 9th days are the only scored ones (both lags exist); lag-7
+    // predicts both exactly, lag-1 misses both by 4
+    def day(d: Int, n: Int) = (0 until n).map(i =>
+      ev(d * 100L + i, f"2024-03-0$d", "a"))
+    val events = (day(1, 5) ++ (2 to 7).flatMap(day(_, 1)) ++ day(8, 5) ++
+      day(9, 1)).toDF(evCols: _*)
+    val r = EventOps.forecastBacktest(events).collect()
+    assert(r.length == 1, r.toSeq)
+    assert(r.head.getAs[Long]("n_days") == 2L, r.head)
+    assert(r.head.getAs[Double]("mae_naive") == 4.0, r.head)
+    assert(r.head.getAs[Double]("mae_seasonal") == 0.0, r.head)
+    assert(r.head.getAs[Long]("seasonal_wins") == 2L, r.head)
+  }
+
+  test("constraintSuggestions: rules mined from the observed profile") {
+    val df = Seq(
+      (1L, Option("x"), 2.5), (2L, None, 2.5), (3L, Option("y"), 2.5),
+    ).toDF("id", "name", "score")
+    val got = ProfileOps.constraintSuggestions(df).collect()
+      .map(r => (r.getAs[String]("col_name"), r.getAs[String]("rule")) ->
+        ((Option(r.getAs[String]("lo")), Option(r.getAs[String]("hi")),
+          r.getAs[Long]("support_rows")))).toMap
+    // id: null-free + all-distinct + numeric; score: null-free +
+    // numeric but NOT unique; name has a null -> no rules at all
+    assert(got.keySet == Set(
+      ("id", "not_null"), ("id", "unique"), ("id", "range"),
+      ("score", "not_null"), ("score", "range")), got)
+    assert(got(("id", "range")) == ((Some("1"), Some("3"), 3L)), got)
+    assert(got(("score", "range")) == ((Some("2.5"), Some("2.5"), 3L)), got)
+  }
+
   test("labelPropagationRounds: a barbell stays TWO communities " +
       "(where connected components would fuse it)") {
     import graft.ops.GraphOps
