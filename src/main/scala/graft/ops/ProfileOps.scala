@@ -139,7 +139,10 @@ object ProfileOps {
     * through the same string casts the profile gate already proves
     * engine-identical. */
   def constraintSuggestions(df: DataFrame): DataFrame = {
-    val p = profile(df)
+    // three rule branches read the SAME per-column frame — materialize
+    // the |columns|-row profile once instead of re-running the exact
+    // countDistinct scan per branch
+    val p = profile(df).localCheckpoint()
     val noLoHi = Seq(lit(null).cast("string").as("lo"),
       lit(null).cast("string").as("hi"))
     val notNull = p.filter(col("n_nulls") === 0L)
