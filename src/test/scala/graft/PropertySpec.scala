@@ -236,4 +236,29 @@ class PropertySpec extends SparkSpec {
     }
     check(prop)
   }
+
+  test("sequencePacking and bpeTrainRounds are partitioning-invariant") {
+    // both operators rest on total orders (window sort keys, argmax
+    // tie-breaks, islands), so a physical re-layout of the input must
+    // not move a single output value — the determinism their oracle
+    // gates assume
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 120L).map { i =>
+      val words = (0 until rnd.nextInt(30)).map(_ =>
+        ('a' + rnd.nextInt(4)).toChar.toString * (1 + rnd.nextInt(3)))
+      (i, words.mkString(" "), s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    def packed(df: org.apache.spark.sql.DataFrame) =
+      ops.DocOps.sequencePacking(df, seqLen = 16).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(packed(docs.repartition(13)) == packed(docs.coalesce(1)),
+      "sequencePacking moved under re-layout")
+    def trained(df: org.apache.spark.sql.DataFrame) =
+      ops.DocOps.bpeTrainRounds(df).collect()
+        .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(trained(docs.repartition(13)) == trained(docs.coalesce(1)),
+      "bpeTrainRounds moved under re-layout")
+  }
 }
