@@ -200,6 +200,30 @@ object DrivePlans {
           "(≤365/user/yr), never raw events. Both the distinct and " +
           "the window hash-partition on user-led keys; the two " +
           "stacked groupBys after it are partial+final aggregates."),
+      ("sequence_packing (one source-partitioned prefix-sum window)",
+        "The token count is a codegen'd regexp expression inside the " +
+          "scan projection; ONE Window partitioned by source computes " +
+          "the running offset (sources pack in parallel — no " +
+          "single-partition exchange anywhere), and the (source, seq) " +
+          "rollup is a partial+final hash aggregate. Sequence index " +
+          "and straddle flag are integer `div` arithmetic in the " +
+          "window's output projection — no second pass."),
+      ("ewma_daily_counts (banded self-join on the collapsed frame)",
+        "Both join inputs are the SAME (type, day) hash aggregate — " +
+          "the raw log collapses to calendar cardinality before any " +
+          "pair work, and the 30-day band rides the event_type " +
+          "equi-key as a residual range predicate (a hash join, " +
+          "never a nested loop). The 2^(29-lag) weight is exact " +
+          "integer arithmetic in the post-join aggregate; the only " +
+          "double op in the plan is the final display division by " +
+          "2^30."),
+      ("growth_accounting (one lag window, day-shifted equi-join)",
+        "The DISTINCT (user, day) collapse bounds the lag Window to " +
+          "active-day cardinality; the churn term joins the daily " +
+          "frame to itself on the MATERIALIZED date_add(day, 1) key — " +
+          "an equi-join on tiny frames, so the reconciliation " +
+          "identity churned(d) = active(d-1) - retained(d) costs one " +
+          "calendar-sized hash join, not a second scan."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -232,6 +256,9 @@ object DrivePlans {
       "bitmap_distinct_rollup" -> SparkEntry.queries("bitmap_distinct_rollup"),
       "linear_attribution" -> SparkEntry.queries("linear_attribution"),
       "rolling_distinct_users" -> SparkEntry.queries("rolling_distinct_users"),
+      "sequence_packing" -> SparkEntry.queries("sequence_packing"),
+      "ewma_daily_counts" -> SparkEntry.queries("ewma_daily_counts"),
+      "growth_accounting" -> SparkEntry.queries("growth_accounting"),
     )
 
     val sb = new StringBuilder
