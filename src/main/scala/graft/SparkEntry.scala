@@ -577,6 +577,7 @@ object SparkEntry {
     "ks_value_drift" -> ((s, d) => EventOps.ksValueDrift(events(s, d))),
     "hazard_by_tenure" -> ((s, d) => EventOps.hazardByTenure(events(s, d))),
     "forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(events(s, d))),
+    "rfm_segments" -> ((s, d) => AggOps.rfmSegments(orders(s, d))),
     "constraint_suggestions" ->
       ((s, d) => ProfileOps.constraintSuggestions(events(s, d))),
     "cooccurrence_communities" ->
@@ -3374,6 +3375,28 @@ object SparkEntry {
         "CAST(sum(CASE WHEN abs(cnt - l7) < abs(cnt - l1) THEN 1 ELSE 0 END) " +
         "AS BIGINT) AS seasonal_wins " +
         "FROM lg WHERE l1 IS NOT NULL AND l7 IS NOT NULL GROUP BY 1"),
+    // Mirrors AggOps.rfmSegments: exact BIGINT/DECIMAL rank inputs,
+    // ntile(5) under shared Postgres remainder semantics with the
+    // customer-key tie-break, money through the dec2 rule.
+    "rfm_segments" ->
+      ("WITH mx AS (SELECT CAST(max(o_orderdate) AS DATE) AS dmax " +
+        "FROM orders), " +
+        "per AS (SELECT o_custkey, " +
+        "CAST(min(datediff('day', CAST(o_orderdate AS DATE), dmax)) " +
+        "AS BIGINT) AS recency_days, " +
+        "CAST(count(*) AS BIGINT) AS frequency, " +
+        "sum(CAST(o_totalprice AS DECIMAL(12,2))) AS mon " +
+        "FROM orders CROSS JOIN mx GROUP BY 1), " +
+        "s AS (SELECT o_custkey, recency_days, frequency, " +
+        "CAST(round(mon, 2) AS DOUBLE) AS monetary, " +
+        "ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r_score, " +
+        "ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f_score, " +
+        "ntile(5) OVER (ORDER BY mon DESC, o_custkey ASC) AS m_score " +
+        "FROM per) " +
+        "SELECT o_custkey, recency_days, frequency, monetary, " +
+        "r_score, f_score, m_score, " +
+        "CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || " +
+        "CAST(m_score AS VARCHAR) AS segment FROM s"),
     // Mirrors GraphOps.cooccurrenceCommunities: the term_cooccurrence
     // pair chain builds the edge set; three unrolled synchronous LPA
     // rounds, each one adjacency join + plurality argmax with the

@@ -251,4 +251,41 @@ object AggOps {
           .as("trailing_revenue"),
         count(lit(1)).over(w).as("trailing_orders"))
   }
+
+  /** RFM customer segmentation — the classic CRM scoring: per
+    * customer, Recency (days since last order, against the corpus max
+    * date), Frequency (order count) and Monetary (exact DECIMAL
+    * revenue, the [[Num.dec2]] rule), each cut into quintiles with
+    * score 1 = best and a customer-key tie-break, concatenated into
+    * the familiar "111".."555" segment label. Every rank-window input
+    * is exact (BIGINT days/counts, DECIMAL money), so quintile
+    * assignment is engine-identical (shared Postgres ntile remainder
+    * semantics — the activityLorenzDeciles precedent).
+    *
+    * Shape: one customer-collapse aggregation, then three global
+    * ntile windows over the COLLAPSED frame (customers ≪ orders; for
+    * a truly extreme customer count the equidepth-histogram
+    * boundary-broadcast pattern replaces the global sort). */
+  def rfmSegments(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxD = orders.agg(to_date(max(col("o_orderdate"))).as("dmax"))
+    val per = orders.crossJoin(broadcast(maxD))
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(datediff(col("dmax"), to_date(col("o_orderdate"))))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(Num.dec2(col("o_totalprice"))).as("mon"))
+    val r5 = ntile(5).over(
+      Window.orderBy(col("recency_days").asc, col("o_custkey").asc))
+    val f5 = ntile(5).over(
+      Window.orderBy(col("frequency").desc, col("o_custkey").asc))
+    val m5 = ntile(5).over(
+      Window.orderBy(col("mon").desc, col("o_custkey").asc))
+    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        round(col("mon"), 2).cast("double").as("monetary"),
+        r5.as("r_score"), f5.as("f_score"), m5.as("m_score"))
+      .withColumn("segment", concat(col("r_score").cast("string"),
+        col("f_score").cast("string"), col("m_score").cast("string")))
+  }
 }

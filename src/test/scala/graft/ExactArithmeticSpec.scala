@@ -310,6 +310,26 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(got(("score", "range")) == ((Some("2.5"), Some("2.5"), 3L)), got)
   }
 
+  test("rfmSegments: aligned quintiles, ties broken by customer key") {
+    import graft.ops.AggOps
+    // five customers, one order each, recency/frequency/monetary all
+    // aligned: quintiles land one customer each; frequency is a full
+    // tie, so its 1..5 comes entirely from the custkey tie-break
+    val orders = (1 to 5).map { i =>
+      (i.toLong, i.toLong, "O", 600.0 - i * 100.0,
+        Timestamp.valueOf(f"2024-03-${11 - i}%02d 00:00:00"), "1-URGENT")
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    val got = AggOps.rfmSegments(orders).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        ((r.getAs[Long]("recency_days"), r.getAs[Double]("monetary"),
+          r.getAs[String]("segment")))).toMap
+    assert(got == Map(
+      1L -> ((0L, 500.0, "111")), 2L -> ((1L, 400.0, "222")),
+      3L -> ((2L, 300.0, "333")), 4L -> ((3L, 200.0, "444")),
+      5L -> ((4L, 100.0, "555"))), got)
+  }
+
   test("labelPropagationRounds: a barbell stays TWO communities " +
       "(where connected components would fuse it)") {
     import graft.ops.GraphOps
