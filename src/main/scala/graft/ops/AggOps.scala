@@ -262,12 +262,17 @@ object AggOps {
     * assignment is engine-identical (shared Postgres ntile remainder
     * semantics — the activityLorenzDeciles precedent).
     *
-    * Shape: one customer-collapse aggregation, then three global
-    * ntile windows over the COLLAPSED frame (customers ≪ orders; for
-    * a truly extreme customer count the equidepth-histogram
-    * boundary-broadcast pattern replaces the global sort). */
+    * Shape: one customer-collapse aggregation, then three quintile
+    * cuts via [[RankOps.globalNtile]]'s two-level prefix-sum rank —
+    * the customer frame GROWS with the data, so a flat
+    * `Window.orderBy` (one task sorting every customer) is the wrong
+    * plan at the 100 TB north star; each score is exact-rank
+    * arithmetic over range-bucketed partial sorts instead, and the
+    * three chained cuts replay linearly (RankOps materializes each
+    * level once). Descending cuts pass the negated key as the bucket
+    * key (truncation toward zero preserves the weak monotonicity the
+    * bucketing needs; the intra-bucket order uses the full DECIMAL). */
   def rfmSegments(orders: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val maxD = orders.agg(to_date(max(col("o_orderdate"))).as("dmax"))
     val per = orders.crossJoin(broadcast(maxD))
       .groupBy(col("o_custkey"))
@@ -276,15 +281,15 @@ object AggOps {
           .cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(Num.dec2(col("o_totalprice"))).as("mon"))
-    val r5 = ntile(5).over(
-      Window.orderBy(col("recency_days").asc, col("o_custkey").asc))
-    val f5 = ntile(5).over(
-      Window.orderBy(col("frequency").desc, col("o_custkey").asc))
-    val m5 = ntile(5).over(
-      Window.orderBy(col("mon").desc, col("o_custkey").asc))
-    per.select(col("o_custkey"), col("recency_days"), col("frequency"),
+    val r5 = RankOps.globalNtile(per, col("recency_days"),
+      Seq(col("recency_days").asc, col("o_custkey").asc), 5, "r_score")
+    val f5 = RankOps.globalNtile(r5, -col("frequency"),
+      Seq(col("frequency").desc, col("o_custkey").asc), 5, "f_score")
+    val m5 = RankOps.globalNtile(f5, -col("mon"),
+      Seq(col("mon").desc, col("o_custkey").asc), 5, "m_score")
+    m5.select(col("o_custkey"), col("recency_days"), col("frequency"),
         round(col("mon"), 2).cast("double").as("monetary"),
-        r5.as("r_score"), f5.as("f_score"), m5.as("m_score"))
+        col("r_score"), col("f_score"), col("m_score"))
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
   }

@@ -505,14 +505,15 @@ object EventOps {
     * decile assignment deterministic; both engines share Postgres
     * ntile semantics (earlier buckets take the remainder). All counts
     * exact BIGINTs; the share is one pinned division per decile row.
-    * The rank window runs over the collapsed user frame ([[
-    * userActivityGini]]'s bounded-serial argument), the cumulative
-    * window over 10 rows. */
+    * The decile cut is [[RankOps.globalNtile]]'s two-level prefix-sum
+    * rank — the user frame grows with the data, so a flat
+    * `Window.orderBy` would funnel every user through one sort task;
+    * the cumulative window after it runs over exactly 10 rows. */
   def activityLorenzDeciles(events: DataFrame): DataFrame = {
     val counts = events.groupBy("user_id").agg(count(lit(1)).as("x"))
-    val ranked = counts.select(col("user_id"), col("x"),
-      ntile(10).over(Window.orderBy(col("x").asc, col("user_id").asc))
-        .as("decile"))
+    val ranked = RankOps.globalNtile(counts, col("x"),
+        Seq(col("x").asc, col("user_id").asc), 10, "decile")
+      .select(col("user_id"), col("x"), col("decile"))
     val perDecile = ranked.groupBy("decile")
       .agg(count(lit(1)).as("n_users"), sum(col("x")).as("n_events"))
     val wCum = Window.orderBy(col("decile").asc)
@@ -535,14 +536,15 @@ object EventOps {
     * over users sorted by (count, user_id). All three Σ are exact
     * BIGINTs (rank·count stays far under 2⁶³ at any plausible user
     * count), so the output is two pinned divisions and one subtract.
-    * The rank window runs over the USER-cardinality frame (already
-    * collapsed), same bounded-serial-window argument as
-    * [[rollingDistinctUsers]]. */
+    * The rank is [[RankOps.globalRank]]'s two-level prefix sum — the
+    * user frame grows with the data, so the flat `row_number` window
+    * this closed form classically rides on is exactly the single-task
+    * global sort the engine refuses. */
   def userActivityGini(events: DataFrame): DataFrame = {
     val counts = events.groupBy("user_id").agg(count(lit(1)).as("x"))
-    val ranked = counts.select(col("x"),
-      row_number().over(Window.orderBy(col("x").asc, col("user_id").asc))
-        .cast("long").as("i"))
+    val ranked = RankOps.globalRank(counts, col("x"),
+        Seq(col("x").asc, col("user_id").asc), "i")
+      .select(col("x"), col("i"))
     ranked.agg(
         count(lit(1)).as("n_users"),
         sum(col("x")).as("total"),

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.{AggOps, EventOps, RankOps}
+
+/** [[graft.ops.RankOps]] — the two-level prefix-sum rank must be
+  * BIT-IDENTICAL to the flat `Window.orderBy` it replaces, across
+  * remainder shapes (n % q ≠ 0), ties broken by a second key,
+  * negative keys, descending DECIMAL cuts via negated bucket keys,
+  * n < q, and a bucket width that forces many rows per bucket. */
+class RankOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Deterministic fixture with duplicate values (tie-break matters),
+  // negatives, and a non-uniform distribution: 103 rows so every
+  // ntile(5/7/10) hits the remainder path.
+  private lazy val fx = (1 to 103).map { i =>
+    (i.toLong, ((i * 37) % 19 - 7).toLong, BigDecimal((i * 53) % 41) + BigDecimal("0.25"))
+  }.toDF("id", "v", "m")
+
+  test("globalRank matches flat row_number across bucket widths") {
+    val flat = fx.withColumn("r",
+      row_number().over(Window.orderBy(col("v").asc, col("id").asc))
+        .cast("long"))
+    for (tb <- Seq(1L, 3L, 4096L)) {
+      val two = RankOps.globalRank(fx, col("v"),
+        Seq(col("v").asc, col("id").asc), "r", targetBuckets = tb)
+      assert(two.select("id", "r").except(flat.select("id", "r")).isEmpty &&
+        flat.select("id", "r").except(two.select("id", "r")).isEmpty,
+        s"rank mismatch at targetBuckets=$tb")
+    }
+  }
+
+  test("globalNtile matches flat ntile incl. remainder and n < q") {
+    for (q <- Seq(2, 5, 7, 10, 200)) { // 200 > n exercises one-row tiles
+      val flat = fx.withColumn("t",
+        ntile(q).over(Window.orderBy(col("v").asc, col("id").asc)))
+      val two = RankOps.globalNtile(fx, col("v"),
+        Seq(col("v").asc, col("id").asc), q, "t", targetBuckets = 7L)
+      assert(two.select("id", "t").except(flat.select("id", "t")).isEmpty &&
+        flat.select("id", "t").except(two.select("id", "t")).isEmpty,
+        s"ntile mismatch at q=$q")
+    }
+  }
+
+  test("descending DECIMAL cut via negated bucket key matches flat ntile") {
+    val flat = fx.withColumn("t",
+      ntile(5).over(Window.orderBy(col("m").desc, col("id").asc)))
+    val two = RankOps.globalNtile(fx, -col("m"),
+      Seq(col("m").desc, col("id").asc), 5, "t", targetBuckets = 6L)
+    assert(two.select("id", "t").except(flat.select("id", "t")).isEmpty &&
+      flat.select("id", "t").except(two.select("id", "t")).isEmpty)
+  }
+
+  test("empty input yields empty output with the rank column in place") {
+    val empty = fx.filter(col("id") < 0L)
+    val r = RankOps.globalRank(empty, col("v"), Seq(col("v").asc), "r")
+    assert(r.columns.contains("r") && r.count() === 0L)
+    val t = RankOps.globalNtile(empty, col("v"), Seq(col("v").asc), 5, "t")
+    assert(t.columns.contains("t") && t.count() === 0L)
+  }
+
+  test("rank cuts plan no unpartitioned window over an entity frame") {
+    // The scale posture the rewrite exists for: in rfm/lorenz/gini,
+    // every serial (unpartitioned) window must run over a frame
+    // already collapsed to a BOUNDED key — the per-bucket totals
+    // (≤ targetBuckets rows by construction) or the 10-row decile
+    // frame — never over the raw customer/user-cardinality frame.
+    val frames = Seq(
+      "rfm_segments" -> AggOps.rfmSegments(Tables.orders(spark, sf0)),
+      "activity_lorenz_deciles" ->
+        EventOps.activityLorenzDeciles(Tables.events(spark, sf0)),
+      "user_activity_gini" ->
+        EventOps.userActivityGini(Tables.events(spark, sf0)))
+    for ((name, df) <- frames) {
+      val serial = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      serial.foreach { w =>
+        val child = w.child.toString
+        assert(child.contains("keys=[__gr_bucket") ||
+          child.contains("keys=[decile"),
+          s"$name: serial window over a non-collapsed frame:\n$w")
+      }
+    }
+  }
+}
