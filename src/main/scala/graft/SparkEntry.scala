@@ -1030,13 +1030,16 @@ object SparkEntry {
         "(CAST(n_users AS DOUBLE) * CAST(total AS DOUBLE)) - " +
         "(CAST(n_users AS DOUBLE) + 1.0) / CAST(n_users AS DOUBLE), 6) AS gini " +
         "FROM a"),
-    // Mirrors EventOps.typeCountCorrelations: zero-filled day×type
-    // grid, six exact BIGINT moments, exact LONG numerator/variances
-    // cast to DOUBLE only at the final sqrt/division.
+    // Mirrors EventOps.typeCountCorrelations: zero-filled DENSE
+    // min..max calendar × types grid (all-zero days kept, the
+    // acf_daily_counts construction), six exact BIGINT moments, exact
+    // LONG numerator/variances cast to DOUBLE at the final sqrt only.
     "type_count_correlations" ->
       ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
         "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
-        "d AS (SELECT DISTINCT day FROM daily), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
         "t AS (SELECT DISTINCT event_type FROM daily), " +
         "grid AS (SELECT t.event_type, d.day, coalesce(daily.cnt, 0) AS cnt " +
         "FROM d CROSS JOIN t LEFT JOIN daily " +
@@ -1094,17 +1097,20 @@ object SparkEntry {
     // engine-LOCAL (double->string formatting differs across engines,
     // but each engine compares ITS OWN old hash to ITS OWN new hash,
     // so the change classification — the only thing emitted — is
-    // identical); epoch seconds floored to match Spark's
-    // unix_timestamp truncation.
+    // identical); chr(1) column delimiter + chr(2) NULL sentinel
+    // mirror the engine's boundary-safe null-aware hash; epoch
+    // seconds floored to match Spark's unix_timestamp truncation.
     "event_snapshot_diff" ->
       ("WITH mm AS (SELECT CAST((CAST(min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) + " +
         "CAST(max(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)) // 2 AS BIGINT) AS mid FROM events), " +
-        "oh AS (SELECT event_id, md5(CAST(user_id AS VARCHAR) || event_type || " +
-        "CAST(value AS VARCHAR)) AS h_old FROM events CROSS JOIN mm " +
+        "oh AS (SELECT event_id, md5(coalesce(CAST(user_id AS VARCHAR), chr(2)) || " +
+        "chr(1) || coalesce(event_type, chr(2)) || chr(1) || " +
+        "coalesce(CAST(value AS VARCHAR), chr(2))) AS h_old FROM events CROSS JOIN mm " +
         "WHERE CAST(floor(epoch(ts)) AS BIGINT) <= mid), " +
-        "nh AS (SELECT event_id, md5(CAST(user_id AS VARCHAR) || event_type || " +
-        "CAST(CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE value END " +
-        "AS VARCHAR)) AS h_new FROM events) " +
+        "nh AS (SELECT event_id, md5(coalesce(CAST(user_id AS VARCHAR), chr(2)) || " +
+        "chr(1) || coalesce(event_type, chr(2)) || chr(1) || " +
+        "coalesce(CAST(CASE WHEN event_id % 97 = 0 THEN value + 1.0 ELSE value END " +
+        "AS VARCHAR), chr(2))) AS h_new FROM events) " +
         "SELECT coalesce(oh.event_id, nh.event_id) AS event_id, " +
         "CASE WHEN oh.h_old IS NULL THEN 'added' " +
         "WHEN nh.h_new IS NULL THEN 'removed' " +

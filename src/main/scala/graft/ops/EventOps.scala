@@ -471,7 +471,12 @@ object EventOps {
   def typeCountCorrelations(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))
-    val days = daily.select("day").distinct()
+    // dense min..max calendar (the acfDailyCounts construction) — an
+    // observed-day axis would silently drop all-zero days from every
+    // pair's series, inflating correlations against the stated
+    // zero-filled contract
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val types = daily.select("event_type").distinct()
     val grid = days.crossJoin(types)
       .join(daily, Seq("event_type", "day"), "left")
@@ -596,10 +601,17 @@ object EventOps {
     * itself takes any two keyed frames. */
   def snapshotDiff(old: DataFrame, neu: DataFrame, key: String,
       hashCols: Seq[String]): DataFrame = {
-    val oh = old.select(col(key), md5(concat_ws("",
-      hashCols.map(c => col(c).cast("string")): _*)).as("h_old"))
-    val nh = neu.select(col(key), md5(concat_ws("",
-      hashCols.map(c => col(c).cast("string")): _*)).as("h_new"))
+    // \u0001 column delimiter + \u0002 NULL sentinel: an empty
+    // separator is ambiguous at column boundaries (('12','3x') vs
+    // ('123','x') hash equal -> a changed row classed 'unchanged'),
+    // and concat_ws silently SKIPS nulls while SQL || propagates
+    // them -- coalescing every column to a sentinel first makes a
+    // null a first-class, delimiter-safe value on both engines.
+    def hashed(df: DataFrame, as: String) = df.select(col(key),
+      md5(concat_ws("\u0001", hashCols.map(c =>
+        coalesce(col(c).cast("string"), lit("\u0002"))): _*)).as(as))
+    val oh = hashed(old, "h_old")
+    val nh = hashed(neu, "h_new")
     oh.join(nh, Seq(key), "full_outer")
       .select(col(key),
         when(col("h_old").isNull, "added")

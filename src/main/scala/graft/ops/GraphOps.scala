@@ -284,12 +284,16 @@ object GraphOps {
       members = peel(members).select("node").localCheckpoint()
     }
     val n = members.count()
-    val stable = peel(members).count()
+    // one materialized post-loop peel serves BOTH the convergence
+    // count and the returned frame — recomputing it would re-run the
+    // two-sided membership join and aggregation a second time
+    val last = peel(members).localCheckpoint()
+    val stable = last.count()
     require(stable == n,
       s"kCore(k=$k): not converged after $rounds peels ($n -> $stable " +
         "members) — raise `rounds`; emitting the unconverged superset " +
         "would mislabel non-core nodes as core")
-    peel(members).orderBy(col("node").asc)
+    last.orderBy(col("node").asc)
   }
 
   /** [[kCore]] over the term co-occurrence graph: the vocabulary's

@@ -299,6 +299,21 @@ class SequenceStatsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("snapshotDiff: delimiter + NULL sentinel disambiguate boundaries") {
+    // id 1: same concatenation, different column split — an empty
+    // separator would hash ('12','3x') and ('123','x') equal and
+    // misclass the change as 'unchanged'. id 2: null moves columns —
+    // concat_ws's silent null-skip would make ('ab', null) and
+    // (null, 'ab') both hash "ab".
+    val old = Seq((1L, Some("12"), Some("3x")), (2L, Some("ab"), None))
+      .toDF("id", "s", "t")
+    val neu = Seq((1L, Some("123"), Some("x")), (2L, None, Some("ab")))
+      .toDF("id", "s", "t")
+    val got = EventOps.snapshotDiff(old, neu, "id", Seq("s", "t"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "changed", 2L -> "changed"), got.toString)
+  }
+
   test("topEventPaths: gap splits sessions, order pinned by (ts, event_id)") {
     def t(s: Int) = Timestamp.valueOf(f"2024-01-01 ${10 + s / 3600}%02d:" +
       f"${(s / 60) % 60}%02d:${s % 60}%02d")

@@ -19,16 +19,31 @@ import re
 import sys
 
 
+# Round tags whose adjudication blocks this script's template embeds
+# verbatim — carried_notes skips these by TAG, not by literal first
+# line, so rewording an embedded heading can't duplicate the block.
+EMBEDDED_ROUNDS = {"r10"}
+
+
 def carried_notes(path):
     """Paragraphs after the floor table starting with r<digit> — the
-    per-round adjudication notes appended over time."""
+    per-round adjudication notes appended over time. Warns on stderr
+    which blocks were carried vs skipped so a dropped paragraph is
+    loud, not silent."""
     txt = open(path).read()
-    # paragraphs = blank-line-separated blocks; keep note blocks that
-    # are not the r10 block this script already embeds
     notes = []
     for block in txt.split("\n\n"):
-        if re.match(r"^r\d+ ", block) and not block.startswith(
-                "r10 adjudication (`boilerplate_phrases`)"):
+        m = re.match(r"^(r\d+)\s", block)
+        if not m:
+            continue
+        tag = m.group(1)
+        head = block.strip().splitlines()[0][:70]
+        if tag in EMBEDDED_ROUNDS:
+            print(f"make_floor: skipping embedded {tag} block: {head}",
+                  file=sys.stderr)
+        else:
+            print(f"make_floor: carrying {tag} block: {head}",
+                  file=sys.stderr)
             notes.append(block.strip())
     return notes
 
