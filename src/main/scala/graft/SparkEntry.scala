@@ -570,6 +570,8 @@ object SparkEntry {
       ((s, d) => EventOps.kmSurvivalHorizons(events(s, d))),
     "type_assoc_rules" -> ((s, d) => EventOps.typeAssocRules(events(s, d))),
     "bpe_train_rounds" -> ((s, d) => DocOps.bpeTrainRounds(documents(s, d))),
+    "bpe_tokenize_counts" ->
+      ((s, d) => DocOps.bpeTokenizeCounts(documents(s, d))),
     // ---- round-11 batch 12: growth/monitoring analytics ----
     "growth_accounting" -> ((s, d) => EventOps.growthAccounting(events(s, d))),
     "funnel_latency" -> ((s, d) => EventOps.funnelLatency(events(s, d))),
@@ -3236,6 +3238,7 @@ object SparkEntry {
         "FROM p JOIN m ma ON ma.event_type = p.antecedent " +
         "JOIN m mc ON mc.event_type = p.consequent CROSS JOIN tot"),
     "bpe_train_rounds" -> bpeTrainSql(3),
+    "bpe_tokenize_counts" -> bpeTokenizeSql(3),
     // Mirrors EventOps.growthAccounting: per-user lag over the
     // distinct (user, day) frame, exact BIGINT counts, churn from the
     // reconciliation identity churned(d) = active(d-1) - retained(d).
@@ -3470,6 +3473,42 @@ object SparkEntry {
     * with (count DESC, pair ASC) tie-break, gaps-and-islands odd-rank
     * greedy non-overlap merge, position renumbering. */
   private def bpeTrainSql(rounds: Int): String = {
+    val mg = (1 to rounds).map { r =>
+      s"SELECT $r AS round, bx AS sym1, b_y AS sym2, cnt AS pair_count, " +
+        s"n_merged FROM b$r CROSS JOIN ap$r"
+    }.mkString(" UNION ALL ")
+    bpeCtePrefix(rounds) +
+      s"mg AS ($mg), " +
+      "it AS (SELECT CAST(sum(freq) AS BIGINT) AS total0 FROM s0) " +
+      "SELECT round, sym1, sym2, pair_count, n_merged, " +
+      "total0 - CAST(sum(n_merged) OVER (ORDER BY round ASC " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS corpus_symbols_after " +
+      "FROM mg CROSS JOIN it"
+  }
+
+  /** DuckDB mirror of [[graft.ops.DocOps.bpeTokenizeCounts]]: the
+    * train chain's end-of-round-`rounds` symbol frame `s{rounds}` IS
+    * the tokenization of every trained word (apply replays the same
+    * merges in the same order), so per-word token counts come
+    * straight off it; single-letter words fall outside the
+    * length>=2 vocabulary and tokenize to themselves —
+    * `coalesce(word_tokens, 1)` on the doc-word left join. */
+  private def bpeTokenizeSql(rounds: Int): String =
+    bpeCtePrefix(rounds) +
+      "dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), " +
+      "'[a-z]+')) AS word FROM documents), " +
+      s"tw AS (SELECT word, CAST(count(*) AS BIGINT) AS word_tokens " +
+      s"FROM s$rounds GROUP BY 1) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, " +
+      "CAST(sum(coalesce(tw.word_tokens, 1)) AS BIGINT) AS n_tokens_bpe, " +
+      "CAST(sum(length(dw.word)) AS BIGINT) AS n_tokens_char " +
+      "FROM dw LEFT JOIN tw USING (word) GROUP BY 1 ORDER BY doc_id"
+
+  /** Shared CTE prefix of [[bpeTrainSql]]/[[bpeTokenizeSql]]: the
+    * vocab, the character split `s0`, and one
+    * stats→argmax→gaps-and-islands merge block per round producing
+    * `s1..s{rounds}`. */
+  private def bpeCtePrefix(rounds: Int): String = {
     val base =
       "WITH v AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM " +
         "(SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word " +
@@ -3506,17 +3545,7 @@ object SparkEntry {
         s"LEFT JOIN ab$r a ON a.word = m.word AND a.pos = m.pos) " +
         "WHERE absorbed IS NULL), "
     }.mkString
-    val mg = (1 to rounds).map { r =>
-      s"SELECT $r AS round, bx AS sym1, b_y AS sym2, cnt AS pair_count, " +
-        s"n_merged FROM b$r CROSS JOIN ap$r"
-    }.mkString(" UNION ALL ")
-    base + roundCtes +
-      s"mg AS ($mg), " +
-      "it AS (SELECT CAST(sum(freq) AS BIGINT) AS total0 FROM s0) " +
-      "SELECT round, sym1, sym2, pair_count, n_merged, " +
-      "total0 - CAST(sum(n_merged) OVER (ORDER BY round ASC " +
-      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS corpus_symbols_after " +
-      "FROM mg CROSS JOIN it"
+    base + roundCtes
   }
 
   private def winnowSelCte(k: Int, w: Int): String = {

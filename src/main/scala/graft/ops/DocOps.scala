@@ -1603,6 +1603,94 @@ object DocOps {
           .as("corpus_symbols_after"))
   }
 
+  /** BPE tokenizer APPLY — one learned merge rewritten into an
+    * unweighted `(word, pos, sym)` symbol frame. This is
+    * [[bpeTrainRounds]] step 3 (greedy leftmost-non-overlap
+    * gaps-and-islands) with the pair FIXED instead of argmaxed and no
+    * `freq` weighting: apply is per-distinct-word, so occurrence
+    * counts are irrelevant until the doc join. Kept separate from the
+    * trainer's `mergeRound` on purpose — that closure also produces
+    * the per-round merge row and threads `freq`, and sharing a core
+    * would couple the hash-gated trainer to apply-side changes. */
+  def bpeApplyMerge(seqs: DataFrame, sym1: String, sym2: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wm = Window.partitionBy("word").orderBy("pos")
+    val withNext = seqs.withColumn("sym2", lead(col("sym"), 1).over(wm))
+    val kept = withNext
+      .filter(col("sym") === lit(sym1) && col("sym2") === lit(sym2))
+      .withColumn("island", col("pos") - row_number().over(wm))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("word", "island").orderBy("pos")))
+      .filter(col("rk") % 2 === 1)
+      .select(col("word"), col("pos"), lit(true).as("kept"))
+    val absorbed = kept.select(col("word"), (col("pos") + 1L).as("pos"),
+      lit(true).as("absorbed"))
+    withNext
+      .join(kept, Seq("word", "pos"), "left")
+      .join(absorbed, Seq("word", "pos"), "left")
+      .filter(col("absorbed").isNull)
+      .select(col("word"), col("pos"),
+        when(col("kept"), concat(col("sym"), col("sym2")))
+          .otherwise(col("sym")).as("sym"))
+      .withColumn("npos", (row_number().over(wm) - 1).cast("long"))
+      .select(col("word"), col("npos").as("pos"), col("sym"))
+  }
+
+  /** Tokenize arbitrary words (including held-out ones the trainer
+    * never saw) under an ordered merge list: split to characters,
+    * then apply each merge once in learned order — the classic
+    * Sennrich apply, identical to what training itself does to its
+    * vocabulary, so a trained word tokenizes to exactly its
+    * end-of-training symbol sequence. Returns `(word, pos, sym)`.
+    *
+    * localCheckpoint per merge for the same lineage reason as the
+    * trainer: each round reads its input three times (marks, absorbed,
+    * rebuild) and feeds the next. */
+  def bpeApplyMerges(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var seqs = words.select(col("word"),
+        posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+      .withColumn("pos", col("pos").cast("long"))
+      .localCheckpoint()
+    for ((a, b) <- merges)
+      seqs = bpeApplyMerge(seqs, a, b).localCheckpoint()
+    seqs
+  }
+
+  /** The step that makes [[bpeTrainRounds]] useful: train `rounds`
+    * merges on the corpus, then ENCODE the corpus with them — per-doc
+    * token counts under the trained vocab (`n_tokens_bpe`) next to
+    * the pre-merge character count (`n_tokens_char`), whose gap is
+    * the compression the learned merges bought.
+    *
+    * Scale shape: vocabulary-first like the trainer — merges apply to
+    * the DISTINCT word set (Heaps' law keeps it ≪ corpus tokens) and
+    * fan back to docs through one `word`-keyed join of per-word token
+    * counts; the merge list itself is a ≤`rounds`-row driver collect,
+    * a bounded index artifact like the IVF centroid cache, NOT a
+    * data-sized collect. Words the [a-z]{2,} trainer vocabulary
+    * excludes (single letters) pass through apply unchanged — no
+    * pair ever matches inside a 1-symbol sequence. */
+  def bpeTokenizeCounts(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val merges = bpeTrainRounds(docs, rounds)
+      .select("round", "sym1", "sym2").orderBy("round")
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)))
+      .toSeq
+    val docWords = docs.select(col("doc_id"),
+      explode(regexp_extract_all(
+        lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
+    val perWord = bpeApplyMerges(docWords.select("word").distinct(), merges)
+      .groupBy("word").agg(count(lit(1)).as("word_tokens"))
+    docWords.join(perWord, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum("word_tokens").as("n_tokens_bpe"),
+        sum(length(col("word")).cast("long")).as("n_tokens_char"))
+      .orderBy(col("doc_id").asc)
+  }
+
   /** Greedy sequence packing for LLM pretraining: per source, docs are
     * laid head-to-tail in (n_tokens DESC, doc_id) order into fixed
     * `seqLen`-token training sequences, documents straddling sequence

@@ -204,6 +204,38 @@ class ExactArithmeticSpec extends SparkSpec {
       3 -> (("aa", "a", 2L, 2L, 6L))), got)
   }
 
+  test("bpeApplyMerges: held-out word gets sub-word tokens, in order") {
+    // The merges the fixture corpus above learns, applied to a word
+    // the trainer never saw. b-a-n-a-n-a-a-a (8 chars):
+    //  (a,a): marks at pos 5,6 — one island, odd rank merges pos 5
+    //         -> b a n a n aa a
+    //  (a,n): non-adjacent marks at 1,3 — both merge -> b an an aa a
+    //  (aa,a): -> b an an aaa
+    // 4 sub-word tokens, NOT the 1 token whitespace tokenization
+    // yields and not the 8-char split.
+    val got = DocOps.bpeApplyMerges(
+      Seq("bananaaa").toDF("word"),
+      Seq(("a", "a"), ("a", "n"), ("aa", "a")))
+      .orderBy("pos").as[(String, Long, String)].collect()
+      .map(_._3).toSeq
+    assert(got == Seq("b", "an", "an", "aaa"), got)
+  }
+
+  test("bpeTokenizeCounts: per-doc counts under the trained merges") {
+    // Same corpus as the trainer fixture. End-of-training vocab:
+    // aaa -> [aaa] (1 token), banana -> [b, an, an, a] (4 tokens).
+    val docs = Seq(
+      (1L, "aaa aaa", "s"), (2L, "banana", "s"),
+    ).toDF("doc_id", "text", "source")
+    val got = DocOps.bpeTokenizeCounts(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens_bpe"),
+          r.getAs[Long]("n_tokens_char")))).toMap
+    assert(got == Map(
+      1L -> ((2L, 2L, 6L)),
+      2L -> ((1L, 4L, 6L))), got)
+  }
+
   test("growthAccounting: new/retained/resurrected/churned reconcile") {
     // u1: d1,d2,d4 (resurrects on d4); u2: d1 only (churns on d2);
     // u3: d3,d4 (new on d3, retained d4)
