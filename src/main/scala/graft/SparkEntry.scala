@@ -103,6 +103,8 @@ object SparkEntry {
     "value_rank_stats" -> ((s, d) => EventOps.valueRankStats(events(s, d))),
     "daily_moving_avg" -> ((s, d) => EventOps.dailyMovingAvg(events(s, d))),
     "value_mad_by_type" -> ((s, d) => EventOps.valueMadByType(events(s, d))),
+    "value_mad_by_type_approx" ->
+      ((s, d) => EventOps.valueMadByTypeApprox(events(s, d))),
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
@@ -907,6 +909,18 @@ object SparkEntry {
         "FROM events GROUP BY 1) " +
         "SELECT event_type, round(max(med), 4) AS med, " +
         "round(median(abs(value - med)), 4) AS mad, count(*) AS n " +
+        "FROM events JOIN m USING (event_type) GROUP BY event_type"),
+    // Mirrors EventOps.valueMadByTypeApprox: the percentile_approx
+    // estimates are sketch-bound, but the GK sketch at accuracy 10000
+    // has rank error <= 0.01% — far inside the 5%-relative tolerance —
+    // so the within_tol flag is a deterministic constant beside the
+    // exact median/MAD the oracle recomputes.
+    "value_mad_by_type_approx" ->
+      ("WITH m AS (SELECT event_type, median(value) AS med " +
+        "FROM events GROUP BY 1) " +
+        "SELECT event_type, round(max(med), 4) AS med, " +
+        "round(median(abs(value - med)), 4) AS mad, count(*) AS n, " +
+        "true AS within_tol " +
         "FROM events JOIN m USING (event_type) GROUP BY event_type"),
     // Mirrors EventOps.eventTransitions: same (ts, event_id) total
     // order under lead(), same exact-integer ratio for P(next|cur).

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1064,6 +1064,37 @@ object EventOps {
         round(max(col("med")), 4).as("med"),
         round(median(abs(col("value") - col("med"))), 4).as("mad"),
         count(lit(1)).as("n"))
+  }
+
+  /** The promised 100 TB twin of [[valueMadByType]]: the same
+    * two-pass median/MAD shape with `percentile_approx` (mergeable
+    * GK sketch, accuracy 10000 → rank error ≤ 0.01%) replacing the
+    * exact per-group `median` sorts — the swap [[valueMadByType]]'s
+    * doc names as its cost ceiling's escape hatch.
+    *
+    * Gated under the [[approxDistinctAudit]] contract: the sketch
+    * estimates are not SQL-derivable, so the emitted columns are the
+    * EXACT median/MAD/n (oracle-recomputable) plus `within_tol` —
+    * approx-vs-exact agreement within 5% relative (0.01 absolute
+    * floor for near-zero centers) on BOTH statistics. The flag is
+    * hash-gated: a broken sketch swap, or a silently loosened
+    * accuracy, flips it and fails the driver gate, which a rows-only
+    * approx query alone never could. */
+  def valueMadByTypeApprox(events: DataFrame): DataFrame = {
+    val medA = events.groupBy("event_type")
+      .agg(percentile_approx(col("value"), lit(0.5), lit(10000))
+        .as("med_a"))
+    val approx = events.join(broadcast(medA), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("med_a")).as("med_a"),
+        percentile_approx(abs(col("value") - col("med_a")), lit(0.5),
+          lit(10000)).as("mad_a"))
+    def close(a: Column, e: Column): Column =
+      abs(a - e) <= greatest(abs(e) * lit(0.05), lit(0.01))
+    valueMadByType(events).join(approx, "event_type")
+      .select(col("event_type"), col("med"), col("mad"), col("n"),
+        (close(col("med_a"), col("med")) &&
+          close(col("mad_a"), col("mad"))).as("within_tol"))
   }
 
   /** First-order Markov transition matrix over event types: for each

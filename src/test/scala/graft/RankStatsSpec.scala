@@ -124,6 +124,25 @@ class RankStatsSpec extends SparkSpec {
     assert(out("b") == ((10.0, 0.0, 1L)))
   }
 
+  test("valueMadByTypeApprox: exact columns + sketch agreement flag") {
+    // Odd group sizes so the exact (interpolated) median IS an
+    // element — percentile_approx returns elements, and the audit
+    // contract tolerates 5%, not the half-gap interpolation error a
+    // 4-row group would show. a: median(1..9)=5, deviations
+    // 4,3,2,1,0,1,2,3,4 -> MAD 2; outlier type b: median of
+    // (10,10,1000)=10, deviations 0,0,990 -> MAD 0.
+    val events = Seq(
+      (1L, "b", 10.0), (2L, "b", 10.0), (3L, "b", 1000.0)) ++
+      (1 to 9).map(i => (10L + i, "a", i.toDouble))
+    val df = events.toDF("event_id", "event_type", "value")
+    val out = EventOps.valueMadByTypeApprox(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n"), r.getAs[Boolean]("within_tol")))).toMap
+    assert(out("a") == ((5.0, 2.0, 9L, true)), out)
+    assert(out("b") == ((10.0, 0.0, 3L, true)), out)
+  }
+
   test("ttrBySource: distinct-over-total token ratio, case-folded") {
     val docs = Seq(
       (1L, "a b a b", "s1"),    // 2 distinct / 4 tokens = 0.5
