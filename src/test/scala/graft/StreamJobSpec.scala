@@ -219,6 +219,69 @@ class StreamJobSpec extends SparkSpec {
     assert(blobDirs.sorted.toSeq == Seq("b0", "b1"), blobDirs.mkString(","))
   }
 
+  test("incremental near-dup sink: streamed ≡ batch recompute, replay-safe") {
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the rain in spain falls mainly on the plain every day"
+    val nearDup = base.replace("every day", "each morning")
+    val nearDup2 = base.replace("quick brown", "swift brown")
+    val unrelated =
+      "completely different content about database engines and query " +
+        "optimization with columnar storage and vectorized execution"
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val store = new StreamJob.NearDupStore(spark, dir)
+    val b0 = Seq((0L, base), (2L, unrelated), (3L, base))
+    val b1 = Seq((10L, nearDup),
+      (11L, "fresh shard content with nothing in common at all here"))
+    // batch 2 re-delivers doc 3 (at-least-once) + one genuinely new doc
+    val b2 = Seq((3L, base), (20L, nearDup2))
+    val q = StreamJob.startIncrementalNearDups(docs, store, ckpt)
+    try {
+      Seq(b0, b1, b2).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    def pairs(df: DataFrame) = df
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val got = pairs(store.readPairs().get)
+    // the known old↔new pairs are present, and doc 3's re-delivery did
+    // not pair it against its own first copy
+    assert(got.exists(p => (p._1, p._2) == ((0L, 10L))) &&
+      got.exists(p => (p._1, p._2) == ((3L, 10L))), got.toString)
+    // streamed accumulation ≡ the same splits replayed in batch mode
+    // (re-sent doc 3 removed from batch 2, as the sink's anti-join does)
+    def df(s: Seq[(Long, String)]) = s.toDF("doc_id", "text")
+    val batchLoop =
+      pairs(ops.DedupOps.incrementalNearDups(df(b0).limit(0), df(b0))) ++
+        pairs(ops.DedupOps.incrementalNearDups(df(b0), df(b1))) ++
+        pairs(ops.DedupOps.incrementalNearDups(df(b0 ++ b1),
+          df(Seq((20L, nearDup2)))))
+    assert(got == batchLoop, s"got $got\nbatch $batchLoop")
+    // and ≡ one full from-scratch recompute over every distinct doc
+    val full = pairs(ops.DedupOps.minhashNearDups(df(b0 ++ b1 :+
+      ((20L, nearDup2)))))
+    assert(got == full, s"got $got\nfull $full")
+    // the stored corpus holds each doc once despite the re-delivery
+    val ids = store.readDocs().get.select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 2L, 3L, 10L, 11L, 20L), ids.toString)
+    assert(store.lastBatchId() == 2L)
+
+    // checkpoint replay: restart with no new data — guard holds, the
+    // snapshot is untouched, retention keeps current + superseded only
+    val q2 = StreamJob.startIncrementalNearDups(docs, store, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(store.lastBatchId() == 2L && pairs(store.readPairs().get) == got)
+    val versions = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+      .map(_.getName).toSet
+    assert(versions == Set("v1", "v2"), versions.toString)
+  }
+
   test("windowedCountsNative: watermarked update-mode totals") {
     val input = MemoryStream[String](spark)
     val prepared = StreamJob.prepare(
