@@ -293,4 +293,39 @@ object AggOps {
       .withColumn("segment", concat(col("r_score").cast("string"),
         col("f_score").cast("string"), col("m_score").cast("string")))
   }
+
+  /** Smoothed target encoding — the leakage-aware categorical
+    * feature every tabular training pipeline ships: per category c
+    * with n_c rows and positive count k_c, the encoded value is the
+    * empirical-Bayes shrink `(k_c + m·prior) / (n_c + m)` toward the
+    * global positive rate, so rare categories collapse to the prior
+    * instead of memorizing noise (m = equivalent prior sample size).
+    *
+    * Driven here over orders: category = o_orderpriority, target =
+    * "the order contains a returned lineitem" (l_returnflag 'R') —
+    * label derivation is a distinct on the filtered lineitem side,
+    * then one orderkey-equi-join; the encode itself aggregates to
+    * |categories| rows, with the 1-row global total broadcast back.
+    * All ratios are exact-integer counts cast to DOUBLE at fixed
+    * points, operand order pinned, one terminal round — the
+    * hash-gate convention. */
+  def targetEncodePriority(orders: DataFrame, li: DataFrame,
+      m: Int = 20): DataFrame = {
+    val returned = li.filter(col("l_returnflag") === lit("R"))
+      .select(col("l_orderkey").as("o_orderkey")).distinct()
+      .withColumn("is_ret", lit(1L))
+    val per = orders.join(returned, Seq("o_orderkey"), "left")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(coalesce(col("is_ret"), lit(0L))).as("n_ret"))
+    val tot = per.agg(sum("n").as("n_tot"), sum("n_ret").as("ret_tot"))
+    val prior = col("ret_tot").cast("double") / col("n_tot").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("o_orderpriority"), col("n"), col("n_ret"),
+        round(prior, 6).as("prior"),
+        round((col("n_ret").cast("double") + lit(m.toDouble) * prior) /
+          (col("n").cast("double") + lit(m.toDouble)), 6)
+          .as("enc_smoothed"))
+      .orderBy(col("o_orderpriority").asc)
+  }
 }
