@@ -263,13 +263,13 @@ object AggOps {
     * semantics — the activityLorenzDeciles precedent).
     *
     * Shape: one customer-collapse aggregation, then three quintile
-    * cuts via [[RankOps.globalNtile]]'s two-level prefix-sum rank —
-    * the customer frame GROWS with the data, so a flat
+    * cuts via [[RankOps.globalNtileMulti]]'s two-level prefix-sum rank
+    * — the customer frame GROWS with the data, so a flat
     * `Window.orderBy` (one task sorting every customer) is the wrong
     * plan at the 100 TB north star; each score is exact-rank
     * arithmetic over range-bucketed partial sorts instead, and the
-    * three chained cuts replay linearly (RankOps materializes each
-    * level once). Descending cuts pass the negated key as the bucket
+    * three cuts share ONE materialization of the collapsed frame and
+    * one stats pass. Descending cuts pass the negated key as the bucket
     * key (truncation toward zero preserves the weak monotonicity the
     * bucketing needs; the intra-bucket order uses the full DECIMAL). */
   def rfmSegments(orders: DataFrame): DataFrame = {
@@ -281,12 +281,17 @@ object AggOps {
           .cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(Num.dec2(col("o_totalprice"))).as("mon"))
-    val r5 = RankOps.globalNtile(per, col("recency_days"),
-      Seq(col("recency_days").asc, col("o_custkey").asc), 5, "r_score")
-    val f5 = RankOps.globalNtile(r5, -col("frequency"),
-      Seq(col("frequency").desc, col("o_custkey").asc), 5, "f_score")
-    val m5 = RankOps.globalNtile(f5, -col("mon"),
-      Seq(col("mon").desc, col("o_custkey").asc), 5, "m_score")
+    // One materialization for all three cuts (they rank the SAME
+    // collapsed customer frame): the chained-globalNtile form
+    // localCheckpointed it three times — the r12 verdict's largest
+    // self-inflicted rank regression.
+    val m5 = RankOps.globalNtileMulti(per, "o_custkey", Seq(
+      RankOps.NtileCut(col("recency_days"),
+        Seq(col("recency_days").asc, col("o_custkey").asc), 5, "r_score"),
+      RankOps.NtileCut(-col("frequency"),
+        Seq(col("frequency").desc, col("o_custkey").asc), 5, "f_score"),
+      RankOps.NtileCut(-col("mon"),
+        Seq(col("mon").desc, col("o_custkey").asc), 5, "m_score")))
     m5.select(col("o_custkey"), col("recency_days"), col("frequency"),
         round(col("mon"), 2).cast("double").as("monetary"),
         col("r_score"), col("f_score"), col("m_score"))

@@ -88,33 +88,90 @@ object RankOps {
          |       ($rank - 1 - ($n % $q) * (($n div $q) + 1)) div ($n div $q)
          |END + 1 AS INT)""".stripMargin)
 
+  /** One quintile/decile cut for [[globalNtileMulti]]: the bucket key
+    * (monotone non-decreasing in `order`, non-null), the total order,
+    * the tile count and the output column name. */
+  final case class NtileCut(bucketKey: Column, order: Seq[Column],
+      q: Int, tileName: String)
+
+  /** Several ntile cuts over the SAME entity frame with ONE
+    * materialization — the RFM shape: three chained [[globalNtile]]
+    * calls each localCheckpoint their input, but all three rank the
+    * same collapsed customer frame. Here the frame is checkpointed
+    * once, one stats job covers every cut's key (min/max/null-count),
+    * and each cut is an independent bucket-window + broadcast-offset
+    * pass whose (key, tile) result joins back on `keyName`.
+    *
+    * Contract: `keyName` is unique per row (it is the entity the
+    * frame was collapsed to), so the join-back is 1:1. */
+  def globalNtileMulti(df: DataFrame, keyName: String,
+      cuts: Seq[NtileCut], targetBuckets: Long = 4096L): DataFrame = {
+    require(cuts.nonEmpty, "globalNtileMulti needs at least one cut")
+    cuts.foreach(c => require(c.q > 0,
+      s"ntile bucket count must be positive, got ${c.q} for ${c.tileName}"))
+    val bk = cuts.indices.map(i => s"__gr_key_$i")
+    val keyed = cuts.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(bk(i), c.bucketKey.cast("long"))
+    }
+    val base = keyed.localCheckpoint()
+    val aggs = count(lit(1)).as("__gr_n") +: cuts.indices.flatMap(i => Seq(
+      min(col(bk(i))).as(s"__gr_lo_$i"), max(col(bk(i))).as(s"__gr_hi_$i"),
+      count(when(col(bk(i)).isNull, lit(1))).as(s"__gr_nulls_$i")))
+    val st = base.agg(aggs.head, aggs.tail: _*).head()
+    val nTotal = st.getLong(0)
+    if (nTotal == 0L) {
+      return cuts.foldLeft(base.drop(bk: _*)) { (d, c) =>
+        d.withColumn(c.tileName, lit(1).cast("int"))
+      }
+    }
+    val out = cuts.zipWithIndex.foldLeft(base) { case (acc, (c, i)) =>
+      val nulls = st.getLong(3 + 3 * i)
+      require(nulls == 0L, s"globalNtileMulti(${c.tileName}): $nulls rows " +
+        "have a NULL bucket key — the non-null contract would silently " +
+        "drop them from the rank")
+      val (lo, width) =
+        loAndWidth(st.getLong(1 + 3 * i), st.getLong(2 + 3 * i), targetBuckets)
+      val r = s"__gn_rank_$i"
+      val tiles = rankOnMaterialized(base, bk(i), lo, width, c.order, r)
+        .withColumn(c.tileName, ntileFromRank(r, nTotal.toString, c.q))
+        .select(col(keyName), col(c.tileName))
+      acc.join(tiles, Seq(keyName))
+    }
+    out.drop(bk: _*)
+  }
+
   private val BKey = "__gr_bucket"
   private val NKey = "__gr_n_total"
 
-  /** The shared core: returns the input with `rankName` (exact global
-    * rank, LONG) and [[NKey]] (total row count, LONG) appended. */
-  private def withRank(df: DataFrame, bucketKey: Column,
-      order: Seq[Column], rankName: String,
-      targetBuckets: Long): DataFrame = {
-    // Materialize the collapsed frame once: stats, intra ranks and
-    // bucket totals each read it, and chained calls would otherwise
-    // replay the whole upstream lineage geometrically.
-    val base = df.withColumn(BKey, bucketKey.cast("long"))
-      .localCheckpoint()
-    val st = base.agg(min(col(BKey)), max(col(BKey)),
-      count(lit(1))).head()
-    if (st.isNullAt(0)) {
-      // Empty input (the non-null key contract rules out all-null):
-      // emit the empty frame with the rank column in place.
-      return base.withColumn(rankName, lit(1L))
-        .withColumn(NKey, lit(0L)).drop(BKey)
-    }
-    val lo = st.getLong(0)
-    val span = st.getLong(1) - lo + 1L
-    val width = math.max(1L, (span + targetBuckets - 1L) / targetBuckets)
-    val nTotal = st.getLong(2)
+  /** Overflow-checked bucket geometry: a key range wider than half the
+    * Long domain (hash- or epoch-micro-derived keys) would wrap the
+    * span subtraction and silently break bucket monotonicity — fail
+    * loudly instead (ADVICE r12). */
+  private def loAndWidth(lo: Long, hi: Long,
+      targetBuckets: Long): (Long, Long) = {
+    val span =
+      try Math.addExact(Math.subtractExact(hi, lo), 1L)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"globalRank bucket key range [$lo, $hi] overflows Long span " +
+            "arithmetic — narrow the key (hash/epoch-micro keys must be " +
+            "bucketed into a bounded domain first)")
+      }
+    // ceil-divide without the (span + targetBuckets − 1) overflow a
+    // near-Long.MaxValue span would hit
+    val width = span / targetBuckets + (if (span % targetBuckets == 0L) 0L else 1L)
+    (lo, math.max(1L, width))
+  }
+
+  /** The per-cut core over an already-materialized frame: range-bucket
+    * by `(bkeyCol − lo) div width`, intra-bucket row_number, exclusive
+    * prefix-sum of per-bucket counts (≤ targetBuckets + 1 rows — the
+    * one bounded serial window), broadcast the offsets back. */
+  private def rankOnMaterialized(base: DataFrame, bkeyCol: String,
+      lo: Long, width: Long, order: Seq[Column],
+      rankName: String): DataFrame = {
     val bucketed = base
-      .withColumn(BKey, expr(s"($BKey - ${lo}L) div ${width}L"))
+      .withColumn(BKey, expr(s"($bkeyCol - ${lo}L) div ${width}L"))
     val intra = bucketed.withColumn("__gr_intra",
       row_number().over(
         Window.partitionBy(BKey).orderBy(order: _*)).cast("long"))
@@ -129,7 +186,36 @@ object RankOps {
       .select(col(BKey), col("__gr_offset"))
     intra.join(broadcast(offsets), Seq(BKey))
       .withColumn(rankName, col("__gr_offset") + col("__gr_intra"))
-      .withColumn(NKey, lit(nTotal))
       .drop(BKey, "__gr_intra", "__gr_offset")
+  }
+
+  /** The shared core: returns the input with `rankName` (exact global
+    * rank, LONG) and [[NKey]] (total row count, LONG) appended. */
+  private def withRank(df: DataFrame, bucketKey: Column,
+      order: Seq[Column], rankName: String,
+      targetBuckets: Long): DataFrame = {
+    // Materialize the collapsed frame once: stats, intra ranks and
+    // bucket totals each read it, and chained calls would otherwise
+    // replay the whole upstream lineage geometrically.
+    val base = df.withColumn(BKey + "_in", bucketKey.cast("long"))
+      .localCheckpoint()
+    val st = base.agg(min(col(BKey + "_in")), max(col(BKey + "_in")),
+      count(lit(1)),
+      count(when(col(BKey + "_in").isNull, lit(1)))).head()
+    val nTotal = st.getLong(2)
+    if (nTotal == 0L) {
+      // Genuinely empty input: emit the empty frame with the rank
+      // column in place.
+      return base.withColumn(rankName, lit(1L))
+        .withColumn(NKey, lit(0L)).drop(BKey + "_in")
+    }
+    val nulls = st.getLong(3)
+    require(nulls == 0L, s"globalRank($rankName): $nulls rows have a " +
+      "NULL bucket key — the non-null contract would silently drop " +
+      "them from the rank")
+    val (lo, width) = loAndWidth(st.getLong(0), st.getLong(1), targetBuckets)
+    rankOnMaterialized(base, BKey + "_in", lo, width, order, rankName)
+      .withColumn(NKey, lit(nTotal))
+      .drop(BKey + "_in")
   }
 }

@@ -53,6 +53,78 @@ class RankOpsSpec extends SparkSpec {
       flat.select("id", "t").except(two.select("id", "t")).isEmpty)
   }
 
+  test("globalNtileMulti: three cuts over one frame match three flat ntiles") {
+    val flat = fx
+      .withColumn("a", ntile(5).over(Window.orderBy(col("v").asc, col("id").asc)))
+      .withColumn("b", ntile(4).over(Window.orderBy(col("v").desc, col("id").asc)))
+      .withColumn("c", ntile(7).over(Window.orderBy(col("m").desc, col("id").asc)))
+    val multi = RankOps.globalNtileMulti(fx, "id", Seq(
+      RankOps.NtileCut(col("v"), Seq(col("v").asc, col("id").asc), 5, "a"),
+      RankOps.NtileCut(-col("v"), Seq(col("v").desc, col("id").asc), 4, "b"),
+      RankOps.NtileCut(-col("m"), Seq(col("m").desc, col("id").asc), 7, "c")),
+      targetBuckets = 6L)
+    val cols = Seq("id", "a", "b", "c").map(col)
+    assert(multi.select(cols: _*).except(flat.select(cols: _*)).isEmpty &&
+      flat.select(cols: _*).except(multi.select(cols: _*)).isEmpty)
+    assert(multi.columns.sorted.toSeq ==
+      (fx.columns ++ Seq("a", "b", "c")).sorted.toSeq)
+  }
+
+  test("globalNtileMulti: empty input keeps schema, zero rows") {
+    val empty = fx.filter(col("id") < 0L)
+    val multi = RankOps.globalNtileMulti(empty, "id",
+      Seq(RankOps.NtileCut(col("v"), Seq(col("v").asc), 5, "t")))
+    assert(multi.columns.contains("t") && multi.count() === 0L)
+  }
+
+  test("NULL bucket keys fail loudly instead of silently dropping rows") {
+    val withNull = fx.withColumn("v",
+      when(col("id") === 7L, lit(null)).otherwise(col("v")))
+    val e1 = intercept[IllegalArgumentException] {
+      RankOps.globalRank(withNull, col("v"),
+        Seq(col("v").asc, col("id").asc), "r").count()
+    }
+    assert(e1.getMessage.contains("NULL bucket key"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      RankOps.globalNtileMulti(withNull, "id",
+        Seq(RankOps.NtileCut(col("v"), Seq(col("v").asc), 5, "t"))).count()
+    }
+    assert(e2.getMessage.contains("NULL bucket key"), e2.getMessage)
+  }
+
+  test("bucket key spanning more than the Long range fails loudly") {
+    val wide = Seq((1L, Long.MinValue), (2L, Long.MaxValue - 1L), (3L, 0L))
+      .toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      RankOps.globalRank(wide, col("v"), Seq(col("v").asc, col("id").asc), "r")
+        .count()
+    }
+    assert(e.getMessage.contains("overflows Long span"), e.getMessage)
+    // a span that FITS in Long (even one near Long.MaxValue) still
+    // ranks correctly — the guard is exact, not conservative, and the
+    // bucket-width ceil-divide must not overflow either
+    val ok = Seq((1L, 0L), (2L, Long.MaxValue - 1L), (3L, 5L))
+      .toDF("id", "v")
+    val r = RankOps.globalRank(ok, col("v"), Seq(col("v").asc, col("id").asc), "r")
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 3L -> 2L, 2L -> 3L), r.toString)
+  }
+
+  test("globalNtileMulti: one checkpoint for N cuts (the RFM trim)") {
+    // The point of the multi API: the collapsed frame is materialized
+    // once, not once per cut — assert exactly one localCheckpoint-
+    // backed scan (ExistingRDD / checkpointed RDD leaf) per cut plan
+    // all referencing the SAME RDD id.
+    val multi = RankOps.globalNtileMulti(fx, "id", Seq(
+      RankOps.NtileCut(col("v"), Seq(col("v").asc, col("id").asc), 5, "a"),
+      RankOps.NtileCut(-col("m"), Seq(col("m").desc, col("id").asc), 5, "b")))
+    val leaves = multi.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(leaves.nonEmpty && leaves.distinct.size == 1,
+      s"expected one shared checkpoint RDD, got ids $leaves")
+  }
+
   test("empty input yields empty output with the rank column in place") {
     val empty = fx.filter(col("id") < 0L)
     val r = RankOps.globalRank(empty, col("v"), Seq(col("v").asc), "r")
