@@ -582,6 +582,8 @@ object SparkEntry {
     "hazard_by_tenure" -> ((s, d) => EventOps.hazardByTenure(events(s, d))),
     "forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(events(s, d))),
     "rfm_segments" -> ((s, d) => AggOps.rfmSegments(orders(s, d))),
+    "target_encode_priority" -> ((s, d) =>
+      AggOps.targetEncodePriority(orders(s, d), lineitem(s, d))),
     "constraint_suggestions" ->
       ((s, d) => ProfileOps.constraintSuggestions(events(s, d))),
     "cooccurrence_communities" ->
@@ -3420,6 +3422,25 @@ object SparkEntry {
         "r_score, f_score, m_score, " +
         "CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || " +
         "CAST(m_score AS VARCHAR) AS segment FROM s"),
+    // Mirrors AggOps.targetEncodePriority: exact BIGINT counts into
+    // two pinned-operand-order doubles, the UNROUNDED prior feeding
+    // the smoothed encode, one terminal round(…, 6) on each.
+    "target_encode_priority" ->
+      ("WITH ret AS (SELECT DISTINCT l_orderkey AS o_orderkey " +
+        "FROM lineitem WHERE l_returnflag = 'R'), " +
+        "per AS (SELECT o_orderpriority, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN ret.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_ret " +
+        "FROM orders LEFT JOIN ret USING (o_orderkey) GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot, " +
+        "CAST(sum(n_ret) AS BIGINT) AS ret_tot FROM per) " +
+        "SELECT o_orderpriority, n, n_ret, " +
+        "round(CAST(ret_tot AS DOUBLE) / CAST(n_tot AS DOUBLE), 6) AS prior, " +
+        "round((CAST(n_ret AS DOUBLE) + 20.0 * " +
+        "(CAST(ret_tot AS DOUBLE) / CAST(n_tot AS DOUBLE))) / " +
+        "(CAST(n AS DOUBLE) + 20.0), 6) AS enc_smoothed " +
+        "FROM per CROSS JOIN tot ORDER BY o_orderpriority ASC"),
     // Mirrors GraphOps.cooccurrenceCommunities: the term_cooccurrence
     // pair chain builds the edge set; three unrolled synchronous LPA
     // rounds, each one adjacency join + plurality argmax with the

@@ -378,4 +378,30 @@ class ExactArithmeticSpec extends SparkSpec {
     // the point — CC would report one 6-node component)
     assert(got == Map("a" -> 3L, "c" -> 3L), got)
   }
+
+  test("targetEncodePriority: rare category shrinks to prior, m=0 is the raw rate") {
+    import graft.ops.AggOps
+    // A: 3 orders, 1 returned; B: 1 order, 1 returned. prior = 2/4 = 0.5.
+    // lineitem re-lists order 1's return twice — the distinct must
+    // collapse it to one label, and order 2's 'N' line is not a return.
+    val orders = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "B"))
+      .toDF("o_orderkey", "o_orderpriority")
+    val li = Seq((1L, "R"), (1L, "R"), (2L, "N"), (4L, "R"))
+      .toDF("l_orderkey", "l_returnflag")
+    val smoothed = AggOps.targetEncodePriority(orders, li, m = 20)
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_ret"),
+          r.getAs[Double]("prior"), r.getAs[Double]("enc_smoothed")))).toMap
+    // enc_A = (1 + 20·0.5)/(3 + 20) = 11/23 → 0.478261 (raw rate 1/3);
+    // enc_B = 11/21 → 0.52381: the rare category lands NEAR the prior
+    // 0.5 instead of its raw rate 1.0 — the anti-memorization point.
+    assert(smoothed == Map(
+      "A" -> ((3L, 1L, 0.5, 0.478261)),
+      "B" -> ((1L, 1L, 0.5, 0.52381))), smoothed)
+    // m = 0 disables shrinkage: the encode is the raw per-category rate
+    val raw = AggOps.targetEncodePriority(orders, li, m = 0)
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        r.getAs[Double]("enc_smoothed")).toMap
+    assert(raw == Map("A" -> 0.333333, "B" -> 1.0), raw)
+  }
 }
