@@ -105,6 +105,10 @@ object SparkEntry {
     "value_mad_by_type" -> ((s, d) => EventOps.valueMadByType(events(s, d))),
     "value_mad_by_type_approx" ->
       ((s, d) => EventOps.valueMadByTypeApprox(events(s, d))),
+    // production sketch-only path (no exact sorts) — rows-only by
+    // nature; its hash gate is the paired value_mad_by_type_approx
+    "value_mad_by_type_approx_only" ->
+      ((s, d) => EventOps.valueMadByTypeApproxOnly(events(s, d))),
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
@@ -913,10 +917,13 @@ object SparkEntry {
         "round(median(abs(value - med)), 4) AS mad, count(*) AS n " +
         "FROM events JOIN m USING (event_type) GROUP BY event_type"),
     // Mirrors EventOps.valueMadByTypeApprox: the percentile_approx
-    // estimates are sketch-bound, but the GK sketch at accuracy 10000
-    // has rank error <= 0.01% — far inside the 5%-relative tolerance —
-    // so the within_tol flag is a deterministic constant beside the
-    // exact median/MAD the oracle recomputes.
+    // estimates are sketch-bound, so the oracle recomputes the exact
+    // median/MAD and pins within_tol true — sound because the Spark
+    // side gates on the RANK property the GK sketch guarantees
+    // (rank within ε·n + 1-row cushion of the median rank, the MAD
+    // against the deviations-from-med_a multiset it actually ranks),
+    // which holds for EVERY value the sketch may legally return —
+    // heavy-tailed value gaps and partition/merge order cannot flip it.
     "value_mad_by_type_approx" ->
       ("WITH m AS (SELECT event_type, median(value) AS med " +
         "FROM events GROUP BY 1) " +

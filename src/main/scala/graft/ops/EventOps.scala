@@ -1066,35 +1066,60 @@ object EventOps {
         count(lit(1)).as("n"))
   }
 
-  /** The promised 100 TB twin of [[valueMadByType]]: the same
-    * two-pass median/MAD shape with `percentile_approx` (mergeable
-    * GK sketch, accuracy 10000 → rank error ≤ 0.01%) replacing the
-    * exact per-group `median` sorts — the swap [[valueMadByType]]'s
-    * doc names as its cost ceiling's escape hatch.
-    *
-    * Gated under the [[approxDistinctAudit]] contract: the sketch
-    * estimates are not SQL-derivable, so the emitted columns are the
-    * EXACT median/MAD/n (oracle-recomputable) plus `within_tol` —
-    * approx-vs-exact agreement within 5% relative (0.01 absolute
-    * floor for near-zero centers) on BOTH statistics. The flag is
-    * hash-gated: a broken sketch swap, or a silently loosened
-    * accuracy, flips it and fails the driver gate, which a rows-only
-    * approx query alone never could. */
-  def valueMadByTypeApprox(events: DataFrame): DataFrame = {
+  /** The promised 100 TB twin of [[valueMadByType]] — the PRODUCTION
+    * path: the same two-pass median/MAD shape with `percentile_approx`
+    * (mergeable GK sketch, accuracy 10000 → rank error ≤ 0.01%)
+    * replacing the exact per-group `median` sorts. No exact columns
+    * anywhere, so the swap is callable at 100 TB without per-group
+    * sorts; [[valueMadByTypeApprox]] is its hash-gated audit. */
+  def valueMadByTypeApproxOnly(events: DataFrame): DataFrame = {
     val medA = events.groupBy("event_type")
       .agg(percentile_approx(col("value"), lit(0.5), lit(10000))
         .as("med_a"))
-    val approx = events.join(broadcast(medA), "event_type")
+    events.join(broadcast(medA), "event_type")
       .groupBy("event_type")
       .agg(max(col("med_a")).as("med_a"),
         percentile_approx(abs(col("value") - col("med_a")), lit(0.5),
-          lit(10000)).as("mad_a"))
-    def close(a: Column, e: Column): Column =
-      abs(a - e) <= greatest(abs(e) * lit(0.05), lit(0.01))
-    valueMadByType(events).join(approx, "event_type")
+          lit(10000)).as("mad_a"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Audit gate for [[valueMadByTypeApproxOnly]], under the
+    * [[approxDistinctAudit]] contract: the sketch estimates are not
+    * SQL-derivable, so the emitted columns are the EXACT median/MAD/n
+    * (oracle-recomputable) plus `within_tol` — and the flag tests the
+    * property the GK sketch actually GUARANTEES (ADVICE r12): each
+    * returned value's RANK in its group sits within ε·n (+1 row of
+    * rounding cushion) of the median rank. A relative-VALUE tolerance
+    * would flip spuriously on heavy-tailed groups where adjacent
+    * ranks differ >5% in value, and percentile_approx results can
+    * legitimately vary with partition/merge order — but ANY value the
+    * guarantee admits passes the rank gate, so the flag is stable.
+    * The MAD gate checks `mad_a` against the deviations-from-`med_a`
+    * multiset (what the second sketch actually ranks), not
+    * deviations-from-exact-median. A broken sketch swap or silently
+    * loosened accuracy still flips the flag and fails the hash gate. */
+  def valueMadByTypeApprox(events: DataFrame): DataFrame = {
+    val eps = 1.0 / 10000
+    val approx = valueMadByTypeApproxOnly(events)
+      .select("event_type", "med_a", "mad_a")
+    val dev = abs(col("value") - col("med_a"))
+    val gates = events.join(broadcast(approx), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_g"),
+        sum(when(col("value") <= col("med_a"), 1L).otherwise(0L)).as("le_med"),
+        sum(when(col("value") < col("med_a"), 1L).otherwise(0L)).as("lt_med"),
+        sum(when(dev <= col("mad_a"), 1L).otherwise(0L)).as("le_mad"),
+        sum(when(dev < col("mad_a"), 1L).otherwise(0L)).as("lt_mad"))
+    def rankOk(le: Column, lt: Column): Column = {
+      val n = col("n_g").cast("double")
+      (le.cast("double") >= ceil((lit(0.5) - lit(eps)) * n) - lit(1.0)) &&
+        (lt.cast("double") <= floor((lit(0.5) + lit(eps)) * n) + lit(1.0))
+    }
+    valueMadByType(events).join(gates, "event_type")
       .select(col("event_type"), col("med"), col("mad"), col("n"),
-        (close(col("med_a"), col("med")) &&
-          close(col("mad_a"), col("mad"))).as("within_tol"))
+        (rankOk(col("le_med"), col("lt_med")) &&
+          rankOk(col("le_mad"), col("lt_mad"))).as("within_tol"))
   }
 
   /** First-order Markov transition matrix over event types: for each

@@ -143,6 +143,43 @@ class RankStatsSpec extends SparkSpec {
     assert(out("b") == ((10.0, 0.0, 3L, true)), out)
   }
 
+  test("valueMadByTypeApprox: rank gate holds on a heavy-tailed group " +
+      "where a 5%-value tolerance would flip") {
+    // Geometric values: adjacent ranks differ 10× in value, so ANY
+    // legal sketch answer fails a relative-VALUE comparison against
+    // the interpolated exact median — the ADVICE r12 spurious-red
+    // shape. The rank gate must stay true.
+    val heavy = (0 to 8).map(i => (i.toLong, "h", math.pow(10.0, i)))
+      .toDF("event_id", "event_type", "value")
+    val out = EventOps.valueMadByTypeApprox(heavy).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        r.getAs[Boolean]("within_tol")).toMap
+    assert(out == Map("h" -> true), out)
+    // and the gate is not vacuous: a forged "median" at the group max
+    // has strictly-below count 8 of 9, over the allowed ceiling
+    // floor((0.5 + ε)·9) + 1 = 5 — the audit arithmetic rejects it
+    val n = 9.0
+    val ltForged = 8.0 // values strictly below 1e8 in the fixture
+    assert(ltForged > math.floor((0.5 + 1e-4) * n) + 1.0)
+  }
+
+  test("valueMadByTypeApproxOnly: production columns match the audit's sketch") {
+    // The production path is the audit's own approx subtree: same
+    // estimates, plus n — and on a group smaller than the sketch
+    // accuracy the GK answer is exact, so the columns are checkable
+    // against hand-traced medians-of-elements.
+    val df = ((1 to 9).map(i => (i.toLong, "a", i.toDouble)) ++
+      Seq((20L, "b", 10.0), (21L, "b", 10.0), (22L, "b", 1000.0)))
+      .toDF("event_id", "event_type", "value")
+    val got = EventOps.valueMadByTypeApproxOnly(df).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("med_a"), r.getAs[Double]("mad_a"),
+          r.getAs[Long]("n")))).toMap
+    assert(got == Map("a" -> ((5.0, 2.0, 9L)), "b" -> ((10.0, 0.0, 3L))), got)
+    assert(EventOps.valueMadByTypeApprox(df).collect()
+      .forall(_.getAs[Boolean]("within_tol")))
+  }
+
   test("ttrBySource: distinct-over-total token ratio, case-folded") {
     val docs = Seq(
       (1L, "a b a b", "s1"),    // 2 distinct / 4 tokens = 0.5
