@@ -399,6 +399,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 =!= 7),
         docs.filter(col("doc_id") % 10 === 7))
     }),
+    // The stored-index form of the same contract (what the streaming
+    // NearDupStore persists): old corpus enters as precomputed band
+    // rows, its text probed only via the candidate semi-join. Same
+    // split, same oracle — pair-for-pair identity is the point.
+    "incremental_near_dups_indexed" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = documents(s, d)
+      val old = docs.filter(col("doc_id") % 10 =!= 7)
+      val fresh = docs.filter(col("doc_id") % 10 === 7)
+      DedupOps.incrementalNearDupsIndexed(
+        DedupOps.minhashBands(old), old, fresh, DedupOps.minhashBands(fresh))
+    }),
     "simhash_fingerprints" -> ((s, d) => DedupOps.simhashes(documents(s, d))),
     "simhash_near_dups" -> ((s, d) => DedupOps.simhashNearDups(documents(s, d), 3)),
     // Subset invariant gating the hash-seed-bound simhash_near_dups:
@@ -2647,6 +2659,15 @@ object SparkEntry {
     // oracle, restricted to pairs touching the doc_id ≡ 7 (mod 10)
     // shard — exactly the pair population the incremental path owns.
     "incremental_near_dups" ->
+      (s"WITH $shingleCtes, " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT a_id, b_id, round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS jaccard " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5 " +
+        "AND (a_id % 10 = 7 OR b_id % 10 = 7)"),
+    // The indexed path must be pair-for-pair identical — same oracle.
+    "incremental_near_dups_indexed" ->
       (s"WITH $shingleCtes, " +
         "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
         "FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2) " +

@@ -474,6 +474,67 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** [[incrementalNearDups]] with the banded signature INDEX as the
+    * stored artifact — the shape the streaming sink persists
+    * ([[graft.streaming.StreamJob.NearDupStore]]): the old corpus
+    * arrives as its precomputed band rows (`doc_id, band_id, bucket` —
+    * a key plus two longs per row), never re-banded, and the old TEXT
+    * is touched only through a candidate-id semi-join for the exact
+    * verification pass. Per-batch cost is therefore one narrow index
+    * scan + Σ (new-in-bucket × bucket) + candidate-bounded shingling —
+    * no corpus-wide text read, no corpus re-banding.
+    *
+    * Contract: `oldIndex`/`newIndex` are [[minhashBands]] rows of
+    * `oldDocs`/`newDocs` under ONE (numHashes, bands, k) config; band
+    * rows are a deterministic per-doc function, so
+    * `bands(old) ∪ bands(new) ≡ bands(old ∪ new)` and this function is
+    * pair-for-pair identical to [[incrementalNearDups]] (DedupOpsSpec).
+    * Bucket-size capping happens HERE over the unioned index — sizes
+    * depend on the full corpus, so they can never be stored. */
+  def incrementalNearDupsIndexed(oldIndex: DataFrame, oldDocs: DataFrame,
+      newDocs: DataFrame, newIndex: DataFrame, threshold: Double = 0.5,
+      maxBucket: Long = 500, k: Int = 3): DataFrame = {
+    val unionIdx = oldIndex.select(col("doc_id"), col("band_id"), col("bucket"))
+      .unionByName(newIndex.select(col("doc_id"), col("band_id"), col("bucket")))
+      .repartition(col("band_id"), col("bucket"))
+    val sizes = unionIdx.groupBy("band_id", "bucket")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+    val capped = unionIdx.join(sizes, Seq("band_id", "bucket"))
+    val newBands = capped
+      .join(newDocs.select("doc_id"), Seq("doc_id"), "left_semi")
+    // checkpointed for the same three-reference reason as
+    // incrementalNearDups's pair list
+    val cands = newBands.as("a")
+      .join(capped.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
+      .distinct()
+      .localCheckpoint()
+    val candIds = cands.select(col("a_id").as("doc_id"))
+      .unionByName(cands.select(col("b_id").as("doc_id")))
+      .distinct()
+    // prune BEFORE shingling: only candidate docs' text is tokenized
+    val candTexts = oldDocs.select(col("doc_id"), col("text"))
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .unionByName(newDocs.select(col("doc_id"), col("text"))
+        .join(candIds, Seq("doc_id"), "left_semi"))
+    val sets = shingleRows(candTexts, k)
+      .groupBy("doc_id")
+      .agg(collect_set(xxhash64(col("sh"))).as("hs"))
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("hs").as("hs_a")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("hs").as("hs_b")), "b_id")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("double") /
+          size(array_union(col("hs_a"), col("hs_b"))), 4))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash fingerprints via the aggregate formulation: explode

@@ -229,49 +229,97 @@ object StreamJob {
   // posture as [[startIncrementalDaily]]: versioned snapshots + a
   // batch-id guard make the at-least-once foreachBatch replay a no-op.
 
-  /** Durable state for [[startIncrementalNearDups]]: the corpus seen
-    * so far and the accumulated near-dup pairs. Versioned-directory
-    * parquet like [[ParquetRollupStore]] — `dir/v<batchId>/{docs,pairs}`
-    * written fully, then the tiny `latest` pointer flips, so the merge
-    * can READ the previous snapshot while writing the new one and a
-    * crash between write and flip leaves the old snapshot current.
+  /** Durable state for [[startIncrementalNearDups]]: APPEND-ONLY
+    * per-batch delta dirs `dir/b<batchId>/{docs,index,pairs}` — the
+    * exact contract [[startDistinctDailySketches]] uses. Each batch
+    * writes only its OWN delta (docs genuinely new in the batch, their
+    * banded signature index rows, the pairs they introduced), so the
+    * per-batch write is O(batch), never O(corpus) — the r12 verdict's
+    * one remaining corpus-rewrite plan. Appends of distinct batch ids
+    * commute: pairs are disjoint across batches (each touches ≥1 doc
+    * new in its batch), docs/index rows are disjoint by the
+    * re-delivery anti-join — so readers simply union the deltas.
     *
-    * The corpus is stored as (doc_id, text) because the ops layer is
-    * docs-in ([[graft.ops.DedupOps.incrementalNearDups]] recomputes
-    * band rows from text; its doc notes the production artifact is
-    * the banded signature index — swapping the stored frame for that
-    * index changes this store's payload, not the sink's shape). */
+    * Crash/replay safety: a batch overwrites its own `b<id>` paths
+    * (idempotent by path), and the tiny `latest` pointer flips LAST —
+    * a crash mid-batch leaves `latest` at the previous id, the
+    * half-written delta invisible to readers, and the replay rewrites
+    * it in place. A replayed batch id ≤ `latest` is a no-op.
+    *
+    * [[compact]] folds the accumulated deltas into one `c<id>` base
+    * (small-file hygiene after many micro-batches); readers then union
+    * base + post-compaction deltas. The INDEX is the production
+    * artifact ([[graft.ops.DedupOps.incrementalNearDupsIndexed]]):
+    * the per-batch anti-join and the pairing probe it — narrow rows,
+    * a key plus two longs — and the stored TEXT is only read through
+    * the candidate-id semi-join of the verification pass. */
   class NearDupStore(spark: SparkSession, dir: String) {
     private val ptr = java.nio.file.Paths.get(dir, "latest")
-    def lastBatchId(): Long =
-      if (java.nio.file.Files.exists(ptr))
-        new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim.toLong
+    private val cptr = java.nio.file.Paths.get(dir, "compacted")
+    private def readPtr(p: java.nio.file.Path): Long =
+      if (java.nio.file.Files.exists(p))
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong
       else -1L
-    def readDocs(): Option[DataFrame] = lastBatchId() match {
-      case -1L => None
-      case id  => Some(spark.read.parquet(s"$dir/v$id/docs"))
+    def lastBatchId(): Long = readPtr(ptr)
+    def compactedId(): Long = readPtr(cptr)
+    /** Committed storage paths for one of docs/index/pairs: the
+      * compacted base (if any) plus every delta it doesn't cover.
+      * Driver-side listing of ≤ #batches dir names — bounded, and
+      * compaction keeps it short. */
+    private def parts(sub: String): Seq[String] = {
+      val last = lastBatchId()
+      val comp = compactedId()
+      val base = if (comp >= 0L) Seq(s"$dir/c$comp/$sub") else Seq.empty
+      val deltas = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.matches("b\\d+"))
+        .map(_.getName.drop(1).toLong)
+        .filter(id => id > comp && id <= last)
+        .sorted
+        .map(id => s"$dir/b$id/$sub")
+      base ++ deltas
     }
-    def readPairs(): Option[DataFrame] = lastBatchId() match {
-      case -1L => None
-      case id  => Some(spark.read.parquet(s"$dir/v$id/pairs"))
+    private def readUnion(sub: String): Option[DataFrame] = {
+      val ps = parts(sub)
+      if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))
     }
-    def write(docs: DataFrame, pairs: DataFrame, batchId: Long): Unit = {
-      val prev = lastBatchId()
-      docs.write.mode("overwrite").parquet(s"$dir/v$batchId/docs")
-      pairs.write.mode("overwrite").parquet(s"$dir/v$batchId/pairs")
+    def readDocs(): Option[DataFrame] = readUnion("docs")
+    def readIndex(): Option[DataFrame] = readUnion("index")
+    def readPairs(): Option[DataFrame] = readUnion("pairs")
+    def writeDelta(docs: DataFrame, index: DataFrame, pairs: DataFrame,
+        batchId: Long): Unit = {
+      docs.write.mode("overwrite").parquet(s"$dir/b$batchId/docs")
+      index.write.mode("overwrite").parquet(s"$dir/b$batchId/index")
+      pairs.write.mode("overwrite").parquet(s"$dir/b$batchId/pairs")
       java.nio.file.Files.write(ptr, s"$batchId\n".getBytes("UTF-8"))
-      val keep = Set(s"v$batchId", s"v$prev")
-      val d = new java.io.File(dir)
-      Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("v") &&
-          !keep.contains(f.getName))
-        .foreach { f =>
-          def rm(x: java.io.File): Unit = {
-            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
-            x.delete(); ()
-          }
-          rm(f)
+    }
+    /** Fold base + deltas into one `c<lastBatchId>` dir and drop the
+      * folded sources. The ONLY O(corpus) operation in the store, run
+      * when the operator chooses (e.g. every N batches), never
+      * implicitly per batch. Crash-safe like the deltas: the new base
+      * is written fully, the `compacted` pointer flips, THEN the
+      * superseded dirs are removed. */
+    def compact(): Unit = {
+      val last = lastBatchId()
+      if (last < 0L || parts("docs").size <= 1) return
+      val prevComp = compactedId()
+      for (sub <- Seq("docs", "index", "pairs"))
+        readUnion(sub).get.write.mode("overwrite")
+          .parquet(s"$dir/c$last/$sub")
+      java.nio.file.Files.write(cptr, s"$last\n".getBytes("UTF-8"))
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rm)
+        x.delete(); ()
+      }
+      Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter { f =>
+          f.isDirectory && (
+            (f.getName.matches("b\\d+") &&
+              f.getName.drop(1).toLong <= last) ||
+            (f.getName == s"c$prevComp" && prevComp >= 0L))
         }
+        .foreach(rm)
     }
   }
 
@@ -285,13 +333,18 @@ object StreamJob {
     * touches ≥1 doc NEW at i, and later batches only emit pairs
     * touching their own new docs (disjoint by the anti-join), so the
     * same pair cannot be emitted twice — appends commute, exactly the
-    * sketch-blob argument.
+    * sketch-blob argument. That disjointness is what makes the
+    * delta store sound: readers union the per-batch pair deltas and
+    * get precisely the accumulated set.
     *
-    * 100 TB shape: per-batch cost is the incremental contract's
-    * Σ (new-in-bucket × bucket) — proportional to the batch, never
-    * corpus²; the stored pair set only ever UNIONS (no rescan).
-    * Exactly-once: the same batch-id guard + versioned store as
-    * [[startIncrementalDaily]] — a replayed batch id is a no-op. */
+    * 100 TB shape: per-batch WRITE is O(batch) — the batch's new docs,
+    * their index rows, their pairs, nothing else rewritten. Per-batch
+    * READ is the narrow signature index (anti-join + bucket pairing,
+    * Σ (new-in-bucket × bucket)) plus candidate-bounded text via the
+    * verification semi-join — the raw corpus text is never scanned
+    * into the pairing. Exactly-once: a replayed batch id ≤ the store's
+    * `latest` pointer is a no-op, and a crashed batch replays onto its
+    * own paths. */
   def startIncrementalNearDups(docs: DataFrame, store: NearDupStore,
       checkpointDir: String, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8, k: Int = 3): StreamingQuery =
@@ -302,19 +355,26 @@ object StreamJob {
           val incoming = batch.select(col("doc_id"), col("text"))
             .filter(col("doc_id").isNotNull && col("text").isNotNull)
             .dropDuplicates("doc_id")
-          val (docsNext, pairsNext) = store.readDocs() match {
-            case Some(old) =>
-              val fresh = incoming.join(old, Seq("doc_id"), "left_anti")
-              val newPairs = graft.ops.DedupOps.incrementalNearDups(
-                old, fresh, threshold, numHashes, bands, k)
-              (old.unionByName(fresh),
-                store.readPairs().get.unionByName(newPairs))
+          // fresh and its index feed both the pairing and the delta
+          // write — checkpoint each once (batch-sized frames)
+          val fresh = (store.readIndex() match {
+            case Some(oldIdx) => incoming.join(
+              oldIdx.select("doc_id"), Seq("doc_id"), "left_anti")
+            case None => incoming
+          }).localCheckpoint()
+          val idx = graft.ops.DedupOps
+            .minhashBands(fresh, numHashes, bands, k).localCheckpoint()
+          val newPairs = store.readIndex() match {
+            case Some(oldIdx) =>
+              graft.ops.DedupOps.incrementalNearDupsIndexed(
+                oldIdx, store.readDocs().get, fresh, idx, threshold,
+                maxBucket = 500, k = k)
             case None =>
-              (incoming, graft.ops.DedupOps.incrementalNearDups(
-                incoming.limit(0), incoming, threshold, numHashes,
-                bands, k))
+              graft.ops.DedupOps.incrementalNearDupsIndexed(
+                idx.limit(0), fresh.limit(0), fresh, idx, threshold,
+                maxBucket = 500, k = k)
           }
-          store.write(docsNext, pairsNext, batchId)
+          store.writeDelta(fresh, idx, newPairs, batchId)
         }
         ()
       }

@@ -196,6 +196,31 @@ class DedupOpsSpec extends SparkSpec {
       s"inc=$inc old=$oldPairs full=$full")
   }
 
+  test("incrementalNearDupsIndexed ≡ incrementalNearDups (stored-index path)") {
+    // same fixture as the docs-in contract test; the indexed variant
+    // receives precomputed band rows (what the streaming delta store
+    // persists) and must be pair-for-pair identical, jaccard included
+    val oldDocs = Seq((0L, base), (2L, unrelated), (3L, base))
+      .toDF("doc_id", "text")
+    val newDocs = Seq((10L, nearDup),
+      (11L, "fresh shard content with nothing in common at all here"))
+      .toDF("doc_id", "text")
+    def full(df: org.apache.spark.sql.DataFrame) = df
+      .select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val viaDocs = full(DedupOps.incrementalNearDups(oldDocs, newDocs))
+    val viaIndex = full(DedupOps.incrementalNearDupsIndexed(
+      DedupOps.minhashBands(oldDocs), oldDocs,
+      newDocs, DedupOps.minhashBands(newDocs)))
+    assert(viaIndex == viaDocs, s"index=$viaIndex docs=$viaDocs")
+    assert(viaIndex.exists(p => (p._1, p._2) == ((0L, 10L))), viaIndex)
+    // bootstrap shape: empty old side pairs the new shard against itself
+    val newIdx = DedupOps.minhashBands(newDocs)
+    val boot = full(DedupOps.incrementalNearDupsIndexed(
+      newIdx.limit(0), newDocs.limit(0), newDocs, newIdx))
+    assert(boot == full(DedupOps.minhashNearDups(newDocs)), boot.toString)
+  }
+
   test("incrementalNearDups: candidate list materialized once, plan stays bounded") {
     // regression guard for the r10 plan blowup: the pair frame is
     // referenced three times, and without its checkpoint each

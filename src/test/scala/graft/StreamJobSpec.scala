@@ -237,12 +237,28 @@ class StreamJobSpec extends SparkSpec {
       (11L, "fresh shard content with nothing in common at all here"))
     // batch 2 re-delivers doc 3 (at-least-once) + one genuinely new doc
     val b2 = Seq((3L, base), (20L, nearDup2))
+    def snapshot(names: Seq[String]): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toSeq.flatMap(walk)
+        else Seq(f)
+      names.flatMap(v => walk(new java.io.File(s"$dir/$v")))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
     val q = StreamJob.startIncrementalNearDups(docs, store, ckpt)
-    try {
-      Seq(b0, b1, b2).foreach { b =>
+    val before = try {
+      Seq(b0, b1).foreach { b =>
         input.addData(b: _*); q.processAllAvailable()
       }
+      // the append-only contract: processing batch 2 writes ONLY its
+      // own b2 delta — the committed b0/b1 files stay byte-untouched
+      val snap = snapshot(Seq("b0", "b1"))
+      input.addData(b2: _*); q.processAllAvailable()
+      snap
     } finally q.stop()
+    assert(snapshot(Seq("b0", "b1")) == before,
+      "batch 2 rewrote earlier deltas — the store is not append-only")
 
     def pairs(df: DataFrame) = df
       .select("a_id", "b_id", "jaccard")
@@ -276,10 +292,35 @@ class StreamJobSpec extends SparkSpec {
     val q2 = StreamJob.startIncrementalNearDups(docs, store, ckpt)
     try q2.processAllAvailable() finally q2.stop()
     assert(store.lastBatchId() == 2L && pairs(store.readPairs().get) == got)
-    val versions = new java.io.File(dir).listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("v"))
+    val deltas = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory)
       .map(_.getName).toSet
-    assert(versions == Set("v1", "v2"), versions.toString)
+    assert(deltas == Set("b0", "b1", "b2"), deltas.toString)
+
+    // compaction: one c2 base, identical reads, deltas dropped
+    store.compact()
+    assert(store.compactedId() == 2L && store.lastBatchId() == 2L)
+    assert(pairs(store.readPairs().get) == got)
+    assert(store.readDocs().get.select("doc_id")
+      .as[Long].collect().sorted.toSeq == Seq(0L, 2L, 3L, 10L, 11L, 20L))
+    val afterCompact = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(afterCompact == Set("c2"), afterCompact.toString)
+
+    // ingestion over the compacted base still matches a from-scratch
+    // recompute (the reader unions base + post-compaction deltas)
+    val nearDup3 = base.replace("rain in spain", "snow in spain")
+    val q3 = StreamJob.startIncrementalNearDups(docs, store, ckpt)
+    try {
+      input.addData((30L, nearDup3)); q3.processAllAvailable()
+    } finally q3.stop()
+    val full3 = pairs(ops.DedupOps.minhashNearDups(
+      df(b0 ++ b1 ++ Seq((20L, nearDup2), (30L, nearDup3)))))
+    assert(pairs(store.readPairs().get) == full3,
+      s"post-compaction ingestion diverged from full recompute")
+    val afterB3 = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(afterB3 == Set("c2", "b3"), afterB3.toString)
   }
 
   test("windowedCountsNative: watermarked update-mode totals") {
