@@ -428,6 +428,75 @@ class PlanAuditSpec extends SparkSpec {
     assert(bnl <= 2, s"shift join degenerated to BNL:\n$plan")
   }
 
+  test("serial-window sweep: every registered query's unpartitioned " +
+      "windows run over a COLLAPSED frame") {
+    // The r11→r12 rank lesson as a regression gate (judge task r12#6):
+    // an unpartitioned WindowExec sorts its whole input in ONE task,
+    // so it is only ever acceptable over a frame already collapsed to
+    // a bounded domain. Sweep ALL registered queries; each serial
+    // window's child must carry one of the whitelisted bounded-frame
+    // markers. AQE wraps plans in AdaptiveSparkPlanExec (a leaf to
+    // collect()), so expand through it explicitly.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+
+    // Bounded domains a serial window IS allowed to order by — every
+    // one collapses upstream of the window to a frame whose size is
+    // structural, not data-proportional (a second check below requires
+    // that collapse to actually be in the child plan):
+    val boundedOrderKeys = Set(
+      "__gr_bucket", // RankOps per-bucket totals: ≤ targetBuckets + 1 rows
+      "decile",      // the 10-row decile frame (lorenz)
+      "day",         // calendar-day grain: one row per observed day
+      "d",           // day-ordinal grain (rolling_distinct_users blobs)
+      "t",           // tenure-day grain (KM survival / hazard: ≤ span days)
+      "bin",         // fixed integer value bins (KS drift grid)
+      "round",       // BPE merge round: ≤ the rounds literal
+      "vb",          // selectUnderBudget value-bucket: ≤ targetBuckets
+      "alpha_ratio", // paretoFrontier per-alpha agg: round(x,4) on [0,1] → ≤ 10001
+      "b"            // sortedNeighborhoodPairs block = first char: ≤ |alphabet|
+    )
+
+    def expand(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => (a: SparkPlan) +: expand(a.executedPlan)
+        case n => Seq(n)
+      }
+
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val broken = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val serial =
+        try expand(fn(spark, sf0).queryExecution.executedPlan).collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }
+        catch { case e: Exception => broken += s"$name: $e"; Seq.empty }
+      for (w <- serial) {
+        val orderNames = w.orderSpec
+          .flatMap(_.child.references.toSeq.map(_.name)).distinct
+        val collapsed = w.child.toString.contains("HashAggregate")
+        val ok =
+          if (orderNames.nonEmpty)
+            orderNames.forall(boundedOrderKeys.contains) && collapsed
+          else
+            // an UNORDERED global window (grand-total frame) needs no
+            // sort — allowed when its child is an aggregate collapsed
+            // onto a whitelisted bounded key (lorenz's decile total)
+            collapsed && boundedOrderKeys.exists(k =>
+              w.child.toString.contains(s"keys=[$k"))
+        if (!ok)
+          offenders += s"$name (orders by ${orderNames.mkString(",")}, " +
+            s"collapsed=$collapsed):\n${w.toString.take(1500)}"
+      }
+    }
+    assert(broken.isEmpty, s"queries failing to PLAN at sf0.001:\n" +
+      broken.mkString("\n"))
+    assert(offenders.isEmpty,
+      s"serial windows over non-collapsed frames:\n" +
+        offenders.mkString("\n---\n"))
+  }
+
   test("kmSurvivalHorizons and psiTypeDrift: single-scan collapses, " +
       "scalar frames broadcast, no cartesian") {
     val km = planOf(EventOps.kmSurvivalHorizons(Tables.events(spark, sf0)))
