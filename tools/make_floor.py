@@ -19,10 +19,12 @@ import re
 import sys
 
 
-# Round tags whose adjudication blocks this script's template embeds
-# verbatim — carried_notes skips these by TAG, not by literal first
-# line, so rewording an embedded heading can't duplicate the block.
-EMBEDDED_ROUNDS = {"r10"}
+# Adjudication blocks this script's template embeds verbatim, keyed by
+# round tag with a stable prefix of the embedded heading. carried_notes
+# skips ONLY a block matching both the tag and its marker — a second,
+# genuinely new note for the same round is carried, not dropped
+# (ADVICE r12: the tag-only skip silently ate any later r10 paragraph).
+EMBEDDED_BLOCKS = {"r10": "r10 adjudication (`boilerplate_phrases`)"}
 
 
 def carried_notes(path):
@@ -32,13 +34,20 @@ def carried_notes(path):
     loud, not silent."""
     txt = open(path).read()
     notes = []
+    skipped = {tag: 0 for tag in EMBEDDED_BLOCKS}
     for block in txt.split("\n\n"):
         m = re.match(r"^(r\d+)\s", block)
         if not m:
             continue
         tag = m.group(1)
         head = block.strip().splitlines()[0][:70]
-        if tag in EMBEDDED_ROUNDS:
+        marker = EMBEDDED_BLOCKS.get(tag)
+        if marker and block.strip().startswith(marker):
+            skipped[tag] += 1
+            if skipped[tag] > 1:
+                sys.exit(f"make_floor: embedded {tag} block appears "
+                         f"{skipped[tag]} times in {path} — deduplicate "
+                         "the source doc before regenerating")
             print(f"make_floor: skipping embedded {tag} block: {head}",
                   file=sys.stderr)
         else:
