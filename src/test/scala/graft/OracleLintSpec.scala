@@ -191,6 +191,7 @@ class OracleLintSpec extends AnyFunSuite {
       "simhash_fingerprints" -> "simhash_invariants",
       "simhash_near_dups" -> "simhash_exactdup_audit",
       "table_profile_approx" -> "table_profile_approx_audit",
+      "value_mad_by_type_approx_only" -> "value_mad_by_type_approx",
     )
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == pairedGate.keySet,
