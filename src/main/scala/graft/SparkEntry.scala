@@ -81,6 +81,8 @@ object SparkEntry {
     "running_value_per_user" -> ((s, d) => EventOps.runningValuePerUser(events(s, d))),
     "lag_value_per_user" -> ((s, d) => EventOps.lagValuePerUser(events(s, d))),
     "session_stats" -> ((s, d) => EventOps.sessionStats(events(s, d), 30)),
+    "session_overlap_pairs" ->
+      ((s, d) => JoinOps.sessionOverlapPairs(events(s, d))),
     "sliding_window_counts" ->
       ((s, d) => EventOps.slidingWindowCounts(events(s, d))),
     "session_window_stats" ->
@@ -99,6 +101,8 @@ object SparkEntry {
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(events(s, d))),
     "value_outliers" -> ((s, d) => EventOps.valueOutliers(events(s, d))),
+    "value_outliers_robust" ->
+      ((s, d) => EventOps.valueOutliersRobust(events(s, d))),
     "range_join_pairs" -> ((s, d) => EventOps.rangeJoinPairs(events(s, d), 60)),
     "value_rank_stats" -> ((s, d) => EventOps.valueRankStats(events(s, d))),
     "daily_moving_avg" -> ((s, d) => EventOps.dailyMovingAvg(events(s, d))),
@@ -718,6 +722,28 @@ object SparkEntry {
         "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 4) AS DOUBLE) AS session_value, " +
         "min(ts) AS session_start, max(ts) AS session_end " +
         "FROM s GROUP BY user_id, session_id"),
+    // Mirrors JoinOps.sessionOverlapPairs: the session_stats CTE, then
+    // the exact closed-bound overlap join (the oracle needs no day
+    // banding — that is the Spark side's co-partitioning device, and
+    // its distinct() makes the two shapes row-identical) rolled up per
+    // user pair in exact BIGINT microseconds.
+    "session_overlap_pairs" ->
+      ("WITH o AS (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+        "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR " +
+        "CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800 " +
+        "THEN 1 ELSE 0 END AS ns FROM o), " +
+        "s AS (SELECT *, CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM f), " +
+        "sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en " +
+        "FROM s GROUP BY 1, 2), " +
+        "p AS (SELECT a.user_id AS ua, b.user_id AS ub, " +
+        "epoch_us(least(a.en, b.en)) - epoch_us(greatest(a.st, b.st)) AS ov " +
+        "FROM sess a JOIN sess b ON a.user_id < b.user_id " +
+        "AND a.st <= b.en AND b.st <= a.en) " +
+        "SELECT ua AS user_a, ub AS user_b, " +
+        "CAST(count(*) AS BIGINT) AS n_overlaps, " +
+        "CAST(sum(ov) AS BIGINT) AS overlap_usec " +
+        "FROM p GROUP BY 1, 2"),
     "sliding_window_counts" ->
       ("WITH w AS (SELECT date_trunc('minute', ts) - (INTERVAL 1 MINUTE * i) AS window_start " +
         "FROM events, (SELECT unnest(range(5)) AS i) s) " +
@@ -874,6 +900,18 @@ object SparkEntry {
         "FROM events JOIN m USING (user_id) " +
         "WHERE n >= 2 AND abs(CAST(n * CAST(value AS DECIMAL(12,2)) - sx AS DOUBLE) / " +
         "sqrt(CAST(n * sxx - sx * sx AS DOUBLE))) > 3"),
+    // Mirrors EventOps.valueOutliersRobust: exact medians (identical
+    // interpolation), one pinned-order double division, round once.
+    "value_outliers_robust" ->
+      ("WITH m AS (SELECT event_type, median(value) AS med " +
+        "FROM events GROUP BY 1), " +
+        "s AS (SELECT e.event_type, max(med) AS med, " +
+        "median(abs(value - med)) AS mad " +
+        "FROM events e JOIN m USING (event_type) GROUP BY 1) " +
+        "SELECT event_id, event_type, value, " +
+        "round((value - med) / mad, 4) AS robust_z " +
+        "FROM events JOIN s USING (event_type) " +
+        "WHERE mad > 0 AND abs(value - med) / mad > 8"),
     // Mirrors EventOps.conversionFunnel: same strict-after milestone
     // chain; count(col) counts non-null stage timestamps.
     "conversion_funnel" ->

@@ -1122,6 +1122,39 @@ object EventOps {
           rankOk(col("le_mad"), col("lt_mad"))).as("within_tol"))
   }
 
+  /** Robust per-type outliers — [[valueMadByType]] put to work: events
+    * whose |value − median| exceeds `threshold` MADs of their type.
+    * Where [[valueOutliers]]'s moment z-score is itself dragged by the
+    * outliers it hunts (one 1000× spike inflates σ and hides the
+    * 100× ones), median/MAD have a 50% breakdown point — the robust
+    * anomaly flag every data-quality pipeline wants on heavy-tailed
+    * values. Threshold is in raw MAD units (the 1.4826 normal-
+    * consistency constant is deliberately NOT applied — stated so
+    * callers porting a σ-threshold scale it themselves).
+    *
+    * Determinism: med/MAD are exact medians (identical interpolation
+    * in both engines), the robust z is one pinned-order double
+    * division rounded once at the end; zero-MAD types are excluded
+    * rather than dividing by zero. Shape: two tiny |types|-row
+    * broadcast joins onto the stream — no window, no second shuffle
+    * of the raw log beyond the two median aggregations (whose exact
+    * sorts are the documented ceiling; [[valueMadByTypeApproxOnly]]
+    * is the 100 TB swap for the center/spread pass). */
+  def valueOutliersRobust(events: DataFrame,
+      threshold: Double = 8.0): DataFrame = {
+    val med = events.groupBy("event_type")
+      .agg(median(col("value")).as("med"))
+    val spread = events.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(max(col("med")).as("med"),
+        median(abs(col("value") - col("med"))).as("mad"))
+    events.join(broadcast(spread), "event_type")
+      .filter(col("mad") > lit(0.0) &&
+        abs(col("value") - col("med")) / col("mad") > lit(threshold))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("med")) / col("mad"), 4).as("robust_z"))
+  }
+
   /** First-order Markov transition matrix over event types: for each
     * (type → next type) step within a user's timeline, the step count
     * and the conditional probability P(next | current). The sequence

@@ -476,6 +476,49 @@ object JoinOps {
     * Scale shape: inherits the blocked pair generation (never all
     * pairs) and the star CC's logarithmic round bound; the size join
     * is a groupBy on the label — no new quadratic or serial stage. */
+  /** INTERVAL-overlap join — the temporal join family's remaining
+    * member beside the as-of join (point→latest-before) and the range
+    * join (point→window): interval×interval overlap, here as user
+    * co-presence over gap-sessionized activity. Two users' sessions
+    * overlap iff `a.start ≤ b.end ∧ b.start ≤ a.end` (closed bounds —
+    * sessions touching at an instant count with 0 overlap, stated).
+    * Output is the per-user-pair rollup: how many session pairs
+    * overlapped and for how long in total (exact BIGINT microseconds)
+    * — the device-correlation / fraud co-presence primitive.
+    *
+    * Spark has no native interval join, so this is the (a)-tier
+    * composition: each session explodes to the calendar DAYS it spans
+    * (sessions are gap-bounded, so almost always 1-2 band rows), the
+    * self-join keys on the day band (co-partitioned equi-join — never
+    * a theta-only cartesian), the exact overlap predicate filters
+    * within buckets, and a `distinct()` on the session-pair identity
+    * collapses multi-day double-matches BEFORE the rollup. Join cost
+    * is Σ (sessions-in-day)² — the co-presence question is itself
+    * pairwise within a day, so the bound is the honest cost of the
+    * answer; restrict the population upstream (cohort, event filter)
+    * when DAU² is too much, exactly like the minhash bucket caps. */
+  def sessionOverlapPairs(events: DataFrame): DataFrame = {
+    val sess = graft.ops.EventOps.sessionStats(events)
+      .select(col("user_id"), col("session_id"),
+        col("session_start").as("s"), col("session_end").as("e"))
+    val banded = sess.withColumn("day",
+      explode(sequence(to_date(col("s")), to_date(col("e")))))
+    val a = banded.select(col("user_id").as("ua"), col("session_id").as("sa"),
+      col("s").as("s_a"), col("e").as("e_a"), col("day"))
+    val b = banded.select(col("user_id").as("ub"), col("session_id").as("sb"),
+      col("s").as("s_b"), col("e").as("e_b"), col("day"))
+    val pairs = a.join(b, Seq("day"))
+      .filter(col("ua") < col("ub") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select(col("ua"), col("sa"), col("ub"), col("sb"),
+        (unix_micros(least(col("e_a"), col("e_b"))) -
+          unix_micros(greatest(col("s_a"), col("s_b")))).as("ov"))
+      .distinct()
+    pairs.groupBy(col("ua").as("user_a"), col("ub").as("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("ov")).as("overlap_usec"))
+  }
+
   def entityClusters(part: DataFrame, minSim: Double = 0.93): DataFrame = {
     val pairs = fuzzyNamePairsJw(part, minSim)
       .select(col("name_a").as("a_id"), col("name_b").as("b_id"))

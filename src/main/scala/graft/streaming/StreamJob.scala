@@ -516,6 +516,35 @@ object StreamJob {
       .select(col("w.start").as("window_start"),
         col("w.end").as("window_end"), col("cnt"))
 
+  /** TRUE streaming gap-sessionization — the native `session_window`
+    * aggregate under a watermark, the one Structured Streaming
+    * aggregation class the engine didn't yet run streaming (batch twin:
+    * [[graft.ops.EventOps.sessionWindowStats]], oracle-gated as
+    * `session_window_stats`). State: one open session per (user,
+    * window) in the state store; gap-mergeable, so partial sessions
+    * combine as events arrive out of order WITHIN the watermark.
+    * Append mode emits a session exactly once — when the watermark
+    * passes `end` (last event + gap) and no event can extend it — so
+    * downstream consumers see only FINAL sessions: the streaming
+    * contract batch gaps-and-islands can't give without reprocessing.
+    *
+    * 100 TB shape: state is keyed by (user_id, session), evicted at
+    * watermark — memory ∝ concurrently-OPEN sessions, never history.
+    * Input needs (user_id, ts TIMESTAMP, value). */
+  def sessionizedStats(events: DataFrame, gapMinutes: Int = 30,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(graft.ops.Num.dec2(col("value"))), 4).cast("double")
+          .as("session_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        col("session_value"))
+
   // ---------- streaming distribution-drift monitor ----------
 
   /** Per-micro-batch categorical drift monitor —

@@ -102,6 +102,34 @@ class RangeFuzzySaltSpec extends SparkSpec {
     }
   }
 
+  test("sessionOverlapPairs: closed-bound overlaps, midnight-spanning " +
+      "sessions deduped across day bands, same-user pairs excluded") {
+    def e(id: Long, t: String, u: Long) =
+      (id, Timestamp.valueOf(t), u, "view", 1.0, "{}")
+    val events = Seq(
+      // u1 session A [10:00,10:10] + session D [23:55,00:05] (spans midnight)
+      e(1, "2024-03-01 10:00:00", 1), e(2, "2024-03-01 10:10:00", 1),
+      e(3, "2024-03-01 23:55:00", 1), e(4, "2024-03-02 00:05:00", 1),
+      // u2 session B [10:05,10:20] + session C [23:50,00:10] (spans midnight)
+      e(5, "2024-03-01 10:05:00", 2), e(6, "2024-03-01 10:20:00", 2),
+      e(7, "2024-03-01 23:50:00", 2), e(8, "2024-03-02 00:10:00", 2),
+      // u3 session T [10:10,10:15] — TOUCHES A at an instant
+      e(9, "2024-03-01 10:10:00", 3), e(10, "2024-03-01 10:15:00", 3),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = JoinOps.sessionOverlapPairs(events).collect()
+      .map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) ->
+        ((r.getAs[Long]("n_overlaps"), r.getAs[Long]("overlap_usec"))))
+      .toMap
+    assert(got == Map(
+      // A×B 5 min + D×C 10 min (matched in BOTH day bands, deduped to 1)
+      (1L, 2L) -> ((2L, 900000000L)),
+      // A×T touch at 10:10 — counts once with zero overlap (closed bounds)
+      (1L, 3L) -> ((1L, 0L)),
+      // B×T 10:10–10:15
+      (2L, 3L) -> ((1L, 300000000L)),
+    ), got.toString)
+  }
+
   test("saltedNationActivity equals the plain join + group-by") {
     val events = Tables.events(spark, sf0)
     val customer = Tables.customer(spark, sf0)

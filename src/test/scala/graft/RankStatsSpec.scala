@@ -180,6 +180,23 @@ class RankStatsSpec extends SparkSpec {
       .forall(_.getAs[Boolean]("within_tol")))
   }
 
+  test("valueOutliersRobust: the MAD z flags the spike; zero-MAD types excluded") {
+    // type a: 1..9 + a 105 spike → med 5.5, deviations sorted
+    // 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,99.5 → MAD 2.5;
+    // rz(105) = 99.5/2.5 = 39.8 — the ONLY |rz| > 8.
+    // type b: constant 10s + one 50 → MAD 0 → excluded entirely
+    // (even the 50: a zero-spread type has no robust scale, documented).
+    val events = ((1 to 9).map(i => (i.toLong, "a", i.toDouble)) :+
+      ((10L, "a", 105.0))) ++
+      Seq((21L, "b", 10.0), (22L, "b", 10.0), (23L, "b", 10.0),
+        (24L, "b", 50.0))
+    val got = EventOps.valueOutliersRobust(events.toDF(
+      "event_id", "event_type", "value")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("robust_z")))
+      .toSet
+    assert(got == Set((10L, 39.8)), got)
+  }
+
   test("ttrBySource: distinct-over-total token ratio, case-folded") {
     val docs = Seq(
       (1L, "a b a b", "s1"),    // 2 distinct / 4 tokens = 0.5

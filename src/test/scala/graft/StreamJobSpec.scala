@@ -323,6 +323,50 @@ class StreamJobSpec extends SparkSpec {
     assert(afterB3 == Set("c2", "b3"), afterB3.toString)
   }
 
+  test("sessionizedStats: append emits only watermark-CLOSED sessions, " +
+      "≡ the batch session_window twin") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)](spark)
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val agg = StreamJob.sessionizedStats(events, gapMinutes = 30,
+      watermark = "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    val early = Seq(
+      (1L, ts("2025-10-03 10:00:00"), 2.0),
+      (1L, ts("2025-10-03 10:10:00"), 3.0),   // merges: gap < 30 min
+      (2L, ts("2025-10-03 10:05:00"), 1.0))
+    try {
+      input.addData(early: _*)
+      q.processAllAvailable()
+      // watermark still behind both session ends — nothing is final
+      assert(spark.table("sess").count() == 0L)
+      // events far ahead advance the watermark past 10:40/10:35
+      input.addData((3L, ts("2025-10-03 13:00:00"), 1.0))
+      q.processAllAvailable()
+      input.addData((3L, ts("2025-10-03 13:05:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess").collect().map(r =>
+        (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start").toString,
+          r.getAs[java.sql.Timestamp]("session_end").toString,
+          r.getAs[Long]("n_events"),
+          r.getAs[Double]("session_value"))).toSet
+      // user 3's session is still OPEN — emitted sessions are exactly
+      // the closed ones, and they match the batch twin on those rows
+      val batch = ops.EventOps.sessionWindowStats(
+        early.toDF("user_id", "ts", "value"), 30)
+        .collect().map(r =>
+          (r.getAs[Long]("user_id"),
+            r.getAs[java.sql.Timestamp]("session_start").toString,
+            r.getAs[java.sql.Timestamp]("session_end").toString,
+            r.getAs[Long]("n_events"),
+            r.getAs[Double]("session_value"))).toSet
+      assert(got == batch, s"got $got\nbatch $batch")
+      assert(got.map(_._1) == Set(1L, 2L), got.toString)
+    } finally q.stop()
+  }
+
   test("windowedCountsNative: watermarked update-mode totals") {
     val input = MemoryStream[String](spark)
     val prepared = StreamJob.prepare(
