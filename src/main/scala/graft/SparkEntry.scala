@@ -198,6 +198,10 @@ object SparkEntry {
       ((s, d) => DocOps.evalOverlapScores(documents(s, d))),
     "neyman_allocation" ->
       ((s, d) => DocOps.neymanAllocation(documents(s, d))),
+    "unimax_allocation" ->
+      ((s, d) => DocOps.unimaxAllocation(documents(s, d))),
+    "temperature_allocation" ->
+      ((s, d) => DocOps.temperatureAllocation(documents(s, d))),
     "pmi_collocations" ->
       ((s, d) => MiningOps.pmiCollocations(documents(s, d))),
     "bigram_perplexity" ->
@@ -1729,6 +1733,53 @@ object SparkEntry {
         "CAST(floor(1000.0 * (CAST(w AS DOUBLE) / CAST(w_total AS DOUBLE))) " +
         "AS BIGINT) AS n_alloc " +
         "FROM w CROSS JOIN t"),
+    // Mirrors DocOps.unimaxAllocation: exact BIGINT waterfill — the
+    // single ascending crossover k, caps before it, uniform integer
+    // div after; only the terminal epochs ratio is a double. (DuckDB
+    // // floors where Spark div truncates, but a sign disagreement can
+    // only occur at i > k where u is unused and the flag is true under
+    // ANY negative value.)
+    "unimax_allocation" ->
+      ("WITH per AS (SELECT source, " +
+        "CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) " +
+        "AS n_tokens FROM documents GROUP BY 1), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM per), " +
+        "r AS (SELECT source, n_tokens, " +
+        "CAST(row_number() OVER (ORDER BY n_tokens ASC, source ASC) AS BIGINT) AS i, " +
+        "CAST(coalesce(sum(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s_prev " +
+        "FROM per), " +
+        "u AS (SELECT r.*, 4 * n_tokens AS capped, " +
+        "CAST((2000000 - 4 * s_prev) // (n_src - i + 1) AS BIGINT) AS u_i " +
+        "FROM r CROSS JOIN nn), " +
+        "kf AS (SELECT min(CASE WHEN capped > u_i THEN i END) AS k FROM u), " +
+        "ukf AS (SELECT max(CASE WHEN i = k THEN u_i END) AS u_k " +
+        "FROM u CROSS JOIN kf) " +
+        "SELECT source, n_tokens, " +
+        "CASE WHEN k IS NOT NULL AND i >= k THEN u_k ELSE capped END " +
+        "AS alloc_tokens, " +
+        "round(CAST(CASE WHEN k IS NOT NULL AND i >= k THEN u_k ELSE capped END " +
+        "AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS epochs " +
+        "FROM u CROSS JOIN kf CROSS JOIN ukf"),
+    // Mirrors DocOps.temperatureAllocation: α = 0.5 via sqrt (IEEE
+    // correctly rounded — identical doubles, unlike pow), weights
+    // rounded 6dp into DECIMAL for an any-order-exact sum, one
+    // terminal divide/multiply of identical doubles.
+    "temperature_allocation" ->
+      ("WITH per AS (SELECT source, " +
+        "CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) " +
+        "AS n_tokens FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per), " +
+        "w AS (SELECT source, n_tokens, " +
+        "CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(28,6)) AS w " +
+        "FROM per), " +
+        "ws AS (SELECT CAST(sum(w) AS DECIMAL(38,6)) AS w_sum FROM w) " +
+        "SELECT source, n_tokens, " +
+        "round(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS raw_share, " +
+        "round(CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE), 6) AS p_temp, " +
+        "round(2000000.0 * (CAST(w AS DOUBLE) / CAST(w_sum AS DOUBLE)), 4) " +
+        "AS expected_tokens " +
+        "FROM w CROSS JOIN t CROSS JOIN ws"),
     // Mirrors MiningOps.pmiCollocations: occurrence (not distinct)
     // counts, each factor cast to DOUBLE before the pinned-order
     // products, ln on the identical double (the unigram_kl contract).

@@ -291,6 +291,79 @@ object DocOps {
           col("w_total").cast("double"))).cast("long").as("n_alloc"))
   }
 
+  /** UniMax-style budget allocation (Chung et al. '23, "UniMax: fairer
+    * and more effective language sampling"): spread a total token
+    * budget as UNIFORMLY as possible across sources, capping each at
+    * `maxEpochs` passes over its data — the published answer to
+    * temperature sampling's head-source over-weighting when training
+    * multilingual/multi-source LLMs. Exact waterfill, closed form:
+    * sort sources ASCENDING by size; a source caps out iff its
+    * `maxEpochs·n_tokens` is below the uniform share of what's left,
+    * and because sizes ascend there is ONE crossover index k — before
+    * it every source takes its cap, from it on everyone splits the
+    * remaining budget equally (integer `div`; the ≤ n_src-token
+    * remainder is deliberately unallocated).
+    *
+    * All arithmetic is exact BIGINT (counts, prefix sums, integer
+    * division), so the allocation is bit-identical in any engine; the
+    * only doubles are the terminal epochs ratio, rounded once. The
+    * windows run over the |sources|-row collapsed frame — bounded
+    * domain, the serial-window whitelist case. */
+  def unimaxAllocation(docs: DataFrame, budgetTokens: Long = 2000000L,
+      maxEpochs: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens >= 0 && maxEpochs > 0)
+    val per = docs.select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val nSrc = per.agg(count(lit(1)).as("n_src"))
+    val w = Window.orderBy(col("n_tokens").asc, col("source").asc)
+    val ranked = per.crossJoin(broadcast(nSrc))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s_prev", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("capped", lit(maxEpochs.toLong) * col("n_tokens"))
+      .withColumn("u",
+        expr(s"(${budgetTokens}L - ${maxEpochs}L * s_prev) div (n_src - i + 1)"))
+    val kf = ranked.agg(min(when(col("capped") > col("u"), col("i"))).as("k"))
+    val withK = ranked.crossJoin(broadcast(kf))
+    val ukf = withK.agg(max(when(col("i") === col("k"), col("u"))).as("u_k"))
+    withK.crossJoin(broadcast(ukf))
+      .select(col("source"), col("n_tokens"),
+        when(col("k").isNotNull && col("i") >= col("k"), col("u_k"))
+          .otherwise(col("capped")).as("alloc_tokens"))
+      .withColumn("epochs", round(
+        col("alloc_tokens").cast("double") / col("n_tokens").cast("double"), 4))
+  }
+
+  /** Temperature-scaled sampling shares (the mT5/mC4 α-sampling that
+    * UniMax supersedes, still the most-used mixture knob): p_i ∝
+    * (c_i)^α with α = 0.5 FIXED — sqrt is the one fractional power
+    * IEEE 754 requires correctly rounded, so both engines compute the
+    * identical double where a general `pow(x, α)` (exp·ln, 1-ulp
+    * wiggle) could flip a 6dp rounding boundary. The per-source
+    * weights round to 6dp and sum as DECIMAL (any-order exact — the
+    * [[neymanAllocation]] discipline), the shares and expected token
+    * counts divide/multiply identical doubles once. */
+  def temperatureAllocation(docs: DataFrame,
+      budgetTokens: Long = 2000000L): DataFrame = {
+    val per = docs.select(col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    val weighted = per.withColumn("w",
+      round(sqrt(col("n_tokens").cast("double")), 6).cast("decimal(28,6)"))
+    val wsum = weighted.agg(sum(col("w")).as("w_sum"))
+    val p = col("w").cast("double") / col("w_sum").cast("double")
+    weighted.crossJoin(broadcast(tot)).crossJoin(broadcast(wsum))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("tot").cast("double"), 6)
+          .as("raw_share"),
+        round(p, 6).as("p_temp"),
+        round(lit(budgetTokens.toDouble) * p, 4).as("expected_tokens"))
+  }
+
   /** Flesch reading-ease per document — the classic readability
     * screen (Flesch '48; corpus pipelines bucket documents by it
     * before sampling):

@@ -438,6 +438,53 @@ class DocPipelineSpec extends SparkSpec {
     assert(got("srcB") == ((2L, 0.0, 0.0, 0L)), got.toString)
   }
 
+  test("unimaxAllocation: caps below the crossover, uniform split after, " +
+      "budget exactly exhausted") {
+    // token counts A=100, B=1000, C=10000; budget 3000, cap 4 epochs.
+    // Ascending waterfill: A caps at 400 (u₁ = 1000); at B the cap
+    // 4000 > u₂ = (3000−400)/2 = 1300 → crossover k=2, B and C each
+    // take 1300. 400 + 1300 + 1300 = 3000 — nothing stranded.
+    def doc(id: Long, src: String, words: Int) =
+      (id, Seq.fill(words)("w").mkString(" "), src)
+    val docs = (Seq(doc(1, "A", 100)) ++
+      (1 to 10).map(i => doc(10 + i, "B", 100)) ++
+      (1 to 100).map(i => doc(100 + i, "C", 100)))
+      .toDF("doc_id", "text", "source")
+    val got = DocOps.unimaxAllocation(docs, budgetTokens = 3000L,
+      maxEpochs = 4).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("alloc_tokens"),
+          r.getAs[Double]("epochs")))).toMap
+    assert(got == Map(
+      "A" -> ((100L, 400L, 4.0)),
+      "B" -> ((1000L, 1300L, 1.3)),
+      "C" -> ((10000L, 1300L, 0.13))), got.toString)
+    // a budget above every cap leaves all sources capped (k undefined)
+    val rich = DocOps.unimaxAllocation(docs, budgetTokens = 1000000L,
+      maxEpochs = 4).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("alloc_tokens"))
+      .toMap
+    assert(rich == Map("A" -> 400L, "B" -> 4000L, "C" -> 40000L),
+      rich.toString)
+  }
+
+  test("temperatureAllocation: sqrt flattens the head, shares sum to 1") {
+    def doc(id: Long, src: String, words: Int) =
+      (id, Seq.fill(words)("w").mkString(" "), src)
+    val docs = (Seq(doc(1, "A", 100)) ++
+      (1 to 4).map(i => doc(10 + i, "B", 100)))
+      .toDF("doc_id", "text", "source")
+    // sizes 100, 400 → weights 10, 20 → p = 1/3, 2/3 (vs raw 0.2/0.8:
+    // the tail source gains share, the head loses — the point of α<1)
+    val got = DocOps.temperatureAllocation(docs, budgetTokens = 3000L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Double]("raw_share"), r.getAs[Double]("p_temp"),
+          r.getAs[Double]("expected_tokens")))).toMap
+    assert(got == Map(
+      "A" -> ((0.2, 0.333333, 1000.0)),
+      "B" -> ((0.8, 0.666667, 2000.0))), got.toString)
+  }
+
   test("readabilityScores: hand-computed Flesch, syllable floor, " +
       "polysyllabic text scores lower") {
     val docs = Seq(

@@ -455,7 +455,9 @@ class PlanAuditSpec extends SparkSpec {
       "round",       // BPE merge round: ≤ the rounds literal
       "vb",          // selectUnderBudget value-bucket: ≤ targetBuckets
       "alpha_ratio", // paretoFrontier per-alpha agg: round(x,4) on [0,1] → ≤ 10001
-      "b"            // sortedNeighborhoodPairs block = first char: ≤ |alphabet|
+      "b",           // sortedNeighborhoodPairs block = first char: ≤ |alphabet|
+      "n_tokens",    // unimaxAllocation waterfill: per-SOURCE collapse,
+      "source"       //   |sources| categorical domain (n_tokens is its sort key)
     )
 
     def expand(p: SparkPlan): Seq[SparkPlan] =
