@@ -253,6 +253,10 @@ object SparkEntry {
       ((s, d) => DocOps.weightedSample(documents(s, d))),
     "mixture_sample" ->
       ((s, d) => DocOps.mixtureSample(documents(s, d), mixtureRates)),
+    "mixture_sample_audit" ->
+      ((s, d) => DocOps.mixtureSampleAudit(documents(s, d), mixtureRates)),
+    "k_anonymity_profile" ->
+      ((s, d) => EventOps.kAnonymityProfile(events(s, d))),
     "shard_assignments" ->
       ((s, d) => DocOps.shardAssignments(documents(s, d))),
     "shard_fill_stats" ->
@@ -2122,6 +2126,36 @@ object SparkEntry {
       ("SELECT doc_id, source, n_chars FROM documents " +
         s"WHERE (${DocOps.knuthHash32Sql("doc_id")}) % 1000000 < " +
         s"${DocOps.mixtureRateSql(mixtureRates)}"),
+    // Mirrors DocOps.mixtureSampleAudit: the sampler's own hash CASE,
+    // binomial expectation/z in pinned-order doubles, NULL z at the
+    // zero-variance rates (0 and 1e6 ppm).
+    "mixture_sample_audit" ->
+      ("WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        s"${DocOps.mixtureRateSql(mixtureRates)} AS rate_ppm " +
+        "FROM documents GROUP BY 1), " +
+        "kept AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sampled " +
+        "FROM documents " +
+        s"WHERE (${DocOps.knuthHash32Sql("doc_id")}) % 1000000 < " +
+        s"${DocOps.mixtureRateSql(mixtureRates)} GROUP BY 1), " +
+        "j AS (SELECT p.source, n_docs, " +
+        "coalesce(n_sampled, 0) AS n_sampled, rate_ppm " +
+        "FROM per p LEFT JOIN kept k ON p.source = k.source) " +
+        "SELECT source, n_docs, n_sampled, rate_ppm, " +
+        "round(CAST(n_docs AS DOUBLE) * (CAST(rate_ppm AS DOUBLE) / 1000000.0), 4) AS expected, " +
+        "CASE WHEN CAST(n_docs AS DOUBLE) * (CAST(rate_ppm AS DOUBLE) / 1000000.0) * " +
+        "(1.0 - CAST(rate_ppm AS DOUBLE) / 1000000.0) > 0.0 THEN " +
+        "round((CAST(n_sampled AS DOUBLE) - CAST(n_docs AS DOUBLE) * " +
+        "(CAST(rate_ppm AS DOUBLE) / 1000000.0)) / " +
+        "sqrt(CAST(n_docs AS DOUBLE) * (CAST(rate_ppm AS DOUBLE) / 1000000.0) * " +
+        "(1.0 - CAST(rate_ppm AS DOUBLE) / 1000000.0)), 4) END AS binom_z " +
+        "FROM j"),
+    // Mirrors EventOps.kAnonymityProfile: two exact aggregations.
+    "k_anonymity_profile" ->
+      ("WITH c AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS class_size FROM events GROUP BY 1, 2) " +
+        "SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes, " +
+        "CAST(class_size * count(*) AS BIGINT) AS n_rows, " +
+        "class_size < 5 AS below_k FROM c GROUP BY class_size"),
     // Mirrors DocOps.shardAssignments: exclusive prefix sum in doc_id
     // order per source, BIGINT floor-division shard ids (both engines
     // divide exact integers; inputs are nonnegative so div == //).

@@ -1241,6 +1241,40 @@ object DocOps {
         mixtureRateExpr(ratesPpm))
       .select(col("doc_id"), col("source"), col("n_chars"))
 
+  /** Representativeness audit for [[mixtureSample]] — the diagnostic a
+    * sampling pipeline ships NEXT TO the sampler: per source, the
+    * realized keep count against its binomial expectation under the
+    * configured ppm rate, scored as the normal-approximation binomial
+    * z. A biased hash, a stale rate literal, or a source silently
+    * renamed all surface as |z| blowups (a correct deterministic
+    * hash-threshold sample sits within a few z of expectation on any
+    * non-adversarial id space). Rates of exactly 0 or 1,000,000 have
+    * zero binomial variance — their z is NULL by contract (the count
+    * check is exact there: expected == 0 or == n_docs).
+    *
+    * Determinism: counts exact BIGINT; p = ppm/1e6 and every product
+    * is pinned-order double; one terminal round. Shape: the sampler's
+    * own scan + two |sources|-row aggregates — no extra pass. */
+  def mixtureSampleAudit(docs: DataFrame,
+      ratesPpm: Seq[(String, Long)]): DataFrame = {
+    val kept = mixtureSample(docs, ratesPpm)
+      .groupBy("source").agg(count(lit(1)).as("n_sampled"))
+    val base = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val joined = base.join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        mixtureRateExpr(ratesPpm).as("rate_ppm"))
+    val p = col("rate_ppm").cast("double") / lit(1000000.0)
+    val nD = col("n_docs").cast("double")
+    val varB = nD * p * (lit(1.0) - p)
+    joined.select(col("source"), col("n_docs"), col("n_sampled"),
+      col("rate_ppm"),
+      round(nD * p, 4).as("expected"),
+      when(varB > lit(0.0),
+        round((col("n_sampled").cast("double") - nD * p) / sqrt(varB), 4))
+        .as("binom_z"))
+  }
+
   /** The mixture-rate lookup as a CASE expression — one literal plan
     * both engines share (`when` chain here, the identical CASE text in
     * the oracle via [[mixtureRateSql]]). */

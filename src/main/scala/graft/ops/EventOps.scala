@@ -1122,6 +1122,24 @@ object EventOps {
           rankOk(col("le_mad"), col("lt_mad"))).as("within_tol"))
   }
 
+  /** k-anonymity risk profile — the data-governance primitive run
+    * before releasing or joining quasi-identifiable data: group rows
+    * by their quasi-identifier tuple (here the (event_type, day) pair
+    * — swap columns per dataset), then histogram the equivalence-class
+    * sizes. Rows in classes smaller than `k` are re-identifiable at
+    * 1-in-class_size odds; `below_k` marks them so the caller can
+    * read "how many rows violate k=5" straight off the n_rows sums.
+    * Two exact hash aggregations (QI collapse, then the size
+    * histogram — second input is |classes| rows), no window, no join. */
+  def kAnonymityProfile(events: DataFrame, k: Int = 5): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("class_size"))
+      .groupBy("class_size").agg(count(lit(1)).as("n_classes"))
+      .select(col("class_size"), col("n_classes"),
+        (col("class_size") * col("n_classes")).as("n_rows"),
+        (col("class_size") < lit(k.toLong)).as("below_k"))
+
   /** Robust per-type outliers — [[valueMadByType]] put to work: events
     * whose |value − median| exceeds `threshold` MADs of their type.
     * Where [[valueOutliers]]'s moment z-score is itself dragged by the

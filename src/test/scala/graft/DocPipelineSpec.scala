@@ -438,6 +438,31 @@ class DocPipelineSpec extends SparkSpec {
     assert(got("srcB") == ((2L, 0.0, 0.0, 0L)), got.toString)
   }
 
+  test("mixtureSampleAudit: counts reconcile with the sampler, zero-variance " +
+      "rates get NULL z, z sign follows the deviation") {
+    val docs = (1L to 400L).map(i =>
+      (i, "t", s"src${i % 4}", 10L)).toDF("doc_id", "text", "source", "n_chars")
+    val rates = Seq("src0" -> 0L, "src1" -> 1000000L, "src2" -> 500000L)
+    // src3 absent from the mix → rate 0 by contract
+    val audit = DocOps.mixtureSampleAudit(docs, rates).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_sampled"),
+          r.getAs[Double]("expected"),
+          Option(r.getAs[java.lang.Double]("binom_z"))))).toMap
+    // rate 0 and rate 1e6: exact counts, no variance, NULL z
+    assert(audit("src0") == ((100L, 0L, 0.0, None)), audit.toString)
+    assert(audit("src1") == ((100L, 100L, 100.0, None)), audit.toString)
+    assert(audit("src3") == ((100L, 0L, 0.0, None)), audit.toString)
+    // rate 0.5: n_sampled reconciles with the sampler itself, and the
+    // z carries the deviation's sign against expected = 50
+    val (n2, s2, e2, z2) = audit("src2")
+    val sampled = DocOps.mixtureSample(docs, rates)
+      .filter(col("source") === "src2").count()
+    assert(n2 == 100L && e2 == 50.0 && s2 == sampled, audit.toString)
+    assert(z2.isDefined && (math.signum(z2.get) ==
+      math.signum(s2.toDouble - 50.0) || z2.get == 0.0), audit.toString)
+  }
+
   test("unimaxAllocation: caps below the crossover, uniform split after, " +
       "budget exactly exhausted") {
     // token counts A=100, B=1000, C=10000; budget 3000, cap 4 epochs.

@@ -379,6 +379,23 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "c" -> 3L), got)
   }
 
+  test("kAnonymityProfile: class-size histogram, below_k marks the risky rows") {
+    // QI = (event_type, day). Classes: (a, 03-01) size 3, (a, 03-02)
+    // size 1, (b, 03-01) size 1 → histogram {3→1 class, 1→2 classes}.
+    val events = Seq(
+      ev(1, "2024-03-01", "a"), ev(2, "2024-03-01", "a"),
+      ev(3, "2024-03-01", "a"),
+      ev(4, "2024-03-02", "a"), ev(5, "2024-03-01", "b"),
+    ).toDF(evCols: _*)
+    val got = EventOps.kAnonymityProfile(events, k = 2).collect()
+      .map(r => r.getAs[Long]("class_size") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Boolean]("below_k")))).toMap
+    assert(got == Map(
+      3L -> ((1L, 3L, false)),
+      1L -> ((2L, 2L, true))), got.toString)
+  }
+
   test("targetEncodePriority: rare category shrinks to prior, m=0 is the raw rate") {
     import graft.ops.AggOps
     // A: 3 orders, 1 returned; B: 1 order, 1 returned. prior = 2/4 = 0.5.
