@@ -255,6 +255,38 @@ object SparkEntry {
       ((s, d) => DocOps.mixtureSample(documents(s, d), mixtureRates)),
     "mixture_sample_audit" ->
       ((s, d) => DocOps.mixtureSampleAudit(documents(s, d), mixtureRates)),
+    // Mergeable Misra–Gries contract on real data: the corpus split
+    // into 4 disjoint "batches" (doc_id mod 4 — the streaming sink's
+    // shape), per-batch summaries merged via mgReduce, gated on the
+    // layout-INVARIANT guarantees: no true heavy hitter (cnt·k > N)
+    // missing, and every candidate's exact count inside
+    // [c_lb, c_lb + ceil(N/k)]. The summary CONTENT is layout-bound
+    // (rows-only by nature); these flags are theorems about it.
+    "mg_merge_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val k = 100
+      val toks = documents(s, d).select(col("doc_id"),
+        explode(DedupOps.tokens(col("text"))).as("term"))
+      val merged = DocOps.mgReduce(
+        (0 until 4).map(b => DocOps.mgSummary(
+          toks.filter(col("doc_id") % 4 === b).select("term"), k))
+          .reduce(_ unionByName _), k)
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      val n = toks.agg(count(lit(1)).as("n_total"))
+      val nTrue = exact.crossJoin(broadcast(n))
+        .filter(col("cnt") * lit(k.toLong) > col("n_total"))
+        .agg(count(lit(1)).as("n_true_hh"))
+      val nMissed = exact.crossJoin(broadcast(n))
+        .filter(col("cnt") * lit(k.toLong) > col("n_total"))
+        .join(merged.select("term"), Seq("term"), "left_anti")
+        .agg(count(lit(1)).as("n_missed"))
+      val bounds = merged.join(exact, Seq("term"))
+        .crossJoin(broadcast(n))
+        .agg(coalesce(min(col("c_lb") <= col("cnt") &&
+          col("cnt") <= col("c_lb") + expr(s"(n_total + $k - 1) div $k")),
+          lit(true)).as("bounds_ok"))
+      nTrue.crossJoin(nMissed).crossJoin(bounds)
+    }),
     "k_anonymity_profile" ->
       ((s, d) => EventOps.kAnonymityProfile(events(s, d))),
     "shard_assignments" ->
@@ -2149,6 +2181,16 @@ object SparkEntry {
         "sqrt(CAST(n_docs AS DOUBLE) * (CAST(rate_ppm AS DOUBLE) / 1000000.0) * " +
         "(1.0 - CAST(rate_ppm AS DOUBLE) / 1000000.0)), 4) END AS binom_z " +
         "FROM j"),
+    // Mirrors mg_merge_audit: n_true_hh is exact SQL; the other two
+    // columns are layout-invariant theorems pinned to their values.
+    "mg_merge_audit" ->
+      ("WITH toks AS (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "exact AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM toks) " +
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact CROSS JOIN n " +
+        "WHERE cnt * 100 > n_total) AS n_true_hh, " +
+        "CAST(0 AS BIGINT) AS n_missed, true AS bounds_ok"),
     // Mirrors EventOps.kAnonymityProfile: two exact aggregations.
     "k_anonymity_profile" ->
       ("WITH c AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +

@@ -1600,6 +1600,60 @@ object DocOps {
       .orderBy(col("cnt").desc, col("term").asc)
   }
 
+  /** MERGEABLE Misra–Gries summary of a token column — the summary
+    * form [[heavyHitterTerms]]'s candidates-then-exact-recount shape
+    * cannot give a STREAM (no second pass over history exists): ≤ k
+    * rows of (term, c_lb) where c_lb is a lower bound on the term's
+    * true count with total under-count ≤ n/(k+1) (Misra–Gries '82;
+    * summaries of disjoint streams merge by per-term summation + the
+    * [[mgReduce]] cut, preserving the bound — Agarwal et al.,
+    * "Mergeable summaries", TODS '13). The summary CONTENT depends on
+    * partition layout; the containment and bound guarantees hold
+    * under every layout, which is what the audit gates.
+    *
+    * Shape: per-partition bounded-size MG maps (genuine imperative
+    * per-partition state, the mapPartitions clause), partial-count
+    * merge on term, then the top-(k+1) cut via the capped-heap
+    * [[graft.plans.TopK]] operator — no full sort anywhere. */
+  def mgSummary(tokens: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"MG counter budget must be positive: $k")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val partials = tokens.select(col("term")).as[String].mapPartitions { it =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]
+      it.foreach { t =>
+        counters.get(t) match {
+          case Some(c) => counters.update(t, c + 1)
+          case None if counters.size < k => counters.update(t, 1L)
+          case None =>
+            val dead = List.newBuilder[String]
+            counters.foreach { case (term, c) =>
+              if (c == 1L) dead += term else counters.update(term, c - 1)
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.iterator.map { case (t, c) => (t, c) }
+    }.toDF("term", "c_lb")
+    mgReduce(partials, k)
+  }
+
+  /** The mergeable-summaries reduction: sum per-term lower bounds,
+    * subtract the (k+1)-th largest summed value from everything and
+    * keep the positives — ≤ k rows out, lower bounds preserved. */
+  private[graft] def mgReduce(summaries: DataFrame, k: Int): DataFrame = {
+    val summed = summaries.groupBy("term").agg(sum(col("c_lb")).as("c"))
+    val top = graft.plans.TopK.perGroup(
+      summed.withColumn("g", lit(1)), Seq(col("g")),
+      Seq(col("c").desc, col("term").asc), k + 1).drop("g")
+    val cut = top.agg(
+      when(count(lit(1)) === (k + 1).toLong, min(col("c")))
+        .otherwise(lit(0L)).as("cstar"))
+    top.crossJoin(broadcast(cut))
+      .filter(col("c") - col("cstar") > 0L)
+      .select(col("term"), (col("c") - col("cstar")).as("c_lb"))
+  }
+
   /** In-engine BPE tokenizer TRAINING — `rounds` greedy merge rounds
     * actually applied, not just round-0 candidates (contrast
     * [[bpeMergeCandidates]], which scores the initial character

@@ -465,6 +465,53 @@ object StreamJob {
       .agg(graft.functions.BitmapAgg.bitmapCardinality(col("bm"), maxId)
         .as("n_users"))
 
+  /** Streaming heavy-hitter maintenance — the MERGEABLE face of
+    * [[graft.ops.DocOps.heavyHitterTerms]] (whose exact-recount second
+    * pass a stream cannot make): each micro-batch appends its own
+    * Misra–Gries summary blob (≤ k narrow rows + a 1-row token total)
+    * under the same idempotent-by-path `b<batchId>` contract as
+    * [[startDistinctDailySketches]]. Readers merge the stored
+    * summaries — per-term sums + one reduction cut — and answer with
+    * lower/upper count bounds; the merged under-count stays ≤
+    * N/(k+1) (Agarwal et al., mergeable summaries), so every term
+    * with true frequency above N/k is guaranteed present no matter
+    * how the stream was batched or partitioned. Per-batch cost:
+    * one token pass + a ≤ k-row write; no history rescan, ever. */
+  def startHeavyHitterSketches(docs: DataFrame, dir: String,
+      checkpointDir: String, k: Int = 200): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val toks = batch
+            .filter(col("text").isNotNull)
+            .select(explode(graft.ops.DedupOps.tokens(col("text")))
+              .as("term"))
+          graft.ops.DocOps.mgSummary(toks, k)
+            .write.mode("overwrite").parquet(s"$dir/b$batchId/summary")
+          toks.agg(count(lit(1)).as("n_tokens"))
+            .write.mode("overwrite").parquet(s"$dir/b$batchId/meta")
+        }
+        ()
+      }
+      .start()
+
+  /** Heavy hitters answered from the STORED summary blobs only: merged
+    * lower bounds plus the ceil(N/k) upper-bound cushion. Contains
+    * every term with true count > N/k; each reported term's true count
+    * lies in [c_lb, c_ub]. */
+  def heavyHittersFromSketches(spark: SparkSession, dir: String,
+      k: Int = 200): DataFrame = {
+    val merged = graft.ops.DocOps.mgReduce(
+      spark.read.parquet(s"$dir/b*/summary"), k)
+    val n = spark.read.parquet(s"$dir/b*/meta")
+      .agg(sum(col("n_tokens")).as("n_total"))
+    merged.crossJoin(broadcast(n))
+      .select(col("term"), col("c_lb"),
+        (col("c_lb") + expr("(n_total + " + k + " - 1) div " + k))
+          .as("c_ub"))
+  }
+
   /** Stream-stream inner join with watermarks and a time-range bound —
     * the remaining Structured Streaming category (the reference joins
     * nothing, SURVEY.md §2.3). Both sides carry watermarks so the state

@@ -438,6 +438,24 @@ class DocPipelineSpec extends SparkSpec {
     assert(got("srcB") == ((2L, 0.0, 0.0, 0L)), got.toString)
   }
 
+  test("mgSummary: ≤ k rows, lower bounds, true heavy hitters survive " +
+      "any partitioning") {
+    val words = Seq.fill(60)("hot") ++ Seq.fill(20)("warm") ++
+      (1 to 30).map(i => s"cold$i")   // N = 110; N/k at k=4 = 27.5
+    for (parts <- Seq(1, 4)) {
+      val toks = words.toDF("term").repartition(parts)
+      val got = DocOps.mgSummary(toks, 4).collect()
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("c_lb")).toMap
+      assert(got.size <= 4, got.toString)
+      // containment: hot (60 > 27.5) must survive; bounds: c_lb never
+      // exceeds the true count, and undercounts by at most N/(k+1)
+      assert(got.contains("hot"), s"parts=$parts: $got")
+      assert(got("hot") <= 60L && 60L - got("hot") <= 110L / 5L,
+        s"parts=$parts: $got")
+      got.get("warm").foreach(c => assert(c <= 20L, got.toString))
+    }
+  }
+
   test("mixtureSampleAudit: counts reconcile with the sampler, zero-variance " +
       "rates get NULL z, z sign follows the deviation") {
     val docs = (1L to 400L).map(i =>

@@ -323,6 +323,42 @@ class StreamJobSpec extends SparkSpec {
     assert(afterB3 == Set("c2", "b3"), afterB3.toString)
   }
 
+  test("heavy-hitter sketch sink: merged blobs guarantee containment " +
+      "and count bounds, replay-safe") {
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mg").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val k = 3
+    val b0 = Seq((1L, "apple apple apple banana"), (2L, "apple cherry"))
+    val b1 = Seq((3L, "apple banana banana"), (4L, "date egg fig grape"))
+    // exact: apple 5, banana 3, cherry/date/egg/fig/grape 1; N = 13.
+    // true heavy hitters (cnt > N/k = 4.33): apple only.
+    val q = StreamJob.startHeavyHitterSketches(docs, dir, ckpt, k = k)
+    try {
+      Seq(b0, b1).foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def answer() = StreamJob.heavyHittersFromSketches(spark, dir, k)
+      .collect().map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("c_lb"), r.getAs[Long]("c_ub")))).toMap
+    val got = answer()
+    val exact = Map("apple" -> 5L, "banana" -> 3L, "cherry" -> 1L,
+      "date" -> 1L, "egg" -> 1L, "fig" -> 1L, "grape" -> 1L)
+    // containment: the one true heavy hitter must be present
+    assert(got.contains("apple"), got.toString)
+    // soundness: every reported term's exact count within its bounds,
+    // and the summary respects the k-row budget
+    assert(got.size <= k, got.toString)
+    got.foreach { case (t, (lb, ub)) =>
+      assert(lb <= exact(t) && exact(t) <= ub, s"$t: $lb..$ub vs ${exact(t)}")
+    }
+    // at-least-once replay: a restarted query re-delivers nothing new
+    // and the per-path overwrite leaves the answer unchanged
+    val q2 = StreamJob.startHeavyHitterSketches(docs, dir, ckpt, k = k)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(answer() == got)
+  }
+
   test("sessionizedStats: append emits only watermark-CLOSED sessions, " +
       "≡ the batch session_window twin") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
