@@ -319,6 +319,8 @@ object SparkEntry {
     "ttr_by_source" -> ((s, d) => DocOps.ttrBySource(documents(s, d))),
     "doclen_histogram" -> ((s, d) => DocOps.doclenHistogram(documents(s, d))),
     "doc_fingerprints" -> ((s, d) => DocOps.fingerprints(documents(s, d))),
+    "dup_rate_by_batch" ->
+      ((s, d) => DocOps.dupRateByBatch(documents(s, d))),
     "doc_chunks" -> ((s, d) => DocOps.chunkDocuments(documents(s, d))),
     "winnowed_fingerprints" ->
       ((s, d) => DocOps.winnowedFingerprints(documents(s, d))),
@@ -2288,6 +2290,18 @@ object SparkEntry {
     "doc_fingerprints" ->
       ("SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents"),
+    // Mirrors DocOps.dupRateByBatch: same md5 normalization, keeper =
+    // min doc_id per fingerprint, exact counts into one rounded ratio.
+    "dup_rate_by_batch" ->
+      ("WITH fp AS (SELECT doc_id, " +
+        "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
+        "FROM documents), " +
+        "k AS (SELECT fp, min(doc_id) AS keeper_id FROM fp GROUP BY 1) " +
+        "SELECT doc_id // 50 AS batch_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
+        "round(CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS dup_rate " +
+        "FROM fp JOIN k USING (fp) GROUP BY 1"),
     // Mirrors DocOps.chunkDocuments(size=200, overlap=50): starts at
     // step 150 capped at greatest(n-overlap-1, 0) — range() stop is
     // exclusive, hence the +1 — so a start is emitted only while the

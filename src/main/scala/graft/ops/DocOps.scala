@@ -1033,6 +1033,29 @@ object DocOps {
   def fingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
 
+  /** Ingestion dup-rate telemetry — the dedup MONITORING curve beside
+    * [[DedupOps]]'s dedup operators: per arrival batch (`doc_id div
+    * batchSize`; ids are arrival-ordered in this lake), the share of
+    * documents whose normalized fingerprint already occurred at a
+    * smaller doc_id. A rising curve is a crawler revisiting its
+    * frontier or a source re-delivering — caught from the trend, not
+    * from a corpus-wide recount. One fingerprint scan, a min-per-fp
+    * collapse, one fp-keyed join back: the exact-dedup shape with a
+    * batch rollup on top, no windows. */
+  def dupRateByBatch(docs: DataFrame, batchSize: Long = 50L): DataFrame = {
+    require(batchSize > 0)
+    val fp = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val keeper = fp.groupBy("fp").agg(min(col("doc_id")).as("keeper_id"))
+    fp.join(keeper, "fp")
+      .groupBy(expr(s"doc_id div ${batchSize}L").as("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper_id"), 1L).otherwise(0L))
+          .as("n_dups"))
+      .select(col("batch_id"), col("n_docs"), col("n_dups"),
+        round(col("n_dups").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+  }
+
   // --- Winnowed rolling-hash fingerprints (Schleimer et al. '03, the
   // MOSS scheme): mod-reduced Rabin-Karp k-gram hashes over the
   // normalized character stream, rightmost-minimum of every w-window

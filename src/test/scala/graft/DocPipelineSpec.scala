@@ -438,6 +438,23 @@ class DocPipelineSpec extends SparkSpec {
     assert(got("srcB") == ((2L, 0.0, 0.0, 0L)), got.toString)
   }
 
+  test("dupRateByBatch: within- and cross-batch dups counted against " +
+      "the first-arrival keeper") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "unique one"),
+      (3L, "  ALPHA   beta "),            // within-batch dup of 1 (normalized)
+      (51L, "alpha beta"),                // cross-batch dup of 1
+      (52L, "another unique")             // fresh in batch 1
+    ).toDF("doc_id", "text")
+    val got = DocOps.dupRateByBatch(docs, batchSize = 50L).collect()
+      .map(r => r.getAs[Long]("batch_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_dups"),
+          r.getAs[Double]("dup_rate")))).toMap
+    assert(got == Map(
+      0L -> ((3L, 1L, 0.333333)),
+      1L -> ((2L, 1L, 0.5))), got.toString)
+  }
+
   test("mgSummary: ≤ k rows, lower bounds, true heavy hitters survive " +
       "any partitioning") {
     val words = Seq.fill(60)("hot") ++ Seq.fill(20)("warm") ++
