@@ -289,6 +289,9 @@ object SparkEntry {
     }),
     "k_anonymity_profile" ->
       ((s, d) => EventOps.kAnonymityProfile(events(s, d))),
+    "woe_value_bins" -> ((s, d) => EventOps.woeValueBins(events(s, d))),
+    "lang_agreement_kappa" ->
+      ((s, d) => DocOps.langAgreementKappa(documents(s, d))),
     "shard_assignments" ->
       ((s, d) => DocOps.shardAssignments(documents(s, d))),
     "shard_fill_stats" ->
@@ -2138,6 +2141,44 @@ object SparkEntry {
     "lang_confusion" ->
       (s"SELECT lang, pred_lang, count(*) AS n_docs FROM ($languageIdSql) " +
         "GROUP BY 1, 2"),
+    // Mirrors DocOps.langAgreementKappa over the languageIdSql
+    // detector: exact BIGINT cells/marginals, p_e's numerator an exact
+    // BIGINT product sum divided by (N·N) in pinned DOUBLE order.
+    "lang_agreement_kappa" ->
+      (s"WITH cells AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n " +
+        s"FROM ($languageIdSql) GROUP BY 1, 2), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, " +
+        "CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) " +
+        "AS n_agree FROM cells), " +
+        "rt AS (SELECT lang, CAST(sum(n) AS BIGINT) AS r FROM cells GROUP BY 1), " +
+        "ct AS (SELECT pred_lang, CAST(sum(n) AS BIGINT) AS c FROM cells GROUP BY 1), " +
+        "pe AS (SELECT CAST(coalesce(sum(r * c), 0) AS BIGINT) AS pe_num " +
+        "FROM rt JOIN ct ON rt.lang = ct.pred_lang) " +
+        "SELECT n_total, n_agree, " +
+        "round(CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS p_observed, " +
+        "round(CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)), 6) AS p_expected, " +
+        "round((CAST(n_agree AS DOUBLE) / CAST(n_total AS DOUBLE) - " +
+        "CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))) / " +
+        "(1.0 - CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))), 6) AS kappa " +
+        "FROM t CROSS JOIN pe"),
+    // Mirrors EventOps.woeValueBins: label = purchase, fixed-width
+    // bins, ln of the exact-integer cross product with DOUBLE casts
+    // before each multiply, iv_term against the UNROUNDED woe.
+    "woe_value_bins" ->
+      ("WITH b AS (SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg " +
+        "FROM events GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos, " +
+        "CAST(sum(n_neg) AS BIGINT) AS tot_neg FROM b) " +
+        "SELECT bin, n_pos, n_neg, " +
+        "round(ln((CAST(n_pos AS DOUBLE) * CAST(tot_neg AS DOUBLE)) / " +
+        "(CAST(tot_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))), 6) AS woe, " +
+        "round((CAST(n_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE) - " +
+        "CAST(n_neg AS DOUBLE) / CAST(tot_neg AS DOUBLE)) * " +
+        "ln((CAST(n_pos AS DOUBLE) * CAST(tot_neg AS DOUBLE)) / " +
+        "(CAST(tot_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))), 6) AS iv_term " +
+        "FROM b CROSS JOIN t WHERE n_pos > 0 AND n_neg > 0"),
     // Mirrors DocOps.importanceSample: the identical Knuth hash and the
     // same division-free integer cross-multiply predicate.
     "importance_sample" ->

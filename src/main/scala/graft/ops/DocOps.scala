@@ -1220,6 +1220,36 @@ object DocOps {
       .select((docs.columns.map(col) :+ col("pred_lang")): _*)
   }
 
+  /** Cohen's κ between the declared `lang` label and [[languageId]]'s
+    * prediction — the chance-corrected agreement STATISTIC on top of
+    * [[langConfusion]]'s raw matrix (two labelers can agree 80% by
+    * class imbalance alone; κ subtracts exactly that). κ = (p_o −
+    * p_e)/(1 − p_e) with p_o the diagonal share and p_e the expected
+    * agreement Σ row_i·col_i / N². All counts exact BIGINT; p_e's
+    * numerator sums exact BIGINT products and divides by (N·N) in
+    * DOUBLE (pinned order — BIGINT N² would overflow first at web
+    * scale); one terminal round per emitted statistic. */
+  def langAgreementKappa(docs: DataFrame): DataFrame = {
+    val cells = languageId(docs)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+    val totals = cells.agg(sum(col("n")).as("n_total"),
+      sum(when(col("lang") === col("pred_lang"), col("n")).otherwise(0L))
+        .as("n_agree"))
+    val rowTot = cells.groupBy("lang").agg(sum(col("n")).as("r"))
+    val colTot = cells.groupBy("pred_lang").agg(sum(col("n")).as("c"))
+    val peNum = rowTot
+      .join(colTot, col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("pe_num"))
+    val po = col("n_agree").cast("double") / col("n_total").cast("double")
+    val pe = col("pe_num").cast("double") /
+      (col("n_total").cast("double") * col("n_total").cast("double"))
+    totals.crossJoin(broadcast(peNum))
+      .select(col("n_total"), col("n_agree"),
+        round(po, 6).as("p_observed"),
+        round(pe, 6).as("p_expected"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
   /** Language-ID confusion matrix: declared `lang` × [[languageId]]'s
     * `pred_lang`, with document counts — the calibration readout that
     * tells you whether to trust the declared labels or the detector

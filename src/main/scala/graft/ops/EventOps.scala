@@ -1122,6 +1122,45 @@ object EventOps {
           rankOk(col("le_mad"), col("lt_mad"))).as("within_tol"))
   }
 
+  /** Weight-of-evidence value bins — the credit-scoring/tabular-ML
+    * feature transform beside [[graft.ops.AggOps.targetEncodePriority]]'s
+    * categorical encode: fixed-width bins of `value`, each scored by
+    * WOE = ln(share-of-positives / share-of-negatives) with the label
+    * "event is a purchase", plus its information-value term
+    * (dist_pos − dist_neg)·WOE — Σ iv_term is the feature's IV. Bins
+    * with zero mass on either side have no finite WOE and are
+    * EXCLUDED (the standard treatment; a production encode would
+    * smooth them — [[targetEncodePriority]] shows that shrink).
+    *
+    * Determinism: counts exact; the log argument is the exact-integer
+    * cross product (n_pos·tot_neg)/(tot_pos·n_neg), each factor cast
+    * to DOUBLE before multiplying, ln on the identical double (the
+    * unigram_kl contract); iv_term multiplies the UNROUNDED woe.
+    * Shape: one scan → |bins| hash agg; totals broadcast back. */
+  def woeValueBins(events: DataFrame, binWidth: Double = 10.0,
+      positiveType: String = "purchase"): DataFrame = {
+    val bins = events
+      .select(floor(col("value") / lit(binWidth)).cast("long").as("bin"),
+        when(col("event_type") === lit(positiveType), 1L).otherwise(0L)
+          .as("pos"))
+      .groupBy("bin")
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(lit(1L) - col("pos")).as("n_neg"))
+    val tot = bins.agg(sum(col("n_pos")).as("tot_pos"),
+      sum(col("n_neg")).as("tot_neg"))
+    val woeRaw = log(
+      (col("n_pos").cast("double") * col("tot_neg").cast("double")) /
+        (col("tot_pos").cast("double") * col("n_neg").cast("double")))
+    val distDiff =
+      col("n_pos").cast("double") / col("tot_pos").cast("double") -
+        col("n_neg").cast("double") / col("tot_neg").cast("double")
+    bins.crossJoin(broadcast(tot))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        round(woeRaw, 6).as("woe"),
+        round(distDiff * woeRaw, 6).as("iv_term"))
+  }
+
   /** k-anonymity risk profile — the data-governance primitive run
     * before releasing or joining quasi-identifiable data: group rows
     * by their quasi-identifier tuple (here the (event_type, day) pair

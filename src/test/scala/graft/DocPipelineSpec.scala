@@ -438,6 +438,22 @@ class DocPipelineSpec extends SparkSpec {
     assert(got("srcB") == ((2L, 0.0, 0.0, 0L)), got.toString)
   }
 
+  test("langAgreementKappa: hand-traced κ over a planted confusion matrix") {
+    // cells: (en,en)=2 agree, (fr,en)=1 disagree, (fr,fr)=1 agree.
+    // p_o = 3/4; marginals rows en=2 fr=2, cols en=3 fr=1 →
+    // p_e = (2·3 + 2·1)/16 = 0.5 → κ = (0.75 − 0.5)/(0.5) = 0.5.
+    val docs = Seq(
+      (1L, "the cat and the dog is here", "en"),
+      (2L, "the dog and the cat is there", "en"),
+      (3L, "the map for you", "fr"),          // detector says en
+      (4L, "le chat et la mer", "fr"),
+    ).toDF("doc_id", "text", "lang")
+    val got = DocOps.langAgreementKappa(docs).collect().head
+    assert((got.getAs[Long]("n_total"), got.getAs[Long]("n_agree"),
+      got.getAs[Double]("p_observed"), got.getAs[Double]("p_expected"),
+      got.getAs[Double]("kappa")) == ((4L, 3L, 0.75, 0.5, 0.5)), got.toString)
+  }
+
   test("dupRateByBatch: within- and cross-batch dups counted against " +
       "the first-arrival keeper") {
     val docs = Seq(

@@ -180,6 +180,31 @@ class RankStatsSpec extends SparkSpec {
       .forall(_.getAs[Boolean]("within_tol")))
   }
 
+  test("woeValueBins: hand-traced WOE/IV, one-sided bins excluded") {
+    // bin 0 (values < 10): 2 purchases, 2 views; bin 1: 1 purchase,
+    // 3 views; bin 2: purchases only → excluded (no finite WOE).
+    // totals over EMITTABLE+excluded: pos 4, neg 5.
+    val events = Seq(
+      (1L, "purchase", 5.0), (2L, "purchase", 6.0),
+      (3L, "view", 7.0), (4L, "view", 8.0),
+      (5L, "purchase", 15.0), (6L, "view", 15.0),
+      (7L, "view", 16.0), (8L, "view", 17.0),
+      (9L, "purchase", 25.0),
+    ).toDF("event_id", "event_type", "value")
+    val got = EventOps.woeValueBins(events).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Double]("woe"), r.getAs[Double]("iv_term")))).toMap
+    // bin0: woe = ln((2·5)/(4·2)) = ln(1.25) = 0.223144;
+    //       iv = (2/4 − 2/5)·ln(1.25) = 0.1·0.2231436 = 0.022314
+    // bin1: woe = ln((1·5)/(4·3)) = ln(5/12) = −0.875469;
+    //       iv = (0.25 − 0.6)·(−0.8754687) = 0.306414
+    assert(got == Map(
+      0L -> ((2L, 2L, 0.223144, 0.022314)),
+      1L -> ((1L, 3L, -0.875469, 0.306414))), got.toString)
+    assert(!got.contains(2L), got.toString)
+  }
+
   test("valueOutliersRobust: the MAD z flags the spike; zero-MAD types excluded") {
     // type a: 1..9 + a 105 spike → med 5.5, deviations sorted
     // 0.5,0.5,1.5,1.5,2.5,2.5,3.5,3.5,4.5,99.5 → MAD 2.5;
