@@ -616,6 +616,61 @@ object StreamJob {
     * Appends carry batch_id, so at-least-once replays dedupe
     * downstream (the same contract as every other append sink
     * here). */
+  /** Mean embedding of a vector column as a plain array — ONE per-dim
+    * aggregation; the collect is dim-sized (a model constant, e.g. 64
+    * floats), the bounded-artifact class the IVF centroid cache
+    * established, never data-proportional. */
+  def meanVector(df: DataFrame, vecCol: String = "embedding"): Array[Double] = {
+    val rows = df
+      .select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy("dim").agg(avg(col("v").cast("double")).as("m"))
+      .orderBy("dim").collect()
+    rows.map(_.getAs[Double]("m"))
+  }
+
+  /** Streaming EMBEDDING drift monitor — [[startDriftMonitor]]'s
+    * vector-space sibling: each micro-batch's mean embedding is scored
+    * against a fixed reference centroid (take it from
+    * [[meanVector]] over the training corpus) with cosine similarity
+    * and the L2 centroid shift, one (batch_id, n_rows, cosine_to_ref,
+    * l2_shift) row per batch. The alert feed for "this week's crawl
+    * embeds somewhere else than the corpus we trained on" — semantic
+    * drift that categorical PSI over metadata cannot see.
+    *
+    * Per batch: one per-dim aggregation over the batch (map-side
+    * combinable), then dim-sized driver arithmetic — O(batch) work,
+    * O(dim) state, nothing replayed. Degenerate all-zero means score
+    * cosine 0 rather than NaN (stated). */
+  def startEmbeddingDriftMonitor(vecs: DataFrame, reference: Array[Double],
+      appender: Appender, checkpointDir: String): StreamingQuery = {
+    require(reference.nonEmpty, "reference centroid must be non-empty")
+    val refNorm = math.sqrt(reference.map(x => x * x).sum)
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val nRows = batch.count()
+        if (nRows > 0L) {
+          val m = meanVector(batch)
+          require(m.length == reference.length,
+            s"dimension mismatch: batch ${m.length} vs reference " +
+              s"${reference.length}")
+          val dot = m.zip(reference).map { case (a, b) => a * b }.sum
+          val mNorm = math.sqrt(m.map(x => x * x).sum)
+          val cos =
+            if (mNorm == 0.0 || refNorm == 0.0) 0.0 else dot / (mNorm * refNorm)
+          val shift = math.sqrt(
+            m.zip(reference).map { case (a, b) => (a - b) * (a - b) }.sum)
+          appender("embedding_drift",
+            Seq((batchId, nRows, cos, shift))
+              .toDF("batch_id", "n_rows", "cosine_to_ref", "l2_shift"))
+        }
+        ()
+      }
+      .start()
+  }
+
   def startDriftMonitor(prepared: DataFrame, column: String,
       reference: DataFrame, appender: Appender,
       checkpointDir: String): StreamingQuery = {

@@ -323,6 +323,38 @@ class StreamJobSpec extends SparkSpec {
     assert(afterB3 == Set("c2", "b3"), afterB3.toString)
   }
 
+  test("embedding drift monitor: per-batch centroid cosine/shift vs " +
+      "the reference") {
+    val input = MemoryStream[(Long, Seq[Float])](spark)
+    val vecs = input.toDF().toDF("vec_id", "embedding")
+    val sunk = mutable.Buffer[DataFrame]()
+    val appender: StreamJob.Appender = (_, df) => sunk.synchronized {
+      sunk += df.cache(); ()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val q = StreamJob.startEmbeddingDriftMonitor(vecs,
+      Array(1.0, 0.0), appender, ckpt)
+    try {
+      // batch 0: mean = (2, 0) — same direction as the reference
+      input.addData((1L, Seq(1f, 0f)), (2L, Seq(3f, 0f)))
+      q.processAllAvailable()
+      // batch 1: mean = (-1, 0) — inverted: cosine -1, shift 2
+      input.addData((3L, Seq(-1f, 0f)))
+      q.processAllAvailable()
+      // batch 2: mean = (0, 1) — orthogonal: cosine 0, shift sqrt(2)
+      input.addData((4L, Seq(0f, 2f)), (5L, Seq(0f, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = sunk.reduce(_ union _)
+      .select("batch_id", "n_rows", "cosine_to_ref", "l2_shift")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1)
+    assert(rows.length == 3, rows.toSeq)
+    assert(rows(0) == ((0L, 2L, 1.0, 1.0)), rows(0))   // mean (2,0): shift |2-1|
+    assert(rows(1) == ((1L, 1L, -1.0, 2.0)), rows(1))
+    assert(rows(2)._3 == 0.0 &&
+      math.abs(rows(2)._4 - math.sqrt(2.0)) < 1e-12, rows(2))
+  }
+
   test("heavy-hitter sketch sink: merged blobs guarantee containment " +
       "and count bounds, replay-safe") {
     val input = MemoryStream[(Long, String)](spark)
