@@ -2338,7 +2338,8 @@ object SparkEntry {
         "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp " +
         "FROM documents), " +
         "k AS (SELECT fp, min(doc_id) AS keeper_id FROM fp GROUP BY 1) " +
-        "SELECT doc_id // 50 AS batch_id, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "SELECT CAST(doc_id // 50 AS BIGINT) AS batch_id, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
         "CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups, " +
         "round(CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END) AS DOUBLE) / " +
         "CAST(count(*) AS DOUBLE), 6) AS dup_rate " +
