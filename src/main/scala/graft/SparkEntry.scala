@@ -98,6 +98,9 @@ object SparkEntry {
       ((s, d) => EventOps.dailyTrendByType(events(s, d))),
     "user_day_streaks" -> ((s, d) => EventOps.userDayStreaks(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
+    "asof_next_purchase" -> ((s, d) => EventOps.asofNextPurchase(events(s, d))),
+    "l_diversity_profile" ->
+      ((s, d) => EventOps.lDiversityProfile(events(s, d))),
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
     "cohort_retention" -> ((s, d) => EventOps.cohortRetention(events(s, d))),
     "value_outliers" -> ((s, d) => EventOps.valueOutliers(events(s, d))),
@@ -932,6 +935,32 @@ object SparkEntry {
         "p.event_id AS last_purchase_event, p.value AS last_purchase_value " +
         "FROM events e ASOF LEFT JOIN p " +
         "ON e.user_id = p.user_id AND e.ts > p.ts"),
+    // Mirrors EventOps.asofNextPurchase: DuckDB's forward ASOF (< picks
+    // the smallest strictly-later purchase ts), tolerance applied to
+    // the matched row in exact BIGINT microseconds.
+    "asof_next_purchase" ->
+      ("WITH p AS (SELECT user_id, ts, event_id, value FROM (" +
+        "SELECT user_id, ts, event_id, value, row_number() OVER (" +
+        "PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn " +
+        "FROM events WHERE event_type = 'purchase') WHERE rn = 1) " +
+        "SELECT e.event_id, e.user_id, e.ts, " +
+        "CASE WHEN p.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(e.ts) <= 604800000000 " +
+        "THEN p.event_id END AS next_purchase_event, " +
+        "CASE WHEN p.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(e.ts) <= 604800000000 " +
+        "THEN p.value END AS next_purchase_value, " +
+        "CASE WHEN p.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(e.ts) <= 604800000000 " +
+        "THEN CAST(epoch_us(p.ts) - epoch_us(e.ts) AS BIGINT) END AS usec_to_purchase " +
+        "FROM events e ASOF LEFT JOIN p " +
+        "ON e.user_id = p.user_id AND e.ts < p.ts"),
+    // Mirrors EventOps.lDiversityProfile: distinct sensitive values
+    // per QI class, histogrammed — two exact aggregations.
+    "l_diversity_profile" ->
+      ("WITH c AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS l_distinct, " +
+        "CAST(count(*) AS BIGINT) AS class_size FROM events GROUP BY 1, 2) " +
+        "SELECT l_distinct, CAST(count(*) AS BIGINT) AS n_classes, " +
+        "CAST(sum(class_size) AS BIGINT) AS n_rows, " +
+        "l_distinct < 3 AS below_l FROM c GROUP BY l_distinct"),
     // Mirrors EventOps.valueOutliers: identical exact-decimal moment
     // algebra, double casts at the same fixed points.
     "value_outliers" ->

@@ -852,6 +852,71 @@ object EventOps {
         "last_purchase_event", "last_purchase_value")
   }
 
+  /** FORWARD as-of join with a tolerance — [[asofLastPurchase]]'s
+    * mirror, the "time-to-next-conversion" shape attribution and
+    * churn models need: for every event, the NEXT strictly-later
+    * purchase of the same user, nulled out when it arrives more than
+    * `toleranceSec` later (an unbounded forward match credits events
+    * years before the purchase). Same composed sort-merge shape: tag,
+    * union, ONE (user, time) sort, `first(ignoreNulls)` over the
+    * FORWARD frame — purchases sort BEFORE events at equal ts so
+    * "strictly later" holds, the tag-ordering mirror of the backward
+    * join's trick. One shuffle on user_id, linear in the union. */
+  def asofNextPurchase(events: DataFrame,
+      toleranceSec: Long = 604800L): DataFrame = {
+    val purchases = {
+      val w = Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+      events.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+    }
+    val taggedEvents = events.select(
+      col("event_id"), col("user_id"), col("ts"),
+      lit(1).as("tag"), lit(null).cast("timestamp").as("p_ts"),
+      lit(null).cast("long").as("p_event_id"),
+      lit(null).cast("double").as("p_value"))
+    val taggedPurch = purchases.select(
+      lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+      lit(0).as("tag"), col("ts").as("p_ts"), col("p_event_id"),
+      col("p_value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val tolUs = toleranceSec * 1000000L
+    val within = col("np_ts").isNotNull &&
+      unix_micros(col("np_ts")) - unix_micros(col("ts")) <= lit(tolUs)
+    taggedEvents.unionByName(taggedPurch)
+      .withColumn("np_ts", first(col("p_ts"), ignoreNulls = true).over(w))
+      .withColumn("np_event",
+        first(col("p_event_id"), ignoreNulls = true).over(w))
+      .withColumn("np_value",
+        first(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(within, col("np_event")).as("next_purchase_event"),
+        when(within, col("np_value")).as("next_purchase_value"),
+        when(within, unix_micros(col("np_ts")) - unix_micros(col("ts")))
+          .as("usec_to_purchase"))
+  }
+
+  /** l-diversity profile — [[kAnonymityProfile]]'s companion: a class
+    * can be k-anonymous yet leak everything if all its rows share one
+    * sensitive value. Per quasi-identifier class, the count of
+    * DISTINCT sensitive values (here user_id), histogrammed; classes
+    * with `l_distinct` below `l` are attribute-disclosure risks. */
+  def lDiversityProfile(events: DataFrame, l: Int = 3): DataFrame =
+    events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("l_distinct"),
+        count(lit(1)).as("class_size"))
+      .groupBy("l_distinct")
+      .agg(count(lit(1)).as("n_classes"),
+        sum(col("class_size")).as("n_rows"))
+      .select(col("l_distinct"), col("n_classes"), col("n_rows"),
+        (col("l_distinct") < lit(l.toLong)).as("below_l"))
+
   /** Time-range self-join: pairs of same-user events within `windowSec`
     * of each other, as a TIME-BUCKETED equi-join: each row gets a
     * `windowSec`-wide epoch bucket; the left side probes its own bucket

@@ -102,6 +102,56 @@ class RangeFuzzySaltSpec extends SparkSpec {
     }
   }
 
+  test("asofNextPurchase: strictly-later match, tolerance nulls distant " +
+      "purchases, same-ts purchase excluded") {
+    def e(id: Long, t: String, typ: String, v: Double) =
+      (id, Timestamp.valueOf(t), 1L, typ, v, "{}")
+    val events = Seq(
+      e(1, "2024-03-01 10:00:00", "view", 0.0),
+      // purchase at the SAME ts as event 2 — strictly-later must skip it
+      e(2, "2024-03-01 11:00:00", "view", 0.0),
+      e(3, "2024-03-01 11:00:00", "purchase", 9.0),
+      e(4, "2024-03-02 08:00:00", "purchase", 7.0),
+      // view whose next purchase is 10 days out — beyond the 7-day tolerance
+      e(5, "2024-03-10 00:00:00", "view", 0.0),
+      e(6, "2024-03-20 00:00:00", "purchase", 5.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.asofNextPurchase(events).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.getAs[java.lang.Long]("next_purchase_event")).map(_.toLong),
+          Option(r.getAs[java.lang.Long]("usec_to_purchase")).map(_.toLong))))
+      .toMap
+    // event 1 → purchase 3 (1h later); event 2 → purchase 4 (NOT the
+    // same-ts 3); purchase 3 itself → 4; event 5 → null (10 days);
+    // purchase 6 → nothing later.
+    assert(got(1L) == ((Some(3L), Some(3600000000L))), got.toString)
+    assert(got(2L) == ((Some(4L), Some(75600000000L))), got.toString)
+    assert(got(3L) == ((Some(4L), Some(75600000000L))), got.toString)
+    assert(got(5L) == ((None, None)), got.toString)
+    assert(got(6L) == ((None, None)), got.toString)
+  }
+
+  test("lDiversityProfile: distinct-sensitive histogram flags low-l classes") {
+    def e(id: Long, t: String, u: Long, typ: String) =
+      (id, Timestamp.valueOf(s"$t 10:00:00"), u, typ, 1.0, "{}")
+    // class (a, 03-01): users {1,2,3} → l=3; (a, 03-02): {1,1} → l=1;
+    // (b, 03-01): {1,2} → l=2
+    val events = Seq(
+      e(1, "2024-03-01", 1, "a"), e(2, "2024-03-01", 2, "a"),
+      e(3, "2024-03-01", 3, "a"),
+      e(4, "2024-03-02", 1, "a"), e(5, "2024-03-02", 1, "a"),
+      e(6, "2024-03-01", 1, "b"), e(7, "2024-03-01", 2, "b"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.lDiversityProfile(events, l = 3).collect()
+      .map(r => r.getAs[Long]("l_distinct") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("n_rows"),
+          r.getAs[Boolean]("below_l")))).toMap
+    assert(got == Map(
+      3L -> ((1L, 3L, false)),
+      2L -> ((1L, 2L, true)),
+      1L -> ((1L, 2L, true))), got.toString)
+  }
+
   test("sessionOverlapPairs: closed-bound overlaps, midnight-spanning " +
       "sessions deduped across day bands, same-user pairs excluded") {
     def e(id: Long, t: String, u: Long) =
