@@ -253,7 +253,16 @@ object StreamJob {
     * the per-batch anti-join and the pairing probe it — narrow rows,
     * a key plus two longs — and the stored TEXT is only read through
     * the candidate-id semi-join of the verification pass. */
-  class NearDupStore(spark: SparkSession, dir: String) {
+  /** GENERIC append-only per-batch delta store — the contract
+    * [[NearDupStore]] pioneered, factored for every incremental
+    * maintenance sink: each batch overwrites only its own
+    * `b<batchId>/<sub>` parquet dirs (one per registered sub-frame),
+    * the tiny `latest` pointer flips LAST, readers union base +
+    * committed deltas, and [[compact]] is the one explicit O(state)
+    * fold. A replayed or crashed batch rewrites its own paths —
+    * idempotent by construction. */
+  class DeltaStore(spark: SparkSession, dir: String, subs: Seq[String]) {
+    require(subs.nonEmpty && subs.distinct == subs)
     private val ptr = java.nio.file.Paths.get(dir, "latest")
     private val cptr = java.nio.file.Paths.get(dir, "compacted")
     private def readPtr(p: java.nio.file.Path): Long =
@@ -262,10 +271,10 @@ object StreamJob {
       else -1L
     def lastBatchId(): Long = readPtr(ptr)
     def compactedId(): Long = readPtr(cptr)
-    /** Committed storage paths for one of docs/index/pairs: the
-      * compacted base (if any) plus every delta it doesn't cover.
-      * Driver-side listing of ≤ #batches dir names — bounded, and
-      * compaction keeps it short. */
+    /** Committed storage paths for one sub-frame: the compacted base
+      * (if any) plus every delta it doesn't cover. Driver-side listing
+      * of ≤ #batches dir names — bounded, and compaction keeps it
+      * short. */
     private def parts(sub: String): Seq[String] = {
       val last = lastBatchId()
       val comp = compactedId()
@@ -279,32 +288,33 @@ object StreamJob {
         .map(id => s"$dir/b$id/$sub")
       base ++ deltas
     }
-    private def readUnion(sub: String): Option[DataFrame] = {
+    def readSub(sub: String): Option[DataFrame] = {
+      require(subs.contains(sub), s"unknown sub-frame $sub")
       val ps = parts(sub)
       if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))
     }
-    def readDocs(): Option[DataFrame] = readUnion("docs")
-    def readIndex(): Option[DataFrame] = readUnion("index")
-    def readPairs(): Option[DataFrame] = readUnion("pairs")
-    def writeDelta(docs: DataFrame, index: DataFrame, pairs: DataFrame,
-        batchId: Long): Unit = {
-      docs.write.mode("overwrite").parquet(s"$dir/b$batchId/docs")
-      index.write.mode("overwrite").parquet(s"$dir/b$batchId/index")
-      pairs.write.mode("overwrite").parquet(s"$dir/b$batchId/pairs")
+    /** Write one batch's deltas (every registered sub, in `subs`
+      * order) then flip the pointer. */
+    def writeDelta(frames: Seq[DataFrame], batchId: Long): Unit = {
+      require(frames.length == subs.length,
+        s"expected ${subs.length} frames, got ${frames.length}")
+      subs.zip(frames).foreach { case (sub, df) =>
+        df.write.mode("overwrite").parquet(s"$dir/b$batchId/$sub")
+      }
       java.nio.file.Files.write(ptr, s"$batchId\n".getBytes("UTF-8"))
     }
     /** Fold base + deltas into one `c<lastBatchId>` dir and drop the
-      * folded sources. The ONLY O(corpus) operation in the store, run
+      * folded sources. The ONLY O(state) operation in the store, run
       * when the operator chooses (e.g. every N batches), never
       * implicitly per batch. Crash-safe like the deltas: the new base
       * is written fully, the `compacted` pointer flips, THEN the
       * superseded dirs are removed. */
     def compact(): Unit = {
       val last = lastBatchId()
-      if (last < 0L || parts("docs").size <= 1) return
+      if (last < 0L || parts(subs.head).size <= 1) return
       val prevComp = compactedId()
-      for (sub <- Seq("docs", "index", "pairs"))
-        readUnion(sub).get.write.mode("overwrite")
+      for (sub <- subs)
+        readSub(sub).get.write.mode("overwrite")
           .parquet(s"$dir/c$last/$sub")
       java.nio.file.Files.write(cptr, s"$last\n".getBytes("UTF-8"))
       def rm(x: java.io.File): Unit = {
@@ -321,6 +331,16 @@ object StreamJob {
         }
         .foreach(rm)
     }
+  }
+
+  class NearDupStore(spark: SparkSession, dir: String)
+      extends DeltaStore(spark, dir, Seq("docs", "index", "pairs")) {
+    def readDocs(): Option[DataFrame] = readSub("docs")
+    def readIndex(): Option[DataFrame] = readSub("index")
+    def readPairs(): Option[DataFrame] = readSub("pairs")
+    def writeDelta(docs: DataFrame, index: DataFrame, pairs: DataFrame,
+        batchId: Long): Unit =
+      writeDelta(Seq(docs, index, pairs), batchId)
   }
 
   /** Streaming near-dup maintenance: every micro-batch's genuinely-new
@@ -375,6 +395,61 @@ object StreamJob {
                 maxBucket = 500, k = k)
           }
           store.writeDelta(fresh, idx, newPairs, batchId)
+        }
+        ()
+      }
+      .start()
+
+  /** Incremental equi-JOIN view maintenance — classic IVM (the delta
+    * rule every materialized-view engine implements): the view
+    * V = A ⋈_k B is kept current under INSERT streams by joining only
+    * deltas against snapshots,
+    *
+    *   ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB
+    *
+    * (A, B = pre-batch snapshots). Every V-pair with both sides old
+    * existed before the batch; a pair with a new A side lands in the
+    * first term (including ΔA⋈ΔB), new-B-only pairs in the second —
+    * each new pair exactly once, so V-deltas only ever APPEND, the
+    * [[NearDupStore]] pairs argument generalized to arbitrary
+    * equi-joins. Changes arrive as ONE tagged CDC stream
+    * (tbl ∈ {a, b}, k = join key, id = row id); re-deliveries drop
+    * out via id anti-joins against the stored sides.
+    *
+    * 100 TB shape: per-batch work is two delta-vs-snapshot equi-joins
+    * (shuffle ∝ batch + matching snapshot partitions under AQE) and
+    * O(batch + ΔV) writes — the view is never recomputed, never
+    * rewritten. Stream-stream joins solve the WINDOWED flavor of this
+    * ([[streamStreamJoin]]); this sink is the UNWINDOWED one their
+    * state store cannot hold (joining today's rows against ALL
+    * history). */
+  def startIncrementalJoin(changes: DataFrame, store: DeltaStore,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > store.lastBatchId()) {
+          val in = batch.select(col("tbl"), col("k"), col("id"))
+            .filter(col("tbl").isin("a", "b") &&
+              col("k").isNotNull && col("id").isNotNull)
+            .dropDuplicates("tbl", "id")
+          def side(tag: String, idName: String): DataFrame = {
+            val d = in.filter(col("tbl") === tag)
+              .select(col("k"), col("id").as(idName))
+            (store.readSub(tag) match {
+              case Some(old) =>
+                d.join(old.select(idName), Seq(idName), "left_anti")
+              case None => d
+            }).localCheckpoint()
+          }
+          val dA = side("a", "a_id")
+          val dB = side("b", "b_id")
+          val aOld = store.readSub("a").getOrElse(dA.limit(0))
+          val bOld = store.readSub("b").getOrElse(dB.limit(0))
+          val dV = dA.join(bOld.unionByName(dB), Seq("k"))
+            .unionByName(aOld.join(dB, Seq("k")))
+            .select(col("k"), col("a_id"), col("b_id"))
+          store.writeDelta(Seq(dA, dB, dV), batchId)
         }
         ()
       }

@@ -323,6 +323,48 @@ class StreamJobSpec extends SparkSpec {
     assert(afterB3 == Set("c2", "b3"), afterB3.toString)
   }
 
+  test("incremental join view: streamed deltas ≡ full equi-join, " +
+      "re-delivery safe, compaction read-equivalent") {
+    val input = MemoryStream[(String, Long, Long)](spark)
+    val changes = input.toDF().toDF("tbl", "k", "id")
+    val dir = java.nio.file.Files.createTempDirectory("ivm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val store = new StreamJob.DeltaStore(spark, dir, Seq("a", "b", "v"))
+    val b0 = Seq(("a", 1L, 101L), ("a", 2L, 102L), ("b", 1L, 201L))
+    val b1 = Seq(("b", 1L, 202L), ("a", 1L, 103L), ("a", 1L, 101L)) // 101 re-sent
+    val b2 = Seq(("b", 2L, 203L))
+    val q = StreamJob.startIncrementalJoin(changes, store, ckpt)
+    try {
+      Seq(b0, b1, b2).foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def view() = store.readSub("v").get
+      .select("k", "a_id", "b_id")
+      .as[(Long, Long, Long)].collect().toSet
+    // full recompute: k=1 has a{101,103} × b{201,202}; k=2 {102}×{203}
+    val expected = Set(
+      (1L, 101L, 201L), (1L, 101L, 202L),
+      (1L, 103L, 201L), (1L, 103L, 202L),
+      (2L, 102L, 203L))
+    assert(view() == expected, view().toString)
+    // the re-sent (a, 101) did not duplicate its side either
+    assert(store.readSub("a").get.count() == 3L)
+    // checkpoint replay: guard holds, view unchanged
+    val q2 = StreamJob.startIncrementalJoin(changes, store, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(store.lastBatchId() == 2L && view() == expected)
+    // compaction folds the deltas, reads unchanged, then new batches
+    // keep maintaining over the compacted base
+    store.compact()
+    assert(view() == expected)
+    val q3 = StreamJob.startIncrementalJoin(changes, store, ckpt)
+    try {
+      input.addData(("a", 2L, 104L)); q3.processAllAvailable()
+    } finally q3.stop()
+    assert(view() == expected + ((2L, 104L, 203L)), view().toString)
+  }
+
   test("embedding drift monitor: per-batch centroid cosine/shift vs " +
       "the reference") {
     val input = MemoryStream[(Long, Seq[Float])](spark)
