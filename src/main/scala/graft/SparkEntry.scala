@@ -554,6 +554,24 @@ object SparkEntry {
         .unionByName(recallRow("ivf",
           VectorOps.knnAllIvf(planted, ivfCentroids(s, d), 1)))
     }),
+    // Matryoshka-truncation audit: a planted scaled copy keeps its
+    // DIRECTION in every dim prefix (truncating a scalar multiple is
+    // still a scalar multiple), so twin-top-1 recall through the
+    // sign-LSH batch search must stay exactly 1 at 64, 32 and 16 kept
+    // dims — gating truncateDims + the search path under the MRL
+    // dimension-trimming practice. Both counts are corpus constants.
+    "matryoshka_recall_audit" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{abs, col, count, lit, sum, when}
+      val planted = VectorOps.withPlantedDups(embeddings(s, d))
+      def row(dims: Int) =
+        VectorOps.knnAllLsh(VectorOps.truncateDims(planted, dims), 1).agg(
+            count(lit(1)).as("n_vectors"),
+            sum(when(abs(col("b_id") - col("a_id")) === 1000000L, 1L)
+              .otherwise(0L)).as("n_twin_top1"))
+          .select(lit(dims.toLong).as("dims_kept"), col("n_vectors"),
+            col("n_twin_top1"))
+      row(64).unionByName(row(32)).unionByName(row(16))
+    }),
     "ann_top1_audit" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, lit}
       val planted = VectorOps.withPlantedDups(embeddings(s, d))
@@ -2933,6 +2951,16 @@ object SparkEntry {
         "SELECT 'lsh' AS method, CAST(nv AS BIGINT) AS n_vectors, " +
         "CAST(nv AS BIGINT) AS n_twin_top1 FROM n " +
         "UNION ALL SELECT 'ivf' AS method, CAST(nv AS BIGINT), " +
+        "CAST(nv AS BIGINT) FROM n"),
+    // Mirrors matryoshka_recall_audit: corpus-size constants at every
+    // kept-dims level (see the registration comment).
+    "matryoshka_recall_audit" ->
+      ("WITH n AS (SELECT 2 * count(*) AS nv FROM embeddings) " +
+        "SELECT CAST(64 AS BIGINT) AS dims_kept, CAST(nv AS BIGINT) AS n_vectors, " +
+        "CAST(nv AS BIGINT) AS n_twin_top1 FROM n " +
+        "UNION ALL SELECT CAST(32 AS BIGINT), CAST(nv AS BIGINT), " +
+        "CAST(nv AS BIGINT) FROM n " +
+        "UNION ALL SELECT CAST(16 AS BIGINT), CAST(nv AS BIGINT), " +
         "CAST(nv AS BIGINT) FROM n"),
     // Mirrors simhash_exactdup_audit: the exact-pair count from the
     // same normalized fingerprint; n_missing is 0 by the subset

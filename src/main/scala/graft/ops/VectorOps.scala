@@ -231,6 +231,16 @@ object VectorOps {
     * max natural vec_id < idOffset (true for every driver corpus by
     * orders of magnitude) — a collision would silently alias a
     * planted id onto a real vector and corrupt the twin audits. */
+  /** Matryoshka-style dimension truncation (Kusupati et al. '22):
+    * keep the first `keep` coordinates of each embedding — the
+    * storage/latency knob MRL-trained models expose, where prefix
+    * dimensions carry most of the signal. Pure narrow projection
+    * (`slice` is codegen'd); pair with [[knnAllLsh]] etc. to search
+    * the trimmed space. */
+  def truncateDims(embeddings: DataFrame, keep: Int): DataFrame =
+    embeddings.select(col("vec_id"),
+      slice(col("embedding"), 1, keep).as("embedding"), col("label"))
+
   def withPlantedDups(embeddings: DataFrame, idOffset: Long = 1000000L): DataFrame =
     embeddings.unionByName(embeddings.select(
       (col("vec_id") + lit(idOffset)).as("vec_id"),

@@ -356,6 +356,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(kept.filter(col("vec_id") >= 1000000L).count() == 0L)
   }
 
+  test("truncateDims keeps the prefix; scaled twins stay top-1 at " +
+      "every kept-dims level") {
+    val v = Seq((1L, Seq(1f, 2f, 3f, 4f), 0)).toDF("vec_id", "embedding", "label")
+    val t = VectorOps.truncateDims(v, 2).collect().head
+      .getAs[scala.collection.Seq[Float]]("embedding")
+    assert(t.toSeq == Seq(1f, 2f), t.toString)
+    // the matryoshka audit property on real data, one level deep:
+    // truncation preserves the twin's direction, so knnAllLsh still
+    // ranks every twin top-1 at half dims
+    val planted = VectorOps.withPlantedDups(Tables.embeddings(spark, sf0))
+    val top1 = VectorOps.knnAllLsh(VectorOps.truncateDims(planted, 32), 1)
+    assert(top1.filter(abs(col("b_id") - col("a_id")) =!= 1000000L)
+      .count() == 0L)
+  }
+
   test("embeddingCovariance: exact values on a hand-computed fixture") {
     // x = (1,3,5), y = (2,6,4): cov11 = 35/3 − 9 = 8/3,
     // cov12 = 40/3 − 12 = 4/3, cov22 = 56/3 − 16 = 8/3
