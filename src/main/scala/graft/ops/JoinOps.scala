@@ -487,33 +487,48 @@ object JoinOps {
     * — the device-correlation / fraud co-presence primitive.
     *
     * Spark has no native interval join, so this is the (a)-tier
-    * composition: each session explodes to the calendar DAYS it spans
-    * (sessions are gap-bounded, so almost always 1-2 band rows), the
-    * self-join keys on the day band (co-partitioned equi-join — never
-    * a theta-only cartesian), the exact overlap predicate filters
-    * within buckets, and a `distinct()` on the session-pair identity
-    * collapses multi-day double-matches BEFORE the rollup. Join cost
-    * is Σ (sessions-in-day)² — the co-presence question is itself
-    * pairwise within a day, so the bound is the honest cost of the
-    * answer; restrict the population upstream (cohort, event filter)
-    * when DAU² is too much, exactly like the minhash bucket caps. */
+    * composition: each session explodes to the HOUR bands it spans
+    * (sessions are gap-bounded, so typically 1-2 band rows), the
+    * self-join keys on the band (co-partitioned equi-join — never a
+    * theta-only cartesian), the exact overlap predicate filters
+    * within buckets, and the canonical-band equality (overlap-start
+    * hour) keeps each pair exactly once with no distinct shuffle.
+    * Join cost is Σ (sessions-in-band)² — the co-presence question is
+    * itself pairwise within a band, so the bound is the honest cost
+    * of the answer; restrict the population upstream (cohort, event
+    * filter) when concurrency² is too much, exactly like the minhash
+    * bucket caps. */
   def sessionOverlapPairs(events: DataFrame): DataFrame = {
     val sess = graft.ops.EventOps.sessionStats(events)
       .select(col("user_id"), col("session_id"),
         col("session_start").as("s"), col("session_end").as("e"))
-    val banded = sess.withColumn("day",
-      explode(sequence(to_date(col("s")), to_date(col("e")))))
+    // Band granularity sets the Σ bucket² join cost: it should sit
+    // near the typical session DURATION (minutes-hours), not the
+    // calendar day — hour bands cut each bucket's population ~24×,
+    // i.e. the quadratic term ~500×, while a session still explodes
+    // to only duration/1h + 1 band rows.
+    val banded = sess.withColumn("hb",
+      explode(sequence(date_trunc("hour", col("s")),
+        date_trunc("hour", col("e")), expr("INTERVAL 1 HOUR"))))
     val a = banded.select(col("user_id").as("ua"), col("session_id").as("sa"),
-      col("s").as("s_a"), col("e").as("e_a"), col("day"))
+      col("s").as("s_a"), col("e").as("e_a"), col("hb"))
     val b = banded.select(col("user_id").as("ub"), col("session_id").as("sb"),
-      col("s").as("s_b"), col("e").as("e_b"), col("day"))
-    val pairs = a.join(b, Seq("day"))
+      col("s").as("s_b"), col("e").as("e_b"), col("hb"))
+    // A pair spanning k shared bands matches k times — instead of a
+    // distinct() over every matched copy, attribute each pair to
+    // exactly ONE canonical band: the hour its overlap STARTS in.
+    // That hour is inside both sessions (overlap start = the later
+    // session start, ≤ both ends when the overlap predicate holds),
+    // so both sides carry its band row and no other band passes the
+    // equality — the dedup is a codegen'd filter and the rollup
+    // aggregates map-side with nothing re-shuffled.
+    val pairs = a.join(b, Seq("hb"))
       .filter(col("ua") < col("ub") &&
-        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
-      .select(col("ua"), col("sa"), col("ub"), col("sb"),
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a") &&
+        col("hb") === date_trunc("hour", greatest(col("s_a"), col("s_b"))))
+      .select(col("ua"), col("ub"),
         (unix_micros(least(col("e_a"), col("e_b"))) -
           unix_micros(greatest(col("s_a"), col("s_b")))).as("ov"))
-      .distinct()
     pairs.groupBy(col("ua").as("user_a"), col("ub").as("user_b"))
       .agg(count(lit(1)).as("n_overlaps"),
         sum(col("ov")).as("overlap_usec"))
