@@ -99,6 +99,13 @@ object SparkEntry {
     "user_day_streaks" -> ((s, d) => EventOps.userDayStreaks(events(s, d))),
     "asof_last_purchase" -> ((s, d) => EventOps.asofLastPurchase(events(s, d))),
     "asof_next_purchase" -> ((s, d) => EventOps.asofNextPurchase(events(s, d))),
+    // PrefixSpan patterns: exact algorithm, but gapped-subsequence
+    // containment is engine-specific to enumerate in SQL — rows-only,
+    // gated by the paired containment audit below.
+    "frequent_event_sequences" ->
+      ((s, d) => ml.SequenceMining.frequentEventSequences(events(s, d))),
+    "prefixspan_contiguous_audit" ->
+      ((s, d) => ml.SequenceMining.prefixspanContiguousAudit(events(s, d))),
     "l_diversity_profile" ->
       ((s, d) => EventOps.lDiversityProfile(events(s, d))),
     "conversion_funnel" -> ((s, d) => EventOps.conversionFunnel(events(s, d))),
@@ -1305,6 +1312,26 @@ object SparkEntry {
         "FROM s GROUP BY 1, 2) " +
         "SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p " +
         "GROUP BY 1 ORDER BY n_sessions DESC, path ASC LIMIT 20"),
+    // Mirrors SequenceMining.prefixspanContiguousAudit: the frequent
+    // contiguous 2-step paths are exact SQL over the shared
+    // sessionization; n_missing/freq_bounds_ok are containment
+    // theorems (subsequence ⊇ adjacent) pinned to their values.
+    "prefixspan_contiguous_audit" ->
+      ("WITH sq AS (SELECT user_id, date_trunc('week', ts) AS wk, " +
+        "event_type, lead(event_type) OVER (PARTITION BY user_id, " +
+        "date_trunc('week', ts) ORDER BY ts ASC, event_id ASC) " +
+        "AS next_et FROM events), " +
+        "pr AS (SELECT DISTINCT user_id, wk, " +
+        "event_type || '>' || next_et AS pair FROM sq " +
+        "WHERE next_et IS NOT NULL), " +
+        "contig AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_contig " +
+        "FROM pr GROUP BY 1), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_journeys FROM " +
+        "(SELECT DISTINCT user_id, date_trunc('week', ts) FROM events)) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_contig_frequent, " +
+        "CAST(0 AS BIGINT) AS n_missing, true AS freq_bounds_ok " +
+        "FROM contig CROSS JOIN n " +
+        "WHERE CAST(n_contig AS DOUBLE) >= 0.05 * CAST(n_journeys AS DOUBLE)"),
     // Mirrors EventOps.dauWauStickiness: exact BIGINT distincts at two
     // grains, one pinned DOUBLE division.
     "dau_wau_stickiness" ->

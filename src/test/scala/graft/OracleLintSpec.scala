@@ -192,6 +192,7 @@ class OracleLintSpec extends AnyFunSuite {
       "simhash_near_dups" -> "simhash_exactdup_audit",
       "table_profile_approx" -> "table_profile_approx_audit",
       "value_mad_by_type_approx_only" -> "value_mad_by_type_approx",
+      "frequent_event_sequences" -> "prefixspan_contiguous_audit",
     )
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == pairedGate.keySet,
