@@ -125,6 +125,9 @@ object SparkEntry {
       ((s, d) => EventOps.valueMadByTypeApproxOnly(events(s, d))),
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
+    "event_ppr" -> ((s, d) => GraphOps.eventTypePpr(events(s, d))),
+    "theil_sen_trend" ->
+      ((s, d) => EventOps.theilSenTrendByType(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
     "dau_wau_stickiness" -> ((s, d) => EventOps.dauWauStickiness(events(s, d))),
     "time_decay_engagement" ->
@@ -1136,6 +1139,59 @@ object SparkEntry {
         "FROM nodes n LEFT JOIN c5 c USING (node)) " +
         "SELECT node AS event_type, round(pr, 6) AS pagerank " +
         "FROM r5 ORDER BY event_type ASC"),
+    // Mirrors GraphOps.eventTypePpr: the pagerank unroll with the
+    // restart vector concentrated on 'purchase'. The restart constant
+    // is computed as 1.0 − 0.85 IN DOUBLE (not the literal 0.15 —
+    // different last bit) so both engines add the identical teleport.
+    "event_ppr" -> {
+      val head =
+        "WITH steps AS (SELECT event_type AS src, lead(event_type) OVER (" +
+          "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst " +
+          "FROM events), " +
+          "edges AS (SELECT src, dst, count(*) AS w FROM steps " +
+          "WHERE dst IS NOT NULL GROUP BY 1, 2), " +
+          "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges), " +
+          "probs AS (SELECT src, dst, CAST(w AS DOUBLE) / " +
+          "sum(CAST(w AS DOUBLE)) OVER (PARTITION BY src) AS p FROM edges), " +
+          "r0 AS (SELECT node, CASE WHEN node = 'purchase' " +
+          "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr " +
+          "FROM nodes), "
+      val rounds = (1 to 5).map { i =>
+        s"c$i AS (SELECT o.dst AS node, sum(CAST(o.p * r.pr AS DOUBLE)) " +
+          s"AS inflow FROM probs o JOIN r${i - 1} r ON r.node = o.src " +
+          "GROUP BY 1), " +
+          s"r$i AS (SELECT n.node, (CASE WHEN n.node = 'purchase' " +
+          "THEN CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE) " +
+          "ELSE CAST(0.0 AS DOUBLE) END) + " +
+          "CAST(0.85 AS DOUBLE) * coalesce(c.inflow, 0) AS pr " +
+          s"FROM nodes n LEFT JOIN c$i c USING (node)), "
+      }.mkString
+      head + rounds.stripSuffix(", ") + " " +
+        "SELECT node AS event_type, round(pr, 6) AS ppr " +
+        "FROM r5 ORDER BY event_type ASC"
+    },
+    // Mirrors EventOps.theilSenTrendByType: dense calendar, exact
+    // integer slope pairs divided once in DOUBLE, identical median
+    // interpolation.
+    "theil_sen_trend" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "cal AS (SELECT unnest(generate_series(" +
+        "(SELECT min(day) FROM daily), (SELECT max(day) FROM daily), " +
+        "INTERVAL 1 DAY)) AS day), " +
+        "grid AS (SELECT t.event_type, " +
+        "CAST(datediff('day', DATE '1970-01-01', CAST(c.day AS DATE)) AS BIGINT) AS x, " +
+        "CAST(coalesce(d.cnt, 0) AS BIGINT) AS y " +
+        "FROM cal c CROSS JOIN (SELECT DISTINCT event_type FROM daily) t " +
+        "LEFT JOIN daily d ON d.event_type = t.event_type " +
+        "AND d.day = CAST(c.day AS DATE)), " +
+        "sl AS (SELECT a.event_type, " +
+        "CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope " +
+        "FROM grid a JOIN grid b ON a.event_type = b.event_type " +
+        "AND a.x < b.x) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(median(slope), 6) AS theil_sen_slope " +
+        "FROM sl GROUP BY event_type"),
     // Mirrors EventOps.cusumChangepoints: identical closed form
     // cusum_k = S_k − k·(total/n_days). Every windowed quantity is an
     // exact BIGINT (running count sum, row_number, totals), so the one

@@ -468,6 +468,43 @@ object EventOps {
     *
     * Shape: one (type, day) hash agg over the log, then everything
     * runs on the CALENDAR×TYPES grid — tiny at any log size. */
+  /** Theil–Sen robust trend per type — the median-of-pairwise-slopes
+    * estimator (Sen '68) beside [[dailyTrendByType]]'s OLS: with a
+    * 29.3% breakdown point, a week of outage zeros or a crawler burst
+    * bends OLS but barely moves the pairwise-slope median. Computed
+    * over the DENSE zero-filled calendar (the observed-day-axis bias
+    * lesson from typeCountCorrelations); each slope is an exact
+    * integer pair divided once in DOUBLE, and the median interpolates
+    * identically in both engines.
+    *
+    * Scale: the pair join is per-type CALENDAR² — |days|² is a
+    * constant of the observation window (90 days → ~4k pairs/type),
+    * never data-proportional; the daily collapse in front is the one
+    * corpus-sized aggregation. */
+  def theilSenTrendByType(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          .as("x"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+    val slopes = grid.as("a")
+      .join(grid.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")).as("slope"))
+    slopes.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(median(col("slope")), 6).as("theil_sen_slope"))
+  }
+
   def typeCountCorrelations(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))

@@ -433,6 +433,72 @@ object GraphOps {
       .orderBy(col("event_type").asc)
   }
 
+  /** PERSONALIZED PageRank — the seeded-restart variant of
+    * [[pageRank]] (Jeh & Widom '03): teleport mass returns entirely to
+    * `seed` instead of spreading uniformly, so ranks measure proximity
+    * TO THE SEED through the edge structure — "which states funnel
+    * into purchase", the recommendation/attribution reading a global
+    * rank can't give. Same Pregel-style join loop, same per-round
+    * lineage truncation, same dangling refusal (inherited via the
+    * shared probs construction); the only change is the restart
+    * vector. Fixed `iters` unroll keeps it oracle-gated (the
+    * [[pageRank]] precedent). */
+  def personalizedPageRank(edges: DataFrame, seed: String,
+      iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val dangling = nodes
+      .join(edges.select(col("src").as("node")).distinct(),
+        Seq("node"), "left_anti")
+      .limit(1).collect()
+    require(dangling.isEmpty,
+      s"personalizedPageRank: dangling node " +
+        s"'${dangling.headOption.map(_.get(0))}' has no out-edges")
+    val seedPresent = nodes.filter(col("node") === seed).limit(1).collect()
+    require(seedPresent.nonEmpty,
+      s"personalizedPageRank: seed '$seed' not in the graph")
+    val wOut = Window.partitionBy("src")
+    val probs = edges.select(col("src"), col("dst"),
+        (col("weight").cast("double") /
+          sum(col("weight").cast("double")).over(wOut)).as("p"))
+      .localCheckpoint()
+    val restart = 1.0 - damping
+    var ranks = nodes.withColumn("rank",
+      when(col("node") === seed, lit(1.0)).otherwise(lit(0.0)))
+    for (_ <- 1 to iters) {
+      val contribs = probs
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("rank")).as("inflow"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (when(col("node") === seed, lit(restart)).otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = false)
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("ppr"))
+  }
+
+  /** [[personalizedPageRank]] over the event-type transition graph,
+    * seeded at 'purchase': proximity of every state to conversion. */
+  def eventTypePpr(events: DataFrame, seed: String = "purchase",
+      iters: Int = 5): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val edges = events
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("weight"))
+    personalizedPageRank(edges, seed, iters)
+      .select(col("node").as("event_type"), col("ppr"))
+      .orderBy(col("event_type").asc)
+  }
+
   def eventTypePageRank(events: DataFrame, iters: Int = 5): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)

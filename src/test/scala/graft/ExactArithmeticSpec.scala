@@ -379,6 +379,45 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "c" -> 3L), got)
   }
 
+  test("theilSenTrendByType: exact slope on linear growth, 29% outlier ignored") {
+    // lin: d+1 events on day d → every pairwise slope exactly 1.
+    // burst: constant 2/day except one 30-event spike — 15 of 21
+    // pairwise slopes are 0, so the median slope is 0 (OLS would bend).
+    val events = ((0 to 6).flatMap(d => (0 to d).map(i =>
+      ev(100L * d + i, f"2024-03-${d + 1}%02d", "lin"))) ++
+      (0 to 6).flatMap { d =>
+        val n = if (d == 3) 30 else 2
+        (1 to n).map(i => ev(10000L + 100L * d + i,
+          f"2024-03-${d + 1}%02d", "burst"))
+      }).toDF(evCols: _*)
+    val got = graft.ops.EventOps.theilSenTrendByType(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("theil_sen_slope"))))
+      .toMap
+    assert(got == Map("lin" -> ((21L, 1.0)), "burst" -> ((21L, 0.0))),
+      got.toString)
+  }
+
+  test("personalizedPageRank: mass concentrates around the seed; " +
+      "components not reaching it score zero") {
+    import graft.ops.GraphOps
+    val edges = Seq(
+      ("purchase", "a", 1L), ("a", "purchase", 1L),
+      ("b", "purchase", 1L), ("purchase", "b", 1L),
+      ("x", "y", 1L), ("y", "x", 1L),    // disconnected from the seed
+    ).toDF("src", "dst", "weight")
+    val ppr = GraphOps.personalizedPageRank(edges, "purchase")
+      .collect().map(r => r.getAs[String]("node") ->
+        r.getAs[Double]("ppr")).toMap
+    assert(ppr("x") == 0.0 && ppr("y") == 0.0, ppr.toString)
+    assert(ppr("purchase") > ppr("a") && ppr("a") > 0.0, ppr.toString)
+    assert(ppr("a") == ppr("b"), ppr.toString) // symmetric neighbors
+    val e = intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRank(edges, "nope")
+    }
+    assert(e.getMessage.contains("seed"), e.getMessage)
+  }
+
   test("kAnonymityProfile: class-size histogram, below_k marks the risky rows") {
     // QI = (event_type, day). Classes: (a, 03-01) size 3, (a, 03-02)
     // size 1, (b, 03-01) size 1 → histogram {3→1 class, 1→2 classes}.
