@@ -126,6 +126,8 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
     "event_ppr" -> ((s, d) => GraphOps.eventTypePpr(events(s, d))),
+    "silhouette_by_label" ->
+      ((s, d) => VectorOps.silhouetteByLabel(embeddings(s, d))),
     "theil_sen_trend" ->
       ((s, d) => EventOps.theilSenTrendByType(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
@@ -3349,6 +3351,35 @@ object SparkEntry {
         "i -> {'d': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS s FROM embeddings) " +
         "SELECT label, CAST(s.d AS INTEGER) AS dim, round(avg(s.v), 4) AS mean_x " +
         "FROM x GROUP BY 1, 2"),
+    // Mirrors VectorOps.silhouetteByLabel: the 4dp-rounded centroids
+    // (label_centroids values) pin the one order-dependent mean;
+    // distances left-fold in index order (list_reduce ≡ the Spark
+    // aggregate-from-0.0, the embedding_norm_stats identity); per-
+    // vector s rounds into DECIMAL for an any-order-exact label mean.
+    "silhouette_by_label" ->
+      ("WITH cx AS (SELECT label, s.d AS dim, round(avg(s.v), 4) AS m FROM (" +
+        "SELECT label, unnest(list_transform(range(len(embedding)), " +
+        "i -> {'d': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS s " +
+        "FROM embeddings) GROUP BY 1, 2), " +
+        "cents AS (SELECT label AS c_label, list(m ORDER BY dim) AS c " +
+        "FROM cx GROUP BY 1), " +
+        "d AS (SELECT e.vec_id, e.label, c.c_label, " +
+        "sqrt(list_reduce(list_transform(range(len(e.embedding)), " +
+        "i -> (CAST(e.embedding[i+1] AS DOUBLE) - c.c[i+1]) * " +
+        "(CAST(e.embedding[i+1] AS DOUBLE) - c.c[i+1])), " +
+        "(acc, x) -> acc + x)) AS dst " +
+        "FROM embeddings e CROSS JOIN cents c), " +
+        "ab AS (SELECT vec_id, label, " +
+        "max(CASE WHEN label = c_label THEN dst END) AS a, " +
+        "min(CASE WHEN label <> c_label THEN dst END) AS b " +
+        "FROM d GROUP BY 1, 2), " +
+        "sc AS (SELECT label, CASE WHEN greatest(a, b) > 0.0 " +
+        "THEN round((b - a) / greatest(a, b), 6) ELSE CAST(0.0 AS DOUBLE) END AS s " +
+        "FROM ab) " +
+        "SELECT label, CAST(count(*) AS BIGINT) AS n_vectors, " +
+        "round(CAST(sum(CAST(s AS DECIMAL(20,6))) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS mean_silhouette " +
+        "FROM sc GROUP BY label"),
     // Mirrors VectorOps.normStatsByLabel: the same fp64 left-fold norm
     // as embedding_quantize's l2_norm (list_reduce == aggregate-from-0.0
     // since 0.0 + x == x exactly). The len()=0 guard matches the Spark

@@ -571,6 +571,50 @@ object VectorOps {
       .groupBy("label", "dim")
       .agg(round(avg("x"), 4).as("mean_x"))
 
+  /** Simplified silhouette per label (Hruschka et al. '04 — centroid
+    * distances replacing the O(n²) pairwise original): for each vector,
+    * a = euclidean distance to its OWN label centroid, b = the nearest
+    * OTHER label centroid, s = (b − a)/max(a, b); averaged per label.
+    * The clustering-quality readout run over any labeled/clustered
+    * embedding set before trusting the labels downstream — s near 1 =
+    * compact & separated, near 0 = overlapping, negative = likely
+    * mislabeled. O(n·|labels|·dim), never n².
+    *
+    * Determinism: centroids are the 4dp-ROUNDED per-dim means (the
+    * hash-green [[labelCentroids]] values — rounding first pins the
+    * one order-dependent aggregation), distances fold in index order
+    * in fp64 (the `aggregate`-from-0.0 ≡ `list_reduce` identity the
+    * norm oracle established), per-vector s rounds to 6dp into
+    * DECIMAL so the per-label mean is an any-order-exact sum with one
+    * final division. Coincident centroids (a = b = 0) score 0. */
+  def silhouetteByLabel(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroids(embeddings)
+      .groupBy(col("label").as("c_label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_x")))),
+        x => x.getField("mean_x")).as("c"))
+    val dist = aggregate(
+      zip_with(asDouble(col("embedding")), col("c"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    val scored = embeddings.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        sqrt(dist).as("d"))
+      .groupBy("vec_id", "label")
+      .agg(max(when(col("label") === col("c_label"), col("d"))).as("a"),
+        min(when(col("label") =!= col("c_label"), col("d"))).as("b"))
+      .select(col("vec_id"), col("label"),
+        when(greatest(col("a"), col("b")) > lit(0.0),
+          round((col("b") - col("a")) / greatest(col("a"), col("b")), 6))
+          .otherwise(lit(0.0)).as("s"))
+    scored.groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("s").cast("decimal(20,6)")).as("s_sum"))
+      .select(col("label"), col("n_vectors"),
+        round(col("s_sum").cast("double") /
+          col("n_vectors").cast("double"), 6).as("mean_silhouette"))
+  }
+
   /** Embedding-health profile per label: count and avg/min/max of the
     * L2 norm. Un-normalized or collapsed embeddings (norm ≈ 0, wild
     * norm spread) are the first thing to check before any cosine-based

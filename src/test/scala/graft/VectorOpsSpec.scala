@@ -356,6 +356,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(kept.filter(col("vec_id") >= 1000000L).count() == 0L)
   }
 
+  test("silhouetteByLabel: hand-traced centroid silhouette") {
+    // label 0: (0,0), (2,0) → centroid (1,0); label 1: (10,0) alone.
+    // s(0,0) = (10−1)/10 = 0.9; s(2,0) = (8−1)/8 = 0.875;
+    // s(10,0) = (9−0)/9 = 1. Means: 0.8875 and 1.0.
+    val emb = Seq(
+      (1L, Seq(0f, 0f), 0), (2L, Seq(2f, 0f), 0),
+      (3L, Seq(10f, 0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.silhouetteByLabel(emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Double]("mean_silhouette"))))
+      .toMap
+    assert(got == Map(0 -> ((2L, 0.8875)), 1 -> ((1L, 1.0))), got.toString)
+  }
+
   test("truncateDims keeps the prefix; scaled twins stay top-1 at " +
       "every kept-dims level") {
     val v = Seq((1L, Seq(1f, 2f, 3f, 4f), 0)).toDF("vec_id", "embedding", "label")
