@@ -98,4 +98,36 @@ object BatchJobs {
       ).foreach { case (t, df) => store.write(t, df, SaveMode.Overwrite) }
     } finally { clean.unpersist(); () }
   }
+
+  /** Right-to-be-forgotten cascade (GDPR art. 17 over a lake): scrub
+    * every trace of `usernames` from the base tables, then REBUILD the
+    * derived gold tables from the scrubbed silver — user-keyed
+    * aggregates can only forget by recomputation, and content-derived
+    * ones (hashtag counts) must drop the erased user's contributions
+    * too. Lake deletion IS a rewrite: each base table is anti-joined
+    * and rewritten through a `__scrub` staging table (a parquet path
+    * cannot be overwritten while it is being read; a real table format
+    * would rewrite only the files whose min/max span the targets —
+    * the semantic is the same). Verification is part of the
+    * operation: returns one row per username-bearing table with its
+    * remaining trace count — the compliance evidence, all zeros. */
+  def forget(store: TableStore, usernames: Seq[String],
+      activeMin: Long = 5): DataFrame = {
+    require(usernames.nonEmpty, "forget: empty erasure list")
+    val base = Seq("toots_raw", "toots_clean")
+    for (t <- base) {
+      val scrubbed = store.read(t)
+        .filter(!col("username").isin(usernames: _*))
+      store.write(t + "__scrub", scrubbed, SaveMode.Overwrite)
+      store.write(t, store.read(t + "__scrub"), SaveMode.Overwrite)
+    }
+    analytics(store, activeMin)
+    val userTables = base ++ Seq("user_activity_counts",
+      "active_users_gtX", "avg_toot_length_by_user_batch")
+    userTables.map { t =>
+      store.read(t).filter(col("username").isin(usernames: _*))
+        .agg(count(lit(1)).as("n_remaining"))
+        .select(lit(t).as("table"), col("n_remaining"))
+    }.reduce(_ unionByName _)
+  }
 }

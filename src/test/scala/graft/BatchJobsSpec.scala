@@ -50,4 +50,38 @@ class BatchJobsSpec extends SparkSpec {
     assert(topTag.count() == 2) // one winning hashtag per day
     assert(topTag.select("hashtag").as[String].collect().forall(_ == "t1"))
   }
+
+  test("forget: erasure cascades through base AND rebuilt gold tables, " +
+      "evidence rows all zero, others untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("store").toString
+    val store = new BatchJobs.ParquetStore(spark, dir)
+    val raw = Seq(
+      toot(1, "2025-10-07 10:00:00", "leo", "keep me"),
+      toot(2, "2025-10-07 13:30:00", "demo", "erase one"),
+      toot(3, "2025-10-10 09:00:00", "demo", "erase two"),
+      toot(4, "2025-10-10 11:00:00", "leo", "keep too"),
+    ).toDF("value")
+    BatchJobs.backfill(raw, store)
+    BatchJobs.clean(store)
+    BatchJobs.analytics(store, activeMin = 2)
+    assert(store.read("daily_toot_counts").agg(sum("toots"))
+      .as[Long].head() == 4L)
+
+    val evidence = BatchJobs.forget(store, Seq("demo"), activeMin = 2)
+      .as[(String, Long)].collect().toMap
+    // compliance rows: every username-bearing table reports zero traces
+    assert(evidence.size == 5 && evidence.values.forall(_ == 0L),
+      evidence.toString)
+    // base tables scrubbed, the other user fully intact
+    assert(store.read("toots_clean").select("username")
+      .as[String].collect().toSeq.sorted == Seq("leo", "leo"))
+    // gold rebuilt WITHOUT the erased user's contributions: daily
+    // totals drop to leo's two toots, and demo's aggregates are gone
+    val daily = store.read("daily_toot_counts")
+      .select(col("day").cast("string"), col("toots"))
+      .as[(String, Long)].collect().toMap
+    assert(daily == Map("2025-10-07" -> 1L, "2025-10-10" -> 1L), daily)
+    assert(store.read("user_activity_counts").select("username")
+      .as[String].collect().toSet == Set("leo"))
+  }
 }
