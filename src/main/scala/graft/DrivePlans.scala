@@ -217,6 +217,43 @@ object DrivePlans {
           "integer arithmetic in the post-join aggregate; the only " +
           "double op in the plan is the final display division by " +
           "2^30."),
+      ("session_overlap_pairs (hour-banded interval join, canonical-band dedup)",
+        "Interval×interval overlap as a co-partitioned EQUI-join on " +
+          "the hour band each session explodes to — band granularity " +
+          "tracks session duration, so the Σ bucket² term stays " +
+          "population-of-an-hour sized, and the overlap-start-band " +
+          "equality keeps each pair exactly once with no distinct " +
+          "shuffle (the multi-band copies die in a codegen'd filter). " +
+          "The rollup aggregates map-side; nothing is re-shuffled " +
+          "after the join."),
+      ("incremental_near_dups_indexed (stored-index pairing, text via semi-join)",
+        "The continual-ingestion contract with the banded signature " +
+          "index as the STORED artifact: the old corpus enters as " +
+          "narrow band rows (never re-banded), bucket caps apply over " +
+          "the unioned index at pairing time, and old TEXT is read " +
+          "only through the candidate-id semi-join of the verify pass " +
+          "— shingling is candidate-bounded on both sides."),
+      ("unimax_allocation (exact BIGINT waterfill on the collapsed frame)",
+        "The corpus collapses to one row per source before any " +
+          "window; the ascending prefix sums, the crossover argmin and " +
+          "the uniform split are all exact integer arithmetic over the " +
+          "|sources|-row frame, with two 1-row broadcasts carrying the " +
+          "crossover constants back — the serial windows in this plan " +
+          "rank sources, never data."),
+      ("theil_sen_trend (calendar²-bounded pairwise-slope join)",
+        "The log collapses to the dense (type, day) grid first; the " +
+          "slope self-join keys on event_type with x<y as a residual, " +
+          "so its cost is |days|² per type — a constant of the " +
+          "observation window — and every slope is one exact-integer " +
+          "division. The median runs per type over those bounded " +
+          "slope sets."),
+      ("silhouette_by_label (broadcast centroids, index-order distance folds)",
+        "The |labels|-row centroid frame broadcasts once; each vector " +
+          "scores against all centroids in a single projected " +
+          "zip_with/aggregate fold (no shuffle per label), and the a/b " +
+          "extraction plus the DECIMAL-exact label means are two " +
+          "narrow hash aggregations — O(n·labels·dim) with one " +
+          "broadcast and two exchanges in the whole plan."),
       ("growth_accounting (one lag window, day-shifted equi-join)",
         "The DISTINCT (user, day) collapse bounds the lag Window to " +
           "active-day cardinality; the churn term joins the daily " +
@@ -259,6 +296,12 @@ object DrivePlans {
       "sequence_packing" -> SparkEntry.queries("sequence_packing"),
       "ewma_daily_counts" -> SparkEntry.queries("ewma_daily_counts"),
       "growth_accounting" -> SparkEntry.queries("growth_accounting"),
+      "session_overlap_pairs" -> SparkEntry.queries("session_overlap_pairs"),
+      "incremental_near_dups_indexed" ->
+        SparkEntry.queries("incremental_near_dups_indexed"),
+      "unimax_allocation" -> SparkEntry.queries("unimax_allocation"),
+      "theil_sen_trend" -> SparkEntry.queries("theil_sen_trend"),
+      "silhouette_by_label" -> SparkEntry.queries("silhouette_by_label"),
     )
 
     val sb = new StringBuilder
