@@ -130,6 +130,8 @@ object SparkEntry {
       ((s, d) => VectorOps.silhouetteByLabel(embeddings(s, d))),
     "theil_sen_trend" ->
       ((s, d) => EventOps.theilSenTrendByType(events(s, d))),
+    "mann_whitney_type_pairs" ->
+      ((s, d) => EventOps.mannWhitneyTypePairs(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
     "dau_wau_stickiness" -> ((s, d) => EventOps.dauWauStickiness(events(s, d))),
     "time_decay_engagement" ->
@@ -1194,6 +1196,39 @@ object SparkEntry {
         "SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, " +
         "round(median(slope), 6) AS theil_sen_slope " +
         "FROM sl GROUP BY event_type"),
+    // Mirrors EventOps.mannWhitneyTypePairs: the doubled-midrank
+    // closed form in exact BIGINT, pinned-order doubles for the
+    // tie-corrected z, NULL z at zero variance.
+    "mann_whitney_type_pairs" ->
+      ("WITH cnts AS (SELECT value AS v, event_type AS t, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "ty AS (SELECT DISTINCT t FROM cnts), " +
+        "pairs AS (SELECT x.t AS ta, y.t AS tb FROM ty x JOIN ty y ON x.t < y.t), " +
+        "comb AS (SELECT ta, tb, v, " +
+        "CAST(sum(CASE WHEN t = ta THEN c ELSE 0 END) AS BIGINT) AS ca, " +
+        "CAST(sum(CASE WHEN t = tb THEN c ELSE 0 END) AS BIGINT) AS cb " +
+        "FROM cnts JOIN pairs ON t = ta OR t = tb GROUP BY 1, 2, 3), " +
+        "cum AS (SELECT *, " +
+        "CAST(coalesce(sum(ca) OVER (PARTITION BY ta, tb ORDER BY v ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_a, " +
+        "CAST(coalesce(sum(cb) OVER (PARTITION BY ta, tb ORDER BY v ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_b " +
+        "FROM comb), " +
+        "st AS (SELECT ta, tb, CAST(sum(ca) AS BIGINT) AS n1, " +
+        "CAST(sum(cb) AS BIGINT) AS n2, " +
+        "CAST(sum(ca * (2 * (cum_a + cum_b) + (ca + cb) + 1)) AS BIGINT) AS r2a, " +
+        "CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS ties3 " +
+        "FROM cum GROUP BY 1, 2) " +
+        "SELECT ta AS type_a, tb AS type_b, n1, n2, " +
+        "CAST(r2a - n1 * (n1 + 1) AS BIGINT) AS u2_a, " +
+        "CASE WHEN (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) * " +
+        "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties3 AS DOUBLE) / " +
+        "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0.0 THEN " +
+        "round((CAST(r2a - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) / 2.0) / " +
+        "sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) * " +
+        "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties3 AS DOUBLE) / " +
+        "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) END AS z " +
+        "FROM st"),
     // Mirrors EventOps.cusumChangepoints: identical closed form
     // cusum_k = S_k − k·(total/n_days). Every windowed quantity is an
     // exact BIGINT (running count sum, row_number, totals), so the one

@@ -468,6 +468,61 @@ object EventOps {
     *
     * Shape: one (type, day) hash agg over the log, then everything
     * runs on the CALENDAR×TYPES grid — tiny at any log size. */
+  /** Mann–Whitney U (Wilcoxon rank-sum) between every event-type pair
+    * — the NONPARAMETRIC two-sample location test beside the KS drift
+    * gate: does type a's value distribution sit above type b's,
+    * without assuming normality? Exact midrank/tie-correction
+    * arithmetic, computed WITHOUT any global sort: values collapse to
+    * the per-(pair, value) count frame (the 2dp value grid — a
+    * bounded domain like the histogram bins), exclusive prefix sums
+    * over it give every midrank, and
+    *
+    *   2·R_a = Σ_v c_a·(2·(cumA+cumB) + (c_a+c_b) + 1)
+    *
+    * stays exact BIGINT (doubled midranks clear the halves). The
+    * normal approximation uses the tie-corrected variance
+    * n1·n2/12·((n+1) − Σ(t³−t)/(n(n−1))); zero variance (all values
+    * tied) yields a NULL z. BIGINT headroom: the doubled rank sum is
+    * ≤ 2n², overflowing past n ≈ 2e9 rows per pair — switch the
+    * accumulators to DOUBLE beyond that (stated, not silent).
+    *
+    * Emits per pair: n1, n2, `u2_a` (2·U_a, exact) and the z. */
+  def mannWhitneyTypePairs(events: DataFrame): DataFrame = {
+    val cnts = events.groupBy(col("value").as("v"),
+      col("event_type").as("t")).agg(count(lit(1)).as("c"))
+    val types = cnts.select("t").distinct()
+    val pairs = types.as("x").join(types.as("y"),
+        col("x.t") < col("y.t"))
+      .select(col("x.t").as("ta"), col("y.t").as("tb"))
+    val combined = cnts.join(broadcast(pairs),
+        col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy("ta", "tb", "v")
+      .agg(sum(when(col("t") === col("ta"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("t") === col("tb"), col("c")).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("ta", "tb").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = combined
+      .withColumn("cum_a", coalesce(sum(col("ca")).over(w), lit(0L)))
+      .withColumn("cum_b", coalesce(sum(col("cb")).over(w), lit(0L)))
+    val nPair = col("ca") + col("cb")
+    val stats = cum.groupBy("ta", "tb").agg(
+      sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+      sum(col("ca") * (lit(2L) * (col("cum_a") + col("cum_b")) +
+        nPair + lit(1L))).as("r2a"),
+      sum(nPair * nPair * nPair - nPair).as("ties3"))
+    val u2 = col("r2a") - col("n1") * (col("n1") + lit(1L))
+    val n = col("n1") + col("n2")
+    val zNum = (u2 - col("n1") * col("n2")).cast("double") / lit(2.0)
+    val varU = (col("n1").cast("double") * col("n2").cast("double") /
+      lit(12.0)) *
+      ((n + lit(1L)).cast("double") -
+        col("ties3").cast("double") /
+          (n.cast("double") * (n - lit(1L)).cast("double")))
+    stats.select(col("ta").as("type_a"), col("tb").as("type_b"),
+      col("n1"), col("n2"), u2.as("u2_a"),
+      when(varU > lit(0.0), round(zNum / sqrt(varU), 4)).as("z"))
+  }
+
   /** Theil–Sen robust trend per type — the median-of-pairwise-slopes
     * estimator (Sen '68) beside [[dailyTrendByType]]'s OLS: with a
     * 29.3% breakdown point, a week of outage zeros or a crawler burst

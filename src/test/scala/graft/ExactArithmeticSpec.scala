@@ -379,6 +379,29 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "c" -> 3L), got)
   }
 
+  test("mannWhitneyTypePairs: hand-traced U and tie-corrected z; " +
+      "all-tied pair yields NULL z") {
+    def e(id: Long, t: String, v: Double) =
+      (id, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // pair (a, b): a = {1, 2}, b = {3, 4} — fully separated.
+    // Ranks 1..4, R_a = 3 → U_a = 0; z = (0 − 2)/sqrt(4/12·5)
+    // = −2/1.29099 = −1.549193 → −1.5492.
+    // pair (c, d): all four values tied at 1 → variance 0 → z NULL,
+    // U_a = n1·n2/2 = 2 (u2 = 4): the no-evidence midpoint.
+    val events = Seq(
+      e(1, "a", 1.0), e(2, "a", 2.0), e(3, "b", 3.0), e(4, "b", 4.0),
+      e(5, "c", 1.0), e(6, "c", 1.0), e(7, "d", 1.0), e(8, "d", 1.0),
+    ).toDF(evCols: _*)
+    val got = EventOps.mannWhitneyTypePairs(events).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("u2_a"),
+          Option(r.getAs[java.lang.Double]("z")).map(_.toDouble)))).toMap
+    assert(got(("a", "b")) == ((2L, 2L, 0L, Some(-1.5492))), got.toString)
+    assert(got(("c", "d")) == ((2L, 2L, 4L, None)), got.toString)
+    // cross pairs exist too (a-c etc.) — just check the count
+    assert(got.size == 6, got.toString)
+  }
+
   test("theilSenTrendByType: exact slope on linear growth, 29% outlier ignored") {
     // lin: d+1 events on day d → every pairwise slope exactly 1.
     // burst: constant 2/day except one 30-event spike — 15 of 21
