@@ -132,6 +132,8 @@ object SparkEntry {
       ((s, d) => EventOps.theilSenTrendByType(events(s, d))),
     "mann_whitney_type_pairs" ->
       ((s, d) => EventOps.mannWhitneyTypePairs(events(s, d))),
+    "spearman_type_pairs" ->
+      ((s, d) => EventOps.spearmanTypePairs(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
     "dau_wau_stickiness" -> ((s, d) => EventOps.dauWauStickiness(events(s, d))),
     "time_decay_engagement" ->
@@ -1301,6 +1303,38 @@ object SparkEntry {
     // min..max calendar × types grid (all-zero days kept, the
     // acf_daily_counts construction), six exact BIGINT moments, exact
     // LONG numerator/variances cast to DOUBLE at the final sqrt only.
+    // Mirrors EventOps.spearmanTypePairs: doubled midranks
+    // (2·min-rank + ties − 1, exact integers) through the SAME
+    // integer-moment closed form; each variance casts to DOUBLE
+    // before its own sqrt (the product form would overflow BIGINT on
+    // century calendars).
+    "spearman_type_pairs" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "t AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, d.day, coalesce(daily.cnt, 0) AS cnt " +
+        "FROM d CROSS JOIN t LEFT JOIN daily " +
+        "ON daily.event_type = t.event_type AND daily.day = d.day), " +
+        "rk AS (SELECT event_type, day, " +
+        "CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY cnt ASC) + " +
+        "count(*) OVER (PARTITION BY event_type, cnt) - 1 AS BIGINT) AS r2 " +
+        "FROM grid), " +
+        "m AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(a.r2) AS BIGINT) AS sx, CAST(sum(b.r2) AS BIGINT) AS sy, " +
+        "CAST(sum(a.r2 * b.r2) AS BIGINT) AS sxy, " +
+        "CAST(sum(a.r2 * a.r2) AS BIGINT) AS sxx, " +
+        "CAST(sum(b.r2 * b.r2) AS BIGINT) AS syy " +
+        "FROM rk a JOIN rk b ON a.day = b.day AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2) " +
+        "SELECT type_a, type_b, n AS n_days, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * " +
+        "sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho " +
+        "FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"),
     "type_count_correlations" ->
       ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
         "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +

@@ -560,6 +560,52 @@ object EventOps {
         round(median(col("slope")), 6).as("theil_sen_slope"))
   }
 
+  /** Spearman rank correlation between type pairs' daily-count series
+    * — [[typeCountCorrelations]]'s robust sibling: Pearson on RANKS is
+    * immune to the monotone-but-nonlinear relationships and count
+    * spikes that bend the raw-count correlation. Exact throughout:
+    * ranks are DOUBLED midranks (2·min-rank + ties − 1 — integers, so
+    * tied days carry their exact average rank with no fp halves), and
+    * ρ is the same integer-moment closed form as the Pearson query —
+    * Spearman is scale-invariant, so the doubling cancels. Computed
+    * over the dense zero-filled calendar; the rank windows partition
+    * per type over calendar-bounded frames. */
+  def spearmanTypePairs(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val wr = Window.partitionBy("event_type").orderBy(col("cnt").asc)
+    val wt = Window.partitionBy("event_type", "cnt")
+    val ranked = grid.select(col("event_type"), col("day"),
+      (lit(2L) * rank().over(wr).cast("long") +
+        count(lit(1)).over(wt) - lit(1L)).as("r2"))
+    val m = ranked.as("a")
+      .join(ranked.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.r2")).as("sx"), sum(col("b.r2")).as("sy"),
+        sum(col("a.r2") * col("b.r2")).as("sxy"),
+        sum(col("a.r2") * col("a.r2")).as("sxx"),
+        sum(col("b.r2") * col("b.r2")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val da = col("n") * col("sxx") - col("sx") * col("sx")
+    val db = col("n") * col("syy") - col("sy") * col("sy")
+    m.filter(da > 0L && db > 0L)
+      .select(col("type_a"), col("type_b"), col("n").as("n_days"),
+        round(num.cast("double") /
+          (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 6)
+          .as("spearman_rho"))
+  }
+
   def typeCountCorrelations(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))

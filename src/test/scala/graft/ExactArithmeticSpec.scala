@@ -379,6 +379,26 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "c" -> 3L), got)
   }
 
+  test("spearmanTypePairs: rank correlation is exactly ±1 on monotone " +
+      "series where Pearson is not") {
+    // daily counts over 3 days: up = 1,2,3; dn = 3,2,1; sq = 1,4,9.
+    // Spearman(sq, up) = 1 (monotone, though nonlinear), the others −1.
+    val events = (
+      (1 to 3).flatMap(d => (1 to d).map(i =>
+        ev(100L * d + i, f"2024-03-0$d", "up"))) ++
+      (1 to 3).flatMap(d => (1 to (4 - d)).map(i =>
+        ev(1000L + 100L * d + i, f"2024-03-0$d", "dn"))) ++
+      (1 to 3).flatMap(d => (1 to d * d).map(i =>
+        ev(10000L + 100L * d + i, f"2024-03-0$d", "sq")))
+    ).toDF(evCols: _*)
+    val got = graft.ops.EventOps.spearmanTypePairs(events).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        r.getAs[Double]("spearman_rho")).toMap
+    assert(got == Map(
+      ("dn", "sq") -> -1.0, ("dn", "up") -> -1.0, ("sq", "up") -> 1.0),
+      got.toString)
+  }
+
   test("mannWhitneyTypePairs: hand-traced U and tie-corrected z; " +
       "all-tied pair yields NULL z") {
     def e(id: Long, t: String, v: Double) =
