@@ -134,6 +134,12 @@ object SparkEntry {
       ((s, d) => EventOps.mannWhitneyTypePairs(events(s, d))),
     "spearman_type_pairs" ->
       ((s, d) => EventOps.spearmanTypePairs(events(s, d))),
+    "kruskal_wallis_daily" ->
+      ((s, d) => EventOps.kruskalWallisDailyCounts(events(s, d))),
+    "kendall_tau_type_pairs" ->
+      ((s, d) => EventOps.kendallTauTypePairs(events(s, d))),
+    "chi_square_type_dow" ->
+      ((s, d) => EventOps.chiSquareTypeDow(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
     "dau_wau_stickiness" -> ((s, d) => EventOps.dauWauStickiness(events(s, d))),
     "time_decay_engagement" ->
@@ -1231,6 +1237,99 @@ object SparkEntry {
         "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties3 AS DOUBLE) / " +
         "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) END AS z " +
         "FROM st"),
+    // Mirrors EventOps.kruskalWallisDailyCounts: pooled doubled
+    // midranks via an exclusive prefix over the collapsed count-value
+    // frame; every group holds exactly n_days dense-grid observations
+    // so Σ R_i²/n_i = Σ(2R_i)²/(4·D) stays one exact BIGINT sum; two
+    // pinned double divisions at the end, NULL when all values tie.
+    "kruskal_wallis_daily" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "t AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, coalesce(daily.cnt, 0) AS v " +
+        "FROM d CROSS JOIN t LEFT JOIN daily " +
+        "ON daily.event_type = t.event_type AND daily.day = d.day), " +
+        "byval AS (SELECT v, event_type, CAST(count(*) AS BIGINT) AS c " +
+        "FROM grid GROUP BY 1, 2), " +
+        "tot AS (SELECT v, CAST(sum(c) AS BIGINT) AS ct FROM byval GROUP BY 1), " +
+        "cum AS (SELECT v, ct, CAST(coalesce(sum(ct) OVER (ORDER BY v ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum " +
+        "FROM tot), " +
+        "pt AS (SELECT event_type, " +
+        "CAST(sum(c * (2 * cum + ct + 1)) AS BIGINT) AS r2sum, " +
+        "CAST(sum(c) AS BIGINT) AS ni " +
+        "FROM byval JOIN cum USING (v) GROUP BY 1), " +
+        "ties AS (SELECT CAST(sum(ct * ct * ct - ct) AS BIGINT) AS ties3 FROM cum), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ni) AS BIGINT) AS n, " +
+        "CAST(max(ni) AS BIGINT) AS d, " +
+        "CAST(sum(r2sum * r2sum) AS BIGINT) AS sr4 FROM pt) " +
+        "SELECT k AS n_types, d AS n_days, n AS n_total, " +
+        "CAST(k - 1 AS BIGINT) AS dof, " +
+        "CASE WHEN 1.0 - CAST(ties3 AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0.0 THEN " +
+        "round((3.0 * CAST(sr4 AS DOUBLE) / CAST(d * n * (n + 1) AS DOUBLE) - " +
+        "3.0 * CAST(n + 1 AS DOUBLE)) / " +
+        "(1.0 - CAST(ties3 AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) END AS kw_h " +
+        "FROM s CROSS JOIN ties"),
+    // Mirrors EventOps.kendallTauTypePairs: exact BIGINT
+    // concordant−discordant and tie counts over calendar² day pairs;
+    // tau-b's two tie-adjusted counts each cast to DOUBLE before
+    // their own sqrt; constant series → NULL.
+    "kendall_tau_type_pairs" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "t AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, d.day, coalesce(daily.cnt, 0) AS cnt " +
+        "FROM d CROSS JOIN t LEFT JOIN daily " +
+        "ON daily.event_type = t.event_type AND daily.day = d.day), " +
+        "p AS (SELECT a.event_type AS ta, b.event_type AS tb, a.day AS day, " +
+        "a.cnt AS x, b.cnt AS y FROM grid a JOIN grid b " +
+        "ON a.day = b.day AND a.event_type < b.event_type), " +
+        "dp AS (SELECT p.ta, p.tb, q.x - p.x AS dx, q.y - p.y AS dy " +
+        "FROM p JOIN p q ON p.ta = q.ta AND p.tb = q.tb AND p.day < q.day), " +
+        "agg AS (SELECT ta, tb, CAST(count(*) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0) THEN 1 " +
+        "WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0) THEN -1 ELSE 0 END) " +
+        "AS BIGINT) AS cmd, " +
+        "CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx, " +
+        "CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty " +
+        "FROM dp GROUP BY 1, 2) " +
+        "SELECT ta AS type_a, tb AS type_b, n0 AS n_day_pairs, " +
+        "cmd AS conc_minus_disc, " +
+        "CASE WHEN n0 > tx AND n0 > ty THEN " +
+        "round(CAST(cmd AS DOUBLE) / (sqrt(CAST(n0 - tx AS DOUBLE)) * " +
+        "sqrt(CAST(n0 - ty AS DOUBLE))), 6) END AS tau_b " +
+        "FROM agg"),
+    // Mirrors EventOps.chiSquareTypeDow: χ² = N·(Σ o²/(r·c) − 1) with
+    // exact BIGINT o² and r·c per cell cast to DOUBLE (the
+    // type_dow_mutual_info summation precedent over ≤ 7·|types|
+    // cells); Cramér's V from the same unrounded cell sum.
+    "chi_square_type_dow" ->
+      ("WITH cells AS (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow, " +
+        "CAST(count(*) AS BIGINT) AS nxy FROM events GROUP BY 1, 2), " +
+        "tx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx " +
+        "FROM cells GROUP BY 1), " +
+        "td AS (SELECT dow, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells), " +
+        "s AS (SELECT CAST(count(DISTINCT c.event_type) AS BIGINT) AS n_types, " +
+        "CAST(count(DISTINCT c.dow) AS BIGINT) AS n_dows, " +
+        "CAST(max(n) AS BIGINT) AS n_total, " +
+        "sum(CAST(nxy * nxy AS DOUBLE) / CAST(nx * ny AS DOUBLE)) AS s1 " +
+        "FROM cells c JOIN tx USING (event_type) JOIN td USING (dow) " +
+        "CROSS JOIN tot) " +
+        "SELECT n_types, n_dows, n_total, " +
+        "CAST((n_types - 1) * (n_dows - 1) AS BIGINT) AS dof, " +
+        "round(CAST(n_total AS DOUBLE) * (s1 - 1.0), 4) AS chi2, " +
+        "CASE WHEN least(n_types - 1, n_dows - 1) > 0 THEN " +
+        "round(sqrt((s1 - 1.0) / CAST(least(n_types - 1, n_dows - 1) AS DOUBLE)), 6) " +
+        "END AS cramers_v FROM s"),
     // Mirrors EventOps.cusumChangepoints: identical closed form
     // cusum_k = S_k − k·(total/n_days). Every windowed quantity is an
     // exact BIGINT (running count sum, row_number, totals), so the one

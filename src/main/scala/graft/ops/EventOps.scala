@@ -606,6 +606,159 @@ object EventOps {
           .as("spearman_rho"))
   }
 
+  /** Kruskal–Wallis H across ALL event types' daily-volume
+    * distributions — the k-sample extension of
+    * [[mannWhitneyTypePairs]]: one omnibus "do the types differ in
+    * volume location at all?" gate before the |types|² pairwise
+    * drill-down. Observations are the DENSE zero-filled calendar's
+    * daily counts, so every group holds exactly n_days observations —
+    * which collapses Σ R_i²/n_i to (Σ(2R_i)²)/(4·D), one exact BIGINT
+    * sum. Pooled doubled midranks (2·cum + ties + 1) come from an
+    * exclusive prefix sum over the COLLAPSED per-count-value frame
+    * (never a row-level sort), so everything is exact integers until
+    * the two final pinned double divisions; the tie-corrected
+    * H = H_raw / (1 − Σ(t³−t)/(N³−N)) is NULL when all observations
+    * tie (zero variance — no test). BIGINT headroom: Σ(2R_i)² ≤
+    * k·D²·(2N+1)² overflows past ~10⁹ doubled rank-sum units (a
+    * century calendar × hundreds of types) — switch the square
+    * accumulator to DECIMAL(38,0) there (stated, not silent).
+    *
+    * Shape: one (type, day) hash agg collapses the log; the grid,
+    * rank prefix and moments all run on calendar×types rows. */
+  def kruskalWallisDailyCounts(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("cnt"), lit(0L)).as("v"))
+    val byVal = grid.groupBy(col("v"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = byVal.groupBy("v").agg(sum("c").as("ct"))
+    // exclusive prefix over the distinct-count-value frame — collapsed
+    // to the value grid, so the unpartitioned window is bounded
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = tot.withColumn("cum", coalesce(sum(col("ct")).over(w), lit(0L)))
+    val perType = byVal.join(cum, "v")
+      .groupBy("event_type")
+      .agg(sum(col("c") * (lit(2L) * col("cum") + col("ct") + lit(1L)))
+        .as("r2sum"),
+        sum(col("c")).as("ni"))
+    val ties = cum.agg(
+      sum(col("ct") * col("ct") * col("ct") - col("ct")).as("ties3"))
+    val s = perType.agg(
+      count(lit(1)).as("k"),
+      sum(col("ni")).as("n"),
+      max(col("ni")).as("d"),
+      sum(col("r2sum") * col("r2sum")).as("sr4"))
+      .crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val hRaw = lit(3.0) * col("sr4").cast("double") /
+      (col("d") * col("n") * (col("n") + lit(1L))).cast("double") -
+      lit(3.0) * (col("n") + lit(1L)).cast("double")
+    val corr = lit(1.0) - col("ties3").cast("double") /
+      (nD * nD * nD - nD)
+    s.select(col("k").as("n_types"), col("d").as("n_days"),
+      col("n").as("n_total"), (col("k") - lit(1L)).as("dof"),
+      when(corr > lit(0.0), round(hRaw / corr, 6)).as("kw_h"))
+  }
+
+  /** Kendall tau-b between type pairs' daily-count series —
+    * [[spearmanTypePairs]]' concordance-based sibling: tau counts
+    * day-pair agreements directly, so it is the rank correlation
+    * whose value has a probabilistic reading (P(concordant) −
+    * P(discordant)) and degrades more gracefully under heavy ties.
+    * Exact throughout: concordant−discordant and both tie counts are
+    * BIGINT sums of sign comparisons over day pairs; tau-b divides
+    * once by the two sqrt'd tie-adjusted pair counts (each cast to
+    * DOUBLE separately — the product form would overflow on century
+    * calendars). Zero-denominator pairs (a constant series) → NULL.
+    *
+    * Shape: the day-pair self-join is per-pair CALENDAR² — |days|²
+    * is a constant of the observation window, never
+    * data-proportional (the [[theilSenTrendByType]] argument); the
+    * daily collapse in front is the one corpus-sized aggregation. */
+  def kendallTauTypePairs(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val p = grid.as("a").join(grid.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("a.day").as("day"), col("a.cnt").as("x"), col("b.cnt").as("y"))
+    val dp = p.as("p").join(p.as("q"),
+        col("p.ta") === col("q.ta") && col("p.tb") === col("q.tb") &&
+          col("p.day") < col("q.day"))
+      .select(col("p.ta").as("ta"), col("p.tb").as("tb"),
+        (col("q.x") - col("p.x")).as("dx"),
+        (col("q.y") - col("p.y")).as("dy"))
+    val agg = dp.groupBy("ta", "tb").agg(
+      count(lit(1)).as("n0"),
+      sum(when((col("dx") > 0L && col("dy") > 0L) ||
+            (col("dx") < 0L && col("dy") < 0L), 1L)
+          .when((col("dx") > 0L && col("dy") < 0L) ||
+            (col("dx") < 0L && col("dy") > 0L), -1L)
+          .otherwise(0L)).as("cmd"),
+      sum(when(col("dx") === 0L, 1L).otherwise(0L)).as("tx"),
+      sum(when(col("dy") === 0L, 1L).otherwise(0L)).as("ty"))
+    agg.select(col("ta").as("type_a"), col("tb").as("type_b"),
+      col("n0").as("n_day_pairs"), col("cmd").as("conc_minus_disc"),
+      when(col("n0") > col("tx") && col("n0") > col("ty"),
+        round(col("cmd").cast("double") /
+          (sqrt((col("n0") - col("tx")).cast("double")) *
+            sqrt((col("n0") - col("ty")).cast("double"))), 6))
+        .as("tau_b"))
+  }
+
+  /** Chi-square test of independence for event_type × day-of-week —
+    * the frequency-table companion to [[typeDowMutualInfo]]: is the
+    * weekly mix of event types flat, and how far from independent
+    * (Cramér's V effect size, so a huge N can't masquerade a trivial
+    * dependence as signal)? χ² = N·(Σ o²/(r·c) − 1) keeps every
+    * observed/marginal product an exact BIGINT (o² and r·c both ≪
+    * 2⁵³ at any realistic N) cast to DOUBLE per cell; the Σ runs over
+    * ≤ |types|·7 cells (the [[typeDowMutualInfo]] summation
+    * precedent). V = sqrt((Σ−1)/min(k−1, m−1)) with the one exact
+    * sqrt. Degenerate single-row/column tables → NULL V.
+    *
+    * Shape: one (type, dow) hash agg collapses the log; marginals
+    * and the cell sum run on the ≤ 7·|types| frame, broadcast. */
+  def chiSquareTypeDow(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
+      .agg(count(lit(1)).as("nxy"))
+    val byType = cells.groupBy("event_type").agg(sum("nxy").as("nx"))
+    val byDow = cells.groupBy("dow").agg(sum("nxy").as("ny"))
+    val total = cells.agg(sum("nxy").as("n"))
+    val s = cells.join(broadcast(byType), "event_type")
+      .join(broadcast(byDow), "dow")
+      .crossJoin(broadcast(total))
+      .agg(
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"),
+        max(col("n")).as("n_total"),
+        sum((col("nxy") * col("nxy")).cast("double") /
+          (col("nx") * col("ny")).cast("double")).as("s1"))
+    val mindim = least(col("n_types") - lit(1L), col("n_dows") - lit(1L))
+    s.select(col("n_types"), col("n_dows"), col("n_total"),
+      ((col("n_types") - lit(1L)) * (col("n_dows") - lit(1L))).as("dof"),
+      round(col("n_total").cast("double") * (col("s1") - lit(1.0)), 4)
+        .as("chi2"),
+      when(mindim > 0L,
+        round(sqrt((col("s1") - lit(1.0)) / mindim.cast("double")), 6))
+        .as("cramers_v"))
+  }
+
   def typeCountCorrelations(events: DataFrame): DataFrame = {
     val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"))

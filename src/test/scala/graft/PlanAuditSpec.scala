@@ -457,7 +457,9 @@ class PlanAuditSpec extends SparkSpec {
       "alpha_ratio", // paretoFrontier per-alpha agg: round(x,4) on [0,1] → ≤ 10001
       "b",           // sortedNeighborhoodPairs block = first char: ≤ |alphabet|
       "n_tokens",    // unimaxAllocation waterfill: per-SOURCE collapse,
-      "source"       //   |sources| categorical domain (n_tokens is its sort key)
+      "source",      //   |sources| categorical domain (n_tokens is its sort key)
+      "v"            // kruskalWallis pooled-midrank prefix: DISTINCT daily-count
+                     //   values (a collapsed value grid ≤ |distinct counts|)
     )
 
     def expand(p: SparkPlan): Seq[SparkPlan] =

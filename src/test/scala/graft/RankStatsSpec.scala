@@ -293,6 +293,101 @@ class RankStatsSpec extends SparkSpec {
       3L -> ((1L, 1L, 1L))), got.toString)
   }
 
+  test("kruskalWallisDailyCounts: exact H on a tie-free two-group split") {
+    import java.sql.Timestamp
+    var id = 0L
+    def dayEvents(tpe: String, date: String, count: Int) =
+      (1 to count).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(s"$date 10:00:00"), 1L, tpe, 1.0, "{}")
+      }
+    // daily counts a: 1,2,3  b: 4,5,6 — pooled ranks are exactly
+    // 1..6 (no ties): R_a = 6, R_b = 15, N = 6, D = 3 →
+    // H = 12/(6·7)·(36/3 + 225/3) − 3·7 = 87·2/7 − 21 = 27/7
+    val events = (
+      dayEvents("a", "2024-01-01", 1) ++ dayEvents("a", "2024-01-02", 2) ++
+      dayEvents("a", "2024-01-03", 3) ++
+      dayEvents("b", "2024-01-01", 4) ++ dayEvents("b", "2024-01-02", 5) ++
+      dayEvents("b", "2024-01-03", 6)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.kruskalWallisDailyCounts(events).collect().head
+    assert(r.getAs[Long]("n_types") == 2L && r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Long]("n_total") == 6L && r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Double]("kw_h") == math.rint(27.0 / 7.0 * 1e6) / 1e6, r)
+  }
+
+  test("kruskalWallisDailyCounts: all-tied observations yield NULL H") {
+    import java.sql.Timestamp
+    var id = 0L
+    def ev(date: String) = { id += 1
+      (id, Timestamp.valueOf(s"$date 10:00:00"), 1L, "a", 1.0, "{}") }
+    // one type, one event per day — every pooled observation ties at
+    // 1, the correction denominator hits zero, no test statistic
+    val events = Seq(ev("2024-01-01"), ev("2024-01-02"), ev("2024-01-03"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.kruskalWallisDailyCounts(events).collect().head
+    assert(r.isNullAt(r.fieldIndex("kw_h")), r)
+  }
+
+  test("kendallTauTypePairs: perfect inversion, tie-adjusted pair, NULLs") {
+    import java.sql.Timestamp
+    var id = 0L
+    def dayEvents(tpe: String, date: String, count: Int) =
+      (1 to count).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(s"$date 10:00:00"), 1L, tpe, 1.0, "{}")
+      }
+    // a: 1,2,3,4  b: 4,3,2,1  c: 1,1,2,2 over the same four days.
+    // (a,b): all 6 day pairs discordant → tau = −1.
+    // (a,c): cmd = 4, ty = 2 → 4/(√6·√4) = 0.816497; (b,c) mirrors.
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04")
+    val counts = Map("a" -> Seq(1, 2, 3, 4), "b" -> Seq(4, 3, 2, 1),
+      "c" -> Seq(1, 1, 2, 2))
+    val events = counts.toSeq.flatMap { case (t, cs) =>
+      days.zip(cs).flatMap { case (d, c) => dayEvents(t, d, c) }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.kendallTauTypePairs(events).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_day_pairs"), r.getAs[Long]("conc_minus_disc"),
+          r.getAs[Double]("tau_b")))).toMap
+    assert(got(("a", "b")) == ((6L, -6L, -1.0)), got)
+    assert(got(("a", "c")) == ((6L, 4L, 0.816497)), got)
+    assert(got(("b", "c")) == ((6L, -4L, -0.816497)), got)
+  }
+
+  test("chiSquareTypeDow: exact chi-square and Cramér's V on a 2×2 table") {
+    import java.sql.Timestamp
+    var id = 0L
+    def dayEvents(tpe: String, date: String, count: Int) =
+      (1 to count).map { _ =>
+        id += 1
+        (id, Timestamp.valueOf(s"$date 10:00:00"), 1L, tpe, 1.0, "{}")
+      }
+    // Mon/Tue × a/b with counts 30/10 and 10/30: all marginals 40,
+    // N = 80, Σ o²/(r·c) = 2000/1600 = 1.25 → χ² = 80·0.25 = 20,
+    // V = √(0.25/1) = 0.5
+    val events = (
+      dayEvents("a", "2024-01-01", 30) ++ dayEvents("a", "2024-01-02", 10) ++
+      dayEvents("b", "2024-01-01", 10) ++ dayEvents("b", "2024-01-02", 30)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.chiSquareTypeDow(events).collect().head
+    assert(r.getAs[Long]("n_types") == 2L && r.getAs[Long]("n_dows") == 2L)
+    assert(r.getAs[Long]("n_total") == 80L && r.getAs[Long]("dof") == 1L)
+    assert(r.getAs[Double]("chi2") == 20.0, r)
+    assert(r.getAs[Double]("cramers_v") == 0.5, r)
+  }
+
+  test("chiSquareTypeDow: single-type table has zero chi2 and NULL V") {
+    import java.sql.Timestamp
+    val events = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "a", 1.0, "{}"),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00"), 1L, "a", 1.0, "{}"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.chiSquareTypeDow(events).collect().head
+    assert(r.getAs[Double]("chi2") == 0.0, r)
+    assert(r.isNullAt(r.fieldIndex("cramers_v")), r)
+  }
+
   test("winsorizedValueStats clamps outliers into the [p05, p95] band") {
     // 21 values 0..20: p05 = 1.0, p95 = 19.0 (quantile_cont on a
     // 0..20 lattice) → 0 clamps up to 1, 20 clamps down to 19; mean
