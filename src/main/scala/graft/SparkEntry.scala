@@ -233,6 +233,9 @@ object SparkEntry {
       ((s, d) => MiningOps.bigramPerplexity(documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
+    "rrf_fused_docs" ->
+      ((s, d) => MiningOps.rrfFusedDocs(documents(s, d), embeddings(s, d))),
+    "ndcg_retrieval_audit" -> ((s, d) => VectorOps.ndcgAtK(embeddings(s, d))),
     "peak_concurrency" -> ((s, d) => EventOps.peakConcurrency(events(s, d))),
     "entity_clusters" -> ((s, d) => JoinOps.entityClusters(part(s, d))),
     "embedding_covariance" -> ((s, d) =>
@@ -2218,6 +2221,84 @@ object SparkEntry {
         "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
         "GROUP BY doc_id, dl " +
         "ORDER BY bm25 DESC, doc_id ASC LIMIT 20"),
+    // Mirrors MiningOps.rrfFusedDocs: the lexical CTE is the
+    // bm25_top_docs oracle verbatim, the dense CTE the knn_brute one;
+    // ranks come from row_number over the same (rounded-score, id)
+    // keys the Spark side counts, and the fused score is the same
+    // two-term IEEE sum (commutative — order-free) rounded 9dp.
+    "rrf_fused_docs" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(len(toks)) AS BIGINT) AS total_len FROM toks), " +
+        "dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM " +
+        "(SELECT doc_id, unnest(toks) AS term FROM toks) " +
+        "WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "lexlist AS (SELECT doc_id AS rrf_id, " +
+        "round(sum(ln(((SELECT CAST(n AS DOUBLE) FROM st) - CAST(df AS DOUBLE) + 0.5) / " +
+        "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+        "(CAST(tf AS DOUBLE) * (1.2 + 1.0)) / " +
+        "(CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / " +
+        "((SELECT CAST(total_len AS DOUBLE) FROM st) / (SELECT CAST(n AS DOUBLE) FROM st)))))), 6) AS bm25 " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
+        "GROUP BY doc_id, dl ORDER BY bm25 DESC, rrf_id ASC LIMIT 20), " +
+        "lex AS (SELECT rrf_id, CAST(row_number() OVER (" +
+        "ORDER BY bm25 DESC, rrf_id ASC) AS BIGINT) AS lex_rank FROM lexlist), " +
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+        "ds AS (SELECT e.vec_id AS rrf_id, " +
+        "round(list_sum(list_transform(range(len(e.embedding)), " +
+        "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0 " +
+        "ORDER BY cos_sim DESC, rrf_id ASC LIMIT 20), " +
+        "dense AS (SELECT rrf_id, CAST(row_number() OVER (" +
+        "ORDER BY cos_sim DESC, rrf_id ASC) AS BIGINT) AS dense_rank FROM ds) " +
+        "SELECT coalesce(lex.rrf_id, dense.rrf_id) AS doc_id, " +
+        "lex_rank, dense_rank, " +
+        "round(coalesce(1.0 / CAST(60 + lex_rank AS DOUBLE), 0.0) + " +
+        "coalesce(1.0 / CAST(60 + dense_rank AS DOUBLE), 0.0), 9) AS rrf_score " +
+        "FROM lex FULL JOIN dense ON lex.rrf_id = dense.rrf_id " +
+        "ORDER BY rrf_score DESC, doc_id ASC LIMIT 20"),
+    // Mirrors VectorOps.ndcgAtK: ranks over the 4dp-rounded cosine
+    // with the vec_id tie-break; every 1/log2(rank+1) discount term
+    // rounds 10dp into DECIMAL(38,10) so per-query sums are
+    // order-exact; ideal DCG from the same discount over
+    // 1..min(n_relevant, 10); one final double division.
+    "ndcg_retrieval_audit" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel " +
+        "FROM embeddings WHERE vec_id IN (0, 1, 2, 3)), " +
+        "scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label, " +
+        "round(list_sum(list_transform(range(len(e.embedding)), " +
+        "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cs " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+        "rk AS (SELECT qid, qlabel, label, " +
+        "CAST(row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cs DESC, vec_id ASC) AS BIGINT) AS rnk FROM scored), " +
+        "dcg AS (SELECT qid, " +
+        "sum(CASE WHEN label = qlabel THEN " +
+        "CAST(round(1.0 / log2(CAST(rnk + 1 AS DOUBLE)), 10) AS DECIMAL(38,10)) " +
+        "ELSE CAST(0 AS DECIMAL(38,10)) END) AS dcg, " +
+        "CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS hits_at_k FROM rk WHERE rnk <= 10 GROUP BY 1), " +
+        "rel AS (SELECT qid, " +
+        "CAST(sum(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_relevant FROM scored GROUP BY 1), " +
+        "ideal AS (SELECT qid, n_relevant, " +
+        "sum(CAST(round(1.0 / log2(CAST(i + 1 AS DOUBLE)), 10) AS DECIMAL(38,10))) AS idcg " +
+        "FROM (SELECT qid, n_relevant, " +
+        "unnest(range(1, CAST(least(n_relevant, 10) + 1 AS BIGINT))) AS i " +
+        "FROM rel) GROUP BY 1, 2), " +
+        "idl AS (SELECT rel.qid, rel.n_relevant, ideal.idcg " +
+        "FROM rel LEFT JOIN ideal ON rel.qid = ideal.qid) " +
+        "SELECT dcg.qid AS query_id, n_relevant, hits_at_k, " +
+        "CASE WHEN idcg IS NOT NULL AND idcg > 0 THEN " +
+        "round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) END AS ndcg " +
+        "FROM dcg JOIN idl ON dcg.qid = idl.qid"),
     // heavyHitterTerms' sketch-then-confirm output is EXACT by
     // construction (MG only prunes candidates; the final counts and
     // HAVING are exact), so the oracle is the brute-force form the

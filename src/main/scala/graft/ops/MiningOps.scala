@@ -128,6 +128,53 @@ object MiningOps {
       .limit(topK)
   }
 
+  /** Reciprocal-rank fusion of the lexical BM25 ranklist with the
+    * dense embedding-cosine ranklist — the standard hybrid-retrieval
+    * combiner (Cormack et al. '09): score(d) = Σ_lists 1/(k + rank_d),
+    * rank-based so the two lists' incommensurable score scales never
+    * need calibration, and a document missing from one list simply
+    * gets no contribution from it (embeddings cover a prefix of the
+    * doc-id space at larger SFs — stated, handled by the full-outer
+    * join). Determinism: each list's rank is computed by COUNTING
+    * strictly-better (rounded-score, id) keys over the ≤ perList-row
+    * frame — a bounded broadcast nested-loop, never a serial window —
+    * and the fused score is ONE two-term IEEE sum (commutative, so
+    * order-free) of exact reciprocals, rounded 9dp.
+    *
+    * Shape: both ranklists are TakeOrdered top-perList frames; the
+    * rank join and fusion run on ≤ 2·perList rows. The corpus-sized
+    * work is BM25's inverted index and the one broadcast cosine pass
+    * — both linear. */
+  def rrfFusedDocs(docs: DataFrame, embeddings: DataFrame,
+      queryTerms: Seq[String] = Seq("join", "filter", "scan"),
+      queryVecId: Long = 0L, rrfK: Int = 60, perList: Int = 20,
+      topN: Int = 20): DataFrame = {
+    def rankByCount(df: DataFrame, score: String): DataFrame =
+      df.as("x").join(broadcast(df.as("y")),
+          col(s"y.$score") > col(s"x.$score") ||
+            (col(s"y.$score") === col(s"x.$score") &&
+              col("y.rrf_id") < col("x.rrf_id")), "left")
+        .groupBy(col("x.rrf_id").as("rrf_id"))
+        .agg((count(col("y.rrf_id")) + lit(1L)).as("rnk"))
+    val lex = rankByCount(
+      bm25TopDocs(docs, queryTerms, topK = perList)
+        .select(col("doc_id").as("rrf_id"), col("bm25")), "bm25")
+      .withColumnRenamed("rnk", "lex_rank")
+    val dense = rankByCount(
+      VectorOps.knnBrute(embeddings, queryVecId, perList)
+        .select(col("vec_id").as("rrf_id"), col("cos_sim")), "cos_sim")
+      .withColumnRenamed("rnk", "dense_rank")
+    lex.join(dense, Seq("rrf_id"), "full_outer")
+      .select(col("rrf_id").as("doc_id"), col("lex_rank"), col("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK.toLong) + col("lex_rank")).cast("double"),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK.toLong) + col("dense_rank")).cast("double"),
+            lit(0.0)), 9).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(topN)
+  }
+
   /** TF-IDF cosine similarity join — the lexical-weighted
     * near-duplicate detector between the set-based n-gram Jaccard and
     * the dense embedding cosine: documents as term vectors with

@@ -830,4 +830,61 @@ object VectorOps {
         sum(element_at(col("qc"), 1).cast("long")).as("sum_q0"),
         sum(element_at(col("qc"), 2).cast("long")).as("sum_q1"))
   }
+
+  /** NDCG@k of the embedding-cosine retrieval ranking, graded against
+    * the corpus's own cluster labels — the retrieval-quality eval
+    * harness beside the recall audits: a result is relevant (gain 1)
+    * when it shares the query's label, DCG discounts each hit by
+    * 1/log2(rank+1), and the ideal DCG renormalizes so a query whose
+    * label has < k members isn't penalized for physics. Determinism:
+    * ranks order by the 4dp-ROUNDED cosine with a vec_id tie-break
+    * (the [[knnBrute]] key); every discount term is the identical
+    * double in both engines, rounded 10dp into DECIMAL(38,10) so the
+    * per-query sums are order-exact; one double division at the end.
+    * Queries with zero same-label neighbors emit NULL ndcg (no ideal
+    * to normalize by).
+    *
+    * Shape: |queries| is a bounded literal — the scoring pass is
+    * |queries|·N broadcast cosines (linear in the corpus), the rank
+    * window partitions per query, and everything after the top-k
+    * filter runs on ≤ |queries|·k rows. */
+  def ndcgAtK(embeddings: DataFrame, queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L),
+      k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(cosineFused(col("embedding"), col("qv")), 4).as("cs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cs").desc, col("vec_id").asc)
+    val disc = round(lit(1.0) / log2(col("rnk") + lit(1L)), 10)
+      .cast("decimal(38,10)")
+    val dcg = scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy("qid")
+      .agg(
+        sum(when(col("label") === col("qlabel"), disc)
+          .otherwise(lit(0).cast("decimal(38,10)"))).as("dcg"),
+        sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .as("hits_at_k"))
+    val rel = scored.groupBy("qid").agg(
+      sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+        .as("n_relevant"))
+    val ideal = rel
+      .select(col("qid"), col("n_relevant"),
+        explode_outer(when(col("n_relevant") > 0L,
+          sequence(lit(1L), least(col("n_relevant"), lit(k.toLong)))))
+          .as("rnk"))
+      .groupBy("qid", "n_relevant")
+      .agg(sum(disc).as("idcg"))
+    dcg.join(ideal, "qid")
+      .select(col("qid").as("query_id"), col("n_relevant"),
+        col("hits_at_k"),
+        when(col("idcg").isNotNull && col("idcg") > 0,
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
+          .as("ndcg"))
+  }
 }

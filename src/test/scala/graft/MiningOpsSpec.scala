@@ -206,4 +206,33 @@ class MiningOpsSpec extends SparkSpec {
     // all docs tie on (tf=1, dl=2) — the boundary must cut by doc_id
     assert(got == (1L to 7L))
   }
+
+  test("rrfFusedDocs: list-overlap doc wins, single-list docs keep " +
+      "their reciprocal, absent ranks stay NULL") {
+    // lexical ranking: doc 1 (tf=3) > doc 2 (tf=1); doc 3 matches no
+    // query term. dense ranking at perList=2: doc 2 (cos .995) >
+    // doc 3 (cos .7071); doc 1 (orthogonal) is cut. So doc 2 is the
+    // only both-lists doc: 1/61 + 1/62 beats doc 1's 1/61 beats
+    // doc 3's 1/62.
+    val docs = Seq((1L, "join join join filter"), (2L, "join filter"),
+      (3L, "xyz xyz")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // the pinned query vector
+      (1L, Array(0.0f, 1.0f), 0),
+      (2L, Array(10.0f, 1.0f), 0),
+      (3L, Array(1.0f, 1.0f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val got = MiningOps.rrfFusedDocs(docs, emb, perList = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        Option(r.getAs[Any]("lex_rank")), Option(r.getAs[Any]("dense_rank")),
+        r.getAs[Double]("rrf_score")))
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L), got.mkString(","))
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(2L)._2 == Some(2L) && byId(2L)._3 == Some(1L))
+    assert(byId(1L)._2 == Some(1L) && byId(1L)._3.isEmpty)
+    assert(byId(3L)._2.isEmpty && byId(3L)._3 == Some(2L))
+    def r9(x: Double) = math.rint(x * 1e9) / 1e9
+    assert(byId(2L)._4 == r9(1.0 / 62 + 1.0 / 61), byId(2L).toString)
+    assert(byId(1L)._4 == r9(1.0 / 61) && byId(3L)._4 == r9(1.0 / 62))
+  }
 }

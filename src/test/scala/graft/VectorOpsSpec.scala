@@ -20,6 +20,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 4L, 2L), s"got $got")
   }
 
+  test("ndcgAtK: hand-traced DCG/IDCG, zero-relevant query yields NULL") {
+    // query 0 (label 1, axis x): ranking is 1 (cos 1, rel),
+    // 2 (cos .7071, irrel), 3 (cos 0, rel) → DCG = 1 + 0 + 1/log2(4)
+    // = 1.5; n_relevant = 2 → IDCG = 1 + 1/log2(3); query 4 (label 9)
+    // has no same-label neighbor → NULL ndcg.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(1.0f, 1.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(-1.0f, 0.0f), 9),
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.ndcgAtK(emb, queryIds = Seq(0L, 4L)).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_relevant"), r.getAs[Long]("hits_at_k"),
+          Option(r.getAs[Any]("ndcg"))))).toMap
+    val idcg = 1.0 + math.rint(1.0 / (math.log(3.0) / math.log(2.0)) * 1e10) / 1e10
+    val expect = math.rint(1.5 / idcg * 1e6) / 1e6
+    assert(got(0L) == ((2L, 2L, Some(expect))), got.toString)
+    assert(got(4L) == ((0L, 0L, None)), got.toString)
+  }
+
   test("hardNegatives: nearest cross-label only, same-label twin excluded") {
     // doc 10's IDENTICAL twin (cos 1.0) shares its label — it must be
     // invisible; the hard negative is the almost-identical vector with
