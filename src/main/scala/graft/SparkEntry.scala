@@ -613,6 +613,12 @@ object SparkEntry {
     "constraint_audit" -> ((s, d) => ProfileOps.constraintAudit(
       orders(s, d), customer(s, d), lineitem(s, d), events(s, d),
       documents(s, d))),
+    "fd_audit" -> ((s, d) => ProfileOps.fdAudit(orders(s, d), Seq(
+      ("o_orderkey", "o_custkey"),
+      ("o_custkey", "o_orderpriority"),
+      ("o_orderdate", "o_orderstatus")))),
+    "t_closeness_profile" ->
+      ((s, d) => EventOps.tClosenessProfile(events(s, d))),
     "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
     // Accuracy audit gating the rows-only HLL++ profile: per column,
     // the sketch estimate must sit within ±3·rsd of the exact count —
@@ -3425,6 +3431,77 @@ object SparkEntry {
         "UNION ALL SELECT 'events.user_id not null', " +
         "CAST((SELECT count(*) FROM events WHERE user_id IS NULL) AS BIGINT), " +
         "(SELECT count(*) FROM events WHERE user_id IS NULL) = 0"),
+    // Mirrors ProfileOps.fdAudit: per candidate FD, the (lhs, rhs)
+    // count collapse, per-LHS plurality, and the g3 repair distance
+    // Σ(group − plurality) — all exact BIGINTs.
+    "fd_audit" ->
+      ("WITH p1 AS (SELECT o_orderkey AS lv, o_custkey AS rv, " +
+        "CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1, 2), " +
+        "g1 AS (SELECT lv, CAST(count(*) AS BIGINT) AS n_rhs, " +
+        "CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_c " +
+        "FROM p1 GROUP BY 1), " +
+        "p2 AS (SELECT o_custkey AS lv, o_orderpriority AS rv, " +
+        "CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1, 2), " +
+        "g2 AS (SELECT lv, CAST(count(*) AS BIGINT) AS n_rhs, " +
+        "CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_c " +
+        "FROM p2 GROUP BY 1), " +
+        "p3 AS (SELECT o_orderdate AS lv, o_orderstatus AS rv, " +
+        "CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1, 2), " +
+        "g3 AS (SELECT lv, CAST(count(*) AS BIGINT) AS n_rhs, " +
+        "CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_c " +
+        "FROM p3 GROUP BY 1), " +
+        "u AS (SELECT 'o_orderkey -> o_custkey' AS fd, " +
+        "CAST(count(*) AS BIGINT) AS n_groups, " +
+        "CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, " +
+        "CAST(sum(n_rows - max_c) AS BIGINT) AS rows_to_fix FROM g1 " +
+        "UNION ALL SELECT 'o_custkey -> o_orderpriority', " +
+        "CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(n_rows - max_c) AS BIGINT) FROM g2 " +
+        "UNION ALL SELECT 'o_orderdate -> o_orderstatus', " +
+        "CAST(count(*) AS BIGINT), " +
+        "CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT), " +
+        "CAST(sum(n_rows - max_c) AS BIGINT) FROM g3) " +
+        "SELECT fd, n_groups, n_violating, rows_to_fix, " +
+        "n_violating = 0 AS holds FROM u"),
+    // Mirrors EventOps.tClosenessProfile: identical equi-width
+    // binning IEEE ops, zero-filled class×bins grid, per-class
+    // cumulative BIGINTs cross-multiplied (CumC·N − CumG·n) so the
+    // EMD numerator is exact, one double division, flag on the
+    // 6dp-rounded EMD.
+    "t_closeness_profile" ->
+      ("WITH base AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "value FROM events), " +
+        "mm AS (SELECT min(value) AS vmin, max(value) AS vmax FROM base), " +
+        "binned AS (SELECT event_type, day, " +
+        "CAST(CASE WHEN vmax > vmin THEN " +
+        "least(floor((value - vmin) / ((vmax - vmin) / 10.0)), 9) " +
+        "ELSE 0 END AS BIGINT) AS bin FROM base CROSS JOIN mm), " +
+        "cls AS (SELECT event_type, day, bin, CAST(count(*) AS BIGINT) AS c " +
+        "FROM binned GROUP BY 1, 2, 3), " +
+        "classes AS (SELECT event_type, day, CAST(sum(c) AS BIGINT) AS n " +
+        "FROM cls GROUP BY 1, 2), " +
+        "gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM cls GROUP BY 1), " +
+        "bf AS (SELECT CAST(unnest(range(10)) AS BIGINT) AS bin), " +
+        "gf AS (SELECT bf.bin, CAST(coalesce(g, 0) AS BIGINT) AS g " +
+        "FROM bf LEFT JOIN gb ON bf.bin = gb.bin), " +
+        "nt AS (SELECT CAST(sum(g) AS BIGINT) AS nn FROM gf), " +
+        "grid AS (SELECT classes.event_type, classes.day, gf.bin, classes.n, " +
+        "gf.g, CAST(coalesce(cls.c, 0) AS BIGINT) AS c " +
+        "FROM classes CROSS JOIN gf LEFT JOIN cls " +
+        "ON cls.event_type = classes.event_type AND cls.day = classes.day " +
+        "AND cls.bin = gf.bin), " +
+        "cum AS (SELECT event_type, day, n, " +
+        "CAST(sum(c) OVER (PARTITION BY event_type, day ORDER BY bin ASC) AS BIGINT) AS cum_c, " +
+        "CAST(sum(g) OVER (PARTITION BY event_type, day ORDER BY bin ASC) AS BIGINT) AS cum_g " +
+        "FROM grid), " +
+        "agg AS (SELECT event_type, day, n, " +
+        "CAST(sum(abs(cum_c * nn - cum_g * n)) AS BIGINT) AS emd_num " +
+        "FROM cum CROSS JOIN nt GROUP BY 1, 2, 3), " +
+        "fin AS (SELECT event_type, day, n, " +
+        "round(CAST(emd_num AS DOUBLE) / " +
+        "CAST(n * (SELECT nn FROM nt) * 9 AS DOUBLE), 6) AS emd FROM agg) " +
+        "SELECT event_type, day, n, emd, emd > 0.2 AS above_t FROM fin"),
     "table_profile_events" -> profileEventsSql,
     // Mirrors ProfileOps.constraintSuggestions: the same per-column
     // profile UNION, projected through the three rule predicates.

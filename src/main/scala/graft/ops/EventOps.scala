@@ -1208,6 +1208,67 @@ object EventOps {
       .select(col("l_distinct"), col("n_classes"), col("n_rows"),
         (col("l_distinct") < lit(l.toLong)).as("below_l"))
 
+  /** t-closeness profile (Li et al. '07) — the third rung of the
+    * privacy ladder after [[kAnonymityProfile]] (group size) and
+    * [[lDiversityProfile]] (sensitive diversity): even a large,
+    * diverse class leaks if its SENSITIVE DISTRIBUTION differs from
+    * the table's (a class that is 90% high-value when the corpus is
+    * 10% reveals value by membership alone). Per quasi-identifier
+    * class (event_type, day — the suite's shared QI), the Earth
+    * Mover's Distance between the class's and the global `value`
+    * distribution over `bins` ordered equi-width buckets:
+    * EMD = Σ_i |CumP_i − CumQ_i| / (m−1). Exact arithmetic: each
+    * cumulative difference cross-multiplies to the BIGINT
+    * CumC_i·N − CumG_i·n (no per-class rational rounding), |·| sums
+    * exactly, and ONE double division by n·N·(m−1) lands the EMD;
+    * the flag compares the 6dp-rounded EMD so both engines agree at
+    * the boundary. A degenerate single-value corpus puts everything
+    * in bin 0 → EMD 0.
+    *
+    * Shape: one (class, bin) hash agg collapses the log; the
+    * zero-filled class×bins grid, per-class prefix sums (partitioned
+    * window) and the division all run on |classes|·bins rows. */
+  def tClosenessProfile(events: DataFrame, t: Double = 0.2,
+      bins: Int = 10): DataFrame = {
+    val base = events.select(col("event_type"), to_date(col("ts")).as("day"),
+      col("value"))
+    val mm = base.agg(min("value").as("vmin"), max("value").as("vmax"))
+    val binned = base.crossJoin(broadcast(mm))
+      .select(col("event_type"), col("day"),
+        when(col("vmax") > col("vmin"),
+          least(floor((col("value") - col("vmin")) /
+            ((col("vmax") - col("vmin")) / lit(bins.toDouble))),
+            lit((bins - 1).toLong)))
+          .otherwise(lit(0L)).cast("long").as("bin"))
+    val cls = binned.groupBy("event_type", "day", "bin")
+      .agg(count(lit(1)).as("c"))
+    val classes = cls.groupBy("event_type", "day").agg(sum("c").as("n"))
+    val globalBins = cls.groupBy("bin").agg(sum("c").as("g"))
+    val binFrame = mm.select(
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bin"))
+    val globalFilled = binFrame.join(globalBins, Seq("bin"), "left")
+      .select(col("bin"), coalesce(col("g"), lit(0L)).as("g"))
+    val nn = globalFilled.agg(sum("g").as("nn"))
+    val grid = classes.crossJoin(broadcast(globalFilled))
+      .join(cls, Seq("event_type", "day", "bin"), "left")
+      .select(col("event_type"), col("day"), col("bin"), col("n"),
+        col("g"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy("event_type", "day").orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cum_c", sum(col("c")).over(w))
+      .withColumn("cum_g", sum(col("g")).over(w))
+    cum.crossJoin(broadcast(nn))
+      .groupBy(col("event_type"), col("day"), col("n"), col("nn"))
+      .agg(sum(abs(col("cum_c") * col("nn") - col("cum_g") * col("n")))
+        .as("emd_num"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("emd_num").cast("double") /
+          (col("n") * col("nn") * lit((bins - 1).toLong)).cast("double"), 6)
+          .as("emd"))
+      .withColumn("above_t", col("emd") > lit(t))
+  }
+
   /** Time-range self-join: pairs of same-user events within `windowSec`
     * of each other, as a TIME-BUCKETED equi-join: each row gets a
     * `windowSec`-wide epoch bucket; the left side probes its own bucket

@@ -126,6 +126,34 @@ object ProfileOps {
     ).reduce(_ unionByName _)
   }
 
+  /** Functional-dependency audit — does column X determine column Y,
+    * and if not, how far off is the table? For each candidate FD the
+    * violation measure is the REPAIR DISTANCE: the minimum number of
+    * rows to delete so the FD holds (per LHS group, everything except
+    * its plurality RHS value — the g3 measure of Kivinen & Mannila
+    * '95). The discovery loop is suggest-style like
+    * [[constraintSuggestions]]: run candidates, read violation rates,
+    * promote exact FDs into [[constraintAudit]].
+    *
+    * Scale: each candidate is one map-side-combined (lhs, rhs) count
+    * collapse, then per-LHS plurality on the collapsed frame — linear
+    * scan, shuffle bounded by distinct pair cardinality, never a
+    * self-join. */
+  def fdAudit(df: DataFrame, candidates: Seq[(String, String)]): DataFrame =
+    candidates.map { case (lhs, rhs) =>
+      val pair = df.groupBy(col(lhs).as("lv"), col(rhs).as("rv"))
+        .agg(count(lit(1)).as("c"))
+      pair.groupBy("lv")
+        .agg(count(lit(1)).as("n_rhs"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_c"))
+        .agg(
+          lit(s"$lhs -> $rhs").as("fd"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("n_rhs") > 1L, 1L).otherwise(0L)).as("n_violating"),
+          sum(col("n_rows") - col("max_c")).as("rows_to_fix"))
+        .withColumn("holds", col("n_violating") === 0L)
+    }.reduce(_ unionByName _)
+
   /** Constraint SUGGESTION from the observed profile — the autopilot
     * companion to [[constraintAudit]]'s hand-written rules: columns
     * with zero observed nulls propose `not_null`, null-free columns

@@ -54,6 +54,21 @@ class ProfileOpsSpec extends SparkSpec {
     }
   }
 
+  test("fdAudit: g3 repair distance, holding FD flagged clean") {
+    import spark.implicits._
+    // a→b: group 1 splits {x:2, y:1} → 1 violating group, plurality
+    // repair deletes 1 row; groups 2, 3 are clean. b→a holds exactly.
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "z"), (2L, "z"),
+      (3L, "w")).toDF("a", "b")
+    val got = ProfileOps.fdAudit(df, Seq(("a", "b"), ("b", "a"))).collect()
+      .map(r => r.getAs[String]("fd") ->
+        ((r.getAs[Long]("n_groups"), r.getAs[Long]("n_violating"),
+          r.getAs[Long]("rows_to_fix"), r.getAs[Boolean]("holds")))).toMap
+    assert(got == Map(
+      "a -> b" -> ((3L, 1L, 1L, false)),
+      "b -> a" -> ((4L, 0L, 0L, true))), got.toString)
+  }
+
   test("exact profile expands the scan; approx stays single-pass") {
     def plan(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.executedPlan.toString

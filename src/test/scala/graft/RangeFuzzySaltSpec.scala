@@ -152,6 +152,30 @@ class RangeFuzzySaltSpec extends SparkSpec {
       1L -> ((1L, 2L, true))), got.toString)
   }
 
+  test("tClosenessProfile: EMD flags skewed classes, matching class at 0") {
+    def e(id: Long, typ: String, v: Double) =
+      (id, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, typ, v, "{}")
+    // global values {0,0,10,10,0,10}: vmin 0, vmax 10, 2 bins split at
+    // 5 → global g = (3, 3), N = 6. Class a sits entirely in bin 0:
+    // cum diff |2·6 − 3·2| = 6 → EMD 6/(2·6·1) = 0.5; class b mirrors
+    // in bin 1; class c (one value each side) matches the global mix
+    // exactly → EMD 0.
+    val events = Seq(
+      e(1, "a", 0.0), e(2, "a", 0.0),
+      e(3, "b", 10.0), e(4, "b", 10.0),
+      e(5, "c", 0.0), e(6, "c", 10.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = graft.ops.EventOps.tClosenessProfile(events, t = 0.2, bins = 2)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("emd"),
+          r.getAs[Boolean]("above_t")))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 0.5, true)),
+      "b" -> ((2L, 0.5, true)),
+      "c" -> ((2L, 0.0, false))), got.toString)
+  }
+
   test("sessionOverlapPairs: closed-bound overlaps, midnight-spanning " +
       "sessions deduped across day bands, same-user pairs excluded") {
     def e(id: Long, t: String, u: Long) =
