@@ -125,6 +125,7 @@ object SparkEntry {
       ((s, d) => EventOps.valueMadByTypeApproxOnly(events(s, d))),
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
+    "hits_user_type" -> ((s, d) => GraphOps.hitsUserType(events(s, d))),
     "event_ppr" -> ((s, d) => GraphOps.eventTypePpr(events(s, d))),
     "silhouette_by_label" ->
       ((s, d) => VectorOps.silhouetteByLabel(embeddings(s, d))),
@@ -1122,6 +1123,28 @@ object SparkEntry {
     // update) with every arithmetic step in the same order and type
     // (DOUBLE) as the Spark loop, so the 6dp-rounded ranks hash
     // identically. `pr` not `rank` as the CTE column — keyword-safe.
+    // Mirrors GraphOps.hitsUserType: three unrolled unnormalized
+    // authority iterates over the distinct incidence frame — pure
+    // BIGINT matrix-vector products, one double division at the end.
+    "hits_user_type" ->
+      ("WITH inc AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "h1 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS h " +
+        "FROM inc GROUP BY 1), " +
+        "a1 AS (SELECT event_type, CAST(sum(h) AS BIGINT) AS a1 " +
+        "FROM inc JOIN h1 USING (user_id) GROUP BY 1), " +
+        "h2 AS (SELECT user_id, CAST(sum(a1) AS BIGINT) AS h " +
+        "FROM inc JOIN a1 USING (event_type) GROUP BY 1), " +
+        "a2 AS (SELECT event_type, CAST(sum(h) AS BIGINT) AS a2 " +
+        "FROM inc JOIN h2 USING (user_id) GROUP BY 1), " +
+        "h3 AS (SELECT user_id, CAST(sum(a2) AS BIGINT) AS h " +
+        "FROM inc JOIN a2 USING (event_type) GROUP BY 1), " +
+        "a3 AS (SELECT event_type, CAST(sum(h) AS BIGINT) AS a3 " +
+        "FROM inc JOIN h3 USING (user_id) GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(a3) AS BIGINT) AS t3 FROM a3) " +
+        "SELECT event_type, a1, a2, a3, " +
+        "round(CAST(a3 AS DOUBLE) / CAST(t3 AS DOUBLE), 6) AS authority " +
+        "FROM a1 JOIN a2 USING (event_type) JOIN a3 USING (event_type) " +
+        "CROSS JOIN t"),
     "event_pagerank" ->
       ("WITH steps AS (SELECT event_type AS src, lead(event_type) OVER (" +
         "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS dst " +

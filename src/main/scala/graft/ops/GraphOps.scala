@@ -512,4 +512,46 @@ object GraphOps {
       .select(col("node").as("event_type"), col("pagerank"))
       .orderBy(col("event_type").asc)
   }
+
+  /** HITS hubs/authorities (Kleinberg '99) on the user↔event-type
+    * incidence bipartite — the mutual-reinforcement ranking beside
+    * [[eventTypePageRank]]'s flow ranking: an event type is
+    * authoritative when broad-ranging users touch it, a user is a hub
+    * when they touch authoritative types. UNWEIGHTED incidence
+    * (user touched type — the distinct collapse), so every iterate
+    * stays an exact BIGINT: from uniform a₀ = 1, three unrolled
+    * authority iterates a₁ a₂ a₃ are pure integer matrix-vector
+    * products (aₖ = Bᵀ·B·aₖ₋₁ unnormalized — HITS normalization only
+    * rescales, so the emitted ratio a₃/Σa₃ IS the normalized score,
+    * one division of two exactly-representable doubles). BIGINT
+    * headroom: iterates grow ≤ ×(users·types) per round — past ~10⁹
+    * users switch the accumulators to DECIMAL(38,0) (stated, not
+    * silent; Spark overflows loudly under ANSI).
+    *
+    * Shape: ONE distinct collapse of the log to the ≤ users·|types|
+    * incidence frame; the six iterate joins/aggs all run on that
+    * frame keyed alternately by user and by the |types|-row
+    * (broadcast) authority vector. */
+  def hitsUserType(events: DataFrame): DataFrame = {
+    val inc = events.select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint()
+    def auth(h: DataFrame, hCol: String): DataFrame =
+      inc.join(h, "user_id")
+        .groupBy("event_type").agg(sum(col(hCol)).as("a"))
+    def hub(a: DataFrame, name: String): DataFrame =
+      inc.join(broadcast(a), "event_type")
+        .groupBy("user_id").agg(sum(col("a")).as(name))
+    val h1 = inc.groupBy("user_id").agg(count(lit(1)).as("h1"))
+    val a1 = auth(h1, "h1").withColumnRenamed("a", "a1").localCheckpoint()
+    val h2 = hub(a1.select(col("event_type"), col("a1").as("a")), "h2")
+    val a2 = auth(h2, "h2").withColumnRenamed("a", "a2").localCheckpoint()
+    val h3 = hub(a2.select(col("event_type"), col("a2").as("a")), "h3")
+    val a3 = auth(h3, "h3").withColumnRenamed("a", "a3").localCheckpoint()
+    val tot = a3.agg(sum("a3").as("t3"))
+    a1.join(a2, "event_type").join(a3, "event_type")
+      .crossJoin(broadcast(tot))
+      .select(col("event_type"), col("a1"), col("a2"), col("a3"),
+        round(col("a3").cast("double") / col("t3").cast("double"), 6)
+          .as("authority"))
+  }
 }

@@ -189,6 +189,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.forall(_._2 >= 3L), out.mkString(","))
   }
 
+  test("hitsUserType: exact integer authority iterates on a planted bipartite") {
+    import java.sql.Timestamp
+    // incidence (1,a) (2,a) (2,b) (3,b) (4,a) — duplicates must
+    // collapse. h1 = (1,2,1,1); a1 = (a:4, b:3); h2 = (4,7,3,4);
+    // a2 = (a:15, b:10); h3 = (15,25,10,15); a3 = (a:55, b:35),
+    // Σ = 90 → authority a = 55/90, b = 35/90.
+    def e(id: Long, u: Long, t: String) =
+      (id, Timestamp.valueOf("2024-03-01 10:00:00"), u, t, 1.0, "{}")
+    val events = Seq(
+      e(1, 1, "a"), e(2, 1, "a"), // duplicate incidence: one edge
+      e(3, 2, "a"), e(4, 2, "b"), e(5, 3, "b"), e(6, 4, "a"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = GraphOps.hitsUserType(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("a1"), r.getAs[Long]("a2"), r.getAs[Long]("a3"),
+          r.getAs[Double]("authority")))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got == Map(
+      "a" -> ((4L, 15L, 55L, r6(55.0 / 90.0))),
+      "b" -> ((3L, 10L, 35L, r6(35.0 / 90.0)))), got.toString)
+  }
+
   test("cooccurrenceBfsHops: seed at hop 0, levels contiguous from 0") {
     val docs = Tables.documents(spark, sf0)
     val out = GraphOps.cooccurrenceBfsHops(docs).as[(String, Int)].collect()
