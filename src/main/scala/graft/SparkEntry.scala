@@ -126,6 +126,8 @@ object SparkEntry {
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
     "hits_user_type" -> ((s, d) => GraphOps.hitsUserType(events(s, d))),
+    "cms_user_estimates" -> ((s, d) => EventOps.cmsUserEstimates(events(s, d))),
+    "rake_keyphrases" -> ((s, d) => DocOps.rakeKeyphrases(documents(s, d))),
     "event_ppr" -> ((s, d) => GraphOps.eventTypePpr(events(s, d))),
     "silhouette_by_label" ->
       ((s, d) => VectorOps.silhouetteByLabel(embeddings(s, d))),
@@ -1123,6 +1125,51 @@ object SparkEntry {
     // update) with every arithmetic step in the same order and type
     // (DOUBLE) as the Spark loop, so the 6dp-rounded ranks hash
     // identically. `pr` not `rank` as the CTE column — keyword-safe.
+    // Mirrors EventOps.cmsUserEstimates: same Knuth hash under the
+    // same per-row seeds, cells from the collapsed per-user frame,
+    // estimate = min over rows — all exact BIGINTs.
+    "cms_user_estimates" ->
+      ("WITH exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact " +
+        "FROM events GROUP BY 1), " +
+        "sd AS (SELECT * FROM (VALUES (0, 0), (1, 1000000007), " +
+        "(2, 2000000011), (3, 3000000019)) AS t(r, seed)), " +
+        "cells AS (SELECT r, " +
+        s"(${graft.ops.DocOps.knuthHash32Sql("(user_id + seed)")}) % 256 AS c, " +
+        "CAST(sum(exact) AS BIGINT) AS cnt " +
+        "FROM exact CROSS JOIN sd GROUP BY 1, 2), " +
+        "top AS (SELECT user_id, exact FROM exact " +
+        "ORDER BY exact DESC, user_id ASC LIMIT 20), " +
+        "pr AS (SELECT user_id, exact, r, " +
+        s"(${graft.ops.DocOps.knuthHash32Sql("(user_id + seed)")}) % 256 AS c " +
+        "FROM top CROSS JOIN sd) " +
+        "SELECT user_id, exact, CAST(min(cnt) AS BIGINT) AS cms_est, " +
+        "CAST(min(cnt) - exact AS BIGINT) AS overestimate " +
+        "FROM pr JOIN cells USING (r, c) GROUP BY 1, 2"),
+    // Mirrors DocOps.rakeKeyphrases: same stopword-free island
+    // segmentation (pos − row_number), same maxLen cap, per-word
+    // degree/freq ratio rounded 6dp into DECIMAL(20,6) so phrase sums
+    // are order-exact; phrases assembled in pos order on both sides.
+    "rake_keyphrases" ->
+      ("WITH toks AS (SELECT doc_id, generate_subscripts(tk, 1) AS pos, " +
+        "unnest(tk) AS term FROM (SELECT doc_id, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS tk FROM documents)), " +
+        "content AS (SELECT * FROM toks WHERE term <> '' AND term NOT IN " +
+        "('a', 'the', 'and', 'of', 'to', 'in', 'is', 'on')), " +
+        "runs AS (SELECT doc_id, pos, term, pos - row_number() OVER (" +
+        "PARTITION BY doc_id ORDER BY pos ASC) AS grp FROM content), " +
+        "cand AS (SELECT * FROM (SELECT runs.*, " +
+        "CAST(count(*) OVER (PARTITION BY doc_id, grp) AS BIGINT) AS n_words " +
+        "FROM runs) WHERE n_words <= 4), " +
+        "wsx AS (SELECT term, CAST(count(*) AS BIGINT) AS freq, " +
+        "CAST(sum(n_words) AS BIGINT) AS deg FROM cand GROUP BY 1), " +
+        "sc AS (SELECT doc_id, grp, pos, cand.term, " +
+        "CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6) " +
+        "AS DECIMAL(20,6)) AS ws FROM cand JOIN wsx ON cand.term = wsx.term), " +
+        "ph AS (SELECT doc_id, grp, string_agg(term, ' ' ORDER BY pos ASC) " +
+        "AS phrase, sum(ws) AS score FROM sc GROUP BY 1, 2) " +
+        "SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences, " +
+        "CAST(max(score) AS DOUBLE) AS rake_score FROM ph GROUP BY 1 " +
+        "ORDER BY rake_score DESC, phrase ASC LIMIT 20"),
     // Mirrors GraphOps.hitsUserType: three unrolled unnormalized
     // authority iterates over the distinct incidence frame — pure
     // BIGINT matrix-vector products, one double division at the end.

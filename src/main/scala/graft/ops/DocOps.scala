@@ -1946,4 +1946,58 @@ object DocOps {
         sum("n_tokens").as("tokens_started"),
         sum("straddles").as("n_straddling"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. '10) — the unsupervised
+    * keyword miner beside [[tfidfTopTerms]]' per-doc terms and
+    * [[graft.ops.MiningOps.pmiCollocations]]' bigram associations:
+    * candidate phrases are maximal stopword-free token runs (capped at
+    * `maxLen` — longer runs are prose, not phrases), each word scores
+    * degree/frequency (degree = Σ length of the phrases it appears in,
+    * so words that travel in long phrases outrank loners), and a
+    * phrase scores the sum of its words. Determinism: the per-word
+    * ratio is ONE rounded double (6dp) cast into DECIMAL(20,6), so
+    * per-phrase sums are order-exact; identical phrase strings carry
+    * identical scores by construction (same word multiset), collapsed
+    * with max(). Phrase assembly sorts (pos, term) structs — no
+    * collect-order dependence.
+    *
+    * Shape: one posexplode over the corpus; the gaps-and-islands
+    * window partitions per doc; word stats and scoring run on
+    * candidate-occurrence rows (≤ token count); top-k is
+    * TakeOrderedAndProject. */
+  def rakeKeyphrases(docs: DataFrame,
+      stopwords: Seq[String] = Seq("a", "the", "and", "of", "to", "in",
+        "is", "on"),
+      maxLen: Int = 4, topK: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(lower(trim(col("text"))), "\\s+"))
+        .as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+    val content = toks.filter(!col("term").isin(stopwords: _*))
+    val wIsl = Window.partitionBy("doc_id").orderBy(col("pos").asc)
+    val runs = content.withColumn("grp",
+      col("pos") - row_number().over(wIsl))
+    val phraseRows = runs
+      .withColumn("n_words",
+        count(lit(1)).over(Window.partitionBy("doc_id", "grp")))
+      .filter(col("n_words") <= maxLen)
+    val wordStats = phraseRows.groupBy("term")
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+    val scored = phraseRows.join(wordStats, "term")
+      .select(col("doc_id"), col("grp"), col("pos"), col("term"),
+        round(col("deg").cast("double") / col("freq").cast("double"), 6)
+          .cast("decimal(20,6)").as("ws"))
+    val phrases = scored.groupBy("doc_id", "grp")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("term")))),
+          e => e.getField("term")), " ").as("phrase"),
+        sum(col("ws")).as("score"))
+    phrases.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("score")).cast("double").as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase").asc)
+      .limit(topK)
+  }
 }

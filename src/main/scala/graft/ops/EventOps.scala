@@ -606,6 +606,50 @@ object EventOps {
           .as("spearman_rho"))
   }
 
+  /** Count-Min sketch point estimates for the heaviest users — the
+    * counting member of the mergeable-sketch family (HLL distincts,
+    * Theta set algebra, Misra-Gries heavy hitters, exact bitmaps):
+    * depth×width counter cells, each key mapped per row by the
+    * engine-portable Knuth multiplicative hash under a per-row seed,
+    * estimate = min over rows (Cormode & Muthukrishnan '05 — never an
+    * underestimate, overestimate bounded by collisions). Everything is
+    * exact BIGINT arithmetic on top of deterministic hashes, so the
+    * sketch AND its audit are hash-gated: the emitted `overestimate`
+    * (est − exact, ≥ 0 by construction) measures the collision error
+    * the e/width bound promises to keep small. Cells build from the
+    * COLLAPSED per-user count frame (cnt(r,c) = Σ exact over colliding
+    * users), so the sketch costs one corpus agg + a |users|·depth
+    * explode — and cells merge across shards/batches by pure counter
+    * addition, the store-once/union-any-grain blob contract.
+    *
+    * Shape: one corpus-sized (user) agg; everything after runs on
+    * |users|·depth rows; probes are a topK broadcast. */
+  def cmsUserEstimates(events: DataFrame, depth: Int = 4, width: Int = 256,
+      topK: Int = 20): DataFrame = {
+    val seeds = Seq(0L, 1000000007L, 2000000011L, 3000000019L)
+    require(depth >= 1 && depth <= seeds.size, s"depth 1..${seeds.size}: $depth")
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
+    val seedCols = posexplode(array(seeds.take(depth).map(lit): _*))
+    val cells = exact
+      .select(col("user_id"), col("exact"), seedCols.as(Seq("r", "seed")))
+      .select(col("r"),
+        pmod(DocOps.knuthHash32(col("user_id") + col("seed")),
+          lit(width.toLong)).as("c"),
+        col("exact"))
+      .groupBy("r", "c").agg(sum(col("exact")).as("cnt"))
+    val top = exact.orderBy(col("exact").desc, col("user_id").asc).limit(topK)
+    top.select(col("user_id"), col("exact"), seedCols.as(Seq("r", "seed")))
+      .select(col("user_id"), col("exact"), col("r"),
+        pmod(DocOps.knuthHash32(col("user_id") + col("seed")),
+          lit(width.toLong)).as("c"))
+      .join(cells, Seq("r", "c"))
+      .groupBy("user_id", "exact")
+      .agg(min(col("cnt")).as("cms_est"))
+      .select(col("user_id"), col("exact"), col("cms_est"),
+        (col("cms_est") - col("exact")).as("overestimate"))
+  }
+
   /** Kruskal–Wallis H across ALL event types' daily-volume
     * distributions — the k-sample extension of
     * [[mannWhitneyTypePairs]]: one omnibus "do the types differ in

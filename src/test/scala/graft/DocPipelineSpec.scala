@@ -584,4 +584,23 @@ class DocPipelineSpec extends SparkSpec {
       math.rint((206.835 - 1.015 * 2.0 - 84.6 * 1.0) * 1e4) / 1e4)),
       got.toString)
   }
+
+  test("rakeKeyphrases: degree/freq scoring, maxLen cap drops prose runs") {
+    // doc 1 segments on "the" into "deep learning" (len 2) and
+    // "deep learning model" (len 3): deg(deep) = deg(learning) =
+    // 2 + 3 = 5 over freq 2 → 2.5; deg(model) = 3/1 = 3 →
+    // phrase scores 5.0 and 8.0. doc 2 is one 6-word stopword-free
+    // run — over maxLen 4, contributes NO candidates (and its words
+    // stay out of the stats).
+    val docs = Seq(
+      (1L, "deep learning the deep learning model"),
+      (2L, "p q r s t u"),
+    ).toDF("doc_id", "text")
+    val got = DocOps.rakeKeyphrases(docs).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("n_occurrences"),
+        r.getAs[Double]("rake_score"))).toSeq
+    assert(got == Seq(
+      ("deep learning model", 1L, 8.0),
+      ("deep learning", 1L, 5.0)), got.toString)
+  }
 }

@@ -62,4 +62,30 @@ class HeavyHitterSpec extends SparkSpec {
     // n=6, threshold = ceil(3.0) = 3 → only "a"
     assert(got == Set(("a", 3L, 0.5)))
   }
+
+  test("cmsUserEstimates: width-1 total collision, wide sketch exact") {
+    import java.sql.Timestamp
+    var id = 0L
+    def ev(u: Long, n: Int) = (1 to n).map { _ =>
+      id += 1
+      (id, Timestamp.valueOf("2024-03-01 10:00:00"), u, "view", 1.0, "{}")
+    }
+    // users 1,2,3 with counts 3,2,1 (N = 6)
+    val events = (ev(1, 3) ++ ev(2, 2) ++ ev(3, 1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // width 1: every key collides in every row → est = N for everyone
+    // (the sketch never underestimates; the min can't dodge a full
+    // collision)
+    val tiny = graft.ops.EventOps.cmsUserEstimates(events, width = 1)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("exact"), r.getAs[Long]("cms_est"),
+          r.getAs[Long]("overestimate")))).toMap
+    assert(tiny == Map(1L -> ((3L, 6L, 3L)), 2L -> ((2L, 6L, 4L)),
+      3L -> ((1L, 6L, 5L))), tiny.toString)
+    // a 65536-wide sketch over 3 keys: no collisions, estimates exact
+    val wide = graft.ops.EventOps.cmsUserEstimates(events, width = 65536)
+      .collect().map(r => r.getAs[Long]("overestimate")).toSeq
+    assert(wide == Seq(0L, 0L, 0L), wide.toString)
+  }
 }
