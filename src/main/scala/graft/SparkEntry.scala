@@ -170,6 +170,7 @@ object SparkEntry {
     "scd2_type_history" -> ((s, d) => EventOps.scd2TypeHistory(events(s, d))),
     "incremental_daily_stats" -> ((s, d) =>
       EventOps.incrementalDailyStats(events(s, d))),
+    "ivm_zset_agg" -> ((s, d) => EventOps.ivmZsetAgg(events(s, d))),
     "cdc_apply_changes" -> ((s, d) =>
       EventOps.cdcApplyChanges(events(s, d))),
     "daily_orders_vs_events" -> ((s, d) =>
@@ -1729,6 +1730,21 @@ object SparkEntry {
     // latest state over the whole log, so the hash gate IS the proof
     // that merging the delta changelog onto the base snapshot equals
     // rebuilding state from scratch (tombstones = error events).
+    // Mirrors EventOps.ivmZsetAgg as the FULL recompute the delta
+    // rule is associatively equal to: signed multiset collapse over
+    // the whole log, zero entries normalized away, DECIMAL(12,2)·m
+    // order-exact sums, live min/max over positive entries only.
+    "ivm_zset_agg" ->
+      ("WITH z AS (SELECT user_id, value, " +
+        "CAST(sum(CASE WHEN event_type = 'error' THEN -1 ELSE 1 END) " +
+        "AS BIGINT) AS m FROM events GROUP BY 1, 2), " +
+        "nz AS (SELECT * FROM z WHERE m <> 0) " +
+        "SELECT user_id, CAST(sum(m) AS BIGINT) AS net_n, " +
+        "CAST(round(sum(CAST(value AS DECIMAL(12,2)) * m), 4) AS DOUBLE) " +
+        "AS net_value, " +
+        "min(CASE WHEN m > 0 THEN value END) AS live_min, " +
+        "max(CASE WHEN m > 0 THEN value END) AS live_max " +
+        "FROM nz GROUP BY 1"),
     "cdc_apply_changes" ->
       ("WITH latest AS (SELECT user_id, ts, event_type, value, " +
         "row_number() OVER (PARTITION BY user_id " +

@@ -1844,6 +1844,50 @@ object EventOps {
       .select("user_id", "value", "updated_at")
   }
 
+  /** Z-set aggregate maintenance — IVM for aggregates under
+    * RETRACTIONS, the signed-multiset model behind DBSP/Materialize
+    * (Budiu et al. '23) and the missing sibling of
+    * [[incrementalDailyStats]] (append-only partials) and
+    * [[cdcApplyChanges]] (row-level upserts): `error` events retract
+    * (multiplicity −1), everything else inserts (+1), and the
+    * per-user state is the COLLAPSED signed multiset of (value, m)
+    * entries. SUM/COUNT maintain from scalars alone, but MIN/MAX are
+    * not mergeable under deletes — a retraction of the current min
+    * must resurface the runner-up, which only the multiset remembers;
+    * that is exactly why the state is (value, m) rows and not four
+    * numbers. base ⊕ delta is pure per-entry addition (zero entries
+    * normalize away), so apply(base, delta) ≡ full recompute — the
+    * contract the gate proves. Value sums ride DECIMAL(12,2)·m
+    * (order-exact); negative net multiplicities (an unmatched
+    * retract) are kept, with NULL live min/max when no entry is
+    * positive.
+    *
+    * Scale: the multiset collapse is the one corpus agg; state size
+    * is distinct (user, value) — bounded by the 2dp value grid per
+    * user — and every maintenance step is an equi-keyed sum, never a
+    * rescan of the base log. */
+  def ivmZsetAgg(events: DataFrame,
+      cutoff: String = "2024-01-16"): DataFrame = {
+    def zset(part: DataFrame): DataFrame =
+      part.select(col("user_id"),
+          when(col("event_type") === "error", lit(-1L)).otherwise(lit(1L))
+            .as("s"),
+          col("value"))
+        .groupBy("user_id", "value").agg(sum(col("s")).as("m"))
+    val cut = to_timestamp(lit(cutoff))
+    val base = zset(events.filter(col("ts") < cut))
+    val delta = zset(events.filter(col("ts") >= cut))
+    base.unionByName(delta)
+      .groupBy("user_id", "value").agg(sum(col("m")).as("m"))
+      .filter(col("m") =!= 0L)
+      .groupBy("user_id").agg(
+        sum(col("m")).as("net_n"),
+        round(sum(Num.dec2(col("value")) * col("m")), 4).cast("double")
+          .as("net_value"),
+        min(when(col("m") > 0L, col("value"))).as("live_min"),
+        max(when(col("m") > 0L, col("value"))).as("live_max"))
+  }
+
   /** Mergeable-sketch rollup: per-DAY Datasketches HLL sketches of the
     * user set (`hll_sketch_agg`), merged to WEEK level with
     * `hll_union_agg` — never re-touching raw rows. This is the 100 TB

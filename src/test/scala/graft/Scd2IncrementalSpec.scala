@@ -131,4 +131,41 @@ class Scd2IncrementalSpec extends SparkSpec {
       assert(merged == full, s"cutoff $cut diverged")
     }
   }
+
+  test("ivmZsetAgg: retraction resurfaces the runner-up min, zero " +
+      "multisets vanish, unmatched retract keeps negative state") {
+    def e(id: Long, d: Int, u: Long, typ: String, v: Double) =
+      (id, ts(d, 10), u, typ, v, "{}")
+    val events = Seq(
+      // user 1: +5, +7 before the cutoff; retract 5 after → the min
+      // must MOVE to 7 (the multiset remembers the runner-up)
+      e(1, 10, 1, "view", 5.0), e(2, 11, 1, "view", 7.0),
+      e(3, 20, 1, "error", 5.0),
+      // user 2: only an unmatched retract → negative z-set state kept,
+      // no live extrema
+      e(4, 20, 2, "error", 3.0),
+      // user 3: +2, +2, −2 → one survivor
+      e(5, 10, 3, "view", 2.0), e(6, 11, 3, "view", 2.0),
+      e(7, 20, 3, "error", 2.0),
+      // user 4: +4 then −4 → zero entry normalizes away entirely
+      e(8, 10, 4, "view", 4.0), e(9, 20, 4, "error", 4.0),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.ivmZsetAgg(events).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("net_n"), r.getAs[Double]("net_value"),
+          Option(r.getAs[Any]("live_min")), Option(r.getAs[Any]("live_max")))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+    assert(got(1L) == ((1L, 7.0, Some(7.0), Some(7.0))), got.toString)
+    assert(got(2L) == ((-1L, -3.0, None, None)), got.toString)
+    assert(got(3L) == ((1L, 2.0, Some(2.0), Some(2.0))), got.toString)
+    // the delta rule: any cutoff placement gives the full recompute
+    for (cut <- Seq("2024-01-01", "2024-01-15", "2024-12-31")) {
+      val g = EventOps.ivmZsetAgg(events, cutoff = cut).collect()
+        .map(_.toSeq).toSet
+      val f = EventOps.ivmZsetAgg(events, cutoff = "2024-06-01").collect()
+        .map(_.toSeq).toSet
+      assert(g == f, s"cutoff $cut diverged from full recompute")
+    }
+  }
 }
