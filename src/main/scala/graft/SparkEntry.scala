@@ -709,6 +709,9 @@ object SparkEntry {
       ((s, d) => ProfileOps.constraintSuggestions(events(s, d))),
     "cooccurrence_communities" ->
       ((s, d) => GraphOps.cooccurrenceCommunities(documents(s, d))),
+    "cooccurrence_link_pred" ->
+      ((s, d) => GraphOps.cooccurrenceLinkPrediction(documents(s, d))),
+    "ucb_type_policy" -> ((s, d) => EventOps.ucbTypePolicy(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -4311,6 +4314,68 @@ object SparkEntry {
         "FROM v3) WHERE rk = 1) " +
         "SELECT label, CAST(count(*) AS BIGINT) AS n_members " +
         "FROM l3 GROUP BY 1"),
+    // Mirrors GraphOps.cooccurrenceLinkPrediction: the same pair CTE
+    // chain plus the 6dp-pinned lift, the mutual top-5-by-lift
+    // sparsifier (row_number with the identical 3-key order), wedges
+    // at each center, and both weighted scores as BIGINT micro-units
+    // (one round of an identical double per neighbor) so the sums are
+    // order-independent; non-adjacency via NOT EXISTS.
+    "cooccurrence_link_pred" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b, " +
+        "CAST(count(*) AS BIGINT) AS n_pair " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "pl AS (SELECT p.term_a, p.term_b, p.n_pair, " +
+        "round(CAST(p.n_pair AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM nd) / " +
+        "(CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)), 6) AS lift " +
+        "FROM p JOIN v da ON da.term = p.term_a JOIN v db ON db.term = p.term_b), " +
+        "d2 AS (SELECT term_a AS src, term_b AS dst, lift, n_pair FROM pl " +
+        "UNION ALL SELECT term_b, term_a, lift, n_pair FROM pl), " +
+        "tops AS (SELECT src, dst FROM (SELECT src, dst, row_number() OVER " +
+        "(PARTITION BY src ORDER BY lift DESC, n_pair DESC, dst ASC) AS rk " +
+        "FROM d2) WHERE rk <= 5), " +
+        "mut AS (SELECT x.src, x.dst FROM tops x " +
+        "JOIN tops y ON y.src = x.dst AND y.dst = x.src WHERE x.src < x.dst), " +
+        "e AS (SELECT src, dst FROM mut UNION ALL SELECT dst, src FROM mut), " +
+        "deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg " +
+        "FROM e GROUP BY 1), " +
+        "ec AS (SELECT e.src, e.dst, deg.deg FROM e " +
+        "JOIN deg ON deg.node = e.src WHERE deg.deg <= 200), " +
+        "cand AS (SELECT a.dst AS u, b.dst AS v, " +
+        "CAST(count(*) AS BIGINT) AS common_neighbors, " +
+        "CAST(sum(CAST(round(1000000.0 / ln(CAST(a.deg AS DOUBLE)), 0) " +
+        "AS BIGINT)) AS BIGINT) AS aa_micro, " +
+        "CAST(sum(CAST(round(1000000.0 / CAST(a.deg AS DOUBLE), 0) " +
+        "AS BIGINT)) AS BIGINT) AS ra_micro " +
+        "FROM ec a JOIN ec b ON a.src = b.src AND a.dst < b.dst " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT u AS node_u, v AS node_v, common_neighbors, " +
+        "round(CAST(aa_micro AS DOUBLE) / 1000000.0, 6) AS adamic_adar, " +
+        "round(CAST(ra_micro AS DOUBLE) / 1000000.0, 6) AS resource_alloc " +
+        "FROM cand c WHERE NOT EXISTS (SELECT 1 FROM mut " +
+        "WHERE mut.src = c.u AND mut.dst = c.v)"),
+    // Mirrors EventOps.ucbTypePolicy: exact Bernoulli replay counts
+    // per arm, UCB1 index from identical-double ln/sqrt, 6dp round.
+    "ucb_type_policy" ->
+      ("WITH arms AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_plays, " +
+        "CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_success FROM events GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_plays) AS BIGINT) AS n_total FROM arms) " +
+        "SELECT event_type, n_plays, n_success, " +
+        "round(CAST(n_success AS DOUBLE) / CAST(n_plays AS DOUBLE), 6) " +
+        "AS mean_reward, " +
+        "round(CAST(n_success AS DOUBLE) / CAST(n_plays AS DOUBLE) + " +
+        "sqrt(2.0 * ln(CAST(n_total AS DOUBLE)) / CAST(n_plays AS DOUBLE)), 6) " +
+        "AS ucb_score FROM arms, tot"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

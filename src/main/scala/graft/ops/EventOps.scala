@@ -2510,4 +2510,35 @@ object EventOps {
         sum("len").as("active_days"),
         count(lit(1)).as("n_streaks"))
   }
+
+  /** Offline UCB1 policy scores per event-type "arm" (Auer et al.
+    * '02): treating each event type as an action and a high-value
+    * outcome (value ≥ `threshold`) as a Bernoulli reward, emit the
+    * replay statistics a bandit scheduler would consult — plays n,
+    * successes, empirical mean, and the UCB1 index
+    * mean + √(2·ln N / n). The decision layer over the event log:
+    * which action a data-collection loop should explore next.
+    *
+    * Determinism: plays and successes are exact BIGINTs from one
+    * grouped pass; mean is one division of exactly-representable
+    * doubles; ln/√ on identical doubles are identical across engines
+    * (ln per the unigram_kl convention, √ is IEEE-exact); one 6dp
+    * round at the end. N reaches each arm via a 1-row broadcast, not
+    * a driver collect. Shape: one map-side-combined groupBy over the
+    * log — nothing else touches corpus-sized data. */
+  def ucbTypePolicy(events: DataFrame, threshold: Double = 50.0): DataFrame = {
+    val arms = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_plays"),
+        sum(when(col("value") >= threshold, 1L).otherwise(0L))
+          .as("n_success"))
+    val tot = arms.agg(sum("n_plays").as("n_total"))
+    arms.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_plays"), col("n_success"),
+        round(col("n_success").cast("double") /
+          col("n_plays").cast("double"), 6).as("mean_reward"),
+        round(col("n_success").cast("double") /
+          col("n_plays").cast("double") +
+          sqrt(lit(2.0) * log(col("n_total").cast("double")) /
+            col("n_plays").cast("double")), 6).as("ucb_score"))
+  }
 }

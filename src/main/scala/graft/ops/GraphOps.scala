@@ -554,4 +554,92 @@ object GraphOps {
         round(col("a3").cast("double") / col("t3").cast("double"), 6)
           .as("authority"))
   }
+
+  /** Link prediction over an undirected graph: for every non-adjacent
+    * pair (u,v) sharing ≥ `minCommon` neighbors, the three classic
+    * neighborhood scores (Liben-Nowell & Kleinberg CIKM '03):
+    * common-neighbor count, Adamic–Adar Σ_w 1/ln(deg w), and
+    * resource allocation Σ_w 1/deg(w). The feature layer behind
+    * "related terms/users" suggestions and graph-completion training
+    * labels.
+    *
+    * Determinism: both weighted sums accumulate as exact BIGINT
+    * micro-units — each neighbor contributes round(10⁶/ln deg) resp.
+    * round(10⁶/deg) (a single rounding of an identical double on both
+    * engines, the [[graft.ops.Num]] micro-unit convention) — so the
+    * SUM is order-independent and the final /10⁶ division exact-input
+    * deterministic. deg(w) ≥ 2 for any wedge center, so ln(deg) > 0.
+    *
+    * Scale: candidate pairs come from wedge enumeration grouped at
+    * the CENTER — Σ_w deg(w)² pairs. `maxDeg` is the explicit skew
+    * knob (same role as minhash's maxBucket): hub centers above it
+    * are excluded from wedge formation, bounding per-center fan-out
+    * at maxDeg² while losing only the near-zero-weight contributions
+    * (1/ln deg vanishes exactly where the cap bites). The anti-join
+    * against the edge set runs AFTER aggregation, on the collapsed
+    * candidate frame. */
+  def linkPredictionScores(edges: DataFrame, maxDeg: Long = 200,
+      minCommon: Long = 2): DataFrame = {
+    // und feeds degree counting, wedge adjacency, and the final
+    // anti-join — materialize once (upstream may be a mining pipeline).
+    val und = edges.select(col("src"), col("dst")).localCheckpoint()
+    val e = und.unionAll(und.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val ec = e.join(deg.filter(col("deg") <= maxDeg)
+        .withColumnRenamed("node", "src"), "src")
+    val cand = ec.as("a")
+      .join(ec.as("b"),
+        col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+      .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(round(lit(1000000.0) / log(col("a.deg").cast("double")), 0)
+          .cast("long")).as("aa_micro"),
+        sum(round(lit(1000000.0) / col("a.deg").cast("double"), 0)
+          .cast("long")).as("ra_micro"))
+      .filter(col("common_neighbors") >= minCommon)
+    cand
+      .join(und.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .select(col("u").as("node_u"), col("v").as("node_v"),
+        col("common_neighbors"),
+        round(col("aa_micro").cast("double") / 1000000.0, 6)
+          .as("adamic_adar"),
+        round(col("ra_micro").cast("double") / 1000000.0, 6)
+          .as("resource_alloc"))
+  }
+
+  /** [[linkPredictionScores]] over the MUTUAL top-`k`-by-lift
+    * sparsification of the term co-occurrence graph: each term keeps
+    * its k strongest partners (lift desc, then n_pair desc, then term
+    * asc — lift is already 6dp-pinned, so the order is engine-stable),
+    * and an edge survives only if BOTH endpoints keep it. The raw
+    * co-occurrence graph of a homogeneous corpus is near-complete
+    * (every frequent pair co-occurs somewhere), which leaves link
+    * prediction nothing to predict; mutual-kNN is the standard graph
+    * construction that keeps only above-independence affinity.
+    *
+    * Scale: the sparsifier CAPS degree at k by construction, so the
+    * downstream wedge join is ≤ |V|·k² — no hub skew exists to cap,
+    * and the per-term top-k is one partition-local window over the
+    * already-thresholded pair set. */
+  def cooccurrenceLinkPrediction(docs: DataFrame, k: Int = 5): DataFrame = {
+    val co = MiningOps.termCooccurrence(docs)
+    val directed = co.select(col("term_a").as("src"), col("term_b").as("dst"),
+        col("lift"), col("n_pair"))
+      .unionAll(co.select(col("term_b"), col("term_a"),
+        col("lift"), col("n_pair")))
+      .toDF("src", "dst", "lift", "n_pair")
+    val w = Window.partitionBy("src")
+      .orderBy(col("lift").desc, col("n_pair").desc, col("dst").asc)
+    val top = directed.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select("src", "dst")
+    val mutual = top.as("x")
+      .join(top.as("y"),
+        col("y.src") === col("x.dst") && col("y.dst") === col("x.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .select(col("x.src").as("src"), col("x.dst").as("dst"))
+    linkPredictionScores(mutual)
+  }
 }

@@ -503,4 +503,23 @@ class ExactArithmeticSpec extends SparkSpec {
         r.getAs[Double]("enc_smoothed")).toMap
     assert(raw == Map("A" -> 0.333333, "B" -> 1.0), raw)
   }
+
+  test("ucbTypePolicy: exact Bernoulli counts, UCB1 index from the closed form") {
+    // arm x: 4 plays, 1 high-value; arm y: 4 plays, 3 high-value. N=8.
+    val events = (Seq(60.0, 10.0, 10.0, 10.0).map(("x", _)) ++
+      Seq(60.0, 70.0, 80.0, 10.0).map(("y", _))).zipWithIndex
+      .map { case ((t, v), i) =>
+        (i.toLong, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+      }.toDF(evCols: _*)
+    val got = EventOps.ucbTypePolicy(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_plays"), r.getAs[Long]("n_success"),
+          r.getAs[Double]("mean_reward"), r.getAs[Double]("ucb_score")))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val bonus = math.sqrt(2.0 * math.log(8.0) / 4.0)
+    assert(got == Map(
+      "x" -> ((4L, 1L, 0.25, r6(0.25 + bonus))),
+      "y" -> ((4L, 3L, 0.75, r6(0.75 + bonus)))), got)
+  }
 }

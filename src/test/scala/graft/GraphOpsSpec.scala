@@ -222,4 +222,22 @@ class GraphOpsSpec extends SparkSpec {
     // h-1, so the distinct levels are 0..max.
     assert(levels == (0 to levels.max).toVector, s"gapped levels: $levels")
   }
+
+  test("linkPredictionScores: K4-minus-edge scores the missing edge, " +
+    "adjacent pairs anti-joined, maxDeg knob silences hub centers") {
+    // K4 on {a,b,c,d} minus edge a-d. Non-adjacent pair (a,d) has
+    // common neighbors b and c, both of degree 3:
+    //   AA = 2·round(1e6/ln 3)/1e6, RA = 2·round(1e6/3)/1e6 = 0.666666.
+    // (b,c) also shares two neighbors but IS an edge — must not appear.
+    val edges = Seq("a" -> "b", "a" -> "c", "b" -> "c", "b" -> "d",
+      "c" -> "d").toDF("src", "dst")
+    val got = GraphOps.linkPredictionScores(edges).collect()
+      .map(r => (r.getAs[String]("node_u"), r.getAs[String]("node_v")) ->
+        ((r.getAs[Long]("common_neighbors"), r.getAs[Double]("adamic_adar"),
+          r.getAs[Double]("resource_alloc")))).toMap
+    val aa = 2.0 * math.rint(1e6 / math.log(3.0)) / 1e6
+    assert(got == Map(("a", "d") -> ((2L, aa, 0.666666))), got.toString)
+    // capping degree below the wedge centers' degree leaves no wedges
+    assert(GraphOps.linkPredictionScores(edges, maxDeg = 2).isEmpty)
+  }
 }
