@@ -242,6 +242,9 @@ object SparkEntry {
     "ndcg_retrieval_audit" -> ((s, d) => VectorOps.ndcgAtK(embeddings(s, d))),
     "peak_concurrency" -> ((s, d) => EventOps.peakConcurrency(events(s, d))),
     "entity_clusters" -> ((s, d) => JoinOps.entityClusters(part(s, d))),
+    "golden_records" -> ((s, d) => JoinOps.goldenRecords(part(s, d))),
+    "embedding_lof" ->
+      ((s, d) => VectorOps.embeddingLofOutliers(embeddings(s, d))),
     "embedding_covariance" -> ((s, d) =>
       VectorOps.embeddingCovariance(embeddings(s, d))),
     "pca_top_component" -> ((s, d) =>
@@ -1859,6 +1862,49 @@ object SparkEntry {
         "FROM lab GROUP BY 1) " +
         "SELECT l.cluster_rep, l.name, s.n_members " +
         "FROM lab l JOIN sz s USING (cluster_rep)"),
+    // Mirrors JoinOps.goldenRecords: the entity_clusters closure, each
+    // cluster's part rows re-attached by name, categoricals resolved
+    // by mode (count desc, value asc — a total order) and numerics by
+    // order-independent max/min.
+    "golden_records" ->
+      ("WITH RECURSIVE n AS (SELECT p_name AS name FROM part GROUP BY 1), " +
+        "t AS (SELECT name, " +
+        "split_part(name, ' ', 1) AS tok_first, " +
+        "list_extract(string_split(name, ' '), " +
+        "len(string_split(name, ' '))) AS tok_last FROM n), " +
+        "cand AS (" +
+        "SELECT a.name AS name_a, b.name AS name_b " +
+        "FROM t a JOIN t b ON a.tok_first = b.tok_first AND a.name < b.name " +
+        "UNION " +
+        "SELECT a.name, b.name " +
+        "FROM t a JOIN t b ON a.tok_last = b.tok_last AND a.name < b.name), " +
+        "p AS (SELECT name_a, name_b FROM cand " +
+        "WHERE round(jaro_winkler_similarity(name_a, name_b), 6) >= 0.93), " +
+        "nodes AS (SELECT DISTINCT name FROM " +
+        "(SELECT name_a AS name FROM p UNION ALL SELECT name_b FROM p)), " +
+        "edges AS (SELECT name_a AS src, name_b AS dst FROM p " +
+        "UNION ALL SELECT name_b, name_a FROM p), " +
+        "reach(node, lab) AS (SELECT name, name FROM nodes " +
+        "UNION SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node), " +
+        "lab AS (SELECT node AS name, min(lab) AS cluster_rep FROM reach GROUP BY 1), " +
+        "rws AS (SELECT l.cluster_rep, pt.p_brand, pt.p_type, pt.p_size, " +
+        "pt.p_retailprice FROM lab l JOIN part pt ON pt.p_name = l.name), " +
+        "agg AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_rows, " +
+        "max(p_retailprice) AS max_price, min(p_size) AS min_size " +
+        "FROM rws GROUP BY 1), " +
+        "bc AS (SELECT cluster_rep, p_brand AS v, CAST(count(*) AS BIGINT) AS c " +
+        "FROM rws GROUP BY 1, 2), " +
+        "mb AS (SELECT cluster_rep, v AS p_brand FROM (SELECT cluster_rep, v, " +
+        "row_number() OVER (PARTITION BY cluster_rep ORDER BY c DESC, v ASC) AS rk " +
+        "FROM bc) WHERE rk = 1), " +
+        "tc AS (SELECT cluster_rep, p_type AS v, CAST(count(*) AS BIGINT) AS c " +
+        "FROM rws GROUP BY 1, 2), " +
+        "mt AS (SELECT cluster_rep, v AS p_type FROM (SELECT cluster_rep, v, " +
+        "row_number() OVER (PARTITION BY cluster_rep ORDER BY c DESC, v ASC) AS rk " +
+        "FROM tc) WHERE rk = 1) " +
+        "SELECT agg.cluster_rep, agg.n_rows, agg.max_price, agg.min_size, " +
+        "mb.p_brand, mt.p_type FROM agg " +
+        "JOIN mb USING (cluster_rep) JOIN mt USING (cluster_rep)"),
     // Mirrors JoinOps.sortedNeighborhoodPairs: the two-level prefix-sum
     // rank equals DuckDB's flat row_number over the same (distinct, so
     // tie-free) name order; the neighborhood predicate and the
@@ -3683,6 +3729,37 @@ object SparkEntry {
         "SELECT a_id, b_id, cos_sim FROM (SELECT *, row_number() OVER (" +
         "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn FROM s) " +
         "WHERE rn <= 5"),
+    // Mirrors VectorOps.embeddingLofOutliers: the knn_all_brute top-5
+    // feeds the textbook LOF chain; reachability and lrd re-pin to
+    // BIGINT micro-units before every sum (order-independence), the
+    // zero-reach duplicate pile clamps to 1 µu, and every division
+    // keeps the Spark operand order.
+    "embedding_lof" ->
+      ("WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+        "knn AS (SELECT a_id, b_id, cos_sim FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn FROM s) " +
+        "WHERE rn <= 5), " +
+        "d AS (SELECT a_id, b_id, CAST(1.0 AS DOUBLE) - cos_sim AS d FROM knn), " +
+        "kd AS (SELECT a_id, max(d) AS k_dist FROM d GROUP BY 1), " +
+        "reach AS (SELECT d.a_id, CAST(round(greatest(kb.k_dist, d.d) * " +
+        "100000000.0, 0) AS BIGINT) AS reach_micro " +
+        "FROM d JOIN kd kb ON kb.a_id = d.b_id), " +
+        "lrd AS (SELECT a_id, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(round(100000000000000.0 * CAST(count(*) AS DOUBLE) / " +
+        "CAST(greatest(CAST(sum(reach_micro) AS BIGINT), 1) AS DOUBLE), 0) " +
+        "AS BIGINT) AS lrd_micro FROM reach GROUP BY 1), " +
+        "nl AS (SELECT d.a_id, CAST(sum(lb.lrd_micro) AS BIGINT) AS sum_lrd_b " +
+        "FROM d JOIN lrd lb ON lb.a_id = d.b_id GROUP BY 1) " +
+        "SELECT l.a_id AS vec_id, round(kd.k_dist, 6) AS k_dist, " +
+        "round(CAST(l.lrd_micro AS DOUBLE) / 1000000.0, 6) AS lrd, " +
+        "round(CAST(nl.sum_lrd_b AS DOUBLE) / " +
+        "(CAST(l.n AS DOUBLE) * CAST(l.lrd_micro AS DOUBLE)), 6) AS lof_score " +
+        "FROM lrd l JOIN nl USING (a_id) JOIN kd USING (a_id)"),
     // Mirrors VectorOps.hardNegatives: the knn_all_brute cosine with
     // the label inequality in the join predicate and per-vector top-3.
     "hard_negatives" ->

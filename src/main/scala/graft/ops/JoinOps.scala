@@ -544,4 +544,38 @@ object JoinOps {
       .select(col("cluster_id").as("cluster_rep"),
         col("v_id").as("name"), col("n_members"))
   }
+
+  /** Golden-record survivorship over [[entityClusters]]: one merged
+    * row per duplicate-entity cluster, each field resolved by its own
+    * survivorship rule — the master-data-management step after entity
+    * resolution (categoricals by MODE with a lexicographic tie-break,
+    * numerics by max/min). A user of the dedup stack gets back a
+    * clean dimension table, not just pair/cluster diagnostics.
+    *
+    * Determinism: modes tie-break (count desc, value asc) — total
+    * order; max(double)/min(int) are order-independent. Shape: the
+    * cluster frame is fuzzy-pair-derived (≪ table) and checkpointed
+    * once; each mode is a partitioned window over the collapsed
+    * (cluster, value) counts — no serial window, no corpus shuffle
+    * beyond the one name-keyed join against `part`. */
+  def goldenRecords(part: DataFrame, minSim: Double = 0.93): DataFrame = {
+    val clusters = entityClusters(part, minSim)
+      .select(col("cluster_rep"), col("name"))
+      .localCheckpoint()
+    val rows = clusters
+      .join(part, clusters("name") === part("p_name"))
+    def mode(field: String): DataFrame = {
+      val cnt = rows.groupBy(col("cluster_rep").as("cr"), col(field).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("cr").orderBy(col("c").desc, col("v").asc)
+      cnt.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("cr").as("cluster_rep"), col("v").as(field))
+    }
+    rows.groupBy("cluster_rep")
+      .agg(count(lit(1)).as("n_rows"),
+        max(col("p_retailprice")).as("max_price"),
+        min(col("p_size")).as("min_size"))
+      .join(mode("p_brand"), "cluster_rep")
+      .join(mode("p_type"), "cluster_rep")
+  }
 }

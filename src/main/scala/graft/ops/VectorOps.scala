@@ -887,4 +887,59 @@ object VectorOps {
           round(col("dcg").cast("double") / col("idcg").cast("double"), 6))
           .as("ndcg"))
   }
+
+  /** Local Outlier Factor (Breunig et al. SIGMOD '00) from ANY
+    * per-vector kNN table `(a_id, b_id, cos_sim)` — density-relative
+    * outlier scoring for embedding-space cleaning: LOF ≈ 1 inliers,
+    * ≫ 1 points whose local density is far below their neighbors'.
+    * kNN-source agnostic by design: the exact [[knnAllBrute]] feeds
+    * the gate; at corpus scale the SAME chain runs over
+    * [[knnAllLsh]]/[[knnAllIvf]] pairs — every step below is
+    * neighbor-list-sized (n·k rows), never n².
+    *
+    * Determinism: distance d = 1 − cos_sim (4dp-pinned) is an
+    * identical double both engines; reachability max(kdist(o), d) and
+    * each lrd are re-pinned to BIGINT micro-units (one round of an
+    * identical double) before ANY sum, so the two order-dependent
+    * accumulations in the textbook formula become exact integer adds.
+    * Duplicate-collapsed neighborhoods (Σ reach = 0) clamp to 1 µu
+    * instead of dividing by zero — scores stay finite, deterministic,
+    * and extreme, which is the right signal for an exact-dup pile. */
+  def lofScores(knn: DataFrame): DataFrame = {
+    // feeds kd, reach, and the neighbor-lrd join — materialize once.
+    val d = knn.select(col("a_id"), col("b_id"),
+        (lit(1.0) - col("cos_sim")).as("d"))
+      .localCheckpoint()
+    val kd = d.groupBy("a_id")
+      .agg(max(col("d")).as("k_dist"))
+    val reach = d
+      .join(kd.select(col("a_id").as("b_id"), col("k_dist").as("kdist_b")),
+        "b_id")
+      .select(col("a_id"),
+        round(greatest(col("kdist_b"), col("d")) * 1e8, 0).cast("long")
+          .as("reach_micro"))
+    val lrd = reach.groupBy("a_id")
+      .agg(sum(col("reach_micro")).as("sum_reach"),
+        count(lit(1)).as("n"))
+      .select(col("a_id"), col("n"),
+        round(lit(1.0e14) * col("n").cast("double") /
+          greatest(col("sum_reach"), lit(1L)).cast("double"), 0)
+          .cast("long").as("lrd_micro"))
+      .localCheckpoint()
+    val nbrLrd = d
+      .join(lrd.select(col("a_id").as("b_id"), col("lrd_micro").as("lrd_b")),
+        "b_id")
+      .groupBy("a_id").agg(sum(col("lrd_b")).as("sum_lrd_b"))
+    lrd.join(nbrLrd, "a_id").join(kd, "a_id")
+      .select(col("a_id").as("vec_id"),
+        round(col("k_dist"), 6).as("k_dist"),
+        round(col("lrd_micro").cast("double") / 1.0e6, 6).as("lrd"),
+        round(col("sum_lrd_b").cast("double") /
+          (col("n").cast("double") * col("lrd_micro").cast("double")), 6)
+          .as("lof_score"))
+  }
+
+  /** [[lofScores]] over the exact brute-force kNN — the hash gate. */
+  def embeddingLofOutliers(embeddings: DataFrame, k: Int = 5): DataFrame =
+    lofScores(knnAllBrute(embeddings, k))
 }

@@ -290,4 +290,28 @@ class RangeFuzzySaltSpec extends SparkSpec {
     // partition of the matched vertex set: each name exactly once
     assert(got.map(_._2).distinct.length == got.length)
   }
+
+  test("goldenRecords: mode survivorship with asc tie-break, " +
+    "order-independent numeric rules, one row per cluster") {
+    // same transitive chain as above; duplicate-name row 0b makes the
+    // brand vote tie 2-2 (B1 wins lexicographically) and the type
+    // vote 2-1-1 for T2
+    val part = Seq(
+      (0L, "acme corp", "B1", "T1", 5, 10.0),
+      (1L, "acme corp", "B2", "T9", 1, 12.0),
+      (2L, "acme corpx", "B1", "T2", 3, 20.0),
+      (3L, "acmex corpx", "B2", "T2", 7, 15.0),
+      (4L, "zzz unrelated", "B7", "T7", 9, 99.0),
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+    val got = JoinOps.goldenRecords(part, minSim = 0.9).collect()
+    assert(got.length == 1, got.mkString(", "))
+    val r = got.head
+    assert(r.getAs[String]("cluster_rep") == "acme corp")
+    assert(r.getAs[Long]("n_rows") == 4L)
+    assert(r.getAs[String]("p_brand") == "B1", "tie must break asc")
+    assert(r.getAs[String]("p_type") == "T2")
+    assert(r.getAs[Double]("max_price") == 20.0)
+    assert(r.getAs[Int]("min_size") == 1)
+  }
 }

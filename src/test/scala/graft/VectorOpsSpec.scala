@@ -463,4 +463,38 @@ class VectorOpsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ragged"))
   }
+
+  test("lofScores: symmetric ring is all exactly 1.0; a planted " +
+    "off-manifold point and its contaminated neighborhood score highest") {
+    // 8 unit vectors evenly spaced on the circle, k=2: every point's
+    // neighborhood is congruent, so lrd is the same integer for all
+    // and LOF = Σlrd/(n·lrd) = 1.0 EXACTLY.
+    val ring = (0 until 8).map { i =>
+      val a = 2.0 * math.Pi * i / 8
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat), 0)
+    }
+    val ringLof = VectorOps.embeddingLofOutliers(ring.toDF(
+      "vec_id", "embedding", "label"), k = 2).collect()
+    assert(ringLof.length == 8)
+    assert(ringLof.forall(_.getAs[Double]("lof_score") == 1.0),
+      ringLof.mkString(", "))
+    // dense cluster + one far point: the outlier's lof must exceed
+    // every in-cluster point whose neighborhood it does not poison
+    val a = 0.03
+    val pts = Seq(0.0, a, 2 * a, 3 * a, 4 * a).zipWithIndex.map {
+      case (t, i) => (i.toLong,
+        Array(math.cos(t).toFloat, math.sin(t).toFloat), 0)
+    } :+ ((9L, Array(0.0f, 1.0f), 0))
+    val lof = VectorOps.embeddingLofOutliers(
+      pts.toDF("vec_id", "embedding", "label"), k = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Double]("lof_score")).toMap
+    val cluster = lof.filterKeys(_ != 9L).values
+    // strict max, and by an order of magnitude: the arc points sit at
+    // quantized spacings (4dp cosine) that keep their density ratios
+    // within small constants, while the far point's reach distances
+    // are ~1000× its neighbors' k-distances
+    assert(cluster.forall(lof(9L) > 10 * _),
+      s"outlier ${lof(9L)} not dominant: $lof")
+  }
 }
