@@ -715,6 +715,13 @@ object SparkEntry {
     "cooccurrence_link_pred" ->
       ((s, d) => GraphOps.cooccurrenceLinkPrediction(documents(s, d))),
     "ucb_type_policy" -> ((s, d) => EventOps.ucbTypePolicy(events(s, d))),
+    "value_auc_by_type" -> ((s, d) => EventOps.valueAucByType(events(s, d))),
+    "score_calibration_bins" ->
+      ((s, d) => EventOps.scoreCalibrationBins(events(s, d))),
+    "ab_conversion_ztest" ->
+      ((s, d) => EventOps.abConversionZtest(events(s, d))),
+    "simpson_reversal_audit" ->
+      ((s, d) => JoinOps.simpsonReversalAudit(orders(s, d), customer(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -1173,7 +1180,8 @@ object SparkEntry {
         "CAST(round(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE), 6) " +
         "AS DECIMAL(20,6)) AS ws FROM cand JOIN wsx ON cand.term = wsx.term), " +
         "ph AS (SELECT doc_id, grp, string_agg(term, ' ' ORDER BY pos ASC) " +
-        "AS phrase, sum(ws) AS score FROM sc GROUP BY 1, 2) " +
+        "AS phrase, sum(CAST(ws AS DECIMAL(20,6))) AS score " +
+        "FROM sc GROUP BY 1, 2) " +
         "SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences, " +
         "CAST(max(score) AS DOUBLE) AS rake_score FROM ph GROUP BY 1 " +
         "ORDER BY rake_score DESC, phrase ASC LIMIT 20"),
@@ -4453,6 +4461,114 @@ object SparkEntry {
         "round(CAST(n_success AS DOUBLE) / CAST(n_plays AS DOUBLE) + " +
         "sqrt(2.0 * ln(CAST(n_total AS DOUBLE)) / CAST(n_plays AS DOUBLE)), 6) " +
         "AS ucb_score FROM arms, tot"),
+    // Mirrors EventOps.valueAucByType: one-vs-rest AUC via the
+    // doubled-midrank identity 2R = Σ c·(2·cum_all + c_all + 1); all
+    // rank sums exact BIGINT, one double division, 6dp round.
+    "value_auc_by_type" ->
+      ("WITH cnts AS (SELECT value AS v, event_type AS t, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "grid AS (SELECT v, CAST(sum(c) AS BIGINT) AS c_all " +
+        "FROM cnts GROUP BY 1), " +
+        "cum AS (SELECT v, c_all, CAST(coalesce(sum(c_all) OVER " +
+        "(ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 " +
+        "PRECEDING), 0) AS BIGINT) AS cum_all FROM grid), " +
+        "r AS (SELECT t AS event_type, CAST(sum(c) AS BIGINT) AS n_pos, " +
+        "CAST(sum(c * (2 * cum_all + c_all + 1)) AS BIGINT) AS r2 " +
+        "FROM cnts JOIN cum USING (v) GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c_all) AS BIGINT) AS n_total FROM grid) " +
+        "SELECT event_type, n_pos, n_total - n_pos AS n_neg, " +
+        "round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE) / " +
+        "(2.0 * CAST(n_pos AS DOUBLE) * CAST(n_total - n_pos AS DOUBLE)), 6) " +
+        "AS auc FROM r, tot"),
+    // Mirrors EventOps.scoreCalibrationBins: exact 2dp DECIMAL sums
+    // Σv/Σv²/Σ_pos v, closed-form mean/Brier in identically-ordered
+    // double arithmetic, min/max anchors from one scalar subquery.
+    "score_calibration_bins" ->
+      ("WITH mm AS (SELECT min(value) AS minv, max(value) AS maxv " +
+        "FROM events), " +
+        "b AS (SELECT CAST(least(floor((value - minv) / (maxv - minv) " +
+        "* 10.0), 9.0) AS BIGINT) AS bin, minv, maxv, " +
+        "CAST(value AS DECIMAL(12,2)) AS dv, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events, mm), " +
+        "agg AS (SELECT bin, minv, maxv, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "sum(CAST(dv AS DECIMAL(12,2))) AS sv, " +
+        "sum(CAST(dv AS DECIMAL(12,2)) * CAST(dv AS DECIMAL(12,2))) AS sv2, " +
+        "sum(CASE WHEN y = 1 THEN dv ELSE CAST(0 AS DECIMAL(12,2)) END) " +
+        "AS spv FROM b GROUP BY 1, 2, 3) " +
+        "SELECT bin, n, n_pos, " +
+        "round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) - minv) / " +
+        "(maxv - minv), 6) AS mean_score, " +
+        "round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate, " +
+        "round(((CAST(sv2 AS DOUBLE) - 2.0 * minv * CAST(sv AS DOUBLE) + " +
+        "CAST(n AS DOUBLE) * minv * minv) / " +
+        "((maxv - minv) * (maxv - minv)) - " +
+        "2.0 * ((CAST(spv AS DOUBLE) - CAST(n_pos AS DOUBLE) * minv) / " +
+        "(maxv - minv)) + CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE), 6) " +
+        "AS brier FROM agg"),
+    // Mirrors EventOps.abConversionZtest: exact per-arm cells from the
+    // per-user conversion collapse, pooled-variance z in pinned double
+    // order, sqrt IEEE-exact, 6dp round.
+    "ab_conversion_ztest" ->
+      ("WITH pu AS (SELECT user_id, max(CASE WHEN event_type = 'purchase' " +
+        "AND value >= 90.0 THEN 1 ELSE 0 END) AS conv, user_id % 2 AS arm " +
+        "FROM events GROUP BY user_id), " +
+        "cells AS (SELECT " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b " +
+        "FROM pu), " +
+        "d AS (SELECT n_a, conv_a, n_b, conv_b, " +
+        "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra, " +
+        "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb, " +
+        "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * " +
+        "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * " +
+        "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS vt " +
+        "FROM cells) " +
+        "SELECT n_a, conv_a, n_b, conv_b, " +
+        "round(ra, 6) AS rate_a, round(rb, 6) AS rate_b, " +
+        "CASE WHEN vt > 0.0 THEN round((ra - rb) / sqrt(vt), 6) END " +
+        "AS z_score, " +
+        "CASE WHEN vt > 0.0 THEN abs((ra - rb) / sqrt(vt)) > 1.959964 " +
+        "ELSE false END AS significant FROM d"),
+    // Mirrors JoinOps.simpsonReversalAudit: exact BIGINT cells,
+    // integer cross-multiplication signs (no float compares), 6dp
+    // display rates.
+    "simpson_reversal_audit" ->
+      ("WITH cells AS (SELECT c_mktsegment, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, " +
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+        "AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_hi, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_lo, " +
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') " +
+        "AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_lo " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1), " +
+        "pooled AS (SELECT CAST(sum(n_hi) AS BIGINT) AS pn_hi, " +
+        "CAST(sum(f_hi) AS BIGINT) AS pf_hi, " +
+        "CAST(sum(n_lo) AS BIGINT) AS pn_lo, " +
+        "CAST(sum(f_lo) AS BIGINT) AS pf_lo FROM cells) " +
+        "SELECT c_mktsegment, n_hi, f_hi, n_lo, f_lo, " +
+        "round(CAST(f_hi AS DOUBLE) / CAST(n_hi AS DOUBLE), 6) AS rate_hi, " +
+        "round(CAST(f_lo AS DOUBLE) / CAST(n_lo AS DOUBLE), 6) AS rate_lo, " +
+        "CASE WHEN f_hi * n_lo - f_lo * n_hi > 0 THEN 1 " +
+        "WHEN f_hi * n_lo - f_lo * n_hi < 0 THEN -1 ELSE 0 END " +
+        "AS stratum_sign, " +
+        "CASE WHEN pf_hi * pn_lo - pf_lo * pn_hi > 0 THEN 1 " +
+        "WHEN pf_hi * pn_lo - pf_lo * pn_hi < 0 THEN -1 ELSE 0 END " +
+        "AS pooled_sign, " +
+        "(CASE WHEN f_hi * n_lo - f_lo * n_hi > 0 THEN 1 " +
+        "WHEN f_hi * n_lo - f_lo * n_hi < 0 THEN -1 ELSE 0 END) <> 0 AND " +
+        "(CASE WHEN pf_hi * pn_lo - pf_lo * pn_hi > 0 THEN 1 " +
+        "WHEN pf_hi * pn_lo - pf_lo * pn_hi < 0 THEN -1 ELSE 0 END) <> 0 AND " +
+        "(CASE WHEN f_hi * n_lo - f_lo * n_hi > 0 THEN 1 " +
+        "WHEN f_hi * n_lo - f_lo * n_hi < 0 THEN -1 ELSE 0 END) <> " +
+        "(CASE WHEN pf_hi * pn_lo - pf_lo * pn_hi > 0 THEN 1 " +
+        "WHEN pf_hi * pn_lo - pf_lo * pn_hi < 0 THEN -1 ELSE 0 END) " +
+        "AS reversal FROM cells, pooled"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

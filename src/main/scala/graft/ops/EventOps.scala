@@ -2526,6 +2526,126 @@ object EventOps {
     * round at the end. N reaches each arm via a 1-row broadcast, not
     * a driver collect. Shape: one map-side-combined groupBy over the
     * log — nothing else touches corpus-sized data. */
+  /** Exact one-vs-rest AUC per event type, treating `value` as a
+    * score for "is this event of type t": the ML-eval completion
+    * beside [[mannWhitneyTypePairs]] (AUC IS U/(n₁·n₀) — the same
+    * doubled-midrank prefix-sum arithmetic, one-vs-REST instead of
+    * pairwise). With ties AUC = P(X>Y) + ½P(X=Y), which midranks give
+    * for free. 2·R_pos = Σ_v c_t·(2·cum_all + c_all + 1) stays exact
+    * BIGINT; AUC = (2R − n₁(n₁+1)) / (2·n₁·n₀) is one double division.
+    *
+    * Scale: values collapse to the distinct-value grid (the bounded
+    * 2dp domain the histogram/Kruskal queries already ride); the one
+    * serial window orders THAT collapsed frame, never raw rows. */
+  def valueAucByType(events: DataFrame): DataFrame = {
+    val cnts = events.groupBy(col("value").as("v"),
+      col("event_type").as("t")).agg(count(lit(1)).as("c"))
+    val grid = cnts.groupBy("v").agg(sum("c").as("c_all"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid.withColumn("cum_all",
+      coalesce(sum(col("c_all")).over(w), lit(0L)))
+    val r = cnts.join(cum, Seq("v"))
+      .groupBy(col("t").as("event_type"))
+      .agg(sum(col("c")).as("n_pos"),
+        sum(col("c") * (lit(2L) * col("cum_all") + col("c_all") +
+          lit(1L))).as("r2"))
+    val tot = grid.agg(sum("c_all").as("n_total"))
+    r.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_pos"),
+        (col("n_total") - col("n_pos")).as("n_neg"),
+        round((col("r2") - col("n_pos") * (col("n_pos") + lit(1L)))
+            .cast("double") /
+          (lit(2.0) * col("n_pos").cast("double") *
+            (col("n_total") - col("n_pos")).cast("double")), 6)
+          .as("auc"))
+  }
+
+  /** Reliability-diagram calibration bins for `value` normalized to
+    * [0,1] as a purchase-propensity score: per decile bin — count,
+    * positives, mean score, observed positive rate, and the bin Brier
+    * score. The quality-classifier calibration check every
+    * filter-by-model-score pipeline needs before trusting thresholds.
+    *
+    * Determinism: `value` is exactly 2dp, so Σv (DECIMAL(12,2)) and
+    * Σv² (DECIMAL 4dp) are exact; mean/Brier come out of the CLOSED
+    * FORMS over those exact sums —
+    * Σp² = (Σv² − 2·min·Σv + n·min²)/range², Σpy = (Σ_pos v −
+    * n_pos·min)/range — evaluated in identically-ordered double
+    * arithmetic on both engines, one 6dp round at the end. min/max
+    * reach the rows as a 1-row broadcast anchor. Shape: one
+    * corpus-sized grouped collapse onto ≤10 bins. */
+  def scoreCalibrationBins(events: DataFrame): DataFrame = {
+    val mm = events.agg(min(col("value")).as("minv"),
+      max(col("value")).as("maxv"))
+    val rng = col("maxv") - col("minv")
+    val binned = events.crossJoin(broadcast(mm))
+      .select(col("value"), col("minv"), col("maxv"),
+        least(floor((col("value") - col("minv")) / rng * lit(10.0)),
+          lit(9.0)).cast("long").as("bin"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+    val agg = binned.groupBy("bin", "minv", "maxv")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"),
+        sum((col("value").cast("decimal(12,2)") *
+          col("value").cast("decimal(12,2)"))).as("sv2"),
+        sum(when(col("y") === 1L, col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("spv"))
+    val nd = col("n").cast("double")
+    val npd = col("n_pos").cast("double")
+    val sv = col("sv").cast("double")
+    val sv2 = col("sv2").cast("double")
+    val spv = col("spv").cast("double")
+    val range = col("maxv") - col("minv")
+    val sumP2 = (sv2 - lit(2.0) * col("minv") * sv +
+      nd * col("minv") * col("minv")) / (range * range)
+    val sumPy = (spv - npd * col("minv")) / range
+    agg.select(col("bin"), col("n"), col("n_pos"),
+      round((sv / nd - col("minv")) / range, 6).as("mean_score"),
+      round(npd / nd, 6).as("pos_rate"),
+      round((sumP2 - lit(2.0) * sumPy + npd) / nd, 6).as("brier"))
+  }
+
+  /** Two-proportion z-test between the odd/even user-id split (the
+    * canonical deterministic A/B assignment): did arm A's users
+    * convert (≥1 high-value purchase, value ≥ `threshold`) at a
+    * different rate than arm B's? The experiment-readout primitive
+    * beside the drift monitors. One row: per-arm users/conversions/
+    * rates, the pooled-variance z, and the |z| > 1.959964 two-sided
+    * 5% flag. A saturated or empty outcome (pooled rate 0 or 1) has
+    * zero variance — NULL z, false flag — not a division error.
+    *
+    * Determinism: all four cells are exact BIGINTs from one grouped
+    * pass; rates and z are identically-ordered double arithmetic
+    * (√ is IEEE-exact), one 6dp round. Shape: per-user collapse →
+    * single global 1-row aggregate; nothing shuffles twice. */
+  def abConversionZtest(events: DataFrame, threshold: Double = 90.0): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") >= threshold, 1L).otherwise(0L))
+        .as("conv"))
+      .withColumn("arm", col("user_id") % lit(2L))
+    val cells = perUser.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val rateA = col("conv_a").cast("double") / na
+    val rateB = col("conv_b").cast("double") / nb
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val varTerm = pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / na + lit(1.0) / nb)
+    val z = (rateA - rateB) / sqrt(varTerm)
+    cells.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      round(rateA, 6).as("rate_a"), round(rateB, 6).as("rate_b"),
+      when(varTerm > lit(0.0), round(z, 6)).as("z_score"),
+      when(varTerm > lit(0.0), abs(z) > lit(1.959964)).otherwise(lit(false))
+        .as("significant"))
+  }
+
   def ucbTypePolicy(events: DataFrame, threshold: Double = 50.0): DataFrame = {
     val arms = events.groupBy("event_type")
       .agg(count(lit(1)).as("n_plays"),

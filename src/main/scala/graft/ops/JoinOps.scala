@@ -578,4 +578,46 @@ object JoinOps {
       .join(mode("p_brand"), "cluster_rep")
       .join(mode("p_type"), "cluster_rep")
   }
+
+  /** Simpson's-paradox audit over the order book: does the
+    * high-priority arm's fulfilment rate beat the low-priority arm's
+    * POOLED but flip inside every market segment (or vice versa)?
+    * The aggregation-bias check an analyst needs before trusting any
+    * pooled A-vs-B rate — confounding by stratum is the classic
+    * failure of exactly the dashboards this engine feeds.
+    *
+    * Determinism: every cell is an exact BIGINT; rate-comparison
+    * SIGNS use integer cross-multiplication (f_hi·n_lo − f_lo·n_hi),
+    * never float subtraction, so the reversal flag is exact; display
+    * rates are one 6dp-rounded double division each. Shape: one
+    * orders⋈customer join (customer under maybeBroadcast), one
+    * segment collapse, pooled cells re-aggregated from the ≤|segments|
+    * frame and broadcast back — corpus touched once. */
+  def simpsonReversalAudit(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val filled = when(col("o_orderstatus") === "F", 1L).otherwise(0L)
+    val cells = orders.join(maybeBroadcast(customer),
+        orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("n_hi"),
+        sum(when(hi, filled).otherwise(0L)).as("f_hi"),
+        sum(when(!hi, 1L).otherwise(0L)).as("n_lo"),
+        sum(when(!hi, filled).otherwise(0L)).as("f_lo"))
+    val pooled = cells.agg(sum("n_hi").as("pn_hi"), sum("f_hi").as("pf_hi"),
+      sum("n_lo").as("pn_lo"), sum("f_lo").as("pf_lo"))
+    def sgn(x: org.apache.spark.sql.Column) =
+      when(x > 0L, 1L).when(x < 0L, -1L).otherwise(0L)
+    val stratumSign = sgn(col("f_hi") * col("n_lo") - col("f_lo") * col("n_hi"))
+    val pooledSign = sgn(col("pf_hi") * col("pn_lo") - col("pf_lo") * col("pn_hi"))
+    cells.crossJoin(broadcast(pooled))
+      .select(col("c_mktsegment"), col("n_hi"), col("f_hi"),
+        col("n_lo"), col("f_lo"),
+        round(col("f_hi").cast("double") / col("n_hi").cast("double"), 6)
+          .as("rate_hi"),
+        round(col("f_lo").cast("double") / col("n_lo").cast("double"), 6)
+          .as("rate_lo"),
+        stratumSign.as("stratum_sign"), pooledSign.as("pooled_sign"),
+        (stratumSign =!= 0L && pooledSign =!= 0L &&
+          stratumSign =!= pooledSign).as("reversal"))
+  }
 }

@@ -522,4 +522,62 @@ class ExactArithmeticSpec extends SparkSpec {
       "x" -> ((4L, 1L, 0.25, r6(0.25 + bonus))),
       "y" -> ((4L, 3L, 0.75, r6(0.75 + bonus)))), got)
   }
+
+  test("valueAucByType: midrank one-vs-rest AUC, ties count half") {
+    // a: {1, 2, 3}; b: {2, 4}. Pair score a-vs-b: wins 1 (3>2),
+    // ties 1 (2=2) -> U_a = 1.5 of 6 -> AUC_a = 0.25, AUC_b = 0.75.
+    val events = (Seq(1.0, 2.0, 3.0).map(("a", _)) ++
+      Seq(2.0, 4.0).map(("b", _))).zipWithIndex
+      .map { case ((t, v), i) =>
+        (i.toLong, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+      }.toDF(evCols: _*)
+    val got = EventOps.valueAucByType(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+          r.getAs[Double]("auc")))).toMap
+    assert(got == Map("a" -> ((3L, 2L, 0.25)), "b" -> ((2L, 3L, 0.75))), got)
+  }
+
+  test("scoreCalibrationBins: closed-form mean/Brier equal the " +
+    "direct per-row definitions") {
+    // min 0, max 100 -> p = value/100. Rows: (0, view) bin 0;
+    // (100, purchase) bin 9 (clamped); (50, view) + (55, purchase)
+    // both bin 5: mean .525, rate .5, brier (0.5² + 0.45²)/2 = .22625
+    val events = Seq((1L, 0.0, "view"), (2L, 100.0, "purchase"),
+      (3L, 50.0, "view"), (4L, 55.0, "purchase"))
+      .map { case (i, v, t) =>
+        (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+      }.toDF(evCols: _*)
+    val got = EventOps.scoreCalibrationBins(events).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+          r.getAs[Double]("mean_score"), r.getAs[Double]("pos_rate"),
+          r.getAs[Double]("brier")))).toMap
+    assert(got == Map(
+      0L -> ((1L, 0L, 0.0, 0.0, 0.0)),
+      9L -> ((1L, 1L, 1.0, 1.0, 0.0)),
+      5L -> ((2L, 1L, 0.525, 0.5, 0.22625))), got)
+  }
+
+  test("abConversionZtest: exact cells, zero-diff z, and the " +
+    "zero-variance NULL guard") {
+    def pev(i: Long, uid: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), uid, t, v, "{}")
+    // arm 0 = even users {2: converted, 4: not}; arm 1 = {1: converted,
+    // 3: purchase below threshold}. Rates .5/.5 -> z = 0, not significant.
+    val events = Seq(pev(1, 1L, "purchase", 95.0), pev(2, 2L, "purchase", 100.0),
+      pev(3, 3L, "purchase", 10.0), pev(4, 4L, "view", 200.0))
+      .toDF(evCols: _*)
+    val r = EventOps.abConversionZtest(events).collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("conv_a"),
+      r.getAs[Long]("n_b"), r.getAs[Long]("conv_b")) == ((2L, 1L, 2L, 1L)), r)
+    assert(r.getAs[Double]("z_score") == 0.0 && !r.getAs[Boolean]("significant"))
+    // saturated outcome: every user converts -> zero pooled variance
+    // -> NULL z, false flag (not a division error under ANSI mode)
+    val sat = Seq(pev(1, 1L, "purchase", 95.0), pev(2, 2L, "purchase", 100.0))
+      .toDF(evCols: _*)
+    val rs = EventOps.abConversionZtest(sat).collect().head
+    assert(rs.isNullAt(rs.fieldIndex("z_score")) &&
+      !rs.getAs[Boolean]("significant"), rs)
+  }
 }

@@ -314,4 +314,29 @@ class RangeFuzzySaltSpec extends SparkSpec {
     assert(r.getAs[Double]("max_price") == 20.0)
     assert(r.getAs[Int]("min_size") == 1)
   }
+
+  test("simpsonReversalAudit: per-stratum signs flip against the " +
+    "pooled sign on the classic confounded fixture") {
+    // Segment A: hi 9/10 (.9) beats lo 80/100 (.8); segment B: hi
+    // 30/100 (.3) beats lo 2/10 (.2) — yet pooled hi 39/110 loses to
+    // pooled lo 82/110. Reversal must flag in BOTH strata.
+    def block(cust: Long, pri: String, filled: Int, total: Int) =
+      (0 until total).map(i =>
+        (cust, pri, if (i < filled) "F" else "O"))
+    val orders = (block(1L, "1-URGENT", 9, 10) ++
+      block(1L, "5-LOW", 80, 100) ++
+      block(2L, "2-HIGH", 30, 100) ++
+      block(2L, "3-MEDIUM", 2, 10))
+      .toDF("o_custkey", "o_orderpriority", "o_orderstatus")
+    val customer = Seq((1L, "SEG_A"), (2L, "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+    val got = JoinOps.simpsonReversalAudit(orders, customer).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        ((r.getAs[Long]("stratum_sign"), r.getAs[Long]("pooled_sign"),
+          r.getAs[Boolean]("reversal"), r.getAs[Double]("rate_hi"),
+          r.getAs[Double]("rate_lo")))).toMap
+    assert(got == Map(
+      "SEG_A" -> ((1L, -1L, true, 0.9, 0.8)),
+      "SEG_B" -> ((1L, -1L, true, 0.3, 0.2))), got)
+  }
 }
