@@ -722,6 +722,13 @@ object SparkEntry {
       ((s, d) => EventOps.abConversionZtest(events(s, d))),
     "simpson_reversal_audit" ->
       ((s, d) => JoinOps.simpsonReversalAudit(orders(s, d), customer(s, d))),
+    "join_size_profile" -> ((s, d) => SkewOps.joinSizeProfile(
+      lineitem(s, d), orders(s, d), "l_orderkey", "o_orderkey")),
+    "cooccurrence_assortativity" ->
+      ((s, d) => GraphOps.cooccurrenceAssortativity(documents(s, d))),
+    "dow_seasonality_index" ->
+      ((s, d) => EventOps.dowSeasonalityIndex(events(s, d))),
+    "dataset_manifest" -> ((s, d) => DocOps.datasetManifest(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -4569,6 +4576,86 @@ object SparkEntry {
         "(CASE WHEN pf_hi * pn_lo - pf_lo * pn_hi > 0 THEN 1 " +
         "WHEN pf_hi * pn_lo - pf_lo * pn_hi < 0 THEN -1 ELSE 0 END) " +
         "AS reversal FROM cells, pooled"),
+    // Mirrors SkewOps.joinSizeProfile: exact per-key count collapses,
+    // F2/max/skew and the exact join output cardinality Σ cl·cr.
+    "join_size_profile" ->
+      ("WITH cl AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cl " +
+        "FROM lineitem GROUP BY 1), " +
+        "cr AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS cr " +
+        "FROM orders GROUP BY 1), " +
+        "ls AS (SELECT CAST(sum(cl) AS BIGINT) AS n_left, " +
+        "CAST(count(*) AS BIGINT) AS keys_left, " +
+        "CAST(sum(cl * cl) AS BIGINT) AS f2_left, max(cl) AS max_left " +
+        "FROM cl), " +
+        "rs AS (SELECT CAST(sum(cr) AS BIGINT) AS n_right, " +
+        "CAST(count(*) AS BIGINT) AS keys_right, " +
+        "CAST(sum(cr * cr) AS BIGINT) AS f2_right, max(cr) AS max_right " +
+        "FROM cr), " +
+        "js AS (SELECT CAST(count(*) AS BIGINT) AS keys_matched, " +
+        "CAST(sum(cl * cr) AS BIGINT) AS join_rows FROM cl JOIN cr USING (k)) " +
+        "SELECT n_left, keys_left, f2_left, max_left, " +
+        "round(CAST(max_left AS DOUBLE) * CAST(keys_left AS DOUBLE) / " +
+        "CAST(n_left AS DOUBLE), 6) AS skew_left, " +
+        "n_right, keys_right, f2_right, max_right, " +
+        "round(CAST(max_right AS DOUBLE) * CAST(keys_right AS DOUBLE) / " +
+        "CAST(n_right AS DOUBLE), 6) AS skew_right, " +
+        "keys_matched, join_rows FROM ls, rs, js"),
+    // Mirrors GraphOps.cooccurrenceAssortativity: the term_cooccurrence
+    // pair CTE builds the edge set; endpoint-degree Pearson collapses
+    // to (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²), all BIGINT, one division.
+    "cooccurrence_assortativity" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "e AS (SELECT term_a AS u, term_b AS w FROM p " +
+        "UNION ALL SELECT term_b, term_a FROM p), " +
+        "deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS deg " +
+        "FROM e GROUP BY 1), " +
+        "dp AS (SELECT du.deg AS x, dv.deg AS y FROM e " +
+        "JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.w), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * y) AS BIGINT) AS sxy, " +
+        "CAST(sum(x * x) AS BIGINT) AS sxx FROM dp), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg) " +
+        "SELECT CAST(n // 2 AS BIGINT) AS n_edges, n_nodes, " +
+        "CASE WHEN n * sxx - sx * sx > 0 THEN " +
+        "round(CAST(n * sxy - sx * sx AS DOUBLE) / " +
+        "CAST(n * sxx - sx * sx AS DOUBLE), 6) END AS assortativity " +
+        "FROM s, nn"),
+    // Mirrors EventOps.dowSeasonalityIndex: arithmetic isodow
+    // (engine-independent), exact counts, pinned-ratio index.
+    "dow_seasonality_index" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "per AS (SELECT (date_diff('day', DATE '1970-01-01', day) + 3) " +
+        "% 7 + 1 AS isodow, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(n) AS BIGINT) AS n_events FROM daily GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_days) AS BIGINT) AS td, " +
+        "CAST(sum(n_events) AS BIGINT) AS te FROM per) " +
+        "SELECT isodow, n_days, n_events, " +
+        "round(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE), 6) " +
+        "AS avg_per_day, " +
+        "round((CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)) / " +
+        "(CAST(te AS DOUBLE) / CAST(td AS DOUBLE)), 6) " +
+        "AS seasonality_index FROM per, tot"),
+    // Mirrors DocOps.datasetManifest: per-shard sorted-digest fold —
+    // string_agg ORDER BY the digest itself makes the md5-of-concat
+    // order/partition independent on both engines.
+    "dataset_manifest" ->
+      ("SELECT source, doc_id % 8 AS shard, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
+        "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS manifest_md5 " +
+        "FROM documents GROUP BY 1, 2"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

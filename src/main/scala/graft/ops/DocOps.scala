@@ -958,6 +958,29 @@ object DocOps {
           .otherwise(round(col("n_deflate").cast("double") / col("n_bytes"), 4)))
   }
 
+  /** Per-shard dataset manifest: the content-addressed checksum block
+    * of a dataset card — for every (source, doc_id-mod shard), the doc
+    * count, total chars, and a deterministic corpus digest
+    * md5(concat(sorted per-doc md5(text))). Two independently-built
+    * copies of a shard agree on `manifest_md5` iff they hold the same
+    * MULTISET of texts — the reproducibility pin (training-data
+    * provenance, replication audits, "did the rewrite change any
+    * byte") that dedup/sampling pipelines publish alongside counts.
+    *
+    * Determinism: sorting the per-doc digests (not arrival order)
+    * makes the fold order-and-partition independent. Scale: the one
+    * collect_list is PER SHARD — shards are the unit real manifests
+    * checksum (a parquet file's worth), so the list is bounded by
+    * shard size, never corpus size; everything else is one grouped
+    * pass. */
+  def datasetManifest(docs: DataFrame, shards: Long = 8L): DataFrame =
+    docs.select(col("source"), (col("doc_id") % shards).as("shard"),
+        col("n_chars"), md5(col("text").cast("binary")).as("h"))
+      .groupBy("source", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+        md5(concat_ws("", sort_array(collect_list(col("h"))))
+          .cast("binary")).as("manifest_md5"))
+
   /** Shard-packing efficiency audit over [[shardAssignments]]: per
     * source, how many shards the manifest produced and how tightly
     * they pack against the target (offset binning guarantees every

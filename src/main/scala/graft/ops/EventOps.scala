@@ -2526,6 +2526,37 @@ object EventOps {
     * round at the end. N reaches each arm via a 1-row broadcast, not
     * a driver collect. Shape: one map-side-combined groupBy over the
     * log — nothing else touches corpus-sized data. */
+  /** Day-of-week seasonality index: each weekday's average daily
+    * volume as a ratio to the overall average — the multiplicative
+    * seasonal profile (index 1.3 = "Mondays run 30% hot") that
+    * [[dowAnomalies]] scores deviations AGAINST. The decomposition
+    * view of the same weekly cycle.
+    *
+    * The weekday number is derived ARITHMETICALLY — isodow =
+    * (epoch_days + 3) mod 7 + 1, Monday=1 — because Spark's
+    * `dayofweek` (1=Sunday) and DuckDB's (0=Sunday) disagree; integer
+    * epoch-day arithmetic cannot. Counts are exact; the two averages
+    * and their ratio are pinned double divisions, 6dp. Shape: one
+    * corpus-sized daily collapse, everything after runs on ≤7 rows. */
+  def dowSeasonalityIndex(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val per = daily
+      .withColumn("isodow",
+        (datediff(col("day"), lit("1970-01-01").cast("date")).cast("long") +
+          lit(3L)) % lit(7L) + lit(1L))
+      .groupBy("isodow")
+      .agg(count(lit(1)).as("n_days"), sum("n").as("n_events"))
+    val tot = per.agg(sum("n_days").as("td"), sum("n_events").as("te"))
+    per.crossJoin(broadcast(tot))
+      .select(col("isodow"), col("n_days"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_days").cast("double"), 6)
+          .as("avg_per_day"),
+        round((col("n_events").cast("double") / col("n_days").cast("double")) /
+          (col("te").cast("double") / col("td").cast("double")), 6)
+          .as("seasonality_index"))
+  }
+
   /** Exact one-vs-rest AUC per event type, treating `value` as a
     * score for "is this event of type t": the ML-eval completion
     * beside [[mannWhitneyTypePairs]] (AUC IS U/(n₁·n₀) — the same

@@ -624,6 +624,54 @@ object GraphOps {
     * downstream wedge join is ≤ |V|·k² — no hub skew exists to cap,
     * and the per-term top-k is one partition-local window over the
     * already-thresholded pair set. */
+  /** Degree assortativity (Newman '02): the Pearson correlation of
+    * endpoint degrees over all edges — do hubs attach to hubs
+    * (r → 1, social nets) or to leaves (r → −1, tech/biological
+    * nets)? One scalar that tells you whether the graph's heavy keys
+    * CLUSTER (a salting/partitioning concern for every graph op in
+    * this module) or spread out.
+    *
+    * With each edge counted in both directions the symmetric Pearson
+    * collapses to r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — every sum
+    * an exact BIGINT over the directed endpoint-degree pairs, one
+    * double division at the end (NULL when the variance is 0, e.g. a
+    * regular graph). BIGINT headroom: Σx² ≤ n·D², overflowing only
+    * past n·D² ≈ 9e18 — cap degrees upstream (the linkPrediction
+    * maxDeg knob) long before that.
+    *
+    * Shape: degree collapse + two node-keyed joins of the edge list
+    * against the (node-cardinality) degree frame → 1-row aggregate;
+    * the checkpoint stops the expensive upstream edge miner from
+    * running once per consumer. */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint()
+    val deg = e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    val dp = e
+      .join(deg.select(col("node").as("u"), col("deg").as("x")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("y")), "v")
+    val s = dp.agg(count(lit(1)).as("n"), sum("x").as("sx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val den = col("n") * col("sxx") - col("sx") * col("sx")
+    val num = col("n") * col("sxy") - col("sx") * col("sx")
+    s.crossJoin(broadcast(nodes))
+      .select((col("n") / lit(2)).cast("long").as("n_edges"),
+        col("n_nodes"),
+        when(den > 0L,
+          round(num.cast("double") / den.cast("double"), 6))
+          .as("assortativity"))
+  }
+
+  /** [[degreeAssortativity]] over the term co-occurrence graph: is
+    * the topical vocabulary core-periphery (hub terms bonded to rare
+    * specialists, r < 0) or stratified (r > 0)? */
+  def cooccurrenceAssortativity(docs: DataFrame): DataFrame =
+    degreeAssortativity(MiningOps.termCooccurrence(docs)
+      .select(col("term_a").as("src"), col("term_b").as("dst")))
+
   def cooccurrenceLinkPrediction(docs: DataFrame, k: Int = 5): DataFrame = {
     val co = MiningOps.termCooccurrence(docs)
     val directed = co.select(col("term_a").as("src"), col("term_b").as("dst"),

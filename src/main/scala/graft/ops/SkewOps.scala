@@ -52,6 +52,44 @@ object SkewOps {
 
   /** Top-k keys by frequency — the diagnostic used to decide whether a
     * join needs salting (run on a sample at scale). */
+  /** Join-size / skew pre-flight profile: BEFORE running a fact⋈fact
+    * join, the exact output cardinality Σ c_l(k)·c_r(k), each side's
+    * second frequency moment F₂ = Σc² (the self-join size — the
+    * quantity AMS sketches estimate), max key multiplicity and the
+    * skew ratio max·keys/rows that decides whether to salt. This is
+    * the planner's-eye view exposed as a query: an AQE-style skew
+    * decision made from exact statistics instead of sampled ones.
+    *
+    * Determinism: every figure is an exact BIGINT from per-key count
+    * collapses; the two skew ratios are one pinned double division
+    * each. Shape: one groupBy per side (map-combined), a key-keyed
+    * join of the two COUNT frames (≪ fact size), three 1-row frames
+    * broadcast together — the facts are never joined. */
+  def joinSizeProfile(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String): DataFrame = {
+    val cl = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val cr = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    val ls = cl.agg(sum("cl").as("n_left"), count(lit(1)).as("keys_left"),
+      sum(col("cl") * col("cl")).as("f2_left"), max("cl").as("max_left"))
+    val rs = cr.agg(sum("cr").as("n_right"), count(lit(1)).as("keys_right"),
+      sum(col("cr") * col("cr")).as("f2_right"), max("cr").as("max_right"))
+    val js = cl.join(cr, "k")
+      .agg(count(lit(1)).as("keys_matched"),
+        sum(col("cl") * col("cr")).as("join_rows"))
+    ls.crossJoin(broadcast(rs)).crossJoin(broadcast(js))
+      .select(col("n_left"), col("keys_left"), col("f2_left"),
+        col("max_left"),
+        round(col("max_left").cast("double") *
+          col("keys_left").cast("double") / col("n_left").cast("double"), 6)
+          .as("skew_left"),
+        col("n_right"), col("keys_right"), col("f2_right"),
+        col("max_right"),
+        round(col("max_right").cast("double") *
+          col("keys_right").cast("double") / col("n_right").cast("double"), 6)
+          .as("skew_right"),
+        col("keys_matched"), col("join_rows"))
+  }
+
   def keyHistogram(df: DataFrame, key: String, k: Int = 20): DataFrame =
     df.groupBy(key)
       .agg(count(lit(1)).as("cnt"))

@@ -603,4 +603,28 @@ class DocPipelineSpec extends SparkSpec {
       ("deep learning model", 1L, 8.0),
       ("deep learning", 1L, 5.0)), got.toString)
   }
+
+  test("datasetManifest: sorted-digest fold is content-addressed and " +
+    "arrival-order independent") {
+    import java.security.MessageDigest
+    def hex(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // ids 0 and 8 land in the same shard (mod 8); id 1 in another
+    val docs = Seq((0L, "alpha", "s1", 5L), (8L, "beta", "s1", 4L),
+      (1L, "gamma", "s1", 5L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val got = DocOps.datasetManifest(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("shard")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars"),
+          r.getAs[String]("manifest_md5")))).toMap
+    val shard0 = hex(Seq(hex("alpha"), hex("beta")).sorted.mkString)
+    assert(got == Map(
+      ("s1", 0L) -> ((2L, 9L, shard0)),
+      ("s1", 1L) -> ((1L, 5L, hex(hex("gamma"))))), got)
+    // permuting arrival order leaves every digest unchanged
+    val perm = DocOps.datasetManifest(
+        docs.orderBy(col("text").desc)).collect()
+      .map(r => r.getAs[String]("manifest_md5")).sorted
+    assert(perm.toSeq == got.values.map(_._3).toSeq.sorted)
+  }
 }

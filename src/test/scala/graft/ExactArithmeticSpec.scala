@@ -523,6 +523,25 @@ class ExactArithmeticSpec extends SparkSpec {
       "y" -> ((4L, 3L, 0.75, r6(0.75 + bonus)))), got)
   }
 
+  test("dowSeasonalityIndex: arithmetic isodow buckets and exact " +
+    "ratio-to-overall indices") {
+    // Mondays 03-04 (2 events) and 03-11 (4) -> isodow 1: avg 3.0;
+    // Tuesday 03-05 (1) -> isodow 2: avg 1.0; overall avg 7/3.
+    val events = (Seq.fill(2)("2024-03-04") ++ Seq("2024-03-05") ++
+      Seq.fill(4)("2024-03-11")).zipWithIndex
+      .map { case (d, i) => ev(i.toLong, d, "a") }.toDF(evCols: _*)
+    val got = EventOps.dowSeasonalityIndex(events).collect()
+      .map(r => r.getAs[Long]("isodow") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("avg_per_day"),
+          r.getAs[Double]("seasonality_index")))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      1L -> ((2L, 6L, 3.0, r6(3.0 / (7.0 / 3.0)))),
+      2L -> ((1L, 1L, 1.0, r6(1.0 / (7.0 / 3.0))))), got)
+  }
+
   test("valueAucByType: midrank one-vs-rest AUC, ties count half") {
     // a: {1, 2, 3}; b: {2, 4}. Pair score a-vs-b: wins 1 (3>2),
     // ties 1 (2=2) -> U_a = 1.5 of 6 -> AUC_a = 0.25, AUC_b = 0.75.

@@ -240,4 +240,17 @@ class GraphOpsSpec extends SparkSpec {
     // capping degree below the wedge centers' degree leaves no wedges
     assert(GraphOps.linkPredictionScores(edges, maxDeg = 2).isEmpty)
   }
+
+  test("degreeAssortativity: star is exactly -1, regular graph NULL") {
+    // K1,3 star: directed endpoint-degree pairs (3,1)×3 and (1,3)×3
+    // -> r = (6·18 − 12²)/(6·30 − 12²) = −36/36 = −1
+    val star = Seq("c" -> "l1", "c" -> "l2", "c" -> "l3").toDF("src", "dst")
+    val r = GraphOps.degreeAssortativity(star).collect().head
+    assert((r.getAs[Long]("n_edges"), r.getAs[Long]("n_nodes"),
+      r.getAs[Double]("assortativity")) == ((3L, 4L, -1.0)), r)
+    // a triangle is 2-regular: zero degree variance -> NULL r, not 0/0
+    val tri = Seq("a" -> "b", "b" -> "c", "a" -> "c").toDF("src", "dst")
+    val t = GraphOps.degreeAssortativity(tri).collect().head
+    assert(t.isNullAt(t.fieldIndex("assortativity")), t)
+  }
 }

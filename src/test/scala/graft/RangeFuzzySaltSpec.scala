@@ -339,4 +339,21 @@ class RangeFuzzySaltSpec extends SparkSpec {
       "SEG_A" -> ((1L, -1L, true, 0.9, 0.8)),
       "SEG_B" -> ((1L, -1L, true, 0.3, 0.2))), got)
   }
+
+  test("joinSizeProfile: exact F2, join cardinality and skew ratios " +
+    "without touching the fact join") {
+    // left keys a,a,a,b -> counts {a:3, b:1}; right a,b,b -> {a:1, b:2}
+    // F2_left = 10, F2_right = 5, join rows = 3·1 + 1·2 = 5
+    val left = Seq("a", "a", "a", "b").toDF("lk")
+    val right = Seq("a", "b", "b").toDF("rk")
+    val r = SkewOps.joinSizeProfile(left, right, "lk", "rk").collect().head
+    assert((r.getAs[Long]("n_left"), r.getAs[Long]("keys_left"),
+      r.getAs[Long]("f2_left"), r.getAs[Long]("max_left"),
+      r.getAs[Double]("skew_left")) == ((4L, 2L, 10L, 3L, 1.5)), r)
+    assert((r.getAs[Long]("n_right"), r.getAs[Long]("keys_right"),
+      r.getAs[Long]("f2_right"), r.getAs[Long]("max_right"),
+      r.getAs[Double]("skew_right")) == ((3L, 2L, 5L, 2L, 1.333333)), r)
+    assert((r.getAs[Long]("keys_matched"), r.getAs[Long]("join_rows"))
+      == ((2L, 5L)), r)
+  }
 }
