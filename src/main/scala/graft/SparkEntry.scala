@@ -729,6 +729,11 @@ object SparkEntry {
     "dow_seasonality_index" ->
       ((s, d) => EventOps.dowSeasonalityIndex(events(s, d))),
     "dataset_manifest" -> ((s, d) => DocOps.datasetManifest(documents(s, d))),
+    "value_wasserstein_drift" ->
+      ((s, d) => EventOps.valueWassersteinDrift(events(s, d))),
+    "rolling_median_daily" ->
+      ((s, d) => EventOps.rollingMedianDaily(events(s, d))),
+    "langid_prf1" -> ((s, d) => DocOps.langIdPrf1(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -4656,6 +4661,84 @@ object SparkEntry {
         "CAST(sum(n_chars) AS BIGINT) AS total_chars, " +
         "md5(string_agg(md5(text), '' ORDER BY md5(text))) AS manifest_md5 " +
         "FROM documents GROUP BY 1, 2"),
+    // Mirrors EventOps.valueWassersteinDrift: the ks_value_drift CTE
+    // prefix; W1·n1·n2 = Σ|cum1·n2 − cum2·n1|·gap in HUGEINT (Spark:
+    // DECIMAL(38,0)) — identical exact integer, one double division.
+    "value_wasserstein_drift" ->
+      ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bin, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT min(us) AS lo, max(us) AS hi FROM b), " +
+        "h AS (SELECT bin, CASE WHEN us <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half FROM b CROSS JOIN m), " +
+        "c AS (SELECT bin, " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM h GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, " +
+        "CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "e AS (SELECT bin, n1, n2, " +
+        "CAST(sum(c1) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum1, " +
+        "CAST(sum(c2) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum2, " +
+        "lead(bin) OVER (ORDER BY bin ASC) - bin AS gap " +
+        "FROM c CROSS JOIN t), " +
+        "s AS (SELECT max(n1) AS n_first, max(n2) AS n_second, " +
+        "CAST(sum(abs(CAST(cum1 AS HUGEINT) * n2 - " +
+        "CAST(cum2 AS HUGEINT) * n1) * gap) AS DOUBLE) AS num " +
+        "FROM e WHERE gap IS NOT NULL) " +
+        "SELECT n_first, n_second, " +
+        "round(num / (CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE)), 6) " +
+        "AS w1_distance FROM s"),
+    // Mirrors EventOps.rollingMedianDaily: dense calendar, ±3-day
+    // neighborhood join, quantile_cont ≡ percentile exact-interpolation
+    // parity, ratio NULL on zero median.
+    "rolling_median_daily" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "cal AS (SELECT CAST(unnest(generate_series(" +
+        "(SELECT min(day) FROM daily), (SELECT max(day) FROM daily), " +
+        "INTERVAL 1 DAY)) AS DATE) AS day), " +
+        "grid AS (SELECT c.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n " +
+        "FROM cal c LEFT JOIN daily d ON d.day = c.day), " +
+        "med AS (SELECT c.day, CAST(count(*) AS BIGINT) AS w_size, " +
+        "quantile_cont(o.n, 0.5) AS med FROM grid c JOIN grid o " +
+        "ON date_diff('day', c.day, o.day) BETWEEN -3 AND 3 " +
+        "GROUP BY 1) " +
+        "SELECT g.day, g.n, m.w_size, round(m.med, 6) AS med_window, " +
+        "CASE WHEN m.med > 0.0 THEN " +
+        "round(CAST(g.n AS DOUBLE) / m.med, 6) END AS ratio " +
+        "FROM grid g JOIN med m ON m.day = g.day"),
+    // Mirrors DocOps.langIdPrf1 over the shared languageIdSql
+    // detector: exact tp/marginals, pinned p/r/f1 with NULL-denominator
+    // guards and f1 = 0 at tp = 0.
+    "langid_prf1" ->
+      (s"WITH cells AS (SELECT lang, pred_lang, " +
+        s"CAST(count(*) AS BIGINT) AS n FROM ($languageIdSql) GROUP BY 1, 2), " +
+        "tr AS (SELECT lang AS language, CAST(sum(n) AS BIGINT) AS n_true " +
+        "FROM cells GROUP BY 1), " +
+        "pr AS (SELECT pred_lang AS language, CAST(sum(n) AS BIGINT) " +
+        "AS n_pred FROM cells GROUP BY 1), " +
+        "d AS (SELECT lang AS language, CAST(sum(n) AS BIGINT) AS tp " +
+        "FROM cells WHERE lang = pred_lang GROUP BY 1), " +
+        "j AS (SELECT language, coalesce(n_true, 0) AS n_true, " +
+        "coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp " +
+        "FROM tr FULL OUTER JOIN pr USING (language) " +
+        "LEFT JOIN d USING (language)) " +
+        "SELECT language, n_true, n_pred, tp, " +
+        "CASE WHEN n_pred > 0 THEN " +
+        "round(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE), 6) END " +
+        "AS precision, " +
+        "CASE WHEN n_true > 0 THEN " +
+        "round(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE), 6) END " +
+        "AS recall, " +
+        "CASE WHEN n_pred > 0 AND n_true > 0 THEN " +
+        "CASE WHEN tp > 0 THEN round(2.0 * " +
+        "(CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)) * " +
+        "(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)) / " +
+        "((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)) + " +
+        "(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))), 6) " +
+        "ELSE 0.0 END END AS f1 FROM j"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -1273,6 +1273,48 @@ object DocOps {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Per-class precision/recall/F1 of [[languageId]] against the
+    * declared `lang` label — the metric layer over [[langConfusion]]'s
+    * raw matrix (and the per-class complement of [[langAgreementKappa]]'s
+    * single chance-corrected scalar): which languages the detector can
+    * be TRUSTED to filter by, and in which direction it fails
+    * (precision loss = foreign docs leak in; recall loss = the class's
+    * own docs leak out). Classes are the union of declared and
+    * predicted labels, so `und` (no stopword evidence) appears with
+    * NULL recall rather than vanishing.
+    *
+    * Determinism: tp and both marginals are exact BIGINTs from the
+    * one (lang, pred) collapse; p/r/f1 are pinned double divisions —
+    * NULL where the denominator is 0, and f1 pinned to 0.0 when both
+    * marginals exist but tp = 0 (the 0/0 of the harmonic mean).
+    * Shape: the detector scan is the only corpus-sized pass; the
+    * matrix and its marginals are |langs|²-bounded. */
+  def langIdPrf1(docs: DataFrame): DataFrame = {
+    val cells = languageId(docs)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val truth = cells.groupBy(col("lang").as("language"))
+      .agg(sum("n").as("n_true"))
+    val pred = cells.groupBy(col("pred_lang").as("language"))
+      .agg(sum("n").as("n_pred"))
+    val tp = cells.filter(col("lang") === col("pred_lang"))
+      .select(col("lang").as("language"), col("n").as("tp"))
+    val joined = truth.join(pred, Seq("language"), "full_outer")
+      .join(tp, Seq("language"), "left")
+      .select(col("language"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+    val p = col("tp").cast("double") / col("n_pred").cast("double")
+    val r = col("tp").cast("double") / col("n_true").cast("double")
+    joined.select(col("language"), col("n_true"), col("n_pred"), col("tp"),
+      when(col("n_pred") > 0L, round(p, 6)).as("precision"),
+      when(col("n_true") > 0L, round(r, 6)).as("recall"),
+      when(col("n_pred") > 0L && col("n_true") > 0L,
+        when(col("tp") > 0L, round(lit(2.0) * p * r / (p + r), 6))
+          .otherwise(lit(0.0))).as("f1"))
+  }
+
   /** Language-ID confusion matrix: declared `lang` × [[languageId]]'s
     * `pred_lang`, with document counts — the calibration readout that
     * tells you whether to trust the declared labels or the detector

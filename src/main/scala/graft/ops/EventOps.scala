@@ -2449,6 +2449,87 @@ object EventOps {
         round(col("gap"), 6).as("ks_stat"), col("bin").as("at_bin"))
   }
 
+  /** Wasserstein-1 (earth-mover) drift of the binned `value`
+    * distribution between the first and second halves of the time
+    * range — the MAGNITUDE counterpart of [[ksValueDrift]]'s max-gap
+    * statistic: KS says whether the ECDFs separate, W₁ integrates BY
+    * HOW MUCH mass must move (W₁ = ∫|F₁−F₂|). Two distributions can
+    * share a small KS but a large W₁ (a long thin tail shift) — drift
+    * monitors want both.
+    *
+    * Exactness: on the integer-bin grid W₁·n₁·n₂ =
+    * Σ |cum₁·n₂ − cum₂·n₁|·gap — every factor an exact integer. The
+    * products run in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), good
+    * to ~10¹⁷ rows per half before precision loss; ONE double
+    * division at the end. Scale: the ECDF frame is bounded by the
+    * value RANGE (same argument as KS); both serial windows order
+    * that collapsed grid. */
+  def valueWassersteinDrift(events: DataFrame): DataFrame = {
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(floor(col("value")).cast("long").as("bin"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val counts = half.groupBy("bin")
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+    val totals = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val wCum = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy(col("bin").asc)
+    val terms = counts
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("gap", lead(col("bin"), 1).over(wLead) - col("bin"))
+      .filter(col("gap").isNotNull)
+    terms.crossJoin(broadcast(totals))
+      .agg(max("n1").as("n_first"), max("n2").as("n_second"),
+        sum(abs(col("cum1").cast("decimal(19,0)") *
+            col("n2").cast("decimal(19,0)") -
+            col("cum2").cast("decimal(19,0)") *
+              col("n1").cast("decimal(19,0)")) *
+          col("gap").cast("decimal(10,0)")).as("num"))
+      .select(col("n_first"), col("n_second"),
+        round(col("num").cast("double") /
+          (col("n_first").cast("double") * col("n_second").cast("double")), 6)
+          .as("w1_distance"))
+  }
+
+  /** Rolling-median daily-volume smoother: each calendar day's count
+    * beside the exact median of its ±`window`-day neighborhood over
+    * the DENSE zero-filled calendar — the robust local baseline
+    * (median ignores a burst day; a 7-day span absorbs the weekly
+    * cycle [[dowSeasonalityIndex]] profiles). `ratio` = n/median is
+    * the Hampel-style deviation a freshness monitor thresholds.
+    *
+    * Determinism: counts are integers; the interpolated median of
+    * integers is exact ((lo+hi)/2 — the established quantile_cont ≡
+    * percentile parity); the ratio is one pinned division, NULL when
+    * the window median is 0. Shape: one corpus-sized daily collapse;
+    * the neighborhood join is calendar × (2w+1) — a constant of the
+    * observation span, never data-proportional. */
+  def rollingMedianDaily(events: DataFrame, window: Int = 3): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+      .localCheckpoint()
+    val med = grid.as("c").join(grid.as("o"),
+        datediff(col("o.day"), col("c.day")).between(-window, window))
+      .groupBy(col("c.day").as("day"))
+      .agg(count(lit(1)).as("w_size"),
+        expr("percentile(o.n, 0.5)").as("med"))
+    grid.join(med, "day")
+      .select(col("day"), col("n"), col("w_size"),
+        round(col("med"), 6).as("med_window"),
+        when(col("med") > 0.0,
+          round(col("n").cast("double") / col("med"), 6)).as("ratio"))
+  }
+
   /** Forecast backtest: naive (yesterday) vs seasonal-naive (same day
     * last week) one-step-ahead forecasts of daily volume per type,
     * scored by MAE over the zero-filled calendar — the model-selection

@@ -604,6 +604,28 @@ class DocPipelineSpec extends SparkSpec {
       ("deep learning", 1L, 5.0)), got.toString)
   }
 
+  test("langIdPrf1: per-class tp/marginals with NULL-denominator " +
+    "guards and the tp=0 f1 pin") {
+    val docs = Seq(
+      (1L, "the cat and the dog", "en"),        // pred en  -> en tp
+      (2L, "xyzzy qwert", "en"),                // pred und -> en fn
+      (3L, "le chat et la maison de paris", "fr"), // pred fr -> fr tp
+      (4L, "the train of the station", "de"))   // pred en  -> en fp, de fn
+      .toDF("doc_id", "text", "lang")
+    val got = graft.ops.DocOps.langIdPrf1(docs).collect()
+      .map(r => r.getAs[String]("language") ->
+        ((r.getAs[Long]("n_true"), r.getAs[Long]("n_pred"),
+          r.getAs[Long]("tp"),
+          Option(r.getAs[java.lang.Double]("precision")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("recall")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("f1")).map(_.toDouble)))).toMap
+    assert(got == Map(
+      "en" -> ((2L, 2L, 1L, Some(0.5), Some(0.5), Some(0.5))),
+      "fr" -> ((1L, 1L, 1L, Some(1.0), Some(1.0), Some(1.0))),
+      "de" -> ((1L, 0L, 0L, None, Some(0.0), None)),
+      "und" -> ((0L, 1L, 0L, Some(0.0), None, None))), got)
+  }
+
   test("datasetManifest: sorted-digest fold is content-addressed and " +
     "arrival-order independent") {
     import java.security.MessageDigest

@@ -542,6 +542,39 @@ class ExactArithmeticSpec extends SparkSpec {
       2L -> ((1L, 1L, 1.0, r6(1.0 / (7.0 / 3.0))))), got)
   }
 
+  test("valueWassersteinDrift: unit-bin earth mover equals the " +
+    "hand-integrated |F1-F2|") {
+    // half 1 mass at bins {0,1}, half 2 at {2,3} — a shift by exactly
+    // 2 bins, so W1 = 2.0. (KS on the same fixture would read 1.0 and
+    // say nothing about the shift size.)
+    def tev(i: Long, sec: Int, v: Double) =
+      (i, Timestamp.valueOf(f"2024-03-01 10:00:$sec%02d"), 1L, "a", v, "{}")
+    val events = Seq(tev(1, 0, 0.4), tev(2, 1, 1.2),
+      tev(3, 9, 2.5), tev(4, 10, 3.7)).toDF(evCols: _*)
+    val r = EventOps.valueWassersteinDrift(events).collect().head
+    assert((r.getAs[Long]("n_first"), r.getAs[Long]("n_second"),
+      r.getAs[Double]("w1_distance")) == ((2L, 2L, 2.0)), r)
+  }
+
+  test("rollingMedianDaily: exact interpolated window medians over " +
+    "the zero-filled calendar") {
+    // daily counts 03-01..05: [1, 9, 2, 0(zero-filled), 3]
+    val events = (Seq.fill(1)("2024-03-01") ++ Seq.fill(9)("2024-03-02") ++
+      Seq.fill(2)("2024-03-03") ++ Seq.fill(3)("2024-03-05")).zipWithIndex
+      .map { case (d, i) => ev(i.toLong, d, "a") }.toDF(evCols: _*)
+    val got = EventOps.rollingMedianDaily(events).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("w_size"),
+          r.getAs[Double]("med_window"),
+          Option(r.getAs[java.lang.Double]("ratio")).map(_.toDouble)))).toMap
+    assert(got == Map(
+      "2024-03-01" -> ((1L, 4L, 1.5, Some(0.666667))), // [0,1,2,9] -> 1.5
+      "2024-03-02" -> ((9L, 5L, 2.0, Some(4.5))),
+      "2024-03-03" -> ((2L, 5L, 2.0, Some(1.0))),
+      "2024-03-04" -> ((0L, 5L, 2.0, Some(0.0))),      // zero-filled day
+      "2024-03-05" -> ((3L, 4L, 2.5, Some(1.2)))), got)
+  }
+
   test("valueAucByType: midrank one-vs-rest AUC, ties count half") {
     // a: {1, 2, 3}; b: {2, 4}. Pair score a-vs-b: wins 1 (3>2),
     // ties 1 (2=2) -> U_a = 1.5 of 6 -> AUC_a = 0.25, AUC_b = 0.75.
