@@ -734,6 +734,13 @@ object SparkEntry {
     "rolling_median_daily" ->
       ((s, d) => EventOps.rollingMedianDaily(events(s, d))),
     "langid_prf1" -> ((s, d) => DocOps.langIdPrf1(documents(s, d))),
+    "cuped_adjusted_ab" ->
+      ((s, d) => EventOps.cupedAdjustedAb(events(s, d))),
+    "cohort_ltv_curve" -> ((s, d) => EventOps.cohortLtvCurve(events(s, d))),
+    "part_affinity_pairs" ->
+      ((s, d) => MiningOps.partAffinityPairs(lineitem(s, d))),
+    "filter_attrition_waterfall" ->
+      ((s, d) => DocOps.filterAttritionWaterfall(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -4739,6 +4746,121 @@ object SparkEntry {
         "((CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)) + " +
         "(CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE))), 6) " +
         "ELSE 0.0 END END AS f1 FROM j"),
+    // Mirrors EventOps.cupedAdjustedAb: exact BIGINT-cent half sums,
+    // HUGEINT moments (Spark: DECIMAL(38,0)), pinned double theta/
+    // means/diffs, NULL on zero pre-period variance.
+    "cuped_adjusted_ab" ->
+      ("WITH m0 AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi " +
+        "FROM events), " +
+        "pu AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN epoch_us(ts) <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) " +
+        "AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN epoch_us(ts) > CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) " +
+        "AS BIGINT) AS y, user_id % 2 AS arm " +
+        "FROM events CROSS JOIN m0 GROUP BY user_id), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "sum(CAST(x AS HUGEINT) * y) AS sxy, " +
+        "sum(CAST(x AS HUGEINT) * x) AS sxx, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b " +
+        "FROM pu), " +
+        "d AS (SELECT *, " +
+        "CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) " +
+        "AS varx, " +
+        "CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) " +
+        "AS covxy FROM m), " +
+        "d2 AS (SELECT *, covxy / varx AS theta, " +
+        "CAST(sy_a AS DOUBLE) / 100.0 / CAST(n_a AS DOUBLE) AS mya, " +
+        "CAST(sy_b AS DOUBLE) / 100.0 / CAST(n_b AS DOUBLE) AS myb, " +
+        "CAST(sx_a AS DOUBLE) / 100.0 / CAST(n_a AS DOUBLE) AS mxa, " +
+        "CAST(sx_b AS DOUBLE) / 100.0 / CAST(n_b AS DOUBLE) AS mxb, " +
+        "CAST(sx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mxall FROM d) " +
+        "SELECT n_a, n_b, round(mya, 6) AS mean_y_a, " +
+        "round(myb, 6) AS mean_y_b, round(mya - myb, 6) AS raw_diff, " +
+        "CASE WHEN varx > 0.0 THEN round(theta, 6) END AS theta, " +
+        "CASE WHEN varx > 0.0 THEN round((mya - theta * (mxa - mxall)) - " +
+        "(myb - theta * (mxb - mxall)), 6) END AS adj_diff FROM d2"),
+    // Mirrors EventOps.cohortLtvCurve: BIGINT-cent daily collapse,
+    // per-cohort cumulative window over observed ages, pinned LTV
+    // division chain.
+    "cohort_ltv_curve" ->
+      ("WITH ud AS (SELECT user_id, CAST(ts AS DATE) AS day, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS dc FROM events GROUP BY 1, 2), " +
+        "f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1), " +
+        "sz AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS n_users " +
+        "FROM f GROUP BY 1), " +
+        "a AS (SELECT f.cohort_day, " +
+        "CAST(date_diff('day', f.cohort_day, ud.day) AS BIGINT) AS age, " +
+        "CAST(sum(dc) AS BIGINT) AS sc FROM ud JOIN f USING (user_id) " +
+        "GROUP BY 1, 2), " +
+        "c AS (SELECT cohort_day, age, CAST(sum(sc) OVER (" +
+        "PARTITION BY cohort_day ORDER BY age ASC ROWS UNBOUNDED " +
+        "PRECEDING) AS BIGINT) AS cum_cents FROM a) " +
+        "SELECT c.cohort_day, c.age, sz.n_users, c.cum_cents, " +
+        "round(CAST(cum_cents AS DOUBLE) / 100.0 / " +
+        "CAST(n_users AS DOUBLE), 6) AS ltv_per_user " +
+        "FROM c JOIN sz USING (cohort_day)"),
+    // Mirrors MiningOps.partAffinityPairs: per-order distinct-part
+    // pair join (basket-width-bounded), exact counts, pinned
+    // support/lift ratios.
+    "part_affinity_pairs" ->
+      ("WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "no AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) " +
+        "AS n_orders FROM dp), " +
+        "df AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS df " +
+        "FROM dp GROUP BY 1), " +
+        "p AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, " +
+        "CAST(count(*) AS BIGINT) AS n_pair FROM dp a JOIN dp b " +
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 3) " +
+        "SELECT part_a, part_b, n_pair, da.df AS df_a, db.df AS df_b, " +
+        "round(CAST(n_pair AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) " +
+        "AS support, " +
+        "round(CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE) / " +
+        "(CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE)), 6) AS lift " +
+        "FROM p JOIN df da ON da.l_partkey = p.part_a " +
+        "JOIN df db ON db.l_partkey = p.part_b CROSS JOIN no"),
+    // Mirrors DocOps.filterAttritionWaterfall over languageIdSql:
+    // prefix-AND BIGINT sums, integer cross-multiplied TTR rule,
+    // guarded retention ratios.
+    "filter_attrition_waterfall" ->
+      (s"WITH li AS ($languageIdSql), " +
+        "fl AS (SELECT (length(trim(text)) > 0) AS f1, " +
+        "(n_chars >= 100) AS f2, (n_chars <= 500) AS f3, " +
+        "(CAST(len(list_distinct(regexp_split_to_array(lower(trim(text)), " +
+        "'\\s+'))) AS BIGINT) * 10 >= " +
+        "CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) " +
+        "AS BIGINT) * 3) AS f4, " +
+        "(pred_lang = lang) AS f5 FROM li), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS s0, " +
+        "CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1, " +
+        "CAST(sum(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2, " +
+        "CAST(sum(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS s3, " +
+        "CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS s4, " +
+        "CAST(sum(CASE WHEN f1 AND f2 AND f3 AND f4 AND f5 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS s5 FROM fl), " +
+        "w AS (SELECT 0 AS stage, 'total' AS rule, s0 AS n_pass, " +
+        "s0 AS n_prev FROM s " +
+        "UNION ALL SELECT 1, 'nonempty', s1, s0 FROM s " +
+        "UNION ALL SELECT 2, 'min_length', s2, s1 FROM s " +
+        "UNION ALL SELECT 3, 'max_length', s3, s2 FROM s " +
+        "UNION ALL SELECT 4, 'lexical_diversity', s4, s3 FROM s " +
+        "UNION ALL SELECT 5, 'langid_agrees', s5, s4 FROM s) " +
+        "SELECT CAST(stage AS BIGINT) AS stage, rule, n_pass, " +
+        "n_prev - n_pass AS n_dropped, " +
+        "CASE WHEN n_prev > 0 THEN " +
+        "round(CAST(n_pass AS DOUBLE) / CAST(n_prev AS DOUBLE), 6) END " +
+        "AS retention FROM w"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -1273,6 +1273,51 @@ object DocOps {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Filter-attrition waterfall: the corpus-cleaning funnel's
+    * observability row — for each successive quality rule (non-empty →
+    * length window → lexical diversity → detector-label agreement),
+    * how many documents survive the rules SO FAR, how many this rule
+    * dropped, and the stage retention rate. Pipelines tune thresholds
+    * from exactly this readout (a rule that drops 40% is a bug or a
+    * decision; the waterfall is what surfaces it).
+    *
+    * Determinism: every count is an exact BIGINT prefix-AND sum from
+    * ONE scan (the detector is the only nontrivial flag); the TTR rule
+    * compares integers cross-multiplied (distinct·10 ≥ tokens·3), no
+    * float threshold; retention is a guarded pinned division. Shape:
+    * one corpus pass, a 1-row aggregate, a 6-row stack. */
+  def filterAttritionWaterfall(docs: DataFrame): DataFrame = {
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val flagged = languageId(docs).select(
+      (length(trim(col("text"))) > 0).as("f1"),
+      (col("n_chars") >= 100L).as("f2"),
+      (col("n_chars") <= 500L).as("f3"),
+      (size(array_distinct(toks)).cast("long") * lit(10L) >=
+        size(toks).cast("long") * lit(3L)).as("f4"),
+      (col("pred_lang") === col("lang")).as("f5"))
+    val s = flagged.agg(count(lit(1)).as("s0"),
+      sum(when(col("f1"), 1L).otherwise(0L)).as("s1"),
+      sum(when(col("f1") && col("f2"), 1L).otherwise(0L)).as("s2"),
+      sum(when(col("f1") && col("f2") && col("f3"), 1L).otherwise(0L))
+        .as("s3"),
+      sum(when(col("f1") && col("f2") && col("f3") && col("f4"), 1L)
+        .otherwise(0L)).as("s4"),
+      sum(when(col("f1") && col("f2") && col("f3") && col("f4") &&
+        col("f5"), 1L).otherwise(0L)).as("s5"))
+    s.select(expr("stack(6, " +
+        "0, 'total', s0, s0, " +
+        "1, 'nonempty', s1, s0, " +
+        "2, 'min_length', s2, s1, " +
+        "3, 'max_length', s3, s2, " +
+        "4, 'lexical_diversity', s4, s3, " +
+        "5, 'langid_agrees', s5, s4) AS (stage, rule, n_pass, n_prev)"))
+      .select(col("stage").cast("long").as("stage"), col("rule"),
+        col("n_pass"), (col("n_prev") - col("n_pass")).as("n_dropped"),
+        when(col("n_prev") > 0L,
+          round(col("n_pass").cast("double") / col("n_prev").cast("double"),
+            6)).as("retention"))
+  }
+
   /** Per-class precision/recall/F1 of [[languageId]] against the
     * declared `lang` label — the metric layer over [[langConfusion]]'s
     * raw matrix (and the per-class complement of [[langAgreementKappa]]'s

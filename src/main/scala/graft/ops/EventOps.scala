@@ -2607,6 +2607,103 @@ object EventOps {
     * round at the end. N reaches each arm via a 1-row broadcast, not
     * a driver collect. Shape: one map-side-combined groupBy over the
     * log — nothing else touches corpus-sized data. */
+  /** CUPED-adjusted A/B readout (Deng et al. '13): the
+    * [[abConversionZtest]] experiment again, but on the CONTINUOUS
+    * per-user value outcome with the pre-period as a control
+    * covariate — adjusted_y = y − θ·(x − x̄), θ = cov(x,y)/var(x).
+    * Users' first-half spend predicts their second-half spend, so
+    * subtracting the predictable part shrinks variance and the
+    * adjusted arm difference converges at a fraction of the sample —
+    * the industry-standard variance-reduction layer every experiment
+    * platform runs.
+    *
+    * Determinism: per-user half-sums become exact BIGINT cents
+    * (values are 2dp); every moment (Σx, Σy, Σxy, Σx²) is an exact
+    * integer in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — good to
+    * ~10¹⁸ cent²-units — and θ, the means, and both diffs are pinned
+    * double arithmetic with one 6dp round each. Zero pre-period
+    * variance ⇒ NULL θ and adjusted columns, not a division error.
+    * Shape: per-user collapse → 1-row moment aggregate; the corpus is
+    * touched once. */
+  def cupedAdjustedAb(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val perUser = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(col("user_id"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), cents)
+          .otherwise(0L).as("xc"),
+        when(unix_micros(col("ts")) > expr("(lo + hi) div 2"), cents)
+          .otherwise(0L).as("yc"))
+      .groupBy("user_id")
+      .agg(sum("xc").as("x"), sum("yc").as("y"))
+      .withColumn("arm", col("user_id") % lit(2L))
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x").cast("decimal(38,0)") * col("y")).as("sxy"),
+      sum(col("x").cast("decimal(38,0)") * col("x")).as("sxx"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("sy_b"))
+    def mean(s: String, n: String) =
+      col(s).cast("double") / 100.0 / col(n).cast("double")
+    val varX = col("n").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")
+    val theta = (col("n").cast("decimal(38,0)") * col("sxy") -
+      col("sx").cast("decimal(38,0)") * col("sy")).cast("double") /
+      varX.cast("double")
+    val adjA = mean("sy_a", "n_a") -
+      theta * (mean("sx_a", "n_a") - mean("sx", "n"))
+    val adjB = mean("sy_b", "n_b") -
+      theta * (mean("sx_b", "n_b") - mean("sx", "n"))
+    m.select(col("n_a"), col("n_b"),
+      round(mean("sy_a", "n_a"), 6).as("mean_y_a"),
+      round(mean("sy_b", "n_b"), 6).as("mean_y_b"),
+      round(mean("sy_a", "n_a") - mean("sy_b", "n_b"), 6).as("raw_diff"),
+      when(varX > 0L, round(theta, 6)).as("theta"),
+      when(varX > 0L, round(adjA - adjB, 6)).as("adj_diff"))
+  }
+
+  /** Cohort LTV curve: cumulative value per user by acquisition
+    * cohort and age — the REVENUE companion of [[cohortRetention]]'s
+    * user counts ("day-14 LTV of the March 3rd cohort"), the curve
+    * every growth model fits. Cohort = a user's first event day; each
+    * (cohort, age) row carries the cohort's cumulative cents so far
+    * and the per-user LTV.
+    *
+    * Determinism: value collapses to exact BIGINT cents; the
+    * cumulative window is partitioned BY COHORT over the observed-age
+    * frame; LTV is one pinned double chain (cents → /100 → /users).
+    * Shape: one per-(user, day) collapse, a broadcast-joined first-day
+    * frame, then everything lives on the cohort×age grid (≤ span²
+    * rows at any scale). */
+  def cohortLtvCurve(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val userDay = events
+      .select(col("user_id"), to_date(col("ts")).as("day"), cents.as("c"))
+      .groupBy("user_id", "day").agg(sum("c").as("dc"))
+    val first = userDay.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day").agg(count(lit(1)).as("n_users"))
+    val aged = userDay.join(first, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("age"))
+      .agg(sum("dc").as("sc"))
+    val w = Window.partitionBy("cohort_day").orderBy(col("age").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    aged.withColumn("cum_cents", sum(col("sc")).over(w))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("age"), col("n_users"),
+        col("cum_cents"),
+        round(col("cum_cents").cast("double") / 100.0 /
+          col("n_users").cast("double"), 6).as("ltv_per_user"))
+  }
+
   /** Day-of-week seasonality index: each weekday's average daily
     * volume as a ratio to the overall average — the multiplicative
     * seasonal profile (index 1.3 = "Mondays run 30% hot") that

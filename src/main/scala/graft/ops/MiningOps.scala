@@ -93,6 +93,47 @@ object MiningOps {
     * DOUBLE with pinned operand order, the score rounds to 6dp BEFORE
     * ordering, and ties break on doc_id — so the k-th boundary is
     * stable across engines. */
+  /** Market-basket affinity over the order book: which part pairs
+    * co-occur in the same order more often than their popularity
+    * predicts (lift > 1)? The star-schema counterpart of
+    * [[termCooccurrence]] — the same support/confidence/lift
+    * semantics, but the basket is `l_orderkey` and the item is
+    * `l_partkey`, i.e. the recommendation-seed query a retailer runs
+    * on exactly this schema.
+    *
+    * Scale: the pair join is per-ORDER — Σ (parts-per-order choose 2),
+    * linear in orders because basket width is a domain constant
+    * (TPC-H ~7 lines) — never all-pairs over the catalog. Counts and
+    * df's are exact BIGINTs; support/lift are pinned double ratios,
+    * 6dp. `minPairs` prunes the long random tail BEFORE the stat
+    * joins. */
+  def partAffinityPairs(lineitem: DataFrame, minPairs: Long = 3): DataFrame = {
+    val dp = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = dp.select("l_orderkey").distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val df = dp.groupBy(col("l_partkey")).agg(count(lit(1)).as("df"))
+    val pairs = dp.as("a").join(dp.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"),
+        col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairs)
+    pairs
+      .join(df.select(col("l_partkey").as("part_a"), col("df").as("df_a")),
+        "part_a")
+      .join(df.select(col("l_partkey").as("part_b"), col("df").as("df_b")),
+        "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_pair"),
+        col("df_a"), col("df_b"),
+        round(col("n_pair").cast("double") /
+          col("n_orders").cast("double"), 6).as("support"),
+        round(col("n_pair").cast("double") * col("n_orders").cast("double") /
+          (col("df_a").cast("double") * col("df_b").cast("double")), 6)
+          .as("lift"))
+  }
+
   def bm25TopDocs(docs: DataFrame,
       queryTerms: Seq[String] = Seq("join", "filter", "scan"),
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {

@@ -604,6 +604,30 @@ class DocPipelineSpec extends SparkSpec {
       ("deep learning", 1L, 5.0)), got.toString)
   }
 
+  test("filterAttritionWaterfall: each stage drops exactly its " +
+    "planted victim, prefix-AND counts") {
+    val docs = Seq(
+      (1L, "", "en", 0L),                                // stage 1
+      (2L, "the cat and dog", "en", 50L),                // stage 2
+      (3L, "the cat and the dog", "en", 600L),           // stage 3
+      (4L, "word word word word word word word word word the",
+        "en", 200L),                                     // stage 4 (TTR .2)
+      (5L, "le chat et la maison", "en", 200L),          // stage 5 (pred fr)
+      (6L, "the cat and the dog runs", "en", 200L))      // survives
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val got = graft.ops.DocOps.filterAttritionWaterfall(docs).collect()
+      .map(r => r.getAs[Long]("stage") ->
+        ((r.getAs[String]("rule"), r.getAs[Long]("n_pass"),
+          r.getAs[Long]("n_dropped"), r.getAs[Double]("retention")))).toMap
+    assert(got == Map(
+      0L -> (("total", 6L, 0L, 1.0)),
+      1L -> (("nonempty", 5L, 1L, 0.833333)),
+      2L -> (("min_length", 4L, 1L, 0.8)),
+      3L -> (("max_length", 3L, 1L, 0.75)),
+      4L -> (("lexical_diversity", 2L, 1L, 0.666667)),
+      5L -> (("langid_agrees", 1L, 1L, 0.5))), got)
+  }
+
   test("langIdPrf1: per-class tp/marginals with NULL-denominator " +
     "guards and the tp=0 f1 pin") {
     val docs = Seq(

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.ops.{DocOps, EventOps, ProfileOps, VectorOps}
+import graft.ops.{DocOps, EventOps, MiningOps, ProfileOps, VectorOps}
 
 /** Round-11 batch-8 exact-arithmetic operators: binary-weighted EWMA,
   * type×day-of-week mutual information, Benford first-digit profile,
@@ -540,6 +540,65 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(got == Map(
       1L -> ((2L, 6L, 3.0, r6(3.0 / (7.0 / 3.0)))),
       2L -> ((1L, 1L, 1.0, r6(1.0 / (7.0 / 3.0))))), got)
+  }
+
+  test("cupedAdjustedAb: hand-traced theta shrinks the confounded " +
+    "raw diff") {
+    // x (pre) cents 1000/2000/3000/4000, y (post) 2000/4000/6200/8000.
+    // theta = (4·60.6e6 − 1e4·2.02e4)/(4·3.0e7 − 1e8) = 2.02.
+    // arm0 = even users {2,4}: ȳ=60, x̄=30; arm1 = {1,3}: ȳ=41, x̄=20;
+    // x̄_all=25 -> adj diff = (60−2.02·5) − (41+2.02·5) = −1.2 where
+    // the raw diff read +19: the pre-period imbalance was the signal.
+    def cev(i: Long, uid: Long, sec: Int, v: Double) =
+      (i, Timestamp.valueOf(f"2024-03-01 10:00:$sec%02d"), uid, "a", v, "{}")
+    val events = Seq(
+      cev(1, 1L, 0, 10.0), cev(2, 1L, 10, 20.0),
+      cev(3, 2L, 0, 20.0), cev(4, 2L, 10, 40.0),
+      cev(5, 3L, 0, 30.0), cev(6, 3L, 10, 62.0),
+      cev(7, 4L, 0, 40.0), cev(8, 4L, 10, 80.0)).toDF(evCols: _*)
+    val r = EventOps.cupedAdjustedAb(events).collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Double]("mean_y_a"), r.getAs[Double]("mean_y_b"),
+      r.getAs[Double]("raw_diff"), r.getAs[Double]("theta"),
+      r.getAs[Double]("adj_diff")) ==
+      ((2L, 2L, 60.0, 41.0, 19.0, 2.02, -1.2)), r)
+  }
+
+  test("cohortLtvCurve: per-cohort cumulative cents and LTV at " +
+    "observed ages") {
+    def lev(i: Long, uid: Long, day: String, v: Double) =
+      (i, Timestamp.valueOf(s"$day 10:00:00"), uid, "a", v, "{}")
+    // cohort 03-01 = users {1,2}: day0 spend 1.00+3.00, day2 2.00;
+    // cohort 03-02 = user 3: day0 spend 5.00
+    val events = Seq(lev(1, 1L, "2024-03-01", 1.0),
+      lev(2, 2L, "2024-03-01", 3.0), lev(3, 1L, "2024-03-03", 2.0),
+      lev(4, 3L, "2024-03-02", 5.0)).toDF(evCols: _*)
+    val got = EventOps.cohortLtvCurve(events).collect()
+      .map(r => (r.getAs[java.sql.Date]("cohort_day").toString,
+        r.getAs[Long]("age")) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("cum_cents"),
+          r.getAs[Double]("ltv_per_user")))).toMap
+    assert(got == Map(
+      ("2024-03-01", 0L) -> ((2L, 400L, 2.0)),
+      ("2024-03-01", 2L) -> ((2L, 600L, 3.0)),
+      ("2024-03-02", 0L) -> ((1L, 500L, 5.0))), got)
+  }
+
+  test("partAffinityPairs: basket-bounded pair counts with exact " +
+    "support and lift") {
+    // orders: o1{1,2,3} o2{1,2} o3{1,2} o4{3} -> only (1,2) reaches
+    // minPairs 3; df1=df2=3, n_orders=4 -> lift = 3·4/(3·3)
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (4L, 3L), (4L, 3L)) // dup line collapses
+      .toDF("l_orderkey", "l_partkey")
+    val got = MiningOps.partAffinityPairs(li).collect()
+    assert(got.length == 1, got.mkString(", "))
+    val r = got.head
+    assert((r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+      r.getAs[Long]("n_pair"), r.getAs[Long]("df_a"),
+      r.getAs[Long]("df_b"), r.getAs[Double]("support"),
+      r.getAs[Double]("lift")) ==
+      ((1L, 2L, 3L, 3L, 3L, 0.75, 1.333333)), r)
   }
 
   test("valueWassersteinDrift: unit-bin earth mover equals the " +

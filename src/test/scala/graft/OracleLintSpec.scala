@@ -97,6 +97,11 @@ class OracleLintSpec extends AnyFunSuite {
             // DECIMAL sums stay DECIMAL (no HUGEINT path); every such
             // oracle casts the decimal to DOUBLE downstream
             !arg.contains("as decimal") &&
+            // an EXPLICIT HUGEINT sum is the exact-moment idiom
+            // (cuped/wasserstein): deliberately 128-bit, consumed via
+            // a downstream CAST — the widening is the point, not the
+            // bug this lint hunts
+            !arg.contains("as hugeint") &&
             !doubleColumns.contains(arg.trim) =>
         pos
     }
