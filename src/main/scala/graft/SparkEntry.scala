@@ -741,6 +741,11 @@ object SparkEntry {
       ((s, d) => MiningOps.partAffinityPairs(lineitem(s, d))),
     "filter_attrition_waterfall" ->
       ((s, d) => DocOps.filterAttritionWaterfall(documents(s, d))),
+    "welch_ttest_ab" -> ((s, d) => EventOps.welchTtestAb(events(s, d))),
+    "score_gains_deciles" ->
+      ((s, d) => EventOps.scoreGainsDeciles(events(s, d))),
+    "cooccurrence_modularity" ->
+      ((s, d) => GraphOps.cooccurrenceModularity(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -4861,6 +4866,118 @@ object SparkEntry {
         "CASE WHEN n_prev > 0 THEN " +
         "round(CAST(n_pass AS DOUBLE) / CAST(n_prev AS DOUBLE), 6) END " +
         "AS retention FROM w"),
+    // Mirrors EventOps.welchTtestAb: exact cents moments, integer
+    // closed-form sample variances, pinned Welch t / Satterthwaite df.
+    "welch_ttest_ab" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS y, user_id % 2 AS arm FROM events GROUP BY 1), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS s_a, " +
+        "sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) * y " +
+        "ELSE CAST(0 AS HUGEINT) END) AS ss_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS s_b, " +
+        "sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) * y " +
+        "ELSE CAST(0 AS HUGEINT) END) AS ss_b FROM pu), " +
+        "d AS (SELECT *, " +
+        "CAST(s_a AS DOUBLE) / 100.0 / CAST(n_a AS DOUBLE) AS ma, " +
+        "CAST(s_b AS DOUBLE) / 100.0 / CAST(n_b AS DOUBLE) AS mb, " +
+        "CAST(CAST(n_a AS HUGEINT) * ss_a - CAST(s_a AS HUGEINT) * s_a " +
+        "AS DOUBLE) / 10000.0 / (CAST(n_a AS DOUBLE) * " +
+        "(CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS va, " +
+        "CAST(CAST(n_b AS HUGEINT) * ss_b - CAST(s_b AS HUGEINT) * s_b " +
+        "AS DOUBLE) / 10000.0 / (CAST(n_b AS DOUBLE) * " +
+        "(CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS vb FROM m) " +
+        "SELECT n_a, n_b, round(ma, 6) AS mean_a, round(mb, 6) AS mean_b, " +
+        "CASE WHEN n_a >= 2 AND n_b >= 2 AND va + vb > 0.0 THEN " +
+        "round((ma - mb) / sqrt(va + vb), 6) END AS t_stat, " +
+        "CASE WHEN n_a >= 2 AND n_b >= 2 AND va * va + vb * vb > 0.0 THEN " +
+        "round((va + vb) * (va + vb) / " +
+        "(va * va / (CAST(n_a AS DOUBLE) - 1.0) + " +
+        "vb * vb / (CAST(n_b AS DOUBLE) - 1.0)), 6) END AS df FROM d"),
+    // Mirrors EventOps.scoreGainsDeciles: pre-period score, post-period
+    // conversion, ntile(10) with the identical total order (globalNtile
+    // ≡ ntile parity), cumulative capture over the 10-row frame.
+    "score_gains_deciles" ->
+      ("WITH m0 AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) " +
+        "AS hi FROM events), " +
+        "pu AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN epoch_us(ts) <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END) " +
+        "AS BIGINT) AS score, " +
+        "max(CASE WHEN epoch_us(ts) > CAST((lo + hi) // 2 AS BIGINT) " +
+        "AND event_type = 'purchase' AND value >= 90.0 THEN 1 ELSE 0 END) " +
+        "AS conv FROM events CROSS JOIN m0 GROUP BY user_id), " +
+        "t AS (SELECT ntile(10) OVER (ORDER BY score DESC, user_id ASC) " +
+        "AS decile, conv FROM pu), " +
+        "per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(conv) AS BIGINT) AS n_conv FROM t GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu, " +
+        "CAST(sum(n_conv) AS BIGINT) AS tc FROM per), " +
+        "c AS (SELECT per.*, CAST(sum(n_conv) OVER (ORDER BY decile ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_conv FROM per) " +
+        "SELECT decile, n_users, n_conv, " +
+        "round(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE), 6) " +
+        "AS conv_rate, cum_conv, " +
+        "CASE WHEN tc > 0 THEN round(CAST(cum_conv AS DOUBLE) / " +
+        "CAST(tc AS DOUBLE), 6) END AS cum_capture, " +
+        "CASE WHEN tc > 0 THEN round((CAST(n_conv AS DOUBLE) / " +
+        "CAST(n_users AS DOUBLE)) / (CAST(tc AS DOUBLE) / " +
+        "CAST(tu AS DOUBLE)), 6) END AS lift FROM c CROSS JOIN tot"),
+    // Mirrors GraphOps.cooccurrenceModularity: the communities LPA
+    // chain (identical l1-l3 rounds), then Q·4m² = Σ_c(4m·e_c − d_c²)
+    // in HUGEINT (Spark: DECIMAL(38,0)), one double division.
+    "cooccurrence_modularity" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "adj AS (SELECT term_a AS node, term_b AS nbr FROM p " +
+        "UNION ALL SELECT term_b, term_a FROM p), " +
+        "l0 AS (SELECT node, node AS label FROM " +
+        "(SELECT DISTINCT node FROM adj)), " +
+        "v1 AS (SELECT a.node, l.label, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM adj a JOIN l0 l ON l.node = a.nbr GROUP BY 1, 2), " +
+        "l1 AS (SELECT node, label FROM (SELECT node, label, row_number() " +
+        "OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk " +
+        "FROM v1) WHERE rk = 1), " +
+        "v2 AS (SELECT a.node, l.label, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM adj a JOIN l1 l ON l.node = a.nbr GROUP BY 1, 2), " +
+        "l2 AS (SELECT node, label FROM (SELECT node, label, row_number() " +
+        "OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk " +
+        "FROM v2) WHERE rk = 1), " +
+        "v3 AS (SELECT a.node, l.label, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM adj a JOIN l2 l ON l.node = a.nbr GROUP BY 1, 2), " +
+        "l3 AS (SELECT node, label FROM (SELECT node, label, row_number() " +
+        "OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rk " +
+        "FROM v3) WHERE rk = 1), " +
+        "mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM p), " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg " +
+        "FROM adj GROUP BY 1), " +
+        "dc AS (SELECT l3.label, CAST(sum(deg) AS BIGINT) AS d_c " +
+        "FROM l3 JOIN deg USING (node) GROUP BY 1), " +
+        "ec AS (SELECT la.label, CAST(count(*) AS BIGINT) AS e_c " +
+        "FROM p JOIN l3 la ON la.node = p.term_a " +
+        "JOIN l3 lb ON lb.node = p.term_b " +
+        "WHERE la.label = lb.label GROUP BY 1), " +
+        "q AS (SELECT CAST(count(*) AS BIGINT) AS n_communities, " +
+        "max(m) AS n_edges, " +
+        "CAST(sum(CAST(4 AS HUGEINT) * m * coalesce(e_c, 0) - " +
+        "CAST(d_c AS HUGEINT) * d_c) AS DOUBLE) AS qnum " +
+        "FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm) " +
+        "SELECT n_communities, n_edges, " +
+        "round(qnum / (4.0 * CAST(n_edges AS DOUBLE) * " +
+        "CAST(n_edges AS DOUBLE)), 6) AS modularity FROM q"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -2669,6 +2669,105 @@ object EventOps {
       when(varX > 0L, round(adjA - adjB, 6)).as("adj_diff"))
   }
 
+  /** Welch's unequal-variance t-test on per-user total value between
+    * the odd/even arms — the PARAMETRIC mean test beside
+    * [[mannWhitneyTypePairs]]' rank test and [[abConversionZtest]]'s
+    * proportion test: with the Satterthwaite df it stays valid when
+    * the arms' variances differ (the textbook failure of pooled t).
+    *
+    * Determinism: per-user totals are exact BIGINT cents, so n, Σy,
+    * Σy² are exact (Σy² in DECIMAL(38,0)/HUGEINT); sample variances
+    * use the integer closed form (n·Σy² − (Σy)²)/(n·(n−1)) and t/df
+    * are pinned double chains, NULL when either variance is 0 or an
+    * arm has < 2 users. */
+  def welchTtestAb(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val perUser = events.select(col("user_id"), cents.as("c"))
+      .groupBy("user_id").agg(sum("c").as("y"))
+      .withColumn("arm", col("user_id") % lit(2L))
+    val m = perUser.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("s_a"),
+      sum(when(col("arm") === 0L,
+        col("y").cast("decimal(38,0)") * col("y")).otherwise(lit(0)
+          .cast("decimal(38,0)"))).as("ss_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("s_b"),
+      sum(when(col("arm") === 1L,
+        col("y").cast("decimal(38,0)") * col("y")).otherwise(lit(0)
+          .cast("decimal(38,0)"))).as("ss_b"))
+    // sample variance in UNIT² (cents² / 1e4), Welch terms v/n
+    def meanU(s: String, n: String) =
+      col(s).cast("double") / 100.0 / col(n).cast("double")
+    def varTerm(n: String, s: String, ss: String) =
+      (col(n).cast("decimal(38,0)") * col(ss) -
+        col(s).cast("decimal(38,0)") * col(s)).cast("double") / 10000.0 /
+        (col(n).cast("double") * (col(n).cast("double") - 1.0)) /
+        col(n).cast("double")
+    val va = varTerm("n_a", "s_a", "ss_a")
+    val vb = varTerm("n_b", "s_b", "ss_b")
+    val t = (meanU("s_a", "n_a") - meanU("s_b", "n_b")) / sqrt(va + vb)
+    val df = (va + vb) * (va + vb) /
+      (va * va / (col("n_a").cast("double") - 1.0) +
+        vb * vb / (col("n_b").cast("double") - 1.0))
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L
+    m.select(col("n_a"), col("n_b"),
+      round(meanU("s_a", "n_a"), 6).as("mean_a"),
+      round(meanU("s_b", "n_b"), 6).as("mean_b"),
+      when(ok && va + vb > lit(0.0), round(t, 6)).as("t_stat"),
+      when(ok && va * va + vb * vb > lit(0.0), round(df, 6)).as("df"))
+  }
+
+  /** Model gains/lift table: users sorted by their PRE-period spend
+    * (the score), cut into deciles with [[RankOps.globalNtile]]'s
+    * two-level rank, each decile scored by how many POST-period
+    * high-value converters it captures — the gains chart every
+    * targeting model is judged by (decile-1 lift ≫ 1 ⇔ the score
+    * actually ranks). Dogfoods the distributed ntile: no serial
+    * window ever touches the user frame.
+    *
+    * Determinism: score and conversion are exact BIGINT cents/flags;
+    * the decile order carries user_id as tie-break (total order);
+    * rates/lift are pinned divisions over the 10-row frame; the one
+    * serial cumulative window orders the collapsed decile frame. */
+  def scoreGainsDeciles(events: DataFrame, threshold: Double = 90.0): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val perUser = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(col("user_id"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), cents)
+          .otherwise(0L).as("xc"),
+        when(unix_micros(col("ts")) > expr("(lo + hi) div 2") &&
+          col("event_type") === "purchase" && col("value") >= threshold,
+          1L).otherwise(0L).as("cv"))
+      .groupBy("user_id")
+      .agg(sum("xc").as("score"), max("cv").as("conv"))
+    val tiled = RankOps.globalNtile(perUser, -col("score"),
+        Seq(col("score").desc, col("user_id").asc), 10, "decile")
+      .withColumn("decile", col("decile").cast("long"))
+    val per = tiled.groupBy("decile")
+      .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+    val tot = per.agg(sum("n_users").as("tu"), sum("n_conv").as("tc"))
+    val w = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("cum_conv", sum(col("n_conv")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_users"), col("n_conv"),
+        round(col("n_conv").cast("double") / col("n_users").cast("double"),
+          6).as("conv_rate"),
+        col("cum_conv"),
+        when(col("tc") > 0L, round(col("cum_conv").cast("double") /
+          col("tc").cast("double"), 6)).as("cum_capture"),
+        when(col("tc") > 0L, round(
+          (col("n_conv").cast("double") / col("n_users").cast("double")) /
+            (col("tc").cast("double") / col("tu").cast("double")), 6))
+          .as("lift"))
+  }
+
   /** Cohort LTV curve: cumulative value per user by acquisition
     * cohort and age — the REVENUE companion of [[cohortRetention]]'s
     * user counts ("day-14 LTV of the March 3rd cohort"), the curve

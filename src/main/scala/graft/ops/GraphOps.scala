@@ -325,7 +325,12 @@ object GraphOps {
     * (node, label) hash agg, one per-node argmax window — the Pregel
     * message+combine shape; the label frame localCheckpoints per
     * round so lineage stays flat. */
-  def labelPropagationRounds(edges: DataFrame, rounds: Int = 3): DataFrame = {
+  /** The node→label assignment frame behind
+    * [[labelPropagationRounds]] — exposed so modularity (and any
+    * other community STATISTIC) can reuse the identical deterministic
+    * propagation instead of re-deriving its own. */
+  def labelPropagationAssignments(edges: DataFrame,
+      rounds: Int = 3): DataFrame = {
     require(rounds >= 1 && rounds <= 10, s"rounds in [1,10]: $rounds")
     val und = edges.select(col("src"), col("dst"))
     val adj = und
@@ -345,8 +350,56 @@ object GraphOps {
         .select("node", "label")
         .localCheckpoint()
     }
-    labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels
   }
+
+  def labelPropagationRounds(edges: DataFrame, rounds: Int = 3): DataFrame =
+    labelPropagationAssignments(edges, rounds)
+      .groupBy("label").agg(count(lit(1)).as("n_members"))
+
+  /** Newman–Girvan modularity of the [[labelPropagationAssignments]]
+    * partition: Q = Σ_c [e_c/m − (d_c/2m)²] — the ONE number that says
+    * whether the detected communities beat a degree-preserving random
+    * graph (Q ≈ 0 ⇒ the partition is noise; the communities query
+    * without this statistic is a list with no quality gate).
+    *
+    * Exactness: Q·4m² = Σ_c (4m·e_c − d_c²) — every term an exact
+    * integer, summed in DECIMAL(38,0)/HUGEINT; one double division.
+    * Shape: reuses the SAME propagation frame; e_c/d_c are one
+    * edge⋈label join + one degree join, everything label-keyed. */
+  def graphModularity(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val und = edges.select(col("src"), col("dst")).localCheckpoint()
+    val labels = labelPropagationAssignments(und, rounds)
+    val deg = und.select(col("src").as("node"))
+      .unionAll(und.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val mRow = und.agg(count(lit(1)).as("m"))
+    val dc = labels.join(deg, "node")
+      .groupBy("label").agg(sum("deg").as("d_c"))
+    val ec = und
+      .join(labels.select(col("node").as("src"), col("label").as("la")),
+        "src")
+      .join(labels.select(col("node").as("dst"), col("label").as("lb")),
+        "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_c"))
+    dc.join(ec, Seq("label"), "left")
+      .crossJoin(broadcast(mRow))
+      .agg(count(lit(1)).as("n_communities"), max("m").as("n_edges"),
+        sum(lit(4L).cast("decimal(38,0)") * col("m") *
+          coalesce(col("e_c"), lit(0L)) -
+          col("d_c").cast("decimal(38,0)") * col("d_c")).as("qnum"))
+      .select(col("n_communities"), col("n_edges"),
+        round(col("qnum").cast("double") /
+          (lit(4.0) * col("n_edges").cast("double") *
+            col("n_edges").cast("double")), 6).as("modularity"))
+  }
+
+  /** [[graphModularity]] over the term co-occurrence graph — the
+    * quality gate for [[cooccurrenceCommunities]]. */
+  def cooccurrenceModularity(docs: DataFrame): DataFrame =
+    graphModularity(MiningOps.termCooccurrence(docs)
+      .select(col("term_a").as("src"), col("term_b").as("dst")))
 
   /** [[labelPropagationRounds]] over the term co-occurrence graph:
     * topic-ish vocabulary communities, where [[cooccurrenceKCore]]

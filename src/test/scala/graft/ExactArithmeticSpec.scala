@@ -564,6 +564,45 @@ class ExactArithmeticSpec extends SparkSpec {
       ((2L, 2L, 60.0, 41.0, 19.0, 2.02, -1.2)), r)
   }
 
+  test("welchTtestAb: integer closed-form variances, hand-traced t " +
+    "and Satterthwaite df") {
+    // arm0 totals {10, 20}: var 50, v/n 25; arm1 {10, 30}: var 200,
+    // v/n 100 -> t = −5/√125, df = 125²/(625 + 10000)
+    def uev(i: Long, uid: Long, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), uid, "a", v, "{}")
+    val events = Seq(uev(1, 2L, 10.0), uev(2, 4L, 20.0),
+      uev(3, 1L, 10.0), uev(4, 3L, 30.0)).toDF(evCols: _*)
+    val r = EventOps.welchTtestAb(events).collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+      r.getAs[Double]("mean_a"), r.getAs[Double]("mean_b"),
+      r.getAs[Double]("t_stat"), r.getAs[Double]("df")) ==
+      ((2L, 2L, 15.0, 20.0, -0.447214, 1.470588)), r)
+  }
+
+  test("scoreGainsDeciles: pre-period score ranks users, post-period " +
+    "capture and lift per decile") {
+    def gev(i: Long, uid: Long, sec: Int, t: String, v: Double) =
+      (i, Timestamp.valueOf(f"2024-03-01 10:00:$sec%02d"), uid, t, v, "{}")
+    // scores 4000/3000/2000/1000 cents; converters u1, u3 (post
+    // purchase >= 90); 4 users over ntile(10) -> deciles 1..4
+    val events = Seq(
+      gev(1, 1L, 0, "view", 40.0), gev(2, 1L, 10, "purchase", 95.0),
+      gev(3, 2L, 0, "view", 30.0), gev(4, 2L, 10, "view", 10.0),
+      gev(5, 3L, 0, "view", 20.0), gev(6, 3L, 10, "purchase", 95.0),
+      gev(7, 4L, 0, "view", 10.0), gev(8, 4L, 10, "purchase", 10.0))
+      .toDF(evCols: _*)
+    val got = EventOps.scoreGainsDeciles(events).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("n_conv"),
+          r.getAs[Double]("conv_rate"), r.getAs[Long]("cum_conv"),
+          r.getAs[Double]("cum_capture"), r.getAs[Double]("lift")))).toMap
+    assert(got == Map(
+      1L -> ((1L, 1L, 1.0, 1L, 0.5, 2.0)),
+      2L -> ((1L, 0L, 0.0, 1L, 0.5, 0.0)),
+      3L -> ((1L, 1L, 1.0, 2L, 1.0, 2.0)),
+      4L -> ((1L, 0L, 0.0, 2L, 1.0, 0.0))), got)
+  }
+
   test("cohortLtvCurve: per-cohort cumulative cents and LTV at " +
     "observed ages") {
     def lev(i: Long, uid: Long, day: String, v: Double) =

@@ -241,6 +241,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(GraphOps.linkPredictionScores(edges, maxDeg = 2).isEmpty)
   }
 
+  test("graphModularity: two disjoint triangles score exactly 0.5") {
+    // LPA converges each triangle to its min label; e_c = 3, d_c = 6,
+    // m = 6 -> Q = 2·(3/6 − (6/12)²) = 0.5
+    val edges = Seq("a" -> "b", "b" -> "c", "a" -> "c",
+      "d" -> "e", "e" -> "f", "d" -> "f").toDF("src", "dst")
+    val r = GraphOps.graphModularity(edges).collect().head
+    assert((r.getAs[Long]("n_communities"), r.getAs[Long]("n_edges"),
+      r.getAs[Double]("modularity")) == ((2L, 6L, 0.5)), r)
+  }
+
   test("degreeAssortativity: star is exactly -1, regular graph NULL") {
     // K1,3 star: directed endpoint-degree pairs (3,1)×3 and (1,3)×3
     // -> r = (6·18 − 12²)/(6·30 − 12²) = −36/36 = −1
