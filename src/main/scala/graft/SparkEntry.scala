@@ -746,6 +746,14 @@ object SparkEntry {
       ((s, d) => EventOps.scoreGainsDeciles(events(s, d))),
     "cooccurrence_modularity" ->
       ((s, d) => GraphOps.cooccurrenceModularity(documents(s, d))),
+    "mrr_retrieval_audit" ->
+      ((s, d) => VectorOps.mrrRetrieval(embeddings(s, d))),
+    "k_anon_generalization_ladder" ->
+      ((s, d) => JoinOps.kAnonGeneralizationLadder(orders(s, d),
+        customer(s, d))),
+    "supplier_hhi_by_nation" ->
+      ((s, d) => JoinOps.supplierHhiByNation(lineitem(s, d),
+        supplier(s, d), nation(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -4978,6 +4986,74 @@ object SparkEntry {
         "SELECT n_communities, n_edges, " +
         "round(qnum / (4.0 * CAST(n_edges AS DOUBLE) * " +
         "CAST(n_edges AS DOUBLE)), 6) AS modularity FROM q"),
+    // Mirrors VectorOps.mrrRetrieval: the ndcg scoring/rank CTEs, min
+    // relevant rank per query, NULL for zero-relevant queries.
+    "mrr_retrieval_audit" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel " +
+        "FROM embeddings WHERE vec_id IN (0, 1, 2, 3)), " +
+        "scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label, " +
+        "round(list_sum(list_transform(range(len(e.embedding)), " +
+        "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cs " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+        "rk AS (SELECT qid, qlabel, label, " +
+        "CAST(row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cs DESC, vec_id ASC) AS BIGINT) AS rnk FROM scored), " +
+        "fr AS (SELECT qid, CAST(min(rnk) AS BIGINT) AS first_rel_rank, " +
+        "CAST(count(*) AS BIGINT) AS n_relevant FROM rk " +
+        "WHERE label = qlabel GROUP BY 1) " +
+        "SELECT q.qid AS query_id, coalesce(n_relevant, 0) AS n_relevant, " +
+        "first_rel_rank, CASE WHEN first_rel_rank IS NOT NULL THEN " +
+        "round(1.0 / CAST(first_rel_rank AS DOUBLE), 6) END " +
+        "AS reciprocal_rank FROM q LEFT JOIN fr ON fr.qid = q.qid"),
+    // Mirrors JoinOps.kAnonGeneralizationLadder: the four grains as
+    // unioned grouped CTEs (Spark runs them as ONE groupingSets pass);
+    // all counts exact.
+    "k_anon_generalization_ladder" ->
+      ("WITH base AS (SELECT o_orderpriority AS pri, " +
+        "CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'high' " +
+        "ELSE 'low' END AS cls, c_mktsegment AS seg, " +
+        "strftime(o_orderdate, '%Y-%m') AS mon, " +
+        "CAST(year(o_orderdate) AS BIGINT) AS yr " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey), " +
+        "c0 AS (SELECT 0 AS level, CAST(count(*) AS BIGINT) AS class_size " +
+        "FROM base GROUP BY pri, seg, mon), " +
+        "c1 AS (SELECT 1 AS level, CAST(count(*) AS BIGINT) AS class_size " +
+        "FROM base GROUP BY cls, seg, yr), " +
+        "c2 AS (SELECT 2 AS level, CAST(count(*) AS BIGINT) AS class_size " +
+        "FROM base GROUP BY cls, yr), " +
+        "c3 AS (SELECT 3 AS level, CAST(count(*) AS BIGINT) AS class_size " +
+        "FROM base GROUP BY yr), " +
+        "al AS (SELECT * FROM c0 UNION ALL SELECT * FROM c1 " +
+        "UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3) " +
+        "SELECT CAST(level AS BIGINT) AS level, " +
+        "CAST(count(*) AS BIGINT) AS n_classes, " +
+        "min(class_size) AS min_class_size, " +
+        "CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_below_k, " +
+        "CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) " +
+        "AS BIGINT) AS rows_at_risk, " +
+        "min(class_size) >= 5 AS k_satisfied FROM al GROUP BY 1"),
+    // Mirrors JoinOps.supplierHhiByNation: DECIMAL discount revenue
+    // pinned to BIGINT ten-thousandths, Σr² in HUGEINT, two final
+    // double divisions.
+    "supplier_hhi_by_nation" ->
+      ("WITH rev AS (SELECT n_name, s_suppkey, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS r4 " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "n AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers, " +
+        "CAST(sum(r4) AS BIGINT) AS t4, " +
+        "sum(CAST(r4 AS HUGEINT) * r4) AS s2 FROM rev GROUP BY 1) " +
+        "SELECT n_name, n_suppliers, " +
+        "round(CAST(t4 AS DOUBLE) / 10000.0, 2) AS revenue, " +
+        "CASE WHEN t4 > 0 THEN round(CAST(s2 AS DOUBLE) / " +
+        "(CAST(t4 AS DOUBLE) * CAST(t4 AS DOUBLE)), 6) END AS hhi, " +
+        "CASE WHEN t4 > 0 THEN round((CAST(t4 AS DOUBLE) * " +
+        "CAST(t4 AS DOUBLE)) / CAST(s2 AS DOUBLE), 6) END " +
+        "AS effective_suppliers FROM n"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -579,6 +579,85 @@ object JoinOps {
       .join(mode("p_type"), "cluster_rep")
   }
 
+  /** k-anonymity generalization ladder over the order book's
+    * quasi-identifiers (priority, segment, order month): at each
+    * successive generalization level — full QIs → priority-class +
+    * year → class + year → year only — the equivalence-class profile
+    * (min class size, classes and rows below k). The readout a
+    * privacy officer walks DOWN until k holds: the complement of
+    * [[graft.ops.EventOps.kAnonymityProfile]]'s single-grain check.
+    *
+    * Spark shape: all four levels come out of ONE `groupingSets`
+    * pass — one shuffle computes every grain (the CUBE machinery the
+    * engine already codegens), then per-level stats collapse the
+    * class frame. Counts exact; no floats anywhere. */
+  def kAnonGeneralizationLadder(orders: DataFrame, customer: DataFrame,
+      k: Long = 5L): DataFrame = {
+    val base = orders
+      .join(maybeBroadcast(customer),
+        orders("o_custkey") === customer("c_custkey"))
+      .select(col("o_orderpriority").as("pri"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+          .otherwise("low").as("cls"),
+        col("c_mktsegment").as("seg"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+    val classes = base.groupingSets(
+        Seq(Seq(col("pri"), col("seg"), col("mon")),
+          Seq(col("cls"), col("seg"), col("yr")),
+          Seq(col("cls"), col("yr")),
+          Seq(col("yr"))),
+        col("pri"), col("cls"), col("seg"), col("mon"), col("yr"))
+      .agg(count(lit(1)).as("class_size"), grouping_id().as("gid"))
+    // gid bit per column in declaration order, 1 = aggregated away:
+    // {pri,seg,mon}=01001₂=9, {cls,seg,yr}=10010₂=18,
+    // {cls,yr}=10110₂=22, {yr}=11110₂=30
+    val level = when(col("gid") === 9L, 0L).when(col("gid") === 18L, 1L)
+      .when(col("gid") === 22L, 2L).otherwise(3L)
+    classes.groupBy(level.as("level"))
+      .agg(count(lit(1)).as("n_classes"),
+        min("class_size").as("min_class_size"),
+        sum(when(col("class_size") < k, 1L).otherwise(0L)).as("n_below_k"),
+        sum(when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .as("rows_at_risk"))
+      .withColumn("k_satisfied", col("min_class_size") >= k)
+  }
+
+  /** Supplier revenue concentration per nation: the Herfindahl–
+    * Hirschman index Σ share² and its reciprocal ("effective number
+    * of suppliers") — the supply-chain-risk readout over the star
+    * schema (HHI → 1 means one supplier owns the nation's revenue;
+    * antitrust thresholds quote exactly this number).
+    *
+    * Exactness: per-supplier revenue is the established DECIMAL
+    * discount product, pinned to BIGINT ten-thousandths; then
+    * HHI = Σr²/(Σr)² with Σr² in DECIMAL(38,0)/HUGEINT — integer
+    * until two final double divisions. Shape: one fact collapse onto
+    * (nation, supplier), then |suppliers|-sized frames. */
+  def supplierHhiByNation(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val rev = lineitem
+      .join(maybeBroadcast(supplier),
+        lineitem("l_suppkey") === supplier("s_suppkey"))
+      .join(broadcast(nation),
+        supplier("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg((sum(Num.dec2(col("l_extendedprice")) *
+        Num.oneMinus(col("l_discount"))) * lit(10000)).cast("bigint")
+        .as("r4"))
+    rev.groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"), sum("r4").as("t4"),
+        sum(col("r4").cast("decimal(38,0)") * col("r4")).as("s2"))
+      .select(col("n_name"), col("n_suppliers"),
+        round(col("t4").cast("double") / 10000.0, 2).as("revenue"),
+        when(col("t4") > 0L, round(col("s2").cast("double") /
+          (col("t4").cast("double") * col("t4").cast("double")), 6))
+          .as("hhi"),
+        when(col("t4") > 0L, round(
+          (col("t4").cast("double") * col("t4").cast("double")) /
+            col("s2").cast("double"), 6)).as("effective_suppliers"))
+  }
+
   /** Simpson's-paradox audit over the order book: does the
     * high-priority arm's fulfilment rate beat the low-priority arm's
     * POOLED but flip inside every market segment (or vice versa)?

@@ -888,6 +888,41 @@ object VectorOps {
           .as("ndcg"))
   }
 
+  /** Mean-reciprocal-rank retrieval audit beside [[ndcgAtK]]: for
+    * each query, the rank of the FIRST same-label result in the full
+    * cosine ranking and its reciprocal — the metric for "one good
+    * answer suffices" retrieval (RAG context lookup), where NDCG's
+    * graded tail credit is the wrong shape. Same scoring pass, same
+    * 4dp-cosine + vec_id total order; queries with no relevant
+    * results emit NULL rank (never a silent drop).
+    *
+    * Shape: |queries|·N broadcast cosines, per-query rank windows,
+    * then |queries| rows. */
+  def mrrRetrieval(embeddings: DataFrame,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L)): DataFrame = {
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(cosineFused(col("embedding"), col("qv")), 4).as("cs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cs").desc, col("vec_id").asc)
+    val fr = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("label") === col("qlabel"))
+      .groupBy("qid")
+      .agg(min(col("rnk").cast("long")).as("first_rel_rank"),
+        count(lit(1)).as("n_relevant"))
+    q.select(col("qid")).join(fr, Seq("qid"), "left")
+      .select(col("qid").as("query_id"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        col("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          round(lit(1.0) / col("first_rel_rank").cast("double"), 6))
+          .as("reciprocal_rank"))
+  }
+
   /** Local Outlier Factor (Breunig et al. SIGMOD '00) from ANY
     * per-vector kNN table `(a_id, b_id, cos_sim)` — density-relative
     * outlier scoring for embedding-space cleaning: LOF ≈ 1 inliers,

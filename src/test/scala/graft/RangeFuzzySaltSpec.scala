@@ -340,6 +340,44 @@ class RangeFuzzySaltSpec extends SparkSpec {
       "SEG_B" -> ((1L, -1L, true, 0.3, 0.2))), got)
   }
 
+  test("kAnonGeneralizationLadder: min class walks the ladder until " +
+    "only the coarsest grain satisfies k") {
+    import java.sql.Timestamp
+    val customer = Seq((1L, "SEG_A")).toDF("c_custkey", "c_mktsegment")
+    val d = Timestamp.valueOf("2024-01-15 00:00:00")
+    val orders = (Seq.fill(6)(("1-URGENT", 1L, d)) ++
+      Seq(("5-LOW", 1L, d)))
+      .toDF("o_orderpriority", "o_custkey", "o_orderdate")
+    val got = JoinOps.kAnonGeneralizationLadder(orders, customer).collect()
+      .map(r => r.getAs[Long]("level") ->
+        ((r.getAs[Long]("n_classes"), r.getAs[Long]("min_class_size"),
+          r.getAs[Long]("n_below_k"), r.getAs[Long]("rows_at_risk"),
+          r.getAs[Boolean]("k_satisfied")))).toMap
+    // levels 0-2 all carry the singleton 5-LOW class; only the
+    // year-only grain pools everything to 7 >= k
+    assert(got == Map(
+      0L -> ((2L, 1L, 1L, 1L, false)),
+      1L -> ((2L, 1L, 1L, 1L, false)),
+      2L -> ((2L, 1L, 1L, 1L, false)),
+      3L -> ((1L, 7L, 0L, 0L, true))), got)
+  }
+
+  test("supplierHhiByNation: exact share-squared concentration and " +
+    "effective supplier count") {
+    val nation = Seq((1, "N1")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 1), (20L, 1))
+      .toDF("s_suppkey", "s_nationkey")
+    // revenues 100 and 50 -> shares 2/3, 1/3 -> HHI = 5/9
+    val li = Seq((10L, 100.0, 0.0), (20L, 100.0, 0.5))
+      .toDF("l_suppkey", "l_extendedprice", "l_discount")
+    val r = JoinOps.supplierHhiByNation(li, supplier, nation)
+      .collect().head
+    assert((r.getAs[String]("n_name"), r.getAs[Long]("n_suppliers"),
+      r.getAs[Double]("revenue"), r.getAs[Double]("hhi"),
+      r.getAs[Double]("effective_suppliers")) ==
+      (("N1", 2L, 150.0, 0.555556, 1.8)), r)
+  }
+
   test("joinSizeProfile: exact F2, join cardinality and skew ratios " +
     "without touching the fact join") {
     // left keys a,a,a,b -> counts {a:3, b:1}; right a,b,b -> {a:1, b:2}

@@ -42,6 +42,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, None)), got.toString)
   }
 
+  test("mrrRetrieval: first relevant rank on the same total order, " +
+    "NULL for zero-relevant queries") {
+    // same fixture as the ndcg test: query 0's rank-1 result (vec 1,
+    // cos 1.0) shares its label -> rr = 1.0; query 4's label 9 has no
+    // other member -> NULL rank and rr, the row still present.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(1.0f, 1.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(-1.0f, 0.0f), 9),
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.mrrRetrieval(emb, queryIds = Seq(0L, 4L)).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_relevant"),
+          Option(r.getAs[java.lang.Long]("first_rel_rank")).map(_.toLong),
+          Option(r.getAs[java.lang.Double]("reciprocal_rank"))
+            .map(_.toDouble)))).toMap
+    // query 0: vec 1 at cos 1.0 is rank 1 and relevant -> rr = 1.0
+    assert(got(0L) == ((2L, Some(1L), Some(1.0))), got.toString)
+    // query 4 (label 9): no same-label vector anywhere -> NULLs
+    assert(got(4L) == ((0L, None, None)), got.toString)
+  }
+
   test("hardNegatives: nearest cross-label only, same-label twin excluded") {
     // doc 10's IDENTICAL twin (cos 1.0) shares its label — it must be
     // invisible; the hard negative is the almost-identical vector with
