@@ -540,6 +540,63 @@ object StreamJob {
       .agg(graft.functions.BitmapAgg.bitmapCardinality(col("bm"), maxId)
         .as("n_users"))
 
+  /** Per-batch EXACT binned-value histogram blobs — the QUANTILE face
+    * of the store-once/union-any-grain family (Theta for distincts,
+    * bitmap for exact distincts, Misra–Gries for heavy hitters, this
+    * for percentiles): each micro-batch appends its own (day, bin)
+    * count frame under the idempotent-by-path `b<batchId>` contract.
+    * Integer-width bins make the partials EXACT and trivially
+    * mergeable — readers re-collapse the stored blobs at ANY grain
+    * (day, week, all-time) and answer binned quantiles with no raw-row
+    * rescan and no sketch tolerance, the [[graft.ops.EventOps
+    * .ksValueDrift]] bounded-support argument applied to storage.
+    * Per-batch cost: one grouped pass + a ≤|bins|·|days| row write. */
+  def histogramDelta(batch: DataFrame, valueCol: String,
+      tsCol: String): DataFrame = batch
+    .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    .groupBy(to_date(col(tsCol)).as("day"),
+      floor(col(valueCol)).cast("long").as("bin"))
+    .agg(count(lit(1)).as("cnt"))
+
+  def startValueHistogramBlobs(prepared: DataFrame, dir: String,
+      checkpointDir: String, valueCol: String = "value",
+      tsCol: String = "created_at"): StreamingQuery =
+    prepared.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          histogramDelta(batch, valueCol, tsCol)
+            .write.mode("overwrite").parquet(s"$dir/b$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Exact binned quantiles from the STORED histogram blobs only —
+    * for each requested q, the smallest bin whose cumulative count
+    * reaches ⌈q·n⌉, decided by integer cross-multiplication
+    * (cum·10⁶ ≥ q_ppm·n — no float rank arithmetic). The one serial
+    * window orders the value-range-bounded bin grid. Regroup the
+    * blobs by day/week first and the same arithmetic answers
+    * per-grain quantiles. */
+  def quantilesFromHistogramBlobs(spark: SparkSession, dir: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val h = spark.read.parquet(s"$dir/b*")
+      .groupBy("bin").agg(sum("cnt").as("cnt"))
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(h.agg(sum("cnt").as("n"))))
+    val qdf = qs.map(q => math.round(q * 1e6)).toDF("q_ppm")
+    cum.join(broadcast(qdf),
+        col("cum") * lit(1000000L) >= col("q_ppm") * col("n"))
+      .groupBy("q_ppm")
+      .agg(min("bin").as("bin_at_q"), max("n").as("n_total"))
+      .select(col("q_ppm"), col("n_total"), col("bin_at_q"))
+  }
+
   /** Streaming heavy-hitter maintenance — the MERGEABLE face of
     * [[graft.ops.DocOps.heavyHitterTerms]] (whose exact-recount second
     * pass a stream cannot make): each micro-batch appends its own

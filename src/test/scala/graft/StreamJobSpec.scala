@@ -219,6 +219,41 @@ class StreamJobSpec extends SparkSpec {
     assert(blobDirs.sorted.toSeq == Seq("b0", "b1"), blobDirs.mkString(","))
   }
 
+  test("histogram-blob sink: stored-blob quantiles ≡ direct binned " +
+    "quantiles, replay-safe") {
+    val input = MemoryStream[(Double, String)](spark)
+    val prepared = input.toDF().toDF("value", "t")
+      .withColumn("created_at", col("t").cast("timestamp")).drop("t")
+    val dir = java.nio.file.Files.createTempDirectory("hist").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    // 10 values split ACROSS batches (partials per batch can't answer
+    // a global quantile; the blob union must): bins 0..9, one each
+    val batches = Seq(
+      Seq(0.5, 1.5, 2.5, 3.5).map(v => (v, "2025-10-07 10:00:00")),
+      Seq(4.5, 5.5, 6.5).map(v => (v, "2025-10-07 23:00:00")),
+      Seq(7.5, 8.5, 9.5).map(v => (v, "2025-10-08 09:00:00")))
+    val q = StreamJob.startValueHistogramBlobs(prepared, dir, ckpt)
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // n=10: q=.5 -> ceil(5) at cum 5 = bin 4; q=.9 -> cum 9 = bin 8
+    val got = StreamJob.quantilesFromHistogramBlobs(spark, dir, Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Long]("q_ppm") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("bin_at_q")))).toMap
+    assert(got == Map(500000L -> ((10L, 4L)), 900000L -> ((10L, 8L))), got)
+    // replay safety: restart on the same checkpoint adds nothing
+    val q2 = StreamJob.startValueHistogramBlobs(prepared, dir, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val again = StreamJob.quantilesFromHistogramBlobs(spark, dir, Seq(0.5, 0.9))
+      .collect().map(r => r.getAs[Long]("q_ppm") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("bin_at_q")))).toMap
+    assert(again == got, again)
+    val blobDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b")).map(_.getName)
+    assert(blobDirs.sorted.toSeq == Seq("b0", "b1", "b2"),
+      blobDirs.mkString(","))
+  }
+
   test("incremental near-dup sink: streamed ≡ batch recompute, replay-safe") {
     val base = "the quick brown fox jumps over the lazy dog " +
       "while the rain in spain falls mainly on the plain every day"
