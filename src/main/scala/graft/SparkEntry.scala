@@ -754,6 +754,13 @@ object SparkEntry {
     "supplier_hhi_by_nation" ->
       ((s, d) => JoinOps.supplierHhiByNation(lineitem(s, d),
         supplier(s, d), nation(s, d))),
+    "shipping_latency_by_priority" ->
+      ((s, d) => JoinOps.shippingLatencyByPriority(lineitem(s, d),
+        orders(s, d))),
+    "beta_posterior_arms" ->
+      ((s, d) => EventOps.betaPosteriorArms(events(s, d))),
+    "pinball_loss_by_type" ->
+      ((s, d) => EventOps.pinballLossByType(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -5054,6 +5061,60 @@ object SparkEntry {
         "CASE WHEN t4 > 0 THEN round((CAST(t4 AS DOUBLE) * " +
         "CAST(t4 AS DOUBLE)) / CAST(s2 AS DOUBLE), 6) END " +
         "AS effective_suppliers FROM n"),
+    // Mirrors JoinOps.shippingLatencyByPriority: exact day diffs,
+    // quantile_cont ≡ percentile parity, pinned avg/breach divisions.
+    "shipping_latency_by_priority" ->
+      ("WITH lat AS (SELECT o_orderpriority, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE)) AS BIGINT) AS lat " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_lines, " +
+        "min(lat) AS min_days, max(lat) AS max_days, " +
+        "round(CAST(CAST(sum(lat) AS BIGINT) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE), 6) AS avg_days, " +
+        "round(quantile_cont(lat, 0.5), 6) AS p50_days, " +
+        "round(quantile_cont(lat, 0.9), 6) AS p90_days, " +
+        "round(CAST(CAST(sum(CASE WHEN lat > 90 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS breach_rate FROM lat GROUP BY 1"),
+    // Mirrors EventOps.betaPosteriorArms: Beta(s+1, n−s+1) closed
+    // forms in pinned double order, sqrt IEEE-exact.
+    "beta_posterior_arms" ->
+      ("WITH arms AS (SELECT event_type, CAST(count(*) AS BIGINT) " +
+        "AS n_plays, CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_success FROM events GROUP BY 1), " +
+        "d AS (SELECT *, CAST(n_success + 1 AS DOUBLE) AS a, " +
+        "CAST(n_plays - n_success + 1 AS DOUBLE) AS b FROM arms) " +
+        "SELECT event_type, n_plays, n_success, " +
+        "round(a / (a + b), 6) AS post_mean, " +
+        "round(sqrt(a * b / ((a + b) * (a + b) * (a + b + 1.0))), 6) " +
+        "AS post_sd, " +
+        "round(a / (a + b) - 1.959964 * " +
+        "sqrt(a * b / ((a + b) * (a + b) * (a + b + 1.0))), 6) AS ci_low, " +
+        "round(a / (a + b) + 1.959964 * " +
+        "sqrt(a * b / ((a + b) * (a + b) * (a + b + 1.0))), 6) AS ci_high " +
+        "FROM d"),
+    // Mirrors EventOps.pinballLossByType: medians by quantile_cont ≡
+    // percentile parity, |v−q| re-pinned to BIGINT milli-units before
+    // the sums, single pinned divisions.
+    "pinball_loss_by_type" ->
+      ("WITH qg AS (SELECT quantile_cont(value, 0.5) AS qg FROM events), " +
+        "qt AS (SELECT event_type, quantile_cont(value, 0.5) AS qt " +
+        "FROM events GROUP BY 1), " +
+        "sc AS (SELECT e.event_type, " +
+        "CAST(round(abs(e.value - qg.qg) * 1000.0, 0) AS BIGINT) AS lg, " +
+        "CAST(round(abs(e.value - qt.qt) * 1000.0, 0) AS BIGINT) AS lt, " +
+        "qt.qt FROM events e CROSS JOIN qg " +
+        "JOIN qt ON qt.event_type = e.event_type) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "round(max(qt), 6) AS q_type, " +
+        "round(CAST(CAST(sum(lg) AS BIGINT) AS DOUBLE) / 2000.0 / " +
+        "CAST(count(*) AS DOUBLE), 6) AS loss_global, " +
+        "round(CAST(CAST(sum(lt) AS BIGINT) AS DOUBLE) / 2000.0 / " +
+        "CAST(count(*) AS DOUBLE), 6) AS loss_type, " +
+        "round(CAST(CAST(sum(lg) AS BIGINT) - CAST(sum(lt) AS BIGINT) " +
+        "AS DOUBLE) / 2000.0 / CAST(count(*) AS DOUBLE), 6) " +
+        "AS improvement FROM sc GROUP BY 1"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

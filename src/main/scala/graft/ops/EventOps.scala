@@ -2954,6 +2954,68 @@ object EventOps {
         .as("significant"))
   }
 
+  /** Beta-posterior arm summaries — the BAYESIAN companion of
+    * [[ucbTypePolicy]] over the same Bernoulli replay: with a
+    * uniform Beta(1,1) prior, each arm's posterior is
+    * Beta(s+1, n−s+1); emit its mean, sd, and the normal-approximate
+    * 95% interval. A Thompson-sampling scheduler needs exactly these
+    * posteriors; the intervals also give the human-readable "arm B is
+    * credibly better" readout UCB's index hides.
+    *
+    * Determinism: counts exact; mean/var are the Beta closed forms in
+    * pinned double order (√ IEEE-exact), one 6dp round each. One
+    * grouped pass. */
+  def betaPosteriorArms(events: DataFrame,
+      threshold: Double = 50.0): DataFrame = {
+    val arms = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n_plays"),
+        sum(when(col("value") >= threshold, 1L).otherwise(0L))
+          .as("n_success"))
+    val a = (col("n_success") + lit(1L)).cast("double")
+    val b = (col("n_plays") - col("n_success") + lit(1L)).cast("double")
+    val mean = a / (a + b)
+    val sd = sqrt(a * b / ((a + b) * (a + b) * (a + b + lit(1.0))))
+    arms.select(col("event_type"), col("n_plays"), col("n_success"),
+      round(mean, 6).as("post_mean"), round(sd, 6).as("post_sd"),
+      round(mean - lit(1.959964) * sd, 6).as("ci_low"),
+      round(mean + lit(1.959964) * sd, 6).as("ci_high"))
+  }
+
+  /** Pinball-loss (quantile-loss) forecast evaluation at τ = 0.5: does
+    * a PER-TYPE median forecast of `value` beat the one-size global
+    * median? The quantile-forecast scoring rule (pinball is what
+    * quantile regressions and probabilistic forecasts are graded by;
+    * at τ=0.5 it is half the MAE), wired as a model-comparison gate.
+    *
+    * Determinism: both medians ride the percentile ≡ quantile_cont
+    * parity; each |v − q| is an identical double re-pinned to BIGINT
+    * milli-units (one rint of an identical double) BEFORE summing, so
+    * the two order-dependent accumulations are exact integer adds;
+    * final losses are single pinned divisions. Shape: two grouped
+    * median passes + one broadcast-joined scoring pass. */
+  def pinballLossByType(events: DataFrame): DataFrame = {
+    val qg = events.agg(expr("percentile(value, 0.5)").as("qg"))
+    val qt = events.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("qt"))
+    val scored = events.crossJoin(broadcast(qg))
+      .join(broadcast(qt), "event_type")
+      .select(col("event_type"),
+        round(abs(col("value") - col("qg")) * lit(1000.0), 0)
+          .cast("long").as("lg"),
+        round(abs(col("value") - col("qt")) * lit(1000.0), 0)
+          .cast("long").as("lt"), col("qt"))
+    scored.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("qt").as("qt"),
+        sum("lg").as("slg"), sum("lt").as("slt"))
+      .select(col("event_type"), col("n"), round(col("qt"), 6).as("q_type"),
+        round(col("slg").cast("double") / 2000.0 / col("n").cast("double"),
+          6).as("loss_global"),
+        round(col("slt").cast("double") / 2000.0 / col("n").cast("double"),
+          6).as("loss_type"),
+        round((col("slg") - col("slt")).cast("double") / 2000.0 /
+          col("n").cast("double"), 6).as("improvement"))
+  }
+
   def ucbTypePolicy(events: DataFrame, threshold: Double = 50.0): DataFrame = {
     val arms = events.groupBy("event_type")
       .agg(count(lit(1)).as("n_plays"),

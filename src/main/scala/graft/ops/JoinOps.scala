@@ -579,6 +579,40 @@ object JoinOps {
       .join(mode("p_type"), "cluster_rep")
   }
 
+  /** Shipping-latency SLA profile per order priority: exact day-diff
+    * distribution (min/max/avg/p50/p90) between order and ship dates
+    * plus the share of lines past `slaDays` — the operational
+    * fulfilment readout the priority column exists to drive.
+    *
+    * Determinism: latencies are exact integer day diffs; avg and
+    * breach rate are pinned divisions; p50/p90 ride the established
+    * percentile ≡ quantile_cont interpolation parity. Shape: one
+    * fact⋈fact join on the natural key, one grouped collapse onto
+    * |priorities| rows. */
+  def shippingLatencyByPriority(lineitem: DataFrame, orders: DataFrame,
+      slaDays: Long = 90L): DataFrame = {
+    val lat = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lat"))
+    lat.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        min("lat").as("min_days"), max("lat").as("max_days"),
+        sum("lat").as("sum_days"),
+        expr("percentile(lat, 0.5)").as("p50"),
+        expr("percentile(lat, 0.9)").as("p90"),
+        sum(when(col("lat") > slaDays, 1L).otherwise(0L)).as("n_breach"))
+      .select(col("o_orderpriority"), col("n_lines"),
+        col("min_days"), col("max_days"),
+        round(col("sum_days").cast("double") / col("n_lines").cast("double"),
+          6).as("avg_days"),
+        round(col("p50"), 6).as("p50_days"),
+        round(col("p90"), 6).as("p90_days"),
+        round(col("n_breach").cast("double") / col("n_lines").cast("double"),
+          6).as("breach_rate"))
+  }
+
   /** k-anonymity generalization ladder over the order book's
     * quasi-identifiers (priority, segment, order month): at each
     * successive generalization level — full QIs → priority-class +

@@ -564,6 +564,42 @@ class ExactArithmeticSpec extends SparkSpec {
       ((2L, 2L, 60.0, 41.0, 19.0, 2.02, -1.2)), r)
   }
 
+  test("betaPosteriorArms: Beta(s+1, n-s+1) closed forms match the " +
+    "hand computation") {
+    // 4 plays, 1 success -> Beta(2,4): mean 1/3, var 8/(36·7)
+    val events = Seq(60.0, 10.0, 10.0, 10.0).zipWithIndex
+      .map { case (v, i) =>
+        (i.toLong, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, "x", v, "{}")
+      }.toDF(evCols: _*)
+    val r = EventOps.betaPosteriorArms(events).collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean = 2.0 / 6.0
+    val sd = math.sqrt(2.0 * 4.0 / (6.0 * 6.0 * 7.0))
+    assert((r.getAs[Long]("n_plays"), r.getAs[Long]("n_success"),
+      r.getAs[Double]("post_mean"), r.getAs[Double]("post_sd"),
+      r.getAs[Double]("ci_low"), r.getAs[Double]("ci_high")) ==
+      ((4L, 1L, r6(mean), r6(sd),
+        r6(mean - 1.959964 * sd), r6(mean + 1.959964 * sd))), r)
+  }
+
+  test("pinballLossByType: milli-unit exact losses, per-type median " +
+    "halves the global loss on the planted split") {
+    def pv(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // a: {1,3} (median 2), b: {5,7} (median 6); global median 4
+    val events = Seq(pv(1, "a", 1.0), pv(2, "a", 3.0),
+      pv(3, "b", 5.0), pv(4, "b", 7.0)).toDF(evCols: _*)
+    val got = EventOps.pinballLossByType(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("q_type"),
+          r.getAs[Double]("loss_global"), r.getAs[Double]("loss_type"),
+          r.getAs[Double]("improvement")))).toMap
+    assert(got == Map(
+      "a" -> ((2L, 2.0, 1.0, 0.5, 0.5)),
+      "b" -> ((2L, 6.0, 1.0, 0.5, 0.5))), got)
+  }
+
   test("welchTtestAb: integer closed-form variances, hand-traced t " +
     "and Satterthwaite df") {
     // arm0 totals {10, 20}: var 50, v/n 25; arm1 {10, 30}: var 200,

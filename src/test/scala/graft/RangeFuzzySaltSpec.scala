@@ -340,6 +340,24 @@ class RangeFuzzySaltSpec extends SparkSpec {
       "SEG_B" -> ((1L, -1L, true, 0.3, 0.2))), got)
   }
 
+  test("shippingLatencyByPriority: exact day-diff stats, interpolated " +
+    "p90, breach share") {
+    import java.sql.Timestamp
+    val orders = Seq((1L, "A", Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    // latencies 1, 4, 10 days; sla 5 -> one breach
+    val li = Seq((1L, "2024-03-02"), (1L, "2024-03-05"), (1L, "2024-03-11"))
+      .map { case (k, d) => (k, Timestamp.valueOf(s"$d 00:00:00")) }
+      .toDF("l_orderkey", "l_shipdate")
+    val r = JoinOps.shippingLatencyByPriority(li, orders, slaDays = 5L)
+      .collect().head
+    assert((r.getAs[Long]("n_lines"), r.getAs[Long]("min_days"),
+      r.getAs[Long]("max_days"), r.getAs[Double]("avg_days"),
+      r.getAs[Double]("p50_days"), r.getAs[Double]("p90_days"),
+      r.getAs[Double]("breach_rate")) ==
+      ((3L, 1L, 10L, 5.0, 4.0, 8.8, 0.333333)), r)
+  }
+
   test("kAnonGeneralizationLadder: min class walks the ladder until " +
     "only the coarsest grain satisfies k") {
     import java.sql.Timestamp
