@@ -761,6 +761,9 @@ object SparkEntry {
       ((s, d) => EventOps.betaPosteriorArms(events(s, d))),
     "pinball_loss_by_type" ->
       ((s, d) => EventOps.pinballLossByType(events(s, d))),
+    "part_abc_classes" -> ((s, d) => JoinOps.partAbcClasses(lineitem(s, d))),
+    "quantile_treatment_effect" ->
+      ((s, d) => EventOps.quantileTreatmentEffect(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -5115,6 +5118,41 @@ object SparkEntry {
         "round(CAST(CAST(sum(lg) AS BIGINT) - CAST(sum(lt) AS BIGINT) " +
         "AS DOUBLE) / 2000.0 / CAST(count(*) AS DOUBLE), 6) " +
         "AS improvement FROM sc GROUP BY 1"),
+    // Mirrors JoinOps.partAbcClasses: DuckDB's flat window cumsum IS
+    // the two-level globalRunningSum (bit-equal by RankOpsSpec
+    // parity); class cuts are integer cross-multiplications.
+    "part_abc_classes" ->
+      ("WITH rev AS (SELECT l_partkey, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(4,2)))) * 10000 AS BIGINT) AS rc " +
+        "FROM lineitem GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(rc) AS BIGINT) AS t FROM rev), " +
+        "c AS (SELECT rc, CAST(sum(rc) OVER (ORDER BY rc DESC, " +
+        "l_partkey ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum " +
+        "FROM rev) " +
+        "SELECT CASE WHEN cum * 100 <= 80 * t THEN 'A' " +
+        "WHEN cum * 100 <= 95 * t THEN 'B' ELSE 'C' END AS abc_class, " +
+        "CAST(count(*) AS BIGINT) AS n_parts, " +
+        "round(CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) / 10000.0, 2) " +
+        "AS revenue, " +
+        "round(CAST(CAST(sum(rc) AS BIGINT) AS DOUBLE) / " +
+        "CAST(max(t) AS DOUBLE), 6) AS revenue_share " +
+        "FROM c CROSS JOIN t GROUP BY 1"),
+    // Mirrors EventOps.quantileTreatmentEffect: per-arm quantile_cont
+    // FILTER at each tau, pinned cent divisions.
+    "quantile_treatment_effect" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS y, user_id % 2 AS arm FROM events GROUP BY 1), " +
+        "q AS (" +
+        Seq(0.1, 0.25, 0.5, 0.75, 0.9).map { t =>
+          s"SELECT CAST($t AS DOUBLE) AS tau, " +
+            s"quantile_cont(y, $t) FILTER (arm = 0) AS qa, " +
+            s"quantile_cont(y, $t) FILTER (arm = 1) AS qb FROM pu"
+        }.mkString(" UNION ALL ") + ") " +
+        "SELECT tau, round(qa / 100.0, 6) AS q_a, " +
+        "round(qb / 100.0, 6) AS q_b, " +
+        "round((qa - qb) / 100.0, 6) AS qte FROM q"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -2954,6 +2954,39 @@ object EventOps {
         .as("significant"))
   }
 
+  /** Quantile treatment effect: q_A(τ) − q_B(τ) of per-user total
+    * value at a ladder of quantiles — the DISTRIBUTIONAL experiment
+    * readout completing the suite (z-test: proportions, Welch: means,
+    * CUPED: variance-reduced means, this: where in the distribution
+    * the arms differ — a mean-zero treatment that fattens the tail is
+    * invisible to every other test here).
+    *
+    * Determinism: per-user totals are exact cents; each quantile is
+    * one `percentile` (≡ quantile_cont) over an arm; effects are
+    * pinned cent-difference divisions, 6dp. Shape: per-user collapse →
+    * two |τ|-length arrays → a ≤|τ|-row frame. */
+  def quantileTreatmentEffect(events: DataFrame,
+      taus: Seq[Double] = Seq(0.1, 0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val perUser = events.select(col("user_id"), cents.as("c"))
+      .groupBy("user_id").agg(sum("c").as("y"))
+      .withColumn("arm", col("user_id") % lit(2L))
+    val tauArr = s"array(${taus.mkString(", ")})"
+    val per = perUser.groupBy("arm")
+      .agg(expr(s"percentile(y, $tauArr)").as("qs"))
+    val ex = per.select(col("arm"), posexplode(col("qs")))
+      .withColumnRenamed("pos", "i").withColumnRenamed("col", "q")
+      .withColumn("tau", expr(tauArr)(col("i")).cast("double"))
+    ex.groupBy("tau")
+      .agg(max(when(col("arm") === 0L, col("q"))).as("qa"),
+        max(when(col("arm") === 1L, col("q"))).as("qb"))
+      .select(col("tau"),
+        round(col("qa") / 100.0, 6).as("q_a"),
+        round(col("qb") / 100.0, 6).as("q_b"),
+        round((col("qa") - col("qb")) / 100.0, 6).as("qte"))
+  }
+
   /** Beta-posterior arm summaries — the BAYESIAN companion of
     * [[ucbTypePolicy]] over the same Bernoulli replay: with a
     * uniform Beta(1,1) prior, each arm's posterior is

@@ -579,6 +579,39 @@ object JoinOps {
       .join(mode("p_type"), "cluster_rep")
   }
 
+  /** ABC revenue classification of the part catalog: parts sorted by
+    * revenue descending, class A = the head whose cumulative share
+    * stays ≤ 80%, B to 95%, C the tail — the inventory-management
+    * cut that decides which SKUs get tight control. The Pareto
+    * analysis as an OPERATOR, not a chart.
+    *
+    * Scale: the cumulative share comes from
+    * [[graft.ops.RankOps.globalRunningSum]]'s two-level prefix — no
+    * serial window ever touches the part frame (the catalog is
+    * SF-proportional). Class cuts are integer cross-multiplications
+    * (cum·100 ≤ 80·total — exact cents, no float shares); display
+    * revenue/share are single pinned divisions. */
+  def partAbcClasses(lineitem: DataFrame): DataFrame = {
+    val rev = lineitem.groupBy(col("l_partkey"))
+      .agg((sum(Num.dec2(col("l_extendedprice")) *
+        Num.oneMinus(col("l_discount"))) * lit(10000)).cast("bigint")
+        .as("rc"))
+    val run = RankOps.globalRunningSum(rev, -col("rc"),
+      Seq(col("rc").desc, col("l_partkey").asc), col("rc"), "cum_rc")
+    val tot = rev.agg(sum("rc").as("t"))
+    val cls = when(col("cum_rc") * lit(100L) <= lit(80L) * col("t"), "A")
+      .when(col("cum_rc") * lit(100L) <= lit(95L) * col("t"), "B")
+      .otherwise("C")
+    run.crossJoin(broadcast(tot))
+      .groupBy(cls.as("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum("rc").as("class_rc"),
+        max("t").as("t"))
+      .select(col("abc_class"), col("n_parts"),
+        round(col("class_rc").cast("double") / 10000.0, 2).as("revenue"),
+        round(col("class_rc").cast("double") / col("t").cast("double"), 6)
+          .as("revenue_share"))
+  }
+
   /** Shipping-latency SLA profile per order priority: exact day-diff
     * distribution (min/max/avg/p50/p90) between order and ship dates
     * plus the share of lines past `slaDays` — the operational

@@ -140,6 +140,51 @@ object RankOps {
     out.drop(bk: _*)
   }
 
+  /** Exact running SUM of `valueCol` over the global total order —
+    * the VALUE counterpart of [[globalRank]]'s row prefix, same
+    * two-level shape: range-bucket on `bucketKey`, intra-bucket
+    * running sums under a partitioned window, per-bucket TOTALS
+    * prefix-summed on the ≤ targetBuckets+1-row frame and broadcast
+    * back. Powers Pareto/ABC-style "cumulative share in rank order"
+    * analytics without ever sorting the entity frame in one task.
+    *
+    * Contract (same as [[globalRank]]): `bucketKey` monotone
+    * non-decreasing in `order` and non-null; `order` a TOTAL order
+    * (ties under a running sum are non-deterministic); `valueCol`
+    * must cast losslessly to LONG (use integer cents/micro-units). */
+  def globalRunningSum(df: DataFrame, bucketKey: Column,
+      order: Seq[Column], valueCol: Column, sumName: String,
+      targetBuckets: Long = 4096L): DataFrame = {
+    val base = df.withColumn("__gs_key", bucketKey.cast("long"))
+      .withColumn("__gs_v", valueCol.cast("long"))
+      .localCheckpoint()
+    val st = base.agg(min(col("__gs_key")), max(col("__gs_key")),
+      count(lit(1)), count(when(col("__gs_key").isNull, lit(1)))).head()
+    if (st.getLong(2) == 0L) {
+      return base.withColumn(sumName, lit(0L)).drop("__gs_key", "__gs_v")
+    }
+    require(st.getLong(3) == 0L, s"globalRunningSum($sumName): " +
+      s"${st.getLong(3)} rows have a NULL bucket key — the non-null " +
+      "contract would silently drop them from the prefix")
+    val (lo, width) = loAndWidth(st.getLong(0), st.getLong(1), targetBuckets)
+    val bucketed = base
+      .withColumn(BKey, expr(s"(__gs_key - ${lo}L) div ${width}L"))
+    val intra = bucketed.withColumn("__gs_run",
+      sum(col("__gs_v")).over(
+        Window.partitionBy(BKey).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = bucketed
+      .groupBy(BKey).agg(sum(col("__gs_v")).as("__gs_cnt"))
+      .withColumn("__gs_offset",
+        coalesce(sum(col("__gs_cnt")).over(
+          Window.orderBy(col(BKey).asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(BKey), col("__gs_offset"))
+    intra.join(broadcast(offsets), Seq(BKey))
+      .withColumn(sumName, col("__gs_offset") + col("__gs_run"))
+      .drop(BKey, "__gs_run", "__gs_offset", "__gs_key", "__gs_v")
+  }
+
   private val BKey = "__gr_bucket"
   private val NKey = "__gr_n_total"
 

@@ -564,6 +564,22 @@ class ExactArithmeticSpec extends SparkSpec {
       ((2L, 2L, 60.0, 41.0, 19.0, 2.02, -1.2)), r)
   }
 
+  test("quantileTreatmentEffect: per-arm interpolated quantiles and " +
+    "cent-exact effects") {
+    def qev(i: Long, uid: Long, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), uid, "a", v, "{}")
+    // arm0 = {2,4} totals {10,30}; arm1 = {1,3} totals {20,40}
+    val events = Seq(qev(1, 2L, 10.0), qev(2, 4L, 30.0),
+      qev(3, 1L, 20.0), qev(4, 3L, 40.0)).toDF(evCols: _*)
+    val got = EventOps.quantileTreatmentEffect(events, Seq(0.25, 0.5))
+      .collect().map(r => r.getAs[Double]("tau") ->
+        ((r.getAs[Double]("q_a"), r.getAs[Double]("q_b"),
+          r.getAs[Double]("qte")))).toMap
+    assert(got == Map(
+      0.25 -> ((15.0, 25.0, -10.0)),
+      0.5 -> ((20.0, 30.0, -10.0))), got)
+  }
+
   test("betaPosteriorArms: Beta(s+1, n-s+1) closed forms match the " +
     "hand computation") {
     // 4 plays, 1 success -> Beta(2,4): mean 1/3, var 8/(36·7)

@@ -340,6 +340,22 @@ class RangeFuzzySaltSpec extends SparkSpec {
       "SEG_B" -> ((1L, -1L, true, 0.3, 0.2))), got)
   }
 
+  test("partAbcClasses: cumulative-share cuts land each planted part " +
+    "in its class") {
+    // revenues 80 / 15 / 5 -> cum shares .80 / .95 / 1.00: the A cut
+    // is INCLUSIVE at exactly 80% (integer cross-multiply, no floats)
+    val li = Seq((1L, 80.0, 0.0), (2L, 15.0, 0.0), (3L, 5.0, 0.0))
+      .toDF("l_partkey", "l_extendedprice", "l_discount")
+    val got = JoinOps.partAbcClasses(li).collect()
+      .map(r => r.getAs[String]("abc_class") ->
+        ((r.getAs[Long]("n_parts"), r.getAs[Double]("revenue"),
+          r.getAs[Double]("revenue_share")))).toMap
+    assert(got == Map(
+      "A" -> ((1L, 80.0, 0.8)),
+      "B" -> ((1L, 15.0, 0.15)),
+      "C" -> ((1L, 5.0, 0.05))), got)
+  }
+
   test("shippingLatencyByPriority: exact day-diff stats, interpolated " +
     "p90, breach share") {
     import java.sql.Timestamp

@@ -32,6 +32,29 @@ class RankOpsSpec extends SparkSpec {
     }
   }
 
+  test("globalRunningSum matches the flat window running sum across " +
+    "bucket widths, negatives included") {
+    val flat = fx.withColumn("s",
+      sum(col("v")).over(Window.orderBy(col("v").asc, col("id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    for (tb <- Seq(1L, 3L, 4096L)) {
+      val two = RankOps.globalRunningSum(fx, col("v"),
+        Seq(col("v").asc, col("id").asc), col("v"), "s",
+        targetBuckets = tb)
+      assert(two.select("id", "s").except(flat.select("id", "s")).isEmpty &&
+        flat.select("id", "s").except(two.select("id", "s")).isEmpty,
+        s"running-sum mismatch at targetBuckets=$tb")
+    }
+    // NULL bucket key violates the contract loudly, not by truncation
+    val withNull = fx.unionByName(
+      Seq((999L, null.asInstanceOf[java.lang.Long], BigDecimal("0.25")))
+        .toDF("id", "v", "m"))
+    intercept[IllegalArgumentException] {
+      RankOps.globalRunningSum(withNull, col("v"),
+        Seq(col("v").asc, col("id").asc), col("v"), "s").collect()
+    }
+  }
+
   test("globalNtile matches flat ntile incl. remainder and n < q") {
     for (q <- Seq(2, 5, 7, 10, 200)) { // 200 > n exercises one-row tiles
       val flat = fx.withColumn("t",
