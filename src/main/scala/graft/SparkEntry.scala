@@ -764,6 +764,11 @@ object SparkEntry {
     "part_abc_classes" -> ((s, d) => JoinOps.partAbcClasses(lineitem(s, d))),
     "quantile_treatment_effect" ->
       ((s, d) => EventOps.quantileTreatmentEffect(events(s, d))),
+    "position_attribution" ->
+      ((s, d) => EventOps.positionAttribution(events(s, d))),
+    "fano_factor_by_type" ->
+      ((s, d) => EventOps.fanoFactorByType(events(s, d))),
+    "value_psi_drift" -> ((s, d) => EventOps.valuePsiDrift(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -5153,6 +5158,76 @@ object SparkEntry {
         "SELECT tau, round(qa / 100.0, 6) AS q_a, " +
         "round(qb / 100.0, 6) AS q_b, " +
         "round((qa - qb) / 100.0, 6) AS qte FROM q"),
+    // Mirrors EventOps.positionAttribution: the linear_attribution
+    // conv⋈touch window, positions by (touch_ts, touch_id) total
+    // order, 40/20/40 micro-credits with the same div convention.
+    "position_attribution" ->
+      ("WITH conv AS (SELECT event_id AS conv_id, user_id, ts AS conv_ts " +
+        "FROM events WHERE event_type = 'purchase'), " +
+        "touch AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type, " +
+        "event_id AS touch_id FROM events WHERE event_type <> 'purchase'), " +
+        "j AS (SELECT c.conv_id, t.touch_type, t.touch_ts, t.touch_id " +
+        "FROM conv c JOIN touch t ON t.user_id = c.user_id " +
+        "AND t.touch_ts < c.conv_ts " +
+        "AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY), " +
+        "rk AS (SELECT conv_id, touch_type, " +
+        "CAST(row_number() OVER (PARTITION BY conv_id " +
+        "ORDER BY touch_ts ASC, touch_id ASC) AS BIGINT) AS rk, " +
+        "CAST(count(*) OVER (PARTITION BY conv_id) AS BIGINT) AS n FROM j), " +
+        "cr AS (SELECT touch_type, CASE WHEN n = 1 THEN 1000000 " +
+        "WHEN n = 2 THEN 500000 " +
+        "WHEN rk = 1 OR rk = n THEN 400000 " +
+        "ELSE CAST(200000 // (n - 2) AS BIGINT) END AS credit FROM rk) " +
+        "SELECT touch_type AS event_type, " +
+        "CAST(count(*) AS BIGINT) AS n_touches, " +
+        "CAST(sum(credit) AS BIGINT) AS attributed_micro, " +
+        "round(CAST(CAST(sum(credit) AS BIGINT) AS DOUBLE) / 1000000.0, 6) " +
+        "AS attributed_conversions FROM cr GROUP BY 1"),
+    // Mirrors EventOps.fanoFactorByType: dense-minute Fano from the
+    // observed collapse only ((m·Σc² − T²)/(m·T), zeros via algebra),
+    // HUGEINT moments, integer cross-multiplied burstiness flag.
+    "fano_factor_by_type" ->
+      ("WITH m0 AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) " +
+        "AS hi FROM events), " +
+        "mb AS (SELECT event_type, CAST((epoch_us(ts) - lo) // 60000000 " +
+        "AS BIGINT) AS minute, CAST((hi - lo) // 60000000 + 1 AS BIGINT) AS m " +
+        "FROM events CROSS JOIN m0), " +
+        "c AS (SELECT event_type, minute, m, CAST(count(*) AS BIGINT) AS c " +
+        "FROM mb GROUP BY 1, 2, 3), " +
+        "s AS (SELECT event_type, max(m) AS m, CAST(sum(c) AS BIGINT) AS t, " +
+        "CAST(sum(c * c) AS BIGINT) AS sc2 FROM c GROUP BY 1) " +
+        "SELECT event_type, t AS n_events, m AS n_minutes, " +
+        "round(CAST(t AS DOUBLE) / CAST(m AS DOUBLE), 6) AS mean_per_minute, " +
+        "round(CAST(CAST(m AS HUGEINT) * sc2 - CAST(t AS HUGEINT) * t " +
+        "AS DOUBLE) / CAST(CAST(m AS HUGEINT) * t AS DOUBLE), 6) AS fano, " +
+        "(CAST(m AS HUGEINT) * sc2 - CAST(t AS HUGEINT) * t) * 2 > " +
+        "CAST(m AS HUGEINT) * t * 3 AS bursty FROM s"),
+    // Mirrors EventOps.valuePsiDrift: the KS/W1 half-split bin grid,
+    // add-one-smoothed shares as ratios of exact ints, per-bin terms
+    // re-pinned to BIGINT micro-units before the sum.
+    "value_psi_drift" ->
+      ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bin, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT min(us) AS lo, max(us) AS hi FROM b), " +
+        "h AS (SELECT bin, CASE WHEN us <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half FROM b CROSS JOIN m), " +
+        "c AS (SELECT bin, " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM h GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, " +
+        "CAST(sum(c2) AS BIGINT) AS n2, " +
+        "CAST(count(*) AS BIGINT) AS nb FROM c), " +
+        "e AS (SELECT n1, n2, nb, " +
+        "CAST(round(((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)) - " +
+        "(CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))) * " +
+        "ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + nb AS DOUBLE)) / " +
+        "(CAST(c2 + 1 AS DOUBLE) / CAST(n2 + nb AS DOUBLE))) * 1000000.0, " +
+        "0) AS BIGINT) AS term FROM c CROSS JOIN t) " +
+        "SELECT max(n1) AS n_first, max(n2) AS n_second, " +
+        "max(nb) AS n_bins, " +
+        "round(CAST(CAST(sum(term) AS BIGINT) AS DOUBLE) / 1000000.0, 6) " +
+        "AS psi FROM e"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

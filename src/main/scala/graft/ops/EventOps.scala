@@ -1113,6 +1113,119 @@ object EventOps {
         round(col("attributed_micro").cast("double") / lit(1000000.0), 6))
   }
 
+  /** Position-based (U-shaped, 40/20/40) multi-touch attribution —
+    * the third member of the family beside [[linearAttribution]] and
+    * [[timeDecayEngagement]]: first and last touch before each
+    * conversion get 40% each, the middles split the remaining 20%.
+    * The marketer's default when first-discovery and final-nudge both
+    * matter more than the middle.
+    *
+    * Determinism: credits are exact integer micro-units (400000 /
+    * 500000 / 1000000 / 200000 div (n−2) — same `div` convention as
+    * linear), positions from a TOTAL order (touch_ts, touch event_id);
+    * the micro sums are exact BIGINT. Shape: same windowed conv⋈touch
+    * join as linear; the position window partitions per conversion. */
+  def positionAttribution(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        col("ts").as("conv_ts"))
+    val touch = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("ts").as("touch_ts"),
+        col("event_type").as("touch_type"), col("event_id").as("touch_id"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") -
+          expr(s"INTERVAL $windowDays DAYS"))
+    val ranked = joined
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("conv_id")
+          .orderBy(col("touch_ts").asc, col("touch_id").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+    val credit = when(col("n") === 1L, 1000000L)
+      .when(col("n") === 2L, 500000L)
+      .when(col("rk") === 1L || col("rk") === col("n"), 400000L)
+      .otherwise(expr("CAST(200000 AS BIGINT) div (n - 2)"))
+    ranked.groupBy(col("touch_type").as("event_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(credit).as("attributed_micro"))
+      .withColumn("attributed_conversions",
+        round(col("attributed_micro").cast("double") / lit(1000000.0), 6))
+  }
+
+  /** Fano factor (variance-to-mean of per-minute counts) per event
+    * type — the burstiness index: a Poisson arrival stream sits at 1;
+    * crawler bursts and incident storms push it far above, metronomic
+    * bots below. The scalar [[interarrivalStats]]' per-gap moments
+    * summarize from the other side.
+    *
+    * Exactness: over the DENSE minute grid (zeros included — skipping
+    * them biases the variance down) Fano = (m·Σc² − T²)/(m·T) — but
+    * the zero bins need never materialize: m is one scalar from the
+    * global time range, Σc² and T come from the observed (type,
+    * minute) collapse. Everything integer (DECIMAL(38,0) headroom for
+    * T²) until one double division; the burstiness flag is an integer
+    * cross-multiplication at 1.5. */
+  def fanoFactorByType(events: DataFrame): DataFrame = {
+    val mins = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - lo) div 60000000").as("minute"),
+        expr("(hi - lo) div 60000000 + 1").as("m"))
+    val cnts = mins.groupBy("event_type", "minute", "m")
+      .agg(count(lit(1)).as("c"))
+    val stats = cnts.groupBy("event_type")
+      .agg(max("m").as("m"), sum("c").as("t"),
+        sum(col("c") * col("c")).as("sc2"))
+    val num = col("m").cast("decimal(38,0)") * col("sc2") -
+      col("t").cast("decimal(38,0)") * col("t")
+    val den = col("m").cast("decimal(38,0)") * col("t")
+    stats.select(col("event_type"), col("t").as("n_events"),
+      col("m").as("n_minutes"),
+      round(col("t").cast("double") / col("m").cast("double"), 6)
+        .as("mean_per_minute"),
+      round(num.cast("double") / den.cast("double"), 6).as("fano"),
+      (num * lit(2) > den * lit(3)).as("bursty"))
+  }
+
+  /** Value-binned PSI drift between the time halves — the THIRD drift
+    * lens beside [[ksValueDrift]] (max ECDF gap) and
+    * [[valueWassersteinDrift]] (mass moved): PSI weights each bin's
+    * shift by its log-ratio, the banking-standard population-stability
+    * score with its conventional 0.1/0.25 action thresholds. Add-one
+    * smoothing over the union bin grid keeps one-sided bins finite.
+    *
+    * Determinism: smoothed shares are ratios of exact integers
+    * (identical doubles); each bin's term is re-pinned to BIGINT
+    * micro-units before the one order-dependent sum. Shape: the same
+    * bounded value-range grid as KS/W1. */
+  def valuePsiDrift(events: DataFrame): DataFrame = {
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(floor(col("value")).cast("long").as("bin"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val counts = half.groupBy("bin")
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"),
+      count(lit(1)).as("nb"))
+    val p = (col("c1") + lit(1L)).cast("double") /
+      (col("n1") + col("nb")).cast("double")
+    val q = (col("c2") + lit(1L)).cast("double") /
+      (col("n2") + col("nb")).cast("double")
+    val term = round((p - q) * log(p / q) * lit(1000000.0), 0).cast("long")
+    counts.crossJoin(broadcast(tot))
+      .agg(max("n1").as("n_first"), max("n2").as("n_second"),
+        max("nb").as("n_bins"), sum(term).as("psi_micro"))
+      .select(col("n_first"), col("n_second"), col("n_bins"),
+        round(col("psi_micro").cast("double") / lit(1000000.0), 6)
+          .as("psi"))
+  }
+
   /** Equi-DEPTH histogram of `value` — [[valueHistogram]]'s dual:
     * buckets hold (approximately) equal row counts instead of equal
     * width, the shape profilers and quantile-bucketed joins want when

@@ -564,6 +564,64 @@ class ExactArithmeticSpec extends SparkSpec {
       ((2L, 2L, 60.0, 41.0, 19.0, 2.02, -1.2)), r)
   }
 
+  test("positionAttribution: 40/20/40 micro-credits by touch position, " +
+    "single-touch gets all") {
+    def aev(i: Long, uid: Long, time: String, t: String) =
+      (i, Timestamp.valueOf(s"2024-03-01 $time"), uid, t, 1.0, "{}")
+    val events = Seq(
+      // user 1: view (first) -> click (mid) -> error (last) -> purchase
+      aev(1, 1L, "09:00:00", "view"), aev(2, 1L, "09:30:00", "click"),
+      aev(3, 1L, "09:45:00", "error"), aev(4, 1L, "10:00:00", "purchase"),
+      // user 2: one view then purchase -> the view gets 100%
+      aev(5, 2L, "09:00:00", "view"), aev(6, 2L, "10:00:00", "purchase"))
+      .toDF(evCols: _*)
+    val got = EventOps.positionAttribution(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_touches"), r.getAs[Long]("attributed_micro"),
+          r.getAs[Double]("attributed_conversions")))).toMap
+    assert(got == Map(
+      "view" -> ((2L, 1400000L, 1.4)),
+      "click" -> ((1L, 200000L, 0.2)),
+      "error" -> ((1L, 400000L, 0.4))), got)
+  }
+
+  test("fanoFactorByType: dense-minute variance-to-mean with zeros " +
+    "by algebra, burstiness flag at 1.5") {
+    def fev(i: Long, time: String, t: String) =
+      (i, Timestamp.valueOf(s"2024-03-01 $time"), 1L, t, 1.0, "{}")
+    // span 10:00:00-10:02:30 -> m = 3 minutes. Type a: counts
+    // [2,0,1] -> Fano (3·5−9)/9 = 2/3; type b: [4,0,0] -> 32/12.
+    val events = Seq(
+      fev(1, "10:00:00", "a"), fev(2, "10:00:30", "a"),
+      fev(3, "10:02:30", "a"),
+      fev(4, "10:00:01", "b"), fev(5, "10:00:02", "b"),
+      fev(6, "10:00:03", "b"), fev(7, "10:00:04", "b")).toDF(evCols: _*)
+    val got = EventOps.fanoFactorByType(events).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_minutes"),
+          r.getAs[Double]("fano"), r.getAs[Boolean]("bursty")))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 3L, 0.666667, false)),
+      "b" -> ((4L, 3L, 2.666667, true))), got)
+  }
+
+  test("valuePsiDrift: add-one-smoothed micro-unit terms match the " +
+    "hand formula") {
+    def dev(i: Long, sec: Int, v: Double) =
+      (i, Timestamp.valueOf(f"2024-03-01 10:00:$sec%02d"), 1L, "a", v, "{}")
+    // half1 bins {0:2, 1:1}, half2 {0:1, 1:2} -> smoothed shares
+    // .6/.4 both directions
+    val events = Seq(dev(1, 0, 0.5), dev(2, 1, 0.5), dev(3, 2, 1.5),
+      dev(4, 8, 1.5), dev(5, 9, 1.5), dev(6, 10, 0.5)).toDF(evCols: _*)
+    val r = EventOps.valuePsiDrift(events).collect().head
+    val term = math.rint((3.0 / 5.0 - 2.0 / 5.0) *
+      math.log((3.0 / 5.0) / (2.0 / 5.0)) * 1e6)
+    val expect = math.rint(2.0 * term / 1e6 * 1e6) / 1e6
+    assert((r.getAs[Long]("n_first"), r.getAs[Long]("n_second"),
+      r.getAs[Long]("n_bins"), r.getAs[Double]("psi")) ==
+      ((3L, 3L, 2L, expect)), r)
+  }
+
   test("quantileTreatmentEffect: per-arm interpolated quantiles and " +
     "cent-exact effects") {
     def qev(i: Long, uid: Long, v: Double) =
