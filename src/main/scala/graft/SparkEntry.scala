@@ -769,6 +769,10 @@ object SparkEntry {
     "fano_factor_by_type" ->
       ((s, d) => EventOps.fanoFactorByType(events(s, d))),
     "value_psi_drift" -> ((s, d) => EventOps.valuePsiDrift(events(s, d))),
+    "source_vocab_overlap" ->
+      ((s, d) => DocOps.sourceVocabOverlap(documents(s, d))),
+    "label_separation_matrix" ->
+      ((s, d) => VectorOps.labelSeparationMatrix(embeddings(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -5228,6 +5232,45 @@ object SparkEntry {
         "max(nb) AS n_bins, " +
         "round(CAST(CAST(sum(term) AS BIGINT) AS DOUBLE) / 1000000.0, 6) " +
         "AS psi FROM e"),
+    // Mirrors DocOps.sourceVocabOverlap: per-term distinct source
+    // pairs, exact sizes, one pinned Jaccard division.
+    "source_vocab_overlap" ->
+      ("WITH st AS (SELECT DISTINCT source, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "stn AS (SELECT source, term FROM st WHERE term <> ''), " +
+        "sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v " +
+        "FROM stn GROUP BY 1), " +
+        "inter AS (SELECT a.source AS source_a, b.source AS source_b, " +
+        "CAST(count(*) AS BIGINT) AS n_common FROM stn a JOIN stn b " +
+        "ON a.term = b.term AND a.source < b.source GROUP BY 1, 2) " +
+        "SELECT source_a, source_b, sa.v AS v_a, sb.v AS v_b, n_common, " +
+        "round(CAST(n_common AS DOUBLE) / " +
+        "CAST(sa.v + sb.v - n_common AS DOUBLE), 6) AS jaccard " +
+        "FROM inter JOIN sizes sa ON sa.source = inter.source_a " +
+        "JOIN sizes sb ON sb.source = inter.source_b"),
+    // Mirrors VectorOps.labelSeparationMatrix: the label_centroids
+    // CTE re-assembled in dim order, list_sum ≡ index-order-fold
+    // parity for dot/norm/distance, 6dp rounds.
+    "label_separation_matrix" ->
+      ("WITH x AS (SELECT label, unnest(list_transform(range(len(embedding)), " +
+        "i -> {'d': i, 'v': CAST(embedding[i+1] AS DOUBLE)})) AS s " +
+        "FROM embeddings), " +
+        "cent AS (SELECT label, CAST(s.d AS INTEGER) AS dim, " +
+        "round(avg(s.v), 4) AS mean_x FROM x GROUP BY 1, 2), " +
+        "cv AS (SELECT label, list(mean_x ORDER BY dim) AS c " +
+        "FROM cent GROUP BY 1), " +
+        "p AS (SELECT a.label AS label_a, b.label AS label_b, " +
+        "a.c AS ca, b.c AS cb FROM cv a JOIN cv b ON a.label < b.label) " +
+        "SELECT label_a, label_b, " +
+        "round(list_sum(list_transform(range(len(ca)), " +
+        "i -> ca[i+1] * cb[i+1])) / " +
+        "(sqrt(list_sum(list_transform(ca, x -> x * x))) * " +
+        "sqrt(list_sum(list_transform(cb, x -> x * x)))), 6) " +
+        "AS centroid_cosine, " +
+        "round(sqrt(list_sum(list_transform(range(len(ca)), " +
+        "i -> (ca[i+1] - cb[i+1]) * (ca[i+1] - cb[i+1])))), 6) " +
+        "AS centroid_l2 FROM p"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

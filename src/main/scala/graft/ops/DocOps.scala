@@ -1273,6 +1273,39 @@ object DocOps {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Pairwise source-vocabulary overlap: Jaccard between every two
+    * sources' distinct token sets — the corpus-diversity matrix a
+    * mixture designer reads before setting [[unimax|UniMax]]/
+    * temperature weights (two sources at Jaccard 0.9 are one source
+    * for diversity purposes; upweighting both double-counts).
+    *
+    * Scale: the intersection join is per-TERM — Σ_t sources(t)², with
+    * |sources| a mixture-design constant (each term contributes at
+    * most |sources|² pairs), linear in the vocabulary. Counts exact;
+    * Jaccard is one pinned division via |A∪B| = |A|+|B|−|A∩B|. */
+  def sourceVocabOverlap(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("v"))
+    val inter = st.as("a").join(st.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("source").as("source_a"), col("v").as("v_a")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("v").as("v_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("v_a") + col("v_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Filter-attrition waterfall: the corpus-cleaning funnel's
     * observability row — for each successive quality rule (non-empty →
     * length window → lexical diversity → detector-label agreement),

@@ -571,6 +571,37 @@ object VectorOps {
       .groupBy("label", "dim")
       .agg(round(avg("x"), 4).as("mean_x"))
 
+  /** Pairwise label-centroid separation matrix: cosine and L2 between
+    * every pair of the [[labelCentroids]] vectors — the class-
+    * separability readout BEFORE training on the labels (two classes
+    * whose centroids cosine at 0.99 will confuse any classifier;
+    * [[silhouetteByLabel]] scores members, this scores the classes
+    * themselves). |labels|²-bounded everywhere.
+    *
+    * Determinism: centroids are the 4dp-rounded hash-green values,
+    * re-assembled per label in DIM ORDER; dot/norm/distance all
+    * left-fold in index order (the aggregate-from-0.0 ≡ list_sum
+    * identity); one 6dp round per statistic. */
+  def labelSeparationMatrix(embeddings: DataFrame): DataFrame = {
+    val cv = labelCentroids(embeddings)
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mean_x"))))
+        .as("s"))
+      .select(col("label"), expr("transform(s, p -> p.mean_x)").as("c"))
+    val pairs = cv.as("a").join(cv.as("b"), col("a.label") < col("b.label"))
+      .select(col("a.label").as("label_a"), col("b.label").as("label_b"),
+        col("a.c").as("ca"), col("b.c").as("cb"))
+    def fold(e: String) =
+      expr(s"aggregate($e, 0D, (acc, v) -> acc + v)")
+    val dot = fold("zip_with(ca, cb, (x, y) -> x * y)")
+    val na = fold("transform(ca, x -> x * x)")
+    val nb = fold("transform(cb, x -> x * x)")
+    val dd = fold("zip_with(ca, cb, (x, y) -> (x - y) * (x - y))")
+    pairs.select(col("label_a"), col("label_b"),
+      round(dot / (sqrt(na) * sqrt(nb)), 6).as("centroid_cosine"),
+      round(sqrt(dd), 6).as("centroid_l2"))
+  }
+
   /** Simplified silhouette per label (Hruschka et al. '04 — centroid
     * distances replacing the O(n²) pairwise original): for each vector,
     * a = euclidean distance to its OWN label centroid, b = the nearest

@@ -604,6 +604,17 @@ class DocPipelineSpec extends SparkSpec {
       ("deep learning", 1L, 5.0)), got.toString)
   }
 
+  test("sourceVocabOverlap: exact set sizes and Jaccard; disjoint " +
+    "pairs are absent, not zero rows") {
+    val docs = Seq((1L, "a b c", "s1"), (2L, "b c d", "s2"),
+      (3L, "x", "s3")).toDF("doc_id", "text", "source")
+    val got = graft.ops.DocOps.sourceVocabOverlap(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("v_a"), r.getAs[Long]("v_b"),
+          r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))).toMap
+    assert(got == Map(("s1", "s2") -> ((3L, 3L, 2L, 0.5))), got)
+  }
+
   test("filterAttritionWaterfall: each stage drops exactly its " +
     "planted victim, prefix-AND counts") {
     val docs = Seq(

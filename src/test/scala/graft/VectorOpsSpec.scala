@@ -42,6 +42,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, None)), got.toString)
   }
 
+  test("labelSeparationMatrix: orthogonal and collinear centroid " +
+    "pairs score exactly") {
+    // label 0 centroid (1,0) (two members), label 1 (0,1), label 2
+    // (2,0): cos(0,1)=0, l2=√2; cos(0,2)=1, l2=1; cos(1,2)=0, l2=√5
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(2.0f, 0.0f), 2),
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.labelSeparationMatrix(emb).collect()
+      .map(r => (r.getAs[Int]("label_a"), r.getAs[Int]("label_b")) ->
+        ((r.getAs[Double]("centroid_cosine"),
+          r.getAs[Double]("centroid_l2")))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      (0, 1) -> ((0.0, r6(math.sqrt(2.0)))),
+      (0, 2) -> ((1.0, 1.0)),
+      (1, 2) -> ((0.0, r6(math.sqrt(5.0))))), got)
+  }
+
   test("mrrRetrieval: first relevant rank on the same total order, " +
     "NULL for zero-relevant queries") {
     // same fixture as the ndcg test: query 0's rank-1 result (vec 1,
