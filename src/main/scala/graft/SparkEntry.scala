@@ -773,6 +773,12 @@ object SparkEntry {
       ((s, d) => DocOps.sourceVocabOverlap(documents(s, d))),
     "label_separation_matrix" ->
       ((s, d) => VectorOps.labelSeparationMatrix(embeddings(s, d))),
+    "brown_forsythe_daily" ->
+      ((s, d) => EventOps.brownForsytheDaily(events(s, d))),
+    "bh_fdr_type_pairs" ->
+      ((s, d) => EventOps.bhFdrTypePairs(events(s, d))),
+    "mcnemar_switchers" ->
+      ((s, d) => EventOps.mcnemarSwitchers(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -802,6 +808,44 @@ object SparkEntry {
   private val prunedShingleCte: String =
     "pruned AS (SELECT * FROM (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df " +
       "FROM inv) WHERE df <= 1000)"
+
+  /** Shared DuckDB CTE chain + final SELECT for the Mann–Whitney
+    * doubled-midrank pipeline — ONE definition inlined by both the
+    * `mann_whitney_type_pairs` oracle and `bh_fdr_type_pairs`' p-value
+    * stage (the shingleCtes anti-drift convention: a tie-handling
+    * change missed in one copy would red-row as a phantom bug). */
+  private val mannWhitneyCtes: String =
+    "cnts AS (SELECT value AS v, event_type AS t, " +
+      "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+      "ty AS (SELECT DISTINCT t FROM cnts), " +
+      "pairs AS (SELECT x.t AS ta, y.t AS tb FROM ty x JOIN ty y ON x.t < y.t), " +
+      "comb AS (SELECT ta, tb, v, " +
+      "CAST(sum(CASE WHEN t = ta THEN c ELSE 0 END) AS BIGINT) AS ca, " +
+      "CAST(sum(CASE WHEN t = tb THEN c ELSE 0 END) AS BIGINT) AS cb " +
+      "FROM cnts JOIN pairs ON t = ta OR t = tb GROUP BY 1, 2, 3), " +
+      "cum AS (SELECT *, " +
+      "CAST(coalesce(sum(ca) OVER (PARTITION BY ta, tb ORDER BY v ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_a, " +
+      "CAST(coalesce(sum(cb) OVER (PARTITION BY ta, tb ORDER BY v ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_b " +
+      "FROM comb), " +
+      "st AS (SELECT ta, tb, CAST(sum(ca) AS BIGINT) AS n1, " +
+      "CAST(sum(cb) AS BIGINT) AS n2, " +
+      "CAST(sum(ca * (2 * (cum_a + cum_b) + (ca + cb) + 1)) AS BIGINT) AS r2a, " +
+      "CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS ties3 " +
+      "FROM cum GROUP BY 1, 2)"
+
+  private val mannWhitneySelect: String =
+    "SELECT ta AS type_a, tb AS type_b, n1, n2, " +
+      "CAST(r2a - n1 * (n1 + 1) AS BIGINT) AS u2_a, " +
+      "CASE WHEN (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) * " +
+      "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties3 AS DOUBLE) / " +
+      "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0.0 THEN " +
+      "round((CAST(r2a - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) / 2.0) / " +
+      "sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) * " +
+      "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties3 AS DOUBLE) / " +
+      "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) END AS z " +
+      "FROM st"
 
   def oracleSql: Map[String, String] = Map(
     "user_activity" ->
@@ -1352,36 +1396,8 @@ object SparkEntry {
     // Mirrors EventOps.mannWhitneyTypePairs: the doubled-midrank
     // closed form in exact BIGINT, pinned-order doubles for the
     // tie-corrected z, NULL z at zero variance.
-    "mann_whitney_type_pairs" ->
-      ("WITH cnts AS (SELECT value AS v, event_type AS t, " +
-        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
-        "ty AS (SELECT DISTINCT t FROM cnts), " +
-        "pairs AS (SELECT x.t AS ta, y.t AS tb FROM ty x JOIN ty y ON x.t < y.t), " +
-        "comb AS (SELECT ta, tb, v, " +
-        "CAST(sum(CASE WHEN t = ta THEN c ELSE 0 END) AS BIGINT) AS ca, " +
-        "CAST(sum(CASE WHEN t = tb THEN c ELSE 0 END) AS BIGINT) AS cb " +
-        "FROM cnts JOIN pairs ON t = ta OR t = tb GROUP BY 1, 2, 3), " +
-        "cum AS (SELECT *, " +
-        "CAST(coalesce(sum(ca) OVER (PARTITION BY ta, tb ORDER BY v ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_a, " +
-        "CAST(coalesce(sum(cb) OVER (PARTITION BY ta, tb ORDER BY v ASC " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_b " +
-        "FROM comb), " +
-        "st AS (SELECT ta, tb, CAST(sum(ca) AS BIGINT) AS n1, " +
-        "CAST(sum(cb) AS BIGINT) AS n2, " +
-        "CAST(sum(ca * (2 * (cum_a + cum_b) + (ca + cb) + 1)) AS BIGINT) AS r2a, " +
-        "CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb)) AS BIGINT) AS ties3 " +
-        "FROM cum GROUP BY 1, 2) " +
-        "SELECT ta AS type_a, tb AS type_b, n1, n2, " +
-        "CAST(r2a - n1 * (n1 + 1) AS BIGINT) AS u2_a, " +
-        "CASE WHEN (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) * " +
-        "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties3 AS DOUBLE) / " +
-        "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE))) > 0.0 THEN " +
-        "round((CAST(r2a - n1 * (n1 + 1) - n1 * n2 AS DOUBLE) / 2.0) / " +
-        "sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0) * " +
-        "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties3 AS DOUBLE) / " +
-        "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) END AS z " +
-        "FROM st"),
+    "mann_whitney_type_pairs" -> ("WITH " + mannWhitneyCtes + " " +
+      mannWhitneySelect),
     // Mirrors EventOps.kruskalWallisDailyCounts: pooled doubled
     // midranks via an exclusive prefix over the collapsed count-value
     // frame; every group holds exactly n_days dense-grid observations
@@ -5271,6 +5287,89 @@ object SparkEntry {
         "round(sqrt(list_sum(list_transform(range(len(ca)), " +
         "i -> (ca[i+1] - cb[i+1]) * (ca[i+1] - cb[i+1])))), 6) " +
         "AS centroid_l2 FROM p"),
+    // Mirrors EventOps.brownForsytheDaily: the KW dense zero-filled
+    // calendar grid, doubled medians as exact BIGINT, both ANOVA sums
+    // as HUGEINT integer numerators over the equal-group common
+    // denominator, one pinned double division, NULL at zero within-
+    // group spread.
+    "brown_forsythe_daily" ->
+      ("WITH daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "dd AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "t AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, coalesce(daily.cnt, 0) AS v " +
+        "FROM dd CROSS JOIN t LEFT JOIN daily " +
+        "ON daily.event_type = t.event_type AND daily.day = dd.day), " +
+        "med AS (SELECT event_type, CAST(round(median(v) * 2.0, 0) AS BIGINT) AS m2 " +
+        "FROM grid GROUP BY 1), " +
+        "z AS (SELECT g.event_type, abs(g.v * 2 - m.m2) AS z2 " +
+        "FROM grid g JOIN med m USING (event_type)), " +
+        "pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS d, " +
+        "CAST(sum(z2) AS BIGINT) AS s, " +
+        "CAST(sum(CAST(z2 AS HUGEINT) * z2) AS HUGEINT) AS ss " +
+        "FROM z GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(max(d) AS BIGINT) AS d, " +
+        "CAST(sum(s) AS BIGINT) AS stot, " +
+        "CAST(sum(CAST(s AS HUGEINT) * s) AS HUGEINT) AS s2sum, " +
+        "CAST(sum(ss) AS HUGEINT) AS sstot FROM pt) " +
+        "SELECT k AS n_types, d AS n_days, CAST(k * d AS BIGINT) AS n_total, " +
+        "CAST(k - 1 AS BIGINT) AS df1, CAST(k * d - k AS BIGINT) AS df2, " +
+        "CASE WHEN CAST(CAST(d AS HUGEINT) * sstot - s2sum AS DOUBLE) > 0.0 THEN " +
+        "round((CAST(k * d - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)) * " +
+        "(CAST(CAST(k AS HUGEINT) * s2sum - CAST(stot AS HUGEINT) * stot AS DOUBLE) / " +
+        "(CAST(k AS DOUBLE) * CAST(CAST(d AS HUGEINT) * sstot - s2sum AS DOUBLE))), 6) " +
+        "END AS bf_f FROM tot"),
+    // Mirrors EventOps.bhFdrTypePairs: the shared Mann–Whitney CTE
+    // chain, the pinned A&S 26.2.17 two-sided p (6dp-rounded before
+    // any comparison), ranks and the step-up suffix min as self-joins
+    // over the tiny pairs frame — no window, total (p, ta, tb) order.
+    "bh_fdr_type_pairs" ->
+      ("WITH " + mannWhitneyCtes + ", " +
+        "mw AS (" + mannWhitneySelect + "), " +
+        "zt AS (SELECT type_a, type_b, z FROM mw WHERE z IS NOT NULL), " +
+        "kk AS (SELECT type_a, type_b, z, abs(z) AS x, " +
+        "1.0 / (1.0 + 0.2316419 * abs(z)) AS k FROM zt), " +
+        "pp AS (SELECT type_a, type_b, z, " +
+        "round(2.0 * (exp(-(x * x) / 2.0) / 2.5066282746310002) * " +
+        "(k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 + " +
+        "k * (-1.821255978 + k * 1.330274429))))), 6) AS p FROM kk), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp), " +
+        "rk AS (SELECT b.type_a, b.type_b, b.z, b.p, " +
+        "CAST(count(a.p) + 1 AS BIGINT) AS rk FROM pp b LEFT JOIN pp a " +
+        "ON (a.p < b.p) OR (a.p = b.p AND (a.type_a < b.type_a OR " +
+        "(a.type_a = b.type_a AND a.type_b < b.type_b))) " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "q AS (SELECT *, round(least(p * CAST((SELECT m FROM m) AS DOUBLE) / " +
+        "CAST(rk AS DOUBLE), 1.0), 6) AS q FROM rk) " +
+        "SELECT b.type_a, b.type_b, b.z, b.p AS p_raw, b.rk, " +
+        "min(a.q) AS p_bh, min(a.q) <= 0.05 AS rejected " +
+        "FROM q b JOIN q a ON a.rk >= b.rk GROUP BY 1, 2, 3, 4, 5"),
+    // Mirrors EventOps.mcnemarSwitchers: exact integer epoch-µs
+    // midpoint split, per-user boolean collapse, exact BIGINT 2×2
+    // cells, continuity-corrected χ² as one pinned double division.
+    "mcnemar_switchers" ->
+      ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi " +
+        "FROM events), " +
+        "pu AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) <= (lo + hi) // 2 " +
+        "THEN 1 ELSE 0 END) AS pre, " +
+        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > (lo + hi) // 2 " +
+        "THEN 1 ELSE 0 END) AS post " +
+        "FROM events CROSS JOIN b GROUP BY 1), " +
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both, " +
+        "CAST(sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neither, " +
+        "CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b_pre_only, " +
+        "CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_post_only " +
+        "FROM pu) " +
+        "SELECT n_users, n_both, n_neither, b_pre_only, c_post_only, " +
+        "CASE WHEN b_pre_only + c_post_only > 0 THEN " +
+        "round(CAST(abs(b_pre_only - c_post_only) - 1 AS DOUBLE) * " +
+        "CAST(abs(b_pre_only - c_post_only) - 1 AS DOUBLE) / " +
+        "CAST(b_pre_only + c_post_only AS DOUBLE), 6) END AS mcnemar_chi2 " +
+        "FROM c"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

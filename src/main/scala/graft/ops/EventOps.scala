@@ -3177,4 +3177,159 @@ object EventOps {
           sqrt(lit(2.0) * log(col("n_total").cast("double")) /
             col("n_plays").cast("double")), 6).as("ucb_score"))
   }
+
+  /** Brown–Forsythe variance-homogeneity test across the event types'
+    * daily-volume distributions — the SPREAD omnibus beside
+    * [[kruskalWallisDailyCounts]]' location omnibus: KW asks "do the
+    * types differ in typical daily volume?", this asks "do they differ
+    * in volatility?" (the ANOVA-validity gate every parametric
+    * comparison of the types should run first). Brown–Forsythe is
+    * Levene's test with MEDIAN centering — robust to the heavy-tailed
+    * daily counts a mean-centered Levene inflates on.
+    *
+    * Exactness rides the dense zero-filled calendar (every group holds
+    * exactly D = n_days observations, the KW design): doubled medians
+    * 2·med_j are exact BIGINT (an interpolated median of integers has
+    * at worst a .5 half), so z2 = |2v − 2·med_j| is exact, and the
+    * equal group sizes collapse both ANOVA sums to integer numerators
+    * over one common denominator:
+    *
+    *   B·kD = k·ΣS_j² − S²   W·D = D·ΣΣz² − ΣS_j²
+    *   F = ((N−k)/(k−1)) · (k·ΣS_j² − S²) / (k·(D·ΣΣz² − ΣS_j²))
+    *
+    * — one pinned double division of exact DECIMAL(38,0) terms (the
+    * squares live in DECIMAL: S_j ≤ D·2·maxcount overflows BIGINT²
+    * past ~10⁹-row days). Constant-spread degeneracy (W = 0) → NULL.
+    *
+    * Shape: one (type, day) hash agg collapses the log; medians, z
+    * sums and moments all run on the calendar×types grid. */
+  def brownForsytheDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("cnt"), lit(0L)).as("v"))
+    val med2 = grid.groupBy("event_type")
+      .agg(round(median(col("v")) * lit(2.0), 0).cast("long").as("m2"))
+    val z = grid.join(broadcast(med2), "event_type")
+      .select(col("event_type"), abs(col("v") * lit(2L) - col("m2")).as("z2"))
+    val perType = z.groupBy("event_type")
+      .agg(count(lit(1)).as("d"), sum(col("z2")).as("s"),
+        sum(col("z2").cast("decimal(38,0)") * col("z2")).as("ss"))
+    val tot = perType.agg(
+      count(lit(1)).as("k"), max(col("d")).as("d"),
+      sum(col("s")).as("stot"),
+      sum(col("s").cast("decimal(38,0)") * col("s")).as("s2sum"),
+      sum(col("ss")).as("sstot"))
+    val k = col("k").cast("decimal(38,0)")
+    val dD = col("d").cast("decimal(38,0)")
+    val n = col("k") * col("d")
+    val bNum = (k * col("s2sum") -
+      col("stot").cast("decimal(38,0)") * col("stot")).cast("double")
+    val wNum = (dD * col("sstot") - col("s2sum")).cast("double")
+    val f = ((n - col("k")).cast("double") /
+      (col("k") - lit(1L)).cast("double")) *
+      (bNum / (col("k").cast("double") * wNum))
+    tot.select(col("k").as("n_types"), col("d").as("n_days"),
+      n.as("n_total"), (col("k") - lit(1L)).as("df1"),
+      (n - col("k")).as("df2"),
+      when(wNum > lit(0.0), round(f, 6)).as("bf_f"))
+  }
+
+  /** Benjamini–Hochberg FDR correction over [[mannWhitneyTypePairs]]'
+    * |types|²/2 simultaneous tests — the multiple-testing discipline
+    * the pairwise drill-down needs (at 10 pairs and α = .05, raw
+    * p-values fire ~0.4 false positives per run by construction; BH
+    * caps the EXPECTED FALSE-DISCOVERY RATE at α instead). Two-sided
+    * p comes from the pinned Abramowitz–Stegun 26.2.17 normal-tail
+    * polynomial over the hash-green 4dp z (identical double chain in
+    * both engines, 6dp-rounded before any comparison); the step-up
+    * adjustment p̂_(i) = min_{j≥i} p_(j)·m/j runs as non-equi
+    * self-joins over the broadcast-tiny pairs frame — no serial
+    * window, no sort, deterministic (p, type_a, type_b) total order.
+    * Zero-variance pairs (NULL z) are excluded from m per the
+    * complete-case convention. */
+  def bhFdrTypePairs(events: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val mw = mannWhitneyTypePairs(events)
+      .filter(col("z").isNotNull)
+      .select(col("type_a"), col("type_b"), col("z"))
+    // A&S 26.2.17: Phi(x) = 1 − phi(x)·poly(1/(1+0.2316419·x)), x ≥ 0
+    val x = abs(col("z"))
+    val kAS = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
+    val poly = kAS * (lit(0.319381530) + kAS * (lit(-0.356563782) +
+      kAS * (lit(1.781477937) + kAS * (lit(-1.821255978) +
+        kAS * lit(1.330274429)))))
+    val phi = exp(-(x * x) / lit(2.0)) / lit(2.5066282746310002)
+    val withP = mw.select(col("type_a"), col("type_b"), col("z"),
+      round(lit(2.0) * phi * poly, 6).as("p"))
+    val m = withP.agg(count(lit(1)).as("m"))
+    // rank i = 1 + |pairs strictly before me in the (p, ta, tb) order|
+    val before = (col("a.p") < col("b.p")) ||
+      (col("a.p") === col("b.p") && (col("a.type_a") < col("b.type_a") ||
+        (col("a.type_a") === col("b.type_a") &&
+          col("a.type_b") < col("b.type_b"))))
+    val ranked = withP.as("b").join(broadcast(withP.as("a")), before, "left")
+      .groupBy(col("b.type_a").as("type_a"), col("b.type_b").as("type_b"),
+        col("b.z").as("z"), col("b.p").as("p"))
+      .agg((count(col("a.p")) + lit(1L)).as("rk"))
+      .crossJoin(broadcast(m))
+      .withColumn("q", round(least(col("p") * col("m").cast("double") /
+        col("rk").cast("double"), lit(1.0)), 6))
+    // step-up: adjusted p = min q over my suffix (rank ≥ mine)
+    val adj = ranked.as("b")
+      .join(broadcast(ranked.as("a")), col("a.rk") >= col("b.rk"))
+      .groupBy(col("b.type_a").as("type_a"), col("b.type_b").as("type_b"),
+        col("b.z").as("z"), col("b.p").as("p_raw"), col("b.rk").as("rk"))
+      .agg(min(col("a.q")).as("p_bh"))
+    adj.select(col("type_a"), col("type_b"), col("z"), col("p_raw"),
+      col("rk"), col("p_bh"), (col("p_bh") <= lit(alpha)).as("rejected"))
+  }
+
+  /** McNemar's paired test on purchase behavior between the window's
+    * two halves — the WITHIN-SUBJECT change test beside
+    * [[abConversionZtest]]'s between-arm test: each user is their own
+    * control, and only the DISCORDANT users (purchased in exactly one
+    * half) carry information. χ² = (|b−c|−1)²/(b+c) with the
+    * continuity correction; NULL when no user switched (b+c = 0).
+    *
+    * Determinism: the half split is the exact integer epoch-µs
+    * midpoint ((lo+hi) div 2, the [[scoreGainsDeciles]] convention);
+    * the 2×2 cells are exact BIGINT counts of per-user boolean
+    * collapses; χ² is one pinned double division. Shape: one stats
+    * broadcast + one per-user hash agg + one 4-cell collapse. */
+  def mcnemarSwitchers(events: DataFrame): DataFrame = {
+    val perUser = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1L)
+          .otherwise(0L).as("pre"),
+        when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) > expr("(lo + hi) div 2"), 1L)
+          .otherwise(0L).as("post"))
+      .groupBy("user_id")
+      .agg(max(col("pre")).as("pre"), max(col("post")).as("post"))
+    val cells = perUser.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("pre") === 1L && col("post") === 1L, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("pre") === 0L && col("post") === 0L, 1L).otherwise(0L))
+        .as("n_neither"),
+      sum(when(col("pre") === 1L && col("post") === 0L, 1L).otherwise(0L))
+        .as("b_pre_only"),
+      sum(when(col("pre") === 0L && col("post") === 1L, 1L).otherwise(0L))
+        .as("c_post_only"))
+    val b = col("b_pre_only")
+    val c = col("c_post_only")
+    val num = (abs(b - c) - lit(1L)).cast("double")
+    cells.select(col("n_users"), col("n_both"), col("n_neither"),
+      b, c,
+      when(b + c > lit(0L),
+        round(num * num / (b + c).cast("double"), 6)).as("mcnemar_chi2"))
+  }
 }

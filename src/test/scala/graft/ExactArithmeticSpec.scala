@@ -840,4 +840,93 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(rs.isNullAt(rs.fieldIndex("z_score")) &&
       !rs.getAs[Boolean]("significant"), rs)
   }
+
+  test("brownForsytheDaily: doubled-median deviations on the dense " +
+    "grid give the hand-computed F") {
+    // Three dense days. Type a daily counts 1,2,3 (med 2 -> z2 =
+    // 2,0,2: s=4, ss=8); type b counts 5,0,1 — day 2 is a ZERO-FILL
+    // (med 1 -> z2 = 8,2,0: s=10, ss=68). k=2, D=3:
+    //   bNum = 2·(16+100) − 14² = 36   wNum = 3·76 − 116 = 112
+    //   F = (4/1)·(36/(2·112)) = 0.642857...
+    def de(id: Long, day: String, t: String) = ev(id, day, t)
+    val events = (
+      Seq(de(1, "2024-03-01", "a")) ++
+        (2L to 3L).map(i => de(i, "2024-03-02", "a")) ++
+        (4L to 6L).map(i => de(i, "2024-03-03", "a")) ++
+        (7L to 11L).map(i => de(i, "2024-03-01", "b")) ++
+        Seq(de(12, "2024-03-03", "b"))
+      ).toDF(evCols: _*)
+    val r = EventOps.brownForsytheDaily(events).collect().head
+    assert((r.getAs[Long]("n_types"), r.getAs[Long]("n_days"),
+      r.getAs[Long]("n_total"), r.getAs[Long]("df1"),
+      r.getAs[Long]("df2")) == ((2L, 3L, 6L, 1L, 4L)), r)
+    assert(r.getAs[Double]("bf_f") == 0.642857, r)
+    // constant spread in every group (identical counts each day)
+    // -> W = 0 -> NULL F, not a division error
+    val flat = (1L to 4L).map(i =>
+      de(i, s"2024-03-0${(i - 1) % 2 + 1}", if (i <= 2) "a" else "b"))
+      .toDF(evCols: _*)
+    val rf = EventOps.brownForsytheDaily(flat).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("bf_f")), rf)
+  }
+
+  test("bhFdrTypePairs: step-up adjustment matches an independent " +
+    "in-test BH recomputation and keeps p monotone") {
+    // Three types with distinct separations: a ≪ b strongly
+    // (all-1s vs all-9s), c straddles both -> three pairs with
+    // different z magnitudes, exercising rank and the suffix min.
+    def pev(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    val events = ((1L to 6L).map(i => pev(i, "a", 1.0)) ++
+      (7L to 12L).map(i => pev(i, "b", 9.0)) ++
+      Seq(pev(13, "c", 1.0), pev(14, "c", 5.0), pev(15, "c", 9.0)))
+      .toDF(evCols: _*)
+    val rows = EventOps.bhFdrTypePairs(events).collect()
+    assert(rows.length == 3, rows.mkString(";"))
+    val byRank = rows.sortBy(_.getAs[Long]("rk"))
+    val m = rows.length
+    // independent BH recompute from the emitted raw p's
+    val qs = byRank.map(r => math.min(
+      r.getAs[Double]("p_raw") * m / r.getAs[Long]("rk"), 1.0))
+    val expectBh = qs.indices.map(i =>
+      BigDecimal(qs.drop(i).min).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byRank.map(_.getAs[Double]("p_bh")).toSeq == expectBh,
+      byRank.mkString(";"))
+    // adjusted never below raw; ranks are the (p, ta, tb) total order
+    rows.foreach { r =>
+      assert(r.getAs[Double]("p_bh") >= r.getAs[Double]("p_raw") - 1e-9, r)
+    }
+    assert(byRank.map(_.getAs[Double]("p_raw")).toSeq ==
+      byRank.map(_.getAs[Double]("p_raw")).sorted.toSeq)
+    // the all-1s-vs-all-9s pair is the strongest separation: rank 1
+    val top = byRank.head
+    assert(top.getAs[String]("type_a") == "a" &&
+      top.getAs[String]("type_b") == "b", top)
+  }
+
+  test("mcnemarSwitchers: exact 2x2 cells on the midpoint split and " +
+    "the continuity-corrected chi-square") {
+    def pev(i: Long, uid: Long, hm: String, t: String) =
+      (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
+    // span 10:00..20:00 -> midpoint 15:00 (<= goes pre). u1 both,
+    // u2/u5 pre-only, u4 neither (and pins lo/hi with views).
+    val events = Seq(
+      pev(1, 4L, "10:00", "view"), pev(2, 4L, "20:00", "view"),
+      pev(3, 1L, "11:00", "purchase"), pev(4, 1L, "16:00", "purchase"),
+      pev(5, 2L, "12:00", "purchase"),
+      pev(6, 5L, "15:00", "purchase"), // exactly at midpoint -> pre
+    ).toDF(evCols: _*)
+    val r = EventOps.mcnemarSwitchers(events).collect().head
+    assert((r.getAs[Long]("n_users"), r.getAs[Long]("n_both"),
+      r.getAs[Long]("n_neither"), r.getAs[Long]("b_pre_only"),
+      r.getAs[Long]("c_post_only")) == ((4L, 1L, 1L, 2L, 0L)), r)
+    // chi2 = (|2-0|-1)² / 2 = 0.5
+    assert(r.getAs[Double]("mcnemar_chi2") == 0.5, r)
+    // no switchers at all -> NULL statistic
+    val still = Seq(pev(1, 1L, "10:00", "view"), pev(2, 1L, "20:00", "view"))
+      .toDF(evCols: _*)
+    val rs = EventOps.mcnemarSwitchers(still).collect().head
+    assert(rs.isNullAt(rs.fieldIndex("mcnemar_chi2")), rs)
+  }
 }
