@@ -779,6 +779,11 @@ object SparkEntry {
       ((s, d) => EventOps.bhFdrTypePairs(events(s, d))),
     "mcnemar_switchers" ->
       ((s, d) => EventOps.mcnemarSwitchers(events(s, d))),
+    "chao1_vocab_richness" ->
+      ((s, d) => DocOps.chao1VocabRichness(documents(s, d))),
+    "heaps_law_fit" -> ((s, d) => DocOps.heapsLawFit(documents(s, d))),
+    "embedding_isotropy" ->
+      ((s, d) => VectorOps.embeddingIsotropy(embeddings(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -5370,6 +5375,86 @@ object SparkEntry {
         "CAST(abs(b_pre_only - c_post_only) - 1 AS DOUBLE) / " +
         "CAST(b_pre_only + c_post_only AS DOUBLE), 6) END AS mcnemar_chi2 " +
         "FROM c"),
+    // Mirrors DocOps.chao1VocabRichness: same whitespace tokenizer as
+    // ttr_by_source, exact BIGINT V/N/f1/f2, the bias-corrected
+    // Chao1-bC pinned as V + (f1·(f1−1))/(2·(f2+1)).
+    "chao1_vocab_richness" ->
+      ("WITH t AS (SELECT source, unnest(regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+')) AS w FROM documents), " +
+        "wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c " +
+        "FROM t GROUP BY 1, 2), " +
+        "s AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab, " +
+        "CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1, " +
+        "CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2 " +
+        "FROM wc GROUP BY 1) " +
+        "SELECT source, vocab, n_tokens, f1, f2, " +
+        "round(CAST(vocab AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE) / " +
+        "CAST(2 * (f2 + 1) AS DOUBLE), 4) AS chao1, " +
+        "round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
+        "AS gt_coverage FROM s"),
+    // Mirrors DocOps.heapsLawFit: per-source cumulative (tokens,
+    // first-occurrence vocab) curve in doc_id order, ln's re-pinned to
+    // BIGINT micro-units BEFORE the HUGEINT regression moments, two
+    // pinned double divisions, NULL fit for single-doc sources.
+    "heaps_law_fit" ->
+      ("WITH t AS (SELECT source, doc_id, unnest(regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+')) AS w FROM documents), " +
+        "pd AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS nt " +
+        "FROM t GROUP BY 1, 2), " +
+        "fo AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS nv FROM " +
+        "(SELECT source, w, min(doc_id) AS doc_id FROM t GROUP BY 1, 2) " +
+        "GROUP BY 1, 2), " +
+        "cum AS (SELECT pd.source, " +
+        "CAST(sum(pd.nt) OVER (PARTITION BY pd.source ORDER BY pd.doc_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n, " +
+        "CAST(sum(coalesce(fo.nv, 0)) OVER (PARTITION BY pd.source " +
+        "ORDER BY pd.doc_id ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_v " +
+        "FROM pd LEFT JOIN fo ON fo.source = pd.source AND fo.doc_id = pd.doc_id), " +
+        "pts AS (SELECT source, " +
+        "CAST(round(ln(CAST(cum_n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS xm, " +
+        "CAST(round(ln(CAST(cum_v AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS ym " +
+        "FROM cum), " +
+        "s AS (SELECT source, CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(xm) AS BIGINT) AS sx, CAST(sum(ym) AS BIGINT) AS sy, " +
+        "CAST(sum(CAST(xm AS HUGEINT) * ym) AS HUGEINT) AS sxy, " +
+        "CAST(sum(CAST(xm AS HUGEINT) * xm) AS HUGEINT) AS sxx FROM pts GROUP BY 1) " +
+        "SELECT source, k AS n_docs, " +
+        "CASE WHEN CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0.0 THEN " +
+        "round(CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / " +
+        "CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6) " +
+        "END AS heaps_beta, " +
+        "CASE WHEN CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE) > 0.0 THEN " +
+        "round(exp((CAST(sy AS DOUBLE) - " +
+        "(CAST(CAST(k AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE) / " +
+        "CAST(CAST(k AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)) * " +
+        "CAST(sx AS DOUBLE)) / CAST(k AS DOUBLE) / 1000000.0), 4) " +
+        "END AS heaps_k FROM s"),
+    // Mirrors VectorOps.embeddingIsotropy: the ‖Σv̂‖² − n sum-vector
+    // identity per label and for the ALL row — the oracle computes the
+    // same O(n·d) form (never the pair join it equals).
+    "embedding_isotropy" ->
+      ("WITH nv AS (SELECT CAST(label AS VARCHAR) AS lbl, " +
+        "sqrt(list_sum(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, embedding " +
+        "FROM embeddings WHERE sqrt(list_sum(list_transform(embedding, " +
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0.0), " +
+        "lbls AS (SELECT lbl FROM nv UNION ALL SELECT 'ALL' AS lbl FROM nv), " +
+        "e AS (SELECT lbl, i, x / nrm AS xn FROM (" +
+        "SELECT lbl, nrm, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM nv " +
+        "UNION ALL " +
+        "SELECT 'ALL' AS lbl, nrm, generate_subscripts(embedding, 1) AS i, " +
+        "CAST(unnest(embedding) AS DOUBLE) AS x FROM nv)), " +
+        "sv AS (SELECT lbl, i, sum(xn) AS s FROM e GROUP BY 1, 2), " +
+        "ss AS (SELECT lbl, sum(s * s) AS ssq FROM sv GROUP BY 1), " +
+        "np AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM lbls GROUP BY 1) " +
+        "SELECT ss.lbl AS label, np.n AS n_vecs, " +
+        "CASE WHEN np.n >= 2 THEN " +
+        "round((ss.ssq - CAST(np.n AS DOUBLE)) / " +
+        "(CAST(np.n AS DOUBLE) * (CAST(np.n AS DOUBLE) - 1.0)), 6) " +
+        "END AS mean_pairwise_cosine FROM ss JOIN np ON np.lbl = ss.lbl"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

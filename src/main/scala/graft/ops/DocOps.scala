@@ -2143,4 +2143,87 @@ object DocOps {
       .orderBy(col("rake_score").desc, col("phrase").asc)
       .limit(topK)
   }
+
+  /** Chao1 vocabulary-richness estimate per source — "how much
+    * vocabulary does this source have that we have NOT seen yet?"
+    * (Chao '84 via the hapax/dis legomena counts f1/f2): the unseen-
+    * species lower bound every corpus-coverage decision ("is another
+    * crawl of this source worth it?") leans on, plus the Good–Turing
+    * sample coverage 1 − f1/N (the probability the NEXT token is a
+    * known word). Uses the bias-corrected Chao1-bC form
+    * V + f1·(f1−1)/(2·(f2+1)), defined even when f2 = 0.
+    *
+    * Exactness: V, N, f1, f2 are exact BIGINTs off the same two-level
+    * (source, word) collapse as [[vocabStatsByLang]]; the estimate is
+    * one pinned integer-ratio division added to V. Shape: one
+    * map-side-absorbed (source, word) agg then a |sources| rollup. */
+  def chao1VocabRichness(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(DedupOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("f1"),
+        col("f2"),
+        round(col("vocab").cast("double") +
+          (col("f1") * (col("f1") - lit(1L))).cast("double") /
+            (lit(2L) * (col("f2") + lit(1L))).cast("double"), 4)
+          .as("chao1"),
+        round(lit(1.0) - col("f1").cast("double") /
+          col("n_tokens").cast("double"), 6).as("gt_coverage"))
+
+  /** Heaps'-law fit per source: V(N) ≈ k·N^β estimated by log-log OLS
+    * over the per-doc cumulative (tokens, vocabulary) growth curve in
+    * doc_id order — the corpus-planning constant ([[zipfSlopeByLang]]'s
+    * dual): β tells how fast new text keeps paying vocabulary, and an
+    * anomalous β (≈1 = no reuse, near 0 = template spam) is a source-
+    * quality smell the flat TTR misses.
+    *
+    * Exactness (the pinballLoss discipline): each point's ln N / ln V
+    * is re-pinned to BIGINT micro-units BEFORE the regression sums, so
+    * the order-dependent accumulations are exact integer adds (the
+    * moment products in DECIMAL(38,0) — micro² × 10⁹ points overflows
+    * BIGINT); slope and intercept are two pinned double divisions of
+    * exact numerators. Cumulatives come from per-source windows (the
+    * vocabulary curve needs min-doc_id first occurrences, an exact
+    * set-theoretic collapse — no sketch). Sources with < 2 docs → NULL
+    * fit. */
+  def heapsLawFit(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("source"), col("doc_id"),
+      explode(DedupOps.tokens(col("text"))).as("w"))
+    val perDoc = toks.groupBy("source", "doc_id")
+      .agg(count(lit(1)).as("nt"))
+    val firstOcc = toks.groupBy("source", "w")
+      .agg(min("doc_id").as("doc_id"))
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy("source").orderBy(col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = perDoc.join(firstOcc, Seq("source", "doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("nt"),
+        coalesce(col("nv"), lit(0L)).as("nv"))
+      .select(col("source"),
+        sum(col("nt")).over(w).as("cum_n"),
+        sum(col("nv")).over(w).as("cum_v"))
+    val pts = cum.select(col("source"),
+      round(log(col("cum_n").cast("double")) * lit(1000000.0), 0)
+        .cast("long").as("xm"),
+      round(log(col("cum_v").cast("double")) * lit(1000000.0), 0)
+        .cast("long").as("ym"))
+    val s = pts.groupBy("source").agg(count(lit(1)).as("k"),
+      sum(col("xm")).as("sx"), sum(col("ym")).as("sy"),
+      sum(col("xm").cast("decimal(38,0)") * col("ym")).as("sxy"),
+      sum(col("xm").cast("decimal(38,0)") * col("xm")).as("sxx"))
+    val den = (col("k").cast("decimal(38,0)") * col("sxx") -
+      col("sx").cast("decimal(38,0)") * col("sx")).cast("double")
+    val beta = (col("k").cast("decimal(38,0)") * col("sxy") -
+      col("sx").cast("decimal(38,0)") * col("sy")).cast("double") / den
+    val intercept = (col("sy").cast("double") - beta * col("sx")
+      .cast("double")) / col("k").cast("double") / lit(1000000.0)
+    s.select(col("source"), col("k").as("n_docs"),
+      when(den > lit(0.0), round(beta, 6)).as("heaps_beta"),
+      when(den > lit(0.0), round(exp(intercept), 4)).as("heaps_k"))
+  }
 }

@@ -1008,4 +1008,44 @@ object VectorOps {
   /** [[lofScores]] over the exact brute-force kNN — the hash gate. */
   def embeddingLofOutliers(embeddings: DataFrame, k: Int = 5): DataFrame =
     lofScores(knnAllBrute(embeddings, k))
+
+  /** Isotropy of the embedding space per label (+ the ALL row): the
+    * mean pairwise cosine between unit-normalized vectors — the
+    * anisotropy diagnostic of representation learning (Ethayarajh '19:
+    * contextual embeddings cluster in a narrow cone; mean cosine ≫ 0
+    * means directions are wasted and cosine retrieval loses contrast).
+    *
+    * The scale story is the point: the naive mean needs n²/2 dots, but
+    * for unit vectors Σ_{i≠j} v̂_i·v̂_j = ‖Σ_i v̂_i‖² − n, so ONE
+    * element-wise sum vector per group (an O(n·d) explode + (label,
+    * dim) hash agg — the labelCentroids shape) answers the all-pairs
+    * question exactly. No pair join exists in the plan at any n; the
+    * collapsed frame is |labels|·d rows. The diagonal is subtracted as
+    * exactly n (each v̂ is unit by construction; fp drift lands inside
+    * the 6dp round, and the oracle mirrors the identical formula).
+    * Groups with n < 2 (no pairs) → NULL. */
+  def embeddingIsotropy(embeddings: DataFrame): DataFrame = {
+    val nrm = norm(asDouble(col("embedding")))
+    def sums(keyed: DataFrame, label: Column): DataFrame = {
+      val e = keyed
+        .filter(nrm > lit(0.0))
+        .select(label.as("lbl"),
+          posexplode(asDouble(col("embedding"))).as(Seq("i", "x")),
+          nrm.as("nrm"))
+        .select(col("lbl"), col("i"), (col("x") / col("nrm")).as("xn"))
+      val s = e.groupBy("lbl", "i").agg(sum(col("xn")).as("s"))
+      val nPer = keyed.filter(nrm > lit(0.0))
+        .groupBy(label.as("lbl")).agg(count(lit(1)).as("n"))
+      s.groupBy("lbl").agg(sum(col("s") * col("s")).as("ssq"))
+        .join(nPer, "lbl")
+    }
+    val byLabel = sums(embeddings, col("label").cast("string"))
+    val overall = sums(embeddings, lit("ALL"))
+    byLabel.unionByName(overall)
+      .select(col("lbl").as("label"), col("n").as("n_vecs"),
+        when(col("n") >= 2L,
+          round((col("ssq") - col("n").cast("double")) /
+            (col("n").cast("double") * (col("n").cast("double") - lit(1.0))),
+            6)).as("mean_pairwise_cosine"))
+  }
 }

@@ -684,4 +684,54 @@ class DocPipelineSpec extends SparkSpec {
       .map(r => r.getAs[String]("manifest_md5")).sorted
     assert(perm.toSeq == got.values.map(_._3).toSeq.sorted)
   }
+
+  test("chao1VocabRichness: hand-computed Chao1-bC and Good-Turing " +
+    "coverage from planted hapax/dis counts") {
+    // s1: "a a b c" -> V=3, N=4, f1=2 (b,c), f2=1 (a)
+    //   chao1 = 3 + 2·1/(2·2) = 3.5   coverage = 1 − 2/4 = 0.5
+    // s2: every word twice -> f1=0: chao1 = V exactly, coverage 1
+    val docs = Seq((1L, "a a b c", "en", "s1", 7L),
+      (2L, "x y x y", "en", "s2", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DocOps.chao1VocabRichness(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("vocab"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("f1"), r.getAs[Long]("f2"),
+          r.getAs[Double]("chao1"), r.getAs[Double]("gt_coverage"))))
+      .toMap
+    assert(got == Map(
+      "s1" -> ((3L, 4L, 2L, 1L, 3.5, 0.5)),
+      "s2" -> ((2L, 4L, 0L, 2L, 2.0, 1.0))), got)
+  }
+
+  test("heapsLawFit: log-log OLS on the cumulative growth curve " +
+    "matches the micro-unit closed form; single-doc source is NULL") {
+    // s1 doc order: "a b" then "a c" -> points (N,V) = (2,2), (4,3)
+    val docs = Seq((1L, "a b", "en", "s1", 3L),
+      (2L, "a c", "en", "s1", 3L),
+      (9L, "solo words here", "en", "s2", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DocOps.heapsLawFit(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // same integer pipeline recomputed independently
+    def mu(x: Double) = BigDecimal(math.log(x) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val (x1, y1, x2, y2) = (mu(2), mu(2), mu(4), mu(3))
+    val (k, sx, sy) = (2L, x1 + x2, y1 + y2)
+    val sxy = BigInt(x1) * y1 + BigInt(x2) * y2
+    val sxx = BigInt(x1) * x1 + BigInt(x2) * x2
+    val beta = (BigInt(k) * sxy - BigInt(sx) * sy).toDouble /
+      (BigInt(k) * sxx - BigInt(sx) * sx).toDouble
+    val expBeta = BigDecimal(beta).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r1 = got("s1")
+    assert(r1.getAs[Long]("n_docs") == 2L &&
+      r1.getAs[Double]("heaps_beta") == expBeta, r1)
+    // β ≈ log2(1.5) = 0.585: each doubling of tokens pays ~1.5× vocab
+    assert(math.abs(r1.getAs[Double]("heaps_beta") - 0.584963) < 1e-3, r1)
+    // one doc -> one point -> zero OLS denominator -> NULL fit
+    val r2 = got("s2")
+    assert(r2.isNullAt(r2.fieldIndex("heaps_beta")) &&
+      r2.isNullAt(r2.fieldIndex("heaps_k")), r2)
+  }
 }

@@ -542,4 +542,28 @@ class VectorOpsSpec extends SparkSpec {
     assert(cluster.forall(lof(9L) > 10 * _),
       s"outlier ${lof(9L)} not dominant: $lof")
   }
+
+  test("embeddingIsotropy: sum-vector identity equals the hand-" +
+    "computed all-pairs mean; singleton NULL; zero vectors excluded") {
+    // label 0: orthogonal pair -> mean cos 0; label 1: identical pair
+    // -> mean cos 1; label 2: singleton -> no pairs, NULL; the zero
+    // vector is excluded everywhere (no direction to normalize).
+    // ALL over the 5 nonzero vecs: Σv̂ = (3,1,1); mean =
+    // (11 − 5)/(5·4) = 0.3
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.0f), 1), (3L, Array(2.0f, 0.0f, 0.0f), 1),
+      (4L, Array(0.0f, 0.0f, 1.0f), 2),
+      (5L, Array(0.0f, 0.0f, 0.0f), 3),
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.embeddingIsotropy(emb).collect()
+      .map(r => r.getAs[String]("label") ->
+        ((r.getAs[Long]("n_vecs"), Option(r.get(
+          r.fieldIndex("mean_pairwise_cosine"))).map(_.toString.toDouble))))
+      .toMap
+    assert(got == Map(
+      "0" -> ((2L, Some(0.0))), "1" -> ((2L, Some(1.0))),
+      "2" -> ((1L, None)), "ALL" -> ((5L, Some(0.3)))), got)
+    assert(!got.contains("3"), got) // the all-zero vector's label
+  }
 }
