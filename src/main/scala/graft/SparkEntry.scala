@@ -784,6 +784,10 @@ object SparkEntry {
     "heaps_law_fit" -> ((s, d) => DocOps.heapsLawFit(documents(s, d))),
     "embedding_isotropy" ->
       ((s, d) => VectorOps.embeddingIsotropy(embeddings(s, d))),
+    "diff_in_diff" -> ((s, d) => EventOps.diffInDiff(events(s, d))),
+    "sprt_daily_ab" -> ((s, d) => EventOps.sprtDailyAb(events(s, d))),
+    "mde_power_analysis" ->
+      ((s, d) => EventOps.mdePowerAnalysis(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -5455,6 +5459,103 @@ object SparkEntry {
         "round((ss.ssq - CAST(np.n AS DOUBLE)) / " +
         "(CAST(np.n AS DOUBLE) * (CAST(np.n AS DOUBLE) - 1.0)), 6) " +
         "END AS mean_pairwise_cosine FROM ss JOIN np ON np.lbl = ss.lbl"),
+    // Mirrors EventOps.diffInDiff: midpoint-split panel 2×2 of exact
+    // per-user conversion cells, pinned DiD/SE/z chain.
+    "diff_in_diff" ->
+      ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi " +
+        "FROM events), " +
+        "pu AS (SELECT user_id, user_id % 2 AS arm, " +
+        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) <= (lo + hi) // 2 " +
+        "THEN 1 ELSE 0 END) AS pre, " +
+        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > (lo + hi) // 2 " +
+        "THEN 1 ELSE 0 END) AS post " +
+        "FROM events CROSS JOIN b GROUP BY 1, 2), " +
+        "c AS (SELECT " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN pre ELSE 0 END) AS BIGINT) AS x_c_pre, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN post ELSE 0 END) AS BIGINT) AS x_c_post, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN pre ELSE 0 END) AS BIGINT) AS x_t_pre, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN post ELSE 0 END) AS BIGINT) AS x_t_post " +
+        "FROM pu) " +
+        "SELECT n_c, n_t, " +
+        "round(CAST(x_c_pre AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS p_c_pre, " +
+        "round(CAST(x_c_post AS DOUBLE) / CAST(n_c AS DOUBLE), 6) AS p_c_post, " +
+        "round(CAST(x_t_pre AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS p_t_pre, " +
+        "round(CAST(x_t_post AS DOUBLE) / CAST(n_t AS DOUBLE), 6) AS p_t_post, " +
+        "round((CAST(x_t_post AS DOUBLE) / CAST(n_t AS DOUBLE) - " +
+        "CAST(x_t_pre AS DOUBLE) / CAST(n_t AS DOUBLE)) - " +
+        "(CAST(x_c_post AS DOUBLE) / CAST(n_c AS DOUBLE) - " +
+        "CAST(x_c_pre AS DOUBLE) / CAST(n_c AS DOUBLE)), 6) AS did, " +
+        "CASE WHEN sqrt(" +
+        "CAST(x_t_post AS DOUBLE) / CAST(n_t AS DOUBLE) * (1.0 - CAST(x_t_post AS DOUBLE) / CAST(n_t AS DOUBLE)) / CAST(n_t AS DOUBLE) + " +
+        "CAST(x_t_pre AS DOUBLE) / CAST(n_t AS DOUBLE) * (1.0 - CAST(x_t_pre AS DOUBLE) / CAST(n_t AS DOUBLE)) / CAST(n_t AS DOUBLE) + " +
+        "CAST(x_c_post AS DOUBLE) / CAST(n_c AS DOUBLE) * (1.0 - CAST(x_c_post AS DOUBLE) / CAST(n_c AS DOUBLE)) / CAST(n_c AS DOUBLE) + " +
+        "CAST(x_c_pre AS DOUBLE) / CAST(n_c AS DOUBLE) * (1.0 - CAST(x_c_pre AS DOUBLE) / CAST(n_c AS DOUBLE)) / CAST(n_c AS DOUBLE)) > 0.0 THEN " +
+        "round(((CAST(x_t_post AS DOUBLE) / CAST(n_t AS DOUBLE) - " +
+        "CAST(x_t_pre AS DOUBLE) / CAST(n_t AS DOUBLE)) - " +
+        "(CAST(x_c_post AS DOUBLE) / CAST(n_c AS DOUBLE) - " +
+        "CAST(x_c_pre AS DOUBLE) / CAST(n_c AS DOUBLE))) / sqrt(" +
+        "CAST(x_t_post AS DOUBLE) / CAST(n_t AS DOUBLE) * (1.0 - CAST(x_t_post AS DOUBLE) / CAST(n_t AS DOUBLE)) / CAST(n_t AS DOUBLE) + " +
+        "CAST(x_t_pre AS DOUBLE) / CAST(n_t AS DOUBLE) * (1.0 - CAST(x_t_pre AS DOUBLE) / CAST(n_t AS DOUBLE)) / CAST(n_t AS DOUBLE) + " +
+        "CAST(x_c_post AS DOUBLE) / CAST(n_c AS DOUBLE) * (1.0 - CAST(x_c_post AS DOUBLE) / CAST(n_c AS DOUBLE)) / CAST(n_c AS DOUBLE) + " +
+        "CAST(x_c_pre AS DOUBLE) / CAST(n_c AS DOUBLE) * (1.0 - CAST(x_c_pre AS DOUBLE) / CAST(n_c AS DOUBLE)) / CAST(n_c AS DOUBLE)), 6) " +
+        "END AS z FROM c"),
+    // Mirrors EventOps.sprtDailyAb: the Wald LLR with the ln weights
+    // and boundaries interpolated as the EXACT JVM double literals
+    // (Scala's shortest round-trip repr — DuckDB parses the same
+    // double), so no libm-parity risk exists by construction.
+    "sprt_daily_ab" -> {
+      val lWin = math.log(0.04 / 0.02)
+      val lLose = math.log((1.0 - 0.04) / (1.0 - 0.02))
+      val upper = math.log((1.0 - 0.05) / 0.05)
+      val lower = math.log(0.05 / (1.0 - 0.05))
+      "WITH fd AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS day " +
+        "FROM events WHERE user_id % 2 = 1 GROUP BY 1), " +
+        "fb AS (SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS buy_day " +
+        "FROM events WHERE user_id % 2 = 1 AND event_type = 'purchase' GROUP BY 1), " +
+        "daily AS (SELECT fd.day, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN fb.buy_day = fd.day THEN 1 ELSE 0 END) AS BIGINT) AS x " +
+        "FROM fd LEFT JOIN fb USING (user_id) GROUP BY 1), " +
+        "cum AS (SELECT day, n, x, " +
+        "CAST(sum(n) OVER (ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS BIGINT) AS cum_n, " +
+        "CAST(sum(x) OVER (ORDER BY day ASC ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND CURRENT ROW) AS BIGINT) AS cum_x FROM daily) " +
+        s"SELECT day, n, x, cum_n, cum_x, " +
+        s"round(CAST(cum_x AS DOUBLE) * ($lWin) + " +
+        s"CAST(cum_n - cum_x AS DOUBLE) * ($lLose), 6) AS llr, " +
+        s"CASE WHEN CAST(cum_x AS DOUBLE) * ($lWin) + " +
+        s"CAST(cum_n - cum_x AS DOUBLE) * ($lLose) >= ($upper) THEN 'accept_h1' " +
+        s"WHEN CAST(cum_x AS DOUBLE) * ($lWin) + " +
+        s"CAST(cum_n - cum_x AS DOUBLE) * ($lLose) <= ($lower) THEN 'accept_h0' " +
+        "ELSE 'continue' END AS decision FROM cum"
+    },
+    // Mirrors EventOps.mdePowerAnalysis: user-level conversion joined
+    // onto each type's distinct user set; pinned two-proportion MDE
+    // with the z constants as shared literals.
+    "mde_power_analysis" ->
+      ("WITH conv AS (SELECT user_id, " +
+        "max(CASE WHEN event_type = 'purchase' AND value >= 50.0 " +
+        "THEN 1 ELSE 0 END) AS conv FROM events GROUP BY 1), " +
+        "tu AS (SELECT DISTINCT event_type, user_id FROM events), " +
+        "s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(conv) AS BIGINT) AS n_conv " +
+        "FROM tu JOIN conv USING (user_id) GROUP BY 1) " +
+        "SELECT event_type, n_users, n_conv, " +
+        "round(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS p_hat, " +
+        "CASE WHEN CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) > 0.0 AND " +
+        "CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) < 1.0 THEN " +
+        "round(2.801585 * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) * " +
+        "(1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) / " +
+        "(CAST(n_users AS DOUBLE) / 2.0)), 6) END AS mde_abs, " +
+        "CASE WHEN CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) > 0.0 AND " +
+        "CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) < 1.0 THEN " +
+        "round(2.801585 * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) * " +
+        "(1.0 - CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)) / " +
+        "(CAST(n_users AS DOUBLE) / 2.0)) / " +
+        "(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)), 6) END AS mde_rel " +
+        "FROM s"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

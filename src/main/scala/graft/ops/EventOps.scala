@@ -3288,6 +3288,145 @@ object EventOps {
       col("rk"), col("p_bh"), (col("p_bh") <= lit(alpha)).as("rejected"))
   }
 
+  /** Difference-in-differences on purchase conversion — the panel
+    * causal readout beside [[cupedAdjustedAb]]'s variance reduction:
+    * arm (user parity, the house A/B convention) × period (exact
+    * epoch-µs midpoint halves) in a 2×2 of per-user conversion rates;
+    * DiD = (treat Δ) − (control Δ) nets out both the arm's level
+    * difference and the common time trend. The normal SE pools the
+    * four binomial cell variances (panel users are the denominator of
+    * BOTH their periods, the classic two-period panel design).
+    *
+    * Determinism: every cell is an exact BIGINT count of per-user
+    * boolean collapses; rates, DiD, SE and z are pinned double chains;
+    * z is NULL when any cell variance is degenerate (p ∈ {0,1} in all
+    * cells → SE 0). Shape: one stats broadcast + one per-user hash agg
+    * + one 1-row collapse. */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val perUser = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(col("user_id"),
+        when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1L)
+          .otherwise(0L).as("pre"),
+        when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) > expr("(lo + hi) div 2"), 1L)
+          .otherwise(0L).as("post"))
+      .groupBy("user_id")
+      .agg(max(col("pre")).as("pre"), max(col("post")).as("post"))
+      .withColumn("arm", col("user_id") % lit(2L))
+    val cells = perUser.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("arm") === 0L, col("pre")).otherwise(0L)).as("x_c_pre"),
+      sum(when(col("arm") === 0L, col("post")).otherwise(0L)).as("x_c_post"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("arm") === 1L, col("pre")).otherwise(0L)).as("x_t_pre"),
+      sum(when(col("arm") === 1L, col("post")).otherwise(0L)).as("x_t_post"))
+    def rate(x: String, n: String) =
+      col(x).cast("double") / col(n).cast("double")
+    def cellVar(x: String, n: String) = {
+      val p = rate(x, n)
+      p * (lit(1.0) - p) / col(n).cast("double")
+    }
+    val did = (rate("x_t_post", "n_t") - rate("x_t_pre", "n_t")) -
+      (rate("x_c_post", "n_c") - rate("x_c_pre", "n_c"))
+    val se = sqrt(cellVar("x_t_post", "n_t") + cellVar("x_t_pre", "n_t") +
+      cellVar("x_c_post", "n_c") + cellVar("x_c_pre", "n_c"))
+    cells.select(col("n_c"), col("n_t"),
+      round(rate("x_c_pre", "n_c"), 6).as("p_c_pre"),
+      round(rate("x_c_post", "n_c"), 6).as("p_c_post"),
+      round(rate("x_t_pre", "n_t"), 6).as("p_t_pre"),
+      round(rate("x_t_post", "n_t"), 6).as("p_t_post"),
+      round(did, 6).as("did"),
+      when(se > lit(0.0), round(did / se, 6)).as("z"))
+  }
+
+  /** Wald's sequential probability ratio test over the daily
+    * conversion stream — the "peek every day WITHOUT inflating α"
+    * monitor beside the fixed-horizon [[abConversionZtest]]: per day,
+    * the cumulative log-likelihood ratio of H1 (conversion p1) vs H0
+    * (p0) over the odd-arm users' daily conversions, against the Wald
+    * boundaries ln((1−β)/α) and ln(β/(1−α)); the first boundary
+    * crossing is the decision day, everything after is flagged with
+    * the decision it would re-confirm.
+    *
+    * Determinism: daily trials/conversions are exact BIGINT counts
+    * (first purchase day per user = the trial; the cumulative window
+    * orders the collapsed DAY frame — bounded, whitelisted); the LLR
+    * is (x, n−x) integer-weighted by two pinned ln constants. */
+  def sprtDailyAb(events: DataFrame, p0: Double = 0.02,
+      p1: Double = 0.04, alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    val lWin = math.log(p1 / p0)
+    val lLose = math.log((1.0 - p1) / (1.0 - p0))
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    // trial = a user's FIRST active day (arm 1 only); success = they
+    // purchased that day (their first exposure converted)
+    val firstDay = events.filter(col("user_id") % lit(2L) === 1L)
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("day"))
+    val firstBuy = events.filter(col("user_id") % lit(2L) === 1L &&
+        col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("buy_day"))
+    val daily = firstDay.join(firstBuy, Seq("user_id"), "left")
+      .select(col("day"),
+        when(col("buy_day") === col("day"), 1L).otherwise(0L).as("x"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("x"))
+    val w = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("cum_n", sum(col("n")).over(w))
+      .withColumn("cum_x", sum(col("x")).over(w))
+    val llr = col("cum_x").cast("double") * lit(lWin) +
+      (col("cum_n") - col("cum_x")).cast("double") * lit(lLose)
+    cum.select(col("day"), col("n"), col("x"), col("cum_n"), col("cum_x"),
+      round(llr, 6).as("llr"),
+      when(llr >= lit(upper), lit("accept_h1"))
+        .when(llr <= lit(lower), lit("accept_h0"))
+        .otherwise(lit("continue")).as("decision"))
+  }
+
+  /** Minimum detectable effect per event type — the experiment-design
+    * readout ("how small an uplift could a test on this type even
+    * see?") that turns the observed base rates and populations into
+    * the two-proportion MDE at α = .05 (two-sided) and 80% power:
+    * MDE = (z_{α/2} + z_{power})·√(2·p̂(1−p̂)/n̄) with the per-arm n̄
+    * = the type's user count halved (the parity-arm design every
+    * experiment here uses).
+    *
+    * Determinism: user counts and converter counts are exact BIGINTs;
+    * p̂ and the MDE are pinned double chains with the two z constants
+    * as literals; degenerate types (p̂ ∈ {0,1} → zero variance) give
+    * NULL. */
+  def mdePowerAnalysis(events: DataFrame,
+      threshold: Double = 50.0): DataFrame = {
+    // conversion is USER-level (any qualifying purchase in their whole
+    // history); the type's population is its distinct user set — a
+    // type-segmented view of one global outcome, not per-type outcomes
+    val conv = events.groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+        col("value") >= threshold, 1L).otherwise(0L)).as("conv"))
+    val byType = events.select("event_type", "user_id").distinct()
+      .join(conv, "user_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val p = col("n_conv").cast("double") / col("n_users").cast("double")
+    val nArm = col("n_users").cast("double") / lit(2.0)
+    // z_{.025} + z_{.20} pre-summed as ONE literal (2.801585) so both
+    // engines parse the identical double — a JVM-side `+` could land
+    // one ulp off the SQL literal
+    val mde = lit(2.801585) * sqrt(lit(2.0) * p * (lit(1.0) - p) / nArm)
+    byType.select(col("event_type"), col("n_users"), col("n_conv"),
+      round(p, 6).as("p_hat"),
+      when(p > lit(0.0) && p < lit(1.0), round(mde, 6)).as("mde_abs"),
+      when(p > lit(0.0) && p < lit(1.0), round(mde / p, 6)).as("mde_rel"))
+  }
+
   /** McNemar's paired test on purchase behavior between the window's
     * two halves — the WITHIN-SUBJECT change test beside
     * [[abConversionZtest]]'s between-arm test: each user is their own

@@ -929,4 +929,79 @@ class ExactArithmeticSpec extends SparkSpec {
     val rs = EventOps.mcnemarSwitchers(still).collect().head
     assert(rs.isNullAt(rs.fieldIndex("mcnemar_chi2")), rs)
   }
+
+  test("diffInDiff: planted 2x2 panel gives DiD 1.0 and z 2.0") {
+    def pev(i: Long, uid: Long, hm: String, t: String) =
+      (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
+    // span 10..20 -> mid 15. control (even): u2 pre-only purchase,
+    // u4 never; treat (odd): u1 both halves, u3 post-only.
+    // rates: c (.5, 0), t (.5, 1) -> DiD = (1-.5) - (0-.5) = 1.0
+    // SE = sqrt(0 + .125 + 0 + .125) = .5 -> z = 2.0
+    val events = Seq(
+      pev(1, 4L, "10:00", "view"), pev(2, 4L, "20:00", "view"),
+      pev(3, 2L, "11:00", "purchase"),
+      pev(4, 1L, "11:00", "purchase"), pev(5, 1L, "16:00", "purchase"),
+      pev(6, 3L, "16:00", "purchase"),
+    ).toDF(evCols: _*)
+    val r = EventOps.diffInDiff(events).collect().head
+    assert((r.getAs[Long]("n_c"), r.getAs[Long]("n_t")) == ((2L, 2L)), r)
+    assert((r.getAs[Double]("p_c_pre"), r.getAs[Double]("p_c_post"),
+      r.getAs[Double]("p_t_pre"), r.getAs[Double]("p_t_post")) ==
+      ((0.5, 0.0, 0.5, 1.0)), r)
+    assert(r.getAs[Double]("did") == 1.0 && r.getAs[Double]("z") == 2.0, r)
+  }
+
+  test("sprtDailyAb: Wald LLR accumulates per first-exposure day and " +
+    "crosses the H1 boundary at the computed step") {
+    def pev(i: Long, uid: Long, day: String, t: String) =
+      (i, Timestamp.valueOf(s"2024-03-$day 10:00:00"), uid, t, 1.0, "{}")
+    // five odd users, one per day, every first day converts:
+    // llr(k) = k·ln2 (cum_n = cum_x), upper = ln 19 ≈ 2.9444 ->
+    // continue through day 4 (2.7726), accept_h1 on day 5 (3.4657)
+    val events = (1 to 5).flatMap { d =>
+      Seq(pev(d * 2L, d * 2L - 1L, f"$d%02d", "purchase"))
+    }.toDF(evCols: _*)
+    val rows = EventOps.sprtDailyAb(events).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(rows.length == 5, rows.mkString(";"))
+    val lWin = math.log(0.04 / 0.02)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val exp = BigDecimal((i + 1) * lWin).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("llr") == exp, r)
+    }
+    assert(rows.take(4).forall(_.getAs[String]("decision") == "continue") &&
+      rows.last.getAs[String]("decision") == "accept_h1",
+      rows.map(_.getAs[String]("decision")).mkString(","))
+    // a steep H0 design: two non-converting days cross the lower bound
+    // (ln(.1/.5) = −1.609 each; −3.22 ≤ −2.944)
+    val quiet = Seq(pev(1, 1L, "01", "view"), pev(2, 3L, "02", "view"))
+      .toDF(evCols: _*)
+    val q = EventOps.sprtDailyAb(quiet, p0 = 0.5, p1 = 0.9).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(q.head.getAs[String]("decision") == "continue" &&
+      q.last.getAs[String]("decision") == "accept_h0",
+      q.map(_.getAs[String]("decision")).mkString(","))
+  }
+
+  test("mdePowerAnalysis: user-level conversion segmented by type, " +
+    "degenerate rates NULL") {
+    def pev(i: Long, uid: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), uid, t, v, "{}")
+    // u1 converts (purchase 100 ≥ 50), u2 does not. type 'view' has
+    // both users (p = .5); type 'purchase' has only u1 (p = 1 -> NULL)
+    val events = Seq(pev(1, 1L, "view", 1.0), pev(2, 2L, "view", 1.0),
+      pev(3, 1L, "purchase", 100.0)).toDF(evCols: _*)
+    val got = EventOps.mdePowerAnalysis(events).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val v = got("view")
+    assert((v.getAs[Long]("n_users"), v.getAs[Long]("n_conv"),
+      v.getAs[Double]("p_hat")) == ((2L, 1L, 0.5)), v)
+    val expMde = BigDecimal(2.801585 * math.sqrt(2.0 * 0.5 * 0.5 / 1.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(v.getAs[Double]("mde_abs") == expMde, v)
+    val p = got("purchase")
+    assert(p.getAs[Double]("p_hat") == 1.0 &&
+      p.isNullAt(p.fieldIndex("mde_abs")), p)
+  }
 }
