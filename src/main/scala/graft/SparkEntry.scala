@@ -5444,21 +5444,22 @@ object SparkEntry {
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm, embedding " +
         "FROM embeddings WHERE sqrt(list_sum(list_transform(embedding, " +
         "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0.0), " +
-        "lbls AS (SELECT lbl FROM nv UNION ALL SELECT 'ALL' AS lbl FROM nv), " +
         "e AS (SELECT lbl, i, x / nrm AS xn FROM (" +
         "SELECT lbl, nrm, generate_subscripts(embedding, 1) AS i, " +
-        "CAST(unnest(embedding) AS DOUBLE) AS x FROM nv " +
-        "UNION ALL " +
-        "SELECT 'ALL' AS lbl, nrm, generate_subscripts(embedding, 1) AS i, " +
         "CAST(unnest(embedding) AS DOUBLE) AS x FROM nv)), " +
         "sv AS (SELECT lbl, i, sum(xn) AS s FROM e GROUP BY 1, 2), " +
-        "ss AS (SELECT lbl, sum(s * s) AS ssq FROM sv GROUP BY 1), " +
-        "np AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM lbls GROUP BY 1) " +
-        "SELECT ss.lbl AS label, np.n AS n_vecs, " +
-        "CASE WHEN np.n >= 2 THEN " +
-        "round((ss.ssq - CAST(np.n AS DOUBLE)) / " +
-        "(CAST(np.n AS DOUBLE) * (CAST(np.n AS DOUBLE) - 1.0)), 6) " +
-        "END AS mean_pairwise_cosine FROM ss JOIN np ON np.lbl = ss.lbl"),
+        "np AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM nv GROUP BY 1), " +
+        "bl AS (SELECT sv.lbl, sum(s * s) AS ssq FROM sv GROUP BY 1), " +
+        "sall AS (SELECT i, sum(s) AS s FROM sv GROUP BY 1), " +
+        "u AS (SELECT bl.lbl, bl.ssq, np.n FROM bl JOIN np USING (lbl) " +
+        "UNION ALL SELECT 'ALL' AS lbl, " +
+        "(SELECT sum(s * s) FROM sall) AS ssq, " +
+        "(SELECT CAST(sum(n) AS BIGINT) FROM np) AS n) " +
+        "SELECT lbl AS label, n AS n_vecs, " +
+        "CASE WHEN n >= 2 THEN " +
+        "round((ssq - CAST(n AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) " +
+        "END AS mean_pairwise_cosine FROM u"),
     // Mirrors EventOps.diffInDiff: midpoint-split panel 2×2 of exact
     // per-user conversion cells, pinned DiD/SE/z chain.
     "diff_in_diff" ->

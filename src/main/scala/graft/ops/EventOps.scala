@@ -3263,8 +3263,12 @@ object EventOps {
       kAS * (lit(1.781477937) + kAS * (lit(-1.821255978) +
         kAS * lit(1.330274429)))))
     val phi = exp(-(x * x) / lit(2.0)) / lit(2.5066282746310002)
+    // the pairs frame is ≤ |types|²/2 rows but its lineage is the
+    // whole Mann–Whitney pipeline — materialize ONCE (the RankOps
+    // convention) so the three references below don't re-run it
     val withP = mw.select(col("type_a"), col("type_b"), col("z"),
       round(lit(2.0) * phi * poly, 6).as("p"))
+      .localCheckpoint()
     val m = withP.agg(count(lit(1)).as("m"))
     // rank i = 1 + |pairs strictly before me in the (p, ta, tb) order|
     val before = (col("a.p") < col("b.p")) ||
@@ -3278,6 +3282,7 @@ object EventOps {
       .crossJoin(broadcast(m))
       .withColumn("q", round(least(col("p") * col("m").cast("double") /
         col("rk").cast("double"), lit(1.0)), 6))
+      .localCheckpoint()
     // step-up: adjusted p = min q over my suffix (rank ≥ mine)
     val adj = ranked.as("b")
       .join(broadcast(ranked.as("a")), col("a.rk") >= col("b.rk"))
@@ -3359,10 +3364,6 @@ object EventOps {
   def sprtDailyAb(events: DataFrame, p0: Double = 0.02,
       p1: Double = 0.04, alpha: Double = 0.05,
       beta: Double = 0.05): DataFrame = {
-    val lWin = math.log(p1 / p0)
-    val lLose = math.log((1.0 - p1) / (1.0 - p0))
-    val upper = math.log((1.0 - beta) / alpha)
-    val lower = math.log(beta / (1.0 - alpha))
     // trial = a user's FIRST active day (arm 1 only); success = they
     // purchased that day (their first exposure converted)
     val firstDay = events.filter(col("user_id") % lit(2L) === 1L)
@@ -3377,15 +3378,31 @@ object EventOps {
         when(col("buy_day") === col("day"), 1L).otherwise(0L).as("x"))
       .groupBy("day")
       .agg(count(lit(1)).as("n"), sum(col("x")).as("x"))
-    val w = Window.orderBy(col("day").asc)
+    sprtOverLog(daily, "day", p0, p1, alpha, beta)
+  }
+
+  /** The SPRT decision chain over ANY (orderCol, n, x) trial log —
+    * the shared core of [[sprtDailyAb]] (day grain) and the streaming
+    * `StreamJob.sprtFromCounts` reader (batch grain): cumulative
+    * trials/conversions in order, the Wald LLR from exact counts ×
+    * two pinned ln weights, and the boundary decision per step. The
+    * serial cumulative window orders the caller's COLLAPSED log frame
+    * (days / batch ids — structurally bounded, never row-grain). */
+  def sprtOverLog(log: DataFrame, orderCol: String, p0: Double,
+      p1: Double, alpha: Double, beta: Double): DataFrame = {
+    val lWin = math.log(p1 / p0)
+    val lLose = math.log((1.0 - p1) / (1.0 - p0))
+    val upper = math.log((1.0 - beta) / alpha)
+    val lower = math.log(beta / (1.0 - alpha))
+    val w = Window.orderBy(col(orderCol).asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val cum = daily
+    val cum = log
       .withColumn("cum_n", sum(col("n")).over(w))
       .withColumn("cum_x", sum(col("x")).over(w))
     val llr = col("cum_x").cast("double") * lit(lWin) +
       (col("cum_n") - col("cum_x")).cast("double") * lit(lLose)
-    cum.select(col("day"), col("n"), col("x"), col("cum_n"), col("cum_x"),
-      round(llr, 6).as("llr"),
+    cum.select(col(orderCol), col("n"), col("x"), col("cum_n"),
+      col("cum_x"), round(llr, 6).as("llr"),
       when(llr >= lit(upper), lit("accept_h1"))
         .when(llr <= lit(lower), lit("accept_h0"))
         .otherwise(lit("continue")).as("decision"))

@@ -1026,21 +1026,27 @@ object VectorOps {
     * Groups with n < 2 (no pairs) → NULL. */
   def embeddingIsotropy(embeddings: DataFrame): DataFrame = {
     val nrm = norm(asDouble(col("embedding")))
-    def sums(keyed: DataFrame, label: Column): DataFrame = {
-      val e = keyed
-        .filter(nrm > lit(0.0))
-        .select(label.as("lbl"),
-          posexplode(asDouble(col("embedding"))).as(Seq("i", "x")),
-          nrm.as("nrm"))
-        .select(col("lbl"), col("i"), (col("x") / col("nrm")).as("xn"))
-      val s = e.groupBy("lbl", "i").agg(sum(col("xn")).as("s"))
-      val nPer = keyed.filter(nrm > lit(0.0))
-        .groupBy(label.as("lbl")).agg(count(lit(1)).as("n"))
-      s.groupBy("lbl").agg(sum(col("s") * col("s")).as("ssq"))
-        .join(nPer, "lbl")
-    }
-    val byLabel = sums(embeddings, col("label").cast("string"))
-    val overall = sums(embeddings, lit("ALL"))
+    // ONE corpus pass: per-(label, dim) sums of normalized components.
+    // The ALL row derives from this collapsed |labels|·d frame (sum
+    // vectors add), never from a second scan.
+    val e = embeddings
+      .filter(nrm > lit(0.0))
+      .select(col("label").cast("string").as("lbl"),
+        posexplode(asDouble(col("embedding"))).as(Seq("i", "x")),
+        nrm.as("nrm"))
+      .select(col("lbl"), col("i"), (col("x") / col("nrm")).as("xn"))
+    val s = e.groupBy("lbl", "i").agg(sum(col("xn")).as("s"))
+      .localCheckpoint()
+    val nPer = embeddings.filter(nrm > lit(0.0))
+      .groupBy(col("label").cast("string").as("lbl"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val byLabel = s.groupBy("lbl").agg(sum(col("s") * col("s")).as("ssq"))
+      .join(nPer, "lbl")
+    val overall = s.groupBy("i").agg(sum(col("s")).as("s"))
+      .agg(sum(col("s") * col("s")).as("ssq"))
+      .crossJoin(broadcast(nPer.agg(sum(col("n")).as("n"))))
+      .select(lit("ALL").as("lbl"), col("ssq"), col("n"))
     byLabel.unionByName(overall)
       .select(col("lbl").as("label"), col("n").as("n_vecs"),
         when(col("n") >= 2L,

@@ -839,4 +839,47 @@ object StreamJob {
       }
       .start()
   }
+
+  // ---------- streaming sequential experimentation monitor ----------
+
+  /** Streaming arm of the Wald SPRT — the "peek every BATCH without
+    * inflating α" monitor pairing `EventOps.sprtDailyAb`: each
+    * micro-batch of trials (rows with a boolean `converted`) appends
+    * ONE exact (batch_id, n, x) count row; the sink itself is
+    * stateless and idempotent (a replayed batch re-appends the same
+    * batch_id row — [[sprtFromCounts]] collapses duplicates), the
+    * store-once/derive-any-decision contract of the sketch-blob
+    * family. No O(corpus) state, no cumulative mutation in the sink:
+    * the DECISION is a pure reader over the log. */
+  def startSprtCounts(prepared: DataFrame, appender: Appender,
+      checkpointDir: String): StreamingQuery =
+    prepared.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val r = batch.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("converted"), 1L).otherwise(0L)),
+            lit(0L)).as("x")).head
+        val n = r.getLong(0)
+        if (n > 0L)
+          appender("sprt_counts",
+            Seq((batchId, n, r.getLong(1))).toDF("batch_id", "n", "x"))
+        ()
+      }
+      .start()
+
+  /** Decision reader over a [[startSprtCounts]] log: duplicates from
+    * at-least-once re-delivery collapse by batch_id (a replayed batch
+    * carries identical counts, so max ≡ the original), then the shared
+    * `EventOps.sprtOverLog` chain emits the cumulative LLR and Wald
+    * decision per batch — (batch_id, n, x, cum_n, cum_x, llr,
+    * decision). */
+  def sprtFromCounts(log: DataFrame, p0: Double = 0.02,
+      p1: Double = 0.04, alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame =
+    graft.ops.EventOps.sprtOverLog(
+      log.groupBy("batch_id")
+        .agg(max(col("n")).as("n"), max(col("x")).as("x")),
+      "batch_id", p0, p1, alpha, beta)
 }

@@ -611,4 +611,57 @@ class StreamJobSpec extends SparkSpec {
     assert(outs("streamed_toot_counts").select("batch_id")
       .as[Long].head() == 7L)
   }
+
+  test("SPRT monitor: per-batch count log + pure decision reader; " +
+    "re-delivered batches collapse; crosses H1 at the computed step") {
+    val input = MemoryStream[(Long, Boolean)](spark)
+    val prepared = input.toDF().toDF("user_id", "converted")
+    val sunk = mutable.Buffer[DataFrame]()
+    val appender: StreamJob.Appender = (_, df) => sunk.synchronized {
+      sunk += df.cache(); ()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val q = StreamJob.startSprtCounts(prepared, appender, ckpt)
+    try {
+      input.addData((1L, true), (2L, false))   // batch 0: n=2 x=1
+      q.processAllAvailable()
+      input.addData((3L, true), (4L, true))    // batch 1: n=2 x=2
+      q.processAllAvailable()
+      input.addData((5L, true), (6L, true))    // batch 2: n=2 x=2
+      q.processAllAvailable()
+    } finally q.stop()
+    val log = sunk.reduce(_ union _)
+    // the sink appended exact per-batch counts
+    val raw = log.select("batch_id", "n", "x")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(raw.toSeq == Seq((0L, 2L, 1L), (1L, 2L, 2L), (2L, 2L, 2L)), raw.toSeq)
+    // decisions: llr(k) = cum_x·ln2 + (cum_n−cum_x)·ln(.96/.98);
+    // cum_x = 1,3,5; cum_n−cum_x = 1,1,1 -> crosses ln 19 at batch 2
+    val dec = StreamJob.sprtFromCounts(log).collect()
+      .sortBy(_.getAs[Long]("batch_id"))
+    val lWin = math.log(0.04 / 0.02)
+    val lLose = math.log(0.96 / 0.98)
+    val expLlr = Seq(1, 3, 5).zip(Seq(1, 1, 1)).map { case (x, f) =>
+      BigDecimal(x * lWin + f * lLose).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(dec.map(_.getAs[Double]("llr")).toSeq == expLlr, dec.mkString(";"))
+    assert(dec.map(_.getAs[String]("decision")).toSeq ==
+      Seq("continue", "continue", "accept_h1"), dec.mkString(";"))
+    // at-least-once re-delivery: duplicating a batch row changes nothing
+    val replayed = StreamJob.sprtFromCounts(log.union(log.limit(1)))
+      .collect().sortBy(_.getAs[Long]("batch_id"))
+    assert(replayed.map(r => (r.getAs[Long]("batch_id"),
+      r.getAs[Double]("llr"), r.getAs[String]("decision"))).toSeq ==
+      dec.map(r => (r.getAs[Long]("batch_id"), r.getAs[Double]("llr"),
+        r.getAs[String]("decision"))).toSeq)
+    // streamed grain ≡ the batch-side shared chain over the same log
+    val direct = graft.ops.EventOps.sprtOverLog(
+      Seq((0L, 2L, 1L), (1L, 2L, 2L), (2L, 2L, 2L))
+        .toDF("batch_id", "n", "x"),
+      "batch_id", 0.02, 0.04, 0.05, 0.05).collect()
+      .sortBy(_.getAs[Long]("batch_id"))
+    assert(direct.map(_.getAs[Double]("llr")).toSeq ==
+      dec.map(_.getAs[Double]("llr")).toSeq)
+  }
 }
