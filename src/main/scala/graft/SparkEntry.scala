@@ -788,6 +788,8 @@ object SparkEntry {
     "sprt_daily_ab" -> ((s, d) => EventOps.sprtDailyAb(events(s, d))),
     "mde_power_analysis" ->
       ((s, d) => EventOps.mdePowerAnalysis(events(s, d))),
+    "seasonal_decomposition_daily" ->
+      ((s, d) => EventOps.seasonalDecompositionDaily(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -5557,6 +5559,39 @@ object SparkEntry {
         "(CAST(n_users AS DOUBLE) / 2.0)) / " +
         "(CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)), 6) END AS mde_rel " +
         "FROM s"),
+    // Mirrors EventOps.seasonalDecompositionDaily: dense calendar,
+    // exact BIGINT MA-7 sums (NULL trend on edges), 1/7-unit detrended
+    // values, micro-unit-pinned dow means with exact integer
+    // re-centering, pinned output divisions.
+    "seasonal_decomposition_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "dd AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT dd.day, coalesce(daily.n, 0) AS n " +
+        "FROM dd LEFT JOIN daily ON daily.day = dd.day), " +
+        "det AS (SELECT day, n, sum7, cnt7, " +
+        "CASE WHEN cnt7 = 7 THEN n * 7 - sum7 END AS d7, " +
+        "dayofweek(day) AS dow FROM (SELECT day, n, " +
+        "CAST(sum(n) OVER (ORDER BY day ASC ROWS BETWEEN 3 PRECEDING " +
+        "AND 3 FOLLOWING) AS BIGINT) AS sum7, " +
+        "CAST(count(*) OVER (ORDER BY day ASC ROWS BETWEEN 3 PRECEDING " +
+        "AND 3 FOLLOWING) AS BIGINT) AS cnt7 FROM grid)), " +
+        "bydow AS (SELECT dow, CAST(round(CAST(sum(d7) AS DOUBLE) * 1000000.0 / " +
+        "(7.0 * CAST(count(*) AS DOUBLE)), 0) AS BIGINT) AS m_micro " +
+        "FROM det WHERE d7 IS NOT NULL GROUP BY 1), " +
+        "c AS (SELECT CAST(sum(m_micro) AS BIGINT) AS s_all, " +
+        "CAST(count(*) AS BIGINT) AS k_dow FROM bydow), " +
+        "seas AS (SELECT dow, CAST(m_micro * k_dow - s_all AS DOUBLE) / " +
+        "(CAST(k_dow AS DOUBLE) * 1000000.0) AS seasonal_raw " +
+        "FROM bydow CROSS JOIN c) " +
+        "SELECT det.day, det.n, " +
+        "CASE WHEN cnt7 = 7 THEN round(CAST(sum7 AS DOUBLE) / 7.0, 6) END AS trend, " +
+        "round(seasonal_raw, 6) AS seasonal, " +
+        "CASE WHEN cnt7 = 7 THEN round(CAST(det.n AS DOUBLE) - " +
+        "CAST(sum7 AS DOUBLE) / 7.0 - seasonal_raw, 6) END AS residual " +
+        "FROM det LEFT JOIN seas USING (dow)"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -3293,6 +3293,60 @@ object EventOps {
       col("rk"), col("p_bh"), (col("p_bh") <= lit(alpha)).as("rejected"))
   }
 
+  /** Classical additive seasonal decomposition of the daily count
+    * series — n = trend + seasonal + residual, the one readout that
+    * splits "traffic is growing" from "it's just Tuesday" from "that
+    * spike is real": trend is the centered 7-day moving average over
+    * the dense zero-filled calendar, seasonal is the re-centered
+    * day-of-week mean of the detrended series (Σ seasonal = 0 across
+    * the week), residual is what neither explains — the series
+    * [[dowAnomalies]] should really be run on.
+    *
+    * Exactness: the MA-7 sum is an exact BIGINT over the dense grid
+    * (trend NULL on the 3 edge days each side — no partial-window
+    * bias); detrended values live in exact 1/7 units (7n − Σ7); the
+    * dow means are re-pinned to BIGINT micro-units (one rint of an
+    * identical double — the pinballLoss discipline) so the
+    * re-centering subtraction k·m − Σm is exact integer arithmetic;
+    * every emitted double is one pinned division chain. Shape: one
+    * daily collapse, calendar-frame windows, a ≤7-row dow frame
+    * broadcast back. */
+  def seasonalDecompositionDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n"))
+    val w7 = Window.orderBy(col("day").asc).rowsBetween(-3, 3)
+    val det = grid
+      .withColumn("sum7", sum(col("n")).over(w7))
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn("d7", when(col("cnt7") === 7L,
+        col("n") * lit(7L) - col("sum7")))
+      .withColumn("dow", dayofweek(col("day")))
+    val byDow = det.filter(col("d7").isNotNull).groupBy("dow")
+      .agg(round(sum(col("d7")).cast("double") * lit(1000000.0) /
+        (lit(7.0) * count(lit(1)).cast("double")), 0).cast("long")
+        .as("m_micro"))
+    val center = byDow.agg(sum(col("m_micro")).as("s_all"),
+      count(lit(1)).as("k_dow"))
+    val seas = byDow.crossJoin(broadcast(center))
+      .select(col("dow"),
+        ((col("m_micro") * col("k_dow") - col("s_all")).cast("double") /
+          (col("k_dow").cast("double") * lit(1000000.0)))
+          .as("seasonal_raw"))
+    det.join(broadcast(seas), Seq("dow"), "left")
+      .select(col("day"), col("n"),
+        when(col("cnt7") === 7L,
+          round(col("sum7").cast("double") / lit(7.0), 6)).as("trend"),
+        round(col("seasonal_raw"), 6).as("seasonal"),
+        when(col("cnt7") === 7L,
+          round(col("n").cast("double") -
+            col("sum7").cast("double") / lit(7.0) -
+            col("seasonal_raw"), 6)).as("residual"))
+  }
+
   /** Difference-in-differences on purchase conversion — the panel
     * causal readout beside [[cupedAdjustedAb]]'s variance reduction:
     * arm (user parity, the house A/B convention) × period (exact

@@ -930,6 +930,47 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(rs.isNullAt(rs.fieldIndex("mcnemar_chi2")), rs)
   }
 
+  test("seasonalDecompositionDaily: constant series decomposes to " +
+    "flat trend, zero seasonal, zero residual; edges NULL") {
+    // 21 days, 3 events each -> interior trend 3.0, every dow mean 0
+    val events = (0 until 21).flatMap { d =>
+      val day = f"2024-03-${d + 1}%02d"
+      (1 to 3).map(j => ev(d * 3L + j, day, "a"))
+    }.toDF(evCols: _*)
+    val rows = EventOps.seasonalDecompositionDaily(events).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    assert(rows.length == 21, rows.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("n") == 3L, r)
+      assert(r.getAs[Double]("seasonal") == 0.0, r)
+      if (i < 3 || i >= 18) {
+        assert(r.isNullAt(r.fieldIndex("trend")) &&
+          r.isNullAt(r.fieldIndex("residual")), r)
+      } else {
+        assert(r.getAs[Double]("trend") == 3.0 &&
+          r.getAs[Double]("residual") == 0.0, r)
+      }
+    }
+    // a single spike: reconstruction identity n ≈ trend+seasonal+
+    // residual holds on every interior day, and seasonals re-center
+    val spiky = ((0 until 21).flatMap { d =>
+      val day = f"2024-03-${d + 1}%02d"
+      (1 to (if (d == 10) 8 else 1)).map(j => ev(d * 10L + j, day, "a"))
+    }).toDF(evCols: _*)
+    val sr = EventOps.seasonalDecompositionDaily(spiky).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").toString)
+    val interior = sr.filter(r => !r.isNullAt(r.fieldIndex("trend")))
+    assert(interior.nonEmpty)
+    interior.foreach { r =>
+      val rebuilt = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+        r.getAs[Double]("residual")
+      assert(math.abs(rebuilt - r.getAs[Long]("n")) < 2e-6, r)
+    }
+    // one full week (7 consecutive days = each dow once) re-centers
+    val weekSum = sr.take(7).map(_.getAs[Double]("seasonal")).sum
+    assert(math.abs(weekSum) < 1e-4, sr.take(7).mkString(";"))
+  }
+
   test("diffInDiff: planted 2x2 panel gives DiD 1.0 and z 2.0") {
     def pev(i: Long, uid: Long, hm: String, t: String) =
       (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
