@@ -5343,9 +5343,9 @@ object SparkEntry {
         "kk AS (SELECT type_a, type_b, z, abs(z) AS x, " +
         "1.0 / (1.0 + 0.2316419 * abs(z)) AS k FROM zt), " +
         "pp AS (SELECT type_a, type_b, z, " +
-        "round(2.0 * (exp(-(x * x) / 2.0) / 2.5066282746310002) * " +
+        "round(2.0 * ((exp(-(x * x) / 2.0) / 2.5066282746310002) * " +
         "(k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 + " +
-        "k * (-1.821255978 + k * 1.330274429))))), 6) AS p FROM kk), " +
+        "k * (-1.821255978 + k * 1.330274429)))))), 6) AS p FROM kk), " +
         "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp), " +
         "rk AS (SELECT b.type_a, b.type_b, b.z, b.p, " +
         "CAST(count(a.p) + 1 AS BIGINT) AS rk FROM pp b LEFT JOIN pp a " +

@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinklerSim(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_normal_tail"),
+      new ExpressionInfo(classOf[NormalTailExpr].getName,
+        "graft_normal_tail"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_normal_tail", "graft_normal_tail(x)", exprs, 1)
+        NormalTailExpr(exprs(0))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_lsh_bucket"),
       new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
       (exprs: Seq[Expression]) => GraftExtensions.buildLshBucket(exprs)))

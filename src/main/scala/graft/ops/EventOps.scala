@@ -3256,18 +3256,15 @@ object EventOps {
     val mw = mannWhitneyTypePairs(events)
       .filter(col("z").isNotNull)
       .select(col("type_a"), col("type_b"), col("z"))
-    // A&S 26.2.17: Phi(x) = 1 − phi(x)·poly(1/(1+0.2316419·x)), x ≥ 0
-    val x = abs(col("z"))
-    val kAS = lit(1.0) / (lit(1.0) + lit(0.2316419) * x)
-    val poly = kAS * (lit(0.319381530) + kAS * (lit(-0.356563782) +
-      kAS * (lit(1.781477937) + kAS * (lit(-1.821255978) +
-        kAS * lit(1.330274429)))))
-    val phi = exp(-(x * x) / lit(2.0)) / lit(2.5066282746310002)
+    // two-sided p through the native A&S 26.2.17 tail expression
+    // (graft.functions.NormalTail — codegen'd, chain-pinned to the
+    // oracle's parenthesization)
     // the pairs frame is ≤ |types|²/2 rows but its lineage is the
     // whole Mann–Whitney pipeline — materialize ONCE (the RankOps
     // convention) so the three references below don't re-run it
     val withP = mw.select(col("type_a"), col("type_b"), col("z"),
-      round(lit(2.0) * phi * poly, 6).as("p"))
+      round(lit(2.0) *
+        graft.functions.NormalTail.normalTail(abs(col("z"))), 6).as("p"))
       .localCheckpoint()
     val m = withP.agg(count(lit(1)).as("m"))
     // rank i = 1 + |pairs strictly before me in the (p, ta, tb) order|
