@@ -790,6 +790,14 @@ object SparkEntry {
       ((s, d) => EventOps.mdePowerAnalysis(events(s, d))),
     "seasonal_decomposition_daily" ->
       ((s, d) => EventOps.seasonalDecompositionDaily(events(s, d))),
+    "pq_codes_pinned" -> ((s, d) =>
+      VectorOps.pqEncode(embeddings(s, d),
+        VectorOps.pqPinnedCodebook(embeddings(s, d)))),
+    "knn_pq_pinned" -> ((s, d) => VectorOps.knnPqPinned(embeddings(s, d))),
+    "pq_recall_audit" -> ((s, d) => VectorOps.pqRecallAudit(embeddings(s, d))),
+    "knn_pq_rerank" -> ((s, d) => VectorOps.knnPqRerank(embeddings(s, d))),
+    "pq_rerank_recall_audit" ->
+      ((s, d) => VectorOps.pqRerankRecallAudit(embeddings(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -806,6 +814,41 @@ object SparkEntry {
       "i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
       "sizes AS (SELECT doc_id, len(sh) AS n FROM sets), " +
       "inv AS (SELECT doc_id, unnest(sh) AS sh FROM sets)"
+
+  /** DuckDB mirror of [[graft.ops.VectorOps.pqBlockDist]]: the partial
+    * squared-L2 of block `b` (last block absorbs the remainder) with
+    * the same index-order fp64 fold — the subtraction is spelled twice
+    * (identical fp both times) because a lambda can't bind a local. */
+  private def duckPqBlockDist(e: String, c: String, b: String,
+      m: Int): String = {
+    val sub = s"(len($e) // $m)"
+    val idx = s"$b * $sub + i + 1"
+    s"list_sum(list_transform(range(CASE WHEN $b = ${m - 1} " +
+      s"THEN len($e) - $b * $sub ELSE $sub END), " +
+      s"i -> (CAST($e[$idx] AS DOUBLE) - CAST($c[$idx] AS DOUBLE)) * " +
+      s"(CAST($e[$idx] AS DOUBLE) - CAST($c[$idx] AS DOUBLE))))"
+  }
+
+  /** Shared DuckDB CTE chain for the pinned-PQ pipeline: codebook →
+    * per-(vector, block) code assignment — inlined by all three PQ
+    * oracles (the shingleCtes anti-drift convention). */
+  private val pqCtes: String =
+    "cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings " +
+      "WHERE vec_id % 997 < 64), " +
+      "blocks AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS b), " +
+      "bd AS (SELECT e.vec_id, blocks.b, cb.code, " +
+      duckPqBlockDist("e.embedding", "cb.cv", "blocks.b", 8) + " AS d2 " +
+      "FROM embeddings e CROSS JOIN blocks CROSS JOIN cb), " +
+      "codes AS (SELECT vec_id, b AS block, code FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id, b ORDER BY d2 ASC, code ASC) " +
+      "AS rn FROM bd) WHERE rn = 1), " +
+      "qq AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0), " +
+      "tbl AS (SELECT cb.code, blocks.b AS block, " +
+      duckPqBlockDist("qq.qv", "cb.cv", "blocks.b", 8) + " AS t " +
+      "FROM cb CROSS JOIN blocks CROSS JOIN qq), " +
+      "adc AS (SELECT c.vec_id, round(sum(t.t), 6) AS adc_l2sq " +
+      "FROM codes c JOIN tbl t ON t.block = c.block AND t.code = c.code " +
+      "WHERE c.vec_id <> 0 GROUP BY 1)"
 
   /** DuckDB mirror of the fused cosine (`graft_cosine`): index-order
     * fp64 dot over the float→DOUBLE casts, divided by the two norms in
@@ -5592,6 +5635,69 @@ object SparkEntry {
         "CASE WHEN cnt7 = 7 THEN round(CAST(det.n AS DOUBLE) - " +
         "CAST(sum7 AS DOUBLE) / 7.0 - seasonal_raw, 6) END AS residual " +
         "FROM det LEFT JOIN seas USING (dow)"),
+    // Mirrors VectorOps.pqEncode over the pinned codebook: the full
+    // per-(vector, block) argmin replayed with the shared block-L2
+    // fold, code ASC tie-break.
+    "pq_codes_pinned" ->
+      ("WITH " + pqCtes + " SELECT vec_id, block, code FROM codes"),
+    // Mirrors VectorOps.knnPqPinned: the ADC lookup table is the
+    // m·|codes| block-L2 grid against query vec 0; each vector's
+    // approximate distance is the sum of its m cells, 6dp-rounded
+    // before the (adc, vec_id) order.
+    "knn_pq_pinned" ->
+      ("WITH " + pqCtes + " " +
+        "SELECT a.vec_id, e.label, a.adc_l2sq FROM adc a " +
+        "JOIN embeddings e ON e.vec_id = a.vec_id " +
+        "ORDER BY a.adc_l2sq ASC, a.vec_id ASC LIMIT 10"),
+    // Mirrors VectorOps.pqRecallAudit: raw-ADC top-10 ∩ exact
+    // squared-L2 top-10 (same rounding and tie-break on both rails).
+    "pq_recall_audit" ->
+      ("WITH " + pqCtes + ", " +
+        "top AS (SELECT vec_id FROM adc ORDER BY adc_l2sq ASC, vec_id ASC " +
+        "LIMIT 10), " +
+        "ex AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq " +
+        "WHERE e.vec_id <> 0 ORDER BY round(list_sum(list_transform(" +
+        "range(len(e.embedding)), " +
+        "i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)) * " +
+        "(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)))), 6) " +
+        "ASC, e.vec_id ASC LIMIT 10) " +
+        "SELECT 10 AS k_eval, CAST(count(*) AS BIGINT) AS n_hits, " +
+        "round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall " +
+        "FROM top JOIN ex USING (vec_id)"),
+    // Mirrors VectorOps.knnPqRerank: ADC shortlist-100 from codes,
+    // exact L2 re-rank of just those candidates.
+    "knn_pq_rerank" ->
+      ("WITH " + pqCtes + ", " +
+        "short AS (SELECT vec_id FROM adc ORDER BY adc_l2sq ASC, vec_id ASC " +
+        "LIMIT 100) " +
+        "SELECT e.vec_id, e.label, round(list_sum(list_transform(" +
+        "range(len(e.embedding)), " +
+        "i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)) * " +
+        "(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)))), 6) " +
+        "AS l2sq FROM embeddings e JOIN short USING (vec_id) CROSS JOIN qq " +
+        "ORDER BY l2sq ASC, e.vec_id ASC LIMIT 10"),
+    // Mirrors VectorOps.pqRerankRecallAudit: the two-stage search's
+    // top-10 ∩ exact top-10.
+    "pq_rerank_recall_audit" ->
+      ("WITH " + pqCtes + ", " +
+        "short AS (SELECT vec_id FROM adc ORDER BY adc_l2sq ASC, vec_id ASC " +
+        "LIMIT 100), " +
+        "rer AS (SELECT e.vec_id FROM embeddings e JOIN short USING (vec_id) " +
+        "CROSS JOIN qq ORDER BY round(list_sum(list_transform(" +
+        "range(len(e.embedding)), " +
+        "i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)) * " +
+        "(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)))), 6) " +
+        "ASC, e.vec_id ASC LIMIT 10), " +
+        "ex AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq " +
+        "WHERE e.vec_id <> 0 ORDER BY round(list_sum(list_transform(" +
+        "range(len(e.embedding)), " +
+        "i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)) * " +
+        "(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)))), 6) " +
+        "ASC, e.vec_id ASC LIMIT 10) " +
+        "SELECT 10 AS k_eval, 100 AS shortlist, " +
+        "CAST(count(*) AS BIGINT) AS n_hits, " +
+        "round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall " +
+        "FROM rer JOIN ex USING (vec_id)"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -1009,6 +1009,173 @@ object VectorOps {
   def embeddingLofOutliers(embeddings: DataFrame, k: Int = 5): DataFrame =
     lofScores(knnAllBrute(embeddings, k))
 
+  // ---------- product quantization (IVF-PQ's fine quantizer) ----------
+
+  /** Partial squared-L2 between block `b` of two full vectors — the
+    * product-quantization sub-distance: blocks are contiguous ranges
+    * [b·⌊d/m⌋, …), the LAST block absorbing the remainder, and the
+    * fold is index-order fp64 (the [[dot]] discipline) so a SQL mirror
+    * indexing the same positions reproduces it exactly. */
+  def pqBlockDist(e: Column, c: Column, b: Column, m: Int): Column = {
+    val len = size(e)
+    val sub = (len / lit(m)).cast("int")
+    val start = b * sub
+    val cnt = when(b === lit(m - 1), len - start).otherwise(sub)
+    aggregate(
+      transform(sequence(lit(0), cnt - lit(1)), i => {
+        val d = element_at(e, start + i + lit(1)).cast("double") -
+          element_at(c, start + i + lit(1)).cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** Pinned PQ codebook — the [[sampleCentroids]] convention applied
+    * per block: the deterministic id-hash sample IS the code set
+    * (code = the sample's vec_id; every block shares the same code
+    * ids but scores against ITS slice of the sample vector). No RNG,
+    * no learned means — fully replayable in SQL, which is what lets
+    * the PQ queries sit under the strict hash gate (the
+    * `knn_ivf_pinned` precedent). Returns (code, cv: full vector). */
+  def pqPinnedCodebook(embeddings: DataFrame, ksub: Int = 64): DataFrame =
+    embeddings.filter(pmod(col("vec_id"), lit(997)) < ksub)
+      .select(col("vec_id").as("code"), col("embedding").as("cv"))
+
+  /** PQ encode: each vector × each of `m` blocks → the code whose
+    * block slice is L2-closest (code ASC tie-break). ONE corpus scan
+    * against the broadcast codebook (n · |codes| · d/m · m = n·|codes|·d
+    * multiply-adds — the IVF-assignment cost); the output is the
+    * m-codes-per-vector table that REPLACES the raw float corpus for
+    * every ADC query after this one-time encode: at 100 TB, 4 BIGINT
+    * codes stand in for 64 floats (a 16-32× working-set cut), and
+    * queries never rescan floats. */
+  def pqEncode(embeddings: DataFrame, codebook: DataFrame,
+      m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = embeddings
+      .crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("b"),
+        col("embedding"), col("cv"))
+      .select(col("vec_id"), col("b"), col("code"),
+        pqBlockDist(col("embedding"), col("cv"), col("b"), m).as("d2"))
+    val w = Window.partitionBy("vec_id", "b")
+      .orderBy(col("d2").asc, col("code").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("b").cast("long").as("block"), col("code"))
+  }
+
+  /** Asymmetric-distance (ADC) kNN over PQ codes: the query stays a
+    * raw vector, scored ONCE against every (block, code) cell —
+    * an m·|codes| lookup table, a bounded index artifact — and each
+    * corpus vector's approximate distance is the SUM of its m table
+    * cells: one (vec_id, block, code) join + one m-row-per-vector
+    * collapse, never a float rescan. Ordered by (6dp-rounded ADC
+    * distance, vec_id) for determinism; the query's own row is
+    * excluded. */
+  def knnPqPinned(embeddings: DataFrame, queryVecId: Long = 0L,
+      k: Int = 10, m: Int = 8, ksub: Int = 64): DataFrame = {
+    val codebook = pqPinnedCodebook(embeddings, ksub)
+    val codes = pqEncode(embeddings, codebook, m)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val table = codebook
+      .crossJoin(broadcast(q))
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("b"),
+        col("cv"), col("qv"))
+      .select(col("code"), col("b").cast("long").as("block"),
+        pqBlockDist(col("qv"), col("cv"), col("b"), m).as("t"))
+    val adc = codes.join(broadcast(table), Seq("block", "code"))
+      .groupBy("vec_id").agg(sum(col("t")).as("adc"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), round(col("adc"), 6).as("adc_l2sq"))
+    adc.join(embeddings.select("vec_id", "label"), "vec_id")
+      .orderBy(col("adc_l2sq").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("adc_l2sq"))
+  }
+
+  /** Recall@k gate for [[knnPqPinned]]: the PQ top-k against the
+    * EXACT squared-L2 top-k over raw vectors (same rounding and
+    * tie-break). One row: (k_eval, n_hits, recall) — hash-gated, the
+    * ann_batch_recall_audit contract. */
+  def pqRecallAudit(embeddings: DataFrame, queryVecId: Long = 0L,
+      k: Int = 10, m: Int = 8, ksub: Int = 64): DataFrame = {
+    val approx = knnPqPinned(embeddings, queryVecId, k, m, ksub)
+      .select(col("vec_id"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val exact = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(asDouble(col("embedding")), asDouble(col("qv")),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("l2sq"))
+      .orderBy(col("l2sq").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"))
+    approx.join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k).as("k_eval"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 6)
+          .as("recall"))
+  }
+
+  /** The production PQ pipeline: ADC generates a `shortlist`-sized
+    * candidate set from CODES ONLY (no float scan), then the exact
+    * squared-L2 re-ranks just those candidates — the FAISS-style
+    * two-stage search. At 100 TB the float fetch is shortlist-sized
+    * (a constant), not corpus-sized; raw-ADC ranking alone loses
+    * order on concentrated distances (the audit beside this shows
+    * the gap on this corpus: ~0.5 raw vs ~0.8 re-ranked recall@10),
+    * which is exactly why re-ranking is the standard deployment. */
+  def knnPqRerank(embeddings: DataFrame, queryVecId: Long = 0L,
+      k: Int = 10, shortlist: Int = 100, m: Int = 8,
+      ksub: Int = 64): DataFrame = {
+    val candidates = knnPqPinned(embeddings, queryVecId, shortlist, m, ksub)
+      .select(col("vec_id"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    embeddings.join(broadcast(candidates), Seq("vec_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(aggregate(
+          zip_with(asDouble(col("embedding")), asDouble(col("qv")),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("l2sq"))
+      .orderBy(col("l2sq").asc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** Recall@k gate for [[knnPqRerank]] — same contract as
+    * [[pqRecallAudit]], over the two-stage search. */
+  def pqRerankRecallAudit(embeddings: DataFrame, queryVecId: Long = 0L,
+      k: Int = 10, shortlist: Int = 100, m: Int = 8,
+      ksub: Int = 64): DataFrame = {
+    val approx = knnPqRerank(embeddings, queryVecId, k, shortlist, m, ksub)
+      .select(col("vec_id"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val exact = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(asDouble(col("embedding")), asDouble(col("qv")),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("l2sq"))
+      .orderBy(col("l2sq").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"))
+    approx.join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k).as("k_eval"), lit(shortlist).as("shortlist"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 6)
+          .as("recall"))
+  }
+
   /** Isotropy of the embedding space per label (+ the ALL row): the
     * mean pairwise cosine between unit-normalized vectors — the
     * anisotropy diagnostic of representation learning (Ethayarajh '19:

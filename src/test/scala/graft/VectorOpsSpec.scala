@@ -543,6 +543,48 @@ class VectorOpsSpec extends SparkSpec {
       s"outlier ${lof(9L)} not dominant: $lof")
   }
 
+  test("pqEncode: per-block argmin with code-ASC ties and the " +
+    "remainder-absorbing last block; ADC exact when vectors ARE codes") {
+    // dim 6, m = 4 -> sub = 1: blocks 0,1,2 are single dims, block 3
+    // spans dims 4-6. v2 shares v1's first three dims exactly -> ties
+    // resolve to code 1 there; its tail differs -> code 2 on block 3.
+    val emb = Seq(
+      (0L, Array(0f, 0f, 0f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 1f, 1f, 2f, 2f, 2f), 0),
+      (2L, Array(1f, 1f, 1f, 9f, 9f, 9f), 0),
+    ).toDF("vec_id", "embedding", "label")
+    val codebook = VectorOps.pqPinnedCodebook(emb) // all ids < 64
+    val codes = VectorOps.pqEncode(emb, codebook, m = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("block")) ->
+        r.getAs[Long]("code")).toMap
+    assert(codes.size == 12, codes)
+    // every vector is its own code on every block, except v2's shared
+    // prefix blocks which tie down to code 1
+    for (b <- 0L to 3L) {
+      assert(codes((0L, b)) == 0L, s"v0 b$b: ${codes((0L, b))}")
+      assert(codes((1L, b)) == 1L, s"v1 b$b: ${codes((1L, b))}")
+    }
+    assert(codes((2L, 0L)) == 1L && codes((2L, 1L)) == 1L &&
+      codes((2L, 2L)) == 1L && codes((2L, 3L)) == 2L, codes)
+    // with every vector a code, ADC reproduces the exact distances of
+    // the assigned codes: v1's ADC to q=v0 is ||v1||² exactly
+    val knn = VectorOps.knnPqPinned(emb, queryVecId = 0L, k = 2, m = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Double]("adc_l2sq")).toMap
+    assert(knn(1L) == 15.0, knn) // 3·1 + 3·4
+    // v2's blocks 0-2 point at code 1 (same values), block 3 at itself
+    assert(knn(2L) == 3.0 + 3 * 81.0, knn)
+    // the two-stage search with shortlist ≥ n is the exact top-k
+    val rr = VectorOps.knnPqRerank(emb, queryVecId = 0L, k = 2,
+      shortlist = 10, m = 4).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("l2sq")))
+    assert(rr.toSeq == Seq((1L, 15.0), (2L, 246.0)), rr.toSeq)
+    val audit = VectorOps.pqRerankRecallAudit(emb, queryVecId = 0L,
+      k = 2, shortlist = 10, m = 4).collect().head
+    assert(audit.getAs[Long]("n_hits") == 2L &&
+      audit.getAs[Double]("recall") == 1.0, audit)
+  }
+
   test("embeddingIsotropy: sum-vector identity equals the hand-" +
     "computed all-pairs mean; singleton NULL; zero vectors excluded") {
     // label 0: orthogonal pair -> mean cos 0; label 1: identical pair
