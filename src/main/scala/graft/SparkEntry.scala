@@ -834,7 +834,7 @@ object SparkEntry {
     * oracles (the shingleCtes anti-drift convention). */
   private val pqCtes: String =
     "cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings " +
-      "WHERE vec_id % 997 < 64), " +
+      "WHERE vec_id % 997 < 64 ORDER BY vec_id ASC LIMIT 64), " +
       "blocks AS (SELECT CAST(unnest(range(8)) AS BIGINT) AS b), " +
       "bd AS (SELECT e.vec_id, blocks.b, cb.code, " +
       duckPqBlockDist("e.embedding", "cb.cv", "blocks.b", 8) + " AS d2 " +

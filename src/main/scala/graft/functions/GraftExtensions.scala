@@ -51,6 +51,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         JaroWinklerSim(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_pq_block_l2"),
+      new ExpressionInfo(classOf[PqBlockL2].getName, "graft_pq_block_l2"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_pq_block_l2", "graft_pq_block_l2(e, c, b, m)",
+          exprs, 4)
+        PqBlockL2(exprs(0), exprs(1), exprs(2), exprs(3))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_normal_tail"),
       new ExpressionInfo(classOf[NormalTailExpr].getName,
         "graft_normal_tail"),

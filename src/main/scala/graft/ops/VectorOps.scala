@@ -1039,6 +1039,12 @@ object VectorOps {
     * `knn_ivf_pinned` precedent). Returns (code, cv: full vector). */
   def pqPinnedCodebook(embeddings: DataFrame, ksub: Int = 64): DataFrame =
     embeddings.filter(pmod(col("vec_id"), lit(997)) < ksub)
+      // HARD-cap the code count: the id-hash filter alone admits
+      // ~n·ksub/997 rows, which GROWS with the corpus — a per-code
+      // scan cost creeping up with n is exactly what a constant-size
+      // codebook exists to prevent. orderBy+limit keeps the selection
+      // deterministic (TakeOrderedAndProject on a tiny filtered set).
+      .orderBy(col("vec_id").asc).limit(ksub)
       .select(col("vec_id").as("code"), col("embedding").as("cv"))
 
   /** PQ encode: each vector × each of `m` blocks → the code whose
@@ -1058,7 +1064,8 @@ object VectorOps {
         explode(sequence(lit(0), lit(m - 1))).as("b"),
         col("embedding"), col("cv"))
       .select(col("vec_id"), col("b"), col("code"),
-        pqBlockDist(col("embedding"), col("cv"), col("b"), m).as("d2"))
+        graft.functions.PqBlockL2.pqBlockL2(col("embedding"), col("cv"),
+          col("b"), lit(m)).as("d2"))
     val w = Window.partitionBy("vec_id", "b")
       .orderBy(col("d2").asc, col("code").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -1085,7 +1092,8 @@ object VectorOps {
       .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("b"),
         col("cv"), col("qv"))
       .select(col("code"), col("b").cast("long").as("block"),
-        pqBlockDist(col("qv"), col("cv"), col("b"), m).as("t"))
+        graft.functions.PqBlockL2.pqBlockL2(col("qv"), col("cv"),
+          col("b"), lit(m)).as("t"))
     val adc = codes.join(broadcast(table), Seq("block", "code"))
       .groupBy("vec_id").agg(sum(col("t")).as("adc"))
       .filter(col("vec_id") =!= queryVecId)
