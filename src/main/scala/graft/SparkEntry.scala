@@ -798,6 +798,10 @@ object SparkEntry {
     "knn_pq_rerank" -> ((s, d) => VectorOps.knnPqRerank(embeddings(s, d))),
     "pq_rerank_recall_audit" ->
       ((s, d) => VectorOps.pqRerankRecallAudit(embeddings(s, d))),
+    "knn_ivf_pq_pinned" ->
+      ((s, d) => VectorOps.knnIvfPqPinned(embeddings(s, d))),
+    "ivf_pq_recall_audit" ->
+      ((s, d) => VectorOps.ivfPqRecallAudit(embeddings(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -849,6 +853,30 @@ object SparkEntry {
       "adc AS (SELECT c.vec_id, round(sum(t.t), 6) AS adc_l2sq " +
       "FROM codes c JOIN tbl t ON t.block = c.block AND t.code = c.code " +
       "WHERE c.vec_id <> 0 GROUP BY 1)"
+
+  /** The knn_ivf_pinned coarse stage against the shared `qq` query
+    * vector, as appendable CTEs: pinned sample centroids, cosine
+    * argmax assignment, nprobe=4 probe set, probed candidate ids.
+    * Composes after [[pqCtes]] (which defines `qq`) for the IVF-PQ
+    * oracles. */
+  private val ivfPinnedCtes: String =
+    "ivfc AS (SELECT vec_id AS list_id, embedding AS icv " +
+      "FROM embeddings WHERE vec_id % 997 < 16), " +
+      "asn AS (SELECT vec_id, list_id FROM (" +
+      "SELECT e.vec_id, ivfc.list_id, row_number() OVER (" +
+      "PARTITION BY e.vec_id ORDER BY " +
+      "list_sum(list_transform(range(len(e.embedding)), " +
+      "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(ivfc.icv[i+1] AS DOUBLE))) " +
+      "/ (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+      "* sqrt(list_sum(list_transform(ivfc.icv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, " +
+      "ivfc.list_id ASC) AS rn FROM embeddings e, ivfc) WHERE rn = 1), " +
+      "probe AS (SELECT list_id FROM ivfc, qq ORDER BY " +
+      "list_sum(list_transform(range(len(icv)), " +
+      "i -> CAST(icv[i+1] AS DOUBLE) * CAST(qq.qv[i+1] AS DOUBLE))) " +
+      "/ (sqrt(list_sum(list_transform(icv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+      "* sqrt(list_sum(list_transform(qq.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, " +
+      "list_id ASC LIMIT 4), " +
+      "cand AS (SELECT asn.vec_id FROM asn JOIN probe USING (list_id))"
 
   /** DuckDB mirror of the fused cosine (`graft_cosine`): index-order
     * fp64 dot over the float→DOUBLE casts, divided by the two norms in
@@ -5698,6 +5726,33 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_hits, " +
         "round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall " +
         "FROM rer JOIN ex USING (vec_id)"),
+    // Mirrors VectorOps.knnIvfPqPinned: the knn_ivf_pinned coarse
+    // stage (cosine argmax assignment, nprobe=4) composed with the
+    // shared PQ ADC chain — the oracle filters adc to the probed
+    // candidates (identical rows: ADC is per-vector independent).
+    "knn_ivf_pq_pinned" ->
+      ("WITH " + pqCtes + ", " + ivfPinnedCtes + " " +
+        "SELECT a.vec_id, e.label, a.adc_l2sq FROM adc a " +
+        "JOIN cand ON cand.vec_id = a.vec_id " +
+        "JOIN embeddings e ON e.vec_id = a.vec_id " +
+        "ORDER BY a.adc_l2sq ASC, a.vec_id ASC LIMIT 10"),
+    // Mirrors VectorOps.ivfPqRecallAudit: the composed index's top-10
+    // ∩ exact squared-L2 top-10 — probe-bounded AND quantization-
+    // bounded recall, published honestly.
+    "ivf_pq_recall_audit" ->
+      ("WITH " + pqCtes + ", " + ivfPinnedCtes + ", " +
+        "top AS (SELECT a.vec_id FROM adc a JOIN cand ON cand.vec_id = a.vec_id " +
+        "ORDER BY a.adc_l2sq ASC, a.vec_id ASC LIMIT 10), " +
+        "ex AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq " +
+        "WHERE e.vec_id <> 0 ORDER BY round(list_sum(list_transform(" +
+        "range(len(e.embedding)), " +
+        "i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)) * " +
+        "(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)))), 6) " +
+        "ASC, e.vec_id ASC LIMIT 10) " +
+        "SELECT 10 AS k_eval, 4 AS nprobe, " +
+        "CAST(count(*) AS BIGINT) AS n_hits, " +
+        "round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall " +
+        "FROM top JOIN ex USING (vec_id)"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

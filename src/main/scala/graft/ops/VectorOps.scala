@@ -1184,6 +1184,154 @@ object VectorOps {
           .as("recall"))
   }
 
+  /** The composed IVF-PQ search — FAISS's workhorse index shape, from
+    * the pinned pieces already gated here: the IVF coarse quantizer
+    * ([[sampleCentroids]] + cosine argmax assignment) prunes the scan
+    * to ~nprobe/nlist of the corpus, and WITHIN the probed lists the
+    * ADC code scan ranks candidates from PQ codes only — so a query
+    * touches neither the unprobed lists NOR any raw floats until the
+    * optional exact re-rank of a constant-size shortlist. (This is
+    * the no-residual composition; classic IVF-PQ encodes residuals
+    * against the coarse centroid — the same pipeline with `embedding
+    * − cv` fed to the encoder.) Fully SQL-replayable: both quantizers
+    * are the deterministic pinned variants. */
+  def knnIvfPqPinned(embeddings: DataFrame, queryVecId: Long = 0L,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 64): DataFrame = {
+    val centroids = sampleCentroids(embeddings, nlist)
+    val assigned = ivfAssignTo(embeddings, centroids)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val probeLists = centroids
+      .crossJoin(broadcast(q))
+      .select(col("list_id"), cosineFused(col("cv"), col("qv")).as("d"))
+      .orderBy(col("d").desc, col("list_id").asc)
+      .limit(nprobe)
+      .select("list_id")
+    val candidates = assigned
+      .join(broadcast(probeLists), Seq("list_id"), "left_semi")
+      .select("vec_id")
+    val codebook = pqPinnedCodebook(embeddings, ksub)
+    val codes = pqEncode(embeddings, codebook, m)
+      .join(broadcast(candidates), Seq("vec_id"), "left_semi")
+    val table = codebook
+      .crossJoin(broadcast(q))
+      .select(col("code"), explode(sequence(lit(0), lit(m - 1))).as("b"),
+        col("cv"), col("qv"))
+      .select(col("code"), col("b").cast("long").as("block"),
+        graft.functions.PqBlockL2.pqBlockL2(col("qv"), col("cv"),
+          col("b"), lit(m)).as("t"))
+    codes.join(broadcast(table), Seq("block", "code"))
+      .groupBy("vec_id").agg(sum(col("t")).as("adc"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), round(col("adc"), 6).as("adc_l2sq"))
+      .join(embeddings.select("vec_id", "label"), "vec_id")
+      .orderBy(col("adc_l2sq").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("adc_l2sq"))
+  }
+
+  /** Recall@k gate for [[knnIvfPqPinned]] against the exact
+    * squared-L2 top-k — the probe-bounded recall of the composed
+    * index (losses come from BOTH the unprobed lists and ADC
+    * quantization; the audit publishes the honest number). */
+  def ivfPqRecallAudit(embeddings: DataFrame, queryVecId: Long = 0L,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 64): DataFrame = {
+    val approx = knnIvfPqPinned(embeddings, queryVecId, k, nlist,
+      nprobe, m, ksub).select(col("vec_id"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val exact = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(asDouble(col("embedding")), asDouble(col("qv")),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("l2sq"))
+      .orderBy(col("l2sq").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"))
+    approx.join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k).as("k_eval"), lit(nprobe).as("nprobe"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 6)
+          .as("recall"))
+  }
+
+  /** Learned PQ codebooks: per-(block, code) Lloyd's rounds over the
+    * block slices, initialized from [[pqPinnedCodebook]] — the
+    * [[learnedCentroids]] pattern applied per block (the codebook that
+    * FAISS's `train()` produces). Each round is one distributed
+    * assignment scan ([[pqEncode]]) plus one (block, code, pos) mean
+    * aggregation; only m·ksub·(d/m) = ksub·d doubles return to the
+    * driver between rounds — a bounded index artifact, never a data
+    * collect. Codes that lose all members keep their previous
+    * centroid. Same determinism caveat as learnedCentroids: id-based
+    * init and tie-breaks, but distributed means reduce in partition
+    * order → ulp-level layout sensitivity, so the learned variants are
+    * spec-gated (monotone quantization error), not hash-gated.
+    * Returns (code, cv) FULL vectors assembled from the per-block
+    * centroids, so [[pqEncode]]/ADC consume it unchanged. */
+  def pqLearnedCodebook(embeddings: DataFrame, m: Int = 8,
+      ksub: Int = 64, iters: Int = 2): DataFrame = {
+    val session = embeddings.sparkSession
+    import session.implicits._
+    var cents: Seq[(Long, Seq[Float])] =
+      pqPinnedCodebook(embeddings, ksub)
+        .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    require(dim > 0, "pqLearnedCodebook: empty codebook sample")
+    val sub = dim / m
+    def blockOf(pos: Int): Int = math.min(pos / sub, m - 1)
+    for (_ <- 0 until iters) {
+      val cbDf = broadcast(cents.toDF("code", "cv"))
+      val assigned = pqEncode(embeddings, cbDf, m)
+      val means = assigned
+        .join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .select(col("block"), col("code"),
+          posexplode(asDouble(col("embedding"))).as(Seq("pos", "x")))
+        // a (block, code) cell only owns ITS slice of the vector
+        .filter(col("pos") >= col("block") * lit(sub) &&
+          (col("block") === lit(m - 1) ||
+            col("pos") < (col("block") + lit(1)) * lit(sub)))
+        .groupBy("block", "code", "pos")
+        .agg(avg(col("x")).as("mu"))
+        .collect()
+        .map(r => (r.getAs[Long]("block"), r.getAs[Long]("code"),
+          r.getAs[Int]("pos"), r.getAs[Double]("mu")))
+      val byCell = means.groupBy { case (b, c, _, _) => (b, c) }
+      cents = cents.map { case (code, cv) =>
+        val next = cv.toArray
+        for (b <- 0 until m) {
+          byCell.get((b.toLong, code)).foreach { cell =>
+            cell.foreach { case (_, _, pos, mu) =>
+              if (blockOf(pos) == b) next(pos) = mu.toFloat
+            }
+          }
+        }
+        (code, next.toSeq)
+      }
+    }
+    cents.toDF("code", "cv")
+  }
+
+  /** Mean squared quantization error of a codebook under [[pqEncode]]
+    * — the training objective Lloyd's rounds must not increase. */
+  def pqQuantizationMse(embeddings: DataFrame, codebook: DataFrame,
+      m: Int = 8): Double = {
+    val codes = pqEncode(embeddings, codebook, m)
+    val joined = codes
+      .join(embeddings.select("vec_id", "embedding"), "vec_id")
+      .join(codebook.select(col("code"), col("cv")), "code")
+      .select(graft.functions.PqBlockL2.pqBlockL2(col("embedding"),
+        col("cv"), col("block").cast("int"), lit(m)).as("d2"))
+    joined.agg(sum(col("d2")).as("s"), count(lit(1)).as("n"))
+      .select(col("s") / col("n").cast("double"))
+      .head.getDouble(0)
+  }
+
   /** Isotropy of the embedding space per label (+ the ALL row): the
     * mean pairwise cosine between unit-normalized vectors — the
     * anisotropy diagnostic of representation learning (Ethayarajh '19:

@@ -585,6 +585,57 @@ class VectorOpsSpec extends SparkSpec {
       audit.getAs[Double]("recall") == 1.0, audit)
   }
 
+  test("knnIvfPqPinned: probing every list reduces to the pure PQ " +
+    "search; probing fewer lists returns a subset of its candidates") {
+    // 12 deterministic vectors (no RNG): values from index arithmetic
+    val emb = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 37 + j * 11) % 17) - 8).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val full = VectorOps.knnIvfPqPinned(emb, queryVecId = 0L, k = 5,
+      nlist = 16, nprobe = 16, m = 4, ksub = 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_l2sq")))
+    val pure = VectorOps.knnPqPinned(emb, queryVecId = 0L, k = 5,
+      m = 4, ksub = 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_l2sq")))
+    assert(full.toSeq == pure.toSeq, s"full=$full pure=$pure")
+    // narrow probe: every returned id must still come from the pure
+    // ADC ranking's candidate pool with an ADC value it agrees on
+    val narrow = VectorOps.knnIvfPqPinned(emb, queryVecId = 0L, k = 5,
+      nlist = 16, nprobe = 1, m = 4, ksub = 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_l2sq")))
+    val pureAll = VectorOps.knnPqPinned(emb, queryVecId = 0L, k = 11,
+      m = 4, ksub = 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_l2sq")))
+      .toMap
+    narrow.foreach { case (id, adc) =>
+      assert(pureAll.get(id).contains(adc), s"$id/$adc not in $pureAll")
+    }
+  }
+
+  test("pqLearnedCodebook: Lloyd's rounds never increase the " +
+    "quantization MSE; encode consumes the learned book unchanged") {
+    val emb = (0L until 40L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 37 + j * 11) % 17) - 8).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label").cache()
+    val pinned = VectorOps.pqPinnedCodebook(emb, ksub = 8)
+    val mse0 = VectorOps.pqQuantizationMse(emb, pinned, m = 2)
+    val learned1 = VectorOps.pqLearnedCodebook(emb, m = 2, ksub = 8,
+      iters = 1)
+    val mse1 = VectorOps.pqQuantizationMse(emb, learned1, m = 2)
+    val learned2 = VectorOps.pqLearnedCodebook(emb, m = 2, ksub = 8,
+      iters = 2)
+    val mse2 = VectorOps.pqQuantizationMse(emb, learned2, m = 2)
+    assert(mse1 <= mse0 + 1e-9, s"iter1 $mse1 > pinned $mse0")
+    assert(mse2 <= mse1 + 1e-9, s"iter2 $mse2 > iter1 $mse1")
+    // the learned book must actually have moved (data isn't already
+    // perfectly quantized by the raw sample)
+    assert(mse1 < mse0, s"Lloyd round changed nothing: $mse0 -> $mse1")
+    // shape contract: same codes, full-dim centroids
+    val rows = learned2.collect()
+    assert(rows.length == 8 && rows.forall(
+      _.getAs[Seq[Float]]("cv").length == 8), rows.mkString(";"))
+  }
+
   test("embeddingIsotropy: sum-vector identity equals the hand-" +
     "computed all-pairs mean; singleton NULL; zero vectors excluded") {
     // label 0: orthogonal pair -> mean cos 0; label 1: identical pair
