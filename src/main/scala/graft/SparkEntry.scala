@@ -825,7 +825,7 @@ object SparkEntry {
     * (identical fp both times) because a lambda can't bind a local. */
   private def duckPqBlockDist(e: String, c: String, b: String,
       m: Int): String = {
-    val sub = s"(len($e) // $m)"
+    val sub = s"CAST(len($e) // $m AS BIGINT)"
     val idx = s"$b * $sub + i + 1"
     s"list_sum(list_transform(range(CASE WHEN $b = ${m - 1} " +
       s"THEN len($e) - $b * $sub ELSE $sub END), " +
@@ -5435,9 +5435,9 @@ object SparkEntry {
       ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi " +
         "FROM events), " +
         "pu AS (SELECT user_id, " +
-        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) <= (lo + hi) // 2 " +
+        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) <= CAST((lo + hi) // 2 AS BIGINT) " +
         "THEN 1 ELSE 0 END) AS pre, " +
-        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > (lo + hi) // 2 " +
+        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > CAST((lo + hi) // 2 AS BIGINT) " +
         "THEN 1 ELSE 0 END) AS post " +
         "FROM events CROSS JOIN b GROUP BY 1), " +
         "c AS (SELECT CAST(count(*) AS BIGINT) AS n_users, " +
@@ -5520,13 +5520,13 @@ object SparkEntry {
         "e AS (SELECT lbl, i, x / nrm AS xn FROM (" +
         "SELECT lbl, nrm, generate_subscripts(embedding, 1) AS i, " +
         "CAST(unnest(embedding) AS DOUBLE) AS x FROM nv)), " +
-        "sv AS (SELECT lbl, i, sum(xn) AS s FROM e GROUP BY 1, 2), " +
+        "sv AS (SELECT lbl, i, sum(CAST(xn AS DOUBLE)) AS s FROM e GROUP BY 1, 2), " +
         "np AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM nv GROUP BY 1), " +
-        "bl AS (SELECT sv.lbl, sum(s * s) AS ssq FROM sv GROUP BY 1), " +
-        "sall AS (SELECT i, sum(s) AS s FROM sv GROUP BY 1), " +
+        "bl AS (SELECT sv.lbl, sum(CAST(s * s AS DOUBLE)) AS ssq FROM sv GROUP BY 1), " +
+        "sall AS (SELECT i, sum(CAST(s AS DOUBLE)) AS s FROM sv GROUP BY 1), " +
         "u AS (SELECT bl.lbl, bl.ssq, np.n FROM bl JOIN np USING (lbl) " +
         "UNION ALL SELECT 'ALL' AS lbl, " +
-        "(SELECT sum(s * s) FROM sall) AS ssq, " +
+        "(SELECT sum(CAST(s * s AS DOUBLE)) FROM sall) AS ssq, " +
         "(SELECT CAST(sum(n) AS BIGINT) FROM np) AS n) " +
         "SELECT lbl AS label, n AS n_vecs, " +
         "CASE WHEN n >= 2 THEN " +
@@ -5539,9 +5539,9 @@ object SparkEntry {
       ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi " +
         "FROM events), " +
         "pu AS (SELECT user_id, user_id % 2 AS arm, " +
-        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) <= (lo + hi) // 2 " +
+        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) <= CAST((lo + hi) // 2 AS BIGINT) " +
         "THEN 1 ELSE 0 END) AS pre, " +
-        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > (lo + hi) // 2 " +
+        "max(CASE WHEN event_type = 'purchase' AND epoch_us(ts) > CAST((lo + hi) // 2 AS BIGINT) " +
         "THEN 1 ELSE 0 END) AS post " +
         "FROM events CROSS JOIN b GROUP BY 1, 2), " +
         "c AS (SELECT " +
