@@ -802,6 +802,9 @@ object SparkEntry {
       ((s, d) => VectorOps.knnIvfPqPinned(embeddings(s, d))),
     "ivf_pq_recall_audit" ->
       ((s, d) => VectorOps.ivfPqRecallAudit(embeddings(s, d))),
+    "isotonic_calibration" ->
+      ((s, d) => EventOps.isotonicCalibration(events(s, d))),
+    "logrank_test_ab" -> ((s, d) => EventOps.logrankTestAb(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -5753,6 +5756,83 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_hits, " +
         "round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall " +
         "FROM top JOIN ex USING (vec_id)"),
+    // Mirrors EventOps.isotonicCalibration: the score_calibration_bins
+    // bin collapse, exact prefix sums, and the PAV minimax closed form
+    // as an (i, j, k) triple join — min/max pick among identical
+    // pinned-division doubles.
+    "isotonic_calibration" ->
+      ("WITH mm AS (SELECT min(value) AS minv, max(value) AS maxv " +
+        "FROM events), " +
+        "b AS (SELECT CAST(least(floor((value - minv) / (maxv - minv) " +
+        "* 10.0), 9.0) AS BIGINT) AS bin, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events, mm), " +
+        "bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS n_pos FROM b GROUP BY 1), " +
+        "pref AS (SELECT bin, n, n_pos, " +
+        "CAST(sum(n_pos) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS sp, " +
+        "CAST(sum(n) OVER (ORDER BY bin ASC ROWS BETWEEN UNBOUNDED " +
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS sn FROM bins), " +
+        "pe AS (SELECT bin, n, n_pos, sp, sn, " +
+        "CAST(sp - n_pos AS BIGINT) AS ep, CAST(sn - n AS BIGINT) AS en " +
+        "FROM pref), " +
+        "a AS (SELECT i.bin AS bin, j.bin AS jb, " +
+        "CAST(k.sp - j.ep AS DOUBLE) / CAST(k.sn - j.en AS DOUBLE) AS avg " +
+        "FROM pe i JOIN pe j ON j.bin <= i.bin " +
+        "JOIN pe k ON k.bin >= i.bin), " +
+        "mn AS (SELECT bin, jb, min(avg) AS mn FROM a GROUP BY 1, 2), " +
+        "iso AS (SELECT bin, max(mn) AS iso FROM mn GROUP BY 1) " +
+        "SELECT bins.bin, bins.n, bins.n_pos, " +
+        "round(CAST(bins.n_pos AS DOUBLE) / CAST(bins.n AS DOUBLE), 6) " +
+        "AS pos_rate, round(iso.iso, 6) AS iso_rate " +
+        "FROM bins JOIN iso ON iso.bin = bins.bin"),
+    // Mirrors EventOps.logrankTestAb: the KM duration/censoring
+    // conventions, exact at-risk windowing per arm, micro-unit-pinned
+    // hypergeometric E/V terms, one pinned Z chain.
+    "logrank_test_ab" ->
+      ("WITH u AS (SELECT user_id, user_id % 2 AS arm, " +
+        "CAST(date_trunc('day', min(ts)) AS DATE) AS f, " +
+        "CAST(date_trunc('day', max(ts)) AS DATE) AS l " +
+        "FROM events GROUP BY 1, 2), " +
+        "md AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS max_day " +
+        "FROM events), " +
+        "dur AS (SELECT CAST(datediff('day', f, l) + 1 AS BIGINT) AS t, " +
+        "CASE WHEN l < max_day THEN 1 ELSE 0 END AS observed, arm " +
+        "FROM u CROSS JOIN md), " +
+        "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending, " +
+        "CAST(sum(observed) AS BIGINT) AS d, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ending1, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN observed ELSE 0 END) AS BIGINT) AS d1 " +
+        "FROM dur GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users1 " +
+        "FROM dur), " +
+        "ar AS (SELECT byt.*, " +
+        "CAST(tot.n_users - sum(ending) OVER (ORDER BY t ASC ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) + ending AS BIGINT) AS n, " +
+        "CAST(tot.n_users1 - sum(ending1) OVER (ORDER BY t ASC ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) + ending1 AS BIGINT) AS n1 " +
+        "FROM byt CROSS JOIN tot), " +
+        "terms AS (SELECT d1, " +
+        "CAST(round(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "* 1000000.0, 0) AS BIGINT) AS em, " +
+        "CAST(round(CASE WHEN n > 1 THEN CAST(d AS DOUBLE) * " +
+        "(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) ELSE 0.0 END " +
+        "* 1000000.0, 0) AS BIGINT) AS vm " +
+        "FROM ar WHERE d > 0), " +
+        "s AS (SELECT CAST(sum(d1) AS BIGINT) AS o1, " +
+        "CAST(sum(em) AS BIGINT) AS e1m, CAST(sum(vm) AS BIGINT) AS vm " +
+        "FROM terms) " +
+        "SELECT CAST(tot.n_users - tot.n_users1 AS BIGINT) AS n_users_a, " +
+        "tot.n_users1 AS n_users_b, s.o1 AS observed_b, " +
+        "round(CAST(s.e1m AS DOUBLE) / 1000000.0, 6) AS expected_b, " +
+        "CASE WHEN s.vm > 0 THEN " +
+        "round((CAST(s.o1 AS DOUBLE) - CAST(s.e1m AS DOUBLE) / 1000000.0) / " +
+        "sqrt(CAST(s.vm AS DOUBLE) / 1000000.0), 6) END AS logrank_z " +
+        "FROM s CROSS JOIN tot"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -3027,6 +3027,105 @@ object EventOps {
       round((sumP2 - lit(2.0) * sumPy + npd) / nd, 6).as("brier"))
   }
 
+  /** Isotonic (monotone) calibration over [[scoreCalibrationBins]] —
+    * pool-adjacent-violators without the sequential pooling loop: on
+    * a BOUNDED bin frame the PAV solution has the closed minimax form
+    *
+    *   iso_i = max_{j≤i} min_{k≥i} (Σ_{t=j..k} pos_t)/(Σ_{t=j..k} n_t)
+    *
+    * so the whole fit is one (i, j, k) triple join over ≤ bins³/6
+    * rows — a constant of the bin count, never data-proportional; the
+    * corpus is touched exactly once (the bin collapse). This is the
+    * calibration map a reliability-diagram fix deploys: monotone by
+    * construction, pooling violating bins to their weighted mean.
+    *
+    * Determinism: prefix sums are exact BIGINTs; every A(j,k) is one
+    * pinned division of exact ints, and min/max pick among identical
+    * doubles in both engines. */
+  def isotonicCalibration(events: DataFrame): DataFrame = {
+    val bins = scoreCalibrationBins(events)
+      .select(col("bin"), col("n"), col("n_pos"))
+      .localCheckpoint()
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pref = bins
+      .withColumn("sp", sum(col("n_pos")).over(w))
+      .withColumn("sn", sum(col("n")).over(w))
+      .withColumn("ep", col("sp") - col("n_pos"))
+      .withColumn("en", col("sn") - col("n"))
+    val a = pref.as("i")
+      .join(broadcast(pref.as("j")), col("j.bin") <= col("i.bin"))
+      .join(broadcast(pref.as("k")), col("k.bin") >= col("i.bin"))
+      .select(col("i.bin").as("bin"), col("j.bin").as("jb"),
+        ((col("k.sp") - col("j.ep")).cast("double") /
+          (col("k.sn") - col("j.en")).cast("double")).as("avg"))
+    val iso = a.groupBy("bin", "jb").agg(min(col("avg")).as("mn"))
+      .groupBy("bin").agg(max(col("mn")).as("iso"))
+    bins.join(iso, "bin")
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round(col("iso"), 6).as("iso_rate"))
+  }
+
+  /** Log-rank test between the parity arms' survival curves — the
+    * standard "do the two cohorts churn differently?" test over the
+    * SAME duration/censoring conventions as [[kmSurvivalHorizons]]
+    * (duration = first→last event days inclusive; churn observed only
+    * before the window's final day). At each duration with observed
+    * churns, arm 1's observed churns are compared to the
+    * hypergeometric expectation d_t·n_{1t}/n_t with variance
+    * d_t·(n_{1t}/n_t)(1−n_{1t}/n_t)(n_t−d_t)/(n_t−1);
+    * Z = (O₁−E₁)/√ΣV_t.
+    *
+    * Determinism: every count is exact BIGINT off the duration frame;
+    * each E/V term is re-pinned to BIGINT micro-units before the
+    * order-dependent sums (the pinballLoss discipline); Z is one
+    * pinned chain, NULL when ΣV = 0 (no comparable risk sets). */
+  def logrankTestAb(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"), to_date(max(col("ts"))).as("l"))
+    val maxDay = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val dur = users.crossJoin(broadcast(maxDay))
+      .select((datediff(col("l"), col("f")) + 1).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("observed"),
+        (col("user_id") % lit(2L)).as("arm"))
+    val byT = dur.groupBy("t").agg(
+      count(lit(1)).as("ending"), sum(col("observed")).as("d"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("ending1"),
+      sum(when(col("arm") === 1L, col("observed")).otherwise(0L)).as("d1"))
+    val totals = dur.agg(count(lit(1)).as("n_users"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_users1"))
+    val w = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val atRisk = byT.crossJoin(broadcast(totals))
+      .withColumn("n",
+        col("n_users") - sum(col("ending")).over(w) + col("ending"))
+      .withColumn("n1",
+        col("n_users1") - sum(col("ending1")).over(w) + col("ending1"))
+      .filter(col("d") > 0L)
+    val share = col("n1").cast("double") / col("n").cast("double")
+    val eTerm = col("d").cast("double") * share
+    val vTerm = when(col("n") > 1L,
+      col("d").cast("double") * share * (lit(1.0) - share) *
+        ((col("n") - col("d")).cast("double") /
+          (col("n") - lit(1L)).cast("double"))).otherwise(lit(0.0))
+    val terms = atRisk.select(col("d1"),
+      round(eTerm * lit(1000000.0), 0).cast("long").as("em"),
+      round(vTerm * lit(1000000.0), 0).cast("long").as("vm"))
+    val s = terms.agg(sum(col("d1")).as("o1"), sum(col("em")).as("e1m"),
+      sum(col("vm")).as("vm"))
+      .crossJoin(broadcast(totals))
+    val e1 = col("e1m").cast("double") / lit(1000000.0)
+    val v = col("vm").cast("double") / lit(1000000.0)
+    s.select((col("n_users") - col("n_users1")).as("n_users_a"),
+      col("n_users1").as("n_users_b"),
+      col("o1").as("observed_b"), round(e1, 6).as("expected_b"),
+      when(col("vm") > 0L,
+        round((col("o1").cast("double") - e1) / sqrt(v), 6))
+        .as("logrank_z"))
+  }
+
   /** Two-proportion z-test between the odd/even user-id split (the
     * canonical deterministic A/B assignment): did arm A's users
     * convert (≥1 high-value purchase, value ≥ `threshold`) at a

@@ -971,6 +971,63 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(math.abs(weekSum) < 1e-4, sr.take(7).mkString(";"))
   }
 
+  test("isotonicCalibration: PAV minimax pools the violating bins to " +
+    "their weighted mean and leaves monotone fits unchanged") {
+    def pev(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // values 0/4.5/9 land in bins 0/5/9; rates (.5, 1, 0) violate
+    // monotonicity -> bins 5 and 9 pool with bin 0's tail: all .5
+    val events = Seq(
+      pev(1, "purchase", 0.0), pev(2, "view", 0.0),
+      pev(3, "purchase", 4.5), pev(4, "purchase", 4.5),
+      pev(5, "view", 9.0), pev(6, "view", 9.0),
+    ).toDF(evCols: _*)
+    val got = EventOps.isotonicCalibration(events).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Double]("pos_rate"), r.getAs[Double]("iso_rate")))).toMap
+    assert(got == Map(0L -> ((0.5, 0.5)), 5L -> ((1.0, 0.5)),
+      9L -> ((0.0, 0.5))), got)
+    // an already-monotone profile is a fixed point
+    val mono = Seq(
+      pev(1, "view", 0.0), pev(2, "view", 0.0),
+      pev(3, "purchase", 4.5), pev(4, "view", 4.5),
+      pev(5, "purchase", 9.0), pev(6, "purchase", 9.0),
+    ).toDF(evCols: _*)
+    val gm = EventOps.isotonicCalibration(mono).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Double]("pos_rate"), r.getAs[Double]("iso_rate")))).toMap
+    assert(gm == Map(0L -> ((0.0, 0.0)), 5L -> ((0.5, 0.5)),
+      9L -> ((1.0, 1.0))), gm)
+  }
+
+  test("logrankTestAb: hypergeometric O/E/V over the planted risk " +
+    "sets matches the hand computation") {
+    def pev(i: Long, uid: Long, day: String) =
+      (i, Timestamp.valueOf(s"2024-03-$day 10:00:00"), uid, "view", 1.0, "{}")
+    // max day = 10 (u4 censored there). durations: u1 t=1 obs (arm 1),
+    // u2 t=1 obs (arm 0), u3 t=2 obs (arm 1), u4 t=10 censored.
+    // t=1: d=2 n=4 n1=2 -> E .5·2=1, V 2·.25·(2/3)=1/3
+    // t=2: d=1 n=2 n1=1 -> E .5,   V .25
+    // O1=2, E1=1.5, V=.583333 (micro-pinned) -> Z = .5/√.583333
+    val events = Seq(
+      pev(1, 1L, "01"),
+      pev(2, 2L, "01"),
+      pev(3, 3L, "01"), pev(4, 3L, "02"),
+      pev(5, 4L, "01"), pev(6, 4L, "10"),
+    ).toDF(evCols: _*)
+    val r = EventOps.logrankTestAb(events).collect().head
+    assert((r.getAs[Long]("n_users_a"), r.getAs[Long]("n_users_b"),
+      r.getAs[Long]("observed_b")) == ((2L, 2L, 2L)), r)
+    assert(r.getAs[Double]("expected_b") == 1.5, r)
+    val expZ = BigDecimal(0.5 / math.sqrt(583333.0 / 1e6)).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("logrank_z") == expZ, r)
+    // identical arms (every user censored) -> zero variance -> NULL
+    val cen = Seq(pev(1, 1L, "10"), pev(2, 2L, "10")).toDF(evCols: _*)
+    val rc = EventOps.logrankTestAb(cen).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("logrank_z")), rc)
+  }
+
   test("diffInDiff: planted 2x2 panel gives DiD 1.0 and z 2.0") {
     def pev(i: Long, uid: Long, hm: String, t: String) =
       (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
