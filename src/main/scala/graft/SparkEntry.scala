@@ -805,6 +805,10 @@ object SparkEntry {
     "isotonic_calibration" ->
       ((s, d) => EventOps.isotonicCalibration(events(s, d))),
     "logrank_test_ab" -> ((s, d) => EventOps.logrankTestAb(events(s, d))),
+    "propensity_stratified_ate" ->
+      ((s, d) => EventOps.propensityStratifiedAte(events(s, d))),
+    "feature_hash_buckets" ->
+      ((s, d) => DocOps.featureHashBuckets(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -5833,6 +5837,61 @@ object SparkEntry {
         "round((CAST(s.o1 AS DOUBLE) - CAST(s.e1m AS DOUBLE) / 1000000.0) / " +
         "sqrt(CAST(s.vm AS DOUBLE) / 1000000.0), 6) END AS logrank_z " +
         "FROM s CROSS JOIN tot"),
+    // Mirrors EventOps.propensityStratifiedAte: pre-period activity
+    // quintiles (ntile ≡ the two-level globalNtile, the rfm parity),
+    // exact per-stratum cells, micro-unit-pinned ATE terms; strata
+    // missing an arm drop from both sides of the weighted sum.
+    "propensity_stratified_ate" ->
+      ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi " +
+        "FROM events), " +
+        "pu AS (SELECT user_id, user_id % 2 AS arm, " +
+        "CAST(sum(CASE WHEN epoch_us(ts) <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS x, " +
+        "max(CASE WHEN event_type = 'purchase' AND " +
+        "epoch_us(ts) > CAST((lo + hi) // 2 AS BIGINT) THEN 1 ELSE 0 END) AS y " +
+        "FROM events CROSS JOIN b GROUP BY 1, 2), " +
+        "t AS (SELECT *, CAST(ntile(5) OVER (ORDER BY x ASC, user_id ASC) " +
+        "AS BIGINT) AS stratum FROM pu), " +
+        "s AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS conv_t, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS conv_c " +
+        "FROM t GROUP BY 1), " +
+        "terms AS (SELECT CASE WHEN n_t > 0 AND n_c > 0 THEN n_users " +
+        "ELSE 0 END AS nw, " +
+        "CASE WHEN n_t > 0 AND n_c > 0 THEN CAST(round((" +
+        "CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) - " +
+        "CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE)) * " +
+        "CAST(n_users AS DOUBLE) * 1000000.0, 0) AS BIGINT) ELSE 0 END AS em " +
+        "FROM s), " +
+        "a AS (SELECT CAST(sum(em) AS BIGINT) AS ems, " +
+        "CAST(sum(nw) AS BIGINT) AS nws FROM terms) " +
+        "SELECT s.stratum, s.n_users, s.n_t, s.conv_t, s.n_c, s.conv_c, " +
+        "CASE WHEN s.n_t > 0 AND s.n_c > 0 THEN " +
+        "round(CAST(s.conv_t AS DOUBLE) / CAST(s.n_t AS DOUBLE) - " +
+        "CAST(s.conv_c AS DOUBLE) / CAST(s.n_c AS DOUBLE), 6) END AS effect, " +
+        "CASE WHEN a.nws > 0 THEN round(CAST(a.ems AS DOUBLE) / " +
+        "(CAST(a.nws AS DOUBLE) * 1000000.0), 6) END AS ate " +
+        "FROM s CROSS JOIN a"),
+    // Mirrors DocOps.featureHashBuckets: [a-z0-9]-normalized tokens,
+    // the Rabin-Karp fold per DISTINCT word (list_reduce's
+    // first-element init ≡ Spark's fold from 0: 0·257+c0 = c0), sign
+    // from the hash's next bit, exact integer weights.
+    "feature_hash_buckets" ->
+      ("WITH t AS (SELECT doc_id, regexp_replace(unnest(" +
+        "regexp_split_to_array(lower(trim(text)), '\\s+')), " +
+        "'[^a-z0-9]', '', 'g') AS w FROM documents), " +
+        "wt AS (SELECT doc_id, w FROM t WHERE length(w) > 0), " +
+        "v AS (SELECT DISTINCT w FROM wt), " +
+        "vh AS (SELECT w, list_reduce(list_transform(range(length(w)), " +
+        "i -> CAST(ascii(substr(w, CAST(i + 1 AS INTEGER), 1)) AS BIGINT)), " +
+        "(a, b) -> (a * 257 + b) % 2147483647) AS h FROM v), " +
+        "vb AS (SELECT w, CAST(h % 64 AS BIGINT) AS bucket, " +
+        "CASE WHEN CAST(h // 64 AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn " +
+        "FROM vh) " +
+        "SELECT wt.doc_id, vb.bucket, CAST(sum(vb.sgn) AS BIGINT) AS weight " +
+        "FROM wt JOIN vb USING (w) GROUP BY 1, 2"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -2144,6 +2144,46 @@ object DocOps {
       .limit(topK)
   }
 
+  /** Hashing-trick document features — the fixed-width sparse
+    * featurization (Weinberger et al. '09) every linear-model stage
+    * of a data pipeline leans on when the vocabulary is unbounded:
+    * each token folds to one of `k` buckets through a Rabin-Karp
+    * char-code hash (the [[winnowedFingerprints]] polynomial — NOT
+    * the engine-private xxhash64, so the oracle replays it exactly),
+    * signed by the hash's next bit so collisions cancel in
+    * expectation rather than bias upward. Output is the sparse
+    * (doc_id, bucket, weight) triple frame.
+    *
+    * Scale: one explode + one (doc, bucket) hash agg; the fold runs
+    * per DISTINCT word via a tiny vocabulary frame first (Heaps' law
+    * — same trick as the BPE encoder), so the corpus-sized pass is a
+    * word-keyed broadcast-or-shuffle join, not per-token hashing. */
+  def featureHashBuckets(docs: DataFrame, k: Int = 64): DataFrame = {
+    val M = 2147483647L
+    // tokens normalized to [a-z0-9] so every char code is ASCII — the
+    // winnow normalization argument: ascii() then agrees between
+    // engines on every input
+    val words = docs
+      .select(col("doc_id"),
+        explode(DedupOps.tokens(col("text"))).as("w0"))
+      .select(col("doc_id"),
+        regexp_replace(col("w0"), "[^a-z0-9]", "").as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab = words.select("w").distinct()
+      .select(col("w"),
+        aggregate(
+          filter(split(col("w"), ""), c => c =!= ""),
+          lit(0L),
+          (h, c) => (h * lit(257L) + ascii(c).cast("long")) % lit(M))
+          .as("h"))
+      .select(col("w"), pmod(col("h"), lit(k.toLong)).as("bucket"),
+        when(pmod(floor(col("h") / lit(k.toLong)).cast("long"),
+          lit(2L)) === 0L, 1L).otherwise(-1L).as("sgn"))
+    words.join(vocab, "w")
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sgn")).as("weight"))
+  }
+
   /** Chao1 vocabulary-richness estimate per source — "how much
     * vocabulary does this source have that we have NOT seen yet?"
     * (Chao '84 via the hapax/dis legomena counts f1/f2): the unseen-

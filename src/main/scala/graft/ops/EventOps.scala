@@ -3027,6 +3027,60 @@ object EventOps {
       round((sumP2 - lit(2.0) * sumPy + npd) / nd, 6).as("brier"))
   }
 
+  /** Propensity-stratified average treatment effect — the
+    * observational-causal readout beside [[diffInDiff]]: users are
+    * stratified into quintiles of their PRE-period activity (the
+    * propensity proxy) with [[graft.ops.RankOps.globalNtile]]'s
+    * two-level distributed rank (no serial window touches the user
+    * frame), the per-stratum treat−control conversion gap is computed
+    * within each stratum (like compares with like), and the ATE is
+    * the size-weighted sum. Strata missing an arm contribute to
+    * neither numerator nor denominator (stated, not silent).
+    *
+    * Determinism: all cells are exact BIGINTs; per-stratum effects
+    * are pinned divisions; the ATE's order-dependent sum runs over
+    * BIGINT micro-unit terms (the pinballLoss discipline). */
+  def propensityStratifiedAte(events: DataFrame,
+      strata: Int = 5): DataFrame = {
+    val perUser = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(col("user_id"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1L)
+          .otherwise(0L).as("pre"),
+        when(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) > expr("(lo + hi) div 2"), 1L)
+          .otherwise(0L).as("conv"))
+      .groupBy("user_id")
+      .agg(sum(col("pre")).as("x"), max(col("conv")).as("y"))
+      .withColumn("arm", col("user_id") % lit(2L))
+    val tiled = RankOps.globalNtile(perUser, col("x"),
+      Seq(col("x").asc, col("user_id").asc), strata, "stratum")
+    val byS = tiled.groupBy(col("stratum").cast("long").as("stratum")).agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("arm") === 1L, col("y")).otherwise(0L)).as("conv_t"),
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("arm") === 0L, col("y")).otherwise(0L)).as("conv_c"))
+      .localCheckpoint()
+    val ok = col("n_t") > 0L && col("n_c") > 0L
+    val effect = col("conv_t").cast("double") / col("n_t").cast("double") -
+      col("conv_c").cast("double") / col("n_c").cast("double")
+    val terms = byS.select(col("stratum"),
+      when(ok, col("n_users")).otherwise(0L).as("nw"),
+      when(ok, round(effect * col("n_users").cast("double") *
+        lit(1000000.0), 0).cast("long")).otherwise(0L).as("em"))
+    val ate = terms.agg(sum(col("em")).as("ems"), sum(col("nw")).as("nws"))
+      .select(when(col("nws") > 0L,
+        round(col("ems").cast("double") /
+          (col("nws").cast("double") * lit(1000000.0)), 6)).as("ate"))
+    byS.crossJoin(broadcast(ate))
+      .select(col("stratum"), col("n_users"), col("n_t"), col("conv_t"),
+        col("n_c"), col("conv_c"),
+        when(ok, round(effect, 6)).as("effect"), col("ate"))
+  }
+
   /** Isotonic (monotone) calibration over [[scoreCalibrationBins]] —
     * pool-adjacent-violators without the sequential pooling loop: on
     * a BOUNDED bin frame the PAV solution has the closed minimax form

@@ -1028,6 +1028,49 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("logrank_z")), rc)
   }
 
+  test("propensityStratifiedAte: within-stratum effects and the " +
+    "size-weighted ATE over planted activity quintiles") {
+    def pev(i: Long, uid: Long, hm: String, t: String) =
+      (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
+    // span 10..20, mid 15. user u has u pre-views (x = u), so the
+    // (x, user_id) quintiles are {1,2},{3,4},{5,6},{7,8},{9,10}.
+    // Odd users 1,3,5 purchase post-mid -> effects (1,1,1,0,0),
+    // ATE = (2+2+2)/10 = 0.6
+    var id = 0L
+    val rows = (1L to 10L).flatMap { u =>
+      (1L to u).map { _ => id += 1; pev(id, u, "11:00", "view") }
+    } ++ Seq(1L, 3L, 5L).map { u => id += 1; pev(id, u, "16:00", "purchase") } ++
+      Seq({ id += 1; pev(id, 10L, "20:00", "view") },
+        { id += 1; pev(id, 2L, "10:00", "view") })
+    val got = EventOps.propensityStratifiedAte(rows.toDF(evCols: _*))
+      .collect().map(r => r.getAs[Long]("stratum") -> r).toMap
+    assert(got.size == 5, got.keys)
+    val effects = (1L to 5L).map(s => got(s).getAs[Double]("effect"))
+    assert(effects == Seq(1.0, 1.0, 1.0, 0.0, 0.0), effects)
+    assert(got(1L).getAs[Double]("ate") == 0.6, got(1L))
+    assert((got(1L).getAs[Long]("n_users"), got(1L).getAs[Long]("n_t"),
+      got(1L).getAs[Long]("conv_t"), got(1L).getAs[Long]("n_c")) ==
+      ((2L, 1L, 1L, 1L)), got(1L))
+  }
+
+  test("featureHashBuckets: Rabin-Karp buckets and signed collision-" +
+    "cancelling weights match the in-test fold") {
+    val docs = Seq((1L, "ab ab cd", "en", "s1", 8L),
+      (2L, "ab!", "en", "s1", 3L)) // normalizes to the same 'ab'
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def fold(w: String): Long =
+      w.foldLeft(0L)((h, c) => (h * 257L + c.toLong) % 2147483647L)
+    def bucket(w: String): Long = fold(w) % 64L
+    def sgn(w: String): Long = if ((fold(w) / 64L) % 2L == 0L) 1L else -1L
+    val got = DocOps.featureHashBuckets(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("weight")).toMap
+    assert(got == Map(
+      (1L, bucket("ab")) -> 2L * sgn("ab"),
+      (1L, bucket("cd")) -> sgn("cd"),
+      (2L, bucket("ab")) -> sgn("ab")), got)
+  }
+
   test("diffInDiff: planted 2x2 panel gives DiD 1.0 and z 2.0") {
     def pev(i: Long, uid: Long, hm: String, t: String) =
       (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
