@@ -682,6 +682,30 @@ object StreamJob {
     streamStreamJoin(left, right, key, leftTs, rightTs, watermark,
       within, "left_outer")
 
+  /** FULL OUTER stream-stream join — [[streamStreamJoinOuter]]'s
+    * both-sides completion (supported since Spark 3.1 under the same
+    * watermark + time-bound contract): unmatched LEFT rows null-pad
+    * once the right watermark passes their window, unmatched RIGHT
+    * rows symmetrically. The key must be COALESCED across sides (a
+    * right-only row has a null left key — the plain `drop(r(key))`
+    * of the inner form would blank its key entirely). */
+  def streamStreamJoinFullOuter(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      watermark: String = "10 minutes",
+      within: String = "5 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+        l(key) === r(key) &&
+          r(rightTs) >= l(leftTs) &&
+          r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions
+            .expr(s"INTERVAL $within"),
+        "full_outer")
+      .withColumn("__k", coalesce(l(key), r(key)))
+      .drop(l(key)).drop(r(key))
+      .withColumnRenamed("__k", key)
+  }
+
   /** The idiomatic Spark-native alternative the reference lacks
     * (SURVEY.md §2.8): true streaming windowed aggregation with a
     * watermark — one row per window in update mode, late data beyond

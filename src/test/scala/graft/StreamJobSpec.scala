@@ -600,6 +600,51 @@ class StreamJobSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream FULL OUTER join null-pads BOTH sides' unmatched " +
+    "rows after the watermark, with the key coalesced") {
+    val clicks = MemoryStream[(Long, String)](spark)
+    val views = MemoryStream[(Long, String)](spark)
+    def ts(s: String) = s"2025-10-03 $s"
+    val l = clicks.toDF().toDF("user", "t")
+      .withColumn("click_ts", col("t").cast("timestamp")).drop("t")
+      .withColumnRenamed("user", "juser")
+    val r = views.toDF().toDF("user", "t")
+      .withColumn("view_ts", col("t").cast("timestamp")).drop("t")
+      .withColumnRenamed("user", "juser")
+    val joined = graft.streaming.StreamJob.streamStreamJoinFullOuter(
+      l, r, "juser", "click_ts", "view_ts",
+      watermark = "2 minutes", within = "5 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_full").start()
+    try {
+      // user 1 matches; user 2 is left-only; user 3 is right-only
+      clicks.addData((1L, ts("10:00:00")), (2L, ts("10:00:00")))
+      views.addData((1L, ts("10:02:00")), (3L, ts("10:00:00")))
+      q.processAllAvailable()
+      // drag both watermarks past every open window, then one more
+      // batch so the eviction result commits
+      clicks.addData((9L, ts("11:00:00")))
+      views.addData((9L, ts("11:00:00")))
+      q.processAllAvailable()
+      clicks.addData((10L, ts("11:30:00")))
+      views.addData((10L, ts("11:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("ss_full")
+        .select("juser", "click_ts", "view_ts").collect()
+        .map(x => (x.getLong(0), Option(x.get(1)), Option(x.get(2))))
+        .toSet
+      // the match carries both timestamps; each unmatched side
+      // surfaces with ITS timestamp and a null other side — and the
+      // coalesced key is never null
+      assert(got.exists(g => g._1 == 1L && g._2.nonEmpty && g._3.nonEmpty),
+        got.toString)
+      assert(got.exists(g => g._1 == 2L && g._2.nonEmpty && g._3.isEmpty),
+        s"left-only row missing: $got")
+      assert(got.exists(g => g._1 == 3L && g._2.isEmpty && g._3.nonEmpty),
+        s"right-only row missing: $got")
+    } finally q.stop()
+  }
+
   test("batchOutputs drops null-text rows (P7 validity)") {
     val df = Seq(
       ("leo", Some("hello"), "2025-10-03 10:00:00"),
