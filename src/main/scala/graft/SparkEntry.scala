@@ -809,6 +809,10 @@ object SparkEntry {
       ((s, d) => EventOps.propensityStratifiedAte(events(s, d))),
     "feature_hash_buckets" ->
       ((s, d) => DocOps.featureHashBuckets(documents(s, d))),
+    "knn_ivf_pq_residual" ->
+      ((s, d) => VectorOps.knnIvfPqResidualPinned(embeddings(s, d))),
+    "ivf_pq_residual_recall_audit" ->
+      ((s, d) => VectorOps.ivfPqResidualRecallAudit(embeddings(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -884,6 +888,37 @@ object SparkEntry {
       "* sqrt(list_sum(list_transform(qq.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) DESC, " +
       "list_id ASC LIMIT 4), " +
       "cand AS (SELECT asn.vec_id FROM asn JOIN probe USING (list_id))"
+
+  /** The residual-PQ stage as appendable CTEs — composes after
+    * [[pqCtes]] (cb, blocks, qq) and [[ivfPinnedCtes]] (ivfc, asn,
+    * probe): per-vector residuals against the assigned coarse
+    * centroid, the pinned residual codebook, residual codes, the
+    * per-probed-list ADC tables, and the candidate-scored `radc`. */
+  private val residualPqCtes: String =
+    "rsd AS (SELECT e.vec_id, asn.list_id, " +
+      "list_transform(range(len(e.embedding)), " +
+      "i -> CAST(e.embedding[i+1] AS DOUBLE) - CAST(ivfc.icv[i+1] AS DOUBLE)) AS rv " +
+      "FROM embeddings e JOIN asn ON asn.vec_id = e.vec_id " +
+      "JOIN ivfc ON ivfc.list_id = asn.list_id), " +
+      "rcb AS (SELECT cb.code, rsd.rv AS rcv FROM cb " +
+      "JOIN rsd ON rsd.vec_id = cb.code), " +
+      "rbd AS (SELECT r.vec_id, blocks.b, rcb.code, " +
+      duckPqBlockDist("r.rv", "rcb.rcv", "blocks.b", 8) + " AS d2 " +
+      "FROM rsd r CROSS JOIN blocks CROSS JOIN rcb), " +
+      "rcodes AS (SELECT vec_id, b AS block, code FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY vec_id, b ORDER BY d2 ASC, code ASC) " +
+      "AS rn FROM rbd) WHERE rn = 1), " +
+      "qres AS (SELECT probe.list_id, " +
+      "list_transform(range(len(qq.qv)), " +
+      "i -> CAST(qq.qv[i+1] AS DOUBLE) - CAST(ivfc.icv[i+1] AS DOUBLE)) AS qr " +
+      "FROM probe JOIN ivfc USING (list_id) CROSS JOIN qq), " +
+      "rtbl AS (SELECT qres.list_id, blocks.b AS block, rcb.code, " +
+      duckPqBlockDist("qres.qr", "rcb.rcv", "blocks.b", 8) + " AS t " +
+      "FROM qres CROSS JOIN blocks CROSS JOIN rcb), " +
+      "radc AS (SELECT c.vec_id, round(sum(t.t), 6) AS adc_l2sq " +
+      "FROM rcodes c JOIN asn a ON a.vec_id = c.vec_id " +
+      "JOIN rtbl t ON t.list_id = a.list_id AND t.block = c.block " +
+      "AND t.code = c.code WHERE c.vec_id <> 0 GROUP BY 1)"
 
   /** DuckDB mirror of the fused cosine (`graft_cosine`): index-order
     * fp64 dot over the float→DOUBLE casts, divided by the two norms in
@@ -5892,6 +5927,30 @@ object SparkEntry {
         "FROM vh) " +
         "SELECT wt.doc_id, vb.bucket, CAST(sum(vb.sgn) AS BIGINT) AS weight " +
         "FROM wt JOIN vb USING (w) GROUP BY 1, 2"),
+    // Mirrors VectorOps.knnIvfPqResidualPinned: residual encoding
+    // against the coarse centroids, residual codebook = the pinned
+    // sample's own residuals, per-probed-list ADC tables. Unused
+    // CTEs from the shared blocks are dropped by the planner.
+    "knn_ivf_pq_residual" ->
+      ("WITH " + pqCtes + ", " + ivfPinnedCtes + ", " + residualPqCtes + " " +
+        "SELECT a.vec_id, e.label, a.adc_l2sq FROM radc a " +
+        "JOIN embeddings e ON e.vec_id = a.vec_id " +
+        "ORDER BY a.adc_l2sq ASC, a.vec_id ASC LIMIT 10"),
+    // Mirrors VectorOps.ivfPqResidualRecallAudit.
+    "ivf_pq_residual_recall_audit" ->
+      ("WITH " + pqCtes + ", " + ivfPinnedCtes + ", " + residualPqCtes + ", " +
+        "top AS (SELECT vec_id FROM radc ORDER BY adc_l2sq ASC, vec_id ASC " +
+        "LIMIT 10), " +
+        "ex AS (SELECT e.vec_id FROM embeddings e CROSS JOIN qq " +
+        "WHERE e.vec_id <> 0 ORDER BY round(list_sum(list_transform(" +
+        "range(len(e.embedding)), " +
+        "i -> (CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)) * " +
+        "(CAST(e.embedding[i+1] AS DOUBLE) - CAST(qq.qv[i+1] AS DOUBLE)))), 6) " +
+        "ASC, e.vec_id ASC LIMIT 10) " +
+        "SELECT 10 AS k_eval, 4 AS nprobe, " +
+        "CAST(count(*) AS BIGINT) AS n_hits, " +
+        "round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall " +
+        "FROM top JOIN ex USING (vec_id)"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

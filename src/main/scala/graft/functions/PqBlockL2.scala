@@ -36,10 +36,21 @@ case class PqBlockL2(first: Expression, second: Expression,
       case (ArrayType(FloatType, _), ArrayType(FloatType, _),
           IntegerType, IntegerType) =>
         TypeCheckResult.TypeCheckSuccess
+      // the residual-PQ path: residuals are fp64 arrays (the CosineSim
+      // dual-type precedent)
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _),
+          IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
       case (a, b, c, d) => TypeCheckResult.TypeCheckFailure(
-        "graft_pq_block_l2 requires (array<float>, array<float>, int, " +
-          s"int), got ($a, $b, $c, $d)")
+        "graft_pq_block_l2 requires two arrays of float or two of " +
+          s"double plus (int, int), got ($a, $b, $c, $d)")
     }
+
+  /** Element accessor picked at PLAN time, not per row. */
+  private def isDoubleInput: Boolean = first.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
 
   override def dataType: DataType = DoubleType
 
@@ -56,14 +67,16 @@ case class PqBlockL2(first: Expression, second: Expression,
     val cv = c.asInstanceOf[ArrayData]
     val b = bAny.asInstanceOf[Int]
     val m = mAny.asInstanceOf[Int]
-    PqBlockL2.evalBlock(e, cv, b, m)
+    if (isDoubleInput) PqBlockL2.evalBlockDouble(e, cv, b, m)
+    else PqBlockL2.evalBlock(e, cv, b, m)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (e, c, b, m) => {
       val res = ctx.freshName("res")
+      val method = if (isDoubleInput) "evalBlockDouble" else "evalBlock"
       s"""
-         |Double $res = graft.functions.PqBlockL2.evalBlock($e, $c, $b, $m);
+         |Double $res = graft.functions.PqBlockL2.$method($e, $c, $b, $m);
          |if ($res == null) { ${ev.isNull} = true; }
          |else { ${ev.value} = $res.doubleValue(); }
        """.stripMargin
@@ -94,6 +107,26 @@ object PqBlockL2 {
     while (i < end) {
       if (e.isNullAt(i) || c.isNullAt(i)) return null
       val d = e.getFloat(i).toDouble - c.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  /** fp64-array twin of [[evalBlock]] — same loop, getDouble. */
+  def evalBlockDouble(e: ArrayData, c: ArrayData, b: Int,
+      m: Int): java.lang.Double = {
+    require(m >= 1 && b >= 0 && b < m,
+      s"graft_pq_block_l2: block $b out of range for m=$m")
+    val len = math.min(e.numElements(), c.numElements())
+    val sub = len / m
+    val start = b * sub
+    val end = if (b == m - 1) len else start + sub
+    var acc = 0.0
+    var i = start
+    while (i < end) {
+      if (e.isNullAt(i) || c.isNullAt(i)) return null
+      val d = e.getDouble(i) - c.getDouble(i)
       acc += d * d
       i += 1
     }

@@ -1260,6 +1260,94 @@ object VectorOps {
           .as("recall"))
   }
 
+  /** CLASSIC residual IVF-PQ — the refinement [[knnIvfPqPinned]]'s doc
+    * names: vectors are PQ-encoded as residuals against their coarse
+    * centroid (residuals have smaller norms, so the same code budget
+    * quantizes finer — Jégou et al. '11), and at query time the ADC
+    * table is built PER PROBED LIST from the query's residual against
+    * that list's centroid. Fully pinned/SQL-replayable: the coarse
+    * quantizer is the id-hash sample, the residual codebook is the
+    * pinned sample's own residuals. State: the assignment + residual
+    * frames are the one-time index-build artifacts (localCheckpointed
+    * here; persisted tables in production); the query-time table is
+    * nprobe·|codes|·m cells — bounded. */
+  def knnIvfPqResidualPinned(embeddings: DataFrame, queryVecId: Long = 0L,
+      k: Int = 10, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 64): DataFrame = {
+    val centroids = sampleCentroids(embeddings, nlist)
+    val assigned = ivfAssignTo(embeddings, centroids).localCheckpoint()
+    val resid = embeddings.join(assigned, "vec_id")
+      .join(broadcast(centroids), "list_id")
+      .select(col("vec_id"), col("list_id"),
+        zip_with(asDouble(col("embedding")), asDouble(col("cv")),
+          (x, y) => x - y).as("embedding"))
+      .localCheckpoint()
+    val codeIds = pqPinnedCodebook(embeddings, ksub).select("code")
+    val rcb = resid.join(broadcast(codeIds),
+        col("vec_id") === col("code"))
+      .select(col("code"), col("embedding").as("cv"))
+    val codes = pqEncode(resid.select("vec_id", "embedding"), rcb, m)
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val probeLists = centroids
+      .crossJoin(broadcast(q))
+      .select(col("list_id"), cosineFused(col("cv"), col("qv")).as("d"))
+      .orderBy(col("d").desc, col("list_id").asc)
+      .limit(nprobe)
+      .select("list_id")
+    val qres = centroids
+      .join(broadcast(probeLists), Seq("list_id"), "left_semi")
+      .crossJoin(broadcast(q))
+      .select(col("list_id"),
+        zip_with(asDouble(col("qv")), asDouble(col("cv")),
+          (x, y) => x - y).as("qr"))
+    val table = qres.crossJoin(broadcast(rcb))
+      .select(col("list_id"), col("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("b"),
+        col("qr"), col("cv"))
+      .select(col("list_id"), col("code"),
+        col("b").cast("long").as("block"),
+        graft.functions.PqBlockL2.pqBlockL2(col("qr"), col("cv"),
+          col("b"), lit(m)).as("t"))
+    codes.join(assigned, "vec_id")
+      .join(broadcast(table), Seq("list_id", "block", "code"))
+      .groupBy("vec_id").agg(sum(col("t")).as("adc"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), round(col("adc"), 6).as("adc_l2sq"))
+      .join(embeddings.select("vec_id", "label"), "vec_id")
+      .orderBy(col("adc_l2sq").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"), col("label"), col("adc_l2sq"))
+  }
+
+  /** Recall@k gate for [[knnIvfPqResidualPinned]] vs the exact
+    * squared-L2 top-k — beside [[ivfPqRecallAudit]], the measured
+    * case for residual encoding at the same probe/code budget. */
+  def ivfPqResidualRecallAudit(embeddings: DataFrame,
+      queryVecId: Long = 0L, k: Int = 10, nlist: Int = 16,
+      nprobe: Int = 4, m: Int = 8, ksub: Int = 64): DataFrame = {
+    val approx = knnIvfPqResidualPinned(embeddings, queryVecId, k,
+      nlist, nprobe, m, ksub).select(col("vec_id"))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val exact = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(asDouble(col("embedding")), asDouble(col("qv")),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v), 6).as("l2sq"))
+      .orderBy(col("l2sq").asc, col("vec_id").asc)
+      .limit(k)
+      .select(col("vec_id"))
+    approx.join(exact, "vec_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(k).as("k_eval"), lit(nprobe).as("nprobe"),
+        col("n_hits"),
+        round(col("n_hits").cast("double") / lit(k.toDouble), 6)
+          .as("recall"))
+  }
+
   /** Learned PQ codebooks: per-(block, code) Lloyd's rounds over the
     * block slices, initialized from [[pqPinnedCodebook]] — the
     * [[learnedCentroids]] pattern applied per block (the codebook that

@@ -612,6 +612,33 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("knnIvfPqResidualPinned: one list + every vector a code makes " +
+    "residual ADC EXACT squared-L2 (the Jegou identity)") {
+    // nlist=1 -> all residuals share one centroid; ksub covers every
+    // vector -> each encodes as its own residual, so
+    // ADC = ||(q−c) − (v−c)||² = ||q − v||² exactly: recall 1.0
+    val emb = (0L until 12L).map { i =>
+      (i, Array.tabulate(8)(j => (((i * 37 + j * 11) % 17) - 8).toFloat), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = VectorOps.knnIvfPqResidualPinned(emb, queryVecId = 0L,
+      k = 11, nlist = 1, nprobe = 1, m = 4, ksub = 16).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_l2sq")))
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val vecs = (0L until 12L).map { i =>
+      i -> Array.tabulate(8)(j => (((i * 37 + j * 11) % 17) - 8).toFloat)
+    }.toMap
+    val exact = (1L until 12L)
+      .map(i => (i, BigDecimal(l2(vecs(0L), vecs(i))).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy(p => (p._2, p._1))
+    assert(got.toSeq == exact, s"got=${got.toSeq}\nexp=$exact")
+    val audit = VectorOps.ivfPqResidualRecallAudit(emb, queryVecId = 0L,
+      k = 5, nlist = 1, nprobe = 1, m = 4, ksub = 16).collect().head
+    assert(audit.getAs[Double]("recall") == 1.0, audit)
+  }
+
   test("pqLearnedCodebook: Lloyd's rounds never increase the " +
     "quantization MSE; encode consumes the learned book unchanged") {
     val emb = (0L until 40L).map { i =>
