@@ -261,6 +261,40 @@ object DrivePlans {
           "an equi-join on tiny frames, so the reconciliation " +
           "identity churned(d) = active(d-1) - retained(d) costs one " +
           "calendar-sized hash join, not a second scan."),
+      ("knn_pq_rerank (codes-only ADC shortlist + exact re-rank)",
+        "The encode scan evaluates the native graft_pq_block_l2 inside " +
+          "codegen against the 64-row broadcast codebook (the HOF " +
+          "fold's interpreted ~2µs/eval was the first cut's 16s); the " +
+          "ADC stage joins the m-codes table to an m·|codes| lookup " +
+          "frame and collapses per vector — no raw floats anywhere " +
+          "until the exact re-rank touches exactly the shortlist-sized " +
+          "LeftSemi candidate set."),
+      ("knn_ivf_pq_residual (classic residual IVF-PQ, per-list ADC tables)",
+        "Coarse assignment and residuals are localCheckpointed index " +
+          "artifacts (built once, lineage truncated); residual codes " +
+          "join their list's OWN query-residual table on (list_id, " +
+          "block, code) — unprobed lists die in the inner join, and " +
+          "the table frame is nprobe·|codes|·m cells broadcast. The " +
+          "fp64 residual path rides the same native expression."),
+      ("embedding_isotropy (the all-pairs mean with no pair join)",
+        "The plan contains NO join over vectors: one posexplode + one " +
+          "(label, dim) hash agg collapse the corpus, the ALL row " +
+          "derives from the per-label sums frame, and the mean " +
+          "pairwise cosine falls out of the sum-vector identity " +
+          "‖Σv̂‖² − n. O(n·d) for an O(n²) question."),
+      ("isotonic_calibration (PAV via the minimax triple join)",
+        "The corpus appears once — the bin collapse; everything after " +
+          "runs on the ≤10-row checkpointed bin frame: exact prefix " +
+          "sums, the (i,j,k) broadcast triple join, two tiny " +
+          "aggregations. The sequential pool-adjacent-violators loop " +
+          "is structurally absent."),
+      ("propensity_stratified_ate (globalNtile strata, no serial user sort)",
+        "The user collapse feeds the two-level distributed ntile: " +
+          "per-bucket parallel windows plus one window over the " +
+          "bounded bucket-count frame — no unpartitioned sort touches " +
+          "the user frame (the serial-window sweep pins this); the " +
+          "stratum cells and the micro-unit ATE are two tiny " +
+          "aggregations with a broadcast join back."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -302,6 +336,12 @@ object DrivePlans {
       "unimax_allocation" -> SparkEntry.queries("unimax_allocation"),
       "theil_sen_trend" -> SparkEntry.queries("theil_sen_trend"),
       "silhouette_by_label" -> SparkEntry.queries("silhouette_by_label"),
+      "knn_pq_rerank" -> SparkEntry.queries("knn_pq_rerank"),
+      "knn_ivf_pq_residual" -> SparkEntry.queries("knn_ivf_pq_residual"),
+      "embedding_isotropy" -> SparkEntry.queries("embedding_isotropy"),
+      "isotonic_calibration" -> SparkEntry.queries("isotonic_calibration"),
+      "propensity_stratified_ate" ->
+        SparkEntry.queries("propensity_stratified_ate"),
     )
 
     val sb = new StringBuilder
