@@ -813,6 +813,9 @@ object SparkEntry {
       ((s, d) => VectorOps.knnIvfPqResidualPinned(embeddings(s, d))),
     "ivf_pq_residual_recall_audit" ->
       ((s, d) => VectorOps.ivfPqResidualRecallAudit(embeddings(s, d))),
+    "seasonal_anomalies" ->
+      ((s, d) => EventOps.seasonalAnomalies(events(s, d))),
+    "ab_srm_check" -> ((s, d) => EventOps.abSrmCheck(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -970,6 +973,39 @@ object SparkEntry {
       "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties3 AS DOUBLE) / " +
       "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) END AS z " +
       "FROM st"
+
+  /** The seasonal_decomposition_daily mirror as ONE definition —
+    * inlined verbatim by its own oracle and wrapped as a CTE by
+    * seasonal_anomalies (the shingleCtes anti-drift convention). */
+  private val seasonalDecompSql: String =
+    "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "dd AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT dd.day, coalesce(daily.n, 0) AS n " +
+        "FROM dd LEFT JOIN daily ON daily.day = dd.day), " +
+        "det AS (SELECT day, n, sum7, cnt7, " +
+        "CASE WHEN cnt7 = 7 THEN n * 7 - sum7 END AS d7, " +
+        "dayofweek(day) AS dow FROM (SELECT day, n, " +
+        "CAST(sum(n) OVER (ORDER BY day ASC ROWS BETWEEN 3 PRECEDING " +
+        "AND 3 FOLLOWING) AS BIGINT) AS sum7, " +
+        "CAST(count(*) OVER (ORDER BY day ASC ROWS BETWEEN 3 PRECEDING " +
+        "AND 3 FOLLOWING) AS BIGINT) AS cnt7 FROM grid)), " +
+        "bydow AS (SELECT dow, CAST(round(CAST(sum(d7) AS DOUBLE) * 1000000.0 / " +
+        "(7.0 * CAST(count(*) AS DOUBLE)), 0) AS BIGINT) AS m_micro " +
+        "FROM det WHERE d7 IS NOT NULL GROUP BY 1), " +
+        "c AS (SELECT CAST(sum(m_micro) AS BIGINT) AS s_all, " +
+        "CAST(count(*) AS BIGINT) AS k_dow FROM bydow), " +
+        "seas AS (SELECT dow, CAST(m_micro * k_dow - s_all AS DOUBLE) / " +
+        "(CAST(k_dow AS DOUBLE) * 1000000.0) AS seasonal_raw " +
+        "FROM bydow CROSS JOIN c) " +
+        "SELECT det.day, det.n, " +
+        "CASE WHEN cnt7 = 7 THEN round(CAST(sum7 AS DOUBLE) / 7.0, 6) END AS trend, " +
+        "round(seasonal_raw, 6) AS seasonal, " +
+        "CASE WHEN cnt7 = 7 THEN round(CAST(det.n AS DOUBLE) - " +
+        "CAST(sum7 AS DOUBLE) / 7.0 - seasonal_raw, 6) END AS residual " +
+        "FROM det LEFT JOIN seas USING (dow)"
 
   def oracleSql: Map[String, String] = Map(
     "user_activity" ->
@@ -5676,35 +5712,8 @@ object SparkEntry {
     // exact BIGINT MA-7 sums (NULL trend on edges), 1/7-unit detrended
     // values, micro-unit-pinned dow means with exact integer
     // re-centering, pinned output divisions.
-    "seasonal_decomposition_daily" ->
-      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
-        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1), " +
-        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
-        "dd AS (SELECT d0 + CAST(unnest(range(" +
-        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
-        "grid AS (SELECT dd.day, coalesce(daily.n, 0) AS n " +
-        "FROM dd LEFT JOIN daily ON daily.day = dd.day), " +
-        "det AS (SELECT day, n, sum7, cnt7, " +
-        "CASE WHEN cnt7 = 7 THEN n * 7 - sum7 END AS d7, " +
-        "dayofweek(day) AS dow FROM (SELECT day, n, " +
-        "CAST(sum(n) OVER (ORDER BY day ASC ROWS BETWEEN 3 PRECEDING " +
-        "AND 3 FOLLOWING) AS BIGINT) AS sum7, " +
-        "CAST(count(*) OVER (ORDER BY day ASC ROWS BETWEEN 3 PRECEDING " +
-        "AND 3 FOLLOWING) AS BIGINT) AS cnt7 FROM grid)), " +
-        "bydow AS (SELECT dow, CAST(round(CAST(sum(d7) AS DOUBLE) * 1000000.0 / " +
-        "(7.0 * CAST(count(*) AS DOUBLE)), 0) AS BIGINT) AS m_micro " +
-        "FROM det WHERE d7 IS NOT NULL GROUP BY 1), " +
-        "c AS (SELECT CAST(sum(m_micro) AS BIGINT) AS s_all, " +
-        "CAST(count(*) AS BIGINT) AS k_dow FROM bydow), " +
-        "seas AS (SELECT dow, CAST(m_micro * k_dow - s_all AS DOUBLE) / " +
-        "(CAST(k_dow AS DOUBLE) * 1000000.0) AS seasonal_raw " +
-        "FROM bydow CROSS JOIN c) " +
-        "SELECT det.day, det.n, " +
-        "CASE WHEN cnt7 = 7 THEN round(CAST(sum7 AS DOUBLE) / 7.0, 6) END AS trend, " +
-        "round(seasonal_raw, 6) AS seasonal, " +
-        "CASE WHEN cnt7 = 7 THEN round(CAST(det.n AS DOUBLE) - " +
-        "CAST(sum7 AS DOUBLE) / 7.0 - seasonal_raw, 6) END AS residual " +
-        "FROM det LEFT JOIN seas USING (dow)"),
+    "seasonal_decomposition_daily" -> seasonalDecompSql,
+    
     // Mirrors VectorOps.pqEncode over the pinned codebook: the full
     // per-(vector, block) argmin replayed with the shared block-L2
     // fold, code ASC tie-break.
@@ -5951,6 +5960,40 @@ object SparkEntry {
         "CAST(count(*) AS BIGINT) AS n_hits, " +
         "round(CAST(count(*) AS DOUBLE) / 10.0, 6) AS recall " +
         "FROM top JOIN ex USING (vec_id)"),
+    // Mirrors EventOps.seasonalAnomalies: the shared decomposition
+    // wrapped as a CTE, MAD-robust z over the 6dp-rounded residuals,
+    // the division guarded behind the MAD > 0 case on BOTH rails.
+    "seasonal_anomalies" ->
+      ("WITH dec AS (" + seasonalDecompSql + "), " +
+        "f AS (SELECT * FROM dec WHERE residual IS NOT NULL), " +
+        "med AS (SELECT median(residual) AS med_res FROM f), " +
+        "mad AS (SELECT median(abs(residual - med_res)) AS mad_res, " +
+        "max(med_res) AS med_res FROM f CROSS JOIN med) " +
+        "SELECT f.day, f.n, f.residual, " +
+        "round(mad.med_res, 6) AS med_res, " +
+        "round(mad.mad_res, 6) AS mad_res, " +
+        "CASE WHEN mad.mad_res > 0.0 THEN " +
+        "round((f.residual - mad.med_res) / (1.4826 * mad.mad_res), 6) " +
+        "END AS robust_z, " +
+        "CASE WHEN mad.mad_res > 0.0 THEN " +
+        "abs((f.residual - mad.med_res) / (1.4826 * mad.mad_res)) > 3.0 " +
+        "ELSE false END AS is_anomaly " +
+        "FROM f CROSS JOIN mad"),
+    // Mirrors EventOps.abSrmCheck: exact distinct-user parity cells,
+    // chi2 = (a−b)²/n, the 1-dof 5% critical literal on both rails.
+    "ab_srm_check" ->
+      ("WITH u AS (SELECT DISTINCT user_id FROM events), " +
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b " +
+        "FROM u) " +
+        "SELECT n_users, n_a, n_b, " +
+        "CASE WHEN n_users > 0 THEN " +
+        "round(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / " +
+        "CAST(n_users AS DOUBLE), 6) END AS srm_chi2, " +
+        "coalesce(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / " +
+        "CAST(n_users AS DOUBLE) > 3.841459, false) AS srm_mismatch " +
+        "FROM c"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

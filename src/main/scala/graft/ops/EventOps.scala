@@ -3497,6 +3497,61 @@ object EventOps {
             col("seasonal_raw"), 6)).as("residual"))
   }
 
+  /** Robust anomaly flags over [[seasonalDecompositionDaily]]'s
+    * residual series — the detector [[dowAnomalies]] approximates,
+    * done right: trend and weekday structure are REMOVED first, so a
+    * growing series' recent days and a weekend dip don't masquerade
+    * as anomalies; what remains is flagged by the MAD-robust z
+    * (|res − median| > 3·1.4826·MAD), which one genuine spike cannot
+    * drag the way σ-based z-scores do.
+    *
+    * Determinism: residuals enter at their 6dp-rounded published
+    * values (both engines read the same numbers); the median/MAD
+    * stats are a 2-row broadcast; the robust z is one pinned chain,
+    * NULL (flag false) when MAD = 0. */
+  def seasonalAnomalies(events: DataFrame): DataFrame = {
+    val dec = seasonalDecompositionDaily(events)
+      .filter(col("residual").isNotNull)
+      .localCheckpoint()
+    val med = dec.agg(median(col("residual")).as("med_res"))
+    val mad = dec.crossJoin(broadcast(med))
+      .agg(median(abs(col("residual") - col("med_res"))).as("mad_res"),
+        max(col("med_res")).as("med_res"))
+    val rz = (col("residual") - col("med_res")) /
+      (lit(1.4826) * col("mad_res"))
+    dec.crossJoin(broadcast(mad))
+      .select(col("day"), col("n"), col("residual"),
+        round(col("med_res"), 6).as("med_res"),
+        round(col("mad_res"), 6).as("mad_res"),
+        when(col("mad_res") > lit(0.0), round(rz, 6)).as("robust_z"),
+        // the division is guarded, never evaluated at MAD = 0 — a
+        // raw x/0.0 is IEEE Infinity in Spark but engine-dependent
+        // in SQL mirrors
+        when(col("mad_res") > lit(0.0), abs(rz) > lit(3.0))
+          .otherwise(lit(false)).as("is_anomaly"))
+  }
+
+  /** Sample-ratio-mismatch check — the FIRST sanity gate every real
+    * A/B readout runs (a biased assignment invalidates every
+    * downstream test silently): are the parity arms' user counts
+    * consistent with the designed 50/50? χ² = (a−b)²/(a+b) on exact
+    * BIGINT cells against the 3.841459 one-dof 5% critical value.
+    * Trivial arithmetic by design — the value is WHERE it sits (in
+    * front of the z/Welch/CUPED/DiD family, same arms). */
+  def abSrmCheck(events: DataFrame): DataFrame = {
+    val cells = events.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("user_id") % lit(2L) === 0L, 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(col("user_id") % lit(2L) === 1L, 1L).otherwise(0L))
+          .as("n_b"))
+    val d = (col("n_a") - col("n_b")).cast("double")
+    val chi2 = d * d / col("n_users").cast("double")
+    cells.select(col("n_users"), col("n_a"), col("n_b"),
+      when(col("n_users") > 0L, round(chi2, 6)).as("srm_chi2"),
+      coalesce(chi2 > lit(3.841459), lit(false)).as("srm_mismatch"))
+  }
+
   /** Difference-in-differences on purchase conversion — the panel
     * causal readout beside [[cupedAdjustedAb]]'s variance reduction:
     * arm (user parity, the house A/B convention) × period (exact

@@ -1071,6 +1071,47 @@ class ExactArithmeticSpec extends SparkSpec {
       (2L, bucket("ab")) -> sgn("ab")), got)
   }
 
+  test("seasonalAnomalies: the planted spike is the only flag; the " +
+    "flat series flags nothing (MAD-zero guard)") {
+    // 21 days at 1/day except day 11's burst of 8: after trend and
+    // dow removal the spike dominates every interior residual
+    val spiky = (0 until 21).flatMap { d =>
+      val day = f"2024-03-${d + 1}%02d"
+      (1 to (if (d == 10) 8 else 1)).map(j => ev(d * 10L + j, day, "a"))
+    }.toDF(evCols: _*)
+    val flagged = EventOps.seasonalAnomalies(spiky).collect()
+      .filter(_.getAs[Boolean]("is_anomaly"))
+      .map(_.getAs[java.sql.Date]("day").toString)
+    assert(flagged.contains("2024-03-11") , flagged.toSeq)
+    // a perfectly constant series: every residual 0, MAD 0 -> NULL z,
+    // nothing flagged, no division blow-up
+    val flat = (0 until 21).map { d =>
+      ev(d.toLong + 1L, f"2024-03-${d + 1}%02d", "a")
+    }.toDF(evCols: _*)
+    val fr = EventOps.seasonalAnomalies(flat).collect()
+    assert(fr.nonEmpty && fr.forall(r =>
+      !r.getAs[Boolean]("is_anomaly") &&
+        r.isNullAt(r.fieldIndex("robust_z"))), fr.mkString(";"))
+  }
+
+  test("abSrmCheck: balanced arms pass, a lopsided assignment trips " +
+    "the chi-square gate") {
+    def pev(i: Long, uid: Long) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), uid, "view", 1.0, "{}")
+    val balanced = (1L to 10L).map(u => pev(u, u)).toDF(evCols: _*)
+    val rb = EventOps.abSrmCheck(balanced).collect().head
+    assert((rb.getAs[Long]("n_a"), rb.getAs[Long]("n_b")) == ((5L, 5L)), rb)
+    assert(rb.getAs[Double]("srm_chi2") == 0.0 &&
+      !rb.getAs[Boolean]("srm_mismatch"), rb)
+    // 12 even vs 2 odd users: chi2 = 100/14 = 7.14 > 3.84
+    val skewed = ((1L to 12L).map(u => pev(u, u * 2L)) ++
+      Seq(pev(100L, 1L), pev(101L, 3L))).toDF(evCols: _*)
+    val rs = EventOps.abSrmCheck(skewed).collect().head
+    assert((rs.getAs[Long]("n_a"), rs.getAs[Long]("n_b")) == ((12L, 2L)), rs)
+    assert(rs.getAs[Double]("srm_chi2") == 7.142857 &&
+      rs.getAs[Boolean]("srm_mismatch"), rs)
+  }
+
   test("diffInDiff: planted 2x2 panel gives DiD 1.0 and z 2.0") {
     def pev(i: Long, uid: Long, hm: String, t: String) =
       (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
