@@ -816,6 +816,11 @@ object SparkEntry {
     "seasonal_anomalies" ->
       ((s, d) => EventOps.seasonalAnomalies(events(s, d))),
     "ab_srm_check" -> ((s, d) => EventOps.abSrmCheck(events(s, d))),
+    "source_copy_matrix" ->
+      ((s, d) => DedupOps.sourceCopyMatrix(documents(s, d))),
+    "ece_score" -> ((s, d) => EventOps.eceScore(events(s, d))),
+    "tokenizer_fertility" ->
+      ((s, d) => DocOps.tokenizerFertility(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -1006,6 +1011,33 @@ object SparkEntry {
         "CASE WHEN cnt7 = 7 THEN round(CAST(det.n AS DOUBLE) - " +
         "CAST(sum7 AS DOUBLE) / 7.0 - seasonal_raw, 6) END AS residual " +
         "FROM det LEFT JOIN seas USING (dow)"
+
+  /** The score_calibration_bins mirror as ONE definition — inlined
+    * by its own oracle and wrapped as a CTE by ece_score. */
+  private val calibrationBinsSql: String =
+    "WITH mm AS (SELECT min(value) AS minv, max(value) AS maxv " +
+        "FROM events), " +
+        "b AS (SELECT CAST(least(floor((value - minv) / (maxv - minv) " +
+        "* 10.0), 9.0) AS BIGINT) AS bin, minv, maxv, " +
+        "CAST(value AS DECIMAL(12,2)) AS dv, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
+        "FROM events, mm), " +
+        "agg AS (SELECT bin, minv, maxv, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS n_pos, " +
+        "sum(CAST(dv AS DECIMAL(12,2))) AS sv, " +
+        "sum(CAST(dv AS DECIMAL(12,2)) * CAST(dv AS DECIMAL(12,2))) AS sv2, " +
+        "sum(CASE WHEN y = 1 THEN dv ELSE CAST(0 AS DECIMAL(12,2)) END) " +
+        "AS spv FROM b GROUP BY 1, 2, 3) " +
+        "SELECT bin, n, n_pos, " +
+        "round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) - minv) / " +
+        "(maxv - minv), 6) AS mean_score, " +
+        "round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate, " +
+        "round(((CAST(sv2 AS DOUBLE) - 2.0 * minv * CAST(sv AS DOUBLE) + " +
+        "CAST(n AS DOUBLE) * minv * minv) / " +
+        "((maxv - minv) * (maxv - minv)) - " +
+        "2.0 * ((CAST(spv AS DOUBLE) - CAST(n_pos AS DOUBLE) * minv) / " +
+        "(maxv - minv)) + CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE), 6) " +
+        "AS brier FROM agg"
 
   def oracleSql: Map[String, String] = Map(
     "user_activity" ->
@@ -4710,30 +4742,7 @@ object SparkEntry {
     // Mirrors EventOps.scoreCalibrationBins: exact 2dp DECIMAL sums
     // Σv/Σv²/Σ_pos v, closed-form mean/Brier in identically-ordered
     // double arithmetic, min/max anchors from one scalar subquery.
-    "score_calibration_bins" ->
-      ("WITH mm AS (SELECT min(value) AS minv, max(value) AS maxv " +
-        "FROM events), " +
-        "b AS (SELECT CAST(least(floor((value - minv) / (maxv - minv) " +
-        "* 10.0), 9.0) AS BIGINT) AS bin, minv, maxv, " +
-        "CAST(value AS DECIMAL(12,2)) AS dv, " +
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y " +
-        "FROM events, mm), " +
-        "agg AS (SELECT bin, minv, maxv, CAST(count(*) AS BIGINT) AS n, " +
-        "CAST(sum(y) AS BIGINT) AS n_pos, " +
-        "sum(CAST(dv AS DECIMAL(12,2))) AS sv, " +
-        "sum(CAST(dv AS DECIMAL(12,2)) * CAST(dv AS DECIMAL(12,2))) AS sv2, " +
-        "sum(CASE WHEN y = 1 THEN dv ELSE CAST(0 AS DECIMAL(12,2)) END) " +
-        "AS spv FROM b GROUP BY 1, 2, 3) " +
-        "SELECT bin, n, n_pos, " +
-        "round((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) - minv) / " +
-        "(maxv - minv), 6) AS mean_score, " +
-        "round(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pos_rate, " +
-        "round(((CAST(sv2 AS DOUBLE) - 2.0 * minv * CAST(sv AS DOUBLE) + " +
-        "CAST(n AS DOUBLE) * minv * minv) / " +
-        "((maxv - minv) * (maxv - minv)) - " +
-        "2.0 * ((CAST(spv AS DOUBLE) - CAST(n_pos AS DOUBLE) * minv) / " +
-        "(maxv - minv)) + CAST(n_pos AS DOUBLE)) / CAST(n AS DOUBLE), 6) " +
-        "AS brier FROM agg"),
+    "score_calibration_bins" -> calibrationBinsSql,
     // Mirrors EventOps.abConversionZtest: exact per-arm cells from the
     // per-user conversion collapse, pooled-variance z in pinned double
     // order, sqrt IEEE-exact, 6dp round.
@@ -5994,6 +6003,62 @@ object SparkEntry {
         "coalesce(CAST(n_a - n_b AS DOUBLE) * CAST(n_a - n_b AS DOUBLE) / " +
         "CAST(n_users AS DOUBLE) > 3.841459, false) AS srm_mismatch " +
         "FROM c"),
+    // Mirrors DedupOps.sourceCopyMatrix: the UNPRUNED all-pairs
+    // jaccard oracle (the PPJoin losslessness contract) rolled up to
+    // the canonical (source, source) grid; 4dp similarities re-pinned
+    // to exact ten-thousandths before the sum.
+    "source_copy_matrix" ->
+      (s"WITH $shingleCtes, " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "CAST(count(*) AS BIGINT) AS shared " +
+        "FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id " +
+        "GROUP BY 1, 2), " +
+        "p AS (SELECT a_id, b_id, " +
+        "round(shared * 1.0 / (sa.n + sb.n - shared), 4) AS j " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id " +
+        "JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5), " +
+        "sp AS (SELECT least(da.source, db.source) AS source_a, " +
+        "greatest(da.source, db.source) AS source_b, " +
+        "CAST(round(j * 10000.0, 0) AS BIGINT) AS jm " +
+        "FROM p JOIN documents da ON da.doc_id = p.a_id " +
+        "JOIN documents db ON db.doc_id = p.b_id) " +
+        "SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "round(CAST(CAST(sum(jm) AS BIGINT) AS DOUBLE) / " +
+        "(CAST(count(*) AS DOUBLE) * 10000.0), 6) AS avg_jaccard " +
+        "FROM sp GROUP BY 1, 2"),
+    // Mirrors EventOps.eceScore: the shared calibration-bins CTE,
+    // published-6dp gaps re-pinned to micro-units, exact weighted sum.
+    "ece_score" ->
+      ("WITH bins AS (" + calibrationBinsSql + "), " +
+        "t AS (SELECT n, CAST(round(abs(pos_rate - mean_score) * 1000000.0, 0) " +
+        "AS BIGINT) AS em FROM bins), " +
+        "s AS (SELECT CAST(sum(n) AS BIGINT) AS n_total, " +
+        "CAST(count(*) AS BIGINT) AS n_bins, " +
+        "CAST(sum(CAST(n AS HUGEINT) * em) AS HUGEINT) AS wsum, " +
+        "CAST(max(em) AS BIGINT) AS mm FROM t) " +
+        "SELECT n_total, n_bins, " +
+        "round(CAST(wsum AS DOUBLE) / (CAST(n_total AS DOUBLE) * 1000000.0), 6) " +
+        "AS ece, round(CAST(mm AS DOUBLE) / 1000000.0, 6) AS mce FROM s"),
+    // Mirrors DocOps.tokenizerFertility: same whitespace-word and
+    // BPE-ish regex token counts, exact BIGINT sums per language.
+    "tokenizer_fertility" ->
+      ("WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS n_chars, " +
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words, " +
+        "CAST(len(regexp_extract_all(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens " +
+        "FROM documents) " +
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS chars, " +
+        "CAST(sum(n_words) AS BIGINT) AS words, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS tokens, " +
+        "CASE WHEN CAST(sum(n_words) AS BIGINT) > 0 THEN " +
+        "round(CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE) / " +
+        "CAST(CAST(sum(n_words) AS BIGINT) AS DOUBLE), 6) END AS fertility, " +
+        "CASE WHEN CAST(sum(n_tokens) AS BIGINT) > 0 THEN " +
+        "round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / " +
+        "CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE), 6) END " +
+        "AS chars_per_token FROM d GROUP BY 1"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

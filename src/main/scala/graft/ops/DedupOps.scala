@@ -259,6 +259,39 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Cross-source copy matrix — "which sources copy from which":
+    * [[jaccardPrefixPairs]]' exact lossless near-dup pairs rolled up
+    * to the (source, source) grid with pair counts and the mean
+    * similarity. The corpus-provenance readout behind mixture
+    * weighting and dedup-budget decisions (a source pair with
+    * thousands of ≥0.5 pairs is one crawl mirrored, not two sources).
+    *
+    * Determinism: pair similarities enter at their published 4dp
+    * values and re-pin to BIGINT ten-thousandths before the
+    * order-dependent sum; the pair (a, b) orientation canonicalizes
+    * by source name. Scale: the pair frame is the expensive part and
+    * is the ALREADY-GATED PPJoin; this adds two doc_id-keyed joins
+    * and a |sources|²-bounded rollup. */
+  def sourceCopyMatrix(docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = jaccardPrefixPairs(docs, threshold)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+        "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+        "b_id")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        round(col("jaccard") * lit(10000.0), 0).cast("long").as("jm"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("jm")).as("sj"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        round(col("sj").cast("double") /
+          (col("n_pairs").cast("double") * lit(10000.0)), 6)
+          .as("avg_jaccard"))
+  }
+
   /** Exact pairwise shingle CONTAINMENT via the same inverted index:
     * C(A,B) = |A∩B| / min(|A|,|B|) — the asymmetric companion to
     * [[ngramJaccardPairs]]. Jaccard divides by the UNION, so a short

@@ -2184,6 +2184,29 @@ object DocOps {
       .agg(sum(col("sgn")).as("weight"))
   }
 
+  /** Tokenizer fertility per language — tokens-per-word and
+    * chars-per-token under the BPE-ish regex tokenizer vs whitespace
+    * words: the multilingual-cost readout every tokenizer choice is
+    * judged by (a language whose fertility runs 2× pays 2× the
+    * context window and 2× the FLOPs for the same text). Exact BIGINT
+    * count sums per language; two pinned divisions. */
+  def tokenizerFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(split(trim(col("text")), "\\s+")).cast("long").as("n_words"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+        .as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+        sum(col("n_words")).as("words"), sum(col("n_tokens")).as("tokens"))
+      .select(col("lang"), col("n_docs"), col("chars"), col("words"),
+        col("tokens"),
+        when(col("words") > 0L, round(col("tokens").cast("double") /
+          col("words").cast("double"), 6)).as("fertility"),
+        when(col("tokens") > 0L, round(col("chars").cast("double") /
+          col("tokens").cast("double"), 6)).as("chars_per_token"))
+
   /** Chao1 vocabulary-richness estimate per source — "how much
     * vocabulary does this source have that we have NOT seen yet?"
     * (Chao '84 via the hapax/dis legomena counts f1/f2): the unseen-

@@ -3081,6 +3081,28 @@ object EventOps {
         when(ok, round(effect, 6)).as("effect"), col("ate"))
   }
 
+  /** Expected / maximum calibration error over
+    * [[scoreCalibrationBins]] — the two scalars a reliability diagram
+    * compresses to: ECE = Σ (n_b/N)·|pos_rate_b − mean_score_b|
+    * (size-weighted gap) and MCE = max_b |…| (worst bin). Gaps are
+    * computed from the bins' PUBLISHED 6dp values and re-pinned to
+    * BIGINT micro-units, so the weighted sum is exact integer
+    * arithmetic; two pinned divisions at the end. */
+  def eceScore(events: DataFrame): DataFrame = {
+    val bins = scoreCalibrationBins(events)
+      .select(col("bin"), col("n"), col("pos_rate"), col("mean_score"))
+    val em = round(abs(col("pos_rate") - col("mean_score")) *
+      lit(1000000.0), 0).cast("long")
+    bins.select(col("n"), em.as("em"))
+      .agg(sum(col("n")).as("n_total"), count(lit(1)).as("n_bins"),
+        sum(col("n").cast("decimal(38,0)") * col("em")).as("wsum"),
+        max(col("em")).as("mm"))
+      .select(col("n_total"), col("n_bins"),
+        round(col("wsum").cast("double") /
+          (col("n_total").cast("double") * lit(1000000.0)), 6).as("ece"),
+        round(col("mm").cast("double") / lit(1000000.0), 6).as("mce"))
+  }
+
   /** Isotonic (monotone) calibration over [[scoreCalibrationBins]] —
     * pool-adjacent-violators without the sequential pooling loop: on
     * a BOUNDED bin frame the PAV solution has the closed minimax form

@@ -379,4 +379,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(sh(0).isEmpty)
     assert(sh(1) == Seq("a b c"))
   }
+
+  test("sourceCopyMatrix: identical texts roll up to canonical " +
+    "source pairs with exact mean similarity") {
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    // three verbatim copies across two sources -> pairs (1,2),(1,3),
+    // (2,3) with jaccard 1.0; canonical grid: (s1,s1)x1, (s1,s2)x2.
+    // doc 4 is unrelated vocabulary -> no pair reaches 0.5.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s1", 22L),
+      (2L, "alpha beta gamma delta", "en", "s2", 22L),
+      (3L, "alpha beta gamma delta", "en", "s1", 22L),
+      (4L, "zeta eta theta iota", "en", "s2", 19L),
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.DedupOps.sourceCopyMatrix(docs).collect()
+      .map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("avg_jaccard")))).toMap
+    assert(got == Map(("s1", "s1") -> ((1L, 1.0)),
+      ("s1", "s2") -> ((2L, 1.0))), got)
+  }
 }

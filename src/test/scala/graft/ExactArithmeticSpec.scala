@@ -1112,6 +1112,38 @@ class ExactArithmeticSpec extends SparkSpec {
       rs.getAs[Boolean]("srm_mismatch"), rs)
   }
 
+  test("eceScore: size-weighted and max calibration gaps from the " +
+    "published bin values") {
+    def pev(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // bin 0 (score 0): rate .5, gap .5; bin 9 (score 1): rate 0, gap 1
+    // ECE = (2·.5 + 2·1)/4 = .75, MCE = 1
+    val events = Seq(
+      pev(1, "purchase", 0.0), pev(2, "view", 0.0),
+      pev(3, "view", 9.0), pev(4, "view", 9.0),
+    ).toDF(evCols: _*)
+    val r = EventOps.eceScore(events).collect().head
+    assert((r.getAs[Long]("n_total"), r.getAs[Long]("n_bins")) ==
+      ((4L, 2L)), r)
+    assert(r.getAs[Double]("ece") == 0.75 && r.getAs[Double]("mce") == 1.0, r)
+  }
+
+  test("tokenizerFertility: regex tokens vs whitespace words and " +
+    "chars per token") {
+    val docs = Seq((1L, "ab cd!", "en", "s1", 6L),
+      (2L, "x1y", "fr", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DocOps.tokenizerFertility(docs).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = got("en") // words {ab, cd!}=2; tokens {ab, cd, !}=3
+    assert((en.getAs[Long]("words"), en.getAs[Long]("tokens"),
+      en.getAs[Double]("fertility"), en.getAs[Double]("chars_per_token")) ==
+      ((2L, 3L, 1.5, 2.0)), en)
+    val fr = got("fr") // "x1y" -> words 1; tokens {x, 1, y} = 3
+    assert((fr.getAs[Long]("words"), fr.getAs[Long]("tokens"),
+      fr.getAs[Double]("fertility")) == ((1L, 3L, 3.0)), fr)
+  }
+
   test("diffInDiff: planted 2x2 panel gives DiD 1.0 and z 2.0") {
     def pev(i: Long, uid: Long, hm: String, t: String) =
       (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
