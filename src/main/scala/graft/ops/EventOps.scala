@@ -3121,14 +3121,18 @@ object EventOps {
   def isotonicCalibration(events: DataFrame): DataFrame = {
     val bins = scoreCalibrationBins(events)
       .select(col("bin"), col("n"), col("n_pos"))
-      .localCheckpoint()
     val w = Window.orderBy(col("bin").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // checkpoint AFTER the prefix windows: the serial window's child
+    // must keep its HashAggregate lineage visible (the sweep's
+    // collapse proof), and the triple join below reads the ≤bins-row
+    // frame three times — one materialization serves all of them
     val pref = bins
       .withColumn("sp", sum(col("n_pos")).over(w))
       .withColumn("sn", sum(col("n")).over(w))
       .withColumn("ep", col("sp") - col("n_pos"))
       .withColumn("en", col("sn") - col("n"))
+      .localCheckpoint()
     val a = pref.as("i")
       .join(broadcast(pref.as("j")), col("j.bin") <= col("i.bin"))
       .join(broadcast(pref.as("k")), col("k.bin") >= col("i.bin"))
@@ -3137,7 +3141,7 @@ object EventOps {
           (col("k.sn") - col("j.en")).cast("double")).as("avg"))
     val iso = a.groupBy("bin", "jb").agg(min(col("avg")).as("mn"))
       .groupBy("bin").agg(max(col("mn")).as("iso"))
-    bins.join(iso, "bin")
+    pref.select("bin", "n", "n_pos").join(iso, "bin")
       .select(col("bin"), col("n"), col("n_pos"),
         round(col("n_pos").cast("double") / col("n").cast("double"), 6)
           .as("pos_rate"),
