@@ -821,6 +821,8 @@ object SparkEntry {
     "ece_score" -> ((s, d) => EventOps.eceScore(events(s, d))),
     "tokenizer_fertility" ->
       ((s, d) => DocOps.tokenizerFertility(documents(s, d))),
+    "quantile_normalize_by_type" ->
+      ((s, d) => EventOps.quantileNormalizeByType(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -6059,6 +6061,26 @@ object SparkEntry {
         "round(CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE) / " +
         "CAST(CAST(sum(n_tokens) AS BIGINT) AS DOUBLE), 6) END " +
         "AS chars_per_token FROM d GROUP BY 1"),
+    // Mirrors EventOps.quantileNormalizeByType: per-type ranks, the
+    // flat global row_number (≡ the two-level globalRank by the
+    // RankOpsSpec parity), the exact round-half-up integer position
+    // map, one equi-join on j.
+    "quantile_normalize_by_type" ->
+      ("WITH base AS (SELECT event_id, event_type, value FROM events), " +
+        "rt AS (SELECT event_id, event_type, value, " +
+        "CAST(row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY value ASC, event_id ASC) AS BIGINT) AS r_t, " +
+        "CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_t " +
+        "FROM base), " +
+        "g AS (SELECT CAST(row_number() OVER (ORDER BY value ASC, " +
+        "event_id ASC) AS BIGINT) AS j, value AS norm_value FROM base), " +
+        "na AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM base), " +
+        "jj AS (SELECT event_id, event_type, value, " +
+        "CASE WHEN n_t = 1 THEN CAST((n_all + 1) // 2 AS BIGINT) " +
+        "ELSE CAST(1 + (2 * (r_t - 1) * (n_all - 1) + (n_t - 1)) // " +
+        "(2 * (n_t - 1)) AS BIGINT) END AS j FROM rt CROSS JOIN na) " +
+        "SELECT jj.event_id, jj.event_type, jj.value, " +
+        "round(g.norm_value, 6) AS norm_value FROM jj JOIN g USING (j)"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

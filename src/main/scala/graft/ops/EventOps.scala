@@ -3081,6 +3081,49 @@ object EventOps {
         when(ok, round(effect, 6)).as("effect"), col("ate"))
   }
 
+  /** Rank-based quantile normalization of `value` by event type — the
+    * batch-effect correction (Bolstad et al. '03, the microarray
+    * standard): each event's value is replaced by the GLOBAL value at
+    * the equivalent quantile position, so every type's distribution
+    * maps onto the pooled one and cross-type models stop learning the
+    * types' scale quirks. Positions map by the exact integer
+    * round-half-up j = 1 + ⌊(2·(r−1)·(N−1) + (n−1)) / (2·(n−1))⌋
+    * (singleton types land on the median position (N+1) div 2).
+    *
+    * Scale: the within-type ranks are per-type parallel windows; the
+    * GLOBAL rank — the part a naive implementation serializes — is
+    * [[graft.ops.RankOps.globalRank]]'s two-level prefix sum (cents
+    * as the monotone bucket key), and the position lookup is one
+    * equi-join on j. No unpartitioned sort touches the event frame. */
+  def quantileNormalizeByType(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("event_type"),
+      col("value"))
+    val wT = Window.partitionBy("event_type")
+      .orderBy(col("value").asc, col("event_id").asc)
+    val ranked = base
+      .withColumn("r_t", row_number().over(wT).cast("long"))
+      .withColumn("n_t",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("long")
+    val global = RankOps.globalRank(base, cents,
+      Seq(col("value").asc, col("event_id").asc), "g_rank")
+      .select(col("g_rank").as("j"), col("value").as("norm_value"))
+    val n = ranked.crossJoin(broadcast(
+      base.agg(count(lit(1)).as("n_all"))))
+    // integer `div` keeps the position exact (a double `/` loses
+    // ulps past 2^53 — the numerator reaches 2·N² at scale); the
+    // 2·(r−1)·(N−1) product overflows BIGINT past N ≈ 2e9 rows —
+    // switch to DECIMAL(38,0) there (stated, not silent)
+    val j = when(col("n_t") === 1L, expr("(n_all + 1) div 2"))
+      .otherwise(expr("1 + (2 * (r_t - 1) * (n_all - 1) + (n_t - 1)) " +
+        "div (2 * (n_t - 1))"))
+    n.withColumn("j", j.cast("long"))
+      .join(global, "j")
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(col("norm_value"), 6).as("norm_value"))
+  }
+
   /** Expected / maximum calibration error over
     * [[scoreCalibrationBins]] — the two scalars a reliability diagram
     * compresses to: ECE = Σ (n_b/N)·|pos_rate_b − mean_score_b|

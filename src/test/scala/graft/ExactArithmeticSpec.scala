@@ -1144,6 +1144,30 @@ class ExactArithmeticSpec extends SparkSpec {
       fr.getAs[Double]("fertility")) == ((1L, 3L, 3.0)), fr)
   }
 
+  test("quantileNormalizeByType: both types land on the SAME pooled " +
+    "distribution; singleton types map to the global median") {
+    def pev(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // global order: 1,2,3,10,20,30 -> positions 1..6; per type (n=3):
+    // r=1→j1, r=2→j4, r=3→j6, so both map onto {1, 10, 30}
+    val events = Seq(pev(1, "a", 10.0), pev(2, "a", 20.0),
+      pev(3, "a", 30.0), pev(4, "b", 1.0), pev(5, "b", 2.0),
+      pev(6, "b", 3.0)).toDF(evCols: _*)
+    val got = EventOps.quantileNormalizeByType(events).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("norm_value"))
+      .toMap
+    assert(got == Map(1L -> 1.0, 2L -> 10.0, 3L -> 30.0,
+      4L -> 1.0, 5L -> 10.0, 6L -> 30.0), got)
+    // a singleton type: its one event takes the pooled median position
+    val single = Seq(pev(1, "a", 5.0), pev(2, "a", 6.0),
+      pev(3, "c", 999.0)).toDF(evCols: _*)
+    val gs = EventOps.quantileNormalizeByType(single).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("norm_value"))
+      .toMap
+    // N=3 -> (N+1) div 2 = 2 -> global position 2 = 6.0
+    assert(gs(3L) == 6.0, gs)
+  }
+
   test("diffInDiff: planted 2x2 panel gives DiD 1.0 and z 2.0") {
     def pev(i: Long, uid: Long, hm: String, t: String) =
       (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
