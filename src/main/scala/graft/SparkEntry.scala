@@ -823,6 +823,10 @@ object SparkEntry {
       ((s, d) => DocOps.tokenizerFertility(documents(s, d))),
     "quantile_normalize_by_type" ->
       ((s, d) => EventOps.quantileNormalizeByType(events(s, d))),
+    "bootstrap_ci_revenue" ->
+      ((s, d) => EventOps.bootstrapCiRevenue(events(s, d))),
+    "cohens_d_type_pairs" ->
+      ((s, d) => EventOps.cohensDTypePairs(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -6081,6 +6085,68 @@ object SparkEntry {
         "(2 * (n_t - 1)) AS BIGINT) END AS j FROM rt CROSS JOIN na) " +
         "SELECT jj.event_id, jj.event_type, jj.value, " +
         "round(g.norm_value, 6) AS norm_value FROM jj JOIN g USING (j)"),
+    // Mirrors EventOps.bootstrapCiRevenue: the shared knuthHash32
+    // uniform through the identical Poisson(1) CDF thresholds, exact
+    // BIGINT weighted sums per replicate, percentile ≡ quantile_cont.
+    "bootstrap_ci_revenue" -> {
+      val h = graft.ops.DocOps.knuthHash32Sql("(user_id * 32 + r)")
+      "WITH pu AS (SELECT user_id, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS y FROM events GROUP BY 1), " +
+        "ex AS (SELECT user_id, y, CAST(unnest(range(32)) AS BIGINT) AS r " +
+        "FROM pu), " +
+        s"wt AS (SELECT r, y, CAST(($h) AS DOUBLE) / 4294967296.0 AS u " +
+        "FROM ex), " +
+        "ww AS (SELECT r, y, CASE WHEN u < 0.367879441 THEN 0 " +
+        "WHEN u < 0.735758882 THEN 1 WHEN u < 0.919698603 THEN 2 " +
+        "WHEN u < 0.981011843 THEN 3 WHEN u < 0.996340153 THEN 4 " +
+        "WHEN u < 0.999405815 THEN 5 WHEN u < 0.999916758 THEN 6 " +
+        "ELSE 7 END AS w FROM wt), " +
+        "rm AS (SELECT r, CAST(sum(w * y) AS BIGINT) AS wy, " +
+        "CAST(sum(w) AS BIGINT) AS ws FROM ww GROUP BY 1), " +
+        "means AS (SELECT CAST(wy AS DOUBLE) / 100.0 / CAST(ws AS DOUBLE) " +
+        "AS m FROM rm WHERE ws > 0), " +
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_replicates, " +
+        "round(quantile_cont(m, 0.025), 6) AS ci_low, " +
+        "round(quantile_cont(m, 0.975), 6) AS ci_high FROM means), " +
+        "obs AS (SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(y) AS BIGINT) AS sy FROM pu) " +
+        "SELECT obs.n_users, agg.n_replicates, " +
+        "round(CAST(obs.sy AS DOUBLE) / 100.0 / CAST(obs.n_users AS DOUBLE), 6) " +
+        "AS mean_obs, agg.ci_low, agg.ci_high FROM agg CROSS JOIN obs"
+    },
+    // Mirrors EventOps.cohensDTypePairs: exact cents moments, the
+    // Welch variance form, pinned pooled-sd chain, the conventional
+    // magnitude ladder.
+    "cohens_d_type_pairs" ->
+      ("WITH m AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS s, " +
+        "CAST(sum(CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+        "AS HUGEINT) * CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS HUGEINT) AS ss FROM events GROUP BY 1), " +
+        "p AS (SELECT a.t AS type_a, b.t AS type_b, a.n AS n_a, b.n AS n_b, " +
+        "a.s AS s_a, b.s AS s_b, a.ss AS ss_a, b.ss AS ss_b " +
+        "FROM m a JOIN m b ON a.t < b.t), " +
+        "d AS (SELECT *, " +
+        "CAST(s_a AS DOUBLE) / 100.0 / CAST(n_a AS DOUBLE) AS ma, " +
+        "CAST(s_b AS DOUBLE) / 100.0 / CAST(n_b AS DOUBLE) AS mb, " +
+        "((CAST(n_a AS DOUBLE) - 1.0) * (CAST(CAST(n_a AS HUGEINT) * ss_a - " +
+        "CAST(s_a AS HUGEINT) * s_a AS DOUBLE) / 10000.0 / " +
+        "(CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) - 1.0))) + " +
+        "(CAST(n_b AS DOUBLE) - 1.0) * (CAST(CAST(n_b AS HUGEINT) * ss_b - " +
+        "CAST(s_b AS HUGEINT) * s_b AS DOUBLE) / 10000.0 / " +
+        "(CAST(n_b AS DOUBLE) * (CAST(n_b AS DOUBLE) - 1.0)))) / " +
+        "(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0) AS pv FROM p) " +
+        "SELECT type_a, type_b, n_a, n_b, round(ma, 6) AS mean_a, " +
+        "round(mb, 6) AS mean_b, " +
+        "CASE WHEN n_a >= 2 AND n_b >= 2 AND pv > 0.0 THEN " +
+        "round((ma - mb) / sqrt(pv), 6) END AS cohens_d, " +
+        "CASE WHEN n_a >= 2 AND n_b >= 2 AND pv > 0.0 THEN " +
+        "CASE WHEN abs((ma - mb) / sqrt(pv)) < 0.2 THEN 'negligible' " +
+        "WHEN abs((ma - mb) / sqrt(pv)) < 0.5 THEN 'small' " +
+        "WHEN abs((ma - mb) / sqrt(pv)) < 0.8 THEN 'medium' " +
+        "ELSE 'large' END END AS magnitude FROM d"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

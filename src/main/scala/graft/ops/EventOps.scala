@@ -3124,6 +3124,96 @@ object EventOps {
         round(col("norm_value"), 6).as("norm_value"))
   }
 
+  /** Deterministic Poisson bootstrap CI for mean revenue per user —
+    * THE distributed bootstrap (Chamandy et al. '12): classic
+    * resampling needs n draws WITH replacement per replicate (a
+    * global shuffle per replicate), but Poisson(1) weights
+    * approximate multinomial counts independently PER ROW, so all R
+    * replicates ride one explode + one (replicate) aggregation. RNG-
+    * free: the weight comes from the Knuth id-hash of (user, r)
+    * through the Poisson(1) inverse CDF — order/partition-independent
+    * and replayable in SQL, the repo's sampling-family contract.
+    *
+    * Resampling is at USER grain (resample the cluster, not the row —
+    * per-user totals are the exchangeable unit), so the exploded
+    * frame is |users|·R, not events·R. Determinism: per-replicate
+    * weighted sums are exact BIGINT cents; each replicate mean is one
+    * pinned division; the CI is `percentile` over the R-row frame
+    * (exact interpolation parity). */
+  def bootstrapCiRevenue(events: DataFrame, reps: Int = 32): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val perUser = events.select(col("user_id"), cents.as("c"))
+      .groupBy("user_id").agg(sum("c").as("y"))
+    // Poisson(1) inverse CDF over the 32-bit hash uniform
+    val u = DocOps.knuthHash32(col("user_id") * lit(reps.toLong) +
+      col("r")).cast("double") / lit(4294967296.0)
+    val w = when(u < 0.367879441, 0L).when(u < 0.735758882, 1L)
+      .when(u < 0.919698603, 2L).when(u < 0.981011843, 3L)
+      .when(u < 0.996340153, 4L).when(u < 0.999405815, 5L)
+      .when(u < 0.999916758, 6L).otherwise(7L)
+    val repMeans = perUser
+      .select(col("user_id"), col("y"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .select(col("r"), col("y"), w.as("w"))
+      .groupBy("r")
+      .agg(sum(col("w") * col("y")).as("wy"), sum(col("w")).as("ws"))
+      .filter(col("ws") > 0L)
+      .select((col("wy").cast("double") / 100.0 /
+        col("ws").cast("double")).as("m"))
+    val obs = perUser.agg(count(lit(1)).as("n_users"),
+      sum(col("y")).as("sy"))
+    repMeans
+      .agg(count(lit(1)).as("n_replicates"),
+        round(expr("percentile(m, 0.025)"), 6).as("ci_low"),
+        round(expr("percentile(m, 0.975)"), 6).as("ci_high"))
+      .crossJoin(broadcast(obs))
+      .select(col("n_users"), col("n_replicates"),
+        round(col("sy").cast("double") / 100.0 /
+          col("n_users").cast("double"), 6).as("mean_obs"),
+        col("ci_low"), col("ci_high"))
+  }
+
+  /** Cohen's d between every event-type pair's value distributions —
+    * the EFFECT-SIZE companion to the z/t/U test family (a tiny p at
+    * scale says nothing about whether the difference matters; d
+    * measures it in pooled standard deviations, with the conventional
+    * 0.2/0.5/0.8 magnitude labels). All moments are exact cents sums
+    * (squares in DECIMAL(38,0)); the pooled sd and d are pinned
+    * double chains over the |types|² broadcast pair grid; degenerate
+    * pools (zero variance or n ≤ 2) → NULL. */
+  def cohensDTypePairs(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val m = events.select(col("event_type").as("t"), cents.as("c"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ss"))
+    def meanU(p: String) =
+      col(s"$p.s").cast("double") / 100.0 / col(s"$p.n").cast("double")
+    // (n·Σc² − (Σc)²)/(n·(n−1)) in cents² — the Welch form
+    def varU(p: String) =
+      (col(s"$p.n").cast("decimal(38,0)") * col(s"$p.ss") -
+        col(s"$p.s").cast("decimal(38,0)") * col(s"$p.s")).cast("double") /
+        10000.0 / (col(s"$p.n").cast("double") *
+          (col(s"$p.n").cast("double") - 1.0))
+    val pooledVar = ((col("a.n").cast("double") - 1.0) * varU("a") +
+      (col("b.n").cast("double") - 1.0) * varU("b")) /
+      (col("a.n").cast("double") + col("b.n").cast("double") - 2.0)
+    val d = (meanU("a") - meanU("b")) / sqrt(pooledVar)
+    val ok = col("a.n") >= 2L && col("b.n") >= 2L && pooledVar > lit(0.0)
+    m.as("a").join(broadcast(m.as("b")), col("a.t") < col("b.t"))
+      .select(col("a.t").as("type_a"), col("b.t").as("type_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"),
+        round(meanU("a"), 6).as("mean_a"),
+        round(meanU("b"), 6).as("mean_b"),
+        when(ok, round(d, 6)).as("cohens_d"),
+        when(ok,
+          when(abs(d) < 0.2, "negligible").when(abs(d) < 0.5, "small")
+            .when(abs(d) < 0.8, "medium").otherwise("large"))
+          .as("magnitude"))
+  }
+
   /** Expected / maximum calibration error over
     * [[scoreCalibrationBins]] — the two scalars a reliability diagram
     * compresses to: ECE = Σ (n_b/N)·|pos_rate_b − mean_score_b|

@@ -1168,6 +1168,47 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(gs(3L) == 6.0, gs)
   }
 
+  test("bootstrapCiRevenue: identical user totals collapse every " +
+    "replicate to the same mean; the run is hash-deterministic") {
+    def pev(i: Long, uid: Long) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), uid, "view", 10.0, "{}")
+    // 50 users, one 10.00 event each: any Poisson reweighting of
+    // identical values has mean exactly 10 -> degenerate CI
+    val events = (1L to 50L).map(u => pev(u, u)).toDF(evCols: _*)
+    val r = EventOps.bootstrapCiRevenue(events).collect().head
+    assert(r.getAs[Long]("n_users") == 50L &&
+      r.getAs[Long]("n_replicates") == 32L, r)
+    assert(r.getAs[Double]("mean_obs") == 10.0 &&
+      r.getAs[Double]("ci_low") == 10.0 &&
+      r.getAs[Double]("ci_high") == 10.0, r)
+    // deterministic: a second run is bit-identical (no RNG anywhere)
+    val r2 = EventOps.bootstrapCiRevenue(events).collect().head
+    assert(r.toSeq == r2.toSeq)
+  }
+
+  test("cohensDTypePairs: unit pooled variance gives the raw mean " +
+    "gap as d with the conventional magnitude label") {
+    def pev(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // a {1,2,3} vs b {4,5,6}: both sample variances 1 -> pooled sd 1,
+    // d = 2 - 5 = -3 -> large
+    val events = Seq(pev(1, "a", 1.0), pev(2, "a", 2.0), pev(3, "a", 3.0),
+      pev(4, "b", 4.0), pev(5, "b", 5.0), pev(6, "b", 6.0))
+      .toDF(evCols: _*)
+    val r = EventOps.cohensDTypePairs(events).collect().head
+    assert((r.getAs[String]("type_a"), r.getAs[String]("type_b")) ==
+      (("a", "b")), r)
+    assert(r.getAs[Double]("mean_a") == 2.0 &&
+      r.getAs[Double]("mean_b") == 5.0, r)
+    assert(r.getAs[Double]("cohens_d") == -3.0 &&
+      r.getAs[String]("magnitude") == "large", r)
+    // constant values in both groups -> zero pooled variance -> NULL
+    val flat = Seq(pev(1, "a", 2.0), pev(2, "a", 2.0),
+      pev(3, "b", 5.0), pev(4, "b", 5.0)).toDF(evCols: _*)
+    val rf = EventOps.cohensDTypePairs(flat).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("cohens_d")), rf)
+  }
+
   test("diffInDiff: planted 2x2 panel gives DiD 1.0 and z 2.0") {
     def pev(i: Long, uid: Long, hm: String, t: String) =
       (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")
