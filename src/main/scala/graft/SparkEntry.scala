@@ -827,6 +827,8 @@ object SparkEntry {
       ((s, d) => EventOps.bootstrapCiRevenue(events(s, d))),
     "cohens_d_type_pairs" ->
       ((s, d) => EventOps.cohensDTypePairs(events(s, d))),
+    "jensen_shannon_by_source" ->
+      ((s, d) => DocOps.jensenShannonBySource(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -6147,6 +6149,38 @@ object SparkEntry {
         "WHEN abs((ma - mb) / sqrt(pv)) < 0.5 THEN 'small' " +
         "WHEN abs((ma - mb) / sqrt(pv)) < 0.8 THEN 'medium' " +
         "ELSE 'large' END END AS magnitude FROM d"),
+    // Mirrors DocOps.jensenShannonBySource: present-terms-only scan,
+    // exact count ratios, the closed-form absent-mass ln2 correction,
+    // ONE final rounding over the two ln-term sums (the unigram_kl
+    // convention).
+    "jensen_shannon_by_source" ->
+      ("WITH t AS (SELECT source, unnest(regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+')) AS term FROM documents), " +
+        "sc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM t GROUP BY 1, 2), " +
+        "corpus AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS cnt_all " +
+        "FROM sc GROUP BY 1), " +
+        "stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS src_total " +
+        "FROM sc GROUP BY 1), " +
+        "ct AS (SELECT CAST(sum(cnt_all) AS BIGINT) AS n_total FROM corpus), " +
+        "j AS (SELECT sc.source, sc.cnt, corpus.cnt_all, stot.src_total, " +
+        "ct.n_total FROM sc JOIN corpus USING (term) " +
+        "JOIN stot USING (source) CROSS JOIN ct), " +
+        "a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms, " +
+        "sum((CAST(cnt AS DOUBLE) / CAST(src_total AS DOUBLE)) * " +
+        "ln((CAST(cnt AS DOUBLE) / CAST(src_total AS DOUBLE)) / " +
+        "((CAST(cnt AS DOUBLE) / CAST(src_total AS DOUBLE) + " +
+        "CAST(cnt_all AS DOUBLE) / CAST(n_total AS DOUBLE)) / 2.0))) AS sp, " +
+        "sum((CAST(cnt_all AS DOUBLE) / CAST(n_total AS DOUBLE)) * " +
+        "ln((CAST(cnt_all AS DOUBLE) / CAST(n_total AS DOUBLE)) / " +
+        "((CAST(cnt AS DOUBLE) / CAST(src_total AS DOUBLE) + " +
+        "CAST(cnt_all AS DOUBLE) / CAST(n_total AS DOUBLE)) / 2.0))) AS scl, " +
+        "CAST(sum(cnt_all) AS BIGINT) AS present_all, " +
+        "CAST(max(n_total) AS BIGINT) AS n_total FROM j GROUP BY 1) " +
+        "SELECT source, n_terms, " +
+        "round((sp + scl + 0.6931471805599453 * " +
+        "(1.0 - CAST(present_all AS DOUBLE) / CAST(n_total AS DOUBLE))) / 2.0, 6) " +
+        "AS js_vs_corpus FROM a"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

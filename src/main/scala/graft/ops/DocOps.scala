@@ -1716,6 +1716,47 @@ object DocOps {
           .as("kl_vs_corpus"))
   }
 
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * from the corpus — [[unigramKlBySource]]'s bounded symmetric
+    * sibling: KL explodes on terms the reference lacks and is
+    * asymmetric, while JS(P‖C) = ½KL(P‖M) + ½KL(C‖M), M = (P+C)/2,
+    * is finite always and capped at ln 2 — the divergence mixture
+    * weighting can actually compare across sources. Corpus terms the
+    * source never uses contribute in closed form (their mixture is
+    * c/2, so the term is c·ln 2): only PRESENT (source, term) rows
+    * are ever scanned, plus one exact absent-mass correction —
+    * no source × vocabulary grid is materialized.
+    *
+    * Determinism: all masses are exact BIGINT count ratios; the two
+    * ln-term sums follow the unigram_kl convention (identical double
+    * terms, ONE final rounding absorbing summation-order drift). */
+  def jensenShannonBySource(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val corpus = st.groupBy("term").agg(sum(col("cnt")).as("cnt_all"))
+    val srcTot = st.groupBy("source").agg(sum(col("cnt")).as("src_total"))
+    val corpTot = corpus.agg(sum(col("cnt_all")).as("n_total"))
+    val p = col("cnt").cast("double") / col("src_total").cast("double")
+    val c = col("cnt_all").cast("double") / col("n_total").cast("double")
+    val m = (p + c) / lit(2.0)
+    val ln2 = 0.6931471805599453
+    st.join(corpus, "term")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(corpTot))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(p * log(p / m)).as("sp"),
+        sum(c * log(c / m)).as("sc"),
+        sum(col("cnt_all")).as("present_all"),
+        max(col("n_total")).as("n_total"))
+      .select(col("source"), col("n_terms"),
+        round((col("sp") + col("sc") + lit(ln2) *
+          (lit(1.0) - col("present_all").cast("double") /
+            col("n_total").cast("double"))) / lit(2.0), 6)
+          .as("js_vs_corpus"))
+  }
+
   /** Heavy-hitter terms: every term whose corpus frequency is at least
     * `minShare` of all tokens, with its EXACT count — found without
     * ever shuffling the vocabulary.

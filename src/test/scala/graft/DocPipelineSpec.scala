@@ -685,6 +685,31 @@ class DocPipelineSpec extends SparkSpec {
     assert(perm.toSeq == got.values.map(_._3).toSeq.sorted)
   }
 
+  test("jensenShannonBySource: identical sources diverge zero; a " +
+    "disjoint-vocabulary source matches the closed form") {
+    // both sources have the same distribution -> P = C -> JS = 0
+    val same = Seq((1L, "a b", "en", "s1", 3L), (2L, "a b", "en", "s2", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val g0 = DocOps.jensenShannonBySource(same).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("js_vs_corpus"))
+      .toMap
+    assert(g0 == Map("s1" -> 0.0, "s2" -> 0.0), g0)
+    // s1 = {a}, s2 = {b}: corpus {a:.5, b:.5}. For s1: present term a
+    // (p=1, c=.5, m=.75) plus the absent-mass ln2 correction for b
+    val disj = Seq((1L, "a", "en", "s1", 1L), (2L, "b", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exp = BigDecimal((1.0 * math.log(1.0 / 0.75) +
+      0.5 * math.log(0.5 / 0.75) +
+      0.6931471805599453 * 0.5) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val g1 = DocOps.jensenShannonBySource(disj).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("js_vs_corpus"))
+      .toMap
+    assert(g1 == Map("s1" -> exp, "s2" -> exp), s"$g1 vs $exp")
+    // bounded by ln 2
+    assert(exp <= 0.693148, exp)
+  }
+
   test("chao1VocabRichness: hand-computed Chao1-bC and Good-Turing " +
     "coverage from planted hapax/dis counts") {
     // s1: "a a b c" -> V=3, N=4, f1=2 (b,c), f2=1 (a)
