@@ -50,7 +50,11 @@ object SequenceMining {
       .setMinSupport(minSupport)
       .setMaxPatternLength(maxLen)
       .setSequenceCol("sequence")
-      .findFrequentSequentialPatterns(weekSequences(events))
+      // prefix-growth re-reads the journey frame every recursion
+      // round — materialize it once (the audit at [[prefixspanContiguousAudit]]
+      // already does; without this MLlib warns "Input data is not cached"
+      // and replays the (user, week) collapse per round)
+      .findFrequentSequentialPatterns(weekSequences(events).localCheckpoint())
       .select(concat_ws(">", flatten(col("sequence"))).as("pattern"),
         col("freq").as("n_journeys"))
 

@@ -424,18 +424,21 @@ object EventOps {
     * sit near CV 1, heavy bursts push it far above, schedulers/bots
     * far below. The temporal-behavior profile of a stream.
     *
-    * Determinism: gaps are exact BIGINT epoch-second differences from
-    * ONE ordered window pass; Σg and Σg² aggregate as exact integers
-    * (gaps ≤ ~10⁶ s, squares ≤ 10¹², corpus sums well under 2⁶³),
-    * and μ, σ, CV are pinned-order double arithmetic on them —
-    * the [[graft.ops.DocOps.neymanAllocation]] moment pattern. */
+    * Determinism: gaps are exact BIGINT epoch-second differences —
+    * computed by [[graft.ops.RankOps.groupedGaps]]' bucketed lag with
+    * boundary stitching rather than a flat per-type window (with ~5
+    * event types, `lag OVER (PARTITION BY event_type ORDER BY ts)`
+    * sorts each type's ENTIRE history in one task at cluster scale;
+    * the composite (type, time-bucket) lag keeps it parallel, and the
+    * gap multiset is identical since floor-epoch is monotone in ts
+    * and ties gap to 0 under any tie order). Σg and Σg² aggregate as
+    * exact integers (gaps ≤ ~10⁶ s, squares ≤ 10¹², corpus sums well
+    * under 2⁶³), and μ, σ, CV are pinned-order double arithmetic on
+    * them — the [[graft.ops.DocOps.neymanAllocation]] moment pattern. */
   def interarrivalStats(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("ts").asc, col("event_id").asc)
-    val gaps = events.select(col("event_type"),
-        (unix_timestamp(col("ts")) -
-          unix_timestamp(lag(col("ts"), 1).over(w))).as("g"))
-      .filter(col("g").isNotNull)
+    val gaps = RankOps.groupedGaps(
+      events.select(col("event_type"), col("ts")),
+      Seq("event_type"), unix_timestamp(col("ts")), "g")
     val m = gaps.groupBy("event_type").agg(
       count(lit(1)).as("n_gaps"),
       sum(col("g")).as("sg"),
@@ -3090,22 +3093,24 @@ object EventOps {
     * round-half-up j = 1 + ⌊(2·(r−1)·(N−1) + (n−1)) / (2·(n−1))⌋
     * (singleton types land on the median position (N+1) div 2).
     *
-    * Scale: the within-type ranks are per-type parallel windows; the
-    * GLOBAL rank — the part a naive implementation serializes — is
-    * [[graft.ops.RankOps.globalRank]]'s two-level prefix sum (cents
-    * as the monotone bucket key), and the position lookup is one
-    * equi-join on j. No unpartitioned sort touches the event frame. */
+    * Scale: BOTH rank sides run the two-level prefix sum — the global
+    * rank via [[graft.ops.RankOps.globalRank]] and the within-type
+    * rank via [[graft.ops.RankOps.groupedRank]] (cents as the
+    * monotone bucket key in each). `event_type` is a ~5-value domain,
+    * so a flat `Window.partitionBy(event_type)` would sort each
+    * type's ENTIRE history in one task at cluster scale; the
+    * composite (type, bucket) window keeps parallelism at #types ×
+    * #buckets, with only the per-(type, bucket) offset frame riding a
+    * bounded serial prefix per type. The position lookup is one
+    * equi-join on j. */
   def quantileNormalizeByType(events: DataFrame): DataFrame = {
     val base = events.select(col("event_id"), col("event_type"),
       col("value"))
-    val wT = Window.partitionBy("event_type")
-      .orderBy(col("value").asc, col("event_id").asc)
-    val ranked = base
-      .withColumn("r_t", row_number().over(wT).cast("long"))
-      .withColumn("n_t",
-        count(lit(1)).over(Window.partitionBy("event_type")))
     val cents = (col("value").cast("decimal(12,2)") * lit(100))
       .cast("long")
+    val ranked = RankOps.groupedRank(base, Seq("event_type"), cents,
+      Seq(col("value").asc, col("event_id").asc), "r_t",
+      countName = "n_t")
     val global = RankOps.globalRank(base, cents,
       Seq(col("value").asc, col("event_id").asc), "g_rank")
       .select(col("g_rank").as("j"), col("value").as("norm_value"))
@@ -3113,11 +3118,14 @@ object EventOps {
       base.agg(count(lit(1)).as("n_all"))))
     // integer `div` keeps the position exact (a double `/` loses
     // ulps past 2^53 — the numerator reaches 2·N² at scale); the
-    // 2·(r−1)·(N−1) product overflows BIGINT past N ≈ 2e9 rows —
-    // switch to DECIMAL(38,0) there (stated, not silent)
+    // 2·(r−1)·(N−1) product runs in DECIMAL(38,0) UNCONDITIONALLY so
+    // it cannot overflow BIGINT past N ≈ 2e9 rows (under non-ANSI
+    // Spark that overflow would be silent — ADVICE r14); the decimal
+    // `div` is still an exact integral divide returning BIGINT
     val j = when(col("n_t") === 1L, expr("(n_all + 1) div 2"))
-      .otherwise(expr("1 + (2 * (r_t - 1) * (n_all - 1) + (n_t - 1)) " +
-        "div (2 * (n_t - 1))"))
+      .otherwise(expr(
+        "1 + (2 * (CAST(r_t AS DECIMAL(38,0)) - 1) * (n_all - 1) " +
+          "+ (n_t - 1)) div (CAST(2 AS DECIMAL(38,0)) * (n_t - 1))"))
     n.withColumn("j", j.cast("long"))
       .join(global, "j")
       .select(col("event_id"), col("event_type"), col("value"),

@@ -185,6 +185,138 @@ object RankOps {
       .drop(BKey, "__gs_run", "__gs_offset", "__gs_key", "__gs_v")
   }
 
+  /** Exact `row_number() OVER (PARTITION BY groupCols ORDER BY order…)`
+    * as `rankName` (LONG, 1-based), plus the per-group row count as
+    * `countName` when non-empty — the COMPOSITE-KEY form of
+    * [[globalRank]] for LOW-CARDINALITY group domains.
+    *
+    * Why this exists: `Window.partitionBy(tinyDomainCol)` over a raw
+    * fact frame is the global-sort trap in disguise — with ~5 distinct
+    * `event_type`s, each type's ENTIRE history sorts in ONE task at
+    * cluster scale while the rest idle. The fix is the same two-level
+    * prefix sum as [[globalRank]], keyed by (group, bucket) instead of
+    * bucket alone:
+    *
+    *   1. range-bucket rows on `bucketKey` (global geometry — per-group
+    *      buckets are just sparse);
+    *   2. `row_number` within each (group, bucket) — parallelism =
+    *      #groups × #buckets;
+    *   3. per-(group, bucket) counts, exclusive prefix-summed WITHIN
+    *      each group over the bucket ordinal — each group's offset
+    *      partition holds ≤ targetBuckets + 1 rows by construction, so
+    *      that window is the bounded-serial case, run in parallel
+    *      across groups;
+    *   4. group rank = per-(group, bucket) offset + intra rank.
+    *
+    * Contract: `bucketKey` is non-null and monotone non-decreasing in
+    * `order` WITHIN every group; `order` is a total order per group;
+    * the group domain is small enough that |groups| × (targetBuckets
+    * + 1) offset rows broadcast (the low-cardinality case is exactly
+    * when the flat window is dangerous — a high-cardinality partition
+    * key is already parallel and needs no decomposition). */
+  def groupedRank(df: DataFrame, groupCols: Seq[String],
+      bucketKey: Column, order: Seq[Column], rankName: String,
+      countName: String = "", targetBuckets: Long = 4096L): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRank needs at least one group " +
+      "column — use globalRank for the ungrouped form")
+    val kIn = "__gg_key"
+    val base = df.withColumn(kIn, bucketKey.cast("long")).localCheckpoint()
+    val st = base.agg(min(col(kIn)), max(col(kIn)), count(lit(1)),
+      count(when(col(kIn).isNull, lit(1)))).head()
+    if (st.getLong(2) == 0L) {
+      val out = base.withColumn(rankName, lit(1L)).drop(kIn)
+      return if (countName.isEmpty) out
+        else out.withColumn(countName, lit(0L))
+    }
+    require(st.getLong(3) == 0L, s"groupedRank($rankName): " +
+      s"${st.getLong(3)} rows have a NULL bucket key — the non-null " +
+      "contract would silently drop them from the rank")
+    val (lo, width) = loAndWidth(st.getLong(0), st.getLong(1), targetBuckets)
+    val bucketed = base
+      .withColumn(BKey, expr(s"($kIn - ${lo}L) div ${width}L"))
+    val gCols = groupCols.map(col)
+    val intra = bucketed.withColumn("__gg_intra",
+      row_number().over(
+        Window.partitionBy(gCols :+ col(BKey): _*)
+          .orderBy(order: _*)).cast("long"))
+    // One row per (group, bucket); the prefix window partitions by the
+    // GROUP and orders by the bucket ordinal, so each partition is
+    // ≤ targetBuckets + 1 rows — bounded by construction, parallel
+    // across groups.
+    val perGroup = Window.partitionBy(gCols: _*)
+    val offsets = bucketed
+      .groupBy(gCols :+ col(BKey): _*).agg(count(lit(1)).as("__gg_cnt"))
+      .withColumn("__gg_offset",
+        sum(col("__gg_cnt")).over(perGroup.orderBy(col(BKey).asc)) -
+          col("__gg_cnt"))
+      .withColumn("__gg_n", sum(col("__gg_cnt")).over(perGroup))
+      .select(gCols ++ Seq(col(BKey), col("__gg_offset"), col("__gg_n")): _*)
+    val joined = intra.join(broadcast(offsets), groupCols :+ BKey)
+      .withColumn(rankName, col("__gg_offset") + col("__gg_intra"))
+    val out = joined
+      .drop(BKey, "__gg_intra", "__gg_offset", kIn)
+    if (countName.isEmpty) out.drop("__gg_n")
+    else out.withColumnRenamed("__gg_n", countName)
+  }
+
+  /** The multiset of CONSECUTIVE GAPS of `key` in per-group sorted
+    * order — exactly the non-null values of `key − lag(key) OVER
+    * (PARTITION BY groupCols ORDER BY key…)`, without the flat
+    * per-group window that serializes each group's whole history in
+    * one task when the group domain is tiny (~5 event types).
+    *
+    * Two-level shape with BOUNDARY STITCHING: range-bucket on `key`
+    * (monotone, so each (group, bucket) holds a contiguous run of the
+    * group's sorted sequence), lag WITHIN (group, bucket) for the
+    * intra-run gaps, then one stitch row per non-empty bucket edge —
+    * `min(key)` of a bucket minus `max(key)` of the group's previous
+    * non-empty bucket, via a lag over the per-(group, bucket) bounds
+    * frame (≤ targetBuckets + 1 rows per group's partition). Gap
+    * VALUES depend only on the sorted key multiset (ties gap to 0
+    * under any tie order), so no tie-break column is needed and the
+    * result is deterministic.
+    *
+    * Returns one row per consecutive pair: `groupCols…, gapName`
+    * (LONG). Contract: `key` casts losslessly to LONG and is non-null.
+    */
+  def groupedGaps(df: DataFrame, groupCols: Seq[String], key: Column,
+      gapName: String, targetBuckets: Long = 4096L): DataFrame = {
+    require(groupCols.nonEmpty, "groupedGaps needs at least one group column")
+    val gCols = groupCols.map(col)
+    val base = df.select(gCols :+ key.cast("long").as("__gg_k"): _*)
+      .localCheckpoint()
+    val st = base.agg(min(col("__gg_k")), max(col("__gg_k")),
+      count(lit(1)), count(when(col("__gg_k").isNull, lit(1)))).head()
+    if (st.getLong(2) == 0L) {
+      return base.select(gCols :+ lit(0L).as(gapName): _*)
+    }
+    require(st.getLong(3) == 0L, s"groupedGaps($gapName): " +
+      s"${st.getLong(3)} rows have a NULL key — the non-null contract " +
+      "would silently drop their gaps")
+    val (lo, width) = loAndWidth(st.getLong(0), st.getLong(1), targetBuckets)
+    val bucketed = base
+      .withColumn(BKey, expr(s"(__gg_k - ${lo}L) div ${width}L"))
+    val intra = bucketed
+      .withColumn(gapName, col("__gg_k") -
+        lag(col("__gg_k"), 1).over(
+          Window.partitionBy(gCols :+ col(BKey): _*)
+            .orderBy(col("__gg_k").asc)))
+      .filter(col(gapName).isNotNull)
+      .select(gCols :+ col(gapName): _*)
+    // One row per non-empty (group, bucket); the stitch lag partitions
+    // by the group over ≤ targetBuckets + 1 bucket rows — bounded.
+    val bounds = bucketed
+      .groupBy(gCols :+ col(BKey): _*)
+      .agg(min(col("__gg_k")).as("__gg_lo"), max(col("__gg_k")).as("__gg_hi"))
+    val stitched = bounds
+      .withColumn(gapName, col("__gg_lo") -
+        lag(col("__gg_hi"), 1).over(
+          Window.partitionBy(gCols: _*).orderBy(col(BKey).asc)))
+      .filter(col(gapName).isNotNull)
+      .select(gCols :+ col(gapName): _*)
+    intra.unionByName(stitched)
+  }
+
   private val BKey = "__gr_bucket"
   private val NKey = "__gr_n_total"
 

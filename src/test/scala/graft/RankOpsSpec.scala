@@ -156,6 +156,75 @@ class RankOpsSpec extends SparkSpec {
     assert(t.columns.contains("t") && t.count() === 0L)
   }
 
+  test("groupedRank matches the flat partitioned row_number across " +
+    "bucket widths, group count included") {
+    // groups: v % 3 gives three groups with uneven sizes; ties in m
+    // within groups force the tie-break through id.
+    val gx = fx.withColumn("grp", (col("v") % 3).cast("string"))
+    val flat = gx
+      .withColumn("r", row_number().over(
+        Window.partitionBy("grp").orderBy(col("m").asc, col("id").asc))
+        .cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("grp")))
+    for (tb <- Seq(1L, 3L, 4096L)) {
+      val two = RankOps.groupedRank(gx, Seq("grp"), col("m") * 100,
+        Seq(col("m").asc, col("id").asc), "r", countName = "n",
+        targetBuckets = tb)
+      assert(two.select("id", "r", "n").except(flat.select("id", "r", "n")).isEmpty &&
+        flat.select("id", "r", "n").except(two.select("id", "r", "n")).isEmpty,
+        s"grouped rank mismatch at targetBuckets=$tb")
+    }
+  }
+
+  test("groupedRank: empty input keeps schema; NULL bucket key fails loudly") {
+    val gx = fx.withColumn("grp", (col("v") % 3).cast("string"))
+    val empty = RankOps.groupedRank(gx.filter(col("id") < 0L), Seq("grp"),
+      col("m"), Seq(col("m").asc), "r", countName = "n")
+    assert(empty.columns.contains("r") && empty.columns.contains("n") &&
+      empty.count() === 0L)
+    val withNull = gx.withColumn("m",
+      when(col("id") === 7L, lit(null)).otherwise(col("m")))
+    val e = intercept[IllegalArgumentException] {
+      RankOps.groupedRank(withNull, Seq("grp"), col("m"),
+        Seq(col("m").asc, col("id").asc), "r").count()
+    }
+    assert(e.getMessage.contains("NULL bucket key"), e.getMessage)
+  }
+
+  test("groupedGaps matches the flat partitioned lag gap multiset " +
+    "across bucket widths, duplicate keys included") {
+    // keys deliberately collide within groups (k = (id * 7) % 23) so
+    // zero gaps and tie runs cross bucket edges.
+    val gx = fx.withColumn("grp", (col("v") % 3).cast("string"))
+      .withColumn("k", (col("id") * 7) % 23)
+    val flat = gx.select(col("grp"),
+        (col("k") - lag(col("k"), 1).over(
+          Window.partitionBy("grp").orderBy(col("k").asc, col("id").asc)))
+          .as("g"))
+      .filter(col("g").isNotNull)
+      .groupBy("grp", "g").count()
+    for (tb <- Seq(1L, 3L, 5L, 4096L)) {
+      val two = RankOps.groupedGaps(gx, Seq("grp"), col("k"), "g",
+        targetBuckets = tb)
+        .groupBy("grp", "g").count()
+      assert(two.except(flat).isEmpty && flat.except(two).isEmpty,
+        s"gap multiset mismatch at targetBuckets=$tb")
+    }
+  }
+
+  test("groupedGaps: empty input yields zero rows; NULL key fails loudly") {
+    val gx = fx.withColumn("grp", (col("v") % 3).cast("string"))
+    val empty = RankOps.groupedGaps(gx.filter(col("id") < 0L),
+      Seq("grp"), col("v"), "g")
+    assert(empty.columns.contains("g") && empty.count() === 0L)
+    val withNull = gx.withColumn("v",
+      when(col("id") === 7L, lit(null)).otherwise(col("v")))
+    val e = intercept[IllegalArgumentException] {
+      RankOps.groupedGaps(withNull, Seq("grp"), col("v"), "g").count()
+    }
+    assert(e.getMessage.contains("NULL key"), e.getMessage)
+  }
+
   test("rank cuts plan no unpartitioned window over an entity frame") {
     // The scale posture the rewrite exists for: in rfm/lorenz/gini,
     // every serial (unpartitioned) window must run over a frame
