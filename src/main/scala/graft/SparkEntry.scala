@@ -687,6 +687,7 @@ object SparkEntry {
     "benford_first_digit" ->
       ((s, d) => ProfileOps.benfordFirstDigit(orders(s, d), "o_totalprice")),
     "sequence_packing" -> ((s, d) => DocOps.sequencePacking(documents(s, d))),
+    "packed_shards" -> ((s, d) => DocOps.packedShards(documents(s, d))),
     // ---- round-11 batch 9: hash-gated clustering + series memory ----
     "kmeans_code_rounds" ->
       ((s, d) => VectorOps.kmeansCodeRounds(embeddings(s, d))),
@@ -854,10 +855,14 @@ object SparkEntry {
       m: Int): String = {
     val sub = s"CAST(len($e) // $m AS BIGINT)"
     val idx = s"$b * $sub + i + 1"
-    s"list_sum(list_transform(range(CASE WHEN $b = ${m - 1} " +
+    // coalesce pins the degenerate empty block (m > dim ⇒ sub = 0 for
+    // non-last blocks) to 0.0: DuckDB's list_sum over an empty list is
+    // NULL, while the Spark HOF and the native PqBlockL2 both return
+    // 0.0 there (ADVICE r14 — three-rail agreement)
+    s"coalesce(list_sum(list_transform(range(CASE WHEN $b = ${m - 1} " +
       s"THEN len($e) - $b * $sub ELSE $sub END), " +
       s"i -> (CAST($e[$idx] AS DOUBLE) - CAST($c[$idx] AS DOUBLE)) * " +
-      s"(CAST($e[$idx] AS DOUBLE) - CAST($c[$idx] AS DOUBLE))))"
+      s"(CAST($e[$idx] AS DOUBLE) - CAST($c[$idx] AS DOUBLE)))), 0.0)"
   }
 
   /** Shared DuckDB CTE chain for the pinned-PQ pipeline: codebook →
@@ -4322,6 +4327,30 @@ object SparkEntry {
         "CAST((cum - n_tokens) // 2048 AS BIGINT) " +
         "THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling " +
         "FROM p GROUP BY 1, 2"),
+    // Mirrors DocOps.packedShards: the shard_assignments doc-grain
+    // char prefix (exclusive, per source in doc_id order) assigns
+    // shard_id, then the sequence_packing window runs WITHIN
+    // (source, shard_id).
+    "packed_shards" ->
+      ("WITH c AS (SELECT doc_id, source, " +
+        "CAST(length(regexp_extract_all(text, " +
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id) " +
+        "AS BIGINT) - n_chars AS cum_excl FROM documents), " +
+        "s AS (SELECT doc_id, source, n_tokens, " +
+        "CAST(cum_excl // 10000 AS BIGINT) AS shard_id FROM c), " +
+        "p AS (SELECT source, shard_id, doc_id, n_tokens, " +
+        "CAST(sum(n_tokens) OVER (PARTITION BY source, shard_id " +
+        "ORDER BY n_tokens DESC, doc_id ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum FROM s WHERE n_tokens > 0) " +
+        "SELECT source, shard_id, " +
+        "CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq, " +
+        "CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_tokens) AS BIGINT) AS tokens_started, " +
+        "CAST(sum(CASE WHEN CAST((cum - 1) // 2048 AS BIGINT) > " +
+        "CAST((cum - n_tokens) // 2048 AS BIGINT) " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling " +
+        "FROM p GROUP BY 1, 2, 3"),
     // Mirrors VectorOps.kmeansCodeRounds: the knn_quantized code CTE,
     // the knn_ivf_pinned row_number assignment, integer SUM vectors as
     // round-2 centroids (cosine scale-invariance makes sum ≡ mean —
@@ -5502,6 +5531,11 @@ object SparkEntry {
     // chain, the pinned A&S 26.2.17 two-sided p (6dp-rounded before
     // any comparison), ranks and the step-up suffix min as self-joins
     // over the tiny pairs frame — no window, total (p, ta, tb) order.
+    // RESIDUAL LIBM ASSUMPTION: exp(−z²/2) is evaluated by DuckDB's C
+    // exp here vs JVM Math.exp on the Spark side; a 1-ulp divergence
+    // landing exactly on the 6dp rounding boundary would red-row
+    // data-dependently (see the EventOps.bhFdrTypePairs comment for
+    // why no pinning scheme can remove this particular risk).
     "bh_fdr_type_pairs" ->
       ("WITH " + mannWhitneyCtes + ", " +
         "mw AS (" + mannWhitneySelect + "), " +
@@ -5619,11 +5653,12 @@ object SparkEntry {
         "np AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n FROM nv GROUP BY 1), " +
         "bl AS (SELECT sv.lbl, sum(CAST(s * s AS DOUBLE)) AS ssq FROM sv GROUP BY 1), " +
         "sall AS (SELECT i, sum(CAST(s AS DOUBLE)) AS s FROM sv GROUP BY 1), " +
-        "u AS (SELECT bl.lbl, bl.ssq, np.n FROM bl JOIN np USING (lbl) " +
-        "UNION ALL SELECT 'ALL' AS lbl, " +
+        "u AS (SELECT bl.lbl, FALSE AS is_overall, bl.ssq, np.n " +
+        "FROM bl JOIN np USING (lbl) " +
+        "UNION ALL SELECT 'ALL' AS lbl, TRUE AS is_overall, " +
         "(SELECT sum(CAST(s * s AS DOUBLE)) FROM sall) AS ssq, " +
         "(SELECT CAST(sum(n) AS BIGINT) FROM np) AS n) " +
-        "SELECT lbl AS label, n AS n_vecs, " +
+        "SELECT lbl AS label, is_overall, n AS n_vecs, " +
         "CASE WHEN n >= 2 THEN " +
         "round((ssq - CAST(n AS DOUBLE)) / " +
         "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6) " +

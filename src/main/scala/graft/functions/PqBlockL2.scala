@@ -98,7 +98,14 @@ object PqBlockL2 {
       m: Int): java.lang.Double = {
     require(m >= 1 && b >= 0 && b < m,
       s"graft_pq_block_l2: block $b out of range for m=$m")
-    val len = math.min(e.numElements(), c.numElements())
+    // block bounds derive from the FIRST array's length ALONE — the
+    // pinned HOF reference (pqBlockDist) and the DuckDB mirror both
+    // do, and a min() here would silently truncate length-mismatched
+    // inputs where those rails yield null (ADVICE r14: bit-parity
+    // means agreeing on the degenerate case too) — so mismatches
+    // return null, exactly like element_at past the short array
+    if (e.numElements() != c.numElements()) return null
+    val len = e.numElements()
     val sub = len / m
     val start = b * sub
     val end = if (b == m - 1) len else start + sub
@@ -118,7 +125,9 @@ object PqBlockL2 {
       m: Int): java.lang.Double = {
     require(m >= 1 && b >= 0 && b < m,
       s"graft_pq_block_l2: block $b out of range for m=$m")
-    val len = math.min(e.numElements(), c.numElements())
+    // first array's length alone + null on mismatch — see [[evalBlock]]
+    if (e.numElements() != c.numElements()) return null
+    val len = e.numElements()
     val sub = len / m
     val start = b * sub
     val end = if (b == m - 1) len else start + sub

@@ -3579,6 +3579,18 @@ object EventOps {
     // two-sided p through the native A&S 26.2.17 tail expression
     // (graft.functions.NormalTail — codegen'd, chain-pinned to the
     // oracle's parenthesization)
+    //
+    // RESIDUAL LIBM ASSUMPTION (ADVICE r14, documented not hidden):
+    // unlike sprtDailyAb, which pins its ln values as JVM double
+    // literals, the tail here re-evaluates exp(−z²/2) on BOTH rails —
+    // JVM Math.exp vs DuckDB's C exp. Everything downstream of the
+    // 6dp round is pinned double arithmetic on identical inputs, so
+    // the ONLY divergence point is a ≤1-ulp libm difference in exp
+    // landing EXACTLY on a 6dp rounding boundary (probability ~1e-10
+    // per pair; re-pinning to micro-units cannot remove it because
+    // the risk sits at the first rint itself, and pinning z as
+    // literals is impossible for data-dependent values). If the gate
+    // ever red-rows here with |got−exp| = 1e-6 on p/p_bh, this is why.
     // the pairs frame is ≤ |types|²/2 rows but its lineage is the
     // whole Mann–Whitney pipeline — materialize ONCE (the RankOps
     // convention) so the three references below don't re-run it

@@ -259,6 +259,59 @@ object RankOps {
     else out.withColumnRenamed("__gg_n", countName)
   }
 
+  /** Exact running SUM of `valueCol` over the per-group total order —
+    * the COMPOSITE-KEY form of [[globalRunningSum]], for the same
+    * low-cardinality group domains [[groupedRank]] exists for: a
+    * running sum `OVER (PARTITION BY source ORDER BY …)` with ~4
+    * sources puts each source's whole frame through one task. Same
+    * two-level shape keyed by (group, bucket): intra-bucket running
+    * sums under the composite window, per-(group, bucket) value totals
+    * exclusive-prefix-summed WITHIN each group (≤ targetBuckets + 1
+    * rows per group partition), broadcast back.
+    *
+    * Contract (same as [[groupedRank]] + [[globalRunningSum]]):
+    * `bucketKey` non-null and monotone non-decreasing in `order`
+    * within every group; `order` a TOTAL order per group; `valueCol`
+    * casts losslessly to LONG; |groups| × (targetBuckets + 1) offset
+    * rows broadcast. */
+  def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
+      bucketKey: Column, order: Seq[Column], valueCol: Column,
+      sumName: String, targetBuckets: Long = 4096L): DataFrame = {
+    require(groupCols.nonEmpty, "groupedRunningSum needs at least one " +
+      "group column — use globalRunningSum for the ungrouped form")
+    val base = df.withColumn("__gs_key", bucketKey.cast("long"))
+      .withColumn("__gs_v", valueCol.cast("long"))
+      .localCheckpoint()
+    val st = base.agg(min(col("__gs_key")), max(col("__gs_key")),
+      count(lit(1)), count(when(col("__gs_key").isNull, lit(1)))).head()
+    if (st.getLong(2) == 0L) {
+      return base.withColumn(sumName, lit(0L)).drop("__gs_key", "__gs_v")
+    }
+    require(st.getLong(3) == 0L, s"groupedRunningSum($sumName): " +
+      s"${st.getLong(3)} rows have a NULL bucket key — the non-null " +
+      "contract would silently drop them from the prefix")
+    val (lo, width) = loAndWidth(st.getLong(0), st.getLong(1), targetBuckets)
+    val gCols = groupCols.map(col)
+    val bucketed = base
+      .withColumn(BKey, expr(s"(__gs_key - ${lo}L) div ${width}L"))
+    val intra = bucketed.withColumn("__gs_run",
+      sum(col("__gs_v")).over(
+        Window.partitionBy(gCols :+ col(BKey): _*).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // One row per (group, bucket); each group's prefix partition holds
+    // ≤ targetBuckets + 1 rows — bounded, parallel across groups.
+    val offsets = bucketed
+      .groupBy(gCols :+ col(BKey): _*).agg(sum(col("__gs_v")).as("__gs_cnt"))
+      .withColumn("__gs_offset",
+        coalesce(sum(col("__gs_cnt")).over(
+          Window.partitionBy(gCols: _*).orderBy(col(BKey).asc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(gCols ++ Seq(col(BKey), col("__gs_offset")): _*)
+    intra.join(broadcast(offsets), groupCols :+ BKey)
+      .withColumn(sumName, col("__gs_offset") + col("__gs_run"))
+      .drop(BKey, "__gs_run", "__gs_offset", "__gs_key", "__gs_v")
+  }
+
   /** The multiset of CONSECUTIVE GAPS of `key` in per-group sorted
     * order — exactly the non-null values of `key − lag(key) OVER
     * (PARTITION BY groupCols ORDER BY key…)`, without the flat

@@ -1021,13 +1021,20 @@ object VectorOps {
     val sub = (len / lit(m)).cast("int")
     val start = b * sub
     val cnt = when(b === lit(m - 1), len - start).otherwise(sub)
-    aggregate(
-      transform(sequence(lit(0), cnt - lit(1)), i => {
-        val d = element_at(e, start + i + lit(1)).cast("double") -
-          element_at(c, start + i + lit(1)).cast("double")
-        d * d
-      }),
-      lit(0.0), (acc, x) => acc + x)
+    // guard the empty-block fold (degenerate m > dim ⇒ sub = 0 for
+    // non-last blocks): Spark's sequence(0, -1) counts DOWN, so the
+    // unguarded transform would evaluate element_at(e, 0) and throw
+    // "array indices start at 1" while the native PqBlockL2 returns
+    // 0.0 — the DedupOps.shingles footgun, same fix (ADVICE r14)
+    when(cnt > lit(0),
+      aggregate(
+        transform(sequence(lit(0), cnt - lit(1)), i => {
+          val d = element_at(e, start + i + lit(1)).cast("double") -
+            element_at(c, start + i + lit(1)).cast("double")
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x))
+      .otherwise(lit(0.0))
   }
 
   /** Pinned PQ codebook — the [[sampleCentroids]] convention applied
@@ -1452,14 +1459,22 @@ object VectorOps {
       .groupBy(col("label").cast("string").as("lbl"))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    // the corpus-wide row is marked by a dedicated BOOLEAN column, not
+    // a sentinel label string — a dataset whose label stringifies to
+    // "ALL" would otherwise emit two indistinguishable rows (ADVICE
+    // r14); the ALL row keeps label "ALL" for display but is uniquely
+    // identified by is_overall
     val byLabel = s.groupBy("lbl").agg(sum(col("s") * col("s")).as("ssq"))
       .join(nPer, "lbl")
+      .withColumn("is_overall", lit(false))
     val overall = s.groupBy("i").agg(sum(col("s")).as("s"))
       .agg(sum(col("s") * col("s")).as("ssq"))
       .crossJoin(broadcast(nPer.agg(sum(col("n")).as("n"))))
-      .select(lit("ALL").as("lbl"), col("ssq"), col("n"))
+      .select(lit("ALL").as("lbl"), col("ssq"), col("n"),
+        lit(true).as("is_overall"))
     byLabel.unionByName(overall)
-      .select(col("lbl").as("label"), col("n").as("n_vecs"),
+      .select(col("lbl").as("label"), col("is_overall"),
+        col("n").as("n_vecs"),
         when(col("n") >= 2L,
           round((col("ssq") - col("n").cast("double")) /
             (col("n").cast("double") * (col("n").cast("double") - lit(1.0))),

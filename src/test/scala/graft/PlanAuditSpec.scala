@@ -394,13 +394,48 @@ class PlanAuditSpec extends SparkSpec {
       s"banded join lost its event_type equi-key:\n$plan")
   }
 
-  test("sequencePacking: one partitioned window, no extra exchanges") {
-    val plan = planOf(DocOps.sequencePacking(Tables.documents(spark, sf0)))
-    assert("Window".r.findAllIn(plan).length == 1, plan)
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges <= 2, s"window + final agg only:\n$plan")
-    // partitioned by source, never a single-partition global window
+  test("sequencePacking: composite (source, bucket) prefix windows, " +
+      "bounded offsets broadcast, no single-partition window") {
+    val df = DocOps.sequencePacking(Tables.documents(spark, sf0))
+    val plan = planOf(df)
+    // the groupedRunningSum shape: intra window partitioned by
+    // (source, __gr_bucket), offsets window by source over the
+    // per-bucket totals aggregate, offsets broadcast back
+    assert(plan.contains("__gr_bucket"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("Exchange SinglePartition"), plan)
+    // no window partitioned by the bare tiny source domain over a
+    // non-collapsed frame (the r15 sweep's invariant, asserted here
+    // at the operator too)
+    assert(tinyDomainWindowOffenders(df.queryExecution.executedPlan).isEmpty)
+  }
+
+  test("packedShards: no window partition exceeds shard grain") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = DocOps.packedShards(Tables.documents(spark, sf0))
+    def expand(x: SparkPlan): Seq[SparkPlan] =
+      x.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => (a: SparkPlan) +: expand(a.executedPlan)
+        case n => Seq(n)
+      }
+    val windows = expand(df.queryExecution.executedPlan).collect {
+      case w: WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    for (w <- windows) {
+      val keys = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+      // every window is either the packing window at (source,
+      // shard_id) grain — char-bounded partitions by construction —
+      // or a groupedRunningSum internal keyed by the bucket ordinal
+      assert(keys.contains("shard_id") || keys.contains("__gr_bucket") ||
+        // the per-(source) offsets prefix runs over the ≤ buckets+1
+        // per-bucket totals aggregate, bounded by construction
+        w.child.toString.contains("Aggregate"),
+        s"window partitioned above shard grain (keys=$keys):\n$w")
+    }
+    assert(tinyDomainWindowOffenders(df.queryExecution.executedPlan).isEmpty)
   }
 
   test("typeAssocRules: margins broadcast; basket self-join keeps its " +
@@ -499,6 +534,98 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"serial windows over non-collapsed frames:\n" +
         offenders.mkString("\n---\n"))
+  }
+
+  // Column names whose value domain is structurally TINY (a handful of
+  // categorical values, data-size-independent). A window partitioned
+  // ONLY by these is the serial-sort trap in disguise: each partition
+  // holds a data-proportional slice (≈ N / |domain| rows) that one
+  // task must sort — the r14 quantileNormalizeByType/interarrivalStats
+  // lesson (judge task r15#2), as a regression gate like the
+  // unpartitioned sweep became in r12.
+  private val tinyDomainPartitionKeys = Set(
+    "event_type", "et",              // ~5 event types
+    "source",                        // ~4 document sources
+    "lang", "language",              // ~5 languages
+    "priority", "o_orderpriority",   // 5 TPC-H priorities
+    "l_returnflag", "l_linestatus",  // 3 / 2 values
+    "l_shipmode", "shipmode",        // 7 values
+    "r_name", "region",              // 5 regions
+    "arm",                           // 2 experiment arms
+    "dow",                           // 7 weekdays
+    "half"                           // 2 drift halves
+  )
+
+  /** The shared detector for the tiny-domain sweep and its regression
+    * fixture: windows whose EVERY partition key is drawn from the
+    * tiny-domain set and whose child is not already collapsed by an
+    * aggregate (HashAggregate/ObjectHashAggregate/SortAggregate —
+    * a collapsed child is bounded-per-partition by construction) nor
+    * capped by a rank-limit pushdown (WindowGroupLimit: the PARTIAL
+    * limit truncates every map partition to ≤ k rows per group before
+    * the shuffle, so the final per-group sort is limit-scaled, not
+    * data-proportional — stratified_sample's top-k-per-lang shape). */
+  private def tinyDomainWindowOffenders(
+      p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def expand(x: SparkPlan): Seq[SparkPlan] =
+      x.collect { case n => n }.flatMap {
+        case a: AdaptiveSparkPlanExec => (a: SparkPlan) +: expand(a.executedPlan)
+        case n => Seq(n)
+      }
+    expand(p).collect {
+      case w: WindowExec if w.partitionSpec.nonEmpty &&
+          w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+            .forall(tinyDomainPartitionKeys.contains) &&
+          !w.child.toString.contains("Aggregate") &&
+          !w.child.toString.contains("WindowGroupLimit") => w
+    }
+  }
+
+  test("tiny-domain-partition window sweep: every window partitioned " +
+      "only by low-cardinality domain keys runs over a COLLAPSED frame") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val broken = scala.collection.mutable.ListBuffer[String]()
+    for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val hits =
+        try tinyDomainWindowOffenders(
+          fn(spark, sf0).queryExecution.executedPlan)
+        catch { case e: Exception => broken += s"$name: $e"; Seq.empty }
+      for (w <- hits) offenders += s"$name:\n${w.toString.take(1500)}"
+    }
+    assert(broken.isEmpty, s"queries failing to PLAN at sf0.001:\n" +
+      broken.mkString("\n"))
+    assert(offenders.isEmpty,
+      "windows partitioned by a tiny categorical domain over " +
+        s"non-collapsed (data-proportional) frames:\n" +
+        offenders.mkString("\n---\n"))
+  }
+
+  test("tiny-domain window detector catches the old flat-window form " +
+      "(deliberately-regressed fixture)") {
+    import org.apache.spark.sql.expressions.Window
+    // the exact pre-r15 quantileNormalizeByType shape: row_number over
+    // raw events partitioned by the ~5-value event_type
+    val regressed = Tables.events(spark, sf0)
+      .withColumn("r_t", row_number().over(
+        Window.partitionBy("event_type")
+          .orderBy(col("value").asc, col("event_id").asc)))
+    val hits = tinyDomainWindowOffenders(
+      regressed.queryExecution.executedPlan)
+    assert(hits.nonEmpty, "detector failed to flag a flat per-event_type " +
+      "window over the raw event frame")
+    // …while the rewritten production plan stays clean
+    val fixed = tinyDomainWindowOffenders(
+      EventOps.quantileNormalizeByType(Tables.events(spark, sf0))
+        .queryExecution.executedPlan)
+    assert(fixed.isEmpty, fixed.mkString("\n"))
+    val gaps = tinyDomainWindowOffenders(
+      EventOps.interarrivalStats(Tables.events(spark, sf0))
+        .queryExecution.executedPlan)
+    assert(gaps.isEmpty, gaps.mkString("\n"))
   }
 
   test("kmSurvivalHorizons and psiTypeDrift: single-scan collapses, " +

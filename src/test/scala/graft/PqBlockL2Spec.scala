@@ -56,6 +56,38 @@ class PqBlockL2Spec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("degenerate m > dim: native and HOF both give 0.0 on empty " +
+    "blocks, the full distance on the last (ADVICE r14)") {
+    val df = Seq((Array(1f, 2f, 3f), Array(3f, 2f, 1f))).toDF("e", "c")
+    for (b <- 0 until 5) {
+      val r = df.select(
+        PqBlockL2.pqBlockL2(col("e"), col("c"), lit(b), lit(5)).as("nat"),
+        VectorOps.pqBlockDist(col("e"), col("c"), lit(b), 5).as("hof"))
+        .head()
+      assert(r.getDouble(0) == r.getDouble(1), s"b=$b: $r")
+      if (b < 4) assert(r.getDouble(0) == 0.0, s"b=$b: $r")
+      else assert(r.getDouble(0) == 8.0, s"b=$b: $r") // 4 + 0 + 4
+    }
+  }
+
+  test("length-mismatched arrays: native returns null, never a silent " +
+    "truncation; the HOF rail fails loudly (ADVICE r14)") {
+    val df = Seq((Array(1f, 2f, 3f, 4f), Array(1f, 2f))).toDF("e", "c")
+    val r = df.select(
+      PqBlockL2.pqBlockL2(col("e"), col("c"), lit(1), lit(2)).as("nat"))
+      .head()
+    assert(r.isNullAt(0), s"native truncated instead of null: $r")
+    // the pinned HOF derives bounds from the FIRST array alone, so a
+    // short second array indexes past its end — a loud ANSI error,
+    // not a truncated distance
+    val err = intercept[Exception] {
+      df.select(VectorOps.pqBlockDist(col("e"), col("c"), lit(1), 2))
+        .collect()
+    }
+    assert(err.getMessage.contains("INVALID_ARRAY_INDEX") ||
+      err.getMessage.contains("out of bounds"), err.getMessage)
+  }
+
   test("SQL registration") {
     PqBlockL2.register(spark)
     val r = spark.sql("SELECT graft_pq_block_l2(" +

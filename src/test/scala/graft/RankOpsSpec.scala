@@ -191,6 +191,30 @@ class RankOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("NULL bucket key"), e.getMessage)
   }
 
+  test("groupedRunningSum matches the flat partitioned running sum " +
+    "across bucket widths, DESC order via negated key") {
+    val gx = fx.withColumn("grp", (col("v") % 3).cast("string"))
+    val flat = gx.withColumn("s",
+      sum(col("v")).over(
+        Window.partitionBy("grp").orderBy(col("m").desc, col("id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    for (tb <- Seq(1L, 3L, 4096L)) {
+      val two = RankOps.groupedRunningSum(gx, Seq("grp"),
+        -col("m") * 100, Seq(col("m").desc, col("id").asc), col("v"),
+        "s", targetBuckets = tb)
+      assert(two.select("id", "s").except(flat.select("id", "s")).isEmpty &&
+        flat.select("id", "s").except(two.select("id", "s")).isEmpty,
+        s"grouped running-sum mismatch at targetBuckets=$tb")
+    }
+    val e = intercept[IllegalArgumentException] {
+      RankOps.groupedRunningSum(
+        gx.withColumn("m", when(col("id") === 7L, lit(null)).otherwise(col("m"))),
+        Seq("grp"), -col("m"), Seq(col("m").desc, col("id").asc),
+        col("v"), "s").count()
+    }
+    assert(e.getMessage.contains("NULL bucket key"), e.getMessage)
+  }
+
   test("groupedGaps matches the flat partitioned lag gap multiset " +
     "across bucket widths, duplicate keys included") {
     // keys deliberately collide within groups (k = (id * 7) % 23) so

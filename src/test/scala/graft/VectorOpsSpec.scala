@@ -676,14 +676,19 @@ class VectorOpsSpec extends SparkSpec {
       (4L, Array(0.0f, 0.0f, 1.0f), 2),
       (5L, Array(0.0f, 0.0f, 0.0f), 3),
     ).toDF("vec_id", "embedding", "label")
-    val got = VectorOps.embeddingIsotropy(emb).collect()
-      .map(r => r.getAs[String]("label") ->
+    val rows = VectorOps.embeddingIsotropy(emb).collect()
+    val got = rows
+      .map(r => (r.getAs[String]("label"), r.getAs[Boolean]("is_overall")) ->
         ((r.getAs[Long]("n_vecs"), Option(r.get(
           r.fieldIndex("mean_pairwise_cosine"))).map(_.toString.toDouble))))
       .toMap
     assert(got == Map(
-      "0" -> ((2L, Some(0.0))), "1" -> ((2L, Some(1.0))),
-      "2" -> ((1L, None)), "ALL" -> ((5L, Some(0.3)))), got)
-    assert(!got.contains("3"), got) // the all-zero vector's label
+      ("0", false) -> ((2L, Some(0.0))), ("1", false) -> ((2L, Some(1.0))),
+      ("2", false) -> ((1L, None)), ("ALL", true) -> ((5L, Some(0.3)))), got)
+    assert(!got.keySet.map(_._1).contains("3"), got) // the all-zero vector's label
+    // the corpus row is identified by is_overall, not the label
+    // string — exactly one such row even if a label stringifies to
+    // "ALL" (ADVICE r14)
+    assert(rows.count(_.getAs[Boolean]("is_overall")) == 1)
   }
 }
