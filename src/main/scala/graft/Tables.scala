@@ -11,8 +11,39 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * which the reference (JDBC/JSON row readers, see SURVEY.md §4) never had.
   */
 object Tables {
+
+  /** Per-(session, path) relation memo. `spark.read.parquet` builds a
+    * fresh InMemoryFileIndex (a filesystem listing) and re-reads the
+    * footer schema on EVERY call — a ~40-90 ms fixed tax per query
+    * that a catalog table never pays (the metastore caches the
+    * relation). The r15 overhead bisect (tools.OverheadBisect)
+    * measured this construction cost as the dominant term of the
+    * BENCH_FLOOR r14 "fixed-overhead drift" on trivial plans
+    * (mixture_sample: 0.075 s construct vs 0.009 s plan + 0.056 s
+    * exec) — the injected extensions were exonerated (full-extension
+    * sessions plan FASTER than bare ones once the JVM is warm).
+    *
+    * Safety: these loaders serve the static driver-generated testdata
+    * tables only — immutable within a run — and the memo is keyed by
+    * the session object, so a new session never sees another
+    * session's resolved relations. A path whose files change
+    * mid-session must call [[invalidate]] first (no current caller
+    * does). DataFrames are immutable plans; sharing one across
+    * queries is exactly what `spark.table` does. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop memoized relations (all of them, or one session's) — for
+    * callers that rewrite a previously-read path. */
+  def invalidate(session: Option[SparkSession] = None): Unit =
+    session match {
+      case None => memo.clear()
+      case Some(s) => memo.keySet.removeIf(_._1 eq s)
+    }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    memo.computeIfAbsent((spark, s"$sfDir/$name.parquet"),
+      k => k._1.read.parquet(k._2))
 
   /** `events.ts` normalization — the driver has shipped this column as
     * two different physical types across testdata generations, so the

@@ -20,6 +20,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions.{checkArity, foldableInt}
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    applyFunctionsOnly(ext)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+  }
+
+  /** The function registrations alone, without the TopK planner
+    * strategy / optimizer rule — split out so diagnosis harnesses
+    * (tools.OverheadBisect) can wire each extension layer separately
+    * when bisecting per-query planning overhead. */
+  def applyFunctionsOnly(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
@@ -102,8 +112,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("graft_bitmap_cardinality", usage, exprs, 2)
         BitmapCardinality(exprs(0), foldableInt(usage, "maxId", exprs(1)))
       }))
-    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
-    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
   }
 }
 
