@@ -271,6 +271,28 @@ object StreamJob {
       else -1L
     def lastBatchId(): Long = readPtr(ptr)
     def compactedId(): Long = readPtr(cptr)
+    /** Committed delta dirs not yet folded into a compacted base —
+      * the small-file pressure gauge the auto-compaction policy
+      * ([[startIncrementalNearDups]]/[[startIncrementalJoin]]
+      * `compactEvery`) triggers on. Driver-side name listing only. */
+    def deltaCount(): Int = {
+      val last = lastBatchId()
+      val comp = compactedId()
+      Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .count(f => f.isDirectory && f.getName.matches("b\\d+") && {
+          val id = f.getName.drop(1).toLong
+          id > comp && id <= last
+        })
+    }
+    /** The every-N-batches policy: fold when the uncompacted delta
+      * count reaches `every` (0 disables). Called by the sinks after
+      * each committed batch, so a long-running stream's `b<id>` dir
+      * count stays bounded by `every` instead of growing without
+      * limit; crash safety is [[compact]]'s pointer-flip discipline
+      * (a crash mid-fold leaves the old base + deltas intact). */
+    def maybeCompact(every: Int): Unit =
+      if (every > 0 && deltaCount() >= every) compact()
     /** Committed storage paths for one sub-frame: the compacted base
       * (if any) plus every delta it doesn't cover. Driver-side listing
       * of ≤ #batches dir names — bounded, and compaction keeps it
@@ -367,7 +389,8 @@ object StreamJob {
     * own paths. */
   def startIncrementalNearDups(docs: DataFrame, store: NearDupStore,
       checkpointDir: String, threshold: Double = 0.5,
-      numHashes: Int = 32, bands: Int = 8, k: Int = 3): StreamingQuery =
+      numHashes: Int = 32, bands: Int = 8, k: Int = 3,
+      compactEvery: Int = 16): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -395,6 +418,7 @@ object StreamJob {
                 maxBucket = 500, k = k)
           }
           store.writeDelta(fresh, idx, newPairs, batchId)
+          store.maybeCompact(compactEvery)
         }
         ()
       }
@@ -424,7 +448,7 @@ object StreamJob {
     * state store cannot hold (joining today's rows against ALL
     * history). */
   def startIncrementalJoin(changes: DataFrame, store: DeltaStore,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, compactEvery: Int = 16): StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -450,6 +474,7 @@ object StreamJob {
             .unionByName(aOld.join(dB, Seq("k")))
             .select(col("k"), col("a_id"), col("b_id"))
           store.writeDelta(Seq(dA, dB, dV), batchId)
+          store.maybeCompact(compactEvery)
         }
         ()
       }

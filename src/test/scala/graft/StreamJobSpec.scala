@@ -400,6 +400,45 @@ class StreamJobSpec extends SparkSpec {
     assert(view() == expected + ((2L, 104L, 203L)), view().toString)
   }
 
+  test("auto-compaction policy: the sink folds deltas mid-stream at " +
+      "the compactEvery threshold, reads unchanged (judge task r15#6)") {
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the rain in spain falls mainly on the plain every day"
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("neardupac").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val store = new StreamJob.NearDupStore(spark, dir)
+    val batches = Seq(
+      Seq((0L, base), (1L, "unrelated text about database engines")),
+      Seq((10L, base.replace("every day", "each morning"))),
+      Seq((20L, base.replace("quick brown", "swift brown"))),
+      Seq((30L, "another unrelated doc about vectorized execution")),
+      Seq((40L, base.replace("rain in spain", "snow in spain"))))
+    val q = StreamJob.startIncrementalNearDups(docs, store, ckpt,
+      compactEvery = 2)
+    val midStreamCompacted = try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+      // the fold happened WHILE the stream was live — no explicit
+      // compact() call anywhere in this test
+      store.compactedId()
+    } finally q.stop()
+    // deltas fold every 2 batches: c1 after b1, c3 after b3; b4
+    // remains a delta (1 < compactEvery)
+    assert(midStreamCompacted == 3L, s"compacted=$midStreamCompacted")
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == Set("c3", "b4"), dirs.toString)
+    // reads over the folded store ≡ a from-scratch recompute
+    def pairs(df: DataFrame) = df.select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val full = pairs(ops.DedupOps.minhashNearDups(
+      batches.flatten.toDF("doc_id", "text")))
+    assert(pairs(store.readPairs().get) == full)
+    assert(store.readDocs().get.count() == 6L &&
+      store.lastBatchId() == 4L)
+  }
+
   test("embedding drift monitor: per-batch centroid cosine/shift vs " +
       "the reference") {
     val input = MemoryStream[(Long, Seq[Float])](spark)
