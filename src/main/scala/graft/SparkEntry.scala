@@ -551,6 +551,13 @@ object SparkEntry {
       VectorOps.knnIvfWith(embeddings(s, d),
         VectorOps.sampleCentroids(embeddings(s, d), 16), 0, 10)),
     "knn_all_brute" -> ((s, d) => VectorOps.knnAllBrute(embeddings(s, d), 5)),
+    "embedding_sign_codes" ->
+      ((s, d) => VectorOps.embeddingSignCodes(embeddings(s, d))),
+    "knn_hamming" -> ((s, d) => VectorOps.knnHamming(embeddings(s, d), 5)),
+    "hamming_recall_audit" ->
+      ((s, d) => VectorOps.hammingRecallAudit(embeddings(s, d), 5)),
+    "hamming_banded_pairs" ->
+      ((s, d) => VectorOps.hammingBandedPairs(embeddings(s, d))),
     "hard_negatives" -> ((s, d) => VectorOps.hardNegatives(embeddings(s, d), 3)),
     // Pinned deterministic centroids (the knn_ivf_pinned discipline):
     // the IVF-scoped mining replays end-to-end in DuckDB, hash-gated.
@@ -868,6 +875,18 @@ object SparkEntry {
   /** Shared DuckDB CTE chain for the pinned-PQ pipeline: codebook →
     * per-(vector, block) code assignment — inlined by all three PQ
     * oracles (the shingleCtes anti-drift convention). */
+  /** Shared DuckDB CTE for the sign-bit code family: pack the 64
+    * sign bits into two 32-bit BIGINT words (bit j of word w set iff
+    * component 32w+j > 0) — mirrors
+    * [[graft.ops.VectorOps.signCodes]] exactly (integer shift/sum,
+    * no float math). */
+  private val signCodeCte: String =
+    "codes AS (SELECT vec_id, list_transform(range(2), w -> " +
+      "CAST(list_sum(list_transform(range(32), j -> " +
+      "CASE WHEN embedding[w * 32 + j + 1] > 0 " +
+      "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)) AS code " +
+      "FROM embeddings)"
+
   private val pqCtes: String =
     "cb AS (SELECT vec_id AS code, embedding AS cv FROM embeddings " +
       "WHERE vec_id % 997 < 64 ORDER BY vec_id ASC LIMIT 64), " +
@@ -2217,18 +2236,39 @@ object SparkEntry {
     "zorder_layout_audit" -> zorderAuditSql,
     // quantile_cont ≡ Spark `percentile` (interpolation parity proven
     // by value_percentiles); the mean is exact-sum / count as double.
+    // Mirrors EventOps.winsorizedValueStats: EMPIRICAL order-statistic
+    // bounds (k = ceil(p*n)-th smallest cents, from the collapsed
+    // value grid's prefix counts), exact integer clamp/moments, the
+    // avgRound half-up integer mean — no interpolated percentile on
+    // either rail (quantile_cont's fp association order diverges from
+    // Spark's percentile at 2dp rounding boundaries, data-dependently).
     "winsorized_value_stats" ->
-      ("WITH b AS (SELECT event_type, " +
-        "quantile_cont(value, 0.05) AS lo, " +
-        "quantile_cont(value, 0.95) AS hi FROM events GROUP BY 1) " +
-        "SELECT event_type, count(*) AS n, " +
-        "round(CAST(sum(CAST(least(greatest(value, lo), hi) " +
-        "AS DECIMAL(12,2))) AS DOUBLE) / count(*), 4) AS w_mean, " +
-        "CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_lo, " +
-        "CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) " +
-        "AS n_hi " +
-        "FROM events JOIN b USING (event_type) GROUP BY 1"),
+      ("WITH g AS (SELECT event_type, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "cum AS (SELECT event_type, c, " +
+        "CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY c ASC) " +
+        "AS BIGINT) AS cum, " +
+        "CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS nn " +
+        "FROM g), " +
+        "b AS (SELECT event_type, " +
+        "min(CASE WHEN cum >= (nn + 19) // 20 THEN c END) AS lo, " +
+        "min(CASE WHEN cum >= (19 * nn + 19) // 20 THEN c END) AS hi " +
+        "FROM cum GROUP BY 1), " +
+        "w AS (SELECT e.event_type, " +
+        "least(greatest(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT), b.lo), b.hi) AS w, " +
+        "CASE WHEN CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+        "< b.lo THEN 1 ELSE 0 END AS is_lo, " +
+        "CASE WHEN CAST(CAST(e.value AS DECIMAL(12,2)) * 100 AS BIGINT) " +
+        "> b.hi THEN 1 ELSE 0 END AS is_hi " +
+        "FROM events e JOIN b USING (event_type)) " +
+        "SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST((2 * (CAST(sum(w) AS BIGINT) * 100) + count(*)) // " +
+        "(2 * count(*)) AS DOUBLE) / 10000.0 AS w_mean, " +
+        "CAST(sum(is_lo) AS BIGINT) AS n_lo, " +
+        "CAST(sum(is_hi) AS BIGINT) AS n_hi " +
+        "FROM w GROUP BY 1"),
     "media_byte_stats" ->
       ("WITH m AS (SELECT CASE CAST(doc_id % 3 AS INT) " +
         "WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind, " +
@@ -4009,6 +4049,71 @@ object SparkEntry {
         "SELECT a_id, b_id, cos_sim FROM (SELECT *, row_number() OVER (" +
         "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn FROM s) " +
         "WHERE rn <= 5"),
+    // Mirrors VectorOps.embeddingSignCodes: 32-bit word packing of the
+    // sign bits (bit j of word w set iff component 32w+j > 0) — the
+    // shift/sum is exact integer arithmetic on both engines.
+    "embedding_sign_codes" ->
+      (s"WITH $signCodeCte " +
+        "SELECT vec_id, code, CAST(list_sum(list_transform(code, " +
+        "w -> bit_count(w))) AS BIGINT) AS n_ones FROM codes"),
+    // Mirrors VectorOps.knnHamming: XOR+popcount over the packed
+    // words, ties pinned by b_id ASC — fully deterministic top-k.
+    "knn_hamming" ->
+      (s"WITH $signCodeCte, " +
+        "s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "CAST(list_sum(list_transform(range(2), " +
+        "w -> bit_count(xor(a.code[w+1], b.code[w+1])))) AS BIGINT) AS hamming " +
+        "FROM codes a JOIN codes b ON a.vec_id <> b.vec_id) " +
+        "SELECT a_id, b_id, hamming FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY a_id ORDER BY hamming ASC, b_id ASC) AS rn FROM s) " +
+        "WHERE rn <= 5"),
+    // Mirrors VectorOps.hammingRecallAudit: exact cosine top-1 (the
+    // knn_all_brute CTE at k=1) probed against the Hamming top-5 —
+    // both sides deterministic, so the audit is fully hash-gated.
+    "hamming_recall_audit" ->
+      (s"WITH $signCodeCte, " +
+        "h AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "CAST(list_sum(list_transform(range(2), " +
+        "w -> bit_count(xor(a.code[w+1], b.code[w+1])))) AS BIGINT) AS hamming " +
+        "FROM codes a JOIN codes b ON a.vec_id <> b.vec_id), " +
+        "hk AS (SELECT a_id, b_id FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY a_id ORDER BY hamming ASC, b_id ASC) AS rn FROM h) " +
+        "WHERE rn <= 5), " +
+        "cos AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+        "e1 AS (SELECT a_id, b_id AS top1_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, " +
+        "b_id ASC) AS rn FROM cos) WHERE rn = 1), " +
+        "j AS (SELECT e1.a_id, CASE WHEN hk.b_id IS NOT NULL THEN 1 " +
+        "ELSE 0 END AS hit FROM e1 LEFT JOIN hk " +
+        "ON hk.a_id = e1.a_id AND hk.b_id = e1.top1_id) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+        "CAST(sum(hit) AS BIGINT) AS n_hits, " +
+        "round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS recall_at_k FROM j"),
+    // Mirrors VectorOps.hammingBandedPairs: 8-bit byte bands (band =
+    // 4w + p, value = (word >> 8p) & 255), bucket-join candidates,
+    // exact Hamming verification at <= 20 (band-collision recall
+    // above the 8-band pigeonhole-complete threshold of 7 —
+    // documented in the operator).
+    "hamming_banded_pairs" ->
+      (s"WITH $signCodeCte, " +
+        "bands AS (SELECT vec_id, code, CAST(w * 4 + p AS BIGINT) AS band, " +
+        "CAST((code[w+1] >> CAST(p * 8 AS INT)) & 255 AS BIGINT) AS v " +
+        "FROM codes, range(2) t(w), range(4) q(p)), " +
+        "cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id " +
+        "FROM bands x JOIN bands y ON x.band = y.band AND x.v = y.v " +
+        "AND x.vec_id < y.vec_id), " +
+        "hv AS (SELECT c.a_id, c.b_id, " +
+        "CAST(list_sum(list_transform(range(2), " +
+        "w -> bit_count(xor(ca.code[w+1], cb.code[w+1])))) AS BIGINT) AS hamming " +
+        "FROM cand c JOIN codes ca ON ca.vec_id = c.a_id " +
+        "JOIN codes cb ON cb.vec_id = c.b_id) " +
+        "SELECT a_id, b_id, hamming FROM hv WHERE hamming <= 20"),
     // Mirrors VectorOps.embeddingLofOutliers: the knn_all_brute top-5
     // feeds the textbook LOF chain; reachability and lrd re-pin to
     // BIGINT micro-units before every sum (order-independence), the

@@ -1874,20 +1874,49 @@ object EventOps {
     * the exact percentile for `approx_percentile` (same two-pass
     * shape, documented trade like valuePercentiles). */
   def winsorizedValueStats(events: DataFrame): DataFrame = {
-    val bounds = events.groupBy("event_type")
-      .agg(percentile(col("value"), lit(0.05)).as("lo"),
-        percentile(col("value"), lit(0.95)).as("hi"))
-    events.join(broadcast(bounds), Seq("event_type"))
+    // Bounds are EMPIRICAL ORDER STATISTICS (Tukey's winsorizing, the
+    // textbook form), not interpolated percentiles: interpolation is
+    // an fp chain whose association order differs between Spark's
+    // percentile and DuckDB's quantile_cont, and when the interpolated
+    // bound lands on a 2dp rounding boundary the winsorized mean
+    // diverges data-dependently (observed at sf0.001: 49.9813 vs
+    // 49.9818 — ~10 clamped rows crossing a cent). The k-th smallest
+    // cents value with k = ceil(p·n) is exact integer arithmetic end
+    // to end. The k-th order statistic comes from the collapsed
+    // (type, cents) value GRID (prefix counts over a bounded domain,
+    // the Mann-Whitney construction) — no window ever touches the raw
+    // event frame.
+    val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
+    val grid = events.select(col("event_type"), cents.as("c"))
+      .groupBy("event_type", "c").agg(count(lit(1)).as("cnt"))
+    val cum = grid
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("event_type").orderBy(col("c").asc)))
+      .withColumn("nn", sum(col("cnt")).over(
+        Window.partitionBy("event_type")))
+    val bounds = cum.groupBy("event_type").agg(
+      min(when(col("cum") >= expr("(nn + 19) div 20"), col("c"))).as("lo"),
+      min(when(col("cum") >= expr("(19 * nn + 19) div 20"), col("c"))).as("hi"))
+    val agg = events.select(col("event_type"), cents.as("c"))
+      .join(broadcast(bounds), Seq("event_type"))
       .select(col("event_type"),
-        least(greatest(col("value"), col("lo")), col("hi")).as("w"),
-        (col("value") < col("lo")).cast("long").as("is_lo"),
-        (col("value") > col("hi")).cast("long").as("is_hi"))
+        least(greatest(col("c"), col("lo")), col("hi")).as("w"),
+        (col("c") < col("lo")).cast("long").as("is_lo"),
+        (col("c") > col("hi")).cast("long").as("is_hi"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        round(sum(Num.dec2(col("w"))).cast("double") / count(lit(1)), 4)
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        sum(col("is_lo")).as("n_lo"), sum(col("is_hi")).as("n_hi"))
+    // half-up integer mean at 4dp (the Num.avgRound discipline; the
+    // same nonnegativity guard — DuckDB's // floors negatives)
+    val num = when(col("sw") >= 0L, col("sw") * lit(100L))
+      .otherwise(raise_error(lit("winsorizedValueStats requires a " +
+        "nonnegative winsorized sum (half-up integer rounding and the " +
+        "DuckDB // mirror diverge on negatives)")))
+    agg.withColumn("swg", num)
+      .select(col("event_type"), col("n"),
+        (expr("CAST((2 * swg + n) div (2 * n) AS DOUBLE)") / 10000.0)
           .as("w_mean"),
-        sum(col("is_lo")).as("n_lo"),
-        sum(col("is_hi")).as("n_hi"))
+        col("n_lo"), col("n_hi"))
   }
 
   /** Incremental aggregation maintenance: daily (count, value-sum)

@@ -20,6 +20,82 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 4L, 2L), s"got $got")
   }
 
+  test("signCodes pack sign bits into 32-bit words; hammingDist is " +
+    "XOR+popcount; knnHamming matches a flat top-k") {
+    // dim 34 exercises the partial second word + the out-of-range
+    // guard (bits 34..63 of word 1 must stay 0)
+    val d34 = Seq(
+      (0L, (0 until 34).map(i => if (i % 2 == 0) 1.0f else -1.0f).toArray),
+      (1L, (0 until 34).map(i => if (i % 2 == 0) 1.0f else -1.0f).toArray),
+      (2L, (0 until 34).map(i => if (i < 32) -1.0f else 1.0f).toArray),
+      (3L, Array.fill(34)(0.0f)), // sign of 0 → bit 0
+    ).toDF("vec_id", "embedding")
+    val codes = d34.select(col("vec_id"),
+      VectorOps.signCodes(col("embedding"), 34).as("code"))
+      .as[(Long, Seq[Long])].collect().toMap
+    // even positions 0,2,…,32 set: word0 = 0x55555555, word1 = bit 0+...
+    assert(codes(0L) == Seq(0x55555555L, 1L), codes(0L).toString)
+    assert(codes(1L) == codes(0L))
+    assert(codes(2L) == Seq(0L, 3L), codes(2L).toString) // bits 32, 33
+    assert(codes(3L) == Seq(0L, 0L))
+    val h = d34.as("a").crossJoin(d34.as("b"))
+      .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"),
+        VectorOps.hammingDist(
+          VectorOps.signCodes(col("a.embedding"), 34),
+          VectorOps.signCodes(col("b.embedding"), 34)).as("h"))
+      .as[(Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (0,2): word0 XOR = bits {0,2,…,30} (16 bits; bit 32 cancels —
+    // both codes set it), word1 XOR = bit 33 → 17 total
+    assert(h((0L, 1L)) == 0 && h((0L, 3L)) == 17 && // 17 set bits
+      h((2L, 3L)) == 2 && h((0L, 2L)) == 17, h.toString)
+
+    // knnHamming ≡ flat window top-k on the same distances
+    val flat = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        VectorOps.hammingDist(
+          VectorOps.signCodes(col("a.embedding"), 3),
+          VectorOps.signCodes(col("b.embedding"), 3)).cast("long")
+          .as("hamming"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a_id")
+          .orderBy(col("hamming").asc, col("b_id").asc)))
+      .filter(col("rn") <= 2).drop("rn")
+    val two = VectorOps.knnHamming(vecs, k = 2, dim = 3)
+    assert(two.except(flat).isEmpty && flat.except(two).isEmpty)
+  }
+
+  test("hammingBandedPairs: pigeonhole-complete below the band count, " +
+    "verified subset above it") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    val emb = (0L until 40L).map { i =>
+      (i, Array.fill(64)(rnd.nextFloat() - 0.5f))
+    } :+ ((100L, Array.fill(64)(0.25f))) :+ ((101L, {
+      val a = Array.fill(64)(0.25f); a(5) = -0.25f; a(40) = -0.25f; a
+    })) // distance 2 pair — must ALWAYS be found
+    val df = emb.toDF("vec_id", "embedding")
+    val got = VectorOps.hammingBandedPairs(df, maxHamming = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((100L, 101L, 2L)), got.toString)
+    // every banded pair verifies: hamming <= 20, a < b, and matches
+    // the brute distance
+    val brute = df.as("a").crossJoin(df.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        VectorOps.hammingDist(
+          VectorOps.signCodes(col("a.embedding"), 64),
+          VectorOps.signCodes(col("b.embedding"), 64)).cast("long"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.forall { case (a, b, h) => h <= 20L && brute((a, b)) == h })
+    // pigeonhole: every brute pair under 8 bits is present
+    val close = brute.filter(_._2 < 8L).keySet
+    assert(close.forall(p => got.exists(g => (g._1, g._2) == p)),
+      s"missed pigeonhole-guaranteed pairs: $close vs $got")
+  }
+
   test("ndcgAtK: hand-traced DCG/IDCG, zero-relevant query yields NULL") {
     // query 0 (label 1, axis x): ranking is 1 (cos 1, rel),
     // 2 (cos .7071, irrel), 3 (cos 0, rel) → DCG = 1 + 0 + 1/log2(4)
