@@ -263,6 +263,12 @@ object SparkEntry {
     "scrub_pii" -> ((s, d) => DocOps.scrubPii(documents(s, d))),
     "vocab_stats_by_lang" -> ((s, d) => DocOps.vocabStatsByLang(documents(s, d))),
     "dataset_splits" -> ((s, d) => DocOps.datasetSplits(documents(s, d))),
+    "oov_rate_by_source" ->
+      ((s, d) => DocOps.oovRateBySource(documents(s, d))),
+    "holt_winters_daily" ->
+      ((s, d) => EventOps.holtWintersDaily(events(s, d))),
+    "stationary_type_distribution" ->
+      ((s, d) => EventOps.stationaryTypeDistribution(events(s, d))),
     "stratified_sample" -> ((s, d) => DocOps.stratifiedSample(documents(s, d))),
     "split_contamination" -> ((s, d) =>
       DocOps.splitContamination(documents(s, d))),
@@ -2881,6 +2887,102 @@ object SparkEntry {
         "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
         s"FROM (SELECT doc_id, ${DocOps.knuthHash32Sql("doc_id")} % 100 " +
         "AS bucket FROM documents)"),
+    // Mirrors DocOps.oovRateBySource: the dataset_splits bucket rule
+    // (train = hash % 100 < 90) builds the vocab; held-out token
+    // occurrences probe it through one left join.
+    "oov_rate_by_source" ->
+      ("WITH toks AS (SELECT doc_id, source, " +
+        s"${DocOps.knuthHash32Sql("doc_id")} % 100 AS b, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok " +
+        "FROM documents), " +
+        "tk AS (SELECT * FROM toks WHERE tok <> ''), " +
+        "vocab AS (SELECT DISTINCT tok FROM tk WHERE b < 90), " +
+        "held AS (SELECT tk.source, tk.doc_id, " +
+        "CASE WHEN vocab.tok IS NULL THEN 1 ELSE 0 END AS oov " +
+        "FROM tk LEFT JOIN vocab USING (tok) WHERE tk.b >= 90) " +
+        "SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, " +
+        "CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(oov) AS BIGINT) AS n_oov, " +
+        "round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS oov_rate FROM held GROUP BY 1"),
+    // Mirrors EventOps.holtWintersDaily: the zero-filled calendar
+    // grid, the classic two-week initialization (exact integer-count
+    // means), and the SAME t-ascending recursion — pure +/-/* double
+    // arithmetic with CAST(... AS DOUBLE) coefficient literals, so
+    // the trajectory is bit-identical to the Spark HOF fold; one 6dp
+    // round at the end. Series under 14 days -> empty (both rails).
+    "holt_winters_daily" ->
+      ("WITH RECURSIVE " +
+        "daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "gridd AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) " +
+        "+ 1)) AS INT) AS day FROM bounds), " +
+        "g AS (SELECT row_number() OVER (ORDER BY gridd.day) AS t, " +
+        "CAST(coalesce(daily.n, 0) AS DOUBLE) AS y " +
+        "FROM gridd LEFT JOIN daily ON daily.day = gridd.day), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g), " +
+        "init AS (SELECT " +
+        "(SELECT sum(y) FROM g WHERE t <= 7) / 7.0 AS l0, " +
+        "((SELECT sum(y) FROM g WHERE t BETWEEN 8 AND 14) / 7.0 - " +
+        "(SELECT sum(y) FROM g WHERE t <= 7) / 7.0) / 7.0 AS b0, " +
+        "(SELECT list(y - (SELECT sum(y) FROM g WHERE t <= 7) / 7.0 " +
+        "ORDER BY t) FROM g WHERE t <= 7) AS s0), " +
+        "rec AS (" +
+        "SELECT CAST(7 AS BIGINT) AS t, l0 AS l, b0 AS b, s0 AS s " +
+        "FROM init WHERE (SELECT n FROM nn) >= 14 " +
+        "UNION ALL " +
+        "SELECT u.t, u.l, " +
+        "CAST(0.1 AS DOUBLE) * (u.l - u.lprev) + " +
+        "CAST(0.9 AS DOUBLE) * u.bprev AS b, " +
+        "list_concat(u.srest, [CAST(0.2 AS DOUBLE) * (u.y - u.l) + " +
+        "CAST(0.8 AS DOUBLE) * u.s1]) AS s " +
+        "FROM (SELECT r.t + 1 AS t, r.l AS lprev, r.b AS bprev, " +
+        "r.s[1] AS s1, r.s[2:7] AS srest, g.y AS y, " +
+        "CAST(0.3 AS DOUBLE) * (g.y - r.s[1]) + " +
+        "CAST(0.7 AS DOUBLE) * (r.l + r.b) AS l " +
+        "FROM rec r JOIN g ON g.t = r.t + 1) u), " +
+        "lastst AS (SELECT l, b, s FROM rec ORDER BY t DESC LIMIT 1), " +
+        "hh AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS h) " +
+        "SELECT hh.h, round(lastst.l + CAST(hh.h AS DOUBLE) * lastst.b " +
+        "+ lastst.s[CAST(hh.h AS INT)], 6) AS forecast " +
+        "FROM lastst, hh"),
+    // Mirrors EventOps.stationaryTypeDistribution: same (from, to)
+    // count collapse, dense sorted-type matrix (uniform rows for
+    // zero-successor types), 20 power iterations with LEFT-FOLD sums
+    // (list_reduce here, the aggregate HOF there) so the double
+    // trajectories are bit-identical.
+    "stationary_type_distribution" ->
+      ("WITH RECURSIVE " +
+        "steps AS (SELECT event_type AS f, lead(event_type) OVER (" +
+        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS t " +
+        "FROM events), " +
+        "c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM steps " +
+        "WHERE t IS NOT NULL GROUP BY 1, 2), " +
+        "ty AS (SELECT list(x ORDER BY x) AS types FROM (" +
+        "SELECT DISTINCT f AS x FROM c UNION SELECT DISTINCT t FROM c)), " +
+        "kk AS (SELECT CAST(len(types) AS BIGINT) AS k FROM ty), " +
+        "ti AS (SELECT unnest(types) AS x, " +
+        "generate_subscripts(types, 1) AS i FROM ty), " +
+        "dense AS (SELECT a.i AS i, b.i AS j, coalesce(c.c, 0) AS c " +
+        "FROM ti a CROSS JOIN ti b " +
+        "LEFT JOIN c ON c.f = a.x AND c.t = b.x), " +
+        "rows_ AS (SELECT i, list(CAST(c AS DOUBLE) ORDER BY j) AS cr, " +
+        "CAST(sum(c) AS BIGINT) AS rt FROM dense GROUP BY 1), " +
+        "mat AS (SELECT list(list_transform(cr, x -> CASE WHEN rt > 0 " +
+        "THEN x / CAST(rt AS DOUBLE) ELSE 1.0 / CAST(k AS DOUBLE) END) " +
+        "ORDER BY i) AS p FROM rows_, kk GROUP BY k), " +
+        "it AS (SELECT 0 AS n, list_transform(range(k), " +
+        "j -> 1.0 / CAST(k AS DOUBLE)) AS pi FROM kk WHERE k > 0 " +
+        "UNION ALL " +
+        "SELECT n + 1, list_transform(range(k), j -> " +
+        "list_reduce(list_transform(range(k), i -> " +
+        "pi[CAST(i AS INT) + 1] * p[CAST(i AS INT) + 1]" +
+        "[CAST(j AS INT) + 1]), (a, b) -> a + b)) " +
+        "FROM it, mat, kk WHERE n < 20), " +
+        "fin AS (SELECT pi FROM it WHERE n = 20) " +
+        "SELECT ti.x AS event_type, round(fin.pi[ti.i], 6) " +
+        "AS stationary_p FROM fin, ti"),
     // Mirrors DocOps.stratifiedSample: same hash, same (h, doc_id)
     // total order, same per-stratum cap.
     "stratified_sample" ->

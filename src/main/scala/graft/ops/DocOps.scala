@@ -1628,6 +1628,38 @@ object DocOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
   }
 
+  /** Out-of-vocabulary rate per source against the TRAIN-split
+    * vocabulary — the coverage readout a tokenizer/vocab pipeline
+    * checks before committing to a vocab: build the token vocabulary
+    * from the [[datasetSplits]] train docs (the same Knuth-hash
+    * bucket < 90 rule), then measure what share of each source's
+    * HELD-OUT token occurrences falls outside it. Train docs are
+    * excluded from the measurement (their tokens are in the vocab by
+    * construction — their OOV is structurally 0).
+    *
+    * Scale: the vocab is the DISTINCT train token set (Heaps-bounded,
+    * ≪ corpus tokens); the probe is one token-keyed left join of
+    * held-out occurrences against it — both sides key on token, no
+    * broadcast assumption needed at 100 TB. Counts are exact BIGINTs;
+    * the rate is one pinned division. */
+  def oovRateBySource(docs: DataFrame): DataFrame = {
+    val bucket = pmod(knuthHash32(col("doc_id")), lit(100)).cast("long")
+    val toks = docs.select(col("doc_id"), col("source"),
+        bucket.as("b"), explode(DedupOps.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+    val vocab = toks.filter(col("b") < 90L)
+      .select("tok").distinct().withColumn("in_vocab", lit(1L))
+    toks.filter(col("b") >= 90L)
+      .join(vocab, Seq("tok"), "left")
+      .groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"),
+          6).as("oov_rate"))
+  }
+
   /** Unicode-normalization audit per source: how many documents are
     * not NFC-normal (é composed vs e+combining-acute — they hash,
     * dedupe, and tokenize DIFFERENTLY until normalized) and the

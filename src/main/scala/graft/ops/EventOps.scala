@@ -1820,6 +1820,68 @@ object EventOps {
           6).as("p_next"))
   }
 
+  /** Stationary distribution of the event-type Markov chain — where
+    * the [[eventTransitions]] matrix SETTLES: π = πP by 20 pinned
+    * power iterations from the uniform start, the long-run share of
+    * time a user's journey spends in each type (the 1-step transition
+    * table answers "what follows a click"; this answers "what the
+    * process is mostly doing"). Rows with no observed successors use
+    * the uniform row 1/k (the dangling-node convention PageRank also
+    * uses).
+    *
+    * Determinism: transition counts are exact BIGINTs; each p_ij is
+    * ONE division of identical operands; every Σ_i π_i·p_ij folds in
+    * ascending type order on BOTH rails (Spark `aggregate` left fold
+    * here, DuckDB `list_reduce` left fold in the oracle), so the
+    * trajectories are bit-identical — pure +/×, no libm; one 6dp
+    * round at the end.
+    *
+    * Scale: after the (from, to) count collapse everything lives on a
+    * single |types|²-cell row (≤ 25 cells for this log); the k² × 20
+    * HOF arithmetic is driver-free and data-size-independent. */
+  def stationaryTypeDistribution(events: DataFrame,
+      iters: Int = 20): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val c = events.select(col("event_type").as("f"),
+        lead(col("event_type"), 1).over(w).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy("f", "t").agg(count(lit(1)).as("c"))
+    val packed = c.agg(
+      array_sort(array_distinct(flatten(
+        collect_list(array(col("f"), col("t")))))).as("types"),
+      collect_list(struct(col("f"), col("t"), col("c"))).as("ent"))
+      .filter(size(col("types")) > 0)
+    val k = size(col("types"))
+    def ty(i: Column) = element_at(col("types"), i.cast("int"))
+    def cOf(i: Column, j: Column): Column =
+      // try_element_at: absent (i, j) cells are a 0-count, not an
+      // ANSI index error on the empty filtered list
+      coalesce(try_element_at(transform(filter(col("ent"),
+        e => e.getField("f") === ty(i) && e.getField("t") === ty(j)),
+        e => e.getField("c")), lit(1)), lit(0L))
+    val p = transform(sequence(lit(1), k), i => {
+      val rt = aggregate(sequence(lit(1), k), lit(0L),
+        (a, j) => a + cOf(i, j))
+      transform(sequence(lit(1), k), j =>
+        when(rt > 0L, cOf(i, j).cast("double") / rt.cast("double"))
+          .otherwise(lit(1.0) / k.cast("double")))
+    })
+    val pi0 = transform(sequence(lit(1), k),
+      _ => lit(1.0) / k.cast("double"))
+    val withP = packed.select(col("types"), p.as("pm"), pi0.as("p0"))
+    val piN = aggregate(sequence(lit(1), lit(iters)), col("p0"),
+      (pi, _) => transform(sequence(lit(1), size(col("types"))), j =>
+        aggregate(sequence(lit(1), size(col("types"))), lit(0.0),
+          (a, i) => a + element_at(pi, i.cast("int")) *
+            element_at(element_at(col("pm"), i.cast("int")),
+              j.cast("int")))))
+    withP.select(col("types"), piN.as("pi"))
+      .select(posexplode(arrays_zip(col("types"), col("pi"))))
+      .select(col("col.types").as("event_type"),
+        round(col("col.pi"), 6).as("stationary_p"))
+  }
+
   /** Slowly-changing-dimension type-2 history: per user, the maximal
     * runs of CONSECUTIVE events with the same event_type, each run
     * emitted as a validity interval — (user_id, event_type,
@@ -3703,6 +3765,75 @@ object EventOps {
           round(col("n").cast("double") -
             col("sum7").cast("double") / lit(7.0) -
             col("seasonal_raw"), 6)).as("residual"))
+  }
+
+  /** Holt-Winters ADDITIVE forecast of the daily count series (period
+    * 7) — the forecasting counterpart to [[seasonalDecompositionDaily]]'s
+    * decomposition and the step past [[dailyMovingAvg]]/[[ewmaDailyCounts]]'
+    * smoothers: triple exponential smoothing (Holt '57, Winters '60)
+    * tracks level, trend AND weekday shape, emitting the h-step-ahead
+    * forecasts ŷ_{T+h} = l_T + h·b_T + s_{T+h−7} for h = 1..7.
+    *
+    * Classic initialization on the first two weeks: l₀ = mean(week 1),
+    * b₀ = (mean(week 2) − mean(week 1))/7, s_i = y_i − l₀; then for
+    * each day t ≥ 8 the standard recursions with pinned coefficients
+    *   l_t = α(y_t − s_{t−7}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ)s_{t−7}.
+    * Series shorter than 14 days → empty output (stated, not padded).
+    *
+    * Determinism: daily counts are exact integers, so the init means
+    * are order-free exact sums over 7 values; the recursion is pure
+    * +/−/× double arithmetic with double-literal coefficients in a
+    * PINNED evaluation order (both the HOF fold here and the oracle's
+    * recursive CTE walk t ascending), so the trajectories are
+    * bit-identical — no libm anywhere; one 6dp round at the end.
+    *
+    * Scale: everything runs on the zero-filled CALENDAR grid (one
+    * row per day — the bounded domain the serial-window whitelist
+    * already admits); the fold itself is one `aggregate` HOF over a
+    * single array row. The corpus-sized work is one (day) hash agg. */
+  def holtWintersDaily(events: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1, gamma: Double = 0.2): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).cast("double").as("y"))
+    val series = grid
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("sd"))
+      .select(transform(col("sd"), x => x.getField("y")).as("ys"))
+      .filter(size(col("ys")) >= 14)
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val b = lit(beta); val b1 = lit(1.0 - beta)
+    val g = lit(gamma); val g1 = lit(1.0 - gamma)
+    val mean1 = aggregate(slice(col("ys"), 1, 7), lit(0.0),
+      (acc, x) => acc + x) / lit(7.0)
+    val mean2 = aggregate(slice(col("ys"), 8, 7), lit(0.0),
+      (acc, x) => acc + x) / lit(7.0)
+    val init = struct(
+      mean1.as("l"),
+      ((mean2 - mean1) / lit(7.0)).as("b"),
+      transform(slice(col("ys"), 1, 7), x => x - mean1).as("s"))
+    val state = aggregate(
+      sequence(lit(8), size(col("ys"))), init,
+      (st, t) => {
+        val y = element_at(col("ys"), t.cast("int"))
+        val sOld = element_at(st.getField("s"), 1)
+        val lNew = a * (y - sOld) + a1 * (st.getField("l") + st.getField("b"))
+        val bNew = b * (lNew - st.getField("l")) + b1 * st.getField("b")
+        val sNew = g * (y - lNew) + g1 * sOld
+        struct(lNew.as("l"), bNew.as("b"),
+          concat(slice(st.getField("s"), 2, 6), array(sNew)).as("s"))
+      })
+    series.select(state.as("st"))
+      .select(posexplode(transform(sequence(lit(1), lit(7)), h =>
+        col("st").getField("l") +
+          h.cast("double") * col("st").getField("b") +
+          element_at(col("st").getField("s"), h.cast("int")))))
+      .select((col("pos") + 1).cast("long").as("h"),
+        round(col("col"), 6).as("forecast"))
   }
 
   /** Robust anomaly flags over [[seasonalDecompositionDaily]]'s

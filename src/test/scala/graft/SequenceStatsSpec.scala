@@ -38,6 +38,104 @@ class SequenceStatsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("only_a_within_tol"))
   }
 
+  test("holtWintersDaily: hand-traced recursion on a planted " +
+    "trend+weekday series; under 14 days is empty") {
+    // y_t = 10 + t + (3 if weekday index t%7 == 0 else 0) over 21
+    // days starting Mon 2024-03-04 — linear trend + one spiky dow.
+    def ev(i: Int, day: Int) = {
+      val d = java.time.LocalDate.of(2024, 3, 4).plusDays(day)
+      (i.toLong, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view", 1.0, "{}")
+    }
+    val rows = (0 until 21).flatMap { t =>
+      val y = 10 + t + (if (t % 7 == 0) 3 else 0)
+      (0 until y).map(j => ev(t * 1000 + j, t))
+    }
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type",
+      "value", "props")
+    val got = EventOps.holtWintersDaily(events)
+      .orderBy("h").as[(Long, Double)].collect()
+    assert(got.length == 7 && got.map(_._1).toSeq == (1L to 7L))
+    // reference: the same recursion in plain Scala (same fp op order)
+    val ys = (0 until 21).map(t => (10 + t + (if (t % 7 == 0) 3 else 0)).toDouble)
+    var l = ys.take(7).sum / 7.0
+    var b = (ys.slice(7, 14).sum / 7.0 - l) / 7.0
+    var s = ys.take(7).map(_ - l).toArray
+    for (t <- 7 until 21) {
+      val y = ys(t); val sOld = s(0)
+      val lNew = 0.3 * (y - sOld) + 0.7 * (l + b)
+      val bNew = 0.1 * (lNew - l) + 0.9 * b
+      val sNew = 0.2 * (y - lNew) + 0.8 * sOld
+      s = s.drop(1) :+ sNew; l = lNew; b = bNew
+    }
+    val want = (1 to 7).map(h =>
+      BigDecimal(l + h * b + s(h - 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    got.zip(want).foreach { case ((h, f), w) =>
+      assert(math.abs(f - w) < 1e-9, s"h=$h got $f want $w") }
+    // the trend must show: h=7 forecast well above the last level
+    assert(got.last._2 > got.head._2)
+    // under two weeks -> empty
+    val short = rows.filter(_._2.toLocalDateTime.getDayOfMonth < 15)
+    assert(EventOps.holtWintersDaily(short.toDF("event_id", "ts",
+      "user_id", "event_type", "value", "props")).count() == 0L)
+  }
+
+  test("stationaryTypeDistribution: hand-solvable 2-state chain") {
+    // One user alternates a,b,a,b,… → P = [[0,1],[1,0]]; uniform
+    // start is already stationary: π = (0.5, 0.5) after any number
+    // of iterations.
+    def ev(i: Int, t: String) =
+      (i.toLong, Timestamp.valueOf(f"2024-03-04 10:${i}%02d:00"), 1L,
+        t, 1.0, "{}")
+    val alt = (0 until 10).map(i => ev(i, if (i % 2 == 0) "a" else "b"))
+    val got = EventOps.stationaryTypeDistribution(
+      alt.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .as[(String, Double)].collect().toMap
+    assert(got == Map("a" -> 0.5, "b" -> 0.5), got.toString)
+    // biased chain: from a always to a except once to b; from b
+    // always back to a → stationary mass concentrates on a
+    val biased = Seq("a", "a", "a", "a", "b", "a", "a", "a", "a")
+      .zipWithIndex.map { case (t, i) => ev(i, t) }
+    val g2 = EventOps.stationaryTypeDistribution(
+      biased.toDF("event_id", "ts", "user_id", "event_type", "value",
+        "props")).as[(String, Double)].collect().toMap
+    assert(g2("a") > 0.7 && math.abs(g2("a") + g2("b") - 1.0) < 1e-4,
+      g2.toString)
+  }
+
+  test("oovRateBySource: held-out tokens outside the train vocab " +
+    "are counted; train docs excluded from the measurement") {
+    // knuthHash32 buckets: pick ids so both splits are non-empty,
+    // then verify the rate against a direct recomputation.
+    val docs = (0L until 200L).map { i =>
+      (i, s"common${i % 5} rare$i", "2024-01-01", s"s${i % 2}", 2, "en")
+    }.toDF("doc_id", "text", "created_at", "source", "n_chars", "lang")
+    val got = DocOps.oovRateBySource(docs)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.nonEmpty)
+    // direct recomputation with the same split rule
+    val bucket = pmod(DocOps.knuthHash32(col("doc_id")), lit(100))
+    val train = docs.filter(bucket < 90)
+    val held = docs.filter(bucket >= 90)
+    val vocab = train.select(explode(split(lower(trim(col("text"))),
+      "\\s+")).as("tok")).distinct().as[String].collect().toSet
+    val direct = held.select(col("source"), col("doc_id"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .as[(String, Long, String)].collect()
+      .groupBy(_._1).map { case (src, xs) =>
+        src -> ((xs.map(_._2).distinct.length.toLong, xs.length.toLong,
+          xs.count(x => !vocab.contains(x._3)).toLong))
+      }
+    direct.foreach { case (src, (nd, nt, noov)) =>
+      val g = got(src)
+      assert(g._2 == nd && g._3 == nt && g._4 == noov,
+        s"$src: got $g want ($nd, $nt, $noov)")
+      // every held-out doc's rare<i> token is OOV by construction
+      assert(noov >= nd)
+    }
+  }
+
   test("spanDedupStats: first occurrence owns the span; short docs drop") {
     // doc 1 (srcA): 40 tokens -> spans [a0..a19], [b0..b19]
     // doc 2 (srcB): 20 tokens, byte-identical to doc 1's FIRST span
