@@ -564,6 +564,10 @@ object SparkEntry {
       ((s, d) => VectorOps.hammingRecallAudit(embeddings(s, d), 5)),
     "hamming_banded_pairs" ->
       ((s, d) => VectorOps.hammingBandedPairs(embeddings(s, d))),
+    "knn_hamming_rerank" ->
+      ((s, d) => VectorOps.knnHammingRerank(embeddings(s, d))),
+    "hamming_rerank_recall_audit" ->
+      ((s, d) => VectorOps.hammingRerankRecallAudit(embeddings(s, d))),
     "hard_negatives" -> ((s, d) => VectorOps.hardNegatives(embeddings(s, d), 3)),
     // Pinned deterministic centroids (the knn_ivf_pinned discipline):
     // the IVF-scoped mining replays end-to-end in DuckDB, hash-gated.
@@ -4197,6 +4201,66 @@ object SparkEntry {
         "CAST(sum(hit) AS BIGINT) AS n_hits, " +
         "round(CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
         "AS recall_at_k FROM j"),
+    // Mirrors VectorOps.knnHammingRerank: Hamming top-20 shortlist
+    // from the code CTE, exact 4dp cosine rerank, top-5 per query.
+    "knn_hamming_rerank" ->
+      (s"WITH $signCodeCte, " +
+        "h AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "CAST(list_sum(list_transform(range(2), " +
+        "w -> bit_count(xor(a.code[w+1], b.code[w+1])))) AS BIGINT) AS hamming " +
+        "FROM codes a JOIN codes b ON a.vec_id <> b.vec_id), " +
+        "sl AS (SELECT a_id, b_id FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY a_id ORDER BY hamming ASC, b_id ASC) AS rn FROM h) " +
+        "WHERE rn <= 20), " +
+        "sc AS (SELECT sl.a_id, sl.b_id, " +
+        "round(list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim " +
+        "FROM sl JOIN embeddings a ON a.vec_id = sl.a_id " +
+        "JOIN embeddings b ON b.vec_id = sl.b_id) " +
+        "SELECT a_id, b_id, cos_sim FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn FROM sc) " +
+        "WHERE rn <= 5"),
+    // Mirrors VectorOps.hammingRerankRecallAudit: exact cosine top-1
+    // probed against both the reranked and the plain Hamming top-5;
+    // the dominance flag is structural (see the operator doc).
+    "hamming_rerank_recall_audit" ->
+      (s"WITH $signCodeCte, " +
+        "h AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "CAST(list_sum(list_transform(range(2), " +
+        "w -> bit_count(xor(a.code[w+1], b.code[w+1])))) AS BIGINT) AS hamming " +
+        "FROM codes a JOIN codes b ON a.vec_id <> b.vec_id), " +
+        "hr AS (SELECT *, row_number() OVER (PARTITION BY a_id " +
+        "ORDER BY hamming ASC, b_id ASC) AS rn FROM h), " +
+        "sl AS (SELECT a_id, b_id FROM hr WHERE rn <= 20), " +
+        "hk AS (SELECT a_id, b_id FROM hr WHERE rn <= 5), " +
+        "cos AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos_sim " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+        "rk AS (SELECT sl.a_id, sl.b_id FROM (SELECT sl.a_id, sl.b_id, " +
+        "row_number() OVER (PARTITION BY sl.a_id ORDER BY cos.cos_sim DESC, " +
+        "sl.b_id ASC) AS rn FROM sl JOIN cos ON cos.a_id = sl.a_id " +
+        "AND cos.b_id = sl.b_id) sl WHERE rn <= 5), " +
+        "e1 AS (SELECT a_id, b_id AS top1_id FROM (SELECT *, " +
+        "row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, " +
+        "b_id ASC) AS rn FROM cos) WHERE rn = 1), " +
+        "j AS (SELECT e1.a_id, " +
+        "CASE WHEN rk.b_id IS NOT NULL THEN 1 ELSE 0 END AS hr, " +
+        "CASE WHEN hk.b_id IS NOT NULL THEN 1 ELSE 0 END AS hp " +
+        "FROM e1 LEFT JOIN rk ON rk.a_id = e1.a_id AND rk.b_id = e1.top1_id " +
+        "LEFT JOIN hk ON hk.a_id = e1.a_id AND hk.b_id = e1.top1_id) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_queries, " +
+        "CAST(sum(hr) AS BIGINT) AS n_hits_rerank, " +
+        "CAST(sum(hp) AS BIGINT) AS n_hits_plain, " +
+        "round(CAST(sum(hr) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS recall_rerank, " +
+        "round(CAST(sum(hp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS recall_plain, " +
+        "sum(hr) >= sum(hp) AS rerank_dominates FROM j"),
     // Mirrors VectorOps.hammingBandedPairs: 8-bit byte bands (band =
     // 4w + p, value = (word >> 8p) & 255), bucket-join candidates,
     // exact Hamming verification at <= 20 (band-collision recall

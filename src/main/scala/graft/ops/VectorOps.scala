@@ -1567,6 +1567,64 @@ object VectorOps {
           col("n_queries").cast("double"), 6).as("recall_at_k"))
   }
 
+  /** Two-stage Hamming-shortlist + exact-cosine rerank — the
+    * [[knnPqRerank]] pattern on the binary tier: stage 1 scans ONLY
+    * the 8-byte code table (XOR+popcount) for a `shortlist`-deep
+    * candidate set per query, stage 2 touches floats for just
+    * n·shortlist pairs and keeps the cosine top-k. At 100 TB stage 1
+    * is the only corpus-wide scan and it reads 1/32 of the bytes the
+    * float corpus would cost.
+    *
+    * Structural property the audit gates on: the Hamming top-k is a
+    * subset of the shortlist, and the exact cosine top-1 — if the
+    * shortlist contains it — is BY DEFINITION first after the rerank,
+    * so rerank recall ≥ plain-Hamming recall, always. */
+  def knnHammingRerank(embeddings: DataFrame, k: Int = 5,
+      shortlist: Int = 20, dim: Int = 64): DataFrame = {
+    import graft.functions.DotProduct.{dotFused, normFused}
+    val cand = knnHamming(embeddings, shortlist, dim)
+      .select(col("a_id"), col("b_id"))
+    val va = embeddings.select(col("vec_id").as("a_id"),
+      col("embedding").as("va"), normFused(col("embedding")).as("na"))
+    val vb = embeddings.select(col("vec_id").as("b_id"),
+      col("embedding").as("vb"), normFused(col("embedding")).as("nb"))
+    val scored = cand.join(va, "a_id").join(vb, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(when(col("na") * col("nb") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(dotFused(col("va"), col("vb")) /
+            (col("na") * col("nb"))), 4).as("cos_sim"))
+    graft.plans.TopK.perGroup(scored, Seq(col("a_id")),
+      Seq(col("cos_sim").desc, col("b_id").asc), k)
+  }
+
+  /** Recall gate for [[knnHammingRerank]] beside
+    * [[hammingRecallAudit]]'s plain form, plus the structural
+    * dominance invariant (rerank recall ≥ plain recall — see the
+    * operator doc for why it cannot be violated). Fully hash-gated. */
+  def hammingRerankRecallAudit(embeddings: DataFrame, k: Int = 5,
+      shortlist: Int = 20, dim: Int = 64): DataFrame = {
+    val exact1 = knnAllBrute(embeddings, 1)
+      .select(col("a_id"), col("b_id").as("top1_id"))
+    val rerank = knnHammingRerank(embeddings, k, shortlist, dim)
+      .select(col("a_id"), col("b_id").as("top1_id"), lit(1L).as("hr"))
+    val plain = knnHamming(embeddings, k, dim)
+      .select(col("a_id"), col("b_id").as("top1_id"), lit(1L).as("hp"))
+    exact1
+      .join(rerank, Seq("a_id", "top1_id"), "left")
+      .join(plain, Seq("a_id", "top1_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        coalesce(sum(col("hr")), lit(0L)).as("n_hits_rerank"),
+        coalesce(sum(col("hp")), lit(0L)).as("n_hits_plain"))
+      .select(col("n_queries"), col("n_hits_rerank"), col("n_hits_plain"),
+        round(col("n_hits_rerank").cast("double") /
+          col("n_queries").cast("double"), 6).as("recall_rerank"),
+        round(col("n_hits_plain").cast("double") /
+          col("n_queries").cast("double"), 6).as("recall_plain"),
+        (col("n_hits_rerank") >= col("n_hits_plain"))
+          .as("rerank_dominates"))
+  }
+
   /** Banded Hamming near-duplicate pairs — the SCALE path for "all
     * pairs within maxHamming": band each code into 8-bit bytes
     * (4 bands per 32-bit word), bucket-join on (band index, byte
