@@ -2262,8 +2262,10 @@ object SparkEntry {
         "CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS nn " +
         "FROM g), " +
         "b AS (SELECT event_type, " +
-        "min(CASE WHEN cum >= (nn + 19) // 20 THEN c END) AS lo, " +
-        "min(CASE WHEN cum >= (19 * nn + 19) // 20 THEN c END) AS hi " +
+        "min(CASE WHEN cum >= CAST((nn + 19) // 20 AS BIGINT) THEN c END) " +
+        "AS lo, " +
+        "min(CASE WHEN cum >= CAST((19 * nn + 19) // 20 AS BIGINT) THEN c END) " +
+        "AS hi " +
         "FROM cum GROUP BY 1), " +
         "w AS (SELECT e.event_type, " +
         "least(greatest(CAST(CAST(e.value AS DECIMAL(12,2)) * 100 " +
@@ -4260,7 +4262,8 @@ object SparkEntry {
         "AS recall_rerank, " +
         "round(CAST(sum(hp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
         "AS recall_plain, " +
-        "sum(hr) >= sum(hp) AS rerank_dominates FROM j"),
+        "CAST(sum(hr) AS BIGINT) >= CAST(sum(hp) AS BIGINT) " +
+        "AS rerank_dominates FROM j"),
     // Mirrors VectorOps.hammingBandedPairs: 8-bit byte bands (band =
     // 4w + p, value = (word >> 8p) & 255), bucket-join candidates,
     // exact Hamming verification at <= 20 (band-collision recall
