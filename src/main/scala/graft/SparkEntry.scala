@@ -267,6 +267,8 @@ object SparkEntry {
       ((s, d) => DocOps.oovRateBySource(documents(s, d))),
     "holt_winters_daily" ->
       ((s, d) => EventOps.holtWintersDaily(events(s, d))),
+    "holt_winters_backtest" ->
+      ((s, d) => EventOps.holtWintersBacktest(events(s, d))),
     "stationary_type_distribution" ->
       ((s, d) => EventOps.stationaryTypeDistribution(events(s, d))),
     "stratified_sample" -> ((s, d) => DocOps.stratifiedSample(documents(s, d))),
@@ -2953,6 +2955,56 @@ object SparkEntry {
         "SELECT hh.h, round(lastst.l + CAST(hh.h AS DOUBLE) * lastst.b " +
         "+ lastst.s[CAST(hh.h AS INT)], 6) AS forecast " +
         "FROM lastst, hh"),
+    // Mirrors EventOps.holtWintersBacktest: the SAME recursion with
+    // pre-update one-step forecasts and error accumulators carried in
+    // the fold (abs is a sign flip; (r.l + r.b) + r.s[1] left-assoc
+    // matches the Spark struct chain), so both error sums share the
+    // bit-exact trajectory.
+    "holt_winters_backtest" ->
+      ("WITH RECURSIVE " +
+        "daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "count(*) AS n FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "gridd AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) " +
+        "+ 1)) AS INT) AS day FROM bounds), " +
+        "g AS (SELECT row_number() OVER (ORDER BY gridd.day) AS t, " +
+        "CAST(coalesce(daily.n, 0) AS DOUBLE) AS y " +
+        "FROM gridd LEFT JOIN daily ON daily.day = gridd.day), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g), " +
+        "init AS (SELECT " +
+        "(SELECT sum(y) FROM g WHERE t <= 7) / 7.0 AS l0, " +
+        "((SELECT sum(y) FROM g WHERE t BETWEEN 8 AND 14) / 7.0 - " +
+        "(SELECT sum(y) FROM g WHERE t <= 7) / 7.0) / 7.0 AS b0, " +
+        "(SELECT list(y - (SELECT sum(y) FROM g WHERE t <= 7) / 7.0 " +
+        "ORDER BY t) FROM g WHERE t <= 7) AS s0), " +
+        "rec AS (" +
+        "SELECT CAST(7 AS BIGINT) AS t, l0 AS l, b0 AS b, s0 AS s, " +
+        "CAST(0.0 AS DOUBLE) AS sae_hw, CAST(0.0 AS DOUBLE) AS sae_sn " +
+        "FROM init WHERE (SELECT n FROM nn) >= 14 " +
+        "UNION ALL " +
+        "SELECT u.t, u.l, " +
+        "CAST(0.1 AS DOUBLE) * (u.l - u.lprev) + " +
+        "CAST(0.9 AS DOUBLE) * u.bprev AS b, " +
+        "list_concat(u.srest, [CAST(0.2 AS DOUBLE) * (u.y - u.l) + " +
+        "CAST(0.8 AS DOUBLE) * u.s1]) AS s, " +
+        "u.sae_hw, u.sae_sn " +
+        "FROM (SELECT r.t + 1 AS t, r.l AS lprev, r.b AS bprev, " +
+        "r.s[1] AS s1, r.s[2:7] AS srest, g.y AS y, " +
+        "CAST(0.3 AS DOUBLE) * (g.y - r.s[1]) + " +
+        "CAST(0.7 AS DOUBLE) * (r.l + r.b) AS l, " +
+        "r.sae_hw + abs(g.y - (r.l + r.b + r.s[1])) AS sae_hw, " +
+        "r.sae_sn + abs(g.y - g7.y) AS sae_sn " +
+        "FROM rec r JOIN g ON g.t = r.t + 1 " +
+        "JOIN g g7 ON g7.t = r.t - 6) u), " +
+        "lastst AS (SELECT t, sae_hw, sae_sn FROM rec " +
+        "ORDER BY t DESC LIMIT 1) " +
+        "SELECT CAST(t - 7 AS BIGINT) AS n_fit, " +
+        "round(sae_hw / CAST(t - 7 AS DOUBLE), 6) AS mae_hw, " +
+        "round(sae_sn / CAST(t - 7 AS DOUBLE), 6) AS mae_seasonal_naive, " +
+        "CASE WHEN sae_sn > 0.0 THEN " +
+        "round(1.0 - (sae_hw / CAST(t - 7 AS DOUBLE)) / " +
+        "(sae_sn / CAST(t - 7 AS DOUBLE)), 6) END AS improvement " +
+        "FROM lastst"),
     // Mirrors EventOps.stationaryTypeDistribution: same (from, to)
     // count collapse, dense sorted-type matrix (uniform rows for
     // zero-successor types), 20 power iterations with LEFT-FOLD sums

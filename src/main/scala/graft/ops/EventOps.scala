@@ -3836,6 +3836,70 @@ object EventOps {
         round(col("col"), 6).as("forecast"))
   }
 
+  /** One-step-ahead in-sample backtest of [[holtWintersDaily]] against
+    * the SEASONAL-NAIVE baseline (ŷ_t = y_{t−7}) — the honesty check
+    * every forecaster owes ([[forecastBacktest]] compares the naive
+    * baselines to each other; this asks whether the MODEL beats the
+    * better of them): at each t ≥ 8 the pre-update state forecasts
+    * f_t = l_{t−1} + b_{t−1} + s_{t−7}, and both |y_t − f_t| and
+    * |y_t − y_{t−7}| accumulate IN THE SAME FOLD, so the error sums
+    * share the recursion's bit-exact trajectory (abs is a sign flip,
+    * fold order pinned t-ascending on both rails). One row out:
+    * fitted-point count, both MAEs, and the relative improvement
+    * 1 − mae_hw/mae_sn (NULL when the baseline MAE is 0 — a perfectly
+    * periodic series gives the model nothing to improve). */
+  def holtWintersBacktest(events: DataFrame, alpha: Double = 0.3,
+      beta: Double = 0.1, gamma: Double = 0.2): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).cast("double").as("y"))
+    val series = grid
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("sd"))
+      .select(transform(col("sd"), x => x.getField("y")).as("ys"))
+      .filter(size(col("ys")) >= 14)
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val b = lit(beta); val b1 = lit(1.0 - beta)
+    val g = lit(gamma); val g1 = lit(1.0 - gamma)
+    val mean1 = aggregate(slice(col("ys"), 1, 7), lit(0.0),
+      (acc, x) => acc + x) / lit(7.0)
+    val mean2 = aggregate(slice(col("ys"), 8, 7), lit(0.0),
+      (acc, x) => acc + x) / lit(7.0)
+    val init = struct(
+      mean1.as("l"),
+      ((mean2 - mean1) / lit(7.0)).as("b"),
+      transform(slice(col("ys"), 1, 7), x => x - mean1).as("s"),
+      lit(0.0).as("sae_hw"), lit(0.0).as("sae_sn"), lit(0L).as("n_fit"))
+    val state = aggregate(
+      sequence(lit(8), size(col("ys"))), init,
+      (st, t) => {
+        val y = element_at(col("ys"), t.cast("int"))
+        val ySn = element_at(col("ys"), (t - lit(7)).cast("int"))
+        val sOld = element_at(st.getField("s"), 1)
+        val f = st.getField("l") + st.getField("b") + sOld
+        val lNew = a * (y - sOld) + a1 * (st.getField("l") + st.getField("b"))
+        val bNew = b * (lNew - st.getField("l")) + b1 * st.getField("b")
+        val sNew = g * (y - lNew) + g1 * sOld
+        struct(lNew.as("l"), bNew.as("b"),
+          concat(slice(st.getField("s"), 2, 6), array(sNew)).as("s"),
+          (st.getField("sae_hw") + abs(y - f)).as("sae_hw"),
+          (st.getField("sae_sn") + abs(y - ySn)).as("sae_sn"),
+          (st.getField("n_fit") + lit(1L)).as("n_fit"))
+      })
+    series.select(state.as("st"))
+      .select(col("st.n_fit").as("n_fit"),
+        round(col("st.sae_hw") / col("st.n_fit").cast("double"), 6)
+          .as("mae_hw"),
+        round(col("st.sae_sn") / col("st.n_fit").cast("double"), 6)
+          .as("mae_seasonal_naive"),
+        when(col("st.sae_sn") > 0.0,
+          round(lit(1.0) - (col("st.sae_hw") / col("st.n_fit").cast("double")) /
+            (col("st.sae_sn") / col("st.n_fit").cast("double")), 6))
+          .as("improvement"))
+  }
+
   /** Robust anomaly flags over [[seasonalDecompositionDaily]]'s
     * residual series — the detector [[dowAnomalies]] approximates,
     * done right: trend and weekday structure are REMOVED first, so a

@@ -80,6 +80,30 @@ class SequenceStatsSpec extends SparkSpec {
       "user_id", "event_type", "value", "props")).count() == 0L)
   }
 
+  test("holtWintersBacktest: perfectly periodic series gives NULL " +
+    "improvement; trended series has positive improvement over " +
+    "seasonal-naive") {
+    def mk(ys: Seq[Int]) = ys.zipWithIndex.flatMap { case (y, t) =>
+      val d = java.time.LocalDate.of(2024, 3, 4).plusDays(t)
+      (0 until y).map(j =>
+        (t * 1000L + j, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view",
+          1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // period-7 exact repeat: seasonal-naive error is 0 → NULL improvement
+    val periodic = mk((0 until 21).map(t => 10 + (t % 7)))
+    val p = EventOps.holtWintersBacktest(periodic).collect().head
+    assert(p.getAs[Long]("n_fit") == 14L)
+    assert(p.getAs[Double]("mae_seasonal_naive") == 0.0)
+    assert(p.isNullAt(p.fieldIndex("improvement")), p.toString)
+    // strong linear trend: HW tracks it, seasonal-naive is 7 behind
+    val trended = mk((0 until 28).map(t => 10 + 5 * t))
+    val r = EventOps.holtWintersBacktest(trended).collect().head
+    assert(r.getAs[Long]("n_fit") == 21L)
+    assert(r.getAs[Double]("mae_seasonal_naive") == 35.0) // 7 days × slope 5
+    assert(r.getAs[Double]("mae_hw") < 35.0 &&
+      r.getAs[Double]("improvement") > 0.5, r.toString)
+  }
+
   test("stationaryTypeDistribution: hand-solvable 2-state chain") {
     // One user alternates a,b,a,b,… → P = [[0,1],[1,0]]; uniform
     // start is already stationary: π = (0.5, 0.5) after any number
