@@ -18,6 +18,23 @@ class FormatRoundTripSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.orderBy("o_orderkey").collect().map(_.toString).toSet
 
+  test("Tables memo: repeated loads share one relation; invalidate " +
+    "refreshes after a rewrite (r15 catalog-cache semantics)") {
+    val dir = tmp("memo")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    val first = Tables.table(spark, dir, "t")
+    assert(first.count() == 2L)
+    // the memo returns the SAME resolved plan object — no re-listing
+    assert(Tables.table(spark, dir, "t") eq first)
+    // rewrite the path: the memo intentionally serves the cached
+    // relation (static-testdata contract) until invalidated
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/t.parquet")
+    Tables.invalidate(Some(spark))
+    assert(Tables.table(spark, dir, "t").count() == 3L)
+  }
+
   test("ORC round trip: values, schema, and filter pushdown") {
     val path = tmp("orc")
     Lake.writeAs(orders, path, "orc")
