@@ -265,6 +265,8 @@ object SparkEntry {
     "dataset_splits" -> ((s, d) => DocOps.datasetSplits(documents(s, d))),
     "oov_rate_by_source" ->
       ((s, d) => DocOps.oovRateBySource(documents(s, d))),
+    "dsir_log_weights" ->
+      ((s, d) => DocOps.dsirLogWeights(documents(s, d))),
     "holt_winters_daily" ->
       ((s, d) => EventOps.holtWintersDaily(events(s, d))),
     "holt_winters_backtest" ->
@@ -2913,6 +2915,31 @@ object SparkEntry {
         "CAST(sum(oov) AS BIGINT) AS n_oov, " +
         "round(CAST(sum(oov) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
         "AS oov_rate FROM held GROUP BY 1"),
+    // Mirrors DocOps.dsirLogWeights: same tokenizer, exact Laplace
+    // count ratios into ln (identical single-division doubles), the
+    // 6dp per-doc sum round absorbing summation-order ulps (the
+    // bigram_perplexity convention).
+    "dsir_log_weights" ->
+      ("WITH toks AS (SELECT doc_id, lang, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t " +
+        "FROM documents), " +
+        "tk AS (SELECT * FROM toks WHERE t <> ''), " +
+        "raw AS (SELECT t, CAST(count(*) AS BIGINT) AS cr FROM tk GROUP BY 1), " +
+        "tgt AS (SELECT t, CAST(count(*) AS BIGINT) AS ct FROM tk " +
+        "WHERE lang = 'en' GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, " +
+        "CAST(count(*) AS BIGINT) AS v FROM raw), " +
+        "ntk AS (SELECT CAST(count(*) AS BIGINT) AS ntk FROM tk " +
+        "WHERE lang = 'en') " +
+        "SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, " +
+        "round(sum(" +
+        "ln((CAST(coalesce(tgt.ct, 0) AS DOUBLE) + 1.0) / " +
+        "(CAST(ntk.ntk AS DOUBLE) + CAST(tot.v AS DOUBLE))) - " +
+        "ln((CAST(raw.cr AS DOUBLE) + 1.0) / " +
+        "(CAST(tot.nr AS DOUBLE) + CAST(tot.v AS DOUBLE)))), 6) " +
+        "AS log_weight " +
+        "FROM tk JOIN raw USING (t) LEFT JOIN tgt USING (t) " +
+        "CROSS JOIN tot CROSS JOIN ntk GROUP BY 1"),
     // Mirrors EventOps.holtWintersDaily: the zero-filled calendar
     // grid, the classic two-week initialization (exact integer-count
     // means), and the SAME t-ascending recursion — pure +/-/* double

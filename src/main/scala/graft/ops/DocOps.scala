@@ -1660,6 +1660,53 @@ object DocOps {
           6).as("oov_rate"))
   }
 
+  /** DSIR importance log-weights (Xie et al. '23, Data Selection via
+    * Importance Resampling) — the principled replacement for
+    * rule-of-thumb quality filters when assembling a pretraining mix:
+    * score every document by how much more likely its tokens are
+    * under a TARGET-domain unigram LM than under the raw-corpus LM,
+    *
+    *   logw(d) = Σ_{t∈d} [ ln p_tgt(t) − ln p_raw(t) ],
+    *
+    * Laplace-smoothed over the shared raw vocabulary (p(t) =
+    * (c(t)+1)/(N+V)), so unseen-in-target tokens contribute a finite
+    * penalty instead of −∞. The target here is the `targetLang`
+    * document slice — the available stand-in for "looks like my eval
+    * domain"; swap the filter for any target predicate. High-weight
+    * docs are the ones importance resampling would keep.
+    *
+    * Determinism: counts are exact BIGINTs; each ln sees an identical
+    * single-division double on both engines, and the per-doc Σ of ln
+    * terms is rounded 6dp — the [[graft.ops.MiningOps.bigramPerplexity]]
+    * /[[unigramKlBySource]] summation-order convention.
+    *
+    * Scale: two unigram hash aggs (target + raw — ONE corpus scan
+    * each), token-keyed joins of occurrences against the count frames
+    * (Zipf-hot keys absorbed by map-side partials), one per-doc
+    * collapse. No driver-side model, no vocabulary grid. */
+  def dsirLogWeights(docs: DataFrame,
+      targetLang: String = "en"): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("lang"),
+        explode(DedupOps.tokens(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+    val raw = toks.groupBy("t").agg(count(lit(1)).as("cr"))
+    val tgt = toks.filter(col("lang") === targetLang)
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+    val ntk = toks.filter(col("lang") === targetLang)
+      .agg(count(lit(1)).as("ntk"))
+    val lr =
+      log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+        (col("ntk").cast("double") + col("v").cast("double"))) -
+        log((col("cr").cast("double") + lit(1.0)) /
+          (col("nr").cast("double") + col("v").cast("double")))
+    toks.join(raw, "t").join(tgt, Seq("t"), "left")
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(ntk))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(lr), 6).as("log_weight"))
+  }
+
   /** Unicode-normalization audit per source: how many documents are
     * not NFC-normal (é composed vs e+combining-acute — they hash,
     * dedupe, and tokenize DIFFERENTLY until normalized) and the

@@ -8,6 +8,31 @@ import graft.ops.DocOps
 class DocPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("dsirLogWeights: target-like docs outscore off-target docs; " +
+    "weight matches the hand-computed Laplace log-ratio") {
+    // target domain = lang 'en' says only "alpha"; the raw corpus
+    // adds "beta"-speaking docs. A non-en doc written in alpha must
+    // outscore one written in beta.
+    val docs = Seq(
+      (1L, "alpha alpha", "2024-01-01", "s0", 11, "en"),
+      (2L, "alpha alpha", "2024-01-01", "s0", 11, "en"),
+      (3L, "alpha alpha", "2024-01-01", "s0", 11, "xx"), // target-like
+      (4L, "beta beta", "2024-01-01", "s0", 9, "xx"),    // off-target
+    ).toDF("doc_id", "text", "created_at", "source", "n_chars", "lang")
+    val got = graft.ops.DocOps.dsirLogWeights(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    // counts: raw alpha=6, beta=2, N=8, V=2; target: alpha=4, Ntk=4.
+    // per-alpha term: ln(5/6) − ln(7/10); per-beta: ln(1/6) − ln(3/10)
+    val a = 2 * (math.log(5.0 / 6.0) - math.log(7.0 / 10.0))
+    val b = 2 * (math.log(1.0 / 6.0) - math.log(3.0 / 10.0))
+    assert(math.abs(got(3L) - BigDecimal(a).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, got.toString)
+    assert(math.abs(got(4L) - BigDecimal(b).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9, got.toString)
+    assert(got(3L) > got(4L) && got(1L) == got(3L),
+      s"target-like must outscore off-target: $got")
+  }
+
   test("chunkDocuments: full coverage, exact overlap, no vacuous tail") {
     import java.security.MessageDigest
     def hex(s: String) = MessageDigest.getInstance("MD5")
