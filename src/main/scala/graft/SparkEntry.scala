@@ -273,6 +273,8 @@ object SparkEntry {
       ((s, d) => EventOps.holtWintersBacktest(events(s, d))),
     "stationary_type_distribution" ->
       ((s, d) => EventOps.stationaryTypeDistribution(events(s, d))),
+    "granger_type_pairs" ->
+      ((s, d) => EventOps.grangerTypePairs(events(s, d))),
     "stratified_sample" -> ((s, d) => DocOps.stratifiedSample(documents(s, d))),
     "split_contamination" -> ((s, d) =>
       DocOps.splitContamination(documents(s, d))),
@@ -3032,6 +3034,59 @@ object SparkEntry {
         "round(1.0 - (sae_hw / CAST(t - 7 AS DOUBLE)) / " +
         "(sae_sn / CAST(t - 7 AS DOUBLE)), 6) END AS improvement " +
         "FROM lastst"),
+    // Mirrors EventOps.grangerTypePairs: zero-filled dense grid, the
+    // lag-1 shift as a day+1 equi-join, exact HUGEINT moments cast to
+    // DOUBLE once per centered term, identical closed-form RSS/F
+    // chains, the pinned 4.17 cut.
+    "granger_type_pairs" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "t AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, d.day, coalesce(daily.cnt, 0) AS cnt " +
+        "FROM d CROSS JOIN t LEFT JOIN daily " +
+        "ON daily.event_type = t.event_type AND daily.day = d.day), " +
+        "yf AS (SELECT event_type AS ta, day, cnt AS y FROM grid), " +
+        "uf AS (SELECT event_type AS ta, day + 1 AS day, cnt AS u FROM grid), " +
+        "vf AS (SELECT event_type AS tb, day + 1 AS day, cnt AS v FROM grid), " +
+        "m AS (SELECT yf.ta AS type_a, vf.tb AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy, " +
+        "CAST(sum(CAST(u AS HUGEINT)) AS HUGEINT) AS su, " +
+        "CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS sv, " +
+        "CAST(sum(CAST(y AS HUGEINT) * u) AS HUGEINT) AS syu, " +
+        "CAST(sum(CAST(y AS HUGEINT) * v) AS HUGEINT) AS syv, " +
+        "CAST(sum(CAST(u AS HUGEINT) * v) AS HUGEINT) AS suv, " +
+        "CAST(sum(CAST(u AS HUGEINT) * u) AS HUGEINT) AS suu, " +
+        "CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv, " +
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy " +
+        "FROM yf JOIN uf USING (ta, day) JOIN vf USING (day) " +
+        "WHERE yf.ta <> vf.tb GROUP BY 1, 2), " +
+        "c AS (SELECT type_a, type_b, n, " +
+        "CAST(n * syy - sy * sy AS DOUBLE) AS syy_c, " +
+        "CAST(n * suu - su * su AS DOUBLE) AS suu_c, " +
+        "CAST(n * svv - sv * sv AS DOUBLE) AS svv_c, " +
+        "CAST(n * syu - su * sy AS DOUBLE) AS suy_c, " +
+        "CAST(n * syv - sv * sy AS DOUBLE) AS svy_c, " +
+        "CAST(n * suv - su * sv AS DOUBLE) AS suv_c FROM m), " +
+        "r AS (SELECT type_a, type_b, n, suu_c, " +
+        "suu_c * svv_c - suv_c * suv_c AS det, " +
+        "syy_c - suy_c * suy_c / suu_c AS rss_r, " +
+        "syy_c - (svv_c * suy_c * suy_c - 2.0 * suv_c * suy_c * svy_c " +
+        "+ suu_c * svy_c * svy_c) / " +
+        "(suu_c * svv_c - suv_c * suv_c) AS rss_f FROM c) " +
+        "SELECT type_a, type_b, n AS n_days, " +
+        "CASE WHEN suu_c > 0.0 AND det > 0.0 AND rss_f > 0.0 AND n > 3 " +
+        "THEN round((rss_r - rss_f) / (rss_f / (CAST(n AS DOUBLE) - 3.0)), 6) " +
+        "END AS f_stat, " +
+        "coalesce(CASE WHEN suu_c > 0.0 AND det > 0.0 AND rss_f > 0.0 " +
+        "AND n > 3 THEN " +
+        "round((rss_r - rss_f) / (rss_f / (CAST(n AS DOUBLE) - 3.0)), 6) " +
+        "> 4.17 END, false) AS causal_at_f417 " +
+        "FROM r"),
     // Mirrors EventOps.stationaryTypeDistribution: same (from, to)
     // count collapse, dense sorted-type matrix (uniform rows for
     // zero-successor types), 20 power iterations with LEFT-FOLD sums

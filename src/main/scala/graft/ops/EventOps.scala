@@ -840,6 +840,82 @@ object EventOps {
           sqrt(da.cast("double") * db.cast("double")), 6).as("corr"))
   }
 
+  /** Granger-causality F-test between every ORDERED event-type pair's
+    * daily series — the directional companion to
+    * [[typeCountCorrelations]]: does yesterday's x volume improve
+    * today's y prediction beyond yesterday's y alone? Lag-1 form:
+    * restricted model y_t ~ [1, y_{t−1}], full model y_t ~ [1,
+    * y_{t−1}, x_{t−1}];
+    *
+    *   F = (RSS_r − RSS_f) / (RSS_f / (n − 3)).
+    *
+    * Both RSS come from the CLOSED-FORM normal equations on n-scaled
+    * centered moments (S_ab = n·Σab − Σa·Σb): RSS_r ∝ Syy − Suy²/Suu
+    * and RSS_f ∝ Syy − (Svv·Suy² − 2·Suv·Suy·Svy + Suu·Svy²)/D with
+    * D = Suu·Svv − Suv² — the n-scaling cancels in the F ratio. The
+    * flag compares F to the PINNED literal 4.17 (the 5% critical
+    * value of F(1, 30), the dof this calendar actually has — a
+    * stated convention like the SRM χ² cut, not a computed
+    * quantile). Degenerate series (zero variance, singular D, zero
+    * residual) → NULL F, flag false.
+    *
+    * Determinism: all ten raw moments are exact DECIMAL(38,0) sums
+    * over the zero-filled calendar grid (counts can reach ~1e9/day at
+    * corpus scale, products 1e18 — BIGINT would overflow silently);
+    * every derived term is one pinned double chain of those exact
+    * moments. Shape: one (type, day) collapse, the grid self-join on
+    * the SHIFTED day key (an equi-join like acfDailyCounts, never a
+    * theta join), one |types|²-row aggregate. */
+  def grangerTypePairs(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .localCheckpoint() // three self-references below
+    val yf = grid.select(col("event_type").as("ta"), col("day"),
+      col("cnt").as("y"))
+    val uf = grid.select(col("event_type").as("ta"),
+      date_add(col("day"), 1).as("day"), col("cnt").as("u"))
+    val vf = grid.select(col("event_type").as("tb"),
+      date_add(col("day"), 1).as("day"), col("cnt").as("v"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val m = yf.join(uf, Seq("ta", "day"))
+      .join(vf, "day")
+      .filter(col("ta") =!= col("tb"))
+      .groupBy(col("ta").as("type_a"), col("tb").as("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("y"))).as("sy"), sum(d38(col("u"))).as("su"),
+        sum(d38(col("v"))).as("sv"),
+        sum(d38(col("y")) * col("u")).as("syu"),
+        sum(d38(col("y")) * col("v")).as("syv"),
+        sum(d38(col("u")) * col("v")).as("suv"),
+        sum(d38(col("u")) * col("u")).as("suu"),
+        sum(d38(col("v")) * col("v")).as("svv"),
+        sum(d38(col("y")) * col("y")).as("syy"))
+    def cm(sab: String, sa: String, sb: String) =
+      (col("n") * col(sab) - col(sa) * col(sb)).cast("double")
+    val syyC = cm("syy", "sy", "sy"); val suuC = cm("suu", "su", "su")
+    val svvC = cm("svv", "sv", "sv"); val suyC = cm("syu", "su", "sy")
+    val svyC = cm("syv", "sv", "sy"); val suvC = cm("suv", "su", "sv")
+    val dDet = suuC * svvC - suvC * suvC
+    val rssR = syyC - suyC * suyC / suuC
+    val rssF = syyC -
+      (svvC * suyC * suyC - lit(2.0) * suvC * suyC * svyC +
+        suuC * svyC * svyC) / dDet
+    val f = (rssR - rssF) / (rssF / (col("n").cast("double") - lit(3.0)))
+    val ok = suuC > 0.0 && dDet > 0.0 && rssF > 0.0 &&
+      col("n") > lit(3L)
+    m.select(col("type_a"), col("type_b"), col("n").as("n_days"),
+      when(ok, round(f, 6)).as("f_stat"),
+      coalesce(when(ok, round(f, 6) > lit(4.17)), lit(false))
+        .as("causal_at_f417"))
+  }
+
   /** Lorenz-curve deciles of user activity — the distribution behind
     * [[userActivityGini]]'s single number: users sorted by activity,
     * cut into ntile(10) deciles, each with its exact event count and

@@ -104,6 +104,32 @@ class SequenceStatsSpec extends SparkSpec {
       r.getAs[Double]("improvement") > 0.5, r.toString)
   }
 
+  test("grangerTypePairs: planted lag-1 dependence flags the causal " +
+    "direction, not the reverse") {
+    // x_t is a varied deterministic series; y_t = x_{t-1} + (t % 2) —
+    // so yesterday's x almost perfectly predicts today's y (tiny
+    // parity noise keeps RSS_f > 0), while y barely helps predict x.
+    val x = (0 to 20).map(t => (t * 7) % 13 + 1)
+    val y = (0 to 20).map(t => if (t == 0) 1 else x(t - 1) + (t % 2))
+    def mk(t: Int, typ: String, n: Int, base: Int) = {
+      val d = java.time.LocalDate.of(2024, 3, 4).plusDays(t)
+      (0 until n).map(j => (base + t * 1000L + j,
+        Timestamp.valueOf(s"$d 10:00:00"), 1L, typ, 1.0, "{}"))
+    }
+    val events = ((0 to 20).flatMap(t => mk(t, "x", x(t), 0)) ++
+      (0 to 20).flatMap(t => mk(t, "y", y(t), 10_000_000)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.grangerTypePairs(events).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((Option(r.get(r.fieldIndex("f_stat"))).map(_.toString.toDouble),
+          r.getAs[Boolean]("causal_at_f417")))).toMap
+    val fwd = got(("y", "x")) // x Granger-causes y
+    val rev = got(("x", "y"))
+    assert(fwd._2 && fwd._1.get > 4.17, s"forward not causal: $got")
+    assert(fwd._1.get > rev._1.getOrElse(0.0),
+      s"forward F must dominate reverse: $got")
+  }
+
   test("stationaryTypeDistribution: hand-solvable 2-state chain") {
     // One user alternates a,b,a,b,… → P = [[0,1],[1,0]]; uniform
     // start is already stationary: π = (0.5, 0.5) after any number
