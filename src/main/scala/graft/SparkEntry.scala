@@ -275,6 +275,8 @@ object SparkEntry {
       ((s, d) => EventOps.stationaryTypeDistribution(events(s, d))),
     "granger_type_pairs" ->
       ((s, d) => EventOps.grangerTypePairs(events(s, d))),
+    "blocking_quality_audit" ->
+      ((s, d) => JoinOps.blockingQualityAudit(part(s, d))),
     "stratified_sample" -> ((s, d) => DocOps.stratifiedSample(documents(s, d))),
     "split_contamination" -> ((s, d) =>
       DocOps.splitContamination(documents(s, d))),
@@ -3034,6 +3036,39 @@ object SparkEntry {
         "round(1.0 - (sae_hw / CAST(t - 7 AS DOUBLE)) / " +
         "(sae_sn / CAST(t - 7 AS DOUBLE)), 6) END AS improvement " +
         "FROM lastst"),
+    // Mirrors JoinOps.blockingQualityAudit: the token-blocked
+    // candidate CTE (first/last token passes, UNION-dedup'd), the
+    // PROVABLY-complete length-banded Levenshtein truth set, exact
+    // counts, two pinned ratio divisions.
+    "blocking_quality_audit" ->
+      ("WITH n AS (SELECT p_name AS name, count(*) AS n_parts " +
+        "FROM part GROUP BY 1), " +
+        "t AS (SELECT name, split_part(name, ' ', 1) AS tok_first, " +
+        "list_extract(string_split(name, ' '), " +
+        "len(string_split(name, ' '))) AS tok_last FROM n), " +
+        "cand AS (SELECT a.name AS name_a, b.name AS name_b " +
+        "FROM t a JOIN t b ON a.tok_first = b.tok_first AND a.name < b.name " +
+        "UNION " +
+        "SELECT a.name, b.name FROM t a JOIN t b " +
+        "ON a.tok_last = b.tok_last AND a.name < b.name), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_names FROM n), " +
+        "cc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand), " +
+        "tr AS (SELECT CAST(count(*) AS BIGINT) AS n_true_pairs " +
+        "FROM n a JOIN n b ON a.name < b.name " +
+        "AND abs(length(a.name) - length(b.name)) <= 3 " +
+        "WHERE levenshtein(a.name, b.name) <= 3), " +
+        "bl AS (SELECT CAST(count(*) AS BIGINT) AS n_blocked_true " +
+        "FROM cand WHERE levenshtein(name_a, name_b) <= 3) " +
+        "SELECT nn.n_names, " +
+        "CAST(nn.n_names * (nn.n_names - 1) // 2 AS BIGINT) AS n_all_pairs, " +
+        "cc.n_candidates, tr.n_true_pairs, bl.n_blocked_true, " +
+        "round(1.0 - CAST(cc.n_candidates AS DOUBLE) / " +
+        "CAST(nn.n_names * (nn.n_names - 1) // 2 AS DOUBLE), 6) " +
+        "AS reduction_ratio, " +
+        "CASE WHEN tr.n_true_pairs > 0 THEN " +
+        "round(CAST(bl.n_blocked_true AS DOUBLE) / " +
+        "CAST(tr.n_true_pairs AS DOUBLE), 6) END AS pairs_completeness " +
+        "FROM nn, cc, tr, bl"),
     // Mirrors EventOps.grangerTypePairs: zero-filled dense grid, the
     // lag-1 shift as a day+1 equi-join, exact HUGEINT moments cast to
     // DOUBLE once per centered term, identical closed-form RSS/F

@@ -382,6 +382,54 @@ object JoinOps {
       .filter(col("jw") >= minSim)
       .select("name_a", "name_b", "jw", "n_parts_a", "n_parts_b")
 
+  /** Blocking-quality audit for the fuzzy-name family — the two
+    * numbers the record-linkage literature (Christen '12) evaluates
+    * every blocking scheme on:
+    *
+    *   - REDUCTION RATIO: 1 − |candidates| / (n·(n−1)/2) — how much
+    *     of the quadratic comparison space the blocker skipped;
+    *   - PAIRS COMPLETENESS: |blocked true pairs| / |true pairs| —
+    *     how much of the truth the skipping lost.
+    *
+    * The truth standard here is PROVABLY exact, not sampled:
+    * Levenshtein ≤ 3 implies a length difference ≤ 3, so
+    * [[fuzzyNamePairs]]' length-banded all-pairs scan enumerates the
+    * COMPLETE ≤3-edit pair set (the band cannot drop a true pair),
+    * and the token-blocked set ([[fuzzyNamePairsBlocked]]) is a
+    * subset by construction — completeness is a true fraction, never
+    * an estimate. At 100 TB the truth side is the expensive one (the
+    * banded scan is O(n²) within length bands); this audit is the
+    * periodic CALIBRATION run that justifies shipping the blocked
+    * form, exactly how production linkage pipelines validate their
+    * blockers on a slice.
+    *
+    * Determinism: every number is an exact count; the two ratios are
+    * single pinned divisions rounded 6dp. */
+  def blockingQualityAudit(part: DataFrame, maxDist: Int = 3): DataFrame = {
+    val nNames = part.select(col("p_name")).distinct()
+      .agg(count(lit(1)).as("n_names"))
+    val nCand = blockedNameCandidates(part)
+      .agg(count(lit(1)).as("n_candidates"))
+    val nTrue = fuzzyNamePairs(part, maxDist)
+      .agg(count(lit(1)).as("n_true_pairs"))
+    val nBlocked = fuzzyNamePairsBlocked(part, maxDist)
+      .agg(count(lit(1)).as("n_blocked_true"))
+    nNames.crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nTrue)).crossJoin(broadcast(nBlocked))
+      // integer `div` (Spark's `/` on longs promotes to double —
+      // exact only below 2^53, and the discipline is exactness by
+      // construction, not by range luck)
+      .withColumn("n_all_pairs", expr("n_names * (n_names - 1) div 2"))
+      .select(col("n_names"), col("n_all_pairs"),
+        col("n_candidates"), col("n_true_pairs"), col("n_blocked_true"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          col("n_all_pairs").cast("double"), 6).as("reduction_ratio"),
+        when(col("n_true_pairs") > 0L,
+          round(col("n_blocked_true").cast("double") /
+            col("n_true_pairs").cast("double"), 6))
+          .as("pairs_completeness"))
+  }
+
   /** Sorted-neighborhood record linkage (Hernández & Stolfo '95) —
     * the third blocking strategy in the fuzzy family, catching what
     * token blocking structurally cannot: pairs whose EVERY token
@@ -432,7 +480,7 @@ object JoinOps {
     * pairs sharing their FIRST or LAST whitespace token, unioned,
     * dedup'd (distinct over the full row dedups pairs blocked by BOTH
     * passes). */
-  private def blockedNameCandidates(part: DataFrame): DataFrame = {
+  private[ops] def blockedNameCandidates(part: DataFrame): DataFrame = {
     val names = part.groupBy(col("p_name").as("name"))
       .agg(count(lit(1)).as("n_parts"))
     val toks = names
