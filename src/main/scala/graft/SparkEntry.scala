@@ -275,6 +275,18 @@ object SparkEntry {
       ((s, d) => EventOps.stationaryTypeDistribution(events(s, d))),
     "granger_type_pairs" ->
       ((s, d) => EventOps.grangerTypePairs(events(s, d))),
+    "durbin_watson_daily" ->
+      ((s, d) => EventOps.durbinWatsonDaily(events(s, d))),
+    "runs_test_daily" ->
+      ((s, d) => EventOps.runsTestDaily(events(s, d))),
+    "cliffs_delta_type_pairs" ->
+      ((s, d) => EventOps.cliffsDeltaTypePairs(events(s, d))),
+    "friedman_dow_test" ->
+      ((s, d) => EventOps.friedmanDowTest(events(s, d))),
+    "value_energy_drift" ->
+      ((s, d) => EventOps.valueEnergyDrift(events(s, d))),
+    "decision_stump_value" ->
+      ((s, d) => EventOps.decisionStumpValue(events(s, d))),
     "blocking_quality_audit" ->
       ((s, d) => JoinOps.blockingQualityAudit(part(s, d))),
     "stratified_sample" -> ((s, d) => DocOps.stratifiedSample(documents(s, d))),
@@ -3122,6 +3134,219 @@ object SparkEntry {
         "round((rss_r - rss_f) / (rss_f / (CAST(n AS DOUBLE) - 3.0)), 6) " +
         "> 4.17 END, false) AS causal_at_f417 " +
         "FROM r"),
+    // Mirrors EventOps.durbinWatsonDaily: zero-filled calendar, exact
+    // HUGEINT OLS moments, each residual ONE pinned double division of
+    // exact integers re-pinned to BIGINT micro-units, adjacent days as
+    // an x = x+1 equi-join, quadratic sums exact, one final division.
+    "durbin_watson_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT CAST(datediff('day', DATE '1970-01-01', d.day) " +
+        "AS BIGINT) AS x, coalesce(daily.cnt, 0) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx, " +
+        "CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx FROM grid), " +
+        "mo AS (SELECT n, sx, sy, n * sxy - sx * sy AS sxy_c, " +
+        "n * sxx - sx * sx AS sxx_c FROM m), " +
+        "res AS (SELECT x, n, sxy_c, sxx_c, " +
+        "CAST(round(CAST(sxx_c * (CAST(y AS HUGEINT) * n - sy) - " +
+        "sxy_c * (CAST(x AS HUGEINT) * n - sx) AS DOUBLE) / " +
+        "CAST(n * sxx_c AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS em " +
+        "FROM grid CROSS JOIN mo), " +
+        "ds AS (SELECT CAST(sum((CAST(a.em AS HUGEINT) - b.em) * " +
+        "(CAST(a.em AS HUGEINT) - b.em)) AS HUGEINT) AS sd2 " +
+        "FROM res a JOIN res b ON a.x = b.x + 1), " +
+        "es AS (SELECT n, sxy_c, sxx_c, " +
+        "CAST(sum(CAST(em AS HUGEINT) * em) AS HUGEINT) AS se2 " +
+        "FROM res GROUP BY 1, 2, 3) " +
+        "SELECT n AS n_days, " +
+        "CASE WHEN sxx_c > 0 THEN round(CAST(sxy_c AS DOUBLE) / " +
+        "CAST(sxx_c AS DOUBLE), 6) END AS slope_per_day, " +
+        "CASE WHEN se2 > 0 THEN round(CAST(sd2 AS DOUBLE) / " +
+        "CAST(se2 AS DOUBLE), 6) END AS dw_stat, " +
+        "CASE WHEN se2 > 0 THEN (CASE " +
+        "WHEN CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) < 1.5 " +
+        "THEN 'positive' " +
+        "WHEN CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) > 2.5 " +
+        "THEN 'negative' ELSE 'none' END) END AS autocorrelation " +
+        "FROM es CROSS JOIN ds"),
+    // Mirrors EventOps.runsTestDaily: exact integer 2·median off the
+    // calendar order statistics, equal-to-median days dropped, runs
+    // counted by a lag over the surviving days, pinned z chain.
+    "runs_test_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT d.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM grid), " +
+        "pos AS (SELECT CAST((n_cal + 1) // 2 AS BIGINT) AS lo, " +
+        "CAST(n_cal // 2 + 1 AS BIGINT) AS hi FROM nn), " +
+        "ranked AS (SELECT y, " +
+        "row_number() OVER (ORDER BY y ASC, day ASC) AS rn FROM grid), " +
+        "med AS (SELECT CAST(sum(CASE WHEN rn = lo THEN y ELSE 0 END) + " +
+        "sum(CASE WHEN rn = hi THEN y ELSE 0 END) AS BIGINT) AS med2 " +
+        "FROM ranked CROSS JOIN pos), " +
+        "signs AS (SELECT day, " +
+        "CASE WHEN y * 2 > med2 THEN 1 ELSE 0 END AS s " +
+        "FROM grid CROSS JOIN med WHERE y * 2 <> med2), " +
+        "wp AS (SELECT s, lag(s) OVER (ORDER BY day ASC) AS sp FROM signs), " +
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(s) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN sp IS NOT NULL AND s <> sp THEN 1 ELSE 0 END) " +
+        "+ 1 AS BIGINT) AS runs FROM wp), " +
+        "f AS (SELECT n, n1, runs, CAST(n AS DOUBLE) AS nd, " +
+        "2.0 * CAST(n1 AS DOUBLE) * CAST(n - n1 AS DOUBLE) AS p2 FROM agg), " +
+        "g AS (SELECT n, n1, runs, " +
+        "(CAST(runs AS DOUBLE) - (1.0 + p2 / nd)) / " +
+        "sqrt(p2 * (p2 - nd) / (nd * nd * (nd - 1.0))) AS z FROM f) " +
+        "SELECT n AS n_days_used, n1 AS n_above, " +
+        "CAST(n - n1 AS BIGINT) AS n_below, runs, " +
+        "CASE WHEN n1 > 0 AND n1 < n THEN round(z, 6) END AS z_score, " +
+        "coalesce(CASE WHEN n1 > 0 AND n1 < n THEN abs(z) <= 1.959964 END, " +
+        "false) AS looks_random " +
+        "FROM g"),
+    // Mirrors EventOps.cliffsDeltaTypePairs off the SHARED Mann-Whitney
+    // prefix-sum CTEs (the shingleCtes anti-drift convention): exact
+    // HUGEINT greater/less counts, one pinned division, the Romano '06
+    // ladder by integer cross-multiplication.
+    "cliffs_delta_type_pairs" ->
+      ("WITH " + mannWhitneyCtes + ", " +
+        "cd AS (SELECT ta, tb, CAST(sum(ca) AS BIGINT) AS n1, " +
+        "CAST(sum(cb) AS BIGINT) AS n2, " +
+        "CAST(sum(CAST(ca AS HUGEINT) * cum_b) AS HUGEINT) AS gt, " +
+        "CAST(sum(CAST(cb AS HUGEINT) * cum_a) AS HUGEINT) AS lt " +
+        "FROM cum GROUP BY 1, 2) " +
+        "SELECT ta AS type_a, tb AS type_b, n1, n2, " +
+        "round(CAST(gt - lt AS DOUBLE) / " +
+        "CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE), 6) AS cliffs_delta, " +
+        "CASE WHEN abs(gt - lt) * 1000 < CAST(n1 AS HUGEINT) * n2 * 147 " +
+        "THEN 'negligible' " +
+        "WHEN abs(gt - lt) * 1000 < CAST(n1 AS HUGEINT) * n2 * 330 " +
+        "THEN 'small' " +
+        "WHEN abs(gt - lt) * 1000 < CAST(n1 AS HUGEINT) * n2 * 474 " +
+        "THEN 'medium' ELSE 'large' END AS magnitude " +
+        "FROM cd"),
+    // Mirrors EventOps.friedmanDowTest: arithmetic isodow/week keys,
+    // complete weeks only, doubled midranks from the 7x7 within-week
+    // self-join, exact HUGEINT sum of squared centered rank sums, one
+    // pinned division vs the stated 12.592 cut.
+    "friedman_dow_test" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT CAST((datediff('day', DATE '1970-01-01', d.day) " +
+        "+ 3) % 7 + 1 AS BIGINT) AS isodow, " +
+        "CAST((datediff('day', DATE '1970-01-01', d.day) + 3) // 7 " +
+        "AS BIGINT) AS wk, coalesce(daily.cnt, 0) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "complete AS (SELECT wk FROM grid GROUP BY wk " +
+        "HAVING count(*) = 7), " +
+        "wgrid AS (SELECT g.wk, g.isodow, g.y " +
+        "FROM grid g JOIN complete USING (wk)), " +
+        "r2 AS (SELECT a.wk, a.isodow, " +
+        "CAST(2 * sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) + " +
+        "sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r2 " +
+        "FROM wgrid a JOIN wgrid b ON a.wk = b.wk GROUP BY 1, 2), " +
+        "sums AS (SELECT isodow, CAST(count(*) AS BIGINT) AS n_weeks, " +
+        "CAST(sum(r2) AS BIGINT) AS rs2 FROM r2 GROUP BY 1), " +
+        "chi AS (SELECT max(n_weeks) AS n_weeks, " +
+        "CAST(sum((CAST(rs2 AS HUGEINT) - 8 * n_weeks) * " +
+        "(CAST(rs2 AS HUGEINT) - 8 * n_weeks)) AS HUGEINT) AS ssq " +
+        "FROM sums) " +
+        "SELECT n_weeks, " +
+        "CASE WHEN n_weeks > 0 THEN round(3.0 * CAST(ssq AS DOUBLE) / " +
+        "(56.0 * CAST(n_weeks AS DOUBLE)), 6) END AS chi2, " +
+        "coalesce(CASE WHEN n_weeks > 0 THEN " +
+        "round(3.0 * CAST(ssq AS DOUBLE) / " +
+        "(56.0 * CAST(n_weeks AS DOUBLE)), 6) > 12.592 END, false) " +
+        "AS significant " +
+        "FROM chi"),
+    // Mirrors EventOps.valueEnergyDrift: the wasserstein CTE chain
+    // with three exact HUGEINT prefix-sum integrals (between/within/
+    // within), one pinned double chain.
+    "value_energy_drift" ->
+      ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bin, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT min(us) AS lo, max(us) AS hi FROM b), " +
+        "h AS (SELECT bin, CASE WHEN us <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half FROM b CROSS JOIN m), " +
+        "c AS (SELECT bin, " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM h GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, " +
+        "CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "e AS (SELECT bin, n1, n2, " +
+        "CAST(sum(c1) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum1, " +
+        "CAST(sum(c2) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum2, " +
+        "lead(bin) OVER (ORDER BY bin ASC) - bin AS gap " +
+        "FROM c CROSS JOIN t), " +
+        "s AS (SELECT max(n1) AS n_first, max(n2) AS n_second, " +
+        "CAST(sum((CAST(cum1 AS HUGEINT) * (n2 - cum2) + " +
+        "CAST(cum2 AS HUGEINT) * (n1 - cum1)) * gap) AS HUGEINT) AS axy, " +
+        "CAST(sum(CAST(2 * cum1 AS HUGEINT) * (n1 - cum1) * gap) " +
+        "AS HUGEINT) AS axx, " +
+        "CAST(sum(CAST(2 * cum2 AS HUGEINT) * (n2 - cum2) * gap) " +
+        "AS HUGEINT) AS ayy " +
+        "FROM e WHERE gap IS NOT NULL) " +
+        "SELECT n_first, n_second, " +
+        "round(2.0 * CAST(axy AS DOUBLE) / " +
+        "(CAST(n_first AS DOUBLE) * CAST(n_second AS DOUBLE)) - " +
+        "CAST(axx AS DOUBLE) / " +
+        "(CAST(n_first AS DOUBLE) * CAST(n_first AS DOUBLE)) - " +
+        "CAST(ayy AS DOUBLE) / " +
+        "(CAST(n_second AS DOUBLE) * CAST(n_second AS DOUBLE)), 6) " +
+        "AS energy_dist FROM s"),
+    // Mirrors EventOps.decisionStumpValue: exact prefix cells over the
+    // 2dp value grid, the (pos^2+neg^2)/n objective as an identical
+    // pinned double chain, winner by (J DESC, v ASC) LIMIT 1.
+    "decision_stump_value" ->
+      ("WITH grid AS (SELECT value AS v, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS np FROM events GROUP BY 1), " +
+        "cum AS (SELECT v, " +
+        "CAST(sum(n) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cn, " +
+        "CAST(sum(np) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cp FROM grid), " +
+        "t AS (SELECT CAST(sum(n) AS BIGINT) AS nt, " +
+        "CAST(sum(np) AS BIGINT) AS pt FROM grid), " +
+        "cand AS (SELECT v, cn, cp, nt, pt, " +
+        "CAST(cn AS DOUBLE) AS nl, CAST(cp AS DOUBLE) AS pl, " +
+        "CAST(nt - cn AS DOUBLE) AS nr, CAST(pt - cp AS DOUBLE) AS pr " +
+        "FROM cum CROSS JOIN t WHERE cn < nt), " +
+        "scored AS (SELECT *, " +
+        "(pl * pl + (nl - pl) * (nl - pl)) / nl + " +
+        "(pr * pr + (nr - pr) * (nr - pr)) / nr AS j " +
+        "FROM cand), " +
+        "best AS (SELECT * FROM scored ORDER BY j DESC, v ASC LIMIT 1) " +
+        "SELECT v AS split_value, cn AS n_left, cp AS pos_left, " +
+        "CAST(nt - cn AS BIGINT) AS n_right, " +
+        "CAST(pt - cp AS BIGINT) AS pos_right, " +
+        "round(pl / nl, 6) AS rate_left, " +
+        "round(pr / nr, 6) AS rate_right, " +
+        "round(1.0 - (CAST(pt AS DOUBLE) * CAST(pt AS DOUBLE) + " +
+        "CAST(nt - pt AS DOUBLE) * CAST(nt - pt AS DOUBLE)) / " +
+        "(CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)), 6) AS gini_parent, " +
+        "round(1.0 - j / CAST(nt AS DOUBLE), 6) AS gini_children, " +
+        "round((1.0 - (CAST(pt AS DOUBLE) * CAST(pt AS DOUBLE) + " +
+        "CAST(nt - pt AS DOUBLE) * CAST(nt - pt AS DOUBLE)) / " +
+        "(CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))) - " +
+        "(1.0 - j / CAST(nt AS DOUBLE)), 6) AS gini_gain " +
+        "FROM best"),
     // Mirrors EventOps.stationaryTypeDistribution: same (from, to)
     // count collapse, dense sorted-type matrix (uniform rows for
     // zero-successor types), 20 power iterations with LEFT-FOLD sums

@@ -916,6 +916,252 @@ object EventOps {
         .as("causal_at_f417"))
   }
 
+  /** Durbin–Watson serial-correlation test on the daily-volume trend
+    * residuals — the regression-diagnostics companion to
+    * [[acfDailyCounts]]: after the linear trend is removed, do
+    * adjacent days still co-move (DW < 2 ⇒ positive autocorrelation,
+    * the usual "OLS standard errors are lies" warning)?
+    *
+    *   DW = Σ_{t≥2} (e_t − e_{t−1})² / Σ_t e_t².
+    *
+    * Determinism: the OLS moments are exact DECIMAL(38,0) sums over
+    * the zero-filled calendar; each residual is ONE pinned double
+    * division of exact integers — e_t = [Sxx·(n·y_t − Σy) −
+    * Sxy·(n·x_t − Σx)] / (n·Sxx), the n-scaled closed form — then
+    * re-pinned to BIGINT micro-units before the two order-dependent
+    * quadratic sums (the pinballLoss discipline), so both engines sum
+    * identical integers. Headroom: Σem² stays inside DECIMAL(38,0)
+    * for |e| ≲ 1e10 over calendars ≲ 10⁴ days (stated, not silent —
+    * the [[mannWhitneyTypePairs]] convention). The adjacent-day pair
+    * is a day+1 EQUI-join on the collapsed calendar frame (the
+    * [[grangerTypePairs]] shift), never a window over raw rows.
+    * Verdict cuts at the stated 1.5/2.5 literals (the SRM-style
+    * convention; exact dL/dU tables are n-dependent).
+    *
+    * Shape: one corpus-sized daily collapse; everything after runs on
+    * the calendar frame. */
+  def durbinWatsonDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          .as("x"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+      .localCheckpoint() // moments + residuals + shifted self all read it
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val m = grid.agg(count(lit(1)).as("n"),
+      sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+      sum(d38(col("x")) * col("y")).as("sxy"),
+      sum(d38(col("x")) * col("x")).as("sxx"))
+    val mo = m.select(col("n"), col("sx"), col("sy"),
+      (col("n") * col("sxy") - col("sx") * col("sy")).as("sxy_c"),
+      (col("n") * col("sxx") - col("sx") * col("sx")).as("sxx_c"))
+    // e_t in micro-units: numerator and denominator are EXACT decimals
+    // cast to double once each — one division, one 1e6 pin.
+    val res = grid.crossJoin(broadcast(mo))
+      .select(col("x"), col("n"), col("sxy_c"), col("sxx_c"),
+        round((col("sxx_c") * (d38(col("y")) * col("n") - col("sy")) -
+            col("sxy_c") * (d38(col("x")) * col("n") - col("sx")))
+            .cast("double") /
+          (col("n") * col("sxx_c")).cast("double") * lit(1000000.0), 0)
+          .cast("long").as("em"))
+      .localCheckpoint() // quadratic sum + shifted self-join below
+    val prev = res.select((col("x") + lit(1L)).as("x"),
+      col("em").as("em_prev"))
+    val dsum = res.join(prev, Seq("x"))
+      .agg(sum((d38(col("em")) - col("em_prev")) *
+        (d38(col("em")) - col("em_prev"))).as("sd2"))
+    val esum = res.groupBy("n", "sxy_c", "sxx_c")
+      .agg(sum(d38(col("em")) * col("em")).as("se2"))
+    val dw = col("sd2").cast("double") / col("se2").cast("double")
+    esum.crossJoin(dsum)
+      .select(col("n").as("n_days"),
+        when(col("sxx_c") > lit(0L),
+          round(col("sxy_c").cast("double") /
+            col("sxx_c").cast("double"), 6)).as("slope_per_day"),
+        when(col("se2") > lit(0L), round(dw, 6)).as("dw_stat"),
+        when(col("se2") > lit(0L),
+          when(dw < lit(1.5), lit("positive"))
+            .when(dw > lit(2.5), lit("negative"))
+            .otherwise(lit("none"))).as("autocorrelation"))
+  }
+
+  /** Wald–Wolfowitz runs test on the daily-volume series — the
+    * randomness gate beside [[durbinWatsonDaily]]: is the sequence of
+    * above/below-median days random, or do hot and cold days clump
+    * (trend, regime shift) or alternate (overcorrection)? Days equal
+    * to the median are dropped (the standard convention); R = number
+    * of maximal same-sign runs among the survivors in day order;
+    *
+    *   μ_R = 1 + 2·n₁·n₀/n,  σ²_R = 2n₁n₀(2n₁n₀ − n)/(n²(n−1)).
+    *
+    * Determinism: the median is computed EXACTLY in integer space —
+    * 2·median = y_(⌈n/2⌉) + y_(⌊n/2⌋+1) off the calendar frame's
+    * order statistics, so the above/below comparison is pure BIGINT
+    * (2·y vs med2) with no interpolated double anywhere; run counting
+    * is a lag over the COLLAPSED calendar frame; z is one pinned
+    * chain, NULL when either sign is absent (σ = 0).
+    *
+    * Shape: one corpus-sized daily collapse; the rank and lag windows
+    * order the ≤|calendar|-row collapsed frame (the bounded-serial
+    * case the sweep whitelists — NOT checkpointed, so the collapse
+    * lineage stays visible to the sweep, the isotonicCalibration
+    * convention). */
+  def runsTestDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+    val ranked = grid.withColumn("rn",
+      row_number().over(Window.orderBy(col("y").asc, col("day").asc))
+        .cast("long"))
+    // the calendar length is a bounded scalar (the globalNtileMulti
+    // stats-head precedent): one tiny job over the collapsed frame
+    val nCal = grid.agg(count(lit(1))).head().getLong(0)
+    val lo = (nCal + 1L) / 2L
+    val hi = nCal / 2L + 1L
+    val med2 = ranked
+      .agg((sum(when(col("rn") === lo, col("y"))) +
+        sum(when(col("rn") === hi, col("y")))).as("med2"))
+    val signs = grid.crossJoin(broadcast(med2))
+      .filter(col("y") * lit(2L) =!= col("med2"))
+      .select(col("day"),
+        when(col("y") * lit(2L) > col("med2"), 1L).otherwise(0L).as("s"))
+    val withPrev = signs.withColumn("sp",
+      lag(col("s"), 1).over(Window.orderBy(col("day").asc)))
+    val agg = withPrev.agg(count(lit(1)).as("n"),
+      sum(col("s")).as("n1"),
+      (sum(when(col("sp").isNotNull && col("s") =!= col("sp"), 1L)
+        .otherwise(0L)) + lit(1L)).as("runs"))
+    val n = col("n").cast("double")
+    val p2 = lit(2.0) * col("n1").cast("double") *
+      (col("n") - col("n1")).cast("double")
+    val mu = lit(1.0) + p2 / n
+    val v = p2 * (p2 - n) / (n * n * (n - lit(1.0)))
+    val z = (col("runs").cast("double") - mu) / sqrt(v)
+    agg.select(col("n").as("n_days_used"), col("n1").as("n_above"),
+      (col("n") - col("n1")).as("n_below"), col("runs"),
+      when(col("n1") > 0L && col("n1") < col("n"), round(z, 6)).as("z_score"),
+      coalesce(when(col("n1") > 0L && col("n1") < col("n"),
+        abs(z) <= lit(1.959964)), lit(false)).as("looks_random"))
+  }
+
+  /** Cliff's delta between every event-type pair's value
+    * distributions — the NONPARAMETRIC effect size completing the
+    * triad ([[mannWhitneyTypePairs]] answers "is there a shift?",
+    * [[cohensDTypePairs]] sizes it under normality, δ sizes it with
+    * no distributional assumption at all):
+    *
+    *   δ = [#(a > b) − #(a < b)] / (n₁·n₂)  ∈ [−1, 1].
+    *
+    * Computed exactly off the same collapsed per-(pair, value) count
+    * grid as the U statistic — #(a>b) = Σ_v c_a(v)·cumB(<v) and
+    * #(a<b) = Σ_v c_b(v)·cumA(<v) are exact DECIMAL(38,0) prefix-sum
+    * products (n₁·n₂ squares past BIGINT at corpus scale), δ is one
+    * pinned division, and the Romano et al. '06 magnitude ladder
+    * (0.147/0.33/0.474) is decided by INTEGER cross-multiplication
+    * (|Δ|·1000 vs cut·n₁n₂ in exact decimals), never a float compare.
+    *
+    * Shape: one corpus collapse to the 2dp value grid; windows order
+    * the per-pair collapsed grid only. */
+  def cliffsDeltaTypePairs(events: DataFrame): DataFrame = {
+    val cnts = events.groupBy(col("value").as("v"),
+      col("event_type").as("t")).agg(count(lit(1)).as("c"))
+    val types = cnts.select("t").distinct()
+    val pairs = types.as("x").join(types.as("y"),
+        col("x.t") < col("y.t"))
+      .select(col("x.t").as("ta"), col("y.t").as("tb"))
+    val combined = cnts.join(broadcast(pairs),
+        col("t") === col("ta") || col("t") === col("tb"))
+      .groupBy("ta", "tb", "v")
+      .agg(sum(when(col("t") === col("ta"), col("c")).otherwise(0L)).as("ca"),
+        sum(when(col("t") === col("tb"), col("c")).otherwise(0L)).as("cb"))
+    val w = Window.partitionBy("ta", "tb").orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = combined
+      .withColumn("cum_a", coalesce(sum(col("ca")).over(w), lit(0L)))
+      .withColumn("cum_b", coalesce(sum(col("cb")).over(w), lit(0L)))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val stats = cum.groupBy("ta", "tb").agg(
+      sum(col("ca")).as("n1"), sum(col("cb")).as("n2"),
+      sum(d38(col("ca")) * col("cum_b")).as("gt"),
+      sum(d38(col("cb")) * col("cum_a")).as("lt"))
+    val prod = (d38(col("n1")) * col("n2"))
+    val dnum = col("gt") - col("lt")
+    val absScaled = abs(dnum) * lit(1000L)
+    stats.select(col("ta").as("type_a"), col("tb").as("type_b"),
+      col("n1"), col("n2"),
+      round(dnum.cast("double") / prod.cast("double"), 6)
+        .as("cliffs_delta"),
+      when(absScaled < prod * lit(147L), lit("negligible"))
+        .when(absScaled < prod * lit(330L), lit("small"))
+        .when(absScaled < prod * lit(474L), lit("medium"))
+        .otherwise(lit("large")).as("magnitude"))
+  }
+
+  /** Friedman rank test across weekdays — the REPEATED-MEASURES
+    * omnibus beside [[kruskalWallisDaily]]'s independent-groups one:
+    * treating each complete ISO week as a block and its seven days as
+    * treatments, do weekdays differ consistently once week-to-week
+    * volume shifts are blocked out? Ranks are within-week MIDRANKS
+    * computed in doubled-integer space (2r = 2·#less + #equal + 1
+    * over the week's 7 days — ties cost nothing), so every rank sum
+    * is exact;
+    *
+    *   χ²_F = 12/(n·k(k+1)) · Σ_j (R_j − n(k+1)/2)²
+    *        = 3 · Σ_j (2R_j − 8n)² / (56·n)   for k = 7,
+    *
+    * one pinned division against the stated χ²₀.₀₅,₆ = 12.592 cut.
+    * No tie correction (stated convention — the classical statistic;
+    * zero-filled dead weeks tie at 0 and dilute toward conservative).
+    * Weekday numbering is the ARITHMETIC isodow ((epoch+3) mod 7 + 1)
+    * so the engines cannot disagree; the week block is (epoch+3) div
+    * 7, Monday-aligned by the same identity. Incomplete edge weeks
+    * are excluded (the only incomplete ones — the grid is dense).
+    *
+    * Shape: one corpus-sized daily collapse; the within-week rank is
+    * a 7×7-per-week self-join on the calendar frame. */
+  def friedmanDowTest(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(
+        (datediff(col("day"), lit("1970-01-01").cast("date")).cast("long") +
+          lit(3L)).as("dd3"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+      .select((col("dd3") % lit(7L) + lit(1L)).as("isodow"),
+        expr("dd3 div 7").as("wk"), col("y"))
+    val complete = grid.groupBy("wk").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") === lit(7L)).select("wk")
+    val wgrid = grid.join(broadcast(complete), Seq("wk"))
+      .localCheckpoint() // both sides of the rank self-join
+    val r2 = wgrid.as("a").join(wgrid.as("b"), col("a.wk") === col("b.wk"))
+      .groupBy(col("a.wk").as("wk"), col("a.isodow").as("isodow"))
+      .agg((lit(2L) * sum(when(col("b.y") < col("a.y"), 1L).otherwise(0L)) +
+        sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L)) + lit(1L))
+        .as("r2"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val sums = r2.groupBy("isodow")
+      .agg(count(lit(1)).as("n_weeks"), sum(col("r2")).as("rs2"))
+    val chi = sums
+      .agg(max(col("n_weeks")).as("n_weeks"),
+        sum((d38(col("rs2")) - lit(8L) * col("n_weeks")) *
+          (d38(col("rs2")) - lit(8L) * col("n_weeks"))).as("ssq"))
+    val chi2 = lit(3.0) * col("ssq").cast("double") /
+      (lit(56.0) * col("n_weeks").cast("double"))
+    chi.select(col("n_weeks"),
+      when(col("n_weeks") > 0L, round(chi2, 6)).as("chi2"),
+      coalesce(when(col("n_weeks") > 0L, round(chi2, 6) > lit(12.592)),
+        lit(false)).as("significant"))
+  }
+
   /** Lorenz-curve deciles of user activity — the distribution behind
     * [[userActivityGini]]'s single number: users sorted by activity,
     * cut into ntile(10) deciles, each with its exact event count and
@@ -2778,6 +3024,117 @@ object EventOps {
         round(col("num").cast("double") /
           (col("n_first").cast("double") * col("n_second").cast("double")), 6)
           .as("w1_distance"))
+  }
+
+  /** Energy-distance drift of the binned `value` distribution between
+    * the time halves — the FOURTH drift lens after KS (max ECDF gap),
+    * W₁ (mass moved) and PSI (binned log-ratio): Székely's
+    *
+    *   D² = 2·E|X−Y| − E|X−X′| − E|Y−Y′|,
+    *
+    * zero iff the distributions coincide, sensitive to shape changes a
+    * location-focused lens can miss. Each expectation reduces on the
+    * integer-bin ECDF grid to an exact prefix-sum integral —
+    * E|X−Y|·n₁·n₂ = Σ_gaps gap·[cum₁·(n₂−cum₂) + cum₂·(n₁−cum₁)] and
+    * the within terms likewise with 2·cum·(n−cum) — so all three
+    * numerators are exact DECIMAL(38,0)/HUGEINT sums ([[valueWassersteinDrift]]'s
+    * discipline), combined in ONE pinned double chain, 6dp.
+    *
+    * Scale: identical shape to the other drift lenses — one
+    * corpus-sized binned collapse, serial windows only over the
+    * bounded bin grid. */
+  def valueEnergyDrift(events: DataFrame): DataFrame = {
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(floor(col("value")).cast("long").as("bin"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val counts = half.groupBy("bin")
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+    val totals = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val wCum = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLead = Window.orderBy(col("bin").asc)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val terms = counts
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .withColumn("gap", lead(col("bin"), 1).over(wLead) - col("bin"))
+      .filter(col("gap").isNotNull)
+    val sums = terms.crossJoin(broadcast(totals))
+      .agg(max("n1").as("n_first"), max("n2").as("n_second"),
+        sum((d19(col("cum1")) * (col("n2") - col("cum2")) +
+          d19(col("cum2")) * (col("n1") - col("cum1"))) *
+          col("gap").cast("decimal(10,0)")).as("axy"),
+        sum(d19(lit(2L) * col("cum1")) * (col("n1") - col("cum1")) *
+          col("gap").cast("decimal(10,0)")).as("axx"),
+        sum(d19(lit(2L) * col("cum2")) * (col("n2") - col("cum2")) *
+          col("gap").cast("decimal(10,0)")).as("ayy"))
+    val n1d = col("n_first").cast("double")
+    val n2d = col("n_second").cast("double")
+    sums.select(col("n_first"), col("n_second"),
+      round(lit(2.0) * col("axy").cast("double") / (n1d * n2d) -
+        col("axx").cast("double") / (n1d * n1d) -
+        col("ayy").cast("double") / (n2d * n2d), 6).as("energy_dist"))
+  }
+
+  /** Exact one-dimensional decision stump: the best `value` threshold
+    * separating purchases from the rest by Gini impurity reduction —
+    * the CART split-finding primitive (and the one-feature baseline
+    * every feature-importance readout compares against), computed
+    * exactly at any scale. The objective uses the classic identity:
+    * maximizing Σ_side (pos² + neg²)/n_side is minimizing the weighted
+    * child Gini, so the argmax needs no per-pair rational comparison —
+    * each candidate's J is ONE pinned double chain of exact prefix
+    * integers, and the winner is picked by the total order (J desc,
+    * v asc) — a TakeOrderedAndProject over the bounded value grid,
+    * deterministic on both engines.
+    *
+    * Split convention: `value ≤ v` goes left; the top grid row is
+    * excluded (an empty right child is not a split). Emits the chosen
+    * threshold, both children's exact cells, their rates, and the
+    * parent/children Gini with the gain — all 6dp pinned chains of
+    * exact BIGINTs.
+    *
+    * Scale: one corpus collapse to the 2dp value grid; the prefix
+    * window and the top-1 sort order that bounded grid only. */
+  def decisionStumpValue(events: DataFrame): DataFrame = {
+    val grid = events.groupBy(col("value").as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("np")).over(w))
+    val tot = grid.agg(sum(col("n")).as("nt"), sum(col("np")).as("pt"))
+    val cand = cum.crossJoin(broadcast(tot)).filter(col("cn") < col("nt"))
+    val nl = col("cn").cast("double")
+    val pl = col("cp").cast("double")
+    val nr = (col("nt") - col("cn")).cast("double")
+    val pr = (col("pt") - col("cp")).cast("double")
+    val j = (pl * pl + (nl - pl) * (nl - pl)) / nl +
+      (pr * pr + (nr - pr) * (nr - pr)) / nr
+    val ntd = col("nt").cast("double")
+    val ptd = col("pt").cast("double")
+    val giniParent = lit(1.0) -
+      (ptd * ptd + (ntd - ptd) * (ntd - ptd)) / (ntd * ntd)
+    val giniChildren = lit(1.0) - col("j") / ntd
+    cand.withColumn("j", j)
+      .orderBy(col("j").desc, col("v").asc).limit(1)
+      .select(col("v").as("split_value"),
+        col("cn").as("n_left"), col("cp").as("pos_left"),
+        (col("nt") - col("cn")).as("n_right"),
+        (col("pt") - col("cp")).as("pos_right"),
+        round(pl / nl, 6).as("rate_left"),
+        round(pr / nr, 6).as("rate_right"),
+        round(giniParent, 6).as("gini_parent"),
+        round(giniChildren, 6).as("gini_children"),
+        round(giniParent - giniChildren, 6).as("gini_gain"))
   }
 
   /** Rolling-median daily-volume smoother: each calendar day's count

@@ -1209,6 +1209,74 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(rf.isNullAt(rf.fieldIndex("cohens_d")), rf)
   }
 
+  test("cliffsDeltaTypePairs: dominance -1, planted balance 0, ties " +
+    "count for neither side") {
+    def pev(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // a {1,2} fully below b {3}: gt 0, lt 2 -> delta -1, large
+    val dom = Seq(pev(1, "a", 1.0), pev(2, "a", 2.0), pev(3, "b", 3.0))
+      .toDF(evCols: _*)
+    val r = EventOps.cliffsDeltaTypePairs(dom).collect().head
+    assert((r.getAs[Long]("n1"), r.getAs[Long]("n2")) == ((2L, 1L)), r)
+    assert(r.getAs[Double]("cliffs_delta") == -1.0 &&
+      r.getAs[String]("magnitude") == "large", r)
+    // a {1,2,3,4} vs b {2,3}: 3 wins each way -> delta 0, negligible;
+    // the two exact ties (2,2) and (3,3) count for neither side
+    val bal = Seq(pev(1, "a", 1.0), pev(2, "a", 2.0), pev(3, "a", 3.0),
+      pev(4, "a", 4.0), pev(5, "b", 2.0), pev(6, "b", 3.0))
+      .toDF(evCols: _*)
+    val rb = EventOps.cliffsDeltaTypePairs(bal).collect().head
+    assert(rb.getAs[Double]("cliffs_delta") == 0.0 &&
+      rb.getAs[String]("magnitude") == "negligible", rb)
+    // a {1,2} vs b {2}: one loss, one tie -> delta -0.5, large (the
+    // 0.474 cut decided by integer cross-multiplication)
+    val tie = Seq(pev(1, "a", 1.0), pev(2, "a", 2.0), pev(3, "b", 2.0))
+      .toDF(evCols: _*)
+    val rt = EventOps.cliffsDeltaTypePairs(tie).collect().head
+    assert(rt.getAs[Double]("cliffs_delta") == -0.5 &&
+      rt.getAs[String]("magnitude") == "large", rt)
+  }
+
+  test("valueEnergyDrift: identical halves score 0; disjoint point " +
+    "masses one bin apart score exactly 2") {
+    def pev(i: Long, hm: String, v: Double) =
+      (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), 1L, "view", v, "{}")
+    // same {1,2} multiset in both halves (mid 15:05) -> D^2 = 0
+    val same = Seq(pev(1, "10:00", 1.0), pev(2, "10:10", 2.0),
+      pev(3, "20:00", 1.0), pev(4, "20:10", 2.0)).toDF(evCols: _*)
+    val r = EventOps.valueEnergyDrift(same).collect().head
+    assert((r.getAs[Long]("n_first"), r.getAs[Long]("n_second")) ==
+      ((2L, 2L)), r)
+    assert(r.getAs[Double]("energy_dist") == 0.0, r)
+    // half1 all at bin 0, half2 all at bin 1: E|XY| = 1, within = 0
+    // -> D^2 = 2 exactly
+    val shift = Seq(pev(1, "10:00", 0.0), pev(2, "10:10", 0.0),
+      pev(3, "20:00", 1.0), pev(4, "20:10", 1.0)).toDF(evCols: _*)
+    val rs = EventOps.valueEnergyDrift(shift).collect().head
+    assert(rs.getAs[Double]("energy_dist") == 2.0, rs)
+  }
+
+  test("decisionStumpValue: the perfect separator wins over an edge " +
+    "split; cells, rates and Gini ledger are exact") {
+    def pev(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // v1 view, v2 view, two v3 purchases: split at v<=2 is pure
+    // (J = 4) and beats v<=1 (J = 8/3)
+    val events = Seq(pev(1, "view", 1.0), pev(2, "view", 2.0),
+      pev(3, "purchase", 3.0), pev(4, "purchase", 3.0))
+      .toDF(evCols: _*)
+    val r = EventOps.decisionStumpValue(events).collect().head
+    assert(r.getAs[Double]("split_value") == 2.0, r)
+    assert((r.getAs[Long]("n_left"), r.getAs[Long]("pos_left"),
+      r.getAs[Long]("n_right"), r.getAs[Long]("pos_right")) ==
+      ((2L, 0L, 2L, 2L)), r)
+    assert((r.getAs[Double]("rate_left"), r.getAs[Double]("rate_right")) ==
+      ((0.0, 1.0)), r)
+    assert(r.getAs[Double]("gini_parent") == 0.5, r)
+    assert(r.getAs[Double]("gini_children") == 0.0, r)
+    assert(r.getAs[Double]("gini_gain") == 0.5, r)
+  }
+
   test("diffInDiff: planted 2x2 panel gives DiD 1.0 and z 2.0") {
     def pev(i: Long, uid: Long, hm: String, t: String) =
       (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, t, 1.0, "{}")

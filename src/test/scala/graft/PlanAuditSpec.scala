@@ -493,8 +493,11 @@ class PlanAuditSpec extends SparkSpec {
       "b",           // sortedNeighborhoodPairs block = first char: ≤ |alphabet|
       "n_tokens",    // unimaxAllocation waterfill: per-SOURCE collapse,
       "source",      //   |sources| categorical domain (n_tokens is its sort key)
-      "v"            // kruskalWallis pooled-midrank prefix: DISTINCT daily-count
+      "v",           // kruskalWallis pooled-midrank prefix: DISTINCT daily-count
                      //   values (a collapsed value grid ≤ |distinct counts|)
+      "y"            // runsTestDaily order-statistic probe: the calendar-day
+                     //   grain's count column (one row per day — the "day"
+                     //   convention applied to its count as a sort key)
     )
 
     def expand(p: SparkPlan): Seq[SparkPlan] =

@@ -518,4 +518,87 @@ class SequenceStatsSpec extends SparkSpec {
     assert(got("view") == ((1L, 0.5)), got.toString)  // the in-window one
     assert(!got.contains("purchase"), got.toString)
   }
+
+  test("durbinWatsonDaily: alternating residuals give DW 10/3; a " +
+    "perfect trend has zero residuals and a NULL DW") {
+    def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
+      val d = java.time.LocalDate.of(2024, 3, 1).plusDays(day)
+      (base + j, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view", 1.0, "{}")
+    }
+    // counts [2,0,2,0,2] over 5 days: slope 0, residuals ±(y−1.2) in
+    // micro-units -> sd2 = 4·(2e6)² , se2 = 3·(8e5)²+2·(12e5)² ->
+    // DW = 16/4.8 = 10/3, > 2.5 -> 'negative' (alternation)
+    val alt = (dayEvents(0, 2, 100) ++ dayEvents(2, 2, 200) ++
+      dayEvents(4, 2, 300))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.durbinWatsonDaily(alt).collect().head
+    assert(r.getAs[Long]("n_days") == 5L, r)
+    assert(r.getAs[Double]("slope_per_day") == 0.0, r)
+    assert(r.getAs[Double]("dw_stat") == 3.333333, r)
+    assert(r.getAs[String]("autocorrelation") == "negative", r)
+    // counts [1,2,3,4]: OLS fits exactly, every residual micro-pin is
+    // 0 -> se2 = 0 -> DW and the verdict are NULL, slope survives
+    val trend = (0 until 4).flatMap(d => dayEvents(d, d + 1, d * 100L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rt = EventOps.durbinWatsonDaily(trend).collect().head
+    assert(rt.getAs[Double]("slope_per_day") == 1.0, rt)
+    assert(rt.isNullAt(rt.fieldIndex("dw_stat")), rt)
+    assert(rt.isNullAt(rt.fieldIndex("autocorrelation")), rt)
+  }
+
+  test("runsTestDaily: exact integer median, equal-to-median days " +
+    "dropped, runs counted over the survivors") {
+    def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
+      val d = java.time.LocalDate.of(2024, 3, 1).plusDays(day)
+      (base + j, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view", 1.0, "{}")
+    }
+    // counts [9,9,1,1,9,1]: med2 = y_(3)+y_(4) = 1+9 = 10 (median 5,
+    // no day equals it); signs 1,1,0,0,1,0 -> R = 4, n1 = n0 = 3,
+    // mu = 4, z = 0
+    val mixed = (dayEvents(0, 9, 0) ++ dayEvents(1, 9, 100) ++
+      dayEvents(2, 1, 200) ++ dayEvents(3, 1, 300) ++
+      dayEvents(4, 9, 400) ++ dayEvents(5, 1, 500))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.runsTestDaily(mixed).collect().head
+    assert(r.getAs[Long]("n_days_used") == 6L, r)
+    assert((r.getAs[Long]("n_above"), r.getAs[Long]("n_below")) ==
+      ((3L, 3L)), r)
+    assert(r.getAs[Long]("runs") == 4L, r)
+    assert(r.getAs[Double]("z_score") == 0.0, r)
+    assert(r.getAs[Boolean]("looks_random"), r)
+    // fully clumped [9,9,9,1,1,1]: R = 2, z = -2/sqrt(1.2)
+    val clump = (dayEvents(0, 9, 0) ++ dayEvents(1, 9, 100) ++
+      dayEvents(2, 9, 200) ++ dayEvents(3, 1, 300) ++
+      dayEvents(4, 1, 400) ++ dayEvents(5, 1, 500))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rc = EventOps.runsTestDaily(clump).collect().head
+    assert(rc.getAs[Long]("runs") == 2L, rc)
+    assert(rc.getAs[Double]("z_score") ==
+      math.rint(-2.0 / math.sqrt(1.2) * 1e6) / 1e6, rc)
+  }
+
+  test("friedmanDowTest: three identical-ranking weeks hit the exact " +
+    "chi2 maximum 6n; a constant week scores 0") {
+    def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
+      // 2024-03-04 is a Monday -> exactly 3 complete Mon..Sun weeks
+      val d = java.time.LocalDate.of(2024, 3, 4).plusDays(day)
+      (base + j, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view", 1.0, "{}")
+    }
+    // count 7 - (t mod 7): every week ranks its days identically ->
+    // chi2 = 6·n_weeks = 18 > 12.592
+    val consistent = (0 until 21)
+      .flatMap(t => dayEvents(t, 7 - (t % 7), t * 100L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.friedmanDowTest(consistent).collect().head
+    assert(r.getAs[Long]("n_weeks") == 3L, r)
+    assert(r.getAs[Double]("chi2") == 18.0, r)
+    assert(r.getAs[Boolean]("significant"), r)
+    // one constant week: all midranks tie at 4 -> chi2 exactly 0
+    val flat = (0 until 7).flatMap(t => dayEvents(t, 2, t * 100L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rf = EventOps.friedmanDowTest(flat).collect().head
+    assert(rf.getAs[Long]("n_weeks") == 1L, rf)
+    assert(rf.getAs[Double]("chi2") == 0.0, rf)
+    assert(!rf.getAs[Boolean]("significant"), rf)
+  }
 }
