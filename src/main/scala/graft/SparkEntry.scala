@@ -273,6 +273,10 @@ object SparkEntry {
       ((s, d) => EventOps.holtWintersBacktest(events(s, d))),
     "stationary_type_distribution" ->
       ((s, d) => EventOps.stationaryTypeDistribution(events(s, d))),
+    "markov_removal_attribution" ->
+      ((s, d) => EventOps.markovRemovalAttribution(events(s, d))),
+    "entropy_rate_chain" ->
+      ((s, d) => EventOps.entropyRateChain(events(s, d))),
     "granger_type_pairs" ->
       ((s, d) => EventOps.grangerTypePairs(events(s, d))),
     "durbin_watson_daily" ->
@@ -1040,6 +1044,39 @@ object SparkEntry {
       "(CAST(n1 + n2 + 1 AS DOUBLE) - CAST(ties3 AS DOUBLE) / " +
       "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))), 4) END AS z " +
       "FROM st"
+
+  /** The stationary-chain DuckDB CTE pipeline as ONE definition —
+    * shared verbatim by the `stationary_type_distribution` oracle and
+    * `entropy_rate_chain` (the mannWhitneyCtes anti-drift convention;
+    * mirrors [[graft.ops.EventOps]].chainPacked). */
+  private val chainCtes: String =
+    "steps AS (SELECT event_type AS f, lead(event_type) OVER (" +
+      "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS t " +
+      "FROM events), " +
+      "c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM steps " +
+      "WHERE t IS NOT NULL GROUP BY 1, 2), " +
+      "ty AS (SELECT list(x ORDER BY x) AS types FROM (" +
+      "SELECT DISTINCT f AS x FROM c UNION SELECT DISTINCT t FROM c)), " +
+      "kk AS (SELECT CAST(len(types) AS BIGINT) AS k FROM ty), " +
+      "ti AS (SELECT unnest(types) AS x, " +
+      "generate_subscripts(types, 1) AS i FROM ty), " +
+      "dense AS (SELECT a.i AS i, b.i AS j, coalesce(c.c, 0) AS c " +
+      "FROM ti a CROSS JOIN ti b " +
+      "LEFT JOIN c ON c.f = a.x AND c.t = b.x), " +
+      "rows_ AS (SELECT i, list(CAST(c AS DOUBLE) ORDER BY j) AS cr, " +
+      "CAST(sum(c) AS BIGINT) AS rt FROM dense GROUP BY 1), " +
+      "mat AS (SELECT list(list_transform(cr, x -> CASE WHEN rt > 0 " +
+      "THEN x / CAST(rt AS DOUBLE) ELSE 1.0 / CAST(k AS DOUBLE) END) " +
+      "ORDER BY i) AS p FROM rows_, kk GROUP BY k), " +
+      "it AS (SELECT 0 AS n, list_transform(range(k), " +
+      "j -> 1.0 / CAST(k AS DOUBLE)) AS pi FROM kk WHERE k > 0 " +
+      "UNION ALL " +
+      "SELECT n + 1, list_transform(range(k), j -> " +
+      "list_reduce(list_transform(range(k), i -> " +
+      "pi[CAST(i AS INT) + 1] * p[CAST(i AS INT) + 1]" +
+      "[CAST(j AS INT) + 1]), (a, b) -> a + b)) " +
+      "FROM it, mat, kk WHERE n < 20), " +
+      "fin AS (SELECT pi FROM it WHERE n = 20)"
 
   /** The seasonal_decomposition_daily mirror as ONE definition —
     * inlined verbatim by its own oracle and wrapped as a CTE by
@@ -3347,42 +3384,111 @@ object SparkEntry {
         "(CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))) - " +
         "(1.0 - j / CAST(nt AS DOUBLE)), 6) AS gini_gain " +
         "FROM best"),
+    // Mirrors EventOps.markovRemovalAttribution: same journey
+    // segmentation (restart after purchase), dense channel matrix,
+    // 30 fixed-point absorption iterations per removal index (r = 0
+    // the base sentinel) with LEFT-FOLD sums (list_reduce here, the
+    // aggregate HOF there) so every trajectory is bit-identical.
+    "markov_removal_attribution" ->
+      ("WITH RECURSIVE " +
+        "seqs AS (SELECT event_type AS cur, " +
+        "lag(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC) AS prev, " +
+        "lead(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC) AS nxt FROM events), " +
+        "tr AS (SELECT cur AS f, CASE WHEN nxt IS NULL THEN '__null' " +
+        "WHEN nxt = 'purchase' THEN '__conv' ELSE nxt END AS t, " +
+        "CAST(count(*) AS BIGINT) AS c FROM seqs " +
+        "WHERE cur <> 'purchase' GROUP BY 1, 2), " +
+        "st AS (SELECT CASE WHEN cur = 'purchase' THEN '__conv' " +
+        "ELSE cur END AS t, CAST(count(*) AS BIGINT) AS c FROM seqs " +
+        "WHERE prev IS NULL OR prev = 'purchase' GROUP BY 1), " +
+        "ty AS (SELECT list(x ORDER BY x) AS chans FROM (" +
+        "SELECT DISTINCT f AS x FROM tr)), " +
+        "kk AS (SELECT CAST(len(chans) AS BIGINT) AS k FROM ty), " +
+        "ti AS (SELECT unnest(chans) AS x, " +
+        "generate_subscripts(chans, 1) AS i FROM ty), " +
+        "dense AS (SELECT a.i AS i, b.i AS j, coalesce(tr.c, 0) AS c " +
+        "FROM ti a CROSS JOIN ti b " +
+        "LEFT JOIN tr ON tr.f = a.x AND tr.t = b.x), " +
+        "outs AS (SELECT ti.i AS i, CAST(sum(tr.c) AS BIGINT) AS outc " +
+        "FROM ti JOIN tr ON tr.f = ti.x GROUP BY 1), " +
+        "convs AS (SELECT ti.i AS i, CAST(coalesce(sum(" +
+        "CASE WHEN tr.t = '__conv' THEN tr.c END), 0) AS BIGINT) AS convc " +
+        "FROM ti LEFT JOIN tr ON tr.f = ti.x GROUP BY 1), " +
+        "rows_ AS (SELECT d.i, " +
+        "list(CAST(d.c AS DOUBLE) / CAST(o.outc AS DOUBLE) ORDER BY d.j) " +
+        "AS pr, CAST(cv.convc AS DOUBLE) / CAST(o.outc AS DOUBLE) AS cvp " +
+        "FROM dense d JOIN outs o ON o.i = d.i " +
+        "JOIN convs cv ON cv.i = d.i GROUP BY d.i, cv.convc, o.outc), " +
+        "mat AS (SELECT list(pr ORDER BY i) AS pm, " +
+        "list(cvp ORDER BY i) AS cv FROM rows_), " +
+        "stot AS (SELECT CAST(sum(c) AS BIGINT) AS sout FROM st), " +
+        "sconv AS (SELECT CAST(coalesce(sum(" +
+        "CASE WHEN t = '__conv' THEN c END), 0) AS BIGINT) AS sc FROM st), " +
+        "sarr AS (SELECT list(CAST(coalesce(st.c, 0) AS BIGINT) " +
+        "ORDER BY ti.i) AS sv FROM ti LEFT JOIN st ON st.t = ti.x), " +
+        "it AS (SELECT r, 0 AS n, " +
+        "list_transform(range(k), x -> CAST(0.0 AS DOUBLE)) AS p " +
+        "FROM (SELECT unnest(range(k + 1)) AS r FROM kk), kk WHERE k > 0 " +
+        "UNION ALL " +
+        "SELECT r, n + 1, list_transform(range(k), ii -> " +
+        "CASE WHEN ii + 1 = r THEN CAST(0.0 AS DOUBLE) ELSE " +
+        "cv[CAST(ii AS INT) + 1] + " +
+        "list_reduce(list_transform(range(k), jj -> " +
+        "pm[CAST(ii AS INT) + 1][CAST(jj AS INT) + 1] * " +
+        "p[CAST(jj AS INT) + 1]), (a, b) -> a + b) END) " +
+        "FROM it, mat, kk WHERE n < 30), " +
+        "fin AS (SELECT r, p FROM it WHERE n = 30), " +
+        "evalr AS (SELECT r, CAST(sc AS DOUBLE) / CAST(sout AS DOUBLE) + " +
+        "list_reduce(list_transform(range(k), jj -> " +
+        "CASE WHEN jj + 1 = r THEN CAST(0.0 AS DOUBLE) ELSE " +
+        "CAST(sv[CAST(jj AS INT) + 1] AS DOUBLE) / " +
+        "CAST(sout AS DOUBLE) * p[CAST(jj AS INT) + 1] END), " +
+        "(a, b) -> a + b) AS pv " +
+        "FROM fin, sarr, stot, sconv, kk), " +
+        "b AS (SELECT pv AS pb FROM evalr WHERE r = 0), " +
+        "pvl AS (SELECT list(pv ORDER BY r) AS pl FROM evalr WHERE r >= 1), " +
+        "tot AS (SELECT list_reduce(list_transform(range(k), cc -> " +
+        "CASE WHEN pb > 0.0 THEN 1.0 - pl[CAST(cc AS INT) + 1] / pb " +
+        "ELSE CAST(0.0 AS DOUBLE) END), (a, b) -> a + b) AS re_sum " +
+        "FROM pvl, b, kk) " +
+        "SELECT ti.x AS channel, round(pb, 6) AS base_conv_p, " +
+        "round(e.pv, 6) AS removal_conv_p, " +
+        "round(CASE WHEN pb > 0.0 THEN 1.0 - e.pv / pb END, 6) " +
+        "AS removal_effect, " +
+        "CASE WHEN re_sum > 0.0 THEN " +
+        "round((1.0 - e.pv / pb) / re_sum, 6) END AS attribution_share " +
+        "FROM evalr e JOIN ti ON ti.i = e.r CROSS JOIN b CROSS JOIN tot"),
     // Mirrors EventOps.stationaryTypeDistribution: same (from, to)
     // count collapse, dense sorted-type matrix (uniform rows for
     // zero-successor types), 20 power iterations with LEFT-FOLD sums
     // (list_reduce here, the aggregate HOF there) so the double
     // trajectories are bit-identical.
     "stationary_type_distribution" ->
-      ("WITH RECURSIVE " +
-        "steps AS (SELECT event_type AS f, lead(event_type) OVER (" +
-        "PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS t " +
-        "FROM events), " +
-        "c AS (SELECT f, t, CAST(count(*) AS BIGINT) AS c FROM steps " +
-        "WHERE t IS NOT NULL GROUP BY 1, 2), " +
-        "ty AS (SELECT list(x ORDER BY x) AS types FROM (" +
-        "SELECT DISTINCT f AS x FROM c UNION SELECT DISTINCT t FROM c)), " +
-        "kk AS (SELECT CAST(len(types) AS BIGINT) AS k FROM ty), " +
-        "ti AS (SELECT unnest(types) AS x, " +
-        "generate_subscripts(types, 1) AS i FROM ty), " +
-        "dense AS (SELECT a.i AS i, b.i AS j, coalesce(c.c, 0) AS c " +
-        "FROM ti a CROSS JOIN ti b " +
-        "LEFT JOIN c ON c.f = a.x AND c.t = b.x), " +
-        "rows_ AS (SELECT i, list(CAST(c AS DOUBLE) ORDER BY j) AS cr, " +
-        "CAST(sum(c) AS BIGINT) AS rt FROM dense GROUP BY 1), " +
-        "mat AS (SELECT list(list_transform(cr, x -> CASE WHEN rt > 0 " +
-        "THEN x / CAST(rt AS DOUBLE) ELSE 1.0 / CAST(k AS DOUBLE) END) " +
-        "ORDER BY i) AS p FROM rows_, kk GROUP BY k), " +
-        "it AS (SELECT 0 AS n, list_transform(range(k), " +
-        "j -> 1.0 / CAST(k AS DOUBLE)) AS pi FROM kk WHERE k > 0 " +
-        "UNION ALL " +
-        "SELECT n + 1, list_transform(range(k), j -> " +
-        "list_reduce(list_transform(range(k), i -> " +
-        "pi[CAST(i AS INT) + 1] * p[CAST(i AS INT) + 1]" +
-        "[CAST(j AS INT) + 1]), (a, b) -> a + b)) " +
-        "FROM it, mat, kk WHERE n < 20), " +
-        "fin AS (SELECT pi FROM it WHERE n = 20) " +
+      ("WITH RECURSIVE " + chainCtes + " " +
         "SELECT ti.x AS event_type, round(fin.pi[ti.i], 6) " +
         "AS stationary_p FROM fin, ti"),
+    // Mirrors EventOps.entropyRateChain off the SHARED stationary
+    // CTEs: per-state -sum p ln p folded ascending, rate = pi-weighted
+    // left fold; ln re-evaluates on both engines (the Zipf/KL/JS
+    // residual libm assumption), one 6dp round.
+    "entropy_rate_chain" ->
+      ("WITH RECURSIVE " + chainCtes + ", " +
+        "hs AS (SELECT list_transform(range(k), ii -> " +
+        "list_reduce(list_transform(range(k), jj -> " +
+        "CASE WHEN p[CAST(ii AS INT) + 1][CAST(jj AS INT) + 1] > 0.0 " +
+        "THEN -(p[CAST(ii AS INT) + 1][CAST(jj AS INT) + 1] * " +
+        "ln(p[CAST(ii AS INT) + 1][CAST(jj AS INT) + 1])) " +
+        "ELSE CAST(0.0 AS DOUBLE) END), (a, b) -> a + b)) AS h " +
+        "FROM mat, kk), " +
+        "rt AS (SELECT list_reduce(list_transform(range(k), ii -> " +
+        "pi[CAST(ii AS INT) + 1] * h[CAST(ii AS INT) + 1]), " +
+        "(a, b) -> a + b) AS rate FROM fin, hs, kk) " +
+        "SELECT ti.x AS event_type, round(fin.pi[ti.i], 6) AS stationary_p, " +
+        "round(hs.h[ti.i], 6) AS h_state_nats, " +
+        "round(rt.rate, 6) AS entropy_rate_nats " +
+        "FROM fin, hs, rt, ti"),
     // Mirrors DocOps.stratifiedSample: same hash, same (h, doc_id)
     // total order, same per-stratum cap.
     "stratified_sample" ->

@@ -2162,7 +2162,19 @@ object EventOps {
     * single |types|²-cell row (≤ 25 cells for this log); the k² × 20
     * HOF arithmetic is driver-free and data-size-independent. */
   def stationaryTypeDistribution(events: DataFrame,
-      iters: Int = 20): DataFrame = {
+      iters: Int = 20): DataFrame =
+    chainPacked(events, iters)
+      .select(posexplode(arrays_zip(col("types"), col("pi"))))
+      .select(col("col.types").as("event_type"),
+        round(col("col.pi"), 6).as("stationary_p"))
+
+  /** The packed event-type chain ONE definition
+    * ([[stationaryTypeDistribution]] and [[entropyRateChain]] share
+    * it, the shared-propagation convention): a single row with the
+    * sorted type list, the dense row-stochastic matrix `pm` (uniform
+    * dangling rows) and `pi`, the distribution after `iters` pinned
+    * power iterations from uniform. */
+  private def chainPacked(events: DataFrame, iters: Int): DataFrame = {
     val w = Window.partitionBy("user_id")
       .orderBy(col("ts").asc, col("event_id").asc)
     val c = events.select(col("event_type").as("f"),
@@ -2198,10 +2210,165 @@ object EventOps {
           (a, i) => a + element_at(pi, i.cast("int")) *
             element_at(element_at(col("pm"), i.cast("int")),
               j.cast("int")))))
-    withP.select(col("types"), piN.as("pi"))
-      .select(posexplode(arrays_zip(col("types"), col("pi"))))
+    withP.select(col("types"), col("pm"), piN.as("pi"))
+  }
+
+  /** Entropy rate of the event-type Markov chain — how unpredictable
+    * the NEXT step of a user journey is once the chain has settled:
+    *
+    *   H = −Σ_i π_i Σ_j p_ij ln p_ij   (nats/step),
+    *
+    * with π the [[stationaryTypeDistribution]] 20-iteration vector and
+    * p the SAME dense matrix (one shared [[chainPacked]] definition —
+    * the shared-propagation convention). 0 for a deterministic chain,
+    * ln k for a uniformly random one; the journey-level compression
+    * bound behind "how templated is our funnel".
+    *
+    * Determinism: every fold runs in ascending index order on both
+    * rails (the stationary parity); the ln terms re-evaluate natural
+    * log on both engines — the same residual 1-ulp libm assumption the
+    * Zipf/KL/Jensen-Shannon family carries (documented there), behind
+    * one 6dp round. Scale: identical to stationary — a single
+    * |types|²-cell row after the one corpus collapse. */
+  def entropyRateChain(events: DataFrame, iters: Int = 20): DataFrame = {
+    val pk = chainPacked(events, iters)
+    val k = size(col("types"))
+    def pmAt(i: Column, j: Column) =
+      element_at(element_at(col("pm"), i.cast("int")), j.cast("int"))
+    val hs = transform(sequence(lit(1), k), i =>
+      aggregate(sequence(lit(1), k), lit(0.0), (a, j) =>
+        a + when(pmAt(i, j) > 0.0, -(pmAt(i, j) * log(pmAt(i, j))))
+          .otherwise(lit(0.0))))
+    val rate = aggregate(sequence(lit(1), size(col("types"))), lit(0.0),
+      (a, i) => a + element_at(col("pi"), i.cast("int")) *
+        element_at(col("hs"), i.cast("int")))
+    pk.select(col("types"), col("pi"), hs.as("hs"))
+      .select(col("types"), col("pi"), col("hs"), rate.as("rate"))
+      .select(posexplode(arrays_zip(col("types"), col("pi"), col("hs"))),
+        col("rate"))
       .select(col("col.types").as("event_type"),
-        round(col("col.pi"), 6).as("stationary_p"))
+        round(col("col.pi"), 6).as("stationary_p"),
+        round(col("col.hs"), 6).as("h_state_nats"),
+        round(col("rate"), 6).as("entropy_rate_nats"))
+  }
+
+  /** Markov-chain removal-effect attribution (Anderl et al. '14) —
+    * the data-driven multi-touch model completing the attribution
+    * family beside the heuristic linear / time-decay / U-shaped
+    * credits: journeys are walks START → channel → … → CONV
+    * (purchase) or NULL (journey ends unconverted), and a channel's
+    * credit is its REMOVAL EFFECT — how much of the chain's conversion
+    * probability disappears when every walk through that channel is
+    * sent to NULL (p(channel) pinned to 0):
+    *
+    *   RE_c = 1 − P(conv | c removed) / P(conv),
+    *   share_c = RE_c / Σ RE.
+    *
+    * Journey convention: a user's timeline (total order ts, event_id)
+    * restarts a journey after each purchase; START enters at the first
+    * event of each journey; a purchase immediately at journey start is
+    * START → CONV. Absorption probabilities are 30 pinned fixed-point
+    * iterations of p(i) = P(i→CONV) + Σ_j P(i→j)·p(j) from zero (the
+    * truncated-horizon convention — a stated literal like the SPRT
+    * boundaries; sub-stochastic rows make the iteration a monotone
+    * contraction). The BASE chain runs through the SAME removal code
+    * path with a never-matching sentinel index, so base and removal
+    * trajectories share one arithmetic shape.
+    *
+    * Determinism: transition counts are exact BIGINTs; each p_ij is
+    * one division of identical operands; every fold runs in ascending
+    * index order on both rails (`aggregate` left fold here,
+    * `list_reduce` in the oracle — the [[stationaryTypeDistribution]]
+    * parity), pure +/× with no libm; 6dp rounds only at the output.
+    *
+    * Scale: one exchange on user_id feeds the lag/lead pair; the
+    * (from, to) collapse leaves a single ≤(k+2)²-cell row, and the
+    * (k+1) × 30 × k² HOF arithmetic is driver-free and
+    * data-size-independent. */
+  def markovRemovalAttribution(events: DataFrame,
+      iters: Int = 30): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val seq0 = events.select(col("event_type").as("cur"),
+      lag(col("event_type"), 1).over(w).as("prev"),
+      lead(col("event_type"), 1).over(w).as("nxt"))
+    val trans = seq0.filter(col("cur") =!= "purchase")
+      .select(col("cur").as("f"),
+        when(col("nxt").isNull, "__null")
+          .when(col("nxt") === "purchase", "__conv")
+          .otherwise(col("nxt")).as("t"))
+      .groupBy("f", "t").agg(count(lit(1)).as("c"))
+    val starts = seq0.filter(col("prev").isNull || col("prev") === "purchase")
+      .select(when(col("cur") === "purchase", "__conv")
+        .otherwise(col("cur")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val packed = trans.agg(
+      array_sort(collect_set(col("f"))).as("chans"),
+      collect_list(struct(col("f"), col("t"), col("c"))).as("ent"))
+      .filter(size(col("chans")) > 0)
+    val sPacked = starts.agg(
+      collect_list(struct(col("t"), col("c"))).as("sent"))
+    val one = packed.crossJoin(sPacked)
+    val k = size(col("chans"))
+    def ty(i: Column) = element_at(col("chans"), i.cast("int"))
+    def entC(f: Column, t: Column): Column =
+      coalesce(try_element_at(transform(filter(col("ent"),
+        e => e.getField("f") === f && e.getField("t") === t),
+        e => e.getField("c")), lit(1)), lit(0L))
+    def sC(t: Column): Column =
+      coalesce(try_element_at(transform(filter(col("sent"),
+        e => e.getField("t") === t),
+        e => e.getField("c")), lit(1)), lit(0L))
+    // out(i) counts every outcome of channel i (next / __conv /
+    // __null) — a long sum over the unordered entry list is exact
+    def outC(i: Column): Column =
+      aggregate(filter(col("ent"), e => e.getField("f") === ty(i)),
+        lit(0L), (a, e) => a + e.getField("c"))
+    def pij(i: Column, j: Column): Column =
+      entC(ty(i), ty(j)).cast("double") / outC(i).cast("double")
+    def convP(i: Column): Column =
+      entC(ty(i), lit("__conv")).cast("double") / outC(i).cast("double")
+    val sout = aggregate(col("sent"), lit(0L),
+      (a, e) => a + e.getField("c"))
+    val sconvP = sC(lit("__conv")).cast("double") / sout.cast("double")
+    def sP(j: Column): Column =
+      sC(ty(j)).cast("double") / sout.cast("double")
+    // absorption vector after `iters` fixed-point steps with channel
+    // index r pinned to 0 (r = 0: the never-matching base sentinel)
+    def pAfter(r: Column): Column =
+      aggregate(sequence(lit(1), lit(iters)),
+        transform(sequence(lit(1), k), _ => lit(0.0)),
+        (p, _) => transform(sequence(lit(1), k), i =>
+          when(i === r, lit(0.0)).otherwise(
+            convP(i) + aggregate(sequence(lit(1), k), lit(0.0),
+              (a, j) => a + pij(i, j) * element_at(p, j.cast("int"))))))
+    def startEval(r: Column, p: Column): Column =
+      sconvP + aggregate(sequence(lit(1), k), lit(0.0),
+        (a, j) => a + when(j === r, lit(0.0))
+          .otherwise(sP(j) * element_at(p, j.cast("int"))))
+    val ps = transform(sequence(lit(0), k), r => startEval(r, pAfter(r)))
+    val withP = one.select(col("chans"), ps.as("ps"))
+    val base = element_at(col("ps"), 1)
+    def reOf(c: Column): Column = // c is the 1-based channel index
+      when(base > 0.0,
+        lit(1.0) - element_at(col("ps"), (c + lit(1)).cast("int")) / base)
+    val reSum = aggregate(sequence(lit(1), size(col("chans"))), lit(0.0),
+      (a, c) => a + coalesce(reOf(c), lit(0.0)))
+    val rows = withP.select(col("chans"), col("ps"), base.as("p_base"),
+      reSum.as("re_sum"))
+      .select(posexplode(col("chans")).as(Seq("pos", "channel")),
+        col("ps"), col("p_base"), col("re_sum"))
+    val cIdx = col("pos") + lit(1) // posexplode is 0-based
+    val re = when(col("p_base") > 0.0,
+      lit(1.0) - element_at(col("ps"), (cIdx + lit(1)).cast("int")) /
+        col("p_base"))
+    rows.select(col("channel"),
+      round(col("p_base"), 6).as("base_conv_p"),
+      round(element_at(col("ps"), (cIdx + lit(1)).cast("int")), 6)
+        .as("removal_conv_p"),
+      round(re, 6).as("removal_effect"),
+      when(col("re_sum") > 0.0, round(re / col("re_sum"), 6))
+        .as("attribution_share"))
   }
 
   /** Slowly-changing-dimension type-2 history: per user, the maximal

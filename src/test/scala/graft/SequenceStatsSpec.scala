@@ -519,6 +519,64 @@ class SequenceStatsSpec extends SparkSpec {
     assert(!got.contains("purchase"), got.toString)
   }
 
+  test("markovRemovalAttribution: hand-solved 2-channel chain gives " +
+    "RE 0.75/0.5 and shares 0.6/0.4") {
+    def ev(id: Long, uid: Long, mm: Int, t: String) =
+      (id, Timestamp.valueOf(f"2024-03-01 10:$mm%02d:00"), uid, t, 1.0, "{}")
+    // u1: a -> purchase; u2: a -> b -> purchase; u3: b (unconverted).
+    // Chain: a: {conv 1/2, b 1/2}, b: {conv 1/2, null 1/2};
+    // START: a 2/3, b 1/3 -> p(a)=3/4, p(b)=1/2, base = 2/3.
+    // Remove a: P = 1/6 -> RE 3/4; remove b: P = 1/3 -> RE 1/2;
+    // shares 0.6 / 0.4.
+    val events = Seq(
+      ev(1, 1L, 0, "a"), ev(2, 1L, 1, "purchase"),
+      ev(3, 2L, 0, "a"), ev(4, 2L, 1, "b"), ev(5, 2L, 2, "purchase"),
+      ev(6, 3L, 0, "b"),
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.markovRemovalAttribution(events).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Double]("base_conv_p"), r.getAs[Double]("removal_conv_p"),
+          r.getAs[Double]("removal_effect"),
+          r.getAs[Double]("attribution_share")))).toMap
+    assert(got.keySet == Set("a", "b"), got.toString)
+    assert(got("a") == ((0.666667, 0.166667, 0.75, 0.6)), got.toString)
+    assert(got("b") == ((0.666667, 0.333333, 0.5, 0.4)), got.toString)
+  }
+
+  test("entropyRateChain: deterministic alternator rate 0; the biased " +
+    "chain matches the same recursion replayed in plain Scala") {
+    def ev(id: Long, uid: Long, mm: Int, t: String) =
+      (id, Timestamp.valueOf(f"2024-03-01 10:$mm%02d:00"), uid, t, 1.0, "{}")
+    // a b a b: both rows deterministic -> every h_state 0, rate 0
+    val alt = Seq(ev(1, 1L, 0, "a"), ev(2, 1L, 1, "b"),
+      ev(3, 1L, 2, "a"), ev(4, 1L, 3, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val ra = EventOps.entropyRateChain(alt).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("h_state_nats"),
+          r.getAs[Double]("entropy_rate_nats")))).toMap
+    assert(ra("a") == ((0.0, 0.0)) && ra("b") == ((0.0, 0.0)), ra.toString)
+    // a a b a: P(a->a)=P(a->b)=1/2, P(b->a)=1 -> h_a = ln 2, h_b = 0;
+    // rate = pi_a(20 iters) * h_a — replay the same fold order here
+    val biased = Seq(ev(1, 1L, 0, "a"), ev(2, 1L, 1, "a"),
+      ev(3, 1L, 2, "b"), ev(4, 1L, 3, "a"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rb = EventOps.entropyRateChain(biased).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("stationary_p"), r.getAs[Double]("h_state_nats"),
+          r.getAs[Double]("entropy_rate_nats")))).toMap
+    val hA = 0.0 + -(0.5 * math.log(0.5)) + -(0.5 * math.log(0.5))
+    val pMat = Array(Array(0.5, 0.5), Array(1.0, 0.0))
+    var pi = Array(0.5, 0.5)
+    for (_ <- 0 until 20)
+      pi = Array.tabulate(2)(j =>
+        (0 until 2).foldLeft(0.0)((a, i) => a + pi(i) * pMat(i)(j)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val rate = 0.0 + pi(0) * hA + pi(1) * 0.0
+    assert(rb("a") == ((r6(pi(0)), r6(hA), r6(rate))), rb.toString)
+    assert(rb("b")._2 == 0.0, rb.toString)
+  }
+
   test("durbinWatsonDaily: alternating residuals give DW 10/3; a " +
     "perfect trend has zero residuals and a NULL DW") {
     def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
