@@ -565,6 +565,8 @@ object SparkEntry {
     }),
     // ---- similarity search (north star) ----
     "knn_brute" -> ((s, d) => VectorOps.knnBrute(embeddings(s, d), 0, 10)),
+    "mmr_diverse_topk" ->
+      ((s, d) => VectorOps.mmrDiverseTopK(embeddings(s, d), 0L, 10, 0.5)),
     "knn_quantized" -> ((s, d) => VectorOps.knnQuantized(embeddings(s, d), 0, 10)),
     "knn_lsh" -> ((s, d) => VectorOps.knnLsh(embeddings(s, d), 0, 10)),
     "knn_ivf" -> ((s, d) =>
@@ -4595,6 +4597,34 @@ object SparkEntry {
         "FROM embeddings e, q WHERE e.vec_id <> 0) " +
         "SELECT vec_id, label, round(dp / (na * nb), 4) AS cos_sim FROM s " +
         "ORDER BY cos_sim DESC, vec_id ASC LIMIT 10"),
+    // Mirrors VectorOps.mmrDiverseTopK: the exact k-step greedy
+    // recursion — each recursive step re-scores the remaining
+    // candidates against the chosen list (max of 4dp-pinned cosines)
+    // and picks the (score DESC, vec_id ASC) top-1 via LATERAL.
+    "mmr_diverse_topk" ->
+      ("WITH RECURSIVE q AS (SELECT embedding AS qv FROM embeddings " +
+        "WHERE vec_id = 0), " +
+        "cands AS (SELECT e.vec_id, e.embedding, " +
+        "round(" + duckCos("e.embedding", "qv") + ", 4) AS rel " +
+        "FROM embeddings e, q WHERE e.vec_id <> 0), " +
+        "step AS (SELECT 1 AS rank, s.vec_id, s.rel, " +
+        "CAST(0.0 AS DOUBLE) AS max_sim, [s.vec_id] AS chosen " +
+        "FROM (SELECT vec_id, rel, " +
+        "0.5 * rel - 0.5 * CAST(0.0 AS DOUBLE) AS score FROM cands " +
+        "ORDER BY score DESC, vec_id ASC LIMIT 1) s " +
+        "UNION ALL " +
+        "SELECT p.rank + 1, w.vec_id, w.rel, w.ms, " +
+        "list_append(p.chosen, w.vec_id) " +
+        "FROM step p, LATERAL (" +
+        "SELECT c.vec_id, c.rel, c.ms, 0.5 * c.rel - 0.5 * c.ms AS score " +
+        "FROM (SELECT c2.vec_id, c2.rel, " +
+        "(SELECT max(round(" + duckCos("c2.embedding", "s.embedding") +
+        ", 4)) FROM cands s WHERE list_contains(p.chosen, s.vec_id)) AS ms " +
+        "FROM cands c2 WHERE NOT list_contains(p.chosen, c2.vec_id)) c " +
+        "ORDER BY score DESC, c.vec_id ASC LIMIT 1) w " +
+        "WHERE p.rank < 10) " +
+        "SELECT rank, vec_id, rel, max_sim AS max_sim_selected, " +
+        "round(0.5 * rel - 0.5 * max_sim, 6) AS mmr_score FROM step"),
     // Mirrors knn_ivf_pinned: centroids are the deterministic id-hash
     // sample (vec_id % 997 < 16, cv = embedding), so the oracle can
     // replay the WHOLE IVF search — cosine argmax list assignment

@@ -356,6 +356,72 @@ object VectorOps {
       Seq(col("cos_sim").desc, col("b_id").asc), k)
   }
 
+  /** Maximal-marginal-relevance diverse top-k (Carbonell & Goldstein
+    * '98) — the retrieval-diversification / diverse-example-selection
+    * primitive a RAG context builder or few-shot curator runs after
+    * plain kNN: greedily pick k vectors maximizing
+    *
+    *   λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s),
+    *
+    * so each pick trades query relevance against redundancy with what
+    * was already chosen. Step 1 (empty selection) scores pure
+    * relevance with a 0 penalty; ties break (score desc, vec_id asc).
+    *
+    * Determinism: every similarity is the house 4dp-pinned cosine
+    * ([[knnBrute]]'s gate convention), the greedy argmax is a total
+    * order, and the oracle replays the exact k-step recursion.
+    *
+    * Scale: the greedy loop is inherently sequential in k — each of
+    * the k steps is ONE distributed scan of the candidate frame (a
+    * crossJoin against the ≤ k-row broadcast selected set) and a
+    * bounded 1-row top-1 collect (the learnedCentroids index-artifact
+    * discipline: k rows total cross the driver, never data). The
+    * relevance frame is checkpointed once and reused by all k scans. */
+  def mmrDiverseTopK(embeddings: DataFrame, queryVecId: Long = 0L,
+      k: Int = 10, lambda: Double = 0.5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val cands = embeddings.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        round(cosineFused(col("embedding"), col("qv")), 4).as("rel"))
+      .localCheckpoint() // all k greedy scans read it
+    var selected = Vector.empty[Long]
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    for (step <- 1 to k) {
+      val rem = cands.filter(!col("vec_id").isInCollection(selected))
+      val scored =
+        if (selected.isEmpty)
+          rem.select(col("vec_id"), col("rel"), lit(0.0).as("max_sim"))
+        else {
+          val sel = cands.filter(col("vec_id").isInCollection(selected))
+            .select(col("embedding").as("sv"))
+          rem.crossJoin(broadcast(sel))
+            .groupBy("vec_id", "rel")
+            .agg(max(round(cosineFused(col("embedding"), col("sv")), 4))
+              .as("max_sim"))
+        }
+      val top = scored
+        .select(col("vec_id"), col("rel"), col("max_sim"),
+          (lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"))
+            .as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val r = top.head
+        picks += ((step, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        selected :+= r.getLong(0)
+      }
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "vec_id", "rel", "max_sim_selected")
+      .select(col("rank"), col("vec_id"), col("rel"),
+        col("max_sim_selected"),
+        round(lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * col("max_sim_selected"), 6).as("mmr_score"))
+  }
+
   /** Hard-negative mining for contrastive training (the in-batch
     * negatives literature, e.g. DPR Karpukhin et al. '20): for every
     * vector, the k most cosine-similar vectors carrying a DIFFERENT

@@ -20,6 +20,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(got == Seq(1L, 4L, 2L), s"got $got")
   }
 
+  test("mmrDiverseTopK: the diversity penalty promotes the orthogonal " +
+    "pick over the near-duplicate of the first selection") {
+    // q = (1,0). vec1 (0.8,0.6): rel .8 wins step 1. vec2 (0.79,0.6):
+    // rel .7964 but cos(2,1) rounds to 1.0 -> score -.1018; vec3
+    // (1,-1): rel .7071, cos(3,1) = .1414 -> score .2829 wins step 2
+    // despite lower relevance. vec2 last, carrying max_sim 1.0.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.8f, 0.6f), 0),
+      (2L, Array(0.79f, 0.6f), 0),
+      (3L, Array(1.0f, -1.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.mmrDiverseTopK(emb, 0L, 3, 0.5)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq == Seq(1L, 3L, 2L),
+      got.mkString(","))
+    assert(got(0).getAs[Double]("mmr_score") == 0.4, got(0))
+    assert(got(1).getAs[Double]("max_sim_selected") == 0.1414, got(1))
+    assert(got(2).getAs[Double]("max_sim_selected") == 1.0, got(2))
+  }
+
   test("signCodes pack sign bits into 32-bit words; hammingDist is " +
     "XOR+popcount; knnHamming matches a flat top-k") {
     // dim 34 exercises the partial second word + the out-of-range
