@@ -281,6 +281,10 @@ object SparkEntry {
       ((s, d) => EventOps.grangerTypePairs(events(s, d))),
     "durbin_watson_daily" ->
       ((s, d) => EventOps.durbinWatsonDaily(events(s, d))),
+    "mann_kendall_daily" ->
+      ((s, d) => EventOps.mannKendallDaily(events(s, d))),
+    "theta_forecast_daily" ->
+      ((s, d) => EventOps.thetaForecastDaily(events(s, d))),
     "runs_test_daily" ->
       ((s, d) => EventOps.runsTestDaily(events(s, d))),
     "cliffs_delta_type_pairs" ->
@@ -3215,6 +3219,68 @@ object SparkEntry {
         "WHEN CAST(sd2 AS DOUBLE) / CAST(se2 AS DOUBLE) > 2.5 " +
         "THEN 'negative' ELSE 'none' END) END AS autocorrelation " +
         "FROM es CROSS JOIN ds"),
+    // Mirrors EventOps.mannKendallDaily: exact BIGINT S and 18·Var
+    // (pair signs + tie-group cubics over the dense calendar), one
+    // pinned continuity-corrected z, stated 1.959964 cut.
+    "mann_kendall_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT d.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "s AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1 " +
+        "WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s " +
+        "FROM grid a JOIN grid b ON a.day < b.day), " +
+        "ties AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) " +
+        "AS tsum, CAST(sum(t) AS BIGINT) AS n FROM (" +
+        "SELECT CAST(count(*) AS BIGINT) AS t FROM grid GROUP BY y)), " +
+        "j AS (SELECT s, n, n * (n - 1) * (2 * n + 5) - tsum AS var18 " +
+        "FROM s CROSS JOIN ties), " +
+        "z AS (SELECT *, CASE WHEN s > 0 THEN " +
+        "CAST(s - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+        "WHEN s < 0 THEN " +
+        "CAST(s + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+        "ELSE 0.0 END AS zv FROM j) " +
+        "SELECT n AS n_days, s AS s_stat, var18 AS var_s_x18, " +
+        "CASE WHEN var18 > 0 THEN round(zv, 6) END AS z_score, " +
+        "CASE WHEN var18 > 0 THEN (CASE WHEN zv > 1.959964 " +
+        "THEN 'increasing' WHEN zv < -1.959964 THEN 'decreasing' " +
+        "ELSE 'none' END) END AS trend " +
+        "FROM z"),
+    // Mirrors EventOps.thetaForecastDaily: moments and the SES
+    // recursion as t-ascending left folds over the sorted calendar
+    // list (list_reduce ≡ the aggregate HOF), identical pinned double
+    // chains, no libm.
+    "theta_forecast_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT d.day, CAST(coalesce(daily.cnt, 0) AS DOUBLE) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "ser AS (SELECT list(y ORDER BY day) AS ys FROM grid " +
+        "HAVING count(*) >= 2), " +
+        "m AS (SELECT ys, CAST(len(ys) AS DOUBLE) AS nd, " +
+        "list_reduce(ys, (a, b) -> a + b) AS sy, " +
+        "list_reduce(list_transform(range(len(ys)), i -> " +
+        "CAST(i + 1 AS DOUBLE) * ys[CAST(i AS INT) + 1]), " +
+        "(a, b) -> a + b) AS sty FROM ser), " +
+        "c AS (SELECT *, nd * (nd + 1.0) / 2.0 AS st, " +
+        "nd * (nd + 1.0) * (2.0 * nd + 1.0) / 6.0 AS stt FROM m), " +
+        "cb AS (SELECT *, (nd * sty - st * sy) / " +
+        "(nd * stt - st * st) AS b0 FROM c), " +
+        "ca AS (SELECT *, (sy - b0 * st) / nd AS a0 FROM cb), " +
+        "se AS (SELECT *, list_reduce(list_transform(range(len(ys)), " +
+        "i -> 2.0 * ys[CAST(i AS INT) + 1] - " +
+        "(a0 + b0 * CAST(i + 1 AS DOUBLE))), " +
+        "(acc, x) -> 0.5 * x + 0.5 * acc) AS ses FROM ca) " +
+        "SELECT CAST(h AS BIGINT) AS h, " +
+        "round(0.5 * (a0 + b0 * (nd + CAST(h AS DOUBLE))) + 0.5 * ses, 6) " +
+        "AS forecast " +
+        "FROM se, (SELECT unnest(range(7)) + 1 AS h)"),
     // Mirrors EventOps.runsTestDaily: exact integer 2·median off the
     // calendar order statistics, equal-to-median days dropped, runs
     // counted by a lag over the surviving days, pinned z chain.

@@ -3193,6 +3193,54 @@ object EventOps {
           .as("w1_distance"))
   }
 
+  /** Mann–Kendall trend test on the daily-volume series — the
+    * SIGNIFICANCE gate for [[theilSenTrendByType]]'s slope (the two
+    * are the classical pair: Theil–Sen estimates the monotone trend,
+    * Mann–Kendall decides whether it is real): S = Σ_{i<j}
+    * sign(y_j − y_i) over the zero-filled calendar, with the
+    * tie-corrected variance
+    *
+    *   Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+    *
+    * and the continuity-corrected z = (S∓1)/√Var. Exactness: S and
+    * 18·Var are exact BIGINTs (pair counts and tie-group cubics over
+    * the bounded calendar); z is one pinned chain against the stated
+    * 1.959964 cut. Zero variance (constant series) → NULL z, 'none'.
+    *
+    * Scale: the pair join is calendar² — a constant of the
+    * observation window (the [[theilSenTrendByType]] argument), never
+    * data-proportional; the one corpus-sized stage is the daily
+    * collapse. */
+  def mannKendallDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+      .localCheckpoint() // pair join + tie groups + count all read it
+    val s = grid.as("a").join(grid.as("b"), col("a.day") < col("b.day"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s"))
+    val ties = grid.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+        .as("tsum"), sum(col("t")).as("n"))
+    val j = s.crossJoin(ties)
+    val n = col("n")
+    val var18 = n * (n - 1L) * (lit(2L) * n + 5L) - col("tsum")
+    val vs = var18.cast("double") / lit(18.0)
+    val z = when(col("s") > 0L, (col("s") - lit(1L)).cast("double") / sqrt(vs))
+      .when(col("s") < 0L, (col("s") + lit(1L)).cast("double") / sqrt(vs))
+      .otherwise(lit(0.0))
+    j.select(col("n").as("n_days"), col("s").as("s_stat"),
+      var18.as("var_s_x18"),
+      when(var18 > 0L, round(z, 6)).as("z_score"),
+      when(var18 > 0L,
+        when(z > lit(1.959964), lit("increasing"))
+          .when(z < lit(-1.959964), lit("decreasing"))
+          .otherwise(lit("none"))).as("trend"))
+  }
+
   /** Energy-distance drift of the binned `value` distribution between
     * the time halves — the FOURTH drift lens after KS (max ECDF gap),
     * W₁ (mass moved) and PSI (binned log-ratio): Székely's
@@ -4432,6 +4480,60 @@ object EventOps {
         col("st").getField("l") +
           h.cast("double") * col("st").getField("b") +
           element_at(col("st").getField("s"), h.cast("int")))))
+      .select((col("pos") + 1).cast("long").as("h"),
+        round(col("col"), 6).as("forecast"))
+  }
+
+  /** Theta-method forecast of the daily series (Assimakopoulos &
+    * Nikolopoulos '00, the M3-competition benchmark winner) — the
+    * strong SIMPLE baseline beside [[holtWintersDaily]]: decompose
+    * into the θ=0 line (the OLS linear trend, pure long-run drift) and
+    * the θ=2 line (2y − trend, doubled curvature), forecast each —
+    * trend by extrapolation, the θ=2 line by simple exponential
+    * smoothing (pinned α, s₁ = x₁ init, both stated conventions) —
+    * and combine with equal weights:
+    *
+    *   ŷ_{n+h} = ½·[a + b·(n+h)] + ½·SES_n(2y − (a + b·t)).
+    *
+    * Determinism: the whole computation is pure +/−/×/÷ double
+    * arithmetic (no libm) in a PINNED evaluation order — moments and
+    * the SES recursion fold t-ascending on both rails (`aggregate`
+    * here, `list_reduce` in the oracle), the [[holtWintersDaily]]
+    * parity; one 6dp round at the end.
+    *
+    * Scale: one corpus-sized daily collapse; the fold runs on a
+    * single calendar-length array row. */
+  def thetaForecastDaily(events: DataFrame, alpha: Double = 0.5,
+      horizon: Int = 7): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).cast("double").as("y"))
+    val series = grid
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("sd"))
+      .select(transform(col("sd"), x => x.getField("y")).as("ys"))
+      .filter(size(col("ys")) >= 2)
+    val n = size(col("ys"))
+    val nd = n.cast("double")
+    val sy = aggregate(col("ys"), lit(0.0), (a2, x) => a2 + x)
+    val sty = aggregate(sequence(lit(1), n), lit(0.0),
+      (a2, t) => a2 + t.cast("double") * element_at(col("ys"), t.cast("int")))
+    val st = nd * (nd + lit(1.0)) / lit(2.0)
+    val stt = nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) / lit(6.0)
+    val b0 = (nd * sty - st * sy) / (nd * stt - st * st)
+    val a0 = (sy - b0 * st) / nd
+    def xAt(t: Column) =
+      lit(2.0) * element_at(col("ys"), t.cast("int")) -
+        (a0 + b0 * t.cast("double"))
+    val ses = aggregate(sequence(lit(2), n), xAt(lit(1)),
+      (s2, t) => lit(alpha) * xAt(t) + lit(1.0 - alpha) * s2)
+    series
+      .select(ses.as("ses"), a0.as("a0"), b0.as("b0"), nd.as("nd"))
+      .select(posexplode(transform(sequence(lit(1), lit(horizon)), h =>
+        lit(0.5) * (col("a0") + col("b0") * (col("nd") + h.cast("double"))) +
+          lit(0.5) * col("ses"))))
       .select((col("pos") + 1).cast("long").as("h"),
         round(col("col"), 6).as("forecast"))
   }

@@ -577,6 +577,49 @@ class SequenceStatsSpec extends SparkSpec {
     assert(rb("b")._2 == 0.0, rb.toString)
   }
 
+  test("mannKendallDaily: strict rise gives S = C(n,2) and z past the " +
+    "cut; a constant series has zero variance and NULL z") {
+    def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
+      val d = java.time.LocalDate.of(2024, 3, 1).plusDays(day)
+      (base + j, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view", 1.0, "{}")
+    }
+    // counts [1,2,3,4,5]: S = 10, no ties -> var18 = 5·4·15 = 300,
+    // z = 9/sqrt(300/18) = 2.204541 -> increasing
+    val rise = (0 until 5).flatMap(d => dayEvents(d, d + 1, d * 100L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = EventOps.mannKendallDaily(rise).collect().head
+    assert(r.getAs[Long]("s_stat") == 10L, r)
+    assert(r.getAs[Long]("var_s_x18") == 300L, r)
+    assert(r.getAs[Double]("z_score") == 2.204541, r)
+    assert(r.getAs[String]("trend") == "increasing", r)
+    // constant [2,2,2]: the tie correction cancels the variance
+    val flat = (0 until 3).flatMap(d => dayEvents(d, 2, d * 100L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rf = EventOps.mannKendallDaily(flat).collect().head
+    assert(rf.getAs[Long]("s_stat") == 0L &&
+      rf.getAs[Long]("var_s_x18") == 0L, rf)
+    assert(rf.isNullAt(rf.fieldIndex("z_score")) &&
+      rf.isNullAt(rf.fieldIndex("trend")), rf)
+  }
+
+  test("thetaForecastDaily: a perfectly linear series forecasts the " +
+    "drift line averaged with the hand-traced SES level") {
+    def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
+      val d = java.time.LocalDate.of(2024, 3, 1).plusDays(day)
+      (base + j, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view", 1.0, "{}")
+    }
+    // y = 10t (t = 1..4): OLS is exact (a0 = 0, b0 = 10), the theta-2
+    // line equals the series, SES(0.5) level = 31.25 ->
+    // forecast(h) = 0.5·10·(4+h) + 15.625
+    val lin = (0 until 4).flatMap(d => dayEvents(d, (d + 1) * 10, d * 1000L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.thetaForecastDaily(lin)
+      .orderBy("h").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == (1L to 7L), got.toString)
+    assert(got.map(_._2) == (1 to 7).map(h => 5.0 * (4 + h) + 15.625),
+      got.toString)
+  }
+
   test("durbinWatsonDaily: alternating residuals give DW 10/3; a " +
     "perfect trend has zero residuals and a NULL DW") {
     def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
