@@ -285,6 +285,10 @@ object SparkEntry {
       ((s, d) => EventOps.mannKendallDaily(events(s, d))),
     "theta_forecast_daily" ->
       ((s, d) => EventOps.thetaForecastDaily(events(s, d))),
+    "conformal_daily_intervals" ->
+      ((s, d) => EventOps.conformalDailyIntervals(events(s, d))),
+    "hurst_exponent_daily" ->
+      ((s, d) => EventOps.hurstExponentDaily(events(s, d))),
     "runs_test_daily" ->
       ((s, d) => EventOps.runsTestDaily(events(s, d))),
     "cliffs_delta_type_pairs" ->
@@ -3281,6 +3285,100 @@ object SparkEntry {
         "round(0.5 * (a0 + b0 * (nd + CAST(h AS DOUBLE))) + 0.5 * ses, 6) " +
         "AS forecast " +
         "FROM se, (SELECT unnest(range(7)) + 1 AS h)"),
+    // Mirrors EventOps.hurstExponentDaily: exact integer block
+    // R-numerators/S-denominators, per-block micro-pin before the
+    // per-m mean, ascending-m ln folds (list_reduce ≡ aggregate), the
+    // multi-unnest zip for the final explode.
+    "hurst_exponent_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT d.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "ranked AS (SELECT CAST(row_number() OVER (ORDER BY day ASC) " +
+        "AS BIGINT) AS rn, y FROM grid), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ranked), " +
+        "sz AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS m), " +
+        "g2 AS (SELECT m, rn, y, CAST((rn - 1) // m AS BIGINT) AS bk, " +
+        "CAST(rn - ((rn - 1) // m) * m AS BIGINT) AS t_in " +
+        "FROM ranked CROSS JOIN sz CROSS JOIN nn " +
+        "WHERE CAST((rn - 1) // m AS BIGINT) < CAST(n // m AS BIGINT)), " +
+        "pre AS (SELECT *, CAST(sum(y) OVER (PARTITION BY m, bk " +
+        "ORDER BY rn ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre " +
+        "FROM g2), " +
+        "tots AS (SELECT m, bk, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy " +
+        "FROM g2 GROUP BY 1, 2), " +
+        "devs AS (SELECT p.m, p.bk, t.sy, t.syy, " +
+        "p.m * p.pre - p.t_in * t.sy AS dev " +
+        "FROM pre p JOIN tots t ON t.m = p.m AND t.bk = p.bk), " +
+        "blocks AS (SELECT m, bk, sy, syy, " +
+        "CAST(max(dev) AS BIGINT) AS maxdev, " +
+        "CAST(min(dev) AS BIGINT) AS mindev FROM devs GROUP BY 1, 2, 3, 4), " +
+        "rs AS (SELECT m, CAST(round(CAST(maxdev - mindev AS DOUBLE) / " +
+        "sqrt(CAST(m * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) * " +
+        "1000000.0, 0) AS BIGINT) AS rsm FROM blocks " +
+        "WHERE m * syy - CAST(sy AS HUGEINT) * sy > 0), " +
+        "perm AS (SELECT m, CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(sum(rsm) AS BIGINT) AS srs FROM rs GROUP BY 1), " +
+        "pk AS (SELECT list(m ORDER BY m) AS ms, " +
+        "list(cnt ORDER BY m) AS cs, list(srs ORDER BY m) AS ss " +
+        "FROM perm HAVING count(*) >= 2), " +
+        "fold AS (SELECT ms, cs, ss, CAST(len(ms) AS DOUBLE) AS kd, " +
+        "list_reduce(list_transform(range(len(ms)), i -> " +
+        "ln(CAST(ms[CAST(i AS INT) + 1] AS DOUBLE))), " +
+        "(a, b) -> a + b) AS sx, " +
+        "list_reduce(list_transform(range(len(ms)), i -> " +
+        "ln(CAST(ss[CAST(i AS INT) + 1] AS DOUBLE) / " +
+        "(CAST(cs[CAST(i AS INT) + 1] AS DOUBLE) * 1000000.0))), " +
+        "(a, b) -> a + b) AS syp, " +
+        "list_reduce(list_transform(range(len(ms)), i -> " +
+        "ln(CAST(ms[CAST(i AS INT) + 1] AS DOUBLE)) * " +
+        "ln(CAST(ss[CAST(i AS INT) + 1] AS DOUBLE) / " +
+        "(CAST(cs[CAST(i AS INT) + 1] AS DOUBLE) * 1000000.0))), " +
+        "(a, b) -> a + b) AS sxy, " +
+        "list_reduce(list_transform(range(len(ms)), i -> " +
+        "ln(CAST(ms[CAST(i AS INT) + 1] AS DOUBLE)) * " +
+        "ln(CAST(ms[CAST(i AS INT) + 1] AS DOUBLE))), " +
+        "(a, b) -> a + b) AS sxx FROM pk), " +
+        "h AS (SELECT *, (kd * sxy - sx * syp) / " +
+        "(kd * sxx - sx * sx) AS hurst FROM fold) " +
+        "SELECT CAST(m AS BIGINT) AS m, CAST(nb AS BIGINT) AS n_blocks, " +
+        "round(CAST(srs AS DOUBLE) / (CAST(nb AS DOUBLE) * 1000000.0), 6) " +
+        "AS mean_rs, round(hurst, 6) AS hurst FROM (" +
+        "SELECT unnest(ms) AS m, unnest(cs) AS nb, unnest(ss) AS srs, " +
+        "hurst FROM h)"),
+    // Mirrors EventOps.conformalDailyIntervals: BIGINT end to end —
+    // day+7 equi-join residuals, integer-ceiling conformal index over
+    // the collapsed |e| grid, seasonal-naive last-week points.
+    "conformal_daily_intervals" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT d.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "res AS (SELECT abs(g.y - p.y) AS v FROM grid g " +
+        "JOIN grid p ON g.day = p.day + 7), " +
+        "byv AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM res " +
+        "GROUP BY 1), " +
+        "cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc FROM byv), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM res), " +
+        "qh AS (SELECT CAST(min(v) AS BIGINT) AS q_hat, " +
+        "CAST(max(n) AS BIGINT) AS n_resid FROM cum CROSS JOIN tot " +
+        "WHERE cumc >= least(CAST(((n + 1) * 9 + 9) // 10 AS BIGINT), n)), " +
+        "last_ AS (SELECT max(day) AS d1 FROM grid), " +
+        "pts AS (SELECT CAST(datediff('day', l.d1, g.day) + 7 AS BIGINT) " +
+        "AS h, g.y AS forecast FROM grid g CROSS JOIN last_ l " +
+        "WHERE datediff('day', g.day, l.d1) < 7) " +
+        "SELECT h, forecast, " +
+        "CAST(forecast - q_hat AS BIGINT) AS lo, " +
+        "CAST(forecast + q_hat AS BIGINT) AS hi, q_hat, n_resid " +
+        "FROM pts CROSS JOIN qh"),
     // Mirrors EventOps.runsTestDaily: exact integer 2·median off the
     // calendar order statistics, equal-to-median days dropped, runs
     // counted by a lag over the surviving days, pinned z chain.

@@ -4484,6 +4484,145 @@ object EventOps {
         round(col("col"), 6).as("forecast"))
   }
 
+  /** Hurst exponent of the daily-volume series by rescaled-range
+    * analysis (Hurst '51 / Mandelbrot–Wallis R/S) — the long-range-
+    * dependence diagnostic beside [[acfDailyCounts]]' short lags:
+    * H ≈ 0.5 for a memoryless series, > 0.5 for persistent trends
+    * (busy days cluster), < 0.5 for mean reversion. Per block size m
+    * ∈ {8, 16, 32, 64} (stated ladder), each complete block scores
+    *
+    *   R/S = [max_t D_t − min_t D_t] / √(m·Σy² − (Σy)²),
+    *   D_t = m·(prefix_t) − t·Σy   (m·cumulative deviation),
+    *
+    * where EVERYTHING inside is an exact integer off the zero-filled
+    * calendar (the t = m endpoint pins 0 into the range, the classic
+    * convention); the only non-integer steps are ONE pinned
+    * division-by-√ per block, re-pinned to BIGINT micro-units before
+    * the per-m mean (the pinballLoss discipline), and the final
+    * log–log OLS of ln(mean R/S) on ln m folded in ascending-m order
+    * on both rails (the ln re-evaluation is the documented Zipf/KL/JS
+    * libm assumption). H is the slope.
+    *
+    * Scale: one corpus-sized daily collapse; the sizes×calendar frame
+    * is 4× the calendar, its windows partition by (m, block), and the
+    * OLS runs on a ≤4-point packed row. */
+  def hurstExponentDaily(events: DataFrame,
+      sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+    // rank BEFORE the checkpoint so the serial window's collapse
+    // lineage stays visible to the sweep (isotonic convention); the
+    // checkpointed ranked frame then serves the count + 4 block scans
+    val ranked = grid
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("day").asc)).cast("long"))
+      .select("rn", "y")
+      .localCheckpoint()
+    val nCal = ranked.agg(count(lit(1))).head().getLong(0)
+    val szDf = ranked.sparkSession.createDataFrame(
+      sizes.map(m => Tuple1(m.toLong))).toDF("m")
+    val g2 = ranked.crossJoin(broadcast(szDf))
+      .withColumn("bk", expr("(rn - 1) div m"))
+      .filter(expr(s"bk < ${nCal}L div m")) // complete blocks only
+      .withColumn("t_in", col("rn") - col("bk") * col("m"))
+    val pre = g2.withColumn("pre",
+      sum(col("y")).over(Window.partitionBy("m", "bk").orderBy(col("rn").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val tots = g2.groupBy("m", "bk")
+      .agg(sum(col("y")).as("sy"), sum(d38(col("y")) * col("y")).as("syy"))
+    val devs = pre.join(broadcast(tots), Seq("m", "bk"))
+      .select(col("m"), col("bk"), col("sy"), col("syy"),
+        (col("m") * col("pre") - col("t_in") * col("sy")).as("dev"))
+    val blocks = devs.groupBy("m", "bk", "sy", "syy")
+      .agg(max(col("dev")).as("maxdev"), min(col("dev")).as("mindev"))
+      .withColumn("den", col("m") * col("syy") - d38(col("sy")) * col("sy"))
+      .filter(col("den") > 0L)
+    val rsm = round((col("maxdev") - col("mindev")).cast("double") /
+      sqrt(col("den").cast("double")) * lit(1000000.0), 0).cast("long")
+    val perM = blocks.select(col("m"), rsm.as("rsm"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"), sum(col("rsm")).as("srs"))
+    val pk = perM
+      .agg(array_sort(collect_list(struct(col("m"), col("cnt"),
+        col("srs")))).as("pts"))
+      .filter(size(col("pts")) >= 2)
+    def xOf(e: Column) = log(e.getField("m").cast("double"))
+    def yOf(e: Column) = log(e.getField("srs").cast("double") /
+      (e.getField("cnt").cast("double") * lit(1000000.0)))
+    val kD = size(col("pts")).cast("double")
+    val sx = aggregate(col("pts"), lit(0.0), (a, e) => a + xOf(e))
+    val syP = aggregate(col("pts"), lit(0.0), (a, e) => a + yOf(e))
+    val sxy = aggregate(col("pts"), lit(0.0), (a, e) => a + xOf(e) * yOf(e))
+    val sxx = aggregate(col("pts"), lit(0.0), (a, e) => a + xOf(e) * xOf(e))
+    val hurst = (kD * sxy - sx * syP) / (kD * sxx - sx * sx)
+    pk.select(posexplode(col("pts")), round(hurst, 6).as("hurst"))
+      .select(col("col.m").as("m"), col("col.cnt").as("n_blocks"),
+        round(col("col.srs").cast("double") /
+          (col("col.cnt").cast("double") * lit(1000000.0)), 6)
+          .as("mean_rs"),
+        col("hurst"))
+  }
+
+  /** Split-conformal prediction intervals for the seasonal-naive
+    * daily forecast (Vovk's conformal guarantee in its simplest
+    * production form): calibrate on the in-sample residuals
+    * e_t = y_t − y_{t−7}, take q̂ = the ⌈(n+1)·0.9⌉-th smallest |e|
+    * (the finite-sample-valid conformal quantile — an EXACT order
+    * statistic, no interpolation), and emit ŷ_{T+h} ± q̂ around the
+    * seasonal-naive point forecast ŷ_{T+h} = y_{T−7+h} for h = 1..7.
+    * Under exchangeability the interval covers ≥ 90% — the
+    * distribution-free honesty wrapper a forecast dashboard puts
+    * around ANY point model.
+    *
+    * Exactness: everything is BIGINT end to end — residuals are count
+    * differences off the zero-filled calendar (the day+7 equi-join
+    * shift, never a window over raw rows), the quantile index is
+    * integer ceiling arithmetic, and the order statistic comes off the
+    * collapsed |e| value grid. No doubles anywhere.
+    *
+    * Scale: one corpus-sized daily collapse; the rank window orders
+    * the collapsed residual value grid (the kruskal value-grid
+    * bounded-serial case). */
+  def conformalDailyIntervals(events: DataFrame,
+      horizon: Int = 7): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+      .localCheckpoint() // residual shift + last-week probe share it
+    val prev = grid.select(date_add(col("day"), 7).as("day"),
+      col("y").as("y_prev"))
+    val res = grid.join(prev, Seq("day"))
+      .select(abs(col("y") - col("y_prev")).as("v"))
+    val byV = res.groupBy("v").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = byV.withColumn("cumc", sum(col("c")).over(w))
+    val tot = res.agg(count(lit(1)).as("n"))
+    // conformal index k = ceil((n+1)·0.9), capped at n (the k > n
+    // case means "use the max residual" — the stated small-n fallback)
+    val k = least(expr("((n + 1) * 9 + 9) div 10"), col("n"))
+    val qhat = cum.crossJoin(broadcast(tot))
+      .filter(col("cumc") >= k)
+      .agg(min(col("v")).as("q_hat"), max(col("n")).as("n_resid"))
+    val lastDay = grid.agg(max(col("day")).as("d1"))
+    val points = grid.crossJoin(broadcast(lastDay))
+      .filter(datediff(col("d1"), col("day")) < 7)
+      .select((datediff(col("day"), col("d1")) + 7L).as("h"),
+        col("y").as("forecast"))
+    points.crossJoin(broadcast(qhat))
+      .select(col("h"), col("forecast"),
+        (col("forecast") - col("q_hat")).as("lo"),
+        (col("forecast") + col("q_hat")).as("hi"),
+        col("q_hat"), col("n_resid"))
+  }
+
   /** Theta-method forecast of the daily series (Assimakopoulos &
     * Nikolopoulos '00, the M3-competition benchmark winner) — the
     * strong SIMPLE baseline beside [[holtWintersDaily]]: decompose

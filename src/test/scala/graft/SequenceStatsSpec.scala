@@ -620,6 +620,61 @@ class SequenceStatsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("conformalDailyIntervals: exact conformal order statistic from " +
+    "the seasonal-naive residuals, last week as point forecasts") {
+    def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
+      val d = java.time.LocalDate.of(2024, 3, 4).plusDays(day)
+      (base + j, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view", 1.0, "{}")
+    }
+    // week 1: 10..16 rising; week 2: the same +{2,0,2,0,2,0,2} ->
+    // |residuals| = {0,0,0,2,2,2,2}, n = 7, k = min(ceil(8*.9), 7) = 7
+    // -> q_hat = 2; forecasts = week-2 counts, intervals +-2
+    val w1 = (0 until 7).map(10 + _)
+    val w2 = w1.zipWithIndex.map { case (y, i) => y + (if (i % 2 == 0) 2 else 0) }
+    val events = (w1 ++ w2).zipWithIndex
+      .flatMap { case (y, d) => dayEvents(d, y, d * 1000L) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.conformalDailyIntervals(events)
+      .orderBy("h").collect()
+    assert(got.map(_.getAs[Long]("h")).toSeq == (1L to 7L), got.mkString(","))
+    assert(got.map(_.getAs[Long]("forecast")).toSeq == w2.map(_.toLong),
+      got.mkString(","))
+    assert(got.forall(r => r.getAs[Long]("q_hat") == 2L &&
+      r.getAs[Long]("n_resid") == 7L), got.mkString(","))
+    assert(got.head.getAs[Long]("lo") == w2.head - 2L &&
+      got.head.getAs[Long]("hi") == w2.head + 2L, got.head)
+  }
+
+  test("hurstExponentDaily: linear-series blocks score the closed-form " +
+    "R/S; the slope replays the same ln fold") {
+    def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
+      val d = java.time.LocalDate.of(2024, 3, 1).plusDays(day)
+      (base + j, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view", 1.0, "{}")
+    }
+    // y = 1..16: every m=8 block has dev_t = 4t^2-32t (range 64,
+    // den 336); the m=16 block has dev_t = 8t^2-128t (range 512,
+    // den 5440) — both shift-invariant, so the two m=8 blocks agree
+    val events = (0 until 16).flatMap(d => dayEvents(d, d + 1, d * 1000L))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.hurstExponentDaily(events).orderBy("m").collect()
+    assert(got.map(r => (r.getAs[Long]("m"), r.getAs[Long]("n_blocks")))
+      .toSeq == Seq((8L, 2L), (16L, 1L)), got.mkString(","))
+    val rs8 = math.rint(64.0 / math.sqrt(336.0) * 1e6)
+    val rs16 = math.rint(512.0 / math.sqrt(5440.0) * 1e6)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(0).getAs[Double]("mean_rs") == r6(2 * rs8 / (2.0 * 1e6)),
+      got(0))
+    assert(got(1).getAs[Double]("mean_rs") == r6(rs16 / 1e6), got(1))
+    // slope via the operator's own fold order (k = 2 points)
+    val xs = Seq(math.log(8.0), math.log(16.0))
+    val ys = Seq(math.log(2 * rs8 / (2.0 * 1e6)), math.log(rs16 / 1e6))
+    val sx = 0.0 + xs(0) + xs(1); val sy = 0.0 + ys(0) + ys(1)
+    val sxy = 0.0 + xs(0) * ys(0) + xs(1) * ys(1)
+    val sxx = 0.0 + xs(0) * xs(0) + xs(1) * xs(1)
+    val h = (2.0 * sxy - sx * sy) / (2.0 * sxx - sx * sx)
+    assert(got(0).getAs[Double]("hurst") == r6(h), got(0))
+  }
+
   test("durbinWatsonDaily: alternating residuals give DW 10/3; a " +
     "perfect trend has zero residuals and a NULL DW") {
     def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
