@@ -289,6 +289,10 @@ object SparkEntry {
       ((s, d) => EventOps.conformalDailyIntervals(events(s, d))),
     "hurst_exponent_daily" ->
       ((s, d) => EventOps.hurstExponentDaily(events(s, d))),
+    "cochran_armitage_trend" ->
+      ((s, d) => EventOps.cochranArmitageTrend(events(s, d))),
+    "doclen_hill_tail" ->
+      ((s, d) => DocOps.doclenHillTail(documents(s, d))),
     "runs_test_daily" ->
       ((s, d) => EventOps.runsTestDaily(events(s, d))),
     "cliffs_delta_type_pairs" ->
@@ -3285,6 +3289,59 @@ object SparkEntry {
         "round(0.5 * (a0 + b0 * (nd + CAST(h AS DOUBLE))) + 0.5 * ses, 6) " +
         "AS forecast " +
         "FROM se, (SELECT unnest(range(7)) + 1 AS h)"),
+    // Mirrors EventOps.cochranArmitageTrend: ntile(5) parity for the
+    // quintile cut, exact HUGEINT trend moments, one pinned z.
+    "cochran_armitage_trend" ->
+      ("WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x, " +
+        "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y " +
+        "FROM events GROUP BY 1), " +
+        "t AS (SELECT *, CAST(ntile(5) OVER (ORDER BY x ASC, user_id ASC) " +
+        "AS BIGINT) AS stratum FROM pu), " +
+        "cells AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS r FROM t GROUP BY 1), " +
+        "m AS (SELECT CAST(sum(n) AS BIGINT) AS nn, " +
+        "CAST(sum(r) AS BIGINT) AS rr, " +
+        "CAST(sum(stratum * r) AS BIGINT) AS str, " +
+        "CAST(sum(stratum * n) AS BIGINT) AS stn, " +
+        "CAST(sum(CAST(stratum AS HUGEINT) * stratum * n) AS HUGEINT) " +
+        "AS sttn FROM cells), " +
+        "f AS (SELECT *, " +
+        "CAST(nn AS HUGEINT) * str - CAST(rr AS HUGEINT) * stn AS num, " +
+        "CAST(rr AS HUGEINT) * (nn - rr) * " +
+        "(CAST(nn AS HUGEINT) * sttn - CAST(stn AS HUGEINT) * stn) AS vi, " +
+        "CAST(nn AS HUGEINT) * sttn - CAST(stn AS HUGEINT) * stn AS sv " +
+        "FROM m), " +
+        "z AS (SELECT *, CAST(num AS DOUBLE) / " +
+        "sqrt(CAST(vi AS DOUBLE) / CAST(nn AS DOUBLE)) AS zv FROM f) " +
+        "SELECT nn AS n_users, rr AS n_conv, " +
+        "CASE WHEN rr > 0 AND rr < nn AND sv > 0 THEN round(zv, 6) END " +
+        "AS z_score, " +
+        "CASE WHEN rr > 0 AND rr < nn AND sv > 0 THEN (" +
+        "CASE WHEN zv > 1.959964 THEN 'increasing' " +
+        "WHEN zv < -1.959964 THEN 'decreasing' ELSE 'none' END) END " +
+        "AS trend FROM z"),
+    // Mirrors DocOps.doclenHillTail: descending cumulative order
+    // statistic for the threshold, micro-pinned per-value lns weighted
+    // by exact counts, one pinned division.
+    "doclen_hill_tail" ->
+      ("WITH grid AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c " +
+        "FROM documents GROUP BY 1), " +
+        "cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v DESC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumc FROM grid), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM grid), " +
+        "thr AS (SELECT CAST(max(v) AS BIGINT) AS xk1, " +
+        "CAST(max(n) AS BIGINT) AS n, " +
+        "CAST(max(CAST((n + 9) // 10 AS BIGINT)) AS BIGINT) AS k " +
+        "FROM cum CROSS JOIN tot " +
+        "WHERE cumc >= CAST((n + 9) // 10 AS BIGINT) + 1), " +
+        "terms AS (SELECT CAST(max(n) AS BIGINT) AS n, " +
+        "CAST(max(k) AS BIGINT) AS k, CAST(max(xk1) AS BIGINT) AS xk1, " +
+        "CAST(sum(CAST(c AS HUGEINT) * CAST(round(ln(CAST(v AS DOUBLE) / " +
+        "CAST(xk1 AS DOUBLE)) * 1000000.0, 0) AS BIGINT)) AS HUGEINT) " +
+        "AS smicro FROM grid CROSS JOIN thr WHERE v > xk1 AND xk1 > 0) " +
+        "SELECT n AS n_docs, k, xk1 AS tail_threshold, " +
+        "CASE WHEN smicro > 0 THEN round(CAST(k AS DOUBLE) * 1000000.0 / " +
+        "CAST(smicro AS DOUBLE), 6) END AS hill_alpha FROM terms"),
     // Mirrors EventOps.hurstExponentDaily: exact integer block
     // R-numerators/S-denominators, per-block micro-pin before the
     // per-m mean, ascending-m ln folds (list_reduce ≡ aggregate), the

@@ -111,6 +111,55 @@ object DocOps {
       .agg(count(lit(1)).as("n"))
       .withColumn("lo", col("bucket") * bucket)
 
+  /** Hill tail-index estimate of the document-length distribution —
+    * HOW heavy the long-document tail is, as one number: the
+    * [[doclenHistogram]] shows the shape, the Hill estimator
+    * (Hill '75) fits the Pareto exponent of its upper tail,
+    *
+    *   α̂ = k / Σ_{i≤k} ln(x_(i) / x_(k+1)),   k = ⌈n/10⌉ (stated),
+    *
+    * the number packing/truncation policy actually needs (α ≤ 1 means
+    * the tail carries unbounded mass — a handful of giant documents
+    * dominate every shard they land in). Tie-robust by construction:
+    * top-k elements EQUAL to the threshold x_(k+1) contribute ln 1 = 0,
+    * so the sum reduces to Σ_{v > x_(k+1)} c_v·ln(v/x_(k+1)) over the
+    * collapsed length grid — no arbitrary tie split can change it.
+    *
+    * Determinism: the threshold is an exact order statistic off the
+    * descending cumulative counts; each distinct length's ln is
+    * re-pinned to BIGINT micro-units before the count-weighted exact
+    * sum (the heapsLawFit discipline — ln re-evaluation is the
+    * documented residual libm assumption); α is one pinned division.
+    * Shape: one corpus collapse to the length grid; the cumulative
+    * window orders that bounded grid only. */
+  def doclenHillTail(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = docs.groupBy(col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = grid.withColumn("cumc", sum(col("c")).over(w))
+    val tot = grid.agg(sum(col("c")).as("n"))
+    // x_(k+1) = the largest v whose descending cumulative count
+    // reaches k+1 (cumc is monotone as v falls)
+    val thr = cum.crossJoin(broadcast(tot))
+      .filter(col("cumc") >= expr("(n + 9) div 10") + lit(1L))
+      .agg(max(col("v")).as("xk1"), max(col("n")).as("n"),
+        max(expr("(n + 9) div 10")).as("k"))
+    val terms = grid.crossJoin(broadcast(thr))
+      .filter(col("v") > col("xk1") && col("xk1") > 0L)
+      .agg(max(col("n")).as("n"), max(col("k")).as("k"),
+        max(col("xk1")).as("xk1"),
+        sum(col("c").cast("decimal(38,0)") *
+          round(log(col("v").cast("double") / col("xk1").cast("double")) *
+            lit(1000000.0), 0).cast("long")).as("smicro"))
+    terms.select(col("n").as("n_docs"), col("k"),
+      col("xk1").as("tail_threshold"),
+      when(col("smicro") > 0L,
+        round(col("k").cast("double") * lit(1000000.0) /
+          col("smicro").cast("double"), 6)).as("hill_alpha"))
+  }
+
   /** Exact global top-k vocabulary: one (term) hash aggregation with
     * map-side partials absorbing hot-term skew, then
     * TakeOrderedAndProject — each partition keeps k rows, no global

@@ -3193,6 +3193,57 @@ object EventOps {
           .as("w1_distance"))
   }
 
+  /** Cochran–Armitage trend test: does the purchase-conversion rate
+    * rise MONOTONICALLY across the ordered activity quintiles? The
+    * dose-response companion to [[chiSquareTypeDow]]'s unordered
+    * association test — a trend statistic spends its single degree of
+    * freedom on the ordering, so it detects a graded relationship an
+    * omnibus χ² dilutes. Scores t_i = quintile index (1..5, the
+    * standard equally-spaced convention);
+    *
+    *   z = (N·Σt·r − R·Σt·n) /
+    *       √[ R·(N−R)·(N·Σt²·n − (Σt·n)²) / N ].
+    *
+    * Exactness: the quintile cut is [[graft.ops.RankOps.globalNtile]]'s
+    * two-level distributed rank (total order (x, user_id) — no serial
+    * window on the user frame); every moment is an exact
+    * BIGINT/DECIMAL(38,0) cell sum (N·Σt²n squares past BIGINT at
+    * ~10⁹ users); z is one pinned chain against the stated 1.959964
+    * cut. Degenerate margins (R = 0, R = N, or zero score variance) →
+    * NULL z.
+    *
+    * Shape: one per-user collapse, the ntile machinery, a 5-row cell
+    * frame, one 1-row aggregate. */
+  def cochranArmitageTrend(events: DataFrame): DataFrame = {
+    val pu = events.groupBy("user_id")
+      .agg(count(lit(1)).as("x"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("y"))
+    val tiles = RankOps.globalNtile(pu, col("x"),
+      Seq(col("x").asc, col("user_id").asc), 5, "stratum")
+    val cells = tiles.groupBy("stratum")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("r"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val t = col("stratum").cast("long")
+    val m = cells.agg(sum(col("n")).as("nn"), sum(col("r")).as("rr"),
+      sum(t * col("r")).as("str"), sum(t * col("n")).as("stn"),
+      sum(d38(t) * t * col("n")).as("sttn"))
+    val num = (d38(col("nn")) * col("str") -
+      d38(col("rr")) * col("stn"))
+    val varInner = d38(col("rr")) * (col("nn") - col("rr")) *
+      (d38(col("nn")) * col("sttn") - d38(col("stn")) * col("stn"))
+    val z = num.cast("double") /
+      sqrt(varInner.cast("double") / col("nn").cast("double"))
+    val ok = col("rr") > 0L && col("rr") < col("nn") &&
+      (d38(col("nn")) * col("sttn") - d38(col("stn")) * col("stn")) > 0L
+    m.select(col("nn").as("n_users"), col("rr").as("n_conv"),
+      when(ok, round(z, 6)).as("z_score"),
+      when(ok,
+        when(z > lit(1.959964), lit("increasing"))
+          .when(z < lit(-1.959964), lit("decreasing"))
+          .otherwise(lit("none"))).as("trend"))
+  }
+
   /** Mann–Kendall trend test on the daily-volume series — the
     * SIGNIFICANCE gate for [[theilSenTrendByType]]'s slope (the two
     * are the classical pair: Theil–Sen estimates the monotone trend,

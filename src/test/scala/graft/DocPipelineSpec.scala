@@ -784,4 +784,24 @@ class DocPipelineSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("heaps_beta")) &&
       r2.isNullAt(r2.fieldIndex("heaps_k")), r2)
   }
+
+  test("doclenHillTail: k = ceil(n/10) top lengths against the exact " +
+    "order-statistic threshold; ties at the threshold contribute 0") {
+    // 10 docs: one of 100 chars over nine of 50 -> k = 1, threshold =
+    // 2nd largest = 50, S = round(ln 2 * 1e6) = 693147 micro-units ->
+    // alpha = 1e6/693147 = 1.4427
+    val docs = ((1L to 9L).map(i => (i, "t", "s", 50L)) :+
+      (10L, "t", "s", 100L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val r = graft.ops.DocOps.doclenHillTail(docs).collect().head
+    assert((r.getAs[Long]("n_docs"), r.getAs[Long]("k"),
+      r.getAs[Long]("tail_threshold")) == ((10L, 1L, 50L)), r)
+    assert(r.getAs[Double]("hill_alpha") ==
+      math.rint(1e6 / 693147.0 * 1e6) / 1e6, r)
+    // all lengths equal: the strict-greater set is empty -> NULL alpha
+    val flat = (1L to 10L).map(i => (i, "t", "s", 50L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val rf = graft.ops.DocOps.doclenHillTail(flat).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("hill_alpha")), rf)
+  }
 }

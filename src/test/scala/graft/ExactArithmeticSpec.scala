@@ -1237,6 +1237,32 @@ class ExactArithmeticSpec extends SparkSpec {
       rt.getAs[String]("magnitude") == "large", rt)
   }
 
+  test("cochranArmitageTrend: planted rising conversion across " +
+    "quintiles gives the hand-computed z; no converters -> NULL") {
+    // users 1..10, user u has u events (u7..u10 swap one view for a
+    // purchase so activity x = u is preserved): quintile cells
+    // r = (0,0,0,2,2) -> num 60, sv 200, vi 4800, z = 60/sqrt(480)
+    val rows = (1L to 10L).flatMap { u =>
+      val conv = u >= 7L
+      (1L to u).map { i =>
+        val t = if (conv && i == 1L) "purchase" else "view"
+        (u * 100 + i, Timestamp.valueOf("2024-03-01 10:00:00"), u, t,
+          1.0, "{}")
+      }
+    }
+    val events = rows.toDF(evCols: _*)
+    val r = EventOps.cochranArmitageTrend(events).collect().head
+    assert((r.getAs[Long]("n_users"), r.getAs[Long]("n_conv")) ==
+      ((10L, 4L)), r)
+    assert(r.getAs[Double]("z_score") ==
+      math.rint(60.0 / math.sqrt(480.0) * 1e6) / 1e6, r)
+    assert(r.getAs[String]("trend") == "increasing", r)
+    val noConv = rows.filter(_._4 == "view").toDF(evCols: _*)
+    val rn = EventOps.cochranArmitageTrend(noConv).collect().head
+    assert(rn.isNullAt(rn.fieldIndex("z_score")) &&
+      rn.isNullAt(rn.fieldIndex("trend")), rn)
+  }
+
   test("valueEnergyDrift: identical halves score 0; disjoint point " +
     "masses one bin apart score exactly 2") {
     def pev(i: Long, hm: String, v: Double) =
