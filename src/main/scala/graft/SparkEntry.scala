@@ -293,6 +293,10 @@ object SparkEntry {
       ((s, d) => EventOps.cochranArmitageTrend(events(s, d))),
     "doclen_hill_tail" ->
       ((s, d) => DocOps.doclenHillTail(documents(s, d))),
+    "pmi_collocations" ->
+      ((s, d) => DocOps.pmiCollocations(documents(s, d))),
+    "source_ngram_novelty" ->
+      ((s, d) => DocOps.sourceNgramNovelty(documents(s, d))),
     "runs_test_daily" ->
       ((s, d) => EventOps.runsTestDaily(events(s, d))),
     "cliffs_delta_type_pairs" ->
@@ -3320,6 +3324,50 @@ object SparkEntry {
         "CASE WHEN zv > 1.959964 THEN 'increasing' " +
         "WHEN zv < -1.959964 THEN 'decreasing' ELSE 'none' END) END " +
         "AS trend FROM z"),
+    // Mirrors DocOps.pmiCollocations: positional tokens, the +-2
+    // window as an offset join, least/greatest pair fold, single-N
+    // PMI over exact HUGEINT products, (pmi DESC, wa, wb) top-20.
+    "pmi_collocations" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w, " +
+        "generate_subscripts(regexp_split_to_array(lower(trim(text)), " +
+        "'\\s+'), 1) AS pos FROM documents), " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM toks), " +
+        "uni AS (SELECT w, CAST(count(*) AS BIGINT) AS nw FROM toks " +
+        "GROUP BY 1), " +
+        "pairs AS (SELECT least(a.w, b.w) AS wa, " +
+        "greatest(a.w, b.w) AS wb, CAST(count(*) AS BIGINT) AS n_pair " +
+        "FROM toks a JOIN toks b ON a.doc_id = b.doc_id " +
+        "AND b.pos - a.pos IN (1, 2) GROUP BY 1, 2), " +
+        "f AS (SELECT wa, wb, n_pair FROM pairs " +
+        "WHERE n_pair >= 5 AND wa <> wb), " +
+        "s AS (SELECT f.wa, f.wb, f.n_pair, ua.nw AS na, ub.nw AS nb, " +
+        "round(ln(CAST(CAST(f.n_pair AS HUGEINT) * n_tok AS DOUBLE) / " +
+        "CAST(CAST(ua.nw AS HUGEINT) * ub.nw AS DOUBLE)), 6) AS pmi " +
+        "FROM f JOIN uni ua ON ua.w = f.wa " +
+        "JOIN uni ub ON ub.w = f.wb CROSS JOIN n) " +
+        "SELECT wa, wb, n_pair, na, nb, pmi FROM s " +
+        "ORDER BY pmi DESC, wa ASC, wb ASC LIMIT 20"),
+    // Mirrors DocOps.sourceNgramNovelty: the shingleCtes 3-gram form
+    // carried with source, distinct (source, gram) rows, exact source
+    // counts, one pinned share division.
+    "source_ngram_novelty" ->
+      ("WITH toks AS (SELECT source, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS t " +
+        "FROM documents), " +
+        "sets AS (SELECT source, list_distinct(list_transform(" +
+        "range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || " +
+        "t[i+3])) AS sh FROM toks WHERE len(t) >= 3), " +
+        "grams AS (SELECT DISTINCT source, sh FROM (" +
+        "SELECT source, unnest(sh) AS sh FROM sets)), " +
+        "bysh AS (SELECT sh, CAST(count(*) AS BIGINT) AS n_sources " +
+        "FROM grams GROUP BY 1) " +
+        "SELECT g.source, CAST(count(*) AS BIGINT) AS n_grams, " +
+        "CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_unique, " +
+        "round(CAST(sum(CASE WHEN n_sources = 1 THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty_share " +
+        "FROM grams g JOIN bysh USING (sh) GROUP BY 1"),
     // Mirrors DocOps.doclenHillTail: descending cumulative order
     // statistic for the threshold, micro-pinned per-value lns weighted
     // by exact counts, one pinned division.

@@ -160,6 +160,82 @@ object DocOps {
           col("smicro").cast("double"), 6)).as("hill_alpha"))
   }
 
+  /** PMI collocations: the top word pairs by pointwise mutual
+    * information within a ±`window`-token span — the classic
+    * collocation extractor (Church & Hanks '90) behind "these two
+    * words form a unit" signals (tokenizer merge candidates, phrase
+    * vocabularies, NER seeds):
+    *
+    *   PMI(a,b) = ln( n_ab · N / (n_a · n_b) ),
+    *
+    * counts over the token space, pairs over ordered windowed
+    * co-occurrences folded to the lexicographic (least, greatest)
+    * key, n_ab ≥ `minCount` (rare-pair PMI explodes — the standard
+    * filter). The stated single-N convention keeps the score a pure
+    * ratio of exact integers under one ln (the documented Zipf/KL/JS
+    * libm class); ranking ties pin (pmi desc, wa, wb).
+    *
+    * Scale: the window join is an equi-join on (doc_id, pos + off)
+    * for off ∈ 1..window — never a theta join; everything downstream
+    * is vocabulary²-bounded by the minCount filter, and the top-k is
+    * a TakeOrderedAndProject. */
+  def pmiCollocations(docs: DataFrame, window: Int = 2,
+      minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), posexplode(DedupOps.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+      .localCheckpoint() // unigram counts + both join sides read it
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val offs = (1 to window).map(lit(_))
+    val right = toks.select(col("doc_id"),
+        explode(array(offs: _*)).as("off"), col("pos"), col("w").as("wb0"))
+      .select(col("doc_id"), (col("pos") - col("off")).as("pos"),
+        col("wb0"))
+    val pairs = toks.join(right, Seq("doc_id", "pos"))
+      .select(least(col("w"), col("wb0")).as("wa"),
+        greatest(col("w"), col("wb0")).as("wb"))
+      .groupBy("wa", "wb").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= lit(minCount) && col("wa") =!= col("wb"))
+    val scored = pairs
+      .join(uni.select(col("w").as("wa"), col("nw").as("na")), Seq("wa"))
+      .join(uni.select(col("w").as("wb"), col("nw").as("nb")), Seq("wb"))
+      .crossJoin(broadcast(n))
+      .select(col("wa"), col("wb"), col("n_pair"), col("na"), col("nb"),
+        round(log((col("n_pair").cast("decimal(38,0)") * col("n_tok"))
+            .cast("double") /
+          (col("na").cast("decimal(38,0)") * col("nb")).cast("double")), 6)
+          .as("pmi"))
+    scored.orderBy(col("pmi").desc, col("wa").asc, col("wb").asc).limit(k)
+  }
+
+  /** Per-source n-gram novelty: what share of a source's distinct
+    * word 3-grams appears in NO other source — the contribution
+    * answer behind mixture design ("does adding this crawl bring new
+    * text or re-weight what we have?"), the n-gram complement of
+    * [[sourceVocabOverlap]]'s unigram Jaccard and the aggregate view
+    * of [[graft.ops.DedupOps.sourceCopyMatrix]]'s pairwise copies.
+    *
+    * Exact by construction: (source, gram) pairs are distinct rows,
+    * a gram's source count is an exact BIGINT, and the share is one
+    * pinned division. Shape: one corpus-sized shingle explode, one
+    * gram-keyed collapse, one gram-keyed join back — linear in the
+    * gram inventory, never pairwise in sources or docs. */
+  def sourceNgramNovelty(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("source"),
+        explode(DedupOps.shingles(col("text"))).as("sh"))
+      .distinct()
+      .localCheckpoint() // gram-counts + join-back both read it
+    val bySh = grams.groupBy("sh").agg(count(lit(1)).as("n_sources"))
+    grams.join(bySh, "sh")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_sources") === 1L, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_grams"), col("n_unique"),
+        round(col("n_unique").cast("double") / col("n_grams").cast("double"),
+          6).as("novelty_share"))
+  }
+
   /** Exact global top-k vocabulary: one (term) hash aggregation with
     * map-side partials absorbing hot-term skew, then
     * TakeOrderedAndProject — each partition keeps k rows, no global

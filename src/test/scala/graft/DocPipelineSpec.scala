@@ -785,6 +785,38 @@ class DocPipelineSpec extends SparkSpec {
       r2.isNullAt(r2.fieldIndex("heaps_k")), r2)
   }
 
+  test("pmiCollocations: alternating bigram wins with the exact " +
+    "single-N PMI; self-pairs are excluded") {
+    // "x y x y ..." (10 tokens): (x,y) co-occurs 9 times in the +-2
+    // window; the off-2 pairs are all self-pairs and drop out.
+    val docs = Seq((1L, ("x y " * 5).trim, "s"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.DocOps.pmiCollocations(docs).collect()
+    assert(got.length == 1, got.mkString(","))
+    val r = got.head
+    assert((r.getAs[String]("wa"), r.getAs[String]("wb"),
+      r.getAs[Long]("n_pair"), r.getAs[Long]("na"),
+      r.getAs[Long]("nb")) == (("x", "y", 9L, 5L, 5L)), r)
+    assert(r.getAs[Double]("pmi") ==
+      math.rint(math.log(90.0 / 25.0) * 1e6) / 1e6, r)
+  }
+
+  test("sourceNgramNovelty: shared 3-gram counted for neither source; " +
+    "a disjoint source scores 1.0") {
+    val docs = Seq(
+      (1L, "a b c d", "s1"),
+      (2L, "a b c x", "s2"),
+      (3L, "q r s t u", "s3"),
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.DocOps.sourceNgramNovelty(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_unique"),
+          r.getAs[Double]("novelty_share")))).toMap
+    assert(got("s1") == ((2L, 1L, 0.5)), got.toString)
+    assert(got("s2") == ((2L, 1L, 0.5)), got.toString)
+    assert(got("s3") == ((3L, 3L, 1.0)), got.toString)
+  }
+
   test("doclenHillTail: k = ceil(n/10) top lengths against the exact " +
     "order-statistic threshold; ties at the threshold contribute 0") {
     // 10 docs: one of 100 chars over nine of 50 -> k = 1, threshold =
