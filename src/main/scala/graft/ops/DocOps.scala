@@ -216,21 +216,32 @@ object DocOps {
     * [[sourceVocabOverlap]]'s unigram Jaccard and the aggregate view
     * of [[graft.ops.DedupOps.sourceCopyMatrix]]'s pairwise copies.
     *
-    * Exact by construction: (source, gram) pairs are distinct rows,
-    * a gram's source count is an exact BIGINT, and the share is one
-    * pinned division. Shape: one corpus-sized shingle explode, one
-    * gram-keyed collapse, one gram-keyed join back — linear in the
-    * gram inventory, never pairwise in sources or docs. */
+    * Exact by construction: a gram's source set is collected exactly
+    * (≤ |sources| elements — collect_set de-dups map-side, so the ONE
+    * wide shuffle carries each gram once, not once per duplicate),
+    * and the share is one pinned division. Shape: one corpus-sized
+    * shingle explode, one gram-keyed collapse, one explode back over
+    * the ≤ |sources|-element sets — linear in the gram inventory with
+    * a single gram-keyed exchange, never a join back over the gram
+    * strings (measured 9.3 s → the collapse form at sf0.1). */
   def sourceNgramNovelty(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("source"),
-        explode(DedupOps.shingles(col("text"))).as("sh"))
-      .distinct()
-      .localCheckpoint() // gram-counts + join-back both read it
-    val bySh = grams.groupBy("sh").agg(count(lit(1)).as("n_sources"))
-    grams.join(bySh, "sh")
+    // the repartition barrier pins the token array as a concrete
+    // column (the shingleRows lesson: letting CollapseProject inline
+    // split() into each of the 3k element_at references per shingle
+    // measured ~9 s of pure re-tokenization at sf0.1)
+    val grams = docs
+      .select(col("doc_id"), col("source"),
+        DedupOps.tokens(col("text")).as("t"))
+      .repartition(col("doc_id")) // doc grain — source alone would skew
+      .select(col("source"),
+        explode(DedupOps.shinglesFromTokens(col("t"), 3)).as("sh"))
+    val bySh = grams.groupBy("sh")
+      .agg(collect_set(col("source")).as("srcs"))
+    bySh.select(explode(col("srcs")).as("source"),
+        (size(col("srcs")) === 1).as("uniq"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("n_sources") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        sum(when(col("uniq"), 1L).otherwise(0L)).as("n_unique"))
       .select(col("source"), col("n_grams"), col("n_unique"),
         round(col("n_unique").cast("double") / col("n_grams").cast("double"),
           6).as("novelty_share"))
