@@ -297,6 +297,10 @@ object SparkEntry {
       ((s, d) => DocOps.pmiCollocations(documents(s, d))),
     "source_ngram_novelty" ->
       ((s, d) => DocOps.sourceNgramNovelty(documents(s, d))),
+    "code_like_share" ->
+      ((s, d) => DocOps.codeLikeShare(documents(s, d))),
+    "neardup_threshold_sweep" ->
+      ((s, d) => DedupOps.neardupThresholdSweep(documents(s, d))),
     "runs_test_daily" ->
       ((s, d) => EventOps.runsTestDaily(events(s, d))),
     "cliffs_delta_type_pairs" ->
@@ -3348,6 +3352,52 @@ object SparkEntry {
         "JOIN uni ub ON ub.w = f.wb CROSS JOIN n) " +
         "SELECT wa, wb, n_pair, na, nb, pmi FROM s " +
         "ORDER BY pmi DESC, wa ASC, wb ASC LIMIT 20"),
+    // Mirrors DocOps.codeLikeShare: the same stated line regex on
+    // both engines (conservative Java/RE2-shared syntax), per-doc
+    // micro-pin before the source sums.
+    "code_like_share" ->
+      ("WITH d AS (SELECT source, string_split(text, chr(10)) AS ls " +
+        "FROM documents), " +
+        "m AS (SELECT source, CASE WHEN len(ls) > 0 THEN " +
+        "CAST(round(CAST(len(list_filter(ls, l -> regexp_matches(l, " +
+        "'(^(    |\\t))|([;{}] *$)|(^ *(def|class|import|function|" +
+        "return|var|let|const) )'))) AS DOUBLE) / " +
+        "CAST(len(ls) AS DOUBLE) * 1000000.0, 0) AS BIGINT) " +
+        "ELSE 0 END AS sm FROM d) " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "round(CAST(CAST(sum(sm) AS BIGINT) AS DOUBLE) / " +
+        "(CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS avg_code_share, " +
+        "CAST(sum(CASE WHEN sm > 300000 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_code_docs, " +
+        "round(CAST(sum(CASE WHEN sm > 300000 THEN 1 ELSE 0 END) " +
+        "AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS code_doc_share " +
+        "FROM m GROUP BY 1"),
+    // Mirrors DedupOps.neardupThresholdSweep: the ngram_jaccard_pairs
+    // chain at the 0.3 base rung, re-bucketed to exact ten-thousandth
+    // compares; empty rungs visible via the ladder left join.
+    "neardup_threshold_sweep" ->
+      (s"WITH $shingleCtes, $prunedShingleCte, " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, " +
+        "count(*) AS shared FROM pruned a JOIN pruned b " +
+        "ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "p AS (SELECT CAST(round(round(shared * 1.0 / " +
+        "(sa.n + sb.n - shared), 4) * 10000.0, 0) AS BIGINT) AS jbp " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id " +
+        "JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.3), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_base FROM p), " +
+        "ladder AS (SELECT CAST(unnest([3000, 4000, 5000, 6000, 7000, " +
+        "8000, 9000]) AS BIGINT) AS tau_x10000), " +
+        "counts AS (SELECT tau_x10000, CAST(count(*) AS BIGINT) " +
+        "AS n_pairs FROM p CROSS JOIN ladder WHERE jbp >= tau_x10000 " +
+        "GROUP BY 1) " +
+        "SELECT l.tau_x10000, " +
+        "CAST(coalesce(c.n_pairs, 0) AS BIGINT) AS n_pairs, t.n_base, " +
+        "CASE WHEN t.n_base > 0 THEN " +
+        "round(CAST(coalesce(c.n_pairs, 0) AS DOUBLE) / " +
+        "CAST(t.n_base AS DOUBLE), 6) END AS retained_share " +
+        "FROM ladder l LEFT JOIN counts c USING (tau_x10000) " +
+        "CROSS JOIN tot t"),
     // Mirrors DocOps.sourceNgramNovelty: the shingleCtes 3-gram form
     // carried with source, distinct (source, gram) rows, exact source
     // counts, one pinned share division.

@@ -195,6 +195,40 @@ object DedupOps {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Near-dup threshold sweep: how many candidate pairs a dedup run
+    * would keep at each Jaccard cut τ ∈ {0.30 .. 0.90} — the
+    * sensitivity table an operator reads BEFORE committing a threshold
+    * (a cliff between rungs means the corpus has a near-dup band right
+    * there; a flat ladder means the choice barely matters). Rides the
+    * [[ngramJaccardPairs]] candidate generator once at the lowest rung
+    * and re-buckets in ten-thousandths (exact integer compares — no
+    * double-literal threshold ambiguity between engines).
+    *
+    * Empty rungs stay visible with n_pairs = 0 (a left join from the
+    * ladder — a dropped rung reads as "forgot to measure", not "no
+    * pairs"). Shape: the pair frame materializes once and the 7-rung
+    * explode scans it once; everything else is ladder-sized. */
+  def neardupThresholdSweep(docs: DataFrame,
+      minTau: Double = 0.3): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, minTau)
+      .select(round(col("jaccard") * lit(10000.0), 0).cast("long").as("jbp"))
+      .localCheckpoint() // base count + the ladder scan share it
+    val total = pairs.agg(count(lit(1)).as("n_base"))
+    val ladder = (3 to 9).map(t => lit(t * 1000L))
+    val rungs = total.select(
+      explode(array(ladder: _*)).as("tau_x10000"), col("n_base"))
+    val counts = pairs
+      .select(explode(array(ladder: _*)).as("tau_x10000"), col("jbp"))
+      .filter(col("jbp") >= col("tau_x10000"))
+      .groupBy("tau_x10000").agg(count(lit(1)).as("n_pairs"))
+    rungs.join(counts, Seq("tau_x10000"), "left")
+      .select(col("tau_x10000"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("n_base"),
+        when(col("n_base") > 0L,
+          round(coalesce(col("n_pairs"), lit(0L)).cast("double") /
+            col("n_base").cast("double"), 6)).as("retained_share"))
+  }
+
   /** EXACT Jaccard similarity join via PREFIX FILTERING (SSJoin /
     * PPJoin — Chaudhuri et al. ICDE '06, Xiao et al. WWW '08): the
     * same output contract as [[ngramJaccardPairs]] but with a

@@ -160,6 +160,44 @@ object DocOps {
           col("smicro").cast("double"), 6)).as("hill_alpha"))
   }
 
+  /** Code-likeness profile per source — the code-vs-prose filter
+    * signal every pretraining mixture needs (code in a prose bucket
+    * poisons both the tokenizer fertility AND the quality heuristics
+    * tuned for sentences): per document, the share of lines matching
+    * the stated code heuristics (4-space/tab indent; trailing
+    * `;`/`{`/`}`; a leading definition keyword), aggregated per
+    * source as the mean share and the share of documents past the
+    * 0.3 "probably code" cut.
+    *
+    * Determinism: the regex is ONE stated pattern evaluated by both
+    * engines (conservative syntax — anchors, literal classes,
+    * alternation — where Java and RE2 agree); each doc's share is
+    * re-pinned to BIGINT micro-units before the order-dependent
+    * source sum (the pinballLoss discipline). Shape: one corpus-sized
+    * map + one grouped collapse; the line split never shuffles. */
+  def codeLikeShare(docs: DataFrame): DataFrame = {
+    val lineRe =
+      "(^(    |\\t))|([;{}] *$)|(^ *(def|class|import|function|return|var|let|const) )"
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines)
+    val nCode = size(filter(lines, l => l.rlike(lineRe)))
+    val sm = when(nLines > 0,
+      round(nCode.cast("double") / nLines.cast("double") *
+        lit(1000000.0), 0).cast("long")).otherwise(lit(0L))
+    docs.select(col("source"), sm.as("sm"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("sm")).as("ssm"),
+        sum(when(col("sm") > 300000L, 1L).otherwise(0L)).as("n_code_docs"))
+      .select(col("source"), col("n_docs"),
+        round(col("ssm").cast("double") /
+          (col("n_docs").cast("double") * lit(1000000.0)), 6)
+          .as("avg_code_share"),
+        col("n_code_docs"),
+        round(col("n_code_docs").cast("double") /
+          col("n_docs").cast("double"), 6).as("code_doc_share"))
+  }
+
   /** PMI collocations: the top word pairs by pointwise mutual
     * information within a ±`window`-token span — the classic
     * collocation extractor (Church & Hanks '90) behind "these two

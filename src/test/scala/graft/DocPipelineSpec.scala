@@ -817,6 +817,44 @@ class DocPipelineSpec extends SparkSpec {
     assert(got("s3") == ((3L, 3L, 1.0)), got.toString)
   }
 
+  test("codeLikeShare: the stated line heuristics split code from " +
+    "prose; per-doc micro-pins make the source mean exact") {
+    val docs = Seq(
+      (1L, "x = 1;\nplain prose", "s1"),   // 1/2 lines code-ish
+      (2L, "hello\nworld", "s1"),           // 0/2
+      (3L, "def f():\n    return 2", "s2"), // 2/2 (keyword + indent)
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.DocOps.codeLikeShare(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("avg_code_share"),
+          r.getAs[Long]("n_code_docs"),
+          r.getAs[Double]("code_doc_share")))).toMap
+    assert(got("s1") == ((2L, 0.25, 1L, 0.5)), got.toString)
+    assert(got("s2") == ((1L, 1.0, 1L, 1.0)), got.toString)
+  }
+
+  test("neardupThresholdSweep: all seven rungs visible, counts " +
+    "monotone non-increasing, planted twins survive to 0.9") {
+    // two identical 12-token docs (jaccard 1.0) + one sharing a
+    // 5-token prefix with them (partial overlap) + one disjoint
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu"
+    val docs = Seq(
+      (1L, base, "s"), (2L, base, "s"),
+      (3L, "alpha beta gamma delta epsilon nu xi omicron pi rho", "s"),
+      (4L, "one two three four five six seven eight nine ten", "s"),
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.DedupOps.neardupThresholdSweep(docs)
+      .orderBy("tau_x10000").collect()
+    assert(got.map(_.getAs[Long]("tau_x10000")).toSeq ==
+      (3 to 9).map(_ * 1000L), got.mkString(","))
+    val counts = got.map(_.getAs[Long]("n_pairs")).toSeq
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      counts.toString)
+    // the exact-twin pair survives every rung
+    assert(counts.last >= 1L, counts.toString)
+  }
+
   test("doclenHillTail: k = ceil(n/10) top lengths against the exact " +
     "order-statistic threshold; ties at the threshold contribute 0") {
     // 10 docs: one of 100 chars over nine of 50 -> k = 1, threshold =
