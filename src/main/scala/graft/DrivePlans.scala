@@ -336,6 +336,36 @@ object DrivePlans {
           "lives in a single |types|²-cell row; 20 power iterations " +
           "are nested HOF folds over that row — data-size-independent " +
           "arithmetic, no driver collect, no per-iteration join."),
+      ("markov_removal_attribution (k+1 absorption chains, one row)",
+        "The journey collapse leaves one packed channel-matrix row; " +
+          "the base chain and every per-channel removal chain run as " +
+          "30-step HOF folds over it through ONE code path (removal " +
+          "index 0 = the never-matching base sentinel) — (k+1)·30·k² " +
+          "arithmetic that never touches the corpus again."),
+      ("mmr_diverse_topk (sequential greedy, bounded driver traffic)",
+        "The relevance frame checkpoints once; each of the k greedy " +
+          "steps is one distributed scan against the ≤k-row broadcast " +
+          "selected set with a 1-row top-1 collect — k rows total " +
+          "cross the driver, and the inherently-sequential part is " +
+          "the step ORDER, not the scan."),
+      ("conformal_daily_intervals (BIGINT end to end)",
+        "Residuals are day+7 equi-join count differences on the " +
+          "zero-filled calendar; the conformal quantile is an exact " +
+          "integer order statistic off the collapsed |e| grid; the " +
+          "plan contains no double arithmetic at all."),
+      ("source_ngram_novelty (token-pinning barrier, one gram exchange)",
+        "Tokens pin behind a doc-grain repartition (the shingleRows " +
+          "lesson: letting CollapseProject inline split() into every " +
+          "per-shingle element_at measured ~9 s of re-tokenization at " +
+          "sf0.1 — fixed to 0.7 s); collect_set de-dups map-side so " +
+          "the ONE wide exchange carries each gram once, and the " +
+          "join-back over gram strings is replaced by an explode of " +
+          "the ≤|sources|-element sets."),
+      ("neardup_threshold_sweep (one pair materialization, 7 rungs)",
+        "The 0.3-rung candidate chain materializes once; the ladder " +
+          "is an explode + integer ten-thousandth compares over that " +
+          "frame — re-running the pair join per threshold is " +
+          "structurally absent."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -391,6 +421,14 @@ object DrivePlans {
       "holt_winters_daily" -> SparkEntry.queries("holt_winters_daily"),
       "stationary_type_distribution" ->
         SparkEntry.queries("stationary_type_distribution"),
+      "markov_removal_attribution" ->
+        SparkEntry.queries("markov_removal_attribution"),
+      "mmr_diverse_topk" -> SparkEntry.queries("mmr_diverse_topk"),
+      "conformal_daily_intervals" ->
+        SparkEntry.queries("conformal_daily_intervals"),
+      "source_ngram_novelty" -> SparkEntry.queries("source_ngram_novelty"),
+      "neardup_threshold_sweep" ->
+        SparkEntry.queries("neardup_threshold_sweep"),
     )
 
     val sb = new StringBuilder
