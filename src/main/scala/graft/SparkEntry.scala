@@ -237,6 +237,7 @@ object SparkEntry {
       ((s, d) => MiningOps.bigramPerplexity(documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
+    "qlm_top_docs" -> ((s, d) => MiningOps.qlmTopDocs(documents(s, d))),
     "rrf_fused_docs" ->
       ((s, d) => MiningOps.rrfFusedDocs(documents(s, d), embeddings(s, d))),
     "ndcg_retrieval_audit" -> ((s, d) => VectorOps.ndcgAtK(embeddings(s, d))),
@@ -2773,6 +2774,35 @@ object SparkEntry {
         "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
         "GROUP BY doc_id, dl " +
         "ORDER BY bm25 DESC, doc_id ASC LIMIT 20"),
+    // Mirrors MiningOps.qlmTopDocs: Dirichlet query-likelihood with
+    // per-term micro-pins before the per-doc sum; corpus-absent query
+    // terms skipped by the inner ctf join; (score DESC, doc_id) top-20.
+    "qlm_top_docs" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks " +
+        "FROM documents), " +
+        "st AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS c_total FROM toks), " +
+        "dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks), " +
+        "hits AS (SELECT doc_id, term FROM (" +
+        "SELECT doc_id, unnest(toks) AS term FROM toks) " +
+        "WHERE term IN ('join', 'filter', 'scan')), " +
+        "tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM hits GROUP BY 1, 2), " +
+        "ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf " +
+        "FROM hits GROUP BY 1), " +
+        "scoring AS (SELECT dl.doc_id, dl.dl, c.term, c.ctf, tfq.tf, " +
+        "st.c_total FROM dl CROSS JOIN ctf c CROSS JOIN st " +
+        "LEFT JOIN tfq ON tfq.doc_id = dl.doc_id AND tfq.term = c.term), " +
+        "sm AS (SELECT doc_id, dl, " +
+        "CAST(round(ln((CAST(coalesce(tf, 0) AS DOUBLE) + " +
+        "2000.0 * (CAST(ctf AS DOUBLE) / CAST(c_total AS DOUBLE))) / " +
+        "(CAST(dl AS DOUBLE) + 2000.0)) * 1000000.0, 0) AS BIGINT) AS sm, " +
+        "CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END AS m FROM scoring) " +
+        "SELECT doc_id, dl, CAST(sum(m) AS BIGINT) AS n_matched, " +
+        "round(CAST(CAST(sum(sm) AS BIGINT) AS DOUBLE) / 1000000.0, 6) " +
+        "AS qlm_score " +
+        "FROM sm GROUP BY 1, 2 " +
+        "ORDER BY qlm_score DESC, doc_id ASC LIMIT 20"),
     // Mirrors MiningOps.rrfFusedDocs: the lexical CTE is the
     // bm25_top_docs oracle verbatim, the dense CTE the knn_brute one;
     // ranks come from row_number over the same (rounded-score, id)

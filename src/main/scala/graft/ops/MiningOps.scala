@@ -169,6 +169,61 @@ object MiningOps {
       .limit(topK)
   }
 
+  /** Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    * Lafferty '01) — the language-modeling scorer beside
+    * [[bm25TopDocs]] (the two classic lexical rankers disagree
+    * exactly where smoothing matters, which is why eval suites run
+    * both):
+    *
+    *   score(q, d) = Σ_{w∈q} ln( (tf_{w,d} + μ·P(w|C)) / (dl_d + μ) ),
+    *
+    * μ = 2000 (the standard default, stated), P(w|C) the corpus
+    * unigram. Unlike BM25 every query term scores every document
+    * (absent terms pay the smoothed penalty), so the scoring frame is
+    * |docs| × |q| by construction; query terms absent from the corpus
+    * entirely are skipped (stated — their likelihood is undefined).
+    *
+    * Determinism: each term score is one pinned ln chain of exact
+    * integers re-pinned to BIGINT micro-units BEFORE the per-doc sum
+    * (the pinballLoss discipline — the sum is exact whatever the
+    * aggregation order), one 6dp round at the end; ties pin doc_id.
+    * Shape: one corpus-sized tokenize/explode for tf + dl; everything
+    * after is |docs| × |q| with broadcast term stats and a
+    * TakeOrderedAndProject top-k. */
+  def qlmTopDocs(docs: DataFrame,
+      queryTerms: Seq[String] = Seq("join", "filter", "scan"),
+      mu: Double = 2000.0, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      DedupOps.tokens(col("text")).as("toks"))
+    val stats = toks.agg(sum(size(col("toks")).cast("long")).as("c_total"))
+    val dl = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
+    val hits = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tfq = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val ctf = hits.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val qt = stats.select(
+      explode(array(queryTerms.map(lit(_)): _*)).as("term"), col("c_total"))
+    val scoring = dl.crossJoin(broadcast(
+        qt.join(ctf, Seq("term")))) // inner join skips corpus-absent terms
+      .join(tfq, Seq("doc_id", "term"), "left")
+    val pw = col("ctf").cast("double") / col("c_total").cast("double")
+    val s = log((coalesce(col("tf"), lit(0L)).cast("double") +
+      lit(mu) * pw) / (col("dl").cast("double") + lit(mu)))
+    scoring
+      .select(col("doc_id"), col("dl"),
+        round(s * lit(1000000.0), 0).cast("long").as("sm"),
+        when(col("tf").isNotNull, 1L).otherwise(0L).as("m"))
+      .groupBy("doc_id", "dl")
+      .agg(sum(col("sm")).as("ssm"), sum(col("m")).as("n_matched"))
+      .select(col("doc_id"), col("dl"), col("n_matched"),
+        round(col("ssm").cast("double") / lit(1000000.0), 6)
+          .as("qlm_score"))
+      .orderBy(col("qlm_score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Reciprocal-rank fusion of the lexical BM25 ranklist with the
     * dense embedding-cosine ranklist — the standard hybrid-retrieval
     * combiner (Cormack et al. '09): score(d) = Σ_lists 1/(k + rank_d),

@@ -119,6 +119,29 @@ class MiningOpsSpec extends SparkSpec {
     assert(chosen == dense, "chooser result differs from dense path")
   }
 
+  test("qlmTopDocs: Dirichlet scores match the replayed micro-pinned " +
+    "chain; every doc scores every present term") {
+    // C = 8 tokens; ctf: join 2, filter 1, scan 1; equal lengths so
+    // the ranking difference is pure hit structure
+    val corpus = Seq(
+      (1L, "join join filter x"),
+      (2L, "scan y z w"),
+    ).toDF("doc_id", "text")
+    val got = graft.ops.MiningOps.qlmTopDocs(corpus)
+      .orderBy("doc_id").collect()
+    def t(tf: Long, ctf: Long, dl: Long) =
+      math.rint(math.log((tf + 2000.0 * (ctf.toDouble / 8.0)) /
+        (dl + 2000.0)) * 1e6)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val s1 = r6((t(2, 2, 4) + t(1, 1, 4) + t(0, 1, 4)) / 1e6)
+    val s2 = r6((t(0, 2, 4) + t(0, 1, 4) + t(1, 1, 4)) / 1e6)
+    val m = got.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_matched"), r.getAs[Double]("qlm_score")))).toMap
+    assert(m(1L) == ((2L, s1)), m.toString)
+    assert(m(2L) == ((1L, s2)), m.toString)
+    assert(s1 > s2, s"hit-heavy doc should outrank: $s1 vs $s2")
+  }
+
   test("bm25TopDocs: scores match a plain-Scala Okapi reference and " +
     "unmatched docs never appear") {
     val corpus = Seq(
