@@ -294,8 +294,8 @@ object SparkEntry {
       ((s, d) => EventOps.cochranArmitageTrend(events(s, d))),
     "doclen_hill_tail" ->
       ((s, d) => DocOps.doclenHillTail(documents(s, d))),
-    "pmi_collocations" ->
-      ((s, d) => DocOps.pmiCollocations(documents(s, d))),
+    "pmi_window_collocations" ->
+      ((s, d) => DocOps.pmiWindowCollocations(documents(s, d))),
     "source_ngram_novelty" ->
       ((s, d) => DocOps.sourceNgramNovelty(documents(s, d))),
     "code_like_share" ->
@@ -3358,10 +3358,10 @@ object SparkEntry {
         "CASE WHEN zv > 1.959964 THEN 'increasing' " +
         "WHEN zv < -1.959964 THEN 'decreasing' ELSE 'none' END) END " +
         "AS trend FROM z"),
-    // Mirrors DocOps.pmiCollocations: positional tokens, the +-2
-    // window as an offset join, least/greatest pair fold, single-N
+    // Mirrors DocOps.pmiWindowCollocations: positional tokens, the
+    // +-2 window as an offset join, least/greatest pair fold, single-N
     // PMI over exact HUGEINT products, (pmi DESC, wa, wb) top-20.
-    "pmi_collocations" ->
+    "pmi_window_collocations" ->
       ("WITH toks AS (SELECT doc_id, " +
         "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w, " +
         "generate_subscripts(regexp_split_to_array(lower(trim(text)), " +

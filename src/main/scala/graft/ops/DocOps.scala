@@ -198,9 +198,12 @@ object DocOps {
           col("n_docs").cast("double"), 6).as("code_doc_share"))
   }
 
-  /** PMI collocations: the top word pairs by pointwise mutual
-    * information within a ±`window`-token span — the classic
-    * collocation extractor (Church & Hanks '90) behind "these two
+  /** WINDOWED PMI collocations: the top word pairs by pointwise
+    * mutual information within a ±`window`-token span — the spanning
+    * sibling of [[graft.ops.MiningOps.pmiCollocations]]' adjacent
+    * bigrams (a window catches "new …modifier… york" units the
+    * bigram form misses), the classic extractor (Church & Hanks '90)
+    * behind "these two
     * words form a unit" signals (tokenizer merge candidates, phrase
     * vocabularies, NER seeds):
     *
@@ -217,7 +220,7 @@ object DocOps {
     * for off ∈ 1..window — never a theta join; everything downstream
     * is vocabulary²-bounded by the minCount filter, and the top-k is
     * a TakeOrderedAndProject. */
-  def pmiCollocations(docs: DataFrame, window: Int = 2,
+  def pmiWindowCollocations(docs: DataFrame, window: Int = 2,
       minCount: Long = 5L, k: Int = 20): DataFrame = {
     val toks = docs
       .select(col("doc_id"), posexplode(DedupOps.tokens(col("text"))))

@@ -785,13 +785,13 @@ class DocPipelineSpec extends SparkSpec {
       r2.isNullAt(r2.fieldIndex("heaps_k")), r2)
   }
 
-  test("pmiCollocations: alternating bigram wins with the exact " +
+  test("pmiWindowCollocations: alternating bigram wins with the exact " +
     "single-N PMI; self-pairs are excluded") {
     // "x y x y ..." (10 tokens): (x,y) co-occurs 9 times in the +-2
     // window; the off-2 pairs are all self-pairs and drop out.
     val docs = Seq((1L, ("x y " * 5).trim, "s"))
       .toDF("doc_id", "text", "source")
-    val got = graft.ops.DocOps.pmiCollocations(docs).collect()
+    val got = graft.ops.DocOps.pmiWindowCollocations(docs).collect()
     assert(got.length == 1, got.mkString(","))
     val r = got.head
     assert((r.getAs[String]("wa"), r.getAs[String]("wb"),

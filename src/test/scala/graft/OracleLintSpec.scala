@@ -111,6 +111,28 @@ class OracleLintSpec extends AnyFunSuite {
       case (pos, enclosing, _) if !enclosing.contains("cast") => pos
     }
 
+  test("no registry key is declared twice in the SparkEntry source " +
+      "(a duplicate silently SHADOWS the earlier query in the Map)") {
+    // The r15 lesson: a second "pmi_collocations" registration
+    // replaced the original adjacent-bigram query without any error —
+    // Map construction keeps the last binding. The runtime Maps can't
+    // reveal this (the collision has already collapsed), so lint the
+    // source text of each map region.
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/SparkEntry.scala")("UTF-8").mkString
+    val qStart = src.indexOf("def queries")
+    val oStart = src.indexOf("def oracleSql")
+    val key = """"([a-z0-9_]+)" ->""".r
+    def dups(region: String): Seq[String] =
+      key.findAllMatchIn(region).map(_.group(1)).toSeq
+        .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+        .toSeq.sorted
+    val qd = dups(src.substring(qStart, oStart))
+    val od = dups(src.substring(oStart))
+    assert(qd.isEmpty, s"duplicate queries keys (later shadows earlier): $qd")
+    assert(od.isEmpty, s"duplicate oracleSql keys: $od")
+  }
+
   test("every oracle sum( is CAST/round-disciplined or explicitly double") {
     val bad = for {
       (name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)
