@@ -310,6 +310,8 @@ object SparkEntry {
       ((s, d) => EventOps.friedmanDowTest(events(s, d))),
     "value_energy_drift" ->
       ((s, d) => EventOps.valueEnergyDrift(events(s, d))),
+    "value_cvm_drift" ->
+      ((s, d) => EventOps.valueCvmDrift(events(s, d))),
     "decision_stump_value" ->
       ((s, d) => EventOps.decisionStumpValue(events(s, d))),
     "blocking_quality_audit" ->
@@ -3698,6 +3700,43 @@ object SparkEntry {
         "CAST(ayy AS DOUBLE) / " +
         "(CAST(n_second AS DOUBLE) * CAST(n_second AS DOUBLE)), 6) " +
         "AS energy_dist FROM s"),
+    // Mirrors EventOps.valueCvmDrift: the wasserstein CTE chain with
+    // the squared-ECDF-gap terms micro-pinned per bin before the exact
+    // sum, one pinned T chain, stated 0.461 criterion.
+    "value_cvm_drift" ->
+      ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bin, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT min(us) AS lo, max(us) AS hi FROM b), " +
+        "h AS (SELECT bin, CASE WHEN us <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half FROM b CROSS JOIN m), " +
+        "c AS (SELECT bin, " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM h GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, " +
+        "CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "e AS (SELECT c1, c2, n1, n2, " +
+        "CAST(sum(c1) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum1, " +
+        "CAST(sum(c2) OVER (ORDER BY bin ASC ROWS UNBOUNDED PRECEDING) " +
+        "AS BIGINT) AS cum2 FROM c CROSS JOIN t), " +
+        "tm AS (SELECT n1, n2, CAST(round(" +
+        "(CAST(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1 " +
+        "AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * " +
+        "(CAST(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1 " +
+        "AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) * " +
+        "CAST(c1 + c2 AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS tm FROM e), " +
+        "s AS (SELECT n1, n2, CAST(sum(CAST(tm AS HUGEINT)) AS HUGEINT) " +
+        "AS sm FROM tm GROUP BY 1, 2) " +
+        "SELECT n1 AS n_first, n2 AS n_second, " +
+        "round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / " +
+        "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)) * " +
+        "(CAST(sm AS DOUBLE) / 1000000.0), 6) AS cvm_t, " +
+        "coalesce(CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+        "round(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / " +
+        "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)) * " +
+        "(CAST(sm AS DOUBLE) / 1000000.0), 6) > 0.461 END, false) " +
+        "AS drifted FROM s"),
     // Mirrors EventOps.decisionStumpValue: exact prefix cells over the
     // 2dp value grid, the (pos^2+neg^2)/n objective as an identical
     // pinned double chain, winner by (J DESC, v ASC) LIMIT 1.

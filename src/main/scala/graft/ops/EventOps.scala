@@ -3347,6 +3347,61 @@ object EventOps {
         col("ayy").cast("double") / (n2d * n2d), 6).as("energy_dist"))
   }
 
+  /** Cramér–von Mises drift of the binned `value` distribution
+    * between the time halves — the L² lens completing the drift
+    * battery (KS takes the sup of the ECDF gap, W₁ its L¹ area, CvM
+    * its L² energy — more sensitive than KS to broad moderate
+    * separation, less dominated by one tail spike than W₁):
+    *
+    *   T = n₁·n₂/N² · Σ_bins c·(F₁ − F₂)²,
+    *
+    * flagged against the stated 0.461 large-sample 5% criterion.
+    * Determinism: each bin's ECDF difference is ONE pinned division of
+    * the exact cross-multiplied integers (cum₁·n₂ − cum₂·n₁ — the
+    * wasserstein quantity), the squared term re-pins to BIGINT
+    * micro-units before the order-dependent sum (squaring the exact
+    * integer instead would pass 10³⁸ at corpus scale — the pin IS the
+    * headroom fix), and T is one pinned chain, 6dp.
+    *
+    * Scale: identical to the other drift lenses — one corpus-sized
+    * binned collapse, serial windows only over the bounded bin grid. */
+  def valueCvmDrift(events: DataFrame): DataFrame = {
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(floor(col("value")).cast("long").as("bin"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val counts = half.groupBy("bin")
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+    val totals = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val wCum = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def d19(c: Column) = c.cast("decimal(19,0)")
+    val terms = counts
+      .withColumn("cum1", sum(col("c1")).over(wCum))
+      .withColumn("cum2", sum(col("c2")).over(wCum))
+      .crossJoin(broadcast(totals))
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val f = (d19(col("cum1")) * col("n2") - d19(col("cum2")) * col("n1"))
+      .cast("double") / (n1d * n2d)
+    val tm = round(f * f * (col("c1") + col("c2")).cast("double") *
+      lit(1000000.0), 0).cast("long")
+    val s = terms.select(col("n1"), col("n2"), tm.as("tm"))
+      .groupBy("n1", "n2")
+      .agg(sum(col("tm").cast("decimal(38,0)")).as("sm"))
+    val nD = (col("n1") + col("n2")).cast("double")
+    val t = n1d * n2d / (nD * nD) *
+      (col("sm").cast("double") / lit(1000000.0))
+    s.select(col("n1").as("n_first"), col("n2").as("n_second"),
+      round(t, 6).as("cvm_t"),
+      coalesce(when(col("n1") > 0L && col("n2") > 0L,
+        round(t, 6) > lit(0.461)), lit(false)).as("drifted"))
+  }
+
   /** Exact one-dimensional decision stump: the best `value` threshold
     * separating purchases from the rest by Gini impurity reduction —
     * the CART split-finding primitive (and the one-feature baseline

@@ -1282,6 +1282,24 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(rs.getAs[Double]("energy_dist") == 2.0, rs)
   }
 
+  test("valueCvmDrift: identical halves score 0; disjoint point " +
+    "masses score exactly 0.5 and trip the 0.461 criterion") {
+    def pev(i: Long, hm: String, v: Double) =
+      (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), 1L, "view", v, "{}")
+    val same = Seq(pev(1, "10:00", 1.0), pev(2, "10:10", 2.0),
+      pev(3, "20:00", 1.0), pev(4, "20:10", 2.0)).toDF(evCols: _*)
+    val r = EventOps.valueCvmDrift(same).collect().head
+    assert(r.getAs[Double]("cvm_t") == 0.0 &&
+      !r.getAs[Boolean]("drifted"), r)
+    // half1 at bin 0, half2 at bin 1: the only gap bin has F1-F2 = 1
+    // with pooled mass 2 -> T = (4/16)*2 = 0.5 > 0.461
+    val shift = Seq(pev(1, "10:00", 0.0), pev(2, "10:10", 0.0),
+      pev(3, "20:00", 1.0), pev(4, "20:10", 1.0)).toDF(evCols: _*)
+    val rs = EventOps.valueCvmDrift(shift).collect().head
+    assert(rs.getAs[Double]("cvm_t") == 0.5 &&
+      rs.getAs[Boolean]("drifted"), rs)
+  }
+
   test("decisionStumpValue: the perfect separator wins over an edge " +
     "split; cells, rates and Gini ledger are exact") {
     def pev(i: Long, t: String, v: Double) =
