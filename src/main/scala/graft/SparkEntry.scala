@@ -312,6 +312,8 @@ object SparkEntry {
       ((s, d) => EventOps.valueEnergyDrift(events(s, d))),
     "value_cvm_drift" ->
       ((s, d) => EventOps.valueCvmDrift(events(s, d))),
+    "wilcoxon_signed_rank_ab" ->
+      ((s, d) => EventOps.wilcoxonSignedRankAb(events(s, d))),
     "decision_stump_value" ->
       ((s, d) => EventOps.decisionStumpValue(events(s, d))),
     "blocking_quality_audit" ->
@@ -3700,6 +3702,43 @@ object SparkEntry {
         "CAST(ayy AS DOUBLE) / " +
         "(CAST(n_second AS DOUBLE) * CAST(n_second AS DOUBLE)), 6) " +
         "AS energy_dist FROM s"),
+    // Mirrors EventOps.wilcoxonSignedRankAb: cent-exact per-user
+    // spend differences across the midpoint halves, doubled midranks
+    // over the |d| grid, HUGEINT cubic moments, one pinned z.
+    "wilcoxon_signed_rank_ab" ->
+      ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, " +
+        "max(epoch_us(ts)) AS hi FROM events), " +
+        "pu AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN epoch_us(ts) > CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN CAST(value AS DECIMAL(12,2)) " +
+        "ELSE CAST(0 AS DECIMAL(12,2)) END) * 100 AS BIGINT) AS post_c, " +
+        "CAST(sum(CASE WHEN epoch_us(ts) <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN CAST(value AS DECIMAL(12,2)) " +
+        "ELSE CAST(0 AS DECIMAL(12,2)) END) * 100 AS BIGINT) AS pre_c " +
+        "FROM events CROSS JOIN b GROUP BY 1), " +
+        "d AS (SELECT post_c - pre_c AS d FROM pu " +
+        "WHERE post_c - pre_c <> 0), " +
+        "g AS (SELECT abs(d) AS v, CAST(count(*) AS BIGINT) AS c, " +
+        "CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos " +
+        "FROM d GROUP BY 1), " +
+        "cu AS (SELECT v, c, cpos, CAST(coalesce(sum(c) OVER (" +
+        "ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+        "0) AS BIGINT) AS cum FROM g), " +
+        "s AS (SELECT CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(cpos AS HUGEINT) * (2 * cum + c + 1)) AS HUGEINT) " +
+        "AS w2, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS ties3 " +
+        "FROM cu) " +
+        "SELECT n AS n_nonzero, CAST(w2 AS BIGINT) AS w_plus_x2, " +
+        "CASE WHEN n > 0 THEN round((CAST(w2 AS DOUBLE) - " +
+        "CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) / 2.0) / " +
+        "sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - ties3 " +
+        "AS DOUBLE) / 12.0), 6) END AS z_score, " +
+        "coalesce(CASE WHEN n > 0 THEN abs((CAST(w2 AS DOUBLE) - " +
+        "CAST(CAST(n AS HUGEINT) * (n + 1) AS DOUBLE) / 2.0) / " +
+        "sqrt(CAST(2 * CAST(n AS HUGEINT) * (n + 1) * (2 * n + 1) - ties3 " +
+        "AS DOUBLE) / 12.0)) > 1.959964 END, false) AS significant " +
+        "FROM s"),
     // Mirrors EventOps.valueCvmDrift: the wasserstein CTE chain with
     // the squared-ECDF-gap terms micro-pinned per bin before the exact
     // sum, one pinned T chain, stated 0.461 criterion.

@@ -5065,6 +5065,72 @@ object EventOps {
     * the 2×2 cells are exact BIGINT counts of per-user boolean
     * collapses; χ² is one pinned double division. Shape: one stats
     * broadcast + one per-user hash agg + one 4-cell collapse. */
+  /** Wilcoxon signed-rank test on per-user spend change across the
+    * exact epoch-µs midpoint halves — the paired nonparametric
+    * companion completing the within-subject battery
+    * ([[mcnemarSwitchers]] tests a binary flip, this tests the
+    * MAGNITUDE ranks of the cent-exact spend differences without
+    * assuming normality; the unpaired analogue is
+    * [[mannWhitneyTypePairs]]): zero differences drop (the standard
+    * convention), |d| midranks come from the same doubled-rank
+    * prefix-sum machinery over the collapsed |d|-cents grid (2W⁺ =
+    * Σ_v c⁺_v·(2·cum(<v) + c_v + 1) stays exact BIGINT), and
+    *
+    *   z = (2W⁺ − n(n+1)/2) / √(48V/12),
+    *   48V = 2n(n+1)(2n+1) − Σ(t³ − t),
+    *
+    * every operand an exact integer until one pinned chain; NULL at
+    * zero variance (all differences tied at one magnitude with both
+    * signs... impossible — V = 0 only when n = 0, which the n > 0
+    * guard covers).
+    *
+    * Shape: one per-user collapse, one |d| grid collapse; the serial
+    * window orders that bounded grid (the kruskal value-grid case). */
+  def wilcoxonSignedRankAb(events: DataFrame): DataFrame = {
+    val perUser = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(col("user_id"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"),
+          col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")).as("pre"),
+        when(unix_micros(col("ts")) > expr("(lo + hi) div 2"),
+          col("value").cast("decimal(12,2)"))
+          .otherwise(lit(0).cast("decimal(12,2)")).as("post"))
+      .groupBy("user_id")
+      .agg((sum(col("post")) * 100).cast("long").as("post_c"),
+        (sum(col("pre")) * 100).cast("long").as("pre_c"))
+    val diffs = perUser
+      .select((col("post_c") - col("pre_c")).as("d"))
+      .filter(col("d") =!= 0L)
+    val grid = diffs.groupBy(abs(col("d")).as("v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("d") > 0L, 1L).otherwise(0L)).as("cpos"))
+    val w = Window.orderBy(col("v").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid.withColumn("cum", coalesce(sum(col("c")).over(w), lit(0L)))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val s = cum.agg(sum(col("c")).as("n"),
+      sum(d38(col("cpos")) * (lit(2L) * col("cum") + col("c") + lit(1L)))
+        .as("w2"),
+      sum(d38(col("c")) * col("c") * col("c") - col("c")).as("ties3"))
+    val n = col("n")
+    val v48 = (lit(2L) * d38(n) * (n + 1L) * (lit(2L) * n + 1L) -
+      col("ties3")).cast("double")
+    val z = (col("w2").cast("double") -
+      (d38(n) * (n + 1L)).cast("double") / lit(2.0)) /
+      sqrt(v48 / lit(12.0))
+    // the published doubled rank sum narrows to BIGINT (≤ 2n² —
+    // overflows past n ≈ 2e9 pairs, stated not silent, the
+    // mannWhitney convention); the internal arithmetic stays wide
+    s.select(col("n").as("n_nonzero"),
+      col("w2").cast("long").as("w_plus_x2"),
+      when(n > 0L, round(z, 6)).as("z_score"),
+      coalesce(when(n > 0L, abs(z) > lit(1.959964)), lit(false))
+        .as("significant"))
+  }
+
   def mcnemarSwitchers(events: DataFrame): DataFrame = {
     val perUser = events
       .crossJoin(broadcast(events.agg(

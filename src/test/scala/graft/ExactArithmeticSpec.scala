@@ -1282,6 +1282,26 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(rs.getAs[Double]("energy_dist") == 2.0, rs)
   }
 
+  test("wilcoxonSignedRankAb: hand-ranked cent diffs give 2W+ = 17 " +
+    "and the tie-corrected z") {
+    def pev(i: Long, uid: Long, hm: String, v: Double) =
+      (i, Timestamp.valueOf(s"2024-03-01 $hm:00"), uid, "view", v, "{}")
+    // diffs (cents): +100, +200, -100, +300 -> |d| midranks 1.5/1.5/3/4,
+    // W+ = 8.5 (2W+ = 17), n = 4, 48V = 360 - 6 = 354
+    val events = Seq(
+      pev(1, 1L, "20:00", 1.0),
+      pev(2, 2L, "20:05", 2.0),
+      pev(3, 3L, "10:00", 1.0), // pre-half spend -> negative diff
+      pev(4, 4L, "20:10", 3.0),
+    ).toDF(evCols: _*)
+    val r = EventOps.wilcoxonSignedRankAb(events).collect().head
+    assert((r.getAs[Long]("n_nonzero"), r.getAs[Long]("w_plus_x2")) ==
+      ((4L, 17L)), r)
+    val z = (17.0 - 20.0 / 2.0) / math.sqrt(354.0 / 12.0)
+    assert(r.getAs[Double]("z_score") == math.rint(z * 1e6) / 1e6, r)
+    assert(!r.getAs[Boolean]("significant"), r)
+  }
+
   test("valueCvmDrift: identical halves score 0; disjoint point " +
     "masses score exactly 0.5 and trip the 0.461 criterion") {
     def pev(i: Long, hm: String, v: Double) =
