@@ -314,6 +314,8 @@ object SparkEntry {
       ((s, d) => EventOps.valueCvmDrift(events(s, d))),
     "wilcoxon_signed_rank_ab" ->
       ((s, d) => EventOps.wilcoxonSignedRankAb(events(s, d))),
+    "pacf_daily_counts" ->
+      ((s, d) => EventOps.pacfDailyCounts(events(s, d))),
     "decision_stump_value" ->
       ((s, d) => EventOps.decisionStumpValue(events(s, d))),
     "blocking_quality_audit" ->
@@ -3702,6 +3704,58 @@ object SparkEntry {
         "CAST(ayy AS DOUBLE) / " +
         "(CAST(n_second AS DOUBLE) * CAST(n_second AS DOUBLE)), 6) " +
         "AS energy_dist FROM s"),
+    // Mirrors EventOps.pacfDailyCounts: covariance-form r_k off the
+    // n-scaled deviations (pinned index folds), then the
+    // Durbin-Levinson recursion as a recursive CTE with LATERAL —
+    // every fold ascending, bit-identical trajectories.
+    "pacf_daily_counts" ->
+      ("WITH RECURSIVE daily AS (SELECT CAST(date_trunc('day', ts) " +
+        "AS DATE) AS day, CAST(count(*) AS BIGINT) AS cnt FROM events " +
+        "GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT d.day, CAST(coalesce(daily.cnt, 0) AS DOUBLE) " +
+        "AS y FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "ser AS (SELECT list(y ORDER BY day) AS ys FROM grid " +
+        "HAVING count(*) > 7), " +
+        "mo AS (SELECT ys, CAST(len(ys) AS DOUBLE) AS nd, " +
+        "list_reduce(ys, (a, b) -> a + b) AS sy FROM ser), " +
+        "ds AS (SELECT *, list_reduce(list_transform(range(len(ys)), " +
+        "t -> (nd * ys[CAST(t AS INT) + 1] - sy) * " +
+        "(nd * ys[CAST(t AS INT) + 1] - sy)), (a, b) -> a + b) AS dsum " +
+        "FROM mo), " +
+        "rr AS (SELECT ys, list_transform(range(7), k0 -> " +
+        "list_reduce(list_transform(range(len(ys) - CAST(k0 AS INT) - 1), " +
+        "t -> (nd * ys[CAST(t AS INT) + 1] - sy) * " +
+        "(nd * ys[CAST(t AS INT) + 2 + CAST(k0 AS INT)] - sy)), " +
+        "(a, b) -> a + b) / dsum) AS r FROM ds WHERE dsum > 0), " +
+        "it AS (SELECT 0 AS k, CAST([] AS DOUBLE[]) AS phis, " +
+        "CAST([] AS DOUBLE[]) AS pacf FROM rr " +
+        "UNION ALL " +
+        "SELECT p.k + 1, " +
+        "CASE WHEN len(p.phis) = 0 THEN [w.pkk] " +
+        "ELSE list_append(list_transform(range(len(p.phis)), j -> " +
+        "p.phis[CAST(j AS INT) + 1] - w.pkk * " +
+        "p.phis[CAST(p.k AS INT) - CAST(j AS INT)]), w.pkk) END, " +
+        "list_append(p.pacf, w.pkk) " +
+        "FROM it p, rr, LATERAL (SELECT CASE WHEN q.den = 0.0 THEN 0.0 " +
+        "ELSE q.num / q.den END AS pkk FROM (SELECT " +
+        "r[CAST(p.k AS INT) + 1] - CASE WHEN len(p.phis) = 0 THEN 0.0 " +
+        "ELSE list_reduce(list_transform(range(len(p.phis)), j -> " +
+        "p.phis[CAST(j AS INT) + 1] * " +
+        "r[CAST(p.k AS INT) - CAST(j AS INT)]), (a, b) -> a + b) END " +
+        "AS num, " +
+        "1.0 - CASE WHEN len(p.phis) = 0 THEN 0.0 " +
+        "ELSE list_reduce(list_transform(range(len(p.phis)), j -> " +
+        "p.phis[CAST(j AS INT) + 1] * r[CAST(j AS INT) + 1]), " +
+        "(a, b) -> a + b) END AS den) q) w " +
+        "WHERE p.k < 7), " +
+        "fin AS (SELECT pacf FROM it WHERE k = 7) " +
+        "SELECT CAST(lag0 + 1 AS BIGINT) AS lag, " +
+        "round(r[CAST(lag0 AS INT) + 1], 6) AS acf_cov, " +
+        "round(pacf[CAST(lag0 AS INT) + 1], 6) AS pacf " +
+        "FROM fin, rr, (SELECT unnest(range(7)) AS lag0)"),
     // Mirrors EventOps.wilcoxonSignedRankAb: cent-exact per-user
     // spend differences across the midpoint halves, doubled midranks
     // over the |d| grid, HUGEINT cubic moments, one pinned z.

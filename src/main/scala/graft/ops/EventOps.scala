@@ -2859,6 +2859,85 @@ object EventOps {
           sqrt(dx.cast("double") * dy.cast("double")), 6).as("acf"))
   }
 
+  /** Partial autocorrelation of the daily series via Durbin–Levinson
+    * — the model-identification companion to [[acfDailyCounts]] (ACF
+    * tails off / PACF cuts off at p identifies an AR(p); both
+    * together are the Box–Jenkins correlogram pair). Uses the
+    * COVARIANCE-form autocorrelations (one global mean, one common
+    * denominator — the form the recursion is defined on; the ACF
+    * query's per-lag Pearson is the drift-robust display variant):
+    *
+    *   r_k = Σ_t (y_t − ȳ)(y_{t+k} − ȳ) / Σ_t (y_t − ȳ)²,
+    *   φ_kk from the Durbin–Levinson recursion on r_1..r_K.
+    *
+    * Determinism: deviations are n-scaled (n·y_t − Σy — exact-valued
+    * doubles), every moment and the whole recursion fold in pinned
+    * ascending order on both rails (`aggregate` here, a recursive CTE
+    * with LATERAL + list folds in the oracle — the
+    * [[markovRemovalAttribution]] parity), pure +/−/×/÷, no libm; a
+    * zero recursion denominator pins φ_kk = 0 (stated guard). The
+    * empty-prefix folds are guarded explicitly — `sequence(1, 0)`
+    * counts DOWN (the shingles footgun).
+    *
+    * Shape: one corpus-sized daily collapse; moments and the K-step
+    * recursion run on a single calendar-length array row. */
+  def pacfDailyCounts(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag >= 1: $maxLag")
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).cast("double").as("y"))
+    val series = grid
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("sd"))
+      .select(transform(col("sd"), x => x.getField("y")).as("ys"))
+      .filter(size(col("ys")) > maxLag)
+    val n = size(col("ys"))
+    val nd = n.cast("double")
+    def yAt(t: Column) = element_at(col("ys"), t.cast("int"))
+    val sy = aggregate(col("ys"), lit(0.0), (a, x) => a + x)
+    def dev(t: Column) = nd * yAt(t) - sy
+    val dsum = aggregate(sequence(lit(1), n), lit(0.0),
+      (a, t) => a + dev(t) * dev(t))
+    val rl = transform(sequence(lit(1), lit(maxLag)), k =>
+      aggregate(sequence(lit(1), n - k), lit(0.0),
+        (a, t) => a + dev(t) * dev(t + k)) / dsum)
+    val base = series
+      .select(col("ys"), rl.as("r"), dsum.as("dsum"))
+      .filter(col("dsum") > 0.0)
+    def rAt(i: Column) = element_at(col("r"), i.cast("int"))
+    val init = struct(
+      array().cast("array<double>").as("phis"),
+      array().cast("array<double>").as("pacf"))
+    val st = aggregate(sequence(lit(1), lit(maxLag)), init, (acc, k) => {
+      val phis = acc.getField("phis")
+      val pacf = acc.getField("pacf")
+      val np = size(phis)
+      val num = rAt(k) - when(np > 0,
+        aggregate(sequence(lit(1), np), lit(0.0),
+          (a, j) => a + element_at(phis, j.cast("int")) * rAt(k - j)))
+        .otherwise(lit(0.0))
+      val den = lit(1.0) - when(np > 0,
+        aggregate(sequence(lit(1), np), lit(0.0),
+          (a, j) => a + element_at(phis, j.cast("int")) * rAt(j)))
+        .otherwise(lit(0.0))
+      val pkk = when(den =!= 0.0, num / den).otherwise(lit(0.0))
+      val updated = when(np > 0,
+        transform(sequence(lit(1), np), j =>
+          element_at(phis, j.cast("int")) -
+            pkk * element_at(phis, (k - j).cast("int"))))
+        .otherwise(array().cast("array<double>"))
+      struct(concat(updated, array(pkk)).as("phis"),
+        concat(pacf, array(pkk)).as("pacf"))
+    })
+    base.select(col("r"), st.getField("pacf").as("p"))
+      .select(posexplode(arrays_zip(col("r"), col("p"))))
+      .select((col("pos") + 1).cast("long").as("lag"),
+        round(col("col.r"), 6).as("acf_cov"),
+        round(col("col.p"), 6).as("pacf"))
+  }
+
   /** Kaplan–Meier survival at fixed horizons — "what fraction of
     * users are still active h days after their first event?", the
     * churn curve a retention dashboard reports with CORRECT handling

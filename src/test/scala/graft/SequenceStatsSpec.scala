@@ -620,6 +620,46 @@ class SequenceStatsSpec extends SparkSpec {
       got.toString)
   }
 
+  test("pacfDailyCounts: matches the Durbin-Levinson recursion " +
+    "replayed in plain Scala; lag-1 PACF equals the lag-1 ACF") {
+    def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
+      val d = java.time.LocalDate.of(2024, 3, 1).plusDays(day)
+      (base + j, Timestamp.valueOf(s"$d 10:00:00"), 1L, "view", 1.0, "{}")
+    }
+    val counts = Seq(1, 2, 1, 3, 1, 2, 1, 4, 1, 2)
+    val events = counts.zipWithIndex
+      .flatMap { case (c, d) => dayEvents(d, c, d * 100L) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventOps.pacfDailyCounts(events).orderBy("lag")
+      .as[(Long, Double, Double)].collect()
+    // replay: n-scaled deviations, covariance-form r, DL recursion
+    val ys = counts.map(_.toDouble)
+    val n = ys.length; val nd = n.toDouble
+    val sy = ys.foldLeft(0.0)(_ + _)
+    def dev(t: Int) = nd * ys(t - 1) - sy
+    val dsum = (1 to n).foldLeft(0.0)((a, t) => a + dev(t) * dev(t))
+    val r = (1 to 7).map(k =>
+      (1 to n - k).foldLeft(0.0)((a, t) => a + dev(t) * dev(t + k)) / dsum)
+    var phis = Vector.empty[Double]; var pacf = Vector.empty[Double]
+    for (k <- 1 to 7) {
+      val num = r(k - 1) - (if (phis.isEmpty) 0.0
+        else (1 to phis.size).foldLeft(0.0)((a, j) =>
+          a + phis(j - 1) * r(k - j - 1)))
+      val den = 1.0 - (if (phis.isEmpty) 0.0
+        else (1 to phis.size).foldLeft(0.0)((a, j) =>
+          a + phis(j - 1) * r(j - 1)))
+      val pkk = if (den != 0.0) num / den else 0.0
+      phis = (1 to phis.size).map(j =>
+        phis(j - 1) - pkk * phis(k - j - 1)).toVector :+ pkk
+      pacf = pacf :+ pkk
+    }
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.map(_._1).toSeq == (1L to 7L), got.mkString(","))
+    assert(got.map(_._2).toSeq == r.map(r6), got.mkString(","))
+    assert(got.map(_._3).toSeq == pacf.map(r6), got.mkString(","))
+    assert(got.head._2 == got.head._3, "lag-1 PACF must equal lag-1 ACF")
+  }
+
   test("conformalDailyIntervals: exact conformal order statistic from " +
     "the seasonal-naive residuals, last week as point forecasts") {
     def dayEvents(day: Int, n: Int, base: Long) = (0 until n).map { j =>
