@@ -143,6 +143,11 @@ object SparkEntry {
       ((s, d) => EventOps.kendallTauTypePairs(events(s, d))),
     "chi_square_type_dow" ->
       ((s, d) => EventOps.chiSquareTypeDow(events(s, d))),
+    "anova_value_by_type" ->
+      ((s, d) => EventOps.anovaValueByType(events(s, d))),
+    "jarque_bera_by_type" ->
+      ((s, d) => EventOps.jarqueBeraByType(events(s, d))),
+    "ljung_box_daily" -> ((s, d) => EventOps.ljungBoxDaily(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
     "dau_wau_stickiness" -> ((s, d) => EventOps.dauWauStickiness(events(s, d))),
     "time_decay_engagement" ->
@@ -1811,6 +1816,98 @@ object SparkEntry {
         "CASE WHEN least(n_types - 1, n_dows - 1) > 0 THEN " +
         "round(sqrt((s1 - 1.0) / CAST(least(n_types - 1, n_dows - 1) AS DOUBLE)), 6) " +
         "END AS cramers_v FROM s"),
+    // Mirrors EventOps.anovaValueByType: exact BIGINT cents / HUGEINT
+    // Σc² per group, Σ Sᵢ²/nᵢ as a sum of single pinned divisions of
+    // exact integers (the chi_square_type_dow precedent), F/η² the
+    // same pinned double chains; SSW = 0 → NULL F.
+    "anova_value_by_type" ->
+      ("WITH c AS (SELECT event_type, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cc FROM events), " +
+        "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni, " +
+        "CAST(sum(cc) AS BIGINT) AS si, " +
+        "CAST(sum(CAST(cc AS HUGEINT) * cc) AS HUGEINT) AS ssi " +
+        "FROM c GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(ni) AS BIGINT) AS n, CAST(sum(si) AS BIGINT) AS s, " +
+        "CAST(sum(ssi) AS HUGEINT) AS ss, " +
+        "sum(CAST(CAST(si AS HUGEINT) * si AS DOUBLE) / CAST(ni AS DOUBLE)) AS a " +
+        "FROM g), " +
+        "e AS (SELECT k, n, " +
+        "a - CAST(CAST(s AS HUGEINT) * s AS DOUBLE) / CAST(n AS DOUBLE) AS ssb, " +
+        "CAST(ss AS DOUBLE) - a AS ssw FROM m) " +
+        "SELECT k AS n_types, n AS n_total, " +
+        "CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2, " +
+        "CASE WHEN k >= 2 AND n > k AND ssw > 0.0 THEN " +
+        "round((ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)), 6) " +
+        "END AS f_stat, " +
+        "CASE WHEN ssb + ssw > 0.0 THEN round(ssb / (ssb + ssw), 6) " +
+        "END AS eta_sq FROM e"),
+    // Mirrors EventOps.jarqueBeraByType: exact HUGEINT power sums
+    // Σc..Σc⁴ per type, central moments via the SAME pinned
+    // closed-form association (q2 − μ², q3 − 3μq2 + 2μ³, …) — pure
+    // IEEE ·/−/sqrt chains, no libm; constant values → NULL.
+    "jarque_bera_by_type" ->
+      ("WITH c AS (SELECT event_type, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cc FROM events), " +
+        "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cc) AS BIGINT) AS s1, " +
+        "CAST(sum(CAST(cc AS HUGEINT) * cc) AS HUGEINT) AS s2, " +
+        "CAST(sum(CAST(cc AS HUGEINT) * cc * cc) AS HUGEINT) AS s3, " +
+        "CAST(sum(CAST(cc AS HUGEINT) * cc * cc * cc) AS HUGEINT) AS s4 " +
+        "FROM c GROUP BY 1), " +
+        "q AS (SELECT event_type, n, " +
+        "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu, " +
+        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2, " +
+        "CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3, " +
+        "CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4 FROM g), " +
+        "mm AS (SELECT event_type, n, " +
+        "q2 - mu * mu AS m2, " +
+        "q3 - 3.0 * mu * q2 + 2.0 * mu * mu * mu AS m3, " +
+        "q4 - 4.0 * mu * q3 + 6.0 * mu * mu * q2 - " +
+        "3.0 * mu * mu * mu * mu AS m4 FROM q), " +
+        "sk AS (SELECT event_type, n, m2, " +
+        "m3 / (m2 * sqrt(m2)) AS skew, " +
+        "m4 / (m2 * m2) - 3.0 AS exk FROM mm) " +
+        "SELECT event_type, n, " +
+        "CASE WHEN n >= 2 AND m2 > 0.0 THEN round(skew, 6) END AS skewness, " +
+        "CASE WHEN n >= 2 AND m2 > 0.0 THEN round(exk, 6) END AS ex_kurtosis, " +
+        "CASE WHEN n >= 2 AND m2 > 0.0 THEN " +
+        "round(CAST(n AS DOUBLE) / 6.0 * (skew * skew + exk * exk / 4.0), 6) " +
+        "END AS jb_stat FROM sk"),
+    // Mirrors EventOps.ljungBoxDaily: n-scaled deviations over the
+    // zero-filled calendar grid (exact HUGEINT numerators and common
+    // denominator, one pinned division per lag), K pinned terms
+    // summed (chi_square precedent) and scaled once by n(n+2);
+    // constant series → NULL Q.
+    "ljung_box_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT cal.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM cal LEFT JOIN daily ON daily.day = cal.day), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS s FROM grid), " +
+        "dev AS (SELECT day, n, CAST(n * y - s AS HUGEINT) AS d " +
+        "FROM grid CROSS JOIN st), " +
+        "den AS (SELECT CAST(sum(d * d) AS HUGEINT) AS den, " +
+        "CAST(max(n) AS BIGINT) AS n FROM dev), " +
+        "lags AS (SELECT CAST(unnest(range(1, 8)) AS BIGINT) AS lag), " +
+        "nums AS (SELECT lag, CAST(sum(a.d * b.d) AS HUGEINT) AS num " +
+        "FROM dev a CROSS JOIN lags " +
+        "JOIN dev b ON b.day = a.day + CAST(lag AS INT) GROUP BY 1), " +
+        "terms AS (SELECT n, den, " +
+        "CASE WHEN den > 0 THEN " +
+        "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) * " +
+        "(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)) / " +
+        "(CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)) ELSE 0.0 END AS t " +
+        "FROM nums CROSS JOIN den WHERE lag < n) " +
+        "SELECT n AS n_days, CAST(count(*) AS BIGINT) AS k_lags, " +
+        "CASE WHEN den > 0 THEN " +
+        "round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * " +
+        "sum(CAST(t AS DOUBLE)), 6) END AS lb_q " +
+        "FROM terms GROUP BY n, den"),
     // Mirrors EventOps.cusumChangepoints: identical closed form
     // cusum_k = S_k − k·(total/n_days). Every windowed quantity is an
     // exact BIGINT (running count sum, row_number, totals), so the one

@@ -5242,4 +5242,155 @@ object EventOps {
       when(b + c > lit(0L),
         round(num * num / (b + c).cast("double"), 6)).as("mcnemar_chi2"))
   }
+
+  /** One-way ANOVA F on event value across event types — the
+    * PARAMETRIC k-sample mean test beside [[kruskalWallisDailyCounts]]'
+    * rank test (KW asks "do the distributions differ in location?";
+    * ANOVA asks it of the MEANS, with the classic between/within
+    * variance decomposition SST = SSB + SSW). η² = SSB/SST is the
+    * effect size (share of variance explained by the type).
+    *
+    * Determinism: values pin to exact BIGINT cents; per-group n, Σc
+    * are BIGINT and Σc² is DECIMAL(38,0), so every moment entering
+    * the F is exact. Σ Sᵢ²/nᵢ is the one unavoidable float sum — each
+    * term is a single pinned division of exact integers (the
+    * [[chiSquareTypeDow]] summation precedent over ≤ |types| terms) —
+    * and F/η² are pinned double chains rounded once. SSW = 0
+    * (all values equal within every group) → NULL F, stated.
+    *
+    * Shape: one (type) hash agg collapses the log to k rows;
+    * everything after runs on that tiny frame. */
+  def anovaValueByType(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val g = events.select(col("event_type"), cents.as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("ni"), sum("c").as("si"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ssi"))
+    val terms = g.select(col("ni"), col("si"), col("ssi"),
+      ((col("si").cast("decimal(38,0)") * col("si")).cast("double") /
+        col("ni").cast("double")).as("t"))
+    val m = terms.agg(count(lit(1)).as("k"), sum("ni").as("n"),
+      sum("si").as("s"), sum("ssi").as("ss"), sum("t").as("a"))
+    val ssb = col("a") -
+      (col("s").cast("decimal(38,0)") * col("s")).cast("double") /
+        col("n").cast("double")
+    val ssw = col("ss").cast("double") - col("a")
+    val df1 = (col("k") - lit(1L)).cast("double")
+    val df2 = (col("n") - col("k")).cast("double")
+    val ok = col("k") >= 2L && col("n") > col("k") && ssw > lit(0.0)
+    m.select(col("k").as("n_types"), col("n").as("n_total"),
+      (col("k") - lit(1L)).as("df1"), (col("n") - col("k")).as("df2"),
+      when(ok, round((ssb / df1) / (ssw / df2), 6)).as("f_stat"),
+      when(ssb + ssw > lit(0.0), round(ssb / (ssb + ssw), 6))
+        .as("eta_sq"))
+  }
+
+  /** Jarque–Bera normality diagnostic of the value distribution per
+    * event type — sample skewness g₁, excess kurtosis g₂, and
+    * JB = n/6·(g₁² + g₂²/4), the moment-based "is this even remotely
+    * Gaussian?" gate that decides whether [[welchTtestAb]]-style
+    * parametric tests or the rank battery ([[mannWhitneyTypePairs]],
+    * [[kruskalWallisDailyCounts]]) are the right lens. JB ≫ 6 says
+    * decidedly non-normal (asymptotically χ²₂ under H₀).
+    *
+    * Determinism: cents are exact BIGINT; the four power sums Σc,
+    * Σc², Σc³, Σc⁴ aggregate in DECIMAL(38,0) — exact for any
+    * realistic corpus (c ≤ 10⁶ cents ⇒ Σc⁴ ≤ 10²⁴·n). Central
+    * moments come from the pinned closed forms
+    *   m₂ = q₂ − μ², m₃ = q₃ − 3μq₂ + 2μ³,
+    *   m₄ = q₄ − 4μq₃ + 6μ²q₂ − 3μ⁴   (qⱼ = Σcʲ/n, μ = q₁)
+    * evaluated in the same association order on both rails (pure
+    * IEEE ·/− chains; sqrt is correctly rounded, no libm risk).
+    * Skew/kurtosis are scale-invariant, so the cent scaling cancels.
+    * m₂ = 0 (constant values) → NULL stats, stated. */
+  def jarqueBeraByType(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val d = col("c").cast("decimal(38,0)")
+    val g = events.select(col("event_type"), cents.as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(d * col("c")).as("s2"),
+        sum(d * col("c") * col("c")).as("s3"),
+        sum(d * col("c") * col("c") * col("c")).as("s4"))
+    val nD = col("n").cast("double")
+    val mu = col("s1").cast("double") / nD
+    val q2 = col("s2").cast("double") / nD
+    val q3 = col("s3").cast("double") / nD
+    val q4 = col("s4").cast("double") / nD
+    val m2 = q2 - mu * mu
+    val m3 = q3 - lit(3.0) * mu * q2 + lit(2.0) * mu * mu * mu
+    val m4 = q4 - lit(4.0) * mu * q3 + lit(6.0) * mu * mu * q2 -
+      lit(3.0) * mu * mu * mu * mu
+    val skew = m3 / (m2 * sqrt(m2))
+    val exk = m4 / (m2 * m2) - lit(3.0)
+    val ok = col("n") >= 2L && m2 > lit(0.0)
+    g.select(col("event_type"), col("n"),
+      when(ok, round(skew, 6)).as("skewness"),
+      when(ok, round(exk, 6)).as("ex_kurtosis"),
+      when(ok, round(nD / lit(6.0) *
+        (skew * skew + exk * exk / lit(4.0)), 6)).as("jb_stat"))
+  }
+
+  /** Ljung–Box portmanteau test on daily total volume — "is the
+    * series white noise, or is there autocorrelation at ANY lag up
+    * to K?": Q = n(n+2)·Σ_{k=1..K} ρ̂ₖ²/(n−k), asymptotically χ²_K
+    * under independence. The one-number companion to
+    * [[acfDailyCounts]]' per-lag display (a residual-whiteness gate
+    * after [[seasonalDecompositionDaily]]/[[holtWintersDaily]]-style
+    * fits) using the same covariance-form ρ̂ₖ as [[pacfDailyCounts]]
+    * (one global mean, one common denominator — the form the Q
+    * statistic is defined on).
+    *
+    * Determinism: the zero-filled calendar grid makes n exact;
+    * deviations are n-scaled (n·yₜ − Σy — exact BIGINTs) and every
+    * lag's numerator Σ dₜ·dₜ₊ₖ and the common denominator Σdₜ²
+    * aggregate in DECIMAL(38,0), so each ρ̂ₖ is ONE pinned division
+    * (the n² scaling cancels in the ratio). The K per-lag terms
+    * ρ̂ₖ²/(n−k) are pinned double chains summed over ≤ K rows (the
+    * [[chiSquareTypeDow]] precedent), scaled once by n(n+2). A
+    * constant series (zero denominator) → NULL Q, stated.
+    *
+    * Shape: one (day) hash agg collapses the log to calendar
+    * cardinality; the ×K shift expansion and the per-lag moments run
+    * on that tiny frame (equi-join on the materialized date_add key,
+    * never a theta join). */
+  def ljungBoxDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag >= 1: $maxLag")
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+    val st = grid.agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val dev = grid.crossJoin(broadcast(st))
+      .select(col("day"), col("n"),
+        (col("n") * col("y") - col("s")).cast("decimal(38,0)").as("d"))
+    val den = dev.agg(sum(col("d") * col("d")).as("den"),
+      max(col("n")).as("n"))
+    val lags = events.sparkSession.range(1, maxLag + 1)
+      .select(col("id").as("lag"))
+    val nums = dev.crossJoin(broadcast(lags))
+      .select(col("lag"), expr("date_add(day, CAST(lag AS INT))").as("tday"),
+        col("d").as("dx"))
+      .join(dev.select(col("day").as("tday"), col("d").as("dy")), "tday")
+      .groupBy("lag").agg(sum(col("dx") * col("dy")).as("num"))
+    val nD = col("n").cast("double")
+    val rho = col("num").cast("double") / col("den").cast("double")
+    // the den = 0 branch never evaluates the division (lazy CaseWhen —
+    // ANSI mode would otherwise throw DIVIDE_BY_ZERO on the dead arm)
+    val terms = nums.crossJoin(broadcast(den))
+      .filter(col("lag") < col("n"))
+      .select(col("n"), col("den"),
+        when(col("den") > lit(0),
+          rho * rho / (nD - col("lag").cast("double")))
+          .otherwise(lit(0.0)).as("t"))
+    terms.groupBy("n", "den")
+      .agg(count(lit(1)).as("k_lags"), sum("t").as("qsum"))
+      .select(col("n").as("n_days"), col("k_lags"),
+        when(col("den") > lit(0),
+          round(nD * (nD + lit(2.0)) * col("qsum"), 6)).as("lb_q"))
+  }
 }

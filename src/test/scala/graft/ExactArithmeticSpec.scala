@@ -870,6 +870,78 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(rf.isNullAt(rf.fieldIndex("bf_f")), rf)
   }
 
+  test("anovaValueByType: hand-computed F and eta-squared on a " +
+    "two-group split; zero within-variance yields NULL F") {
+    def pev(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // cents a = [1,2,3], b = [5,5]: A = 36/3 + 100/2 = 62, S = 16,
+    // N = 5 -> SSB = 62 - 51.2 = 10.8, SSW = 64 - 62 = 2,
+    // F = (10.8/1)/(2/3) = 16.2, eta^2 = 10.8/12.8 = 0.84375
+    val events = Seq(pev(1, "a", 0.01), pev(2, "a", 0.02),
+      pev(3, "a", 0.03), pev(4, "b", 0.05), pev(5, "b", 0.05))
+      .toDF(evCols: _*)
+    val r = EventOps.anovaValueByType(events).collect().head
+    assert((r.getAs[Long]("n_types"), r.getAs[Long]("n_total"),
+      r.getAs[Long]("df1"), r.getAs[Long]("df2")) == ((2L, 5L, 1L, 3L)), r)
+    assert(r.getAs[Double]("f_stat") == 16.2 &&
+      r.getAs[Double]("eta_sq") == 0.84375, r)
+    // all values equal WITHIN each group: SSW = 0 -> NULL F, eta = 1
+    val flat = Seq(pev(1, "a", 0.02), pev(2, "a", 0.02), pev(3, "b", 0.05))
+      .toDF(evCols: _*)
+    val rf = EventOps.anovaValueByType(flat).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("f_stat")) &&
+      rf.getAs[Double]("eta_sq") == 1.0, rf)
+  }
+
+  test("jarqueBeraByType: moments match the pinned closed form " +
+    "recomputed in-test; constant values yield NULLs") {
+    def pev(i: Long, t: String, v: Double) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), 1L, t, v, "{}")
+    // cents [1,2,3,6]: mu=3, q2=12.5, q3=63, q4=348.5 ->
+    // m2=3.5, m3=4.5, m4=24.5, exk = 24.5/12.25 - 3 = -1
+    val events = Seq(pev(1, "a", 0.01), pev(2, "a", 0.02),
+      pev(3, "a", 0.03), pev(4, "a", 0.06)).toDF(evCols: _*)
+    val r = EventOps.jarqueBeraByType(events).collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val skew = 4.5 / (3.5 * math.sqrt(3.5))
+    val exk = -1.0
+    assert(r.getAs[Long]("n") == 4L, r)
+    assert(r.getAs[Double]("skewness") == r6(skew), r)
+    assert(r.getAs[Double]("ex_kurtosis") == -1.0, r)
+    assert(r.getAs[Double]("jb_stat") ==
+      r6(4.0 / 6.0 * (skew * skew + exk * exk / 4.0)), r)
+    // constant values: m2 = 0 -> every stat NULL, count intact
+    val flat = Seq(pev(1, "a", 0.05), pev(2, "a", 0.05)).toDF(evCols: _*)
+    val rf = EventOps.jarqueBeraByType(flat).collect().head
+    assert(rf.getAs[Long]("n") == 2L &&
+      rf.isNullAt(rf.fieldIndex("skewness")) &&
+      rf.isNullAt(rf.fieldIndex("jb_stat")), rf)
+  }
+
+  test("ljungBoxDaily: Q = 9.0 on the alternating 1,2,1,2 series; " +
+    "a constant series yields NULL Q") {
+    // daily counts [1,2,1,2]: d = [-2,2,-2,2], den = 16;
+    // r1 = -0.75, r2 = 0.5, r3 = -0.25 ->
+    // Q = 4*6*(0.5625/3 + 0.25/2 + 0.0625/1) = 24*0.375 = 9.0
+    val events = Seq(
+      ev(1, "2024-03-01", "a"),
+      ev(2, "2024-03-02", "a"), ev(3, "2024-03-02", "a"),
+      ev(4, "2024-03-03", "a"),
+      ev(5, "2024-03-04", "a"), ev(6, "2024-03-04", "a"),
+    ).toDF(evCols: _*)
+    val r = EventOps.ljungBoxDaily(events).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("k_lags")) ==
+      ((4L, 3L)), r)
+    assert(r.getAs[Double]("lb_q") == 9.0, r)
+    // constant series: zero denominator -> NULL Q, lags still counted
+    val flat = Seq(ev(1, "2024-03-01", "a"), ev(2, "2024-03-02", "a"))
+      .toDF(evCols: _*)
+    val rf = EventOps.ljungBoxDaily(flat).collect().head
+    assert(rf.getAs[Long]("n_days") == 2L &&
+      rf.isNullAt(rf.fieldIndex("lb_q")), rf)
+  }
+
   test("bhFdrTypePairs: step-up adjustment matches an independent " +
     "in-test BH recomputation and keeps p monotone") {
     // Three types with distinct separations: a ≪ b strongly
