@@ -1,11 +1,12 @@
 package graft.ml
 
-import org.apache.spark.ml.fpm.PrefixSpan
+import org.apache.spark.mllib.fpm.PrefixSpan
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Frequent sequential-pattern mining over user journeys — PrefixSpan
-  * (Pei et al. '01) through `spark.ml.fpm`, the second MLlib surface
+  * (Pei et al. '01) through `mllib.fpm`, the second MLlib surface
   * beside the sentiment pipeline (SURVEY §2.9 names MLlib a first-class
   * capability; the reference never mines sequences at all).
   *
@@ -41,22 +42,47 @@ object SequenceMining {
           col("event_type").as("et")))),
         x => array(x.getField("et"))).as("sequence"))
 
+  /** The mining core, through `mllib.fpm.PrefixSpan` DIRECTLY rather
+    * than the `ml.fpm` wrapper: the wrapper hands mllib a freshly
+    * derived (hence never-cached) RDD, so prefix-growth replays the
+    * journey collapse every recursion round and warns "Input data is
+    * not cached" no matter what the caller materialized. Here the
+    * sequence RDD is persisted for the run's whole recursion, and the
+    * frequent-pattern set — support-thresholded, so a bounded result
+    * artifact like the BPE merge list, NOT a data collect — is pinned
+    * to the driver before the explicit unpersist, keeping the
+    * persist/unpersist window deterministic. Same algorithm, same
+    * exact counts (the ml wrapper delegates to this class). */
+  private def minePatterns(seqs: DataFrame, minSupport: Double,
+      maxLen: Int): DataFrame = {
+    val spark = seqs.sparkSession
+    val rdd = seqs.select(col("sequence"))
+      .filter(col("sequence").isNotNull).rdd
+      .map(_.getSeq[scala.collection.Seq[String]](0)
+        .map(_.toArray).toArray)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val model = new PrefixSpan()
+        .setMinSupport(minSupport)
+        .setMaxPatternLength(maxLen)
+        .run(rdd)
+      val rows = model.freqSequences
+        .map(fs => (fs.sequence.map(_.mkString).mkString(">"), fs.freq))
+        .collect().toSeq
+      import spark.implicits._
+      rows.toDF("pattern", "n_journeys")
+    } finally rdd.unpersist(blocking = false)
+  }
+
   /** Frequent event-type subsequences: one row per pattern
     * (`a>b>c` rendering, gaps allowed) with its exact containment
     * count. */
   def frequentEventSequences(events: DataFrame,
       minSupport: Double = 0.05, maxLen: Int = 3): DataFrame =
-    new PrefixSpan()
-      .setMinSupport(minSupport)
-      .setMaxPatternLength(maxLen)
-      .setSequenceCol("sequence")
-      // prefix-growth re-reads the journey frame every recursion
-      // round — materialize it once (the audit at [[prefixspanContiguousAudit]]
-      // already does; without this MLlib warns "Input data is not cached"
-      // and replays the (user, week) collapse per round)
-      .findFrequentSequentialPatterns(weekSequences(events).localCheckpoint())
-      .select(concat_ws(">", flatten(col("sequence"))).as("pattern"),
-        col("freq").as("n_journeys"))
+    // prefix-growth re-reads the journey frame every recursion
+    // round — materialize the collapse once before handing it over
+    minePatterns(weekSequences(events).localCheckpoint(),
+      minSupport, maxLen)
 
   /** Hash-gated containment audit for [[frequentEventSequences]]: the
     * frequent CONTIGUOUS 2-step paths are exactly SQL-derivable, and
@@ -82,13 +108,8 @@ object SequenceMining {
     val frequent = contig.crossJoin(broadcast(nSeq))
       .filter(col("n_contig").cast("double") >=
         lit(minSupport) * col("n_journeys").cast("double"))
-    val mined = new PrefixSpan()
-      .setMinSupport(minSupport)
-      .setMaxPatternLength(2)
-      .setSequenceCol("sequence")
-      .findFrequentSequentialPatterns(seqs)
-      .select(concat_ws(">", flatten(col("sequence"))).as("pair"),
-        col("freq"))
+    val mined = minePatterns(seqs, minSupport, maxLen = 2)
+      .select(col("pattern").as("pair"), col("n_journeys").as("freq"))
     val joined = frequent.join(mined, Seq("pair"), "left")
     joined.agg(
       count(lit(1)).as("n_contig_frequent"),
