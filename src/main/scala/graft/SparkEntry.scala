@@ -148,6 +148,11 @@ object SparkEntry {
     "jarque_bera_by_type" ->
       ((s, d) => EventOps.jarqueBeraByType(events(s, d))),
     "ljung_box_daily" -> ((s, d) => EventOps.ljungBoxDaily(events(s, d))),
+    "theil_index_activity" ->
+      ((s, d) => EventOps.theilIndexActivity(events(s, d))),
+    "grubbs_daily" -> ((s, d) => EventOps.grubbsDaily(events(s, d))),
+    "page_hinkley_by_type" ->
+      ((s, d) => EventOps.pageHinkleyByType(events(s, d))),
     "cusum_changepoints" -> ((s, d) => EventOps.cusumChangepoints(events(s, d))),
     "dau_wau_stickiness" -> ((s, d) => EventOps.dauWauStickiness(events(s, d))),
     "time_decay_engagement" ->
@@ -1908,6 +1913,91 @@ object SparkEntry {
         "round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * " +
         "sum(CAST(t AS DOUBLE)), 6) END AS lb_q " +
         "FROM terms GROUP BY n, den"),
+    // Mirrors EventOps.theilIndexActivity: exact BIGINT x·n / Σx per
+    // ratio (one pinned division), per-user ln terms re-pinned to
+    // BIGINT micro-units BEFORE the corpus sum (qlm discipline),
+    // divided out once at 6dp.
+    "theil_index_activity" ->
+      ("WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x " +
+        "FROM events GROUP BY 1), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS s FROM pu), " +
+        "t AS (SELECT n, s, " +
+        "CAST(round((CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE)) * " +
+        "ln(CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE)) * 1000000.0, 0) " +
+        "AS BIGINT) AS tm, " +
+        "CAST(round(-ln(CAST(x * n AS DOUBLE) / CAST(s AS DOUBLE)) * " +
+        "1000000.0, 0) AS BIGINT) AS lm " +
+        "FROM pu CROSS JOIN st) " +
+        "SELECT n AS n_users, " +
+        "round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_activity, " +
+        "round(CAST(CAST(sum(tm) AS BIGINT) AS DOUBLE) / 1000000.0 / " +
+        "CAST(n AS DOUBLE), 6) AS theil_t, " +
+        "round(CAST(CAST(sum(lm) AS BIGINT) AS DOUBLE) / 1000000.0 / " +
+        "CAST(n AS DOUBLE), 6) AS theil_l " +
+        "FROM t GROUP BY n, s"),
+    // Mirrors EventOps.grubbsDaily: n-scaled deviations over the
+    // zero-filled calendar, (|dev| desc, day asc) argmax, G one
+    // pinned double chain off exact HUGEINT moments; n < 3 or a
+    // constant series → NULL.
+    "grubbs_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT cal.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM cal LEFT JOIN daily ON daily.day = cal.day), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS s, " +
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS ss FROM grid), " +
+        "d AS (SELECT day, y, n, s, ss, abs(n * y - s) AS adev " +
+        "FROM grid CROSS JOIN st ORDER BY adev DESC, day ASC LIMIT 1) " +
+        "SELECT n AS n_days, day AS suspect_day, y AS cnt, " +
+        "CASE WHEN n >= 3 AND " +
+        "CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE) > 0.0 THEN " +
+        "round(CAST(adev AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+        "sqrt(CAST(n * ss - CAST(s AS HUGEINT) * s AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 6) " +
+        "END AS g_stat FROM d"),
+    // Mirrors EventOps.pageHinkleyByType: running means re-pinned to
+    // BIGINT micro-units per day (qlm discipline), so mₜ and both PH
+    // statistics are exact integer arithmetic; is_peak compares exact
+    // integers.
+    "page_hinkley_by_type" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "t AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, cal.day, coalesce(daily.cnt, 0) AS cnt " +
+        "FROM cal CROSS JOIN t LEFT JOIN daily " +
+        "ON daily.event_type = t.event_type AND daily.day = cal.day), " +
+        "run AS (SELECT event_type, day, cnt, " +
+        "CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s, " +
+        "CAST(row_number() OVER (PARTITION BY event_type ORDER BY day ASC) " +
+        "AS BIGINT) AS k FROM grid), " +
+        "qq AS (SELECT event_type, day, cnt, s, " +
+        "CAST(round((CAST(s AS DOUBLE) / CAST(k AS DOUBLE)) * 1000000.0, 0) " +
+        "AS BIGINT) AS q FROM run), " +
+        "mm AS (SELECT event_type, day, cnt, 1000000 * s - " +
+        "CAST(sum(q) OVER (PARTITION BY event_type ORDER BY day ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m " +
+        "FROM qq), " +
+        "ph AS (SELECT event_type, day, cnt, " +
+        "m - min(m) OVER (PARTITION BY event_type ORDER BY day ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phi, " +
+        "max(m) OVER (PARTITION BY event_type ORDER BY day ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - m AS phd " +
+        "FROM mm) " +
+        "SELECT event_type, day, cnt, " +
+        "round(CAST(phi AS DOUBLE) / 1000000.0, 6) AS ph_inc, " +
+        "round(CAST(phd AS DOUBLE) / 1000000.0, 6) AS ph_dec, " +
+        "phi = max(phi) OVER (PARTITION BY event_type) AS is_peak " +
+        "FROM ph"),
     // Mirrors EventOps.cusumChangepoints: identical closed form
     // cusum_k = S_k − k·(total/n_days). Every windowed quantity is an
     // exact BIGINT (running count sum, row_number, totals), so the one

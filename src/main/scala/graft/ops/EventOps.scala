@@ -5333,6 +5333,149 @@ object EventOps {
         (skew * skew + exk * exk / lit(4.0)), 6)).as("jb_stat"))
   }
 
+  /** Theil inequality indices of the per-user activity distribution —
+    * Theil T = (1/n)·Σ (xᵢ/μ)·ln(xᵢ/μ) and the mean log deviation
+    * L = (1/n)·Σ ln(μ/xᵢ), the entropy-based inequality pair beside
+    * [[userActivityGini]] (T is top-sensitive, L bottom-sensitive;
+    * both are 0 at perfect equality and additively decomposable,
+    * which Gini is not — the reason inequality dashboards carry
+    * both). xᵢ = the user's event count, always ≥ 1, so every log is
+    * defined.
+    *
+    * Determinism: xᵢ·n and Σx are exact BIGINTs, so each ratio is ONE
+    * pinned division; the per-user ln terms are re-pinned to BIGINT
+    * micro-units BEFORE the corpus-sized sum (the
+    * [[graft.ops.MiningOps.qlmTopDocs]] / pinballLoss discipline —
+    * exact whatever the aggregation order), divided out once at the
+    * end. ln itself is the accepted libm-parity surface every
+    * KL/PSI/MI oracle already stands on.
+    *
+    * Shape: one (user) hash agg collapses the log; one broadcast of
+    * the 1-row stats frame; one exact micro-unit sum. */
+  def theilIndexActivity(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("x"))
+    val st = perUser.agg(count(lit(1)).as("n"), sum("x").as("s"))
+    val ratio = (col("x") * col("n")).cast("double") /
+      col("s").cast("double")
+    val terms = perUser.crossJoin(broadcast(st))
+      .select(col("n"), col("s"),
+        round(ratio * log(ratio) * lit(1000000.0), 0).cast("long").as("tm"),
+        round(-log(ratio) * lit(1000000.0), 0).cast("long").as("lm"))
+    val nD = col("n").cast("double")
+    terms.groupBy("n", "s")
+      .agg(sum("tm").as("stm"), sum("lm").as("slm"))
+      .select(col("n").as("n_users"),
+        round(col("s").cast("double") / nD, 6).as("mean_activity"),
+        round(col("stm").cast("double") / lit(1000000.0) / nD, 6)
+          .as("theil_t"),
+        round(col("slm").cast("double") / lit(1000000.0) / nD, 6)
+          .as("theil_l"))
+  }
+
+  /** Grubbs' outlier probe on daily total volume: the single most
+    * extreme day's studentized deviate G = max|yₜ − ȳ|/s over the
+    * zero-filled calendar (an absent day IS the candidate outlier) —
+    * the classic one-outlier test behind "was that spike real?"
+    * triage, the single-point companion of [[dowAnomalies]]' seasonal
+    * flags. G is emitted with the suspect day; compare to the Grubbs
+    * critical value at your α off-engine (no t-quantile table
+    * on either rail — stated).
+    *
+    * Determinism: deviations are n-scaled (n·yₜ − Σy, exact BIGINT),
+    * the argmax day is the (|dev| desc, day asc) total order, and G
+    * is one pinned double chain off exact integer moments
+    * (n·Σy² − (Σy)² in DECIMAL(38,0)); n < 3 or a constant series →
+    * NULL G. Shape: one (day) hash agg, then a 1-row
+    * TakeOrderedAndProject over the calendar frame. */
+  def grubbsDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+    val st = grid.agg(count(lit(1)).as("n"), sum("y").as("s"),
+      sum(col("y").cast("decimal(38,0)") * col("y")).as("ss"))
+    val nD = col("n").cast("double")
+    val varNum = (col("n").cast("decimal(38,0)") * col("ss") -
+      col("s").cast("decimal(38,0)") * col("s")).cast("double")
+    // G = max|n·y − S| / (n·s_sample): the n-scaling of the deviation
+    // cancels against the extra n in the denominator
+    val g = col("adev").cast("double") /
+      (nD * sqrt(varNum / (nD * (nD - lit(1.0)))))
+    grid.crossJoin(broadcast(st))
+      .select(col("day"), col("y"), col("n"), col("s"), col("ss"),
+        abs(col("n") * col("y") - col("s")).as("adev"))
+      .orderBy(col("adev").desc, col("day").asc)
+      .limit(1)
+      .select(col("n").as("n_days"), col("day").as("suspect_day"),
+        col("y").as("cnt"),
+        when(col("n") >= 3L && varNum > lit(0.0), round(g, 6))
+          .as("g_stat"))
+  }
+
+  /** Page–Hinkley drift statistics per event type over the
+    * zero-filled daily grid — the classic sequential mean-shift
+    * detector (Page '54, Hinkley '71) beside [[cusumChangepoints]]'
+    * retrospective argmax: mₜ = Σ_{s≤t}(y_s − μ̂_s) accumulates each
+    * day's gap from the RUNNING mean, PH⁺ₜ = mₜ − min_{s≤t} m_s
+    * flags upward shifts and PH⁻ₜ = max_{s≤t} m_s − mₜ downward
+    * ones (alarm when either exceeds your λ — emitted raw, the
+    * [[grubbsDaily]] off-engine-threshold convention).
+    *
+    * Determinism: running count sums and row numbers are exact
+    * BIGINTs; each day's running mean is ONE pinned division
+    * re-pinned to BIGINT micro-units (the
+    * [[graft.ops.MiningOps.qlmTopDocs]] discipline), so mₜ =
+    * 10⁶·Sₜ − Σ q_s and both PH statistics are exact integer
+    * arithmetic end-to-end, divided out once at 6dp. `is_peak`
+    * compares exact integers, so ties agree across engines.
+    *
+    * Shape: one (type, day) hash agg collapses the log to
+    * |types| × calendar cells; the per-type windows order calendar-
+    * length partitions of that collapsed frame (the
+    * [[cusumChangepoints]] bounded-serial shape, parallel across
+    * types). */
+  def pageHinkleyByType(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = cal.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val run = grid.select(col("event_type"), col("day"), col("cnt"),
+      sum(col("cnt")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("s"),
+      row_number().over(w).cast("long").as("k"))
+    val q = round((col("s").cast("double") / col("k").cast("double")) *
+      lit(1000000.0), 0).cast("long")
+    val withM = run.withColumn("q", q)
+      .withColumn("m", lit(1000000L) * col("s") -
+        sum(col("q")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wAll = Window.partitionBy("event_type")
+    withM
+      .withColumn("ph_inc_m", col("m") -
+        min(col("m")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("ph_dec_m",
+        max(col("m")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+          col("m"))
+      .select(col("event_type"), col("day"), col("cnt"),
+        round(col("ph_inc_m").cast("double") / lit(1000000.0), 6)
+          .as("ph_inc"),
+        round(col("ph_dec_m").cast("double") / lit(1000000.0), 6)
+          .as("ph_dec"),
+        (col("ph_inc_m") === max(col("ph_inc_m")).over(wAll))
+          .as("is_peak"))
+  }
+
   /** Ljung–Box portmanteau test on daily total volume — "is the
     * series white noise, or is there autocorrelation at ANY lag up
     * to K?": Q = n(n+2)·Σ_{k=1..K} ρ̂ₖ²/(n−k), asymptotically χ²_K

@@ -942,6 +942,84 @@ class ExactArithmeticSpec extends SparkSpec {
       rf.isNullAt(rf.fieldIndex("lb_q")), rf)
   }
 
+  test("theilIndexActivity: micro-pinned entropy terms match an " +
+    "in-test replay; perfect equality gives exactly zero") {
+    def pev(i: Long, u: Long) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), u, "view", 1.0, "{}")
+    // activities x = [1, 1, 2]: n = 3, S = 4, ratios r = [.75, .75, 1.5]
+    val events = Seq(pev(1, 1L), pev(2, 2L), pev(3, 3L), pev(4, 3L))
+      .toDF(evCols: _*)
+    val r = EventOps.theilIndexActivity(events).collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def micro(x: Double) = math.round(x * 1e6)
+    val ratios = Seq(0.75, 0.75, 1.5)
+    val t = ratios.map(x => micro(x * math.log(x))).sum / 1e6 / 3.0
+    val l = ratios.map(x => micro(-math.log(x))).sum / 1e6 / 3.0
+    assert(r.getAs[Long]("n_users") == 3L, r)
+    assert(r.getAs[Double]("mean_activity") == r6(4.0 / 3.0), r)
+    assert(r.getAs[Double]("theil_t") == r6(t), r)
+    assert(r.getAs[Double]("theil_l") == r6(l), r)
+    // equal activity everywhere: every ratio 1 -> both indices 0
+    val eq = Seq(pev(1, 1L), pev(2, 2L), pev(3, 3L)).toDF(evCols: _*)
+    val re = EventOps.theilIndexActivity(eq).collect().head
+    assert(re.getAs[Double]("theil_t") == 0.0 &&
+      re.getAs[Double]("theil_l") == 0.0, re)
+  }
+
+  test("grubbsDaily: earliest max-deviate day wins the tie and G " +
+    "matches the hand chain; constant series yields NULL G") {
+    // counts [1,2,1,2]: every |n*y - S| = 2, tie -> earliest day;
+    // G = 0.5 / sqrt(1/3) = 0.866025
+    val events = Seq(
+      ev(1, "2024-03-01", "a"),
+      ev(2, "2024-03-02", "a"), ev(3, "2024-03-02", "a"),
+      ev(4, "2024-03-03", "a"),
+      ev(5, "2024-03-04", "a"), ev(6, "2024-03-04", "a"),
+    ).toDF(evCols: _*)
+    val r = EventOps.grubbsDaily(events).collect().head
+    assert(r.getAs[Long]("n_days") == 4L &&
+      r.getAs[java.sql.Date]("suspect_day").toString == "2024-03-01" &&
+      r.getAs[Long]("cnt") == 1L, r)
+    assert(r.getAs[Double]("g_stat") == 0.866025, r)
+    // constant daily counts: zero variance -> NULL G
+    val flat = (1L to 3L).map(i => ev(i, s"2024-03-0$i", "a"))
+      .toDF(evCols: _*)
+    val rf = EventOps.grubbsDaily(flat).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("g_stat")), rf)
+  }
+
+  test("pageHinkleyByType: exact micro-unit PH statistics flag the " +
+    "up-shift day as peak and mirror on a down-shift") {
+    // counts [1,1,4]: m = [0, 0, +2e6 micro] -> ph_inc peaks at day 3
+    val up = Seq(
+      ev(1, "2024-03-01", "a"),
+      ev(2, "2024-03-02", "a"),
+      ev(3, "2024-03-03", "a"), ev(4, "2024-03-03", "a"),
+      ev(5, "2024-03-03", "a"), ev(6, "2024-03-03", "a"),
+    ).toDF(evCols: _*)
+    val got = EventOps.pageHinkleyByType(up).collect()
+      .map(r => r.getAs[java.sql.Date]("day").toString ->
+        ((r.getAs[Double]("ph_inc"), r.getAs[Double]("ph_dec"),
+          r.getAs[Boolean]("is_peak")))).toMap
+    assert(got == Map(
+      "2024-03-01" -> ((0.0, 0.0, false)),
+      "2024-03-02" -> ((0.0, 0.0, false)),
+      "2024-03-03" -> ((2.0, 0.0, true))), got)
+    // counts [4,4,1]: m = [0, 0, -2e6] -> ph_dec 2.0 on day 3
+    val down = Seq(
+      ev(1, "2024-03-01", "a"), ev(2, "2024-03-01", "a"),
+      ev(3, "2024-03-01", "a"), ev(4, "2024-03-01", "a"),
+      ev(5, "2024-03-02", "a"), ev(6, "2024-03-02", "a"),
+      ev(7, "2024-03-02", "a"), ev(8, "2024-03-02", "a"),
+      ev(9, "2024-03-03", "a"),
+    ).toDF(evCols: _*)
+    val d3 = EventOps.pageHinkleyByType(down).collect()
+      .find(_.getAs[java.sql.Date]("day").toString == "2024-03-03").get
+    assert(d3.getAs[Double]("ph_dec") == 2.0 &&
+      d3.getAs[Double]("ph_inc") == 0.0, d3)
+  }
+
   test("bhFdrTypePairs: step-up adjustment matches an independent " +
     "in-test BH recomputation and keeps p monotone") {
     // Three types with distinct separations: a ≪ b strongly
