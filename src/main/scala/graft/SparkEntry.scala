@@ -197,6 +197,8 @@ object SparkEntry {
       SkewOps.saltedNationActivity(events(s, d), customer(s, d))),
     "zorder_layout_audit" -> ((s, d) =>
       LayoutOps.zorderLayoutAudit(events(s, d))),
+    "hilbert_layout_audit" -> ((s, d) =>
+      LayoutOps.hilbertLayoutAudit(events(s, d))),
     "winsorized_value_stats" -> ((s, d) =>
       EventOps.winsorizedValueStats(events(s, d))),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
@@ -2517,6 +2519,9 @@ object SparkEntry {
     // Morton interleave (built by zorderAuditSql to keep the 16
     // shift/mask terms in lockstep with LayoutOps.zvalue).
     "zorder_layout_audit" -> zorderAuditSql,
+    // Hilbert cells: the unrolled xy2d walk replayed as layered CTEs
+    // (built by hilbertAuditSql), bit-for-bit vs the Column unroll.
+    "hilbert_layout_audit" -> hilbertAuditSql,
     // quantile_cont ≡ Spark `percentile` (interpolation parity proven
     // by value_percentiles); the mean is exact-sum / count as double.
     // Mirrors EventOps.winsorizedValueStats: EMPIRICAL order-statistic
@@ -7843,6 +7848,46 @@ object SparkEntry {
       "CAST(min(dayn) AS BIGINT) AS d_min, " +
       "CAST(max(dayn) AS BIGINT) AS d_max " +
       "FROM z GROUP BY 1"
+  }
+
+  /** The xy2d walk of LayoutOps.hilbertIndex replayed layer by layer
+    * (one CTE per bit plane, high to low, each referencing the
+    * PREVIOUS layer's x/y/hd — DuckDB evaluates layers row-wise, so
+    * the mirror stays flat where the Spark expression tree unrolls). */
+  private def hilbertAuditSql: String = {
+    val bits = 4
+    val n = 1L << bits
+    def bucket(c: String, lo: String, hi: String) =
+      s"CAST(least(greatest(floor(($c - $lo) / " +
+        s"(CASE WHEN $hi > $lo THEN $hi - $lo ELSE 1 END) * $n), 0), " +
+        s"${n - 1}) AS BIGINT)"
+    def rx(s: Long) = s"(CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END)"
+    def ry(s: Long) = s"(CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END)"
+    val steps = (0 until bits).map { i =>
+      val s = n >> (i + 1)
+      s"h${i + 1} AS (SELECT value, dayn, " +
+        s"CASE WHEN ${ry(s)} = 0 THEN (CASE WHEN ${rx(s)} = 1 " +
+        s"THEN ${n - 1} - y ELSE y END) ELSE x END AS x, " +
+        s"CASE WHEN ${ry(s)} = 0 THEN (CASE WHEN ${rx(s)} = 1 " +
+        s"THEN ${n - 1} - x ELSE x END) ELSE y END AS y, " +
+        s"hd + ${s * s} * CAST(xor(3 * ${rx(s)}, ${ry(s)}) AS BIGINT) AS hd " +
+        s"FROM h$i)"
+    }.mkString(", ")
+    "WITH e AS (SELECT value, CAST(datediff('day', DATE '1970-01-01', " +
+      "CAST(ts AS DATE)) AS DOUBLE) AS dayn FROM events), " +
+      "d AS (SELECT min(value) AS vlo, max(value) AS vhi, " +
+      "min(dayn) AS dlo, max(dayn) AS dhi FROM e), " +
+      "h0 AS (SELECT value, dayn, " +
+      bucket("value", "vlo", "vhi") + " AS x, " +
+      bucket("dayn", "dlo", "dhi") + " AS y, " +
+      "CAST(0 AS BIGINT) AS hd FROM e, d), " +
+      steps + " " +
+      s"SELECT hd AS hcell, count(*) AS n, " +
+      "CAST(min(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_min, " +
+      "CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v_max, " +
+      "CAST(min(dayn) AS BIGINT) AS d_min, " +
+      "CAST(max(dayn) AS BIGINT) AS d_max " +
+      s"FROM h$bits GROUP BY 1"
   }
 
   private def languageIdSql: String = {

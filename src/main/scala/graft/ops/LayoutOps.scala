@@ -69,6 +69,69 @@ object LayoutOps {
       .drop("__z")
   }
 
+  /** Hilbert index of pre-bucketed (x, y), each in [0, 2^bits) — the
+    * LOCALITY-OPTIMAL space-filling curve beside [[zvalue]]'s Morton
+    * interleave: consecutive Hilbert cells are always
+    * Manhattan-adjacent (the curve never "jumps" the way Z does at
+    * quadrant seams), so range-partitioned files cover even tighter
+    * hyper-rectangles — the reason Iceberg/DB2 offer HILBERT beside
+    * ZORDER for multi-dim clustering.
+    *
+    * The classic xy2d walk (one reflect/transpose rotation per bit
+    * plane, high to low) UNROLLED into a pure Column expression tree
+    * — integer compares, bit tests and ±/× only, so the whole index
+    * stays inside whole-stage codegen like [[zvalue]]; no UDF. The
+    * unroll multiplies expression size ~3× per plane, so keep `bits`
+    * small (≤ 6; the audit grain is 4 → a ~100-node tree). */
+  def hilbertIndex(x0: Column, y0: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 6, s"hilbertIndex bits in [1,6]: $bits")
+    val n = 1L << bits
+    var x = x0
+    var y = y0
+    var d: Column = lit(0L)
+    var s = n >> 1
+    while (s > 0) {
+      val rx = when(x.bitwiseAND(lit(s)) > lit(0L), lit(1L))
+        .otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > lit(0L), lit(1L))
+        .otherwise(lit(0L))
+      d = d + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
+      // rot: reflect within the full grid when rx=1, then transpose
+      val nx = when(ry === lit(0L),
+        when(rx === lit(1L), lit(n - 1L) - y).otherwise(y)).otherwise(x)
+      val ny = when(ry === lit(0L),
+        when(rx === lit(1L), lit(n - 1L) - x).otherwise(x)).otherwise(y)
+      x = nx
+      y = ny
+      s >>= 1
+    }
+    d
+  }
+
+  /** Hilbert-cell audit over the event log — [[zorderLayoutAudit]]'s
+    * envelope check on the Hilbert curve at 4-bit grain (16×16 = 256
+    * cells, the same cell budget the Z audit keeps after its top-4-bit
+    * truncation): each cell's population and per-dimension [min, max]
+    * envelope, the pruning claim made checkable. The DuckDB oracle
+    * replays the unrolled xy2d walk layer by layer, bit-for-bit. */
+  def hilbertLayoutAudit(events: DataFrame, bits: Int = 4): DataFrame = {
+    val e = events.select(col("value"),
+      datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("double").as("dayn"))
+    val (vlo, vhi) = domain(e, "value")
+    val (dlo, dhi) = domain(e, "dayn")
+    val h = hilbertIndex(
+      bucket(col("value"), vlo, vhi, bits),
+      bucket(col("dayn"), dlo, dhi, bits), bits)
+    e.withColumn("hcell", h)
+      .groupBy("hcell")
+      .agg(count(lit(1)).as("n"),
+        min(Num.dec2(col("value"))).cast("double").as("v_min"),
+        max(Num.dec2(col("value"))).cast("double").as("v_max"),
+        min(col("dayn")).cast("long").as("d_min"),
+        max(col("dayn")).cast("long").as("d_max"))
+  }
+
   /** Z-cell audit over the event log: bucket (value, day) into 8-bit
     * Morton cells, keep the top 4 bits per dimension (≤256 cells), and
     * report each cell's population and per-dimension envelope. The

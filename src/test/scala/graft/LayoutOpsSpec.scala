@@ -30,6 +30,42 @@ class LayoutOpsSpec extends SparkSpec {
     assert(got(4) == 255L) // above hi → clamped to top
   }
 
+  test("hilbertIndex is a bijection on the full grid and consecutive " +
+      "cells are always Manhattan-adjacent (the defining property)") {
+    // bits=3 -> 8x8 grid. Bijectivity says the unroll is a valid
+    // space-filling index; adjacency |dx|+|dy| = 1 between every
+    // consecutive pair is THE Hilbert property (Morton fails it at
+    // quadrant seams) — a wrong rotation breaks it immediately.
+    val bits = 3
+    val grid = for { x <- 0 until 8; y <- 0 until 8 } yield (x.toLong, y.toLong)
+    val got = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        LayoutOps.hilbertIndex(col("x"), col("y"), bits).as("d"))
+      .collect().map(r => (r.getLong(2), (r.getLong(0), r.getLong(1))))
+      .sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0L until 64L), "not a bijection")
+    got.sliding(2).foreach { case Array((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1L,
+        s"jump between ($x1,$y1) and ($x2,$y2)")
+    }
+    // the first quadrant walk of the canonical (y-first) curve
+    assert(got.take(4).map(_._2).toSeq ==
+      Seq((0L, 0L), (0L, 1L), (1L, 1L), (1L, 0L)), got.take(4).toSeq)
+  }
+
+  test("hilbertLayoutAudit partitions the rows and its envelopes " +
+      "contain every member row") {
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    val total = events.count()
+    val cells = LayoutOps.hilbertLayoutAudit(events).collect()
+    assert(cells.map(_.getAs[Long]("n")).sum == total)
+    assert(cells.length <= 256)
+    cells.foreach { c =>
+      assert(c.getAs[Double]("v_min") <= c.getAs[Double]("v_max"), c)
+      assert(c.getAs[Long]("d_min") <= c.getAs[Long]("d_max"), c)
+    }
+  }
+
   test("2-D range predicate reads measurably fewer rows off the " +
       "z-ordered layout than off the time-sorted one") {
     // The payoff the layout exists for, measured end-to-end: write the
