@@ -150,6 +150,9 @@ object SparkEntry {
     "ljung_box_daily" -> ((s, d) => EventOps.ljungBoxDaily(events(s, d))),
     "theil_index_activity" ->
       ((s, d) => EventOps.theilIndexActivity(events(s, d))),
+    "kpss_daily" -> ((s, d) => EventOps.kpssDaily(events(s, d))),
+    "jonckheere_latency_trend" -> ((s, d) =>
+      JoinOps.jonckheereLatencyTrend(lineitem(s, d), orders(s, d))),
     "grubbs_daily" -> ((s, d) => EventOps.grubbsDaily(events(s, d))),
     "page_hinkley_by_type" ->
       ((s, d) => EventOps.pageHinkleyByType(events(s, d))),
@@ -1938,6 +1941,82 @@ object SparkEntry {
         "round(CAST(CAST(sum(lm) AS BIGINT) AS DOUBLE) / 1000000.0 / " +
         "CAST(n AS DOUBLE), 6) AS theil_l " +
         "FROM t GROUP BY n, s"),
+    // Mirrors EventOps.kpssDaily: n-scaled deviations, exact HUGEINT
+    // partial-sum squares and autocovariances, Bartlett weights with
+    // the (q+1) denominator cleared so η is ONE pinned division of
+    // exact integers; zero long-run variance → NULL.
+    "kpss_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT cal.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM cal LEFT JOIN daily ON daily.day = cal.day), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(y) AS BIGINT) AS s FROM grid), " +
+        "dev AS (SELECT day, n, CAST(n * y - s AS HUGEINT) AS e " +
+        "FROM grid CROSS JOIN st), " +
+        "ps AS (SELECT CAST(sum(sp * sp) AS HUGEINT) AS ssq, " +
+        "CAST(max(n) AS BIGINT) AS n FROM " +
+        "(SELECT n, CAST(sum(e) OVER (ORDER BY day ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT) AS sp " +
+        "FROM dev)), " +
+        "lags AS (SELECT CAST(unnest(range(0, 8)) AS BIGINT) AS lag), " +
+        "g AS (SELECT lag, CAST(sum(a.e * b.e) AS HUGEINT) AS gk " +
+        "FROM dev a CROSS JOIN lags " +
+        "JOIN dev b ON b.day = a.day + CAST(lag AS INT) GROUP BY 1), " +
+        "den AS (SELECT CAST(sum((CASE WHEN lag = 0 THEN 8 " +
+        "ELSE 2 * (8 - lag) END) * gk) AS HUGEINT) AS d, " +
+        "CAST(sum(CASE WHEN lag >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS k_lags " +
+        "FROM g) " +
+        "SELECT n AS n_days, k_lags, " +
+        "CASE WHEN d > 0 THEN " +
+        "round(CAST(8 * ssq AS DOUBLE) / CAST(n * d AS DOUBLE), 6) " +
+        "END AS kpss_eta FROM ps CROSS JOIN den"),
+    // Mirrors JoinOps.jonckheereLatencyTrend: exact BIGINT doubled
+    // statistic over the bounded (priority, days) grid theta join,
+    // HUGEINT group/tie moments, the tie-corrected Hollander–Wolfe
+    // variance as three pinned divisions; n < 3 short-circuits the
+    // dead divisions on both rails.
+    "jonckheere_latency_trend" ->
+      ("WITH lat AS (SELECT o_orderpriority AS g, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE)) AS BIGINT) AS v " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c " +
+        "FROM lat GROUP BY 1, 2), " +
+        "j AS (SELECT CAST(coalesce(sum(CASE WHEN a.v < b.v " +
+        "THEN 2 * a.c * b.c ELSE a.c * b.c END), 0) AS BIGINT) AS j2 " +
+        "FROM cells a JOIN cells b ON a.g < b.g AND a.v <= b.v), " +
+        "byg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ni FROM cells GROUP BY 1), " +
+        "gm AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(ni) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(ni AS HUGEINT) * ni) AS HUGEINT) AS sn2, " +
+        "CAST(sum(CAST(ni AS HUGEINT) * (ni - 1) * (2 * ni + 5)) AS HUGEINT) AS sn_a, " +
+        "CAST(sum(CAST(ni AS HUGEINT) * (ni - 1) * (ni - 2)) AS HUGEINT) AS sn_b, " +
+        "CAST(sum(CAST(ni AS HUGEINT) * (ni - 1)) AS HUGEINT) AS sn_c FROM byg), " +
+        "byv AS (SELECT v, CAST(sum(c) AS BIGINT) AS tv FROM cells GROUP BY 1), " +
+        "tm AS (SELECT " +
+        "CAST(sum(CAST(tv AS HUGEINT) * (tv - 1) * (2 * tv + 5)) AS HUGEINT) AS st_a, " +
+        "CAST(sum(CAST(tv AS HUGEINT) * (tv - 1) * (tv - 2)) AS HUGEINT) AS st_b, " +
+        "CAST(sum(CAST(tv AS HUGEINT) * (tv - 1)) AS HUGEINT) AS st_c FROM byv), " +
+        "vv AS (SELECT j2, n, k, " +
+        "CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE) / 2.0 AS mean2, " +
+        "CASE WHEN n >= 3 THEN " +
+        "CAST(CAST(n AS HUGEINT) * (n - 1) * (2 * n + 5) - sn_a - st_a " +
+        "AS DOUBLE) / 72.0 + " +
+        "CAST(sn_b * st_b AS DOUBLE) / " +
+        "(36.0 * CAST(CAST(n AS HUGEINT) * (n - 1) * (n - 2) AS DOUBLE)) + " +
+        "CAST(sn_c * st_c AS DOUBLE) / " +
+        "(8.0 * CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE)) " +
+        "ELSE 0.0 END AS var " +
+        "FROM j CROSS JOIN gm CROSS JOIN tm) " +
+        "SELECT n AS n_total, k AS n_groups, j2 AS jt_2j, " +
+        "round(mean2, 1) AS jt_mean_2j, " +
+        "CASE WHEN k >= 2 AND n >= 3 AND var > 0.0 THEN " +
+        "round((CAST(j2 AS DOUBLE) - mean2) / (2.0 * sqrt(var)), 6) " +
+        "END AS z_score FROM vv"),
     // Mirrors EventOps.grubbsDaily: n-scaled deviations over the
     // zero-filled calendar, (|dev| desc, day asc) argmax, G one
     // pinned double chain off exact HUGEINT moments; n < 3 or a

@@ -5476,6 +5476,67 @@ object EventOps {
           .as("is_peak"))
   }
 
+  /** KPSS level-stationarity statistic on daily total volume — the
+    * null-reversed companion of [[mannKendallDaily]]/[[hurstExponentDaily]]:
+    * KPSS takes STATIONARITY as H₀ (trend tests take no-trend), so
+    * the pair brackets the series from both sides. η = (Σₜ Sₜ²/n²) /
+    * σ̂²_lrv with Sₜ the partial sums of demeaned counts and σ̂²_lrv
+    * the Bartlett-weighted long-run variance at bandwidth q
+    * (Kwiatkowski–Phillips–Schmidt–Shin '92; reject stationarity when
+    * η exceeds 0.463 at 5%).
+    *
+    * Determinism: deviations are n-scaled (n·yₜ − Σy — exact BIGINT),
+    * partial sums, ΣSₜ² and every autocovariance Σ eₜ·eₜ₋ₖ aggregate
+    * in DECIMAL(38,0), and the Bartlett weights (q+1−k)/(q+1) clear
+    * denominators: η = (q+1)·ΣS′² / (n·((q+1)γ′₀ + 2Σ(q+1−k)γ′ₖ)) —
+    * every operand an exact integer, ONE pinned division (all the
+    * n-scalings cancel). A constant series (zero long-run variance) →
+    * NULL η, stated.
+    *
+    * Shape: one (day) hash agg to calendar cardinality; the partial
+    * sums ride one serial window over that collapsed frame and the
+    * autocovariances are equi-joins on the materialized date_add key
+    * (the [[ljungBoxDaily]] shift shape). */
+  def kpssDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"maxLag >= 1: $maxLag")
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+    val st = grid.agg(count(lit(1)).as("n"), sum("y").as("s"))
+    val dev = grid.crossJoin(broadcast(st))
+      .select(col("day"), col("n"),
+        (col("n") * col("y") - col("s")).cast("decimal(38,0)").as("e"))
+    val ps = dev
+      .withColumn("sp", sum(col("e")).over(
+        Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .agg(sum(col("sp") * col("sp")).as("ssq"), max(col("n")).as("n"))
+    val lags = events.sparkSession.range(0, maxLag + 1)
+      .select(col("id").as("lag"))
+    val gammas = dev.crossJoin(broadcast(lags))
+      .select(col("lag"), expr("date_add(day, CAST(lag AS INT))").as("tday"),
+        col("e").as("ex"))
+      .join(dev.select(col("day").as("tday"), col("e").as("ey")), "tday")
+      .groupBy("lag").agg(sum(col("ex") * col("ey")).as("gk"))
+    // Bartlett weights with the (q+1) denominator cleared: w₀ = q+1,
+    // wₖ = 2(q+1−k) — the whole denominator stays an exact integer
+    val w = when(col("lag") === 0L, lit((maxLag + 1).toLong))
+      .otherwise(lit(2L) * (lit((maxLag + 1).toLong) - col("lag")))
+    val den = gammas
+      .agg(sum(w.cast("decimal(38,0)") * col("gk")).as("d"),
+        sum(when(col("lag") >= 1L, 1L).otherwise(0L)).as("k_lags"))
+    ps.crossJoin(broadcast(den))
+      .select(col("n").as("n_days"), col("k_lags"),
+        when(col("d") > lit(0),
+          round((lit((maxLag + 1).toLong).cast("decimal(38,0)") *
+            col("ssq")).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("d")).cast("double"), 6))
+          .as("kpss_eta"))
+  }
+
   /** Ljung–Box portmanteau test on daily total volume — "is the
     * series white noise, or is there autocorrelation at ANY lag up
     * to K?": Q = n(n+2)·Σ_{k=1..K} ρ̂ₖ²/(n−k), asymptotically χ²_K

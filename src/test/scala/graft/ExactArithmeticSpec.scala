@@ -1020,6 +1020,27 @@ class ExactArithmeticSpec extends SparkSpec {
       d3.getAs[Double]("ph_inc") == 0.0, d3)
   }
 
+  test("kpssDaily: exact integer eta = 1.0 on the alternating series; " +
+    "constant series yields NULL") {
+    // y = [1,2,1,2]: e' = [-2,2,-2,2], S' = [-2,0,-2,0] -> sum S'^2 = 8
+    // gammas: g0=16, g1=-12, g2=8, g3=-4; D = 8*16 + 14*(-12) +
+    // 12*8 + 10*(-4) = 16; eta = 8*8/(4*16) = 1.0
+    val events = Seq(
+      ev(1, "2024-03-01", "a"),
+      ev(2, "2024-03-02", "a"), ev(3, "2024-03-02", "a"),
+      ev(4, "2024-03-03", "a"),
+      ev(5, "2024-03-04", "a"), ev(6, "2024-03-04", "a"),
+    ).toDF(evCols: _*)
+    val r = EventOps.kpssDaily(events).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("k_lags")) ==
+      ((4L, 3L)), r)
+    assert(r.getAs[Double]("kpss_eta") == 1.0, r)
+    val flat = Seq(ev(1, "2024-03-01", "a"), ev(2, "2024-03-02", "a"))
+      .toDF(evCols: _*)
+    val rf = EventOps.kpssDaily(flat).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("kpss_eta")), rf)
+  }
+
   test("bhFdrTypePairs: step-up adjustment matches an independent " +
     "in-test BH recomputation and keeps p monotone") {
     // Three types with distinct separations: a ≪ b strongly

@@ -374,6 +374,35 @@ class RangeFuzzySaltSpec extends SparkSpec {
       ((3L, 1L, 10L, 5.0, 4.0, 8.8, 0.333333)), r)
   }
 
+  test("jonckheereLatencyTrend: doubled statistic, tie-corrected " +
+    "variance and z match the hand computation; one group yields NULL") {
+    import java.sql.Timestamp
+    // group 1-U latencies [1,2], group 2-H latencies [2,3]:
+    // cross pairs (1,2)< (1,3)< (2,2)= (2,3)< -> 2J = 2*3 + 1 = 7
+    // E2 = (16 - 8)/2 = 4; tie moments: value 2 pooled t=2;
+    // Var = (4*3*13 - 36 - 18)/72 + 0 + (4*2)/(8*4*3) = 102/72 + 1/12
+    //     = 1.5 -> z = (7-4)/(2*sqrt(1.5)) = 1.224745
+    val orders = Seq(
+      (1L, "1-U", Timestamp.valueOf("2024-03-01 00:00:00")),
+      (2L, "2-H", Timestamp.valueOf("2024-03-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+    val li = Seq((1L, "2024-03-02"), (1L, "2024-03-03"),
+      (2L, "2024-03-03"), (2L, "2024-03-04"))
+      .map { case (k, d) => (k, Timestamp.valueOf(s"$d 00:00:00")) }
+      .toDF("l_orderkey", "l_shipdate")
+    val r = JoinOps.jonckheereLatencyTrend(li, orders).collect().head
+    assert((r.getAs[Long]("n_total"), r.getAs[Long]("n_groups"),
+      r.getAs[Long]("jt_2j"), r.getAs[Double]("jt_mean_2j")) ==
+      ((4L, 2L, 7L, 4.0)), r)
+    assert(r.getAs[Double]("z_score") == 1.224745, r)
+    // a single group has no cross pairs: 2J = 0, NULL z
+    val one = JoinOps.jonckheereLatencyTrend(
+      li.filter(col("l_orderkey") === 1L),
+      orders.filter(col("o_orderkey") === 1L)).collect().head
+    assert(one.getAs[Long]("jt_2j") == 0L &&
+      one.isNullAt(one.fieldIndex("z_score")), one)
+  }
+
   test("kAnonGeneralizationLadder: min class walks the ladder until " +
     "only the coarsest grain satisfies k") {
     import java.sql.Timestamp
