@@ -253,6 +253,8 @@ object SparkEntry {
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
     "qlm_top_docs" -> ((s, d) => MiningOps.qlmTopDocs(documents(s, d))),
+    "rocchio_prf_docs" ->
+      ((s, d) => MiningOps.rocchioPrfDocs(documents(s, d))),
     "rrf_fused_docs" ->
       ((s, d) => MiningOps.rrfFusedDocs(documents(s, d), embeddings(s, d))),
     "ndcg_retrieval_audit" -> ((s, d) => VectorOps.ndcgAtK(embeddings(s, d))),
@@ -1986,9 +1988,17 @@ object SparkEntry {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
         "cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c " +
         "FROM lat GROUP BY 1, 2), " +
-        "j AS (SELECT CAST(coalesce(sum(CASE WHEN a.v < b.v " +
-        "THEN 2 * a.c * b.c ELSE a.c * b.c END), 0) AS BIGINT) AS j2 " +
-        "FROM cells a JOIN cells b ON a.g < b.g AND a.v <= b.v), " +
+        "dense AS (SELECT gs.g, vals.v, coalesce(cells.c, 0) AS c " +
+        "FROM (SELECT DISTINCT v FROM cells) vals " +
+        "CROSS JOIN (SELECT DISTINCT g FROM cells) gs " +
+        "LEFT JOIN cells ON cells.g = gs.g AND cells.v = vals.v), " +
+        "cum AS (SELECT g, v, c, CAST(coalesce(sum(c) OVER (" +
+        "PARTITION BY g ORDER BY v ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS cum FROM dense), " +
+        "j AS (SELECT CAST(coalesce(sum(b.c * (2 * a.cum + a.c)), 0) " +
+        "AS BIGINT) AS j2 " +
+        "FROM cum a JOIN cum b ON a.v = b.v AND a.g < b.g), " +
         "byg AS (SELECT g, CAST(sum(c) AS BIGINT) AS ni FROM cells GROUP BY 1), " +
         "gm AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
         "CAST(sum(ni) AS BIGINT) AS n, " +
@@ -3054,6 +3064,7 @@ object SparkEntry {
     // Mirrors MiningOps.qlmTopDocs: Dirichlet query-likelihood with
     // per-term micro-pins before the per-doc sum; corpus-absent query
     // terms skipped by the inner ctf join; (score DESC, doc_id) top-20.
+    "rocchio_prf_docs" -> rocchioPrfSql,
     "qlm_top_docs" ->
       ("WITH toks AS (SELECT doc_id, " +
         "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks " +
@@ -7927,6 +7938,58 @@ object SparkEntry {
       "CAST(min(dayn) AS BIGINT) AS d_min, " +
       "CAST(max(dayn) AS BIGINT) AS d_max " +
       "FROM z GROUP BY 1"
+  }
+
+  /** MiningOps.rocchioPrfDocs mirrored: two BM25 passes with every
+    * per-(doc, term) contribution micro-pinned before its sum, the
+    * (score desc, id asc) feedback-doc and expansion-term cuts, and
+    * the β-weighted expanded query — built by a helper because the
+    * score chain appears twice. */
+  private def rocchioPrfSql: String = {
+    val q0In = "('join', 'filter', 'scan')"
+    def score(tfCte: String, dfCte: String, out: String) =
+      s"$out AS (SELECT doc_id, CAST(sum(CAST(round((w * " +
+        "((ln((CAST((SELECT n FROM st) AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / " +
+        "(CAST(df AS DOUBLE) + 0.5) + 1.0) * (CAST(tf AS DOUBLE) * 2.2)) / " +
+        "(CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / " +
+        "(CAST((SELECT total_len FROM st) AS DOUBLE) / " +
+        "CAST((SELECT n FROM st) AS DOUBLE))))))) * 1000000.0, 0) AS BIGINT)) " +
+        "AS BIGINT) AS sm, CAST(count(*) AS BIGINT) AS n_matched " +
+        s"FROM $tfCte JOIN $dfCte USING (term) JOIN dl USING (doc_id) " +
+        "GROUP BY 1)"
+    "WITH toks AS (SELECT doc_id, " +
+      "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks FROM documents), " +
+      "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+      "CAST(sum(len(toks)) AS BIGINT) AS total_len FROM toks), " +
+      "dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks), " +
+      "allt AS (SELECT doc_id, unnest(toks) AS term FROM toks), " +
+      "q0 AS (SELECT term, CAST(1.0 AS DOUBLE) AS w " +
+      s"FROM (VALUES ('join'), ('filter'), ('scan')) t(term)), " +
+      "tf1 AS (SELECT doc_id, term, w, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM allt JOIN q0 USING (term) GROUP BY 1, 2, 3), " +
+      "df1 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf1 GROUP BY 1), " +
+      score("tf1", "df1", "s1") + ", " +
+      "fb AS (SELECT doc_id FROM s1 ORDER BY sm DESC, doc_id ASC LIMIT 10), " +
+      "tffb AS (SELECT term, CAST(count(*) AS BIGINT) AS tf_fb " +
+      s"FROM allt JOIN fb USING (doc_id) WHERE term NOT IN $q0In GROUP BY 1), " +
+      "dfc AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df " +
+      "FROM allt JOIN (SELECT term FROM tffb) c USING (term) GROUP BY 1), " +
+      "expt AS (SELECT term, CAST(0.5 AS DOUBLE) AS w FROM " +
+      "(SELECT tffb.term, CAST(round((CAST(tf_fb AS DOUBLE) * " +
+      "ln(CAST((SELECT n FROM st) AS DOUBLE) / CAST(df AS DOUBLE))) * " +
+      "1000000.0, 0) AS BIGINT) AS wm " +
+      "FROM tffb JOIN dfc USING (term) ORDER BY wm DESC, term ASC LIMIT 5)), " +
+      "q2 AS (SELECT term, w FROM q0 UNION ALL SELECT term, w FROM expt), " +
+      "tf2 AS (SELECT doc_id, term, w, CAST(count(*) AS BIGINT) AS tf " +
+      "FROM allt JOIN q2 USING (term) GROUP BY 1, 2, 3), " +
+      "df2 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf2 GROUP BY 1), " +
+      score("tf2", "df2", "s2") + " " +
+      "SELECT s2.doc_id, " +
+      "round(CAST(coalesce(s1.sm, 0) AS DOUBLE) / 1000000.0, 6) AS bm25_q0, " +
+      "round(CAST(s2.sm AS DOUBLE) / 1000000.0, 6) AS bm25_expanded, " +
+      "s2.n_matched " +
+      "FROM s2 LEFT JOIN s1 ON s1.doc_id = s2.doc_id " +
+      "ORDER BY bm25_expanded DESC, s2.doc_id ASC LIMIT 20"
   }
 
   /** The xy2d walk of LayoutOps.hilbertIndex replayed layer by layer

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Frequent-itemset mining over the document corpus — association
@@ -463,5 +463,95 @@ object MiningOps {
       // path, which structurally cannot emit a no-shared-term pair
       // (weights are strictly positive, so shared ⟺ cosine > 0)
       .filter(col("cosine") >= minSim && col("cosine") > 0.0)
+  }
+
+  /** Rocchio pseudo-relevance feedback (Rocchio '71, the SMART
+    * system's query-expansion loop) over the BM25 ranker — the third
+    * classic retrieval stage beside [[bm25TopDocs]]/[[qlmTopDocs]]
+    * and [[rrfFusedDocs]]: retrieve once, mine the top `fbDocs`
+    * documents for their most discriminative terms, re-score with the
+    * expanded query q′ = q₀ (weight 1) ∪ top-`fbTerms` expansion
+    * terms (weight β). Recovers documents that say "merge" when the
+    * query said "join" — vocabulary-mismatch recall the raw ranker
+    * structurally misses.
+    *
+    * Determinism: every per-(doc, term) BM25 contribution AND every
+    * expansion-term weight (tf_fb·ln(N/df)) is re-pinned to BIGINT
+    * micro-units BEFORE its sum (the [[qlmTopDocs]] discipline —
+    * stricter than bm25TopDocs' raw float sum, because the fbDocs and
+    * fbTerms CUTS feed downstream stages and must not flip on a
+    * boundary ulp); all cuts order (score desc, id asc). Shape: the
+    * corpus tokenize/explode is the dominant cost and is reused by
+    * all three passes (round-1 tf, term mining, round-2 tf); the
+    * feedback-doc and expansion-term frames are ≤ fbDocs/fbTerms-row
+    * broadcasts; both scoring joins are term-keyed over the exploded
+    * frame. */
+  def rocchioPrfDocs(docs: DataFrame,
+      queryTerms: Seq[String] = Seq("join", "filter", "scan"),
+      k1: Double = 1.2, b: Double = 0.75, beta: Double = 0.5,
+      fbDocs: Int = 10, fbTerms: Int = 5, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      DedupOps.tokens(col("text")).as("toks"))
+    val stats = toks.agg(count(lit(1)).as("n"),
+      sum(size(col("toks")).cast("long")).as("total_len"))
+    val dl = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
+    val all = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+    val nD = col("n").cast("double")
+    val avgdl = col("total_len").cast("double") / nD
+    val idf = log(
+      (nD - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    def microScore(w: Column): Column =
+      round((w * ((idf * (col("tf").cast("double") * lit(k1 + 1.0))) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) *
+            (col("dl").cast("double") / avgdl))))) * lit(1000000.0), 0)
+        .cast("long")
+    def scorePass(qterms: DataFrame): DataFrame = {
+      val tf = all.join(broadcast(qterms), Seq("term"))
+        .groupBy("doc_id", "term", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(sum(microScore(col("w"))).as("sm"),
+          count(lit(1)).as("n_matched"))
+    }
+    val q0 = docs.sparkSession.createDataFrame(
+      queryTerms.map(Tuple1(_))).toDF("term")
+      .select(col("term"), lit(1.0).as("w"))
+    val s1 = scorePass(q0)
+    val fb = s1.orderBy(col("sm").desc, col("doc_id").asc).limit(fbDocs)
+      .select(col("doc_id"))
+    // expansion candidates: every term of the feedback docs except the
+    // original query's, weighted tf_fb·ln(N/df) and micro-pinned; the
+    // df probe joins the exploded frame against the ≤ |fb-vocab|
+    // candidate broadcast
+    val tfFb = all.join(broadcast(fb), Seq("doc_id"))
+      .filter(!col("term").isin(queryTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("tf_fb"))
+    val dfC = all.join(broadcast(tfFb.select("term")), Seq("term"))
+      .groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val expTerms = tfFb.join(dfC, Seq("term"))
+      .crossJoin(broadcast(stats.select("n")))
+      .select(col("term"),
+        round((col("tf_fb").cast("double") *
+          log(nD / col("df").cast("double"))) * lit(1000000.0), 0)
+          .cast("long").as("wm"))
+      .orderBy(col("wm").desc, col("term").asc).limit(fbTerms)
+      .select(col("term"), lit(beta).as("w"))
+    val s2 = scorePass(q0.unionByName(expTerms))
+    s2.join(s1.select(col("doc_id"), col("sm").as("s1m")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("s1m"), lit(0L)).cast("double") /
+          lit(1000000.0), 6).as("bm25_q0"),
+        round(col("sm").cast("double") / lit(1000000.0), 6)
+          .as("bm25_expanded"),
+        col("n_matched"))
+      .orderBy(col("bm25_expanded").desc, col("doc_id").asc)
+      .limit(topK)
   }
 }

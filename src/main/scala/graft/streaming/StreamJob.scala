@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.ops.TootOps
@@ -931,4 +932,68 @@ object StreamJob {
       log.groupBy("batch_id")
         .agg(max(col("n")).as("n"), max(col("x")).as("x")),
       "batch_id", p0, p1, alpha, beta)
+
+  // ---------- streaming mean-shift (Page–Hinkley) monitor ----------
+
+  /** Streaming arm of the Page–Hinkley detector pairing
+    * `EventOps.pageHinkleyByType`: each micro-batch of valued rows
+    * appends ONE exact (batch_id, n, s) count/cent-sum row — the same
+    * stateless, idempotent, store-once contract as
+    * [[startSprtCounts]] (a replayed batch re-appends an identical
+    * batch_id row; [[pageHinkleyFromCounts]] collapses duplicates).
+    * No O(corpus) state, no cumulative mutation in the sink: the
+    * DETECTION is a pure reader over the log. */
+  def startPhCounts(prepared: DataFrame, appender: Appender,
+      checkpointDir: String): StreamingQuery =
+    prepared.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val r = batch.agg(count(lit(1)).as("n"),
+          coalesce(sum((col("value").cast("decimal(12,2)") * lit(100))
+            .cast("bigint")), lit(0L)).as("s")).head
+        val n = r.getLong(0)
+        if (n > 0L)
+          appender("ph_counts",
+            Seq((batchId, n, r.getLong(1))).toDF("batch_id", "n", "s"))
+        ()
+      }
+      .start()
+
+  /** Detection reader over a [[startPhCounts]] log: duplicates from
+    * at-least-once re-delivery collapse by batch_id (identical
+    * counts, so max ≡ original), then the micro-pinned Page–Hinkley
+    * chain of `EventOps.pageHinkleyByType` runs over the BATCH-MEAN
+    * series — each batch's mean value is one pinned division
+    * re-pinned to BIGINT micro-cents, so mₜ and both PH statistics
+    * are exact integer arithmetic over the ≤ #batches-row frame.
+    * Emits (batch_id, n, mean_value, ph_inc, ph_dec) in value
+    * units. */
+  def pageHinkleyFromCounts(log: DataFrame): DataFrame = {
+    val batches = log.groupBy("batch_id")
+      .agg(max(col("n")).as("n"), max(col("s")).as("s"))
+    val w = Window.orderBy(col("batch_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val xm = round((col("s").cast("double") / col("n").cast("double")) *
+      lit(1000000.0), 0).cast("long")
+    val run = batches.withColumn("xm", xm)
+      .withColumn("cum_x", sum(col("xm")).over(w))
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("batch_id").asc)).cast("long"))
+    val q = round((col("cum_x").cast("double") / col("k").cast("double")),
+      0).cast("long")
+    val withM = run.withColumn("q", q)
+      .withColumn("m", col("cum_x") - sum(col("q")).over(w))
+    withM
+      .withColumn("ph_inc_m", col("m") - min(col("m")).over(w))
+      .withColumn("ph_dec_m", max(col("m")).over(w) - col("m"))
+      .select(col("batch_id"), col("n"),
+        round(col("s").cast("double") / lit(100.0) /
+          col("n").cast("double"), 6).as("mean_value"),
+        round(col("ph_inc_m").cast("double") / lit(1000000.0) /
+          lit(100.0), 6).as("ph_inc"),
+        round(col("ph_dec_m").cast("double") / lit(1000000.0) /
+          lit(100.0), 6).as("ph_dec"))
+  }
 }

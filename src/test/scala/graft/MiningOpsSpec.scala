@@ -142,6 +142,38 @@ class MiningOpsSpec extends SparkSpec {
     assert(s1 > s2, s"hit-heavy doc should outrank: $s1 vs $s2")
   }
 
+  test("rocchioPrfDocs: expansion recovers the vocabulary-mismatch " +
+    "doc and the scores replay the micro-pinned chain") {
+    // d1 matches q0 and carries "merge"; d2 says ONLY "merge" (zero
+    // round-1 score); d3 is noise. With fbDocs=1, fbTerms=1 the
+    // feedback doc is d1, the expansion term is "merge" (w=0.5), and
+    // d2 enters the expanded ranking.
+    val corpus = Seq(
+      (1L, "join filter scan merge"),
+      (2L, "merge merge merge"),
+      (3L, "alpha beta"),
+    ).toDF("doc_id", "text")
+    val got = graft.ops.MiningOps.rocchioPrfDocs(corpus,
+      fbDocs = 1, fbTerms = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("bm25_q0"), r.getAs[Double]("bm25_expanded"))))
+      .toMap
+    // replay: n=3, total_len=9, avgdl=3
+    def micro(w: Double, tf: Long, df: Long, dl: Long) =
+      math.rint(w * ((math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0) *
+        (tf * 2.2)) / (tf + 1.2 * (0.25 + 0.75 * (dl / 3.0)))) * 1e6)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // d2 round 2: only "merge" (tf=3, df=2, dl=3) at beta=0.5
+    assert(got(2L) == ((0.0, r6(micro(0.5, 3, 2, 3) / 1e6))), got.toString)
+    assert(got(2L)._2 > 0.0)
+    // d1 keeps its q0 score and gains the merge term
+    val d1q0 = r6((micro(1.0, 1, 1, 4) * 3) / 1e6)
+    val d1x = r6((micro(1.0, 1, 1, 4) * 3 + micro(0.5, 1, 2, 4)) / 1e6)
+    assert(got(1L) == ((d1q0, d1x)), got.toString)
+    // the noise doc matches nothing even expanded
+    assert(!got.contains(3L), got.toString)
+  }
+
   test("bm25TopDocs: scores match a plain-Scala Okapi reference and " +
     "unmatched docs never appear") {
     val corpus = Seq(

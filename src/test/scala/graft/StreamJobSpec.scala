@@ -696,6 +696,44 @@ class StreamJobSpec extends SparkSpec {
       .as[Long].head() == 7L)
   }
 
+  test("Page-Hinkley monitor: per-batch cent-sum log + pure reader; " +
+    "exact micro PH flags the mean up-shift; replays collapse") {
+    val input = MemoryStream[(Long, Double)](spark)
+    val prepared = input.toDF().toDF("user_id", "value")
+    val sunk = mutable.Buffer[DataFrame]()
+    val appender: StreamJob.Appender = (_, df) => sunk.synchronized {
+      sunk += df.cache(); ()
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    val q = StreamJob.startPhCounts(prepared, appender, ckpt)
+    try {
+      input.addData((1L, 0.01))                 // batch 0: mean 1 cent
+      q.processAllAvailable()
+      input.addData((2L, 0.01))                 // batch 1: mean 1 cent
+      q.processAllAvailable()
+      input.addData((3L, 0.03), (4L, 0.05))     // batch 2: mean 4 cents
+      q.processAllAvailable()
+    } finally q.stop()
+    val log = sunk.reduce(_ union _)
+    val raw = log.select("batch_id", "n", "s")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(raw.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 1L), (2L, 2L, 8L)),
+      raw.toSeq)
+    // batch-mean micro-cents [1e6, 1e6, 4e6]: q = [1e6, 1e6, 2e6],
+    // m = [0, 0, 2e6] -> ph_inc = [0, 0, 0.02 value units], ph_dec 0
+    val ph = StreamJob.pageHinkleyFromCounts(log).collect()
+      .sortBy(_.getAs[Long]("batch_id"))
+    assert(ph.map(r => (r.getAs[Double]("mean_value"),
+      r.getAs[Double]("ph_inc"), r.getAs[Double]("ph_dec"))).toSeq ==
+      Seq((0.01, 0.0, 0.0), (0.01, 0.0, 0.0), (0.04, 0.02, 0.0)),
+      ph.mkString(";"))
+    // at-least-once re-delivery: duplicating a batch row changes nothing
+    val replayed = StreamJob.pageHinkleyFromCounts(log.union(log.limit(1)))
+      .collect().sortBy(_.getAs[Long]("batch_id"))
+    assert(replayed.map(_.getAs[Double]("ph_inc")).toSeq ==
+      ph.map(_.getAs[Double]("ph_inc")).toSeq)
+  }
+
   test("SPRT monitor: per-batch count log + pure decision reader; " +
     "re-delivered batches collapse; crosses H1 at the computed step") {
     val input = MemoryStream[(Long, Boolean)](spark)
