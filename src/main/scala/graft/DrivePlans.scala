@@ -366,6 +366,29 @@ object DrivePlans {
           "is an explode + integer ten-thousandth compares over that " +
           "frame — re-running the pair join per threshold is " +
           "structurally absent."),
+      ("hilbert_layout_audit (unrolled xy2d walk inside codegen)",
+        "The 4-plane Hilbert rotation is a pure Column expression tree " +
+          "in the scan stage — bit tests, compares and ±/× only, no " +
+          "UDF; one hash agg over 256 structural cells."),
+      ("jonckheere_latency_trend (pooled-grid prefix pair counting)",
+        "The v<v theta join is structurally absent: per-group " +
+          "strictly-below prefixes over the dense (priority, days) " +
+          "grid pair through a value EQUI-join — the grid-squared " +
+          "nested loop this replaced cost 14 s at sf0.1."),
+      ("rocchio_prf_docs (two micro-pinned BM25 passes + term mining)",
+        "Corpus explode feeds all three passes; feedback docs and " +
+          "expansion terms are ≤ fbDocs/fbTerms-row broadcasts; every " +
+          "cut orders micro-pinned exact integers so no boundary ulp " +
+          "can flip the feedback set."),
+      ("page_hinkley_by_type (micro-pinned drift over the daily grid)",
+        "One (type, day) hash agg; the per-type windows order " +
+          "calendar-length partitions of the collapsed frame — exact " +
+          "integer PH statistics end to end."),
+      ("revenue_var_cvar (interpolated VaR + exact worst-k tail)",
+        "Daily collapse localCheckpoints once; the worst-k selection " +
+          "counts strictly-below keys over the calendar-bounded frame " +
+          "instead of sorting it — no data-proportional single-task " +
+          "sort anywhere."),
     )
     val dfs = Map(
       "pricing_summary" -> SparkEntry.queries("pricing_summary"),
@@ -429,6 +452,12 @@ object DrivePlans {
       "source_ngram_novelty" -> SparkEntry.queries("source_ngram_novelty"),
       "neardup_threshold_sweep" ->
         SparkEntry.queries("neardup_threshold_sweep"),
+      "hilbert_layout_audit" -> SparkEntry.queries("hilbert_layout_audit"),
+      "jonckheere_latency_trend" ->
+        SparkEntry.queries("jonckheere_latency_trend"),
+      "rocchio_prf_docs" -> SparkEntry.queries("rocchio_prf_docs"),
+      "page_hinkley_by_type" -> SparkEntry.queries("page_hinkley_by_type"),
+      "revenue_var_cvar" -> SparkEntry.queries("revenue_var_cvar"),
     )
 
     val sb = new StringBuilder

@@ -151,6 +151,17 @@ object SparkEntry {
     "theil_index_activity" ->
       ((s, d) => EventOps.theilIndexActivity(events(s, d))),
     "kpss_daily" -> ((s, d) => EventOps.kpssDaily(events(s, d))),
+    "df_test_daily" -> ((s, d) => EventOps.dfTestDaily(events(s, d))),
+    "dm_naive_vs_seasonal" ->
+      ((s, d) => EventOps.dmNaiveVsSeasonal(events(s, d))),
+    "gumbel_value_extremes" ->
+      ((s, d) => EventOps.gumbelValueExtremes(events(s, d))),
+    "revenue_var_cvar" -> ((s, d) => EventOps.revenueVarCvar(events(s, d))),
+    "croston_forecast_daily" ->
+      ((s, d) => EventOps.crostonForecastDaily(events(s, d))),
+    "kendalls_w_types" -> ((s, d) => EventOps.kendallsWTypes(events(s, d))),
+    "simpson_diversity_by_source" ->
+      ((s, d) => DocOps.simpsonDiversityBySource(documents(s, d))),
     "jonckheere_latency_trend" -> ((s, d) =>
       JoinOps.jonckheereLatencyTrend(lineitem(s, d), orders(s, d))),
     "grubbs_daily" -> ((s, d) => EventOps.grubbsDaily(events(s, d))),
@@ -1943,6 +1954,224 @@ object SparkEntry {
         "round(CAST(CAST(sum(lm) AS BIGINT) AS DOUBLE) / 1000000.0 / " +
         "CAST(n AS DOUBLE), 6) AS theil_l " +
         "FROM t GROUP BY n, s"),
+    // Mirrors EventOps.dmNaiveVsSeasonal: exact BIGINT loss
+    // differentials, DM = n·Σd / √(Σ(n·d − Σd)²) — HUGEINT integers
+    // into one pinned chain; zero variance → NULL.
+    "dm_naive_vs_seasonal" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "ty AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT ty.event_type, cal.day, coalesce(daily.cnt, 0) AS cnt " +
+        "FROM cal CROSS JOIN ty LEFT JOIN daily " +
+        "ON daily.event_type = ty.event_type AND daily.day = cal.day), " +
+        "lagged AS (SELECT event_type, cnt, " +
+        "lag(cnt, 1) OVER (PARTITION BY event_type ORDER BY day ASC) AS l1, " +
+        "lag(cnt, 7) OVER (PARTITION BY event_type ORDER BY day ASC) AS l7 " +
+        "FROM grid), " +
+        "d AS (SELECT event_type, " +
+        "abs(cnt - l7) - abs(cnt - l1) AS d FROM lagged " +
+        "WHERE l1 IS NOT NULL AND l7 IS NOT NULL), " +
+        "m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(d) AS BIGINT) AS sd, " +
+        "CAST(sum(CAST(d AS HUGEINT) * d) AS HUGEINT) AS sdd " +
+        "FROM d GROUP BY 1) " +
+        "SELECT event_type, n AS n_days, " +
+        "round(CAST(sd AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_loss_diff, " +
+        "CASE WHEN CAST(n AS HUGEINT) * " +
+        "(CAST(n AS HUGEINT) * sdd - CAST(sd AS HUGEINT) * sd) > 0 THEN " +
+        "round(CAST(CAST(n AS HUGEINT) * sd AS DOUBLE) / " +
+        "sqrt(CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sdd - " +
+        "CAST(sd AS HUGEINT) * sd) AS DOUBLE)), 6) END AS dm_stat FROM m"),
+    // Mirrors EventOps.gumbelValueExtremes: exact HUGEINT moments of
+    // per-day max cents, method-of-moments β̂ = s·√6/π and
+    // μ̂ = m − γ_E·β̂ with both constants pinned as literals, return
+    // levels one pinned ln chain.
+    "gumbel_value_extremes" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(max(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS mx FROM events GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(mx) AS BIGINT) AS s, " +
+        "CAST(sum(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS ss FROM daily), " +
+        "f AS (SELECT n, CAST(s AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean, " +
+        "CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS DOUBLE) / " +
+        "10000.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS varu " +
+        "FROM m), " +
+        "g AS (SELECT n, mean, varu, " +
+        s"sqrt(varu) * ${math.sqrt(6.0)} / ${math.Pi} AS beta FROM f), " +
+        "h AS (SELECT n, mean, varu, beta, " +
+        "mean - 0.5772156649015329 * beta AS mu FROM g) " +
+        "SELECT n AS n_days, round(mean, 6) AS mean_daily_max, " +
+        "CASE WHEN n >= 2 AND varu > 0.0 THEN round(mu, 6) END AS gumbel_mu, " +
+        "CASE WHEN n >= 2 AND varu > 0.0 THEN round(beta, 6) " +
+        "END AS gumbel_beta, " +
+        "CASE WHEN n >= 2 AND varu > 0.0 THEN " +
+        "round(mu - beta * ln(-ln(1.0 - 1.0 / 30.0)), 6) " +
+        "END AS return_level_30d, " +
+        "CASE WHEN n >= 2 AND varu > 0.0 THEN " +
+        "round(mu - beta * ln(-ln(1.0 - 1.0 / 365.0)), 6) " +
+        "END AS return_level_365d FROM h"),
+    // Mirrors EventOps.revenueVarCvar: zero-filled daily cent
+    // revenues, quantile_cont ↔ percentile interpolated 5th
+    // percentile, worst-⌈n/20⌉ tail by exact strictly-below key
+    // counting, CVaR one pinned division of exact cents.
+    "revenue_var_cvar" ->
+      ("WITH daily0 AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS rev FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily0), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "daily AS (SELECT cal.day, coalesce(daily0.rev, 0) AS rev " +
+        "FROM cal LEFT JOIN daily0 ON daily0.day = cal.day), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "round(quantile_cont(rev, 0.05) / 100.0, 6) AS var95 FROM daily), " +
+        "ranked AS (SELECT a.day, a.rev, " +
+        "CAST(count(b.day) AS BIGINT) AS n_below " +
+        "FROM daily a LEFT JOIN daily b ON b.rev < a.rev OR " +
+        "(b.rev = a.rev AND b.day < a.day) GROUP BY 1, 2), " +
+        "tail AS (SELECT CAST(count(*) AS BIGINT) AS k_days, " +
+        "CAST(sum(rev) AS BIGINT) AS tail_rev, " +
+        "CAST(max(n) AS BIGINT) AS n, max(var95) AS var95 " +
+        "FROM ranked CROSS JOIN st " +
+        "WHERE n_below < CAST(ceil(CAST(n AS DOUBLE) / 20.0) AS BIGINT)) " +
+        "SELECT n AS n_days, var95 AS var_95, k_days, " +
+        "round(CAST(tail_rev AS DOUBLE) / 100.0 / " +
+        "CAST(k_days AS DOUBLE), 6) AS cvar_95 FROM tail"),
+    // Mirrors EventOps.dfTestDaily: lag pairing as an equi-join on
+    // day+1, exact HUGEINT n-scaled moments, r/ρ̂/t pinned chains;
+    // the correlation t IS the with-intercept slope t.
+    "df_test_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT cal.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM cal LEFT JOIN daily ON daily.day = cal.day), " +
+        "p AS (SELECT a.y AS x, b.y - a.y AS dy " +
+        "FROM grid a JOIN grid b ON b.day = a.day + 1), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS np, " +
+        "CAST(sum(x) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy, " +
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, " +
+        "CAST(sum(CAST(x AS HUGEINT) * dy) AS HUGEINT) AS sxy, " +
+        "CAST(sum(CAST(dy AS HUGEINT) * dy) AS HUGEINT) AS syy FROM p), " +
+        "nn AS (SELECT np, " +
+        "CAST(np AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS sxxn, " +
+        "CAST(np AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS sxyn, " +
+        "CAST(np AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS syyn FROM m), " +
+        "rr AS (SELECT np, sxxn, syyn, " +
+        "CAST(sxyn AS DOUBLE) / " +
+        "sqrt(CAST(sxxn AS DOUBLE) * CAST(syyn AS DOUBLE)) AS r, " +
+        "CAST(sxyn AS DOUBLE) / CAST(sxxn AS DOUBLE) AS rho FROM nn) " +
+        "SELECT np AS n_pairs, " +
+        "CASE WHEN np >= 3 AND sxxn > 0 AND syyn > 0 THEN round(rho, 6) " +
+        "END AS rho_hat, " +
+        "CASE WHEN np >= 3 AND sxxn > 0 AND syyn > 0 AND " +
+        "1.0 - r * r > 0.0 THEN " +
+        "round(r * sqrt((CAST(np AS DOUBLE) - 2.0) / (1.0 - r * r)), 6) " +
+        "END AS df_t FROM rr"),
+    // Mirrors EventOps.crostonForecastDaily: the two EWMAs fold in a
+    // recursive CTE over the demand-day subsequence (the PACF
+    // bit-identical-trajectory discipline); init z₁ = first size,
+    // p₁ = first demand's day index.
+    "croston_forecast_daily" ->
+      ("WITH RECURSIVE daily AS (SELECT " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events " +
+        "WHERE event_type = 'purchase' GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT cal.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM cal LEFT JOIN daily ON daily.day = cal.day), " +
+        "idx AS (SELECT CAST(row_number() OVER (ORDER BY day ASC) AS BIGINT) " +
+        "AS t, y FROM grid), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM grid), " +
+        "d AS (SELECT CAST(row_number() OVER (ORDER BY t ASC) AS BIGINT) " +
+        "AS k, t, y FROM idx WHERE y > 0), " +
+        "md AS (SELECT CAST(count(*) AS BIGINT) AS m FROM d), " +
+        "rec AS (SELECT k, CAST(y AS DOUBLE) AS z, CAST(t AS DOUBLE) AS p " +
+        "FROM d WHERE k = 1 " +
+        "UNION ALL SELECT d.k, " +
+        "0.1 * CAST(d.y AS DOUBLE) + 0.9 * rec.z, " +
+        "0.1 * CAST(d.t - prev.t AS DOUBLE) + 0.9 * rec.p " +
+        "FROM rec JOIN d ON d.k = rec.k + 1 JOIN d prev ON prev.k = rec.k), " +
+        "fin AS (SELECT z, p FROM rec ORDER BY k DESC LIMIT 1) " +
+        "SELECT n_days, m AS n_demand_days, " +
+        "CASE WHEN m >= 1 THEN round((SELECT z FROM fin), 6) " +
+        "END AS smoothed_size, " +
+        "CASE WHEN m >= 1 THEN round((SELECT p FROM fin), 6) " +
+        "END AS smoothed_interval, " +
+        "CASE WHEN m >= 1 THEN " +
+        "round((SELECT z FROM fin) / (SELECT p FROM fin), 6) " +
+        "END AS croston_forecast " +
+        "FROM nd CROSS JOIN md"),
+    // Mirrors EventOps.kendallsWTypes: doubled midranks off the
+    // collapsed per-(type, value) frame keep every rank exact;
+    // W = 3·S₄·n / (n·(k²(n³−n) − kΣT)) is ONE pinned division of
+    // exact HUGEINT integers.
+    "kendalls_w_types" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "ty AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT ty.event_type, cal.day, coalesce(daily.cnt, 0) AS v " +
+        "FROM cal CROSS JOIN ty LEFT JOIN daily " +
+        "ON daily.event_type = ty.event_type AND daily.day = cal.day), " +
+        "byval AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS tv " +
+        "FROM grid GROUP BY 1, 2), " +
+        "ranked AS (SELECT event_type, v, 2 * below + tv + 1 AS r2, tv " +
+        "FROM (SELECT event_type, v, tv, " +
+        "CAST(coalesce(sum(tv) OVER (PARTITION BY event_type ORDER BY v ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS below FROM byval)), " +
+        "ties AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(tj) AS HUGEINT) AS st FROM " +
+        "(SELECT event_type, CAST(sum(CAST(tv AS HUGEINT) * tv * tv - tv) " +
+        "AS HUGEINT) AS tj FROM ranked GROUP BY 1)), " +
+        "ds AS (SELECT day, CAST(sum(r2) AS BIGINT) AS r2sum " +
+        "FROM grid JOIN ranked USING (event_type, v) GROUP BY 1), " +
+        "stt AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(r2sum AS HUGEINT) * r2sum) AS HUGEINT) AS sq, " +
+        "CAST(sum(r2sum) AS BIGINT) AS sr FROM ds) " +
+        "SELECT n AS n_days, k AS n_types, " +
+        "CASE WHEN CAST(n AS HUGEINT) * (k * k * " +
+        "(CAST(n AS HUGEINT) * n * n - n) - k * st) > 0 THEN " +
+        "round(CAST(3 * (CAST(n AS HUGEINT) * sq - " +
+        "CAST(sr AS HUGEINT) * sr) AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * (k * k * " +
+        "(CAST(n AS HUGEINT) * n * n - n) - k * st) AS DOUBLE), 6) " +
+        "END AS kendalls_w FROM stt CROSS JOIN ties"),
+    // Mirrors DocOps.simpsonDiversityBySource: exact HUGEINT
+    // collision sum Σc(c−1), one pinned division per statistic.
+    "simpson_diversity_by_source" ->
+      ("WITH t AS (SELECT source, unnest(regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+')) AS w FROM documents), " +
+        "wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c " +
+        "FROM t GROUP BY 1, 2), " +
+        "s AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab, " +
+        "CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CAST(c AS HUGEINT) * (c - 1)) AS HUGEINT) AS coll " +
+        "FROM wc GROUP BY 1), " +
+        "ll AS (SELECT source, vocab, n_tokens, coll, " +
+        "CAST(coll AS DOUBLE) / " +
+        "CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE) AS lam " +
+        "FROM s) " +
+        "SELECT source, vocab, n_tokens, " +
+        "CASE WHEN n_tokens >= 2 AND coll > 0 THEN round(lam, 6) " +
+        "END AS simpson_lambda, " +
+        "CASE WHEN n_tokens >= 2 AND coll > 0 THEN round(1.0 - lam, 6) " +
+        "END AS gini_simpson, " +
+        "CASE WHEN n_tokens >= 2 AND coll > 0 THEN round(1.0 / lam, 6) " +
+        "END AS effective_vocab FROM ll"),
     // Mirrors EventOps.kpssDaily: n-scaled deviations, exact HUGEINT
     // partial-sum squares and autocovariances, Bartlett weights with
     // the (q+1) denominator cleared so η is ONE pinned division of

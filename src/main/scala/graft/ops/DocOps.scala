@@ -2584,6 +2584,38 @@ object DocOps {
         round(lit(1.0) - col("f1").cast("double") /
           col("n_tokens").cast("double"), 6).as("gt_coverage"))
 
+  /** Simpson diversity of the token distribution per source — the
+    * collision-probability lens beside [[chao1VocabRichness]]'s
+    * richness estimate and [[ttrBySource]]'s flat ratio: λ = Σ c(c−1)
+    * / (N(N−1)) is the exact probability two tokens drawn WITHOUT
+    * replacement coincide, 1−λ the Gini–Simpson diversity, 1/λ the
+    * effective vocabulary size ("how many equally-common types would
+    * feel this diverse"). Unlike entropy it needs no logarithm, so
+    * the whole statistic is exact-integer until one pinned division.
+    *
+    * Determinism: per-(source, token) counts are exact BIGINTs,
+    * Σc(c−1) aggregates in DECIMAL(38,0) (c² at corpus scale passes
+    * 2⁶³), and λ is ONE pinned division; sources with < 2 tokens →
+    * NULL, stated. Shape: one tokenize/explode + two hash aggs. */
+  def simpsonDiversityBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(DedupOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+        sum(col("c").cast("decimal(38,0)") * (col("c") - lit(1L)))
+          .as("coll"))
+      .select(Seq(col("source"), col("vocab"), col("n_tokens")) ++ {
+        val lam = col("coll").cast("double") /
+          (col("n_tokens").cast("decimal(38,0)") *
+            (col("n_tokens") - lit(1L))).cast("double")
+        val ok = col("n_tokens") >= 2L && col("coll") > lit(0)
+        Seq(
+          when(ok, round(lam, 6)).as("simpson_lambda"),
+          when(ok, round(lit(1.0) - lam, 6)).as("gini_simpson"),
+          when(ok, round(lit(1.0) / lam, 6)).as("effective_vocab"))
+      }: _*)
+
   /** Heaps'-law fit per source: V(N) ≈ k·N^β estimated by log-log OLS
     * over the per-doc cumulative (tokens, vocabulary) growth curve in
     * doc_id order — the corpus-planning constant ([[zipfSlopeByLang]]'s

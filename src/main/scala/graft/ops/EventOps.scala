@@ -5537,6 +5537,308 @@ object EventOps {
           .as("kpss_eta"))
   }
 
+  /** Dickey–Fuller unit-root test on daily total volume — the
+    * null-reversed partner of [[kpssDaily]] (DF takes the unit root
+    * as H₀, KPSS takes stationarity; run together they split series
+    * into stationary / unit-root / inconclusive): the t-statistic of
+    * ρ in Δyₜ = α + ρ·yₜ₋₁ + εₜ, which for the with-intercept simple
+    * regression equals the correlation t — r·√((n−2)/(1−r²)) with r
+    * the Pearson correlation of (yₜ₋₁, Δyₜ). Compare to the DF table
+    * (−2.86 at 5%), not the t table — stated, off-engine.
+    *
+    * Determinism: the lag pairing is an equi-join on the materialized
+    * date_add key over the zero-filled grid; all six moments are
+    * exact (products in DECIMAL(38,0)); the n-scaled cross moments
+    * SxxN/SxyN/SyyN are exact integers and r, ρ̂, t are pinned double
+    * chains off them. Degenerate series (zero variance on either
+    * side, |r| = 1, or n < 3 pairs) → NULL, stated. */
+  def dfTestDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+    val pairs = grid.as("a")
+      .join(grid.select(expr("date_add(day, -1)").as("day"),
+        col("y").as("y1")).as("b"), Seq("day"))
+      .select(col("y").as("x"), (col("y1") - col("y")).as("dy"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = pairs.agg(count(lit(1)).as("np"),
+      sum("x").as("sx"), sum("dy").as("sy"),
+      sum(dec(col("x")) * col("x")).as("sxx"),
+      sum(dec(col("x")) * col("dy")).as("sxy"),
+      sum(dec(col("dy")) * col("dy")).as("syy"))
+    val sxxN = dec(col("np")) * col("sxx") - dec(col("sx")) * col("sx")
+    val sxyN = dec(col("np")) * col("sxy") - dec(col("sx")) * col("sy")
+    val syyN = dec(col("np")) * col("syy") - dec(col("sy")) * col("sy")
+    val r = sxyN.cast("double") /
+      sqrt(sxxN.cast("double") * syyN.cast("double"))
+    val nD = col("np").cast("double")
+    val t = r * sqrt((nD - lit(2.0)) / (lit(1.0) - r * r))
+    val ok = col("np") >= 3L && sxxN > lit(0) && syyN > lit(0)
+    m.select(col("np").as("n_pairs"),
+      when(ok, round(sxyN.cast("double") / sxxN.cast("double"), 6))
+        .as("rho_hat"),
+      when(ok && lit(1.0) - r * r > lit(0.0), round(t, 6)).as("df_t"))
+  }
+
+  /** Croston's method for intermittent demand (Croston '72) on the
+    * daily series of PURCHASE events — the forecaster for series that
+    * are mostly zeros, where [[holtWintersDaily]]'s level smoothing
+    * collapses toward zero between demands: smooth the non-zero
+    * demand SIZES (z) and the inter-demand INTERVALS (p) as two
+    * independent EWMAs over the demand-day subsequence, forecast
+    * z/p per day. Init convention (stated): z₁ = first demand size,
+    * p₁ = the first demand's 1-based day index.
+    *
+    * Determinism: both EWMAs fold in pinned ascending demand order
+    * (`aggregate` here, a recursive CTE in the oracle — the
+    * [[pacfDailyCounts]] bit-identical-trajectory discipline); sizes
+    * and intervals are exact integers cast once per step; the
+    * empty-update fold is guarded explicitly (`sequence(2, 1)` counts
+    * DOWN — the shingles footgun). All-zero series → NULL forecast.
+    *
+    * Shape: one (day) hash agg; the fold runs on a single packed
+    * calendar-length row. */
+  def crostonForecastDaily(events: DataFrame,
+      alpha: Double = 0.1): DataFrame = {
+    val daily = events.filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+    val series = grid
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("sd"),
+        count(lit(1)).as("n_days"))
+      .select(transform(col("sd"), x => x.getField("y")).as("ys"),
+        col("n_days"))
+    val n = size(col("ys"))
+    def yAt(t: Column) = element_at(col("ys"), t.cast("int"))
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    // guard the empty grid: sequence(1, 0) counts DOWN (the shingles
+    // footgun) and would probe element_at(ys, 0) under ANSI
+    val dIdx = when(n >= 1, filter(sequence(lit(1), n), t => yAt(t) > 0))
+      .otherwise(array().cast("array<int>"))
+    val m = size(col("didx"))
+    def dAt(k: Column) = element_at(col("didx"), k.cast("int"))
+    val zInit = yAt(dAt(lit(1))).cast("double")
+    val pInit = dAt(lit(1)).cast("double")
+    val z = when(m >= 2,
+      aggregate(sequence(lit(2), m), zInit,
+        (z, k) => a * yAt(dAt(k)).cast("double") + a1 * z))
+      .otherwise(zInit)
+    val p = when(m >= 2,
+      aggregate(sequence(lit(2), m), pInit,
+        (p, k) => a * (dAt(k) - dAt(k - lit(1))).cast("double") + a1 * p))
+      .otherwise(pInit)
+    series.withColumn("didx", dIdx)
+      .select(col("n_days"), m.cast("long").as("n_demand_days"),
+        when(m >= 1, round(z, 6)).as("smoothed_size"),
+        when(m >= 1, round(p, 6)).as("smoothed_interval"),
+        when(m >= 1, round(z / p, 6)).as("croston_forecast"))
+  }
+
+  /** Kendall's coefficient of concordance W across event types — "do
+    * the ~5 types AGREE on which days are busy?", the k-rater
+    * agreement statistic normalizing [[friedmanDowTest]]'s χ²: each
+    * type midranks the zero-filled calendar days by its own daily
+    * count, W = 12·S / (k²(n³−n) − k·ΣTⱼ) with S the variance of the
+    * per-day rank sums and Tⱼ = Σ(t³−t) the per-type tie correction.
+    * W = 1 is perfect agreement, 0 is none.
+    *
+    * Determinism: DOUBLED midranks (2r = 2·below + ties + 1) keep
+    * every rank an exact integer, so the per-day doubled rank sums,
+    * the centered square sum S₄ = Σ(2Rᵢ − k(n+1))² = 4S and the tie
+    * moments are all exact DECIMAL(38,0) — W = 3·S₄ / (k²(n³−n) −
+    * k·ΣT) is ONE pinned division of exact integers ("3" because the
+    * doubling contributes 4 and 12/4 = 3). All-tied raters (zero
+    * denominator) → NULL, stated.
+    *
+    * Shape: one (type, day) hash agg to |types| × calendar cells;
+    * midranks ride the collapsed per-(type, value) count frame (the
+    * [[kruskalWallisDailyCounts]] prefix shape); everything after is
+    * grid-sized. */
+  def kendallsWTypes(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = cal.crossJoin(broadcast(types))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("v"))
+    // per-(type, value) doubled midrank: 2r = 2·(# strictly below) +
+    // (# tied) + 1, off the collapsed count-value frame
+    val byVal = grid.groupBy("event_type", "v")
+      .agg(count(lit(1)).as("tv"))
+    val ranked = byVal.withColumn("below",
+      coalesce(sum(col("tv")).over(
+        Window.partitionBy("event_type").orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("v"),
+        (lit(2L) * col("below") + col("tv") + lit(1L)).as("r2"),
+        col("tv"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ties = ranked.groupBy("event_type")
+      .agg(sum(dec(col("tv")) * col("tv") * col("tv") - col("tv"))
+        .as("tj"))
+      .agg(count(lit(1)).as("k"), sum(col("tj")).as("st"))
+    val daySums = grid.join(ranked.select("event_type", "v", "r2"),
+        Seq("event_type", "v"))
+      .groupBy("day").agg(sum(col("r2")).as("r2sum"))
+    val st = daySums.agg(count(lit(1)).as("n"),
+      sum(dec(col("r2sum")) * col("r2sum")).as("sq"),
+      sum(col("r2sum")).as("sr"))
+    // S4 = Σ(2R − k(n+1))² expanded off exact moments: Σ(2R)² −
+    // (Σ2R)²/n, with Σ2R = k·n·(n+1) exactly — so S4·n is exact
+    st.crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("k").as("n_types"), {
+        val n = dec(col("n")); val k = dec(col("k"))
+        val s4n = n * col("sq") - dec(col("sr")) * col("sr")
+        val denom = n * (k * k * (n * n * n - n) - k * col("st"))
+        when(denom > lit(0),
+          round((lit(3).cast("decimal(38,0)") * s4n).cast("double") /
+            denom.cast("double"), 6))
+          .as("kendalls_w")
+      })
+  }
+
+  /** Diebold–Mariano test on [[forecastBacktest]]'s two baselines —
+    * is the seasonal-naive forecast SIGNIFICANTLY better than the
+    * 1-day naive, or is the MAE gap noise? DM over the per-day
+    * absolute-loss differential dₜ = |yₜ − yₜ₋₇| − |yₜ − yₜ₋₁|
+    * (negative DM favors seasonal; compare to N(0,1) — for 1-step
+    * forecasts the HAC bandwidth is 0, so the variance is the plain
+    * γ̂₀, the textbook case).
+    *
+    * Determinism: dₜ is an exact BIGINT; with n-scaled deviations
+    * the statistic collapses to DM = n·Σd / √(Σ(n·dₜ − Σd)²) — exact
+    * DECIMAL(38,0) integers into ONE pinned chain. Zero-variance
+    * differentials → NULL, stated. Shape: the [[forecastBacktest]]
+    * lag windows per type over the collapsed grid, then k rows. */
+  def dmNaiveVsSeasonal(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.crossJoin(broadcast(daily.select("event_type").distinct()))
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+    val d = grid
+      .withColumn("l1", lag(col("cnt"), 1).over(w))
+      .withColumn("l7", lag(col("cnt"), 7).over(w))
+      .filter(col("l1").isNotNull && col("l7").isNotNull)
+      .select(col("event_type"),
+        (abs(col("cnt") - col("l7")) - abs(col("cnt") - col("l1"))).as("d"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = d.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("d").as("sd"),
+        sum(dec(col("d")) * col("d")).as("sdd"))
+    // Σ(n·d − Σd)² = n²Σd² − n(Σd)² = n·(nΣd² − (Σd)²)
+    val devSq = dec(col("n")) *
+      (dec(col("n")) * col("sdd") - dec(col("sd")) * col("sd"))
+    m.select(col("event_type"), col("n").as("n_days"),
+      round(col("sd").cast("double") / col("n").cast("double"), 6)
+        .as("mean_loss_diff"),
+      when(devSq > lit(0),
+        round((dec(col("n")) * col("sd")).cast("double") /
+          sqrt(devSq.cast("double")), 6)).as("dm_stat"))
+  }
+
+  /** Gumbel extreme-value fit of DAILY MAXIMUM event value — the
+    * method-of-moments EVT estimate behind "what's the biggest value
+    * we should expect in a month / a year?": block maxima of an
+    * exponential-tailed process are asymptotically Gumbel(μ, β)
+    * (Fisher–Tippett–Gnedenko), fit by β̂ = s·√6/π and
+    * μ̂ = m − γ_E·β̂ (γ_E the Euler–Mascheroni constant, pinned as a
+    * literal on both rails), with the T-period return level
+    * x_T = μ̂ − β̂·ln(−ln(1 − 1/T)).
+    *
+    * Determinism: per-day max cents are exact BIGINTs (observed days
+    * only — a zero-filled absent day is not a drawn maximum), moments
+    * are exact DECIMAL(38,0), and m, s, μ̂, β̂, x₃₀, x₃₆₅ are pinned
+    * double chains (√/ln correctly-rounded or the accepted libm
+    * surface). n < 2 or zero variance → NULL fit. */
+  def gumbelValueExtremes(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val daily = events.select(to_date(col("ts")).as("day"), cents.as("c"))
+      .groupBy("day").agg(max("c").as("mx"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = daily.agg(count(lit(1)).as("n"), sum("mx").as("s"),
+      sum(dec(col("mx")) * col("mx")).as("ss"))
+    val nD = col("n").cast("double")
+    val mean = col("s").cast("double") / 100.0 / nD
+    val varU = (dec(col("n")) * col("ss") - dec(col("s")) * col("s"))
+      .cast("double") / 10000.0 / (nD * (nD - lit(1.0)))
+    val beta = sqrt(varU) * lit(math.sqrt(6.0)) / lit(math.Pi)
+    val mu = mean - lit(0.5772156649015329) * beta
+    def rl(t: Double) =
+      mu - beta * log(-log(lit(1.0) - lit(1.0) / lit(t)))
+    val ok = col("n") >= 2L && varU > lit(0.0)
+    m.select(col("n").as("n_days"),
+      round(mean, 6).as("mean_daily_max"),
+      when(ok, round(mu, 6)).as("gumbel_mu"),
+      when(ok, round(beta, 6)).as("gumbel_beta"),
+      when(ok, round(rl(30.0), 6)).as("return_level_30d"),
+      when(ok, round(rl(365.0), 6)).as("return_level_365d"))
+  }
+
+  /** Daily-revenue Value-at-Risk and Conditional VaR — the risk pair
+    * every finance dashboard carries, here over the zero-filled daily
+    * revenue series (an absent day IS a zero-revenue day): VaR₉₅ is
+    * the interpolated 5th percentile of daily revenue (the level a
+    * bad day breaches once in 20), and CVaR₉₅ (expected shortfall)
+    * is the exact mean of the worst ⌈5%·n⌉ days — the
+    * order-statistic form, so no interpolated threshold ever feeds
+    * the tail mean.
+    *
+    * Determinism: daily revenues are exact BIGINT cents;
+    * `percentile` ↔ DuckDB `quantile_cont` share the interpolated-
+    * rank definition over the identical integer multiset (the
+    * [[funnelLatency]] parity); the worst-k selection counts
+    * strictly-worse (rev, day) keys over the calendar-sized frame
+    * (an equi-free bounded self-join, no data-proportional sort) and
+    * its mean is one pinned division of exact cents. */
+  def revenueVarCvar(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val daily0 = events.select(to_date(col("ts")).as("day"), cents.as("c"))
+      .groupBy("day").agg(sum("c").as("rev"))
+    val cal = daily0.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = cal.join(daily0, Seq("day"), "left")
+      .select(col("day"), coalesce(col("rev"), lit(0L)).as("rev"))
+      .localCheckpoint()
+    val st = daily.agg(count(lit(1)).as("n"),
+      round(expr("percentile(rev, 0.05)") / 100.0, 6).as("var95"))
+    // worst-k by exact rank: k = ceil(n/20); a day is in the tail iff
+    // fewer than k (rev, day) keys sort strictly below it
+    val ranked = daily.as("a")
+      .join(daily.as("b"),
+        col("b.rev") < col("a.rev") ||
+          (col("b.rev") === col("a.rev") && col("b.day") < col("a.day")),
+        "left")
+      .groupBy(col("a.day"), col("a.rev"))
+      .agg(count(col("b.day")).as("n_below"))
+    val tail = ranked.crossJoin(broadcast(st))
+      .filter(col("n_below") < ceil(col("n").cast("double") / lit(20.0))
+        .cast("long"))
+      .agg(count(lit(1)).as("k_days"), sum(col("rev")).as("tail_rev"),
+        max(col("n")).as("n"), max(col("var95")).as("var95"))
+    tail.select(col("n").as("n_days"), col("var95").as("var_95"),
+      col("k_days"),
+      round(col("tail_rev").cast("double") / 100.0 /
+        col("k_days").cast("double"), 6).as("cvar_95"))
+  }
+
   /** Ljung–Box portmanteau test on daily total volume — "is the
     * series white noise, or is there autocorrelation at ANY lag up
     * to K?": Q = n(n+2)·Σ_{k=1..K} ρ̂ₖ²/(n−k), asymptotically χ²_K

@@ -735,6 +735,28 @@ class DocPipelineSpec extends SparkSpec {
     assert(exp <= 0.693148, exp)
   }
 
+  test("simpsonDiversityBySource: exact collision probability, " +
+    "Gini-Simpson and effective vocab; singleton source yields NULLs") {
+    // s1: "a a b" -> counts a:2 b:1, coll = 2, N = 3:
+    //   lambda = 2/6 = 0.333333, gini = 0.666667, eff = 3.0
+    // s2: one token -> N(N-1) = 0 -> NULL stats, counts intact
+    val docs = Seq((1L, "a a b", "en", "s1", 5L),
+      (2L, "x", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DocOps.simpsonDiversityBySource(docs).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val r1 = got("s1")
+    assert((r1.getAs[Long]("vocab"), r1.getAs[Long]("n_tokens")) ==
+      ((2L, 3L)), r1)
+    assert((r1.getAs[Double]("simpson_lambda"),
+      r1.getAs[Double]("gini_simpson"),
+      r1.getAs[Double]("effective_vocab")) ==
+      ((0.333333, 0.666667, 3.0)), r1)
+    val r2 = got("s2")
+    assert(r2.getAs[Long]("n_tokens") == 1L &&
+      r2.isNullAt(r2.fieldIndex("simpson_lambda")), r2)
+  }
+
   test("chao1VocabRichness: hand-computed Chao1-bC and Good-Turing " +
     "coverage from planted hapax/dis counts") {
     // s1: "a a b c" -> V=3, N=4, f1=2 (b,c), f2=1 (a)

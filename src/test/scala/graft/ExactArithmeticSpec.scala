@@ -1041,6 +1041,135 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(rf.isNullAt(rf.fieldIndex("kpss_eta")), rf)
   }
 
+  test("dfTestDaily: exact moments give the replayed rho and t; a " +
+    "perfectly alternating series pins |r| = 1 and NULL t") {
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // y = [1,2,1,3]: pairs x=[1,2,1], dy=[1,-1,2] ->
+    // SxxN=2, SxyN=-5, SyyN=14 -> rho=-2.5, r=-5/sqrt(28)
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map(j => ev((i * 10 + j).toLong, f"2024-03-0${i + 1}%01d", "a"))
+    }.toDF(evCols: _*)
+    val r = EventOps.dfTestDaily(mk(Seq(1, 2, 1, 3))).collect().head
+    val rr = -5.0 / math.sqrt(2.0 * 14.0)
+    assert(r.getAs[Long]("n_pairs") == 3L, r)
+    assert(r.getAs[Double]("rho_hat") == -2.5, r)
+    assert(r.getAs[Double]("df_t") ==
+      r6(rr * math.sqrt((3.0 - 2.0) / (1.0 - rr * rr))), r)
+    // [1,2,1,2]: r = -1 exactly -> t undefined, rho still emitted
+    val ra = EventOps.dfTestDaily(mk(Seq(1, 2, 1, 2))).collect().head
+    assert(ra.getAs[Double]("rho_hat") == -2.0 &&
+      ra.isNullAt(ra.fieldIndex("df_t")), ra)
+  }
+
+  test("crostonForecastDaily: two-EWMA fold over demand days matches " +
+    "the hand trajectory") {
+    // purchase counts by day: [2, 0, 1] -> demand days d=[1,3],
+    // sizes [2,1]; z = 0.1*1 + 0.9*2 = 1.9, p = 0.1*2 + 0.9*1 = 1.1
+    def pe(id: Long, day: String) =
+      (id, Timestamp.valueOf(s"$day 10:00:00"), 1L, "purchase", 1.0, "{}")
+    val events = Seq(pe(1, "2024-03-01"), pe(2, "2024-03-01"),
+      pe(3, "2024-03-03")).toDF(evCols: _*)
+    val r = EventOps.crostonForecastDaily(events).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("n_demand_days")) ==
+      ((3L, 2L)), r)
+    assert(r.getAs[Double]("smoothed_size") == 1.9 &&
+      r.getAs[Double]("smoothed_interval") == 1.1, r)
+    assert(r.getAs[Double]("croston_forecast") == 1.727273, r)
+    // a single demand day keeps the init state: z = size, p = index
+    val one = Seq(pe(1, "2024-03-01"), pe(2, "2024-03-01"))
+      .toDF(evCols: _*)
+    val ro = EventOps.crostonForecastDaily(one).collect().head
+    assert(ro.getAs[Double]("smoothed_size") == 2.0 &&
+      ro.getAs[Double]("smoothed_interval") == 1.0 &&
+      ro.getAs[Double]("croston_forecast") == 2.0, ro)
+  }
+
+  test("kendallsWTypes: W = 1 on perfect agreement, 0 on perfect " +
+    "reversal, NULL when one constant rater ties everything") {
+    def mk(a: Seq[Int], b: Seq[Int]) = (a.zipWithIndex.flatMap {
+      case (c, i) => (1 to c).map(j =>
+        ev((100 * i + j).toLong, s"2024-03-0${i + 1}", "a"))
+    } ++ b.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map(j => ev((1000 + 100 * i + j).toLong,
+        s"2024-03-0${i + 1}", "b"))
+    }).toDF(evCols: _*)
+    val agree = EventOps.kendallsWTypes(mk(Seq(1, 2), Seq(3, 4)))
+      .collect().head
+    assert((agree.getAs[Long]("n_days"), agree.getAs[Long]("n_types")) ==
+      ((2L, 2L)), agree)
+    assert(agree.getAs[Double]("kendalls_w") == 1.0, agree)
+    val rev = EventOps.kendallsWTypes(mk(Seq(1, 2), Seq(4, 3)))
+      .collect().head
+    assert(rev.getAs[Double]("kendalls_w") == 0.0, rev)
+    // one type, both days equal: denominator collapses to zero
+    val flat = EventOps.kendallsWTypes(mk(Seq(1, 1), Seq.empty))
+      .collect().head
+    assert(flat.isNullAt(flat.fieldIndex("kendalls_w")), flat)
+  }
+
+  test("dmNaiveVsSeasonal: exact loss differentials give the replayed " +
+    "DM; identical differentials pin zero variance and NULL") {
+    def mk(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, i) =>
+      (1 to c).map(j =>
+        ev((100L * i + j).toLong, f"2024-03-${i + 1}%02d", "a"))
+    }.toDF(evCols: _*)
+    // counts [1,1,1,1,1,1,1,2,1]: d = [0, -1] -> n=2, Σd=-1, Σd²=1
+    // devSq = 2(2-1) = 2 -> DM = -2/sqrt(2) = -1.414214
+    val r = EventOps.dmNaiveVsSeasonal(
+      mk(Seq(1, 1, 1, 1, 1, 1, 1, 2, 1))).collect().head
+    assert(r.getAs[Long]("n_days") == 2L &&
+      r.getAs[Double]("mean_loss_diff") == -0.5, r)
+    assert(r.getAs[Double]("dm_stat") == -1.414214, r)
+    // linear ramp [1..9]: both differentials equal 6 -> zero variance
+    val rf = EventOps.dmNaiveVsSeasonal(mk(1 to 9)).collect().head
+    assert(rf.getAs[Double]("mean_loss_diff") == 6.0 &&
+      rf.isNullAt(rf.fieldIndex("dm_stat")), rf)
+  }
+
+  test("gumbelValueExtremes: method-of-moments fit replays the pinned " +
+    "chain; constant maxima yield NULL fit") {
+    def pev(i: Long, day: String, v: Double) =
+      (i, Timestamp.valueOf(s"$day 10:00:00"), 1L, "view", v, "{}")
+    // daily max cents [1, 3]: mean = 0.02, varU = 2e-4
+    val events = Seq(pev(1, "2024-03-01", 0.01),
+      pev(2, "2024-03-02", 0.03), pev(3, "2024-03-02", 0.01))
+      .toDF(evCols: _*)
+    val r = EventOps.gumbelValueExtremes(events).collect().head
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val varU = 4.0 / 10000.0 / 2.0
+    val beta = math.sqrt(varU) * math.sqrt(6.0) / math.Pi
+    val mu = 0.02 - 0.5772156649015329 * beta
+    assert(r.getAs[Long]("n_days") == 2L &&
+      r.getAs[Double]("mean_daily_max") == 0.02, r)
+    assert(r.getAs[Double]("gumbel_beta") == r6(beta), r)
+    assert(r.getAs[Double]("gumbel_mu") == r6(mu), r)
+    assert(r.getAs[Double]("return_level_30d") ==
+      r6(mu - beta * math.log(-math.log(1.0 - 1.0 / 30.0))), r)
+    val flat = Seq(pev(1, "2024-03-01", 0.02), pev(2, "2024-03-02", 0.02))
+      .toDF(evCols: _*)
+    val rf = EventOps.gumbelValueExtremes(flat).collect().head
+    assert(rf.isNullAt(rf.fieldIndex("gumbel_mu")), rf)
+  }
+
+  test("revenueVarCvar: interpolated VaR and exact worst-k tail mean " +
+    "on a four-day ladder") {
+    def pev(i: Long, day: String, v: Double) =
+      (i, Timestamp.valueOf(s"$day 10:00:00"), 1L, "purchase", v, "{}")
+    // daily revenue cents [10,20,30,40]: VaR95 = 5th pctile
+    // interpolated = 11.5 cents = 0.115; k = ceil(4/20) = 1 ->
+    // CVaR = worst day = 0.1
+    val events = Seq(pev(1, "2024-03-01", 0.10), pev(2, "2024-03-02", 0.20),
+      pev(3, "2024-03-03", 0.30), pev(4, "2024-03-04", 0.40))
+      .toDF(evCols: _*)
+    val r = EventOps.revenueVarCvar(events).collect().head
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("k_days")) ==
+      ((4L, 1L)), r)
+    assert(r.getAs[Double]("var_95") == 0.115 &&
+      r.getAs[Double]("cvar_95") == 0.1, r)
+  }
+
   test("bhFdrTypePairs: step-up adjustment matches an independent " +
     "in-test BH recomputation and keeps p monotone") {
     // Three types with distinct separations: a ≪ b strongly
