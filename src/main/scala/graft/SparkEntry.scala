@@ -160,6 +160,10 @@ object SparkEntry {
     "croston_forecast_daily" ->
       ((s, d) => EventOps.crostonForecastDaily(events(s, d))),
     "kendalls_w_types" -> ((s, d) => EventOps.kendallsWTypes(events(s, d))),
+    "cochran_q_types" -> ((s, d) => EventOps.cochranQTypes(events(s, d))),
+    "term_burstiness" -> ((s, d) => DocOps.termBurstiness(documents(s, d))),
+    "gk_gamma_priority_latency" -> ((s, d) =>
+      JoinOps.gkGammaPriorityLatency(lineitem(s, d), orders(s, d))),
     "simpson_diversity_by_source" ->
       ((s, d) => DocOps.simpsonDiversityBySource(documents(s, d))),
     "jonckheere_latency_trend" -> ((s, d) =>
@@ -1954,6 +1958,72 @@ object SparkEntry {
         "round(CAST(CAST(sum(lm) AS BIGINT) AS DOUBLE) / 1000000.0 / " +
         "CAST(n AS DOUBLE), 6) AS theil_l " +
         "FROM t GROUP BY n, s"),
+    // Mirrors EventOps.cochranQTypes: binary engagement matrix via
+    // the distinct collapse, exact HUGEINT square sums, Q one pinned
+    // division; saturated matrix → NULL.
+    "cochran_q_types" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "r AS (SELECT CAST(count(*) AS BIGINT) AS b, " +
+        "CAST(sum(ri) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(ri AS HUGEINT) * ri) AS HUGEINT) AS sr2 FROM " +
+        "(SELECT user_id, CAST(count(*) AS BIGINT) AS ri FROM ut " +
+        "GROUP BY 1)), " +
+        "c AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(CAST(cj AS HUGEINT) * cj) AS HUGEINT) AS sc2 FROM " +
+        "(SELECT event_type, CAST(count(*) AS BIGINT) AS cj FROM ut " +
+        "GROUP BY 1)) " +
+        "SELECT b AS n_users, k AS n_types, CAST(k - 1 AS BIGINT) AS dof, " +
+        "CASE WHEN CAST(k AS HUGEINT) * n - sr2 > 0 THEN " +
+        "round(CAST((CAST(k AS HUGEINT) - 1) * (CAST(k AS HUGEINT) * sc2 - " +
+        "CAST(n AS HUGEINT) * n) AS DOUBLE) / " +
+        "CAST(CAST(k AS HUGEINT) * n - sr2 AS DOUBLE), 6) " +
+        "END AS cochran_q FROM r CROSS JOIN c"),
+    // Mirrors DocOps.termBurstiness: per-(term, doc) exact counts,
+    // VMR = (n·Q − S²)/(n·S) one pinned division of HUGEINT
+    // integers, (rounded VMR desc, term asc) top-30.
+    "term_burstiness" ->
+      ("WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "td AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c FROM " +
+        "(SELECT doc_id, unnest(regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+')) AS term FROM documents) " +
+        "GROUP BY 1, 2), " +
+        "m AS (SELECT term, CAST(count(*) AS BIGINT) AS df, " +
+        "CAST(sum(c) AS BIGINT) AS tf, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q " +
+        "FROM td GROUP BY 1) " +
+        "SELECT term, df, tf, " +
+        "round(CAST(CAST(n AS HUGEINT) * q - CAST(tf AS HUGEINT) * tf " +
+        "AS DOUBLE) / CAST(CAST(n AS HUGEINT) * tf AS DOUBLE), 6) AS vmr " +
+        "FROM m CROSS JOIN nn WHERE df >= 50 " +
+        "ORDER BY vmr DESC, term ASC LIMIT 30"),
+    // Mirrors JoinOps.gkGammaPriorityLatency: concordant/discordant
+    // mass off per-group prefixes on the dense pooled grid (the
+    // jonckheere machinery), γ one pinned division.
+    "gk_gamma_priority_latency" ->
+      ("WITH lat AS (SELECT o_orderpriority AS g, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), " +
+        "CAST(l_shipdate AS DATE)) AS BIGINT) AS v " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), " +
+        "cells AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c " +
+        "FROM lat GROUP BY 1, 2), " +
+        "dense AS (SELECT gs.g, vals.v, coalesce(cells.c, 0) AS c " +
+        "FROM (SELECT DISTINCT v FROM cells) vals " +
+        "CROSS JOIN (SELECT DISTINCT g FROM cells) gs " +
+        "LEFT JOIN cells ON cells.g = gs.g AND cells.v = vals.v), " +
+        "cum AS (SELECT g, v, c, CAST(coalesce(sum(c) OVER (" +
+        "PARTITION BY g ORDER BY v ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) " +
+        "AS below, CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS tot " +
+        "FROM dense), " +
+        "cum2 AS (SELECT g, v, c, below, tot - below - c AS above FROM cum), " +
+        "cd AS (SELECT CAST(coalesce(sum(b.c * a.below), 0) AS BIGINT) " +
+        "AS conc, CAST(coalesce(sum(b.c * a.above), 0) AS BIGINT) AS disc " +
+        "FROM cum2 a JOIN cum2 b ON a.v = b.v AND a.g < b.g), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM lat) " +
+        "SELECT n_total, conc, disc, " +
+        "CASE WHEN conc + disc > 0 THEN " +
+        "round(CAST(conc - disc AS DOUBLE) / CAST(conc + disc AS DOUBLE), 6) " +
+        "END AS gk_gamma FROM cd CROSS JOIN nn"),
     // Mirrors EventOps.dmNaiveVsSeasonal: exact BIGINT loss
     // differentials, DM = n·Σd / √(Σ(n·d − Σd)²) — HUGEINT integers
     // into one pinned chain; zero variance → NULL.

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShim
 
@@ -2615,6 +2615,42 @@ object DocOps {
           when(ok, round(lit(1.0) - lam, 6)).as("gini_simpson"),
           when(ok, round(lit(1.0) / lam, 6)).as("effective_vocab"))
       }: _*)
+
+  /** Term burstiness (Church & Gale '95): the variance-to-mean ratio
+    * of a term's per-document count, over ALL documents (absent = 0)
+    * — content words BURST (VMR ≫ 1: absent from most docs, repeated
+    * where they appear) while function words spread Poisson-like
+    * (VMR ≈ 1). The stopword-vs-keyword separator TF-IDF's df-only
+    * lens misses: two terms with identical df and tf can differ 10×
+    * in VMR.
+    *
+    * Determinism: per-(term, doc) counts are exact; with S = Σc and
+    * Q = Σc² (zeros contribute nothing to either), VMR = (n·Q − S²) /
+    * (n·S) is ONE pinned division of exact DECIMAL(38,0) integers;
+    * the top-`topK` cut orders (rounded VMR desc, term asc).
+    *
+    * Shape: one tokenize/explode + (term, doc) hash agg; per-term
+    * moments are a second hash agg; `minDf` prunes the hapax tail
+    * BEFORE the cut and the cut is TakeOrderedAndProject. */
+  def termBurstiness(docs: DataFrame, minDf: Long = 50,
+      topK: Int = 30): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n"))
+    val td = docs
+      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    td.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("c").as("tf"),
+        sum(dec(col("c")) * col("c")).as("q"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(n))
+      .select(col("term"), col("df"), col("tf"),
+        round((dec(col("n")) * col("q") - dec(col("tf")) * col("tf"))
+          .cast("double") /
+          (dec(col("n")) * col("tf")).cast("double"), 6).as("vmr"))
+      .orderBy(col("vmr").desc, col("term").asc)
+      .limit(topK)
+  }
 
   /** Heaps'-law fit per source: V(N) ≈ k·N^β estimated by log-log OLS
     * over the per-doc cumulative (tokens, vocabulary) growth curve in

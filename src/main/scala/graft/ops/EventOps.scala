@@ -5839,6 +5839,43 @@ object EventOps {
         col("k_days").cast("double"), 6).as("cvar_95"))
   }
 
+  /** Cochran's Q test across event types — the k-treatment BINARY
+    * repeated-measures test (the k-ary generalization of
+    * [[mcnemarSwitchers]], the binary specialization of
+    * [[friedmanDowTest]]): does the share of users who EVER touch a
+    * type differ across types, with each user as their own block?
+    * Q = (k−1)·(k·ΣCⱼ² − N²) / (k·N − ΣRᵢ²), asymptotically χ²ₖ₋₁
+    * under exchangeability.
+    *
+    * Determinism: the user×type engagement matrix is binary by
+    * construction (distinct collapse), so column totals Cⱼ, row
+    * totals Rᵢ and N are exact BIGINTs, the squares aggregate in
+    * DECIMAL(38,0), and Q is ONE pinned division of exact integers.
+    * Saturated matrices (every user touches every type → zero
+    * denominator) → NULL, stated.
+    *
+    * Shape: one (user, type) distinct collapse; row totals are a
+    * user-grain agg, column totals a k-row agg. */
+  def cochranQTypes(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = ut.groupBy("user_id").agg(count(lit(1)).as("ri"))
+      .agg(count(lit(1)).as("b"), sum("ri").as("n"),
+        sum(dec(col("ri")) * col("ri")).as("sr2"))
+    val cols = ut.groupBy("event_type").agg(count(lit(1)).as("cj"))
+      .agg(count(lit(1)).as("k"), sum(dec(col("cj")) * col("cj")).as("sc2"))
+    rows.crossJoin(broadcast(cols))
+      .select(col("b").as("n_users"), col("k").as("n_types"),
+        (col("k") - lit(1L)).as("dof"), {
+          val num = (dec(col("k")) - lit(1)) *
+            (dec(col("k")) * col("sc2") - dec(col("n")) * col("n"))
+          val den = dec(col("k")) * col("n") - col("sr2")
+          when(den > lit(0),
+            round(num.cast("double") / den.cast("double"), 6))
+            .as("cochran_q")
+        })
+  }
+
   /** Ljung–Box portmanteau test on daily total volume — "is the
     * series white noise, or is there autocorrelation at ANY lag up
     * to K?": Q = n(n+2)·Σ_{k=1..K} ρ̂ₖ²/(n−k), asymptotically χ²_K

@@ -783,6 +783,52 @@ object JoinOps {
           (lit(2.0) * sqrt(variance)), 6)).as("z_score"))
   }
 
+  /** Goodman–Kruskal gamma between order priority and shipping
+    * latency — the ordinal-association companion of
+    * [[jonckheereLatencyTrend]] (JT asks "is there a trend and how
+    * significant"; γ = (C−D)/(C+D) asks "how STRONG is the ordinal
+    * association", ignoring ties — the effect size reviewers want
+    * beside the test). Same pooled-grid prefix machinery: for every
+    * (group j, value v) cell, the concordant mass is group-below ×
+    * value-strictly-below and the discordant mass group-below ×
+    * value-strictly-above, both read off per-group prefixes on the
+    * dense grid — never a v<v theta join.
+    *
+    * Determinism: C and D are exact BIGINT sums over the structural
+    * grid; γ is ONE pinned division. C + D = 0 (a single priority or
+    * a single latency value) → NULL, stated. */
+  def gkGammaPriorityLatency(lineitem: DataFrame,
+      orders: DataFrame): DataFrame = {
+    val lat = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .select(col("o_orderpriority").as("g"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("v"))
+    val cells = lat.groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dense = cells.select("v").distinct()
+      .crossJoin(broadcast(cells.select("g").distinct()))
+      .join(cells, Seq("g", "v"), "left")
+      .select(col("g"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+    val wv = Window.partitionBy("g").orderBy(col("v").asc)
+    val cum = dense
+      .withColumn("below", coalesce(sum(col("c")).over(
+        wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tot", sum(col("c")).over(Window.partitionBy("g")))
+      .withColumn("above", col("tot") - col("below") - col("c"))
+    val cd = cum.as("a")
+      .join(cum.as("b"),
+        col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .agg(coalesce(sum(col("b.c") * col("a.below")), lit(0L)).as("conc"),
+        coalesce(sum(col("b.c") * col("a.above")), lit(0L)).as("disc"))
+    val n = lat.agg(count(lit(1)).as("n_total"))
+    cd.crossJoin(broadcast(n))
+      .select(col("n_total"), col("conc"), col("disc"),
+        when(col("conc") + col("disc") > lit(0L),
+          round((col("conc") - col("disc")).cast("double") /
+            (col("conc") + col("disc")).cast("double"), 6)).as("gk_gamma"))
+  }
+
   /** k-anonymity generalization ladder over the order book's
     * quasi-identifiers (priority, segment, order month): at each
     * successive generalization level — full QIs → priority-class +

@@ -757,6 +757,20 @@ class DocPipelineSpec extends SparkSpec {
       r2.isNullAt(r2.fieldIndex("simpson_lambda")), r2)
   }
 
+  test("termBurstiness: VMR separates the bursty term from the spread " +
+    "one and orders the cut deterministically") {
+    // n=3 docs. x: df=1 tf=3 q=9 -> (27-9)/9 = 2.0 (bursty);
+    // z: df=1 tf=1 -> (3-1)/3 = 0.666667; y: df=2 tf=2 q=2 ->
+    // (6-4)/6 = 0.333333 (spread)
+    val docs = Seq((1L, "x x x", "en", "s1", 5L),
+      (2L, "y", "en", "s1", 1L), (3L, "y z", "en", "s1", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = DocOps.termBurstiness(docs, minDf = 1, topK = 10).collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Double]("vmr")))
+    assert(got.toSeq == Seq(("x", 2.0), ("z", 0.666667),
+      ("y", 0.333333)), got.toSeq)
+  }
+
   test("chao1VocabRichness: hand-computed Chao1-bC and Good-Turing " +
     "coverage from planted hapax/dis counts") {
     // s1: "a a b c" -> V=3, N=4, f1=2 (b,c), f2=1 (a)

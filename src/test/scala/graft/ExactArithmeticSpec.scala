@@ -1170,6 +1170,26 @@ class ExactArithmeticSpec extends SparkSpec {
       r.getAs[Double]("cvar_95") == 0.1, r)
   }
 
+  test("cochranQTypes: hand-computed Q on a 3-user block design; a " +
+    "saturated matrix yields NULL") {
+    def uev(i: Long, u: Long, t: String) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), u, t, 1.0, "{}")
+    // engagement: u1{a,b} u2{a} u3{a,b}: R=[2,1,2], C=[3,2] ->
+    // Q = 1*(2*13 - 25)/(2*5 - 9) = 1.0
+    val events = Seq(uev(1, 1, "a"), uev(2, 1, "b"), uev(3, 2, "a"),
+      uev(4, 3, "a"), uev(5, 3, "b"), uev(6, 1, "a") /* dup collapses */)
+      .toDF(evCols: _*)
+    val r = EventOps.cochranQTypes(events).collect().head
+    assert((r.getAs[Long]("n_users"), r.getAs[Long]("n_types"),
+      r.getAs[Long]("dof")) == ((3L, 2L, 1L)), r)
+    assert(r.getAs[Double]("cochran_q") == 1.0, r)
+    // every user touches every type: k·N = ΣR² -> NULL
+    val sat = Seq(uev(1, 1, "a"), uev(2, 1, "b"), uev(3, 2, "a"),
+      uev(4, 2, "b")).toDF(evCols: _*)
+    val rs = EventOps.cochranQTypes(sat).collect().head
+    assert(rs.isNullAt(rs.fieldIndex("cochran_q")), rs)
+  }
+
   test("bhFdrTypePairs: step-up adjustment matches an independent " +
     "in-test BH recomputation and keeps p monotone") {
     // Three types with distinct separations: a ≪ b strongly

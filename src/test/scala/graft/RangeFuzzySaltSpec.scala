@@ -403,6 +403,33 @@ class RangeFuzzySaltSpec extends SparkSpec {
       one.isNullAt(one.fieldIndex("z_score")), one)
   }
 
+  test("gkGammaPriorityLatency: +1 on a clean ordinal association, " +
+    "-1 reversed, ties never counted") {
+    import java.sql.Timestamp
+    def fixture(d1: Seq[String], d2: Seq[String]) = {
+      val orders = Seq(
+        (1L, "1-U", Timestamp.valueOf("2024-03-01 00:00:00")),
+        (2L, "2-H", Timestamp.valueOf("2024-03-01 00:00:00")))
+        .toDF("o_orderkey", "o_orderpriority", "o_orderdate")
+      val li = (d1.map((1L, _)) ++ d2.map((2L, _)))
+        .map { case (k, d) => (k, Timestamp.valueOf(s"$d 00:00:00")) }
+        .toDF("l_orderkey", "l_shipdate")
+      (li, orders)
+    }
+    // g1 latencies [1,2], g2 [2,3]: conc 3, disc 0, tie (2,2) skipped
+    val (liA, oA) = fixture(Seq("2024-03-02", "2024-03-03"),
+      Seq("2024-03-03", "2024-03-04"))
+    val a = JoinOps.gkGammaPriorityLatency(liA, oA).collect().head
+    assert((a.getAs[Long]("n_total"), a.getAs[Long]("conc"),
+      a.getAs[Long]("disc"), a.getAs[Double]("gk_gamma")) ==
+      ((4L, 3L, 0L, 1.0)), a)
+    // reversed: g1 [2,3], g2 [1,2] -> conc 0, disc 3 -> gamma = -1
+    val (liB, oB) = fixture(Seq("2024-03-03", "2024-03-04"),
+      Seq("2024-03-02", "2024-03-03"))
+    val b = JoinOps.gkGammaPriorityLatency(liB, oB).collect().head
+    assert(b.getAs[Double]("gk_gamma") == -1.0, b)
+  }
+
   test("kAnonGeneralizationLadder: min class walks the ladder until " +
     "only the coarsest grain satisfies k") {
     import java.sql.Timestamp
