@@ -555,6 +555,10 @@ object SparkEntry {
     "ngram_containment_pairs" -> ((s, d) =>
       DedupOps.ngramContainmentPairs(documents(s, d), 0.8)),
     "dup_clusters" -> ((s, d) => DedupOps.dupClusters(documents(s, d))),
+    "dup_cluster_size_histogram" ->
+      ((s, d) => DedupOps.dupClusterSizeHistogram(documents(s, d))),
+    "value_kuiper_drift" ->
+      ((s, d) => EventOps.valueKuiperDrift(events(s, d))),
     "cluster_keep_longest" ->
       ((s, d) => DedupOps.clusterKeepLongest(documents(s, d))),
     "minhash_near_dups" -> ((s, d) => DedupOps.minhashNearDups(documents(s, d), 0.5)),
@@ -5510,6 +5514,61 @@ object SparkEntry {
         "lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u) " +
         "SELECT doc_id, cluster_id, " +
         "count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM lbl"),
+    // Mirrors DedupOps.dupClusterSizeHistogram: the dup_clusters
+    // closure collapsed to (cluster, size) then histogrammed — exact
+    // counts end-to-end.
+    "dup_cluster_size_histogram" ->
+      (s"WITH RECURSIVE $shingleCtes, $prunedShingleCte, " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5), " +
+        "e AS (SELECT a_id AS u, b_id AS v FROM pairs " +
+        "UNION SELECT b_id, a_id FROM pairs), " +
+        "r(u, v) AS (SELECT u, v FROM e " +
+        "UNION SELECT r.u, e2.v FROM r JOIN e e2 ON r.v = e2.u), " +
+        "lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM r GROUP BY u), " +
+        "cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size " +
+        "FROM lbl GROUP BY 1) " +
+        "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "CAST(cluster_size * count(*) AS BIGINT) AS n_docs " +
+        "FROM cs GROUP BY 1"),
+    // Mirrors EventOps.valueKuiperDrift: exact DECIMAL/HUGEINT
+    // cross-multiplied ECDF gaps, both directed maxima off the same
+    // grid (the final bin pins 0), V one pinned division.
+    "value_kuiper_drift" ->
+      ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bin, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "mid AS (SELECT min(us) AS lo, max(us) AS hi FROM b), " +
+        "half AS (SELECT bin, " +
+        "CASE WHEN us <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half FROM b CROSS JOIN mid), " +
+        "counts AS (SELECT bin, " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM half GROUP BY 1), " +
+        "totals AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, " +
+        "CAST(sum(c2) AS BIGINT) AS n2 FROM counts), " +
+        "cum AS (SELECT bin, " +
+        "CAST(sum(c1) OVER (ORDER BY bin ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum1, " +
+        "CAST(sum(c2) OVER (ORDER BY bin ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum2 " +
+        "FROM counts), " +
+        "m AS (SELECT n1, n2, " +
+        "CAST(max(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1) " +
+        "AS HUGEINT) AS gp, " +
+        "CAST(max(-(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)) " +
+        "AS HUGEINT) AS gm " +
+        "FROM cum CROSS JOIN totals GROUP BY n1, n2) " +
+        "SELECT n1 AS n_first, n2 AS n_second, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN round(CAST(gp AS DOUBLE) / " +
+        "CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE), 6) END AS d_plus, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN round(CAST(gm AS DOUBLE) / " +
+        "CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE), 6) END AS d_minus, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN round(CAST(gp + gm AS DOUBLE) / " +
+        "CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE), 6) END AS kuiper_v FROM m"),
     // Mirrors DedupOps.clusterKeepLongest: the dup_clusters transitive
     // closure, then longest-doc-wins (doc_id on ties) per cluster.
     "cluster_keep_longest" ->

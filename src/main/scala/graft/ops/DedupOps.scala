@@ -733,6 +733,21 @@ object DedupOps {
         .partitionBy("cluster_id")).as("cluster_size"))
   }
 
+  /** Near-dup cluster SIZE distribution — the dedup-telemetry
+    * histogram every corpus dashboard tails: how many clusters of
+    * each size did [[dupClusters]] find, and how many documents sit
+    * in them? A fat tail here (one 10⁴-doc cluster) is boilerplate
+    * or a crawler trap; the dedup savings estimate is
+    * Σ (size − 1)·n_clusters docs removable under keep-one. Exact
+    * counts end-to-end; the frame is ≤ |distinct sizes| rows. */
+  def dupClusterSizeHistogram(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 3): DataFrame =
+    dupClusters(docs, threshold, k)
+      .select(col("cluster_id"), col("cluster_size")).distinct()
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   /** Fuzzy train→eval decontamination: near-duplicate pairs that CROSS
     * the dataset-split boundary. Exact n-gram containment
     * ([[DocOps.splitContamination]]) catches verbatim leaks; this

@@ -3224,6 +3224,54 @@ object EventOps {
         round(col("gap"), 6).as("ks_stat"), col("bin").as("at_bin"))
   }
 
+  /** Kuiper drift of the binned `value` distribution between the time
+    * halves — the cyclic-robust member of the drift battery
+    * (KS/CvM/W₁/energy/PSI): V = D⁺ + D⁻ weighs BOTH ECDF excursion
+    * directions equally, so a shift that pushes mass up in one region
+    * and down in another (which can cancel to a small KS at the
+    * crossing) still registers. The classic astronomy/phase-data
+    * statistic (Kuiper '60).
+    *
+    * Exactness: on the integer-bin grid, D⁺·n₁·n₂ = max(cum₁·n₂ −
+    * cum₂·n₁) and D⁻·n₁·n₂ = max(cum₂·n₁ − cum₁·n₂) — every operand
+    * exact DECIMAL(38,0) (the final bin pins 0 into both maxima, so
+    * one-sided drifts floor at 0 exactly); V is ONE pinned division.
+    * Shape: the [[ksValueDrift]] ECDF frame, bounded by the value
+    * range. */
+  def valueKuiperDrift(events: DataFrame): DataFrame = {
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(floor(col("value")).cast("long").as("bin"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val counts = half.groupBy("bin")
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+    val totals = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = dec(col("cum1")) * col("n2") - dec(col("cum2")) * col("n1")
+    val m = counts
+      .withColumn("cum1", sum(col("c1")).over(w))
+      .withColumn("cum2", sum(col("c2")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("n1"), col("n2"), g.as("g"))
+      .groupBy("n1", "n2")
+      .agg(max(col("g")).as("gp"), max(-col("g")).as("gm"))
+    val nn = (dec(col("n1")) * col("n2")).cast("double")
+    m.select(col("n1").as("n_first"), col("n2").as("n_second"),
+      when(col("n1") > 0L && col("n2") > 0L,
+        round(col("gp").cast("double") / nn, 6)).as("d_plus"),
+      when(col("n1") > 0L && col("n2") > 0L,
+        round(col("gm").cast("double") / nn, 6)).as("d_minus"),
+      when(col("n1") > 0L && col("n2") > 0L,
+        round((col("gp") + col("gm")).cast("double") / nn, 6))
+        .as("kuiper_v"))
+  }
+
   /** Wasserstein-1 (earth-mover) drift of the binned `value`
     * distribution between the first and second halves of the time
     * range — the MAGNITUDE counterpart of [[ksValueDrift]]'s max-gap

@@ -355,6 +355,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(clusters(0L)._2 == clusters.count(_._2._1 == 0L), clusters.toString)
   }
 
+  test("dupClusterSizeHistogram: one row per cluster size, doc mass " +
+    "reconciles with the cluster frame") {
+    val clusters = DedupOps.dupClusters(docs, threshold = 0.5).collect()
+    val hist = DedupOps.dupClusterSizeHistogram(docs, threshold = 0.5)
+      .collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        ((r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs")))).toMap
+    // the fixture's near-dup family is ONE cluster of the clustered
+    // docs; the histogram's doc mass equals the cluster frame's rows
+    assert(hist.values.map(_._2).sum == clusters.length, hist.toString)
+    hist.foreach { case (size, (nc, nd)) =>
+      assert(nd == size * nc, s"$size: $nc * $size != $nd")
+    }
+    val sizes = clusters.map(_.getAs[Long]("cluster_size"))
+      .groupBy(identity).map { case (s, xs) => s -> xs.length / s }
+    assert(hist.view.mapValues(_._1).toMap == sizes.map {
+      case (s, n) => s -> n.toLong
+    }, hist.toString)
+  }
+
   test("clusterKeepLongest: one keeper per transitive cluster, longest wins") {
     import org.apache.spark.sql.functions.{col, length}
     val withChars = docs.withColumn("n_chars", length(col("text")).cast("long"))

@@ -1190,6 +1190,27 @@ class ExactArithmeticSpec extends SparkSpec {
     assert(rs.isNullAt(rs.fieldIndex("cochran_q")), rs)
   }
 
+  test("valueKuiperDrift: both directed excursions register where KS " +
+    "sees only one; a shift-up drift floors D- at zero") {
+    def hev(i: Long, h: Int, v: Double) =
+      (i, Timestamp.valueOf(s"2024-03-0$h 10:00:00"), 1L, "view", v, "{}")
+    // half1 bins [0,2], half2 bins [1,1]: g = [2, -2, 0] over the
+    // cum grid -> D+ = D- = 0.5, V = 1.0 (KS alone would report 0.5)
+    val mixed = Seq(hev(1, 1, 0.5), hev(2, 1, 2.5),
+      hev(3, 2, 1.5), hev(4, 2, 1.5)).toDF(evCols: _*)
+    val r = EventOps.valueKuiperDrift(mixed).collect().head
+    assert((r.getAs[Long]("n_first"), r.getAs[Long]("n_second")) ==
+      ((2L, 2L)), r)
+    assert((r.getAs[Double]("d_plus"), r.getAs[Double]("d_minus"),
+      r.getAs[Double]("kuiper_v")) == ((0.5, 0.5, 1.0)), r)
+    // one-directional shift up: D- pinned to exactly 0 by the final bin
+    val up = Seq(hev(1, 1, 0.5), hev(2, 1, 1.5),
+      hev(3, 2, 1.5), hev(4, 2, 2.5)).toDF(evCols: _*)
+    val ru = EventOps.valueKuiperDrift(up).collect().head
+    assert((ru.getAs[Double]("d_plus"), ru.getAs[Double]("d_minus"),
+      ru.getAs[Double]("kuiper_v")) == ((0.5, 0.0, 0.5)), ru)
+  }
+
   test("bhFdrTypePairs: step-up adjustment matches an independent " +
     "in-test BH recomputation and keeps p monotone") {
     // Three types with distinct separations: a ≪ b strongly
