@@ -559,6 +559,9 @@ object SparkEntry {
       ((s, d) => DedupOps.dupClusterSizeHistogram(documents(s, d))),
     "value_kuiper_drift" ->
       ((s, d) => EventOps.valueKuiperDrift(events(s, d))),
+    "theils_u_type_dow" -> ((s, d) => EventOps.theilsUTypeDow(events(s, d))),
+    "type_pair_odds_ratio" ->
+      ((s, d) => EventOps.typePairOddsRatio(events(s, d))),
     "cluster_keep_longest" ->
       ((s, d) => DedupOps.clusterKeepLongest(documents(s, d))),
     "minhash_near_dups" -> ((s, d) => DedupOps.minhashNearDups(documents(s, d), 0.5)),
@@ -5534,6 +5537,74 @@ object SparkEntry {
         "SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters, " +
         "CAST(cluster_size * count(*) AS BIGINT) AS n_docs " +
         "FROM cs GROUP BY 1"),
+    // Mirrors EventOps.theilsUTypeDow: each entropy a sum of pinned
+    // (n/N)·ln(n/N) terms (chi_square precedent), directions divided
+    // by their own margins, zero-entropy margins → NULL.
+    "theils_u_type_dow" ->
+      ("WITH cells AS (SELECT event_type, dayofweek(CAST(ts AS DATE)) AS dow, " +
+        "CAST(count(*) AS BIGINT) AS nxy FROM events GROUP BY 1, 2), " +
+        "tx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS n " +
+        "FROM cells GROUP BY 1), " +
+        "td AS (SELECT dow, CAST(sum(nxy) AS BIGINT) AS n FROM cells GROUP BY 1), " +
+        "nt AS (SELECT CAST(sum(nxy) AS BIGINT) AS nt FROM cells), " +
+        "hx AS (SELECT sum(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+        "ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))) AS hx " +
+        "FROM tx CROSS JOIN nt), " +
+        "hy AS (SELECT sum(-(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+        "ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))) AS hy " +
+        "FROM td CROSS JOIN nt), " +
+        "hxy AS (SELECT sum(-(CAST(nxy AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+        "ln(CAST(nxy AS DOUBLE) / CAST(nt AS DOUBLE))) AS hxy " +
+        "FROM cells CROSS JOIN nt) " +
+        "SELECT nt AS n_total, round(hx, 6) AS h_type, " +
+        "round(hy, 6) AS h_dow, round(hxy, 6) AS h_joint, " +
+        "CASE WHEN hx > 0.0 THEN round((hx + hy - hxy) / hx, 6) " +
+        "END AS u_type_given_dow, " +
+        "CASE WHEN hy > 0.0 THEN round((hx + hy - hxy) / hy, 6) " +
+        "END AS u_dow_given_type, " +
+        "CASE WHEN hx + hy > 0.0 THEN " +
+        "round(2.0 * (hx + hy - hxy) / (hx + hy), 6) END AS u_symmetric " +
+        "FROM nt CROSS JOIN hx CROSS JOIN hy CROSS JOIN hxy"),
+    // Mirrors EventOps.typePairOddsRatio: exact 2×2 cells off the
+    // binary engagement matrix, OR/ln OR/se/φ pinned chains off
+    // HUGEINT-exact products; empty cells → NULL (Haldane correction
+    // deliberately not applied).
+    "type_pair_odds_ratio" ->
+      ("WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), " +
+        "marg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_one " +
+        "FROM ut GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users " +
+        "FROM ut), " +
+        "pp AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS n11 FROM ut a JOIN ut b " +
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type " +
+        "GROUP BY 1, 2), " +
+        "cells AS (SELECT type_a, type_b, n11, " +
+        "ma.n_one - n11 AS n10, mb.n_one - n11 AS n01, " +
+        "n_users - ma.n_one - mb.n_one + n11 AS n00, " +
+        "ma.n_one AS na, mb.n_one AS nb, n_users " +
+        "FROM pp JOIN marg ma ON ma.event_type = type_a " +
+        "JOIN marg mb ON mb.event_type = type_b CROSS JOIN tot) " +
+        "SELECT type_a, type_b, n11, n10, n01, n00, " +
+        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "round(CAST(CAST(n11 AS HUGEINT) * n00 AS DOUBLE) / " +
+        "CAST(CAST(n10 AS HUGEINT) * n01 AS DOUBLE), 6) END AS odds_ratio, " +
+        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "round(ln(CAST(CAST(n11 AS HUGEINT) * n00 AS DOUBLE) / " +
+        "CAST(CAST(n10 AS HUGEINT) * n01 AS DOUBLE)), 6) END AS log_or, " +
+        "CASE WHEN n11 > 0 AND n10 > 0 AND n01 > 0 AND n00 > 0 THEN " +
+        "round(sqrt(1.0 / CAST(n11 AS DOUBLE) + 1.0 / CAST(n10 AS DOUBLE) + " +
+        "1.0 / CAST(n01 AS DOUBLE) + 1.0 / CAST(n00 AS DOUBLE)), 6) " +
+        "END AS se_log_or, " +
+        "CASE WHEN CAST(na AS HUGEINT) * nb * " +
+        "(CAST(n_users AS HUGEINT) - na) * " +
+        "(CAST(n_users AS HUGEINT) - nb) > 0 THEN " +
+        "round(CAST(CAST(n11 AS HUGEINT) * n00 - " +
+        "CAST(n10 AS HUGEINT) * n01 AS DOUBLE) / " +
+        "sqrt(CAST(CAST(na AS HUGEINT) * nb * " +
+        "(CAST(n_users AS HUGEINT) - na) * " +
+        "(CAST(n_users AS HUGEINT) - nb) AS DOUBLE)), 6) END AS phi " +
+        "FROM cells"),
     // Mirrors EventOps.valueKuiperDrift: exact DECIMAL/HUGEINT
     // cross-multiplied ECDF gaps, both directed maxima off the same
     // grid (the final bin pins 0), V one pinned division.

@@ -3224,6 +3224,114 @@ object EventOps {
         round(col("gap"), 6).as("ks_stat"), col("bin").as("at_bin"))
   }
 
+  /** Theil's uncertainty coefficient between event type and weekday —
+    * the entropy-based, ASYMMETRIC association pair beside
+    * [[chiSquareTypeDow]]'s χ²/Cramér's V and
+    * [[typeDowMutualInfo]]'s raw MI: U(X|Y) = (H(X)+H(Y)−H(X,Y)) /
+    * H(X) reads "what fraction of X's uncertainty does knowing Y
+    * remove" — 0 = independent, 1 = fully determined — and the two
+    * directions differ when the domains' entropies do (the property
+    * per-direction dashboards exploit). The symmetric form is their
+    * entropy-weighted harmonic combination.
+    *
+    * Determinism: all counts are exact BIGINTs; each entropy is a sum
+    * of ≤ |cells| pinned (n/N)·ln(n/N) terms (the
+    * [[chiSquareTypeDow]] summation precedent), combined in pinned
+    * chains and rounded once. Zero-entropy margins (a single type or
+    * a single weekday) → NULL for the directions they'd divide,
+    * stated. */
+  def theilsUTypeDow(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
+      .agg(count(lit(1)).as("nxy"))
+    val byType = cells.groupBy("event_type").agg(sum("nxy").as("n"))
+    val byDow = cells.groupBy("dow").agg(sum("nxy").as("n"))
+    def entropy(df: DataFrame): DataFrame = {
+      val tot = df.agg(sum("n").as("nt"))
+      df.crossJoin(broadcast(tot))
+        .select((-(col("n").cast("double") / col("nt").cast("double")) *
+          log(col("n").cast("double") / col("nt").cast("double"))).as("t"),
+          col("nt"))
+        .groupBy("nt").agg(sum("t").as("h"))
+    }
+    val hx = entropy(byType).select(col("h").as("hx"), col("nt"))
+    val hy = entropy(byDow).select(col("h").as("hy"))
+    val hxy = entropy(cells.select(col("nxy").as("n"))).select(
+      col("h").as("hxy"))
+    val mi = col("hx") + col("hy") - col("hxy")
+    hx.crossJoin(broadcast(hy)).crossJoin(broadcast(hxy))
+      .select(col("nt").as("n_total"),
+        round(col("hx"), 6).as("h_type"),
+        round(col("hy"), 6).as("h_dow"),
+        round(col("hxy"), 6).as("h_joint"),
+        when(col("hx") > lit(0.0), round(mi / col("hx"), 6))
+          .as("u_type_given_dow"),
+        when(col("hy") > lit(0.0), round(mi / col("hy"), 6))
+          .as("u_dow_given_type"),
+        when(col("hx") + col("hy") > lit(0.0),
+          round(lit(2.0) * mi / (col("hx") + col("hy")), 6))
+          .as("u_symmetric"))
+  }
+
+  /** 2×2 odds ratio, its log standard error, and the φ coefficient
+    * between every event-type pair's USER-LEVEL engagement — the
+    * inferential companion of [[typeAssocRules]]' support/confidence
+    * /lift (lift says "co-occurs more than chance"; ln OR ± 1.96·se
+    * says whether that survives sampling noise) and of
+    * [[cochranQTypes]]' omnibus k-ary test, pair by pair.
+    *
+    * Determinism: the engagement matrix is the binary distinct
+    * collapse, so every 2×2 cell (n₁₁ both, n₁₀/n₀₁ exclusive, n₀₀
+    * neither) is an exact BIGINT; OR, ln OR, se = √(Σ 1/cell) and
+    * φ = (n₁₁n₀₀ − n₁₀n₀₁)/√(marginal product) are pinned chains off
+    * DECIMAL(38,0)-exact products. Any empty cell → NULL OR/se
+    * (stated — the Haldane correction is a modeling choice left to
+    * the reader); a degenerate margin → NULL φ. */
+  def typePairOddsRatio(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n_one"))
+    val total = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val both = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n11"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = both
+      .join(broadcast(marg.select(col("event_type").as("type_a"),
+        col("n_one").as("na"))), "type_a")
+      .join(broadcast(marg.select(col("event_type").as("type_b"),
+        col("n_one").as("nb"))), "type_b")
+      .crossJoin(broadcast(total))
+      .select(col("type_a"), col("type_b"), col("n11"),
+        (col("na") - col("n11")).as("n10"),
+        (col("nb") - col("n11")).as("n01"),
+        (col("n_users") - col("na") - col("nb") + col("n11")).as("n00"),
+        col("na"), col("nb"), col("n_users"))
+    val orv = (dec(col("n11")) * col("n00")).cast("double") /
+      (dec(col("n10")) * col("n01")).cast("double")
+    val se = sqrt(lit(1.0) / col("n11").cast("double") +
+      lit(1.0) / col("n10").cast("double") +
+      lit(1.0) / col("n01").cast("double") +
+      lit(1.0) / col("n00").cast("double"))
+    val phiDen = dec(col("na")) * col("nb") *
+      (dec(col("n_users")) - col("na")) *
+      (dec(col("n_users")) - col("nb"))
+    val phi = (dec(col("n11")) * col("n00") -
+      dec(col("n10")) * col("n01")).cast("double") /
+      sqrt(phiDen.cast("double"))
+    val okOr = col("n11") > 0L && col("n10") > 0L && col("n01") > 0L &&
+      col("n00") > 0L
+    cells.select(col("type_a"), col("type_b"),
+      col("n11"), col("n10"), col("n01"), col("n00"),
+      when(okOr, round(orv, 6)).as("odds_ratio"),
+      when(okOr, round(log(orv), 6)).as("log_or"),
+      when(okOr, round(se, 6)).as("se_log_or"),
+      when(phiDen > lit(0), round(phi, 6)).as("phi"))
+  }
+
   /** Kuiper drift of the binned `value` distribution between the time
     * halves — the cyclic-robust member of the drift battery
     * (KS/CvM/W₁/energy/PSI): V = D⁺ + D⁻ weighs BOTH ECDF excursion

@@ -1211,6 +1211,52 @@ class ExactArithmeticSpec extends SparkSpec {
       ru.getAs[Double]("kuiper_v")) == ((0.5, 0.0, 0.5)), ru)
   }
 
+  test("theilsUTypeDow: U = 1 under perfect dependence, 0 under " +
+    "independence; a single type NULLs its own direction") {
+    // 03-04 Monday, 03-05 Tuesday; a only Mondays, b only Tuesdays
+    val dep = Seq(ev(1, "2024-03-04", "a"), ev(2, "2024-03-05", "b"))
+      .toDF(evCols: _*)
+    val rd = EventOps.theilsUTypeDow(dep).collect().head
+    assert((rd.getAs[Double]("u_type_given_dow"),
+      rd.getAs[Double]("u_dow_given_type"),
+      rd.getAs[Double]("u_symmetric")) == ((1.0, 1.0, 1.0)), rd)
+    // both types on both days with equal mass: MI = 0
+    val ind = Seq(ev(1, "2024-03-04", "a"), ev(2, "2024-03-05", "a"),
+      ev(3, "2024-03-04", "b"), ev(4, "2024-03-05", "b"))
+      .toDF(evCols: _*)
+    val ri = EventOps.theilsUTypeDow(ind).collect().head
+    assert(ri.getAs[Double]("u_symmetric") == 0.0, ri)
+    // one type on one day: H(type) = 0 -> that direction NULL
+    val one = Seq(ev(1, "2024-03-04", "a"), ev(2, "2024-03-04", "a"))
+      .toDF(evCols: _*)
+    val ro = EventOps.theilsUTypeDow(one).collect().head
+    assert(ro.isNullAt(ro.fieldIndex("u_type_given_dow")) &&
+      ro.getAs[Double]("h_type") == 0.0, ro)
+  }
+
+  test("typePairOddsRatio: exact 2x2 cells, OR = 1 with se = 2 on the " +
+    "balanced square; an empty cell NULLs the OR but keeps phi") {
+    def uev(i: Long, u: Long, t: String) =
+      (i, Timestamp.valueOf("2024-03-01 10:00:00"), u, t, 1.0, "{}")
+    // u1{a,b} u2{a} u3{b} u4{c}: pair (a,b): n11=1 n10=1 n01=1 n00=1
+    val events = Seq(uev(1, 1, "a"), uev(2, 1, "b"), uev(3, 2, "a"),
+      uev(4, 3, "b"), uev(5, 4, "c")).toDF(evCols: _*)
+    val rows = EventOps.typePairOddsRatio(events).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) -> r)
+      .toMap
+    val ab = rows(("a", "b"))
+    assert((ab.getAs[Long]("n11"), ab.getAs[Long]("n10"),
+      ab.getAs[Long]("n01"), ab.getAs[Long]("n00")) ==
+      ((1L, 1L, 1L, 1L)), ab)
+    assert((ab.getAs[Double]("odds_ratio"), ab.getAs[Double]("log_or"),
+      ab.getAs[Double]("se_log_or"), ab.getAs[Double]("phi")) ==
+      ((1.0, 0.0, 2.0, 0.0)), ab)
+    // (a, c) never co-engage: n11 = 0 -> NULL OR, phi still defined
+    val ac = rows.get(("a", "c"))
+    assert(ac.isEmpty || (ac.get.isNullAt(ac.get.fieldIndex("odds_ratio")) &&
+      !ac.get.isNullAt(ac.get.fieldIndex("phi"))), ac.toString)
+  }
+
   test("bhFdrTypePairs: step-up adjustment matches an independent " +
     "in-test BH recomputation and keeps p monotone") {
     // Three types with distinct separations: a ≪ b strongly
