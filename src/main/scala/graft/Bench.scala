@@ -52,6 +52,19 @@ import org.apache.spark.sql.SparkSession
   * judge re-ran it in isolation.
   */
 object Bench {
+
+  /** Outlier auto-retry decision (extracted so the blind spot stays
+    * unit-tested). Retry when the median is far above its OWN best rep
+    * — a mid-suite transient — OR far above the BENCH_FLOOR.md
+    * quiet-box reference. These are independent detectors joined by OR:
+    * a SUSTAINED load burst inflates all reps uniformly (median ≈ min,
+    * so the own-min detector is blind — r15's cluster_keep_longest
+    * shipped at 13× floor with tight in-run spread) but still trips
+    * the floor detector. Sub-0.3 s medians are scheduler-jitter
+    * territory; retrying them churns without information. */
+  def shouldRetry(med: Double, minRep: Double,
+      floor: Option[Double]): Boolean =
+    med > 0.3 && (med > 3 * minRep || floor.exists(f => med > 2 * f))
   def main(args: Array[String]): Unit = {
     // every JSON float below is formatted with the locale-sensitive
     // `f` interpolator — on a comma-decimal default locale (de_DE)
@@ -355,7 +368,10 @@ object Bench {
     // to the judge: re-run each flagged query once at suite end — after
     // whatever disturbance inflated it has passed — and publish the
     // better median with a "retried" marker. An entry can therefore
-    // only exceed 2× floor in the artifact WITH its flag set.
+    // only exceed 2× floor in the artifact WITH its flag set. The
+    // decision itself lives in shouldRetry (unit-tested OR of the
+    // own-min and floor detectors — see its doc for the r15 blind
+    // spot this closes).
     val floors: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_FLOOR.md")), "UTF-8")
@@ -366,11 +382,7 @@ object Bench {
     val fns = SparkEntry.queries
     for (name <- timings.keys.toSeq) {
       val med = timings(name)
-      val threshold = math.max(3 * minimums(name),
-        floors.get(name).map(_ * 2).getOrElse(0.0))
-      // sub-0.3s medians are scheduler jitter territory — retrying them
-      // churns without information
-      if (med > threshold && med > 0.3) {
+      if (shouldRetry(med, minimums(name), floors.get(name))) {
         retried += name
         val runs = Seq.fill(math.max(1, reps))(runOnce(fns(name))).sorted
         val med2 = runs(runs.length / 2)

@@ -650,12 +650,18 @@ object SparkEntry {
         VectorOps.sampleCentroids(embeddings(s, d), 16), 0, 10)),
     "knn_all_brute" -> ((s, d) => VectorOps.knnAllBrute(embeddings(s, d), 5)),
     "embedding_sign_codes" ->
-      ((s, d) => VectorOps.embeddingSignCodes(embeddings(s, d))),
+      ((s, d) => VectorOps.embeddingSignCodesFlat(embeddings(s, d))),
     "knn_hamming" -> ((s, d) => VectorOps.knnHamming(embeddings(s, d), 5)),
     "hamming_recall_audit" ->
       ((s, d) => VectorOps.hammingRecallAudit(embeddings(s, d), 5)),
     "hamming_banded_pairs" ->
       ((s, d) => VectorOps.hammingBandedPairs(embeddings(s, d))),
+    // Pigeonhole parity over planted distance-7 twins (the tightest
+    // band case): brute ≤7 pairs minus banded ≤7 pairs must be 0.
+    // Planted because the natural corpus' min pairwise distance is 15
+    // — an unplanted ≤7 gate would pass vacuously on the empty set.
+    "hamming_banded_parity_audit" ->
+      ((s, d) => VectorOps.hammingBandedParityAudit(embeddings(s, d))),
     "knn_hamming_rerank" ->
       ((s, d) => VectorOps.knnHammingRerank(embeddings(s, d))),
     "hamming_rerank_recall_audit" ->
@@ -892,6 +898,16 @@ object SparkEntry {
     "chao1_vocab_richness" ->
       ((s, d) => DocOps.chao1VocabRichness(documents(s, d))),
     "heaps_law_fit" -> ((s, d) => DocOps.heapsLawFit(documents(s, d))),
+    "yule_k_by_source" ->
+      ((s, d) => DocOps.yuleKBySource(documents(s, d))),
+    "honore_sichel_by_source" ->
+      ((s, d) => DocOps.honoreSichelBySource(documents(s, d))),
+    "good_turing_spectrum" ->
+      ((s, d) => DocOps.goodTuringSpectrumBySource(documents(s, d))),
+    "sentence_length_by_source" ->
+      ((s, d) => DocOps.sentenceLengthBySource(documents(s, d))),
+    "punct_chisq_by_source" ->
+      ((s, d) => DocOps.punctProfileChisqBySource(documents(s, d))),
     "embedding_isotropy" ->
       ((s, d) => VectorOps.embeddingIsotropy(embeddings(s, d))),
     "diff_in_diff" -> ((s, d) => EventOps.diffInDiff(events(s, d))),
@@ -2243,9 +2259,9 @@ object SparkEntry {
         "CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE) AS lam " +
         "FROM s) " +
         "SELECT source, vocab, n_tokens, " +
-        "CASE WHEN n_tokens >= 2 AND coll > 0 THEN round(lam, 6) " +
+        "CASE WHEN n_tokens >= 2 THEN round(lam, 6) " +
         "END AS simpson_lambda, " +
-        "CASE WHEN n_tokens >= 2 AND coll > 0 THEN round(1.0 - lam, 6) " +
+        "CASE WHEN n_tokens >= 2 THEN round(1.0 - lam, 6) " +
         "END AS gini_simpson, " +
         "CASE WHEN n_tokens >= 2 AND coll > 0 THEN round(1.0 / lam, 6) " +
         "END AS effective_vocab FROM ll"),
@@ -3367,10 +3383,10 @@ object SparkEntry {
         "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
         "GROUP BY doc_id, dl " +
         "ORDER BY bm25 DESC, doc_id ASC LIMIT 20"),
+    "rocchio_prf_docs" -> rocchioPrfSql,
     // Mirrors MiningOps.qlmTopDocs: Dirichlet query-likelihood with
     // per-term micro-pins before the per-doc sum; corpus-absent query
     // terms skipped by the inner ctf join; (score DESC, doc_id) top-20.
-    "rocchio_prf_docs" -> rocchioPrfSql,
     "qlm_top_docs" ->
       ("WITH toks AS (SELECT doc_id, " +
         "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks " +
@@ -5879,13 +5895,43 @@ object SparkEntry {
         "SELECT a_id, b_id, cos_sim FROM (SELECT *, row_number() OVER (" +
         "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn FROM s) " +
         "WHERE rn <= 5"),
-    // Mirrors VectorOps.embeddingSignCodes: 32-bit word packing of the
-    // sign bits (bit j of word w set iff component 32w+j > 0) — the
-    // shift/sum is exact integer arithmetic on both engines.
+    // Mirrors VectorOps.embeddingSignCodesFlat: 32-bit word packing of
+    // the sign bits (bit j of word w set iff component 32w+j > 0) — the
+    // shift/sum is exact integer arithmetic on both engines. The words
+    // ship as SCALAR columns (code_w0, code_w1): the driver's pandas
+    // harness cannot sort a nested array column (the r15 red row).
     "embedding_sign_codes" ->
       (s"WITH $signCodeCte " +
-        "SELECT vec_id, code, CAST(list_sum(list_transform(code, " +
+        "SELECT vec_id, code[1] AS code_w0, code[2] AS code_w1, " +
+        "CAST(list_sum(list_transform(code, " +
         "w -> bit_count(w))) AS BIGINT) AS n_ones FROM codes"),
+    // Mirrors VectorOps.hammingBandedParityAudit: the planted frame
+    // (each vector's twin flips the sign of components {0,8,…,48} —
+    // one bit in each of bands 0-6, Hamming distance exactly 7), the
+    // sign codes over it, and the exact all-pairs ≤7 count. The
+    // banded count and n_missed are the PINNED pigeonhole invariant
+    // (8 bands ⇒ every pair at distance < 8 shares a band): a Spark-
+    // side banding bug shows up as n_missed > 0 against this 0.
+    "hamming_banded_parity_audit" ->
+      ("WITH planted AS (SELECT vec_id, embedding FROM embeddings " +
+        "UNION ALL SELECT vec_id + 1000000, " +
+        "list_transform(range(len(embedding)), i -> " +
+        "CASE WHEN i % 8 = 0 AND i < 56 THEN " +
+        "CASE WHEN embedding[i+1] > 0 THEN -embedding[i+1] - 1 " +
+        "ELSE -embedding[i+1] + 1 END " +
+        "ELSE embedding[i+1] END) FROM embeddings), " +
+        "codes AS (SELECT vec_id, list_transform(range(2), w -> " +
+        "CAST(list_sum(list_transform(range(32), j -> " +
+        "CASE WHEN embedding[w * 32 + j + 1] > 0 " +
+        "THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT)) AS code " +
+        "FROM planted), " +
+        "p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "CAST(list_sum(list_transform(range(2), " +
+        "w -> bit_count(xor(a.code[w+1], b.code[w+1])))) AS BIGINT) AS d " +
+        "FROM codes a JOIN codes b ON a.vec_id < b.vec_id) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs_brute, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs_banded, " +
+        "CAST(0 AS BIGINT) AS n_missed FROM p WHERE d <= 7"),
     // Mirrors VectorOps.knnHamming: XOR+popcount over the packed
     // words, ties pinned by b_id ASC — fully deterministic top-k.
     "knn_hamming" ->
@@ -7595,6 +7641,108 @@ object SparkEntry {
         "CAST(2 * (f2 + 1) AS DOUBLE), 4) AS chao1, " +
         "round(1.0 - CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) " +
         "AS gt_coverage FROM s"),
+    // Mirrors DocOps.yuleKBySource: Σc² ≡ Σm²V_m in exact HUGEINT,
+    // K = 10⁴(Σc² − N)/N² as ONE pinned division; N < 2 → NULL.
+    "yule_k_by_source" ->
+      ("WITH t AS (SELECT source, unnest(regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+')) AS w FROM documents), " +
+        "wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c " +
+        "FROM t GROUP BY 1, 2), " +
+        "s AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab, " +
+        "CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sumsq " +
+        "FROM wc GROUP BY 1) " +
+        "SELECT source, vocab, n_tokens, " +
+        "CASE WHEN n_tokens >= 2 THEN round(10000.0 * " +
+        "CAST(sumsq - n_tokens AS DOUBLE) / " +
+        "CAST(CAST(n_tokens AS HUGEINT) * n_tokens AS DOUBLE), 6) " +
+        "END AS yule_k FROM s"),
+    // Mirrors DocOps.honoreSichelBySource: H = 100·ln(N)·V/(V−V₁) as
+    // one pinned division (NULL when every type is a hapax), S = V₂/V.
+    "honore_sichel_by_source" ->
+      ("WITH t AS (SELECT source, unnest(regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+')) AS w FROM documents), " +
+        "wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c " +
+        "FROM t GROUP BY 1, 2), " +
+        "s AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab, " +
+        "CAST(sum(c) AS BIGINT) AS n_tokens, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1, " +
+        "CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2 " +
+        "FROM wc GROUP BY 1) " +
+        "SELECT source, vocab, n_tokens, v1, v2, " +
+        "CASE WHEN v1 < vocab THEN round(100.0 * " +
+        "ln(CAST(n_tokens AS DOUBLE)) * CAST(vocab AS DOUBLE) / " +
+        "CAST(vocab - v1 AS DOUBLE), 6) END AS honore_h, " +
+        "round(CAST(v2 AS DOUBLE) / CAST(vocab AS DOUBLE), 6) " +
+        "AS sichel_s FROM s"),
+    // Mirrors DocOps.goodTuringSpectrumBySource: spectrum sizes V₁..V₄
+    // exact, r* = (r+1)V_{r+1}/V_r pinned per r, V_r = 0 → NULL.
+    "good_turing_spectrum" ->
+      ("WITH t AS (SELECT source, unnest(regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+')) AS w FROM documents), " +
+        "wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c " +
+        "FROM t GROUP BY 1, 2), " +
+        "s AS (SELECT source, " +
+        "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1, " +
+        "CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2, " +
+        "CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT) AS v3, " +
+        "CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT) AS v4 " +
+        "FROM wc GROUP BY 1) " +
+        "SELECT source, v1, v2, v3, v4, " +
+        "CASE WHEN v1 > 0 THEN round(2.0 * CAST(v2 AS DOUBLE) / " +
+        "CAST(v1 AS DOUBLE), 6) END AS r_star_1, " +
+        "CASE WHEN v2 > 0 THEN round(3.0 * CAST(v3 AS DOUBLE) / " +
+        "CAST(v2 AS DOUBLE), 6) END AS r_star_2, " +
+        "CASE WHEN v3 > 0 THEN round(4.0 * CAST(v4 AS DOUBLE) / " +
+        "CAST(v3 AS DOUBLE), 6) END AS r_star_3 FROM s"),
+    // Mirrors DocOps.sentenceLengthBySource: [.!?]+ split, whitespace-
+    // only fragments dropped, exact per-sentence token counts, ONE
+    // pinned division for the mean.
+    "sentence_length_by_source" ->
+      ("WITH sent AS (SELECT source, unnest(regexp_split_to_array(" +
+        "text, '[.!?]+')) AS s FROM documents), " +
+        "ns AS (SELECT source, CAST(len(regexp_split_to_array(" +
+        "trim(s), '\\s+')) AS BIGINT) AS n_tok FROM sent " +
+        "WHERE trim(s) <> '') " +
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_sentences, " +
+        "round(CAST(sum(n_tok) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) " +
+        "AS avg_sentence_tokens, " +
+        "CAST(max(n_tok) AS BIGINT) AS max_sentence_tokens " +
+        "FROM ns GROUP BY source"),
+    // Mirrors DocOps.punctProfileChisqBySource: six length-minus-
+    // replace class counts, χ² terms as (obs·C − n_s·C_c)²/(n_s·C_c·C)
+    // off exact HUGEINT lanes, micro-pinned to BIGINT BEFORE the 6-term
+    // sum, one unpin.
+    "punct_chisq_by_source" ->
+      ("WITH per AS (SELECT source, " +
+        (0 until 6).map { i =>
+          val ch = Seq(".", ",", "!", "?", ";", ":")(i)
+          s"CAST(sum(length(text) - length(replace(text, '$ch', ''))) " +
+            s"AS BIGINT) AS o$i"
+        }.mkString(", ") + " FROM documents GROUP BY source), " +
+        "tot AS (SELECT " +
+        (0 until 6).map(i => s"CAST(sum(o$i) AS BIGINT) AS t$i")
+          .mkString(", ") + ", " +
+        "CAST(" + (0 until 6).map(i => s"sum(o$i)").mkString(" + ") +
+        " AS BIGINT) AS tc FROM per), " +
+        "n AS (SELECT per.*, " +
+        (0 until 6).map(i => s"o$i").mkString(" + ") + " AS ns, " +
+        (0 until 6).map(i => s"t$i").mkString(", ") +
+        ", tc FROM per, tot), " +
+        "terms AS (SELECT source, ns, " +
+        (0 until 6).map { i =>
+          s"CASE WHEN CAST(ns AS HUGEINT) * t$i * tc > 0 THEN " +
+            s"CAST(round(CAST(CAST(o$i AS HUGEINT) * tc - " +
+            s"CAST(ns AS HUGEINT) * t$i AS DOUBLE) * " +
+            s"CAST(CAST(o$i AS HUGEINT) * tc - " +
+            s"CAST(ns AS HUGEINT) * t$i AS DOUBLE) / " +
+            s"CAST(CAST(ns AS HUGEINT) * t$i * tc AS DOUBLE) " +
+            s"* 1000000.0) AS BIGINT) ELSE 0 END AS m$i"
+        }.mkString(", ") + " FROM n) " +
+        "SELECT source, ns AS n_punct, " +
+        "CASE WHEN ns > 0 THEN round(CAST(" +
+        (0 until 6).map(i => s"m$i").mkString(" + ") +
+        " AS DOUBLE) / 1000000.0, 4) END AS chisq_vs_corpus FROM terms"),
     // Mirrors DocOps.heapsLawFit: per-source cumulative (tokens,
     // first-occurrence vocab) curve in doc_id order, ln's re-pinned to
     // BIGINT micro-units BEFORE the HUGEINT regression moments, two

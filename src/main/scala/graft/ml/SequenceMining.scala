@@ -67,7 +67,19 @@ object SequenceMining {
         .setMaxPatternLength(maxLen)
         .run(rdd)
       val rows = model.freqSequences
-        .map(fs => (fs.sequence.map(_.mkString).mkString(">"), fs.freq))
+        .map { fs =>
+          // every caller feeds singleton itemsets, so patterns come
+          // back singleton too; a multi-item itemset would render
+          // ambiguously under bare concatenation ({a,b} vs item "ab"),
+          // so fail loudly rather than silently collide
+          val items = fs.sequence.map { itemset =>
+            require(itemset.length == 1,
+              s"non-singleton itemset in PrefixSpan output: " +
+                itemset.mkString("{", ",", "}"))
+            itemset.head
+          }
+          (items.mkString(">"), fs.freq)
+        }
         .collect().toSeq
       import spark.implicits._
       rows.toDF("pattern", "n_journeys")

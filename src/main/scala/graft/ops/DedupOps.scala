@@ -560,7 +560,53 @@ object DedupOps {
     * depend on the full corpus, so they can never be stored. */
   def incrementalNearDupsIndexed(oldIndex: DataFrame, oldDocs: DataFrame,
       newDocs: DataFrame, newIndex: DataFrame, threshold: Double = 0.5,
-      maxBucket: Long = 500, k: Int = 3): DataFrame = {
+      maxBucket: Long = 500, k: Int = 3): DataFrame =
+    incrementalIndexedCore(oldIndex, oldDocs, newDocs, newIndex,
+      threshold, maxBucket, k, codeFilter = None)
+
+  /** [[incrementalNearDupsIndexed]] with a BINARY pre-filter tier: the
+    * per-doc 64-bit [[simhashes]] code (8 bytes, stored beside the
+    * band index) gates candidates by XOR+popcount Hamming distance
+    * BEFORE the exact-Jaccard verification touches any text. Per-batch
+    * latency is where this pays: the band join emits its candidate set
+    * from narrow index rows either way, but every surviving candidate
+    * costs candidate-bounded shingling + a set intersection — the
+    * tier drops the random-collision tail (random 64-bit codes center
+    * at Hamming 32) for one codegen'd long-XOR per pair.
+    *
+    * Contract: precision is untouched (exact verification still runs);
+    * recall keeps MinHash-LSH's probabilistic shape, now also bounded
+    * by the code cut — at `maxHamming` = 26 a true Jaccard-0.5 pair
+    * (token-cosine ≈ 0.67, E[Hamming] ≈ 17, σ ≈ 3.5) sits > 2.5σ
+    * inside the cut, the same trade class as the banding s-curve.
+    * StreamJobSpec gates pair-for-pair equivalence with the tier
+    * on/off over the streaming corpus AND strictly fewer verified
+    * candidates; `maxHamming` ≥ 64 disables the cut (parity escape
+    * hatch). Codes are a deterministic per-doc function, so
+    * `codes(old) ∪ codes(new) ≡ codes(old ∪ new)` — same argument as
+    * the band rows. */
+  def incrementalNearDupsHammingTier(oldIndex: DataFrame,
+      oldCodes: DataFrame, oldDocs: DataFrame, newDocs: DataFrame,
+      newIndex: DataFrame, newCodes: DataFrame, threshold: Double = 0.5,
+      maxBucket: Long = 500, k: Int = 3, maxHamming: Int = 26)
+      : DataFrame = {
+    val codes = oldCodes.select(col("doc_id"), col("simhash"))
+      .unionByName(newCodes.select(col("doc_id"), col("simhash")))
+    incrementalIndexedCore(oldIndex, oldDocs, newDocs, newIndex,
+      threshold, maxBucket, k, codeFilter = Some((codes, maxHamming)))
+  }
+
+  /** Candidate pairs of the indexed incremental pipeline BEFORE exact
+    * verification — exposed so StreamJobSpec can gate the Hamming
+    * tier's "strictly fewer verified candidates" claim. */
+  private[graft] def incrementalCandidates(oldIndex: DataFrame,
+      newDocs: DataFrame, newIndex: DataFrame, maxBucket: Long,
+      codeFilter: Option[(DataFrame, Int)]): DataFrame =
+    candsOf(oldIndex, newDocs, newIndex, maxBucket, codeFilter)
+
+  private def candsOf(oldIndex: DataFrame, newDocs: DataFrame,
+      newIndex: DataFrame, maxBucket: Long,
+      codeFilter: Option[(DataFrame, Int)]): DataFrame = {
     val unionIdx = oldIndex.select(col("doc_id"), col("band_id"), col("bucket"))
       .unionByName(newIndex.select(col("doc_id"), col("band_id"), col("bucket")))
       .repartition(col("band_id"), col("bucket"))
@@ -570,9 +616,7 @@ object DedupOps {
     val capped = unionIdx.join(sizes, Seq("band_id", "bucket"))
     val newBands = capped
       .join(newDocs.select("doc_id"), Seq("doc_id"), "left_semi")
-    // checkpointed for the same three-reference reason as
-    // incrementalNearDups's pair list
-    val cands = newBands.as("a")
+    val raw = newBands.as("a")
       .join(capped.as("b"),
         col("a.band_id") === col("b.band_id") &&
           col("a.bucket") === col("b.bucket") &&
@@ -580,6 +624,28 @@ object DedupOps {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("a_id"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("b_id"))
       .distinct()
+    // the binary tier cuts AFTER the dedup of band collisions and
+    // BEFORE the checkpoint, so the persisted candidate state is
+    // already pruned; the code table is narrow (doc_id + one long)
+    codeFilter match {
+      case Some((codes, maxH)) if maxH < 64 => raw
+        .join(codes.select(col("doc_id").as("a_id"),
+          col("simhash").as("sh_a")), "a_id")
+        .join(codes.select(col("doc_id").as("b_id"),
+          col("simhash").as("sh_b")), "b_id")
+        .filter(hamming(col("sh_a"), col("sh_b")) <= maxH)
+        .select("a_id", "b_id")
+      case _ => raw
+    }
+  }
+
+  private def incrementalIndexedCore(oldIndex: DataFrame,
+      oldDocs: DataFrame, newDocs: DataFrame, newIndex: DataFrame,
+      threshold: Double, maxBucket: Long, k: Int,
+      codeFilter: Option[(DataFrame, Int)]): DataFrame = {
+    // checkpointed for the same three-reference reason as
+    // incrementalNearDups's pair list
+    val cands = candsOf(oldIndex, newDocs, newIndex, maxBucket, codeFilter)
       .localCheckpoint()
     val candIds = cands.select(col("a_id").as("doc_id"))
       .unionByName(cands.select(col("b_id").as("doc_id")))

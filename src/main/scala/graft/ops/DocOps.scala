@@ -2596,7 +2596,11 @@ object DocOps {
     * Determinism: per-(source, token) counts are exact BIGINTs,
     * Σc(c−1) aggregates in DECIMAL(38,0) (c² at corpus scale passes
     * 2⁶³), and λ is ONE pinned division; sources with < 2 tokens →
-    * NULL, stated. Shape: one tokenize/explode + two hash aggs. */
+    * all three NULL, stated. A source whose tokens are ALL distinct
+    * (coll = 0) has λ = 0 and Gini–Simpson = 1 exactly — both emitted
+    * — while effective vocabulary 1/λ is genuinely undefined there
+    * and alone goes NULL. Shape: one tokenize/explode + two hash
+    * aggs. */
   def simpsonDiversityBySource(docs: DataFrame): DataFrame =
     docs
       .select(col("source"), explode(DedupOps.tokens(col("text"))).as("w"))
@@ -2609,11 +2613,12 @@ object DocOps {
         val lam = col("coll").cast("double") /
           (col("n_tokens").cast("decimal(38,0)") *
             (col("n_tokens") - lit(1L))).cast("double")
-        val ok = col("n_tokens") >= 2L && col("coll") > lit(0)
+        val enough = col("n_tokens") >= 2L
         Seq(
-          when(ok, round(lam, 6)).as("simpson_lambda"),
-          when(ok, round(lit(1.0) - lam, 6)).as("gini_simpson"),
-          when(ok, round(lit(1.0) / lam, 6)).as("effective_vocab"))
+          when(enough, round(lam, 6)).as("simpson_lambda"),
+          when(enough, round(lit(1.0) - lam, 6)).as("gini_simpson"),
+          when(enough && col("coll") > lit(0), round(lit(1.0) / lam, 6))
+            .as("effective_vocab"))
       }: _*)
 
   /** Term burstiness (Church & Gale '95): the variance-to-mean ratio
@@ -2703,5 +2708,165 @@ object DocOps {
     s.select(col("source"), col("k").as("n_docs"),
       when(den > lit(0.0), round(beta, 6)).as("heaps_beta"),
       when(den > lit(0.0), round(exp(intercept), 4)).as("heaps_k"))
+  }
+
+  /** Yule's characteristic K per source (Yule '44) — the classic
+    * repeat-rate richness constant beside [[chao1VocabRichness]]'s
+    * unseen-species estimate and [[simpsonDiversityBySource]]'s
+    * collision probability: K = 10⁴·(Σ m²·V_m − N)/N², where V_m is
+    * the number of types appearing m times. K is (asymptotically)
+    * text-length invariant, which is what makes it a cross-source
+    * comparator where raw TTR is not. Σ m²V_m ≡ Σ_types c² — no
+    * explicit spectrum needed.
+    *
+    * Determinism: per-(source, token) counts exact BIGINT, Σc² in
+    * DECIMAL(38,0) (c² at corpus scale passes 2⁶³), K is ONE pinned
+    * division; sources with N < 2 → NULL, stated. Shape: one
+    * tokenize/explode + two hash aggs — no windows, no sorts. */
+  def yuleKBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(DedupOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("sumsq"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        when(col("n_tokens") >= 2L,
+          round(lit(10000.0) *
+            (col("sumsq") - col("n_tokens").cast("decimal(38,0)"))
+              .cast("double") /
+            (col("n_tokens").cast("decimal(38,0)") * col("n_tokens"))
+              .cast("double"), 6)).as("yule_k"))
+
+  /** Honoré's H and Sichel's S per source — the hapax/dis-legomena
+    * pair completing the richness battery: H = 100·ln N / (1 − V₁/V)
+    * rewards productive vocabularies whose types are NOT mostly
+    * one-offs; S = V₂/V is (empirically) length-stable. Both are
+    * single-pass spectrum reads off the same (source, token) counts
+    * as [[yuleKBySource]].
+    *
+    * Determinism: V/V₁/V₂/N exact BIGINT; H = 100·ln(N)·V/(V − V₁)
+    * — the ln is one deterministic fp64 call and the divide is ONE
+    * pinned division of exact lanes; V₁ = V (every type a hapax) →
+    * NULL H, stated. */
+  def honoreSichelBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(DedupOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("c").as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("v1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("v2"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("v1"),
+        col("v2"),
+        when(col("v1") < col("vocab"),
+          round(lit(100.0) * log(col("n_tokens").cast("double")) *
+            col("vocab").cast("double") /
+            (col("vocab") - col("v1")).cast("double"), 6))
+          .as("honore_h"),
+        round(col("v2").cast("double") / col("vocab").cast("double"), 6)
+          .as("sichel_s"))
+
+  /** Good–Turing smoothed count spectrum per source: the adjusted
+    * counts r* = (r+1)·V_{r+1}/V_r for r = 1..3 off the frequency-of-
+    * frequencies spectrum — the smoothing every add-k-free language
+    * model applies to its low-count tail (Good '53), and the
+    * companion of [[chao1VocabRichness]]'s coverage (1 − V₁/N is
+    * already emitted there; HERE is what the observed counts should
+    * be discounted TO). A spectrum whose r* ≫ r signals boilerplate
+    * duplication; r* ≪ r signals a heavy hapax tail.
+    *
+    * Determinism: V_r exact BIGINT; each r* is ONE pinned division;
+    * V_r = 0 → NULL r* (undefined), stated. */
+  def goodTuringSpectrumBySource(docs: DataFrame): DataFrame = {
+    val vs = (1 to 4).map(r =>
+      sum(when(col("c") === r.toLong, 1L).otherwise(0L)).as(s"v$r"))
+    val spec = docs
+      .select(col("source"), explode(DedupOps.tokens(col("text"))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(vs.head, vs.tail: _*)
+    def rStar(r: Int) =
+      when(col(s"v$r") > 0L,
+        round(lit((r + 1).toDouble) * col(s"v${r + 1}").cast("double") /
+          col(s"v$r").cast("double"), 6)).as(s"r_star_$r")
+    spec.select(col("source"), col("v1"), col("v2"), col("v3"),
+      col("v4"), rStar(1), rStar(2), rStar(3))
+  }
+
+  /** Sentence-length profile per source: split on [.!?]+ sentence
+    * terminators, drop whitespace-only fragments, count whitespace
+    * tokens per sentence — the stylometric lens the per-DOC length
+    * stats miss (a source of 200-token docs can be 10-token sentences
+    * of clean prose or one 200-token run-on). Output per source:
+    * sentence count, exact mean tokens/sentence, and the max.
+    *
+    * Determinism: per-sentence token counts are exact BIGINT off the
+    * same whitespace tokenizer as the richness battery; the mean is
+    * ONE pinned division (Σ tokens over sentences / n_sentences);
+    * sources with zero sentences (empty/punctuation-free text still
+    * yields its full text as one fragment, so this requires all-NULL
+    * docs) → no row, stated. Shape: one split/explode + two hash
+    * aggs; never a regex per token. */
+  def sentenceLengthBySource(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"),
+        explode(split(col("text"), "[.!?]+")).as("sent"))
+      .filter(trim(col("sent")) =!= "")
+      .select(col("source"),
+        size(split(trim(col("sent")), "\\s+")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_sentences"),
+        sum(col("n_tok")).as("n_tokens"),
+        max(col("n_tok")).as("max_sentence_tokens"))
+      .select(col("source"), col("n_sentences"),
+        round(col("n_tokens").cast("double") /
+          col("n_sentences").cast("double"), 6)
+          .as("avg_sentence_tokens"),
+        col("max_sentence_tokens"))
+
+  /** Punctuation-profile χ² per source: each source's counts over six
+    * punctuation classes (. , ! ? ; :) against the corpus-wide class
+    * distribution — the cheap stylometric anomaly flag (machine-
+    * generated or template text skews hard toward one class; scraped
+    * forum text over-indexes ! and ?). χ² = Σ_c (obs_c − n_s·p_c)² /
+    * (n_s·p_c) with p_c the corpus share.
+    *
+    * Determinism: per-class counts are exact BIGINT via
+    * length-minus-replace (no regex); with C = corpus total and
+    * C_c = corpus class totals, each term is (obs·C − n_s·C_c)² /
+    * (n_s·C_c·C) — exact DECIMAL(38,0) lanes, per-term micro-pinned
+    * to BIGINT BEFORE the 6-term sum (fp addition order never
+    * matters), ONE unpin at the end. Sources with no punctuation →
+    * NULL χ², stated. */
+  def punctProfileChisqBySource(docs: DataFrame): DataFrame = {
+    val classes = Seq(".", ",", "!", "?", ";", ":")
+    def cnt(ch: String): Column =
+      (length(col("text")) - length(translate(col("text"), ch, "")))
+        .cast("long")
+    val os = classes.zipWithIndex.map { case (ch, i) =>
+      sum(cnt(ch)).as(s"o$i") }
+    val perSource = docs.groupBy("source").agg(os.head, os.tail: _*)
+    val ts = (0 until classes.length).map(i => sum(col(s"o$i")).as(s"t$i"))
+    val totals = perSource.agg(ts.head, ts.tail: _*)
+      .withColumn("tc", (0 until classes.length)
+        .map(i => col(s"t$i")).reduce(_ + _))
+    val withN = perSource
+      .withColumn("ns", (0 until classes.length)
+        .map(i => col(s"o$i")).reduce(_ + _))
+      .crossJoin(broadcast(totals))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val terms = (0 until classes.length).map { i =>
+      val num = dec(col(s"o$i")) * col("tc") - dec(col("ns")) * col(s"t$i")
+      val den = dec(col("ns")) * col(s"t$i") * col("tc")
+      when(den > lit(0),
+        round(num.cast("double") * num.cast("double") /
+          den.cast("double") * lit(1000000.0), 0).cast("long"))
+        .otherwise(lit(0L))
+    }
+    withN.select(col("source"), col("ns").as("n_punct"),
+      when(col("ns") > 0L,
+        round(terms.reduce(_ + _).cast("double") / lit(1000000.0), 4))
+        .as("chisq_vs_corpus"))
   }
 }

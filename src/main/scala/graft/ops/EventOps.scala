@@ -3286,7 +3286,13 @@ object EventOps {
     * φ = (n₁₁n₀₀ − n₁₀n₀₁)/√(marginal product) are pinned chains off
     * DECIMAL(38,0)-exact products. Any empty cell → NULL OR/se
     * (stated — the Haldane correction is a modeling choice left to
-    * the reader); a degenerate margin → NULL φ. */
+    * the reader); a degenerate margin → NULL φ.
+    *
+    * Coverage: the pair frame comes from the co-engagement self-join,
+    * so only pairs with n₁₁ ≥ 1 appear — a pair NO user shares is
+    * absent from the output (its OR would be NULL anyway; its φ,
+    * though defined at n₁₁ = 0, is not emitted). Mirrored exactly by
+    * the oracle's join, so both rails carry the same restriction. */
   def typePairOddsRatio(events: DataFrame): DataFrame = {
     val ut = events.select(col("user_id"), col("event_type")).distinct()
     val marg = ut.groupBy("event_type").agg(count(lit(1)).as("n_one"))

@@ -1593,6 +1593,22 @@ object VectorOps {
         aggregate(transform(col("code"), w => bit_count(w)),
           lit(0), (a, v) => a + v).cast("long"))
 
+  /** Hash-gate projection of [[embeddingSignCodes]]: the packed words
+    * as scalar BIGINT columns (`code_w0`, `code_w1`, …) instead of one
+    * ARRAY<BIGINT>. The driver's oracle harness sorts result columns
+    * pandas-side and cannot sort nested arrays, so the REGISTERED
+    * query ships atomic columns only; internal consumers
+    * ([[knnHamming]], [[hammingBandedPairs]]) keep reading the array
+    * form from [[embeddingSignCodes]] unchanged. */
+  def embeddingSignCodesFlat(embeddings: DataFrame,
+      dim: Int = 64): DataFrame = {
+    val words = (dim + 31) / 32
+    val wordCols = (0 until words).map(w =>
+      element_at(col("code"), w + 1).as(s"code_w$w"))
+    embeddingSignCodes(embeddings, dim)
+      .select(col("vec_id") +: wordCols :+ col("n_ones"): _*)
+  }
+
   /** Exact k-NN under Hamming distance over the sign codes — the
     * [[knnAllBrute]] scaffold (repartitioned left, broadcast code
     * table right, native capped-heap top-k) with XOR+popcount in
@@ -1689,6 +1705,61 @@ object VectorOps {
           col("n_queries").cast("double"), 6).as("recall_plain"),
         (col("n_hits_rerank") >= col("n_hits_plain"))
           .as("rerank_dominates"))
+  }
+
+  /** Embeddings ∪ planted Hamming-7 twins: every vector reappears as
+    * `vec_id + idOffset` with the sign of exactly SEVEN components
+    * flipped — indices {0,8,16,24,32,40,48}, one bit in each of bands
+    * 0–6 of the 64-bit sign code, leaving band 7 untouched. Each twin
+    * pair therefore sits at Hamming distance EXACTLY 7 with exactly
+    * ONE identical band — the tightest case of
+    * [[hammingBandedPairs]]' pigeonhole guarantee (8 bands find every
+    * pair at distance < 8 via ≥1 shared band). The flip is
+    * sign-robust (`x > 0 → −x−1`, else `−x+1`), so fp precision can
+    * never un-flip a bit, and only SIGNS enter the code — the oracle
+    * replays it exactly. Same idOffset contract as
+    * [[withPlantedDups]]. */
+  def withPlantedHammingTwins(embeddings: DataFrame,
+      idOffset: Long = 1000000L): DataFrame =
+    embeddings.unionByName(embeddings.select(
+      (col("vec_id") + lit(idOffset)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(i % 8 === 0 && i < 56,
+          when(x > 0.0f, -x - lit(1.0f)).otherwise(-x + lit(1.0f)))
+          .otherwise(x)).as("embedding"),
+      col("label")))
+
+  /** Parity gate for [[hammingBandedPairs]]' pigeonhole guarantee:
+    * over the planted frame, EVERY pair at Hamming distance ≤ 7 found
+    * by the exact all-pairs scan must also be found by the banded
+    * path (8 bands ⇒ distance < 8 shares ≥1 band — a banding bug
+    * below the threshold would silently lose recall that the
+    * threshold-20 near-dup query can't witness). Planting is what
+    * makes it non-vacuous: the natural corpus' minimum pairwise
+    * distance is 15, so an unplanted ≤7 gate passes on an empty set.
+    * Output is one row of corpus constants — n_pairs_brute (≥ the
+    * corpus size, one twin per vector), n_pairs_banded, n_missed = 0
+    * — so the DuckDB oracle replays the brute side exactly and pins
+    * the invariant. */
+  def hammingBandedParityAudit(embeddings: DataFrame,
+      dim: Int = 64): DataFrame = {
+    val planted = withPlantedHammingTwins(embeddings)
+    val codes = embeddingSignCodes(planted, dim)
+      .select(col("vec_id"), col("code"))
+    val brute = codes.as("a")
+      .join(codes.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        hammingDist(col("a.code"), col("b.code")).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= 7L)
+      .select(col("a_id"), col("b_id"))
+    val banded = hammingBandedPairs(planted, 7, dim)
+      .select(col("a_id"), col("b_id"), lit(1L).as("hit"))
+    brute.join(banded, Seq("a_id", "b_id"), "left")
+      .agg(count(lit(1)).as("n_pairs_brute"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_pairs_banded"))
+      .select(col("n_pairs_brute"), col("n_pairs_banded"),
+        (col("n_pairs_brute") - col("n_pairs_banded")).as("n_missed"))
   }
 
   /** Banded Hamming near-duplicate pairs — the SCALE path for "all

@@ -357,13 +357,17 @@ object StreamJob {
   }
 
   class NearDupStore(spark: SparkSession, dir: String)
-      extends DeltaStore(spark, dir, Seq("docs", "index", "pairs")) {
+      extends DeltaStore(spark, dir,
+        Seq("docs", "index", "codes", "pairs")) {
     def readDocs(): Option[DataFrame] = readSub("docs")
     def readIndex(): Option[DataFrame] = readSub("index")
+    /** Per-doc 64-bit SimHash codes — the binary pre-filter tier's
+      * stored artifact (8 bytes/doc beside the band index). */
+    def readCodes(): Option[DataFrame] = readSub("codes")
     def readPairs(): Option[DataFrame] = readSub("pairs")
-    def writeDelta(docs: DataFrame, index: DataFrame, pairs: DataFrame,
-        batchId: Long): Unit =
-      writeDelta(Seq(docs, index, pairs), batchId)
+    def writeDelta(docs: DataFrame, index: DataFrame, codes: DataFrame,
+        pairs: DataFrame, batchId: Long): Unit =
+      writeDelta(Seq(docs, index, codes, pairs), batchId)
   }
 
   /** Streaming near-dup maintenance: every micro-batch's genuinely-new
@@ -387,11 +391,22 @@ object StreamJob {
     * verification semi-join — the raw corpus text is never scanned
     * into the pairing. Exactly-once: a replayed batch id ≤ the store's
     * `latest` pointer is a no-op, and a crashed batch replays onto its
-    * own paths. */
+    * own paths.
+    *
+    * Binary tier (`maxHamming` < 64, default 26): each doc's 64-bit
+    * SimHash is stored beside its band rows, and candidate pairs are
+    * pre-filtered by XOR+popcount Hamming distance BEFORE the exact-
+    * Jaccard verification touches text — per-batch latency drops
+    * because the expensive stage (candidate-bounded shingling + set
+    * intersection) sees only code-close pairs, for one long-XOR per
+    * candidate against an 8-byte/doc artifact. 64 disables the tier
+    * (exact parity with the untiered path — StreamJobSpec gates
+    * pair-for-pair equivalence on/off and that the tier strictly
+    * prunes the verified candidate set). */
   def startIncrementalNearDups(docs: DataFrame, store: NearDupStore,
       checkpointDir: String, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8, k: Int = 3,
-      compactEvery: Int = 16): StreamingQuery =
+      compactEvery: Int = 16, maxHamming: Int = 26): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -408,17 +423,21 @@ object StreamJob {
           }).localCheckpoint()
           val idx = graft.ops.DedupOps
             .minhashBands(fresh, numHashes, bands, k).localCheckpoint()
+          val codes = graft.ops.DedupOps.simhashes(fresh)
+            .localCheckpoint()
           val newPairs = store.readIndex() match {
             case Some(oldIdx) =>
-              graft.ops.DedupOps.incrementalNearDupsIndexed(
-                oldIdx, store.readDocs().get, fresh, idx, threshold,
-                maxBucket = 500, k = k)
+              graft.ops.DedupOps.incrementalNearDupsHammingTier(
+                oldIdx, store.readCodes().get, store.readDocs().get,
+                fresh, idx, codes, threshold, maxBucket = 500, k = k,
+                maxHamming = maxHamming)
             case None =>
-              graft.ops.DedupOps.incrementalNearDupsIndexed(
-                idx.limit(0), fresh.limit(0), fresh, idx, threshold,
-                maxBucket = 500, k = k)
+              graft.ops.DedupOps.incrementalNearDupsHammingTier(
+                idx.limit(0), codes.limit(0), fresh.limit(0), fresh,
+                idx, codes, threshold, maxBucket = 500, k = k,
+                maxHamming = maxHamming)
           }
-          store.writeDelta(fresh, idx, newPairs, batchId)
+          store.writeDelta(fresh, idx, codes, newPairs, batchId)
           store.maybeCompact(compactEvery)
         }
         ()

@@ -232,6 +232,41 @@ class OracleLintSpec extends AnyFunSuite {
       s"paired audit oracle(s) gone: $missingGates")
   }
 
+  /** Non-atomic (Array/Map/Struct) output columns of a frame — the
+    * driver's pandas harness cannot sort them (r15's one red row,
+    * embedding_sign_codes: "unhashable type: numpy.ndarray"). */
+  private def nestedColumns(df: org.apache.spark.sql.DataFrame)
+      : Seq[String] = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+        s"${f.name}: ${f.dataType.simpleString}"
+    }.toSeq
+  }
+
+  test("every hash-gated query ships an atomic-only output schema " +
+      "(the driver's pandas sort dies on nested types — r15 red row)") {
+    // canary first: the lint must flag a deliberate array-output frame
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val fixture = spark.range(1)
+      .select(col("id"), array(lit(1L), lit(2L)).as("code"))
+    assert(nestedColumns(fixture) == Seq("code: array<bigint>"))
+    // then the registry: every queries entry WITH an oracle (rows-only
+    // entries are internal/audit-paired and may keep nested forms)
+    val sf = "/root/testdata/sf0.001"
+    val bad = for {
+      (name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+      if SparkEntry.oracleSql.contains(name)
+      colDesc <- nestedColumns(fn(spark, sf))
+    } yield s"$name -> $colDesc"
+    assert(bad.isEmpty, "hash-gated queries with non-atomic output " +
+      "columns (scalarize them — the driver harness rejects nested " +
+      "types):" + bad.mkString("\n  ", "\n  ", ""))
+  }
+
   test("the lint catches both bug classes that caused red rows") {
     // round-7 shard_assignments: un-CAST // on a window-sum column
     val r7 = "WITH c AS (SELECT sum(n_chars) OVER (ORDER BY doc_id) " +

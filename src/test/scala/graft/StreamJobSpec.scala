@@ -439,6 +439,56 @@ class StreamJobSpec extends SparkSpec {
       store.lastBatchId() == 4L)
   }
 
+  test("binary Hamming tier: identical pair output with the tier " +
+      "on/off, strictly fewer verified candidates (judge task r16#5)") {
+    // mechanism, unit level: two band collisions, one with codes at
+    // Hamming 64 (dropped BEFORE verification), one at Hamming 1
+    // (kept) — the tier strictly prunes the verified candidate set
+    val oldIdx = Seq((1L, 0, 42L), (3L, 0, 7L))
+      .toDF("doc_id", "band_id", "bucket")
+    val newIdx = Seq((2L, 0, 42L), (4L, 0, 7L))
+      .toDF("doc_id", "band_id", "bucket")
+    val codes = Seq((1L, 0L), (2L, -1L), (3L, 12L), (4L, 8L))
+      .toDF("doc_id", "simhash")
+    val freshDocs = Seq((2L, "x"), (4L, "y")).toDF("doc_id", "text")
+    val nPlain = ops.DedupOps.incrementalCandidates(
+      oldIdx, freshDocs, newIdx, 500, None).count()
+    val nTier = ops.DedupOps.incrementalCandidates(
+      oldIdx, freshDocs, newIdx, 500, Some((codes, 26))).count()
+    assert(nPlain == 2L && nTier == 1L,
+      s"tier should strictly prune: plain=$nPlain tier=$nTier")
+    // maxHamming ≥ 64 is the documented parity escape hatch
+    assert(ops.DedupOps.incrementalCandidates(
+      oldIdx, freshDocs, newIdx, 500, Some((codes, 64))).count() == nPlain)
+
+    // end-to-end: the SAME batches streamed through two sinks, tier
+    // on (26, the default) vs off (64) — stored pairs identical
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the rain in spain falls mainly on the plain every day"
+    val batches = Seq(
+      Seq((0L, base), (1L, "unrelated text about database engines")),
+      Seq((10L, base.replace("every day", "each morning"))),
+      Seq((20L, base.replace("quick brown", "swift brown"))))
+    def run(maxHamming: Int): Set[(Long, Long, Double)] = {
+      val input = MemoryStream[(Long, String)](spark)
+      val docs = input.toDF().toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("ndtier").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+      val store = new StreamJob.NearDupStore(spark, dir)
+      val q = StreamJob.startIncrementalNearDups(docs, store, ckpt,
+        maxHamming = maxHamming)
+      try batches.foreach { b =>
+        input.addData(b: _*); q.processAllAvailable()
+      } finally q.stop()
+      store.readPairs().get.select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val on = run(26)
+    val off = run(64)
+    assert(on.nonEmpty && on == off,
+      s"tier changed the pair output: on=$on off=$off")
+  }
+
   test("embedding drift monitor: per-batch centroid cosine/shift vs " +
       "the reference") {
     val input = MemoryStream[(Long, Seq[Float])](spark)
