@@ -268,6 +268,10 @@ object SparkEntry {
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
     "qlm_top_docs" -> ((s, d) => MiningOps.qlmTopDocs(documents(s, d))),
+    "jm_qlm_top_docs" ->
+      ((s, d) => MiningOps.jmQlmTopDocs(documents(s, d))),
+    "cooccurrence_rich_club" ->
+      ((s, d) => GraphOps.cooccurrenceRichClub(documents(s, d))),
     "rocchio_prf_docs" ->
       ((s, d) => MiningOps.rocchioPrfDocs(documents(s, d))),
     "rrf_fused_docs" ->
@@ -649,6 +653,14 @@ object SparkEntry {
       VectorOps.knnIvfWith(embeddings(s, d),
         VectorOps.sampleCentroids(embeddings(s, d), 16), 0, 10)),
     "knn_all_brute" -> ((s, d) => VectorOps.knnAllBrute(embeddings(s, d), 5)),
+    "davies_bouldin_clusters" ->
+      ((s, d) => VectorOps.daviesBouldinClusters(embeddings(s, d))),
+    "calinski_harabasz" ->
+      ((s, d) => VectorOps.calinskiHarabasz(embeddings(s, d))),
+    "dunn_index_centroid" ->
+      ((s, d) => VectorOps.dunnIndexCentroid(embeddings(s, d))),
+    "cluster_size_balance" ->
+      ((s, d) => VectorOps.clusterSizeBalance(embeddings(s, d))),
     "embedding_sign_codes" ->
       ((s, d) => VectorOps.embeddingSignCodesFlat(embeddings(s, d))),
     "knn_hamming" -> ((s, d) => VectorOps.knnHamming(embeddings(s, d), 5)),
@@ -807,6 +819,22 @@ object SparkEntry {
     "kmeans_code_rounds" ->
       ((s, d) => VectorOps.kmeansCodeRounds(embeddings(s, d))),
     "acf_daily_counts" -> ((s, d) => EventOps.acfDailyCounts(events(s, d))),
+    "periodogram_daily" ->
+      ((s, d) => EventOps.periodogramDaily(events(s, d))),
+    "spectral_entropy_daily" ->
+      ((s, d) => EventOps.spectralEntropyDaily(events(s, d))),
+    "turning_points_daily" ->
+      ((s, d) => EventOps.turningPointsDaily(events(s, d))),
+    "bartels_rank_daily" ->
+      ((s, d) => EventOps.bartelsRankDaily(events(s, d))),
+    "cox_stuart_daily" ->
+      ((s, d) => EventOps.coxStuartDaily(events(s, d))),
+    "max_drawdown_daily" ->
+      ((s, d) => EventOps.maxDrawdownDaily(orders(s, d))),
+    "ccf_volume_users_daily" ->
+      ((s, d) => EventOps.ccfVolumeUsersDaily(events(s, d))),
+    "haar_energy_daily" ->
+      ((s, d) => EventOps.haarEnergyDaily(events(s, d))),
     // ---- round-11 batch 10: survival + market-basket ----
     "km_survival_horizons" ->
       ((s, d) => EventOps.kmSurvivalHorizons(events(s, d))),
@@ -998,6 +1026,19 @@ object SparkEntry {
     * component 32w+j > 0) — mirrors
     * [[graft.ops.VectorOps.signCodes]] exactly (integer shift/sum,
     * no float math). */
+  /** Shared oracle CTE: the zero-filled daily count grid with day
+    * index `t` — mirrors EventOps.dailyGrid (the spectral/randomness
+    * battery's shared input). */
+  private val dailyGridCte: String =
+    "daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+      "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+      "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+      "cal AS (SELECT d0 + CAST(unnest(range(" +
+      "datediff('day', d0, d1) + 1)) AS INT) AS day, d0 FROM bounds), " +
+      "grid AS (SELECT cal.day, datediff('day', cal.d0, cal.day) AS t, " +
+      "coalesce(daily.cnt, 0) AS cnt " +
+      "FROM cal LEFT JOIN daily ON daily.day = cal.day)"
+
   private val signCodeCte: String =
     "codes AS (SELECT vec_id, list_transform(range(2), w -> " +
       "CAST(list_sum(list_transform(range(32), j -> " +
@@ -1081,6 +1122,29 @@ object SparkEntry {
   /** DuckDB mirror of the fused cosine (`graft_cosine`): index-order
     * fp64 dot over the float→DOUBLE casts, divided by the two norms in
     * the same operand order — bit-identical to the Spark expression. */
+  /** Index-order (x−y)² fold — mirrors VectorOps.sqDist (the
+    * aggregate-from-0.0 ≡ list_sum identity). */
+  private def duckSqDist(a: String, b: String): String =
+    s"list_sum(list_transform(range(len($a)), i -> " +
+      s"(CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * " +
+      s"(CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))))"
+
+  /** Shared oracle CTEs for the cluster-quality battery: pinned
+    * centroids (the knn_ivf_pinned sample), cosine-argmax assignment,
+    * and per-member exact L2² to the own centroid. */
+  private lazy val clusterQualityCte: String =
+    "c AS (SELECT vec_id AS list_id, embedding AS cv " +
+      "FROM embeddings WHERE vec_id % 997 < 16), " +
+      "asn AS (SELECT vec_id, list_id FROM (" +
+      "SELECT e.vec_id, c.list_id, row_number() OVER (" +
+      "PARTITION BY e.vec_id ORDER BY " +
+      duckCos("e.embedding", "c.cv") + " DESC, " +
+      "c.list_id ASC) AS rn FROM embeddings e, c) WHERE rn = 1), " +
+      "md AS (SELECT e.vec_id, asn.list_id, " +
+      duckSqDist("e.embedding", "c2.cv") + " AS d2 " +
+      "FROM embeddings e JOIN asn ON e.vec_id = asn.vec_id " +
+      "JOIN c c2 ON c2.list_id = asn.list_id)"
+
   private def duckCos(a: String, b: String): String =
     s"list_sum(list_transform(range(len($a)), " +
       s"i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))) " +
@@ -3413,6 +3477,65 @@ object SparkEntry {
         "AS qlm_score " +
         "FROM sm GROUP BY 1, 2 " +
         "ORDER BY qlm_score DESC, doc_id ASC LIMIT 20"),
+    // Mirrors MiningOps.jmQlmTopDocs: the qlm_top_docs chain with the
+    // Jelinek-Mercer λ=0.5 interpolation in place of the Dirichlet
+    // prior; per-term ln's micro-pinned before the per-doc sum.
+    "jm_qlm_top_docs" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks " +
+        "FROM documents), " +
+        "st AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS c_total FROM toks), " +
+        "dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks), " +
+        "hits AS (SELECT doc_id, term FROM (" +
+        "SELECT doc_id, unnest(toks) AS term FROM toks) " +
+        "WHERE term IN ('join', 'filter', 'scan')), " +
+        "tfq AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf " +
+        "FROM hits GROUP BY 1, 2), " +
+        "ctf AS (SELECT term, CAST(count(*) AS BIGINT) AS ctf " +
+        "FROM hits GROUP BY 1), " +
+        "scoring AS (SELECT dl.doc_id, dl.dl, c.term, c.ctf, tfq.tf, " +
+        "st.c_total FROM dl CROSS JOIN ctf c CROSS JOIN st " +
+        "LEFT JOIN tfq ON tfq.doc_id = dl.doc_id AND tfq.term = c.term), " +
+        "sm AS (SELECT doc_id, dl, " +
+        "CAST(round(ln(0.5 * CAST(coalesce(tf, 0) AS DOUBLE) / " +
+        "CAST(dl AS DOUBLE) + 0.5 * (CAST(ctf AS DOUBLE) / " +
+        "CAST(c_total AS DOUBLE))) * 1000000.0, 0) AS BIGINT) AS sm, " +
+        "CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END AS m FROM scoring) " +
+        "SELECT doc_id, dl, CAST(sum(m) AS BIGINT) AS n_matched, " +
+        "round(CAST(CAST(sum(sm) AS BIGINT) AS DOUBLE) / 1000000.0, 6) " +
+        "AS jm_score " +
+        "FROM sm GROUP BY 1, 2 " +
+        "ORDER BY jm_score DESC, doc_id ASC LIMIT 20"),
+    // Mirrors GraphOps.cooccurrenceRichClub: the cooccurrence_kcore
+    // edge CTE chain, exact degrees/N_k/E_k, φ one pinned division.
+    "cooccurrence_rich_club" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (" +
+        "SELECT term_a AS node FROM p " +
+        "UNION ALL SELECT term_b FROM p) GROUP BY 1), " +
+        "dmin AS (SELECT least(a.deg, b.deg) AS dmin FROM p " +
+        "JOIN deg a ON a.node = p.term_a " +
+        "JOIN deg b ON b.node = p.term_b), " +
+        "ks AS (SELECT CAST(unnest([1, 2, 4, 8, 16]) AS BIGINT) AS k), " +
+        "es AS (SELECT k, CAST(sum(CASE WHEN dmin > k THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_edges FROM dmin CROSS JOIN ks GROUP BY 1), " +
+        "ns AS (SELECT k, CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_nodes FROM deg CROSS JOIN ks GROUP BY 1) " +
+        "SELECT k, n_nodes, n_edges, CASE WHEN n_nodes >= 2 THEN " +
+        "round(CAST(CAST(n_edges AS HUGEINT) * 2 AS DOUBLE) / " +
+        "CAST(CAST(n_nodes AS HUGEINT) * (n_nodes - 1) AS DOUBLE), 6) " +
+        "END AS phi FROM es JOIN ns USING (k)"),
     // Mirrors MiningOps.rrfFusedDocs: the lexical CTE is the
     // bm25_top_docs oracle verbatim, the dense CTE the knn_brute one;
     // ranks come from row_number over the same (rounded-score, id)
@@ -5866,6 +5989,110 @@ object SparkEntry {
         "WHERE e.vec_id = asn.vec_id AND asn.list_id = probe.list_id " +
         "AND e.vec_id <> 0 " +
         "ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10"),
+    // Mirrors VectorOps.daviesBouldinClusters: micro-pinned member and
+    // centroid L2s, ratio denominators cleared into HUGEINT lanes,
+    // one pinned division per cluster pair, max over ≤15 rounded
+    // values; lone/degenerate pairs drop via the dij > 0 filter.
+    "davies_bouldin_clusters" ->
+      (s"WITH $clusterQualityCte, " +
+        "dmm AS (SELECT list_id, CAST(round(sqrt(d2) * 1000000.0) " +
+        "AS BIGINT) AS dm FROM md), " +
+        "per AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(dm) AS HUGEINT) AS sd FROM dmm GROUP BY 1), " +
+        "cd AS (SELECT li, lj, dij FROM (SELECT x.list_id AS li, " +
+        "y.list_id AS lj, CAST(round(sqrt(" +
+        duckSqDist("x.cv", "y.cv") + ") * 1000000.0) AS BIGINT) AS dij " +
+        "FROM c x, c y WHERE x.list_id <> y.list_id) WHERE dij > 0), " +
+        "ratios AS (SELECT i.list_id AS li, " +
+        "max(round(CAST(i.sd * j.n + j.sd * i.n AS DOUBLE) / " +
+        "CAST(CAST(i.n AS HUGEINT) * j.n * cd.dij AS DOUBLE), 6)) " +
+        "AS db_component FROM per i JOIN per j " +
+        "ON i.list_id <> j.list_id JOIN cd " +
+        "ON cd.li = i.list_id AND cd.lj = j.list_id GROUP BY 1) " +
+        "SELECT per.list_id, per.n AS n_members, " +
+        "round(CAST(per.sd AS DOUBLE) / " +
+        "(CAST(per.n AS DOUBLE) * 1000000.0), 6) AS scatter, " +
+        "ratios.db_component FROM per " +
+        "LEFT JOIN ratios ON ratios.li = per.list_id"),
+    // Mirrors VectorOps.calinskiHarabasz: micro-pinned centroid
+    // coordinates and member L2² lanes, grand reference = rounded
+    // micro-mean of assigned centroids, CH one pinned division.
+    "calinski_harabasz" ->
+      (s"WITH $clusterQualityCte, " +
+        "d2m AS (SELECT list_id, CAST(round(d2 * 1.0e12) AS HUGEINT) " +
+        "AS d2m FROM md), " +
+        "per AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n " +
+        "FROM md GROUP BY 1), " +
+        "cm AS (SELECT list_id, dim, CAST(round(x * 1000000.0) " +
+        "AS BIGINT) AS cmv FROM (SELECT c.list_id, " +
+        "unnest(range(len(cv))) AS dim, " +
+        "unnest(list_transform(cv, v -> CAST(v AS DOUBLE))) AS x " +
+        "FROM c JOIN per ON per.list_id = c.list_id)), " +
+        "ghat AS (SELECT dim, CAST(round(CAST(sum(cmv) AS DOUBLE) / " +
+        "CAST(count(*) AS DOUBLE)) AS BIGINT) AS g FROM cm GROUP BY 1), " +
+        "b2 AS (SELECT list_id, CAST(sum(CAST(cmv - g AS HUGEINT) * " +
+        "(cmv - g)) AS HUGEINT) AS b2 FROM cm JOIN ghat USING (dim) " +
+        "GROUP BY 1), " +
+        "bw AS (SELECT CAST(sum(CAST(n AS HUGEINT) * b2) AS HUGEINT) " +
+        "AS b, CAST(sum(n) AS BIGINT) AS n_vectors, " +
+        "CAST(count(*) AS BIGINT) AS k FROM per JOIN b2 USING (list_id)), " +
+        "w AS (SELECT CAST(sum(d2m) AS HUGEINT) AS w FROM d2m) " +
+        "SELECT n_vectors, k AS n_clusters, " +
+        "round(CAST(w AS DOUBLE) / 1.0e12, 4) AS within_ss, " +
+        "round(CAST(b AS DOUBLE) / 1.0e12, 4) AS between_ss, " +
+        "CASE WHEN k >= 2 AND w > 0 THEN " +
+        "round(CAST(b * (n_vectors - k) AS DOUBLE) / " +
+        "CAST(w * (k - 1) AS DOUBLE), 6) END AS ch_index FROM bw, w"),
+    // Mirrors VectorOps.dunnIndexCentroid: min inter-centroid micro
+    // over assigned pairs / max member radius micro, one division.
+    "dunn_index_centroid" ->
+      (s"WITH $clusterQualityCte, " +
+        "dmm AS (SELECT list_id, CAST(round(sqrt(d2) * 1000000.0) " +
+        "AS BIGINT) AS dm FROM md), " +
+        "assigned AS (SELECT DISTINCT list_id FROM md), " +
+        "cp AS (SELECT CAST(round(sqrt(" + duckSqDist("x.cv", "y.cv") +
+        ") * 1000000.0) AS BIGINT) AS dij FROM c x, c y " +
+        "WHERE x.list_id < y.list_id " +
+        "AND x.list_id IN (SELECT list_id FROM assigned) " +
+        "AND y.list_id IN (SELECT list_id FROM assigned)), " +
+        "minc AS (SELECT CAST(min(dij) AS BIGINT) AS min_dij, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs FROM cp), " +
+        "rad AS (SELECT CAST(max(dm) AS BIGINT) AS max_r, " +
+        "CAST(count(DISTINCT list_id) AS BIGINT) AS k FROM dmm) " +
+        "SELECT k AS n_clusters, " +
+        "round(CAST(min_dij AS DOUBLE) / 1000000.0, 6) " +
+        "AS min_intercentroid, " +
+        "round(CAST(max_r AS DOUBLE) / 1000000.0, 6) AS max_radius, " +
+        "CASE WHEN max_r > 0 AND n_pairs > 0 THEN " +
+        "round(CAST(min_dij AS DOUBLE) / CAST(max_r AS DOUBLE), 6) " +
+        "END AS dunn_index FROM rad, minc"),
+    // Mirrors VectorOps.clusterSizeBalance: exact sizes, imbalance one
+    // pinned division, entropy via the (n·ln n − Σ c·ln c)/n identity
+    // with micro-pinned terms.
+    "cluster_size_balance" ->
+      (s"WITH $clusterQualityCte, " +
+        "per AS (SELECT list_id, CAST(count(*) AS BIGINT) AS cc " +
+        "FROM md GROUP BY 1), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters, " +
+        "CAST(sum(cc) AS BIGINT) AS n_vectors, " +
+        "CAST(min(cc) AS BIGINT) AS min_size, " +
+        "CAST(max(cc) AS BIGINT) AS max_size, " +
+        "CAST(sum(CAST(round(CAST(cc AS DOUBLE) * " +
+        "ln(CAST(cc AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT) " +
+        "AS clogc FROM per) " +
+        "SELECT n_clusters, n_vectors, min_size, max_size, " +
+        "round(CAST(max_size AS DOUBLE) / CAST(min_size AS DOUBLE), 6) " +
+        "AS imbalance_ratio, " +
+        "round(CAST(CAST(round(CAST(n_vectors AS DOUBLE) * " +
+        "ln(CAST(n_vectors AS DOUBLE)) * 1000000.0) AS BIGINT) - clogc " +
+        "AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0), 6) " +
+        "AS size_entropy, " +
+        "CASE WHEN n_clusters >= 2 THEN " +
+        "round(CAST(CAST(round(CAST(n_vectors AS DOUBLE) * " +
+        "ln(CAST(n_vectors AS DOUBLE)) * 1000000.0) AS BIGINT) - clogc " +
+        "AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * 1000000.0) / " +
+        "ln(CAST(n_clusters AS DOUBLE)), 6) END AS size_entropy_norm " +
+        "FROM s"),
     // Mirrors VectorOps.knnQuantized: same floor(x/scale + 0.5) codes
     // (scale = max|x|/127), integer dot/norms — exact in fp64 — and
     // the scales cancel in the cosine.
@@ -6465,6 +6692,177 @@ object SparkEntry {
         "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
         "CAST(n * syy - sy * sy AS DOUBLE)), 6) AS acf " +
         "FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"),
+    // Mirrors EventOps.periodogramDaily: per-term micro-pinned
+    // cos/sin sums (the one libm call per term), C²+S² in HUGEINT,
+    // one pinned division by n·10¹²; the 2π/p factor uses the same
+    // mult-then-divide op order as the Scala literal.
+    "periodogram_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "pf AS (SELECT period, 2 * pi() / period AS w FROM " +
+        "(SELECT CAST(unnest([7, 14, 30]) AS BIGINT) AS period)), " +
+        "terms AS (SELECT period, " +
+        "CAST(round(CAST(cnt AS DOUBLE) * cos(CAST(t AS DOUBLE) * w) " +
+        "* 1000000.0) AS BIGINT) AS cm, " +
+        "CAST(round(CAST(cnt AS DOUBLE) * sin(CAST(t AS DOUBLE) * w) " +
+        "* 1000000.0) AS BIGINT) AS sm " +
+        "FROM grid CROSS JOIN pf), " +
+        "m AS (SELECT period, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(cm) AS BIGINT) AS c, CAST(sum(sm) AS BIGINT) AS s " +
+        "FROM terms GROUP BY 1) " +
+        "SELECT period, n_days, " +
+        "round(CAST(CAST(c AS HUGEINT) * c + CAST(s AS HUGEINT) * s " +
+        "AS DOUBLE) / (CAST(n_days AS DOUBLE) * 1.0e12), 4) AS power " +
+        "FROM m"),
+    // Mirrors EventOps.spectralEntropyDaily: the periodogram chain on
+    // the 2..15 period grid, powers re-pinned to HUGEINT 1e4 lanes,
+    // −s·ln s terms micro-pinned BEFORE the cross-period sum.
+    "spectral_entropy_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "pf AS (SELECT period, 2 * pi() / period AS w FROM " +
+        "(SELECT CAST(unnest(range(2, 16)) AS BIGINT) AS period)), " +
+        "terms AS (SELECT period, " +
+        "CAST(round(CAST(cnt AS DOUBLE) * cos(CAST(t AS DOUBLE) * w) " +
+        "* 1000000.0) AS BIGINT) AS cm, " +
+        "CAST(round(CAST(cnt AS DOUBLE) * sin(CAST(t AS DOUBLE) * w) " +
+        "* 1000000.0) AS BIGINT) AS sm " +
+        "FROM grid CROSS JOIN pf), " +
+        "m AS (SELECT period, CAST(count(*) AS BIGINT) AS n_days, " +
+        "CAST(sum(cm) AS BIGINT) AS c, CAST(sum(sm) AS BIGINT) AS s " +
+        "FROM terms GROUP BY 1), " +
+        "pwr AS (SELECT period, n_days, " +
+        "CAST(round(round(CAST(CAST(c AS HUGEINT) * c + " +
+        "CAST(s AS HUGEINT) * s AS DOUBLE) / " +
+        "(CAST(n_days AS DOUBLE) * 1.0e12), 4) * 10000.0) AS HUGEINT) " +
+        "AS pm FROM m), " +
+        "tot AS (SELECT CAST(sum(pm) AS HUGEINT) AS ptot, " +
+        "CAST(max(n_days) AS BIGINT) AS nd, " +
+        "CAST(count(*) AS BIGINT) AS n_freqs FROM pwr), " +
+        "hs AS (SELECT ptot, n_freqs, nd, CASE WHEN pm > 0 AND ptot > 0 " +
+        "THEN CAST(round(-(CAST(pm AS DOUBLE) / CAST(ptot AS DOUBLE)) * " +
+        "ln(CAST(pm AS DOUBLE) / CAST(ptot AS DOUBLE)) * 1000000.0) " +
+        "AS BIGINT) ELSE 0 END AS hm FROM pwr, tot) " +
+        "SELECT n_freqs, nd AS n_days, " +
+        "CASE WHEN ptot > 0 THEN " +
+        "round(CAST(CAST(sum(hm) AS BIGINT) AS DOUBLE) / 1000000.0, 4) " +
+        "END AS spectral_entropy, " +
+        "CASE WHEN ptot > 0 THEN " +
+        "round(CAST(CAST(sum(hm) AS BIGINT) AS DOUBLE) / 1000000.0 / " +
+        "ln(CAST(n_freqs AS DOUBLE)), 4) END AS spectral_entropy_norm " +
+        "FROM hs GROUP BY ptot, n_freqs, nd"),
+    // Mirrors EventOps.turningPointsDaily: exact interior-extremum
+    // count off the day-sorted array, N(2(n−2)/3, (16n−29)/90) z.
+    "turning_points_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "s AS (SELECT list(cnt ORDER BY day) AS ys FROM grid), " +
+        "v AS (SELECT len(ys) AS n, CAST(len(list_filter(" +
+        "list_transform(range(2, len(ys)), t -> " +
+        "(ys[t] - ys[t-1]) * (ys[t+1] - ys[t])), p -> p < 0)) " +
+        "AS BIGINT) AS tp FROM s WHERE len(ys) >= 3) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, tp AS n_turning, " +
+        "round(2.0 * (n - 2.0) / 3.0, 6) AS expected_turning, " +
+        "round((CAST(tp AS DOUBLE) - 2.0 * (n - 2.0) / 3.0) / " +
+        "sqrt((16.0 * n - 29.0) / 90.0), 4) AS z_score FROM v"),
+    // Mirrors EventOps.bartelsRankDaily: doubled average ranks
+    // 2L+E+1 exact BIGINT, both quadratic forms exact, RVN one
+    // pinned division, the exact-n variance under the z.
+    "bartels_rank_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "s AS (SELECT list(cnt ORDER BY day) AS ys FROM grid), " +
+        "r AS (SELECT len(ys) AS n, list_transform(range(1, len(ys) + 1), " +
+        "t -> 2 * len(list_filter(ys, v -> v < ys[t])) + " +
+        "len(list_filter(ys, v -> v = ys[t])) + 1) AS r2 " +
+        "FROM s WHERE len(ys) >= 4), " +
+        "q AS (SELECT n, CAST(list_sum(list_transform(range(1, n), " +
+        "t -> (r2[t] - r2[t+1]) * (r2[t] - r2[t+1]))) AS BIGINT) AS nm, " +
+        "CAST(list_sum(list_transform(range(1, n + 1), " +
+        "t -> (r2[t] - (n + 1)) * (r2[t] - (n + 1)))) AS BIGINT) AS d " +
+        "FROM r) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, " +
+        "CASE WHEN d > 0 THEN round(CAST(nm AS DOUBLE) / " +
+        "CAST(d AS DOUBLE), 6) END AS rvn, " +
+        "CASE WHEN d > 0 THEN round((CAST(nm AS DOUBLE) / " +
+        "CAST(d AS DOUBLE) - 2.0) / sqrt(4.0 * (n - 2.0) * " +
+        "(5.0 * n * n - 2.0 * n - 9.0) / (5.0 * n * (n + 1.0) * " +
+        "(n - 1.0) * (n - 1.0))), 4) END AS z_score FROM q"),
+    // Mirrors EventOps.coxStuartDaily: first-half vs second-half sign
+    // counts off the one array row, binomial z, ties dropped.
+    "cox_stuart_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "s AS (SELECT list(cnt ORDER BY day) AS ys FROM grid), " +
+        "v AS (SELECT len(ys) AS n, CAST((len(ys) + 1) // 2 AS INT) AS c, " +
+        "ys FROM s WHERE len(ys) >= 2), " +
+        "d AS (SELECT n, CAST(len(list_filter(list_transform(" +
+        "range(1, n - c + 1), t -> ys[t + c] - ys[t]), x -> x > 0)) " +
+        "AS BIGINT) AS pos, CAST(len(list_filter(list_transform(" +
+        "range(1, n - c + 1), t -> ys[t + c] - ys[t]), x -> x < 0)) " +
+        "AS BIGINT) AS neg FROM v) " +
+        "SELECT CAST(n AS BIGINT) AS n_days, pos AS n_up, neg AS n_down, " +
+        "CASE WHEN pos + neg > 0 THEN round(CAST(pos - neg AS DOUBLE) / " +
+        "sqrt(CAST(pos + neg AS DOUBLE)), 4) END AS z_score FROM d"),
+    // Mirrors EventOps.maxDrawdownDaily: exact DECIMAL daily revenue,
+    // running-max-minus-cumulative in DECIMAL, first day at the max.
+    "max_drawdown_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) " +
+        "AS DATE) AS day, sum(CAST(o_totalprice AS DECIMAL(12,2))) " +
+        "AS rev FROM orders GROUP BY 1), " +
+        "c AS (SELECT day, sum(CAST(rev AS DECIMAL(22,2))) OVER (" +
+        "ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum FROM daily), " +
+        "m AS (SELECT day, max(cum) OVER (ORDER BY day " +
+        "ROWS UNBOUNDED PRECEDING) - cum AS drawdown FROM c) " +
+        "SELECT day AS trough_day, round(CAST(drawdown AS DOUBLE), 2) " +
+        "AS max_drawdown FROM m ORDER BY drawdown DESC, day ASC LIMIT 1"),
+    // Mirrors EventOps.ccfVolumeUsersDaily: the acf_daily_counts
+    // moment discipline with volume as x and distinct users as y,
+    // lags −7..7 on the zero-filled calendar.
+    "ccf_volume_users_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS du " +
+        "FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT cal.day, coalesce(daily.cnt, 0) AS cnt, " +
+        "coalesce(daily.du, 0) AS du " +
+        "FROM cal LEFT JOIN daily ON daily.day = cal.day), " +
+        "lags AS (SELECT CAST(unnest(range(-7, 8)) AS INT) AS lag), " +
+        "m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(a.cnt) AS BIGINT) AS sx, " +
+        "CAST(sum(b.du) AS BIGINT) AS sy, " +
+        "CAST(sum(a.cnt * b.du) AS BIGINT) AS sxy, " +
+        "CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx, " +
+        "CAST(sum(b.du * b.du) AS BIGINT) AS syy " +
+        "FROM grid a CROSS JOIN lags " +
+        "JOIN grid b ON b.day = a.day + lag GROUP BY 1) " +
+        "SELECT lag, n AS n_pairs, " +
+        "round(CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+        "CAST(n * syy - sy * sy AS DOUBLE)), 6) AS ccf " +
+        "FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0"),
+    // Mirrors EventOps.haarEnergyDaily: lmax by integer comparison
+    // (never floor(log2) — ulp-unsafe at exact powers of two), dyadic
+    // block sums and diff² energies exact, one pinned division per
+    // share.
+    "haar_energy_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM grid), " +
+        "span AS (SELECT CAST(len(list_filter(range(1, 7), " +
+        "l -> CAST(pow(2.0, l) AS BIGINT) <= n)) AS INT) AS lmax FROM n), " +
+        "w AS (SELECT t, cnt, lmax FROM grid, span " +
+        "WHERE t < CAST(pow(2.0, lmax) AS BIGINT)), " +
+        "lv AS (SELECT CAST(unnest(range(1, 7)) AS INT) AS l), " +
+        "blocks AS (SELECT l, CAST(t // (1 << l) AS BIGINT) AS block, " +
+        "CAST(sum(CASE WHEN t % (1 << l) < (1 << (l - 1)) " +
+        "THEN cnt ELSE -cnt END) AS BIGINT) AS diff " +
+        "FROM w CROSS JOIN lv WHERE l <= lmax GROUP BY 1, 2), " +
+        "lev AS (SELECT l, CAST(count(*) AS BIGINT) AS n_blocks, " +
+        "CAST(sum(CAST(diff AS HUGEINT) * diff) AS HUGEINT) AS energy " +
+        "FROM blocks GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(energy) AS HUGEINT) AS etot FROM lev) " +
+        "SELECT CAST(l AS BIGINT) AS level, n_blocks, " +
+        "CAST(energy AS DOUBLE) AS energy, " +
+        "CASE WHEN etot > 0 THEN round(CAST(energy AS DOUBLE) / " +
+        "CAST(etot AS DOUBLE), 6) END AS energy_share FROM lev, tot"),
     // Mirrors EventOps.kmSurvivalHorizons: exact BIGINT risk sets
     // (windowed cumsum over the tiny duration frame), ln factors on
     // identical doubles summed then rounded ONCE before exp.

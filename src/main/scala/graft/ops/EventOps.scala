@@ -6098,4 +6098,314 @@ object EventOps {
         when(col("den") > lit(0),
           round(nD * (nD + lit(2.0)) * col("qsum"), 6)).as("lb_q"))
   }
+
+
+  // ---------- spectral / randomness / drawdown battery (r16) ----------
+
+  /** Zero-filled daily count grid over the min..max calendar — the
+    * shared input of the spectral and randomness tests below (the
+    * [[acfDailyCounts]] grid, factored). One corpus-sized hash agg;
+    * everything downstream runs on calendar cardinality. */
+  private def dailyGrid(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"), col("d0"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), datediff(col("day"), col("d0")).as("t"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** Discrete-Fourier power of the daily volume at fixed candidate
+    * periods — the frequency-domain companion of [[acfDailyCounts]]
+    * (a lag-7 ACF spike says "weekly-ish"; the periodogram says HOW
+    * MUCH of the variance sits at exactly that cycle):
+    * P(p) = (C² + S²)/n with C = Σ cnt·cos(2πt/p), S = Σ cnt·sin(·).
+    *
+    * Determinism: each cos/sin term is micro-pinned to BIGINT BEFORE
+    * the sums (fp addition order never matters; one deterministic
+    * libm call per term), C²+S² in DECIMAL(38,0), ONE pinned division
+    * by n·10¹². The angular factor 2π/p is computed once per period
+    * with the same mult-then-divide op order the oracle uses.
+    *
+    * Shape: the corpus collapses to the calendar grid first; the
+    * period fan-out is a broadcast cross of |periods| rows. */
+  def periodogramDaily(events: DataFrame,
+      periods: Seq[Int] = Seq(7, 14, 30)): DataFrame = {
+    val session = events.sparkSession
+    import session.implicits._
+    val pf = periods.map(p => (p.toLong, 2.0 * math.Pi / p))
+      .toDF("period", "w")
+    val terms = dailyGrid(events).crossJoin(broadcast(pf))
+      .select(col("period"),
+        round(col("cnt").cast("double") *
+          cos(col("t").cast("double") * col("w")) * lit(1000000.0), 0)
+          .cast("long").as("cm"),
+        round(col("cnt").cast("double") *
+          sin(col("t").cast("double") * col("w")) * lit(1000000.0), 0)
+          .cast("long").as("sm"))
+    terms.groupBy("period")
+      .agg(count(lit(1)).as("n_days"),
+        sum("cm").as("c"), sum("sm").as("s"))
+      .select(col("period"), col("n_days"),
+        round((col("c").cast("decimal(38,0)") * col("c") +
+          col("s").cast("decimal(38,0)") * col("s")).cast("double") /
+          (col("n_days").cast("double") * lit(1.0e12)), 4).as("power"))
+  }
+
+  /** Spectral entropy of the daily series over the period grid
+    * 2..maxPeriod — the one-number "how concentrated is the rhythm"
+    * readout on top of [[periodogramDaily]] (white noise → entropy
+    * near ln K; a pure weekly cycle → near 0). Shares are taken over
+    * the scanned grid (stated — this is the standard finite-grid
+    * estimator, not the full FFT spectrum).
+    *
+    * Determinism: per-period powers are the periodogram's exact
+    * DECIMAL lanes; each share is one pinned division, each −s·ln s
+    * term micro-pinned BEFORE the cross-period sum, one unpin.
+    * Zero-power periods contribute 0 (the λ→0 limit), total zero
+    * power (constant-zero series) → NULL, stated. */
+  def spectralEntropyDaily(events: DataFrame,
+      maxPeriod: Int = 15): DataFrame = {
+    val pw = periodogramDaily(events, (2 to maxPeriod))
+      .select(col("period"), col("n_days"),
+        round(col("power") * lit(10000.0), 0).cast("decimal(38,0)")
+          .as("pm"))
+      .localCheckpoint() // ≤|periods| rows; two consumers below
+    val tot = pw.agg(sum("pm").as("ptot"), max("n_days").as("nd"),
+      count(lit(1)).as("n_freqs"))
+    val share = col("pm").cast("double") / col("ptot").cast("double")
+    pw.select("pm").crossJoin(broadcast(tot))
+      .select(col("ptot"), col("n_freqs"), col("nd"),
+        when(col("pm") > lit(0) && col("ptot") > lit(0),
+          round(-share * log(share) * lit(1000000.0), 0).cast("long"))
+          .otherwise(lit(0L)).as("hm"))
+      .groupBy("ptot", "n_freqs", "nd")
+      .agg(sum("hm").as("hsum"))
+      .select(col("n_freqs"), col("nd").as("n_days"),
+        when(col("ptot") > lit(0),
+          round(col("hsum").cast("double") / lit(1000000.0), 4))
+          .as("spectral_entropy"),
+        when(col("ptot") > lit(0),
+          round(col("hsum").cast("double") / lit(1000000.0) /
+            log(col("n_freqs").cast("double")), 4))
+          .as("spectral_entropy_norm"))
+  }
+
+  /** Turning-points randomness test on the daily series (Kendall's
+    * classic): count interior days that are strict local extrema;
+    * under iid the count is asymptotically N(2(n−2)/3, (16n−29)/90).
+    * Trend and seasonality both SUPPRESS turning points, so a low z
+    * is the cheap "this series is not noise" flag before the heavier
+    * [[mannKendallDaily]]/[[runsTestDaily]] machinery. Ties produce a
+    * zero product and do not count (stated).
+    *
+    * Determinism: the series folds into one calendar-length array row
+    * (day-sorted); the count is exact BIGINT off integer products;
+    * mean/variance are rationals of n; one final division. n < 3 →
+    * no row. */
+  def turningPointsDaily(events: DataFrame): DataFrame = {
+    val series = dailyGrid(events)
+      .agg(array_sort(collect_list(struct(col("t"), col("cnt")))).as("sd"))
+      .select(transform(col("sd"), x => x.getField("cnt")).as("ys"))
+      .filter(size(col("ys")) >= 3)
+    val n = size(col("ys"))
+    def yAt(i: Column) = element_at(col("ys"), i.cast("int"))
+    val prods = transform(sequence(lit(2), n - 1), t =>
+      (yAt(t) - yAt(t - 1)) * (yAt(t + 1) - yAt(t)))
+    val tp = size(filter(prods, p => p < 0L)).cast("long")
+    val nd = n.cast("double")
+    val e = lit(2.0) * (nd - lit(2.0)) / lit(3.0)
+    val v = (lit(16.0) * nd - lit(29.0)) / lit(90.0)
+    series.select(n.cast("long").as("n_days"), tp.as("n_turning"),
+      round(e, 6).as("expected_turning"),
+      round((tp.cast("double") - e) / sqrt(v), 4).as("z_score"))
+  }
+
+  /** Bartels rank version of von Neumann's ratio — the rank-robust
+    * successive-difference randomness test (Bartels '82):
+    * RVN = Σ(R_t − R_{t+1})² / Σ(R_t − R̄)² on average ranks of the
+    * daily counts; 2 under iid, < 2 for positive serial dependence
+    * (trend/stickiness), > 2 for alternation. The rank twin of
+    * [[durbinWatsonDaily]], immune to the volume outliers that
+    * dominate a raw-value ratio.
+    *
+    * Determinism: doubled average ranks 2R_t = 2L_t + E_t + 1 are
+    * exact BIGINT (L = #less, E = #ties incl. self), R̄ doubles to
+    * exactly n+1, both quadratic forms are exact integer sums (the
+    * ×4 scale cancels in the ratio), RVN is ONE pinned division and
+    * the variance 4(n−2)(5n²−2n−9)/(5n(n+1)(n−1)²) a second. The
+    * rank pass is |calendar|² INSIDE one array row — bounded by the
+    * day span, never by corpus size. Constant series (zero
+    * denominator) → NULL, stated. */
+  def bartelsRankDaily(events: DataFrame): DataFrame = {
+    val series = dailyGrid(events)
+      .agg(array_sort(collect_list(struct(col("t"), col("cnt")))).as("sd"))
+      .select(transform(col("sd"), x => x.getField("cnt")).as("ys"))
+      .filter(size(col("ys")) >= 4)
+    val n = size(col("ys"))
+    def yAt(i: Column) = element_at(col("ys"), i.cast("int"))
+    val r2 = transform(sequence(lit(1), n), t =>
+      lit(2L) * size(filter(col("ys"), v => v < yAt(t))) +
+        size(filter(col("ys"), v => v === yAt(t))) + lit(1L))
+    val withR = series.select(n.as("n"), r2.as("r2"))
+    def rAt(i: Column) = element_at(col("r2"), i.cast("int"))
+    val nm = aggregate(sequence(lit(1), col("n") - 1), lit(0L),
+      (acc, t) => acc + (rAt(t) - rAt(t + 1)) * (rAt(t) - rAt(t + 1)))
+    val d = aggregate(sequence(lit(1), col("n")), lit(0L),
+      (acc, t) => acc + (rAt(t) - (col("n") + 1L)) *
+        (rAt(t) - (col("n") + 1L)))
+    val nd = col("n").cast("double")
+    val rvn = nm.cast("double") / d.cast("double")
+    val v = lit(4.0) * (nd - 2.0) *
+      (lit(5.0) * nd * nd - lit(2.0) * nd - lit(9.0)) /
+      (lit(5.0) * nd * (nd + 1.0) * (nd - 1.0) * (nd - 1.0))
+    withR.select(col("n").cast("long").as("n_days"),
+      when(d > 0L, round(rvn, 6)).as("rvn"),
+      when(d > 0L, round((rvn - lit(2.0)) / sqrt(v), 4)).as("z_score"))
+  }
+
+  /** Cox–Stuart sign test for monotone trend: pair each day t of the
+    * first half with day t + ⌈n/2⌉, count sign of the difference
+    * (ties dropped), binomial z on the pair count — the
+    * assumption-free trend triage beside [[mannKendallDaily]] (which
+    * weighs ALL pairs; Cox–Stuart is the O(n) screen whose miss is a
+    * genuine "no trend" signal, not low power from skew).
+    *
+    * Determinism: counts exact BIGINT off the one array row; z is ONE
+    * pinned division; zero non-tied pairs → NULL z, stated. */
+  def coxStuartDaily(events: DataFrame): DataFrame = {
+    val series = dailyGrid(events)
+      .agg(array_sort(collect_list(struct(col("t"), col("cnt")))).as("sd"))
+      .select(transform(col("sd"), x => x.getField("cnt")).as("ys"))
+      .filter(size(col("ys")) >= 2)
+    val n = size(col("ys"))
+    def yAt(i: Column) = element_at(col("ys"), i.cast("int"))
+    val c = ((n + 1) / 2).cast("int") // ceil(n/2) in integer arithmetic
+    val diffs = transform(sequence(lit(1), n - c), t =>
+      yAt(t + c) - yAt(t))
+    val pos = size(filter(diffs, v => v > 0L)).cast("long")
+    val neg = size(filter(diffs, v => v < 0L)).cast("long")
+    val np = pos + neg
+    series.select(n.cast("long").as("n_days"),
+      pos.as("n_up"), neg.as("n_down"),
+      when(np > 0L, round((pos - neg).cast("double") /
+        sqrt(np.cast("double")), 4)).as("z_score"))
+  }
+
+  /** Maximum drawdown of cumulative daily revenue — the worst
+    * peak-to-trough slide of the running total, the risk lens
+    * [[revenueVarCvar]]'s quantiles miss (a long sequence of mildly
+    * bad days beats any single-day VaR). Over orders: day grid =
+    * observed order dates; cumulative and running-max in EXACT
+    * DECIMAL cents ([[Num.dec2]]), so the argmax day is pinned;
+    * drawdown reports with the FIRST day reaching the maximum (day
+    * ASC tie-break).
+    *
+    * Shape: one date-collapse hash agg, then two windows over the
+    * date-collapsed frame (calendar cardinality) and one 1-row
+    * reduce. */
+  def maxDrawdownDaily(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(Num.dec2(col("o_totalprice"))).as("rev"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("day"), sum(col("rev")).over(w).as("cum"))
+    val dd = cum.select(col("day"),
+      (max(col("cum")).over(w) - col("cum")).as("drawdown"))
+    dd.orderBy(col("drawdown").desc, col("day").asc)
+      .limit(1)
+      .select(col("day").as("trough_day"),
+        round(col("drawdown").cast("double"), 2).as("max_drawdown"))
+  }
+
+  /** Cross-correlation of daily event volume against daily distinct
+    * users at lags −maxLag..maxLag — the lead/lag diagnostic between
+    * the activity and audience series ([[acfDailyCounts]] is this
+    * with the series against itself): a peak at positive lag says
+    * volume LEADS audience growth. Pearson per lag over the
+    * co-observed zero-filled grid, all six moments exact BIGINT, one
+    * final sqrt/division per lag, zero-variance slices excluded.
+    *
+    * Shape: ONE corpus pass builds both series on the calendar grid;
+    * the ±lag shift is an equi-join on the materialized shifted key
+    * over a broadcast lag frame. */
+  def ccfVolumeUsersDaily(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 0, s"maxLag >= 0: $maxLag")
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"),
+        countDistinct(col("user_id")).as("du"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("cnt"),
+        coalesce(col("du"), lit(0L)).as("du"))
+    val lags = events.sparkSession.range(-maxLag, maxLag + 1)
+      .select(col("id").cast("int").as("lag"))
+    val shifted = grid.crossJoin(broadcast(lags))
+      .select(col("lag"), expr("date_add(day, lag)").as("tday"),
+        col("cnt").as("x"))
+    val m = shifted
+      .join(grid.select(col("day").as("tday"), col("du").as("y")), "tday")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val dx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dy = col("n") * col("syy") - col("sy") * col("sy")
+    m.filter(dx > 0L && dy > 0L)
+      .select(col("lag"), col("n").as("n_pairs"),
+        round(num.cast("double") /
+          sqrt(dx.cast("double") * dy.cast("double")), 6).as("ccf"))
+  }
+
+  /** Haar detail-energy decomposition of the daily series over the
+    * leading 2^L-day window (L = ⌊log₂ n⌋ capped at 6): level-ℓ
+    * energy = Σ_b (S_{ℓ−1,2b} − S_{ℓ−1,2b+1})² over the dyadic block
+    * sums S — "how much variation lives at the 2^ℓ-day scale". A
+    * flat profile is noise; energy piling at level 3 (8-day blocks)
+    * is the weekly cycle seen scale-wise — the multiresolution twin
+    * of [[periodogramDaily]]'s single-frequency probes.
+    *
+    * Determinism: block sums and differences are exact BIGINT, level
+    * energies exact DECIMAL(38,0) (diff² at corpus scale), shares
+    * ONE pinned division each. The window length is a deterministic
+    * function of the calendar span (both rails compute it), < 2 days
+    * → no rows. Shape: the grid collapses once; each level is one
+    * hash agg over ≤ 2^L rows. */
+  def haarEnergyDaily(events: DataFrame, maxLevel: Int = 6): DataFrame = {
+    val grid = dailyGrid(events).select(col("t"), col("cnt"))
+    // lmax via an integer comparison chain, NOT floor(log2(n)) — at an
+    // exact power of two the two engines' log implementations can land
+    // an ulp apart and floor to different levels
+    val span = grid.agg(count(lit(1)).as("n"))
+      .select(size(filter(sequence(lit(1), lit(maxLevel)),
+        l => pow(lit(2.0), l).cast("long") <= col("n"))).as("lmax"))
+    val windowed = grid.crossJoin(broadcast(span))
+      .filter(col("t") < pow(lit(2.0), col("lmax")).cast("long"))
+    val levels = (1 to maxLevel).map { l =>
+      windowed
+        .filter(lit(l) <= col("lmax"))
+        .groupBy((col("t") / lit(1 << l)).cast("long").as("block"),
+          col("lmax"))
+        .agg(sum(when((col("t") % lit(1 << l)) < lit(1 << (l - 1)),
+          col("cnt")).otherwise(-col("cnt"))).as("diff"))
+        .agg(sum(col("diff").cast("decimal(38,0)") * col("diff"))
+          .as("energy"), count(lit(1)).as("n_blocks"))
+        .select(lit(l.toLong).as("level"), col("n_blocks"), col("energy"))
+    }
+    val all = levels.reduce(_ unionByName _)
+      .filter(col("energy").isNotNull)
+    val tot = all.agg(sum("energy").as("etot"))
+    all.crossJoin(broadcast(tot))
+      .select(col("level"), col("n_blocks"),
+        col("energy").cast("double").as("energy"),
+        when(col("etot") > lit(0),
+          round(col("energy").cast("double") /
+            col("etot").cast("double"), 6)).as("energy_share"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -743,4 +743,56 @@ object GraphOps {
       .select(col("x.src").as("src"), col("x.dst").as("dst"))
     linkPredictionScores(mutual)
   }
+
+  /** Rich-club coefficient φ(k) at a ladder of degree thresholds
+    * (Zhou & Mondragón '04): among the N_k nodes of degree > k, the
+    * realized edge density 2E_k/(N_k(N_k−1)) — does the graph's elite
+    * wire to itself (φ grows with k: a rich club) or only to the
+    * periphery (φ flat/falling)? The missing summary between
+    * [[degreeAssortativity]]'s one global correlation and
+    * [[kCore]]'s membership list.
+    *
+    * `edges` is an undirected deduplicated (src < dst) list.
+    * Determinism: degrees, N_k and E_k are exact BIGINTs; φ clears to
+    * ONE pinned division of 2·E_k over N_k(N_k−1); N_k < 2 → NULL φ,
+    * stated.
+    *
+    * Shape: one degree collapse + ONE edge-keyed join annotating each
+    * edge with min(deg_a, deg_b); every threshold is then a
+    * conditional aggregate over that single frame — |thresholds|
+    * never multiplies the join work. */
+  def richClub(edges: DataFrame,
+      thresholds: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    val und = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = und.select(col("src").as("node"))
+      .unionAll(und.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val dmin = und
+      .join(deg.select(col("node").as("src"), col("deg").as("da")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("db")), "dst")
+      .select(least(col("da"), col("db")).as("dmin"))
+    val eAggs = thresholds.map(k =>
+      sum(when(col("dmin") > k.toLong, 1L).otherwise(0L)).as(s"e$k"))
+    val nAggs = thresholds.map(k =>
+      sum(when(col("deg") > k.toLong, 1L).otherwise(0L)).as(s"n$k"))
+    val es = dmin.agg(eAggs.head, eAggs.tail: _*)
+    val ns = deg.agg(nAggs.head, nAggs.tail: _*)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = thresholds.map { k =>
+      es.crossJoin(ns).select(lit(k.toLong).as("k"),
+        col(s"n$k").as("n_nodes"), col(s"e$k").as("n_edges"),
+        when(col(s"n$k") >= 2L,
+          round((dec(col(s"e$k")) * lit(2)).cast("double") /
+            (dec(col(s"n$k")) * (col(s"n$k") - lit(1L))).cast("double"),
+            6)).as("phi"))
+    }
+    rows.reduce(_ unionByName _)
+  }
+
+  /** [[richClub]] over the term co-occurrence graph: do the corpus's
+    * best-connected terms co-occur with EACH OTHER (a topical core
+    * vocabulary) or only fan out to specialists? */
+  def cooccurrenceRichClub(docs: DataFrame): DataFrame =
+    richClub(MiningOps.termCooccurrence(docs)
+      .select(col("term_a").as("src"), col("term_b").as("dst")))
 }

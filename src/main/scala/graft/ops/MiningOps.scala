@@ -224,6 +224,55 @@ object MiningOps {
       .limit(topK)
   }
 
+  /** Jelinek–Mercer smoothed query likelihood — the fixed-λ linear
+    * interpolation twin of [[qlmTopDocs]]' Dirichlet prior (Zhai &
+    * Lafferty '01): score(d) = Σ_q ln((1−λ)·tf/dl + λ·ctf/C). JM
+    * smooths every document by the same amount where Dirichlet adapts
+    * to length — on verbose queries JM is the published stronger
+    * baseline, so a retrieval stack wants both knobs.
+    *
+    * Determinism (the qlmTopDocs discipline verbatim): corpus-absent
+    * query terms drop via the inner ctf join (their contribution is a
+    * rank-irrelevant constant), per-term ln's micro-pin to BIGINT
+    * BEFORE the per-doc sum, one unpin, (score DESC, doc_id) top-k.
+    * λ·ctf/C > 0 for every surviving term, so the ln argument is
+    * never 0 even at tf = 0. */
+  def jmQlmTopDocs(docs: DataFrame,
+      queryTerms: Seq[String] = Seq("join", "filter", "scan"),
+      lambda: Double = 0.5, topK: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      DedupOps.tokens(col("text")).as("toks"))
+    val stats = toks.agg(sum(size(col("toks")).cast("long")).as("c_total"))
+    val dl = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("dl"))
+    val hits = toks
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+    val tfq = hits.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val ctf = hits.groupBy("term").agg(count(lit(1)).as("ctf"))
+    val qt = stats.select(
+      explode(array(queryTerms.map(lit(_)): _*)).as("term"), col("c_total"))
+    val scoring = dl.crossJoin(broadcast(
+        qt.join(ctf, Seq("term")))) // inner join skips corpus-absent terms
+      .join(tfq, Seq("doc_id", "term"), "left")
+    val s = log(
+      lit(1.0 - lambda) * coalesce(col("tf"), lit(0L)).cast("double") /
+        col("dl").cast("double") +
+        lit(lambda) * (col("ctf").cast("double") /
+          col("c_total").cast("double")))
+    scoring
+      .select(col("doc_id"), col("dl"),
+        round(s * lit(1000000.0), 0).cast("long").as("sm"),
+        when(col("tf").isNotNull, 1L).otherwise(0L).as("m"))
+      .groupBy("doc_id", "dl")
+      .agg(sum(col("sm")).as("ssm"), sum(col("m")).as("n_matched"))
+      .select(col("doc_id"), col("dl"), col("n_matched"),
+        round(col("ssm").cast("double") / lit(1000000.0), 6)
+          .as("jm_score"))
+      .orderBy(col("jm_score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
   /** Reciprocal-rank fusion of the lexical BM25 ranklist with the
     * dense embedding-cosine ranklist — the standard hybrid-retrieval
     * combiner (Cormack et al. '09): score(d) = Σ_lists 1/(k + rank_d),

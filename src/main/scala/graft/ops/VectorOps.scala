@@ -1799,4 +1799,188 @@ object VectorOps {
         hammingDist(col("ca"), col("cb")).cast("long").as("hamming"))
       .filter(col("hamming") <= lit(maxHamming))
   }
+
+  // ---------- cluster-quality battery over the pinned IVF geometry ----------
+
+  /** Index-order (x−y)² fold in fp64 — the L2² the quality battery
+    * pins; mirrors the oracle's range-indexed list_sum exactly (the
+    * aggregate-from-0.0 ≡ list_sum identity). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Members with their pinned-centroid assignment and exact L2²
+    * distance — the shared input of the cluster-quality battery. The
+    * geometry being scored is the IVF index AS BUILT (the
+    * [[sampleCentroids]] representatives `knn_ivf_pinned` searches),
+    * so every stage is a pure function of the table and the whole
+    * battery hash-gates against a DuckDB replay. */
+  private def memberDists(embeddings: DataFrame, nlist: Int): DataFrame = {
+    val cents = sampleCentroids(embeddings, nlist)
+    embeddings
+      .join(ivfAssignTo(embeddings, cents), "vec_id")
+      .join(broadcast(cents), "list_id")
+      .select(col("vec_id"), col("list_id"),
+        sqDist(col("embedding"), col("cv")).as("d2"))
+  }
+
+  /** Davies–Bouldin components of the pinned IVF clustering: per
+    * cluster i, scatter sᵢ = mean member→centroid L2 and
+    * DBᵢ = max_j (sᵢ + sⱼ)/d(cᵢ, cⱼ) — the "worst neighbour
+    * confusability" score (lower = tighter/better separated). The
+    * global DB index is the mean of the DBᵢ column; emitting the
+    * components keeps the offender clusters visible.
+    *
+    * Determinism: member and centroid distances micro-pin to BIGINT
+    * after ONE deterministic index-order fold + sqrt; the ratio
+    * clears denominators — (Σᵢ·nⱼ + Σⱼ·nᵢ)/(nᵢ·nⱼ·dᵢⱼ) — into exact
+    * DECIMAL(38,0) lanes with ONE pinned division per pair, 6dp, max
+    * over ≤ nlist−1 rounded values. Zero centroid distances are
+    * skipped (stated); a lone cluster → NULL DBᵢ.
+    *
+    * Shape: one corpus×nlist broadcast assignment scan, one hash agg
+    * to nlist rows; everything after is nlist²-bounded. */
+  def daviesBouldinClusters(embeddings: DataFrame,
+      nlist: Int = 16): DataFrame = {
+    val md = memberDists(embeddings, nlist)
+      .select(col("list_id"),
+        round(sqrt(col("d2")) * lit(1000000.0), 0).cast("long").as("dm"))
+    val per = md.groupBy("list_id")
+      .agg(count(lit(1)).as("n"),
+        sum(col("dm").cast("decimal(38,0)")).as("sd"))
+    val cents = sampleCentroids(embeddings, nlist)
+    val cd = cents.as("x").join(cents.as("y"),
+        col("x.list_id") =!= col("y.list_id"))
+      .select(col("x.list_id").as("li"), col("y.list_id").as("lj"),
+        round(sqrt(sqDist(col("x.cv"), col("y.cv"))) * lit(1000000.0), 0)
+          .cast("long").as("dij"))
+      .filter(col("dij") > 0L)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ratios = per.select(col("list_id").as("li"), col("n").as("ni"),
+        col("sd").as("si"))
+      .join(per.select(col("list_id").as("lj"), col("n").as("nj"),
+        col("sd").as("sj")), col("li") =!= col("lj"))
+      .join(cd, Seq("li", "lj"))
+      .select(col("li"),
+        round((col("si") * dec(col("nj")) + col("sj") * dec(col("ni")))
+          .cast("double") /
+          (dec(col("ni")) * col("nj") * col("dij")).cast("double"), 6)
+          .as("ratio"))
+      .groupBy("li").agg(max("ratio").as("db_component"))
+    per.join(ratios, per("list_id") === ratios("li"), "left")
+      .select(col("list_id"), col("n").as("n_members"),
+        round(col("sd").cast("double") /
+          (col("n").cast("double") * lit(1000000.0)), 6).as("scatter"),
+        col("db_component"))
+  }
+
+  /** Calinski–Harabasz index of the pinned IVF clustering —
+    * between/within variance ratio scaled by (n−k)/(k−1) (higher =
+    * better separated). VARIANT, stated: the cluster representative
+    * is the PINNED centroid (the index geometry, not the member
+    * mean), and the grand reference ĉ is the unweighted micro-mean
+    * of the assigned clusters' centroids — both choices keep every
+    * lane an exact integer, so the statistic replays bit-exactly.
+    *
+    * Determinism: member L2² and centroid coordinates micro-pin to
+    * integer lanes; W = Σ d²-micros, B = Σ nᵢ·‖cᵢ−ĉ‖²-micros, both
+    * DECIMAL(38,0); CH = B·(n−k)/(W·(k−1)) is ONE pinned division.
+    * k < 2 or W = 0 → NULL CH, stated. */
+  def calinskiHarabasz(embeddings: DataFrame, nlist: Int = 16)
+      : DataFrame = {
+    val md = memberDists(embeddings, nlist)
+      .select(col("list_id"),
+        round(col("d2") * lit(1.0e12), 0).cast("decimal(38,0)").as("d2m"))
+      .localCheckpoint() // corpus-collapse reused by W and the k/n row
+    val per = md.groupBy("list_id").agg(count(lit(1)).as("n"))
+    val cm = sampleCentroids(embeddings, nlist)
+      .join(per.select("list_id"), Seq("list_id"), "left_semi")
+      .select(col("list_id"), posexplode(asDouble(col("cv")))
+        .as(Seq("dim", "x")))
+      .select(col("list_id"), col("dim"),
+        round(col("x") * lit(1000000.0), 0).cast("long").as("cmv"))
+    val ghat = cm.groupBy("dim")
+      .agg(round(sum(col("cmv")).cast("double") /
+        count(lit(1)).cast("double"), 0).cast("long").as("g"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val b2 = cm.join(broadcast(ghat), "dim")
+      .groupBy("list_id")
+      .agg(sum(dec(col("cmv") - col("g")) * (col("cmv") - col("g")))
+        .as("b2"))
+    val bw = per.join(b2, "list_id")
+      .agg(sum(dec(col("n")) * col("b2")).as("b"),
+        sum("n").as("n_vectors"), count(lit(1)).as("k"))
+    val w = md.agg(sum("d2m").as("w"))
+    bw.crossJoin(w)
+      .select(col("n_vectors"), col("k").as("n_clusters"),
+        round(col("w").cast("double") / lit(1.0e12), 4).as("within_ss"),
+        round(col("b").cast("double") / lit(1.0e12), 4).as("between_ss"),
+        when(col("k") >= 2L && col("w") > lit(0),
+          round((col("b") * (dec(col("n_vectors")) - col("k")))
+            .cast("double") /
+            (col("w") * (dec(col("k")) - lit(1))).cast("double"), 6))
+          .as("ch_index"))
+  }
+
+  /** Centroid-form Dunn index of the pinned IVF clustering:
+    * min inter-centroid distance / max member→own-centroid radius
+    * (higher = better; the worst-case twin of
+    * [[daviesBouldinClusters]]' average-case ratio). Exact BIGINT
+    * micro lanes, ONE pinned division; max radius 0 (every member ON
+    * its centroid) → NULL, stated. */
+  def dunnIndexCentroid(embeddings: DataFrame, nlist: Int = 16)
+      : DataFrame = {
+    val md = memberDists(embeddings, nlist)
+      .select(col("list_id"),
+        round(sqrt(col("d2")) * lit(1000000.0), 0).cast("long").as("dm"))
+      .localCheckpoint() // corpus-collapse reused by radius and k
+    val cents = sampleCentroids(embeddings, nlist)
+      .join(md.select("list_id").distinct(), Seq("list_id"), "left_semi")
+    val minC = cents.as("x").join(cents.as("y"),
+        col("x.list_id") < col("y.list_id"))
+      .select(round(sqrt(sqDist(col("x.cv"), col("y.cv"))) *
+        lit(1000000.0), 0).cast("long").as("dij"))
+      .agg(min("dij").as("min_dij"), count(lit(1)).as("n_pairs"))
+    val rad = md.agg(max("dm").as("max_r"),
+      countDistinct(col("list_id")).as("k"))
+    rad.crossJoin(minC)
+      .select(col("k").as("n_clusters"),
+        round(col("min_dij").cast("double") / lit(1000000.0), 6)
+          .as("min_intercentroid"),
+        round(col("max_r").cast("double") / lit(1000000.0), 6)
+          .as("max_radius"),
+        when(col("max_r") > 0L && col("n_pairs") > 0L,
+          round(col("min_dij").cast("double") /
+            col("max_r").cast("double"), 6)).as("dunn_index"))
+  }
+
+  /** Size profile of the pinned IVF clustering — the load-balance
+    * readout that decides nprobe and list skew BEFORE shipping the
+    * index: sizes, max/min imbalance, and the size entropy (nats,
+    * normalized by ln k). Entropy terms micro-pin via the exact
+    * (n·ln n − Σ c·ln c)/n identity; imbalance is ONE pinned
+    * division. k < 2 → NULL normalized entropy, stated. */
+  def clusterSizeBalance(embeddings: DataFrame, nlist: Int = 16)
+      : DataFrame = {
+    val per = memberDists(embeddings, nlist)
+      .groupBy("list_id").agg(count(lit(1)).as("c"))
+    val nlogn = (c: Column) =>
+      round(c.cast("double") * log(c.cast("double")) * lit(1000000.0), 0)
+        .cast("long")
+    per.agg(count(lit(1)).as("n_clusters"), sum("c").as("n_vectors"),
+        min("c").as("min_size"), max("c").as("max_size"),
+        sum(nlogn(col("c"))).as("clogc"))
+      .select(col("n_clusters"), col("n_vectors"), col("min_size"),
+        col("max_size"),
+        round(col("max_size").cast("double") /
+          col("min_size").cast("double"), 6).as("imbalance_ratio"),
+        round((nlogn(col("n_vectors")) - col("clogc")).cast("double") /
+          (col("n_vectors").cast("double") * lit(1000000.0)), 6)
+          .as("size_entropy"),
+        when(col("n_clusters") >= 2L,
+          round((nlogn(col("n_vectors")) - col("clogc")).cast("double") /
+            (col("n_vectors").cast("double") * lit(1000000.0)) /
+            log(col("n_clusters").cast("double")), 6))
+          .as("size_entropy_norm"))
+  }
 }
