@@ -637,6 +637,12 @@ object SparkEntry {
     "knn_brute" -> ((s, d) => VectorOps.knnBrute(embeddings(s, d), 0, 10)),
     "mmr_diverse_topk" ->
       ((s, d) => VectorOps.mmrDiverseTopK(embeddings(s, d), 0L, 10, 0.5)),
+    "kcenter_coreset" ->
+      ((s, d) => VectorOps.kCenterCoreset(embeddings(s, d))),
+    "mahalanobis_outliers" ->
+      ((s, d) => VectorOps.mahalanobisOutliers(embeddings(s, d))),
+    "circadian_entropy_stats" ->
+      ((s, d) => EventOps.circadianEntropyStats(events(s, d))),
     "knn_quantized" -> ((s, d) => VectorOps.knnQuantized(embeddings(s, d), 0, 10)),
     "knn_lsh" -> ((s, d) => VectorOps.knnLsh(embeddings(s, d), 0, 10)),
     "knn_ivf" -> ((s, d) =>
@@ -5956,6 +5962,64 @@ object SparkEntry {
         "WHERE p.rank < 10) " +
         "SELECT rank, vec_id, rel, max_sim AS max_sim_selected, " +
         "round(0.5 * rel - 0.5 * max_sim, 6) AS mmr_score FROM step"),
+    // Mirrors VectorOps.kCenterCoreset: the mmr recursive-CTE replay
+    // discipline — pinned seed (vec_id 0), each LATERAL step picks the
+    // max-of-min-4dp-L2 candidate with vec_id ASC tie-break.
+    "kcenter_coreset" ->
+      ("WITH RECURSIVE cands AS (SELECT vec_id, embedding " +
+        "FROM embeddings), " +
+        "step AS (SELECT 1 AS rank, CAST(0 AS BIGINT) AS vec_id, " +
+        "CAST(NULL AS DOUBLE) AS min_dist, " +
+        "[CAST(0 AS BIGINT)] AS chosen " +
+        "UNION ALL " +
+        "SELECT p.rank + 1, w.vec_id, w.md, " +
+        "list_append(p.chosen, w.vec_id) " +
+        "FROM step p, LATERAL (" +
+        "SELECT c2.vec_id, (SELECT min(round(sqrt(" +
+        duckSqDist("c2.embedding", "s.embedding") +
+        "), 4)) FROM cands s WHERE list_contains(p.chosen, s.vec_id)) " +
+        "AS md FROM cands c2 " +
+        "WHERE NOT list_contains(p.chosen, c2.vec_id) " +
+        "ORDER BY md DESC, c2.vec_id ASC LIMIT 1) w " +
+        "WHERE p.rank < 8) " +
+        "SELECT rank, vec_id, min_dist AS min_dist_at_pick FROM step"),
+    // Mirrors VectorOps.mahalanobisOutliers: 4dp-rounded per-dim
+    // moments (the labelCentroids pinning), per-dim terms micro-pinned
+    // before the per-vector sum, σ² ≤ 0 dims contribute 0.
+    "mahalanobis_outliers" ->
+      ("WITH pe AS (SELECT vec_id, " +
+        "unnest(range(len(embedding))) AS dim, " +
+        "unnest(list_transform(embedding, v -> CAST(v AS DOUBLE))) AS x " +
+        "FROM embeddings), " +
+        "mom AS (SELECT dim, round(avg(x), 4) AS mu, " +
+        "round(avg(x * x), 4) AS ex2 FROM pe GROUP BY 1), " +
+        "m2 AS (SELECT dim, mu, ex2 - mu * mu AS s2 FROM mom), " +
+        "terms AS (SELECT vec_id, CASE WHEN s2 > 0.0 THEN " +
+        "CAST(round((x - mu) * (x - mu) / s2 * 1000000.0, 0) AS BIGINT) " +
+        "ELSE 0 END AS tm FROM pe JOIN m2 USING (dim)) " +
+        "SELECT vec_id, round(CAST(CAST(sum(tm) AS BIGINT) AS DOUBLE) / " +
+        "1000000.0, 4) AS mahalanobis_sq FROM terms GROUP BY 1 " +
+        "ORDER BY mahalanobis_sq DESC, vec_id ASC LIMIT 20"),
+    // Mirrors EventOps.circadianEntropyStats: per-user hour histograms
+    // exact, the (n·ln n − Σ c·ln c)/n identity with micro-pinned
+    // terms, per-user entropy re-pinned, population mean one division.
+    "circadian_entropy_stats" ->
+      ("WITH uh AS (SELECT user_id, hour(ts) AS h, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), " +
+        "per AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) " +
+        "* 1000000.0, 0) AS BIGINT)) AS BIGINT) AS clogc " +
+        "FROM uh GROUP BY 1), " +
+        "hm AS (SELECT user_id, CAST(round(CAST(" +
+        "CAST(round(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)) " +
+        "* 1000000.0, 0) AS BIGINT) - clogc AS DOUBLE) / " +
+        "CAST(n AS DOUBLE), 0) AS BIGINT) AS hm FROM per) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "round(CAST(CAST(sum(hm) AS BIGINT) AS DOUBLE) / " +
+        "(CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_entropy, " +
+        "round(CAST(min(hm) AS DOUBLE) / 1000000.0, 6) AS min_entropy, " +
+        "round(CAST(max(hm) AS DOUBLE) / 1000000.0, 6) AS max_entropy " +
+        "FROM hm"),
     // Mirrors knn_ivf_pinned: centroids are the deterministic id-hash
     // sample (vec_id % 997 < 16, cv = embedding), so the oracle can
     // replay the WHOLE IVF search — cosine argmax list assignment

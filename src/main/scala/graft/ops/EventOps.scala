@@ -6116,6 +6116,44 @@ object EventOps {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Circadian entropy profile: each user's hour-of-day activity
+    * entropy (nats over the 24-bin histogram), summarized over the
+    * population — bots and scripted traffic concentrate in few hours
+    * (entropy near 0) while organic users spread (toward ln 24 ≈
+    * 3.18); the mean/min/max triple is the cheap fleet-level
+    * "how human is this traffic" readout beside [[userTypeEntropy]]'s
+    * what-they-do lens.
+    *
+    * Determinism: per-(user, hour) counts exact; each user's entropy
+    * uses the (n·ln n − Σ c·ln c)/n identity with every ln term
+    * micro-pinned BEFORE sums, the per-user division re-pinned to a
+    * micro BIGINT, population mean ONE further pinned division.
+    * Shape: two hash aggs (corpus → user×24 → user), one 1-row
+    * reduce. */
+  def circadianEntropyStats(events: DataFrame): DataFrame = {
+    val nlogn = (c: Column) =>
+      round(c.cast("double") * log(c.cast("double")) * lit(1000000.0), 0)
+        .cast("long")
+    val per = events
+      .select(col("user_id"), hour(col("ts")).as("h"))
+      .groupBy("user_id", "h").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n"), sum(nlogn(col("c"))).as("clogc"))
+      .select(col("user_id"),
+        round((nlogn(col("n")) - col("clogc")).cast("double") /
+          col("n").cast("double"), 0).cast("long").as("hm"))
+    per.agg(count(lit(1)).as("n_users"), sum(col("hm")).as("hsum"),
+        min("hm").as("hmin"), max("hm").as("hmax"))
+      .select(col("n_users"),
+        round(col("hsum").cast("double") /
+          (col("n_users").cast("double") * lit(1000000.0)), 6)
+          .as("mean_entropy"),
+        round(col("hmin").cast("double") / lit(1000000.0), 6)
+          .as("min_entropy"),
+        round(col("hmax").cast("double") / lit(1000000.0), 6)
+          .as("max_entropy"))
+  }
+
   /** Discrete-Fourier power of the daily volume at fixed candidate
     * periods — the frequency-domain companion of [[acfDailyCounts]]
     * (a lag-7 ACF spike says "weekly-ish"; the periodogram says HOW

@@ -1800,6 +1800,87 @@ object VectorOps {
       .filter(col("hamming") <= lit(maxHamming))
   }
 
+  /** Greedy k-center coreset (Gonzalez '85, the 2-approximation):
+    * seed at vec_id 0, then k−1 times pick the vector FARTHEST from
+    * the selected set (max over candidates of the min 4dp-rounded L2
+    * to any selected vector; vec_id ASC tie-break). The diverse-
+    * subset selection step of training-data curation — coverage of
+    * the embedding space is the objective, the complement of
+    * [[mmrDiverseTopK]]'s query-anchored diversity and the dual of
+    * [[semDeDup]]-style redundancy removal (keep the spread-out
+    * representatives, not drop the close ones).
+    *
+    * Determinism: the seed and every argmax are pinned (rounded
+    * distance, id ASC), so the trajectory is a pure function of the
+    * table and the DuckDB recursive-CTE oracle replays it exactly
+    * (the mmr_diverse_topk parity). Shape: each step is ONE
+    * distributed scan against a ≤k-row broadcast selected set; only
+    * the (rank, vec_id, dist) picks return to the driver — a ≤k-row
+    * bounded index artifact, never a data collect. */
+  def kCenterCoreset(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    val spark = embeddings.sparkSession
+    val cands = embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint() // all k greedy scans read it
+    var selected = Vector(0L)
+    val picks = scala.collection.mutable
+      .ArrayBuffer[(Int, Long, Option[Double])]((1, 0L, None))
+    for (step <- 2 to k) {
+      val sel = cands.filter(col("vec_id").isInCollection(selected))
+        .select(col("embedding").as("sv"))
+      val top = cands.filter(!col("vec_id").isInCollection(selected))
+        .crossJoin(broadcast(sel))
+        .groupBy("vec_id")
+        .agg(min(round(sqrt(sqDist(col("embedding"), col("sv"))), 4))
+          .as("md"))
+        .orderBy(col("md").desc, col("vec_id").asc).limit(1)
+        .collect()
+      if (top.nonEmpty) {
+        val r = top.head
+        picks += ((step, r.getLong(0), Some(r.getDouble(1))))
+        selected :+= r.getLong(0)
+      }
+    }
+    import spark.implicits._
+    picks.toSeq.toDF("rank", "vec_id", "min_dist_at_pick")
+  }
+
+  /** Diagonal-covariance Mahalanobis outliers: distance² =
+    * Σ_d (x_d − μ_d)²/σ²_d against the corpus's per-dimension moments
+    * — the O(n·dim) parametric outlier screen beside
+    * [[embeddingLofOutliers]]' density-based O(n·k) one (Mahalanobis
+    * catches "far from the cloud", LOF catches "in a sparse pocket").
+    *
+    * Determinism: μ_d and E[x²]_d are the 4dp-rounded per-dimension
+    * means (the labelCentroids pinning — ulp reduction noise dies
+    * under the rounding), σ²_d = E[x²] − μ² off those rounded values;
+    * per-dim terms micro-pin to BIGINT BEFORE the per-vector sum
+    * (order-free), ONE unpin, TakeOrdered top-k (distance DESC,
+    * vec_id ASC). Dimensions with σ² ≤ 0 after rounding contribute 0
+    * (stated — a constant dimension carries no outlier signal). */
+  def mahalanobisOutliers(embeddings: DataFrame, topK: Int = 20)
+      : DataFrame = {
+    val pe = embeddings.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+    val mom = pe.groupBy("dim")
+      .agg(round(avg("x"), 4).as("mu"),
+        round(avg(col("x") * col("x")), 4).as("ex2"))
+      .select(col("dim"), col("mu"),
+        (col("ex2") - col("mu") * col("mu")).as("s2"))
+    val terms = pe.join(broadcast(mom), "dim")
+      .select(col("vec_id"),
+        when(col("s2") > lit(0.0),
+          round((col("x") - col("mu")) * (col("x") - col("mu")) /
+            col("s2") * lit(1000000.0), 0).cast("long"))
+          .otherwise(lit(0L)).as("tm"))
+    terms.groupBy("vec_id")
+      .agg(sum("tm").as("sm"))
+      .select(col("vec_id"),
+        round(col("sm").cast("double") / lit(1000000.0), 4)
+          .as("mahalanobis_sq"))
+      .orderBy(col("mahalanobis_sq").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   // ---------- cluster-quality battery over the pinned IVF geometry ----------
 
   /** Index-order (x−y)² fold in fp64 — the L2² the quality battery
