@@ -348,6 +348,12 @@ object SparkEntry {
       ((s, d) => EventOps.valueEnergyDrift(events(s, d))),
     "value_cvm_drift" ->
       ((s, d) => EventOps.valueCvmDrift(events(s, d))),
+    "value_ad_drift" ->
+      ((s, d) => EventOps.valueAdDrift(events(s, d))),
+    "moods_median_by_type" ->
+      ((s, d) => EventOps.moodsMedianByType(events(s, d))),
+    "negbin_fit_by_type" ->
+      ((s, d) => EventOps.negbinFitByType(events(s, d))),
     "wilcoxon_signed_rank_ab" ->
       ((s, d) => EventOps.wilcoxonSignedRankAb(events(s, d))),
     "pacf_daily_counts" ->
@@ -4563,6 +4569,128 @@ object SparkEntry {
         "(CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)) * " +
         "(CAST(sm AS DOUBLE) / 1000000.0), 6) > 0.461 END, false) " +
         "AS drifted FROM s"),
+    // Mirrors EventOps.valueAdDrift: doubled midrank counts clear the
+    // halves, every inner term one pinned division of HUGEINT lanes
+    // micro-pinned before the grid sum, per-sample sums re-pinned,
+    // final (N−1)/N chain; degenerate bins contribute 0.
+    "value_ad_drift" ->
+      ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS bin, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT min(us) AS lo, max(us) AS hi FROM b), " +
+        "h AS (SELECT bin, CASE WHEN us <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half FROM b CROSS JOIN m), " +
+        "c AS (SELECT bin, " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM h GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, " +
+        "CAST(sum(c2) AS BIGINT) AS n2 FROM c), " +
+        "e AS (SELECT c1, c2, n1, n2, n1 + n2 AS nn, c1 + c2 AS lj, " +
+        "CAST(coalesce(sum(c1) OVER (ORDER BY bin ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS lt1, " +
+        "CAST(coalesce(sum(c2) OVER (ORDER BY bin ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS lt2 FROM c CROSS JOIN t), " +
+        "e2 AS (SELECT *, 2 * (lt1 + lt2) + lj AS b2 FROM e), " +
+        "tm AS (SELECT n1, n2, nn, " +
+        "CASE WHEN CAST(nn AS HUGEINT) * (CAST(b2 AS HUGEINT) * " +
+        "(2 * nn - b2) - CAST(nn AS HUGEINT) * lj) > 0 THEN " +
+        "CAST(round(CAST(CAST(lj AS HUGEINT) * " +
+        "(CAST(nn AS HUGEINT) * (2 * lt1 + c1) - CAST(n1 AS HUGEINT) * b2) * " +
+        "(CAST(nn AS HUGEINT) * (2 * lt1 + c1) - CAST(n1 AS HUGEINT) * b2) " +
+        "AS DOUBLE) / CAST(CAST(nn AS HUGEINT) * (CAST(b2 AS HUGEINT) * " +
+        "(2 * nn - b2) - CAST(nn AS HUGEINT) * lj) AS DOUBLE) " +
+        "* 1000000.0, 0) AS BIGINT) ELSE 0 END AS t1, " +
+        "CASE WHEN CAST(nn AS HUGEINT) * (CAST(b2 AS HUGEINT) * " +
+        "(2 * nn - b2) - CAST(nn AS HUGEINT) * lj) > 0 THEN " +
+        "CAST(round(CAST(CAST(lj AS HUGEINT) * " +
+        "(CAST(nn AS HUGEINT) * (2 * lt2 + c2) - CAST(n2 AS HUGEINT) * b2) * " +
+        "(CAST(nn AS HUGEINT) * (2 * lt2 + c2) - CAST(n2 AS HUGEINT) * b2) " +
+        "AS DOUBLE) / CAST(CAST(nn AS HUGEINT) * (CAST(b2 AS HUGEINT) * " +
+        "(2 * nn - b2) - CAST(nn AS HUGEINT) * lj) AS DOUBLE) " +
+        "* 1000000.0, 0) AS BIGINT) ELSE 0 END AS t2 FROM e2), " +
+        "s AS (SELECT n1, n2, nn, CAST(count(*) AS BIGINT) AS n_bins, " +
+        "CAST(sum(CAST(t1 AS HUGEINT)) AS HUGEINT) AS s1, " +
+        "CAST(sum(CAST(t2 AS HUGEINT)) AS HUGEINT) AS s2 " +
+        "FROM tm GROUP BY 1, 2, 3) " +
+        "SELECT n1 AS n_first, n2 AS n_second, n_bins, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+        "round((CAST(nn AS DOUBLE) - 1.0) * " +
+        "CAST(CAST(round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 0) " +
+        "AS BIGINT) + CAST(round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), " +
+        "0) AS BIGINT) AS DOUBLE) / CAST(nn AS DOUBLE) / 1000000.0, 6) " +
+        "END AS a2_akn FROM s"),
+    // Mirrors EventOps.moodsMedianByType: pooled lower median off the
+    // exact cents grid, per-type χ² contribution
+    // (aᵢN − nᵢA)²/(nᵢA(N−A)) micro-pinned before the k-term sum.
+    "moods_median_by_type" ->
+      ("WITH cv AS (SELECT event_type, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cv " +
+        "FROM events), " +
+        "grid AS (SELECT cv.cv, CAST(count(*) AS BIGINT) AS n " +
+        "FROM cv GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM grid), " +
+        "med AS (SELECT CAST(min(cv) AS BIGINT) AS med FROM (" +
+        "SELECT cv, CAST(sum(n) OVER (ORDER BY cv ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM grid) " +
+        "CROSS JOIN tot WHERE cum * 2 >= nt), " +
+        "per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni, " +
+        "CAST(sum(CASE WHEN cv.cv > med THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS ai FROM cv CROSS JOIN med GROUP BY 1), " +
+        "pt AS (SELECT CAST(sum(ni) AS BIGINT) AS nn, " +
+        "CAST(sum(ai) AS BIGINT) AS aa FROM per), " +
+        "tm AS (SELECT nn, aa, CASE WHEN " +
+        "CAST(ni AS HUGEINT) * aa * (nn - aa) > 0 THEN " +
+        "CAST(round(CAST(CAST(ai AS HUGEINT) * nn - " +
+        "CAST(ni AS HUGEINT) * aa AS DOUBLE) * " +
+        "CAST(CAST(ai AS HUGEINT) * nn - CAST(ni AS HUGEINT) * aa " +
+        "AS DOUBLE) / CAST(CAST(ni AS HUGEINT) * aa * (nn - aa) " +
+        "AS DOUBLE) * 1000000.0, 0) AS BIGINT) END AS tm " +
+        "FROM per CROSS JOIN pt) " +
+        "SELECT nn AS n_total, " +
+        "round(CAST(med AS DOUBLE) / 100.0, 2) AS pooled_median, " +
+        "aa AS n_above, CAST(count(*) AS BIGINT) AS n_types, " +
+        "CAST(count(*) - 1 AS BIGINT) AS dof, " +
+        "CASE WHEN aa > 0 AND aa < nn THEN " +
+        "round(CAST(CAST(sum(CAST(tm AS HUGEINT)) AS HUGEINT) " +
+        "AS DOUBLE) / 1000000.0, 4) END AS chi2 " +
+        "FROM tm CROSS JOIN med GROUP BY nn, aa, med"),
+    // Mirrors EventOps.negbinFitByType: exact Sx/Sxx on the
+    // zero-filled calendar, MoM estimators as single pinned divisions
+    // of HUGEINT lanes; σ² ≤ μ → NULL r (Poisson limit).
+    "negbin_fit_by_type" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "types AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, coalesce(daily.cnt, 0) AS x " +
+        "FROM cal CROSS JOIN types t LEFT JOIN daily " +
+        "ON daily.day = cal.day AND daily.event_type = t.event_type), " +
+        "mm AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x) AS BIGINT) AS sx, " +
+        "CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx " +
+        "FROM grid GROUP BY 1), " +
+        "v AS (SELECT *, CAST(n AS HUGEINT) * sxx - " +
+        "CAST(sx AS HUGEINT) * sx AS vn, " +
+        "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx - " +
+        "CAST(n - 1 AS HUGEINT) * sx AS od FROM mm WHERE n >= 2) " +
+        "SELECT event_type, n AS n_days, " +
+        "round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_daily, " +
+        "round(CAST(vn AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * (n - 1) AS DOUBLE), 6) AS var_daily, " +
+        "CASE WHEN sx > 0 THEN round(CAST(vn AS DOUBLE) / " +
+        "CAST(CAST(sx AS HUGEINT) * (n - 1) AS DOUBLE), 6) END " +
+        "AS dispersion_index, " +
+        "CASE WHEN od > 0 THEN " +
+        "round(CAST(CAST(sx AS HUGEINT) * sx * (n - 1) AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * od AS DOUBLE), 6) END AS nb_r, " +
+        "CASE WHEN vn > 0 THEN " +
+        "round(CAST(CAST(sx AS HUGEINT) * (n - 1) AS DOUBLE) / " +
+        "CAST(vn AS DOUBLE), 6) END AS nb_p FROM v"),
     // Mirrors EventOps.decisionStumpValue: exact prefix cells over the
     // 2dp value grid, the (pos^2+neg^2)/n objective as an identical
     // pinned double chain, winner by (J DESC, v ASC) LIMIT 1.

@@ -6116,6 +6116,187 @@ object EventOps {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Two-sample Anderson–Darling drift of the binned `value`
+    * distribution between the time halves — the tail-sensitive member
+    * of the drift battery (KS weighs the middle, CvM the body, Kuiper
+    * both directions; AD's 1/(F(1−F)) weight makes it the test that
+    * catches a tail shift first). The Scholz–Stephens (1987) midrank
+    * (ties-adjusted) A²ₐₖN specialized to k = 2, computed on the
+    * integer bin grid.
+    *
+    * Exactness: doubled midrank counts clear every half out of the
+    * formula — with M2ᵢⱼ = 2·(strictly-below count) + lⱼ-in-sample-i
+    * and B2ⱼ = 2·(pooled strictly below) + lⱼ, each inner term is
+    * lⱼ·(N·M2ᵢⱼ − nᵢ·B2ⱼ)² / (N·(B2ⱼ·(2N − B2ⱼ) − N·lⱼ)) — all
+    * DECIMAL(38,0)-exact integer lanes, ONE pinned division per term,
+    * micro-pinned before the grid sum; per-sample sums re-pin before
+    * the final (N−1)/N chain. Degenerate bins (denominator 0 — the
+    * whole pool on one value) contribute 0, stated. Under H₀,
+    * E[A²] = k−1 = 1; the Scholz–Stephens NORMALIZED T needs σ_N,
+    * whose exact form needs corpus-length harmonic prefix sums —
+    * deliberately not computed (stated); gross drift reads off the
+    * raw statistic against its unit mean.
+    *
+    * Shape: the corpus collapses to the value-bin grid; prefix
+    * windows and the term algebra run on that bounded frame. */
+  def valueAdDrift(events: DataFrame): DataFrame = {
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(floor(col("value")).cast("long").as("bin"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val counts = half.groupBy("bin")
+      .agg(sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+    val totals = counts.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val wPrev = Window.orderBy(col("bin").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = counts
+      .withColumn("lt1", coalesce(sum(col("c1")).over(wPrev), lit(0L)))
+      .withColumn("lt2", coalesce(sum(col("c2")).over(wPrev), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("lj", col("c1") + col("c2"))
+      .withColumn("b2", lit(2L) * (col("lt1") + col("lt2")) + col("lj"))
+    def term(cc: Column, lt: Column, ni: Column) = {
+      val m2 = lit(2L) * lt + cc
+      val num = dec(col("lj")) *
+        (dec(col("nn")) * m2 - dec(ni) * col("b2")) *
+        (dec(col("nn")) * m2 - dec(ni) * col("b2"))
+      val den = dec(col("nn")) *
+        (dec(col("b2")) * (lit(2L) * col("nn") - col("b2")) -
+          dec(col("nn")) * col("lj"))
+      when(den > lit(0),
+        round(num.cast("double") / den.cast("double") *
+          lit(1000000.0), 0).cast("long")).otherwise(lit(0L))
+    }
+    val s = g.select(col("n1"), col("n2"), col("nn"),
+        term(col("c1"), col("lt1"), col("n1")).as("t1"),
+        term(col("c2"), col("lt2"), col("n2")).as("t2"))
+      .groupBy("n1", "n2", "nn")
+      .agg(count(lit(1)).as("n_bins"),
+        sum(col("t1").cast("decimal(38,0)")).as("s1"),
+        sum(col("t2").cast("decimal(38,0)")).as("s2"))
+    val per1 = round(col("s1").cast("double") /
+      col("n1").cast("double"), 0).cast("long")
+    val per2 = round(col("s2").cast("double") /
+      col("n2").cast("double"), 0).cast("long")
+    val nD = col("nn").cast("double")
+    s.select(col("n1").as("n_first"), col("n2").as("n_second"),
+      col("n_bins"),
+      when(col("n1") > 0L && col("n2") > 0L,
+        round((nD - lit(1.0)) * (per1 + per2).cast("double") / nD /
+          lit(1000000.0), 6)).as("a2_akn"))
+  }
+
+  /** Mood's median test of `value` across event types — the
+    * assumption-free k-sample location screen (is ANY type's value
+    * distribution shifted relative to the pooled median?) beside
+    * [[kruskalWallisDaily]]'s rank form and [[anovaValueByType]]'s
+    * parametric one; robust to arbitrary tail weirdness because it
+    * only reads each observation's side of the pooled median.
+    *
+    * Exactness: the pooled LOWER median (smallest cents value whose
+    * cumulative count reaches ⌈N/2⌉, stated; ties at the median
+    * count as "not above") comes off the exact cents grid by prefix
+    * sums; with A = total above-count, each type's χ² contribution
+    * collapses to (aᵢ·N − nᵢ·A)²/(nᵢ·A·(N−A)) — exact DECIMAL lanes,
+    * one pinned division per type, micro-pinned before the k-term
+    * sum. A = 0 or A = N (constant corpus) → NULL χ², stated.
+    * df = k − 1. Shape: two corpus collapses (cents grid + per-type
+    * split counts); everything else is grid/k-bounded. */
+  def moodsMedianByType(events: DataFrame): DataFrame = {
+    val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
+    val grid = events.select(cents.as("cv"))
+      .groupBy("cv").agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("cv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum("n").as("nt"))
+    val med = grid
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * lit(2L) >= col("nt"))
+      .agg(min("cv").as("med"))
+    val perType = events.select(col("event_type"), cents.as("cv"))
+      .crossJoin(broadcast(med))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("ni"),
+        sum(when(col("cv") > col("med"), 1L).otherwise(0L)).as("ai"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val withTot = perType
+      .crossJoin(broadcast(perType.agg(sum("ni").as("nn"),
+        sum("ai").as("aa"))))
+    val num = dec(col("ai")) * col("nn") - dec(col("ni")) * col("aa")
+    val den = dec(col("ni")) * col("aa") * (col("nn") - col("aa"))
+    val tm = when(den > lit(0),
+      round(num.cast("double") * num.cast("double") /
+        den.cast("double") * lit(1000000.0), 0).cast("long"))
+    withTot
+      .select(col("nn"), col("aa"), tm.as("tm"))
+      .groupBy("nn", "aa")
+      .agg(count(lit(1)).as("n_types"), sum("tm").as("sm"))
+      .crossJoin(broadcast(med))
+      .select(col("nn").as("n_total"),
+        round(col("med").cast("double") / lit(100.0), 2)
+          .as("pooled_median"),
+        col("aa").as("n_above"), col("n_types"),
+        (col("n_types") - lit(1L)).as("dof"),
+        when(col("aa") > 0L && col("aa") < col("nn"),
+          round(col("sm").cast("double") / lit(1000000.0), 4))
+          .as("chi2"))
+  }
+
+  /** Negative-binomial method-of-moments fit of each type's daily
+    * count series — the overdispersion model [[fanoFactorByType]]'s
+    * VMR only diagnoses: r = μ²/(σ²−μ), p = μ/σ² off the zero-filled
+    * calendar grid. A type with finite r is burst-driven (NB mixes
+    * Poisson rates); σ² ≤ μ (no overdispersion — the Poisson limit)
+    * → NULL r, stated.
+    *
+    * Exactness: Sx/Sxx are exact BIGINTs on the calendar grid; the
+    * MoM estimators clear to single pinned divisions of
+    * DECIMAL(38,0) lanes — r = Sx²(n−1)/(n·(n·Sxx − Sx² − (n−1)Sx)),
+    * p = Sx(n−1)/(n·Sxx − Sx²) — plus one each for mean/variance/
+    * dispersion. Shape: one corpus collapse to (type, day), the
+    * dense-calendar fill, one k-row aggregate. */
+  def negbinFitByType(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), coalesce(col("cnt"), lit(0L)).as("x"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = grid.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(dec(col("x")) * col("x")).as("sxx"))
+    val varNum = dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")
+    val overD = varNum - dec(col("n") - 1L) * col("sx")
+    m.filter(col("n") >= 2L)
+      .select(col("event_type"), col("n").as("n_days"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mean_daily"),
+        round(varNum.cast("double") /
+          (dec(col("n")) * (col("n") - lit(1L))).cast("double"), 6)
+          .as("var_daily"),
+        when(col("sx") > 0L,
+          round(varNum.cast("double") /
+            (dec(col("sx")) * (col("n") - lit(1L))).cast("double"), 6))
+          .as("dispersion_index"),
+        when(overD > lit(0),
+          round((dec(col("sx")) * col("sx") * (col("n") - lit(1L)))
+            .cast("double") /
+            (dec(col("n")) * overD).cast("double"), 6)).as("nb_r"),
+        when(varNum > lit(0),
+          round((dec(col("sx")) * (col("n") - lit(1L))).cast("double") /
+            varNum.cast("double"), 6)).as("nb_p"))
+  }
+
   /** Circadian entropy profile: each user's hour-of-day activity
     * entropy (nats over the 24-bin histogram), summarized over the
     * population — bots and scripted traffic concentrate in few hours
