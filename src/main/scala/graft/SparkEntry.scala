@@ -350,6 +350,12 @@ object SparkEntry {
       ((s, d) => EventOps.valueCvmDrift(events(s, d))),
     "value_ad_drift" ->
       ((s, d) => EventOps.valueAdDrift(events(s, d))),
+    "ansari_bradley_ab" ->
+      ((s, d) => EventOps.ansariBradleyAb(events(s, d))),
+    "hodges_lehmann_shift" ->
+      ((s, d) => EventOps.hodgesLehmannShift(events(s, d))),
+    "page_trend_dow" ->
+      ((s, d) => EventOps.pageTrendDow(events(s, d))),
     "moods_median_by_type" ->
       ((s, d) => EventOps.moodsMedianByType(events(s, d))),
     "negbin_fit_by_type" ->
@@ -4405,6 +4411,115 @@ object SparkEntry {
         "(56.0 * CAST(n_weeks AS DOUBLE)), 6) > 12.592 END, false) " +
         "AS significant " +
         "FROM chi"),
+    // Mirrors EventOps.pageTrendDow: the friedman_dow_test rank chain
+    // with L₂ = Σ j·RS2ⱼ and the k=7 no-ties null moments; the z
+    // clears the doubled-rank factor as (L₂ − 2E)/(2σ).
+    "page_trend_dow" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT CAST((datediff('day', DATE '1970-01-01', d.day) " +
+        "+ 3) % 7 + 1 AS BIGINT) AS isodow, " +
+        "CAST((datediff('day', DATE '1970-01-01', d.day) + 3) // 7 " +
+        "AS BIGINT) AS wk, coalesce(daily.cnt, 0) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "complete AS (SELECT wk FROM grid GROUP BY wk " +
+        "HAVING count(*) = 7), " +
+        "wgrid AS (SELECT g.wk, g.isodow, g.y " +
+        "FROM grid g JOIN complete USING (wk)), " +
+        "r2 AS (SELECT a.wk, a.isodow, " +
+        "CAST(2 * sum(CASE WHEN b.y < a.y THEN 1 ELSE 0 END) + " +
+        "sum(CASE WHEN b.y = a.y THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r2 " +
+        "FROM wgrid a JOIN wgrid b ON a.wk = b.wk GROUP BY 1, 2), " +
+        "s AS (SELECT max(b) AS b, CAST(sum(l2p) AS HUGEINT) AS l2 FROM (" +
+        "SELECT isodow, CAST(count(*) AS BIGINT) AS b, " +
+        "CAST(CAST(isodow AS HUGEINT) * sum(r2) AS HUGEINT) AS l2p " +
+        "FROM r2 GROUP BY 1)) " +
+        "SELECT b AS n_weeks, " +
+        "round(CAST(l2 AS DOUBLE) / 2.0, 1) AS page_l, " +
+        "CASE WHEN b > 0 THEN round((CAST(l2 AS DOUBLE) - " +
+        "2.0 * 112.0 * CAST(b AS DOUBLE)) / " +
+        "(2.0 * sqrt(49.0 * 8.0 * 48.0 / 144.0 * CAST(b AS DOUBLE))), 4) " +
+        "END AS z_score FROM s"),
+    // Mirrors EventOps.ansariBradleyAb: doubled both-ends scores with
+    // closed-form tied-block sums (T2 triangulars split at the fold
+    // point), per-block contributions pinned, the general
+    // conditional-on-ties linear-rank moments, one z chain.
+    "ansari_bradley_ab" ->
+      ("WITH cv AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT) AS cv, user_id % 2 AS arm FROM events), " +
+        "grid AS (SELECT cv.cv, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2 " +
+        "FROM cv GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, " +
+        "CAST(sum(c2) AS BIGINT) AS n2 FROM grid), " +
+        "g AS (SELECT c1, c2, n1, n2, n1 + n2 AS nn, c1 + c2 AS l, " +
+        "CAST(coalesce(sum(c1 + c2) OVER (ORDER BY cv ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS bb FROM grid CROSS JOIN tot), " +
+        "blk AS (SELECT *, bb + 1 AS a, bb + l AS b, " +
+        "CAST((nn + 1) // 2 AS BIGINT) AS h FROM g), " +
+        "sj AS (SELECT n1, n2, nn, l, c1, " +
+        "(CASE WHEN a <= least(b, h) THEN " +
+        "CAST(least(b, h) AS HUGEINT) * (least(b, h) + 1) - " +
+        "CAST(a - 1 AS HUGEINT) * a ELSE CAST(0 AS HUGEINT) END) + " +
+        "(CASE WHEN b > h THEN " +
+        "CAST(nn + 1 AS HUGEINT) * 2 * (b - greatest(a, h + 1) + 1) - " +
+        "(CAST(b AS HUGEINT) * (b + 1) - " +
+        "CAST(greatest(a, h + 1) - 1 AS HUGEINT) * " +
+        "greatest(a, h + 1)) ELSE CAST(0 AS HUGEINT) END) AS s2j " +
+        "FROM blk), " +
+        "terms AS (SELECT n1, n2, nn, s2j, " +
+        "CAST(round(CAST(c1 AS DOUBLE) * CAST(s2j AS DOUBLE) / " +
+        "CAST(l AS DOUBLE) * 1000000.0, 0) AS BIGINT) AS wm, " +
+        "CAST(round(CAST(s2j AS DOUBLE) * CAST(s2j AS DOUBLE) / " +
+        "CAST(l AS DOUBLE), 0) AS HUGEINT) AS s2m FROM sj), " +
+        "s AS (SELECT n1, n2, nn, CAST(sum(s2j) AS HUGEINT) AS ssum2, " +
+        "CAST(sum(CAST(wm AS HUGEINT)) AS HUGEINT) AS w2m, " +
+        "CAST(sum(s2m) AS HUGEINT) AS ss22 FROM terms GROUP BY 1, 2, 3) " +
+        "SELECT n1 AS n_a, n2 AS n_b, " +
+        "round(CAST(w2m AS DOUBLE) / 1000000.0 / 2.0, 6) AS ab_score_a, " +
+        "round(CAST(CAST(n1 AS HUGEINT) * ssum2 AS DOUBLE) / " +
+        "CAST(nn AS DOUBLE) / 2.0, 6) AS expected_score_a, " +
+        "CASE WHEN CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+        "CAST(CAST(nn AS HUGEINT) * ss22 - " +
+        "CAST(ssum2 AS HUGEINT) * ssum2 AS DOUBLE) / " +
+        "(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * " +
+        "(CAST(nn AS DOUBLE) - 1.0)) > 0.0 THEN " +
+        "round((CAST(w2m AS DOUBLE) / 1000000.0 - " +
+        "CAST(CAST(n1 AS HUGEINT) * ssum2 AS DOUBLE) / " +
+        "CAST(nn AS DOUBLE)) / " +
+        "sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * " +
+        "CAST(CAST(nn AS HUGEINT) * ss22 - " +
+        "CAST(ssum2 AS HUGEINT) * ssum2 AS DOUBLE) / " +
+        "(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * " +
+        "(CAST(nn AS DOUBLE) - 1.0))), 4) END AS z_score FROM s"),
+    // Mirrors EventOps.hodgesLehmannShift: cross of the two halves'
+    // integer bin grids weighted c1·c2, weighted lower median —
+    // integer comparisons only, no division.
+    "hodges_lehmann_shift" ->
+      ("WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS cv, " +
+        "epoch_us(ts) AS us FROM events), " +
+        "m AS (SELECT min(us) AS lo, max(us) AS hi FROM b), " +
+        "h AS (SELECT cv, CASE WHEN us <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half FROM b CROSS JOIN m), " +
+        "g1 AS (SELECT cv AS v1, CAST(count(*) AS BIGINT) AS c1 " +
+        "FROM h WHERE half = 1 GROUP BY 1), " +
+        "g2 AS (SELECT cv AS v2, CAST(count(*) AS BIGINT) AS c2 " +
+        "FROM h WHERE half = 2 GROUP BY 1), " +
+        "diffs AS (SELECT v2 - v1 AS d, " +
+        "CAST(sum(CAST(c1 AS HUGEINT) * c2) AS HUGEINT) AS w " +
+        "FROM g1 CROSS JOIN g2 GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(w) AS HUGEINT) AS wt FROM diffs), " +
+        "cum AS (SELECT d, CAST(sum(w) OVER (ORDER BY d ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS HUGEINT) AS cum, wt " +
+        "FROM diffs CROSS JOIN tot) " +
+        "SELECT CAST(max(wt) AS DOUBLE) AS n_pairs, " +
+        "CAST(min(d) AS DOUBLE) AS hl_shift " +
+        "FROM cum WHERE cum * 2 >= wt"),
     // Mirrors EventOps.valueEnergyDrift: the wasserstein CTE chain
     // with three exact HUGEINT prefix-sum integrals (between/within/
     // within), one pinned double chain.

@@ -6116,6 +6116,182 @@ object EventOps {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Ansari–Bradley scale test between the A/B arms (user_id parity,
+    * the welchTtestAb split): rank the pooled per-event values from
+    * BOTH ends — score(r) = min(r, N+1−r) — and compare sample A's
+    * score sum against its null expectation. Equal medians but a
+    * wider A → A holds more extreme ranks → LOW score sum; this is
+    * the variance-drift test the location tests (Welch/Mann–Whitney)
+    * are blind to. Ties take the block-average score (midranks).
+    *
+    * Exactness: on the cents grid, each tied block's score sum S_j
+    * has a closed form (triangular numbers split at the fold point
+    * ⌊(N+1)/2⌋ — exact DECIMAL lanes); per-block contributions
+    * c₁ⱼ·Sⱼ/lⱼ and Sⱼ²/lⱼ micro-pin BEFORE the grid sums; the linear
+    * rank statistic moments E[W] = n₁·ΣS/N and
+    * Var[W] = n₁n₂(N·ΣS² − (ΣS)²)/(N²(N−1)) (the general
+    * conditional-on-ties form) are pinned chains. Zero variance
+    * (constant corpus) → NULL z, stated.
+    *
+    * Shape: one corpus collapse to the cents grid, one prefix window
+    * over it, one 1-row reduce. */
+  def ansariBradleyAb(events: DataFrame): DataFrame = {
+    val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
+    val grid = events
+      .select(cents.as("cv"), (col("user_id") % lit(2L)).as("arm"))
+      .groupBy("cv")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("c2"))
+    val wPrev = Window.orderBy(col("cv").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = grid.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = grid
+      .withColumn("bb",
+        coalesce(sum(col("c1") + col("c2")).over(wPrev), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("l", col("c1") + col("c2"))
+    // block ranks a..b; fold point h = ⌊(N+1)/2⌋; DOUBLED block score
+    // sum S2 = 2·Σ min(r, N+1−r) = Σ [2r | 2(N+1−r)] keeps every lane
+    // integral with NO division: T2(x) = x(x+1) = 2·triangular
+    val a = col("bb") + lit(1L)
+    val b = col("bb") + col("l")
+    val h = ((col("nn") + lit(1L)) / lit(2L)).cast("long")
+    def tri2(x: Column) = dec(x) * (x + lit(1L))
+    val upTo = least(b, h)
+    val low2 = when(a <= upTo, tri2(upTo) - tri2(a - lit(1L)))
+      .otherwise(lit(0).cast("decimal(38,0)"))
+    val m = greatest(a, h + lit(1L))
+    val high2 = when(b > h,
+      dec(col("nn") + lit(1L)) * lit(2) * (b - m + lit(1L)) -
+        (tri2(b) - tri2(m - lit(1L))))
+      .otherwise(lit(0).cast("decimal(38,0)"))
+    val s2j = (low2 + high2).as("s2j")
+    // per-block midrank contributions: c1·S2/l in micro units, S2²/l
+    // integer-rounded (its magnitude makes micro units overflow; the
+    // unit-scale rounding error is 1e-10 relative to the variance)
+    val terms = g.select(col("n1"), col("n2"), col("nn"), col("l"),
+        col("c1"), s2j)
+      .select(col("n1"), col("n2"), col("nn"), col("s2j"),
+        round(col("c1").cast("double") * col("s2j").cast("double") /
+          col("l").cast("double") * lit(1000000.0), 0).cast("long")
+          .as("wm"),
+        round(col("s2j").cast("double") * col("s2j").cast("double") /
+          col("l").cast("double"), 0).cast("decimal(38,0)").as("s2m"))
+    val s = terms.groupBy("n1", "n2", "nn")
+      .agg(sum("s2j").as("ssum2"),
+        sum(col("wm").cast("decimal(38,0)")).as("w2m"),
+        sum(col("s2m")).as("ss22"))
+    val nD = col("nn").cast("double")
+    val w2 = col("w2m").cast("double") / lit(1000000.0)
+    val eW2 = (dec(col("n1")) * col("ssum2")).cast("double") / nD
+    val varW2 = col("n1").cast("double") * col("n2").cast("double") *
+      (dec(col("nn")) * col("ss22") -
+        dec(col("ssum2")) * col("ssum2")).cast("double") /
+      (nD * nD * (nD - lit(1.0)))
+    s.select(col("n1").as("n_a"), col("n2").as("n_b"),
+      round(w2 / lit(2.0), 6).as("ab_score_a"),
+      round(eW2 / lit(2.0), 6).as("expected_score_a"),
+      when(varW2 > lit(0.0), round((w2 - eW2) / sqrt(varW2), 4))
+        .as("z_score"))
+  }
+
+  /** Hodges–Lehmann shift estimate between the time halves: the
+    * median of ALL cross-half value differences — the robust "how
+    * much did the distribution move" companion to the drift battery's
+    * detect-only statistics (KS/AD say IF; this says BY HOW MUCH,
+    * with a 0.29 breakdown point instead of the mean-difference's 0).
+    *
+    * Exactness: both halves collapse to the drift battery's integer
+    * bin grid (⌊value⌋ — the KS/AD/CvM/Kuiper granularity, stated: the
+    * estimate is unit-resolution; a finer grid squares the cross
+    * below, and the exact-cents refinement is a ~21-round binary
+    * search over the counting function, not worth the rounds here);
+    * the difference multiset is the grid×grid cross with weight
+    * c₁·c₂, and the estimate is the weighted LOWER median (smallest
+    * difference whose cumulative weight reaches half of n₁·n₂,
+    * stated) — all integer comparisons, no division at all.
+    *
+    * Shape: the cross is |grid|² (value-DOMAIN-bounded, NEVER
+    * corpus²), one hash re-collapse on the difference, one prefix
+    * window over it. */
+  def hodgesLehmannShift(events: DataFrame): DataFrame = {
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(floor(col("value")).cast("long").as("cv"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val g1 = half.filter(col("half") === 1)
+      .groupBy(col("cv").as("v1")).agg(count(lit(1)).as("c1"))
+    val g2 = half.filter(col("half") === 2)
+      .groupBy(col("cv").as("v2")).agg(count(lit(1)).as("c2"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val diffs = g1.crossJoin(g2)
+      .groupBy((col("v2") - col("v1")).as("d"))
+      .agg(sum(dec(col("c1")) * col("c2")).as("w"))
+    val tot = diffs.agg(sum("w").as("wt"))
+    val wCum = Window.orderBy(col("d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    diffs
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * lit(2) >= col("wt"))
+      .agg(min(col("d")).as("dmed"), max(col("wt")).as("wt"))
+      .select((col("wt")).cast("double").as("n_pairs"),
+        col("dmed").cast("double").as("hl_shift"))
+  }
+
+  /** Page's trend test for ordered alternatives across the weekday
+    * positions (Page '63): L = Σ_j j·R_j over the within-week ISO-dow
+    * ranks — [[friedmanDowTest]] asks "do weekdays differ AT ALL";
+    * Page asks the sharper ordered question "does activity trend
+    * monotonically across the week". Complete weeks only, midranks
+    * for ties (the Friedman machinery verbatim), z against the
+    * no-ties null moments E[L] = b·k(k+1)²/4,
+    * Var[L] = b·k²(k+1)(k²−1)/144 (stated approximation under ties —
+    * the standard practice).
+    *
+    * Exactness: doubled ranks keep every sum a BIGINT; L doubles with
+    * them and the z clears the factor — (L₂ − 2E)/(2σ) computed as
+    * one pinned chain. Fewer than 1 complete week → NULL z. */
+  def pageTrendDow(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(
+        (datediff(col("day"), lit("1970-01-01").cast("date")).cast("long") +
+          lit(3L)).as("dd3"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+      .select((col("dd3") % lit(7L) + lit(1L)).as("isodow"),
+        expr("dd3 div 7").as("wk"), col("y"))
+    val complete = grid.groupBy("wk").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") === lit(7L)).select("wk")
+    val wgrid = grid.join(broadcast(complete), Seq("wk"))
+      .localCheckpoint() // both sides of the rank self-join
+    val r2 = wgrid.as("a").join(wgrid.as("b"), col("a.wk") === col("b.wk"))
+      .groupBy(col("a.wk").as("wk"), col("a.isodow").as("isodow"))
+      .agg((lit(2L) * sum(when(col("b.y") < col("a.y"), 1L).otherwise(0L)) +
+        sum(when(col("b.y") === col("a.y"), 1L).otherwise(0L)) + lit(1L))
+        .as("r2"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val s = r2.groupBy("isodow").agg(sum("r2").as("rs2"),
+        count(lit(1)).as("b"))
+      .agg(max("b").as("b"),
+        sum(dec(col("isodow")) * col("rs2")).as("l2"))
+    // k = 7: E[L] = b·7·64/4 = 112b, Var[L] = b·49·8·48/144 = 130.666…b
+    val bD = col("b").cast("double")
+    val z = (col("l2").cast("double") - lit(2.0) * lit(112.0) * bD) /
+      (lit(2.0) * sqrt(lit(49.0 * 8.0 * 48.0 / 144.0) * bD))
+    s.select(col("b").as("n_weeks"),
+      round(col("l2").cast("double") / lit(2.0), 1).as("page_l"),
+      when(col("b") > 0L, round(z, 4)).as("z_score"))
+  }
+
   /** Two-sample Anderson–Darling drift of the binned `value`
     * distribution between the time halves — the tail-sensitive member
     * of the drift battery (KS weighs the middle, CvM the body, Kuiper
