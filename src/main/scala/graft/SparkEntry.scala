@@ -651,6 +651,12 @@ object SparkEntry {
       ((s, d) => VectorOps.mmrDiverseTopK(embeddings(s, d), 0L, 10, 0.5)),
     "kcenter_coreset" ->
       ((s, d) => VectorOps.kCenterCoreset(embeddings(s, d))),
+    "twonn_intrinsic_dim" ->
+      ((s, d) => VectorOps.twoNnIntrinsicDim(embeddings(s, d))),
+    "knn_hubness" ->
+      ((s, d) => VectorOps.knnHubness(embeddings(s, d))),
+    "textrank_keyterms" ->
+      ((s, d) => GraphOps.textRankTerms(documents(s, d))),
     "mahalanobis_outliers" ->
       ((s, d) => VectorOps.mahalanobisOutliers(embeddings(s, d))),
     "circadian_entropy_stats" ->
@@ -6205,6 +6211,108 @@ object SparkEntry {
         "WHERE p.rank < 10) " +
         "SELECT rank, vec_id, rel, max_sim AS max_sim_selected, " +
         "round(0.5 * rel - 0.5 * max_sim, 6) AS mmr_score FROM step"),
+    // Mirrors VectorOps.twoNnIntrinsicDim: 4dp L2 top-2 per vector
+    // (distance ASC, b_id ASC), ln(r2/r1) terms micro-pinned, the
+    // Facco MLE one final pinned chain; r1 = 0 rows excluded+counted.
+    "twonn_intrinsic_dim" ->
+      ("WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(sqrt(greatest(" +
+        "list_sum(list_transform(a.embedding, x -> " +
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) - " +
+        "2.0 * list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * " +
+        "CAST(b.embedding[i+1] AS DOUBLE))) + " +
+        "list_sum(list_transform(b.embedding, x -> " +
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)), 4) AS d " +
+        "FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id <> b.vec_id), " +
+        "t2 AS (SELECT a_id, d FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY a_id ORDER BY d ASC, b_id ASC) AS rn FROM s) " +
+        "WHERE rn <= 2), " +
+        "rr AS (SELECT a_id, min(d) AS r1, max(d) AS r2 FROM t2 " +
+        "GROUP BY 1), " +
+        "tm AS (SELECT CASE WHEN r1 > 0.0 THEN " +
+        "CAST(round(ln(r2 / r1) * 1000000.0, 0) AS BIGINT) END AS tm " +
+        "FROM rr) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_vectors, " +
+        "CAST(sum(CASE WHEN tm IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_degenerate, " +
+        "round(CAST(coalesce(CAST(sum(tm) AS BIGINT), 0) AS DOUBLE) / " +
+        "1000000.0, 6) AS sum_log_ratio, " +
+        "CASE WHEN coalesce(CAST(sum(tm) AS BIGINT), 0) > 0 THEN " +
+        "round(CAST(count(*) - sum(CASE WHEN tm IS NULL THEN 1 ELSE 0 " +
+        "END) AS DOUBLE) / (CAST(CAST(sum(tm) AS BIGINT) AS DOUBLE) / " +
+        "1000000.0), 4) END AS intrinsic_dim FROM tm"),
+    // Mirrors VectorOps.knnHubness: k-occurrence counts off the
+    // knn_all_brute top-5 lists (zero-occurrence vectors join as 0),
+    // skewness a/(b·sqrt(b)) off exact HUGEINT raw-moment lanes.
+    "knn_hubness" ->
+      ("WITH s AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, " +
+        "round(" + duckCos("a.embedding", "b.embedding") + ", 4) " +
+        "AS cos_sim FROM embeddings a JOIN embeddings b " +
+        "ON a.vec_id <> b.vec_id), " +
+        "k5 AS (SELECT b_id FROM (SELECT *, row_number() OVER (" +
+        "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn " +
+        "FROM s) WHERE rn <= 5), " +
+        "occ AS (SELECT b_id AS vec_id, CAST(count(*) AS BIGINT) AS nk " +
+        "FROM k5 GROUP BY 1), " +
+        "f AS (SELECT coalesce(occ.nk, 0) AS nk FROM embeddings e " +
+        "LEFT JOIN occ ON occ.vec_id = e.vec_id), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(nk) AS BIGINT) AS s1, " +
+        "CAST(sum(CAST(nk AS HUGEINT) * nk) AS HUGEINT) AS s2, " +
+        "CAST(sum(CAST(nk AS HUGEINT) * nk * nk) AS HUGEINT) AS s3, " +
+        "CAST(max(nk) AS BIGINT) AS max_occurrence, " +
+        "CAST(sum(CASE WHEN nk = 0 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_antihubs FROM f) " +
+        "SELECT n AS n_vectors, max_occurrence, n_antihubs, " +
+        "CASE WHEN CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 " +
+        "> 0 THEN round(CAST(CAST(n AS HUGEINT) * n * s3 - " +
+        "CAST(n AS HUGEINT) * 3 * s1 * s2 + " +
+        "CAST(s1 AS HUGEINT) * s1 * s1 * 2 AS DOUBLE) / " +
+        "(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 " +
+        "AS DOUBLE) * sqrt(CAST(CAST(n AS HUGEINT) * s2 - " +
+        "CAST(s1 AS HUGEINT) * s1 AS DOUBLE))), 4) END " +
+        "AS hubness_skew FROM m"),
+    // Mirrors GraphOps.textRankTerms: the integer-lane PageRank —
+    // pico-unit ranks, per-edge round(w·pr/outw) pinned divisions so
+    // inflow sums are exact BIGINT adds, teleport/damping re-pinned
+    // per round, 5 unrolled rounds, (rank DESC, term ASC) top-20.
+    "textrank_keyterms" ->
+      ("WITH t0 AS (SELECT doc_id, regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "p0 AS (SELECT doc_id, unnest(t) AS w, " +
+        "CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos FROM t0), " +
+        "pairs AS (SELECT least(a.w, b.w) AS wa, " +
+        "greatest(a.w, b.w) AS wb, CAST(count(*) AS BIGINT) AS n_pair " +
+        "FROM p0 a JOIN p0 b ON a.doc_id = b.doc_id " +
+        "AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2) " +
+        "GROUP BY 1, 2 HAVING count(*) >= 5 AND wa <> wb), " +
+        "edges AS (SELECT wa AS src, wb AS dst, n_pair AS w FROM pairs " +
+        "UNION ALL SELECT wb, wa, n_pair FROM pairs), " +
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw " +
+        "FROM edges GROUP BY 1), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), " +
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes), " +
+        "ew AS (SELECT e.src, e.dst, e.w, o.outw FROM edges e " +
+        "JOIN outw o USING (src)), " +
+        "r0 AS (SELECT node, CAST(round(1000000000000.0 / " +
+        "(SELECT nd FROM nn), 0) AS BIGINT) AS prp FROM nodes), " +
+        (1 to 5).map { i =>
+          s"i$i AS (SELECT e.dst AS node, CAST(sum(CAST(round(" +
+            "CAST(e.w AS DOUBLE) * CAST(r.prp AS DOUBLE) / " +
+            "CAST(e.outw AS DOUBLE), 0) AS BIGINT)) AS BIGINT) " +
+            s"AS inflow FROM ew e JOIN r${i - 1} r ON r.node = e.src " +
+            s"GROUP BY 1), " +
+            s"r$i AS (SELECT n0.node, " +
+            "CAST(round(0.15 * 1000000000000.0 / (SELECT nd FROM nn), " +
+            "0) AS BIGINT) + CAST(round(0.85 * " +
+            s"CAST(coalesce(i$i.inflow, 0) AS DOUBLE), 0) AS BIGINT) " +
+            s"AS prp FROM nodes n0 LEFT JOIN i$i USING (node))"
+        }.mkString(", ") + " " +
+        "SELECT node AS term, round(CAST(prp AS DOUBLE) / " +
+        "1000000000000.0, 6) AS textrank FROM r5 " +
+        "ORDER BY textrank DESC, term ASC LIMIT 20"),
     // Mirrors VectorOps.kCenterCoreset: the mmr recursive-CTE replay
     // discipline — pinned seed (vec_id 0), each LATERAL step picks the
     // max-of-min-4dp-L2 candidate with vec_id ASC tie-break.

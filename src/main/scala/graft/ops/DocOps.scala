@@ -220,24 +220,47 @@ object DocOps {
     * for off ∈ 1..window — never a theta join; everything downstream
     * is vocabulary²-bounded by the minCount filter, and the top-k is
     * a TakeOrderedAndProject. */
-  def pmiWindowCollocations(docs: DataFrame, window: Int = 2,
-      minCount: Long = 5L, k: Int = 20): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), posexplode(DedupOps.tokens(col("text"))))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
-      .localCheckpoint() // unigram counts + both join sides read it
-    val n = toks.agg(count(lit(1)).as("n_tok"))
-    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+  /** Windowed co-occurrence pair counts — the edge builder
+    * [[pmiWindowCollocations]] scores and
+    * [[graft.ops.GraphOps.textRankTerms]] ranks over: ordered
+    * ±window co-occurrences folded to the lexicographic (wa, wb)
+    * key, n_pair ≥ minCount. The window join is an equi-join on
+    * (doc_id, pos + off), never a theta join. */
+  private[ops] def windowPairCounts(docs: DataFrame, window: Int,
+      minCount: Long): DataFrame =
+    windowPairCountsFrom(tokenPositions(docs), window, minCount)
+
+  /** [[windowPairCounts]] over an already-materialized
+    * [[tokenPositions]] frame — callers that also need the token
+    * frame (pmi's unigram counts) pay the tokenize ONCE. */
+  private[ops] def windowPairCountsFrom(toks: DataFrame, window: Int,
+      minCount: Long): DataFrame = {
     val offs = (1 to window).map(lit(_))
     val right = toks.select(col("doc_id"),
         explode(array(offs: _*)).as("off"), col("pos"), col("w").as("wb0"))
       .select(col("doc_id"), (col("pos") - col("off")).as("pos"),
         col("wb0"))
-    val pairs = toks.join(right, Seq("doc_id", "pos"))
+    toks.join(right, Seq("doc_id", "pos"))
       .select(least(col("w"), col("wb0")).as("wa"),
         greatest(col("w"), col("wb0")).as("wb"))
       .groupBy("wa", "wb").agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= lit(minCount) && col("wa") =!= col("wb"))
+  }
+
+  /** (doc_id, 1-based pos, token) rows — checkpointed because the
+    * window machinery reads it from several consumers. */
+  private[ops] def tokenPositions(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(DedupOps.tokens(col("text"))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+      .localCheckpoint()
+
+  def pmiWindowCollocations(docs: DataFrame, window: Int = 2,
+      minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val toks = tokenPositions(docs)
+    val n = toks.agg(count(lit(1)).as("n_tok"))
+    val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("nw"))
+    val pairs = windowPairCountsFrom(toks, window, minCount)
     val scored = pairs
       .join(uni.select(col("w").as("wa"), col("nw").as("na")), Seq("wa"))
       .join(uni.select(col("w").as("wb"), col("nw").as("nb")), Seq("wb"))

@@ -744,6 +744,68 @@ object GraphOps {
     linkPredictionScores(mutual)
   }
 
+  /** TextRank keyterms (Mihalcea & Tarau '04): PageRank over the
+    * ±window token co-occurrence graph, top-k terms — the
+    * graph-centrality keyphrase extractor beside RAKE's
+    * degree/frequency heuristic ([[graft.ops.DocOps.rakeKeyphrases]])
+    * and the df-based [[graft.ops.DocOps.tfidfTopTerms]]: a term
+    * ranks high when it co-occurs with terms that themselves rank
+    * high, which surfaces connective topical vocabulary raw counts
+    * miss.
+    *
+    * Determinism — the INTEGER-LANE PageRank: ranks live in exact
+    * pico-units (10¹²); each edge's contribution
+    * round(w·pr(src)/outw(src)) is ONE pinned division, so the inflow
+    * sums are exact BIGINT adds in any order (the event_pagerank
+    * form sums fp doubles, fine for 5 nodes; a term graph has
+    * thousands of in-edges, so this variant re-pins per edge).
+    * Teleport and damping re-pin per round. `iters` fixed rounds,
+    * ties (pr DESC, term ASC).
+    *
+    * Shape: per round one edge⋈rank equi-join + one dst hash agg
+    * (the Pregel shape); ranks localCheckpoint per round; the final
+    * cut is TakeOrderedAndProject. */
+  def textRankTerms(docs: DataFrame, window: Int = 2,
+      minCount: Long = 5L, iters: Int = 5, k: Int = 20): DataFrame = {
+    val pairs = DocOps.windowPairCounts(docs, window, minCount)
+    val edges = pairs.select(col("wa").as("src"), col("wb").as("dst"),
+        col("n_pair").as("w"))
+      .unionAll(pairs.select(col("wb").as("src"), col("wa").as("dst"),
+        col("n_pair").as("w")))
+      .localCheckpoint() // outw + every iteration's join side
+    val outw = edges.groupBy(col("src")).agg(sum("w").as("outw"))
+    val nodes = edges.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val n = nodes.agg(count(lit(1)).as("n"))
+    val pico = 1000000000000L
+    var pr = nodes.crossJoin(broadcast(n))
+      .select(col("node"),
+        round(lit(pico.toDouble) / col("n").cast("double"), 0)
+          .cast("long").as("prp"))
+      .localCheckpoint()
+    val ew = edges.join(outw, "src")
+    for (_ <- 1 to iters) {
+      val inflow = ew
+        .join(pr.select(col("node").as("src"), col("prp")), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(round(col("w").cast("double") * col("prp").cast("double") /
+          col("outw").cast("double"), 0).cast("long")).as("inflow"))
+      pr = nodes.crossJoin(broadcast(n))
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (round(lit(0.15 * pico) / col("n").cast("double"), 0)
+            .cast("long") +
+            round(lit(0.85) * coalesce(col("inflow"), lit(0L))
+              .cast("double"), 0).cast("long")).as("prp"))
+        .localCheckpoint()
+    }
+    pr.select(col("node").as("term"),
+        round(col("prp").cast("double") / lit(pico.toDouble), 6)
+          .as("textrank"))
+      .orderBy(col("textrank").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Rich-club coefficient φ(k) at a ladder of degree thresholds
     * (Zhou & Mondragón '04): among the N_k nodes of degree > k, the
     * realized edge density 2E_k/(N_k(N_k−1)) — does the graph's elite

@@ -1800,6 +1800,98 @@ object VectorOps {
       .filter(col("hamming") <= lit(maxHamming))
   }
 
+  /** Two-NN intrinsic-dimension estimate (Facco et al. '17): with
+    * r₁, r₂ each vector's nearest and second-nearest L2 distances,
+    * d̂ = n / Σ ln(r₂/r₁) — the MLE under local uniformity, and the
+    * cheapest answer to "how many effective dimensions do these
+    * embeddings actually use" (a 768-dim model whose d̂ is 9 can be
+    * PQ'd/truncated far harder than its ambient width suggests;
+    * pairs with [[embeddingIsotropy]]'s global eigenvalue lens).
+    *
+    * Determinism: distances 4dp-round (the knnAllBrute pinning) with
+    * (distance ASC, b_id ASC) rank ties; per-vector ln(r₂/r₁) terms
+    * micro-pin BEFORE the corpus sum; degenerate vectors (r₁ = 0
+    * after rounding — exact duplicates) are excluded and counted,
+    * stated. Exact brute top-2 is the gate; at corpus scale the same
+    * estimator runs on any ANN top-2 shortlist.
+    *
+    * Shape: the knnAllBrute scaffold (repartitioned left, broadcast
+    * right, native capped-heap top-k at k=2) + one 1-row reduce; the
+    * hot pair loop uses the fused native dot product with carried
+    * norms² (d² = ‖a‖² − 2⟨a,b⟩ + ‖b‖², clamped at 0 against fp
+    * cancellation) — the zip_with fold allocates an array per pair
+    * and measured 10× slower on the all-pairs scan. */
+  def twoNnIntrinsicDim(embeddings: DataFrame): DataFrame = {
+    import graft.functions.DotProduct.dotFused
+    val v = embeddings.select(col("vec_id"), col("embedding"))
+    val a = v.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        dotFused(col("embedding"), col("embedding")).as("na2"))
+      .repartition(col("a_id"))
+    val b = v.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+      dotFused(col("embedding"), col("embedding")).as("nb2"))
+    val scored = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(sqrt(greatest(
+          col("na2") - lit(2.0) * dotFused(col("va"), col("vb")) +
+            col("nb2"), lit(0.0))), 4).as("d"))
+    val top2 = graft.plans.TopK.perGroup(scored, Seq(col("a_id")),
+      Seq(col("d").asc, col("b_id").asc), 2)
+    val rr = top2.groupBy("a_id")
+      .agg(min("d").as("r1"), max("d").as("r2"))
+    val terms = rr.select(
+      when(col("r1") > lit(0.0),
+        round(log(col("r2") / col("r1")) * lit(1000000.0), 0)
+          .cast("long")).as("tm"))
+    terms.agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("tm").isNull, 1L).otherwise(0L)).as("n_degenerate"),
+        coalesce(sum(col("tm")), lit(0L)).as("sm"))
+      .select(col("n_vectors"), col("n_degenerate"),
+        round(col("sm").cast("double") / lit(1000000.0), 6)
+          .as("sum_log_ratio"),
+        when(col("sm") > 0L,
+          round((col("n_vectors") - col("n_degenerate")).cast("double") /
+            (col("sm").cast("double") / lit(1000000.0)), 4))
+          .as("intrinsic_dim"))
+  }
+
+  /** k-occurrence hubness of the exact cosine k-NN graph (Radovanović
+    * et al. '10): N_k(x) = how many vectors list x in their top-k;
+    * its skewness is THE hubness number — high-dimensional spaces
+    * grow hubs (few points in everyone's neighbor lists) and
+    * anti-hubs (in no one's), which silently poisons k-NN search,
+    * dedup and retrieval long before recall metrics show it.
+    *
+    * Determinism: the k-NN lists are [[knnAllBrute]]'s pinned top-k;
+    * N_k counts are exact (vectors in NO list join as 0); the
+    * skewness g₁ = m₃/m₂^{3/2} clears to
+    * a/(b·sqrt(b)) with a = n²ΣN³ − 3nΣN·ΣN² + 2(ΣN)³ and
+    * b = nΣN² − (ΣN)² — exact DECIMAL(38,0) lanes, one pinned chain.
+    * Zero variance → NULL skew, stated. */
+  def knnHubness(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val occ = knnAllBrute(embeddings, k)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(count(lit(1)).as("nk"))
+    val full = embeddings.select(col("vec_id"))
+      .join(occ, Seq("vec_id"), "left")
+      .select(coalesce(col("nk"), lit(0L)).as("nk"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val m = full.agg(count(lit(1)).as("n"), sum("nk").as("s1"),
+      sum(dec(col("nk")) * col("nk")).as("s2"),
+      sum(dec(col("nk")) * col("nk") * col("nk")).as("s3"),
+      max("nk").as("max_occurrence"),
+      sum(when(col("nk") === 0L, 1L).otherwise(0L)).as("n_antihubs"))
+    val aLane = dec(col("n")) * col("n") * col("s3") -
+      dec(col("n")) * lit(3) * col("s1") * col("s2") +
+      dec(col("s1")) * col("s1") * col("s1") * lit(2)
+    val bLane = dec(col("n")) * col("s2") - dec(col("s1")) * col("s1")
+    m.select(col("n").as("n_vectors"), col("max_occurrence"),
+      col("n_antihubs"),
+      when(bLane > lit(0),
+        round(aLane.cast("double") /
+          (bLane.cast("double") * sqrt(bLane.cast("double"))), 4))
+        .as("hubness_skew"))
+  }
+
   /** Greedy k-center coreset (Gonzalez '85, the 2-approximation):
     * seed at vec_id 0, then k−1 times pick the vector FARTHEST from
     * the selected set (max over candidates of the min 4dp-rounded L2
