@@ -352,6 +352,12 @@ object SparkEntry {
       ((s, d) => EventOps.valueAdDrift(events(s, d))),
     "ansari_bradley_ab" ->
       ((s, d) => EventOps.ansariBradleyAb(events(s, d))),
+    "seasonal_mann_kendall" ->
+      ((s, d) => EventOps.seasonalMannKendall(events(s, d))),
+    "gpd_pot_fit" ->
+      ((s, d) => EventOps.gpdPotFit(events(s, d))),
+    "cooccurrence_ktruss" ->
+      ((s, d) => GraphOps.cooccurrenceKTruss(documents(s, d))),
     "hodges_lehmann_shift" ->
       ((s, d) => EventOps.hodgesLehmannShift(events(s, d))),
     "page_trend_dow" ->
@@ -4052,6 +4058,119 @@ object SparkEntry {
         "THEN 'increasing' WHEN zv < -1.959964 THEN 'decreasing' " +
         "ELSE 'none' END) END AS trend " +
         "FROM z"),
+    // Mirrors EventOps.seasonalMannKendall: the flat MK chain with
+    // pairs and tie-corrections confined to each ISO-dow subseries,
+    // variances summed across the 7 seasons.
+    "seasonal_mann_kendall" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT d.day, " +
+        "CAST((datediff('day', DATE '1970-01-01', d.day) + 3) % 7 + 1 " +
+        "AS BIGINT) AS dow, coalesce(daily.cnt, 0) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "s AS (SELECT CAST(sum(CASE WHEN b.y > a.y THEN 1 " +
+        "WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s, " +
+        "CAST(count(*) AS BIGINT) AS n_pairs " +
+        "FROM grid a JOIN grid b ON a.dow = b.dow AND a.day < b.day), " +
+        "ps AS (SELECT dow, CAST(sum(t) AS BIGINT) AS nd, " +
+        "CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum FROM (" +
+        "SELECT dow, y, CAST(count(*) AS BIGINT) AS t FROM grid " +
+        "GROUP BY 1, 2) GROUP BY 1), " +
+        "v AS (SELECT CAST(sum(nd * (nd - 1) * (2 * nd + 5) - tsum) " +
+        "AS BIGINT) AS var18, CAST(sum(nd) AS BIGINT) AS n_days, " +
+        "CAST(count(*) AS BIGINT) AS n_seasons FROM ps), " +
+        "z AS (SELECT *, CASE WHEN s > 0 THEN " +
+        "CAST(s - 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+        "WHEN s < 0 THEN " +
+        "CAST(s + 1 AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / 18.0) " +
+        "ELSE 0.0 END AS zv FROM s CROSS JOIN v) " +
+        "SELECT n_days, n_seasons, s AS s_stat, var18 AS var_s_x18, " +
+        "CASE WHEN var18 > 0 THEN round(zv, 6) END AS z_score, " +
+        "CASE WHEN var18 > 0 THEN (CASE WHEN zv > 1.959964 " +
+        "THEN 'increasing' WHEN zv < -1.959964 THEN 'decreasing' " +
+        "ELSE 'none' END) END AS trend FROM z"),
+    // Mirrors EventOps.gpdPotFit: exact lower-P95 cents threshold,
+    // strict exceedances, Hosking-Wallis MoM as pinned chains of
+    // exact HUGEINT moment lanes.
+    "gpd_pot_fit" ->
+      ("WITH cv AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT) AS cv FROM events), " +
+        "grid AS (SELECT cv.cv, CAST(count(*) AS BIGINT) AS n " +
+        "FROM cv GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM grid), " +
+        "thr AS (SELECT CAST(min(cv) AS BIGINT) AS u FROM (" +
+        "SELECT cv, CAST(sum(n) OVER (ORDER BY cv ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM grid) " +
+        "CROSS JOIN tot WHERE cum * 20 >= nt * 19), " +
+        "ex AS (SELECT u, CAST(sum(n) AS BIGINT) AS ne, " +
+        "CAST(sum(CAST(cv - u AS HUGEINT) * n) AS HUGEINT) AS se, " +
+        "CAST(sum(CAST(cv - u AS HUGEINT) * (cv - u) * n) AS HUGEINT) " +
+        "AS see FROM grid CROSS JOIN thr WHERE cv > u GROUP BY 1), " +
+        "t2 AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM events) " +
+        "SELECT n_total, round(CAST(u AS DOUBLE) / 100.0, 2) " +
+        "AS threshold, ne AS n_exceed, " +
+        "CASE WHEN ne >= 2 THEN round(CAST(se AS DOUBLE) / " +
+        "CAST(ne AS DOUBLE) / 100.0, 6) END AS mean_excess, " +
+        "CASE WHEN ne >= 2 AND CAST(ne AS HUGEINT) * see - se * se > 0 " +
+        "THEN round((1.0 - CAST(se * se * (ne - 1) AS DOUBLE) / " +
+        "CAST(CAST(ne AS HUGEINT) * (CAST(ne AS HUGEINT) * see - " +
+        "se * se) AS DOUBLE)) / 2.0, 6) END AS gpd_shape, " +
+        "CASE WHEN ne >= 2 AND CAST(ne AS HUGEINT) * see - se * se > 0 " +
+        "THEN round(CAST(se AS DOUBLE) / CAST(ne AS DOUBLE) / 100.0 * " +
+        "(1.0 + CAST(se * se * (ne - 1) AS DOUBLE) / " +
+        "CAST(CAST(ne AS HUGEINT) * (CAST(ne AS HUGEINT) * see - " +
+        "se * se) AS DOUBLE)) / 2.0, 6) END AS gpd_scale " +
+        "FROM ex CROSS JOIN t2"),
+    // Mirrors GraphOps.cooccurrenceKTruss: the cooccurrence_kcore edge
+    // CTE, then 6 unrolled synchronous support-peel rounds (triangles
+    // via the ordered a<b<c closure join) and the converged survivors
+    // with their in-truss support.
+    "cooccurrence_ktruss" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        // MATERIALIZED: each round reads the previous edge set 4× and
+        // its triangles 3× — DuckDB's default CTE inlining would
+        // expand the 6-round chain into thousands of base-table scans
+        // (observed as a "too many open files" parquet storm)
+        "e0 AS MATERIALIZED (SELECT term_a AS src, term_b AS dst FROM p), " +
+        (1 to 6).map { i =>
+          val prev = s"e${i - 1}"
+          s"t$i AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c " +
+            s"FROM $prev x JOIN $prev y ON y.src = x.dst " +
+            s"JOIN $prev z ON z.src = x.src AND z.dst = y.dst), " +
+            s"s$i AS MATERIALIZED (SELECT src, dst, " +
+            s"CAST(count(*) AS BIGINT) AS sup " +
+            s"FROM (SELECT a AS src, b AS dst FROM t$i " +
+            s"UNION ALL SELECT b, c FROM t$i " +
+            s"UNION ALL SELECT a, c FROM t$i) GROUP BY 1, 2), " +
+            s"e$i AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e " +
+            s"JOIN s$i s " +
+            s"ON s.src = e.src AND s.dst = e.dst WHERE s.sup >= 2)"
+        }.mkString(", ") + ", " +
+        "t7 AS MATERIALIZED (SELECT x.src AS a, x.dst AS b, y.dst AS c " +
+        "FROM e6 x JOIN e6 y ON y.src = x.dst " +
+        "JOIN e6 z ON z.src = x.src AND z.dst = y.dst), " +
+        "s7 AS MATERIALIZED (SELECT src, dst, " +
+        "CAST(count(*) AS BIGINT) AS sup " +
+        "FROM (SELECT a AS src, b AS dst FROM t7 " +
+        "UNION ALL SELECT b, c FROM t7 " +
+        "UNION ALL SELECT a, c FROM t7) GROUP BY 1, 2) " +
+        "SELECT e.src, e.dst, s.sup AS support FROM e6 e JOIN s7 s " +
+        "ON s.src = e.src AND s.dst = e.dst WHERE s.sup >= 2 " +
+        "ORDER BY e.src ASC, e.dst ASC"),
     // Mirrors EventOps.thetaForecastDaily: moments and the SES
     // recursion as t-ascending left folds over the sorted calendar
     // list (list_reduce ≡ the aggregate HOF), identical pinned double

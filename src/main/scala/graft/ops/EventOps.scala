@@ -6473,6 +6473,112 @@ object EventOps {
             varNum.cast("double"), 6)).as("nb_p"))
   }
 
+  /** Seasonal Mann–Kendall trend test (Hirsch & Slack '84): the MK
+    * S statistic computed WITHIN each ISO-weekday's subseries and
+    * summed — weekly seasonality contributes zero to every S_d (a
+    * Monday is only ever compared to other Mondays), so the combined
+    * z reads the underlying trend the flat [[mannKendallDaily]]
+    * smears with day-of-week noise. Variance is the sum of per-season
+    * tie-corrected variances; the ±1 continuity correction and trend
+    * call mirror the flat form.
+    *
+    * Exactness: all pair signs, tie sums and the 18-scaled variance
+    * are exact BIGINT; the only division is the final z. The pair
+    * join is |calendar/7|² per season — calendar-bounded, never
+    * corpus². */
+  def seasonalMannKendall(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        ((datediff(col("day"), lit("1970-01-01").cast("date"))
+          .cast("long") + lit(3L)) % lit(7L) + lit(1L)).as("dow"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+      .localCheckpoint() // pair join + per-season ties both read it
+    val s = grid.as("a")
+      .join(grid.as("b"),
+        col("a.dow") === col("b.dow") && col("a.day") < col("b.day"))
+      .agg(sum(when(col("b.y") > col("a.y"), 1L)
+        .when(col("b.y") < col("a.y"), -1L).otherwise(0L)).as("s"),
+        count(lit(1)).as("n_pairs"))
+    val perSeason = grid.groupBy("dow", "y").agg(count(lit(1)).as("t"))
+      .groupBy("dow")
+      .agg(sum(col("t")).as("nd"),
+        sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L))
+          .as("tsum"))
+      .agg(sum(col("nd") * (col("nd") - 1L) * (lit(2L) * col("nd") + 5L)
+        - col("tsum")).as("var18"),
+        sum(col("nd")).as("n_days"), count(lit(1)).as("n_seasons"))
+    val j = s.crossJoin(broadcast(perSeason))
+    val vs = col("var18").cast("double") / lit(18.0)
+    val z = when(col("s") > 0L,
+      (col("s") - lit(1L)).cast("double") / sqrt(vs))
+      .when(col("s") < 0L, (col("s") + lit(1L)).cast("double") / sqrt(vs))
+      .otherwise(lit(0.0))
+    j.select(col("n_days"), col("n_seasons"), col("s").as("s_stat"),
+      col("var18").as("var_s_x18"),
+      when(col("var18") > 0L, round(z, 6)).as("z_score"),
+      when(col("var18") > 0L,
+        when(z > lit(1.959964), lit("increasing"))
+          .when(z < lit(-1.959964), lit("decreasing"))
+          .otherwise(lit("none"))).as("trend"))
+  }
+
+  /** Peaks-over-threshold GPD fit of `value` (the EVT pair of
+    * [[gumbelValueExtremes]]' block-maxima lens): exceedances over
+    * the exact P95 cents threshold, generalized-Pareto
+    * method-of-moments — ξ = (1 − m²/s²)/2, σ = m(1 + m²/s²)/2
+    * (Hosking & Wallis '87) — the tail model that says how bad the
+    * NEXT record will be, not just how bad records have been.
+    * ξ < 0 = bounded tail, ξ > 0 = heavy.
+    *
+    * Exactness: the threshold is the exact lower P95 off the cents
+    * grid (smallest value whose cumulative count reaches ⌈0.95N⌉,
+    * stated; exceedances are STRICTLY above); excess moments are
+    * exact integer lanes; m²/s² clears to Σe²·(n−1)/(n·(nΣe²₂ −
+    * (Σe)²))… every estimator is a pinned chain with single
+    * divisions. Fewer than 2 exceedances or zero variance → NULL
+    * fit, stated. */
+  def gpdPotFit(events: DataFrame): DataFrame = {
+    val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
+    val grid = events.select(cents.as("cv"))
+      .groupBy("cv").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // threshold scan + excess moments read it
+    val tot = grid.agg(sum("n").as("nt"))
+    val wCum = Window.orderBy(col("cv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = grid
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * lit(20L) >= col("nt") * lit(19L))
+      .agg(min("cv").as("u"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val ex = grid.crossJoin(broadcast(thr))
+      .filter(col("cv") > col("u"))
+      .select(((col("cv") - col("u"))).as("e"), col("n"), col("u"))
+      .groupBy("u")
+      .agg(sum(col("n")).as("ne"),
+        sum(dec(col("e")) * col("n")).as("se"),
+        sum(dec(col("e")) * col("e") * col("n")).as("see"))
+    val tot2 = events.agg(count(lit(1)).as("n_total"))
+    val varNum = dec(col("ne")) * col("see") - col("se") * col("se")
+    val m = col("se").cast("double") / col("ne").cast("double") /
+      lit(100.0)
+    val ratio = (col("se") * col("se") * (col("ne") - lit(1L)))
+      .cast("double") / (dec(col("ne")) * varNum).cast("double")
+    ex.crossJoin(broadcast(tot2))
+      .select(col("n_total"),
+        round(col("u").cast("double") / lit(100.0), 2).as("threshold"),
+        col("ne").as("n_exceed"),
+        when(col("ne") >= 2L, round(m, 6)).as("mean_excess"),
+        when(col("ne") >= 2L && varNum > lit(0),
+          round((lit(1.0) - ratio) / lit(2.0), 6)).as("gpd_shape"),
+        when(col("ne") >= 2L && varNum > lit(0),
+          round(m * (lit(1.0) + ratio) / lit(2.0), 6)).as("gpd_scale"))
+  }
+
   /** Circadian entropy profile: each user's hour-of-day activity
     * entropy (nats over the 24-bin histogram), summarized over the
     * population — bots and scripted traffic concentrate in few hours

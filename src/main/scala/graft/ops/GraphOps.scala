@@ -744,6 +744,62 @@ object GraphOps {
     linkPredictionScores(mutual)
   }
 
+  /** k-truss of an undirected graph (Cohen '08): the maximal subgraph
+    * whose EVERY edge sits in ≥ k−2 triangles — the edge-grained
+    * cohesion notion between [[triangleCounts]]' node counts and
+    * [[kCore]]'s degree peel (a k-core can be a star; a k-truss
+    * cannot — every surviving edge is embedded in triangles).
+    * Synchronous peel: per round, recompute each edge's triangle
+    * support within the SURVIVING subgraph and drop edges below
+    * k−2; fixed `rounds`, then a convergence check (the kCore
+    * discipline — emitting an unconverged superset would mislabel).
+    *
+    * Triangles enumerate via the ordered (a<b<c) closure join — each
+    * triangle once, each of its three edges credited once; the
+    * degree-ordered orientation ([[triangleCounts]]) is the skew
+    * path for corpus-free graphs, while this per-round form stays on
+    * the vocabulary-bounded term graph. Output: surviving edges with
+    * their in-truss support, (src, dst) ordered. */
+  def kTruss(edges: DataFrame, k: Int = 4, rounds: Int = 6): DataFrame = {
+    require(k >= 3, s"kTruss: k must be >= 3, got $k")
+    def norm(e: DataFrame): DataFrame = e
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    def support(e: DataFrame): DataFrame = {
+      val tri = e.as("x")
+        .join(e.as("y"), col("y.src") === col("x.dst"))
+        .join(e.as("z"), col("z.src") === col("x.src") &&
+          col("z.dst") === col("y.dst"))
+        .select(col("x.src").as("a"), col("x.dst").as("b"),
+          col("y.dst").as("c"))
+      tri.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(tri.select(col("b").as("src"), col("c").as("dst")))
+        .unionAll(tri.select(col("a").as("src"), col("c").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+    }
+    def peel(e: DataFrame): DataFrame = e
+      .join(support(e), Seq("src", "dst"))
+      .filter(col("support") >= (k - 2).toLong)
+    var e = norm(edges).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = peel(e).select("src", "dst").localCheckpoint()
+    }
+    val last = peel(e).localCheckpoint()
+    val stable = last.count()
+    require(stable == e.count(),
+      s"kTruss(k=$k): not converged after $rounds peels — raise " +
+        "`rounds`; an unconverged superset would mislabel edges")
+    last.orderBy(col("src").asc, col("dst").asc)
+  }
+
+  /** [[kTruss]] over the term co-occurrence graph: the triangle-woven
+    * topical skeleton — term pairs whose relationship survives even
+    * when every loosely-supported association is peeled away. */
+  def cooccurrenceKTruss(docs: DataFrame, k: Int = 4): DataFrame =
+    kTruss(MiningOps.termCooccurrence(docs)
+      .select(col("term_a").as("src"), col("term_b").as("dst")), k)
+
   /** TextRank keyterms (Mihalcea & Tarau '04): PageRank over the
     * ±window token co-occurrence graph, top-k terms — the
     * graph-centrality keyphrase extractor beside RAKE's
