@@ -300,6 +300,10 @@ object SparkEntry {
     "scrub_pii" -> ((s, d) => DocOps.scrubPii(documents(s, d))),
     "vocab_stats_by_lang" -> ((s, d) => DocOps.vocabStatsByLang(documents(s, d))),
     "dataset_splits" -> ((s, d) => DocOps.datasetSplits(documents(s, d))),
+    "cluster_aware_splits" ->
+      ((s, d) => DocOps.clusterAwareSplits(documents(s, d))),
+    "split_leakage_audit" ->
+      ((s, d) => DocOps.splitLeakageAudit(documents(s, d))),
     "oov_rate_by_source" ->
       ((s, d) => DocOps.oovRateBySource(documents(s, d))),
     "dsir_log_weights" ->
@@ -3765,6 +3769,68 @@ object SparkEntry {
         "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
         s"FROM (SELECT doc_id, ${DocOps.knuthHash32Sql("doc_id")} % 100 " +
         "AS bucket FROM documents)"),
+    // Mirrors DocOps.clusterAwareSplits: the dup_clusters closure
+    // labels, singletons fall back to their own id, the dataset_splits
+    // Knuth bucket rule applied to the CLUSTER id.
+    "cluster_aware_splits" ->
+      (s"WITH RECURSIVE $shingleCtes, $prunedShingleCte, " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5), " +
+        "eg AS (SELECT a_id AS u, b_id AS v FROM pairs " +
+        "UNION SELECT b_id, a_id FROM pairs), " +
+        "r(u, v) AS (SELECT u, v FROM eg " +
+        "UNION SELECT r.u, e2.v FROM r JOIN eg e2 ON r.v = e2.u), " +
+        "lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id " +
+        "FROM r GROUP BY u), " +
+        "wc AS (SELECT d.doc_id, coalesce(lbl.cluster_id, d.doc_id) " +
+        "AS cluster_id FROM documents d " +
+        "LEFT JOIN lbl ON lbl.doc_id = d.doc_id) " +
+        "SELECT doc_id, cluster_id, bucket, " +
+        "CASE WHEN bucket < 90 THEN 'train' " +
+        "WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split " +
+        "FROM (SELECT doc_id, cluster_id, " +
+        s"${DocOps.knuthHash32Sql("cluster_id")} % 100 AS bucket FROM wc)"),
+    // Mirrors DocOps.splitLeakageAudit: the ngram_jaccard_pairs set
+    // probed against both split rules; n_cross_cluster = 0 is the
+    // structural invariant (shared cluster id ⇒ shared bucket).
+    "split_leakage_audit" ->
+      (s"WITH RECURSIVE $shingleCtes, $prunedShingleCte, " +
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared " +
+        "FROM pruned a JOIN pruned b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+        "pairs AS (SELECT a_id, b_id " +
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id " +
+        "WHERE round(shared * 1.0 / (sa.n + sb.n - shared), 4) >= 0.5), " +
+        "eg AS (SELECT a_id AS u, b_id AS v FROM pairs " +
+        "UNION SELECT b_id, a_id FROM pairs), " +
+        "r(u, v) AS (SELECT u, v FROM eg " +
+        "UNION SELECT r.u, e2.v FROM r JOIN eg e2 ON r.v = e2.u), " +
+        "lbl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id " +
+        "FROM r GROUP BY u), " +
+        "wc AS (SELECT d.doc_id, coalesce(lbl.cluster_id, d.doc_id) " +
+        "AS cluster_id FROM documents d " +
+        "LEFT JOIN lbl ON lbl.doc_id = d.doc_id), " +
+        "naive AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' " +
+        "WHEN b < 95 THEN 'val' ELSE 'test' END AS split FROM (" +
+        s"SELECT doc_id, ${DocOps.knuthHash32Sql("doc_id")} % 100 AS b " +
+        "FROM documents)), " +
+        "caware AS (SELECT doc_id, CASE WHEN b < 90 THEN 'train' " +
+        "WHEN b < 95 THEN 'val' ELSE 'test' END AS split FROM (" +
+        "SELECT doc_id, " +
+        s"${DocOps.knuthHash32Sql("cluster_id")} % 100 AS b FROM wc)), " +
+        "cn AS (SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs, " +
+        "CAST(sum(CASE WHEN na.split <> nb.split THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_cross_naive FROM pairs " +
+        "JOIN naive na ON na.doc_id = a_id " +
+        "JOIN naive nb ON nb.doc_id = b_id), " +
+        "cc AS (SELECT CAST(sum(CASE WHEN ca.split <> cb.split THEN 1 " +
+        "ELSE 0 END) AS BIGINT) AS n_cross_cluster FROM pairs " +
+        "JOIN caware ca ON ca.doc_id = a_id " +
+        "JOIN caware cb ON cb.doc_id = b_id) " +
+        "SELECT n_neardup_pairs, n_cross_naive, n_cross_cluster " +
+        "FROM cn CROSS JOIN cc"),
     // Mirrors DocOps.oovRateBySource: the dataset_splits bucket rule
     // (train = hash % 100 < 90) builds the vocab; held-out token
     // occurrences probe it through one left join.

@@ -846,6 +846,62 @@ object DocOps {
         .otherwise("test").as("split"))
   }
 
+  /** Cluster-aware dataset splits — the leakage-proof form of
+    * [[datasetSplits]]: a train document whose near-twin sits in test
+    * leaks the answer into evaluation, so the split hashes each
+    * document's near-dup CLUSTER id
+    * ([[graft.ops.DedupOps.dupClusters]] labels) instead of its own —
+    * every cluster lands WHOLE on one side. Singletons hash their own
+    * id with the identical Knuth rule, so clean documents bucket
+    * exactly as the naive split does (the two splits differ ONLY
+    * where leakage existed). [[splitLeakageAudit]] pins the
+    * zero-crossing invariant.
+    *
+    * Shape: the near-dup labeling (banded index + O(log n) star CC)
+    * plus one left join and the hash projection — the labeling is the
+    * cost, and it is the same artifact the dedup pipeline already
+    * maintains. */
+  def clusterAwareSplits(docs: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame = {
+    val labels = DedupOps.dupClusters(docs)
+      .select(col("doc_id"), col("cluster_id"))
+    val withC = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val bucket = pmod(knuthHash32(col("cluster_id")), lit(100))
+    withC.select(col("doc_id"), col("cluster_id"),
+      bucket.cast("long").as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Split-leakage audit: near-duplicate pairs whose endpoints land
+    * in DIFFERENT splits — structurally 0 under [[clusterAwareSplits]]
+    * (both endpoints share a cluster id, hence a bucket; the pinned
+    * invariant), while the naive per-doc count beside it quantifies
+    * exactly the leak the cluster rule closes. Non-vacuous whenever
+    * the corpus has near-dup pairs at all (n_neardup_pairs is
+    * emitted so the gate can see it). */
+  def splitLeakageAudit(docs: DataFrame): DataFrame = {
+    val pairs = DedupOps.ngramJaccardPairs(docs).select("a_id", "b_id")
+      .localCheckpoint() // both split probes read it
+    def cross(s: DataFrame, tag: String) = pairs
+      .join(s.select(col("doc_id").as("a_id"), col("split").as("sa")),
+        "a_id")
+      .join(s.select(col("doc_id").as("b_id"), col("split").as("sb")),
+        "b_id")
+      .agg(count(lit(1)).as(s"n_pairs_$tag"),
+        sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+          .as(s"n_cross_$tag"))
+    cross(datasetSplits(docs), "naive")
+      .crossJoin(cross(clusterAwareSplits(docs)
+        .select(col("doc_id"), col("split")), "cluster"))
+      .select(col("n_pairs_naive").as("n_neardup_pairs"),
+        col("n_cross_naive"), col("n_cross_cluster"))
+  }
+
   /** Deterministic stratified sample: the first `perLang` documents per
     * language in Knuth-hash order — a reproducible, partition-layout-
     * independent per-stratum subsample. `DataFrameStatFunctions
