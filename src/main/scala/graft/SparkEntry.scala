@@ -358,6 +358,10 @@ object SparkEntry {
       ((s, d) => EventOps.ansariBradleyAb(events(s, d))),
     "seasonal_mann_kendall" ->
       ((s, d) => EventOps.seasonalMannKendall(events(s, d))),
+    "distance_correlation_daily" ->
+      ((s, d) => EventOps.distanceCorrelationDaily(events(s, d))),
+    "partial_corr_type_pairs" ->
+      ((s, d) => EventOps.partialCorrTypePairs(events(s, d))),
     "gpd_pot_fit" ->
       ((s, d) => EventOps.gpdPotFit(events(s, d))),
     "cooccurrence_ktruss" ->
@@ -4124,6 +4128,94 @@ object SparkEntry {
         "THEN 'increasing' WHEN zv < -1.959964 THEN 'decreasing' " +
         "ELSE 'none' END) END AS trend " +
         "FROM z"),
+    // Mirrors EventOps.distanceCorrelationDaily: n²-scaled double-
+    // centered distance lanes exact in HUGEINT, dCor one pinned chain.
+    "distance_correlation_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS x, " +
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS y " +
+        "FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT cal.day, coalesce(daily.x, 0) AS x, " +
+        "coalesce(daily.y, 0) AS y " +
+        "FROM cal LEFT JOIN daily ON daily.day = cal.day), " +
+        "pab AS (SELECT i.day AS di, j.day AS dj, " +
+        "abs(i.x - j.x) AS a, abs(i.y - j.y) AS b " +
+        "FROM grid i CROSS JOIN grid j), " +
+        "rows_ AS (SELECT di, CAST(sum(a) AS BIGINT) AS ra, " +
+        "CAST(sum(b) AS BIGINT) AS rb FROM pab GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(a) AS BIGINT) AS ta, " +
+        "CAST(sum(b) AS BIGINT) AS tb, " +
+        "CAST(count(DISTINCT di) AS BIGINT) AS n FROM pab), " +
+        "cent AS (SELECT " +
+        "CAST(n AS HUGEINT) * n * a - CAST(n AS HUGEINT) * ri.ra - " +
+        "CAST(n AS HUGEINT) * rj.ra + CAST(ta AS HUGEINT) AS ac, " +
+        "CAST(n AS HUGEINT) * n * b - CAST(n AS HUGEINT) * ri.rb - " +
+        "CAST(n AS HUGEINT) * rj.rb + CAST(tb AS HUGEINT) AS bc, n " +
+        "FROM pab JOIN rows_ ri ON ri.di = pab.di " +
+        "JOIN rows_ rj ON rj.di = pab.dj CROSS JOIN tot), " +
+        "s AS (SELECT n, CAST(sum(ac * bc) AS HUGEINT) AS sab, " +
+        "CAST(sum(ac * ac) AS HUGEINT) AS saa, " +
+        "CAST(sum(bc * bc) AS HUGEINT) AS sbb FROM cent GROUP BY 1) " +
+        "SELECT n AS n_days, " +
+        "CASE WHEN saa > 0 AND sbb > 0 AND sab >= 0 THEN " +
+        "round(sqrt(CAST(sab AS DOUBLE) / " +
+        "sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE))), 6) " +
+        "END AS dcor, " +
+        "CASE WHEN saa > 0 AND sbb > 0 THEN " +
+        "round(CAST(sab AS DOUBLE) / " +
+        "sqrt(CAST(saa AS DOUBLE) * CAST(sbb AS DOUBLE)), 6) " +
+        "END AS dcor_sq FROM s"),
+    // Mirrors EventOps.partialCorrTypePairs: exact moment lanes on
+    // the zero-filled type×calendar grid, three Pearson chains, the
+    // partial-correlation formula on those identical doubles.
+    "partial_corr_type_pairs" ->
+      ("WITH daily AS (SELECT event_type, " +
+        "CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "types AS (SELECT DISTINCT event_type FROM daily), " +
+        "grid AS (SELECT t.event_type, cal.day, " +
+        "coalesce(daily.cnt, 0) AS cnt " +
+        "FROM cal CROSS JOIN types t LEFT JOIN daily " +
+        "ON daily.day = cal.day AND daily.event_type = t.event_type), " +
+        "zs AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS z " +
+        "FROM grid GROUP BY 1), " +
+        "rz AS (SELECT event_type, " +
+        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+        "CAST(n * syy - sy * sy AS DOUBLE)) AS rz FROM (" +
+        "SELECT g.event_type, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(g.cnt) AS BIGINT) AS sx, " +
+        "CAST(sum(zs.z) AS BIGINT) AS sy, " +
+        "CAST(sum(g.cnt * zs.z) AS BIGINT) AS sxy, " +
+        "CAST(sum(g.cnt * g.cnt) AS BIGINT) AS sxx, " +
+        "CAST(sum(zs.z * zs.z) AS BIGINT) AS syy " +
+        "FROM grid g JOIN zs ON zs.day = g.day GROUP BY 1)), " +
+        "m AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(a.cnt) AS BIGINT) AS sx, " +
+        "CAST(sum(b.cnt) AS BIGINT) AS sy, " +
+        "CAST(sum(a.cnt * b.cnt) AS BIGINT) AS sxy, " +
+        "CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx, " +
+        "CAST(sum(b.cnt * b.cnt) AS BIGINT) AS syy " +
+        "FROM grid a JOIN grid b ON a.day = b.day " +
+        "AND a.event_type < b.event_type GROUP BY 1, 2), " +
+        "r AS (SELECT type_a, type_b, n, " +
+        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+        "CAST(n * syy - sy * sy AS DOUBLE)) AS rxy FROM m) " +
+        "SELECT type_a, type_b, n AS n_days, round(rxy, 6) AS pearson_r, " +
+        "CASE WHEN sqrt((1.0 - ra.rz * ra.rz) * (1.0 - rb.rz * rb.rz)) " +
+        "> 0.0 THEN round((rxy - ra.rz * rb.rz) / " +
+        "sqrt((1.0 - ra.rz * ra.rz) * (1.0 - rb.rz * rb.rz)), 6) " +
+        "END AS partial_r FROM r " +
+        "JOIN rz ra ON ra.event_type = r.type_a " +
+        "JOIN rz rb ON rb.event_type = r.type_b"),
     // Mirrors EventOps.seasonalMannKendall: the flat MK chain with
     // pairs and tie-corrections confined to each ISO-dow subseries,
     // variances summed across the 7 seasons.

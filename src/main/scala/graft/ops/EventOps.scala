@@ -6473,6 +6473,127 @@ object EventOps {
             varNum.cast("double"), 6)).as("nb_p"))
   }
 
+  /** Distance correlation between daily volume and daily distinct
+    * users (Székely, Rizzo & Bakirov '07): dCor = 0 iff INDEPENDENT —
+    * unlike Pearson (emitted beside it for the contrast readout),
+    * which misses every nonlinear coupling. On the zero-filled
+    * calendar the double-centered distance matrices clear to exact
+    * integers: with aᵢⱼ = |xᵢ−xⱼ| and row/total sums r, T, the
+    * n²-scaled Ãᵢⱼ = n²aᵢⱼ − n·rᵢ − n·rⱼ + T is an exact lane, and
+    * dCor² = ΣÃB̃ / √(ΣÃ²·ΣB̃²) — the scale factors cancel, leaving
+    * exact DECIMAL(38,0) sums under ONE pinned chain.
+    *
+    * Shape: the |calendar|² pair frame (bounded by the day span,
+    * never corpus²), two row-sum collapses, one 1-row reduce. */
+  def distanceCorrelationDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"), countDistinct(col("user_id")).as("y"))
+    val cal = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = cal.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint() // both sides of the pair join + row sums
+    val pairsAb = grid.as("i").crossJoin(grid.as("j")) // calendar²-bounded
+      .select(col("i.day").as("di"), col("j.day").as("dj"),
+        abs(col("i.x") - col("j.x")).as("a"),
+        abs(col("i.y") - col("j.y")).as("b"))
+      .localCheckpoint() // row sums + the centered products read it
+    val rows = pairsAb.groupBy("di")
+      .agg(sum("a").as("ra"), sum("b").as("rb"))
+    val tot = pairsAb.agg(sum("a").as("ta"), sum("b").as("tb"),
+      countDistinct(col("di")).as("n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cent = pairsAb
+      .join(rows.select(col("di"), col("ra").as("rai"),
+        col("rb").as("rbi")), "di")
+      .join(rows.select(col("di").as("dj"), col("ra").as("raj"),
+        col("rb").as("rbj")), "dj")
+      .crossJoin(broadcast(tot))
+      .select(
+        (dec(col("n")) * col("n") * col("a") - dec(col("n")) * col("rai") -
+          dec(col("n")) * col("raj") + dec(col("ta"))).as("ac"),
+        (dec(col("n")) * col("n") * col("b") - dec(col("n")) * col("rbi") -
+          dec(col("n")) * col("rbj") + dec(col("tb"))).as("bc"),
+        col("n"))
+    val s = cent.groupBy("n")
+      .agg(sum(col("ac") * col("bc")).as("sab"),
+        sum(col("ac") * col("ac")).as("saa"),
+        sum(col("bc") * col("bc")).as("sbb"))
+    val dcor2 = col("sab").cast("double") /
+      sqrt(col("saa").cast("double") * col("sbb").cast("double"))
+    s.select(col("n").as("n_days"),
+      when(col("saa") > lit(0) && col("sbb") > lit(0) &&
+        col("sab") >= lit(0), round(sqrt(dcor2), 6)).as("dcor"),
+      when(col("saa") > lit(0) && col("sbb") > lit(0),
+        round(dcor2, 6)).as("dcor_sq"))
+  }
+
+  /** Partial correlations between the daily count series of every
+    * event-type pair, CONTROLLING for total daily volume — the
+    * confound killer for [[typeCountCorrelations]]' raw Pearson
+    * matrix (on a shared-traffic platform every pair correlates
+    * through the common tide; the partial asks what remains once the
+    * tide is removed): r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)).
+    *
+    * Determinism: all six moment sums per series are exact BIGINTs on
+    * the zero-filled calendar; each Pearson r is the usual exact-lane
+    * chain, and the partial formula is pure +/−/×/÷/√ on those
+    * identical doubles, 6dp once. Degenerate controls (|r_xz| = 1) →
+    * NULL, stated. */
+  def partialCorrTypePairs(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val types = daily.select("event_type").distinct()
+    val grid = days.crossJoin(types)
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .localCheckpoint() // pair matrix + the control joins read it
+    val zs = grid.groupBy("day").agg(sum("cnt").as("z"))
+    val gz = grid.join(zs, "day")
+    def pearson(n: Column, sx: Column, sy: Column, sxy: Column,
+        sxx: Column, syy: Column): Column = {
+      val num = (n * sxy - sx * sy).cast("double")
+      val dx = (n * sxx - sx * sx).cast("double")
+      val dy = (n * syy - sy * sy).cast("double")
+      num / sqrt(dx * dy)
+    }
+    val rz = gz.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("sx"), sum("z").as("sy"),
+        sum(col("cnt") * col("z")).as("sxy"),
+        sum(col("cnt") * col("cnt")).as("sxx"),
+        sum(col("z") * col("z")).as("syy"))
+      .select(col("event_type"),
+        pearson(col("n"), col("sx"), col("sy"), col("sxy"), col("sxx"),
+          col("syy")).as("rz"))
+    val m = grid.as("a")
+      .join(grid.as("b"),
+        col("a.day") === col("b.day") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.cnt")).as("sx"), sum(col("b.cnt")).as("sy"),
+        sum(col("a.cnt") * col("b.cnt")).as("sxy"),
+        sum(col("a.cnt") * col("a.cnt")).as("sxx"),
+        sum(col("b.cnt") * col("b.cnt")).as("syy"))
+    val rxy = pearson(col("n"), col("sx"), col("sy"), col("sxy"),
+      col("sxx"), col("syy"))
+    val num = rxy - col("rxz") * col("ryz")
+    val den = sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+      (lit(1.0) - col("ryz") * col("ryz")))
+    m.join(broadcast(rz.select(col("event_type").as("type_a"),
+        col("rz").as("rxz"))), "type_a")
+      .join(broadcast(rz.select(col("event_type").as("type_b"),
+        col("rz").as("ryz"))), "type_b")
+      .select(col("type_a"), col("type_b"), col("n").as("n_days"),
+        round(rxy, 6).as("pearson_r"),
+        when(den > lit(0.0), round(num / den, 6)).as("partial_r"))
+  }
+
   /** Seasonal Mann–Kendall trend test (Hirsch & Slack '84): the MK
     * S statistic computed WITHIN each ISO-weekday's subseries and
     * summed — weekly seasonality contributes zero to every S_d (a
