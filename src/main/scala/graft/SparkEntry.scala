@@ -4186,9 +4186,10 @@ object SparkEntry {
         "zs AS (SELECT day, CAST(sum(cnt) AS BIGINT) AS z " +
         "FROM grid GROUP BY 1), " +
         "rz AS (SELECT event_type, " +
-        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 " +
+        "THEN CAST(n * sxy - sx * sy AS DOUBLE) / " +
         "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
-        "CAST(n * syy - sy * sy AS DOUBLE)) AS rz FROM (" +
+        "CAST(n * syy - sy * sy AS DOUBLE)) END AS rz FROM (" +
         "SELECT g.event_type, CAST(count(*) AS BIGINT) AS n, " +
         "CAST(sum(g.cnt) AS BIGINT) AS sx, " +
         "CAST(sum(zs.z) AS BIGINT) AS sy, " +
@@ -4206,9 +4207,10 @@ object SparkEntry {
         "FROM grid a JOIN grid b ON a.day = b.day " +
         "AND a.event_type < b.event_type GROUP BY 1, 2), " +
         "r AS (SELECT type_a, type_b, n, " +
-        "CAST(n * sxy - sx * sy AS DOUBLE) / " +
+        "CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 " +
+        "THEN CAST(n * sxy - sx * sy AS DOUBLE) / " +
         "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
-        "CAST(n * syy - sy * sy AS DOUBLE)) AS rxy FROM m) " +
+        "CAST(n * syy - sy * sy AS DOUBLE)) END AS rxy FROM m) " +
         "SELECT type_a, type_b, n AS n_days, round(rxy, 6) AS pearson_r, " +
         "CASE WHEN sqrt((1.0 - ra.rz * ra.rz) * (1.0 - rb.rz * rb.rz)) " +
         "> 0.0 THEN round((rxy - ra.rz * rb.rz) / " +

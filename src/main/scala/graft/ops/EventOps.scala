@@ -6554,12 +6554,15 @@ object EventOps {
       .localCheckpoint() // pair matrix + the control joins read it
     val zs = grid.groupBy("day").agg(sum("cnt").as("z"))
     val gz = grid.join(zs, "day")
+    // guarded: a zero-variance series must yield NULL, not an ANSI
+    // DIVIDE_BY_ZERO (Spark 4 throws even for DOUBLE — the verify
+    // skill's documented trap; the guard must be the when CONDITION)
     def pearson(n: Column, sx: Column, sy: Column, sxy: Column,
         sxx: Column, syy: Column): Column = {
       val num = (n * sxy - sx * sy).cast("double")
       val dx = (n * sxx - sx * sx).cast("double")
       val dy = (n * syy - sy * sy).cast("double")
-      num / sqrt(dx * dy)
+      when(dx > lit(0.0) && dy > lit(0.0), num / sqrt(dx * dy))
     }
     val rz = gz.groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cnt").as("sx"), sum("z").as("sy"),
