@@ -270,6 +270,10 @@ object SparkEntry {
     "qlm_top_docs" -> ((s, d) => MiningOps.qlmTopDocs(documents(s, d))),
     "jm_qlm_top_docs" ->
       ((s, d) => MiningOps.jmQlmTopDocs(documents(s, d))),
+    "retrieval_rbo_bm25_qlm" ->
+      ((s, d) => MiningOps.retrievalRboBm25Qlm(documents(s, d))),
+    "nelson_aalen_horizons" ->
+      ((s, d) => EventOps.nelsonAalenHorizons(events(s, d))),
     "cooccurrence_rich_club" ->
       ((s, d) => GraphOps.cooccurrenceRichClub(documents(s, d))),
     "rocchio_prf_docs" ->
@@ -7558,6 +7562,93 @@ object SparkEntry {
         "CASE WHEN etot > 0 THEN round(CAST(energy AS DOUBLE) / " +
         "CAST(etot AS DOUBLE), 6) END AS energy_share FROM lev, tot"),
     // Mirrors EventOps.kmSurvivalHorizons: exact BIGINT risk sets
+    // Mirrors EventOps.nelsonAalenHorizons: the km_survival_horizons
+    // risk-set chain with each d/n hazard term micro-pinned before
+    // the additive horizon sum; exp(−Ĥ) beside it.
+    "nelson_aalen_horizons" ->
+      ("WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f, " +
+        "CAST(max(ts) AS DATE) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events), " +
+        "dur AS (SELECT CAST(datediff('day', f, l) + 1 AS BIGINT) AS t, " +
+        "CASE WHEN l < max_day THEN 1 ELSE 0 END AS observed " +
+        "FROM u CROSS JOIN mx), " +
+        "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending, " +
+        "CAST(sum(observed) AS BIGINT) AS d FROM dur GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM dur), " +
+        "ar AS (SELECT t, d, n_users - CAST(sum(ending) OVER (" +
+        "ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending AS n " +
+        "FROM byt CROSS JOIN tot), " +
+        "h AS (SELECT CAST(unnest([1, 7, 14, 30]) AS INT) AS horizon), " +
+        "curve AS (SELECT horizon, CAST(sum(d) AS BIGINT) AS n_churned, " +
+        "CAST(sum(CAST(round(CAST(d AS DOUBLE) / CAST(n AS DOUBLE) * " +
+        "1000000.0, 0) AS BIGINT)) AS BIGINT) AS hsum " +
+        "FROM ar CROSS JOIN h WHERE d > 0 AND t <= horizon GROUP BY 1) " +
+        "SELECT h.horizon, coalesce(c.n_churned, 0) AS n_churned, " +
+        "coalesce(round(CAST(c.hsum AS DOUBLE) / 1000000.0, 6), 0.0) " +
+        "AS cum_hazard, " +
+        "coalesce(round(exp(-(round(CAST(c.hsum AS DOUBLE) / 1000000.0, " +
+        "6))), 6), 1.0) AS fh_survival " +
+        "FROM h LEFT JOIN curve c ON c.horizon = h.horizon"),
+    // Mirrors MiningOps.retrievalRboBm25Qlm: both ranklist chains off
+    // ONE shared toks/tf spine, pinned (score DESC, doc_id) ranks,
+    // per-depth overlaps exact, each (X_d/d)·p^d term nano-pinned;
+    // the p^d weights are the same Scala-computed double literals on
+    // both rails.
+    "retrieval_rbo_bm25_qlm" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS toks " +
+        "FROM documents), " +
+        "st AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(len(toks)) AS BIGINT) AS total_len FROM toks), " +
+        "dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM toks), " +
+        "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM " +
+        "(SELECT doc_id, unnest(toks) AS term FROM toks) " +
+        "WHERE term IN ('join', 'filter', 'scan') GROUP BY 1, 2), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), " +
+        "ctf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf " +
+        "FROM tf GROUP BY 1), " +
+        "blist AS (SELECT doc_id, " +
+        "round(sum(ln(((SELECT CAST(n AS DOUBLE) FROM st) - CAST(df AS DOUBLE) + 0.5) / " +
+        "(CAST(df AS DOUBLE) + 0.5) + 1.0) * " +
+        "(CAST(tf AS DOUBLE) * (1.2 + 1.0)) / " +
+        "(CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / " +
+        "((SELECT CAST(total_len AS DOUBLE) FROM st) / (SELECT CAST(n AS DOUBLE) FROM st)))))), 6) AS s " +
+        "FROM tf JOIN df USING (term) JOIN dl USING (doc_id) " +
+        "GROUP BY doc_id, dl ORDER BY s DESC, doc_id ASC LIMIT 20), " +
+        "ra AS (SELECT doc_id, CAST(row_number() OVER (" +
+        "ORDER BY s DESC, doc_id ASC) AS BIGINT) AS ra FROM blist), " +
+        "scoring AS (SELECT dl.doc_id, dl.dl, c.term, c.ctf, tf.tf, " +
+        "(SELECT total_len FROM st) AS c_total FROM dl CROSS JOIN ctf c " +
+        "LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.term = c.term), " +
+        "sm AS (SELECT doc_id, dl, " +
+        "CAST(round(ln((CAST(coalesce(tf, 0) AS DOUBLE) + " +
+        "2000.0 * (CAST(ctf AS DOUBLE) / CAST(c_total AS DOUBLE))) / " +
+        "(CAST(dl AS DOUBLE) + 2000.0)) * 1000000.0, 0) AS BIGINT) AS sm " +
+        "FROM scoring), " +
+        "qlist AS (SELECT doc_id, " +
+        "round(CAST(CAST(sum(sm) AS BIGINT) AS DOUBLE) / 1000000.0, 6) " +
+        "AS s FROM sm GROUP BY doc_id " +
+        "ORDER BY s DESC, doc_id ASC LIMIT 20), " +
+        "rb AS (SELECT doc_id, CAST(row_number() OVER (" +
+        "ORDER BY s DESC, doc_id ASC) AS BIGINT) AS rb FROM qlist), " +
+        "shared AS (SELECT greatest(ra.ra, rb.rb) AS rmax " +
+        "FROM ra JOIN rb USING (doc_id)), " +
+        "depths AS (SELECT * FROM (VALUES " +
+        (1 to 20).map(d =>
+          s"(CAST($d AS BIGINT), CAST(${math.pow(0.9, d)} AS DOUBLE))")
+          .mkString(", ") + ") t(d, pd)), " +
+        "xd AS (SELECT depths.d, depths.pd, " +
+        "CAST(coalesce(sum(CASE WHEN s.rmax <= depths.d THEN 1 ELSE 0 " +
+        "END), 0) AS BIGINT) AS x FROM depths LEFT JOIN shared s " +
+        "ON true GROUP BY 1, 2), " +
+        "terms AS (SELECT d, x, CAST(round(CAST(x AS DOUBLE) / " +
+        "CAST(d AS DOUBLE) * pd * 1.0e9, 0) AS BIGINT) AS tm FROM xd) " +
+        "SELECT CAST(20 AS BIGINT) AS k, " +
+        "(SELECT x FROM terms WHERE d = 20) AS overlap_at_k, " +
+        "round((SELECT CAST(x AS DOUBLE) FROM terms WHERE d = 20) / " +
+        s"20.0 * ${math.pow(0.9, 20)} + ${(1.0 - 0.9) / 0.9} * " +
+        "(CAST(CAST(sum(tm) AS BIGINT) AS DOUBLE) / 1.0e9), 6) " +
+        "AS rbo_ext FROM terms"),
     // (windowed cumsum over the tiny duration frame), ln factors on
     // identical doubles summed then rounded ONCE before exp.
     "km_survival_horizons" ->

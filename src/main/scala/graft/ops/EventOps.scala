@@ -2993,6 +2993,56 @@ object EventOps {
         coalesce(col("survival"), lit(1.0)).as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard at retention horizons — the
+    * estimator-side companion of [[kmSurvivalHorizons]]: Ĥ(h) =
+    * Σ_{t≤h} d_t/n_t accumulates hazard ADDITIVELY (no product), so
+    * it is the better-behaved small-risk-set estimator and the
+    * standard input to proportional-hazards diagnostics; exp(−Ĥ) is
+    * the Fleming–Harrington survival alternative, emitted beside the
+    * KM query's product form for the comparison readout.
+    *
+    * Determinism: the same exact-BIGINT risk sets and censoring rule
+    * as the KM query; each d/n term is ONE pinned division
+    * micro-pinned BEFORE the horizon sum (order-free), one exp at the
+    * end. Horizons with no observed churn report Ĥ = 0, survival 1. */
+  def nelsonAalenHorizons(events: DataFrame,
+      horizons: Seq[Int] = Seq(1, 7, 14, 30)): DataFrame = {
+    val u = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"), to_date(max(col("ts"))).as("l"))
+    val mx = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val dur = u.crossJoin(broadcast(mx))
+      .select((datediff(col("l"), col("f")) + 1).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("observed"))
+    val byT = dur.groupBy("t")
+      .agg(count(lit(1)).as("ending"), sum("observed").as("d"))
+    val total = dur.agg(count(lit(1)).as("n_users"))
+    val wPrior = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byT.crossJoin(broadcast(total))
+      .withColumn("n",
+        col("n_users") - sum(col("ending")).over(wPrior) + col("ending"))
+    val hs = events.sparkSession.createDataFrame(
+      horizons.map(Tuple1(_))).toDF("horizon")
+    val curve = atRisk.filter(col("d") > 0L)
+      .crossJoin(broadcast(hs))
+      .filter(col("t") <= col("horizon"))
+      .select(col("horizon"), col("d"),
+        round(col("d").cast("double") / col("n").cast("double") *
+          lit(1000000.0), 0).cast("long").as("hm"))
+      .groupBy("horizon")
+      .agg(sum("d").as("n_churned"), sum("hm").as("hsum"))
+      .select(col("horizon"), col("n_churned"),
+        round(col("hsum").cast("double") / lit(1000000.0), 6)
+          .as("cum_hazard"),
+        round(exp(-(round(col("hsum").cast("double") / lit(1000000.0),
+          6))), 6).as("fh_survival"))
+    hs.join(curve, Seq("horizon"), "left")
+      .select(col("horizon"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        coalesce(col("cum_hazard"), lit(0.0)).as("cum_hazard"),
+        coalesce(col("fh_survival"), lit(1.0)).as("fh_survival"))
+  }
+
   /** Discrete hazard curve by tenure day — [[kmSurvivalHorizons]]'s
     * intermediate surfaced as its own frame: for every duration t
     * with an observed churn, the at-risk count n_t, the churn count

@@ -273,6 +273,55 @@ object MiningOps {
       .limit(topK)
   }
 
+  /** Rank-biased overlap between the BM25 and Dirichlet-QLM top-k
+    * ranklists (Webber, Moffat & Zobel '10): the standard similarity
+    * for INDEFINITE rankings — top-weighted (persistence p = 0.9
+    * ⇒ ~90% of the weight in the first ~10 ranks), defined when the
+    * lists disagree on membership, which Kendall/Spearman are not.
+    * The retrieval-stack regression gate: a scorer tweak that leaves
+    * RBO ≈ 1 changed nothing a user sees.
+    *
+    * RBO_ext = (X_k/k)·p^k + ((1−p)/p)·Σ_{d≤k} (X_d/d)·p^d with X_d
+    * the overlap of the two depth-d prefixes. Determinism: ranks are
+    * the two queries' pinned (score DESC, doc_id) orders; X_d are
+    * exact counts; every p^d weight is ONE Scala-computed double
+    * injected verbatim into both rails, and each term micro-pins to
+    * nano units BEFORE the depth sum. Shape: both ranklists are
+    * TakeOrdered top-k frames; everything after is k-bounded. */
+  def retrievalRboBm25Qlm(docs: DataFrame,
+      queryTerms: Seq[String] = Seq("join", "filter", "scan"),
+      k: Int = 20, p: Double = 0.9): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val wA = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("qlm_score").desc, col("doc_id").asc)
+    val a = bm25TopDocs(docs, queryTerms, topK = k)
+      .select(col("doc_id"), row_number().over(wA).cast("long").as("ra"))
+    val b = qlmTopDocs(docs, queryTerms, topK = k)
+      .select(col("doc_id"), row_number().over(wB).cast("long").as("rb"))
+    val shared = a.join(b, "doc_id")
+      .select(greatest(col("ra"), col("rb")).as("rmax"))
+    val depths = (1 to k).map(d => (d.toLong, math.pow(p, d)))
+      .toDF("d", "pd")
+    val xc = broadcast(depths).crossJoin(shared)
+      .groupBy("d", "pd")
+      .agg(sum(when(col("rmax") <= col("d"), 1L).otherwise(0L)).as("x0"))
+    val xd = depths.join(xc.select(col("d"), col("x0")), Seq("d"), "left")
+      .select(col("d"), col("pd"), coalesce(col("x0"), lit(0L)).as("x"))
+    val tm = round(col("x").cast("double") / col("d").cast("double") *
+      col("pd") * lit(1.0e9), 0).cast("long")
+    val s = xd.select(col("d"), col("x"), tm.as("tm"))
+      .agg(sum("tm").as("stm"),
+        max(when(col("d") === k.toLong, col("x"))).as("xk"))
+    s.select(lit(k.toLong).as("k"), col("xk").as("overlap_at_k"),
+      round(col("xk").cast("double") / lit(k.toDouble) *
+        lit(math.pow(p, k)) +
+        lit((1.0 - p) / p) *
+          (col("stm").cast("double") / lit(1.0e9)), 6).as("rbo_ext"))
+  }
+
   /** Reciprocal-rank fusion of the lexical BM25 ranklist with the
     * dense embedding-cosine ranklist — the standard hybrid-retrieval
     * combiner (Cormack et al. '09): score(d) = Σ_lists 1/(k + rank_d),
