@@ -6717,9 +6717,12 @@ object EventOps {
     * fit, stated. */
   def gpdPotFit(events: DataFrame): DataFrame = {
     val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
+    // NOT checkpointed: the two consumers (threshold scan + excess
+    // moments) share the grid's exchange via reuse, and the serial
+    // prefix window's child must keep its collapse VISIBLE for the
+    // PlanAuditSpec sweep (a checkpoint hides the HashAggregate)
     val grid = events.select(cents.as("cv"))
       .groupBy("cv").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // threshold scan + excess moments read it
     val tot = grid.agg(sum("n").as("nt"))
     val wCum = Window.orderBy(col("cv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -293,14 +293,23 @@ object MiningOps {
       k: Int = 20, p: Double = 0.9): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
-    val wA = org.apache.spark.sql.expressions.Window
-      .orderBy(col("bm25").desc, col("doc_id").asc)
-    val wB = org.apache.spark.sql.expressions.Window
-      .orderBy(col("qlm_score").desc, col("doc_id").asc)
-    val a = bm25TopDocs(docs, queryTerms, topK = k)
-      .select(col("doc_id"), row_number().over(wA).cast("long").as("ra"))
-    val b = qlmTopDocs(docs, queryTerms, topK = k)
-      .select(col("doc_id"), row_number().over(wB).cast("long").as("rb"))
+    // ranks by COUNTING strictly-better (score, id) keys over the
+    // ≤k-row frame (the rrfFusedDocs discipline) — no serial window,
+    // identical to row_number under the total order
+    def rankByCount(df: DataFrame, score: String,
+        out: String): DataFrame =
+      df.as("x").join(broadcast(df.as("y")),
+          col(s"y.$score") > col(s"x.$score") ||
+            (col(s"y.$score") === col(s"x.$score") &&
+              col("y.doc_id") < col("x.doc_id")), "left")
+        .groupBy(col("x.doc_id").as("doc_id"))
+        .agg((count(col("y.doc_id")) + lit(1L)).as(out))
+    val a = rankByCount(
+      bm25TopDocs(docs, queryTerms, topK = k)
+        .select(col("doc_id"), col("bm25")), "bm25", "ra")
+    val b = rankByCount(
+      qlmTopDocs(docs, queryTerms, topK = k)
+        .select(col("doc_id"), col("qlm_score")), "qlm_score", "rb")
     val shared = a.join(b, "doc_id")
       .select(greatest(col("ra"), col("rb")).as("rmax"))
     val depths = (1 to k).map(d => (d.toLong, math.pow(p, d)))

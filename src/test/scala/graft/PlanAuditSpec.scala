@@ -495,6 +495,8 @@ class PlanAuditSpec extends SparkSpec {
       "source",      //   |sources| categorical domain (n_tokens is its sort key)
       "v",           // kruskalWallis pooled-midrank prefix: DISTINCT daily-count
                      //   values (a collapsed value grid ≤ |distinct counts|)
+      "cv",          // exact cents/bin value grid (ansari/moods/gpd/hl):
+                     //   value-DOMAIN-bounded, the "v"/"bin" convention
       "y"            // runsTestDaily order-statistic probe: the calendar-day
                      //   grain's count column (one row per day — the "day"
                      //   convention applied to its count as a sort key)
