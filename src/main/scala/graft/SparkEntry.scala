@@ -360,6 +360,8 @@ object SparkEntry {
       ((s, d) => EventOps.valueAdDrift(events(s, d))),
     "ansari_bradley_ab" ->
       ((s, d) => EventOps.ansariBradleyAb(events(s, d))),
+    "yuen_trimmed_ttest_ab" ->
+      ((s, d) => EventOps.yuenTrimmedTtestAb(events(s, d))),
     "seasonal_mann_kendall" ->
       ((s, d) => EventOps.seasonalMannKendall(events(s, d))),
     "distance_correlation_daily" ->
@@ -4786,6 +4788,49 @@ object SparkEntry {
         "CAST(ssum2 AS HUGEINT) * ssum2 AS DOUBLE) / " +
         "(CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * " +
         "(CAST(nn AS DOUBLE) - 1.0))), 4) END AS z_score FROM s"),
+    // Mirrors EventOps.yuenTrimmedTtestAb: per-arm cents grids, exact
+    // prefix-rank clipping for the trimmed interior, winsorized tails
+    // clamped to the cut order statistics, every statistic a pinned
+    // chain of HUGEINT lanes.
+    "yuen_trimmed_ttest_ab" ->
+      ("WITH cv AS (SELECT user_id % 2 AS arm, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cv " +
+        "FROM events), " +
+        "grid AS (SELECT arm, cv.cv, CAST(count(*) AS BIGINT) AS c " +
+        "FROM cv GROUP BY 1, 2), " +
+        "tot AS (SELECT arm, CAST(sum(c) AS BIGINT) AS n " +
+        "FROM grid GROUP BY 1), " +
+        "g AS (SELECT grid.arm, grid.cv, c, " +
+        "CAST(sum(c) OVER (PARTITION BY grid.arm ORDER BY grid.cv ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, n, " +
+        "CAST(floor(CAST(n AS DOUBLE) * 0.2) AS BIGINT) AS gg " +
+        "FROM grid JOIN tot ON tot.arm = grid.arm), " +
+        "per AS (SELECT arm, n, gg, n - 2 * gg AS h, " +
+        "CAST(sum(CAST(cv AS HUGEINT) * greatest(least(cum, n - gg) - " +
+        "greatest(cum - c, gg), 0)) AS HUGEINT) AS tsum, " +
+        "CAST(sum(CAST(cv AS HUGEINT) * cv * greatest(least(cum, n - gg) " +
+        "- greatest(cum - c, gg), 0)) AS HUGEINT) AS tss, " +
+        "CAST(max(CASE WHEN cum - c < gg + 1 AND cum >= gg + 1 " +
+        "THEN cv END) AS BIGINT) AS lo, " +
+        "CAST(max(CASE WHEN cum - c < n - gg AND cum >= n - gg " +
+        "THEN cv END) AS BIGINT) AS hi FROM g GROUP BY 1, 2, 3, 4), " +
+        "pw AS (SELECT *, tsum + CAST(gg AS HUGEINT) * lo + " +
+        "CAST(gg AS HUGEINT) * hi AS sw, " +
+        "tss + CAST(gg AS HUGEINT) * lo * lo + " +
+        "CAST(gg AS HUGEINT) * hi * hi AS ssw FROM per), " +
+        "r AS (SELECT arm, n, h, " +
+        "CASE WHEN h >= 2 THEN CAST(tsum AS DOUBLE) / " +
+        "(CAST(h AS DOUBLE) * 100.0) END AS mt, " +
+        "CASE WHEN h >= 2 THEN " +
+        "CAST(CAST(n AS HUGEINT) * ssw - sw * sw AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * h * (h - 1) AS DOUBLE) / 10000.0 " +
+        "END AS d FROM pw) " +
+        "SELECT a.n AS n_a, b.n AS n_b, a.h AS h_a, b.h AS h_b, " +
+        "round(a.mt, 6) AS trimmed_mean_a, " +
+        "round(b.mt, 6) AS trimmed_mean_b, " +
+        "CASE WHEN a.d + b.d > 0.0 THEN " +
+        "round((a.mt - b.mt) / sqrt(a.d + b.d), 4) END AS t_stat " +
+        "FROM r a, r b WHERE a.arm = 0 AND b.arm = 1"),
     // Mirrors EventOps.hodgesLehmannShift: cross of the two halves'
     // integer bin grids weighted c1·c2, weighted lower median —
     // integer comparisons only, no division.

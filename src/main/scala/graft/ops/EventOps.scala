@@ -6166,6 +6166,82 @@ object EventOps {
         coalesce(col("cnt"), lit(0L)).as("cnt"))
   }
 
+  /** Yuen's trimmed-mean t-test between the A/B arms (Yuen '74) —
+    * the robust-location member completing the A/B family
+    * ([[welchTtestAb]] is moment-fragile, Mann–Whitney is
+    * rank-only, [[ansariBradleyAb]] tests scale): 20% of each tail
+    * is trimmed from each arm, means compare on the interior,
+    * variances are the WINSORIZED ones (tails clamped to the cut
+    * order statistics), t = (x̄ₜ₁ − x̄ₜ₂)/√(d₁ + d₂) with
+    * dᵢ = (nᵢ·SSwᵢ − Swᵢ²)/(nᵢ·hᵢ(hᵢ−1)), hᵢ = nᵢ − 2gᵢ.
+    *
+    * Determinism: per-arm cents grids give exact order statistics by
+    * prefix counting (lo = the (g+1)-th, hi = the (n−g)-th); trimmed
+    * and winsorized sums are exact integer lanes (per-value rank-range
+    * clipping is pure integer arithmetic), every statistic a pinned
+    * chain with single divisions. h < 2 or zero winsorized variance →
+    * NULL t, stated. Shape: one corpus collapse to the (arm, cents)
+    * grid, one arm-partitioned prefix window over it (collapsed,
+    * 2-value domain — the sweep-sanctioned shape), one 2-row pivot. */
+  def yuenTrimmedTtestAb(events: DataFrame, trim: Double = 0.2)
+      : DataFrame = {
+    val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
+    val grid = events
+      .select((col("user_id") % lit(2L)).as("arm"), cents.as("cv"))
+      .groupBy("arm", "cv").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("arm").orderBy(col("cv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.groupBy("arm").agg(sum("c").as("n"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = grid
+      .withColumn("cum", sum(col("c")).over(w))
+      .join(tot, "arm")
+      .withColumn("gg", floor(col("n").cast("double") * lit(trim))
+        .cast("long"))
+      .withColumn("h", col("n") - lit(2L) * col("gg"))
+    // interior-rank mass per value: ranks (B, cum] clipped to (g, n−g]
+    val bLo = col("cum") - col("c") // strictly-before count B
+    val take = greatest(least(col("cum"), col("n") - col("gg")) -
+      greatest(bLo, col("gg")), lit(0L))
+    val isLo = bLo < col("gg") + lit(1L) &&
+      col("cum") >= col("gg") + lit(1L) // value holds the (g+1)-th
+    val isHi = bLo < col("n") - col("gg") &&
+      col("cum") >= col("n") - col("gg") // value holds the (n−g)-th
+    val per = g.groupBy("arm", "n", "gg", "h")
+      .agg(sum(dec(col("cv")) * take).as("tsum"),
+        sum(dec(col("cv")) * col("cv") * take).as("tss"),
+        max(when(isLo, col("cv"))).as("lo"),
+        max(when(isHi, col("cv"))).as("hi"))
+      .select(col("arm"), col("n"), col("gg"), col("h"),
+        col("tsum"), col("tss"), col("lo"), col("hi"),
+        (col("tsum") + dec(col("gg")) * col("lo") +
+          dec(col("gg")) * col("hi")).as("sw"),
+        (col("tss") + dec(col("gg")) * col("lo") * col("lo") +
+          dec(col("gg")) * col("hi") * col("hi")).as("ssw"))
+    val dTerm = (dec(col("n")) * col("ssw") - col("sw") * col("sw"))
+      .cast("double") /
+      (dec(col("n")) * col("h") * (col("h") - lit(1L))).cast("double") /
+      lit(10000.0) // cents² → unit²
+    val mt = col("tsum").cast("double") /
+      (col("h").cast("double") * lit(100.0))
+    val rows = per.select(col("arm"), col("n"), col("h"),
+        when(col("h") >= 2L, mt).as("mt"),
+        when(col("h") >= 2L, dTerm).as("d"))
+    val a = rows.filter(col("arm") === 0L)
+      .select(col("n").as("n_a"), col("h").as("h_a"),
+        col("mt").as("mt_a"), col("d").as("d_a"))
+    val b = rows.filter(col("arm") === 1L)
+      .select(col("n").as("n_b"), col("h").as("h_b"),
+        col("mt").as("mt_b"), col("d").as("d_b"))
+    a.crossJoin(b).select(
+      col("n_a"), col("n_b"), col("h_a"), col("h_b"),
+      round(col("mt_a"), 6).as("trimmed_mean_a"),
+      round(col("mt_b"), 6).as("trimmed_mean_b"),
+      when(col("d_a") + col("d_b") > lit(0.0),
+        round((col("mt_a") - col("mt_b")) /
+          sqrt(col("d_a") + col("d_b")), 4)).as("t_stat"))
+  }
+
   /** Ansari–Bradley scale test between the A/B arms (user_id parity,
     * the welchTtestAb split): rank the pooled per-event values from
     * BOTH ends — score(r) = min(r, N+1−r) — and compare sample A's

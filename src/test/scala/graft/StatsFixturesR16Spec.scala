@@ -188,6 +188,20 @@ class StatsFixturesR16Spec extends SparkSpec {
       picks.mkString(", "))
   }
 
+  test("yuen trimmed t: arms {1..5} vs {11..15} -> trimmed means 3/13, " +
+      "winsorized d = 2/3 each, t = -10/sqrt(4/3)") {
+    val ev = eventsFrom(
+      (1 to 5).map(v => (s"2024-01-01 0$v:00:00", 0L, "x", v.toDouble)) ++
+        (11 to 15).map(v =>
+          (s"2024-01-01 $v:00:00", 1L, "x", v.toDouble)))
+    val r = EventOps.yuenTrimmedTtestAb(ev).collect().head
+    assert(r.getAs[Double]("trimmed_mean_a") == 3.0)
+    assert(r.getAs[Double]("trimmed_mean_b") == 13.0)
+    assert(r.getAs[Long]("h_a") == 3L && r.getAs[Long]("h_b") == 3L)
+    assert(math.abs(r.getAs[Double]("t_stat") -
+      (-10.0 / math.sqrt(4.0 / 3.0))) < 5e-5)
+  }
+
   test("split leakage: every near-dup pair shares a cluster-aware " +
       "split by construction on the real corpus slice") {
     val docs = Tables.documents(spark, sf0)
