@@ -626,14 +626,20 @@ object DedupOps {
       .distinct()
     // the binary tier cuts AFTER the dedup of band collisions and
     // BEFORE the checkpoint, so the persisted candidate state is
-    // already pruned; the code table is narrow (doc_id + one long)
+    // already pruned; the code table is narrow (doc_id + one long).
+    // LEFT joins + null-passes: a candidate whose code is missing
+    // (a store written before the codes sub-frame existed) goes to
+    // exact verification UNPRUNED rather than being dropped — the
+    // tier is an optimization and must never cost recall, so partial
+    // code coverage degrades pruning, not correctness.
     codeFilter match {
       case Some((codes, maxH)) if maxH < 64 => raw
         .join(codes.select(col("doc_id").as("a_id"),
-          col("simhash").as("sh_a")), "a_id")
+          col("simhash").as("sh_a")), Seq("a_id"), "left")
         .join(codes.select(col("doc_id").as("b_id"),
-          col("simhash").as("sh_b")), "b_id")
-        .filter(hamming(col("sh_a"), col("sh_b")) <= maxH)
+          col("simhash").as("sh_b")), Seq("b_id"), "left")
+        .filter(col("sh_a").isNull || col("sh_b").isNull ||
+          hamming(col("sh_a"), col("sh_b")) <= maxH)
         .select("a_id", "b_id")
       case _ => raw
     }

@@ -6789,8 +6789,13 @@ object EventOps {
     * stated; exceedances are STRICTLY above); excess moments are
     * exact integer lanes; m²/s² clears to Σe²·(n−1)/(n·(nΣe²₂ −
     * (Σe)²))… every estimator is a pinned chain with single
-    * divisions. Fewer than 2 exceedances or zero variance → NULL
-    * fit, stated. */
+    * divisions. 2+ exceedances with zero variance → a row with NULL
+    * fit columns; ZERO strict exceedances (the top cents value
+    * carries ≥ 5% of mass, so u equals the max) → NO row at all —
+    * the exceedance groupBy("u") is empty and both rails emit the
+    * empty frame, which is what the hash gate pins. Fixture authors
+    * planting a degenerate tail should expect an empty result, not a
+    * NULL-fit row. */
   def gpdPotFit(events: DataFrame): DataFrame = {
     val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
     // NOT checkpointed: the two consumers (threshold scan + excess

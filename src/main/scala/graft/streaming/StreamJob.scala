@@ -313,7 +313,13 @@ object StreamJob {
     }
     def readSub(sub: String): Option[DataFrame] = {
       require(subs.contains(sub), s"unknown sub-frame $sub")
+      // keep only paths that exist: a sub-frame ADDED to the layout
+      // after a store was first written (the r16 "codes" addition) is
+      // absent from older batch dirs — those batches contribute no
+      // rows rather than a PATH_NOT_FOUND throw. Driver-side stat of
+      // ≤ #batches dirs, same bound as parts() itself.
       val ps = parts(sub)
+        .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
       if (ps.isEmpty) None else Some(spark.read.parquet(ps: _*))
     }
     /** Write one batch's deltas (every registered sub, in `subs`
@@ -402,7 +408,16 @@ object StreamJob {
     * candidate against an 8-byte/doc artifact. 64 disables the tier
     * (exact parity with the untiered path — StreamJobSpec gates
     * pair-for-pair equivalence on/off and that the tier strictly
-    * prunes the verified candidate set). */
+    * prunes the verified candidate set).
+    *
+    * CONTRACT NOTE (recall): the default `maxHamming = 26` is a
+    * recall TRADE, not an optimization — a true Jaccard ≥ threshold
+    * pair whose 64-bit SimHashes land > 26 apart (the ~2.5-sigma
+    * tail, likelier on short or token-permuted docs) is pruned before
+    * verification and never emitted. Callers that need the exact
+    * MinHash-band recall of the untiered path must pass
+    * `maxHamming = 64` explicitly; the default favors per-batch
+    * latency on long-document corpora where the tail is negligible. */
   def startIncrementalNearDups(docs: DataFrame, store: NearDupStore,
       checkpointDir: String, threshold: Double = 0.5,
       numHashes: Int = 32, bands: Int = 8, k: Int = 3,
@@ -427,8 +442,20 @@ object StreamJob {
             .localCheckpoint()
           val newPairs = store.readIndex() match {
             case Some(oldIdx) =>
+              // Pre-tier store layouts (docs/index/pairs, no "codes"
+              // sub-frame) resume gracefully: SimHash is a pure
+              // per-doc function of text, so missing codes are
+              // recomputed from the stored docs instead of throwing.
+              // A MIXED store (legacy batches + tiered batches) reads
+              // as partial codes — the tier's left-join null-pass
+              // (DedupOps.candsOf) sends code-less candidates to
+              // exact verification unpruned, so coverage gaps cost
+              // pruning, never recall.
+              val oldDocs = store.readDocs().get
+              val oldCodes = store.readCodes()
+                .getOrElse(graft.ops.DedupOps.simhashes(oldDocs))
               graft.ops.DedupOps.incrementalNearDupsHammingTier(
-                oldIdx, store.readCodes().get, store.readDocs().get,
+                oldIdx, oldCodes, oldDocs,
                 fresh, idx, codes, threshold, maxBucket = 500, k = k,
                 maxHamming = maxHamming)
             case None =>

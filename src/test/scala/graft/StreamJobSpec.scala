@@ -836,4 +836,62 @@ class StreamJobSpec extends SparkSpec {
     assert(direct.map(_.getAs[Double]("llr")).toSeq ==
       dec.map(_.getAs[Double]("llr")).toSeq)
   }
+
+  test("near-dup sink resumes onto a PRE-TIER store (no codes " +
+      "sub-frame): no throw, pairs ≡ full recompute, and the mixed " +
+      "store stays partial-code-safe (advice r16)") {
+    val base = "the quick brown fox jumps over the lazy dog " +
+      "while the rain in spain falls mainly on the plain every day"
+    val nearDup = base.replace("every day", "each morning")
+    val nearDup2 = base.replace("quick brown", "swift brown")
+    val dir = java.nio.file.Files.createTempDirectory("neardupleg").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("chk").toString
+    // hand-write batch 0 in the r15 layout: docs/index/pairs, NO codes
+    val d0 = Seq((0L, base),
+      (2L, "unrelated text about database engines")).toDF("doc_id", "text")
+    val legacy = new StreamJob.DeltaStore(spark, dir,
+      Seq("docs", "index", "pairs"))
+    legacy.writeDelta(Seq(d0, ops.DedupOps.minhashBands(d0, 32, 8, 3),
+      ops.DedupOps.incrementalNearDups(d0.limit(0), d0)
+        .select("a_id", "b_id", "jaccard")), 0L)
+    val store = new StreamJob.NearDupStore(spark, dir)
+    // the layout reads as index-without-codes, not a PATH_NOT_FOUND
+    assert(store.readIndex().isDefined && store.readCodes().isEmpty)
+    val input = MemoryStream[(Long, String)](spark)
+    val docs = input.toDF().toDF("doc_id", "text")
+    def pairs(df: DataFrame) = df.select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    def full(ds: Seq[(Long, String)]) =
+      pairs(ops.DedupOps.minhashNearDups(ds.toDF("doc_id", "text")))
+    // resume onto the legacy store: stream batch 0 re-delivers the
+    // store's own batch (at-least-once across the upgrade) and the
+    // exactly-once guard skips it; batch 1 is genuinely new and its
+    // old-side codes are recomputed from the stored docs (simhash is
+    // a pure per-doc function)
+    val q = StreamJob.startIncrementalNearDups(docs, store, ckpt)
+    try {
+      input.addData((0L, base),
+        (2L, "unrelated text about database engines"))
+      q.processAllAvailable()
+      assert(store.lastBatchId() == 0L &&
+        pairs(store.readPairs().get).isEmpty)
+      input.addData((10L, nearDup)); q.processAllAvailable()
+      assert(pairs(store.readPairs().get) ==
+        full(Seq((0L, base), (2L, "unrelated text about database engines"),
+          (10L, nearDup))))
+      // the store is now MIXED: b0 has no codes, b1 does — readCodes()
+      // is partial, and the tier's left-join null-pass must still
+      // verify legacy-doc candidates instead of dropping them
+      assert(store.readCodes().get.count() == 1L)
+      input.addData((20L, nearDup2)); q.processAllAvailable()
+    } finally q.stop()
+    val got = pairs(store.readPairs().get)
+    val expect = full(Seq((0L, base),
+      (2L, "unrelated text about database engines"),
+      (10L, nearDup), (20L, nearDup2)))
+    // the (0, 20) pair straddles the legacy/tiered boundary: doc 0
+    // has no stored code, so only the null-pass keeps its candidacy
+    assert(got.exists(p => (p._1, p._2) == ((0L, 20L))), got.toString)
+    assert(got == expect, s"got $got\nexpect $expect")
+  }
 }
