@@ -112,6 +112,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         checkArity("graft_bitmap_cardinality", usage, exprs, 2)
         BitmapCardinality(exprs(0), foldableInt(usage, "maxId", exprs(1)))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_build"),
+      new ExpressionInfo(classOf[KllBuild].getName, "graft_kll_build"),
+      (exprs: Seq[Expression]) => {
+        val usage = "graft_kll_build(value, k)"
+        checkArity("graft_kll_build", usage, exprs, 2)
+        KllBuild(exprs(0), foldableInt(usage, "k", exprs(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMerge].getName, "graft_kll_merge"),
+      (exprs: Seq[Expression]) => {
+        val usage = "graft_kll_merge(blob, k)"
+        checkArity("graft_kll_merge", usage, exprs, 2)
+        KllMerge(exprs(0), foldableInt(usage, "k", exprs(1)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_quantile"),
+      new ExpressionInfo(classOf[KllQuantile].getName, "graft_kll_quantile"),
+      (exprs: Seq[Expression]) => {
+        val usage = "graft_kll_quantile(blob, q)"
+        checkArity("graft_kll_quantile", usage, exprs, 2)
+        KllQuantile(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_n"),
+      new ExpressionInfo(classOf[KllN].getName, "graft_kll_n"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_kll_n", "graft_kll_n(blob)", exprs, 1)
+        KllN(exprs(0))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_kll_err_bound"),
+      new ExpressionInfo(classOf[KllErrBound].getName,
+        "graft_kll_err_bound"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_kll_err_bound", "graft_kll_err_bound(blob)",
+          exprs, 1)
+        KllErrBound(exprs(0))
+      }))
   }
 }
 

@@ -10,12 +10,19 @@ import org.apache.spark.sql.functions._
   * of record batches out), implemented with `Dataset.mapPartitions`
   * over case-class rows.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DELIBERATE STUB ([[MediaCodec.decodeStub]]): a deterministic fake
-  * that derives "decoded" dimensions/samples from the payload bytes.
-  * Everything around it — schemas, batching, partitioning, feature
-  * shapes, resize/frame-sample arithmetic — is real and tested, so
-  * swapping in a real codec changes exactly one function.
+  * IMAGES DECODE FOR REAL ([[MediaCodec.decodeImageIO]]): the
+  * PNG/BMP/GIF/JPEG readers of pure-JVM `javax.imageio` ship in every
+  * JDK, no native codecs needed — MultimodalSpec round-trips
+  * ImageIO-written PNGs through it pixel-exactly. Audio/video remain
+  * a DELIBERATE STUB ([[MediaCodec.decodeStub]] — no pure-JVM codecs
+  * exist): a deterministic fake that derives "decoded" samples from
+  * the payload bytes. The REGISTERED `media_features` gate also stays
+  * on the stub, because the driver testdata has no media table — the
+  * synthetic payloads are text bytes, not images. Everything around
+  * the codec seam — schemas, batching, partitioning, feature shapes,
+  * resize/frame-sample arithmetic — is shared by both paths, so
+  * [[MediaCodec.decode]] dispatches per kind and an audio codec would
+  * change exactly one function.
   *
   * Scale posture: payloads never leave executors; feature extraction is
   * a narrow per-partition map (no shuffle); batch size bounds peak
@@ -52,10 +59,56 @@ object Multimodal {
       feature: Array[Float])
 
   object MediaCodec {
-    /** STUB — stands in for a real image/audio decoder (none available
-      * in this container). Deterministic in the payload bytes: every
-      * executor, every run, same output. Replace with a real codec
-      * (e.g. javax.imageio / ffmpeg bindings) in production. */
+    /** REAL image decode via pure-JVM `javax.imageio` (PNG, BMP, GIF
+      * and JPEG readers ship in every JDK). Pixels come out as
+      * row-major RGB-interleaved floats in [0, 1] — `samples` length
+      * is width × height × 3, the layout [[resize]]/[[sampleFrames]]
+      * already consume. Returns None when the payload is not a
+      * decodable image (ImageIO reads headers first, so garbage bytes
+      * cost a sniff, not an exception storm); callers choose the
+      * fallback — [[decode]] degrades to the deterministic stub so a
+      * corrupt blob can never fail a 100 TB task. */
+    def decodeImageIO(m: MediaFile): Option[Decoded] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.bytes)))
+        catch { case _: java.io.IOException => None }
+      img.map { bi =>
+        val w = bi.getWidth
+        val h = bi.getHeight
+        val samples = new Array[Float](w * h * 3)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y)
+            samples(i) = ((rgb >> 16) & 0xFF) / 255.0f
+            samples(i + 1) = ((rgb >> 8) & 0xFF) / 255.0f
+            samples(i + 2) = (rgb & 0xFF) / 255.0f
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        Decoded(m.media_id, m.kind, w, h, channels = 3, samples)
+      }
+    }
+
+    /** Production dispatcher over the codec seam: image payloads
+      * decode for real, audio/video fall to the stub (no pure-JVM
+      * codecs exist), and an image payload ImageIO cannot read
+      * degrades to the stub instead of failing the task. */
+    def decode(m: MediaFile): Decoded =
+      if (m.kind == "image") decodeImageIO(m).getOrElse(decodeStub(m))
+      else decodeStub(m)
+
+    /** STUB — stands in for the audio/video decoders (none available
+      * pure-JVM) and the registered deterministic gate for the
+      * synthetic media table (whose payloads are text bytes, not
+      * images — the driver testdata has no media fixtures).
+      * Deterministic in the payload bytes: every executor, every run,
+      * same output. */
     def decodeStub(m: MediaFile): Decoded = {
       // Empty payload -> empty samples (downstream features/mean fold
       // to 0), not a modulo-by-zero crash.
@@ -110,14 +163,20 @@ object Multimodal {
 
   /** Batched per-partition decode + feature extraction — the
     * mapInPandas-shaped hot path. `batchSize` bounds per-task memory
-    * exactly like Arrow batch size would. */
+    * exactly like Arrow batch size would. The codec is the one
+    * pluggable seam: the default stub is the registered deterministic
+    * gate over the synthetic (text-byte) table; pass
+    * [[MediaCodec.decode]] for real ImageIO decoding of genuine image
+    * payloads (MultimodalSpec drives that path end-to-end). */
   def extractFeatures(media: Dataset[MediaFile], batchSize: Int = 64,
-      featureDim: Int = 8): Dataset[MediaFeatures] = {
+      featureDim: Int = 8,
+      codec: MediaFile => Decoded = MediaCodec.decodeStub)
+      : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { m =>
-          val d = MediaCodec.decodeStub(m)
+          val d = codec(m)
           // fp64 accumulation with a single fp32 rounding at the end:
           // better numerics than a running fp32 `+=`, and the ordered
           // left fold is exactly mirrorable in the DuckDB oracle

@@ -2672,6 +2672,74 @@ object EventOps {
         .as("only_a_within_tol"))
   }
 
+  /** Per-type value quantiles from the native KLL sketch
+    * ([[graft.functions.KllSketch]]) — the MERGEABLE quantile
+    * capability the sketch-blob family was missing (HLL/Theta
+    * distincts, MG heavy hitters and integer-bin histograms all
+    * exist; continuous-domain quantiles did not): the same blobs this
+    * query builds per type are what the streaming store
+    * ([[graft.streaming.StreamJob.startValueKllBlobs]]) appends per
+    * batch and re-merges at any grain, never rescanning raw rows.
+    *
+    * Registered ROWS-ONLY (the MG/SimHash convention): estimates are
+    * a pure function of the value MULTISET plus merge order, and
+    * Spark's partition layout varies run to run — the paired
+    * [[kllRankBoundAudit]] hash-gates the worst-case error contract
+    * that holds for EVERY order instead. `rank_err_bound` is the
+    * blob's own certificate: the estimate's rank error is AT MOST
+    * that many rows, whatever the layout was. */
+  def kllValueQuantiles(events: DataFrame, k: Int = 200): DataFrame = {
+    import graft.functions.KllSketch._
+    events.filter(col("value").isNotNull)
+      .groupBy("event_type")
+      .agg(kllBuild(col("value").cast("double"), k).as("kb"))
+      .select(col("event_type"), kllN(col("kb")).as("n"),
+        kllErrBound(col("kb")).as("rank_err_bound"),
+        round(kllQuantile(col("kb"), lit(0.05)), 6).as("q05"),
+        round(kllQuantile(col("kb"), lit(0.25)), 6).as("q25"),
+        round(kllQuantile(col("kb"), lit(0.5)), 6).as("q50"),
+        round(kllQuantile(col("kb"), lit(0.75)), 6).as("q75"),
+        round(kllQuantile(col("kb"), lit(0.95)), 6).as("q95"))
+  }
+
+  /** HASH-GATED guarantee audit for the KLL pair (the
+    * [[hllUnionRollupAudit]] pattern, strengthened from tolerance to
+    * THEOREM): one global sketch over `value`, seven probe quantiles,
+    * and for each the estimate's true rank interval [count(< est),
+    * count(≤ est)] must meet [⌈qn⌉ − R − 1, ⌈qn⌉ + R + 1], where R is
+    * the sketch's own accumulated worst-case bound (Σ 2^level over
+    * compactions — see KllSketch's error contract; the ±1 absorbs
+    * ⌈⌉/tie conventions). Each compaction displaces any rank estimate
+    * by ≤ its item weight, so ZERO violations holds for every
+    * insertion and merge order — the audit row is a constant of the
+    * table even though the estimates are layout-bound, which is what
+    * lets the DuckDB oracle pin it (exact n_total recomputed, the
+    * invariants as literals — the mg_merge_audit convention). */
+  def kllRankBoundAudit(events: DataFrame, k: Int = 200): DataFrame = {
+    import graft.functions.KllSketch._
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.filter(col("value").isNotNull)
+      .select(col("value").cast("double").as("v"))
+    val blob = ev.agg(kllBuild(col("v"), k).as("kb"))
+    val qdf = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99).toDF("q")
+    val est = blob.crossJoin(broadcast(qdf))
+      .select(col("q"), kllQuantile(col("kb"), col("q")).as("est"),
+        kllN(col("kb")).as("n"), kllErrBound(col("kb")).as("r"))
+    val checks = ev.crossJoin(broadcast(est))
+      .groupBy("q", "est", "n", "r")
+      .agg(sum(when(col("v") < col("est"), 1L).otherwise(0L)).as("lo"),
+        sum(when(col("v") <= col("est"), 1L).otherwise(0L)).as("hi"))
+    val target = ceil(col("q") * col("n")).cast("long")
+    checks.agg(max(col("n")).as("n_total"),
+        count(lit(1)).as("n_quantiles"),
+        sum(when(col("hi") < target - col("r") - lit(1L) ||
+          col("lo") > target + col("r") + lit(1L), 1L).otherwise(0L))
+          .as("n_violations"))
+      .select(col("n_total"), col("n_quantiles"), col("n_violations"),
+        (col("n_violations") === 0L).as("bounds_ok"))
+  }
+
   /** Peak session concurrency per day — the classic sweep-line over
     * intervals: how many user sessions were simultaneously open at the
     * busiest instant of each day (capacity planning / load-profile

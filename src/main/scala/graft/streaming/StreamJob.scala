@@ -669,6 +669,52 @@ object StreamJob {
       .select(col("q_ppm"), col("n_total"), col("bin_at_q"))
   }
 
+  /** Mergeable-QUANTILE blob store — the continuous-domain companion
+    * of [[histogramDelta]] (whose exact bins need an integer-width
+    * grid): each micro-batch appends one per-day KLL sketch blob
+    * ([[graft.functions.KllBuild]], see [[graft.functions.KllSketch]]
+    * for the worst-case-rank-error contract) under the
+    * idempotent-by-path `b<batchId>` contract. Readers merge blobs at
+    * ANY grain (day, week, all-time) with [[graft.functions.KllMerge]]
+    * — error bounds ADD across merges, so the answer ships with its
+    * own validity certificate and no raw row is ever rescanned. */
+  def kllDelta(batch: DataFrame, valueCol: String, tsCol: String,
+      k: Int = 200): DataFrame = batch
+    .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+    .groupBy(to_date(col(tsCol)).as("day"))
+    .agg(graft.functions.KllSketch
+      .kllBuild(col(valueCol).cast("double"), k).as("kll"))
+
+  def startValueKllBlobs(prepared: DataFrame, dir: String,
+      checkpointDir: String, valueCol: String = "value",
+      tsCol: String = "created_at", k: Int = 200): StreamingQuery =
+    prepared.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          kllDelta(batch, valueCol, tsCol, k)
+            .write.mode("overwrite").parquet(s"$dir/b$batchId")
+        }
+        ()
+      }
+      .start()
+
+  /** Quantiles per day from the STORED KLL blobs only — one
+    * blob-merge per day plus scalar quantile reads, each row carrying
+    * n and the accumulated worst-case rank-error bound. Regroup
+    * coarser and the same merge answers any grain. */
+  def quantilesDailyFromKllBlobs(spark: SparkSession, dir: String,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99), k: Int = 200): DataFrame = {
+    import graft.functions.KllSketch._
+    val merged = spark.read.parquet(s"$dir/b*")
+      .groupBy("day")
+      .agg(kllMerge(col("kll"), k).as("kb"))
+    val qCols = qs.map(q =>
+      round(kllQuantile(col("kb"), lit(q)), 6).as(s"q_${(q * 100).toInt}"))
+    merged.select(Seq(col("day"), kllN(col("kb")).as("n"),
+      kllErrBound(col("kb")).as("rank_err_bound")) ++ qCols: _*)
+  }
+
   /** Streaming heavy-hitter maintenance — the MERGEABLE face of
     * [[graft.ops.DocOps.heavyHitterTerms]] (whose exact-recount second
     * pass a stream cannot make): each micro-batch appends its own
