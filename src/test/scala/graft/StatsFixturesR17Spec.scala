@@ -66,6 +66,25 @@ class StatsFixturesR17Spec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("intrinsic_dim")), r.toString)
   }
 
+  test("pooled k-center: picks drawn from the Knuth pool, seeded at " +
+      "the pool min id, with non-increasing farthest distances (the " +
+      "Gonzalez invariant)") {
+    val emb = Tables.embeddings(spark, sf0)
+    val poolIds = emb.filter(
+      pmod(graft.ops.DocOps.knuthHash32(col("vec_id")), lit(8)) === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val picks = VectorOps.kCenterCoresetPooled(emb, 8).orderBy("rank")
+      .collect()
+    assert(picks.length == math.min(8, poolIds.size))
+    assert(picks.map(_.getAs[Long]("vec_id")).forall(poolIds.contains))
+    assert(picks.head.getAs[Long]("vec_id") == poolIds.min)
+    val dists = picks.tail.map(_.getAs[Double]("min_dist_at_pick"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => b <= a },
+      dists.mkString(", "))
+    assert(picks.map(_.getAs[Long]("vec_id")).distinct.length ==
+      picks.length)
+  }
+
   test("kCenterCoreset seeds at min(vec_id) when id 0 is absent " +
       "(no phantom pick), and an empty corpus yields an empty frame") {
     // 1-D line at x = 0,1,9,10 under ids 5..8: seed = id 5 (x=0),
