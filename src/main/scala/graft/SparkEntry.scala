@@ -289,6 +289,13 @@ object SparkEntry {
     "rrf_fused_docs" ->
       ((s, d) => MiningOps.rrfFusedDocs(documents(s, d), embeddings(s, d))),
     "ndcg_retrieval_audit" -> ((s, d) => VectorOps.ndcgAtK(embeddings(s, d))),
+    "err_retrieval_audit" -> ((s, d) => VectorOps.errAtK(embeddings(s, d))),
+    // Deterministic JL sign projection (Knuth id-hash signs, no RNG)
+    // — both rows hash-gate end-to-end.
+    "jl_projection_norms" ->
+      ((s, d) => VectorOps.jlProjectionNorms(embeddings(s, d))),
+    "jl_distortion_audit" ->
+      ((s, d) => VectorOps.jlDistortionAudit(embeddings(s, d))),
     "peak_concurrency" -> ((s, d) => EventOps.peakConcurrency(events(s, d))),
     "entity_clusters" -> ((s, d) => JoinOps.entityClusters(part(s, d))),
     "golden_records" -> ((s, d) => JoinOps.goldenRecords(part(s, d))),
@@ -910,6 +917,13 @@ object SparkEntry {
     // ---- round-11 batch 10: survival + market-basket ----
     "km_survival_horizons" ->
       ((s, d) => EventOps.kmSurvivalHorizons(events(s, d))),
+    "rmst_horizons" -> ((s, d) => EventOps.rmstHorizons(events(s, d))),
+    "eb_shrunk_user_means" ->
+      ((s, d) => EventOps.ebShrunkUserMeans(events(s, d))),
+    "shapley_attribution" ->
+      ((s, d) => EventOps.shapleyAttribution(events(s, d))),
+    "zip_fit_purchases" ->
+      ((s, d) => EventOps.zipFitPurchases(events(s, d))),
     "type_assoc_rules" -> ((s, d) => EventOps.typeAssocRules(events(s, d))),
     "bpe_train_rounds" -> ((s, d) => DocOps.bpeTrainRounds(documents(s, d))),
     "bpe_tokenize_counts" ->
@@ -1498,6 +1512,19 @@ object SparkEntry {
       "PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn " +
       "FROM pr) WHERE rn <= 5), " +
       hubnessTailSql
+
+  /** DuckDB mirror of VectorOps.jlProject: 16 index-order fp64 folds
+    * of ±x_i terms, the SplitMix64 sign matrix interpolated as the
+    * SAME ±1 literals VectorOps.jlSignFlat computed (the cross-engine
+    * -constants rule — see the jlProject doc for the two hash-derived
+    * designs the audit rejected), one /√16 — shared by both JL
+    * oracles. */
+  private lazy val jlProjSql: String =
+    "list_transform(range(0, 16), j -> " +
+      "list_sum(list_transform(range(len(embedding)), i -> " +
+      "CAST(embedding[i+1] AS DOUBLE) * CAST(" +
+      graft.ops.VectorOps.jlSignFlat.mkString("[", ", ", "]") +
+      "[i * 16 + j + 1] AS DOUBLE))) / sqrt(16.0))"
 
   def oracleSql: Map[String, String] = Map(
     "user_activity" ->
@@ -3801,6 +3828,69 @@ object SparkEntry {
         "coalesce(1.0 / CAST(60 + dense_rank AS DOUBLE), 0.0), 9) AS rrf_score " +
         "FROM lex FULL JOIN dense ON lex.rrf_id = dense.rrf_id " +
         "ORDER BY rrf_score DESC, doc_id ASC LIMIT 20"),
+    // Mirrors VectorOps.jlProjectionNorms: the shared jlProjSql
+    // projection, norm² folds in index order, one guarded division.
+    "jl_projection_norms" ->
+      ("WITH p AS (SELECT vec_id, " +
+        "list_sum(list_transform(embedding, x -> " +
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nx2, " +
+        "list_sum(list_transform(" + jlProjSql + ", y -> y * y)) AS ny2 " +
+        "FROM embeddings) " +
+        "SELECT vec_id, round(nx2, 6) AS norm2_orig, " +
+        "round(ny2, 6) AS norm2_proj, " +
+        "CASE WHEN nx2 > 0.0 THEN round(ny2 / nx2, 6) END AS norm_ratio " +
+        "FROM p"),
+    // Mirrors VectorOps.jlDistortionAudit: consecutive-id pairs,
+    // index-order diff² folds on both sides, 6dp-pinned ratios,
+    // DECIMAL mean lane, guarded divisions.
+    "jl_distortion_audit" ->
+      ("WITH p AS (SELECT vec_id, list_transform(embedding, x -> " +
+        "CAST(x AS DOUBLE)) AS x, " + jlProjSql + " AS y " +
+        "FROM embeddings), " +
+        "pr AS (SELECT list_sum(list_transform(range(len(a.x)), i -> " +
+        "(a.x[i+1] - b.x[i+1]) * (a.x[i+1] - b.x[i+1]))) AS dx2, " +
+        "list_sum(list_transform(range(len(a.y)), i -> " +
+        "(a.y[i+1] - b.y[i+1]) * (a.y[i+1] - b.y[i+1]))) AS dy2 " +
+        "FROM p a JOIN p b ON a.vec_id + 1 = b.vec_id), " +
+        "rt AS (SELECT dx2, CASE WHEN dx2 > 0.0 THEN " +
+        "round(dy2 / dx2, 6) END AS rho FROM pr) " +
+        "SELECT CAST(count(*) AS BIGINT) AS n_pairs, " +
+        "CAST(sum(CASE WHEN rho IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_degenerate, " +
+        "min(rho) AS min_ratio, max(rho) AS max_ratio, " +
+        "CASE WHEN count(*) > sum(CASE WHEN rho IS NULL THEN 1 ELSE 0 " +
+        "END) THEN round(CAST(sum(CAST(rho AS DECIMAL(38,6))) " +
+        "AS DOUBLE) / CAST(count(*) - sum(CASE WHEN rho IS NULL THEN 1 " +
+        "ELSE 0 END) AS DOUBLE), 6) END AS mean_ratio, " +
+        "CAST(sum(CASE WHEN rho < 1.0 / 3.0 OR rho > 3.0 THEN 1 ELSE 0 " +
+        "END) AS BIGINT) AS n_outside_band FROM rt"),
+    // Mirrors VectorOps.errAtK: the ndcg scoring pass and total
+    // order; the j-th hit at rank r contributes round(0.5^j / r, 10)
+    // into DECIMAL(38,10) — 0.5^j exact in fp, one identical double
+    // division — so per-query sums are order-exact.
+    "err_retrieval_audit" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel " +
+        "FROM embeddings WHERE vec_id IN (0, 1, 2, 3)), " +
+        "scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label, " +
+        "round(list_sum(list_transform(range(len(e.embedding)), " +
+        "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cs " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+        "rk AS (SELECT qid, " +
+        "CASE WHEN label = qlabel THEN 1 ELSE 0 END AS hit, " +
+        "CAST(row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cs DESC, vec_id ASC) AS BIGINT) AS rnk FROM scored), " +
+        "tk AS (SELECT qid, hit, rnk, " +
+        "CAST(sum(hit) OVER (PARTITION BY qid ORDER BY rnk ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS j FROM rk WHERE rnk <= 10) " +
+        "SELECT qid AS query_id, " +
+        "CAST(sum(hit) AS BIGINT) AS hits_at_k, " +
+        "round(CAST(sum(CASE WHEN hit = 1 THEN " +
+        "CAST(round(pow(0.5, CAST(j AS DOUBLE)) / CAST(rnk AS DOUBLE), " +
+        "10) AS DECIMAL(38,10)) ELSE CAST(0 AS DECIMAL(38,10)) END) " +
+        "AS DOUBLE), 6) AS err_at_k FROM tk GROUP BY 1"),
     // Mirrors VectorOps.ndcgAtK: ranks over the 4dp-rounded cosine
     // with the vec_id tie-break; every 1/log2(rank+1) discount term
     // rounds 10dp into DECIMAL(38,10) so per-query sums are
@@ -7895,6 +7985,145 @@ object SparkEntry {
         "SELECT h.horizon, coalesce(c.n_churned, 0) AS n_churned, " +
         "coalesce(c.survival, 1.0) AS survival " +
         "FROM h LEFT JOIN curve c USING (horizon)"),
+    // Mirrors EventOps.rmstHorizons: the km CTE chain, per-step S via
+    // the identical exp(round(cum-ln, 6), 6), lead() for segment
+    // widths, each S·width micro-pinned 6dp into DECIMAL(38,6) before
+    // the per-horizon sum, the initial [0, t1) strip exact.
+    "rmst_horizons" ->
+      ("WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f, " +
+        "CAST(max(ts) AS DATE) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events), " +
+        "dur AS (SELECT CAST(datediff('day', f, l) + 1 AS BIGINT) AS t, " +
+        "CASE WHEN l < max_day THEN 1 ELSE 0 END AS observed " +
+        "FROM u CROSS JOIN mx), " +
+        "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending, " +
+        "CAST(sum(observed) AS BIGINT) AS d FROM dur GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM dur), " +
+        "ar AS (SELECT t, d, n_users - CAST(sum(ending) OVER (" +
+        "ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending AS n " +
+        "FROM byt CROSS JOIN tot), " +
+        "ev AS (SELECT t, round(exp(round(sum(ln((CAST(n AS DOUBLE) - " +
+        "CAST(d AS DOUBLE)) / CAST(n AS DOUBLE))) OVER (ORDER BY t ASC " +
+        "ROWS UNBOUNDED PRECEDING), 6)), 6) AS s, " +
+        "lead(t) OVER (ORDER BY t ASC) AS nt FROM ar WHERE d > 0), " +
+        "h AS (SELECT CAST(unnest([7, 14, 30]) AS BIGINT) AS horizon), " +
+        "segs AS (SELECT horizon, " +
+        "sum(CAST(round(s * CAST(least(coalesce(nt, horizon), horizon) " +
+        "- t AS DOUBLE), 6) AS DECIMAL(38,6))) AS tail_area, " +
+        "CAST(count(*) AS BIGINT) AS n_steps " +
+        "FROM ev CROSS JOIN h WHERE t < horizon GROUP BY 1), " +
+        "tm AS (SELECT min(t) AS t1 FROM ev) " +
+        "SELECT h.horizon, coalesce(segs.n_steps, 0) AS n_km_steps, " +
+        "round(CAST(CAST(least(coalesce(tm.t1, h.horizon), h.horizon) " +
+        "AS DECIMAL(38,6)) + coalesce(segs.tail_area, " +
+        "CAST(0 AS DECIMAL(38,6))) AS DOUBLE), 6) AS rmst_days " +
+        "FROM h CROSS JOIN tm LEFT JOIN segs ON segs.horizon = h.horizon"),
+    // Mirrors EventOps.ebShrunkUserMeans: exact HUGEINT cents lanes,
+    // 4dp-micro-pinned within/between terms, then the identical
+    // per-user IEEE chain (DL tau^2, B_i, posterior mean) — every
+    // division inside a CASE guard, matching the Spark `when` arms.
+    "eb_shrunk_user_means" ->
+      ("WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(cc AS HUGEINT)) AS HUGEINT) AS sc, " +
+        "CAST(sum(CAST(cc AS HUGEINT) * cc) AS HUGEINT) AS sc2 " +
+        "FROM (SELECT user_id, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cc " +
+        "FROM events WHERE value IS NOT NULL) GROUP BY 1), " +
+        "g AS (SELECT CAST(sum(n) AS BIGINT) AS nn, " +
+        "CAST(count(*) AS BIGINT) AS u, " +
+        "CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sn2, " +
+        "CAST(sum(sc) AS HUGEINT) AS s, " +
+        "sum(CAST(round(CAST(sc2 AS DOUBLE) - " +
+        "CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), " +
+        "4) AS DECIMAL(38,4))) AS wss FROM pu), " +
+        "g2 AS (SELECT nn, u, sn2, " +
+        "CAST(s AS DOUBLE) / CAST(nn AS DOUBLE) AS m, " +
+        "CASE WHEN nn > u THEN CAST(wss AS DOUBLE) / " +
+        "CAST(nn - u AS DOUBLE) ELSE 0.0 END AS s2w FROM g), " +
+        "qs AS (SELECT sum(CAST(round((CAST(sc AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) - m) * (CAST(sc AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) - m) * CAST(n AS DOUBLE), 4) " +
+        "AS DECIMAL(38,4))) AS qs FROM pu CROSS JOIN g2), " +
+        "gg AS (SELECT m, s2w, CASE WHEN u >= 2 AND " +
+        "CAST(nn AS DOUBLE) - CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE) " +
+        "> 0.0 THEN greatest(0.0, (CAST(qs AS DOUBLE) - " +
+        "CAST(u - 1 AS DOUBLE) * s2w) / (CAST(nn AS DOUBLE) - " +
+        "CAST(sn2 AS DOUBLE) / CAST(nn AS DOUBLE))) ELSE 0.0 END AS t2 " +
+        "FROM g2 CROSS JOIN qs) " +
+        "SELECT user_id, n, " +
+        "CAST((2 * CAST(sc AS BIGINT) * 100 + n) // (2 * n) AS DOUBLE) " +
+        "/ 10000.0 AS mean_value, " +
+        "round((CASE WHEN s2w / CAST(n AS DOUBLE) + t2 > 0.0 THEN " +
+        "s2w / CAST(n AS DOUBLE) / (s2w / CAST(n AS DOUBLE) + t2) " +
+        "ELSE 0.0 END * m + (1.0 - CASE WHEN s2w / CAST(n AS DOUBLE) " +
+        "+ t2 > 0.0 THEN s2w / CAST(n AS DOUBLE) / (s2w / " +
+        "CAST(n AS DOUBLE) + t2) ELSE 0.0 END) * (CAST(sc AS DOUBLE) / " +
+        "CAST(n AS DOUBLE))) / 100.0, 4) AS shrunk_mean, " +
+        "round(CASE WHEN s2w / CAST(n AS DOUBLE) + t2 > 0.0 THEN " +
+        "s2w / CAST(n AS DOUBLE) / (s2w / CAST(n AS DOUBLE) + t2) " +
+        "ELSE 0.0 END, 6) AS shrink_b " +
+        "FROM pu CROSS JOIN gg"),
+    // Mirrors EventOps.shapleyAttribution: lifetime channel bitmasks,
+    // v(S) by subset containment over the ≤2^k coalition frame,
+    // all-integer k!·phi lanes (counts × factorials), one final
+    // division by k!.
+    "shapley_attribution" ->
+      ("WITH ch AS (SELECT DISTINCT event_type AS channel FROM events " +
+        "WHERE event_type <> 'purchase'), " +
+        "chi AS (SELECT a.channel, CAST((SELECT count(*) FROM ch b " +
+        "WHERE b.channel < a.channel) AS BIGINT) AS idx FROM ch a), " +
+        "kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ch), " +
+        "um AS (SELECT user_id, CAST(sum(1 << idx) AS BIGINT) AS mask " +
+        "FROM (SELECT DISTINCT user_id, event_type FROM events " +
+        "WHERE event_type <> 'purchase') ue " +
+        "JOIN chi ON chi.channel = ue.event_type GROUP BY 1), " +
+        "cv AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_conv " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1), " +
+        "w AS (SELECT coalesce(um.mask, 0) AS t, " +
+        "CAST(sum(cv.n_conv) AS BIGINT) AS w FROM cv " +
+        "LEFT JOIN um USING (user_id) GROUP BY 1), " +
+        "coal AS (SELECT CAST(unnest(range((SELECT 1 << k FROM kk))) " +
+        "AS BIGINT) AS s), " +
+        "v AS (SELECT s, CAST(coalesce(sum(w.w), 0) AS BIGINT) AS v " +
+        "FROM coal LEFT JOIN w ON (w.t & coal.s) = w.t GROUP BY 1), " +
+        "terms AS (SELECT chi.channel, kk.k, " +
+        "CAST(factorial(bit_count(a.s)) AS BIGINT) * " +
+        "CAST(factorial(CAST(kk.k - 1 - bit_count(a.s) AS INT)) " +
+        "AS BIGINT) * (b.v - a.v) AS term " +
+        "FROM chi CROSS JOIN kk " +
+        "JOIN v a ON (a.s & (1 << chi.idx)) = 0 " +
+        "JOIN v b ON b.s = a.s + (1 << chi.idx)) " +
+        "SELECT channel, round(CAST(CAST(sum(term) AS BIGINT) " +
+        "AS DOUBLE) / CAST(CAST(factorial(CAST(max(k) AS INT)) " +
+        "AS BIGINT) AS DOUBLE), 6) AS shapley_conversions " +
+        "FROM terms GROUP BY channel"),
+    // Mirrors EventOps.zipFitPurchases: exact integer moments, every
+    // estimator a single half-up integer-unit division (the avgSql
+    // `//` convention), NULL-fit guards mirrored as CASE arms.
+    "zip_fit_purchases" ->
+      ("WITH c AS (SELECT CAST(sum(CASE WHEN event_type = 'purchase' " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS c FROM events GROUP BY user_id), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS z, " +
+        "CAST(sum(c) AS BIGINT) AS s1, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS s2 FROM c) " +
+        "SELECT n AS n_users, z AS n_zero, " +
+        "CAST((2 * z * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6 " +
+        "AS zero_share, " +
+        "CAST((2 * s1 * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6 " +
+        "AS mean_count, " +
+        "CAST((2 * (n * s2 - s1 * s1) * 1000000 + n * n) // " +
+        "(2 * n * n) AS DOUBLE) / 1e6 AS var_count, " +
+        "CASE WHEN s1 > 0 AND s2 > s1 THEN " +
+        "CAST((2 * (s2 - s1) * 1000000 + s1) // (2 * s1) AS DOUBLE) " +
+        "/ 1e6 END AS lambda_hat, " +
+        "CASE WHEN s1 > 0 AND s2 > s1 AND " +
+        "n * (s2 - s1) - s1 * s1 >= 0 THEN " +
+        "CAST((2 * (n * (s2 - s1) - s1 * s1) * 1000000 + " +
+        "n * (s2 - s1)) // (2 * n * (s2 - s1)) AS DOUBLE) / 1e6 END " +
+        "AS pi_hat, " +
+        "(s1 > 0 AND s2 > s1 AND n * (s2 - s1) - s1 * s1 >= 0) " +
+        "AS zip_consistent FROM m"),
     // Mirrors EventOps.typeAssocRules: distinct-user baskets, exact
     // BIGINT pair/margin counts, three pinned divisions (lift's cross
     // product casts each factor to DOUBLE before multiplying).

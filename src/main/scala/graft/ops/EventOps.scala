@@ -3111,6 +3111,264 @@ object EventOps {
         coalesce(col("fh_survival"), lit(1.0)).as("fh_survival"))
   }
 
+  /** Zero-inflated Poisson fit of per-user purchase counts (Lambert
+    * '92), method of moments — the count-model companion of
+    * [[negbinFitByType]]: where neg-binomial explains overdispersion
+    * by rate HETEROGENEITY, ZIP explains it by a point mass of
+    * structural zeros (users who never convert at any rate), the
+    * model a funnel analyst actually wants separated ("how many users
+    * are out of market" vs "how often in-market users buy").
+    *
+    * The MoM estimators collapse to EXACT RATIONALS of integer
+    * moments: E[c²] − E[c] = (1−π)λ² gives λ̂ = (Σc² − Σc)/Σc and
+    * π̂ = 1 − Σc²·n/… cleared: π̂ = (n(Σc²−Σc) − Σc²)·… — implemented
+    * as single half-up integer-unit divisions ([[Num.halfUpRatio]]),
+    * so the gate is exact, not fp-lucky. Guards (stated): Σc = 0 or
+    * Σc² ≤ Σc (no overdispersion — counts all 0/1) → NULL fit;
+    * MoM π̂ < 0 (UNDER-dispersed relative to Poisson) → NULL fit with
+    * `zip_consistent` false. */
+  def zipFitPurchases(events: DataFrame): DataFrame = {
+    val dec0 = (c: Column) => c.cast("decimal(38,0)")
+    val cnts = events.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("c"))
+    val m = cnts.agg(count(lit(1)).as("n"),
+      sum(when(col("c") === 0L, 1L).otherwise(0L)).as("z"),
+      sum("c").as("s1"), sum(dec0(col("c")) * col("c")).as("s2"))
+    val s1 = col("s1")
+    val s2l = col("s2").cast("long")
+    val piNum = col("n") * (s2l - s1) - s1 * s1
+    val piDen = col("n") * (s2l - s1)
+    m.select(col("n").as("n_users"), col("z").as("n_zero"),
+      (Num.halfUpRatio(col("z") * lit(1000000L), col("n"))
+        .cast("double") / lit(1e6)).as("zero_share"),
+      (Num.halfUpRatio(s1 * lit(1000000L), col("n"))
+        .cast("double") / lit(1e6)).as("mean_count"),
+      (Num.halfUpRatio((col("n") * s2l - s1 * s1) * lit(1000000L),
+        col("n") * col("n")).cast("double") / lit(1e6)).as("var_count"),
+      when(s1 > 0L && s2l > s1,
+        Num.halfUpRatio((s2l - s1) * lit(1000000L), s1)
+          .cast("double") / lit(1e6)).as("lambda_hat"),
+      when(s1 > 0L && s2l > s1 && piNum >= 0L,
+        Num.halfUpRatio(piNum * lit(1000000L), piDen)
+          .cast("double") / lit(1e6)).as("pi_hat"),
+      (s1 > 0L && s2l > s1 && piNum >= 0L).as("zip_consistent"))
+  }
+
+  /** EXACT Shapley-value attribution over channel coalitions (Shapley
+    * '53; the Zhao et al. '18 marketing formulation) — the
+    * game-theoretic member of the attribution family, completing
+    * linear (uniform credit), position, time-decay and Markov-removal:
+    * the characteristic function v(S) counts conversions by users
+    * whose lifetime channel set is CONTAINED in coalition S, and each
+    * channel's credit is its average marginal contribution over all
+    * join orders — the only attribution satisfying efficiency /
+    * symmetry / dummy / additivity, which is why it is the reference
+    * standard the heuristics are judged against.
+    *
+    * Coalition convention (stated): a user's coalition is the set of
+    * DISTINCT non-purchase event types they ever emitted; conversions
+    * are their purchase count; channel-less converters sit in v(∅)
+    * (baseline conversions no channel can claim — every marginal
+    * difference cancels them, the Shapley dummy axiom at work).
+    *
+    * EXACTNESS — no floating point until the last op: with k
+    * channels, k!·φ_c = Σ_{S ∌ c} |S|!·(k−1−|S|)!·(v(S∪{c}) − v(S))
+    * is ALL-INTEGER (conversion counts × factorials), summed as
+    * BIGINT in any order; ONE division by k! at the end, 6dp. The
+    * efficiency identity Σφ = v(full) − v(∅) holds exactly in the
+    * integer lane (spec-pinned).
+    *
+    * Scale: two per-user aggregations over the log (distinct-type
+    * mask, purchase count), then ALL coalition algebra runs on
+    * ≤ 2^k-row frames (k = channel count, 4 here; 2^k bounded by the
+    * type vocabulary, never by data). Exponential only in k, like
+    * every exact Shapley — for k beyond ~20 one samples permutations
+    * instead (stated; out of scope while the type vocabulary is
+    * single-digit). */
+  def shapleyAttribution(events: DataFrame): DataFrame = {
+    val bit = expr("cast(shiftleft(1, cast(idx as int)) as bigint)")
+    val chans0 = events.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("channel")).distinct()
+    val chans = chans0.as("a")
+      .join(chans0.select(col("channel").as("cb")).as("b"),
+        col("cb") < col("a.channel"), "left")
+      .groupBy(col("a.channel"))
+      .agg(count(col("cb")).as("idx"))
+    val kk = chans0.agg(count(lit(1)).as("k"))
+    val userMask = events.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("channel")).distinct()
+      .join(broadcast(chans), "channel")
+      .groupBy("user_id").agg(sum(bit).as("mask"))
+    val conv = events.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_conv"))
+    val w = conv.join(userMask, Seq("user_id"), "left")
+      .select(coalesce(col("mask"), lit(0L)).as("t"), col("n_conv"))
+      .groupBy("t").agg(sum("n_conv").as("w"))
+    val coal = kk.select(explode(expr(
+      "sequence(0L, cast(shiftleft(1, cast(k as int)) as bigint) - 1L)"))
+      .as("s"))
+    val v = coal.join(broadcast(w),
+        col("t").bitwiseAND(col("s")) === col("t"), "left")
+      .groupBy("s").agg(coalesce(sum("w"), lit(0L)).as("v"))
+      .localCheckpoint() // both sides of the marginal join read it
+    val terms = chans.crossJoin(broadcast(kk))
+      .join(broadcast(v.select(col("s"), col("v"))),
+        col("s").bitwiseAND(bit) === lit(0L))
+      .join(broadcast(v.select(col("s").as("s2"), col("v").as("v2"))),
+        col("s2") === col("s") + bit)
+      .select(col("channel"), col("k"),
+        (factorial(expr("bit_count(s)")) *
+          factorial((col("k") - lit(1) - expr("bit_count(s)"))
+            .cast("int")) *
+          (col("v2") - col("v"))).as("term"))
+    terms.groupBy("channel", "k").agg(sum("term").as("num"))
+      .select(col("channel"),
+        round(col("num").cast("double") /
+          factorial(col("k").cast("int")).cast("double"), 6)
+          .as("shapley_conversions"))
+  }
+
+  /** Empirical-Bayes shrinkage of per-user mean value (James & Stein
+    * '61 via the DerSimonian–Laird '86 moment estimator for unequal
+    * group sizes — the meta-analysis form): each user's raw mean is
+    * pulled toward the grand mean with weight B_i = (σ̂²/n_i) /
+    * (σ̂²/n_i + τ̂²), so thin-history users (whose raw means are mostly
+    * noise) shrink hard while heavy users keep their signal — THE
+    * estimator for per-group rates a pipeline reads off small counts
+    * (per-source quality priors, per-user spend, per-domain toxicity)
+    * where the raw group mean is famously inadmissible.
+    *
+    * Estimators, all from exact lanes: pooled within-user variance
+    * σ̂² = Σ_i(Σc² − (Σc)²/n_i)/(N − U); DL between-variance τ̂² =
+    * max(0, (Q_s − (U−1)·σ̂²)/(N − Σn²/N)) with Q_s = Σ n_i(m_i − m)².
+    * Determinism: Σc/Σc²/n/Σn² are exact DECIMAL/BIGINT lanes (cents;
+    * magnitudes < 2^53, so the one double cast is exact — stated);
+    * each within/between term micro-pins 4dp into DECIMAL(38,4)
+    * before its corpus sum; everything after is a per-user chain of
+    * identical single IEEE ops both engines replay. Degenerate
+    * guards: U < 2 or zero denominators → B = 0 (raw means kept),
+    * all inside lazy `when` arms (the ANSI division rule). */
+  def ebShrunkUserMeans(events: DataFrame): DataFrame = {
+    val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
+    val dec0 = (c: Column) => c.cast("decimal(38,0)")
+    val perUser = events.filter(col("value").isNotNull)
+      .select(col("user_id"), cents.as("c"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(dec0(col("c"))).as("sc"),
+        sum(dec0(col("c")) * col("c")).as("sc2"))
+    val mi = col("sc").cast("double") / col("n").cast("double")
+    val wt = round(col("sc2").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double") /
+        col("n").cast("double"), 4)
+    val g = perUser
+      .select(col("n"), col("sc"), col("sc2"), mi.as("mi"),
+        wt.cast("decimal(38,4)").as("wt"))
+      .agg(sum("n").as("nn"), count(lit(1)).as("u"),
+        sum(dec0(col("n")) * col("n")).as("sn2"),
+        sum(col("sc")).as("s"), sum("wt").as("wss"))
+      .select(col("nn"), col("u"), col("sn2"),
+        (col("s").cast("double") / col("nn").cast("double")).as("m"),
+        when(col("nn") > col("u"),
+          col("wss").cast("double") /
+            (col("nn") - col("u")).cast("double"))
+          .otherwise(lit(0.0)).as("s2w"))
+    val qs = perUser.crossJoin(broadcast(g))
+      .select(round((mi - col("m")) * (mi - col("m")) *
+        col("n").cast("double"), 4).cast("decimal(38,4)").as("qt"))
+      .agg(sum("qt").as("qs"))
+    val cDen = col("nn").cast("double") -
+      col("sn2").cast("double") / col("nn").cast("double")
+    val tau2 = when(col("u") >= 2L && cDen > 0.0,
+      greatest(lit(0.0),
+        (col("qs").cast("double") -
+          (col("u") - 1L).cast("double") * col("s2w")) / cDen))
+      .otherwise(lit(0.0))
+    val gg = g.crossJoin(broadcast(qs)).select(col("m"), col("s2w"),
+      tau2.as("t2"))
+    val vi = col("s2w") / col("n").cast("double")
+    val b = when(vi + col("t2") > 0.0, vi / (vi + col("t2")))
+      .otherwise(lit(0.0))
+    // raw mean via the integer half-up trick (Num.avgRound core) —
+    // cents/n/100 can land EXACTLY on a 4dp half boundary (observed:
+    // 58.55575), where Spark's decimal-string round and DuckDB's
+    // binary round split; the shrunk mean's fp chain cannot produce
+    // an exactly-representable boundary, so its double round is safe
+    perUser.crossJoin(broadcast(gg))
+      .select(col("user_id"), col("n"),
+        (Num.halfUpRatio(col("sc").cast("long") * lit(100L), col("n"))
+          .cast("double") / lit(10000.0)).as("mean_value"),
+        round((b * col("m") + (lit(1.0) - b) * mi) / lit(100.0), 4)
+          .as("shrunk_mean"),
+        round(b, 6).as("shrink_b"))
+  }
+
+  /** Restricted mean survival time at horizons τ — the AREA under the
+    * [[kmSurvivalHorizons]] curve up to τ (Royston & Parmar '13 make
+    * the case for it as the model-free effect measure): "of the first
+    * τ days, how many does an average user survive?" — the number a
+    * retention team can multiply by users and LTV-per-day, where a
+    * survival PROBABILITY at τ cannot be. Complements the KM point
+    * estimates and the Nelson–Aalen hazard with the integral view.
+    *
+    * Construction: the KM step function drops at each churn duration
+    * t (same exact-BIGINT risk sets, same censoring rule, same
+    * ln-sum-pinned product chain as the KM query — per-step S is the
+    * IDENTICAL exp(round(Σln, 6), 6) value); RMST(τ) = Σ_j S(t_j) ·
+    * (min(t_{j+1}, τ) − t_j)⁺ + min(t_1, τ), each segment term
+    * micro-pinned round(S·width, 6) into DECIMAL(38,6) before the
+    * per-horizon sum (order-free), ONE unpin. No churn before τ →
+    * RMST = τ exactly (everyone survives the whole window, stated).
+    *
+    * Shape: the KM aggregation chain (≤ calendar-length rows after
+    * the first hash agg); the two serial windows (cum-ln, lead) ride
+    * the same collapsed ≤calendar frame the KM query's window does. */
+  def rmstHorizons(events: DataFrame,
+      horizons: Seq[Int] = Seq(7, 14, 30)): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"), to_date(max(col("ts"))).as("l"))
+    val maxDay = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val dur = users.crossJoin(broadcast(maxDay))
+      .select((datediff(col("l"), col("f")) + 1).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("observed"))
+    val byT = dur.groupBy("t")
+      .agg(count(lit(1)).as("ending"), sum("observed").as("d"))
+    val total = dur.agg(count(lit(1)).as("n_users"))
+    val wPrior = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byT.crossJoin(broadcast(total))
+      .withColumn("n",
+        col("n_users") - sum(col("ending")).over(wPrior) + col("ending"))
+    val wLead = Window.orderBy(col("t").asc)
+    val ev = atRisk.filter(col("d") > 0L)
+      .withColumn("cum", sum(log(
+        (col("n").cast("double") - col("d").cast("double")) /
+          col("n").cast("double"))).over(wPrior))
+      .withColumn("s", round(exp(round(col("cum"), 6)), 6))
+      .withColumn("nt", lead(col("t"), 1).over(wLead))
+    val hs = events.sparkSession.createDataFrame(
+      horizons.map(h => Tuple1(h.toLong))).toDF("horizon")
+    val dec6 = (c: Column) => c.cast("decimal(38,6)")
+    val segs = ev.crossJoin(broadcast(hs))
+      .filter(col("t") < col("horizon"))
+      .select(col("horizon"),
+        round(col("s") *
+          (least(coalesce(col("nt"), col("horizon")), col("horizon")) -
+            col("t")).cast("double"), 6).as("seg"))
+      .groupBy("horizon")
+      .agg(sum(dec6(col("seg"))).as("tail_area"),
+        count(lit(1)).as("n_steps"))
+    val tmin = ev.agg(min("t").as("t1"))
+    hs.crossJoin(broadcast(tmin))
+      .join(segs, Seq("horizon"), "left")
+      .select(col("horizon"),
+        coalesce(col("n_steps"), lit(0L)).as("n_km_steps"),
+        round((dec6(least(coalesce(col("t1"), col("horizon")),
+          col("horizon"))) +
+          coalesce(col("tail_area"), dec6(lit(0))))
+          .cast("double"), 6).as("rmst_days"))
+  }
+
   /** Discrete hazard curve by tenure day — [[kmSurvivalHorizons]]'s
     * intermediate surfaced as its own frame: for every duration t
     * with an observed churn, the at-risk count n_t, the churn count

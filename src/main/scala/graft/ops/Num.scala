@@ -73,6 +73,14 @@ object Num {
       s" + count(*)) // (2 * count(*)) AS DOUBLE) / $denom.0 AS $alias"
   }
 
+  /** The [[avgRound]] core exposed for POST-aggregation scalars
+    * (e.g. a per-group mean off an exact integer-unit sum column):
+    * half-up-rounded quotient (2a + b) div (2b) of nonnegative exact
+    * integer units — mirror with `(2 * a + b) // (2 * b)` in DuckDB.
+    * Same negativity caveat as avgRound. */
+  def halfUpRatio(a: Column, b: Column): Column =
+    intDiv(a * lit(2L) + b, b * lit(2L))
+
   /** Exact long division (`a div b`) — Spark's `/` on integral columns
     * promotes to double, which loses exactness past 2^53. */
   private def intDiv(a: Column, b: Column): Column = {

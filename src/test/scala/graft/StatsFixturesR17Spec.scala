@@ -14,6 +14,128 @@ import graft.ops.VectorOps
   * truncation alone, never to a scoring or pipeline drift. */
 class StatsFixturesR17Spec extends SparkSpec {
   import spark.implicits._
+  import graft.ops.EventOps
+
+  private def eventsFrom(rows: Seq[(String, Long, String, Double)]) =
+    rows.toDF("s", "user_id", "event_type", "value")
+      .select(col("s").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+
+  test("shapley attribution, asymmetric hand case: coalitions " +
+      "{A}:1, {A,B}:3, {}:1 conversions -> phi_A 2.5, phi_B 1.5, " +
+      "efficiency = v(full) - v(empty) = 4") {
+    // u1 touches A and converts once; u3 touches A+B, converts 3x;
+    // u4 converts once with NO channel touch (the structural-zero
+    // baseline the dummy axiom must leave unattributed); u2 touches
+    // B but never converts
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "A", 1.0),
+      ("2024-01-01 01:00:00", 1L, "purchase", 1.0),
+      ("2024-01-01 00:00:00", 2L, "B", 1.0),
+      ("2024-01-01 00:00:00", 3L, "A", 1.0),
+      ("2024-01-01 00:10:00", 3L, "B", 1.0),
+      ("2024-01-01 01:00:00", 3L, "purchase", 1.0),
+      ("2024-01-01 02:00:00", 3L, "purchase", 1.0),
+      ("2024-01-01 03:00:00", 3L, "purchase", 1.0),
+      ("2024-01-01 00:00:00", 4L, "purchase", 1.0)))
+    val got = EventOps.shapleyAttribution(ev).collect()
+      .map(r => r.getAs[String]("channel") ->
+        r.getAs[Double]("shapley_conversions")).toMap
+    // v(0)=1, v(A)=2, v(B)=1, v(AB)=5:
+    // phi_A = ((2-1) + (5-1))/2 = 2.5; phi_B = ((1-1) + (5-2))/2 = 1.5
+    assert(got == Map("A" -> 2.5, "B" -> 1.5), got.toString)
+  }
+
+  test("shapley efficiency on the real slice: credits sum to " +
+      "v(full) - v(empty) exactly") {
+    val ev = Tables.events(spark, sf0)
+    val phis = EventOps.shapleyAttribution(ev).collect()
+      .map(_.getAs[Double]("shapley_conversions"))
+    val convByUser = ev.groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("c"),
+        sum(when(col("event_type") =!= "purchase", 1L).otherwise(0L))
+          .as("t"))
+    val vFullMinusEmpty = convByUser.filter(col("t") > 0L)
+      .agg(sum("c")).collect().head.getLong(0)
+    assert(math.abs(phis.sum - vFullMinusEmpty) < 1e-6,
+      s"sum=${phis.sum} expected $vFullMinusEmpty")
+  }
+
+  test("EB shrinkage hand case (DL tau^2): users [10,14], [20,16], " +
+      "[12] -> sigma2w=80000 cents^2, tau2=85000, B(n=2)=0.32, " +
+      "shrunk mean of user 1 = 12.768") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "x", 10.0),
+      ("2024-01-01 01:00:00", 1L, "x", 14.0),
+      ("2024-01-01 00:00:00", 2L, "x", 20.0),
+      ("2024-01-01 01:00:00", 2L, "x", 16.0),
+      ("2024-01-01 00:00:00", 3L, "x", 12.0)))
+    val got = EventOps.ebShrunkUserMeans(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got(1L).getAs[Double]("mean_value") == 12.0)
+    assert(got(1L).getAs[Double]("shrink_b") == 0.32)
+    assert(got(1L).getAs[Double]("shrunk_mean") == 12.768)
+    assert(got(2L).getAs[Double]("shrunk_mean") == 16.848) // 0.32 to grand 14.40
+    // n=1 user shrinks HARDER: B = 80000/(80000+85000) = 0.4848..
+    assert(got(3L).getAs[Double]("shrink_b") > 0.32)
+  }
+
+  test("ERR hand case: hits at ranks 1 and 3 -> 0.5/1 + 0.25/3") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), "a"),
+      (1L, Array(0.9f, 0.1f), "a"),  // rank 1, hit
+      (2L, Array(0.8f, 0.3f), "b"),  // rank 2
+      (3L, Array(0.7f, 0.4f), "a"))  // rank 3, hit
+      .toDF("vec_id", "embedding", "label")
+    val r = VectorOps.errAtK(emb, Seq(0L), 10).collect().head
+    assert(r.getAs[Long]("hits_at_k") == 2L)
+    assert(r.getAs[Double]("err_at_k") == 0.583333, r.toString)
+  }
+
+  test("RMST hand case: churns at t=1 (S=.75) and t=2 (S=.5), " +
+      "censored tails -> RMST(7)=4.25, RMST(14)=7.75, RMST(30)=15.75") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "x", 1.0), // u1: day 1 only, t=1
+      ("2024-01-01 00:00:00", 2L, "x", 1.0), // u2: days 1-2, t=2
+      ("2024-01-02 00:00:00", 2L, "x", 1.0),
+      ("2024-01-01 00:00:00", 3L, "x", 1.0), // u3: censored at t=5
+      ("2024-01-05 00:00:00", 3L, "x", 1.0),
+      ("2024-01-01 00:00:00", 4L, "x", 1.0), // u4: censored at t=5
+      ("2024-01-05 00:00:00", 4L, "x", 1.0)))
+    val got = EventOps.rmstHorizons(ev).collect()
+      .map(r => r.getAs[Long]("horizon") ->
+        r.getAs[Double]("rmst_days")).toMap
+    assert(got(7L) == 4.25, got.toString)
+    assert(got(14L) == 7.75, got.toString)
+    assert(got(30L) == 15.75, got.toString)
+  }
+
+  test("ZIP fit hand case: counts {0,0,0,2,3,4,3} -> lambda 26/12, " +
+      "pi 38/182, consistent") {
+    val ev = eventsFrom(
+      (1L to 3L).map(u => (s"2024-01-01 0$u:00:00", u, "view", 1.0)) ++
+        Seq(4L -> 2, 5L -> 3, 6L -> 4, 7L -> 3).flatMap { case (u, c) =>
+          (1 to c).map(i => (s"2024-01-01 0$i:00:00", u, "purchase", 1.0))
+        })
+    val r = EventOps.zipFitPurchases(ev).collect().head
+    assert(r.getAs[Long]("n_users") == 7L)
+    assert(r.getAs[Long]("n_zero") == 3L)
+    assert(r.getAs[Double]("lambda_hat") == 2.166667)
+    assert(r.getAs[Double]("pi_hat") == 0.208791)
+    assert(r.getAs[Boolean]("zip_consistent"))
+  }
+
+  test("JL sign matrix is non-degenerate: every output dim mixes " +
+      "both signs, and no two output dims share a column (the " +
+      "rank-1 multiplicative-hash regression)") {
+    val k = VectorOps.jlK
+    val cols = (0 until k).map(j =>
+      (0 until 64).map(i => VectorOps.jlSignFlat(i * k + j)))
+    cols.foreach(c => assert(c.toSet == Set(-1, 1)))
+    assert(cols.distinct.length == k)
+    assert(cols.map(c => c.count(_ == 1)).forall(n => n > 16 && n < 48))
+  }
 
   /** 24 deterministic 4-dim vectors, no duplicates (component period
     * lcm(11,13,17,7) ≫ 24): ids 0..15 are the pinned sample
