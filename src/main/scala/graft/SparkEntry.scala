@@ -290,6 +290,13 @@ object SparkEntry {
       ((s, d) => MiningOps.rrfFusedDocs(documents(s, d), embeddings(s, d))),
     "ndcg_retrieval_audit" -> ((s, d) => VectorOps.ndcgAtK(embeddings(s, d))),
     "err_retrieval_audit" -> ((s, d) => VectorOps.errAtK(embeddings(s, d))),
+    // Density clustering: exact eps-radius pairs are the gate
+    // baseline (knn_all_brute posture); at scale the same chain rides
+    // any banded candidate generator.
+    "dbscan_clusters" ->
+      ((s, d) => VectorOps.dbscanClusters(embeddings(s, d))),
+    "dbscan_summary" ->
+      ((s, d) => VectorOps.dbscanSummary(embeddings(s, d))),
     // Deterministic JL sign projection (Knuth id-hash signs, no RNG)
     // — both rows hash-gate end-to-end.
     "jl_projection_norms" ->
@@ -924,6 +931,7 @@ object SparkEntry {
       ((s, d) => EventOps.shapleyAttribution(events(s, d))),
     "zip_fit_purchases" ->
       ((s, d) => EventOps.zipFitPurchases(events(s, d))),
+    "ams_f2_audit" -> ((s, d) => EventOps.amsF2Audit(events(s, d))),
     "type_assoc_rules" -> ((s, d) => EventOps.typeAssocRules(events(s, d))),
     "bpe_train_rounds" -> ((s, d) => DocOps.bpeTrainRounds(documents(s, d))),
     "bpe_tokenize_counts" ->
@@ -1525,6 +1533,42 @@ object SparkEntry {
       "CAST(embedding[i+1] AS DOUBLE) * CAST(" +
       graft.ops.VectorOps.jlSignFlat.mkString("[", ", ", "]") +
       "[i * 16 + j + 1] AS DOUBLE))) / sqrt(16.0))"
+
+  /** The DBSCAN oracle CTE chain (exact eps-pairs → degree cores →
+    * closure → border attachment), parameterized by the final SELECT
+    * — ONE definition for both dbscan rows (the mannWhitneyCtes
+    * anti-drift convention). */
+  private def dbscanSql(finalSelect: String): String =
+    "WITH RECURSIVE p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id " +
+      "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+      "AND round(sqrt(greatest(" +
+      "list_sum(list_transform(a.embedding, x -> " +
+      "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) - " +
+      "2.0 * list_sum(list_transform(range(len(a.embedding)), " +
+      "i -> CAST(a.embedding[i+1] AS DOUBLE) * " +
+      "CAST(b.embedding[i+1] AS DOUBLE))) + " +
+      "list_sum(list_transform(b.embedding, x -> " +
+      "CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)), 4) <= 1.19), " +
+      "nbr AS (SELECT a_id AS vec_id, b_id AS nb FROM p " +
+      "UNION ALL SELECT b_id, a_id FROM p), " +
+      "core AS (SELECT vec_id FROM (SELECT vec_id, " +
+      "CAST(count(*) AS BIGINT) AS deg FROM nbr GROUP BY 1) " +
+      "WHERE deg >= 4), " +
+      "ce0 AS (SELECT p.a_id AS u, p.b_id AS v FROM p " +
+      "JOIN core ca ON ca.vec_id = p.a_id " +
+      "JOIN core cb ON cb.vec_id = p.b_id), " +
+      "ce AS (SELECT u, v FROM ce0 UNION SELECT v, u FROM ce0), " +
+      "r(u, v) AS (SELECT u, v FROM ce " +
+      "UNION SELECT r.u, e2.v FROM r JOIN ce e2 ON r.v = e2.u), " +
+      "lbl AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id " +
+      "FROM r GROUP BY u), " +
+      "cl AS (SELECT c.vec_id, coalesce(lbl.cluster_id, c.vec_id) " +
+      "AS cluster_id FROM core c LEFT JOIN lbl " +
+      "ON lbl.vec_id = c.vec_id), " +
+      "bd AS (SELECT nbr.vec_id, min(cl.cluster_id) AS cluster_id " +
+      "FROM nbr JOIN cl ON cl.vec_id = nbr.nb " +
+      "WHERE nbr.vec_id NOT IN (SELECT vec_id FROM core) GROUP BY 1) " +
+      finalSelect
 
   def oracleSql: Map[String, String] = Map(
     "user_activity" ->
@@ -3828,6 +3872,29 @@ object SparkEntry {
         "coalesce(1.0 / CAST(60 + dense_rank AS DOUBLE), 0.0), 9) AS rrf_score " +
         "FROM lex FULL JOIN dense ON lex.rrf_id = dense.rrf_id " +
         "ORDER BY rrf_score DESC, doc_id ASC LIMIT 20"),
+    // Mirrors VectorOps.dbscanClusters: exact 4dp-L2 eps-pairs,
+    // degree>=minPts cores, transitive closure over core-core edges
+    // (the dup_clusters RECURSIVE pattern), min-id border attachment.
+    "dbscan_clusters" -> dbscanSql(
+      "SELECT e.vec_id, CASE WHEN cl.vec_id IS NOT NULL THEN 'core' " +
+        "WHEN bd.vec_id IS NOT NULL THEN 'border' ELSE 'noise' END " +
+        "AS role, coalesce(cl.cluster_id, bd.cluster_id) AS cluster_id " +
+        "FROM embeddings e LEFT JOIN cl ON cl.vec_id = e.vec_id " +
+        "LEFT JOIN bd ON bd.vec_id = e.vec_id"),
+    // Mirrors VectorOps.dbscanSummary over the same CTE chain.
+    "dbscan_summary" -> dbscanSql(
+      "SELECT (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_core, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM bd) AS n_border, " +
+        "(SELECT CAST(count(*) AS BIGINT) FROM embeddings e " +
+        "WHERE e.vec_id NOT IN (SELECT vec_id FROM cl) " +
+        "AND e.vec_id NOT IN (SELECT vec_id FROM bd)) AS n_noise, " +
+        "(SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) FROM " +
+        "(SELECT cluster_id FROM cl UNION ALL SELECT cluster_id " +
+        "FROM bd)) AS n_clusters, " +
+        "(SELECT coalesce(max(sz), 0) FROM (SELECT CAST(count(*) " +
+        "AS BIGINT) AS sz FROM (SELECT cluster_id FROM cl UNION ALL " +
+        "SELECT cluster_id FROM bd) GROUP BY cluster_id)) " +
+        "AS largest_cluster"),
     // Mirrors VectorOps.jlProjectionNorms: the shared jlProjSql
     // projection, norm² folds in index order, one guarded division.
     "jl_projection_norms" ->
@@ -8124,6 +8191,27 @@ object SparkEntry {
         "AS pi_hat, " +
         "(s1 > 0 AND s2 > s1 AND n * (s2 - s1) - s1 * s1 >= 0) " +
         "AS zip_consistent FROM m"),
+    // Mirrors EventOps.amsF2Audit: md5-hex-digit signs (identical
+    // digests both engines), exact BIGINT tug-of-war sums, one
+    // half-up mean division, the measured rel_err pinned.
+    "ams_f2_audit" ->
+      ("WITH f AS (SELECT user_id, CAST(count(*) AS BIGINT) AS fu " +
+        "FROM events GROUP BY 1), " +
+        "ex AS (SELECT CAST(sum(CAST(fu AS HUGEINT) * fu) AS BIGINT) " +
+        "AS f2 FROM f), " +
+        "y AS (SELECT r, CAST(sum(CASE WHEN " +
+        "substring(md5(CAST(user_id AS VARCHAR)), r + 1, 1) >= '8' " +
+        "THEN fu ELSE -fu END) AS BIGINT) AS y " +
+        "FROM f CROSS JOIN (SELECT CAST(unnest(range(0, 16)) AS INT) " +
+        "AS r) GROUP BY 1), " +
+        "e AS (SELECT CAST(sum(CAST(y AS HUGEINT) * y) AS BIGINT) " +
+        "AS se, CAST(count(*) AS BIGINT) AS k FROM y) " +
+        "SELECT f2 AS exact_f2, k AS n_estimators, " +
+        "CAST((2 * se * 10000 + k) // (2 * k) AS DOUBLE) / 1e4 " +
+        "AS ams_mean_est, " +
+        "round(abs(CAST(se AS DOUBLE) / CAST(k AS DOUBLE) - " +
+        "CAST(f2 AS DOUBLE)) / CAST(f2 AS DOUBLE), 6) AS rel_err " +
+        "FROM e CROSS JOIN ex"),
     // Mirrors EventOps.typeAssocRules: distinct-user baskets, exact
     // BIGINT pair/margin counts, three pinned divisions (lift's cross
     // product casts each factor to DOUBLE before multiplying).

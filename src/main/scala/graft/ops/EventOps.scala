@@ -3111,6 +3111,47 @@ object EventOps {
         coalesce(col("fh_survival"), lit(1.0)).as("fh_survival"))
   }
 
+  /** AMS/Tug-of-War second-frequency-moment sketch audit (Alon,
+    * Matias & Szegedy STOC '96): F₂ = Σ_u f_u² — the self-join size,
+    * THE cardinality a join optimizer wants before committing to a
+    * plan, and the one frequency moment the existing sketch family
+    * (HLL = F₀, MG = heavy hitters, KLL = quantiles) did not cover.
+    * Each of 16 estimators is Y_r = (Σ_u s_r(u)·f_u)² with ±1 signs;
+    * E[Y] = F₂, and the estimator is a one-pass, trivially mergeable
+    * SUM — the same store-once blob shape as the rest of the family.
+    *
+    * Determinism (hash-gated end-to-end, unlike the seed-bound
+    * sketches): s_r(u) is the high bit of hex digit r of
+    * md5(user_id) — identical digests in both engines, cryptographic
+    * mixing (the JL audit's lesson: multiplicative-hash bits stripe
+    * on sequential ids), and each Σ s·f is an EXACT BIGINT in any
+    * summation order (signs are integers). Exact F₂, the 16-estimator
+    * mean (one half-up division) and the relative error are all pure
+    * functions of the table. The measured rel_err is what the row
+    * pins (recall-audit style); E|err| ≈ √(2/16) ≈ 35% — a
+    * plan-choice signal, not a billing number, stated. */
+  def amsF2Audit(events: DataFrame, nEst: Int = 16): DataFrame = {
+    val f = events.groupBy("user_id").agg(count(lit(1)).as("fu"))
+    val dec0 = (c: Column) => c.cast("decimal(38,0)")
+    val exact = f.agg(sum(dec0(col("fu")) * col("fu")).as("f2"))
+    val sign = when(
+      expr("substring(md5(cast(user_id as string)), r + 1, 1)") >= "8",
+      lit(1L)).otherwise(lit(-1L))
+    val est = f.select(col("user_id"), col("fu"),
+        explode(sequence(lit(0), lit(nEst - 1))).as("r"))
+      .groupBy("r").agg(sum(sign * col("fu")).as("y"))
+      .select((dec0(col("y")) * col("y")).as("est"))
+      .agg(sum(col("est")).as("se"), count(lit(1)).as("k"))
+    est.crossJoin(broadcast(exact))
+      .select(col("f2").cast("long").as("exact_f2"),
+        col("k").as("n_estimators"),
+        (Num.halfUpRatio(col("se").cast("long") * lit(10000L),
+          col("k")).cast("double") / lit(1e4)).as("ams_mean_est"),
+        round(abs(col("se").cast("double") / col("k").cast("double") -
+          col("f2").cast("double")) / col("f2").cast("double"), 6)
+          .as("rel_err"))
+  }
+
   /** Zero-inflated Poisson fit of per-user purchase counts (Lambert
     * '92), method of moments — the count-model companion of
     * [[negbinFitByType]]: where neg-binomial explains overdispersion

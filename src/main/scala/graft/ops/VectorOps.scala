@@ -1020,6 +1020,94 @@ object VectorOps {
           .as("reciprocal_rank"))
   }
 
+  /** DBSCAN density clustering over the embedding space (Ester et al.
+    * KDD '96) — the density member of the clustering suite beside the
+    * centroid-based IVF/k-means battery: a vector is CORE when ≥
+    * `minPts` neighbors sit within L2 `eps` (self excluded — stated),
+    * clusters are connected components of the core-core ε-graph,
+    * non-core vectors within ε of a core attach as BORDER (to the
+    * MINIMUM neighboring core cluster id — the deterministic stand-in
+    * for DBSCAN's scan-order tie), and the rest are NOISE — the
+    * labeling that finds arbitrary-shape dense regions and an
+    * explicit outlier class, which no centroid method yields.
+    *
+    * Determinism: distances are the 4dp-pinned exact L2 (the
+    * knnAllBrute carried-norms² form), components are min-label
+    * (connectedComponentsStar ≡ the oracle's transitive closure), and
+    * every attachment tie-breaks by min id.
+    *
+    * Shape: the exact all-pairs ε-join IS the gate baseline (the
+    * knn_all_brute posture — pairs checkpointed once, read by degree
+    * / edges / border); at corpus scale the SAME chain runs over any
+    * banded candidate generator ([[hammingBandedPairs]] for the
+    * sign-code proxy, or the IVF-scoped radius join) — everything
+    * after the pair list is pair-volume-sized, never n². eps sits at
+    * ~the 1% pairwise-distance quantile of this corpus (1.19; the
+    * high-dim concentration regime leaves no wide gap to put it in —
+    * stated). */
+  def dbscanClusters(embeddings: DataFrame, eps: Double = 1.19,
+      minPts: Int = 4): DataFrame = {
+    import graft.functions.DotProduct.dotFused
+    val v = embeddings.select(col("vec_id"), col("embedding"),
+      dotFused(col("embedding"), col("embedding")).as("n2"))
+    val a = v.select(col("vec_id").as("a_id"), col("embedding").as("va"),
+      col("n2").as("na2")).repartition(col("a_id"))
+    val b = v.select(col("vec_id").as("b_id"), col("embedding").as("vb"),
+      col("n2").as("nb2"))
+    val pairs = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(sqrt(greatest(
+          col("na2") - lit(2.0) * dotFused(col("va"), col("vb")) +
+            col("nb2"), lit(0.0))), 4).as("d"))
+      .filter(col("d") <= lit(eps))
+      .select("a_id", "b_id")
+      .localCheckpoint() // degree + core edges + border all read it
+    val nbr = pairs.select(col("a_id").as("vec_id"), col("b_id").as("nb"))
+      .unionByName(pairs.select(col("b_id").as("vec_id"),
+        col("a_id").as("nb")))
+    val core = nbr.groupBy("vec_id").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= minPts).select("vec_id")
+    val coreEdges = pairs
+      .join(core.select(col("vec_id").as("a_id")), Seq("a_id"),
+        "left_semi")
+      .join(core.select(col("vec_id").as("b_id")), Seq("b_id"),
+        "left_semi")
+    val labels = graft.ops.DedupOps.connectedComponentsStar(coreEdges)
+    val coreLabels = core
+      .join(labels.select(col("v_id").as("vec_id"), col("cluster_id")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .localCheckpoint() // border attachment + final join read it
+    val border = nbr
+      .join(coreLabels.select(col("vec_id").as("nb"), col("cluster_id")),
+        "nb")
+      .join(coreLabels.select("vec_id"), Seq("vec_id"), "left_anti")
+      .groupBy("vec_id").agg(min("cluster_id").as("cluster_id"))
+    embeddings.select(col("vec_id"))
+      .join(coreLabels.withColumn("role", lit("core"))
+        .unionByName(border.withColumn("role", lit("border")))
+        .select("vec_id", "role", "cluster_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"), col("cluster_id"))
+  }
+
+  /** Cluster/noise telemetry over [[dbscanClusters]] — the dashboard
+    * row: counts per role, cluster count, largest cluster. */
+  def dbscanSummary(embeddings: DataFrame, eps: Double = 1.19,
+      minPts: Int = 4): DataFrame = {
+    val l = dbscanClusters(embeddings, eps, minPts).localCheckpoint()
+    val roles = l.groupBy().agg(
+      sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+      sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
+      sum(when(col("role") === "noise", 1L).otherwise(0L)).as("n_noise"))
+    val cl = l.filter(col("cluster_id").isNotNull)
+      .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_clusters"),
+        coalesce(max("sz"), lit(0L)).as("largest_cluster"))
+    roles.crossJoin(cl)
+  }
+
   /** Deterministic Johnson–Lindenstrauss sign projection (Achlioptas
     * '03: R_ij ∈ {−1,+1} uniform, y = Rx/√k preserves distances in
     * expectation) — the dimension-reduction step a vector pipeline

@@ -126,6 +126,43 @@ class StatsFixturesR17Spec extends SparkSpec {
     assert(r.getAs[Boolean]("zip_consistent"))
   }
 
+  test("DBSCAN hand case: two 4-point squares, one border, one " +
+      "noise -> roles, min-id clusters, summary") {
+    val emb = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 1f)),
+      (4L, Array(10f, 10f)), (5L, Array(11f, 10f)),
+      (6L, Array(10f, 11f)), (7L, Array(11f, 11f)),
+      (8L, Array(2f, 1f)),  // within 1.5 of cores 1 and 3 only
+      (9L, Array(5f, 5f)))  // isolated
+      .map { case (id, v) => (id, v, "x") }
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.dbscanClusters(emb, eps = 1.5, minPts = 3)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[String]("role"),
+          Option(r.getAs[java.lang.Long]("cluster_id"))))).toMap
+    (0L to 3L).foreach(i => assert(got(i) == (("core", Some(0L))), got(i)))
+    (4L to 7L).foreach(i => assert(got(i) == (("core", Some(4L))), got(i)))
+    assert(got(8L) == (("border", Some(0L))), got(8L).toString)
+    assert(got(9L) == (("noise", None)), got(9L).toString)
+    val s = VectorOps.dbscanSummary(emb, eps = 1.5, minPts = 3)
+      .collect().head
+    assert(s.getAs[Long]("n_core") == 8L &&
+      s.getAs[Long]("n_border") == 1L && s.getAs[Long]("n_noise") == 1L)
+    assert(s.getAs[Long]("n_clusters") == 2L &&
+      s.getAs[Long]("largest_cluster") == 5L)
+  }
+
+  test("AMS F2 estimator is exact on a single-frequency fixture: " +
+      "one user only -> every sign estimator yields f^2 exactly") {
+    val ev = eventsFrom((1 to 9).map(i =>
+      (s"2024-01-01 0$i:00:00", 42L, "x", 1.0)))
+    val r = EventOps.amsF2Audit(ev).collect().head
+    assert(r.getAs[Long]("exact_f2") == 81L)
+    assert(r.getAs[Double]("ams_mean_est") == 81.0)
+    assert(r.getAs[Double]("rel_err") == 0.0)
+  }
+
   test("JL sign matrix is non-degenerate: every output dim mixes " +
       "both signs, and no two output dims share a column (the " +
       "rank-1 multiplicative-hash regression)") {
