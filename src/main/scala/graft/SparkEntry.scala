@@ -3925,10 +3925,12 @@ object SparkEntry {
         "CAST(sum(CASE WHEN rho IS NULL THEN 1 ELSE 0 END) AS BIGINT) " +
         "AS n_degenerate, " +
         "min(rho) AS min_ratio, max(rho) AS max_ratio, " +
-        "CASE WHEN count(*) > sum(CASE WHEN rho IS NULL THEN 1 ELSE 0 " +
-        "END) THEN round(CAST(sum(CAST(rho AS DECIMAL(38,6))) " +
-        "AS DOUBLE) / CAST(count(*) - sum(CASE WHEN rho IS NULL THEN 1 " +
-        "ELSE 0 END) AS DOUBLE), 6) END AS mean_ratio, " +
+        "CASE WHEN count(*) > CAST(sum(CASE WHEN rho IS NULL THEN 1 " +
+        "ELSE 0 END) AS BIGINT) THEN " +
+        "round(CAST(sum(CAST(rho AS DECIMAL(38,6))) " +
+        "AS DOUBLE) / CAST(count(*) - CAST(sum(CASE WHEN rho IS NULL " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE), 6) END " +
+        "AS mean_ratio, " +
         "CAST(sum(CASE WHEN rho < 1.0 / 3.0 OR rho > 3.0 THEN 1 ELSE 0 " +
         "END) AS BIGINT) AS n_outside_band FROM rt"),
     // Mirrors VectorOps.errAtK: the ndcg scoring pass and total

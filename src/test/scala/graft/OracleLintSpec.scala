@@ -220,6 +220,9 @@ class OracleLintSpec extends AnyFunSuite {
       "table_profile_approx" -> "table_profile_approx_audit",
       "value_mad_by_type_approx_only" -> "value_mad_by_type_approx",
       "frequent_event_sequences" -> "prefixspan_contiguous_audit",
+      // merge-order-bound compactor values; the error CONTRACT is the
+      // hash-gated theorem row
+      "kll_value_quantiles" -> "kll_rank_bound_audit",
     )
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == pairedGate.keySet,
