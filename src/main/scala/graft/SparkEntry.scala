@@ -310,6 +310,8 @@ object SparkEntry {
       ((s, d) => VectorOps.embeddingLofOutliers(embeddings(s, d))),
     "embedding_covariance" -> ((s, d) =>
       VectorOps.embeddingCovariance(embeddings(s, d))),
+    "pca_top2_components" -> ((s, d) =>
+      VectorOps.pcaTop2Components(embeddings(s, d))),
     "pca_top_component" -> ((s, d) =>
       VectorOps.pcaTopComponent(embeddings(s, d))),
     "heavy_hitter_terms" ->
@@ -7575,6 +7577,62 @@ object SparkEntry {
         "FROM v5 JOIN wf ON wf.dim = v5.dim) " +
         "SELECT v5.dim, round(v5.v, 6) + 0.0 AS loading, " +
         "round((SELECT ev FROM lam), 6) + 0.0 AS eigenvalue FROM v5"
+    },
+    // Mirrors VectorOps.pcaTop2Components: the pca_top_component
+    // chain run TWICE — stage 2 over the 6dp-rounded Hotelling
+    // deflation C − λ̂₁v̂₁v̂₁ᵀ of the ROUNDED stage-1 outputs, so both
+    // engines iterate on identical inputs; exact DECIMAL trace.
+    "pca_top2_components" -> {
+      val covCte =
+        "e AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) AS i, " +
+          "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings), " +
+          "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings), " +
+          "m AS MATERIALIZED (SELECT i, sum(x) AS s FROM e GROUP BY 1), " +
+          "p AS MATERIALIZED (SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS pr " +
+          "FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2), " +
+          "cv AS MATERIALIZED (SELECT CAST(p.i AS INT) AS i, CAST(p.j AS INT) AS j, " +
+          "round(pr / (SELECT n FROM nn) - " +
+          "(ma.s / (SELECT n FROM nn)) * (mb.s / (SELECT n FROM nn)), 6) + 0.0 AS cov " +
+          "FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j), " +
+          "f AS MATERIALIZED (SELECT i, j, cov FROM cv " +
+          "UNION ALL SELECT j AS i, i AS j, cov FROM cv WHERE i <> j), " +
+          "dd AS MATERIALIZED (SELECT CAST(max(j) AS DOUBLE) AS d FROM f), " +
+          "v0 AS MATERIALIZED (SELECT DISTINCT i AS dim, 1.0 / sqrt((SELECT d FROM dd)) AS v FROM f)"
+      def rounds(tag: String, fTab: String) = (1 to 5).map { k =>
+        s"${tag}w$k AS MATERIALIZED (SELECT $fTab.i AS dim, " +
+          s"sum(CAST($fTab.cov AS DOUBLE) * ${tag}v${k - 1}.v) AS w " +
+          s"FROM $fTab JOIN ${tag}v${k - 1} ON ${tag}v${k - 1}.dim = $fTab.j GROUP BY 1), " +
+          s"${tag}n$k AS MATERIALIZED (SELECT sqrt(sum(CAST(w AS DOUBLE) * w)) AS nrm FROM ${tag}w$k), " +
+          s"${tag}v$k AS MATERIALIZED (SELECT dim, w / (SELECT nrm FROM ${tag}n$k) AS v FROM ${tag}w$k)"
+      }.mkString(", ")
+      "WITH " + covCte + ", " + rounds("", "f") + ", " +
+        "wf AS MATERIALIZED (SELECT f.i AS dim, sum(CAST(f.cov AS DOUBLE) * v5.v) AS w " +
+        "FROM f JOIN v5 ON v5.dim = f.j GROUP BY 1), " +
+        "lam AS MATERIALIZED (SELECT sum(CAST(v5.v AS DOUBLE) * wf.w) AS ev " +
+        "FROM v5 JOIN wf ON wf.dim = v5.dim), " +
+        "p1 AS MATERIALIZED (SELECT dim, round(v5.v, 6) + 0.0 AS l1, " +
+        "round((SELECT ev FROM lam), 6) + 0.0 AS e1 FROM v5), " +
+        "f2 AS MATERIALIZED (SELECT f.i, f.j, " +
+        "round(f.cov - pa.e1 * pa.l1 * pb.l1, 6) + 0.0 AS cov " +
+        "FROM f JOIN p1 pa ON pa.dim = f.i JOIN p1 pb ON pb.dim = f.j), " +
+        "bv0 AS MATERIALIZED (SELECT DISTINCT i AS dim, " +
+        "1.0 / sqrt((SELECT d FROM dd)) AS v FROM f2), " +
+        rounds("b", "f2") + ", " +
+        "bwf AS MATERIALIZED (SELECT f2.i AS dim, sum(CAST(f2.cov AS DOUBLE) * bv5.v) AS w " +
+        "FROM f2 JOIN bv5 ON bv5.dim = f2.j GROUP BY 1), " +
+        "blam AS MATERIALIZED (SELECT sum(CAST(bv5.v AS DOUBLE) * bwf.w) AS ev " +
+        "FROM bv5 JOIN bwf ON bwf.dim = bv5.dim), " +
+        "p2 AS MATERIALIZED (SELECT dim, round(bv5.v, 6) + 0.0 AS l2, " +
+        "round((SELECT ev FROM blam), 6) + 0.0 AS e2 FROM bv5), " +
+        "tr AS MATERIALIZED (SELECT sum(CAST(cov AS DECIMAL(38,6))) AS tr " +
+        "FROM f WHERE i = j) " +
+        "SELECT p1.dim, p1.l1 AS loading1, p1.e1 AS eigenvalue1, " +
+        "p2.l2 AS loading2, p2.e2 AS eigenvalue2, " +
+        "CASE WHEN CAST(tr.tr AS DOUBLE) > 0.0 THEN " +
+        "round(p1.e1 / CAST(tr.tr AS DOUBLE), 6) END AS var_share_1, " +
+        "CASE WHEN CAST(tr.tr AS DOUBLE) > 0.0 THEN " +
+        "round(p2.e2 / CAST(tr.tr AS DOUBLE), 6) END AS var_share_2 " +
+        "FROM p1 JOIN p2 ON p2.dim = p1.dim CROSS JOIN tr"
     },
     // Mirrors VectorOps.quantizeEmbeddings: fp64 left-fold norm,
     // float-space max|x|, explicit floor(x/scale + 0.5) rounding.

@@ -850,6 +850,79 @@ object VectorOps {
         (round(col("ev"), 6) + lit(0.0)).as("eigenvalue"))
   }
 
+  /** Top TWO principal components by power iteration + Hotelling
+    * deflation over [[embeddingCovariance]] — the effective-rank
+    * readout beside [[twoNnIntrinsicDim]]'s local MLE: PC1's share of
+    * trace says how much of the corpus is one direction; PC2's says
+    * how fast the spectrum decays after it (a flat pair ⇒ genuinely
+    * spread mass ⇒ JL/PQ compress poorly; a steep pair ⇒ truncate).
+    *
+    * Deflation discipline: C₂ = C − λ̂₁·v̂₁v̂₁ᵀ is computed from the
+    * ROUNDED 6dp loading/eigenvalue the top-1 query itself emits, and
+    * C₂ is re-rounded 6dp (−0.0 canonicalized) before the second
+    * power iteration — so both stages run on engine-identical inputs
+    * and the whole two-stage trajectory replays in the oracle (the
+    * pca_top_component contract, applied twice). 5 iterations is the
+    * stated truncation, not a convergence claim — both rails replay
+    * the same 5 rounds bit-for-bit whatever the spectral gap.
+    * var-share denominators use the exact DECIMAL trace of the
+    * rounded diagonal. Scale: one covariance pass; everything after
+    * is dim²-row algebra, corpus-free. */
+  def pcaTop2Components(embeddings: DataFrame, iters: Int = 5)
+      : DataFrame = {
+    val cov0 = embeddingCovariance(embeddings)
+    val full1 = cov0
+      .unionByName(cov0.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .localCheckpoint()
+    val d = full1.agg(max("j")).head().getInt(0)
+    def powerIter(full: DataFrame): DataFrame = {
+      var v: DataFrame = full.select(col("i").as("dim")).distinct()
+        .withColumn("v", lit(1.0 / math.sqrt(d.toDouble)))
+      for (_ <- 1 to iters) {
+        val w = full.join(v.select(col("dim").as("j"), col("v")), "j")
+          .groupBy(col("i").as("dim"))
+          .agg(sum(col("cov") * col("v")).as("w"))
+        val nrm = w.agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("dim"), (col("w") / col("nrm")).as("v"))
+          .localCheckpoint(eager = false)
+      }
+      val wf = full.join(v.select(col("dim").as("j"), col("v")), "j")
+        .groupBy(col("i").as("dim"))
+        .agg(sum(col("cov") * col("v")).as("w"))
+      val lam = v.join(wf, "dim").agg(sum(col("v") * col("w")).as("ev"))
+      v.crossJoin(broadcast(lam))
+        .select(col("dim"), (round(col("v"), 6) + lit(0.0)).as("l"),
+          (round(col("ev"), 6) + lit(0.0)).as("e"))
+    }
+    val p1 = powerIter(full1)
+      .select(col("dim"), col("l").as("l1"), col("e").as("e1"))
+      .localCheckpoint() // deflation reads it twice + the final join
+    val full2 = full1
+      .join(p1.select(col("dim").as("i"), col("l1").as("li"),
+        col("e1")), "i")
+      .join(p1.select(col("dim").as("j"), col("l1").as("lj")), "j")
+      .select(col("i"), col("j"),
+        (round(col("cov") - col("e1") * col("li") * col("lj"), 6) +
+          lit(0.0)).as("cov"))
+      .localCheckpoint()
+    val p2 = powerIter(full2)
+      .select(col("dim"), col("l").as("l2"), col("e").as("e2"))
+    val trace = full1.filter(col("i") === col("j"))
+      .agg(sum(col("cov").cast("decimal(38,6)")).as("tr"))
+    p1.join(p2, "dim").crossJoin(broadcast(trace))
+      .select(col("dim"), col("l1").as("loading1"),
+        col("e1").as("eigenvalue1"), col("l2").as("loading2"),
+        col("e2").as("eigenvalue2"),
+        when(col("tr").cast("double") > 0.0,
+          round(col("e1") / col("tr").cast("double"), 6))
+          .as("var_share_1"),
+        when(col("tr").cast("double") > 0.0,
+          round(col("e2") / col("tr").cast("double"), 6))
+          .as("var_share_2"))
+  }
+
   /** Two unrolled rounds of spherical k-means over int8 quantization
     * codes, hash-gated END-TO-END — closing the "clustering is
     * floating-point-reduction-order-bound" gap ([[learnedCentroids]]'s

@@ -126,6 +126,37 @@ class StatsFixturesR17Spec extends SparkSpec {
     assert(r.getAs[Boolean]("zip_consistent"))
   }
 
+  test("pca top-2 via deflation: axis-aligned 2-D fixture recovers " +
+      "both axes with eigenvalues 2 and 0.5, shares of the trace") {
+    // points (±2,0), (0,±1): cov = diag(2, 0.5); PC1 -> e1 (lambda 2),
+    // deflation kills dim 1, PC2 -> e2 (lambda 0.5). 5 power rounds
+    // from the uniform start leave ~1/4^5 cross-leakage, hence 1e-3.
+    val emb = Seq(
+      (0L, Array(2.0f, 0.0f), "x"), (1L, Array(-2.0f, 0.0f), "x"),
+      (2L, Array(0.0f, 1.0f), "x"), (3L, Array(0.0f, -1.0f), "x"))
+      .toDF("vec_id", "embedding", "label")
+    val got = VectorOps.pcaTop2Components(emb).collect()
+      .map(r => r.getAs[Int]("dim") -> r).toMap
+    val e1 = got(1).getAs[Double]("eigenvalue1")
+    val e2 = got(1).getAs[Double]("eigenvalue2")
+    assert(math.abs(e1 - 2.0) < 1e-3 && math.abs(e2 - 0.5) < 1e-3,
+      s"$e1 $e2")
+    assert(math.abs(math.abs(got(1).getAs[Double]("loading1")) - 1.0)
+      < 1e-3)
+    assert(math.abs(math.abs(got(2).getAs[Double]("loading2")) - 1.0)
+      < 1e-3)
+    // shares of the exact trace 2.5
+    assert(math.abs(got(1).getAs[Double]("var_share_1") - 0.8) < 1e-3)
+    assert(math.abs(got(1).getAs[Double]("var_share_2") - 0.2) < 1e-3)
+    // near-orthogonal pair: 5 truncated power rounds leave
+    // ~2/4^5 ≈ 2e-3 cross-leakage through the rounded deflation
+    val dot = got(1).getAs[Double]("loading1") *
+      got(1).getAs[Double]("loading2") +
+      got(2).getAs[Double]("loading1") *
+        got(2).getAs[Double]("loading2")
+    assert(math.abs(dot) < 5e-3, dot.toString)
+  }
+
   test("DBSCAN hand case: two 4-point squares, one border, one " +
       "noise -> roles, min-id clusters, summary") {
     val emb = Seq(
