@@ -57,6 +57,43 @@ object SparkEntry {
   private val mixtureRates: Seq[(String, Long)] =
     (0 until 20).map(i => s"src$i" -> (i % 5).toLong * 250000L)
 
+  /** Pinned inclusion-dependency candidates (child_table, child_col,
+    * parent_table, parent_col): the seven true TPC-H FKs, two partial
+    * REVERSES (direction signal), and one cross-domain spurious
+    * candidate. Single source of truth for both rails — the oracle
+    * UNION below is generated from this list by [[indSql]]. */
+  private val indCandidates: Seq[(String, String, String, String)] = Seq(
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("part", "p_partkey", "lineitem", "l_partkey"),
+    ("events", "user_id", "customer", "c_custkey"))
+
+  /** One oracle branch per IND candidate — same distinct-string
+    * containment as ProfileOps.inclusionDependencyAudit (the join is
+    * within ONE engine, so value formatting never crosses rails). */
+  private def indSql(c: (String, String, String, String)): String = {
+    val (ct, cc, pt, pc) = c
+    s"SELECT '$ct' AS child_table, '$cc' AS child_col, " +
+      s"'$pt' AS parent_table, '$pc' AS parent_col, " +
+      "nc AS n_child_distinct, nh AS n_contained, " +
+      "CASE WHEN nc > 0 THEN " +
+      "round(CAST(nh AS DOUBLE) / CAST(nc AS DOUBLE), 6) END " +
+      "AS containment, (nc > 0 AND nh = nc) AS is_ind FROM (" +
+      "SELECT CAST(count(*) AS BIGINT) AS nc, " +
+      "CAST(coalesce(sum(CASE WHEN p.v IS NOT NULL THEN 1 ELSE 0 END), " +
+      "0) AS BIGINT) AS nh FROM " +
+      s"(SELECT DISTINCT CAST($cc AS VARCHAR) AS v FROM $ct " +
+      s"WHERE $cc IS NOT NULL) c LEFT JOIN " +
+      s"(SELECT DISTINCT CAST($pc AS VARCHAR) AS v FROM $pt " +
+      s"WHERE $pc IS NOT NULL) p USING (v))"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- reference parity: event analytics (SURVEY §2.4-2.6) ----
     "user_activity" -> ((s, d) => EventOps.userActivity(events(s, d))),
@@ -153,6 +190,8 @@ object SparkEntry {
       ((s, d) => EventOps.chiSquareTypeDow(events(s, d))),
     "anova_value_by_type" ->
       ((s, d) => EventOps.anovaValueByType(events(s, d))),
+    "tukey_hsd_type_pairs" ->
+      ((s, d) => EventOps.tukeyHsdTypePairs(events(s, d))),
     "jarque_bera_by_type" ->
       ((s, d) => EventOps.jarqueBeraByType(events(s, d))),
     "ljung_box_daily" -> ((s, d) => EventOps.ljungBoxDaily(events(s, d))),
@@ -257,6 +296,8 @@ object SparkEntry {
       ((s, d) => GraphOps.cooccurrenceClustering(documents(s, d))),
     "cooccurrence_bfs_hops" ->
       ((s, d) => GraphOps.cooccurrenceBfsHops(documents(s, d))),
+    "cooccurrence_closeness" ->
+      ((s, d) => GraphOps.cooccurrenceCloseness(documents(s, d))),
     "cooccurrence_kcore" ->
       ((s, d) => GraphOps.cooccurrenceKCore(documents(s, d))),
     "readability_scores" ->
@@ -290,6 +331,7 @@ object SparkEntry {
       ((s, d) => MiningOps.rrfFusedDocs(documents(s, d), embeddings(s, d))),
     "ndcg_retrieval_audit" -> ((s, d) => VectorOps.ndcgAtK(embeddings(s, d))),
     "err_retrieval_audit" -> ((s, d) => VectorOps.errAtK(embeddings(s, d))),
+    "map_retrieval_audit" -> ((s, d) => VectorOps.mapAtK(embeddings(s, d))),
     // Density clustering: exact eps-radius pairs are the gate
     // baseline (knn_all_brute posture); at scale the same chain rides
     // any banded candidate generator.
@@ -352,6 +394,8 @@ object SparkEntry {
       ((s, d) => EventOps.durbinWatsonDaily(events(s, d))),
     "mann_kendall_daily" ->
       ((s, d) => EventOps.mannKendallDaily(events(s, d))),
+    "pettitt_changepoint_daily" ->
+      ((s, d) => EventOps.pettittChangepointDaily(events(s, d))),
     "theta_forecast_daily" ->
       ((s, d) => EventOps.thetaForecastDaily(events(s, d))),
     "conformal_daily_intervals" ->
@@ -839,6 +883,13 @@ object SparkEntry {
       ("o_orderkey", "o_custkey"),
       ("o_custkey", "o_orderpriority"),
       ("o_orderdate", "o_orderstatus")))),
+    "inclusion_dependency_audit" ->
+      ((s, d) => ProfileOps.inclusionDependencyAudit(
+        Map("orders" -> orders(s, d), "customer" -> customer(s, d),
+          "lineitem" -> lineitem(s, d), "part" -> part(s, d),
+          "supplier" -> supplier(s, d), "nation" -> nation(s, d),
+          "region" -> region(s, d), "events" -> events(s, d)),
+        indCandidates)),
     "t_closeness_profile" ->
       ((s, d) => EventOps.tClosenessProfile(events(s, d))),
     "table_profile_approx" -> ((s, d) => ProfileOps.profileApprox(events(s, d))),
@@ -960,6 +1011,8 @@ object SparkEntry {
       ((s, d) => EventOps.scoreCalibrationBins(events(s, d))),
     "ab_conversion_ztest" ->
       ((s, d) => EventOps.abConversionZtest(events(s, d))),
+    "ratio_metric_delta_ci" ->
+      ((s, d) => EventOps.ratioMetricDeltaCi(events(s, d))),
     "simpson_reversal_audit" ->
       ((s, d) => JoinOps.simpsonReversalAudit(orders(s, d), customer(s, d))),
     "join_size_profile" -> ((s, d) => SkewOps.joinSizeProfile(
@@ -2253,6 +2306,38 @@ object SparkEntry {
         "END AS f_stat, " +
         "CASE WHEN ssb + ssw > 0.0 THEN round(ssb / (ssb + ssw), 6) " +
         "END AS eta_sq FROM e"),
+    // Mirrors EventOps.tukeyHsdTypePairs: exact per-type cents lanes;
+    // each Sᵢ²/nᵢ term rounds 6dp into DECIMAL(38,6) BEFORE the k-term
+    // sum (order-exact MSW), the mean diff is one pinned division of
+    // exact lanes, q the same IEEE chain; 3.858 = studentized-range
+    // 5% at k=5, df=∞.
+    "tukey_hsd_type_pairs" ->
+      ("WITH c AS (SELECT event_type, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cc FROM events), " +
+        "g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS ni, " +
+        "CAST(sum(cc) AS BIGINT) AS si, " +
+        "CAST(sum(CAST(cc AS HUGEINT) * cc) AS HUGEINT) AS ssi " +
+        "FROM c GROUP BY 1), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(ni) AS BIGINT) AS n, CAST(sum(ssi) AS HUGEINT) AS ss, " +
+        "sum(CAST(round(CAST(CAST(si AS HUGEINT) * si AS DOUBLE) / " +
+        "CAST(ni AS DOUBLE), 6) AS DECIMAL(38,6))) AS a FROM g), " +
+        "w AS (SELECT CASE WHEN n > k THEN " +
+        "(CAST(ss AS DOUBLE) - CAST(a AS DOUBLE)) / CAST(n - k AS DOUBLE) " +
+        "END AS msw FROM m), " +
+        "p AS (SELECT a.event_type AS type_a, b.event_type AS type_b, " +
+        "a.ni AS n_a, b.ni AS n_b, " +
+        "CAST(CAST(a.si AS HUGEINT) * b.ni - CAST(b.si AS HUGEINT) * a.ni " +
+        "AS DOUBLE) / CAST(CAST(a.ni AS HUGEINT) * b.ni AS DOUBLE) AS dc, " +
+        "msw FROM g a, g b, w WHERE a.event_type < b.event_type) " +
+        "SELECT type_a, type_b, n_a, n_b, round(dc / 100.0, 6) AS mean_diff, " +
+        "CASE WHEN msw IS NOT NULL AND msw > 0.0 THEN " +
+        "round(abs(dc) / sqrt((msw / 2.0) * (1.0 / CAST(n_a AS DOUBLE) + " +
+        "1.0 / CAST(n_b AS DOUBLE))), 6) END AS q_stat, " +
+        "CASE WHEN msw IS NOT NULL AND msw > 0.0 THEN " +
+        "abs(dc) / sqrt((msw / 2.0) * (1.0 / CAST(n_a AS DOUBLE) + " +
+        "1.0 / CAST(n_b AS DOUBLE))) > 3.858 ELSE false END AS significant " +
+        "FROM p"),
     // Mirrors EventOps.jarqueBeraByType: exact HUGEINT power sums
     // Σc..Σc⁴ per type, central moments via the SAME pinned
     // closed-form association (q2 − μ², q3 − 3μq2 + 2μ³, …) — pure
@@ -3511,6 +3596,43 @@ object SparkEntry {
         "UNION SELECT e.dst, b.hops + 1 FROM bfs b JOIN e ON e.src = b.term " +
         "WHERE b.hops < 4) " +
         "SELECT term, min(hops) AS hops FROM bfs GROUP BY 1"),
+    // Mirrors GraphOps.cooccurrenceCloseness: the same thresholded
+    // edge set, ALL-PAIRS reachability via a bounded recursive CTE
+    // (the bfs_hops precedent with every node seeded), min-hops per
+    // pair, then exact-lane closeness (one pinned division), 10dp
+    // DECIMAL harmonic terms (order-exact sums), max-hop eccentricity.
+    "cooccurrence_closeness" ->
+      ("WITH RECURSIVE toks AS (SELECT doc_id, " +
+        "unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term " +
+        "FROM documents), " +
+        "dt AS (SELECT DISTINCT doc_id, term FROM toks), " +
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), " +
+        "df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY 1), " +
+        "v AS (SELECT term, df FROM df WHERE df >= 20 AND " +
+        "CAST(df AS DOUBLE) <= 0.9 * (SELECT CAST(n AS DOUBLE) FROM nd)), " +
+        "dtv AS (SELECT dt.doc_id, dt.term FROM dt JOIN v USING (term)), " +
+        "p AS (SELECT a.term AS term_a, b.term AS term_b " +
+        "FROM dtv a JOIN dtv b ON a.doc_id = b.doc_id AND a.term < b.term " +
+        "GROUP BY 1, 2 HAVING count(*) >= 10), " +
+        "e AS (SELECT term_a AS src, term_b AS dst FROM p " +
+        "UNION ALL SELECT term_b, term_a FROM p), " +
+        "nodes AS (SELECT DISTINCT src AS node FROM e), " +
+        "bfs(s, term, hops) AS (SELECT node, node, 0 FROM nodes " +
+        "UNION SELECT b.s, e.dst, b.hops + 1 FROM bfs b " +
+        "JOIN e ON e.src = b.term WHERE b.hops < 8), " +
+        "dist AS (SELECT s, term, CAST(min(hops) AS BIGINT) AS d " +
+        "FROM bfs GROUP BY 1, 2), " +
+        "agg AS (SELECT s, CAST(count(*) AS BIGINT) AS n_reachable, " +
+        "CAST(sum(d) AS BIGINT) AS sum_hops, " +
+        "CAST(max(d) AS BIGINT) AS eccentricity, " +
+        "sum(CAST(round(1.0 / CAST(d AS DOUBLE), 10) AS DECIMAL(38,10))) " +
+        "AS h FROM dist WHERE d > 0 GROUP BY 1) " +
+        "SELECT n.node AS term, " +
+        "coalesce(a.n_reachable, 0) AS n_reachable, a.eccentricity, " +
+        "CASE WHEN a.sum_hops > 0 THEN round(CAST(a.n_reachable AS DOUBLE) " +
+        "/ CAST(a.sum_hops AS DOUBLE), 6) END AS closeness, " +
+        "round(CAST(coalesce(a.h, CAST(0 AS DECIMAL(38,10))) AS DOUBLE), 6) " +
+        "AS harmonic FROM nodes n LEFT JOIN agg a ON a.s = n.node"),
     // Mirrors GraphOps.cooccurrenceKCore: the same pair chain builds
     // the edge set; the peeling fixpoint is UNROLLED as 6 chained
     // membership CTEs (each: induced degree >= k over the previous
@@ -3962,6 +4084,40 @@ object SparkEntry {
         "CAST(round(pow(0.5, CAST(j AS DOUBLE)) / CAST(rnk AS DOUBLE), " +
         "10) AS DECIMAL(38,10)) ELSE CAST(0 AS DECIMAL(38,10)) END) " +
         "AS DOUBLE), 6) AS err_at_k FROM tk GROUP BY 1"),
+    // Mirrors VectorOps.mapAtK: the err scoring pass and total order;
+    // each hit's precision term j/rnk (both exact BIGINTs) is one
+    // identical double division rounded 10dp into DECIMAL(38,10), so
+    // per-query sums are order-exact; AP normalizes by
+    // min(n_relevant, 10) in one final double division.
+    "map_retrieval_audit" ->
+      ("WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS qlabel " +
+        "FROM embeddings WHERE vec_id IN (0, 1, 2, 3)), " +
+        "scored AS (SELECT q.qid, q.qlabel, e.vec_id, e.label, " +
+        "round(list_sum(list_transform(range(len(e.embedding)), " +
+        "i -> CAST(e.embedding[i+1] AS DOUBLE) * CAST(qv[i+1] AS DOUBLE))) / " +
+        "(sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+        "sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cs " +
+        "FROM embeddings e, q WHERE e.vec_id <> q.qid), " +
+        "rk AS (SELECT qid, " +
+        "CASE WHEN label = qlabel THEN 1 ELSE 0 END AS hit, " +
+        "CAST(row_number() OVER (PARTITION BY qid " +
+        "ORDER BY cs DESC, vec_id ASC) AS BIGINT) AS rnk FROM scored), " +
+        "tk AS (SELECT qid, hit, rnk, " +
+        "CAST(sum(hit) OVER (PARTITION BY qid ORDER BY rnk ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS j FROM rk WHERE rnk <= 10), " +
+        "ap AS (SELECT qid, " +
+        "sum(CASE WHEN hit = 1 THEN " +
+        "CAST(round(CAST(j AS DOUBLE) / CAST(rnk AS DOUBLE), 10) " +
+        "AS DECIMAL(38,10)) ELSE CAST(0 AS DECIMAL(38,10)) END) AS apsum, " +
+        "CAST(sum(hit) AS BIGINT) AS hits_at_k FROM tk GROUP BY 1), " +
+        "rel AS (SELECT qid, CAST(sum(hit) AS BIGINT) AS n_relevant " +
+        "FROM rk GROUP BY 1) " +
+        "SELECT ap.qid AS query_id, n_relevant, hits_at_k, " +
+        "CASE WHEN n_relevant > 0 THEN " +
+        "round(CAST(apsum AS DOUBLE) / " +
+        "CAST(least(n_relevant, 10) AS DOUBLE), 6) END AS ap_at_k " +
+        "FROM ap JOIN rel ON ap.qid = rel.qid"),
     // Mirrors VectorOps.ndcgAtK: ranks over the 4dp-rounded cosine
     // with the vec_id tie-break; every 1/log2(rank+1) discount term
     // rounds 10dp into DECIMAL(38,10) so per-query sums are
@@ -4475,6 +4631,40 @@ object SparkEntry {
         "THEN 'increasing' WHEN zv < -1.959964 THEN 'decreasing' " +
         "ELSE 'none' END) END AS trend " +
         "FROM z"),
+    // Mirrors EventOps.pettittChangepointDaily: midrank identity
+    // U_t = Σ_{i≤t}(n − 2aᵢ − eᵢ) on exact BIGINT lanes, argmax
+    // tie-pinned to the earliest day, one exp() chain 6dp.
+    "pettitt_changepoint_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT cal.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM cal LEFT JOIN daily ON daily.day = cal.day), " +
+        "e AS (SELECT y, CAST(count(*) AS BIGINT) AS e FROM grid " +
+        "GROUP BY 1), " +
+        "a AS (SELECT y, e, CAST(coalesce(sum(e) OVER (ORDER BY y ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS a FROM e), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n, max(day) AS dmax " +
+        "FROM grid), " +
+        "u AS (SELECT g.day, tot.n, tot.dmax, " +
+        "CAST(sum(tot.n - 2 * a.a - a.e) OVER (ORDER BY g.day ASC " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) " +
+        "AS u FROM grid g JOIN a ON a.y = g.y CROSS JOIN tot), " +
+        "b AS (SELECT * FROM u WHERE day < dmax " +
+        "ORDER BY abs(u) DESC, day ASC LIMIT 1) " +
+        "SELECT n AS n_days, abs(u) AS k_stat, day AS change_day, " +
+        "round(2.0 * exp(-6.0 * CAST(abs(u) AS DOUBLE) * " +
+        "CAST(abs(u) AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) + " +
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS p_value, " +
+        "2.0 * exp(-6.0 * CAST(abs(u) AS DOUBLE) * " +
+        "CAST(abs(u) AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE) + " +
+        "CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) < 0.05 AS significant " +
+        "FROM b"),
     // Mirrors EventOps.distanceCorrelationDaily: n²-scaled double-
     // centered distance lanes exact in HUGEINT, dCor one pinned chain.
     "distance_correlation_daily" ->
@@ -6784,6 +6974,12 @@ object SparkEntry {
         "CAST(sum(n_rows - max_c) AS BIGINT) FROM g3) " +
         "SELECT fd, n_groups, n_violating, rows_to_fix, " +
         "n_violating = 0 AS holds FROM u"),
+    // Mirrors ProfileOps.inclusionDependencyAudit: one branch per
+    // pinned candidate, generated from the SAME indCandidates list —
+    // distinct-string containment, exact BIGINT counts, one pinned
+    // division per row.
+    "inclusion_dependency_audit" ->
+      indCandidates.map(indSql).mkString(" UNION ALL "),
     // Mirrors EventOps.tClosenessProfile: identical equi-width
     // binning IEEE ops, zero-filled class×bins grid, per-class
     // cumulative BIGINTs cross-multiplied (CumC·N − CumG·n) so the
@@ -8631,6 +8827,68 @@ object SparkEntry {
         "AS z_score, " +
         "CASE WHEN vt > 0.0 THEN abs((ra - rb) / sqrt(vt)) > 1.959964 " +
         "ELSE false END AS significant FROM d"),
+    // Mirrors EventOps.ratioMetricDeltaCi: exact per-user BIGINT
+    // cents/count lanes, five HUGEINT moment sums per arm, the
+    // linearized delta-method variance in the identical double chain;
+    // degenerate arms -> NULL, false flag.
+    "ratio_metric_delta_ci" ->
+      ("WITH pu AS (SELECT user_id, " +
+        "CAST(sum(coalesce(CAST(CAST(value AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT), 0)) AS BIGINT) AS num, " +
+        "CAST(count(*) AS BIGINT) AS den, user_id % 2 AS arm " +
+        "FROM events GROUP BY user_id), " +
+        "cells AS (SELECT " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN num END) AS BIGINT) AS sn_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN den END) AS BIGINT) AS sd_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN CAST(num AS HUGEINT) * num END) " +
+        "AS HUGEINT) AS snn_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN CAST(den AS HUGEINT) * den END) " +
+        "AS HUGEINT) AS sdd_a, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN CAST(num AS HUGEINT) * den END) " +
+        "AS HUGEINT) AS snd_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN num END) AS BIGINT) AS sn_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN den END) AS BIGINT) AS sd_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN CAST(num AS HUGEINT) * num END) " +
+        "AS HUGEINT) AS snn_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN CAST(den AS HUGEINT) * den END) " +
+        "AS HUGEINT) AS sdd_b, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN CAST(num AS HUGEINT) * den END) " +
+        "AS HUGEINT) AS snd_b FROM pu), " +
+        "l AS (SELECT n_a, n_b, " +
+        "n_a >= 2 AND sd_a > 0 AS ok_a, n_b >= 2 AND sd_b > 0 AS ok_b, " +
+        "CAST(sn_a AS DOUBLE) / CAST(sd_a AS DOUBLE) AS ra, " +
+        "CAST(sn_b AS DOUBLE) / CAST(sd_b AS DOUBLE) AS rb, " +
+        "CAST(CAST(n_a AS HUGEINT) * snn_a - CAST(sn_a AS HUGEINT) * sn_a " +
+        "AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE) AS vn_a, " +
+        "CAST(CAST(n_a AS HUGEINT) * sdd_a - CAST(sd_a AS HUGEINT) * sd_a " +
+        "AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE) AS vd_a, " +
+        "CAST(CAST(n_a AS HUGEINT) * snd_a - CAST(sn_a AS HUGEINT) * sd_a " +
+        "AS DOUBLE) / CAST(CAST(n_a AS HUGEINT) * (n_a - 1) AS DOUBLE) AS cnd_a, " +
+        "CAST(CAST(n_b AS HUGEINT) * snn_b - CAST(sn_b AS HUGEINT) * sn_b " +
+        "AS DOUBLE) / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE) AS vn_b, " +
+        "CAST(CAST(n_b AS HUGEINT) * sdd_b - CAST(sd_b AS HUGEINT) * sd_b " +
+        "AS DOUBLE) / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE) AS vd_b, " +
+        "CAST(CAST(n_b AS HUGEINT) * snd_b - CAST(sn_b AS HUGEINT) * sd_b " +
+        "AS DOUBLE) / CAST(CAST(n_b AS HUGEINT) * (n_b - 1) AS DOUBLE) AS cnd_b, " +
+        "CAST(sd_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS dbar_a, " +
+        "CAST(sd_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS dbar_b FROM cells), " +
+        "v AS (SELECT n_a, n_b, ra, rb, ok_a, ok_b, " +
+        "CASE WHEN ok_a THEN (vn_a - 2.0 * ra * cnd_a + ra * ra * vd_a) / " +
+        "(CAST(n_a AS DOUBLE) * dbar_a * dbar_a) END AS va, " +
+        "CASE WHEN ok_b THEN (vn_b - 2.0 * rb * cnd_b + rb * rb * vd_b) / " +
+        "(CAST(n_b AS DOUBLE) * dbar_b * dbar_b) END AS vb FROM l) " +
+        "SELECT n_a, n_b, " +
+        "CASE WHEN ok_a THEN round(ra / 100.0, 6) END AS ratio_a, " +
+        "CASE WHEN ok_b THEN round(rb / 100.0, 6) END AS ratio_b, " +
+        "CASE WHEN va IS NOT NULL THEN round(sqrt(va) / 100.0, 6) END AS se_a, " +
+        "CASE WHEN vb IS NOT NULL THEN round(sqrt(vb) / 100.0, 6) END AS se_b, " +
+        "CASE WHEN va IS NOT NULL AND vb IS NOT NULL AND va + vb > 0.0 " +
+        "THEN round((ra - rb) / sqrt(va + vb), 6) END AS z_score, " +
+        "CASE WHEN va IS NOT NULL AND vb IS NOT NULL AND va + vb > 0.0 " +
+        "THEN abs((ra - rb) / sqrt(va + vb)) > 1.959964 ELSE false END " +
+        "AS significant FROM v"),
     // Mirrors JoinOps.simpsonReversalAudit: exact BIGINT cells,
     // integer cross-multiplication signs (no float compares), 6dp
     // display rates.

@@ -3950,6 +3950,124 @@ object EventOps {
           .otherwise(lit("none"))).as("trend"))
   }
 
+  /** Pettitt changepoint test on the zero-filled daily count series
+    * (Pettitt '79) — the rank-based "WHEN did the level shift?"
+    * locator beside [[cusumChangepoints]]' mean-shift monitor and
+    * [[mannKendallDaily]]'s monotone-trend test: U_t = Σ_{i≤t, j>t}
+    * sgn(x_j − x_i), K = max_t |U_t|, and the shift day is the
+    * argmax; approximate p = 2·exp(−6K²/(n³+n²)).
+    *
+    * U_t computes in O(n) via the midrank identity: for each day,
+    * Σ_{all j} sgn(x_j − x_i) = n − 2aᵢ − eᵢ (aᵢ = #days strictly
+    * below, eᵢ = #days tied INCLUDING self), and the i,j ≤ t part of
+    * U_t is antisymmetric → U_t = Σ_{i≤t}(n − 2aᵢ − eᵢ). Every lane
+    * is an exact BIGINT (a/e from one value-group collapse + a
+    * group-bounded prefix window); the argmax tie-pins to the
+    * earliest day via ORDER BY |U| DESC, day ASC LIMIT 1 on both
+    * rails; p is one exp() chain on identical doubles, 6dp.
+    *
+    * Shape: one daily collapse, one value-group collapse, serial
+    * windows only over collapsed calendar-bounded frames, a LIMIT 1
+    * pick — nothing corpus-sized past the first agg. */
+  def pettittChangepointDaily(events: DataFrame): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+      .localCheckpoint() // value groups + totals + the day join read it
+    val wv = Window.orderBy(col("y").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val av = grid.groupBy("y").agg(count(lit(1)).as("e"))
+      .withColumn("a", coalesce(sum(col("e")).over(wv), lit(0L)))
+    val tot = grid.agg(count(lit(1)).as("n"), max(col("day")).as("dmax"))
+    val wd = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val u = grid.join(av, "y").crossJoin(broadcast(tot))
+      .select(col("day"), col("n"), col("dmax"),
+        (col("n") - lit(2L) * col("a") - col("e")).as("v"))
+      .withColumn("u", sum(col("v")).over(wd))
+      .filter(col("day") < col("dmax")) // U_t defined for t = 1..n−1
+    val best = u.orderBy(abs(col("u")).desc, col("day").asc).limit(1)
+    val nD = col("n").cast("double")
+    val kD = abs(col("u")).cast("double")
+    val p = lit(2.0) * exp(lit(-6.0) * kD * kD /
+      (nD * nD * nD + nD * nD))
+    best.select(col("n").as("n_days"), abs(col("u")).as("k_stat"),
+      col("day").as("change_day"), round(p, 6).as("p_value"),
+      (p < lit(0.05)).as("significant"))
+  }
+
+  /** Delta-method CI and z-test for a RATIO metric between the parity
+    * arms — revenue per event, the metric class ([[abConversionZtest]]
+    * covers proportions, [[welchTtestAb]] per-user means) where naive
+    * variance is WRONG because numerator and denominator are
+    * correlated within users (Deng et al. KDD '18's workhorse): with
+    * per-user (numᵢ, denᵢ) and R = Σnum/Σden,
+    * Var(R̂) ≈ (s²_n − 2R·s_nd + R²·s²_d) / (n·d̄²) — the variance of
+    * the linearized num − R·den, nonnegative by construction.
+    *
+    * Determinism: per-user lanes are exact (BIGINT cents / counts);
+    * all five moment sums per arm are exact BIGINT/DECIMAL(38,0) off
+    * one grouped pass; R, each s², and z are pinned double chains on
+    * those lanes, 6dp once. Degenerate arms (n < 2, Σden = 0, zero
+    * variance) → NULL z, false flag, stated.
+    *
+    * Shape: per-user collapse → single 1-row conditional-sum
+    * aggregate (the [[abConversionZtest]] shape); nothing shuffles
+    * twice. */
+  def ratioMetricDeltaCi(events: DataFrame): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val perUser = events
+      .select(col("user_id"), coalesce(cents, lit(0L)).as("c"))
+      .groupBy("user_id")
+      .agg(sum(col("c")).as("num"), count(lit(1)).as("den"))
+      .withColumn("arm", col("user_id") % lit(2L))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // sum() skips the NULLs of the untaken arm — no typed zero needed
+    def side(a: Int, c: Column) = sum(when(col("arm") === a.toLong, c))
+    val cells = perUser.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+      side(0, col("num")).as("sn_a"), side(0, col("den")).as("sd_a"),
+      side(0, dec(col("num")) * col("num")).as("snn_a"),
+      side(0, dec(col("den")) * col("den")).as("sdd_a"),
+      side(0, dec(col("num")) * col("den")).as("snd_a"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+      side(1, col("num")).as("sn_b"), side(1, col("den")).as("sd_b"),
+      side(1, dec(col("num")) * col("num")).as("snn_b"),
+      side(1, dec(col("den")) * col("den")).as("sdd_b"),
+      side(1, dec(col("num")) * col("den")).as("snd_b"))
+    def lanes(sfx: String): (Column, Column, Column) = {
+      val n = col(s"n_$sfx"); val sn = col(s"sn_$sfx")
+      val sd = col(s"sd_$sfx")
+      val nD = n.cast("double")
+      val r = sn.cast("double") / sd.cast("double")
+      val denom = (dec(n) * (n - lit(1L))).cast("double")
+      val vn = (dec(n) * col(s"snn_$sfx") - dec(sn) * sn).cast("double") / denom
+      val vd = (dec(n) * col(s"sdd_$sfx") - dec(sd) * sd).cast("double") / denom
+      val cnd = (dec(n) * col(s"snd_$sfx") - dec(sn) * sd).cast("double") / denom
+      val dbar = sd.cast("double") / nD
+      val varR = (vn - lit(2.0) * r * cnd + r * r * vd) /
+        (nD * dbar * dbar)
+      val ok = n >= 2L && sd > 0L
+      (when(ok, r), when(ok, varR), n)
+    }
+    val (ra, va, na) = lanes("a")
+    val (rb, vb, nb) = lanes("b")
+    val z = (ra - rb) / sqrt(va + vb)
+    val okZ = va.isNotNull && vb.isNotNull && (va + vb) > lit(0.0)
+    cells.select(na.as("n_a"), nb.as("n_b"),
+      round(ra / lit(100.0), 6).as("ratio_a"),
+      round(rb / lit(100.0), 6).as("ratio_b"),
+      when(va.isNotNull, round(sqrt(va) / lit(100.0), 6)).as("se_a"),
+      when(vb.isNotNull, round(sqrt(vb) / lit(100.0), 6)).as("se_b"),
+      when(okZ, round(z, 6)).as("z_score"),
+      when(okZ, abs(z) > lit(1.959964)).otherwise(lit(false))
+        .as("significant"))
+  }
+
   /** Energy-distance drift of the binned `value` distribution between
     * the time halves — the FOURTH drift lens after KS (max ECDF gap),
     * W₁ (mass moved) and PSI (binned log-ratio): Székely's
@@ -5863,6 +5981,64 @@ object EventOps {
       when(ok, round((ssb / df1) / (ssw / df2), 6)).as("f_stat"),
       when(ssb + ssw > lit(0.0), round(ssb / (ssb + ssw), 6))
         .as("eta_sq"))
+  }
+
+  /** Tukey HSD post-hoc pairwise comparisons after
+    * [[anovaValueByType]]: for every event-type pair, the
+    * studentized-range statistic
+    * q = |x̄ᵢ − x̄ⱼ| / √((MSW/2)(1/nᵢ + 1/nⱼ)) against the α = 0.05
+    * critical value — the test that answers WHICH means differ once
+    * the omnibus F says "some do", holding the familywise error rate
+    * at α across all k(k−1)/2 comparisons (pairwise Welch t's would
+    * compound toward 1 − 0.95^10).
+    *
+    * Determinism: per-group n/Σc/Σc² are exact (BIGINT cents,
+    * DECIMAL(38,0)); each Sᵢ²/nᵢ term rounds 6dp into DECIMAL(38,6)
+    * BEFORE the k-term sum so MSW is order-exact (tightening the
+    * [[anovaValueByType]] float-sum precedent), the mean difference
+    * is one pinned division of exact integer lanes, and q is a pure
+    * IEEE chain on those identical doubles. `qCrit` defaults to the
+    * k = 5, df = ∞ studentized-range 5% table value 3.858 — exact for
+    * this corpus's 5 types at df2 ≫ 120, stated. MSW = 0 → NULL q,
+    * false flag.
+    *
+    * Shape: one (type) hash agg collapses the log to k rows; the
+    * pair frame is k²-bounded with the 1-row MSW broadcast onto it. */
+  def tukeyHsdTypePairs(events: DataFrame, qCrit: Double = 3.858): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = events.select(col("event_type"), cents.as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("ni"), sum("c").as("si"),
+        sum(dec(col("c")) * col("c")).as("ssi"))
+      .localCheckpoint() // the MSW reduce + both sides of the pair frame
+    val terms = g.select(col("ni"), col("ssi"),
+      round((dec(col("si")) * col("si")).cast("double") /
+        col("ni").cast("double"), 6).cast("decimal(38,6)").as("t"))
+    val m = terms.agg(count(lit(1)).as("k"), sum("ni").as("n"),
+      sum("ssi").as("ss"), sum("t").as("a"))
+    val mswE = (col("ss").cast("double") - col("a").cast("double")) /
+      (col("n") - col("k")).cast("double")
+    val mRow = m.select(
+      when(col("n") > col("k"), mswE).as("msw"))
+    val diffC = (dec(col("a.si")) * col("b.ni") -
+      dec(col("b.si")) * col("a.ni")).cast("double") /
+      (dec(col("a.ni")) * col("b.ni")).cast("double")
+    val se = sqrt((col("msw") / lit(2.0)) *
+      (lit(1.0) / col("a.ni").cast("double") +
+        lit(1.0) / col("b.ni").cast("double")))
+    val q = abs(diffC) / se
+    val ok = col("msw").isNotNull && col("msw") > lit(0.0)
+    g.as("a").crossJoin(g.as("b")) // k²-bounded type pairs
+      .filter(col("a.event_type") < col("b.event_type"))
+      .crossJoin(broadcast(mRow))
+      .select(col("a.event_type").as("type_a"),
+        col("b.event_type").as("type_b"),
+        col("a.ni").as("n_a"), col("b.ni").as("n_b"),
+        round(diffC / lit(100.0), 6).as("mean_diff"),
+        when(ok, round(q, 6)).as("q_stat"),
+        when(ok, q > lit(qCrit)).otherwise(lit(false)).as("significant"))
   }
 
   /** Jarque–Bera normality diagnostic of the value distribution per

@@ -247,6 +247,75 @@ object GraphOps {
       .orderBy(col("hops").asc, col("term").asc)
   }
 
+  /** Closeness / harmonic / eccentricity centralities of the term
+    * co-occurrence graph from ALL-PAIRS shortest hop counts — the
+    * distance-based centrality row completing the degree
+    * ([[cooccurrenceAssortativity]]), spectral ([[pageRank]]/
+    * [[hitsUserType]]), and density ([[kCore]]/[[kTruss]]) families:
+    * closeness = n_reachable/Σd (how quickly a term reaches the rest
+    * of the vocabulary), harmonic = Σ1/d (Marchiori–Latora — finite
+    * under disconnection where closeness degenerates), eccentricity =
+    * max d (whose maximum over nodes is the graph diameter).
+    *
+    * All-pairs BFS runs as `maxHops` frontier rounds over (src, node)
+    * pair states — V² states on the df-THRESHOLDED vocabulary graph
+    * (the [[cooccurrenceTriangles]] contract: thresholds bound the
+    * graph before any traversal; this is a vocabulary-sized operator,
+    * never corpus-sized) — then REQUIRES one more round is a no-op
+    * (the [[kCore]] loud-refusal contract), so every distance — hence
+    * the eccentricity MAX — is exact, not hop-capped.
+    *
+    * Determinism: distances are exact ints; closeness is one pinned
+    * division; each 1/d harmonic term rounds 10dp into DECIMAL(38,10)
+    * before its sum (order-exact); isolated sources (nothing
+    * reachable) emit NULL closeness/eccentricity and harmonic 0. */
+  def cooccurrenceCloseness(docs: DataFrame, maxHops: Int = 8): DataFrame =
+    closenessCentrality(MiningOps.termCooccurrence(docs)
+      .select(col("term_a").as("src"), col("term_b").as("dst")), maxHops)
+
+  /** [[cooccurrenceCloseness]]'s edge-level core — all-pairs BFS +
+    * the three distance centralities over any undirected edge list. */
+  def closenessCentrality(edges: DataFrame, maxHops: Int = 8): DataFrame = {
+    val both = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint() // probed by every BFS round
+    val nodes = both.select(col("src").as("node")).distinct()
+    var visited = nodes.select(col("node").as("s"), col("node"))
+      .withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = both
+        .join(frontier.select(col("s"), col("node").as("src")), "src")
+        .select(col("s"), col("dst").as("node")).distinct()
+        .join(visited.select("s", "node"), Seq("s", "node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint() // eager: union + next round both read it
+      visited = visited.unionAll(next).localCheckpoint(eager = false)
+      frontier = next
+    }
+    require(frontier.isEmpty,
+      s"closenessCentrality: BFS not converged after $maxHops rounds " +
+        "— raise `maxHops`; a hop-capped eccentricity would be wrong")
+    val term = round(lit(1.0) / col("hops").cast("double"), 10)
+      .cast("decimal(38,10)")
+    visited.filter(col("hops") > 0)
+      .groupBy(col("s").as("term"))
+      .agg(count(lit(1)).as("n_reachable"),
+        sum(col("hops").cast("long")).as("sum_hops"),
+        max(col("hops").cast("long")).as("eccentricity"),
+        sum(term).as("h"))
+      .join(nodes.select(col("node").as("term")), Seq("term"), "right")
+      .select(col("term"),
+        coalesce(col("n_reachable"), lit(0L)).as("n_reachable"),
+        col("eccentricity"),
+        when(col("sum_hops") > 0L,
+          round(col("n_reachable").cast("double") /
+            col("sum_hops").cast("double"), 6)).as("closeness"),
+        round(coalesce(col("h"), lit(0).cast("decimal(38,10)"))
+          .cast("double"), 6).as("harmonic"))
+  }
+
   /** k-core decomposition by iterative peeling (Seidman '83; the
     * Batagelj–Zaveršnik distributed formulation): repeatedly drop
     * nodes whose degree WITHIN the survivors is < k until stable —

@@ -126,6 +126,45 @@ object ProfileOps {
     ).reduce(_ unionByName _)
   }
 
+  /** Inclusion-dependency audit — foreign-key DISCOVERY, where
+    * [[constraintAudit]] only verifies keys someone already declared:
+    * for each candidate (child.col ⊆ parent.col) the DISTINCT-value
+    * containment fraction |child ∩ parent| / |child|, flagged as an
+    * IND at exactly 1.0 (the Metanome/SPIDER profiling pass run before
+    * wiring joins over an unknown lake). The list deliberately mixes
+    * true FKs, their partial REVERSES (customer ⊆ orders fails by the
+    * never-ordered cohort — the quantified direction signal), and a
+    * cross-domain spurious candidate (events.user_id vs c_custkey)
+    * that numeric-range containment would naively bless.
+    *
+    * Determinism: values compare as strings (one engine's join, so
+    * cross-engine formatting never matters); counts are exact BIGINTs;
+    * one pinned division per candidate. Empty child (all NULL) →
+    * NULL containment, false flag, stated.
+    *
+    * Scale shape: each candidate is a per-side DISTINCT collapse (the
+    * heavy side map-side-combines before its shuffle) + one key join
+    * collapsed to a single row — |candidates| rows total, constant at
+    * any input scale; candidates are schema metadata, never data. */
+  def inclusionDependencyAudit(tables: Map[String, DataFrame],
+      candidates: Seq[(String, String, String, String)]): DataFrame =
+    candidates.map { case (ct, cc, pt, pc) =>
+      val child = tables(ct).select(col(cc).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+      val parent = tables(pt).select(col(pc).cast("string").as("v"))
+        .filter(col("v").isNotNull).distinct()
+      child.join(parent.withColumn("hit", lit(1L)), Seq("v"), "left")
+        .agg(count(lit(1)).as("nc"),
+          coalesce(sum(col("hit")), lit(0L)).as("nh"))
+        .select(lit(ct).as("child_table"), lit(cc).as("child_col"),
+          lit(pt).as("parent_table"), lit(pc).as("parent_col"),
+          col("nc").as("n_child_distinct"), col("nh").as("n_contained"),
+          when(col("nc") > 0L,
+            round(col("nh").cast("double") / col("nc").cast("double"), 6))
+            .as("containment"),
+          (col("nc") > 0L && col("nh") === col("nc")).as("is_ind"))
+    }.reduce(_ unionByName _)
+
   /** Functional-dependency audit — does column X determine column Y,
     * and if not, how far off is the table? For each candidate FD the
     * violation measure is the REPAIR DISTANCE: the minimum number of

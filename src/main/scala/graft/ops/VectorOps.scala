@@ -1093,6 +1093,62 @@ object VectorOps {
           .as("reciprocal_rank"))
   }
 
+  /** Mean-average-precision retrieval audit completing the graded-
+    * metric row beside [[ndcgAtK]] / [[mrrRetrieval]] / [[errAtK]]:
+    * AP@k is the mean over relevant HITS of precision-at-their-rank,
+    * normalized by min(n_relevant, k) — the metric that rewards
+    * putting EVERY relevant doc early (NDCG discounts log-slowly, MRR
+    * stops at the first hit, ERR models satisfaction cascade; AP is
+    * the area under precision-recall, the TREC standard). Same
+    * label-graded relevance, scoring pass, and 4dp-cosine + vec_id
+    * total order as the others.
+    *
+    * Determinism: each precision term j/rnk (cumulative hits over
+    * rank, both small exact BIGINTs) is one identical double division
+    * rounded 10dp into DECIMAL(38,10) — per-query sums order-exact
+    * (the [[errAtK]] discipline); one final double division by
+    * min(n_relevant, k). Zero relevant docs → NULL ap, stated.
+    *
+    * Shape: |queries|·N broadcast cosines (linear in the corpus),
+    * per-query rank windows, then ≤ |queries|·k rows. */
+  def mapAtK(embeddings: DataFrame,
+      queryIds: Seq[Long] = Seq(0L, 1L, 2L, 3L), k: Int = 10): DataFrame = {
+    val q = embeddings.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val scored = embeddings.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        round(cosineFused(col("embedding"), col("qv")), 4).as("cs"))
+      .withColumn("hit",
+        when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      .localCheckpoint() // rank/cum windows + the n_relevant collapse
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("cs").desc, col("vec_id").asc)
+    val cumW = org.apache.spark.sql.expressions.Window.partitionBy("qid")
+      .orderBy(col("rnk").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val term = round(col("j").cast("double") / col("rnk").cast("double"), 10)
+      .cast("decimal(38,10)")
+    val ap = scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .withColumn("j", sum(col("hit")).over(cumW))
+      .groupBy("qid")
+      .agg(sum(when(col("hit") === 1L, term)
+          .otherwise(lit(0).cast("decimal(38,10)"))).as("apsum"),
+        sum(col("hit")).as("hits_at_k"))
+    val rel = scored.groupBy("qid")
+      .agg(sum(col("hit")).as("n_relevant"))
+    ap.join(rel, "qid")
+      .select(col("qid").as("query_id"), col("n_relevant"),
+        col("hits_at_k"),
+        when(col("n_relevant") > 0L,
+          round(col("apsum").cast("double") /
+            least(col("n_relevant"), lit(k.toLong)).cast("double"), 6))
+          .as("ap_at_k"))
+  }
+
   /** DBSCAN density clustering over the embedding space (Ester et al.
     * KDD '96) — the density member of the clustering suite beside the
     * centroid-based IVF/k-means battery: a vector is CORE when ≥

@@ -182,6 +182,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("not converged"), e.getMessage)
   }
 
+  test("closenessCentrality: path graph P4 hand values; refuses a " +
+      "hop cap below the diameter") {
+    // a-b-c-d: distances from a = (1,2,3) -> closeness 3/6, harmonic
+    // 1 + .5 + 1/3, ecc 3; from b = (1,1,2) -> 3/4, 2.5, 2.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    val got = GraphOps.closenessCentrality(edges).collect()
+      .map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("n_reachable"), r.getAs[Long]("eccentricity"),
+          r.getAs[Double]("closeness"), r.getAs[Double]("harmonic"))))
+      .toMap
+    val third = math.rint(1.0 / 3.0 * 1e10) / 1e10
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got("a") == ((3L, 3L, 0.5, r6(1.0 + 0.5 + third))), got)
+    assert(got("b") == ((3L, 2L, 0.75, 2.5)), got)
+    assert(got("c") == ((3L, 2L, 0.75, 2.5)), got)
+    assert(got("d") == ((3L, 3L, 0.5, r6(1.0 + 0.5 + third))), got)
+    // diameter 3 > maxHops 2 must refuse, not silently cap ecc
+    intercept[IllegalArgumentException] {
+      GraphOps.closenessCentrality(edges, maxHops = 2).collect()
+    }
+  }
+
   test("cooccurrenceKCore: members keep >= k partners, subset of graph") {
     val docs = Tables.documents(spark, sf0)
     val out = GraphOps.cooccurrenceKCore(docs).as[(String, Long)].collect()

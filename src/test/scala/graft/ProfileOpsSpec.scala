@@ -38,6 +38,25 @@ class ProfileOpsSpec extends SparkSpec {
     assert(got.size == 7)
   }
 
+  test("inclusionDependencyAudit: containment fraction, direction " +
+      "asymmetry, all-NULL child yields NULL containment") {
+    import spark.implicits._
+    val child = Seq(Some(1L), Some(2L), Some(3L), Some(2L), None)
+      .toDF("k") // distinct non-null {1,2,3}
+    val parent = Seq(1L, 2L).toDF("p")
+    val nullCol = Seq[Option[Long]](None, None).toDF("k")
+    val got = ProfileOps.inclusionDependencyAudit(
+      Map("c" -> child, "p" -> parent, "z" -> nullCol),
+      Seq(("c", "k", "p", "p"), ("p", "p", "c", "k"), ("z", "k", "p", "p")))
+      .collect().map(r => r.getAs[String]("child_table") ->
+        ((r.getAs[Long]("n_child_distinct"), r.getAs[Long]("n_contained"),
+          Option(r.getAs[Any]("containment")),
+          r.getAs[Boolean]("is_ind")))).toMap
+    assert(got("c") == ((3L, 2L, Some(0.666667), false)), got.toString)
+    assert(got("p") == ((2L, 2L, Some(1.0), true)), got.toString)
+    assert(got("z") == ((0L, 0L, None, false)), got.toString)
+  }
+
   test("approx profile matches exact within HLL tolerance") {
     def byCol(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getAs[String]("col_name") ->

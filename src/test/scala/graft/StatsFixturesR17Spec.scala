@@ -62,6 +62,71 @@ class StatsFixturesR17Spec extends SparkSpec {
       s"sum=${phis.sum} expected $vFullMinusEmpty")
   }
 
+  test("pettitt changepoint hand case: counts [1,1,1,5,5,5] -> K = 9 " +
+      "at day 3, midrank lanes exact") {
+    // per day v = n - 2a - e: days 1-3 (y=1): 6-0-3 = 3; days 4-6
+    // (y=5): 6-6-3 = -3 -> U = [3,6,9,6,3], max |U| = 9 at day 3
+    val rows = (1 to 3).flatMap(d =>
+      Seq((f"2024-01-0$d 00:00:00", d.toLong, "x", 1.0))) ++
+      (4 to 6).flatMap(d => (1 to 5).map(i =>
+        (f"2024-01-0$d 0$i:00:00", d.toLong, "x", 1.0)))
+    val got = EventOps.pettittChangepointDaily(eventsFrom(rows))
+      .collect().head
+    assert(got.getAs[Long]("n_days") == 6L)
+    assert(got.getAs[Long]("k_stat") == 9L)
+    assert(got.getAs[java.sql.Date]("change_day").toString == "2024-01-03")
+    val p = math.rint(2.0 * math.exp(-6.0 * 81.0 / 252.0) * 1e6) / 1e6
+    assert(got.getAs[Double]("p_value") == p, got.toString)
+    assert(!got.getAs[Boolean]("significant"))
+  }
+
+  test("ratio metric delta CI hand case: arm A [10,20|30], arm B " +
+      "[10|10] -> R_a 20, var from den spread alone, z = 1.5") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 0L, "x", 10.0),
+      ("2024-01-01 01:00:00", 0L, "x", 20.0),
+      ("2024-01-01 00:00:00", 2L, "x", 30.0),
+      ("2024-01-01 00:00:00", 1L, "x", 10.0),
+      ("2024-01-01 00:00:00", 3L, "x", 10.0)))
+    val got = EventOps.ratioMetricDeltaCi(ev).collect().head
+    // arm A: (num, den) = (3000, 2), (3000, 1): vn = 0, vd = 0.5,
+    // cov = 0 -> Var(R) = R^2*0.5 / (2*1.5^2) = 4e6/9; z = 1000/(2000/3)
+    assert(got.getAs[Long]("n_a") == 2L && got.getAs[Long]("n_b") == 2L)
+    assert(got.getAs[Double]("ratio_a") == 20.0)
+    assert(got.getAs[Double]("ratio_b") == 10.0)
+    assert(got.getAs[Double]("se_a") == 6.666667, got.toString)
+    assert(got.getAs[Double]("se_b") == 0.0)
+    assert(got.getAs[Double]("z_score") == 1.5, got.toString)
+    assert(!got.getAs[Boolean]("significant"))
+  }
+
+  test("tukey HSD hand case: A [10,14], B [20,16], C [12] -> MSW " +
+      "80000 cents^2, q(A,B) = 3.0, q(B,C) = 600/sqrt(60000), flag " +
+      "flips under a lower qCrit") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "A", 10.0),
+      ("2024-01-01 01:00:00", 1L, "A", 14.0),
+      ("2024-01-01 00:00:00", 2L, "B", 20.0),
+      ("2024-01-01 01:00:00", 2L, "B", 16.0),
+      ("2024-01-01 00:00:00", 3L, "C", 12.0)))
+    // SSW = 10.96e6 - (2.88 + 6.48 + 1.44)e6 = 160000; df2 = 5-3 = 2
+    val got = EventOps.tukeyHsdTypePairs(ev).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("mean_diff"), r.getAs[Double]("q_stat"),
+          r.getAs[Boolean]("significant")))).toMap
+    val qBC = math.rint(600.0 / math.sqrt(60000.0) * 1e6) / 1e6
+    assert(got(("A", "B")) == ((2L, 2L, -6.0, 3.0, false)), got.toString)
+    assert(got(("A", "C")) == ((2L, 1L, 0.0, 0.0, false)), got.toString)
+    assert(got(("B", "C")) == ((2L, 1L, 6.0, qBC, false)), got.toString)
+    // the k=3 fixture's q(A,B)=3.0 clears a 2.9 critical value
+    val sig = EventOps.tukeyHsdTypePairs(ev, qCrit = 2.9).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        r.getAs[Boolean]("significant")).toMap
+    assert(sig == Map(("A", "B") -> true, ("A", "C") -> false,
+      ("B", "C") -> false), sig.toString)
+  }
+
   test("EB shrinkage hand case (DL tau^2): users [10,14], [20,16], " +
       "[12] -> sigma2w=80000 cents^2, tau2=85000, B(n=2)=0.32, " +
       "shrunk mean of user 1 = 12.768") {

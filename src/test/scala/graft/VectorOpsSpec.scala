@@ -139,6 +139,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(4L) == ((0L, 0L, None)), got.toString)
   }
 
+  test("mapAtK: hand-traced average precision, zero-relevant query " +
+      "yields NULL") {
+    // query 0 (label 1): ranking 1 (cos 1, hit, P@1 = 1), 2 (cos
+    // .7071, miss), 3 (cos 0, hit, P@3 = 2/3), 4 (cos -1, miss) →
+    // AP = (1 + 2/3) / min(2, 10); query 4 (label 9): no relevant →
+    // NULL ap.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(1.0f, 0.0f), 1),
+      (2L, Array(1.0f, 1.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(-1.0f, 0.0f), 9),
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.mapAtK(emb, queryIds = Seq(0L, 4L)).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_relevant"), r.getAs[Long]("hits_at_k"),
+          Option(r.getAs[Any]("ap_at_k"))))).toMap
+    val apsum = 1.0 + math.rint(2.0 / 3.0 * 1e10) / 1e10
+    val expect = math.rint(apsum / 2.0 * 1e6) / 1e6
+    assert(got(0L) == ((2L, 2L, Some(expect))), got.toString)
+    assert(got(4L) == ((0L, 0L, None)), got.toString)
+  }
+
   test("labelSeparationMatrix: orthogonal and collinear centroid " +
     "pairs score exactly") {
     // label 0 centroid (1,0) (two members), label 1 (0,1), label 2
