@@ -962,6 +962,10 @@ object SparkEntry {
       ((s, d) => EventOps.periodogramDaily(events(s, d))),
     "spectral_entropy_daily" ->
       ((s, d) => EventOps.spectralEntropyDaily(events(s, d))),
+    "permutation_entropy_daily" ->
+      ((s, d) => EventOps.permutationEntropyDaily(events(s, d))),
+    "sample_entropy_daily" ->
+      ((s, d) => EventOps.sampleEntropyDaily(events(s, d))),
     "turning_points_daily" ->
       ((s, d) => EventOps.turningPointsDaily(events(s, d))),
     "bartels_rank_daily" ->
@@ -1108,6 +1112,7 @@ object SparkEntry {
     "isotonic_calibration" ->
       ((s, d) => EventOps.isotonicCalibration(events(s, d))),
     "logrank_test_ab" -> ((s, d) => EventOps.logrankTestAb(events(s, d))),
+    "cox_ph_ab" -> ((s, d) => EventOps.coxPhAb(events(s, d))),
     "propensity_stratified_ate" ->
       ((s, d) => EventOps.propensityStratifiedAte(events(s, d))),
     "feature_hash_buckets" ->
@@ -8083,6 +8088,67 @@ object SparkEntry {
         "round(CAST(CAST(sum(hm) AS BIGINT) AS DOUBLE) / 1000000.0 / " +
         "ln(CAST(n_freqs AS DOUBLE)), 4) END AS spectral_entropy_norm " +
         "FROM hs GROUP BY ptot, n_freqs, nd"),
+    // Mirrors EventOps.permutationEntropyDaily: stable ordinal ranks
+    // as integer comparison chains (9r0+3r1+r2 pattern codes), each
+    // -p·ln p term micro-unit-pinned before the ≤6-term sum, ln 6
+    // normalizer.
+    "permutation_entropy_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "tri AS (SELECT t, cnt AS x0, " +
+        "lead(cnt, 1) OVER (ORDER BY t ASC) AS x1, " +
+        "lead(cnt, 2) OVER (ORDER BY t ASC) AS x2 FROM grid), " +
+        "tf AS (SELECT * FROM tri WHERE x2 IS NOT NULL), " +
+        "pc AS (SELECT CAST((CASE WHEN x1 < x0 THEN 1 ELSE 0 END + " +
+        "CASE WHEN x2 < x0 THEN 1 ELSE 0 END) * 9 + " +
+        "(CASE WHEN x0 <= x1 THEN 1 ELSE 0 END + " +
+        "CASE WHEN x2 < x1 THEN 1 ELSE 0 END) * 3 + " +
+        "(CASE WHEN x0 <= x2 THEN 1 ELSE 0 END + " +
+        "CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS BIGINT) AS pattern, " +
+        "CAST(count(*) AS BIGINT) AS c FROM tf GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) AS n_patterns FROM pc), " +
+        "hs AS (SELECT n, n_patterns, " +
+        "CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0, 0) " +
+        "AS BIGINT) AS hm FROM pc CROSS JOIN tot) " +
+        "SELECT n AS n_triples, n_patterns, " +
+        "round(CAST(CAST(sum(hm) AS BIGINT) AS DOUBLE) / 1000000.0, 4) " +
+        "AS perm_entropy, " +
+        "round(CAST(CAST(sum(hm) AS BIGINT) AS DOUBLE) / 1000000.0 / " +
+        "ln(6.0), 4) AS perm_entropy_norm " +
+        "FROM hs GROUP BY n, n_patterns"),
+    // Mirrors EventOps.sampleEntropyDaily: exact population-sigma
+    // lanes, the SAME double r both rails, integer Chebyshev template
+    // distances vs r, exact A/B counts, one -ln(A/B) 6dp.
+    "sample_entropy_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "mom AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(cnt) AS BIGINT) AS sx, " +
+        "CAST(sum(CAST(cnt AS HUGEINT) * cnt) AS HUGEINT) AS sxx " +
+        "FROM grid), " +
+        "sig AS (SELECT n, " +
+        "sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx " +
+        "AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS sigma " +
+        "FROM mom), " +
+        "sg AS (SELECT n, sigma, 0.2 * sigma AS r FROM sig), " +
+        "tpl AS (SELECT t, cnt AS x0, " +
+        "lead(cnt, 1) OVER (ORDER BY t ASC) AS x1, " +
+        "lead(cnt, 2) OVER (ORDER BY t ASC) AS x2 FROM grid), " +
+        "tf AS (SELECT * FROM tpl WHERE x2 IS NOT NULL), " +
+        "p AS (SELECT n, sigma, r, " +
+        "CAST(greatest(abs(i.x0 - j.x0), abs(i.x1 - j.x1)) AS DOUBLE) AS d2, " +
+        "CAST(greatest(abs(i.x0 - j.x0), abs(i.x1 - j.x1), " +
+        "abs(i.x2 - j.x2)) AS DOUBLE) AS d3 " +
+        "FROM tf i JOIN tf j ON i.t < j.t CROSS JOIN sg), " +
+        "c AS (SELECT n, sigma, r, " +
+        "CAST(sum(CASE WHEN d2 <= r THEN 1 ELSE 0 END) AS BIGINT) AS b, " +
+        "CAST(sum(CASE WHEN d3 <= r THEN 1 ELSE 0 END) AS BIGINT) AS a " +
+        "FROM p GROUP BY 1, 2, 3) " +
+        "SELECT n AS n_days, round(sigma, 6) AS sigma, " +
+        "round(r, 6) AS r_thresh, b AS b_count, a AS a_count, " +
+        "CASE WHEN a > 0 AND b > 0 THEN " +
+        "round(-ln(CAST(a AS DOUBLE) / CAST(b AS DOUBLE)) + 0.0, 6) END " +
+        "AS sampen FROM c"),
     // Mirrors EventOps.turningPointsDaily: exact interior-extremum
     // count off the day-sorted array, N(2(n−2)/3, (16n−29)/90) z.
     "turning_points_daily" ->
@@ -10118,6 +10184,97 @@ object SparkEntry {
         "round((CAST(s.o1 AS DOUBLE) - CAST(s.e1m AS DOUBLE) / 1000000.0) / " +
         "sqrt(CAST(s.vm AS DOUBLE) / 1000000.0), 6) END AS logrank_z " +
         "FROM s CROSS JOIN tot"),
+    // Mirrors EventOps.coxPhAb: the logrank risk table, then 3
+    // identically-unrolled Newton steps — e^beta pinned 12dp per
+    // step, per-time score/information terms micro-unit-pinned
+    // before their sums; the risk table and each beta MATERIALIZED
+    // (the k-truss CTE-inlining lesson).
+    "cox_ph_ab" ->
+      ("WITH u AS (SELECT user_id, user_id % 2 AS arm, " +
+        "CAST(date_trunc('day', min(ts)) AS DATE) AS f, " +
+        "CAST(date_trunc('day', max(ts)) AS DATE) AS l " +
+        "FROM events GROUP BY 1, 2), " +
+        "md AS (SELECT CAST(date_trunc('day', max(ts)) AS DATE) AS max_day " +
+        "FROM events), " +
+        "dur AS (SELECT CAST(datediff('day', f, l) + 1 AS BIGINT) AS t, " +
+        "CASE WHEN l < max_day THEN 1 ELSE 0 END AS observed, arm " +
+        "FROM u CROSS JOIN md), " +
+        "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending, " +
+        "CAST(sum(observed) AS BIGINT) AS d, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ending1, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN observed ELSE 0 END) AS BIGINT) AS d1 " +
+        "FROM dur GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_users1 " +
+        "FROM dur), " +
+        "rt AS MATERIALIZED (SELECT t, d, d1, " +
+        "CAST(n - n1 AS BIGINT) AS n0, n1 FROM (SELECT byt.*, " +
+        "CAST(tot.n_users - sum(ending) OVER (ORDER BY t ASC ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) + ending AS BIGINT) AS n, " +
+        "CAST(tot.n_users1 - sum(ending1) OVER (ORDER BY t ASC ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND CURRENT ROW) + ending1 AS BIGINT) AS n1 " +
+        "FROM byt CROSS JOIN tot) WHERE d > 0), " +
+        "b0 AS (SELECT 0.0 AS beta), " +
+        "s1 AS (SELECT beta, round(exp(beta), 12) AS eb FROM b0), " +
+        "t1 AS (SELECT beta, " +
+        "CAST(round((CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * " +
+        "CAST(n1 AS DOUBLE) * eb / (CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb)) * 1000000.0, 0) AS BIGINT) AS um, " +
+        "CAST(round(CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE) * " +
+        "CAST(n1 AS DOUBLE) * eb / ((CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb) * (CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb)) * 1000000.0, 0) AS BIGINT) AS im " +
+        "FROM rt CROSS JOIN s1), " +
+        "b1 AS MATERIALIZED (SELECT beta + CASE WHEN CAST(sum(im) AS BIGINT) > 0 THEN " +
+        "CAST(sum(um) AS DOUBLE) / CAST(sum(im) AS DOUBLE) ELSE 0.0 END " +
+        "AS beta FROM t1 GROUP BY beta), " +
+        "s2 AS (SELECT beta, round(exp(beta), 12) AS eb FROM b1), " +
+        "t2 AS (SELECT beta, " +
+        "CAST(round((CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * " +
+        "CAST(n1 AS DOUBLE) * eb / (CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb)) * 1000000.0, 0) AS BIGINT) AS um, " +
+        "CAST(round(CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE) * " +
+        "CAST(n1 AS DOUBLE) * eb / ((CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb) * (CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb)) * 1000000.0, 0) AS BIGINT) AS im " +
+        "FROM rt CROSS JOIN s2), " +
+        "b2 AS MATERIALIZED (SELECT beta + CASE WHEN CAST(sum(im) AS BIGINT) > 0 THEN " +
+        "CAST(sum(um) AS DOUBLE) / CAST(sum(im) AS DOUBLE) ELSE 0.0 END " +
+        "AS beta FROM t2 GROUP BY beta), " +
+        "s3 AS (SELECT beta, round(exp(beta), 12) AS eb FROM b2), " +
+        "t3 AS (SELECT beta, " +
+        "CAST(round((CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * " +
+        "CAST(n1 AS DOUBLE) * eb / (CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb)) * 1000000.0, 0) AS BIGINT) AS um, " +
+        "CAST(round(CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE) * " +
+        "CAST(n1 AS DOUBLE) * eb / ((CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb) * (CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb)) * 1000000.0, 0) AS BIGINT) AS im " +
+        "FROM rt CROSS JOIN s3), " +
+        "b3 AS MATERIALIZED (SELECT beta + CASE WHEN CAST(sum(im) AS BIGINT) > 0 THEN " +
+        "CAST(sum(um) AS DOUBLE) / CAST(sum(im) AS DOUBLE) ELSE 0.0 END " +
+        "AS beta FROM t3 GROUP BY beta), " +
+        "sf AS (SELECT beta, round(exp(beta), 12) AS eb FROM b3), " +
+        "tf AS (SELECT beta, " +
+        "CAST(round(CAST(d AS DOUBLE) * CAST(n0 AS DOUBLE) * " +
+        "CAST(n1 AS DOUBLE) * eb / ((CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb) * (CAST(n0 AS DOUBLE) + " +
+        "CAST(n1 AS DOUBLE) * eb)) * 1000000.0, 0) AS BIGINT) AS im " +
+        "FROM rt CROSS JOIN sf), " +
+        "nf AS (SELECT beta, CAST(sum(im) AS BIGINT) AS im FROM tf " +
+        "GROUP BY beta) " +
+        "SELECT CAST(tot.n_users - tot.n_users1 AS BIGINT) AS n_users_a, " +
+        "tot.n_users1 AS n_users_b, " +
+        "CASE WHEN im > 0 THEN round(beta, 6) END AS beta, " +
+        "CASE WHEN im > 0 THEN round(exp(beta), 6) END AS hazard_ratio, " +
+        "CASE WHEN im > 0 THEN " +
+        "round(1.0 / sqrt(CAST(im AS DOUBLE) / 1000000.0), 6) END AS se, " +
+        "CASE WHEN im > 0 THEN " +
+        "round(beta * sqrt(CAST(im AS DOUBLE) / 1000000.0), 6) END " +
+        "AS z_score, " +
+        "CASE WHEN im > 0 THEN " +
+        "abs(beta * sqrt(CAST(im AS DOUBLE) / 1000000.0)) > 1.959964 " +
+        "ELSE false END AS significant FROM nf CROSS JOIN tot"),
     // Mirrors EventOps.propensityStratifiedAte: pre-period activity
     // quintiles (ntile ≡ the two-level globalNtile, the rfm parity),
     // exact per-stratum cells, micro-unit-pinned ATE terms; strata

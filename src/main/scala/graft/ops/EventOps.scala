@@ -4968,6 +4968,100 @@ object EventOps {
         .as("logrank_z"))
   }
 
+  /** Cox proportional-hazards regression on the arm indicator —
+    * the EFFECT-SIZE companion to [[logrankTestAb]] (which only says
+    * "the curves differ"; Cox says BY HOW MUCH: hazard ratio e^β,
+    * with CI-ready SE) — over the same duration/censoring
+    * conventions. With one binary covariate the Breslow partial
+    * likelihood needs only the per-duration risk table: at each
+    * churn time, S₀ = n₀ + n₁e^β and the score/information are
+    *   U(β) = Σ_t [d₁t − d_t·n₁t·e^β/S₀],
+    *   I(β) = Σ_t d_t·n₀t·n₁t·e^β/S₀²,
+    * and β updates by EXACTLY 3 Newton steps from β = 0 (the
+    * [[pageRank]] fixed-iteration contract; the partial likelihood is
+    * concave, 3 steps land within ~1e-10 of the MLE on any realistic
+    * risk table — the ITERATION COUNT is the pinned contract, stated).
+    *
+    * Determinism: the risk table is exact BIGINTs (the logrank
+    * lanes); each e^β re-pins to 12dp after its ONE libm exp call per
+    * step, so every per-time term is identical double arithmetic;
+    * per-time U/I terms re-pin to BIGINT micro-units before the
+    * order-dependent sums (the [[logrankTestAb]] discipline). I = 0
+    * (no comparable risk sets) → NULL β/HR/z, stated.
+    *
+    * Shape: one per-user collapse, one duration collapse, serial
+    * windows over the ≤|durations| frame, then 3 tiny broadcast-join
+    * reduce rounds on that frame. */
+  def coxPhAb(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"), to_date(max(col("ts"))).as("l"))
+    val maxDay = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val dur = users.crossJoin(broadcast(maxDay))
+      .select((datediff(col("l"), col("f")) + 1).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("observed"),
+        (col("user_id") % lit(2L)).as("arm"))
+    val byT = dur.groupBy("t").agg(
+      count(lit(1)).as("ending"), sum(col("observed")).as("d"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("ending1"),
+      sum(when(col("arm") === 1L, col("observed")).otherwise(0L)).as("d1"))
+    val totals = dur.agg(count(lit(1)).as("n_users"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_users1"))
+    val w = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val atRisk = byT.crossJoin(broadcast(totals))
+      .withColumn("n",
+        col("n_users") - sum(col("ending")).over(w) + col("ending"))
+      .withColumn("n1",
+        col("n_users1") - sum(col("ending1")).over(w) + col("ending1"))
+      .filter(col("d") > 0L)
+      .select(col("t"), col("d"), col("d1"),
+        (col("n") - col("n1")).as("n0"), col("n1"))
+      .localCheckpoint() // read by each of the 3 Newton rounds
+    // one Newton step: beta' = beta + U/I on micro-unit-pinned sums
+    def step(beta: DataFrame): DataFrame = {
+      val eb = round(exp(col("beta")), 12)
+      val s0 = col("n0").cast("double") + col("n1").cast("double") * col("eb")
+      val uT = col("d1").cast("double") -
+        col("d").cast("double") * col("n1").cast("double") * col("eb") / s0
+      val iT = col("d").cast("double") * col("n0").cast("double") *
+        col("n1").cast("double") * col("eb") / (s0 * s0)
+      atRisk.crossJoin(broadcast(beta.select(col("beta"), eb.as("eb"))))
+        .select(col("beta"),
+          round(uT * lit(1000000.0), 0).cast("long").as("um"),
+          round(iT * lit(1000000.0), 0).cast("long").as("im"))
+        .groupBy("beta")
+        .agg(sum("um").as("um"), sum("im").as("im"))
+        .select((col("beta") +
+          when(col("im") > 0L, col("um").cast("double") /
+            col("im").cast("double")).otherwise(lit(0.0))).as("beta"))
+    }
+    val spark = events.sparkSession
+    import spark.implicits._
+    var beta = Seq(0.0).toDF("beta")
+    for (_ <- 1 to 3) beta = step(beta).localCheckpoint()
+    // final information at the converged beta for SE/z
+    val ebF = round(exp(col("beta")), 12)
+    val s0F = col("n0").cast("double") + col("n1").cast("double") * col("eb")
+    val iF = col("d").cast("double") * col("n0").cast("double") *
+      col("n1").cast("double") * col("eb") / (s0F * s0F)
+    val info = atRisk
+      .crossJoin(broadcast(beta.select(col("beta"), ebF.as("eb"))))
+      .select(col("beta"),
+        round(iF * lit(1000000.0), 0).cast("long").as("im"))
+      .groupBy("beta").agg(sum("im").as("im"))
+    val i = col("im").cast("double") / lit(1000000.0)
+    val z = col("beta") * sqrt(i)
+    info.crossJoin(broadcast(totals))
+      .select((col("n_users") - col("n_users1")).as("n_users_a"),
+        col("n_users1").as("n_users_b"),
+        when(col("im") > 0L, round(col("beta"), 6)).as("beta"),
+        when(col("im") > 0L, round(exp(col("beta")), 6)).as("hazard_ratio"),
+        when(col("im") > 0L, round(lit(1.0) / sqrt(i), 6)).as("se"),
+        when(col("im") > 0L, round(z, 6)).as("z_score"),
+        when(col("im") > 0L, abs(z) > lit(1.959964)).otherwise(lit(false))
+          .as("significant"))
+  }
+
   /** Two-proportion z-test between the odd/even user-id split (the
     * canonical deterministic A/B assignment): did arm A's users
     * convert (≥1 high-value purchase, value ≥ `threshold`) at a
@@ -7492,6 +7586,117 @@ object EventOps {
           round(col("hsum").cast("double") / lit(1000000.0) /
             log(col("n_freqs").cast("double")), 4))
           .as("spectral_entropy_norm"))
+  }
+
+  /** Permutation entropy of the daily count series (Bandt & Pompe
+    * '02, m = 3): the Shannon entropy of the ORDINAL patterns of
+    * consecutive day triples — the complexity lens that sees only
+    * order, never magnitude (robust to any monotone transform), the
+    * coarse-but-fast member beside [[spectralEntropyDaily]]'s
+    * frequency view and [[sampleEntropyDaily]]'s amplitude view. Low
+    * H: few patterns dominate (trend/periodicity); H near ln 6: the
+    * ordering is noise-like.
+    *
+    * Ties break by POSITION (earlier day wins — the stable-sort
+    * convention), so every rank is an exact integer comparison chain
+    * and the pattern code 9r₀+3r₁+r₂ is an exact BIGINT. Each −p·ln p
+    * term re-pins to BIGINT micro-units before the ≤6-term sum (the
+    * [[spectralEntropyDaily]] discipline); normalizer ln 6.
+    *
+    * Shape: one daily collapse, one lead window over the collapsed
+    * calendar, a ≤6-row pattern frame. */
+  def permutationEntropyDaily(events: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("t").asc)
+    val tri = dailyGrid(events)
+      .select(col("t"), col("cnt").as("x0"),
+        lead(col("cnt"), 1).over(w).as("x1"),
+        lead(col("cnt"), 2).over(w).as("x2"))
+      .filter(col("x2").isNotNull)
+    val r0 = (col("x1") < col("x0")).cast("int") +
+      (col("x2") < col("x0")).cast("int")
+    val r1 = (col("x0") <= col("x1")).cast("int") +
+      (col("x2") < col("x1")).cast("int")
+    val r2 = (col("x0") <= col("x2")).cast("int") +
+      (col("x1") <= col("x2")).cast("int")
+    val pc = tri
+      .groupBy((r0 * lit(9) + r1 * lit(3) + r2).cast("long").as("pattern"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // totals + the term sum both read it
+    val tot = pc.agg(sum("c").as("n"), count(lit(1)).as("n_patterns"))
+    val share = col("c").cast("double") / col("n").cast("double")
+    pc.crossJoin(broadcast(tot))
+      .select(col("n"), col("n_patterns"),
+        round(-share * log(share) * lit(1000000.0), 0).cast("long")
+          .as("hm"))
+      .groupBy("n", "n_patterns")
+      .agg(sum("hm").as("hsum"))
+      .select(col("n").as("n_triples"), col("n_patterns"),
+        round(col("hsum").cast("double") / lit(1000000.0), 4)
+          .as("perm_entropy"),
+        round(col("hsum").cast("double") / lit(1000000.0) /
+          log(lit(6.0)), 4).as("perm_entropy_norm"))
+  }
+
+  /** Sample entropy of the daily count series (Richman & Moorman
+    * '00, m = 2, r = 0.2σ): −ln(A/B) where B counts day-index pairs
+    * whose length-2 templates stay within Chebyshev distance r and A
+    * the same at length 3 — the regularity lens that asks "does
+    * matching for two days predict matching for a third?" (low
+    * SampEn: regular/predictable; high: amplitude-level noise).
+    * Bias-free vs approximate entropy: self-matches are excluded by
+    * the i < j pair frame.
+    *
+    * Determinism: σ comes off exact population-variance lanes, r is
+    * one double product, and every template comparison is integer
+    * |Δ| vs the SAME double r in both engines; A and B are exact
+    * BIGINTs; −ln(A/B) is one libm call on an identical rational,
+    * 6dp. A = 0 or B = 0 → NULL sampen, stated.
+    *
+    * Shape: one daily collapse, one lead window, then a
+    * calendar²-bounded template pair join — never corpus-sized. */
+  def sampleEntropyDaily(events: DataFrame): DataFrame = {
+    val grid = dailyGrid(events)
+      .localCheckpoint() // sigma lanes + the template window read it
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // population sigma of the WHOLE series; r = 0.2 sigma
+    val sig = grid.agg(count(lit(1)).as("n"), sum("cnt").as("sx"),
+        sum(dec(col("cnt")) * col("cnt")).as("sxx"))
+      .select(col("n"),
+        sqrt((dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx"))
+          .cast("double") /
+          (dec(col("n")) * col("n")).cast("double")).as("sigma"))
+      .select(col("n"), col("sigma"),
+        (lit(0.2) * col("sigma")).as("r"))
+    val w = Window.orderBy(col("t").asc)
+    // Richman-Moorman template frame: i = 1..n−2, so both the
+    // length-2 and length-3 counts range over the SAME index set
+    val tpl = grid
+      .select(col("t"), col("cnt").as("x0"),
+        lead(col("cnt"), 1).over(w).as("x1"),
+        lead(col("cnt"), 2).over(w).as("x2"))
+      .filter(col("x2").isNotNull)
+      .localCheckpoint() // both sides of the pair join
+    val pairs = tpl.as("i").crossJoin(tpl.as("j")) // calendar²-bounded
+      .filter(col("i.t") < col("j.t"))
+      .crossJoin(broadcast(sig))
+      .select(col("n"), col("sigma"), col("r"),
+        greatest(abs(col("i.x0") - col("j.x0")),
+          abs(col("i.x1") - col("j.x1"))).cast("double").as("d2"),
+        greatest(abs(col("i.x0") - col("j.x0")),
+          abs(col("i.x1") - col("j.x1")),
+          abs(col("i.x2") - col("j.x2"))).cast("double").as("d3"))
+    pairs.groupBy("n", "sigma", "r")
+      .agg(sum(when(col("d2") <= col("r"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("d3") <= col("r"), 1L).otherwise(0L)).as("a"))
+      .select(col("n").as("n_days"),
+        round(col("sigma"), 6).as("sigma"),
+        round(col("r"), 6).as("r_thresh"),
+        col("b").as("b_count"), col("a").as("a_count"),
+        when(col("a") > 0L && col("b") > 0L,
+          // + 0.0 normalizes IEEE negative zero (A = B -> -ln 1)
+          round(-log(col("a").cast("double") / col("b").cast("double"))
+            + lit(0.0), 6))
+          .as("sampen"))
   }
 
   /** Turning-points randomness test on the daily series (Kendall's

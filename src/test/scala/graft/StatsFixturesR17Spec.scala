@@ -62,6 +62,79 @@ class StatsFixturesR17Spec extends SparkSpec {
       s"sum=${phis.sum} expected $vFullMinusEmpty")
   }
 
+  test("permutation entropy hand case: counts [1,2,3,4,3,2] -> " +
+      "patterns {012:2, 021:1, 210:1}, H = 2 bits' worth of ln") {
+    val rows = Seq(1, 2, 3, 4, 3, 2).zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i => (f"2024-01-0${d + 1} 0$i:00:00", i.toLong, "x", 1.0))
+    }
+    val got = EventOps.permutationEntropyDaily(eventsFrom(rows))
+      .collect().head
+    assert(got.getAs[Long]("n_triples") == 4L)
+    assert(got.getAs[Long]("n_patterns") == 3L)
+    // all three -p ln p terms equal 0.5 ln 2 = 0.25 ln 4 -> hsum =
+    // 3 * rint(1e6 * 0.5 ln 2)
+    val hm = math.rint(0.5 * math.log(2.0) * 1e6)
+    val h = math.rint(3 * hm / 1e6 * 1e4) / 1e4
+    val hn = math.rint(3 * hm / 1e6 / math.log(6.0) * 1e4) / 1e4
+    assert(got.getAs[Double]("perm_entropy") == h, got.toString)
+    assert(got.getAs[Double]("perm_entropy_norm") == hn, got.toString)
+  }
+
+  test("sample entropy hand case: alternating [1,3,1,3,1,3] -> sigma " +
+      "1, r 0.2, A = B = 2, SampEn exactly 0 (not -0.0)") {
+    val rows = Seq(1, 3, 1, 3, 1, 3).zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i => (f"2024-01-0${d + 1} 0$i:00:00", i.toLong, "x", 1.0))
+    }
+    val got = EventOps.sampleEntropyDaily(eventsFrom(rows))
+      .collect().head
+    assert(got.getAs[Long]("n_days") == 6L)
+    assert(got.getAs[Double]("sigma") == 1.0)
+    assert(got.getAs[Double]("r_thresh") == 0.2)
+    assert(got.getAs[Long]("b_count") == 2L)
+    assert(got.getAs[Long]("a_count") == 2L)
+    val sampen = got.getAs[Double]("sampen")
+    assert(sampen == 0.0 &&
+      !(java.lang.Double.doubleToRawLongBits(sampen) != 0L), got.toString)
+  }
+
+  test("cox PH hand case: risk table {(d=2,d1=1,n0=3,n1=2), " +
+      "(d=1,d1=0,n0=2,n1=1)} agrees with a plain-Scala pinned Newton") {
+    // u0/u2/u4 arm 0, u1/u3 arm 1; churn at t=2 (u0,u1), t=4 (u2);
+    // u3,u4 censored at the window edge (l = max_day)
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 0L, "x", 1.0), ("2024-01-02 00:00:00", 0L, "x", 1.0),
+      ("2024-01-01 00:00:00", 1L, "x", 1.0), ("2024-01-02 00:00:00", 1L, "x", 1.0),
+      ("2024-01-01 00:00:00", 2L, "x", 1.0), ("2024-01-04 00:00:00", 2L, "x", 1.0),
+      ("2024-01-01 00:00:00", 3L, "x", 1.0), ("2024-01-10 00:00:00", 3L, "x", 1.0),
+      ("2024-01-01 00:00:00", 4L, "x", 1.0), ("2024-01-10 00:00:00", 4L, "x", 1.0)))
+    val rows = Seq((2.0, 1.0, 3.0, 2.0), (1.0, 0.0, 2.0, 1.0))
+    def sums(beta: Double): (Long, Long) = {
+      val eb = math.rint(math.exp(beta) * 1e12) / 1e12
+      val um = rows.map { case (d, d1, n0, n1) =>
+        math.rint((d1 - d * n1 * eb / (n0 + n1 * eb)) * 1e6).toLong }.sum
+      val im = rows.map { case (d, _, n0, n1) =>
+        math.rint(d * n0 * n1 * eb /
+          ((n0 + n1 * eb) * (n0 + n1 * eb)) * 1e6).toLong }.sum
+      (um, im)
+    }
+    var b = 0.0
+    for (_ <- 1 to 3) {
+      val (um, im) = sums(b)
+      b += (if (im > 0) um.toDouble / im else 0.0)
+    }
+    val i = sums(b)._2 / 1e6
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = EventOps.coxPhAb(ev).collect().head
+    assert(got.getAs[Long]("n_users_a") == 3L)
+    assert(got.getAs[Long]("n_users_b") == 2L)
+    assert(got.getAs[Double]("beta") == r6(b), got.toString)
+    assert(got.getAs[Double]("hazard_ratio") == r6(math.exp(b)))
+    assert(got.getAs[Double]("se") == r6(1.0 / math.sqrt(i)))
+    assert(got.getAs[Double]("z_score") == r6(b * math.sqrt(i)))
+    assert(!got.getAs[Boolean]("significant"))
+    assert(b < 0.0, s"arm B churns less; beta should be negative, got $b")
+  }
+
   test("pettitt changepoint hand case: counts [1,1,1,5,5,5] -> K = 9 " +
       "at day 3, midrank lanes exact") {
     // per day v = n - 2a - e: days 1-3 (y=1): 6-0-3 = 3; days 4-6
