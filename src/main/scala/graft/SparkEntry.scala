@@ -314,6 +314,8 @@ object SparkEntry {
       ((s, d) => MiningOps.pmiCollocations(documents(s, d))),
     "bigram_perplexity" ->
       ((s, d) => MiningOps.bigramPerplexity(documents(s, d))),
+    "kn_bigram_perplexity" ->
+      ((s, d) => MiningOps.knBigramPerplexity(documents(s, d))),
     "tfidf_cosine_pairs" -> ((s, d) => MiningOps.tfidfCosinePairs(documents(s, d))),
     "bm25_top_docs" -> ((s, d) => MiningOps.bm25TopDocs(documents(s, d))),
     "qlm_top_docs" -> ((s, d) => MiningOps.qlmTopDocs(documents(s, d))),
@@ -402,6 +404,8 @@ object SparkEntry {
       ((s, d) => EventOps.conformalDailyIntervals(events(s, d))),
     "hurst_exponent_daily" ->
       ((s, d) => EventOps.hurstExponentDaily(events(s, d))),
+    "dfa_alpha_daily" ->
+      ((s, d) => EventOps.dfaAlphaDaily(events(s, d))),
     "cochran_armitage_trend" ->
       ((s, d) => EventOps.cochranArmitageTrend(events(s, d))),
     "doclen_hill_tail" ->
@@ -811,6 +815,7 @@ object SparkEntry {
     "hamming_rerank_recall_audit" ->
       ((s, d) => VectorOps.hammingRerankRecallAudit(embeddings(s, d))),
     "hard_negatives" -> ((s, d) => VectorOps.hardNegatives(embeddings(s, d), 3)),
+    "triplet_mining" -> ((s, d) => VectorOps.tripletMining(embeddings(s, d))),
     // Pinned deterministic centroids (the knn_ivf_pinned discipline):
     // the IVF-scoped mining replays end-to-end in DuckDB, hash-gated.
     "hard_negatives_ivf" -> ((s, d) =>
@@ -3817,6 +3822,34 @@ object SparkEntry {
         "CAST(count(*) AS DOUBLE), 6) AS cross_entropy " +
         "FROM bgs JOIN cb USING (w1, w2) JOIN cu ON cu.term = bgs.w1 " +
         "CROSS JOIN vv GROUP BY doc_id"),
+    // Mirrors MiningOps.knBigramPerplexity: exact bigram/context/
+    // continuation count families off the collapsed bigram frame,
+    // the KN interpolation in the identical double order, each -ln P
+    // 10dp-pinned into DECIMAL(38,10) before the per-doc sum, one exp.
+    "kn_bigram_perplexity" ->
+      ("WITH toks AS (SELECT doc_id, " +
+        "regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents), " +
+        "bgs AS (SELECT doc_id, split_part(bigram, ' ', 1) AS w1, " +
+        "split_part(bigram, ' ', 2) AS w2 FROM (SELECT doc_id, " +
+        "unnest(list_transform(range(len(t) - 1), " +
+        "i -> t[i+1] || ' ' || t[i+2])) AS bigram FROM toks)), " +
+        "cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb " +
+        "FROM bgs GROUP BY 1, 2), " +
+        "ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS c1, " +
+        "CAST(count(*) AS BIGINT) AS n1fwd FROM cb GROUP BY 1), " +
+        "cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bwd " +
+        "FROM cb GROUP BY 1), " +
+        "nbig AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM cb), " +
+        "sc AS (SELECT doc_id, CAST(round(-ln(" +
+        "greatest(CAST(cb.cb AS DOUBLE) - 0.75, 0.0) / CAST(c1 AS DOUBLE) + " +
+        "0.75 * CAST(n1fwd AS DOUBLE) / CAST(c1 AS DOUBLE) * " +
+        "(CAST(n1bwd AS DOUBLE) / CAST(nb AS DOUBLE))), 10) " +
+        "AS DECIMAL(38,10)) AS term " +
+        "FROM bgs JOIN cb USING (w1, w2) JOIN ctx USING (w1) " +
+        "JOIN cont USING (w2) CROSS JOIN nbig) " +
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, " +
+        "round(exp(CAST(sum(term) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 6) " +
+        "AS kn_perplexity FROM sc GROUP BY doc_id"),
     // Mirrors MiningOps.tfidfCosinePairs: identical linear-idf weight
     // (tf·N/df, same DOUBLE operand order), cosine rounded 6dp BEFORE
     // the threshold. The oracle is the inverted-index formulation; the
@@ -5113,6 +5146,80 @@ object SparkEntry {
         "AS mean_rs, round(hurst, 6) AS hurst FROM (" +
         "SELECT unnest(ms) AS m, unnest(cs) AS nb, unnest(ss) AS srs, " +
         "hurst FROM h)"),
+    // Mirrors EventOps.dfaAlphaDaily: n-scaled exact profile lanes,
+    // per-window mean-squared OLS residual (A − B²/D)/m² clamped at 0
+    // and 6dp-pinned into DECIMAL(38,6) before the per-size mean,
+    // the hurst fold for the log-log slope.
+    "dfa_alpha_daily" ->
+      ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "d AS (SELECT d0 + CAST(unnest(range(datediff('day', d0, d1) + 1)) " +
+        "AS INT) AS day FROM bounds), " +
+        "grid AS (SELECT d.day, coalesce(daily.cnt, 0) AS y " +
+        "FROM d LEFT JOIN daily ON daily.day = d.day), " +
+        "ranked AS (SELECT CAST(row_number() OVER (ORDER BY day ASC) " +
+        "AS BIGINT) AS rn, y FROM grid), " +
+        "rp AS (SELECT rn, CAST(sum(y) OVER (ORDER BY rn ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre FROM ranked), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(max(pre) AS BIGINT) AS sy FROM rp), " +
+        "sz AS (SELECT CAST(unnest([4, 8, 16]) AS BIGINT) AS m), " +
+        "g2 AS (SELECT m, rn, n, " +
+        "CAST((rn - 1) // m AS BIGINT) AS bk, " +
+        "CAST(rn - ((rn - 1) // m) * m AS BIGINT) AS x, " +
+        "CAST(n * pre - rn * sy AS BIGINT) AS p " +
+        "FROM rp CROSS JOIN sz CROSS JOIN nn " +
+        "WHERE CAST((rn - 1) // m AS BIGINT) < CAST(n // m AS BIGINT)), " +
+        "blocks AS (SELECT m, bk, max(n) AS n, " +
+        "CAST(sum(p) AS BIGINT) AS sp, " +
+        "CAST(sum(CAST(p AS HUGEINT) * p) AS HUGEINT) AS spp, " +
+        "CAST(sum(CAST(x * p AS HUGEINT)) AS HUGEINT) AS sxp, " +
+        "CAST((m * (m + 1)) // 2 AS BIGINT) AS sxl, " +
+        "CAST((m * (m + 1) * (2 * m + 1)) // 6 AS BIGINT) AS sxxl " +
+        "FROM g2 GROUP BY 1, 2), " +
+        "perm AS (SELECT m, max(n) AS n, CAST(count(*) AS BIGINT) AS cnt, " +
+        "sum(CAST(round(greatest((CAST(CAST(m AS HUGEINT) * spp - " +
+        "CAST(sp AS HUGEINT) * sp AS DOUBLE) - " +
+        "CAST((CAST(m AS HUGEINT) * sxp - CAST(sxl AS HUGEINT) * sp) * " +
+        "(CAST(m AS HUGEINT) * sxp - CAST(sxl AS HUGEINT) * sp) AS DOUBLE) / " +
+        "CAST(m * sxxl - sxl * sxl AS DOUBLE)) / CAST(m * m AS DOUBLE), 0.0), 6) " +
+        "AS DECIMAL(38,6))) AS ssum FROM blocks GROUP BY 1 " +
+        "HAVING sum(CAST(round(greatest((CAST(CAST(m AS HUGEINT) * spp - " +
+        "CAST(sp AS HUGEINT) * sp AS DOUBLE) - " +
+        "CAST((CAST(m AS HUGEINT) * sxp - CAST(sxl AS HUGEINT) * sp) * " +
+        "(CAST(m AS HUGEINT) * sxp - CAST(sxl AS HUGEINT) * sp) AS DOUBLE) / " +
+        "CAST(m * sxxl - sxl * sxl AS DOUBLE)) / CAST(m * m AS DOUBLE), 0.0), 6) " +
+        "AS DECIMAL(38,6))) > 0), " +
+        "pk AS (SELECT list(m ORDER BY m) AS ms, " +
+        "list(cnt ORDER BY m) AS cs, list(ssum ORDER BY m) AS ss, " +
+        "max(n) AS n FROM perm HAVING count(*) >= 2), " +
+        "fold AS (SELECT ms, cs, ss, n, CAST(len(ms) AS DOUBLE) AS kd, " +
+        "list_reduce(list_transform(range(len(ms)), i -> " +
+        "ln(CAST(ms[CAST(i AS INT) + 1] AS DOUBLE))), " +
+        "(a, b) -> a + b) AS sx, " +
+        "list_reduce(list_transform(range(len(ms)), i -> " +
+        "ln(sqrt(CAST(ss[CAST(i AS INT) + 1] AS DOUBLE) / " +
+        "CAST(cs[CAST(i AS INT) + 1] AS DOUBLE)) / CAST(n AS DOUBLE))), " +
+        "(a, b) -> a + b) AS syp, " +
+        "list_reduce(list_transform(range(len(ms)), i -> " +
+        "ln(CAST(ms[CAST(i AS INT) + 1] AS DOUBLE)) * " +
+        "ln(sqrt(CAST(ss[CAST(i AS INT) + 1] AS DOUBLE) / " +
+        "CAST(cs[CAST(i AS INT) + 1] AS DOUBLE)) / CAST(n AS DOUBLE))), " +
+        "(a, b) -> a + b) AS sxy, " +
+        "list_reduce(list_transform(range(len(ms)), i -> " +
+        "ln(CAST(ms[CAST(i AS INT) + 1] AS DOUBLE)) * " +
+        "ln(CAST(ms[CAST(i AS INT) + 1] AS DOUBLE))), " +
+        "(a, b) -> a + b) AS sxx FROM pk), " +
+        "h AS (SELECT *, (kd * sxy - sx * syp) / " +
+        "(kd * sxx - sx * sx) AS alpha FROM fold) " +
+        "SELECT CAST(m AS BIGINT) AS win_size, " +
+        "CAST(nb AS BIGINT) AS n_blocks, " +
+        "round(sqrt(CAST(srs AS DOUBLE) / CAST(nb AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE), 6) AS fluct, " +
+        "round(alpha, 6) AS dfa_alpha FROM (" +
+        "SELECT unnest(ms) AS m, unnest(cs) AS nb, unnest(ss) AS srs, " +
+        "n, alpha FROM h)"),
     // Mirrors EventOps.conformalDailyIntervals: BIGINT end to end —
     // day+7 equi-join residuals, integer-ceiling conformal index over
     // the collapsed |e| grid, seasonal-naive last-week points.
@@ -7605,6 +7712,40 @@ object SparkEntry {
         "SELECT a_id, a_label, b_id, b_label, cos_sim FROM (SELECT *, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn " +
         "FROM s) WHERE rn <= 3"),
+    // Mirrors VectorOps.tripletMining: the knn_all_brute pair pass and
+    // total order; positive = same-label top-1, semi-hard = cross-label
+    // top-1 below pos_cos, hard fallback coalesced in (flag column);
+    // pair CTE MATERIALIZED against triple inlining.
+    "triplet_mining" ->
+      ("WITH s AS MATERIALIZED (SELECT a.vec_id AS a_id, a.label AS a_label, " +
+        "b.vec_id AS b_id, b.label AS b_label, " +
+        "round(list_sum(list_transform(range(len(a.embedding)), " +
+        "i -> CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE))) " +
+        "/ (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) " +
+        "* sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cs " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id), " +
+        "pos AS (SELECT a_id, a_label, b_id AS pos_id, cs AS pos_cos " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY a_id " +
+        "ORDER BY cs DESC, b_id ASC) AS rn FROM s " +
+        "WHERE a_label = b_label) WHERE rn = 1), " +
+        "sh AS (SELECT a_id, b_id AS semi_id, cs AS semi_cos FROM (" +
+        "SELECT s.a_id, s.b_id, s.cs, row_number() OVER (" +
+        "PARTITION BY s.a_id ORDER BY s.cs DESC, s.b_id ASC) AS rn " +
+        "FROM s JOIN pos ON pos.a_id = s.a_id " +
+        "WHERE s.a_label <> s.b_label AND s.cs < pos.pos_cos) " +
+        "WHERE rn = 1), " +
+        "hard AS (SELECT a_id, b_id AS hard_id, cs AS hard_cos FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY a_id " +
+        "ORDER BY cs DESC, b_id ASC) AS rn FROM s " +
+        "WHERE a_label <> b_label) WHERE rn = 1) " +
+        "SELECT pos.a_id AS anchor_id, pos.a_label AS label, " +
+        "pos_id, pos_cos, " +
+        "coalesce(semi_id, hard_id) AS neg_id, " +
+        "coalesce(semi_cos, hard_cos) AS neg_cos, " +
+        "round(pos_cos - coalesce(semi_cos, hard_cos), 4) AS margin, " +
+        "semi_id IS NOT NULL AS semi_hard " +
+        "FROM pos LEFT JOIN sh ON sh.a_id = pos.a_id " +
+        "LEFT JOIN hard ON hard.a_id = pos.a_id"),
     // Mirrors VectorOps.hardNegativesIvf with the pinned deterministic
     // centroid sample (vec_id % 997 < 16): the oracle replays the FULL
     // IVF-scoped mining — cosine argmax assignment (list_id ASC

@@ -5543,6 +5543,99 @@ object EventOps {
         col("hurst"))
   }
 
+  /** Detrended fluctuation analysis of the daily count series (Peng
+    * et al. '94) — the long-range-dependence estimator ROBUST TO
+    * NONSTATIONARITY beside [[hurstExponentDaily]]'s classic R/S
+    * (a level drift inflates R/S toward spurious H ≈ 1; DFA removes
+    * a per-window linear trend first, which is why it is the standard
+    * in physiology/traffic data): cumulate the centered series into a
+    * profile, OLS-detrend each size-m window, and read α as the
+    * log-log slope of the RMS residual F(m) — α ≈ 0.5 uncorrelated,
+    * > 0.5 persistent, ≈ 1 1/f.
+    *
+    * Exactness: the n-SCALED profile P_k = n·pre_k − rn_k·Σy is an
+    * exact BIGINT lane (scaling by n avoids the rational mean; α is
+    * scale-invariant and the reported F divides the n back out); each
+    * window's OLS residual sum is the closed form
+    * (A − B²/D)/m² on exact A = mΣP²−(ΣP)², B = mΣxP−SxΣP,
+    * D = mSxx−Sx² — one pinned double chain per window, clamped at 0
+    * (exact-rational nonnegativity can round to −ε), 6dp-pinned into
+    * DECIMAL(38,6) before the per-size mean (order-exact); the slope
+    * folds over the size-sorted point array ([[hurstExponentDaily]]'s
+    * aggregate-from-0.0 identity). Sizes with zero residual mass drop
+    * from the fit (a perfectly linear profile has no fluctuation to
+    * regress — stated).
+    *
+    * Shape: one daily collapse, two serial windows over the visible
+    * collapse, |sizes| block scans of the ≤calendar frame, a ≤|sizes|
+    * fold. */
+  def dfaAlphaDaily(events: DataFrame,
+      sizes: Seq[Int] = Seq(4, 8, 16)): DataFrame = {
+    val daily = events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("y"))
+    // rank + global prefix BEFORE the checkpoint (the hurst/isotonic
+    // sweep-visibility convention); the checkpointed frame then
+    // serves the totals probe and |sizes| block scans
+    val ranked = grid
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("day").asc)).cast("long"))
+      .withColumn("pre", sum(col("y")).over(Window.orderBy(col("rn").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select("rn", "pre")
+      .localCheckpoint()
+    val totRow = ranked.agg(count(lit(1)), max(col("pre"))).head()
+    val nCal = totRow.getLong(0)
+    val syTot = totRow.getLong(1) // pre's last value = Σy
+    val szDf = ranked.sparkSession.createDataFrame(
+      sizes.map(m => Tuple1(m.toLong))).toDF("m")
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    val g2 = ranked.crossJoin(broadcast(szDf))
+      .withColumn("bk", expr("(rn - 1) div m"))
+      .filter(expr(s"bk < ${nCal}L div m")) // complete blocks only
+      .withColumn("x", col("rn") - col("bk") * col("m"))
+      .withColumn("p", lit(nCal) * col("pre") - col("rn") * lit(syTot))
+    val blocks = g2.groupBy("m", "bk")
+      .agg(sum(col("p")).as("sp"), sum(d38(col("p")) * col("p")).as("spp"),
+        sum(d38(col("x") * col("p"))).as("sxp"))
+      // m(m+1) and m(m+1)(2m+1) are divisible by 2 and 6 — div exact
+      .withColumn("sxl", expr("(m * (m + 1)) div 2"))
+      .withColumn("sxxl", expr("(m * (m + 1) * (2 * m + 1)) div 6"))
+    val aE = d38(col("m")) * col("spp") - d38(col("sp")) * col("sp")
+    val bE = d38(col("m")) * col("sxp") - d38(col("sxl")) * col("sp")
+    val dE = col("m") * col("sxxl") - col("sxl") * col("sxl")
+    val sse = (aE.cast("double") -
+      (bE * bE).cast("double") / dE.cast("double")) /
+      (col("m") * col("m")).cast("double")
+    val perM = blocks
+      .select(col("m"),
+        round(greatest(sse, lit(0.0)), 6).cast("decimal(38,6)").as("ssem"))
+      .groupBy("m").agg(count(lit(1)).as("cnt"), sum(col("ssem")).as("ssum"))
+      .filter(col("ssum") > 0)
+    val pk = perM
+      .agg(array_sort(collect_list(struct(col("m"), col("cnt"),
+        col("ssum")))).as("pts"))
+      .filter(size(col("pts")) >= 2)
+    val nD = lit(nCal.toDouble)
+    def xOf(e: Column) = log(e.getField("m").cast("double"))
+    def yOf(e: Column) = log(sqrt(e.getField("ssum").cast("double") /
+      e.getField("cnt").cast("double")) / nD)
+    val kD = size(col("pts")).cast("double")
+    val sxF = aggregate(col("pts"), lit(0.0), (a, e) => a + xOf(e))
+    val syF = aggregate(col("pts"), lit(0.0), (a, e) => a + yOf(e))
+    val sxyF = aggregate(col("pts"), lit(0.0), (a, e) => a + xOf(e) * yOf(e))
+    val sxxF = aggregate(col("pts"), lit(0.0), (a, e) => a + xOf(e) * xOf(e))
+    val alpha = (kD * sxyF - sxF * syF) / (kD * sxxF - sxF * sxF)
+    pk.select(posexplode(col("pts")), round(alpha, 6).as("dfa_alpha"))
+      .select(col("col.m").as("win_size"), col("col.cnt").as("n_blocks"),
+        round(sqrt(col("col.ssum").cast("double") /
+          col("col.cnt").cast("double")) / nD, 6).as("fluct"),
+        col("dfa_alpha"))
+  }
+
   /** Split-conformal prediction intervals for the seasonal-naive
     * daily forecast (Vovk's conformal guarantee in its simplest
     * production form): calibrate on the in-sample residuals

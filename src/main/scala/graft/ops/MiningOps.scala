@@ -513,6 +513,56 @@ object MiningOps {
           count(lit(1)).cast("double"), 6).as("cross_entropy"))
   }
 
+  /** Per-document perplexity under the corpus's interpolated
+    * Kneser–Ney bigram model (Kneser & Ney '95; the Chen & Goodman
+    * '98 benchmark winner), absolute discount D = 0.75:
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁•)
+    *            + (D·N₁₊(w₁•)/c(w₁•)) · N₁₊(•w₂)/N₁₊(••)
+    *
+    * — the continuation-probability backoff that fixes add-one's
+    * pathology ([[bigramPerplexity]] scores "san francisco"-style
+    * collocation tails as probable ANYWHERE; KN asks how many
+    * distinct contexts a word completes). PP(d) = exp((1/m)Σ −ln P).
+    * Every scored bigram occurs in the training corpus (same text),
+    * so c ≥ 1 and the continuation term keeps P > 0; docs with < 2
+    * tokens have no bigrams and are excluded, mirroring the oracle.
+    *
+    * Determinism: all five count families are exact BIGINTs; each
+    * −ln P rounds 10dp into DECIMAL(38,10) before the per-doc sum —
+    * ORDER-EXACT, tightening [[bigramPerplexity]]'s
+    * summation-order-absorbing convention — then one exp, 6dp.
+    *
+    * Scale shape: one bigram hash agg builds the model; the
+    * context/continuation/total families are three aggs on that
+    * COLLAPSED frame (bigram-type-sized, not token-sized); scoring
+    * joins key on the Zipf-hot w₁/w₂ with map-side partials on the
+    * per-doc collapse absorbing the skew. */
+  def knBigramPerplexity(docs: DataFrame,
+      discount: Double = 0.75): DataFrame = {
+    val bg = bigramRows(docs).localCheckpoint() // model agg + scoring
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // context + continuation + total read it
+    val ctx = cb.groupBy("w1")
+      .agg(sum(col("cb")).as("c1"), count(lit(1)).as("n1fwd"))
+    val cont = cb.groupBy("w2").agg(count(lit(1)).as("n1bwd"))
+    val nbig = cb.agg(count(lit(1)).as("nb"))
+    val d = lit(discount)
+    val p = greatest(col("cb").cast("double") - d, lit(0.0)) /
+      col("c1").cast("double") +
+      d * col("n1fwd").cast("double") / col("c1").cast("double") *
+        (col("n1bwd").cast("double") / col("nb").cast("double"))
+    val term = round(-log(p), 10).cast("decimal(38,10)")
+    bg.join(cb, Seq("w1", "w2"))
+      .join(ctx, "w1").join(cont, "w2")
+      .crossJoin(broadcast(nbig))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(term).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(exp(col("s").cast("double") /
+          col("n_bigrams").cast("double")), 6).as("kn_perplexity"))
+  }
+
   /** Shared df-pruned weight frame (doc_id, term, w). */
   private def weights(docs: DataFrame, maxDfShare: Double): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n"))

@@ -523,6 +523,69 @@ object VectorOps {
       Seq(col("cos_sim").desc, col("b_id").asc), k)
   }
 
+  /** Semi-hard triplet mining (Schroff et al. CVPR '15) — the
+    * metric-learning batch constructor completing the negative-mining
+    * row ([[hardNegatives]] finds the globally hardest impostor; the
+    * FaceNet recipe wants the hardest one that is still FARTHER than
+    * the positive, because fully-hard negatives collapse the
+    * embedding early in training): per anchor, positive = nearest
+    * same-label vector, negative = the max-cosine cross-label vector
+    * with cos < pos_cos, falling back to the global hardest negative
+    * when no semi-hard exists (flagged, never dropped silently).
+    * Anchors whose label has no second member have no positive and
+    * emit nothing (stated).
+    *
+    * Determinism: the 4dp-cosine + id total order everywhere (the
+    * [[knnAllBrute]] key); margin re-rounds the 4dp difference once.
+    *
+    * Shape: three passes of the knnAllBrute pair stream (broadcast
+    * right, native capped-heap top-1, pairs never materialized); at
+    * corpus scale the SAME selection chain runs over any ANN
+    * candidate list ([[knnAllIvf]]/[[hammingBandedPairs]]) — the
+    * knn_all_brute-beside-knn_all_ivf posture. */
+  def tripletMining(embeddings: DataFrame): DataFrame = {
+    import graft.functions.DotProduct.{dotFused, normFused}
+    val a = embeddings.select(col("vec_id").as("a_id"),
+      col("label").as("a_label"),
+      col("embedding").as("va"), normFused(col("embedding")).as("na"))
+      .repartition(col("a_id"))
+    val b = embeddings.select(col("vec_id").as("b_id"),
+      col("label").as("b_label"),
+      col("embedding").as("vb"), normFused(col("embedding")).as("nb"))
+    def scored(cond: Column) = a.join(broadcast(b),
+        col("a_id") =!= col("b_id") && cond)
+      .select(col("a_id"), col("a_label"), col("b_id"),
+        round(when(col("na") * col("nb") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(dotFused(col("va"), col("vb")) /
+            (col("na") * col("nb"))), 4).as("cs"))
+    val pos = graft.plans.TopK.perGroup(
+      scored(col("a_label") === col("b_label")), Seq(col("a_id")),
+      Seq(col("cs").desc, col("b_id").asc), 1)
+      .select(col("a_id"), col("a_label"), col("b_id").as("pos_id"),
+        col("cs").as("pos_cos"))
+    val negs = scored(col("a_label") =!= col("b_label"))
+      .join(pos.select("a_id", "pos_cos"), "a_id")
+    val semi = graft.plans.TopK.perGroup(
+      negs.filter(col("cs") < col("pos_cos")), Seq(col("a_id")),
+      Seq(col("cs").desc, col("b_id").asc), 1)
+      .select(col("a_id"), col("b_id").as("semi_id"),
+        col("cs").as("semi_cos"))
+    val hard = graft.plans.TopK.perGroup(
+      scored(col("a_label") =!= col("b_label")), Seq(col("a_id")),
+      Seq(col("cs").desc, col("b_id").asc), 1)
+      .select(col("a_id"), col("b_id").as("hard_id"),
+        col("cs").as("hard_cos"))
+    pos.join(semi, Seq("a_id"), "left").join(hard, Seq("a_id"), "left")
+      .select(col("a_id").as("anchor_id"), col("a_label").as("label"),
+        col("pos_id"), col("pos_cos"),
+        coalesce(col("semi_id"), col("hard_id")).as("neg_id"),
+        coalesce(col("semi_cos"), col("hard_cos")).as("neg_cos"),
+        round(col("pos_cos") -
+          coalesce(col("semi_cos"), col("hard_cos")), 4).as("margin"),
+        col("semi_id").isNotNull.as("semi_hard"))
+  }
+
   /** Batch ANN via IVF, the coarse-quantization analogue of
     * [[knnAllLsh]]: every vector probes its `nprobe` nearest lists
     * (one broadcast crossJoin against the tiny centroid table, bounded

@@ -254,6 +254,32 @@ class MiningOpsSpec extends SparkSpec {
     assert(math.abs(got(3L)._2 - math.rint(math.log(3.0) * 1e6) / 1e6) < 1e-9)
   }
 
+  test("knBigramPerplexity: hand-traced KN interpolation on corpus " +
+      "{a b, a b, a c} — continuation mass splits the discount") {
+    // cb: (a,b)=2, (a,c)=1; c(a.)=3, N1+(a.)=2; N1+(.b)=N1+(.c)=1;
+    // N1+(..)=2. P(b|a) = 1.25/3 + (0.75*2/3)*(1/2); P(c|a) =
+    // 0.25/3 + same backoff. One-bigram docs -> PP = exp(-ln P
+    // pinned 10dp) = ~1/P.
+    val corpus = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = MiningOps.knBigramPerplexity(corpus)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def pp(p: Double): Double = {
+      val t = math.rint(-math.log(p) * 1e10) / 1e10
+      math.rint(math.exp(t) * 1e6) / 1e6
+    }
+    val backoff = 0.75 * 2.0 / 3.0 * (1.0 / 2.0)
+    val pB = math.max(2.0 - 0.75, 0.0) / 3.0 + backoff
+    val pC = math.max(1.0 - 0.75, 0.0) / 3.0 + backoff
+    assert(!got.contains(4L), "bigram-free doc must be absent")
+    assert(got(1L) == ((1L, pp(pB))), got.toString)
+    assert(got(2L) == ((1L, pp(pB))), got.toString)
+    assert(got(3L) == ((1L, pp(pC))), got.toString)
+    assert(got(3L)._2 > got(1L)._2,
+      "the rare continuation must be more perplexing")
+  }
+
   test("bm25TopDocs: topK truncates with the rounded-score/doc_id order") {
     val corpus = (1L to 30L).map(i => (i, "join x" + i)).toDF("doc_id", "text")
     val got = MiningOps.bm25TopDocs(corpus, Seq("join"), topK = 7)

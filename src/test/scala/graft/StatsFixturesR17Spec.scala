@@ -97,6 +97,64 @@ class StatsFixturesR17Spec extends SparkSpec {
       !(java.lang.Double.doubleToRawLongBits(sampen) != 0L), got.toString)
   }
 
+  test("DFA alpha agrees with a plain-Scala pinned mirror on an " +
+      "alternating 17-day series; constant series yields no rows") {
+    // counts [2,0,2,0,...,2]: zero-filled calendar supplies the 0s
+    val ys = (0 until 17).map(i => if (i % 2 == 0) 2L else 0L).toArray
+    val rows = ys.zipWithIndex.filter(_._1 > 0L).flatMap { case (c, d) =>
+      (1 to c.toInt).map(i =>
+        (f"2024-01-${d + 1}%02d 0$i:00:00", i.toLong, "x", 1.0))
+    }
+    val sizes = Seq(4, 8, 16)
+    // mirror of the engine's exact lanes + pinning
+    val n = ys.length
+    val sy = ys.sum
+    val pre = ys.scanLeft(0L)(_ + _).tail
+    val p = (1 to n).map(k => n.toLong * pre(k - 1) - k.toLong * sy)
+    val perM = sizes.flatMap { m =>
+      val nb = n / m
+      val sxl = m.toLong * (m + 1) / 2
+      val sxxl = m.toLong * (m + 1) * (2 * m + 1) / 6
+      val dE = m.toLong * sxxl - sxl * sxl
+      val sses = (0 until nb).map { bk =>
+        val seg = p.slice(bk * m, bk * m + m)
+        val sp = seg.map(BigInt(_)).sum
+        val spp = seg.map(v => BigInt(v) * v).sum
+        val sxp = seg.zipWithIndex.map { case (v, i) => BigInt(i + 1) * v }.sum
+        val aE = BigInt(m) * spp - sp * sp
+        val bE = BigInt(m) * sxp - BigInt(sxl) * sp
+        val sse = (aE.toDouble - (bE * bE).toDouble / dE.toDouble) /
+          (m.toDouble * m)
+        math.rint(math.max(sse, 0.0) * 1e6) / 1e6
+      }
+      val ssum = sses.map(BigDecimal(_)).sum
+      if (nb > 0 && ssum > 0) Some((m, nb.toLong, ssum.toDouble)) else None
+    }.sortBy(_._1)
+    val k = perM.size.toDouble
+    val xs = perM.map(t => math.log(t._1.toDouble))
+    val yv = perM.map(t => math.log(math.sqrt(t._3 / t._2) / n))
+    val alpha = (k * xs.zip(yv).map { case (a, b) => a * b }.sum -
+      xs.sum * yv.sum) / (k * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    val got = EventOps.dfaAlphaDaily(eventsFrom(rows.toSeq)).collect()
+      .map(r => r.getAs[Long]("win_size") ->
+        ((r.getAs[Long]("n_blocks"), r.getAs[Double]("fluct"),
+          r.getAs[Double]("dfa_alpha")))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.keySet == perM.map(_._1.toLong).toSet, got.toString)
+    perM.foreach { case (m, nb, ssum) =>
+      assert(got(m.toLong)._1 == nb)
+      assert(got(m.toLong)._2 == r6(math.sqrt(ssum / nb) / n),
+        s"m=$m: ${got(m.toLong)}")
+    }
+    assert(got.values.map(_._3).toSet == Set(r6(alpha)), got.toString)
+    // anti-persistent alternation: alpha well below the 0.5 noise line
+    assert(alpha < 0.3, s"alternating series should be anti-persistent: $alpha")
+    // constant series: linear profile, zero residuals everywhere -> no rows
+    val flat = (0 until 16).flatMap(d =>
+      Seq((f"2024-01-${d + 1}%02d 00:00:00", 1L, "x", 1.0)))
+    assert(EventOps.dfaAlphaDaily(eventsFrom(flat)).collect().isEmpty)
+  }
+
   test("cox PH hand case: risk table {(d=2,d1=1,n0=3,n1=2), " +
       "(d=1,d1=0,n0=2,n1=1)} agrees with a plain-Scala pinned Newton") {
     // u0/u2/u4 arm 0, u1/u3 arm 1; churn at t=2 (u0,u1), t=4 (u2);

@@ -207,6 +207,30 @@ class VectorOpsSpec extends SparkSpec {
     assert(got(4L) == ((0L, None, None)), got.toString)
   }
 
+  test("tripletMining: semi-hard picked below pos_cos, hard fallback " +
+      "flagged when nothing is semi-hard") {
+    // anchors 0/1 (label 0, twins at cos 1): semi-hard = v2 at 0.8;
+    // anchor 2 (label 1): pos v3 at 0.6, both negatives at 0.8 >= 0.6
+    // -> hard fallback v0, semi_hard false, negative margin;
+    // anchor 3: pos v2 at 0.6, negatives at 0.0 -> semi-hard v0.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.6f), 1),
+      (3L, Array(0.0f, 1.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = VectorOps.tripletMining(emb).collect()
+      .map(r => r.getAs[Long]("anchor_id") ->
+        ((r.getAs[Long]("pos_id"), r.getAs[Double]("pos_cos"),
+          r.getAs[Long]("neg_id"), r.getAs[Double]("neg_cos"),
+          r.getAs[Double]("margin"), r.getAs[Boolean]("semi_hard"))))
+      .toMap
+    assert(got(0L) == ((1L, 1.0, 2L, 0.8, 0.2, true)), got.toString)
+    assert(got(1L) == ((0L, 1.0, 2L, 0.8, 0.2, true)), got.toString)
+    assert(got(2L) == ((3L, 0.6, 0L, 0.8, -0.2, false)), got.toString)
+    assert(got(3L) == ((2L, 0.6, 0L, 0.0, 0.6, true)), got.toString)
+  }
+
   test("hardNegatives: nearest cross-label only, same-label twin excluded") {
     // doc 10's IDENTICAL twin (cos 1.0) shares its label — it must be
     // invisible; the hard negative is the almost-identical vector with
