@@ -138,6 +138,8 @@ object SparkEntry {
     "value_histogram" -> ((s, d) => EventOps.valueHistogram(events(s, d))),
     "value_equidepth_histogram" ->
       ((s, d) => EventOps.valueEquidepthHistogram(events(s, d))),
+    "kde_value_density" ->
+      ((s, d) => EventOps.kdeValueDensity(events(s, d))),
     "dow_anomalies" -> ((s, d) => EventOps.dowAnomalies(events(s, d))),
     "daily_trend_by_type" ->
       ((s, d) => EventOps.dailyTrendByType(events(s, d))),
@@ -394,6 +396,10 @@ object SparkEntry {
       ((s, d) => EventOps.grangerTypePairs(events(s, d))),
     "durbin_watson_daily" ->
       ((s, d) => EventOps.durbinWatsonDaily(events(s, d))),
+    "breusch_pagan_daily" ->
+      ((s, d) => EventOps.breuschPaganDaily(events(s, d))),
+    "chow_break_daily" ->
+      ((s, d) => EventOps.chowBreakDaily(events(s, d))),
     "mann_kendall_daily" ->
       ((s, d) => EventOps.mannKendallDaily(events(s, d))),
     "pettitt_changepoint_daily" ->
@@ -524,6 +530,8 @@ object SparkEntry {
     "woe_value_bins" -> ((s, d) => EventOps.woeValueBins(events(s, d))),
     "lang_agreement_kappa" ->
       ((s, d) => DocOps.langAgreementKappa(documents(s, d))),
+    "krippendorff_alpha_lang" ->
+      ((s, d) => DocOps.krippendorffAlphaLang(documents(s, d))),
     "shard_assignments" ->
       ((s, d) => DocOps.shardAssignments(documents(s, d))),
     "shard_fill_stats" ->
@@ -773,6 +781,8 @@ object SparkEntry {
       ((s, d) => VectorOps.mahalanobisOutliers(embeddings(s, d))),
     "circadian_entropy_stats" ->
       ((s, d) => EventOps.circadianEntropyStats(events(s, d))),
+    "circular_hour_stats" ->
+      ((s, d) => EventOps.circularHourStats(events(s, d))),
     "knn_quantized" -> ((s, d) => VectorOps.knnQuantized(embeddings(s, d), 0, 10)),
     "knn_lsh" -> ((s, d) => VectorOps.knnLsh(embeddings(s, d), 0, 10)),
     "knn_ivf" -> ((s, d) =>
@@ -816,6 +826,8 @@ object SparkEntry {
       ((s, d) => VectorOps.hammingRerankRecallAudit(embeddings(s, d))),
     "hard_negatives" -> ((s, d) => VectorOps.hardNegatives(embeddings(s, d), 3)),
     "triplet_mining" -> ((s, d) => VectorOps.tripletMining(embeddings(s, d))),
+    "triplet_mining_ivf" -> ((s, d) => VectorOps.tripletMiningIvf(
+      embeddings(s, d), VectorOps.sampleCentroids(embeddings(s, d), 16))),
     // Pinned deterministic centroids (the knn_ivf_pinned discipline):
     // the IVF-scoped mining replays end-to-end in DuckDB, hash-gated.
     "hard_negatives_ivf" -> ((s, d) =>
@@ -1003,6 +1015,7 @@ object SparkEntry {
     "funnel_latency" -> ((s, d) => EventOps.funnelLatency(events(s, d))),
     "psi_type_drift" -> ((s, d) => EventOps.psiTypeDrift(events(s, d))),
     "ks_value_drift" -> ((s, d) => EventOps.ksValueDrift(events(s, d))),
+    "value_mmd_drift" -> ((s, d) => EventOps.valueMmdDrift(events(s, d))),
     "hazard_by_tenure" -> ((s, d) => EventOps.hazardByTenure(events(s, d))),
     "forecast_backtest" -> ((s, d) => EventOps.forecastBacktest(events(s, d))),
     "rfm_segments" -> ((s, d) => AggOps.rfmSegments(orders(s, d))),
@@ -1079,6 +1092,8 @@ object SparkEntry {
       ((s, d) => EventOps.brownForsytheDaily(events(s, d))),
     "bh_fdr_type_pairs" ->
       ((s, d) => EventOps.bhFdrTypePairs(events(s, d))),
+    "by_fdr_type_pairs" ->
+      ((s, d) => EventOps.byFdrTypePairs(events(s, d))),
     "mcnemar_switchers" ->
       ((s, d) => EventOps.mcnemarSwitchers(events(s, d))),
     "chao1_vocab_richness" ->
@@ -1098,6 +1113,8 @@ object SparkEntry {
       ((s, d) => VectorOps.embeddingIsotropy(embeddings(s, d))),
     "diff_in_diff" -> ((s, d) => EventOps.diffInDiff(events(s, d))),
     "sprt_daily_ab" -> ((s, d) => EventOps.sprtDailyAb(events(s, d))),
+    "obrien_fleming_monitor" ->
+      ((s, d) => EventOps.obrienFlemingMonitor(events(s, d))),
     "mde_power_analysis" ->
       ((s, d) => EventOps.mdePowerAnalysis(events(s, d))),
     "seasonal_decomposition_daily" ->
@@ -4642,6 +4659,175 @@ object SparkEntry {
     // Mirrors EventOps.mannKendallDaily: exact BIGINT S and 18·Var
     // (pair signs + tie-group cubics over the dense calendar), one
     // pinned continuity-corrected z, stated 1.959964 cut.
+    // Mirrors EventOps.breuschPaganDaily: exact D-scaled residual
+    // lanes, squared residuals micro-unit-pinned (x1e6 HUGEINT) before
+    // the aux sums, the g^2 lane pinned x1e4, one R^2 chain.
+    "breusch_pagan_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "g AS (SELECT t + 1 AS t, cnt AS y FROM grid), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(t) AS BIGINT) AS sx, " +
+        "CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS sxx, " +
+        "CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sxy FROM g), " +
+        "dd AS (SELECT n, sx, sxx, " +
+        "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS d, " +
+        "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS bn, " +
+        "CAST(sxx AS HUGEINT) * sy - CAST(sx AS HUGEINT) * sxy AS an " +
+        "FROM m), " +
+        "r AS (SELECT n, sx, sxx, g.t, " +
+        "CAST(round(CAST(d * y - an - bn * t AS DOUBLE) / CAST(d AS DOUBLE) * " +
+        "(CAST(d * y - an - bn * t AS DOUBLE) / CAST(d AS DOUBLE)) * " +
+        "1000000.0, 0) AS HUGEINT) AS gm " +
+        "FROM g CROSS JOIN dd), " +
+        "aux AS (SELECT n, sx, sxx, CAST(sum(gm) AS HUGEINT) AS sgm, " +
+        "CAST(sum(gm * t) AS HUGEINT) AS stgm, " +
+        "CAST(sum(CAST(round(CAST(gm AS DOUBLE) / 1000000.0 * " +
+        "(CAST(gm AS DOUBLE) / 1000000.0) * 10000.0, 0) AS HUGEINT)) " +
+        "AS HUGEINT) AS sggm FROM r GROUP BY 1, 2, 3), " +
+        "f AS (SELECT n, " +
+        "CAST(n AS DOUBLE) * (CAST(stgm AS DOUBLE) / 1000000.0) - " +
+        "CAST(sx AS DOUBLE) * (CAST(sgm AS DOUBLE) / 1000000.0) AS num, " +
+        "CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - " +
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den1, " +
+        "CAST(n AS DOUBLE) * (CAST(sggm AS DOUBLE) / 10000.0) - " +
+        "(CAST(sgm AS DOUBLE) / 1000000.0) * " +
+        "(CAST(sgm AS DOUBLE) / 1000000.0) AS den2 FROM aux) " +
+        "SELECT n AS n_days, " +
+        "CASE WHEN n >= 3 AND den2 > 0.0 THEN " +
+        "round(num * num / (den1 * den2), 6) END AS r2_aux, " +
+        "CASE WHEN n >= 3 AND den2 > 0.0 THEN " +
+        "round(CAST(n AS DOUBLE) * (num * num / (den1 * den2)), 6) END " +
+        "AS lm_stat, " +
+        "CASE WHEN n >= 3 AND den2 > 0.0 THEN " +
+        "CAST(n AS DOUBLE) * (num * num / (den1 * den2)) > 3.841459 " +
+        "ELSE false END AS significant FROM f"),
+    // Mirrors EventOps.chowBreakDaily: one conditional segment
+    // collapse whose sums ARE the full-series moments, the closed-form
+    // (A - B^2/D)/n SSE per fit, F in the identical chain.
+    "chow_break_daily" ->
+      (s"WITH $dailyGridCte, " +
+        "g AS (SELECT t + 1 AS t, cnt AS y FROM grid), " +
+        "nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM g), " +
+        "segs AS (SELECT n, CASE WHEN t * 2 <= n THEN 1 ELSE 2 END AS seg, " +
+        "CAST(count(*) AS BIGINT) AS ns, CAST(sum(t) AS BIGINT) AS st, " +
+        "CAST(sum(CAST(t AS HUGEINT) * t) AS HUGEINT) AS stt, " +
+        "CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(CAST(t AS HUGEINT) * y) AS HUGEINT) AS sty, " +
+        "CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy " +
+        "FROM g CROSS JOIN nr GROUP BY 1, 2), " +
+        "one AS (SELECT n, " +
+        "CAST(sum(CASE WHEN seg = 1 THEN ns END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN seg = 1 THEN st END) AS BIGINT) AS st1, " +
+        "CAST(sum(CASE WHEN seg = 1 THEN stt END) AS HUGEINT) AS stt1, " +
+        "CAST(sum(CASE WHEN seg = 1 THEN sy END) AS BIGINT) AS sy1, " +
+        "CAST(sum(CASE WHEN seg = 1 THEN sty END) AS HUGEINT) AS sty1, " +
+        "CAST(sum(CASE WHEN seg = 1 THEN syy END) AS HUGEINT) AS syy1, " +
+        "CAST(sum(CASE WHEN seg = 2 THEN ns END) AS BIGINT) AS n2, " +
+        "CAST(sum(CASE WHEN seg = 2 THEN st END) AS BIGINT) AS st2, " +
+        "CAST(sum(CASE WHEN seg = 2 THEN stt END) AS HUGEINT) AS stt2, " +
+        "CAST(sum(CASE WHEN seg = 2 THEN sy END) AS BIGINT) AS sy2, " +
+        "CAST(sum(CASE WHEN seg = 2 THEN sty END) AS HUGEINT) AS sty2, " +
+        "CAST(sum(CASE WHEN seg = 2 THEN syy END) AS HUGEINT) AS syy2 " +
+        "FROM segs GROUP BY 1), " +
+        "l AS (SELECT n, n1, " +
+        "CAST(n1 AS HUGEINT) * stt1 - CAST(st1 AS HUGEINT) * st1 AS d1, " +
+        "CAST(n2 AS HUGEINT) * stt2 - CAST(st2 AS HUGEINT) * st2 AS d2, " +
+        "CAST(n AS HUGEINT) * (stt1 + stt2) - " +
+        "CAST(st1 + st2 AS HUGEINT) * (st1 + st2) AS df_, " +
+        "(CAST(CAST(n1 AS HUGEINT) * syy1 - CAST(sy1 AS HUGEINT) * sy1 " +
+        "AS DOUBLE) - CAST((CAST(n1 AS HUGEINT) * sty1 - " +
+        "CAST(st1 AS HUGEINT) * sy1) * (CAST(n1 AS HUGEINT) * sty1 - " +
+        "CAST(st1 AS HUGEINT) * sy1) AS DOUBLE) / " +
+        "CAST(CAST(n1 AS HUGEINT) * stt1 - CAST(st1 AS HUGEINT) * st1 " +
+        "AS DOUBLE)) / CAST(n1 AS DOUBLE) AS sse1, " +
+        "(CAST(CAST(n2 AS HUGEINT) * syy2 - CAST(sy2 AS HUGEINT) * sy2 " +
+        "AS DOUBLE) - CAST((CAST(n2 AS HUGEINT) * sty2 - " +
+        "CAST(st2 AS HUGEINT) * sy2) * (CAST(n2 AS HUGEINT) * sty2 - " +
+        "CAST(st2 AS HUGEINT) * sy2) AS DOUBLE) / " +
+        "CAST(CAST(n2 AS HUGEINT) * stt2 - CAST(st2 AS HUGEINT) * st2 " +
+        "AS DOUBLE)) / CAST(n2 AS DOUBLE) AS sse2, " +
+        "(CAST(CAST(n AS HUGEINT) * (syy1 + syy2) - " +
+        "CAST(sy1 + sy2 AS HUGEINT) * (sy1 + sy2) AS DOUBLE) - " +
+        "CAST((CAST(n AS HUGEINT) * (sty1 + sty2) - " +
+        "CAST(st1 + st2 AS HUGEINT) * (sy1 + sy2)) * " +
+        "(CAST(n AS HUGEINT) * (sty1 + sty2) - " +
+        "CAST(st1 + st2 AS HUGEINT) * (sy1 + sy2)) AS DOUBLE) / " +
+        "CAST(CAST(n AS HUGEINT) * (stt1 + stt2) - " +
+        "CAST(st1 + st2 AS HUGEINT) * (st1 + st2) AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE) AS ssef FROM one) " +
+        "SELECT n AS n_days, n1 AS n_first, " +
+        "CASE WHEN n > 4 AND d1 > 0 AND d2 > 0 AND df_ > 0 " +
+        "THEN round(ssef, 6) END AS sse_full, " +
+        "CASE WHEN n > 4 AND d1 > 0 AND d2 > 0 AND df_ > 0 " +
+        "THEN round(sse1, 6) END AS sse_first, " +
+        "CASE WHEN n > 4 AND d1 > 0 AND d2 > 0 AND df_ > 0 " +
+        "THEN round(sse2, 6) END AS sse_second, " +
+        "CASE WHEN n > 4 AND d1 > 0 AND d2 > 0 AND df_ > 0 " +
+        "AND sse1 + sse2 > 0.0 THEN " +
+        "round(((ssef - sse1 - sse2) / 2.0) / " +
+        "((sse1 + sse2) / (CAST(n AS DOUBLE) - 4.0)), 6) END AS f_stat " +
+        "FROM l"),
+    // Mirrors EventOps.circularHourStats: <=24 (hour,count) cells,
+    // count*cos/sin terms micro-unit-pinned, pinned R/mean/Rayleigh
+    // chains with Wilkie's correction.
+    "circular_hour_stats" ->
+      ("WITH cells AS (SELECT CAST(date_part('hour', ts) AS BIGINT) AS h, " +
+        "CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1), " +
+        "t AS (SELECT c, " +
+        "CAST(round(CAST(c AS DOUBLE) * cos(2.0 * 3.141592653589793 * " +
+        "CAST(h AS DOUBLE) / 24.0) * 1000000.0, 0) AS BIGINT) AS cm, " +
+        "CAST(round(CAST(c AS DOUBLE) * sin(2.0 * 3.141592653589793 * " +
+        "CAST(h AS DOUBLE) / 24.0) * 1000000.0, 0) AS BIGINT) AS sm " +
+        "FROM cells), " +
+        "s AS (SELECT CAST(sum(c) AS BIGINT) AS n, " +
+        "CAST(sum(cm) AS BIGINT) AS cm, CAST(sum(sm) AS BIGINT) AS sm " +
+        "FROM t), " +
+        "e AS (SELECT n, CAST(cm AS DOUBLE) / 1000000.0 AS cs, " +
+        "CAST(sm AS DOUBLE) / 1000000.0 AS ss FROM s WHERE n > 0), " +
+        "f AS (SELECT n, cs, ss, " +
+        "sqrt(cs * cs + ss * ss) / CAST(n AS DOUBLE) AS rbar FROM e), " +
+        "z AS (SELECT *, CAST(n AS DOUBLE) * rbar * rbar AS zz FROM f) " +
+        "SELECT n AS n_events, round(cs, 6) AS c_sum, " +
+        "round(ss, 6) AS s_sum, round(rbar, 6) AS resultant_r, " +
+        "round((atan2(ss, cs) / (2.0 * 3.141592653589793) * 24.0 + 24.0) " +
+        "% 24.0, 6) AS mean_hour, round(zz, 6) AS rayleigh_z, " +
+        "round(exp(-zz) * (1.0 + (2.0 * zz - zz * zz) / " +
+        "(4.0 * CAST(n AS DOUBLE))), 6) AS p_value, " +
+        "exp(-zz) * (1.0 + (2.0 * zz - zz * zz) / " +
+        "(4.0 * CAST(n AS DOUBLE))) < 0.05 AS significant FROM z"),
+    // Mirrors EventOps.kdeValueDensity: exact (cents,count) cells,
+    // Silverman bandwidth off exact sigma lanes, polynomial kernel
+    // terms micro-unit-pinned per gridpoint (no libm in the sums).
+    "kde_value_density" ->
+      ("WITH cells AS (SELECT " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, " +
+        "CAST(count(*) AS BIGINT) AS k FROM events " +
+        "WHERE value IS NOT NULL GROUP BY 1), " +
+        "m AS (SELECT CAST(sum(k) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(c AS HUGEINT) * k) AS HUGEINT) AS s1, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c * k) AS HUGEINT) AS s2, " +
+        "CAST(min(c) AS BIGINT) AS cmin, CAST(max(c) AS BIGINT) AS cmax " +
+        "FROM cells), " +
+        "p AS (SELECT n, cmin, cmax, 1.06 * " +
+        "sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 " +
+        "AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) * " +
+        "pow(CAST(n AS DOUBLE), -0.2) AS h FROM m), " +
+        "gr AS (SELECT n, h, CAST(j AS BIGINT) AS grid_idx, " +
+        "CAST(cmin AS DOUBLE) + CAST(j AS DOUBLE) * " +
+        "CAST(cmax - cmin AS DOUBLE) / 20.0 AS gx " +
+        "FROM p CROSS JOIN (SELECT unnest(range(21)) AS j) " +
+        "WHERE h > 0.0), " +
+        "t AS (SELECT grid_idx, gx, n, h, " +
+        "CASE WHEN abs((CAST(c AS DOUBLE) - gx) / h) < 1.0 THEN " +
+        "CAST(round(CAST(k AS DOUBLE) * 0.75 * " +
+        "(1.0 - (CAST(c AS DOUBLE) - gx) / h * " +
+        "((CAST(c AS DOUBLE) - gx) / h)) * 1000000.0, 0) AS BIGINT) " +
+        "ELSE 0 END AS tm FROM cells CROSS JOIN gr) " +
+        "SELECT grid_idx, round(gx / 100.0, 6) AS x, " +
+        "round(CAST(CAST(sum(tm) AS BIGINT) AS DOUBLE) / 1000000.0 / " +
+        "(CAST(n AS DOUBLE) * h) * 100.0, 8) AS density " +
+        "FROM t GROUP BY grid_idx, gx, n, h"),
     "mann_kendall_daily" ->
       ("WITH daily AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day, " +
         "CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1), " +
@@ -6047,6 +6233,29 @@ object SparkEntry {
         "CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))) / " +
         "(1.0 - CAST(pe_num AS DOUBLE) / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE))), 6) AS kappa " +
         "FROM t CROSS JOIN pe"),
+    // Mirrors DocOps.krippendorffAlphaLang: exact pooled-marginal
+    // lanes; Do/De collapses to the single exact ratio
+    // 2*dis*(2n-1)/(4n^2 - sum nc^2) -- one pinned division.
+    "krippendorff_alpha_lang" ->
+      (s"WITH pairs AS (SELECT lang, pred_lang FROM ($languageIdSql)), " +
+        "u AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN lang <> pred_lang THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS dis FROM pairs), " +
+        "pooled AS (SELECT CAST(count(*) AS BIGINT) AS n_categories, " +
+        "CAST(sum(CAST(nc AS HUGEINT) * nc) AS HUGEINT) AS snc2 FROM (" +
+        "SELECT v, CAST(count(*) AS BIGINT) AS nc FROM (" +
+        "SELECT lang AS v FROM pairs " +
+        "UNION ALL SELECT pred_lang FROM pairs) GROUP BY 1)) " +
+        "SELECT n AS n_units, n_categories, dis AS n_disagree, " +
+        "round(CAST(dis AS DOUBLE) / CAST(n AS DOUBLE), 6) AS do_rate, " +
+        "CASE WHEN CAST(4 AS HUGEINT) * n * n - snc2 > 0 THEN " +
+        "round(CAST(CAST(4 AS HUGEINT) * n * n - snc2 AS DOUBLE) / " +
+        "CAST(CAST(2 AS HUGEINT) * n * (2 * n - 1) AS DOUBLE), 6) END " +
+        "AS de_rate, " +
+        "CASE WHEN CAST(4 AS HUGEINT) * n * n - snc2 > 0 THEN " +
+        "round(1.0 - CAST(CAST(2 AS HUGEINT) * dis * (2 * n - 1) " +
+        "AS DOUBLE) / CAST(CAST(4 AS HUGEINT) * n * n - snc2 AS DOUBLE), " +
+        "6) END AS kripp_alpha FROM u CROSS JOIN pooled"),
     // Mirrors EventOps.woeValueBins: label = purchase, fixed-width
     // bins, ln of the exact-integer cross product with DOUBLE casts
     // before each multiply, iv_term against the UNROUNDED woe.
@@ -7768,6 +7977,46 @@ object SparkEntry {
         "SELECT a_id, a_label, b_id, b_label, cos_sim FROM (SELECT *, " +
         "row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS rn " +
         "FROM pairs) WHERE rn <= 3"),
+    // Mirrors VectorOps.tripletMiningIvf: the hard_negatives_ivf
+    // pinned-centroid replay (argmax assignment, nprobe=2 probes),
+    // DISTINCT in-list candidate pairs, then the triplet_mining
+    // pos / semi-hard / hard-fallback selection on that set.
+    "triplet_mining_ivf" ->
+      ("WITH c AS (SELECT vec_id AS list_id, embedding AS cv " +
+        "FROM embeddings WHERE vec_id % 997 < 16), " +
+        "sc0 AS (SELECT e.vec_id, e.label, e.embedding, c.list_id, " +
+        duckCos("e.embedding", "c.cv") + " AS d FROM embeddings e, c), " +
+        "sc AS (SELECT *, row_number() OVER (PARTITION BY vec_id " +
+        "ORDER BY d DESC, list_id ASC) AS rn FROM sc0), " +
+        "asn AS (SELECT vec_id, label, embedding, list_id FROM sc WHERE rn = 1), " +
+        "probes AS (SELECT vec_id, label, embedding, list_id FROM sc WHERE rn <= 2), " +
+        "cand AS (SELECT DISTINCT p.vec_id AS a_id, p.label AS a_label, " +
+        "m.vec_id AS b_id, m.label AS b_label, " +
+        "round(" + duckCos("p.embedding", "m.embedding") + ", 4) AS cs " +
+        "FROM probes p JOIN asn m ON m.list_id = p.list_id " +
+        "AND m.vec_id <> p.vec_id), " +
+        "pos AS (SELECT a_id, a_label, b_id AS pos_id, cs AS pos_cos " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY a_id " +
+        "ORDER BY cs DESC, b_id ASC) AS rn FROM cand " +
+        "WHERE a_label = b_label) WHERE rn = 1), " +
+        "sh AS (SELECT a_id, b_id AS semi_id, cs AS semi_cos FROM (" +
+        "SELECT cand.a_id, cand.b_id, cand.cs, row_number() OVER (" +
+        "PARTITION BY cand.a_id ORDER BY cand.cs DESC, cand.b_id ASC) AS rn " +
+        "FROM cand JOIN pos ON pos.a_id = cand.a_id " +
+        "WHERE cand.a_label <> cand.b_label AND cand.cs < pos.pos_cos) " +
+        "WHERE rn = 1), " +
+        "hard AS (SELECT a_id, b_id AS hard_id, cs AS hard_cos FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY a_id " +
+        "ORDER BY cs DESC, b_id ASC) AS rn FROM cand " +
+        "WHERE a_label <> b_label) WHERE rn = 1) " +
+        "SELECT pos.a_id AS anchor_id, pos.a_label AS label, " +
+        "pos_id, pos_cos, " +
+        "coalesce(semi_id, hard_id) AS neg_id, " +
+        "coalesce(semi_cos, hard_cos) AS neg_cos, " +
+        "round(pos_cos - coalesce(semi_cos, hard_cos), 4) AS margin, " +
+        "semi_id IS NOT NULL AS semi_hard " +
+        "FROM pos LEFT JOIN sh ON sh.a_id = pos.a_id " +
+        "LEFT JOIN hard ON hard.a_id = pos.a_id"),
     // Mirrors the planted-dup registration (VectorOps.withPlantedDups):
     // exact ALL-pairs cosine in DuckDB — sound because sign-LSH recall
     // of a positive scalar multiple is exactly 1, so the bucketed Spark
@@ -9847,6 +10096,109 @@ object SparkEntry {
         "SELECT b.type_a, b.type_b, b.z, b.p AS p_raw, b.rk, " +
         "min(a.q) AS p_bh, min(a.q) <= 0.05 AS rejected " +
         "FROM q b JOIN q a ON a.rk >= b.rk GROUP BY 1, 2, 3, 4, 5"),
+    // Mirrors EventOps.byFdrTypePairs: the bh pipeline with the
+    // harmonic c(m) factor (10dp-pinned decimal terms) multiplied
+    // into the q BEFORE the rank division.
+    "by_fdr_type_pairs" ->
+      ("WITH " + mannWhitneyCtes + ", " +
+        "mw AS (" + mannWhitneySelect + "), " +
+        "zt AS (SELECT type_a, type_b, z FROM mw WHERE z IS NOT NULL), " +
+        "kk AS (SELECT type_a, type_b, z, abs(z) AS x, " +
+        "1.0 / (1.0 + 0.2316419 * abs(z)) AS k FROM zt), " +
+        "pp AS (SELECT type_a, type_b, z, " +
+        "round(2.0 * ((exp(-(x * x) / 2.0) / 2.5066282746310002) * " +
+        "(k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 + " +
+        "k * (-1.821255978 + k * 1.330274429)))))), 6) AS p FROM kk), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp), " +
+        "cmv AS (SELECT CAST(sum(CAST(round(1.0 / CAST(i AS DOUBLE), 10) " +
+        "AS DECIMAL(38,10))) AS DOUBLE) AS cm FROM (SELECT " +
+        "unnest(range(1, (SELECT m FROM m) + 1)) AS i)), " +
+        "rk AS (SELECT b.type_a, b.type_b, b.z, b.p, " +
+        "CAST(count(a.p) + 1 AS BIGINT) AS rk FROM pp b LEFT JOIN pp a " +
+        "ON (a.p < b.p) OR (a.p = b.p AND (a.type_a < b.type_a OR " +
+        "(a.type_a = b.type_a AND a.type_b < b.type_b))) " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "q AS (SELECT *, round(least(p * CAST((SELECT m FROM m) AS DOUBLE) * " +
+        "(SELECT cm FROM cmv) / CAST(rk AS DOUBLE), 1.0), 6) AS q FROM rk) " +
+        "SELECT b.type_a, b.type_b, b.z, b.p AS p_raw, b.rk, " +
+        "min(a.q) AS p_by, min(a.q) <= 0.05 AS rejected " +
+        "FROM q b JOIN q a ON a.rk >= b.rk GROUP BY 1, 2, 3, 4, 5"),
+    // Mirrors EventOps.valueMmdDrift: the ks midpoint split, exact
+    // conditional moment lanes, the closed-form quadratic-kernel
+    // MMD^2 = 2(dm)^2/c + (dq)^2/c^2 in one pinned chain.
+    "value_mmd_drift" ->
+      ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi " +
+        "FROM events), " +
+        "h AS (SELECT coalesce(CAST(CAST(value AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT), 0) AS c, " +
+        "CASE WHEN epoch_us(ts) <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half FROM events CROSS JOIN b), " +
+        "m AS (SELECT " +
+        "CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN half = 1 THEN c END) AS BIGINT) AS s1, " +
+        "CAST(sum(CASE WHEN half = 1 THEN CAST(c AS HUGEINT) * c END) " +
+        "AS HUGEINT) AS q1, " +
+        "CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, " +
+        "CAST(sum(CASE WHEN half = 2 THEN c END) AS BIGINT) AS s2, " +
+        "CAST(sum(CASE WHEN half = 2 THEN CAST(c AS HUGEINT) * c END) " +
+        "AS HUGEINT) AS q2 FROM h), " +
+        "d AS (SELECT n1, n2, " +
+        "CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+        "CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dm, " +
+        "CAST(q1 AS DOUBLE) / CAST(n1 AS DOUBLE) - " +
+        "CAST(q2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dq FROM m) " +
+        "SELECT n1 AS n_first, n2 AS n_second, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN round(dm / 100.0, 6) END " +
+        "AS mean_diff, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+        "round(2.0 * dm * dm / 100000000.0, 8) END AS mmd_linear, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+        "round((dq / 100000000.0) * (dq / 100000000.0), 8) END AS mmd_quad, " +
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN " +
+        "round(2.0 * dm * dm / 100000000.0 + " +
+        "(dq / 100000000.0) * (dq / 100000000.0), 8) END AS mmd_sq FROM d"),
+    // Mirrors EventOps.obrienFlemingMonitor: per-user first-activity /
+    // first-conversion offsets, five integer interim cutoffs, the
+    // abConversionZtest pinned z chain per look, boundary
+    // 1.959964*sqrt(K/k).
+    "obrien_fleming_monitor" ->
+      ("WITH b AS (SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0, " +
+        "CAST(date_trunc('day', max(ts)) AS DATE) AS d1 FROM events), " +
+        "pu AS (SELECT user_id, user_id % 2 AS arm, d0, " +
+        "CAST(datediff('day', d0, d1) + 1 AS BIGINT) AS span, " +
+        "CAST(min(datediff('day', d0, CAST(date_trunc('day', ts) AS DATE))) " +
+        "AS BIGINT) AS first_off, " +
+        "CAST(min(CASE WHEN event_type = 'purchase' AND value >= 90.0 " +
+        "THEN datediff('day', d0, CAST(date_trunc('day', ts) AS DATE)) END) " +
+        "AS BIGINT) AS conv_off " +
+        "FROM events CROSS JOIN b GROUP BY 1, 2, 3, 4), " +
+        "lk AS (SELECT arm, d0, first_off, conv_off, " +
+        "CAST(look AS BIGINT) AS look, " +
+        "CAST(span * look AS BIGINT) // 5 - 1 AS cut FROM pu " +
+        "CROSS JOIN (SELECT unnest(range(1, 6)) AS look)), " +
+        "ag AS (SELECT look, d0, cut, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +
+        "CAST(sum(CASE WHEN arm = 0 AND conv_off <= cut THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS conv_a, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, " +
+        "CAST(sum(CASE WHEN arm = 1 AND conv_off <= cut THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS conv_b " +
+        "FROM lk WHERE first_off <= cut GROUP BY 1, 2, 3), " +
+        "zc AS (SELECT *, " +
+        "CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ra, " +
+        "CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rb, " +
+        "(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * " +
+        "(1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * " +
+        "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)) AS vt, " +
+        "1.959964 * sqrt(5.0 / CAST(look AS DOUBLE)) AS bound FROM ag) " +
+        "SELECT look, d0 + CAST(cut AS INT) AS cutoff_day, " +
+        "n_a, conv_a, n_b, conv_b, " +
+        "CASE WHEN n_a > 0 AND n_b > 0 AND vt > 0.0 THEN " +
+        "round((ra - rb) / sqrt(vt), 6) END AS z_score, " +
+        "round(bound, 6) AS obf_bound, " +
+        "CASE WHEN n_a > 0 AND n_b > 0 AND vt > 0.0 THEN " +
+        "abs((ra - rb) / sqrt(vt)) > bound ELSE false END AS crossed " +
+        "FROM zc"),
     // Mirrors EventOps.mcnemarSwitchers: exact integer epoch-µs
     // midpoint split, per-user boolean collapse, exact BIGINT 2×2
     // cells, continuity-corrected χ² as one pinned double division.

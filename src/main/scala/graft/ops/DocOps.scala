@@ -1529,6 +1529,57 @@ object DocOps {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
   }
 
+  /** Krippendorff's alpha between the declared and predicted language
+    * labels (nominal metric, 2 raters) — the chance-corrected
+    * agreement coefficient GENERALIZING [[langAgreementKappa]]'s
+    * Cohen's kappa: kappa corrects by each rater's OWN marginals
+    * (rewarding raters for sharing a bias), alpha by the pooled value
+    * distribution, which is why content-analysis methodology
+    * standardized on it. For 2 raters and n units:
+    * Do = disagreements/n, De = (4n² − Σ_c n_c²)/(2n(2n−1)) with n_c
+    * the pooled count of category c, α = 1 − Do/De.
+    *
+    * Determinism: every lane is an exact BIGINT/DECIMAL(38,0) count;
+    * Do/De collapses to the single exact ratio
+    * 2·dis·(2n−1)/(4n² − Σn_c²) — ONE pinned division. A one-category
+    * corpus has De = 0 → NULL alpha, stated.
+    *
+    * Shape: the languageId scan collapses to (truth, pred) cells;
+    * pooled marginals are a union of two tiny frames. */
+  def krippendorffAlphaLang(docs: DataFrame): DataFrame =
+    krippendorffAlpha(languageId(docs).select(col("lang"), col("pred_lang")))
+
+  /** [[krippendorffAlphaLang]]'s rater-frame core — nominal
+    * 2-rater alpha over any (lang, pred_lang) unit frame. */
+  def krippendorffAlpha(units: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pairs = units
+      .localCheckpoint() // the unit reduce + pooled marginals read it
+    val unitAgg = pairs.agg(count(lit(1)).as("n"),
+      sum(when(col("lang") =!= col("pred_lang"), 1L).otherwise(0L))
+        .as("dis"))
+    val pooled = pairs.select(col("lang").as("v"))
+      .unionAll(pairs.select(col("pred_lang").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("nc"))
+      .agg(count(lit(1)).as("n_categories"),
+        sum(dec(col("nc")) * col("nc")).as("snc2"))
+    val n = col("n")
+    val deNum = dec(lit(4L)) * n * n - col("snc2")
+    val deDen = dec(lit(2L)) * n * (lit(2L) * n - lit(1L))
+    val ratio = (dec(lit(2L)) * col("dis") * (lit(2L) * n - lit(1L)))
+      .cast("double") / deNum.cast("double")
+    unitAgg.crossJoin(broadcast(pooled))
+      .select(n.as("n_units"), col("n_categories"),
+        col("dis").as("n_disagree"),
+        round(col("dis").cast("double") / n.cast("double"), 6)
+          .as("do_rate"),
+        when(deNum > lit(0),
+          round(deNum.cast("double") / deDen.cast("double"), 6))
+          .as("de_rate"),
+        when(deNum > lit(0), round(lit(1.0) - ratio, 6))
+          .as("kripp_alpha"))
+  }
+
   /** Pairwise source-vocabulary overlap: Jaccard between every two
     * sources' distinct token sets — the corpus-diversity matrix a
     * mixture designer reads before setting [[unimax|UniMax]]/

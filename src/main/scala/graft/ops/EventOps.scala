@@ -3641,6 +3641,127 @@ object EventOps {
         round(col("gap"), 6).as("ks_stat"), col("bin").as("at_bin"))
   }
 
+  /** Polynomial-kernel maximum mean discrepancy between the time
+    * halves' value distributions (Gretton et al. JMLR '12) — the
+    * KERNEL drift lens beside KS/W₁/PSI/energy: with the quadratic
+    * kernel k(x,y) = (1 + xy/c)², the biased V-statistic COLLAPSES to
+    * moments — MMD² = 2(m₁−m₂)²/c + (q₁−q₂)²/c² (m = mean cents,
+    * q = mean cents²) — so the "intractable all-pairs kernel sum" is
+    * two exact-lane squares, computable at any scale in one pass.
+    * Zero iff the halves agree in mean AND second moment — the cheap
+    * two-moment RKHS witness (a Gaussian kernel would see all
+    * moments but cost libm per pair; this is the exactly-gateable
+    * member). c = 10⁸ pins the kernel scale to cents² (values
+    * O(10⁴ cents) → contributions O(1), stated).
+    *
+    * Determinism: the same midpoint-split as [[ksValueDrift]]; all
+    * four moment lanes are exact BIGINT/DECIMAL(38,0) off one
+    * conditional pass; the combination is one pinned chain, 8dp.
+    * An empty half → NULL, stated. */
+  def valueMmdDrift(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val half = events
+      .crossJoin(broadcast(events.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))))
+      .select(coalesce(cents, lit(0L)).as("c"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1)
+          .otherwise(2).as("half"))
+    val m = half.agg(
+      sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("half") === 1, col("c"))).as("s1"),
+      sum(when(col("half") === 1, dec(col("c")) * col("c"))).as("q1"),
+      sum(when(col("half") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("half") === 2, col("c"))).as("s2"),
+      sum(when(col("half") === 2, dec(col("c")) * col("c"))).as("q2"))
+    val m1 = col("s1").cast("double") / col("n1").cast("double")
+    val m2 = col("s2").cast("double") / col("n2").cast("double")
+    val q1 = col("q1").cast("double") / col("n1").cast("double")
+    val q2 = col("q2").cast("double") / col("n2").cast("double")
+    val dm = m1 - m2
+    val dq = q1 - q2
+    val lin = lit(2.0) * dm * dm / lit(100000000.0)
+    val quad = (dq / lit(100000000.0)) * (dq / lit(100000000.0))
+    val ok = col("n1") > 0L && col("n2") > 0L
+    m.select(col("n1").as("n_first"), col("n2").as("n_second"),
+      when(ok, round(dm / lit(100.0), 6)).as("mean_diff"),
+      when(ok, round(lin, 8)).as("mmd_linear"),
+      when(ok, round(quad, 8)).as("mmd_quad"),
+      when(ok, round(lin + quad, 8)).as("mmd_sq"))
+  }
+
+  /** O'Brien–Fleming-shaped group-sequential monitor over five
+    * equally-spaced interim looks at the arm conversion experiment —
+    * the "peek early without alpha-burn" discipline beside
+    * [[sprtDailyAb]]'s fully-sequential test: at interim k of K the
+    * two-proportion z compares against the boundary
+    * b_k = z_{.025}·√(K/k) (the classic OBF shape — brutally
+    * conservative at k = 1, nominal by k = K), so an early stop needs
+    * overwhelming evidence and the final look spends ~full α.
+    *
+    * Determinism: interim cutoff days are integer calendar
+    * arithmetic off the 1-row bounds; per-user per-interim activity
+    * and conversion are exact conditional BIGINTs (users enter the
+    * denominator once ACTIVE by the cutoff); each z is the
+    * [[abConversionZtest]] pinned chain; the boundary is one
+    * sqrt per interim. Degenerate interims (pooled rate 0/1 or an
+    * empty arm) emit NULL z, false flag, stated.
+    *
+    * Shape: one per-user collapse against broadcast cutoffs, a 5×
+    * explode on the COLLAPSED user frame, one per-interim reduce. */
+  def obrienFlemingMonitor(events: DataFrame, looks: Int = 5,
+      threshold: Double = 90.0): DataFrame = {
+    val k = lit(looks)
+    val bounds = events.agg(to_date(min(col("ts"))).as("d0"),
+      to_date(max(col("ts"))).as("d1"))
+    val perUser = events
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"), col("d0"),
+        datediff(to_date(col("ts")), col("d0")).as("off"),
+        (datediff(col("d1"), col("d0")) + 1).as("span"),
+        when(col("event_type") === "purchase" &&
+          col("value") >= threshold, 1L).otherwise(0L).as("conv"))
+      .groupBy("user_id", "d0", "span")
+      .agg(min(col("off")).as("first_off"),
+        min(when(col("conv") === 1L, col("off"))).as("conv_off"))
+      .withColumn("arm", col("user_id") % lit(2L))
+    val looksDf = perUser
+      .select(col("arm"), col("d0"), col("span"), col("first_off"),
+        col("conv_off"), explode(sequence(lit(1), k)).as("look"))
+      // interim cutoff: the last day of the k-th of K equal slices
+      .withColumn("cut",
+        expr(s"CAST(span * look AS BIGINT) div $looks - 1"))
+      .filter(col("first_off") <= col("cut")) // active by the cutoff
+      .groupBy("look", "d0", "cut")
+      .agg(sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 0L && col("conv_off") <= col("cut"), 1L)
+          .otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 1L && col("conv_off") <= col("cut"), 1L)
+          .otherwise(0L)).as("conv_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val rateA = col("conv_a").cast("double") / na
+    val rateB = col("conv_b").cast("double") / nb
+    val pooled = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val varTerm = pooled * (lit(1.0) - pooled) *
+      (lit(1.0) / na + lit(1.0) / nb)
+    val z = (rateA - rateB) / sqrt(varTerm)
+    val bound = lit(1.959964) *
+      sqrt(k.cast("double") / col("look").cast("double"))
+    val ok = col("n_a") > 0L && col("n_b") > 0L && varTerm > lit(0.0)
+    looksDf.select(col("look"),
+      date_add(col("d0"), col("cut").cast("int")).as("cutoff_day"),
+      col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      when(ok, round(z, 6)).as("z_score"),
+      round(bound, 6).as("obf_bound"),
+      when(ok, abs(z) > bound).otherwise(lit(false)).as("crossed"))
+  }
+
+
   /** Theil's uncertainty coefficient between event type and weekday —
     * the entropy-based, ASYMMETRIC association pair beside
     * [[chiSquareTypeDow]]'s χ²/Cramér's V and
@@ -3948,6 +4069,237 @@ object EventOps {
         when(z > lit(1.959964), lit("increasing"))
           .when(z < lit(-1.959964), lit("decreasing"))
           .otherwise(lit("none"))).as("trend"))
+  }
+
+  /** Breusch–Pagan heteroskedasticity test on the daily trend
+    * regression (Breusch & Pagan '79, Koenker's studentized LM form):
+    * after fitting y ~ t, regress the SQUARED residuals on t —
+    * LM = n·R²_aux ~ χ²₁ under homoskedasticity. The diagnostic that
+    * says whether [[dailyTrendByType]]-style OLS standard errors can
+    * be trusted (growing traffic usually grows variance with it —
+    * exactly the alternative this detects).
+    *
+    * Determinism: the D-scaled residual lane e_t·D = D·y_t − An − Bn·t
+    * (D = nSxx−Sx², Bn = nSxy−SxSy, An = SxxSy−SxSxy) is exact
+    * DECIMAL(38,0); each squared residual (eD/D)² pins to micro-units
+    * (×10⁶ into DECIMAL(38,0) — HUGEINT on the oracle rail) before
+    * the aux sums, and the Σg² lane pins its double products ×10⁴
+    * the same way (decimal×decimal would hit Spark's
+    * declared-precision scale reduction — stated); the R² chain runs
+    * on identical doubles. Zero aux variance → NULL, stated.
+    *
+    * Shape: one daily collapse, one 1-row moment reduce broadcast
+    * back, one aux reduce — nothing corpus-sized past the first agg. */
+  def breuschPaganDaily(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = dailyGrid(events)
+      .select((col("t") + lit(1L)).as("t"), col("cnt").as("y"))
+      .localCheckpoint() // moment reduce + the residual pass read it
+    val m = g.agg(count(lit(1)).as("n"), sum("t").as("sx"),
+      sum(dec(col("t")) * col("t")).as("sxx"), sum("y").as("sy"),
+      sum(dec(col("t")) * col("y")).as("sxy"))
+    val dD = dec(col("n")) * col("sxx") - dec(col("sx")) * col("sx")
+    val bN = dec(col("n")) * col("sxy") - dec(col("sx")) * col("sy")
+    val aN = dec(col("sxx")) * col("sy") - dec(col("sx")) * col("sxy")
+    val mRow = m.select(col("n"), col("sx"), col("sxx"),
+      dD.as("d"), bN.as("bn"), aN.as("an"))
+    val eD = dec(col("d")) * col("y") - col("an") - col("bn") * col("t")
+    val e = eD.cast("double") / col("d").cast("double")
+    val gm = round(e * e * lit(1000000.0), 0).cast("decimal(38,0)")
+    val aux = g.crossJoin(broadcast(mRow))
+      .select(col("n"), col("sx"), col("sxx"), col("t"), gm.as("gm"))
+      .withColumn("gd", col("gm").cast("double") / lit(1000000.0))
+      .groupBy("n", "sx", "sxx")
+      .agg(sum(col("gm")).as("sgm"),
+        sum(col("gm") * col("t")).as("stgm"),
+        sum(round(col("gd") * col("gd") * lit(10000.0), 0)
+          .cast("decimal(38,0)")).as("sggm"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val sgD = col("sgm").cast("double") / lit(1000000.0)
+    val stgD = col("stgm").cast("double") / lit(1000000.0)
+    val sggD = col("sggm").cast("double") / lit(10000.0)
+    val num = nD * stgD - sxD * sgD
+    val den1 = nD * col("sxx").cast("double") - sxD * sxD
+    val den2 = nD * sggD - sgD * sgD
+    val r2 = num * num / (den1 * den2)
+    val ok = col("n") >= 3L && den2 > lit(0.0)
+    aux.select(col("n").as("n_days"),
+      when(ok, round(r2, 6)).as("r2_aux"),
+      when(ok, round(nD * r2, 6)).as("lm_stat"),
+      when(ok, nD * r2 > lit(3.841459)).otherwise(lit(false))
+        .as("significant"))
+  }
+
+  /** Chow structural-break F-test at the calendar midpoint (Chow
+    * '60): fit y ~ t on the full series and on each half;
+    * F = ((SSE_full − SSE₁ − SSE₂)/p) / ((SSE₁+SSE₂)/(n−2p)), p = 2
+    * — did the trend's level or slope CHANGE mid-window? The
+    * regression-flavored companion to [[pettittChangepointDaily]]'s
+    * rank locator (Pettitt finds the most likely shift day; Chow
+    * tests a HYPOTHESIZED break against the pooled fit).
+    *
+    * Determinism: per-segment moments are exact (BIGINT /
+    * DECIMAL(38,0)) off ONE conditional collapse — the full-series
+    * moments are their sums, so both fits share identical lanes; each
+    * SSE is the closed form (A − B²/D)/n_s in one pinned double
+    * chain; F is pure IEEE on those. Degenerate halves (D = 0) or
+    * n ≤ 4 → all NULL; a PERFECT break (both half-SSEs zero) emits
+    * its SSEs with NULL F (the statistic is infinite), stated.
+    *
+    * Shape: one daily collapse, one 1-row count broadcast, one
+    * 2-group collapse folded to a single row. */
+  def chowBreakDaily(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = dailyGrid(events)
+      .select((col("t") + lit(1L)).as("t"), col("cnt").as("y"))
+      .localCheckpoint() // count probe + the segment collapse read it
+    val nRow = g.agg(count(lit(1)).as("n"))
+    val segs = g.crossJoin(broadcast(nRow))
+      .withColumn("seg", when(col("t") * lit(2L) <= col("n"), 1L)
+        .otherwise(2L))
+      .groupBy("n", "seg")
+      .agg(count(lit(1)).as("ns"), sum("t").as("st"),
+        sum(dec(col("t")) * col("t")).as("stt"), sum("y").as("sy"),
+        sum(dec(col("t")) * col("y")).as("sty"),
+        sum(dec(col("y")) * col("y")).as("syy"))
+    def sseOf(ns: Column, st: Column, stt: Column, sy: Column,
+        sty: Column, syy: Column): (Column, Column) = {
+      val a = dec(ns) * syy - dec(sy) * sy
+      val b = dec(ns) * sty - dec(st) * sy
+      val d = dec(ns) * stt - dec(st) * st
+      (d, (a.cast("double") - (b * b).cast("double") / d.cast("double")) /
+        ns.cast("double"))
+    }
+    val one = segs.groupBy("n").agg(
+      sum(when(col("seg") === 1L, col("ns"))).as("n1"),
+      sum(when(col("seg") === 1L, col("st"))).as("st1"),
+      sum(when(col("seg") === 1L, col("stt"))).as("stt1"),
+      sum(when(col("seg") === 1L, col("sy"))).as("sy1"),
+      sum(when(col("seg") === 1L, col("sty"))).as("sty1"),
+      sum(when(col("seg") === 1L, col("syy"))).as("syy1"),
+      sum(when(col("seg") === 2L, col("ns"))).as("n2"),
+      sum(when(col("seg") === 2L, col("st"))).as("st2"),
+      sum(when(col("seg") === 2L, col("stt"))).as("stt2"),
+      sum(when(col("seg") === 2L, col("sy"))).as("sy2"),
+      sum(when(col("seg") === 2L, col("sty"))).as("sty2"),
+      sum(when(col("seg") === 2L, col("syy"))).as("syy2"))
+    val (d1, sse1) = sseOf(col("n1"), col("st1"), col("stt1"),
+      col("sy1"), col("sty1"), col("syy1"))
+    val (d2, sse2) = sseOf(col("n2"), col("st2"), col("stt2"),
+      col("sy2"), col("sty2"), col("syy2"))
+    val (dF, sseF) = sseOf(col("n"),
+      col("st1") + col("st2"), col("stt1") + col("stt2"),
+      col("sy1") + col("sy2"), col("sty1") + col("sty2"),
+      col("syy1") + col("syy2"))
+    val nD = col("n").cast("double")
+    val f = ((sseF - sse1 - sse2) / lit(2.0)) /
+      ((sse1 + sse2) / (nD - lit(4.0)))
+    val ok = col("n") > 4L && d1 > lit(0) && d2 > lit(0) && dF > lit(0)
+    val okF = ok && (sse1 + sse2) > lit(0.0)
+    one.select(col("n").as("n_days"), col("n1").as("n_first"),
+      when(ok, round(sseF, 6)).as("sse_full"),
+      when(ok, round(sse1, 6)).as("sse_first"),
+      when(ok, round(sse2, 6)).as("sse_second"),
+      when(okF, round(f, 6)).as("f_stat"))
+  }
+
+  /** Circular statistics of the event hour-of-day (Mardia's
+    * directional toolkit): resultant length R̄, circular mean hour,
+    * and the Rayleigh uniformity test z = n·R̄² with Wilkie's
+    * correction p ≈ e^{−z}(1 + (2z − z²)/4n) — the right lens for
+    * the 24-hour clock, where [[circadianEntropyStats]]' histogram
+    * entropy sees dispersion but not DIRECTION (3 am and 3 pm peaks
+    * average to "noon" under linear means; circular means do not).
+    *
+    * Determinism: the log collapses to ≤24 (hour, count) cells; each
+    * count·cos/sin term pins to BIGINT micro-units before the sums
+    * (libm cos/sin evaluate ONCE per distinct hour on identical
+    * doubles); R̄/mean/z/p are pinned chains, 6dp. Empty input → no
+    * row. */
+  def circularHourStats(events: DataFrame): DataFrame = {
+    val cells = events.select(hour(col("ts")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+    val theta = lit(2.0) * lit(math.Pi) * col("h").cast("double") /
+      lit(24.0)
+    val s = cells.select(col("c"),
+        round(col("c").cast("double") * cos(theta) * lit(1000000.0), 0)
+          .cast("long").as("cm"),
+        round(col("c").cast("double") * sin(theta) * lit(1000000.0), 0)
+          .cast("long").as("sm"))
+      .agg(sum("c").as("n"), sum("cm").as("cm"), sum("sm").as("sm"))
+    val nD = col("n").cast("double")
+    val cS = col("cm").cast("double") / lit(1000000.0)
+    val sS = col("sm").cast("double") / lit(1000000.0)
+    val rBar = sqrt(cS * cS + sS * sS) / nD
+    val z = nD * rBar * rBar
+    val p = exp(-z) * (lit(1.0) + (lit(2.0) * z - z * z) /
+      (lit(4.0) * nD))
+    val meanHour = (atan2(sS, cS) / (lit(2.0) * lit(math.Pi)) *
+      lit(24.0) + lit(24.0)) % lit(24.0)
+    s.filter(col("n") > 0L)
+      .select(col("n").as("n_events"),
+        round(cS, 6).as("c_sum"), round(sS, 6).as("s_sum"),
+        round(rBar, 6).as("resultant_r"),
+        round(meanHour, 6).as("mean_hour"),
+        round(z, 6).as("rayleigh_z"), round(p, 6).as("p_value"),
+        (p < lit(0.05)).as("significant"))
+  }
+
+  /** Epanechnikov kernel density of the value distribution on a
+    * pinned 21-point grid — the SMOOTH density readout beside
+    * [[valueHistogram]]'s boxes and [[valueEquidepthHistogram]]'s
+    * quantile bins (a histogram's shape depends on bin phase; the
+    * KDE's doesn't), with the MSE-optimal polynomial kernel
+    * K(u) = 0.75(1−u²) — deliberately not Gaussian: polynomial
+    * arithmetic on exact cents keeps every kernel term a pinned
+    * double with NO libm in the sum. Bandwidth h = 1.06·σ·n^{−1/5}
+    * (Silverman's rule on the population σ, one pow call).
+    *
+    * Determinism: the log collapses to exact (cents, count) cells;
+    * each count·K(u) term pins to BIGINT micro-units before the
+    * per-gridpoint sums; σ comes off exact lanes. Constant values
+    * (σ = 0) → no rows, stated.
+    *
+    * Shape: one value collapse (distinct-cents-bounded, constant in
+    * corpus size), a 21×cells broadcast pair frame, 21 output rows. */
+  def kdeValueDensity(events: DataFrame, gridPoints: Int = 21): DataFrame = {
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = events.select(cents.as("c")).filter(col("c").isNotNull)
+      .groupBy("c").agg(count(lit(1)).as("k"))
+      .localCheckpoint() // moments + the grid pair frame read it
+    val m = cells.agg(sum("k").as("n"), sum(dec(col("c")) * col("k")).as("s1"),
+      sum(dec(col("c")) * col("c") * col("k")).as("s2"),
+      min("c").as("cmin"), max("c").as("cmax"))
+    val nD = col("n").cast("double")
+    val sig = sqrt((dec(col("n")) * col("s2") - dec(col("s1")) * col("s1"))
+      .cast("double") / (dec(col("n")) * col("n")).cast("double"))
+    val params = m.select(col("n"), col("cmin"), col("cmax"),
+        (lit(1.06) * sig * pow(nD, lit(-0.2))).as("h"))
+      .filter(col("h") > lit(0.0))
+    val grid = params.select(col("n"), col("h"), col("cmin"), col("cmax"),
+      explode(sequence(lit(0), lit(gridPoints - 1))).as("j"))
+      .select(col("n"), col("h"), col("j").cast("long").as("grid_idx"),
+        (col("cmin").cast("double") +
+          col("j").cast("double") *
+            (col("cmax") - col("cmin")).cast("double") /
+            lit((gridPoints - 1).toDouble)).as("gx"))
+    val u = (col("c").cast("double") - col("gx")) / col("h")
+    val term = when(abs(u) < lit(1.0),
+      round(col("k").cast("double") * lit(0.75) * (lit(1.0) - u * u) *
+        lit(1000000.0), 0).cast("long")).otherwise(lit(0L))
+    cells.crossJoin(broadcast(grid)) // cells × 21 gridpoints, bounded
+      .select(col("n"), col("h"), col("grid_idx"), col("gx"),
+        term.as("tm"))
+      .groupBy("n", "h", "grid_idx", "gx")
+      .agg(sum("tm").as("tsum"))
+      .select(col("grid_idx"),
+        round(col("gx") / lit(100.0), 6).as("x"),
+        round(col("tsum").cast("double") / lit(1000000.0) /
+          (col("n").cast("double") * col("h")) * lit(100.0), 8)
+          .as("density"))
   }
 
   /** Pettitt changepoint test on the zero-filled daily count series
@@ -5287,7 +5639,21 @@ object EventOps {
     * window, no sort, deterministic (p, type_a, type_b) total order.
     * Zero-variance pairs (NULL z) are excluded from m per the
     * complete-case convention. */
-  def bhFdrTypePairs(events: DataFrame, alpha: Double = 0.05): DataFrame = {
+  def bhFdrTypePairs(events: DataFrame, alpha: Double = 0.05): DataFrame =
+    fdrTypePairs(events, alpha, harmonic = false)
+
+  /** Benjamini–Yekutieli step-up beside [[bhFdrTypePairs]]: the SAME
+    * pipeline with the q deflated by the harmonic factor
+    * c(m) = Σ_{i≤m} 1/i — the correction that keeps FDR control under
+    * ARBITRARY dependence among the tests (the type-pair Mann–Whitney
+    * z's share every day's traffic, exactly the dependence BH's PRDS
+    * assumption may not cover). c(m) folds 10dp-pinned terms over the
+    * ≤m-element sequence (order-exact). */
+  def byFdrTypePairs(events: DataFrame, alpha: Double = 0.05): DataFrame =
+    fdrTypePairs(events, alpha, harmonic = true)
+
+  private def fdrTypePairs(events: DataFrame, alpha: Double,
+      harmonic: Boolean): DataFrame = {
     val mw = mannWhitneyTypePairs(events)
       .filter(col("z").isNotNull)
       .select(col("type_a"), col("type_b"), col("z"))
@@ -5324,17 +5690,33 @@ object EventOps {
         col("b.z").as("z"), col("b.p").as("p"))
       .agg((count(col("a.p")) + lit(1L)).as("rk"))
       .crossJoin(broadcast(m))
-      .withColumn("q", round(least(col("p") * col("m").cast("double") /
-        col("rk").cast("double"), lit(1.0)), 6))
+      .withColumn("q",
+        if (!harmonic)
+          round(least(col("p") * col("m").cast("double") /
+            col("rk").cast("double"), lit(1.0)), 6)
+        else {
+          // c(m) = sum 1/i, each term 10dp-pinned into DECIMAL so the
+          // fold is order-exact; the BY q multiplies it in BEFORE the
+          // division (one extra identical double product)
+          val cm = aggregate(
+            transform(sequence(lit(1L), col("m")),
+              i => round(lit(1.0) / i.cast("double"), 10)
+                .cast("decimal(38,10)")),
+            lit(0).cast("decimal(38,10)"), (a, e) => a + e)
+            .cast("double")
+          round(least(col("p") * col("m").cast("double") * cm /
+            col("rk").cast("double"), lit(1.0)), 6)
+        })
       .localCheckpoint()
     // step-up: adjusted p = min q over my suffix (rank ≥ mine)
+    val adjName = if (harmonic) "p_by" else "p_bh"
     val adj = ranked.as("b")
       .join(broadcast(ranked.as("a")), col("a.rk") >= col("b.rk"))
       .groupBy(col("b.type_a").as("type_a"), col("b.type_b").as("type_b"),
         col("b.z").as("z"), col("b.p").as("p_raw"), col("b.rk").as("rk"))
-      .agg(min(col("a.q")).as("p_bh"))
+      .agg(min(col("a.q")).as(adjName))
     adj.select(col("type_a"), col("type_b"), col("z"), col("p_raw"),
-      col("rk"), col("p_bh"), (col("p_bh") <= lit(alpha)).as("rejected"))
+      col("rk"), col(adjName), (col(adjName) <= lit(alpha)).as("rejected"))
   }
 
   /** Classical additive seasonal decomposition of the daily count

@@ -586,6 +586,73 @@ object VectorOps {
         col("semi_id").isNotNull.as("semi_hard"))
   }
 
+  /** [[tripletMining]]'s IVF-scoped scale path (the
+    * [[hardNegativesIvf]] posture): candidates per anchor are the
+    * members ASSIGNED to its `nprobe` nearest lists, so the mining
+    * pair volume drops from n² to Σ(probers × members) per list; the
+    * identical pos / semi-hard / hard-fallback selection then runs on
+    * that candidate set, with the SAME cosine form and total order as
+    * the exact operator. An anchor whose probed lists hold no
+    * same-label member emits nothing, and one with no cross-label
+    * candidate emits NULL negatives (the recall trade, stated). With
+    * nprobe = nlist every list is probed, the candidate set
+    * degenerates to all pairs, and the output is BIT-IDENTICAL to
+    * [[tripletMining]] (spec-pinned — the knn_all_ivf parity
+    * contract). Pinned deterministic centroids make every stage a
+    * pure function of the table, so the query is hash-gated like
+    * hard_negatives_ivf, not merely recall-gated. */
+  def tripletMiningIvf(embeddings: DataFrame, centroids: DataFrame,
+      nprobe: Int = 2): DataFrame = {
+    import graft.functions.DotProduct.{dotFused, normFused}
+    val scored = embeddings
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("label"), col("embedding"), col("list_id"),
+        cosineFused(col("embedding"), col("cv")).as("d"))
+    val probes = graft.plans.TopK.perGroup(scored, Seq(col("vec_id")),
+      Seq(col("d").desc, col("list_id").asc), nprobe)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("va"), normFused(col("embedding")).as("na"),
+        col("list_id"))
+    val members = graft.plans.TopK.perGroup(scored, Seq(col("vec_id")),
+      Seq(col("d").desc, col("list_id").asc), 1)
+      .select(col("vec_id").as("b_id"), col("label").as("b_label"),
+        col("embedding").as("vb"), normFused(col("embedding")).as("nb"),
+        col("list_id"))
+    val cand = probes.join(members, Seq("list_id"))
+      .filter(col("a_id") =!= col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        round(when(col("na") * col("nb") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(dotFused(col("va"), col("vb")) /
+            (col("na") * col("nb"))), 4).as("cs"))
+      .localCheckpoint() // pos + semi + hard selections all read it
+    val pos = graft.plans.TopK.perGroup(
+      cand.filter(col("a_label") === col("b_label")), Seq(col("a_id")),
+      Seq(col("cs").desc, col("b_id").asc), 1)
+      .select(col("a_id"), col("a_label"), col("b_id").as("pos_id"),
+        col("cs").as("pos_cos"))
+    val negsAll = cand.filter(col("a_label") =!= col("b_label"))
+    val semi = graft.plans.TopK.perGroup(
+      negsAll.join(pos.select("a_id", "pos_cos"), "a_id")
+        .filter(col("cs") < col("pos_cos")), Seq(col("a_id")),
+      Seq(col("cs").desc, col("b_id").asc), 1)
+      .select(col("a_id"), col("b_id").as("semi_id"),
+        col("cs").as("semi_cos"))
+    val hard = graft.plans.TopK.perGroup(negsAll, Seq(col("a_id")),
+      Seq(col("cs").desc, col("b_id").asc), 1)
+      .select(col("a_id"), col("b_id").as("hard_id"),
+        col("cs").as("hard_cos"))
+    pos.join(semi, Seq("a_id"), "left").join(hard, Seq("a_id"), "left")
+      .select(col("a_id").as("anchor_id"), col("a_label").as("label"),
+        col("pos_id"), col("pos_cos"),
+        coalesce(col("semi_id"), col("hard_id")).as("neg_id"),
+        coalesce(col("semi_cos"), col("hard_cos")).as("neg_cos"),
+        round(col("pos_cos") -
+          coalesce(col("semi_cos"), col("hard_cos")), 4).as("margin"),
+        col("semi_id").isNotNull.as("semi_hard"))
+  }
+
   /** Batch ANN via IVF, the coarse-quantization analogue of
     * [[knnAllLsh]]: every vector probes its `nprobe` nearest lists
     * (one broadcast crossJoin against the tiny centroid table, bounded

@@ -97,6 +97,128 @@ class StatsFixturesR17Spec extends SparkSpec {
       !(java.lang.Double.doubleToRawLongBits(sampen) != 0L), got.toString)
   }
 
+  test("breusch-pagan: perfect linear fit -> NULL (zero aux " +
+      "variance); planted variance growth flags heteroskedastic") {
+    // y = t exactly: residuals 0 -> den2 = 0 -> NULL lanes
+    val lin = (1 to 6).flatMap(d => (1 to d).map(i =>
+      (f"2024-01-0$d 0$i:00:00", i.toLong, "x", 1.0)))
+    val g0 = EventOps.breuschPaganDaily(eventsFrom(lin)).collect().head
+    assert(g0.getAs[Long]("n_days") == 6L)
+    assert(g0.isNullAt(g0.fieldIndex("lm_stat")), g0.toString)
+    assert(!g0.getAs[Boolean]("significant"))
+    // counts [3,3,3,3,1,9,1,9]: flat then violently alternating —
+    // residual magnitude grows with t, the BP alternative
+    val het = Seq(3, 3, 3, 3, 1, 9, 1, 9).zipWithIndex.flatMap {
+      case (c, d) => (1 to c).map(i =>
+        (f"2024-01-0${d + 1} 0$i:00:00", i.toLong, "x", 1.0))
+    }
+    val g1 = EventOps.breuschPaganDaily(eventsFrom(het)).collect().head
+    assert(!g1.isNullAt(g1.fieldIndex("lm_stat")), g1.toString)
+    val lm = g1.getAs[Double]("lm_stat")
+    val r2 = g1.getAs[Double]("r2_aux")
+    assert(lm > 0.0 && r2 > 0.0 && r2 <= 1.0, g1.toString)
+    assert(math.abs(lm - 8.0 * r2) < 1e-4, g1.toString)
+  }
+
+  test("chow break: perfect level shift [1*4, 5*4] -> SSE halves 0, " +
+      "full SSE 7.619048, F NULL (infinite); noisy break yields F") {
+    val break0 = Seq(1, 1, 1, 1, 5, 5, 5, 5)
+    val rows = break0.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i => (f"2024-01-0${d + 1} 0$i:00:00", i.toLong, "x", 1.0))
+    }
+    val got = EventOps.chowBreakDaily(eventsFrom(rows)).collect().head
+    assert(got.getAs[Long]("n_days") == 8L &&
+      got.getAs[Long]("n_first") == 4L)
+    // A=8*104-576=256, B=8*140-864=256, D=8*204-1296=336:
+    // SSE_full = (256 - 256^2/336)/8
+    val sseF = math.rint((256.0 - 256.0 * 256.0 / 336.0) / 8.0 * 1e6) / 1e6
+    assert(got.getAs[Double]("sse_full") == sseF, got.toString)
+    assert(got.getAs[Double]("sse_first") == 0.0)
+    assert(got.getAs[Double]("sse_second") == 0.0)
+    assert(got.isNullAt(got.fieldIndex("f_stat")), got.toString)
+    val noisy = Seq(1, 2, 1, 2, 5, 6, 5, 6).zipWithIndex.flatMap {
+      case (c, d) => (1 to c).map(i =>
+        (f"2024-01-0${d + 1} 0$i:00:00", i.toLong, "x", 1.0))
+    }
+    val g1 = EventOps.chowBreakDaily(eventsFrom(noisy)).collect().head
+    assert(!g1.isNullAt(g1.fieldIndex("f_stat")), g1.toString)
+    assert(g1.getAs[Double]("f_stat") > 1.0, g1.toString)
+  }
+
+  test("circular hour stats: 6 events at 00h vs 4 at 12h -> C = 2 " +
+      "(the 12h sine micro-pins to zero), mean hour 0, Wilkie p") {
+    val rows = (1 to 6).map(i => (f"2024-01-01 00:0$i:00", i.toLong, "x", 1.0)) ++
+      (1 to 4).map(i => (f"2024-01-01 12:0$i:00", i.toLong, "x", 1.0))
+    val got = EventOps.circularHourStats(eventsFrom(rows)).collect().head
+    assert(got.getAs[Long]("n_events") == 10L)
+    assert(got.getAs[Double]("c_sum") == 2.0, got.toString)
+    assert(got.getAs[Double]("s_sum") == 0.0, got.toString)
+    assert(got.getAs[Double]("resultant_r") == 0.2)
+    assert(got.getAs[Double]("mean_hour") == 0.0)
+    val z = 10.0 * 0.2 * 0.2
+    assert(got.getAs[Double]("rayleigh_z") ==
+      math.rint(z * 1e6) / 1e6)
+    val p = math.exp(-z) * (1.0 + (2.0 * z - z * z) / (4.0 * 10.0))
+    assert(got.getAs[Double]("p_value") == math.rint(p * 1e6) / 1e6,
+      got.toString)
+    assert(!got.getAs[Boolean]("significant"))
+  }
+
+  test("kde value density: {1.00 x2, 2.00 x1} agrees with a " +
+      "plain-Scala pinned Epanechnikov mirror at all 21 gridpoints") {
+    val rows = Seq(
+      ("2024-01-01 00:00:00", 1L, "x", 1.0),
+      ("2024-01-01 01:00:00", 2L, "x", 1.0),
+      ("2024-01-01 02:00:00", 3L, "x", 2.0))
+    val cells = Seq((100L, 2L), (200L, 1L))
+    val n = 3L
+    val s1 = cells.map { case (c, k) => c * k }.sum
+    val s2 = cells.map { case (c, k) => c * c * k }.sum
+    val sigma = math.sqrt((n * s2 - s1.toDouble * s1).toDouble / (n * n))
+    val h = 1.06 * sigma * math.pow(n.toDouble, -0.2)
+    val expect = (0 until 21).map { j =>
+      val gx = 100.0 + j.toDouble * 100.0 / 20.0
+      val tsum = cells.map { case (c, k) =>
+        val u = (c.toDouble - gx) / h
+        if (math.abs(u) < 1.0)
+          math.rint(k.toDouble * 0.75 * (1.0 - u * u) * 1e6).toLong
+        else 0L
+      }.sum
+      j.toLong -> ((math.rint(gx / 100.0 * 1e6) / 1e6,
+        math.rint(tsum / 1e6 / (n * h) * 100.0 * 1e8) / 1e8))
+    }.toMap
+    val got = EventOps.kdeValueDensity(eventsFrom(rows)).collect()
+      .map(r => r.getAs[Long]("grid_idx") ->
+        ((r.getAs[Double]("x"), r.getAs[Double]("density")))).toMap
+    assert(got == expect, s"got $got\nexpect $expect")
+    // mass sanity: the [min,max] grid TRUNCATES kernel tails (h ~ 40
+    // cents on a 100-cent window), so the window integral is well
+    // under 1 but far from 0 — positive mass, no blow-up
+    val step = (200.0 - 100.0) / 20.0 / 100.0
+    val mass = got.values.map(_._2).sum * step
+    assert(mass > 0.3 && mass < 1.3, s"mass $mass")
+  }
+
+  test("krippendorff alpha hand case: units (a,a),(a,b),(b,b),(b,b) " +
+      "-> Do 1/4, De 30/56, alpha = 1 - 14/30") {
+    import graft.ops.DocOps
+    val units = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"))
+      .toDF("lang", "pred_lang")
+    val got = DocOps.krippendorffAlpha(units).collect().head
+    assert(got.getAs[Long]("n_units") == 4L)
+    assert(got.getAs[Long]("n_categories") == 2L)
+    assert(got.getAs[Long]("n_disagree") == 1L)
+    assert(got.getAs[Double]("do_rate") == 0.25)
+    assert(got.getAs[Double]("de_rate") ==
+      math.rint(30.0 / 56.0 * 1e6) / 1e6)
+    assert(got.getAs[Double]("kripp_alpha") ==
+      math.rint((1.0 - 14.0 / 30.0) * 1e6) / 1e6, got.toString)
+    // degenerate: one category everywhere -> De = 0 -> NULL alpha
+    val one = Seq(("a", "a"), ("a", "a")).toDF("lang", "pred_lang")
+    val g0 = DocOps.krippendorffAlpha(one).collect().head
+    assert(g0.isNullAt(g0.fieldIndex("kripp_alpha")), g0.toString)
+  }
+
   test("DFA alpha agrees with a plain-Scala pinned mirror on an " +
       "alternating 17-day series; constant series yields no rows") {
     // counts [2,0,2,0,...,2]: zero-filled calendar supplies the 0s
