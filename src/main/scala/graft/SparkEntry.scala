@@ -74,6 +74,17 @@ object SparkEntry {
     ("part", "p_partkey", "lineitem", "l_partkey"),
     ("events", "user_id", "customer", "c_custkey"))
 
+  /** One IPF scale step for the ipf_source_lang_weights oracle:
+    * rescale micro-unit masses so `key`'s marginal hits `tgt`
+    * (tgt interpolated as a SQL double expression). */
+  private def ipfStepSql(out: String, prev: String, key: String,
+      tgt: String): String =
+    s"$out AS MATERIALIZED (SELECT source, lang, n, nd, ns, nl, " +
+      s"CAST(round(CAST(w AS DOUBLE) * (($tgt) / CAST(msum AS DOUBLE)), 0) " +
+      "AS BIGINT) AS w FROM (SELECT *, " +
+      s"CAST(sum(w) OVER (PARTITION BY $key) AS BIGINT) AS msum " +
+      s"FROM $prev))"
+
   /** One oracle branch per IND candidate — same distinct-string
     * containment as ProfileOps.inclusionDependencyAudit (the join is
     * within ONE engine, so value formatting never crosses rails). */
@@ -171,6 +182,8 @@ object SparkEntry {
     "value_mad_by_type_approx_only" ->
       ((s, d) => EventOps.valueMadByTypeApproxOnly(events(s, d))),
     "event_transitions" -> ((s, d) => EventOps.eventTransitions(events(s, d))),
+    "markov_next_event_accuracy" ->
+      ((s, d) => EventOps.markovNextEventAccuracy(events(s, d))),
     "event_pagerank" -> ((s, d) => GraphOps.eventTypePageRank(events(s, d))),
     "hits_user_type" -> ((s, d) => GraphOps.hitsUserType(events(s, d))),
     "cms_user_estimates" -> ((s, d) => EventOps.cmsUserEstimates(events(s, d))),
@@ -266,6 +279,8 @@ object SparkEntry {
       LayoutOps.zorderLayoutAudit(events(s, d))),
     "hilbert_layout_audit" -> ((s, d) =>
       LayoutOps.hilbertLayoutAudit(events(s, d))),
+    "huber_m_location" ->
+      ((s, d) => EventOps.huberMLocationByType(events(s, d))),
     "winsorized_value_stats" -> ((s, d) =>
       EventOps.winsorizedValueStats(events(s, d))),
     // ---- reference parity: document/text ops (SURVEY §2.2, §2.7) ----
@@ -310,6 +325,8 @@ object SparkEntry {
       ((s, d) => DocOps.neymanAllocation(documents(s, d))),
     "unimax_allocation" ->
       ((s, d) => DocOps.unimaxAllocation(documents(s, d))),
+    "ipf_source_lang_weights" ->
+      ((s, d) => DocOps.ipfSourceLangWeights(documents(s, d))),
     "temperature_allocation" ->
       ((s, d) => DocOps.temperatureAllocation(documents(s, d))),
     "pmi_collocations" ->
@@ -969,6 +986,8 @@ object SparkEntry {
       ((s, d) => EventOps.typeDowMutualInfo(events(s, d))),
     "benford_first_digit" ->
       ((s, d) => ProfileOps.benfordFirstDigit(orders(s, d), "o_totalprice")),
+    "last_digit_uniformity" ->
+      ((s, d) => EventOps.lastDigitUniformity(events(s, d))),
     "sequence_packing" -> ((s, d) => DocOps.sequencePacking(documents(s, d))),
     "packed_shards" -> ((s, d) => DocOps.packedShards(documents(s, d))),
     // ---- round-11 batch 9: hash-gated clustering + series memory ----
@@ -998,6 +1017,8 @@ object SparkEntry {
     // ---- round-11 batch 10: survival + market-basket ----
     "km_survival_horizons" ->
       ((s, d) => EventOps.kmSurvivalHorizons(events(s, d))),
+    "km_greenwood_ci" ->
+      ((s, d) => EventOps.kmGreenwoodCi(events(s, d))),
     "rmst_horizons" -> ((s, d) => EventOps.rmstHorizons(events(s, d))),
     "eb_shrunk_user_means" ->
       ((s, d) => EventOps.ebShrunkUserMeans(events(s, d))),
@@ -1031,6 +1052,8 @@ object SparkEntry {
     "value_auc_by_type" -> ((s, d) => EventOps.valueAucByType(events(s, d))),
     "score_calibration_bins" ->
       ((s, d) => EventOps.scoreCalibrationBins(events(s, d))),
+    "brier_decomposition" ->
+      ((s, d) => EventOps.brierDecomposition(events(s, d))),
     "ab_conversion_ztest" ->
       ((s, d) => EventOps.abConversionZtest(events(s, d))),
     "ratio_metric_delta_ci" ->
@@ -3755,6 +3778,41 @@ object SparkEntry {
     // // floors where Spark div truncates, but a sign disagreement can
     // only occur at i > k where u is unused and the flag is true under
     // ANY negative value.)
+    // Mirrors DocOps.ipfSourceLangWeights: micro-unit BIGINT cell
+    // masses walked through six identically-unrolled scale steps
+    // (uniform row/col targets), final row-marginal relative error.
+    "ipf_source_lang_weights" ->
+      ("WITH cells AS MATERIALIZED (SELECT source, lang, " +
+        "CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(count(*) AS BIGINT) * 1000000 AS w FROM documents " +
+        "GROUP BY 1, 2), " +
+        "dims AS (SELECT CAST(sum(n) AS BIGINT) AS nd, " +
+        "CAST(count(DISTINCT source) AS BIGINT) AS ns, " +
+        "CAST(count(DISTINCT lang) AS BIGINT) AS nl FROM cells), " +
+        "w0 AS MATERIALIZED (SELECT source, lang, n, w, nd, ns, nl " +
+        "FROM cells CROSS JOIN dims), " +
+        ipfStepSql("r1", "w0", "source",
+          "CAST(nd AS DOUBLE) * 1000000.0 / CAST(ns AS DOUBLE)") + ", " +
+        ipfStepSql("c1", "r1", "lang",
+          "CAST(nd AS DOUBLE) * 1000000.0 / CAST(nl AS DOUBLE)") + ", " +
+        ipfStepSql("r2", "c1", "source",
+          "CAST(nd AS DOUBLE) * 1000000.0 / CAST(ns AS DOUBLE)") + ", " +
+        ipfStepSql("c2", "r2", "lang",
+          "CAST(nd AS DOUBLE) * 1000000.0 / CAST(nl AS DOUBLE)") + ", " +
+        ipfStepSql("r3", "c2", "source",
+          "CAST(nd AS DOUBLE) * 1000000.0 / CAST(ns AS DOUBLE)") + ", " +
+        ipfStepSql("c3", "r3", "lang",
+          "CAST(nd AS DOUBLE) * 1000000.0 / CAST(nl AS DOUBLE)") + ", " +
+        "err AS (SELECT max(abs(CAST(msum AS DOUBLE) - " +
+        "(CAST(nd AS DOUBLE) * 1000000.0 / CAST(ns AS DOUBLE))) / " +
+        "(CAST(nd AS DOUBLE) * 1000000.0 / CAST(ns AS DOUBLE))) " +
+        "AS row_rel_err FROM (SELECT source, nd, ns, " +
+        "CAST(sum(w) AS BIGINT) AS msum FROM c3 GROUP BY 1, 2, 3)) " +
+        "SELECT source, lang, n AS n_docs, " +
+        "round(CAST(w AS DOUBLE) / 1000000.0, 6) AS cell_mass, " +
+        "round(CAST(w AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE), 6) " +
+        "AS doc_weight, round(row_rel_err, 6) AS row_rel_err " +
+        "FROM c3 CROSS JOIN err"),
     "unimax_allocation" ->
       ("WITH per AS (SELECT source, " +
         "CAST(sum(length(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) " +
@@ -4855,6 +4913,160 @@ object SparkEntry {
         "THEN 'increasing' WHEN zv < -1.959964 THEN 'decreasing' " +
         "ELSE 'none' END) END AS trend " +
         "FROM z"),
+    // Mirrors EventOps.huberMLocationByType: exact (type,cents,count)
+    // cells, 3 identically-unrolled IRLS steps with micro-unit-pinned
+    // weighted sums, the division only in the untaken-arm-safe CASE.
+    "huber_m_location" ->
+      ("WITH cells AS MATERIALIZED (SELECT event_type, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x, " +
+        "CAST(count(*) AS BIGINT) AS k FROM events " +
+        "WHERE value IS NOT NULL GROUP BY 1, 2), " +
+        "m0 AS MATERIALIZED (SELECT event_type, CAST(sum(k) AS BIGINT) AS n, " +
+        "CAST(sum(x * k) AS BIGINT) AS s, " +
+        "CAST(sum(CAST(x AS HUGEINT) * x * k) AS HUGEINT) AS ss FROM cells " +
+        "GROUP BY 1), " +
+        "p0 AS MATERIALIZED (SELECT event_type, n, " +
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu, " +
+        "sqrt(CAST(CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s " +
+        "AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)) AS sigma " +
+        "FROM m0), " +
+        "p1 AS MATERIALIZED (SELECT c.event_type, n, sigma, " +
+        "CAST(sum(CAST(round(CAST(c.k AS DOUBLE) * (CASE WHEN " +
+        "abs(CAST(c.x AS DOUBLE) - mu) <= 1.345 * sigma THEN 1.0 ELSE " +
+        "1.345 * sigma / abs(CAST(c.x AS DOUBLE) - mu) END) * " +
+        "CAST(c.x AS DOUBLE) * 1000.0, 0) AS HUGEINT)) AS DOUBLE) * 1000.0 / " +
+        "CAST(sum(CAST(round(CAST(c.k AS DOUBLE) * (CASE WHEN " +
+        "abs(CAST(c.x AS DOUBLE) - mu) <= 1.345 * sigma THEN 1.0 ELSE " +
+        "1.345 * sigma / abs(CAST(c.x AS DOUBLE) - mu) END) * " +
+        "1000000.0, 0) AS HUGEINT)) AS DOUBLE) AS mu " +
+        "FROM cells c JOIN p0 ON p0.event_type = c.event_type " +
+        "GROUP BY 1, 2, 3), " +
+        "p2 AS MATERIALIZED (SELECT c.event_type, n, sigma, " +
+        "CAST(sum(CAST(round(CAST(c.k AS DOUBLE) * (CASE WHEN " +
+        "abs(CAST(c.x AS DOUBLE) - mu) <= 1.345 * sigma THEN 1.0 ELSE " +
+        "1.345 * sigma / abs(CAST(c.x AS DOUBLE) - mu) END) * " +
+        "CAST(c.x AS DOUBLE) * 1000.0, 0) AS HUGEINT)) AS DOUBLE) * 1000.0 / " +
+        "CAST(sum(CAST(round(CAST(c.k AS DOUBLE) * (CASE WHEN " +
+        "abs(CAST(c.x AS DOUBLE) - mu) <= 1.345 * sigma THEN 1.0 ELSE " +
+        "1.345 * sigma / abs(CAST(c.x AS DOUBLE) - mu) END) * " +
+        "1000000.0, 0) AS HUGEINT)) AS DOUBLE) AS mu " +
+        "FROM cells c JOIN p1 ON p1.event_type = c.event_type " +
+        "GROUP BY 1, 2, 3), " +
+        "p3 AS MATERIALIZED (SELECT c.event_type, n, sigma, " +
+        "CAST(sum(CAST(round(CAST(c.k AS DOUBLE) * (CASE WHEN " +
+        "abs(CAST(c.x AS DOUBLE) - mu) <= 1.345 * sigma THEN 1.0 ELSE " +
+        "1.345 * sigma / abs(CAST(c.x AS DOUBLE) - mu) END) * " +
+        "CAST(c.x AS DOUBLE) * 1000.0, 0) AS HUGEINT)) AS DOUBLE) * 1000.0 / " +
+        "CAST(sum(CAST(round(CAST(c.k AS DOUBLE) * (CASE WHEN " +
+        "abs(CAST(c.x AS DOUBLE) - mu) <= 1.345 * sigma THEN 1.0 ELSE " +
+        "1.345 * sigma / abs(CAST(c.x AS DOUBLE) - mu) END) * " +
+        "1000000.0, 0) AS HUGEINT)) AS DOUBLE) AS mu " +
+        "FROM cells c JOIN p2 ON p2.event_type = c.event_type " +
+        "GROUP BY 1, 2, 3), " +
+        "dn AS (SELECT c.event_type, " +
+        "CAST(sum(CASE WHEN abs(CAST(c.x AS DOUBLE) - p3.mu) > " +
+        "1.345 * p3.sigma THEN c.k ELSE 0 END) AS BIGINT) " +
+        "AS n_downweighted FROM cells c " +
+        "JOIN p3 ON p3.event_type = c.event_type GROUP BY 1) " +
+        "SELECT p3.event_type, p3.n, " +
+        "round(p0.mu / 100.0, 6) AS mean_value, " +
+        "round(p3.sigma / 100.0, 6) AS sigma_value, " +
+        "round(p3.mu / 100.0, 6) AS huber_mean, dn.n_downweighted " +
+        "FROM p3 JOIN dn ON dn.event_type = p3.event_type " +
+        "JOIN p0 ON p0.event_type = p3.event_type"),
+    // Mirrors EventOps.markovNextEventAccuracy: (ts, event_id) pair
+    // windows, midpoint-owned halves (straddling pairs dropped),
+    // argmax model with (count DESC, type ASC) ties, exact counts.
+    "markov_next_event_accuracy" ->
+      ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi " +
+        "FROM events), " +
+        "pr AS (SELECT user_id, event_type, epoch_us(ts) AS us, " +
+        "lead(event_type, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC) AS next_type, " +
+        "lead(epoch_us(ts), 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts ASC, event_id ASC) AS next_us FROM events), " +
+        "pairs AS MATERIALIZED (SELECT pr.*, " +
+        "CAST((lo + hi) // 2 AS BIGINT) AS mid FROM pr CROSS JOIN b " +
+        "WHERE next_type IS NOT NULL), " +
+        "train AS MATERIALIZED (SELECT event_type, next_type, " +
+        "CAST(count(*) AS BIGINT) AS c FROM pairs " +
+        "WHERE next_us <= mid GROUP BY 1, 2), " +
+        "model AS (SELECT event_type, next_type AS predicted FROM (" +
+        "SELECT *, row_number() OVER (PARTITION BY event_type " +
+        "ORDER BY c DESC, next_type ASC) AS rn FROM train) WHERE rn = 1), " +
+        "maj AS (SELECT next_type AS majority_type FROM (" +
+        "SELECT next_type, CAST(sum(c) AS BIGINT) AS c FROM train " +
+        "GROUP BY 1) ORDER BY c DESC, next_type ASC LIMIT 1), " +
+        "test AS (SELECT t.next_type, m.predicted, j.majority_type " +
+        "FROM pairs t LEFT JOIN model m ON m.event_type = t.event_type " +
+        "CROSS JOIN maj j WHERE t.us > t.mid), " +
+        "a AS (SELECT CAST(count(*) AS BIGINT) AS n_test, " +
+        "CAST(sum(CASE WHEN predicted = next_type THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_correct, " +
+        "CAST(sum(CASE WHEN predicted IS NULL THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_unseen_context, " +
+        "CAST(sum(CASE WHEN majority_type = next_type THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_majority_correct, " +
+        "min(majority_type) AS majority_type FROM test), " +
+        "nt AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_train " +
+        "FROM train) " +
+        "SELECT n_train, n_test, n_correct, n_unseen_context, " +
+        "majority_type, " +
+        "CASE WHEN n_test > 0 THEN round(CAST(n_correct AS DOUBLE) / " +
+        "CAST(n_test AS DOUBLE), 6) END AS accuracy, " +
+        "CASE WHEN n_test > 0 THEN " +
+        "round(CAST(n_majority_correct AS DOUBLE) / " +
+        "CAST(n_test AS DOUBLE), 6) END AS baseline_accuracy " +
+        "FROM a CROSS JOIN nt"),
+    // Mirrors EventOps.brierDecomposition: the direct Brier is the
+    // exact HUGEINT Sigma(s - o*r)^2 lane; per-bin REL/RES terms
+    // micro-unit-pinned before their <=10-term sums.
+    "brier_decomposition" ->
+      ("WITH mm AS (SELECT " +
+        "min(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cmin, " +
+        "max(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS cmax " +
+        "FROM events), " +
+        "base AS (SELECT " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) - cmin AS s, " +
+        "cmax - cmin AS r, " +
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o " +
+        "FROM events CROSS JOIN mm WHERE cmax > cmin), " +
+        "b2 AS (SELECT s, r, o, least(CAST(s * 10 // r AS BIGINT), 9) AS bin FROM base), " +
+        "bins AS MATERIALIZED (SELECT bin, r, " +
+        "CAST(count(*) AS BIGINT) AS nk, CAST(sum(o) AS BIGINT) AS ok, " +
+        "CAST(sum(s) AS BIGINT) AS sk, " +
+        "CAST(sum(CAST(s - o * r AS HUGEINT) * (s - o * r)) AS HUGEINT) " +
+        "AS sq FROM b2 GROUP BY 1, 2), " +
+        "tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n, " +
+        "CAST(sum(ok) AS BIGINT) AS opos, " +
+        "CAST(sum(sq) AS HUGEINT) AS sqall, " +
+        "CAST(max(r) AS BIGINT) AS r FROM bins), " +
+        "terms AS (SELECT " +
+        "CAST(sum(CAST(round(CAST(nk AS DOUBLE) * " +
+        "(CAST(sk AS DOUBLE) / (CAST(nk AS DOUBLE) * CAST(bins.r AS DOUBLE)) - " +
+        "CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)) * " +
+        "(CAST(sk AS DOUBLE) / (CAST(nk AS DOUBLE) * CAST(bins.r AS DOUBLE)) - " +
+        "CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE)) * 1000000.0, 0) " +
+        "AS BIGINT)) AS BIGINT) AS relm, " +
+        "CAST(sum(CAST(round(CAST(nk AS DOUBLE) * " +
+        "(CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE) - " +
+        "CAST(opos AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(ok AS DOUBLE) / CAST(nk AS DOUBLE) - " +
+        "CAST(opos AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000.0, 0) " +
+        "AS BIGINT)) AS BIGINT) AS resm " +
+        "FROM bins CROSS JOIN (SELECT n, opos FROM tot) t), " +
+        "f AS (SELECT n, opos, " +
+        "CAST(sqall AS DOUBLE) / (CAST(r AS DOUBLE) * CAST(r AS DOUBLE)) / " +
+        "CAST(n AS DOUBLE) AS brier, " +
+        "CAST(relm AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS rel, " +
+        "CAST(resm AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS res, " +
+        "(CAST(opos AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(1.0 - CAST(opos AS DOUBLE) / CAST(n AS DOUBLE)) AS unc " +
+        "FROM tot CROSS JOIN terms) " +
+        "SELECT n AS n_events, round(brier, 6) AS brier, " +
+        "round(rel, 6) AS reliability, round(res, 6) AS resolution, " +
+        "round(unc, 6) AS uncertainty, " +
+        "round(brier - (rel - res + unc), 6) + 0.0 AS within_bin_var FROM f"),
     // Mirrors EventOps.pettittChangepointDaily: midrank identity
     // U_t = Σ_{i≤t}(n − 2aᵢ − eᵢ) on exact BIGINT lanes, argmax
     // tie-pinned to the earliest day, one exp() chain 6dp.
@@ -8295,7 +8507,25 @@ object SparkEntry {
     // Mirrors ProfileOps.benfordFirstDigit: leading digit extracted
     // TEXTUALLY from floor(amount) (exact, engine-identical — no
     // log10 at decade boundaries); share is one pinned integer
-    // division; expectation is ln(1+1/d)/ln(10) on identical doubles.
+    // division; expectation is ln(1+1/d)/ln(10) on identical doubles.    // Mirrors EventOps.lastDigitUniformity: exact 10-cell lanes, the
+    // chi-square against uniform collapsed to (10*sum O^2 - n^2)/n —
+    // one pinned division; 16.918978 = chi2(9) at 5%.
+    "last_digit_uniformity" ->
+      ("WITH d AS (SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT) % 10 AS digit FROM events WHERE value IS NOT NULL), " +
+        "o AS (SELECT digit, CAST(count(*) AS BIGINT) AS o FROM d " +
+        "GROUP BY 1), " +
+        "m AS (SELECT CAST(sum(o) AS BIGINT) AS n, " +
+        "CAST(sum(CAST(o AS HUGEINT) * o) AS HUGEINT) AS oo, " +
+        "CAST(count(*) AS BIGINT) AS n_digits, " +
+        "CAST(max(o) AS BIGINT) AS max_count FROM o) " +
+        "SELECT n AS n_events, n_digits, max_count, " +
+        "round(CAST(CAST(10 AS HUGEINT) * oo - CAST(n AS HUGEINT) * n " +
+        "AS DOUBLE) / CAST(n AS DOUBLE), 6) AS chi2, " +
+        "CAST(CAST(10 AS HUGEINT) * oo - CAST(n AS HUGEINT) * n " +
+        "AS DOUBLE) / CAST(n AS DOUBLE) > 16.918978 AS significant " +
+        "FROM m WHERE n > 0"),
+
     "benford_first_digit" ->
       ("WITH g AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) " +
         "AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit, " +
@@ -8764,6 +8994,49 @@ object SparkEntry {
         "SELECT h.horizon, coalesce(c.n_churned, 0) AS n_churned, " +
         "coalesce(c.survival, 1.0) AS survival " +
         "FROM h LEFT JOIN curve c USING (horizon)"),
+    // Mirrors EventOps.kmGreenwoodCi: the km risk-set chain with
+    // ORDER-EXACT lanes — each ln term 10dp-pinned into DECIMAL, each
+    // Greenwood d/(n(n-d)) term 1e-12 micro-pinned; absorbing
+    // horizons S = 0 with NULL CI.
+    "km_greenwood_ci" ->
+      ("WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f, " +
+        "CAST(max(ts) AS DATE) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events), " +
+        "dur AS (SELECT CAST(datediff('day', f, l) + 1 AS BIGINT) AS t, " +
+        "CASE WHEN l < max_day THEN 1 ELSE 0 END AS observed " +
+        "FROM u CROSS JOIN mx), " +
+        "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending, " +
+        "CAST(sum(observed) AS BIGINT) AS d FROM dur GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM dur), " +
+        "ar AS (SELECT t, d, n_users - CAST(sum(ending) OVER (" +
+        "ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending AS n " +
+        "FROM byt CROSS JOIN tot), " +
+        "h AS (SELECT CAST(unnest([1, 7, 14, 30]) AS INT) AS horizon), " +
+        "curve AS (SELECT horizon, CAST(sum(d) AS BIGINT) AS n_churned, " +
+        "sum(CASE WHEN n > d THEN CAST(round(ln((CAST(n AS DOUBLE) - " +
+        "CAST(d AS DOUBLE)) / CAST(n AS DOUBLE)), 10) AS DECIMAL(38,10)) " +
+        "END) AS lns, " +
+        "CAST(sum(CASE WHEN n > d THEN CAST(round(CAST(d AS DOUBLE) / " +
+        "(CAST(n AS DOUBLE) * CAST(n - d AS DOUBLE)) * 1000000000000.0, " +
+        "0) AS BIGINT) END) AS BIGINT) AS gwm, " +
+        "CAST(sum(CASE WHEN n = d THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_absorb " +
+        "FROM ar CROSS JOIN h WHERE d > 0 AND t <= horizon GROUP BY 1), " +
+        "e AS (SELECT horizon, n_churned, n_absorb, " +
+        "exp(CAST(lns AS DOUBLE)) AS s, " +
+        "exp(CAST(lns AS DOUBLE)) * " +
+        "sqrt(CAST(gwm AS DOUBLE) / 1000000000000.0) AS se " +
+        "FROM curve) " +
+        "SELECT h.horizon, coalesce(e.n_churned, 0) AS n_churned, " +
+        "coalesce(CASE WHEN e.n_absorb > 0 THEN 0.0 " +
+        "ELSE round(e.s, 6) END, 1.0) AS survival, " +
+        "CASE WHEN e.n_churned IS NOT NULL AND e.n_absorb = 0 THEN " +
+        "round(e.se, 6) END AS se, " +
+        "CASE WHEN e.n_churned IS NOT NULL AND e.n_absorb = 0 THEN " +
+        "round(greatest(e.s - 1.959964 * e.se, 0.0), 6) END AS ci_lo, " +
+        "CASE WHEN e.n_churned IS NOT NULL AND e.n_absorb = 0 THEN " +
+        "round(least(e.s + 1.959964 * e.se, 1.0), 6) END AS ci_hi " +
+        "FROM h LEFT JOIN e USING (horizon)"),
     // Mirrors EventOps.rmstHorizons: the km CTE chain, per-step S via
     // the identical exp(round(cum-ln, 6), 6), lead() for segment
     // widths, each S·width micro-pinned 6dp into DECIMAL(38,6) before
@@ -10110,8 +10383,8 @@ object SparkEntry {
         "(k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 + " +
         "k * (-1.821255978 + k * 1.330274429)))))), 6) AS p FROM kk), " +
         "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp), " +
-        "cmv AS (SELECT CAST(sum(CAST(round(1.0 / CAST(i AS DOUBLE), 10) " +
-        "AS DECIMAL(38,10))) AS DOUBLE) AS cm FROM (SELECT " +
+        "cmv AS (SELECT CAST(sum(CAST(round(10000000000.0 / " +
+        "CAST(i AS DOUBLE), 0) AS BIGINT)) AS BIGINT) AS cms FROM (SELECT " +
         "unnest(range(1, (SELECT m FROM m) + 1)) AS i)), " +
         "rk AS (SELECT b.type_a, b.type_b, b.z, b.p, " +
         "CAST(count(a.p) + 1 AS BIGINT) AS rk FROM pp b LEFT JOIN pp a " +
@@ -10119,7 +10392,8 @@ object SparkEntry {
         "(a.type_a = b.type_a AND a.type_b < b.type_b))) " +
         "GROUP BY 1, 2, 3, 4), " +
         "q AS (SELECT *, round(least(p * CAST((SELECT m FROM m) AS DOUBLE) * " +
-        "(SELECT cm FROM cmv) / CAST(rk AS DOUBLE), 1.0), 6) AS q FROM rk) " +
+        "(CAST((SELECT cms FROM cmv) AS DOUBLE) / 10000000000.0) / " +
+        "CAST(rk AS DOUBLE), 1.0), 6) AS q FROM rk) " +
         "SELECT b.type_a, b.type_b, b.z, b.p AS p_raw, b.rk, " +
         "min(a.q) AS p_by, min(a.q) <= 0.05 AS rejected " +
         "FROM q b JOIN q a ON a.rk >= b.rk GROUP BY 1, 2, 3, 4, 5"),
@@ -10174,7 +10448,7 @@ object SparkEntry {
         "FROM events CROSS JOIN b GROUP BY 1, 2, 3, 4), " +
         "lk AS (SELECT arm, d0, first_off, conv_off, " +
         "CAST(look AS BIGINT) AS look, " +
-        "CAST(span * look AS BIGINT) // 5 - 1 AS cut FROM pu " +
+        "CAST(CAST(span * look AS BIGINT) // 5 AS BIGINT) - 1 AS cut FROM pu " +
         "CROSS JOIN (SELECT unnest(range(1, 6)) AS look)), " +
         "ag AS (SELECT look, d0, cut, " +
         "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, " +

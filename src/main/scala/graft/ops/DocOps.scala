@@ -1580,6 +1580,66 @@ object DocOps {
           .as("kripp_alpha"))
   }
 
+  /** Iterative proportional fitting (raking, Deming–Stephan '40) of
+    * the source×lang cell masses to UNIFORM marginals — the dataset
+    * balancer for when the two quota axes CONFLICT: independent
+    * per-source and per-lang reweighting double-counts whenever the
+    * table isn't independent (a source that is 90% one language);
+    * IPF alternately scales rows then columns to their targets and
+    * converges to the unique minimum-KL reweighting with both
+    * marginals exact. EXACTLY 3 round-trips (the [[graft.ops
+    * .EventOps.coxPhAb]] fixed-iteration contract — marginal error
+    * decays geometrically and the residual is part of the output, not
+    * hidden). Structural zeros stay zero (stated — IPF cannot invent
+    * mass for an absent cell).
+    *
+    * Determinism: cell masses live as exact 1e-6 micro-unit BIGINTs;
+    * every scale factor is one pinned division of a micro-lane sum;
+    * each rescaled mass re-pins to micro-units — both rails walk
+    * identical integer states. Output: per-cell mass and the per-DOC
+    * multiplier a sampler applies, plus the final row-marginal
+    * relative error (the convergence telemetry).
+    *
+    * Shape: one (source, lang) collapse (quota-axes-bounded, constant
+    * in corpus size); six scale steps, each one grouped sum + one
+    * broadcast join on that tiny frame. */
+  def ipfSourceLangWeights(docs: DataFrame, rounds: Int = 3): DataFrame = {
+    val cells = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", col("n") * lit(1000000L))
+      .localCheckpoint() // the margin probes + 6 scale steps read it
+    val dims = cells.agg(sum(col("n")).as("nd"),
+      countDistinct(col("source")).as("ns"),
+      countDistinct(col("lang")).as("nl"))
+    def scale(df: DataFrame, key: String, tgt: Column): DataFrame = {
+      val sums = df.groupBy(key).agg(sum(col("w")).as("msum"))
+      df.join(broadcast(sums), key)
+        .select(col("source"), col("lang"), col("n"), col("nd"),
+          col("ns"), col("nl"),
+          round(col("w").cast("double") *
+            (tgt / col("msum").cast("double")), 0).cast("long").as("w"))
+    }
+    val rowT = col("nd").cast("double") * lit(1000000.0) /
+      col("ns").cast("double")
+    val colT = col("nd").cast("double") * lit(1000000.0) /
+      col("nl").cast("double")
+    var w = cells.crossJoin(broadcast(dims))
+    for (_ <- 1 to rounds) {
+      w = scale(w, "source", rowT)
+      w = scale(w, "lang", colT).localCheckpoint(eager = false)
+    }
+    val err = w.groupBy("source", "nd", "ns")
+      .agg(sum(col("w")).as("msum"))
+      .select(max(abs(col("msum").cast("double") - rowT) / rowT)
+        .as("row_rel_err"))
+    w.crossJoin(broadcast(err))
+      .select(col("source"), col("lang"), col("n").as("n_docs"),
+        round(col("w").cast("double") / lit(1000000.0), 6).as("cell_mass"),
+        round(col("w").cast("double") / lit(1000000.0) /
+          col("n").cast("double"), 6).as("doc_weight"),
+        round(col("row_rel_err"), 6).as("row_rel_err"))
+  }
+
   /** Pairwise source-vocabulary overlap: Jaccard between every two
     * sources' distinct token sets — the corpus-diversity matrix a
     * mixture designer reads before setting [[unimax|UniMax]]/

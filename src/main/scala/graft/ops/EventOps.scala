@@ -3061,6 +3061,100 @@ object EventOps {
         coalesce(col("survival"), lit(1.0)).as("survival"))
   }
 
+  /** Kaplan–Meier survival WITH Greenwood confidence intervals at the
+    * retention horizons — the uncertainty [[kmSurvivalHorizons]]
+    * omits (a survival point without its CI invites over-reading a
+    * 2% dip backed by 30 at-risk users):
+    * Var(Ŝ) = Ŝ²·Σ_{t≤h} d/(n(n−d)), CI = Ŝ ± 1.959964·SE clamped to
+    * [0, 1] (the plain-scale Greenwood form, stated — the log-log
+    * transform is the small-n refinement, not replicated here).
+    *
+    * Determinism: the same exact-BIGINT risk sets as the KM query;
+    * each ln((n−d)/n) term pins 10dp into DECIMAL before the
+    * cumulative sum (ORDER-EXACT — tightening the KM query's
+    * 6dp-rounded bare float sum) and each Greenwood term pins to
+    * 1e-12 micro-units; a horizon where everyone at risk churns
+    * (n = d) has Ŝ = 0 with undefined Greenwood terms → NULL
+    * SE/CI, stated. */
+  def kmGreenwoodCi(events: DataFrame,
+      horizons: Seq[Int] = Seq(1, 7, 14, 30)): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"), to_date(max(col("ts"))).as("l"))
+    val maxDay = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val dur = users.crossJoin(broadcast(maxDay))
+      .select((datediff(col("l"), col("f")) + 1).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("observed"))
+    val byT = dur.groupBy("t")
+      .agg(count(lit(1)).as("ending"), sum("observed").as("d"))
+    val total = dur.agg(count(lit(1)).as("n_users"))
+    val wPrior = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val atRisk = byT.crossJoin(broadcast(total))
+      .withColumn("n",
+        col("n_users") - sum(col("ending")).over(wPrior) + col("ending"))
+    val hs = events.sparkSession.createDataFrame(
+      horizons.map(Tuple1(_))).toDF("horizon")
+    val lnTerm = round(log((col("n") - col("d")).cast("double") /
+      col("n").cast("double")), 10).cast("decimal(38,10)")
+    val gwTerm = round(col("d").cast("double") /
+      (col("n").cast("double") * (col("n") - col("d")).cast("double")) *
+      lit(1.0e12), 0).cast("long")
+    val curve = atRisk.filter(col("d") > 0L)
+      .crossJoin(broadcast(hs))
+      .filter(col("t") <= col("horizon"))
+      .groupBy("horizon")
+      .agg(sum("d").as("n_churned"),
+        sum(when(col("n") > col("d"), lnTerm)).as("lns"),
+        sum(when(col("n") > col("d"), gwTerm)).as("gwm"),
+        sum(when(col("n") === col("d"), 1L).otherwise(0L)).as("n_absorb"))
+    val s = exp(col("lns").cast("double"))
+    val se = s * sqrt(col("gwm").cast("double") / lit(1.0e12))
+    val ok = col("n_absorb") === 0L
+    hs.join(curve, Seq("horizon"), "left")
+      .select(col("horizon"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"),
+        // an absorbing horizon (everyone at risk churned) is S = 0
+        // exactly; a horizon before any churn is S = 1
+        coalesce(when(col("n_absorb") > 0L, lit(0.0))
+          .otherwise(round(s, 6)), lit(1.0)).as("survival"),
+        when(col("n_churned").isNotNull && ok, round(se, 6)).as("se"),
+        when(col("n_churned").isNotNull && ok,
+          round(greatest(s - lit(1.959964) * se, lit(0.0)), 6))
+          .as("ci_lo"),
+        when(col("n_churned").isNotNull && ok,
+          round(least(s + lit(1.959964) * se, lit(1.0)), 6)).as("ci_hi"))
+  }
+
+  /** Last-digit uniformity test of the value cents (the auditor's
+    * complement to [[graft.ops.ProfileOps.benfordFirstDigit]]: first
+    * digits follow Benford under broad-range growth, but LAST digits
+    * of genuine measurements are UNIFORM — humans inventing numbers
+    * round to 0/5, price-pointers end in 9): χ² against uniform over
+    * the 10 digits collapses to the exact-lane form
+    * (10·ΣO² − n²)/n — ONE pinned division, no per-digit float sums.
+    * df = 9, 5% critical value 16.918978.
+    *
+    * Shape: one 10-cell collapse; constant output at any scale. */
+  def lastDigitUniformity(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val digits = events.select(pmod(cents, lit(10L)).as("digit"))
+      .filter(col("digit").isNotNull)
+      .groupBy("digit").agg(count(lit(1)).as("o"))
+    val m = digits.agg(sum(col("o")).as("n"),
+      sum(dec(col("o")) * col("o")).as("oo"),
+      count(lit(1)).as("n_digits"),
+      max(col("o")).as("max_count"))
+    val chi = (dec(lit(10L)) * col("oo") - dec(col("n")) * col("n"))
+      .cast("double") / col("n").cast("double")
+    m.filter(col("n") > 0L)
+      .select(col("n").as("n_events"), col("n_digits"),
+        col("max_count"),
+        round(chi, 6).as("chi2"),
+        (chi > lit(16.918978)).as("significant"))
+  }
+
   /** Nelson–Aalen cumulative hazard at retention horizons — the
     * estimator-side companion of [[kmSurvivalHorizons]]: Ĥ(h) =
     * Σ_{t≤h} d_t/n_t accumulates hazard ADDITIVELY (no product), so
@@ -3753,7 +3847,7 @@ object EventOps {
     val bound = lit(1.959964) *
       sqrt(k.cast("double") / col("look").cast("double"))
     val ok = col("n_a") > 0L && col("n_b") > 0L && varTerm > lit(0.0)
-    looksDf.select(col("look"),
+    looksDf.select(col("look").cast("long").as("look"),
       date_add(col("d0"), col("cut").cast("int")).as("cutoff_day"),
       col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
       when(ok, round(z, 6)).as("z_score"),
@@ -4300,6 +4394,200 @@ object EventOps {
         round(col("tsum").cast("double") / lit(1000000.0) /
           (col("n").cast("double") * col("h")) * lit(100.0), 8)
           .as("density"))
+  }
+
+  /** Huber M-estimator of the per-type value location (Huber '64,
+    * c = 1.345σ — 95% Gaussian efficiency): the ROBUST mean between
+    * [[EventOps.anovaValueByType]]'s moment mean (one whale moves it)
+    * and the median (throws away 36% efficiency), fit by EXACTLY 3
+    * IRLS steps from the sample mean (the [[coxPhAb]] fixed-iteration
+    * contract — the ψ-weighted update is a contraction on this
+    * scale): w = min(1, cσ/|x−μ|), μ' = Σwx/Σw.
+    *
+    * Determinism: the log collapses once to exact (type, cents,
+    * count) cells; σ is the population σ off exact lanes; each step's
+    * Σkwx / Σkw terms pin to BIGINT micro-units before their sums;
+    * the weight branch divides ONLY in the untaken-arm-safe otherwise
+    * (σ = 0 ⇒ all values equal ⇒ every weight takes the 1-arm). */
+  def huberMLocationByType(events: DataFrame, c: Double = 1.345): DataFrame = {
+    val dec = (col0: Column) => col0.cast("decimal(38,0)")
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val cells = events.select(col("event_type"), cents.as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy("event_type", "x").agg(count(lit(1)).as("k"))
+      .localCheckpoint() // moments + 3 IRLS passes read it
+    val m0 = cells.groupBy("event_type")
+      .agg(sum(col("k")).as("n"), sum(col("x") * col("k")).as("s"),
+        sum(dec(col("x")) * col("x") * col("k")).as("ss"))
+      .select(col("event_type"), col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("mu"),
+        sqrt((dec(col("n")) * col("ss") - dec(col("s")) * col("s"))
+          .cast("double") /
+          (dec(col("n")) * col("n")).cast("double")).as("sigma"))
+    def step(mu: DataFrame): DataFrame = {
+      val dev = abs(col("x").cast("double") - col("mu"))
+      val w = when(dev <= lit(c) * col("sigma"), lit(1.0))
+        .otherwise(lit(c) * col("sigma") / dev)
+      cells.join(broadcast(mu), "event_type")
+        .select(col("event_type"), col("n"), col("sigma"),
+          round(col("k").cast("double") * w * col("x").cast("double") *
+            lit(1000.0), 0).cast("decimal(38,0)").as("wx"),
+          round(col("k").cast("double") * w * lit(1000000.0), 0)
+            .cast("decimal(38,0)").as("wk"))
+        .groupBy("event_type", "n", "sigma")
+        .agg(sum("wx").as("swx"), sum("wk").as("swk"))
+        .select(col("event_type"), col("n"), col("sigma"),
+          (col("swx").cast("double") * lit(1000.0) /
+            col("swk").cast("double")).as("mu"))
+    }
+    var mu = m0
+    for (_ <- 1 to 3) mu = step(mu).localCheckpoint(eager = false)
+    val finalDev = abs(col("x").cast("double") - col("mu"))
+    val down = cells.join(broadcast(mu), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(finalDev > lit(c) * col("sigma"), col("k"))
+        .otherwise(lit(0L))).as("n_downweighted"))
+    mu.join(down, "event_type")
+      .join(m0.select(col("event_type"), col("mu").as("mean")),
+        "event_type")
+      .select(col("event_type"), col("n"),
+        round(col("mean") / lit(100.0), 6).as("mean_value"),
+        round(col("sigma") / lit(100.0), 6).as("sigma_value"),
+        round(col("mu") / lit(100.0), 6).as("huber_mean"),
+        col("n_downweighted"))
+  }
+
+  /** Train/test next-event prediction accuracy of the first-order
+    * Markov model — the HONEST version of [[eventTransitions]]'
+    * in-sample probabilities: fit argmax-next on the first time half,
+    * score top-1 accuracy on the second (pairs straddling the
+    * midpoint are dropped — neither half owns them, stated), against
+    * the majority-next baseline. The gap between model and baseline
+    * is the actual sequential signal; a dashboard quoting in-sample
+    * transition weights overstates it.
+    *
+    * Determinism: the per-user order is (ts, event_id) — the
+    * [[eventTransitions]] key; the model argmax tie-breaks (count
+    * DESC, next_type ASC); unseen current types count as wrong and
+    * are reported (never silently dropped); counts exact, two pinned
+    * divisions.
+    *
+    * Shape: one windowed pass builds pairs, two hash aggs fit the
+    * model (≤|types|² frame), the test join keys on the ≤|types|
+    * broadcast model. */
+  def markovNextEventAccuracy(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val mid = events.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+      .select(expr("(lo + hi) div 2").as("mid"))
+    val pairs = events
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        lead(col("event_type"), 1).over(w).as("next_type"),
+        lead(unix_micros(col("ts")), 1).over(w).as("next_us"))
+      .filter(col("next_type").isNotNull)
+      .crossJoin(broadcast(mid))
+      .localCheckpoint() // train + test + straddle count read it
+    val train = pairs.filter(col("next_us") <= col("mid"))
+      .groupBy("event_type", "next_type").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // model argmax + majority read it
+    val model = graft.plans.TopK.perGroup(train, Seq(col("event_type")),
+      Seq(col("c").desc, col("next_type").asc), 1)
+      .select(col("event_type"), col("next_type").as("predicted"))
+    val majority = train.groupBy("next_type").agg(sum(col("c")).as("c"))
+      .orderBy(col("c").desc, col("next_type").asc).limit(1)
+      .select(col("next_type").as("majority_type"))
+    val test = pairs.filter(col("us") > col("mid"))
+      .join(broadcast(model), Seq("event_type"), "left")
+      .crossJoin(broadcast(majority))
+    val agg = test.agg(count(lit(1)).as("n_test"),
+      sum(when(col("predicted") === col("next_type"), 1L).otherwise(0L))
+        .as("n_correct"),
+      sum(when(col("predicted").isNull, 1L).otherwise(0L))
+        .as("n_unseen_context"),
+      sum(when(col("majority_type") === col("next_type"), 1L)
+        .otherwise(0L)).as("n_majority_correct"),
+      first(col("majority_type")).as("majority_type"))
+    val nTrain = train.agg(coalesce(sum(col("c")), lit(0L)).as("n_train"))
+    agg.crossJoin(broadcast(nTrain))
+      .select(col("n_train"), col("n_test"), col("n_correct"),
+        col("n_unseen_context"), col("majority_type"),
+        when(col("n_test") > 0L,
+          round(col("n_correct").cast("double") /
+            col("n_test").cast("double"), 6)).as("accuracy"),
+        when(col("n_test") > 0L,
+          round(col("n_majority_correct").cast("double") /
+            col("n_test").cast("double"), 6)).as("baseline_accuracy"))
+  }
+
+  /** Murphy decomposition of the Brier score over the
+    * [[scoreCalibrationBins]] binning — Brier = REL − RES + UNC +
+    * within-bin variance: reliability (calibration error — how far
+    * each bin's mean score sits from its outcome rate), resolution
+    * (how much the bins separate outcomes — the part worth having),
+    * uncertainty (the outcome base rate's own entropy), and the
+    * binning residual emitted explicitly as `within_bin_var` (the exact
+    * identity holds only for bin-constant forecasts — most dashboards
+    * silently absorb it into REL; here it is a column, ≥ 0 by
+    * construction).
+    *
+    * Determinism: the direct Brier is EXACT — Σ(c − cmin − o·R)² in
+    * DECIMAL(38,0) cents lanes over one pass, two pinned divisions;
+    * per-bin REL/RES terms pin to micro-units before their ≤10-term
+    * sums; UNC is one pinned chain. Constant scores (R = 0) → no
+    * rows, stated. */
+  def brierDecomposition(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = (col("value").cast("decimal(12,2)") * lit(100))
+      .cast("bigint")
+    val mm = events.agg(min(cents).as("cmin"), max(cents).as("cmax"))
+    val base = events.crossJoin(broadcast(mm))
+      .filter(col("cmax") > col("cmin"))
+      .select((cents - col("cmin")).as("s"),
+        (col("cmax") - col("cmin")).as("r"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("o"))
+      .select(col("s"), col("r"), col("o"),
+        least(expr("s * 10 div r"), lit(9L)).as("bin"))
+    val bins = base.groupBy("bin", "r")
+      .agg(count(lit(1)).as("nk"), sum(col("o")).as("ok"),
+        sum(col("s")).as("sk"),
+        sum(dec(col("s") - col("o") * col("r")) *
+          (col("s") - col("o") * col("r"))).as("sq"))
+      .localCheckpoint() // global rates + the term sums read it
+    val tot = bins.agg(sum(col("nk")).as("n"), sum(col("ok")).as("opos"),
+      sum(col("sq")).as("sqall"), max(col("r")).as("r"))
+    val fbar = col("sk").cast("double") /
+      (col("nk").cast("double") * col("r").cast("double"))
+    val obar_k = col("ok").cast("double") / col("nk").cast("double")
+    val obar = col("opos").cast("double") / col("n").cast("double")
+    val relTerm = col("nk").cast("double") * (fbar - obar_k) *
+      (fbar - obar_k)
+    val resTerm = col("nk").cast("double") * (obar_k - obar) *
+      (obar_k - obar)
+    val terms = bins.crossJoin(broadcast(tot.select(col("n"),
+        col("opos"))))
+      .select(
+        round(relTerm * lit(1000000.0), 0).cast("long").as("relm"),
+        round(resTerm * lit(1000000.0), 0).cast("long").as("resm"))
+      .agg(sum("relm").as("relm"), sum("resm").as("resm"))
+    val nD = col("n").cast("double")
+    val brier = col("sqall").cast("double") /
+      (col("r").cast("double") * col("r").cast("double")) / nD
+    val rel = col("relm").cast("double") / lit(1000000.0) / nD
+    val res = col("resm").cast("double") / lit(1000000.0) / nD
+    val unc = obar * (lit(1.0) - obar)
+    tot.crossJoin(broadcast(terms))
+      .select(col("n").as("n_events"),
+        round(brier, 6).as("brier"),
+        round(rel, 6).as("reliability"),
+        round(res, 6).as("resolution"),
+        round(unc, 6).as("uncertainty"),
+        // + 0.0 normalizes IEEE negative zero: the residual is ~0 by
+        // construction and the two engines' rounds disagree on -0.0
+        (round(brier - (rel - res + unc), 6) + lit(0.0))
+          .as("within_bin_var"))
   }
 
   /** Pettitt changepoint test on the zero-filled daily count series
@@ -5647,8 +5935,8 @@ object EventOps {
     * c(m) = Σ_{i≤m} 1/i — the correction that keeps FDR control under
     * ARBITRARY dependence among the tests (the type-pair Mann–Whitney
     * z's share every day's traffic, exactly the dependence BH's PRDS
-    * assumption may not cover). c(m) folds 10dp-pinned terms over the
-    * ≤m-element sequence (order-exact). */
+    * assumption may not cover). c(m) folds 1e-10-pinned micro-long
+    * terms over the ≤m-element sequence (order-exact). */
   def byFdrTypePairs(events: DataFrame, alpha: Double = 0.05): DataFrame =
     fdrTypePairs(events, alpha, harmonic = true)
 
@@ -5695,15 +5983,16 @@ object EventOps {
           round(least(col("p") * col("m").cast("double") /
             col("rk").cast("double"), lit(1.0)), 6)
         else {
-          // c(m) = sum 1/i, each term 10dp-pinned into DECIMAL so the
-          // fold is order-exact; the BY q multiplies it in BEFORE the
-          // division (one extra identical double product)
+          // c(m) = sum 1/i, each term pinned to 1e-10 micro-LONGS so
+          // the fold accumulator type is fixed (a DECIMAL fold grows
+          // its declared scale per step); the BY q multiplies the
+          // factor in BEFORE the division
           val cm = aggregate(
             transform(sequence(lit(1L), col("m")),
-              i => round(lit(1.0) / i.cast("double"), 10)
-                .cast("decimal(38,10)")),
-            lit(0).cast("decimal(38,10)"), (a, e) => a + e)
-            .cast("double")
+              i => round(lit(1.0e10) / i.cast("double"), 0)
+                .cast("long")),
+            lit(0L), (a, e) => a + e)
+            .cast("double") / lit(1.0e10)
           round(least(col("p") * col("m").cast("double") * cm /
             col("rk").cast("double"), lit(1.0)), 6)
         })

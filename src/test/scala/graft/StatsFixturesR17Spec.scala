@@ -97,6 +97,262 @@ class StatsFixturesR17Spec extends SparkSpec {
       !(java.lang.Double.doubleToRawLongBits(sampen) != 0L), got.toString)
   }
 
+  test("IPF raking agrees with a plain-Scala micro-pinned mirror on a " +
+      "2x2 with a structural zero; marginals converge toward uniform") {
+    import graft.ops.DocOps
+    val docs = (Seq.fill(3)(("A", "x")) ++ Seq(("A", "y")) ++
+      Seq(("B", "x"))).zipWithIndex
+      .map { case ((s0, l), i) => (i.toLong, s0, l, "t") }
+      .toDF("doc_id", "source", "lang", "text")
+    // mirror: cells (A,x,3) (A,y,1) (B,x,1); N=5, ns=nl=2
+    var w = Map(("A", "x") -> 3000000L, ("A", "y") -> 1000000L,
+      ("B", "x") -> 1000000L)
+    val rowT = 5.0 * 1000000.0 / 2.0
+    val colT = 5.0 * 1000000.0 / 2.0
+    def scale(key: ((String, String)) => String, tgt: Double): Unit = {
+      val sums = w.groupBy { case (k, _) => key(k) }
+        .map { case (g, m) => g -> m.values.sum }
+      w = w.map { case (k, v) =>
+        k -> math.rint(v.toDouble * (tgt / sums(key(k)).toDouble)).toLong }
+    }
+    for (_ <- 1 to 3) { scale(_._1, rowT); scale(_._2, colT) }
+    val rowErr = w.groupBy(_._1._1).map { case (_, m) =>
+      math.abs(m.values.sum.toDouble - rowT) / rowT }.max
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = DocOps.ipfSourceLangWeights(docs).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("cell_mass"),
+          r.getAs[Double]("doc_weight"), r.getAs[Double]("row_rel_err"))))
+      .toMap
+    assert(got.size == 3, "structural zero must stay absent")
+    w.foreach { case (k, v) =>
+      val n = Map(("A", "x") -> 3L, ("A", "y") -> 1L, ("B", "x") -> 1L)(k)
+      assert(got(k) == ((n, r6(v / 1e6), r6(v / 1e6 / n), r6(rowErr))),
+        s"$k: ${got(k)} vs mirror ${(n, r6(v / 1e6), r6(v / 1e6 / n))}")
+    }
+    // B (one cell) must be upweighted toward half the mass
+    assert(got(("B", "x"))._2 > 1.5, got.toString)
+  }
+
+  test("KM Greenwood CI hand case: churns {2x at t=2 of 5, 1x at t=4 " +
+      "of 3} -> S = 0.4, Var = S^2 * 0.3; horizon 1 has S = 1, NULL CI") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 0L, "x", 1.0), ("2024-01-02 00:00:00", 0L, "x", 1.0),
+      ("2024-01-01 00:00:00", 1L, "x", 1.0), ("2024-01-02 00:00:00", 1L, "x", 1.0),
+      ("2024-01-01 00:00:00", 2L, "x", 1.0), ("2024-01-04 00:00:00", 2L, "x", 1.0),
+      ("2024-01-01 00:00:00", 3L, "x", 1.0), ("2024-01-10 00:00:00", 3L, "x", 1.0),
+      ("2024-01-01 00:00:00", 4L, "x", 1.0), ("2024-01-10 00:00:00", 4L, "x", 1.0)))
+    val lns = math.rint(math.log(3.0 / 5.0) * 1e10) / 1e10 +
+      math.rint(math.log(2.0 / 3.0) * 1e10) / 1e10
+    val gw = (math.rint(2.0 / (5.0 * 3.0) * 1e12) +
+      math.rint(1.0 / (3.0 * 2.0) * 1e12)) / 1e12
+    val sEst = math.exp(lns)
+    val se = sEst * math.sqrt(gw)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = EventOps.kmGreenwoodCi(ev).collect()
+      .map(r => r.getAs[Int]("horizon") -> r).toMap
+    assert(got(1).getAs[Double]("survival") == 1.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("se")))
+    Seq(7, 14, 30).foreach { h =>
+      val r0 = got(h)
+      assert(r0.getAs[Long]("n_churned") == 3L)
+      assert(r0.getAs[Double]("survival") == r6(sEst), r0.toString)
+      assert(r0.getAs[Double]("se") == r6(se), r0.toString)
+      assert(r0.getAs[Double]("ci_lo") ==
+        r6(math.max(sEst - 1.959964 * se, 0.0)))
+      assert(r0.getAs[Double]("ci_hi") ==
+        r6(math.min(sEst + 1.959964 * se, 1.0)))
+    }
+  }
+
+  test("last-digit uniformity: digits {1 x5, 2 x5} -> chi2 = 40, " +
+      "flagged; uniform digits acquit") {
+    val ev = eventsFrom((1 to 5).map(i =>
+      (f"2024-01-01 0$i:00:00", i.toLong, "x", 0.01)) ++
+      (1 to 5).map(i => (f"2024-01-01 1$i:00:00", i.toLong, "x", 0.02)))
+    val got = EventOps.lastDigitUniformity(ev).collect().head
+    assert(got.getAs[Long]("n_events") == 10L)
+    assert(got.getAs[Long]("n_digits") == 2L)
+    assert(got.getAs[Long]("max_count") == 5L)
+    assert(got.getAs[Double]("chi2") == 40.0, got.toString)
+    assert(got.getAs[Boolean]("significant"))
+    val uni = eventsFrom((0 to 9).map(i =>
+      (f"2024-01-01 0${i % 10}:10:00", i.toLong, "x", i.toDouble / 100.0)))
+    val g1 = EventOps.lastDigitUniformity(uni).collect().head
+    assert(g1.getAs[Double]("chi2") == 0.0)
+    assert(!g1.getAs[Boolean]("significant"))
+  }
+
+  test("huber m-location agrees with a plain-Scala pinned IRLS mirror " +
+      "on {10,10,10,100}; the outlier is downweighted toward the bulk") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "x", 10.0),
+      ("2024-01-01 01:00:00", 2L, "x", 10.0),
+      ("2024-01-01 02:00:00", 3L, "x", 10.0),
+      ("2024-01-01 03:00:00", 4L, "x", 100.0)))
+    val cells = Seq((1000L, 3L), (10000L, 1L))
+    val n = 4L; val sSum = 13000L; val ss = BigInt(3) * 1000000 + BigInt(100000000)
+    val mu0 = sSum.toDouble / n
+    val sigma = math.sqrt((BigInt(n) * ss - BigInt(sSum) * sSum).toDouble /
+      (BigInt(n) * n).toDouble)
+    def step(mu: Double): Double = {
+      val (swx, swk) = cells.map { case (x, k) =>
+        val dev = math.abs(x.toDouble - mu)
+        val w = if (dev <= 1.345 * sigma) 1.0 else 1.345 * sigma / dev
+        (math.rint(k.toDouble * w * x.toDouble * 1000.0).toLong,
+          math.rint(k.toDouble * w * 1000000.0).toLong)
+      }.foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+      swx.toDouble * 1000.0 / swk.toDouble
+    }
+    var mu = mu0
+    for (_ <- 1 to 3) mu = step(mu)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val got = EventOps.huberMLocationByType(ev).collect().head
+    assert(got.getAs[String]("event_type") == "x")
+    assert(got.getAs[Long]("n") == 4L)
+    assert(got.getAs[Double]("mean_value") == r6(mu0 / 100.0))
+    assert(got.getAs[Double]("sigma_value") == r6(sigma / 100.0))
+    assert(got.getAs[Double]("huber_mean") == r6(mu / 100.0), got.toString)
+    assert(got.getAs[Long]("n_downweighted") == 1L)
+    assert(got.getAs[Double]("huber_mean") < got.getAs[Double]("mean_value"),
+      "the outlier must be downweighted toward the bulk")
+  }
+
+  test("markov next-event accuracy: hand split -> model A->B/B->A, " +
+      "test 2/3 correct, unseen context counted wrong, baseline 1/3") {
+    // the pair window orders by (ts, event_id) — the fixture needs
+    // the id column the shared eventsFrom helper omits
+    val ev = Seq(
+      ("2024-01-01 00:00:00", 1L, "A", 10L),
+      ("2024-01-01 01:00:00", 1L, "B", 11L),
+      ("2024-01-01 02:00:00", 1L, "A", 12L),
+      ("2024-01-01 03:00:00", 1L, "B", 13L),
+      ("2024-01-09 00:00:00", 2L, "A", 14L),
+      ("2024-01-09 01:00:00", 2L, "B", 15L),
+      ("2024-01-09 02:00:00", 2L, "A", 16L),
+      ("2024-01-09 03:00:00", 2L, "C", 17L))
+      .toDF("s", "user_id", "event_type", "event_id")
+      .select(col("s").cast("timestamp").as("ts"), col("user_id"),
+        col("event_type"), col("event_id"))
+    val got = EventOps.markovNextEventAccuracy(ev).collect().head
+    assert(got.getAs[Long]("n_train") == 3L, got.toString)
+    assert(got.getAs[Long]("n_test") == 3L, got.toString)
+    assert(got.getAs[Long]("n_correct") == 2L, got.toString)
+    assert(got.getAs[Long]("n_unseen_context") == 0L, got.toString)
+    assert(got.getAs[String]("majority_type") == "B")
+    assert(got.getAs[Double]("accuracy") ==
+      math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(got.getAs[Double]("baseline_accuracy") ==
+      math.rint(1.0 / 3.0 * 1e6) / 1e6)
+  }
+
+  test("brier decomposition hand case: {0 miss, 50 miss, 100 hit} -> " +
+      "Murphy terms, zero within-bin variance at one point per bin") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "view", 0.0),
+      ("2024-01-01 01:00:00", 2L, "view", 50.0),
+      ("2024-01-01 02:00:00", 3L, "purchase", 100.0)))
+    val got = EventOps.brierDecomposition(ev).collect().head
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.getAs[Long]("n_events") == 3L)
+    // direct: only the 50-point misses its outcome by 0.5
+    assert(got.getAs[Double]("brier") == r6(0.25 / 3.0), got.toString)
+    assert(got.getAs[Double]("reliability") == r6(0.25 / 3.0))
+    assert(got.getAs[Double]("resolution") ==
+      math.rint((111111 + 111111 + 444444) / 1e6 / 3.0 * 1e6) / 1e6)
+    assert(got.getAs[Double]("uncertainty") == r6(1.0 / 3.0 * (2.0 / 3.0)))
+    assert(got.getAs[Double]("within_bin_var") == 0.0, got.toString)
+  }
+
+  test("tripletMiningIvf with nprobe = nlist is bit-identical to the " +
+      "exact tripletMining (candidate set degenerates to all pairs)") {
+    val emb = Tables.embeddings(spark, sf0)
+    val cents = VectorOps.sampleCentroids(emb, 16)
+    val exact = VectorOps.tripletMining(emb).collect()
+      .map(_.toSeq).toSet
+    val ann = VectorOps.tripletMiningIvf(emb, cents, nprobe = 16)
+      .collect().map(_.toSeq).toSet
+    assert(ann == exact,
+      s"IVF at full probe diverged: ${(ann -- exact).take(3)} vs " +
+        s"${(exact -- ann).take(3)}")
+    // at nprobe = 2 the candidate set shrinks: output anchors are a
+    // subset and every emitted pos/neg is a valid candidate pair
+    val scoped = VectorOps.tripletMiningIvf(emb, cents, nprobe = 2)
+      .collect()
+    assert(scoped.nonEmpty && scoped.length <= exact.size)
+  }
+
+  test("value MMD drift: closed-form moment identity on a planted " +
+      "two-half fixture; identical halves give exactly zero") {
+    // first half values {10, 20}, second {10, 20}: identical moments
+    val same = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "x", 10.0),
+      ("2024-01-01 01:00:00", 1L, "x", 20.0),
+      ("2024-01-09 00:00:00", 2L, "x", 10.0),
+      ("2024-01-09 01:00:00", 2L, "x", 20.0)))
+    val g0 = EventOps.valueMmdDrift(same).collect().head
+    assert(g0.getAs[Long]("n_first") == 2L && g0.getAs[Long]("n_second") == 2L)
+    assert(g0.getAs[Double]("mmd_sq") == 0.0, g0.toString)
+    // shifted second half {30, 40}: dm = -2000 cents, dq = 2.5e6-...
+    val shifted = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "x", 10.0),
+      ("2024-01-01 01:00:00", 1L, "x", 20.0),
+      ("2024-01-09 00:00:00", 2L, "x", 30.0),
+      ("2024-01-09 01:00:00", 2L, "x", 40.0)))
+    val g1 = EventOps.valueMmdDrift(shifted).collect().head
+    val dm = 1500.0 - 3500.0
+    val dq = (1000.0 * 1000 + 2000.0 * 2000) / 2 -
+      (3000.0 * 3000 + 4000.0 * 4000) / 2
+    def r(x: Double, k: Int) = math.rint(x * math.pow(10, k.toDouble)) /
+      math.pow(10, k.toDouble)
+    assert(g1.getAs[Double]("mean_diff") == r(dm / 100.0, 6))
+    assert(g1.getAs[Double]("mmd_linear") == r(2.0 * dm * dm / 1e8, 8))
+    assert(g1.getAs[Double]("mmd_quad") == r((dq / 1e8) * (dq / 1e8), 8))
+    assert(g1.getAs[Double]("mmd_sq") ==
+      r(2.0 * dm * dm / 1e8 + (dq / 1e8) * (dq / 1e8), 8), g1.toString)
+  }
+
+  test("obrien-fleming monitor: 5 looks, boundary shrinks as sqrt(K/k), " +
+      "denominators grow monotonically with the cutoff") {
+    val ev = Tables.events(spark, sf0)
+    val got = EventOps.obrienFlemingMonitor(ev).collect()
+      .sortBy(_.getAs[Long]("look"))
+    assert(got.length == 5)
+    val bounds = got.map(_.getAs[Double]("obf_bound"))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    (1 to 5).foreach(k => assert(bounds(k - 1) ==
+      r6(1.959964 * math.sqrt(5.0 / k))))
+    val ns = got.map(r => r.getAs[Long]("n_a") + r.getAs[Long]("n_b"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a <= b },
+      s"denominators must grow: ${ns.toSeq}")
+    val convs = got.map(r => r.getAs[Long]("conv_a") + r.getAs[Long]("conv_b"))
+    assert(convs.zip(convs.tail).forall { case (a, b) => a <= b })
+    // the final look is the full-window abConversionZtest population
+    val full = EventOps.abConversionZtest(ev).collect().head
+    assert(got.last.getAs[Long]("n_a") == full.getAs[Long]("n_a"))
+    assert(got.last.getAs[Long]("conv_a") == full.getAs[Long]("conv_a"))
+  }
+
+  test("BY step-up: q inflated by the harmonic factor over BH, same " +
+      "ranks, rejections a subset of BH's") {
+    val ev = Tables.events(spark, sf0)
+    val bh = EventOps.bhFdrTypePairs(ev).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("rk"), r.getAs[Double]("p_bh"),
+          r.getAs[Boolean]("rejected")))).toMap
+    val by = EventOps.byFdrTypePairs(ev).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b")) ->
+        ((r.getAs[Long]("rk"), r.getAs[Double]("p_by"),
+          r.getAs[Boolean]("rejected")))).toMap
+    assert(bh.keySet == by.keySet)
+    bh.foreach { case (k, (rk, pbh, rej)) =>
+      val (rk2, pby, rej2) = by(k)
+      assert(rk == rk2, s"$k rank drift")
+      assert(pby >= pbh - 1e-9, s"$k BY must be >= BH: $pby vs $pbh")
+      assert(!rej2 || rej, s"$k BY rejection must imply BH's")
+    }
+  }
+
   test("breusch-pagan: perfect linear fit -> NULL (zero aux " +
       "variance); planted variance growth flags heteroskedastic") {
     // y = t exactly: residuals 0 -> den2 = 0 -> NULL lanes
