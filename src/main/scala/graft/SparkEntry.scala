@@ -1182,6 +1182,19 @@ object SparkEntry {
       ((s, d) => EventOps.cohensDTypePairs(events(s, d))),
     "jensen_shannon_by_source" ->
       ((s, d) => DocOps.jensenShannonBySource(documents(s, d))),
+    // ---- round-17 batch 9: uplift/off-policy + concordance ----
+    "qini_uplift_deciles" ->
+      ((s, d) => EventOps.qiniUpliftDeciles(events(s, d))),
+    "ips_policy_value" ->
+      ((s, d) => EventOps.ipsPolicyValue(events(s, d))),
+    "brown_forsythe_value" ->
+      ((s, d) => EventOps.brownForsytheValue(events(s, d))),
+    "transfer_entropy_daily" ->
+      ((s, d) => EventOps.transferEntropyDaily(events(s, d))),
+    "kendall_w_sources" ->
+      ((s, d) => DocOps.kendallWSources(documents(s, d))),
+    "hellinger_lang_pairs" ->
+      ((s, d) => DocOps.hellingerLangPairs(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -11325,6 +11338,236 @@ object SparkEntry {
         "round((sp + scl + 0.6931471805599453 * " +
         "(1.0 - CAST(present_all AS DOUBLE) / CAST(n_total AS DOUBLE))) / 2.0, 6) " +
         "AS js_vs_corpus FROM a"),
+    // Mirrors EventOps.qiniUpliftDeciles: integer-division deciles over
+    // the (score desc, user_id) total order, cumulative BIGINT cells,
+    // fixed-order rate/qini doubles.
+    "qini_uplift_deciles" ->
+      ("WITH per AS (SELECT user_id, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS score, " +
+        "CAST(max(CASE WHEN event_type = 'purchase' AND value >= 90.0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS conv, " +
+        "CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS treated FROM events GROUP BY 1), " +
+        "ranked AS (SELECT *, " +
+        "row_number() OVER (ORDER BY score DESC, user_id ASC) AS rn, " +
+        "CAST(count(*) OVER () AS BIGINT) AS n FROM per), " +
+        "dec AS (SELECT CAST(((rn - 1) * 10) // n + 1 AS BIGINT) " +
+        "AS decile, treated, conv FROM ranked), " +
+        "pd AS (SELECT decile, CAST(sum(treated) AS BIGINT) AS d_nt, " +
+        "CAST(sum(1 - treated) AS BIGINT) AS d_nc, " +
+        "CAST(sum(treated * conv) AS BIGINT) AS d_ct, " +
+        "CAST(sum((1 - treated) * conv) AS BIGINT) AS d_cc " +
+        "FROM dec GROUP BY 1), " +
+        "cum AS (SELECT decile, " +
+        "CAST(sum(d_nt) OVER (ORDER BY decile ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_t, " +
+        "CAST(sum(d_nc) OVER (ORDER BY decile ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_c, " +
+        "CAST(sum(d_ct) OVER (ORDER BY decile ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conv_t, " +
+        "CAST(sum(d_cc) OVER (ORDER BY decile ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conv_c FROM pd) " +
+        "SELECT decile, n_t, n_c, conv_t, conv_c, " +
+        "CASE WHEN n_t > 0 AND n_c > 0 THEN " +
+        "round(CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE) - " +
+        "CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6) END AS uplift, " +
+        "CASE WHEN n_c > 0 THEN round(CAST(conv_t AS DOUBLE) - " +
+        "CAST(conv_c AS DOUBLE) * CAST(n_t AS DOUBLE) / " +
+        "CAST(n_c AS DOUBLE), 6) END AS qini " +
+        "FROM cum ORDER BY decile"),
+    // Mirrors EventOps.ipsPolicyValue: exact (isodow,type) cell
+    // masses, modal action by (count desc, type), the per-dow matched
+    // mean scaled by dow prevalence, 7-term policy sum.
+    "ips_policy_value" ->
+      ("WITH cells AS (SELECT (date_diff('day', DATE '1970-01-01', " +
+        "CAST(ts AS DATE)) + 3) % 7 + 1 AS isodow, event_type, " +
+        "CAST(count(*) AS BIGINT) AS n_cell, " +
+        "CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) " +
+        "AS BIGINT) AS cents_cell FROM events GROUP BY 1, 2), " +
+        "bydow AS (SELECT isodow, CAST(sum(n_cell) AS BIGINT) AS n_dow " +
+        "FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(n_dow) AS BIGINT) AS n FROM bydow), " +
+        "totr AS (SELECT CAST(sum(cents_cell) AS BIGINT) AS cents_all " +
+        "FROM cells), " +
+        "modal AS (SELECT * FROM (SELECT c.*, row_number() OVER (" +
+        "PARTITION BY isodow ORDER BY n_cell DESC, event_type ASC) " +
+        "AS rk FROM cells c) WHERE rk = 1), " +
+        "terms AS (SELECT m.isodow, m.event_type AS action, b.n_dow, " +
+        "m.n_cell AS n_action, " +
+        "round(CAST(m.n_cell AS DOUBLE) / CAST(b.n_dow AS DOUBLE), 6) " +
+        "AS propensity, " +
+        "round(CAST(m.cents_cell AS DOUBLE) / 100.0 / " +
+        "CAST(m.n_cell AS DOUBLE), 6) AS action_mean_value, " +
+        "CAST(m.cents_cell AS DOUBLE) / 100.0 / " +
+        "CAST(m.n_cell AS DOUBLE) * CAST(b.n_dow AS DOUBLE) / " +
+        "CAST(t.n AS DOUBLE) AS contrib_raw " +
+        "FROM modal m JOIN bydow b USING (isodow) CROSS JOIN tot t), " +
+        "policy AS (SELECT sum(CAST(contrib_raw AS DOUBLE)) AS pv " +
+        "FROM terms), " +
+        "base AS (SELECT CAST(cents_all AS DOUBLE) / 100.0 / " +
+        "CAST(n AS DOUBLE) AS bv FROM totr CROSS JOIN tot) " +
+        "SELECT isodow, action, n_dow, n_action, propensity, " +
+        "action_mean_value, round(pv, 6) AS policy_value, " +
+        "round(bv, 6) AS logging_value, " +
+        "round(pv - bv, 6) AS policy_lift " +
+        "FROM terms CROSS JOIN policy CROSS JOIN base ORDER BY isodow"),
+    // Mirrors EventOps.brownForsytheValue: per-type lower median on
+    // the cent grid (moods convention), exact integer deviation
+    // moments, each si^2/ni term half-up-pinned in micro-units
+    // (HUGEINT (2a+b)//(2b) = Num.halfUpRatio), SSB/SSW exact BIGINTs
+    // until the final IEEE divisions.
+    "brown_forsythe_value" ->
+      ("WITH grid AS (SELECT event_type, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cv, " +
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), " +
+        "tots AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nt " +
+        "FROM grid GROUP BY 1), " +
+        "med AS (SELECT event_type, CAST(min(cv) AS BIGINT) AS med " +
+        "FROM (SELECT g.event_type, g.cv, " +
+        "CAST(sum(g.n) OVER (PARTITION BY g.event_type ORDER BY g.cv " +
+        "ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, t.nt " +
+        "FROM grid g JOIN tots t USING (event_type)) " +
+        "WHERE cum * 2 >= nt GROUP BY 1), " +
+        "dev AS (SELECT g.event_type, g.n, abs(g.cv - m.med) AS z " +
+        "FROM grid g JOIN med m USING (event_type)), " +
+        "per AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS ni, " +
+        "CAST(sum(n * z) AS BIGINT) AS si, " +
+        "CAST(sum(n * z * z) AS BIGINT) AS qi FROM dev GROUP BY 1), " +
+        "per2 AS (SELECT *, CAST((2 * CAST(si AS HUGEINT) * si * " +
+        "1000000 + ni) // (2 * CAST(ni AS HUGEINT)) AS BIGINT) " +
+        "AS t_micro FROM per), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS k, " +
+        "CAST(sum(ni) AS BIGINT) AS nn, CAST(sum(si) AS BIGINT) AS ss, " +
+        "CAST(sum(qi) AS BIGINT) AS qsum, " +
+        "CAST(sum(t_micro) AS BIGINT) AS tsum FROM per2), " +
+        "s2 AS (SELECT *, qsum * 1000000 - tsum AS ssw_micro, " +
+        "tsum - CAST((2 * CAST(ss AS HUGEINT) * ss * 1000000 + nn) " +
+        "// (2 * CAST(nn AS HUGEINT)) AS BIGINT) AS ssb_micro FROM s) " +
+        "SELECT k AS n_types, nn AS n_total, k - 1 AS df1, " +
+        "nn - k AS df2, " +
+        "round(CAST(ssb_micro AS DOUBLE) / 1000000.0, 6) AS ssb, " +
+        "round(CAST(ssw_micro AS DOUBLE) / 1000000.0, 6) AS ssw, " +
+        "CASE WHEN ssw_micro > 0 AND k > 1 THEN round(" +
+        "CAST(ssb_micro AS DOUBLE) / 1000000.0 / " +
+        "CAST(k - 1 AS DOUBLE) / (CAST(ssw_micro AS DOUBLE) / " +
+        "1000000.0 / CAST(nn - k AS DOUBLE)), 6) END AS f_stat " +
+        "FROM s2"),
+    // Mirrors EventOps.transferEntropyDaily: dense calendar, per-series
+    // lower-median binarization, exact 8-cell transition counts, one
+    // fixed-order log ratio per cell.
+    "transfer_entropy_daily" ->
+      ("WITH daily AS (SELECT CAST(ts AS DATE) AS day, event_type, " +
+        "CAST(count(*) AS BIGINT) AS cnt FROM events " +
+        "WHERE event_type IN ('view', 'purchase') GROUP BY 1, 2), " +
+        "bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily), " +
+        "cal AS (SELECT d0 + CAST(unnest(range(" +
+        "datediff('day', d0, d1) + 1)) AS INT) AS day FROM bounds), " +
+        "sv AS (SELECT cal.day, coalesce(v.cnt, 0) AS c FROM cal " +
+        "LEFT JOIN (SELECT day, cnt FROM daily " +
+        "WHERE event_type = 'view') v ON v.day = cal.day), " +
+        "sp AS (SELECT cal.day, coalesce(p.cnt, 0) AS c FROM cal " +
+        "LEFT JOIN (SELECT day, cnt FROM daily " +
+        "WHERE event_type = 'purchase') p ON p.day = cal.day), " +
+        "gv AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM sv " +
+        "GROUP BY 1), " +
+        "mv AS (SELECT CAST(min(c) AS BIGINT) AS med FROM (" +
+        "SELECT c, CAST(sum(n) OVER (ORDER BY c ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+        "(SELECT CAST(sum(n) AS BIGINT) FROM gv) AS nt FROM gv) " +
+        "WHERE cum * 2 >= nt), " +
+        "gp AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM sp " +
+        "GROUP BY 1), " +
+        "mp AS (SELECT CAST(min(c) AS BIGINT) AS med FROM (" +
+        "SELECT c, CAST(sum(n) OVER (ORDER BY c ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, " +
+        "(SELECT CAST(sum(n) AS BIGINT) FROM gp) AS nt FROM gp) " +
+        "WHERE cum * 2 >= nt), " +
+        "joined AS (SELECT sv.day, " +
+        "CAST(CASE WHEN sv.c > mv.med THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS xb, " +
+        "CAST(CASE WHEN sp.c > mp.med THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS yb FROM sv JOIN sp ON sv.day = sp.day " +
+        "CROSS JOIN mv CROSS JOIN mp), " +
+        "trans AS MATERIALIZED (SELECT * FROM (SELECT xb, yb, " +
+        "lead(yb) OVER (ORDER BY day ASC) AS y1, " +
+        "lead(xb) OVER (ORDER BY day ASC) AS x1 FROM joined) " +
+        "WHERE y1 IS NOT NULL), " +
+        "ca AS (SELECT xb AS x0, yb AS y0, y1, " +
+        "CAST(count(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2, 3), " +
+        "cb AS (SELECT yb AS x0, xb AS y0, x1 AS y1, " +
+        "CAST(count(*) AS BIGINT) AS c FROM trans GROUP BY 1, 2, 3), " +
+        "ta AS (SELECT 'view_to_purchase' AS direction, " +
+        "CAST(max(nt) AS BIGINT) AS n_transitions, " +
+        "round(sum(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) * " +
+        "ln(CAST(c * c_y0 AS DOUBLE) / " +
+        "CAST(c_x0y0 * c_y0y1 AS DOUBLE))) + 0.0, 6) AS te_nats " +
+        "FROM (SELECT ca.*, " +
+        "CAST(sum(c) OVER (PARTITION BY y0, y1) AS BIGINT) AS c_y0y1, " +
+        "CAST(sum(c) OVER (PARTITION BY x0, y0) AS BIGINT) AS c_x0y0, " +
+        "CAST(sum(c) OVER (PARTITION BY y0) AS BIGINT) AS c_y0, " +
+        "CAST(sum(c) OVER () AS BIGINT) AS nt FROM ca)), " +
+        "tb AS (SELECT 'purchase_to_view' AS direction, " +
+        "CAST(max(nt) AS BIGINT) AS n_transitions, " +
+        "round(sum(CAST(c AS DOUBLE) / CAST(nt AS DOUBLE) * " +
+        "ln(CAST(c * c_y0 AS DOUBLE) / " +
+        "CAST(c_x0y0 * c_y0y1 AS DOUBLE))) + 0.0, 6) AS te_nats " +
+        "FROM (SELECT cb.*, " +
+        "CAST(sum(c) OVER (PARTITION BY y0, y1) AS BIGINT) AS c_y0y1, " +
+        "CAST(sum(c) OVER (PARTITION BY x0, y0) AS BIGINT) AS c_x0y0, " +
+        "CAST(sum(c) OVER (PARTITION BY y0) AS BIGINT) AS c_y0, " +
+        "CAST(sum(c) OVER () AS BIGINT) AS nt FROM cb)) " +
+        "SELECT * FROM ta UNION ALL SELECT * FROM tb " +
+        "ORDER BY direction"),
+    // Mirrors DocOps.kendallWSources: tie-free row_number ranks on the
+    // three volume metrics, doubled-unit deviations kept integer,
+    // one final W division.
+    "kendall_w_sources" ->
+      ("WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, " +
+        "CAST(sum(n_chars) AS BIGINT) AS tot_chars, " +
+        "CAST(max(n_chars) AS BIGINT) AS max_chars FROM documents " +
+        "GROUP BY 1), " +
+        "ranked AS (SELECT source, " +
+        "row_number() OVER (ORDER BY n_docs DESC, source ASC) AS r1, " +
+        "row_number() OVER (ORDER BY tot_chars DESC, source ASC) AS r2, " +
+        "row_number() OVER (ORDER BY max_chars DESC, source ASC) AS r3 " +
+        "FROM per), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS nsrc FROM per), " +
+        "dev AS (SELECT nsrc, 2 * (r1 + r2 + r3) - 3 * (nsrc + 1) " +
+        "AS d2 FROM ranked CROSS JOIN tot), " +
+        "agg AS (SELECT nsrc, CAST(sum(d2 * d2) AS BIGINT) AS d2sq " +
+        "FROM dev GROUP BY 1) " +
+        "SELECT nsrc AS n_sources, CAST(3 AS BIGINT) AS m_rankers, " +
+        "d2sq AS ssd_doubled, " +
+        "CASE WHEN nsrc > 1 THEN round(3.0 * CAST(d2sq AS DOUBLE) / " +
+        "(9.0 * CAST(nsrc AS DOUBLE) * (CAST(nsrc AS DOUBLE) * " +
+        "CAST(nsrc AS DOUBLE) - 1.0)), 6) END AS kendall_w, " +
+        "CASE WHEN nsrc > 1 THEN round(3.0 * " +
+        "(CAST(nsrc AS DOUBLE) - 1.0) * (3.0 * CAST(d2sq AS DOUBLE) / " +
+        "(9.0 * CAST(nsrc AS DOUBLE) * (CAST(nsrc AS DOUBLE) * " +
+        "CAST(nsrc AS DOUBLE) - 1.0))), 6) END AS chi2 FROM agg"),
+    // Mirrors DocOps.hellingerLangPairs: exact-count probability
+    // ratios, per-lang sqrt(p*q) terms over the shared-language inner
+    // join, clamped Hellinger, NULL -ln on disjoint support.
+    "hellinger_lang_pairs" ->
+      ("WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) " +
+        "AS c FROM documents GROUP BY 1, 2), " +
+        "tots AS (SELECT source, CAST(sum(c) AS BIGINT) AS n " +
+        "FROM cells GROUP BY 1), " +
+        "p AS (SELECT c.source, c.lang, CAST(c.c AS DOUBLE) / " +
+        "CAST(t.n AS DOUBLE) AS p FROM cells c JOIN tots t " +
+        "USING (source)), " +
+        "j AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "sqrt(a.p * b.p) AS term FROM p a JOIN p b " +
+        "ON a.lang = b.lang AND a.source < b.source), " +
+        "bc AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) " +
+        "AS n_shared_langs, sum(CAST(term AS DOUBLE)) AS bc " +
+        "FROM j GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, n_shared_langs, " +
+        "round(bc, 6) AS bhatt_coef, " +
+        "round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger, " +
+        "CASE WHEN bc > 0.0 THEN round(-ln(bc), 6) END AS bhatt_dist " +
+        "FROM bc ORDER BY 1, 2"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

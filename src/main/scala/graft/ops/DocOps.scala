@@ -3059,4 +3059,88 @@ object DocOps {
         round(terms.reduce(_ + _).cast("double") / lit(1000000.0), 4))
         .as("chisq_vs_corpus"))
   }
+
+  /** Kendall's coefficient of concordance W (Kendall–Babington Smith
+    * '39) across three source rankings — by document count, by total
+    * characters, and by longest document: do the volume metrics agree
+    * on which sources dominate? Ranks are tie-free permutations
+    * (row_number, metric desc then source asc), so the classic
+    * W = 12·ΣD²/(m²·n·(n²−1)) applies without a tie correction; D is
+    * kept in DOUBLED integer units (2R_i − m(n+1)) so the whole
+    * statistic is exact integer arithmetic until one final division.
+    * Also reports the large-n chi-square m(n−1)W.
+    *
+    * Scale: one grouped pass collapses the corpus to |sources| rows;
+    * the three rank windows and the 1-row reduce run on that tiny
+    * frame. */
+  def kendallWSources(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("tot_chars"),
+      max("n_chars").as("max_chars"))
+    val ranked = per
+      .withColumn("r1", row_number().over(
+        Window.orderBy(col("n_docs").desc, col("source").asc)))
+      .withColumn("r2", row_number().over(
+        Window.orderBy(col("tot_chars").desc, col("source").asc)))
+      .withColumn("r3", row_number().over(
+        Window.orderBy(col("max_chars").desc, col("source").asc)))
+    val m = 3L
+    val tot = per.agg(count(lit(1)).as("nsrc"))
+    val dev = ranked.crossJoin(broadcast(tot))
+      .select(col("nsrc"),
+        (lit(2L) * (col("r1") + col("r2") + col("r3")).cast("long") -
+          lit(m) * (col("nsrc") + lit(1L))).as("d2"))
+    val agg = dev.groupBy("nsrc")
+      .agg(sum(col("d2") * col("d2")).as("d2sq"))
+    val nD = col("nsrc").cast("double")
+    val w = lit(3.0) * col("d2sq").cast("double") /
+      (lit(m * m).cast("double") * nD * (nD * nD - lit(1.0)))
+    agg.select(col("nsrc").as("n_sources"), lit(m).as("m_rankers"),
+      col("d2sq").as("ssd_doubled"),
+      when(col("nsrc") > 1L, round(w, 6)).as("kendall_w"),
+      when(col("nsrc") > 1L,
+        round(lit(m).cast("double") * (nD - lit(1.0)) * w, 6))
+        .as("chi2"))
+  }
+
+  /** Pairwise Hellinger / Bhattacharyya distances between the sources'
+    * language distributions — the distributional-shift matrix a corpus
+    * curator reads before mixing sources (which crawls are
+    * linguistically interchangeable, which would shift the mix?).
+    * BC = Σ_l √(p_l·q_l) over the shared languages (absent languages
+    * contribute exactly 0, so the inner join IS the full sum),
+    * H = √(max(0, 1−BC)) with the clamp guarding the BC→1 fp tail,
+    * and −ln BC guarded NULL on disjoint supports.
+    *
+    * Determinism: each p is one exact-count division, each term one
+    * fixed-order √(p·q); the ≤5-term sum follows the
+    * [[graft.ops.EventOps.userTypeEntropy]] small-cardinality
+    * contract; 6dp rounds.
+    *
+    * Scale: the corpus collapses to the (source,lang) grid first;
+    * the pair join is |sources|² on that grid — dimension-sized, and
+    * broadcast on one side. */
+  def hellingerLangPairs(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val tots = cells.groupBy("source").agg(sum("c").as("n"))
+    val p = cells.join(broadcast(tots), "source")
+      .select(col("source"), col("lang"),
+        (col("c").cast("double") / col("n").cast("double")).as("p"))
+    val joined = p.as("a").join(broadcast(p.as("b")),
+        col("a.lang") === col("b.lang") &&
+          col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        sqrt(col("a.p") * col("b.p")).as("term"))
+    val bc = joined.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_langs"), sum("term").as("bc"))
+    bc.select(col("src_a"), col("src_b"), col("n_shared_langs"),
+      round(col("bc"), 6).as("bhatt_coef"),
+      round(sqrt(greatest(lit(0.0), lit(1.0) - col("bc"))), 6)
+        .as("hellinger"),
+      when(col("bc") > lit(0.0), round(-log(col("bc")), 6))
+        .as("bhatt_dist"))
+      .orderBy("src_a", "src_b")
+  }
 }

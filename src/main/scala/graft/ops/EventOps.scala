@@ -8679,4 +8679,250 @@ object EventOps {
           round(col("energy").cast("double") /
             col("etot").cast("double"), 6)).as("energy_share"))
   }
+
+  /** Qini / uplift-decile curve of the parity-arm experiment
+    * ([[abConversionZtest]]'s arms read as treatment = even ids): users
+    * are ranked by a pinned outcome-free targeting score (their view
+    * count, ties by id), cut into 10 equal-population deciles, and each
+    * cumulative prefix reports incremental conversions
+    * q(k) = conv_T(k) − conv_C(k)·n_T(k)/n_C(k) — the uplift-model
+    * evaluation primitive (Radcliffe '07) beside the average-effect
+    * readouts. A control-free prefix (n_C = 0) yields NULL qini, not a
+    * division error.
+    *
+    * Determinism: decile = ((rn−1)·10) div n in integer space (no
+    * ntile), rn totally ordered by (score desc, user_id asc); every
+    * count is an exact BIGINT, the two rates and qini are single
+    * fixed-order double expressions rounded at 6dp.
+    *
+    * Scale: one per-user collapse (the only corpus-sized shuffle), a
+    * broadcast total, a 10-row decile frame; the unpartitioned rank
+    * window orders users — at 1000-executor scale that is the standard
+    * global-sort primitive (range-partitioned sort), not a driver
+    * bottleneck. */
+  def qiniUpliftDeciles(events: DataFrame,
+      threshold: Double = 90.0): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("score"),
+      max(when(col("event_type") === "purchase" &&
+          col("value") >= threshold, 1L).otherwise(0L)).as("conv"))
+      .withColumn("treated", (col("user_id") % lit(2L) === lit(0L))
+        .cast("long"))
+    val n = perUser.agg(count(lit(1)).as("n"))
+    val rn = row_number().over(
+      Window.orderBy(col("score").desc, col("user_id").asc))
+    val ranked = perUser.crossJoin(broadcast(n))
+      .withColumn("rn", rn)
+      .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
+    val per = ranked.groupBy("decile").agg(
+      sum(col("treated")).as("d_nt"),
+      sum(lit(1L) - col("treated")).as("d_nc"),
+      sum(col("treated") * col("conv")).as("d_ct"),
+      sum((lit(1L) - col("treated")) * col("conv")).as("d_cc"))
+    val wCum = Window.orderBy(col("decile").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = per
+      .withColumn("n_t", sum(col("d_nt")).over(wCum))
+      .withColumn("n_c", sum(col("d_nc")).over(wCum))
+      .withColumn("conv_t", sum(col("d_ct")).over(wCum))
+      .withColumn("conv_c", sum(col("d_cc")).over(wCum))
+    val rateT = col("conv_t").cast("double") / col("n_t").cast("double")
+    val rateC = col("conv_c").cast("double") / col("n_c").cast("double")
+    val qini = col("conv_t").cast("double") -
+      col("conv_c").cast("double") * col("n_t").cast("double") /
+        col("n_c").cast("double")
+    cum.select(col("decile"), col("n_t"), col("n_c"),
+      col("conv_t"), col("conv_c"),
+      when(col("n_t") > 0L && col("n_c") > 0L,
+        round(rateT - rateC, 6)).as("uplift"),
+      when(col("n_c") > 0L, round(qini, 6)).as("qini"))
+      .orderBy("decile")
+  }
+
+  /** Off-policy evaluation by inverse-propensity scoring (Horvitz–
+    * Thompson '52 / Li et al. '11): the logged event stream is read as
+    * a contextual-bandit log — context = iso day-of-week, action =
+    * event_type, reward = value — and the deterministic target policy
+    * "play each weekday's modal action" is valued without ever running
+    * it. With exact empirical propensities the per-context IPS estimate
+    * collapses to the matched cell's mean reward, and the overall
+    * policy value is the dow-prevalence-weighted mean of those cells —
+    * reported beside the logging policy's global mean reward as the
+    * baseline.
+    *
+    * Determinism: cell masses are exact BIGINT counts and DECIMAL cent
+    * sums; the modal action breaks ties by type name; every double
+    * expression is fixed-order and rounded at 6dp. The 7-term weighted
+    * sum matches the [[userTypeEntropy]] small-cardinality contract.
+    *
+    * Scale: one (dow,type) grouped pass over the corpus (35 cells),
+    * then broadcast-sized frames only. */
+  def ipsPolicyValue(events: DataFrame): DataFrame = {
+    val cells = events.select(
+      ((datediff(to_date(col("ts")), lit("1970-01-01").cast("date"))
+        .cast("long") + lit(3L)) % lit(7L) + lit(1L)).as("isodow"),
+      col("event_type"),
+      (Num.dec2(col("value")) * lit(100)).cast("long").as("cents"))
+      .groupBy("isodow", "event_type")
+      .agg(count(lit(1)).as("n_cell"), sum("cents").as("cents_cell"))
+    val byDow = cells.groupBy("isodow").agg(sum("n_cell").as("n_dow"))
+    val tot = byDow.agg(sum("n_dow").as("n"))
+    val totReward = cells.agg(sum("cents_cell").as("cents_all"))
+    val wTop = Window.partitionBy("isodow")
+      .orderBy(col("n_cell").desc, col("event_type").asc)
+    val modal = cells.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") === 1)
+      .join(broadcast(byDow), "isodow")
+      .crossJoin(broadcast(tot))
+    val meanAction = col("cents_cell").cast("double") / lit(100.0) /
+      col("n_cell").cast("double")
+    val contrib = meanAction * col("n_dow").cast("double") /
+      col("n").cast("double")
+    val terms = modal.select(col("isodow"),
+      col("event_type").as("action"),
+      col("n_dow"), col("n_cell").as("n_action"),
+      round(col("n_cell").cast("double") /
+        col("n_dow").cast("double"), 6).as("propensity"),
+      round(meanAction, 6).as("action_mean_value"),
+      contrib.as("contrib_raw"))
+    val policy = terms.agg(sum("contrib_raw").as("pv"))
+    val base = totReward.crossJoin(broadcast(tot))
+      .select((col("cents_all").cast("double") / lit(100.0) /
+        col("n").cast("double")).as("bv"))
+    terms.crossJoin(broadcast(policy)).crossJoin(broadcast(base))
+      .select(col("isodow"), col("action"), col("n_dow"), col("n_action"),
+        col("propensity"), col("action_mean_value"),
+        round(col("pv"), 6).as("policy_value"),
+        round(col("bv"), 6).as("logging_value"),
+        round(col("pv") - col("bv"), 6).as("policy_lift"))
+      .orderBy("isodow")
+  }
+
+  /** Brown–Forsythe robust homogeneity-of-variance test ('74): a
+    * one-way ANOVA F on the absolute deviations from each type's
+    * MEDIAN value — the heteroscedasticity gate that, unlike Bartlett,
+    * survives the heavy-tailed value distributions a quality filter
+    * actually meets ([[anovaValueByType]] compares means; this asks
+    * whether the spreads differ). Lower-median in integer cent space
+    * (the [[moodsMedianByType]] contract), deviations kept exact in
+    * cents, and each sᵢ²/nᵢ term — an exact integer ratio whose 1e11-
+    * scale magnitude would let a cross-group float-sum ulp through a
+    * 6dp round (observed live at sf0.01) — is pinned half-up in
+    * micro-units via [[Num.halfUpRatio]], so SSB/SSW are exact BIGINTs
+    * until two final IEEE divisions. Degenerate spreads (SSW = 0)
+    * yield NULL F, not a division error.
+    *
+    * Scale: two grouped passes over the corpus (per-type median grid,
+    * then per-type deviation moments) — both collapse to the distinct
+    * cent grid / 5 types before any window; nothing quadratic. */
+  def brownForsytheValue(events: DataFrame): DataFrame = {
+    val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
+    val grid = events.select(col("event_type"), cents.as("cv"))
+      .groupBy("event_type", "cv").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("event_type").orderBy(col("cv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tots = grid.groupBy("event_type").agg(sum("n").as("nt"))
+    val med = grid
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .join(broadcast(tots), "event_type")
+      .filter(col("cum") * lit(2L) >= col("nt"))
+      .groupBy("event_type").agg(min("cv").as("med"))
+    val dev = grid.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("n"),
+        abs(col("cv") - col("med")).as("z"))
+    val per = dev.groupBy("event_type").agg(
+      sum(col("n")).as("ni"),
+      sum(col("n") * col("z")).as("si"),
+      sum(col("n") * col("z") * col("z")).as("qi"))
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val per2 = per.withColumn("t_micro",
+      Num.halfUpRatio(dec38(col("si")) * col("si") * lit(1000000L),
+        dec38(col("ni"))))
+    val s = per2.agg(count(lit(1)).as("k"), sum("ni").as("nn"),
+      sum("si").as("ss"), sum("qi").as("qsum"),
+      sum("t_micro").as("tsum"))
+      .withColumn("ssw_micro", col("qsum") * lit(1000000L) - col("tsum"))
+      .withColumn("ssb_micro", col("tsum") -
+        Num.halfUpRatio(dec38(col("ss")) * col("ss") * lit(1000000L),
+          dec38(col("nn"))))
+    val ssbD = col("ssb_micro").cast("double") / lit(1000000.0)
+    val sswD = col("ssw_micro").cast("double") / lit(1000000.0)
+    val f = (ssbD / (col("k") - lit(1L)).cast("double")) /
+      (sswD / (col("nn") - col("k")).cast("double"))
+    s.select(col("k").as("n_types"), col("nn").as("n_total"),
+      (col("k") - lit(1L)).as("df1"), (col("nn") - col("k")).as("df2"),
+      round(ssbD, 6).as("ssb"), round(sswD, 6).as("ssw"),
+      when(col("ssw_micro") > 0L && col("k") > 1L, round(f, 6))
+        .as("f_stat"))
+  }
+
+  /** Lag-1 transfer entropy between the view and purchase daily-count
+    * series (Schreiber 2000), both directions: each series is
+    * binarized above its own lower median over the DENSE zero-filled
+    * calendar, and TE(X→Y) = Σ p(y',y,x)·ln[p(y'|y,x)/p(y'|y)]
+    * over the 8 joint states — the directed-dependence reading the
+    * symmetric [[typeDowMutualInfo]] family cannot give (does
+    * yesterday's browsing carry information about today's buying
+    * beyond buying's own history?).
+    *
+    * Determinism: all 8 joint cells and their marginals are exact
+    * BIGINT counts; each log term is one fixed-order ratio of exact
+    * integer products, the ≤8-term sum follows the
+    * [[userTypeEntropy]] small-cardinality contract, 6dp round.
+    *
+    * Scale: one daily collapse of the corpus, then calendar-sized
+    * frames (~90 rows) only. */
+  def transferEntropyDaily(events: DataFrame): DataFrame = {
+    val daily = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val days = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    def series(t: String, out: String) = {
+      val s = days.join(daily.filter(col("event_type") === t), Seq("day"),
+        "left")
+        .select(col("day"), coalesce(col("cnt"), lit(0L)).as("c"))
+      val grid = s.groupBy("c").agg(count(lit(1)).as("n"))
+      val wCum = Window.orderBy(col("c").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = grid.agg(sum("n").as("nt"))
+      val med = grid.withColumn("cum", sum(col("n")).over(wCum))
+        .crossJoin(broadcast(tot))
+        .filter(col("cum") * lit(2L) >= col("nt"))
+        .agg(min("c").as("med"))
+      s.crossJoin(broadcast(med))
+        .select(col("day"), (col("c") > col("med")).cast("long").as(out))
+    }
+    val joined = series("view", "xb").join(series("purchase", "yb"), "day")
+    val wDay = Window.orderBy(col("day").asc)
+    val trans = joined
+      .withColumn("y1", lead(col("yb"), 1).over(wDay))
+      .withColumn("x1", lead(col("xb"), 1).over(wDay))
+      .filter(col("y1").isNotNull)
+    def te(df: DataFrame, x0: Column, y0: Column, y1: Column,
+        dir: String) = {
+      val cells = df.groupBy(x0.as("x0"), y0.as("y0"), y1.as("y1"))
+        .agg(count(lit(1)).as("c"))
+      val mYY = cells.groupBy("y0", "y1").agg(sum("c").as("c_y0y1"))
+      val mXY = cells.groupBy("x0", "y0").agg(sum("c").as("c_x0y0"))
+      val mY = cells.groupBy("y0").agg(sum("c").as("c_y0"))
+      val tot = cells.agg(sum("c").as("nt"))
+      cells.join(broadcast(mYY), Seq("y0", "y1"))
+        .join(broadcast(mXY), Seq("x0", "y0"))
+        .join(broadcast(mY), Seq("y0"))
+        .crossJoin(broadcast(tot))
+        .agg(max(col("nt")).as("n_transitions"),
+          round(sum(col("c").cast("double") / col("nt").cast("double") *
+            log((col("c") * col("c_y0")).cast("double") /
+              (col("c_x0y0") * col("c_y0y1")).cast("double"))) +
+            lit(0.0), 6).as("te_nats"))
+        .select(lit(dir).as("direction"), col("n_transitions"),
+          col("te_nats"))
+    }
+    te(trans, col("xb"), col("yb"), col("y1"), "view_to_purchase")
+      .unionByName(
+        te(trans, col("yb"), col("xb"), col("x1"), "purchase_to_view"))
+      .orderBy("direction")
+  }
 }

@@ -862,4 +862,150 @@ class StatsFixturesR17Spec extends SparkSpec {
       picks.mkString(", "))
     assert(VectorOps.kCenterCoreset(emb.limit(0), 3).count() == 0L)
   }
+
+  // ---- batch 9: uplift / off-policy / variance / concordance ----
+
+  test("qini uplift deciles hand case: 10 users, 1 per decile, " +
+      "conv {2(t),3(c),6(t)} -> pinned cumulative cells and qini") {
+    // score = 20-u gives rank order u = 1..10; even ids treated
+    val rows = (1 to 10).flatMap { u =>
+      (1 to (20 - u)).map(i =>
+        (f"2024-01-01 ${i}%02d:00:00", u.toLong, "view", 1.0)) ++
+        (if (Set(2, 3, 6)(u))
+          Seq(("2024-01-02 00:00:00", u.toLong, "purchase", 95.0))
+        else Nil)
+    }
+    val got = EventOps.qiniUpliftDeciles(eventsFrom(rows)).collect()
+      .map(r => r.getAs[Long]("decile") ->
+        (r.getAs[Long]("n_t"), r.getAs[Long]("n_c"),
+          r.getAs[Long]("conv_t"), r.getAs[Long]("conv_c"),
+          Option(r.getAs[java.lang.Double]("uplift")),
+          Option(r.getAs[java.lang.Double]("qini")))).toMap
+    assert(got(1L) == ((0L, 1L, 0L, 0L, None, Some(0.0))), got(1L))
+    assert(got(2L) == ((1L, 1L, 1L, 0L, Some(1.0), Some(1.0))), got(2L))
+    assert(got(3L) == ((1L, 2L, 1L, 1L, Some(0.5), Some(0.5))), got(3L))
+    assert(got(10L) == ((5L, 5L, 2L, 1L, Some(0.2), Some(1.0))),
+      got(10L))
+  }
+
+  test("ips policy value hand case: Mon {click x2 @10, view @4}, " +
+      "Tue {view @6} -> modal means 10/6, policy 9.0, logging 7.5") {
+    // 1970-01-05 is a Monday: isodow (4+3)%7+1 = 1
+    val ev = eventsFrom(Seq(
+      ("1970-01-05 01:00:00", 1L, "click", 10.0),
+      ("1970-01-05 02:00:00", 2L, "click", 10.0),
+      ("1970-01-05 03:00:00", 3L, "view", 4.0),
+      ("1970-01-06 01:00:00", 4L, "view", 6.0)))
+    val got = EventOps.ipsPolicyValue(ev).collect()
+    assert(got.length == 2)
+    val mon = got.find(_.getAs[Long]("isodow") == 1L).get
+    assert(mon.getAs[String]("action") == "click")
+    assert(mon.getAs[Long]("n_dow") == 3L)
+    assert(mon.getAs[Long]("n_action") == 2L)
+    assert(mon.getAs[Double]("propensity") == 0.666667)
+    assert(mon.getAs[Double]("action_mean_value") == 10.0)
+    assert(mon.getAs[Double]("policy_value") == 9.0)
+    assert(mon.getAs[Double]("logging_value") == 7.5)
+    assert(mon.getAs[Double]("policy_lift") == 1.5)
+    val tue = got.find(_.getAs[Long]("isodow") == 2L).get
+    assert(tue.getAs[String]("action") == "view")
+    assert(tue.getAs[Double]("propensity") == 1.0)
+    assert(tue.getAs[Double]("action_mean_value") == 6.0)
+  }
+
+  test("brown-forsythe hand case: A=[1,1,3], B=[2,4] dollars -> " +
+      "medians 1/2, exact cent deviations, pinned SSB/SSW/F") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "A", 1.0),
+      ("2024-01-01 01:00:00", 2L, "A", 1.0),
+      ("2024-01-01 02:00:00", 3L, "A", 3.0),
+      ("2024-01-01 03:00:00", 4L, "B", 2.0),
+      ("2024-01-01 04:00:00", 5L, "B", 4.0)))
+    val got = EventOps.brownForsytheValue(ev).collect().head
+    assert(got.getAs[Long]("n_types") == 2L)
+    assert(got.getAs[Long]("n_total") == 5L)
+    assert(got.getAs[Long]("df1") == 1L)
+    assert(got.getAs[Long]("df2") == 3L)
+    // z_A = [0,0,200], z_B = [0,200] cents; si = 200 both, qi = 40000
+    // both; micro-pinned terms (2a+b)/(2b): A 13333333333, B 2e10
+    val tsum = (2L * 40000L * 1000000L + 3L) / 6L +
+      (2L * 40000L * 1000000L + 2L) / 4L
+    val sswMicro = 80000L * 1000000L - tsum
+    val ssbMicro = tsum - (2L * 160000L * 1000000L + 5L) / 10L
+    val ssbD = ssbMicro.toDouble / 1e6
+    val sswD = sswMicro.toDouble / 1e6
+    val f = (ssbD / 1.0) / (sswD / 3.0)
+    assert(got.getAs[Double]("ssb") == math.rint(ssbD * 1e6) / 1e6)
+    assert(got.getAs[Double]("ssw") == math.rint(sswD * 1e6) / 1e6)
+    assert(got.getAs[Double]("f_stat") == math.rint(f * 1e6) / 1e6)
+  }
+
+  test("transfer entropy: deterministic y' = x (purchase follows " +
+      "view by one day) is positive and pinned; TE >= 0 both ways") {
+    // view daily counts period-4 pattern [3,3,1,1]; purchase = view
+    // lagged one day -> y_{t+1} = f(x_t) exactly, but y' is NOT
+    // predictable from y alone
+    val viewCnt = Seq(3, 3, 1, 1, 3, 3, 1, 1, 3, 3, 1, 1)
+    val purchCnt = 1 +: viewCnt.dropRight(1) // lag, pad first day
+    val rows = viewCnt.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i =>
+        (f"2024-01-${d + 1}%02d 0$i:00:00", i.toLong, "view", 1.0))
+    } ++ purchCnt.zipWithIndex.flatMap { case (c, d) =>
+      (1 to c).map(i =>
+        (f"2024-01-${d + 1}%02d 1$i:00:00", i.toLong, "purchase", 1.0))
+    }
+    val got = EventOps.transferEntropyDaily(eventsFrom(rows)).collect()
+      .map(r => r.getAs[String]("direction") ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Double]("te_nats")))
+      .toMap
+    assert(got.keySet ==
+      Set("view_to_purchase", "purchase_to_view"), got.toString)
+    assert(got.values.forall(_._1 == 11L), got.toString)
+    // plug-in TE is an average of KL divergences -> nonnegative
+    assert(got.values.forall(_._2 >= 0.0), got.toString)
+    assert(got("view_to_purchase")._2 > 0.1, got.toString)
+  }
+
+  test("kendall W: perfectly concordant volume rankings -> W = 1, " +
+      "chi2 = m(n-1)") {
+    val docs = Seq(
+      (1L, "aaaa aaaa", "en", "big", 9L),
+      (2L, "aaaa", "en", "big", 8L),
+      (3L, "aaa", "en", "big", 7L),
+      (4L, "aa aa", "en", "mid", 5L),
+      (5L, "aa", "en", "mid", 4L),
+      (6L, "a", "en", "small", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.DocOps.kendallWSources(docs).collect().head
+    assert(got.getAs[Long]("n_sources") == 3L)
+    assert(got.getAs[Long]("m_rankers") == 3L)
+    // ranks all {1,2,3}: R = {3,6,9}, D2 = {-6,0,6}, sum 72
+    assert(got.getAs[Long]("ssd_doubled") == 72L)
+    assert(got.getAs[Double]("kendall_w") == 1.0)
+    assert(got.getAs[Double]("chi2") == 6.0)
+  }
+
+  test("hellinger lang pairs: identical dists -> BC 1 / H 0; " +
+      "half-overlap pinned; disjoint supports emit no row") {
+    val docs = Seq(
+      (1L, "x", "en", "a", 1L), (2L, "x", "en", "a", 1L),
+      (3L, "x", "en", "b", 1L), (4L, "x", "fr", "b", 1L),
+      (5L, "x", "en", "c", 1L), (6L, "x", "en", "c", 1L),
+      (7L, "x", "de", "d", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.DocOps.hellingerLangPairs(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_shared_langs"), r.getAs[Double]("bhatt_coef"),
+          r.getAs[Double]("hellinger"))).toMap
+    // a vs c: both 100% en -> BC 1, H 0
+    assert(got(("a", "c")) == ((1L, 1.0, 0.0)), got.toString)
+    // a vs b: BC = sqrt(1 * 0.5)
+    val bc = math.sqrt(0.5)
+    assert(got(("a", "b"))._2 == math.rint(bc * 1e6) / 1e6)
+    assert(got(("a", "b"))._3 ==
+      math.rint(math.sqrt(1.0 - bc) * 1e6) / 1e6)
+    // d (de-only) is disjoint from a/c (en-only): no rows
+    assert(!got.contains(("a", "d")) && !got.contains(("c", "d")),
+      got.keySet.toString)
+  }
 }
