@@ -1195,6 +1195,19 @@ object SparkEntry {
       ((s, d) => DocOps.kendallWSources(documents(s, d))),
     "hellinger_lang_pairs" ->
       ((s, d) => DocOps.hellingerLangPairs(documents(s, d))),
+    // ---- round-17 batch 10: FWER/ordinal/competing-risk/stylometry ----
+    "holm_mw_type_pairs" ->
+      ((s, d) => EventOps.holmMwTypePairs(events(s, d))),
+    "somers_d_conv" -> ((s, d) => EventOps.somersDConv(events(s, d))),
+    "aalen_johansen_cif" ->
+      ((s, d) => EventOps.aalenJohansenCif(events(s, d))),
+    "mcf_recurrent_purchases" ->
+      ((s, d) => EventOps.mcfRecurrentPurchases(events(s, d))),
+    "did_parity_arms" -> ((s, d) => EventOps.didParityArms(events(s, d))),
+    "atkinson_activity" ->
+      ((s, d) => EventOps.atkinsonActivity(events(s, d))),
+    "burrows_delta_pairs" ->
+      ((s, d) => DocOps.burrowsDeltaPairs(documents(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -11568,6 +11581,260 @@ object SparkEntry {
         "round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger, " +
         "CASE WHEN bc > 0.0 THEN round(-ln(bc), 6) END AS bhatt_dist " +
         "FROM bc ORDER BY 1, 2"),
+    // Mirrors EventOps.holmMwTypePairs: the bh pipeline with the
+    // step-DOWN q = p*(m-rk+1) and the prefix MAX via a.rk <= b.rk.
+    "holm_mw_type_pairs" ->
+      ("WITH " + mannWhitneyCtes + ", " +
+        "mw AS (" + mannWhitneySelect + "), " +
+        "zt AS (SELECT type_a, type_b, z FROM mw WHERE z IS NOT NULL), " +
+        "kk AS (SELECT type_a, type_b, z, abs(z) AS x, " +
+        "1.0 / (1.0 + 0.2316419 * abs(z)) AS k FROM zt), " +
+        "pp AS (SELECT type_a, type_b, z, " +
+        "round(2.0 * ((exp(-(x * x) / 2.0) / 2.5066282746310002) * " +
+        "(k * (0.319381530 + k * (-0.356563782 + k * (1.781477937 + " +
+        "k * (-1.821255978 + k * 1.330274429)))))), 6) AS p FROM kk), " +
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pp), " +
+        "rk AS (SELECT b.type_a, b.type_b, b.z, b.p, " +
+        "CAST(count(a.p) + 1 AS BIGINT) AS rk FROM pp b LEFT JOIN pp a " +
+        "ON (a.p < b.p) OR (a.p = b.p AND (a.type_a < b.type_a OR " +
+        "(a.type_a = b.type_a AND a.type_b < b.type_b))) " +
+        "GROUP BY 1, 2, 3, 4), " +
+        "q AS (SELECT *, round(least(p * " +
+        "CAST((SELECT m FROM m) - rk + 1 AS DOUBLE), 1.0), 6) AS q " +
+        "FROM rk) " +
+        "SELECT b.type_a, b.type_b, b.z, b.p AS p_raw, b.rk, " +
+        "max(a.q) AS p_holm, max(a.q) <= 0.05 AS rejected " +
+        "FROM q b JOIN q a ON a.rk <= b.rk GROUP BY 1, 2, 3, 4, 5"),
+    // Mirrors EventOps.somersDConv: activity-grid U-statistic, exact
+    // BIGINT C/D/T from one cumulative pass, two pinned divisions.
+    "somers_d_conv" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS score, " +
+        "CAST(max(CASE WHEN event_type = 'purchase' AND value >= 90.0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM events GROUP BY 1), " +
+        "grid AS (SELECT score, CAST(sum(conv) AS BIGINT) AS n1, " +
+        "CAST(sum(1 - conv) AS BIGINT) AS n0 FROM per GROUP BY 1), " +
+        "cum AS (SELECT *, CAST(coalesce(sum(n0) OVER (ORDER BY score " +
+        "ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "AS BIGINT) AS n0_lt, " +
+        "CAST(coalesce(sum(n1) OVER (ORDER BY score ASC ROWS BETWEEN " +
+        "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n1_lt " +
+        "FROM grid), " +
+        "t AS (SELECT CAST(sum(n1) AS BIGINT) AS nc, " +
+        "CAST(sum(n0) AS BIGINT) AS nn, " +
+        "CAST(sum(n1 * n0_lt) AS BIGINT) AS concordant, " +
+        "CAST(sum(n0 * n1_lt) AS BIGINT) AS discordant, " +
+        "CAST(sum(n1 * n0) AS BIGINT) AS tied FROM cum) " +
+        "SELECT nc AS n_conv, nn AS n_nonconv, concordant, discordant, " +
+        "tied, CASE WHEN nc * nn > 0 THEN round(" +
+        "CAST(concordant - discordant AS DOUBLE) / " +
+        "CAST(nc * nn AS DOUBLE), 6) END AS somers_d, " +
+        "CASE WHEN nc * nn > 0 THEN round(" +
+        "CAST(2 * concordant + tied AS DOUBLE) / " +
+        "CAST(2 * (nc * nn) AS DOUBLE), 6) END AS auc FROM t"),
+    // Mirrors EventOps.aalenJohansenCif: km risk sets, 10dp-DECIMAL
+    // EXCLUSIVE ln prefix for S(t-), 1e-12 micro-pinned CIF
+    // increments, cause split on purchase-on-last-day.
+    "aalen_johansen_cif" ->
+      ("WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f, " +
+        "CAST(max(ts) AS DATE) AS l, " +
+        "CAST(max(CASE WHEN event_type = 'purchase' THEN ts END) " +
+        "AS DATE) AS pd FROM events GROUP BY 1), " +
+        "mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events), " +
+        "dur AS (SELECT CAST(datediff('day', f, l) + 1 AS BIGINT) AS t, " +
+        "CASE WHEN l < max_day THEN 1 ELSE 0 END AS observed, " +
+        "CASE WHEN pd IS NOT NULL AND pd = l THEN 1 ELSE 0 END " +
+        "AS conv_exit FROM u CROSS JOIN mx), " +
+        "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending, " +
+        "CAST(sum(observed) AS BIGINT) AS d, " +
+        "CAST(sum(observed * conv_exit) AS BIGINT) AS d1 " +
+        "FROM dur GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM dur), " +
+        "ar AS (SELECT t, d, d1, n_users - CAST(sum(ending) OVER (" +
+        "ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending " +
+        "AS n FROM byt CROSS JOIN tot), " +
+        "ws AS (SELECT *, coalesce(CAST(sum(CASE WHEN d > 0 AND n > d " +
+        "THEN CAST(round(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))" +
+        ", 10) AS DECIMAL(38,10)) END) OVER (ORDER BY t ASC ROWS " +
+        "BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "AS DECIMAL(38,10)), CAST(0 AS DECIMAL(38,10))) AS lns_prev " +
+        "FROM ar), " +
+        "ws2 AS (SELECT *, exp(CAST(lns_prev AS DOUBLE)) AS s_prev " +
+        "FROM ws), " +
+        "h AS (SELECT CAST(unnest([1, 7, 14, 30]) AS INT) AS horizon), " +
+        "curve AS (SELECT horizon, CAST(sum(d1) AS BIGINT) AS e1, " +
+        "CAST(sum(d - d1) AS BIGINT) AS e2, " +
+        "CAST(sum(CAST(round(s_prev * CAST(d1 AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) * 1000000000000.0, 0) AS BIGINT)) " +
+        "AS BIGINT) AS m1, " +
+        "CAST(sum(CAST(round(s_prev * CAST(d - d1 AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) * 1000000000000.0, 0) AS BIGINT)) " +
+        "AS BIGINT) AS m2 " +
+        "FROM ws2 CROSS JOIN h WHERE t <= horizon GROUP BY 1), " +
+        "fl AS (SELECT h.horizon, curve.e1, curve.e2, curve.m1, " +
+        "curve.m2 FROM h LEFT JOIN curve USING (horizon)) " +
+        "SELECT horizon, 'converted_exit' AS cause, " +
+        "CAST(coalesce(e1, 0) AS BIGINT) AS n_exits, " +
+        "coalesce(round(CAST(m1 AS DOUBLE) / 1000000000000.0, 6), 0.0) " +
+        "AS cif FROM fl " +
+        "UNION ALL SELECT horizon, 'abandoned_exit' AS cause, " +
+        "CAST(coalesce(e2, 0) AS BIGINT) AS n_exits, " +
+        "coalesce(round(CAST(m2 AS DOUBLE) / 1000000000000.0, 6), 0.0) " +
+        "AS cif FROM fl ORDER BY horizon, cause"),
+    // Mirrors EventOps.mcfRecurrentPurchases: tenure risk sets via the
+    // tiny-grid non-equi join, 1e-12 micro-pinned d/n increments.
+    "mcf_recurrent_purchases" ->
+      ("WITH entry AS (SELECT user_id, CAST(min(ts) AS DATE) AS f " +
+        "FROM events GROUP BY 1), " +
+        "mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events), " +
+        "uw AS (SELECT user_id, f, " +
+        "CAST(datediff('day', f, max_day) + 1 AS BIGINT) AS wl " +
+        "FROM entry CROSS JOIN mx), " +
+        "p AS (SELECT CAST(datediff('day', uw.f, CAST(e.ts AS DATE)) " +
+        "+ 1 AS BIGINT) AS t FROM events e JOIN uw " +
+        "ON e.user_id = uw.user_id WHERE e.event_type = 'purchase'), " +
+        "dbyt AS (SELECT t, CAST(count(*) AS BIGINT) AS d FROM p " +
+        "GROUP BY 1), " +
+        "wend AS (SELECT wl, CAST(count(*) AS BIGINT) AS n_ending " +
+        "FROM uw GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM uw), " +
+        "withn AS (SELECT t, d, n_users - shorter AS n_check FROM (" +
+        "SELECT d.t, d.d, CAST(coalesce(sum(we.n_ending), 0) AS BIGINT) " +
+        "AS shorter FROM dbyt d LEFT JOIN wend we ON we.wl < d.t " +
+        "GROUP BY 1, 2) CROSS JOIN tot), " +
+        "h AS (SELECT CAST(unnest([1, 7, 14, 30]) AS INT) AS horizon), " +
+        "curve AS (SELECT horizon, CAST(sum(d) AS BIGINT) " +
+        "AS n_purchases, CAST(sum(CAST(round(CAST(d AS DOUBLE) / " +
+        "CAST(n_check AS DOUBLE) * 1000000000000.0, 0) AS BIGINT)) " +
+        "AS BIGINT) AS mm FROM withn CROSS JOIN h WHERE t <= horizon " +
+        "GROUP BY 1) " +
+        "SELECT h.horizon, CAST(coalesce(n_purchases, 0) AS BIGINT) " +
+        "AS n_purchases, coalesce(round(CAST(mm AS DOUBLE) / " +
+        "1000000000000.0, 6), 0.0) AS mcf " +
+        "FROM h LEFT JOIN curve USING (horizon) ORDER BY horizon"),
+    // Mirrors EventOps.didParityArms: mmd midpoint split, parity arms,
+    // exact cent moments per cell, fixed-order mean/variance chain.
+    "did_parity_arms" ->
+      ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, " +
+        "max(epoch_us(ts)) AS hi FROM events), " +
+        "cells AS (SELECT user_id % 2 AS arm, " +
+        "CASE WHEN epoch_us(ts) <= CAST((lo + hi) // 2 AS BIGINT) " +
+        "THEN 1 ELSE 2 END AS half, " +
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c " +
+        "FROM events CROSS JOIN b), " +
+        "g AS (SELECT arm, half, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(c) AS BIGINT) AS s, " +
+        "CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q " +
+        "FROM cells GROUP BY 1, 2), " +
+        "j AS (SELECT " +
+        "CAST(max(CASE WHEN arm = 0 AND half = 1 THEN n END) AS BIGINT) AS n_a1, " +
+        "CAST(max(CASE WHEN arm = 0 AND half = 1 THEN s END) AS BIGINT) AS s_a1, " +
+        "max(CASE WHEN arm = 0 AND half = 1 THEN q END) AS q_a1, " +
+        "CAST(max(CASE WHEN arm = 0 AND half = 2 THEN n END) AS BIGINT) AS n_a2, " +
+        "CAST(max(CASE WHEN arm = 0 AND half = 2 THEN s END) AS BIGINT) AS s_a2, " +
+        "max(CASE WHEN arm = 0 AND half = 2 THEN q END) AS q_a2, " +
+        "CAST(max(CASE WHEN arm = 1 AND half = 1 THEN n END) AS BIGINT) AS n_b1, " +
+        "CAST(max(CASE WHEN arm = 1 AND half = 1 THEN s END) AS BIGINT) AS s_b1, " +
+        "max(CASE WHEN arm = 1 AND half = 1 THEN q END) AS q_b1, " +
+        "CAST(max(CASE WHEN arm = 1 AND half = 2 THEN n END) AS BIGINT) AS n_b2, " +
+        "CAST(max(CASE WHEN arm = 1 AND half = 2 THEN s END) AS BIGINT) AS s_b2, " +
+        "max(CASE WHEN arm = 1 AND half = 2 THEN q END) AS q_b2 FROM g) " +
+        "SELECT n_a1, n_a2, n_b1, n_b2, " +
+        "round(CAST(s_a2 AS DOUBLE) / 100.0 / CAST(n_a2 AS DOUBLE) - " +
+        "CAST(s_a1 AS DOUBLE) / 100.0 / CAST(n_a1 AS DOUBLE), 6) " +
+        "AS delta_a, " +
+        "round(CAST(s_b2 AS DOUBLE) / 100.0 / CAST(n_b2 AS DOUBLE) - " +
+        "CAST(s_b1 AS DOUBLE) / 100.0 / CAST(n_b1 AS DOUBLE), 6) " +
+        "AS delta_b, " +
+        "round((CAST(s_a2 AS DOUBLE) / 100.0 / CAST(n_a2 AS DOUBLE) - " +
+        "CAST(s_a1 AS DOUBLE) / 100.0 / CAST(n_a1 AS DOUBLE)) - " +
+        "(CAST(s_b2 AS DOUBLE) / 100.0 / CAST(n_b2 AS DOUBLE) - " +
+        "CAST(s_b1 AS DOUBLE) / 100.0 / CAST(n_b1 AS DOUBLE)), 6) " +
+        "AS did, " +
+        "CASE WHEN n_a1 > 1 AND n_a2 > 1 AND n_b1 > 1 AND n_b2 > 1 AND " +
+        "(CAST(q_a1 AS DOUBLE) - CAST(s_a1 AS DOUBLE) * CAST(s_a1 AS DOUBLE) / CAST(n_a1 AS DOUBLE)) / CAST(n_a1 - 1 AS DOUBLE) / 10000.0 / CAST(n_a1 AS DOUBLE) + " +
+        "(CAST(q_a2 AS DOUBLE) - CAST(s_a2 AS DOUBLE) * CAST(s_a2 AS DOUBLE) / CAST(n_a2 AS DOUBLE)) / CAST(n_a2 - 1 AS DOUBLE) / 10000.0 / CAST(n_a2 AS DOUBLE) + " +
+        "(CAST(q_b1 AS DOUBLE) - CAST(s_b1 AS DOUBLE) * CAST(s_b1 AS DOUBLE) / CAST(n_b1 AS DOUBLE)) / CAST(n_b1 - 1 AS DOUBLE) / 10000.0 / CAST(n_b1 AS DOUBLE) + " +
+        "(CAST(q_b2 AS DOUBLE) - CAST(s_b2 AS DOUBLE) * CAST(s_b2 AS DOUBLE) / CAST(n_b2 AS DOUBLE)) / CAST(n_b2 - 1 AS DOUBLE) / 10000.0 / CAST(n_b2 AS DOUBLE) " +
+        "> 0.0 THEN round(sqrt(" +
+        "(CAST(q_a1 AS DOUBLE) - CAST(s_a1 AS DOUBLE) * CAST(s_a1 AS DOUBLE) / CAST(n_a1 AS DOUBLE)) / CAST(n_a1 - 1 AS DOUBLE) / 10000.0 / CAST(n_a1 AS DOUBLE) + " +
+        "(CAST(q_a2 AS DOUBLE) - CAST(s_a2 AS DOUBLE) * CAST(s_a2 AS DOUBLE) / CAST(n_a2 AS DOUBLE)) / CAST(n_a2 - 1 AS DOUBLE) / 10000.0 / CAST(n_a2 AS DOUBLE) + " +
+        "(CAST(q_b1 AS DOUBLE) - CAST(s_b1 AS DOUBLE) * CAST(s_b1 AS DOUBLE) / CAST(n_b1 AS DOUBLE)) / CAST(n_b1 - 1 AS DOUBLE) / 10000.0 / CAST(n_b1 AS DOUBLE) + " +
+        "(CAST(q_b2 AS DOUBLE) - CAST(s_b2 AS DOUBLE) * CAST(s_b2 AS DOUBLE) / CAST(n_b2 AS DOUBLE)) / CAST(n_b2 - 1 AS DOUBLE) / 10000.0 / CAST(n_b2 AS DOUBLE)" +
+        "), 6) END AS se, " +
+        "CASE WHEN n_a1 > 1 AND n_a2 > 1 AND n_b1 > 1 AND n_b2 > 1 AND " +
+        "(CAST(q_a1 AS DOUBLE) - CAST(s_a1 AS DOUBLE) * CAST(s_a1 AS DOUBLE) / CAST(n_a1 AS DOUBLE)) / CAST(n_a1 - 1 AS DOUBLE) / 10000.0 / CAST(n_a1 AS DOUBLE) + " +
+        "(CAST(q_a2 AS DOUBLE) - CAST(s_a2 AS DOUBLE) * CAST(s_a2 AS DOUBLE) / CAST(n_a2 AS DOUBLE)) / CAST(n_a2 - 1 AS DOUBLE) / 10000.0 / CAST(n_a2 AS DOUBLE) + " +
+        "(CAST(q_b1 AS DOUBLE) - CAST(s_b1 AS DOUBLE) * CAST(s_b1 AS DOUBLE) / CAST(n_b1 AS DOUBLE)) / CAST(n_b1 - 1 AS DOUBLE) / 10000.0 / CAST(n_b1 AS DOUBLE) + " +
+        "(CAST(q_b2 AS DOUBLE) - CAST(s_b2 AS DOUBLE) * CAST(s_b2 AS DOUBLE) / CAST(n_b2 AS DOUBLE)) / CAST(n_b2 - 1 AS DOUBLE) / 10000.0 / CAST(n_b2 AS DOUBLE) " +
+        "> 0.0 THEN round(" +
+        "((CAST(s_a2 AS DOUBLE) / 100.0 / CAST(n_a2 AS DOUBLE) - " +
+        "CAST(s_a1 AS DOUBLE) / 100.0 / CAST(n_a1 AS DOUBLE)) - " +
+        "(CAST(s_b2 AS DOUBLE) / 100.0 / CAST(n_b2 AS DOUBLE) - " +
+        "CAST(s_b1 AS DOUBLE) / 100.0 / CAST(n_b1 AS DOUBLE))) / sqrt(" +
+        "(CAST(q_a1 AS DOUBLE) - CAST(s_a1 AS DOUBLE) * CAST(s_a1 AS DOUBLE) / CAST(n_a1 AS DOUBLE)) / CAST(n_a1 - 1 AS DOUBLE) / 10000.0 / CAST(n_a1 AS DOUBLE) + " +
+        "(CAST(q_a2 AS DOUBLE) - CAST(s_a2 AS DOUBLE) * CAST(s_a2 AS DOUBLE) / CAST(n_a2 AS DOUBLE)) / CAST(n_a2 - 1 AS DOUBLE) / 10000.0 / CAST(n_a2 AS DOUBLE) + " +
+        "(CAST(q_b1 AS DOUBLE) - CAST(s_b1 AS DOUBLE) * CAST(s_b1 AS DOUBLE) / CAST(n_b1 AS DOUBLE)) / CAST(n_b1 - 1 AS DOUBLE) / 10000.0 / CAST(n_b1 AS DOUBLE) + " +
+        "(CAST(q_b2 AS DOUBLE) - CAST(s_b2 AS DOUBLE) * CAST(s_b2 AS DOUBLE) / CAST(n_b2 AS DOUBLE)) / CAST(n_b2 - 1 AS DOUBLE) / 10000.0 / CAST(n_b2 AS DOUBLE)" +
+        "), 6) END AS z_score FROM j"),
+    // Mirrors EventOps.atkinsonActivity: count-grid collapse, the
+    // sqrt sum multiplicity-weighted on the grid, EDE and A one
+    // fixed-order chain.
+    "atkinson_activity" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x " +
+        "FROM events GROUP BY 1), " +
+        "grid AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM per " +
+        "GROUP BY 1), " +
+        "s AS (SELECT CAST(sum(m) AS BIGINT) AS n, " +
+        "CAST(sum(m * x) AS BIGINT) AS tot, " +
+        "sum(CAST(m AS DOUBLE) * sqrt(CAST(x AS DOUBLE))) AS sqsum " +
+        "FROM grid) " +
+        "SELECT n AS n_users, " +
+        "round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE), 6) " +
+        "AS mean_activity, " +
+        "round((sqsum / CAST(n AS DOUBLE)) * (sqsum / " +
+        "CAST(n AS DOUBLE)), 6) AS ede, " +
+        "CASE WHEN CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) > 0.0 THEN " +
+        "round(1.0 - (sqsum / CAST(n AS DOUBLE)) * (sqsum / " +
+        "CAST(n AS DOUBLE)) / (CAST(tot AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)), 6) END AS atkinson_05 FROM s"),
+    // Mirrors DocOps.burrowsDeltaPairs: total-order top-50 cut,
+    // zero-filled frequency grid, per-term mean/sample-std over the
+    // source frame, mean |z| gap per pair.
+    "burrows_delta_pairs" ->
+      ("WITH t AS (SELECT source, unnest(regexp_split_to_array(" +
+        "lower(trim(text)), '\\s+')) AS term FROM documents), " +
+        "tt AS (SELECT source, term FROM t WHERE length(term) > 0), " +
+        "sc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS cnt " +
+        "FROM tt GROUP BY 1, 2), " +
+        "stot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS src_total " +
+        "FROM sc GROUP BY 1), " +
+        "corp AS (SELECT term, CAST(sum(cnt) AS BIGINT) AS cnt_all " +
+        "FROM sc GROUP BY 1), " +
+        "top AS (SELECT term FROM (SELECT term, row_number() OVER (" +
+        "ORDER BY cnt_all DESC, term ASC) AS rk FROM corp) " +
+        "WHERE rk <= 50), " +
+        "gridf AS (SELECT st.source, tp.term, " +
+        "CAST(coalesce(sc.cnt, 0) AS DOUBLE) / " +
+        "CAST(st.src_total AS DOUBLE) AS f " +
+        "FROM stot st CROSS JOIN top tp LEFT JOIN sc " +
+        "ON sc.source = st.source AND sc.term = tp.term), " +
+        "stats AS (SELECT term, CAST(count(*) AS BIGINT) AS ns, " +
+        "sum(CAST(f AS DOUBLE)) AS fs, " +
+        "sum(CAST(f AS DOUBLE) * f) AS fq FROM gridf GROUP BY 1), " +
+        "st2 AS (SELECT term, fs / CAST(ns AS DOUBLE) AS mu, " +
+        "sqrt((fq - fs * fs / CAST(ns AS DOUBLE)) / " +
+        "CAST(ns - 1 AS DOUBLE)) AS sd FROM stats), " +
+        "zt AS (SELECT g.source, g.term, (g.f - st2.mu) / st2.sd AS z " +
+        "FROM gridf g JOIN st2 ON st2.term = g.term " +
+        "WHERE st2.sd > 0.0), " +
+        "pr AS (SELECT a.source AS src_a, b.source AS src_b, " +
+        "CAST(count(*) AS BIGINT) AS n_terms, " +
+        "sum(CAST(abs(a.z - b.z) AS DOUBLE)) AS dsum FROM zt a " +
+        "JOIN zt b ON a.term = b.term AND a.source < b.source " +
+        "GROUP BY 1, 2) " +
+        "SELECT src_a, src_b, n_terms, " +
+        "round(dsum / CAST(n_terms AS DOUBLE), 6) AS burrows_delta " +
+        "FROM pr ORDER BY 1, 2"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -3143,4 +3143,72 @@ object DocOps {
         .as("bhatt_dist"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Burrows' Delta between source pairs (Burrows 2002) — the
+    * stylometric distance authorship attribution runs on: each
+    * source's relative frequency of the corpus's top-K terms is
+    * z-scored ACROSS sources per term, and Δ(a,b) is the mean
+    * absolute z gap — so a pair differs by how far apart their usage
+    * of the COMMON vocabulary sits, not by exotic words
+    * ([[hellingerLangPairs]] compares language mixes; this compares
+    * style within the shared vocabulary).
+    *
+    * Determinism: the top-K cut is a total (count desc, term asc)
+    * order; frequencies are exact-count ratios; the per-term
+    * mean/sample-std run over the ZERO-FILLED |sources| frame
+    * (absent term → exact 0.0 — dropping those rows would bias μ
+    * up); zero-variance terms are excluded from K with the realized
+    * n_terms reported. Each z and |Δz| is fixed-order double work;
+    * the ≤K-term pair sum precedes one 6dp round.
+    *
+    * Shape: one tokenize+count collapse of the corpus; everything
+    * after lives on the K×|sources| grid and its |sources|² pair
+    * join (dimension-sized, broadcast). */
+  def burrowsDeltaPairs(docs: DataFrame, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("source"),
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val sc = terms.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+    val stot = sc.groupBy("source").agg(sum("cnt").as("src_total"))
+    // top-K via global sort+limit (TakeOrderedAndProject) — the same
+    // (count desc, term asc) total order as a rank window, but its
+    // plan broadcasts cleanly (an unpartitioned Window under a
+    // broadcast hint trips the AllTuples distribution requirement)
+    val top = sc.groupBy("term").agg(sum("cnt").as("cnt_all"))
+      .orderBy(col("cnt_all").desc, col("term").asc)
+      .limit(k)
+      .select("term")
+    val gridF = stot.crossJoin(broadcast(top))
+      .join(sc, Seq("source", "term"), "left")
+      .select(col("source"), col("term"),
+        (coalesce(col("cnt"), lit(0L)).cast("double") /
+          col("src_total").cast("double")).as("f"))
+    val stats = gridF.groupBy("term").agg(
+      count(lit(1)).as("ns"), sum("f").as("fs"),
+      sum(col("f") * col("f")).as("fq"))
+    val mu = col("fs") / col("ns").cast("double")
+    val sd = sqrt((col("fq") - col("fs") * col("fs") /
+      col("ns").cast("double")) / (col("ns") - lit(1L)).cast("double"))
+    // the z frame is K x |sources| rows but its lineage holds the
+    // whole tokenize pipeline AND a global-order window — materialize
+    // once (the RankOps convention; the window's AllTuples
+    // distribution also cannot sit under a broadcast self-join)
+    val z = gridF.join(broadcast(stats
+        .select(col("term"), mu.as("mu"), sd.as("sd"))
+        .filter(col("sd") > lit(0.0))), "term")
+      .select(col("source"), col("term"),
+        ((col("f") - col("mu")) / col("sd")).as("z"))
+      .localCheckpoint()
+    val pairs = z.as("a").join(broadcast(z.as("b")),
+        col("a.term") === col("b.term") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(abs(col("a.z") - col("b.z"))).as("dsum"))
+    pairs.select(col("src_a"), col("src_b"), col("n_terms"),
+      round(col("dsum") / col("n_terms").cast("double"), 6)
+        .as("burrows_delta"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -8925,4 +8925,292 @@ object EventOps {
         te(trans, col("yb"), col("xb"), col("x1"), "purchase_to_view"))
       .orderBy("direction")
   }
+
+  /** Holm step-down adjustment over [[mannWhitneyTypePairs]]' p-values
+    * — the FWER-controlling companion to the FDR step-ups
+    * ([[bhFdrTypePairs]] bounds the expected false-discovery RATE;
+    * Holm bounds the probability of even ONE false rejection, with
+    * uniformly more power than plain Bonferroni and no independence
+    * assumption at all): p̂_(i) = max_{j≤i} min(p_(j)·(m−j+1), 1),
+    * the monotone prefix max making sequential rejection ≡
+    * adjusted ≤ α. Same pinned A&S 26.2.17 two-sided p, same
+    * (p, type_a, type_b) total order, the prefix max as a
+    * broadcast-tiny self-join — no serial window.
+    *
+    * Shape: the Mann–Whitney value-grid collapse is the only
+    * corpus-sized work; everything here is |types|²/2 rows. */
+  def holmMwTypePairs(events: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val mw = mannWhitneyTypePairs(events)
+      .filter(col("z").isNotNull)
+      .select(col("type_a"), col("type_b"), col("z"))
+    val withP = mw.select(col("type_a"), col("type_b"), col("z"),
+      round(lit(2.0) *
+        graft.functions.NormalTail.normalTail(abs(col("z"))), 6).as("p"))
+      .localCheckpoint()
+    val m = withP.agg(count(lit(1)).as("m"))
+    val before = (col("a.p") < col("b.p")) ||
+      (col("a.p") === col("b.p") && (col("a.type_a") < col("b.type_a") ||
+        (col("a.type_a") === col("b.type_a") &&
+          col("a.type_b") < col("b.type_b"))))
+    val ranked = withP.as("b").join(broadcast(withP.as("a")), before, "left")
+      .groupBy(col("b.type_a").as("type_a"), col("b.type_b").as("type_b"),
+        col("b.z").as("z"), col("b.p").as("p"))
+      .agg((count(col("a.p")) + lit(1L)).as("rk"))
+      .crossJoin(broadcast(m))
+      .withColumn("q", round(least(col("p") *
+        (col("m") - col("rk") + lit(1L)).cast("double"), lit(1.0)), 6))
+      .localCheckpoint()
+    val adj = ranked.as("b")
+      .join(broadcast(ranked.as("a")), col("a.rk") <= col("b.rk"))
+      .groupBy(col("b.type_a").as("type_a"), col("b.type_b").as("type_b"),
+        col("b.z").as("z"), col("b.p").as("p_raw"), col("b.rk").as("rk"))
+      .agg(max(col("a.q")).as("p_holm"))
+    adj.select(col("type_a"), col("type_b"), col("z"), col("p_raw"),
+      col("rk"), col("p_holm"),
+      (col("p_holm") <= lit(alpha)).as("rejected"))
+  }
+
+  /** Somers' D of the activity→conversion relationship — for a binary
+    * outcome the rank statistic collapses to the classifier Gini
+    * 2·AUC − 1 ("do converting users rank above non-converting ones
+    * on raw activity?"), computed as the exact U-statistic on the
+    * per-user activity-count grid: C/D/T pair counts are exact
+    * BIGINTs from one cumulative pass (no user×user join), and the
+    * two output ratios are single pinned divisions. A degenerate
+    * outcome (no converters, or all) has no comparable pairs → NULL
+    * D/AUC, stated.
+    *
+    * Shape: per-user collapse → activity-grid frame (≤ distinct
+    * counts) → 1 row; the grid window is unpartitioned but
+    * grid-sized. */
+  def somersDConv(events: DataFrame, threshold: Double = 90.0): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(
+      count(lit(1)).as("score"),
+      max(when(col("event_type") === "purchase" &&
+        col("value") >= threshold, 1L).otherwise(0L)).as("conv"))
+    val grid = perUser.groupBy("score").agg(
+      sum(col("conv")).as("n1"),
+      sum(lit(1L) - col("conv")).as("n0"))
+    val wLt = Window.orderBy(col("score").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid
+      .withColumn("n0_lt", coalesce(sum(col("n0")).over(wLt), lit(0L)))
+      .withColumn("n1_lt", coalesce(sum(col("n1")).over(wLt), lit(0L)))
+    val tots = cum.agg(
+      sum("n1").as("nc"), sum("n0").as("nn"),
+      sum(col("n1") * col("n0_lt")).as("concordant"),
+      sum(col("n0") * col("n1_lt")).as("discordant"),
+      sum(col("n1") * col("n0")).as("tied"))
+    val pairs = col("nc") * col("nn")
+    val d = (col("concordant") - col("discordant")).cast("double") /
+      pairs.cast("double")
+    val auc = (lit(2L) * col("concordant") + col("tied")).cast("double") /
+      (lit(2L) * pairs).cast("double")
+    tots.select(col("nc").as("n_conv"), col("nn").as("n_nonconv"),
+      col("concordant"), col("discordant"), col("tied"),
+      when(pairs > 0L, round(d, 6)).as("somers_d"),
+      when(pairs > 0L, round(auc, 6)).as("auc"))
+  }
+
+  /** Aalen–Johansen cumulative incidence under competing risks — the
+    * churn curve [[kmSurvivalHorizons]] splits BY EXIT CAUSE: a user
+    * whose journey ends with a purchase on their last active day is a
+    * converted exit, any other ending is an abandoned exit, and
+    * naive per-cause KM (treating the other cause as censoring)
+    * OVERSTATES both incidences — AJ's CIF_k(h) = Σ_{t≤h}
+    * Ŝ(t−)·d_k(t)/n(t) is the estimator that keeps
+    * CIF₁ + CIF₂ = 1 − Ŝ_allcause exactly.
+    *
+    * Determinism: the KM risk sets are exact BIGINTs; Ŝ(t−) is exp of
+    * the 10dp-DECIMAL-pinned EXCLUSIVE ln prefix (the
+    * [[kmGreenwoodCi]] discipline) and each CIF increment pins to
+    * 1e-12 micro-units before the horizon sum, so accumulation is
+    * order-exact integer arithmetic.
+    *
+    * Shape: one per-user collapse, duration-frame (≤ calendar) rows,
+    * broadcast horizons; two output rows per horizon. */
+  def aalenJohansenCif(events: DataFrame,
+      horizons: Seq[Int] = Seq(1, 7, 14, 30)): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"), to_date(max(col("ts"))).as("l"),
+        to_date(max(when(col("event_type") === "purchase", col("ts"))))
+          .as("pd"))
+    val maxDay = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val dur = users.crossJoin(broadcast(maxDay))
+      .select((datediff(col("l"), col("f")) + 1).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("observed"),
+        when(col("pd").isNotNull && col("pd") === col("l"), 1L)
+          .otherwise(0L).as("conv_exit"))
+    val byT = dur.groupBy("t").agg(count(lit(1)).as("ending"),
+      sum("observed").as("d"),
+      sum(col("observed") * col("conv_exit")).as("d1"))
+    val total = dur.agg(count(lit(1)).as("n_users"))
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = byT.crossJoin(broadcast(total))
+      .withColumn("n",
+        col("n_users") - sum(col("ending")).over(wCum) + col("ending"))
+    val lnTerm = round(log((col("n") - col("d")).cast("double") /
+      col("n").cast("double")), 10).cast("decimal(38,10)")
+    val withS = atRisk
+      .withColumn("lns_prev", coalesce(
+        sum(when(col("d") > 0L && col("n") > col("d"), lnTerm))
+          .over(wPrev), lit(0).cast("decimal(38,10)")))
+      .withColumn("s_prev", exp(col("lns_prev").cast("double")))
+    def cifTerm(dk: Column) = round(col("s_prev") * dk.cast("double") /
+      col("n").cast("double") * lit(1.0e12), 0).cast("long")
+    val hs = events.sparkSession.createDataFrame(
+      horizons.map(Tuple1(_))).toDF("horizon")
+    val curve = withS.crossJoin(broadcast(hs))
+      .filter(col("t") <= col("horizon"))
+      .groupBy("horizon")
+      .agg(sum("d1").as("e1"), sum(col("d") - col("d1")).as("e2"),
+        sum(cifTerm(col("d1"))).as("m1"),
+        sum(cifTerm(col("d") - col("d1"))).as("m2"))
+    val full = hs.join(curve, Seq("horizon"), "left")
+    def side(cause: String, e: Column, mm: Column) =
+      full.select(col("horizon"), lit(cause).as("cause"),
+        coalesce(e, lit(0L)).as("n_exits"),
+        coalesce(round(mm.cast("double") / lit(1.0e12), 6), lit(0.0))
+          .as("cif"))
+    side("converted_exit", col("e1"), col("m1"))
+      .unionByName(side("abandoned_exit", col("e2"), col("m2")))
+      .orderBy("horizon", "cause")
+  }
+
+  /** Mean cumulative function of recurrent purchases over user tenure
+    * (Nelson's recurrent-event MCF): "by day t of a user's life, how
+    * many purchases has the average still-observed user made?" —
+    * the recurrent-event companion to the single-event survival
+    * family: every purchase counts (not just the first), and the
+    * risk set at tenure t holds exactly the users whose observation
+    * window (first event → global max day) spans t, so late joiners
+    * stop deflating the curve.
+    *
+    * Determinism: d(t) and n(t) are exact BIGINTs; each increment
+    * d/n pins to 1e-12 micro-units before the horizon sum
+    * (order-exact), one final division per horizon.
+    *
+    * Shape: two per-user/purchase collapses, tenure-frame rows,
+    * broadcast horizons. */
+  def mcfRecurrentPurchases(events: DataFrame,
+      horizons: Seq[Int] = Seq(1, 7, 14, 30)): DataFrame = {
+    val entry = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"))
+    val maxDay = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val window = entry.crossJoin(broadcast(maxDay))
+      .select(col("user_id"), col("f"),
+        (datediff(col("max_day"), col("f")) + 1).cast("long").as("w"))
+    val purch = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("pday"))
+      .join(window, "user_id")
+      .select((datediff(col("pday"), col("f")) + 1).cast("long").as("t"))
+    val dByT = purch.groupBy("t").agg(count(lit(1)).as("d"))
+    val wEnd = window.groupBy("w").agg(count(lit(1)).as("n_ending"))
+    val total = window.agg(count(lit(1)).as("n_users"))
+    // users at risk at tenure t = those with window length >= t =
+    // total - #(w < t), a non-equi join of the two tiny grids
+    val withN = dByT.join(broadcast(wEnd), col("w") < col("t"), "left")
+      .groupBy("t", "d")
+      .agg(coalesce(sum("n_ending"), lit(0L)).as("shorter"))
+      .crossJoin(broadcast(total))
+      .select(col("t"), col("d"),
+        (col("n_users") - col("shorter")).as("n_check"))
+    val hs = events.sparkSession.createDataFrame(
+      horizons.map(Tuple1(_))).toDF("horizon")
+    val term = round(col("d").cast("double") /
+      col("n_check").cast("double") * lit(1.0e12), 0).cast("long")
+    val curve = withN.crossJoin(broadcast(hs))
+      .filter(col("t") <= col("horizon"))
+      .groupBy("horizon")
+      .agg(sum("d").as("n_purchases"), sum(term).as("mcf_micro"))
+    hs.join(curve, Seq("horizon"), "left")
+      .select(col("horizon"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(round(col("mcf_micro").cast("double") / lit(1.0e12), 6),
+          lit(0.0)).as("mcf"))
+      .orderBy("horizon")
+  }
+
+  /** Difference-in-differences on the parity arms across the
+    * window-midpoint time split — the quasi-experimental readout
+    * ([[abConversionZtest]] compares arms at one time; DiD asks
+    * whether arm A's value MOVED differently across the midpoint
+    * than arm B's, differencing away both the common time shock and
+    * the fixed arm gap): DiD = (x̄_A2−x̄_A1) − (x̄_B2−x̄_B1), with the
+    * four-cell pooled SE √(Σ s²ᵢ/nᵢ) and its z. The split is the
+    * [[valueMmdDrift]] midpoint-epoch convention.
+    *
+    * Determinism: the four cells' n/Σc/Σc² are exact BIGINT/DECIMAL
+    * cents; each mean and sample variance is one fixed-order double
+    * chain; 6dp rounds. An empty or single-row cell → NULL SE/z.
+    *
+    * Shape: one grouped pass over the corpus (4 cells). */
+  def didParityArms(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cents = (Num.dec2(col("value")) * lit(100)).cast("long")
+    val cells = events.crossJoin(broadcast(bounds))
+      .select((col("user_id") % lit(2L)).as("arm"),
+        when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"), 1L)
+          .otherwise(2L).as("half"),
+        cents.as("c"))
+      .groupBy("arm", "half")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(dec(col("c")) * col("c")).as("q"))
+    def cell(arm: Int, half: Int, suffix: String) =
+      cells.filter(col("arm") === arm.toLong && col("half") === half.toLong)
+        .select(col("n").as(s"n_$suffix"), col("s").as(s"s_$suffix"),
+          col("q").as(s"q_$suffix"))
+    val j = cell(0, 1, "a1").crossJoin(cell(0, 2, "a2"))
+      .crossJoin(cell(1, 1, "b1")).crossJoin(cell(1, 2, "b2"))
+    def mean(s: String) = col(s"s_$s").cast("double") / lit(100.0) /
+      col(s"n_$s").cast("double")
+    def vr(s: String) = (col(s"q_$s").cast("double") -
+      col(s"s_$s").cast("double") * col(s"s_$s").cast("double") /
+        col(s"n_$s").cast("double")) /
+      (col(s"n_$s") - lit(1L)).cast("double") / lit(10000.0)
+    val did = (mean("a2") - mean("a1")) - (mean("b2") - mean("b1"))
+    val varSum = vr("a1") / col("n_a1").cast("double") +
+      vr("a2") / col("n_a2").cast("double") +
+      vr("b1") / col("n_b1").cast("double") +
+      vr("b2") / col("n_b2").cast("double")
+    val ok = col("n_a1") > 1L && col("n_a2") > 1L &&
+      col("n_b1") > 1L && col("n_b2") > 1L
+    j.select(col("n_a1"), col("n_a2"), col("n_b1"), col("n_b2"),
+      round(mean("a2") - mean("a1"), 6).as("delta_a"),
+      round(mean("b2") - mean("b1"), 6).as("delta_b"),
+      round(did, 6).as("did"),
+      when(ok && varSum > lit(0.0), round(sqrt(varSum), 6)).as("se"),
+      when(ok && varSum > lit(0.0), round(did / sqrt(varSum), 6))
+        .as("z_score"))
+  }
+
+  /** Atkinson inequality index (ε = 0.5) of per-user activity — the
+    * welfare-grounded companion to [[userActivityGini]]: A = 1 −
+    * EDE/μ where EDE = ((1/n)Σ√xᵢ)², the "equally distributed
+    * equivalent" activity; unlike Gini it decomposes and has an
+    * explicit inequality-aversion dial. Computed on the distinct
+    * activity-count grid (multiplicity-weighted), so the √ sum is
+    * over the grid's few hundred rows, not the user population.
+    *
+    * Shape: per-user collapse → count-grid collapse → 1 row. */
+  def atkinsonActivity(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("x"))
+    val grid = perUser.groupBy("x").agg(count(lit(1)).as("m"))
+    val s = grid.agg(sum("m").as("n"), sum(col("m") * col("x")).as("tot"),
+      sum(col("m").cast("double") * sqrt(col("x").cast("double")))
+        .as("sqsum"))
+    val mu = col("tot").cast("double") / col("n").cast("double")
+    val ede = (col("sqsum") / col("n").cast("double")) *
+      (col("sqsum") / col("n").cast("double"))
+    s.select(col("n").as("n_users"), round(mu, 6).as("mean_activity"),
+      round(ede, 6).as("ede"),
+      when(mu > lit(0.0), round(lit(1.0) - ede / mu, 6))
+        .as("atkinson_05"))
+  }
 }

@@ -1008,4 +1008,139 @@ class StatsFixturesR17Spec extends SparkSpec {
     assert(!got.contains(("a", "d")) && !got.contains(("c", "d")),
       got.keySet.toString)
   }
+
+  // ---- batch 10: FWER / ordinal / competing-risk / stylometry ----
+
+  test("holm step-down on the real slice: p_holm >= p_raw, " +
+      "monotone in rank, rank-1 equals the full Bonferroni factor") {
+    val got = EventOps.holmMwTypePairs(Tables.events(spark, sf0))
+      .collect()
+      .sortBy(_.getAs[Long]("rk"))
+    val m = got.length
+    assert(m == 10, s"expected 10 pairs, got $m")
+    got.foreach { r =>
+      assert(r.getAs[Double]("p_holm") >= r.getAs[Double]("p_raw") - 1e-9)
+      assert(r.getAs[Double]("p_holm") <= 1.0)
+    }
+    assert(got.sliding(2).forall(w =>
+      w(0).getAs[Double]("p_holm") <= w(1).getAs[Double]("p_holm") + 1e-9))
+    val r1 = got.head
+    assert(r1.getAs[Double]("p_holm") ==
+      math.min(math.rint(r1.getAs[Double]("p_raw") * m * 1e6) / 1e6, 1.0))
+  }
+
+  test("somers' D hand case: conv scores {3,3} vs nonconv {1,2,3} " +
+      "-> C=4 D=0 T=2, D=0.666667, AUC=0.833333") {
+    def evs(u: Long, n: Int, conv: Boolean) =
+      (1 to n - (if (conv) 1 else 0)).map(i =>
+        (f"2024-01-01 0$i:00:00", u, "view", 1.0)) ++
+        (if (conv) Seq(("2024-01-01 09:00:00", u, "purchase", 95.0))
+        else Nil)
+    val ev = eventsFrom(
+      evs(1L, 3, conv = true) ++ evs(2L, 3, conv = true) ++
+        evs(3L, 1, conv = false) ++ evs(4L, 2, conv = false) ++
+        evs(5L, 3, conv = false))
+    val got = EventOps.somersDConv(ev).collect().head
+    assert(got.getAs[Long]("n_conv") == 2L)
+    assert(got.getAs[Long]("n_nonconv") == 3L)
+    assert(got.getAs[Long]("concordant") == 4L)
+    assert(got.getAs[Long]("discordant") == 0L)
+    assert(got.getAs[Long]("tied") == 2L)
+    assert(got.getAs[Double]("somers_d") == 0.666667)
+    assert(got.getAs[Double]("auc") == 0.833333)
+  }
+
+  test("aalen-johansen hand case: converted exit at t=1 of 3 at " +
+      "risk, abandoned at t=2 of 2 -> CIFs 1/3 each at h=7") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "purchase", 5.0),
+      ("2024-01-01 00:00:00", 2L, "view", 1.0),
+      ("2024-01-02 00:00:00", 2L, "view", 1.0)) ++
+      (1 to 5).map(d => (f"2024-01-0$d 12:00:00", 3L, "view", 1.0)))
+    val got = EventOps.aalenJohansenCif(ev).collect()
+      .map(r => (r.getAs[Int]("horizon"), r.getAs[String]("cause")) ->
+        (r.getAs[Long]("n_exits"), r.getAs[Double]("cif"))).toMap
+    assert(got((1, "converted_exit")) == ((1L, 0.333333)))
+    assert(got((1, "abandoned_exit")) == ((0L, 0.0)))
+    assert(got((7, "converted_exit")) == ((1L, 0.333333)))
+    assert(got((7, "abandoned_exit")) == ((1L, 0.333333)))
+  }
+
+  test("aalen-johansen identity on the real slice: CIF1 + CIF2 = " +
+      "1 - S_allcause at every horizon") {
+    val ev = Tables.events(spark, sf0)
+    val cif = EventOps.aalenJohansenCif(ev).collect()
+      .groupBy(_.getAs[Int]("horizon"))
+      .map { case (h, rs) => h -> rs.map(_.getAs[Double]("cif")).sum }
+    val km = EventOps.kmSurvivalHorizons(ev).collect()
+      .map(r => r.getAs[Int]("horizon") -> r.getAs[Double]("survival"))
+      .toMap
+    cif.foreach { case (h, c) =>
+      assert(math.abs(c - (1.0 - km(h))) < 1e-4,
+        s"h=$h cifsum=$c 1-S=${1.0 - km(h)}")
+    }
+  }
+
+  test("mcf hand case: purchases at tenures {1,1,3}, shrinking risk " +
+      "set -> MCF(1)=1.0, MCF(7)=2.0") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "purchase", 5.0),
+      ("2024-01-03 00:00:00", 1L, "purchase", 5.0),
+      ("2024-01-02 00:00:00", 2L, "purchase", 5.0)))
+    val got = EventOps.mcfRecurrentPurchases(ev).collect()
+      .map(r => r.getAs[Int]("horizon") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Double]("mcf"))).toMap
+    assert(got(1) == ((2L, 1.0)), got.toString)
+    assert(got(7) == ((3L, 2.0)), got.toString)
+  }
+
+  test("diff-in-diff hand case: cell means 2/7 vs 3/6 -> DiD 2, " +
+      "pooled SE sqrt(10), z = 2/sqrt(10)") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 2L, "view", 1.0),
+      ("2024-01-02 00:00:00", 4L, "view", 3.0),
+      ("2024-01-09 00:00:00", 2L, "view", 5.0),
+      ("2024-01-10 00:00:00", 4L, "view", 9.0),
+      ("2024-01-01 00:00:00", 1L, "view", 2.0),
+      ("2024-01-02 00:00:00", 3L, "view", 4.0),
+      ("2024-01-09 00:00:00", 1L, "view", 4.0),
+      ("2024-01-10 00:00:00", 3L, "view", 8.0)))
+    val got = EventOps.didParityArms(ev).collect().head
+    assert(got.getAs[Long]("n_a1") == 2L)
+    assert(got.getAs[Double]("delta_a") == 5.0)
+    assert(got.getAs[Double]("delta_b") == 3.0)
+    assert(got.getAs[Double]("did") == 2.0)
+    assert(got.getAs[Double]("se") ==
+      math.rint(math.sqrt(10.0) * 1e6) / 1e6)
+    assert(got.getAs[Double]("z_score") ==
+      math.rint(2.0 / math.sqrt(10.0) * 1e6) / 1e6)
+  }
+
+  test("atkinson hand case: activities {1,4} -> mu 2.5, " +
+      "EDE (3/2)^2 = 2.25, A = 0.1") {
+    val ev = eventsFrom(
+      Seq(("2024-01-01 01:00:00", 1L, "view", 1.0)) ++
+        (1 to 4).map(i => (f"2024-01-01 0${i + 1}:00:00", 2L, "view", 1.0)))
+    val got = EventOps.atkinsonActivity(ev).collect().head
+    assert(got.getAs[Long]("n_users") == 2L)
+    assert(got.getAs[Double]("mean_activity") == 2.5)
+    assert(got.getAs[Double]("ede") == 2.25)
+    assert(got.getAs[Double]("atkinson_05") == 0.1)
+  }
+
+  test("burrows delta hand case: freq profiles (2/3,1/3), " +
+      "(1/3,2/3), (1/2,1/2) -> z = +-1/0, deltas 2/1/1") {
+    val docs = Seq(
+      (1L, "x x y", "en", "a", 5L),
+      (2L, "x y y", "en", "b", 5L),
+      (3L, "x y", "en", "c", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.ops.DocOps.burrowsDeltaPairs(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        (r.getAs[Long]("n_terms"), r.getAs[Double]("burrows_delta")))
+      .toMap
+    assert(got(("a", "b")) == ((2L, 2.0)), got.toString)
+    assert(got(("a", "c")) == ((2L, 1.0)), got.toString)
+    assert(got(("b", "c")) == ((2L, 1.0)), got.toString)
+  }
 }
