@@ -1208,6 +1208,18 @@ object SparkEntry {
       ((s, d) => EventOps.atkinsonActivity(events(s, d))),
     "burrows_delta_pairs" ->
       ((s, d) => DocOps.burrowsDeltaPairs(documents(s, d))),
+    // ---- round-17 batch 11: epi/stratified/balance readouts ----
+    "capture_recapture_users" ->
+      ((s, d) => EventOps.captureRecaptureUsers(events(s, d))),
+    "mantel_haenszel_ab" ->
+      ((s, d) => EventOps.mantelHaenszelAb(events(s, d))),
+    "g_test_type_dow" -> ((s, d) => EventOps.gTestTypeDow(events(s, d))),
+    "smd_balance_arms" ->
+      ((s, d) => EventOps.smdBalanceArms(events(s, d))),
+    "fleming_harrington_ab" ->
+      ((s, d) => EventOps.flemingHarringtonAb(events(s, d))),
+    "paf_activity_conversion" ->
+      ((s, d) => EventOps.pafActivityConversion(events(s, d))),
   )
 
   /** Shared DuckDB CTE block for the word-3-gram shingle pipeline
@@ -11835,6 +11847,220 @@ object SparkEntry {
         "SELECT src_a, src_b, n_terms, " +
         "round(dsum / CAST(n_terms AS DOUBLE), 6) AS burrows_delta " +
         "FROM pr ORDER BY 1, 2"),
+    // Mirrors EventOps.captureRecaptureUsers: mmd midpoint halves,
+    // exact mark/recapture BIGINTs, LP + Chapman chains.
+    "capture_recapture_users" ->
+      ("WITH b AS (SELECT min(epoch_us(ts)) AS lo, " +
+        "max(epoch_us(ts)) AS hi FROM events), " +
+        "per AS (SELECT user_id, " +
+        "CAST(max(CASE WHEN epoch_us(ts) <= CAST((lo + hi) // 2 " +
+        "AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS in1, " +
+        "CAST(max(CASE WHEN epoch_us(ts) > CAST((lo + hi) // 2 " +
+        "AS BIGINT) THEN 1 ELSE 0 END) AS BIGINT) AS in2 " +
+        "FROM events CROSS JOIN b GROUP BY 1), " +
+        "s AS (SELECT CAST(sum(in1) AS BIGINT) AS n1, " +
+        "CAST(sum(in2) AS BIGINT) AS n2, " +
+        "CAST(sum(in1 * in2) AS BIGINT) AS m, " +
+        "CAST(count(*) AS BIGINT) AS n_seen FROM per) " +
+        "SELECT n1 AS n_first_half, n2 AS n_second_half, " +
+        "m AS n_recaptured, n_seen AS n_seen_total, " +
+        "CASE WHEN m > 0 THEN round(CAST(n1 AS DOUBLE) * " +
+        "CAST(n2 AS DOUBLE) / CAST(m AS DOUBLE), 6) END " +
+        "AS lp_estimate, " +
+        "round((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0) " +
+        "/ (CAST(m AS DOUBLE) + 1.0) - 1.0, 6) AS chapman_estimate, " +
+        "round(sqrt((CAST(n1 AS DOUBLE) + 1.0) * " +
+        "(CAST(n2 AS DOUBLE) + 1.0) * (CAST(n1 AS DOUBLE) - " +
+        "CAST(m AS DOUBLE)) * (CAST(n2 AS DOUBLE) - " +
+        "CAST(m AS DOUBLE)) / ((CAST(m AS DOUBLE) + 1.0) * " +
+        "(CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 2.0))), 6) " +
+        "AS chapman_se FROM s"),
+    // Mirrors EventOps.mantelHaenszelAb: first-event isodow strata,
+    // exact 2x2 cells, per-stratum fixed-order term ratios, the
+    // <=7-term small-cardinality sums.
+    "mantel_haenszel_ab" ->
+      ("WITH per AS (SELECT user_id, CAST(min(ts) AS DATE) AS f, " +
+        "CAST(max(CASE WHEN event_type = 'purchase' AND value >= 90.0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM events GROUP BY 1), " +
+        "pu AS (SELECT (date_diff('day', DATE '1970-01-01', f) + 3) " +
+        "% 7 + 1 AS stratum, " +
+        "CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS treated, conv FROM per), " +
+        "cells AS (SELECT stratum, " +
+        "CAST(sum(treated * conv) AS BIGINT) AS a, " +
+        "CAST(sum(treated * (1 - conv)) AS BIGINT) AS b, " +
+        "CAST(sum((1 - treated) * conv) AS BIGINT) AS c, " +
+        "CAST(sum((1 - treated) * (1 - conv)) AS BIGINT) AS d " +
+        "FROM pu GROUP BY 1), " +
+        "c2 AS (SELECT *, a + b + c + d AS n FROM cells), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n_strata, " +
+        "CAST(sum(a) AS BIGINT) AS a_tot, " +
+        "sum(CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE)) AS mh_num, " +
+        "sum(CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE)) AS mh_den, " +
+        "sum(CAST((a + b) * (a + c) AS DOUBLE) / CAST(n AS DOUBLE)) " +
+        "AS e_tot, " +
+        "sum(CASE WHEN n > 1 THEN CAST((a + b) * (c + d) AS DOUBLE) * " +
+        "CAST((a + c) * (b + d) AS DOUBLE) / (CAST(n AS DOUBLE) * " +
+        "CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) ELSE 0.0 END) " +
+        "AS v_tot FROM c2) " +
+        "SELECT n_strata, a_tot AS conv_treated, " +
+        "CASE WHEN mh_den > 0.0 THEN round(mh_num / mh_den, 6) END " +
+        "AS or_mh, " +
+        "CASE WHEN mh_den > 0.0 AND mh_num > 0.0 THEN " +
+        "round(ln(mh_num / mh_den), 6) END AS ln_or_mh, " +
+        "CASE WHEN v_tot > 0.0 THEN round((CAST(a_tot AS DOUBLE) - " +
+        "e_tot) * (CAST(a_tot AS DOUBLE) - e_tot) / v_tot, 6) END " +
+        "AS cmh_chi2, " +
+        "CASE WHEN v_tot > 0.0 THEN (CAST(a_tot AS DOUBLE) - e_tot) * " +
+        "(CAST(a_tot AS DOUBLE) - e_tot) / v_tot > 3.841459 " +
+        "ELSE false END AS significant FROM s"),
+    // Mirrors EventOps.gTestTypeDow: the chi_square_type_dow cell
+    // chain with the likelihood-ratio term O*ln(O*N/(R*C)).
+    "g_test_type_dow" ->
+      ("WITH cells AS (SELECT event_type, " +
+        "dayofweek(CAST(ts AS DATE)) AS dow, " +
+        "CAST(count(*) AS BIGINT) AS nxy FROM events GROUP BY 1, 2), " +
+        "tx AS (SELECT event_type, CAST(sum(nxy) AS BIGINT) AS nx " +
+        "FROM cells GROUP BY 1), " +
+        "td AS (SELECT dow, CAST(sum(nxy) AS BIGINT) AS ny " +
+        "FROM cells GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells), " +
+        "s AS (SELECT CAST(count(DISTINCT c.event_type) AS BIGINT) " +
+        "AS n_types, CAST(count(DISTINCT c.dow) AS BIGINT) AS n_dows, " +
+        "CAST(max(n) AS BIGINT) AS n_total, " +
+        "sum(CAST(nxy AS DOUBLE) * ln(CAST(nxy * n AS DOUBLE) / " +
+        "CAST(nx * ny AS DOUBLE))) AS g_half " +
+        "FROM cells c JOIN tx USING (event_type) JOIN td USING (dow) " +
+        "CROSS JOIN tot) " +
+        "SELECT n_types, n_dows, n_total, " +
+        "CAST((n_types - 1) * (n_dows - 1) AS BIGINT) AS dof, " +
+        "round(2.0 * g_half, 4) AS g_stat FROM s"),
+    // Mirrors EventOps.smdBalanceArms: one per-user collapse, exact
+    // per-arm moment lanes for the three covariates, fixed-order
+    // mean/variance/SMD chains.
+    "smd_balance_arms" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x1, " +
+        "CAST(coalesce(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 " +
+        "AS BIGINT)), 0) AS BIGINT) AS x2, " +
+        "CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS x3, " +
+        "CAST(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) " +
+        "AS arm FROM events GROUP BY 1), " +
+        "g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(x1) AS BIGINT) AS s1, " +
+        "CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS q1, " +
+        "CAST(sum(x2) AS BIGINT) AS s2, " +
+        "CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS q2, " +
+        "CAST(sum(x3) AS BIGINT) AS s3, " +
+        "CAST(sum(CAST(x3 AS HUGEINT) * x3) AS HUGEINT) AS q3 " +
+        "FROM per GROUP BY 1), " +
+        "j AS (SELECT a.n AS n_a, a.s1 AS s1_a, a.q1 AS q1_a, " +
+        "a.s2 AS s2_a, a.q2 AS q2_a, a.s3 AS s3_a, a.q3 AS q3_a, " +
+        "b.n AS n_b, b.s1 AS s1_b, b.q1 AS q1_b, b.s2 AS s2_b, " +
+        "b.q2 AS q2_b, b.s3 AS s3_b, b.q3 AS q3_b " +
+        "FROM (SELECT * FROM g WHERE arm = 1) a CROSS JOIN " +
+        "(SELECT * FROM g WHERE arm = 0) b) " +
+        "SELECT * FROM (" +
+        Seq(("activity", "1", "1.0"), ("total_value", "2", "100.0"),
+          ("active_days", "3", "1.0")).map { case (nm, i, sc) =>
+          val mA = s"CAST(s${i}_a AS DOUBLE) / $sc / CAST(n_a AS DOUBLE)"
+          val mB = s"CAST(s${i}_b AS DOUBLE) / $sc / CAST(n_b AS DOUBLE)"
+          def vr(sfx: String) =
+            s"(CAST(q${i}_$sfx AS DOUBLE) - CAST(s${i}_$sfx AS DOUBLE) " +
+              s"* CAST(s${i}_$sfx AS DOUBLE) / CAST(n_$sfx AS DOUBLE))" +
+              s" / CAST(n_$sfx - 1 AS DOUBLE) / ($sc * $sc)"
+          val pooled = s"((${vr("a")} + ${vr("b")}) / 2.0)"
+          s"SELECT '$nm' AS covariate, n_a AS n_even, n_b AS n_odd, " +
+            s"round($mA, 6) AS mean_even, round($mB, 6) AS mean_odd, " +
+            s"CASE WHEN n_a > 1 AND n_b > 1 AND $pooled > 0.0 THEN " +
+            s"round(($mA - $mB) / sqrt($pooled), 6) END AS smd FROM j"
+        }.mkString(" UNION ALL ") +
+        ") ORDER BY covariate"),
+    // Mirrors EventOps.flemingHarringtonAb: logrank risk table, the
+    // aalen-johansen S(t-) exclusive prefix, 1e-6 micro-pinned
+    // weighted O-E and weight^2 V terms.
+    "fleming_harrington_ab" ->
+      ("WITH u AS (SELECT user_id, CAST(min(ts) AS DATE) AS f, " +
+        "CAST(max(ts) AS DATE) AS l FROM events GROUP BY 1), " +
+        "mx AS (SELECT CAST(max(ts) AS DATE) AS max_day FROM events), " +
+        "dur AS (SELECT CAST(datediff('day', f, l) + 1 AS BIGINT) AS t, " +
+        "CASE WHEN l < max_day THEN 1 ELSE 0 END AS observed, " +
+        "user_id % 2 AS arm FROM u CROSS JOIN mx), " +
+        "byt AS (SELECT t, CAST(count(*) AS BIGINT) AS ending, " +
+        "CAST(sum(observed) AS BIGINT) AS d, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS ending1, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN observed ELSE 0 END) " +
+        "AS BIGINT) AS d1 FROM dur GROUP BY 1), " +
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_users1 FROM dur), " +
+        "ar AS (SELECT *, n_users - CAST(sum(ending) OVER (" +
+        "ORDER BY t ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending " +
+        "AS n, n_users1 - CAST(sum(ending1) OVER (ORDER BY t ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) + ending1 AS n1 " +
+        "FROM byt CROSS JOIN tot), " +
+        "ws AS (SELECT *, coalesce(CAST(sum(CASE WHEN d > 0 AND n > d " +
+        "THEN CAST(round(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE))" +
+        ", 10) AS DECIMAL(38,10)) END) OVER (ORDER BY t ASC ROWS " +
+        "BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) " +
+        "AS DECIMAL(38,10)), CAST(0 AS DECIMAL(38,10))) AS lns_prev " +
+        "FROM ar), " +
+        "ws2 AS (SELECT *, exp(CAST(lns_prev AS DOUBLE)) AS s_prev " +
+        "FROM ws WHERE d > 0), " +
+        "terms AS (SELECT CAST(round(s_prev * (CAST(d1 AS DOUBLE) - " +
+        "CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)))" +
+        " * 1000000.0, 0) AS BIGINT) AS om, " +
+        "CAST(round(CASE WHEN n > 1 THEN s_prev * s_prev * " +
+        "(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))" +
+        " * (1.0 - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) * " +
+        "(CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE))) ELSE 0.0 " +
+        "END * 1000000.0, 0) AS BIGINT) AS vm FROM ws2), " +
+        "s AS (SELECT CAST(sum(om) AS BIGINT) AS oem, " +
+        "CAST(sum(vm) AS BIGINT) AS vvm FROM terms) " +
+        "SELECT n_users - n_users1 AS n_users_a, " +
+        "n_users1 AS n_users_b, " +
+        "round(CAST(oem AS DOUBLE) / 1000000.0, 6) AS weighted_oe, " +
+        "CASE WHEN vvm > 0 THEN round((CAST(oem AS DOUBLE) / " +
+        "1000000.0) / sqrt(CAST(vvm AS DOUBLE) / 1000000.0), 6) END " +
+        "AS fh_z FROM s CROSS JOIN tot"),
+    // Mirrors EventOps.pafActivityConversion: count-grid lower
+    // median, exact exposure/conversion cells, fixed-order
+    // RR/PAF ratios.
+    "paf_activity_conversion" ->
+      ("WITH per AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x, " +
+        "CAST(max(CASE WHEN event_type = 'purchase' AND value >= 90.0 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM events GROUP BY 1), " +
+        "grid AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM per " +
+        "GROUP BY 1), " +
+        "tot AS (SELECT CAST(sum(m) AS BIGINT) AS nt FROM grid), " +
+        "med AS (SELECT CAST(min(x) AS BIGINT) AS med FROM (" +
+        "SELECT x, CAST(sum(m) OVER (ORDER BY x ASC " +
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM grid) " +
+        "CROSS JOIN tot WHERE cum * 2 >= nt), " +
+        "s AS (SELECT CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(CASE WHEN x > med THEN 1 ELSE 0 END) AS BIGINT) " +
+        "AS n_exp, CAST(sum(conv) AS BIGINT) AS c_all, " +
+        "CAST(sum(CASE WHEN x > med THEN conv ELSE 0 END) AS BIGINT) " +
+        "AS c_exp FROM per CROSS JOIN med) " +
+        "SELECT n AS n_users, n_exp AS n_exposed, " +
+        "c_all AS n_conversions, " +
+        "round(CAST(c_all AS DOUBLE) / CAST(n AS DOUBLE), 6) " +
+        "AS p_conv, " +
+        "CASE WHEN n_exp > 0 THEN round(CAST(c_exp AS DOUBLE) / " +
+        "CAST(n_exp AS DOUBLE), 6) END AS p_conv_exposed, " +
+        "CASE WHEN n - n_exp > 0 THEN round(CAST(c_all - c_exp " +
+        "AS DOUBLE) / CAST(n - n_exp AS DOUBLE), 6) END " +
+        "AS p_conv_unexposed, " +
+        "CASE WHEN n_exp > 0 AND n - n_exp > 0 AND CAST(c_all - c_exp " +
+        "AS DOUBLE) / CAST(n - n_exp AS DOUBLE) > 0.0 THEN round(" +
+        "CAST(c_exp AS DOUBLE) / CAST(n_exp AS DOUBLE) / " +
+        "(CAST(c_all - c_exp AS DOUBLE) / CAST(n - n_exp AS DOUBLE))" +
+        ", 6) END AS relative_risk, " +
+        "CASE WHEN n - n_exp > 0 AND CAST(c_all AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) > 0.0 THEN round((CAST(c_all AS DOUBLE) / " +
+        "CAST(n AS DOUBLE) - CAST(c_all - c_exp AS DOUBLE) / " +
+        "CAST(n - n_exp AS DOUBLE)) / (CAST(c_all AS DOUBLE) / " +
+        "CAST(n AS DOUBLE)), 6) END AS paf FROM s"),
   )
 
   /** DuckDB CTE chain mirroring [[graft.ops.DocOps.winnowedFingerprints]]

@@ -9213,4 +9213,305 @@ object EventOps {
       when(mu > lit(0.0), round(lit(1.0) - ede / mu, 6))
         .as("atkinson_05"))
   }
+
+  /** Lincoln–Petersen / Chapman capture–recapture estimate of the
+    * true user population from the two time halves — "how many users
+    * exist, including the ones we never saw?": the first half marks
+    * n₁ users, the second captures n₂ of which m are recaptures, and
+    * under equal catchability N̂ = n₁n₂/m (Chapman's
+    * (n₁+1)(n₂+1)/(m+1) − 1 corrects the small-m bias and has a
+    * closed-form SE). The ecology estimator that doubles as a
+    * completeness audit for any two overlapping crawls or logs.
+    * Split = the [[valueMmdDrift]] midpoint-epoch convention; zero
+    * recaptures → NULL LP (Chapman stays defined).
+    *
+    * Determinism: three exact BIGINT distinct counts; each estimate
+    * is one fixed-order double chain, 6dp.
+    *
+    * Shape: one grouped pass (per-user min/max epoch), a 1-row agg. */
+  def captureRecaptureUsers(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi"))
+    val perUser = events.crossJoin(broadcast(bounds))
+      .groupBy("user_id")
+      .agg(max(when(unix_micros(col("ts")) <= expr("(lo + hi) div 2"),
+        1L).otherwise(0L)).as("in1"),
+        max(when(unix_micros(col("ts")) > expr("(lo + hi) div 2"),
+          1L).otherwise(0L)).as("in2"))
+    val s = perUser.agg(sum("in1").as("n1"), sum("in2").as("n2"),
+      sum(col("in1") * col("in2")).as("m"),
+      count(lit(1)).as("n_seen"))
+    val n1 = col("n1").cast("double")
+    val n2 = col("n2").cast("double")
+    val mD = col("m").cast("double")
+    val chapman = (n1 + lit(1.0)) * (n2 + lit(1.0)) /
+      (mD + lit(1.0)) - lit(1.0)
+    val seCh = sqrt((n1 + lit(1.0)) * (n2 + lit(1.0)) *
+      (n1 - mD) * (n2 - mD) /
+      ((mD + lit(1.0)) * (mD + lit(1.0)) * (mD + lit(2.0))))
+    s.select(col("n1").as("n_first_half"), col("n2").as("n_second_half"),
+      col("m").as("n_recaptured"), col("n_seen").as("n_seen_total"),
+      when(col("m") > 0L, round(n1 * n2 / mD, 6)).as("lp_estimate"),
+      round(chapman, 6).as("chapman_estimate"),
+      round(seCh, 6).as("chapman_se"))
+  }
+
+  /** Mantel–Haenszel pooled odds ratio of the parity-arm conversion
+    * across first-event-weekday strata, with the CMH chi² — the
+    * stratified readout that answers "is the arm effect real AFTER
+    * controlling for when users joined?" (a join-day imbalance
+    * between arms confounds the crude OR; MH pools the within-
+    * stratum 2×2s instead): OR_MH = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ),
+    * CMH = (Σaᵢ − ΣEᵢ)²/ΣVᵢ. Degenerate strata contribute exactly
+    * their zero terms; an all-zero denominator → NULL OR.
+    *
+    * Determinism: every 2×2 cell is an exact BIGINT; each stratum
+    * term is one fixed-order ratio of integer products; the ≤7-term
+    * sums follow the [[userTypeEntropy]] small-cardinality contract.
+    *
+    * Shape: one per-user collapse, a 7-stratum frame, a 1-row agg. */
+  def mantelHaenszelAb(events: DataFrame,
+      threshold: Double = 90.0): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(
+      min(to_date(col("ts"))).as("f"),
+      max(when(col("event_type") === "purchase" &&
+        col("value") >= threshold, 1L).otherwise(0L)).as("conv"))
+      .select(((datediff(col("f"), lit("1970-01-01").cast("date"))
+        .cast("long") + lit(3L)) % lit(7L) + lit(1L)).as("stratum"),
+        (col("user_id") % lit(2L) === lit(0L)).cast("long").as("treated"),
+        col("conv"))
+    val cells = perUser.groupBy("stratum").agg(
+      sum(col("treated") * col("conv")).as("a"),
+      sum(col("treated") * (lit(1L) - col("conv"))).as("b"),
+      sum((lit(1L) - col("treated")) * col("conv")).as("c"),
+      sum((lit(1L) - col("treated")) * (lit(1L) - col("conv"))).as("d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+    val nD = col("n").cast("double")
+    val num = (col("a") * col("d")).cast("double") / nD
+    val den = (col("b") * col("c")).cast("double") / nD
+    val e = ((col("a") + col("b")) * (col("a") + col("c")))
+      .cast("double") / nD
+    val v = when(col("n") > 1L,
+      ((col("a") + col("b")) * (col("c") + col("d"))).cast("double") *
+        ((col("a") + col("c")) * (col("b") + col("d"))).cast("double") /
+        (nD * nD * (col("n") - lit(1L)).cast("double")))
+      .otherwise(lit(0.0))
+    val s = cells.agg(count(lit(1)).as("n_strata"),
+      sum("a").as("a_tot"), sum(num).as("mh_num"), sum(den).as("mh_den"),
+      sum(e).as("e_tot"), sum(v).as("v_tot"))
+    val orMh = col("mh_num") / col("mh_den")
+    val cmh = (col("a_tot").cast("double") - col("e_tot")) *
+      (col("a_tot").cast("double") - col("e_tot")) / col("v_tot")
+    s.select(col("n_strata"), col("a_tot").as("conv_treated"),
+      when(col("mh_den") > lit(0.0), round(orMh, 6)).as("or_mh"),
+      when(col("mh_den") > lit(0.0) && col("mh_num") > lit(0.0),
+        round(log(orMh), 6)).as("ln_or_mh"),
+      when(col("v_tot") > lit(0.0), round(cmh, 6)).as("cmh_chi2"),
+      when(col("v_tot") > lit(0.0), cmh > lit(3.841459))
+        .otherwise(lit(false)).as("significant"))
+  }
+
+  /** Likelihood-ratio G-test of type×weekday independence — the
+    * information-theoretic twin of [[chiSquareTypeDow]] (G = 2·N·MI
+    * in nats; additive across nested partitions where Pearson's χ²
+    * is not, and the better-calibrated statistic when expected
+    * counts are small): G = 2·Σ O·ln(O·N/(R·C)) over the observed
+    * cells (empty cells contribute exactly 0). Same df and critical
+    * region as the Pearson form.
+    *
+    * Determinism: each log argument is ONE ratio of exact BIGINT
+    * products; the ≤|types|·7-term sum is 4dp-rounded once (the
+    * [[chiSquareTypeDow]] convention).
+    *
+    * Shape: one grouped pass to the 35-cell frame. */
+  def gTestTypeDow(events: DataFrame): DataFrame = {
+    val cells = events
+      .groupBy(col("event_type"), dayofweek(to_date(col("ts"))).as("dow"))
+      .agg(count(lit(1)).as("nxy"))
+    val byType = cells.groupBy("event_type").agg(sum("nxy").as("nx"))
+    val byDow = cells.groupBy("dow").agg(sum("nxy").as("ny"))
+    val total = cells.agg(sum("nxy").as("n"))
+    val term = col("nxy").cast("double") *
+      log((col("nxy") * col("n")).cast("double") /
+        (col("nx") * col("ny")).cast("double"))
+    val s = cells.join(broadcast(byType), "event_type")
+      .join(broadcast(byDow), "dow")
+      .crossJoin(broadcast(total))
+      .agg(countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"),
+        max(col("n")).as("n_total"),
+        sum(term).as("g_half"))
+    s.select(col("n_types"), col("n_dows"), col("n_total"),
+      ((col("n_types") - lit(1L)) * (col("n_dows") - lit(1L))).as("dof"),
+      round(lit(2.0) * col("g_half"), 4).as("g_stat"))
+  }
+
+  /** Standardized-mean-difference balance table of the parity arms —
+    * the covariate-balance diagnostic every observational comparison
+    * prints before trusting an effect estimate (|SMD| < 0.1 is the
+    * conventional "balanced" bar; the parity split should pass it on
+    * every covariate, making this the experiment-infra A/A audit):
+    * for activity count, total spend, and active days,
+    * SMD = (x̄_A − x̄_B)/√((s²_A + s²_B)/2).
+    *
+    * Determinism: per-covariate per-arm n/Σx/Σx² are exact
+    * BIGINT/DECIMAL lanes; each mean/variance/SMD is one fixed-order
+    * double chain, 6dp. Degenerate pooled spread → NULL SMD.
+    *
+    * Shape: one per-user collapse, a 3-covariate constant-size
+    * output. */
+  def smdBalanceArms(events: DataFrame): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val perUser = events.groupBy("user_id").agg(
+      count(lit(1)).as("x1"),
+      coalesce(sum((Num.dec2(col("value")) * lit(100)).cast("long")),
+        lit(0L)).as("x2"),
+      countDistinct(to_date(col("ts"))).as("x3"))
+      .withColumn("arm", (col("user_id") % lit(2L) === lit(0L))
+        .cast("long"))
+    val g = perUser.groupBy("arm").agg(count(lit(1)).as("n"),
+      sum(col("x1")).as("s1"), sum(dec(col("x1")) * col("x1")).as("q1"),
+      sum(col("x2")).as("s2"), sum(dec(col("x2")) * col("x2")).as("q2"),
+      sum(col("x3")).as("s3"), sum(dec(col("x3")) * col("x3")).as("q3"))
+    def side(arm: Int, sfx: String) =
+      g.filter(col("arm") === arm.toLong)
+        .select(col("n").as(s"n_$sfx") +: (1 to 3).flatMap(i =>
+          Seq(col(s"s$i").as(s"s${i}_$sfx"),
+            col(s"q$i").as(s"q${i}_$sfx"))): _*)
+    val j = side(1, "a").crossJoin(side(0, "b"))
+    def cov(name: String, i: Int, scale: Double) = {
+      def mean(sfx: String) = col(s"s${i}_$sfx").cast("double") /
+        lit(scale) / col(s"n_$sfx").cast("double")
+      def vr(sfx: String) = (col(s"q${i}_$sfx").cast("double") -
+        col(s"s${i}_$sfx").cast("double") *
+          col(s"s${i}_$sfx").cast("double") /
+          col(s"n_$sfx").cast("double")) /
+        (col(s"n_$sfx") - lit(1L)).cast("double") / lit(scale * scale)
+      val pooled = (vr("a") + vr("b")) / lit(2.0)
+      j.select(lit(name).as("covariate"),
+        col("n_a").as("n_even"), col("n_b").as("n_odd"),
+        round(mean("a"), 6).as("mean_even"),
+        round(mean("b"), 6).as("mean_odd"),
+        when(col("n_a") > 1L && col("n_b") > 1L && pooled > lit(0.0),
+          round((mean("a") - mean("b")) / sqrt(pooled), 6)).as("smd"))
+    }
+    cov("activity", 1, 1.0)
+      .unionByName(cov("total_value", 2, 100.0))
+      .unionByName(cov("active_days", 3, 1.0))
+      .orderBy("covariate")
+  }
+
+  /** Fleming–Harrington (ρ = 1, Peto–Peto) weighted log-rank on the
+    * parity arms — [[logrankTestAb]] reweighted by the pooled
+    * survival Ŝ(t−), so EARLY churn differences dominate (the plain
+    * log-rank weights every churn time equally and can miss an
+    * early-separating, late-crossing pair of curves; ρ = 1 is the
+    * standard early-difference-sensitive choice):
+    * Z = Σ S(t−)(O₁−E₁) / √(Σ S(t−)²V).
+    *
+    * Determinism: the [[aalenJohansenCif]] exclusive 10dp-DECIMAL
+    * ln prefix gives S(t−); each weighted O−E and weight²·V term
+    * pins to 1e-6 micro-units before the sum (order-exact), one
+    * final ratio.
+    *
+    * Shape: one per-user collapse, duration-frame work only. */
+  def flemingHarringtonAb(events: DataFrame): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(to_date(min(col("ts"))).as("f"), to_date(max(col("ts"))).as("l"))
+    val maxDay = events.agg(to_date(max(col("ts"))).as("max_day"))
+    val dur = users.crossJoin(broadcast(maxDay))
+      .select((datediff(col("l"), col("f")) + 1).cast("long").as("t"),
+        when(col("l") < col("max_day"), 1L).otherwise(0L).as("observed"),
+        (col("user_id") % lit(2L)).as("arm"))
+    val byT = dur.groupBy("t").agg(
+      count(lit(1)).as("ending"), sum(col("observed")).as("d"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("ending1"),
+      sum(when(col("arm") === 1L, col("observed")).otherwise(0L)).as("d1"))
+    val totals = dur.agg(count(lit(1)).as("n_users"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_users1"))
+    val wCum = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPrev = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val atRisk = byT.crossJoin(broadcast(totals))
+      .withColumn("n",
+        col("n_users") - sum(col("ending")).over(wCum) + col("ending"))
+      .withColumn("n1",
+        col("n_users1") - sum(col("ending1")).over(wCum) + col("ending1"))
+    val lnTerm = round(log((col("n") - col("d")).cast("double") /
+      col("n").cast("double")), 10).cast("decimal(38,10)")
+    val withS = atRisk
+      .withColumn("lns_prev", coalesce(
+        sum(when(col("d") > 0L && col("n") > col("d"), lnTerm))
+          .over(wPrev), lit(0).cast("decimal(38,10)")))
+      .withColumn("s_prev", exp(col("lns_prev").cast("double")))
+      .filter(col("d") > 0L)
+    val share = col("n1").cast("double") / col("n").cast("double")
+    val oe = col("s_prev") *
+      (col("d1").cast("double") - col("d").cast("double") * share)
+    val vTerm = when(col("n") > 1L, col("s_prev") * col("s_prev") *
+      (col("d").cast("double") * share * (lit(1.0) - share) *
+        ((col("n") - col("d")).cast("double") /
+          (col("n") - lit(1L)).cast("double")))).otherwise(lit(0.0))
+    val s = withS.select(
+      round(oe * lit(1000000.0), 0).cast("long").as("om"),
+      round(vTerm * lit(1000000.0), 0).cast("long").as("vm"))
+      .agg(sum("om").as("oem"), sum("vm").as("vvm"))
+      .crossJoin(broadcast(totals))
+    val z = (col("oem").cast("double") / lit(1000000.0)) /
+      sqrt(col("vvm").cast("double") / lit(1000000.0))
+    s.select((col("n_users") - col("n_users1")).as("n_users_a"),
+      col("n_users1").as("n_users_b"),
+      round(col("oem").cast("double") / lit(1000000.0), 6)
+        .as("weighted_oe"),
+      when(col("vvm") > 0L, round(z, 6)).as("fh_z"))
+  }
+
+  /** Population attributable fraction of conversion due to high
+    * activity — the epidemiology readout for a growth team ("what
+    * share of conversions would disappear if nobody were
+    * highly active?"): exposure = activity strictly above the
+    * lower-median count ([[moodsMedianByType]] convention),
+    * PAF = (P(conv) − P(conv|unexposed))/P(conv), reported with the
+    * relative risk. No conversions → NULL PAF; an all-exposed or
+    * all-unexposed population degrades to NULL RR, stated.
+    *
+    * Determinism: four exact BIGINT cells, fixed-order ratios, 6dp.
+    * Shape: per-user collapse → count-grid median → 1 row. */
+  def pafActivityConversion(events: DataFrame,
+      threshold: Double = 90.0): DataFrame = {
+    val perUser = events.groupBy("user_id").agg(
+      count(lit(1)).as("x"),
+      max(when(col("event_type") === "purchase" &&
+        col("value") >= threshold, 1L).otherwise(0L)).as("conv"))
+    val grid = perUser.groupBy("x").agg(count(lit(1)).as("m"))
+    val wCum = Window.orderBy(col("x").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = grid.agg(sum("m").as("nt"))
+    val med = grid.withColumn("cum", sum(col("m")).over(wCum))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") * lit(2L) >= col("nt"))
+      .agg(min("x").as("med"))
+    val s = perUser.crossJoin(broadcast(med)).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("x") > col("med"), 1L).otherwise(0L)).as("n_exp"),
+      sum(col("conv")).as("c_all"),
+      sum(when(col("x") > col("med"), col("conv")).otherwise(0L))
+        .as("c_exp"))
+    val pAll = col("c_all").cast("double") / col("n").cast("double")
+    val nUnexp = col("n") - col("n_exp")
+    val pUnexp = (col("c_all") - col("c_exp")).cast("double") /
+      nUnexp.cast("double")
+    val pExp = col("c_exp").cast("double") / col("n_exp").cast("double")
+    s.select(col("n").as("n_users"), col("n_exp").as("n_exposed"),
+      col("c_all").as("n_conversions"),
+      round(pAll, 6).as("p_conv"),
+      when(col("n_exp") > 0L, round(pExp, 6)).as("p_conv_exposed"),
+      when(nUnexp > 0L, round(pUnexp, 6)).as("p_conv_unexposed"),
+      when(col("n_exp") > 0L && nUnexp > 0L && pUnexp > lit(0.0),
+        round(pExp / pUnexp, 6)).as("relative_risk"),
+      when(nUnexp > 0L && pAll > lit(0.0),
+        round((pAll - pUnexp) / pAll, 6)).as("paf"))
+  }
 }

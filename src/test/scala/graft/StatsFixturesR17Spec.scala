@@ -1143,4 +1143,123 @@ class StatsFixturesR17Spec extends SparkSpec {
     assert(got(("a", "c")) == ((2L, 1.0)), got.toString)
     assert(got(("b", "c")) == ((2L, 1.0)), got.toString)
   }
+
+  // ---- batch 11: epi / stratified / balance readouts ----
+
+  test("capture-recapture hand case: halves {1,2,3} / {2,3,4,5} -> " +
+      "LP 6, Chapman 5.666667") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 00:00:00", 1L, "view", 1.0),
+      ("2024-01-02 00:00:00", 2L, "view", 1.0),
+      ("2024-01-09 00:00:00", 2L, "view", 1.0),
+      ("2024-01-01 00:00:00", 3L, "view", 1.0),
+      ("2024-01-10 00:00:00", 3L, "view", 1.0),
+      ("2024-01-09 00:00:00", 4L, "view", 1.0),
+      ("2024-01-10 00:00:00", 5L, "view", 1.0)))
+    val got = EventOps.captureRecaptureUsers(ev).collect().head
+    assert(got.getAs[Long]("n_first_half") == 3L)
+    assert(got.getAs[Long]("n_second_half") == 4L)
+    assert(got.getAs[Long]("n_recaptured") == 2L)
+    assert(got.getAs[Long]("n_seen_total") == 5L)
+    assert(got.getAs[Double]("lp_estimate") == 6.0)
+    assert(got.getAs[Double]("chapman_estimate") ==
+      math.rint((4.0 * 5.0 / 3.0 - 1.0) * 1e6) / 1e6)
+    assert(got.getAs[Double]("chapman_se") ==
+      math.rint(math.sqrt(4.0 * 5.0 * 1.0 * 2.0 / (3.0 * 3.0 * 4.0))
+        * 1e6) / 1e6)
+  }
+
+  test("mantel-haenszel hand case: strata {1,1,1,1} and {1,0;0,1} " +
+      "-> OR_MH 3, CMH 0.428571") {
+    // Monday joiners: treated u2 conv / u4 not, control u1 conv /
+    // u3 not; Tuesday joiners: treated u6 conv, control u5 not
+    val ev = eventsFrom(Seq(
+      ("1970-01-05 01:00:00", 1L, "view", 1.0),
+      ("1970-01-06 01:00:00", 1L, "purchase", 95.0),
+      ("1970-01-05 01:00:00", 2L, "view", 1.0),
+      ("1970-01-06 01:00:00", 2L, "purchase", 95.0),
+      ("1970-01-05 01:00:00", 3L, "view", 1.0),
+      ("1970-01-05 01:00:00", 4L, "view", 1.0),
+      ("1970-01-06 01:00:00", 5L, "view", 1.0),
+      ("1970-01-06 01:00:00", 6L, "view", 1.0),
+      ("1970-01-07 01:00:00", 6L, "purchase", 95.0)))
+    val got = EventOps.mantelHaenszelAb(ev).collect().head
+    assert(got.getAs[Long]("n_strata") == 2L)
+    assert(got.getAs[Long]("conv_treated") == 2L)
+    assert(got.getAs[Double]("or_mh") == 3.0)
+    assert(got.getAs[Double]("ln_or_mh") ==
+      math.rint(math.log(3.0) * 1e6) / 1e6)
+    assert(got.getAs[Double]("cmh_chi2") == 0.428571)
+    assert(!got.getAs[Boolean]("significant"))
+  }
+
+  test("g-test hand case: 2x2 counts [[1,2],[3,4]] -> G within " +
+      "5e-4 of the closed form; dof 1") {
+    val rows =
+      (1 to 1).map(i => (f"1970-01-05 0$i:00:00", i.toLong, "A", 1.0)) ++
+      (1 to 2).map(i => (f"1970-01-06 0$i:00:00", i.toLong, "A", 1.0)) ++
+      (1 to 3).map(i => (f"1970-01-05 1$i:00:00", i.toLong, "B", 1.0)) ++
+      (1 to 4).map(i => (f"1970-01-06 1$i:00:00", i.toLong, "B", 1.0))
+    val got = EventOps.gTestTypeDow(eventsFrom(rows)).collect().head
+    assert(got.getAs[Long]("dof") == 1L)
+    val exp = 2.0 * (1.0 * math.log(10.0 / 12.0) +
+      2.0 * math.log(20.0 / 18.0) + 3.0 * math.log(30.0 / 28.0) +
+      4.0 * math.log(40.0 / 42.0))
+    assert(math.abs(got.getAs[Double]("g_stat") - exp) < 5e-4,
+      s"got ${got.getAs[Double]("g_stat")} exp $exp")
+  }
+
+  test("smd balance hand case: matched activity means -> SMD 0; " +
+      "active-days gap 0.5 over pooled sd 0.5 -> SMD 1") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 01:00:00", 2L, "view", 1.0),
+      ("2024-01-01 01:00:00", 4L, "view", 1.0),
+      ("2024-01-02 01:00:00", 4L, "view", 1.0),
+      ("2024-01-02 02:00:00", 4L, "view", 1.0),
+      ("2024-01-01 01:00:00", 1L, "view", 1.0),
+      ("2024-01-01 02:00:00", 1L, "view", 1.0),
+      ("2024-01-01 01:00:00", 3L, "view", 1.0),
+      ("2024-01-01 02:00:00", 3L, "view", 1.0)))
+    val got = EventOps.smdBalanceArms(ev).collect()
+      .map(r => r.getAs[String]("covariate") ->
+        (r.getAs[Double]("mean_even"), r.getAs[Double]("mean_odd"),
+          Option(r.getAs[java.lang.Double]("smd")))).toMap
+    assert(got("activity") == ((2.0, 2.0, Some(0.0))), got.toString)
+    assert(got("total_value") == ((2.0, 2.0, Some(0.0))), got.toString)
+    assert(got("active_days") == ((1.5, 1.0, Some(1.0))), got.toString)
+  }
+
+  test("fleming-harrington with a single churn time equals the " +
+      "plain logrank (S(t-) = 1 weight)") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 01:00:00", 1L, "view", 1.0),
+      ("2024-01-01 01:00:00", 2L, "view", 1.0)) ++
+      (1 to 5).map(d => (f"2024-01-0$d 12:00:00", 3L, "view", 1.0)))
+    val fh = EventOps.flemingHarringtonAb(ev).collect().head
+    val lr = EventOps.logrankTestAb(ev).collect().head
+    assert(fh.getAs[Long]("n_users_a") == lr.getAs[Long]("n_users_a"))
+    assert(fh.getAs[Long]("n_users_b") == lr.getAs[Long]("n_users_b"))
+    assert(fh.getAs[Double]("fh_z") == lr.getAs[Double]("logrank_z"),
+      s"fh=${fh.getAs[Double]("fh_z")} lr=${lr.getAs[Double]("logrank_z")}")
+  }
+
+  test("paf hand case: all conversions among the exposed -> " +
+      "PAF 1, RR undefined (zero unexposed rate)") {
+    val ev = eventsFrom(Seq(
+      ("2024-01-01 01:00:00", 1L, "view", 1.0),
+      ("2024-01-01 01:00:00", 2L, "view", 1.0),
+      ("2024-01-01 02:00:00", 2L, "view", 1.0),
+      ("2024-01-01 03:00:00", 2L, "purchase", 95.0),
+      ("2024-01-01 01:00:00", 3L, "view", 1.0),
+      ("2024-01-01 01:00:00", 4L, "view", 1.0),
+      ("2024-01-01 02:00:00", 4L, "view", 1.0),
+      ("2024-01-01 03:00:00", 4L, "view", 1.0)))
+    val got = EventOps.pafActivityConversion(ev).collect().head
+    assert(got.getAs[Long]("n_users") == 4L)
+    assert(got.getAs[Long]("n_exposed") == 2L)
+    assert(got.getAs[Double]("p_conv") == 0.25)
+    assert(got.getAs[Double]("p_conv_unexposed") == 0.0)
+    assert(Option(got.getAs[java.lang.Double]("relative_risk")).isEmpty)
+    assert(got.getAs[Double]("paf") == 1.0)
+  }
 }
