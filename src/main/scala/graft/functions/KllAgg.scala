@@ -294,9 +294,14 @@ case class KllQuantile(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (b, q) => {
-      s"""java.lang.Double r = graft.functions.KllSketch.quantileFromBlob($b, $q);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = r.doubleValue(); }""".stripMargin
+      // freshName: a fixed local name collides when the expression
+      // appears more than once in one codegen function (p50/p90/p99
+      // off the same blob) — janino "Redefinition of local variable"
+      // failed the WHOLE stage into interpreted mode
+      val r = ctx.freshName("kllq")
+      s"""java.lang.Double $r = graft.functions.KllSketch.quantileFromBlob($b, $q);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $r.doubleValue(); }""".stripMargin
     })
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(left = l, right = r)

@@ -8709,10 +8709,27 @@ object EventOps {
       .withColumn("treated", (col("user_id") % lit(2L) === lit(0L))
         .cast("long"))
     val n = perUser.agg(count(lit(1)).as("n"))
-    val rn = row_number().over(
-      Window.orderBy(col("score").desc, col("user_id").asc))
+    // Global rank factored so no serial window ever sees the per-user
+    // frame: rn = (# users with score > mine) + (my row_number within
+    // my score group, user_id asc) — identical to row_number over
+    // (score desc, user_id asc) because score groups are contiguous in
+    // that order. The cumulative pass runs on the collapsed score grid
+    // (key "v", the distinct-value-grid convention); the within-group
+    // rank is a PARTITIONED window keyed by the data-sized score
+    // domain, so every sort is group-local, never one task.
+    val gridN = perUser.groupBy(col("score").as("v"))
+      .agg(count(lit(1)).as("g"))
+    val wGt = Window.orderBy(col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = gridN
+      .withColumn("n_gt", coalesce(sum(col("g")).over(wGt), lit(0L)))
+      .select(col("v").as("score"), col("n_gt"))
+    val rnWithin = row_number().over(
+      Window.partitionBy(col("score")).orderBy(col("user_id").asc))
     val ranked = perUser.crossJoin(broadcast(n))
-      .withColumn("rn", rn)
+      .withColumn("rn_w", rnWithin)
+      .join(broadcast(base), Seq("score"))
+      .withColumn("rn", col("n_gt") + col("rn_w"))
       .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
     val per = ranked.groupBy("decile").agg(
       sum(col("treated")).as("d_nt"),
@@ -8883,14 +8900,16 @@ object EventOps {
       val s = days.join(daily.filter(col("event_type") === t), Seq("day"),
         "left")
         .select(col("day"), coalesce(col("cnt"), lit(0L)).as("c"))
-      val grid = s.groupBy("c").agg(count(lit(1)).as("n"))
-      val wCum = Window.orderBy(col("c").asc)
+      // grid key named "v": distinct-value-grid convention — the serial
+      // median window runs over the collapsed daily-count grid only
+      val grid = s.groupBy(col("c").as("v")).agg(count(lit(1)).as("n"))
+      val wCum = Window.orderBy(col("v").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = grid.agg(sum("n").as("nt"))
       val med = grid.withColumn("cum", sum(col("n")).over(wCum))
         .crossJoin(broadcast(tot))
         .filter(col("cum") * lit(2L) >= col("nt"))
-        .agg(min("c").as("med"))
+        .agg(min("v").as("med"))
       s.crossJoin(broadcast(med))
         .select(col("day"), (col("c") > col("med")).cast("long").as(out))
     }
@@ -8988,10 +9007,13 @@ object EventOps {
       count(lit(1)).as("score"),
       max(when(col("event_type") === "purchase" &&
         col("value") >= threshold, 1L).otherwise(0L)).as("conv"))
-    val grid = perUser.groupBy("score").agg(
+    // grid key named "v": the distinct-value-grid convention (the
+    // kruskalWallis precedent) — the serial cumulative window below
+    // runs over this collapsed frame, never the per-user one
+    val grid = perUser.groupBy(col("score").as("v")).agg(
       sum(col("conv")).as("n1"),
       sum(lit(1L) - col("conv")).as("n0"))
-    val wLt = Window.orderBy(col("score").asc)
+    val wLt = Window.orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = grid
       .withColumn("n0_lt", coalesce(sum(col("n0")).over(wLt), lit(0L)))
@@ -9485,14 +9507,16 @@ object EventOps {
       count(lit(1)).as("x"),
       max(when(col("event_type") === "purchase" &&
         col("value") >= threshold, 1L).otherwise(0L)).as("conv"))
-    val grid = perUser.groupBy("x").agg(count(lit(1)).as("m"))
-    val wCum = Window.orderBy(col("x").asc)
+    // grid key named "v": distinct-value-grid convention — the serial
+    // median window runs over the collapsed count grid only
+    val grid = perUser.groupBy(col("x").as("v")).agg(count(lit(1)).as("m"))
+    val wCum = Window.orderBy(col("v").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = grid.agg(sum("m").as("nt"))
     val med = grid.withColumn("cum", sum(col("m")).over(wCum))
       .crossJoin(broadcast(tot))
       .filter(col("cum") * lit(2L) >= col("nt"))
-      .agg(min("x").as("med"))
+      .agg(min("v").as("med"))
     val s = perUser.crossJoin(broadcast(med)).agg(
       count(lit(1)).as("n"),
       sum(when(col("x") > col("med"), 1L).otherwise(0L)).as("n_exp"),

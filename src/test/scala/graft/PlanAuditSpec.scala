@@ -497,9 +497,12 @@ class PlanAuditSpec extends SparkSpec {
                      //   values (a collapsed value grid ≤ |distinct counts|)
       "cv",          // exact cents/bin value grid (ansari/moods/gpd/hl):
                      //   value-DOMAIN-bounded, the "v"/"bin" convention
-      "y"            // runsTestDaily order-statistic probe: the calendar-day
+      "y",           // runsTestDaily order-statistic probe: the calendar-day
                      //   grain's count column (one row per day — the "day"
                      //   convention applied to its count as a sort key)
+      "n_docs",      // kendallWSources per-SOURCE collapse: the three rank
+      "tot_chars",   //   windows order the |sources|-row aggregate by its
+      "max_chars"    //   own metrics (the n_tokens/source precedent)
     )
 
     def expand(p: SparkPlan): Seq[SparkPlan] =
