@@ -144,6 +144,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KllN(exprs(0))
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_hamming"),
+      new ExpressionInfo(classOf[HammingDist].getName, "graft_hamming"),
+      (exprs: Seq[Expression]) => {
+        checkArity("graft_hamming", "graft_hamming(a, b)", exprs, 2)
+        HammingDist(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_round"),
+      new ExpressionInfo(classOf[RoundHalfUp].getName, "graft_round"),
+      (exprs: Seq[Expression]) => {
+        val usage = "graft_round(x, scale)"
+        checkArity("graft_round", usage, exprs, 2)
+        RoundHalfUp(exprs(0), foldableInt(usage, "scale", exprs(1)))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_kll_err_bound"),
       new ExpressionInfo(classOf[KllErrBound].getName,
         "graft_kll_err_bound"),

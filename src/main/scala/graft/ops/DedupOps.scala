@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** File-local shadow of `functions.round` — every round here pins a
+    * DOUBLE (Jaccard/containment scores, several inside per-candidate
+    * verify loops). Bit-identical fast round; loud type failure on any
+    * non-double input. See the [[VectorOps]] shadow for the full
+    * rationale (r17, guide §4). */
+  private def round(c: Column, scale: Int): Column =
+    graft.functions.RoundHalfUp.roundFused(c, scale)
+
   // ---------- shared text normalization / shingling ----------
 
   /** Whitespace-tokenized, lowercased tokens. */

@@ -862,9 +862,23 @@ object DocOps {
     * cost, and it is the same artifact the dedup pipeline already
     * maintains. */
   def clusterAwareSplits(docs: DataFrame, trainPct: Int = 90,
+      valPct: Int = 5): DataFrame =
+    clusterAwareSplitsFromLabels(docs,
+      // the CC labels alone — dupClusters' cluster_size window would
+      // cost an extra exchange only to be dropped here (r17)
+      DedupOps.connectedComponentsStar(DedupOps.ngramJaccardPairs(docs))
+        .select(col("v_id").as("doc_id"), col("cluster_id")),
+      trainPct, valPct)
+
+  /** [[clusterAwareSplits]] over a PRECOMPUTED (doc_id, cluster_id)
+    * label frame — the refactor seam that lets [[splitLeakageAudit]]
+    * (and any caller that already maintains the near-dup artifact)
+    * reuse one pair computation instead of re-deriving it (r17: the
+    * audit ran the banded pair pipeline twice, once directly and once
+    * inside this function). */
+  private[graft] def clusterAwareSplitsFromLabels(docs: DataFrame,
+      labels: DataFrame, trainPct: Int = 90,
       valPct: Int = 5): DataFrame = {
-    val labels = DedupOps.dupClusters(docs)
-      .select(col("doc_id"), col("cluster_id"))
     val withC = docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -886,7 +900,7 @@ object DocOps {
     * emitted so the gate can see it). */
   def splitLeakageAudit(docs: DataFrame): DataFrame = {
     val pairs = DedupOps.ngramJaccardPairs(docs).select("a_id", "b_id")
-      .localCheckpoint() // both split probes read it
+      .localCheckpoint() // both split probes AND the CC labeling read it
     def cross(s: DataFrame, tag: String) = pairs
       .join(s.select(col("doc_id").as("a_id"), col("split").as("sa")),
         "a_id")
@@ -895,8 +909,15 @@ object DocOps {
       .agg(count(lit(1)).as(s"n_pairs_$tag"),
         sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
           .as(s"n_cross_$tag"))
+    // ONE pair computation: the cluster-aware probe labels from the
+    // SAME checkpointed pair frame the naive probe joins against (r17
+    // — calling clusterAwareSplits(docs) here re-ran the banded
+    // near-dup pipeline a second time inside the audit, ~1.4 s of its
+    // 4.8 s at sf0.1; the labels are identical by construction)
+    val labels = DedupOps.connectedComponentsStar(pairs)
+      .select(col("v_id").as("doc_id"), col("cluster_id"))
     cross(datasetSplits(docs), "naive")
-      .crossJoin(cross(clusterAwareSplits(docs)
+      .crossJoin(cross(clusterAwareSplitsFromLabels(docs, labels)
         .select(col("doc_id"), col("split")), "cluster"))
       .select(col("n_pairs_naive").as("n_neardup_pairs"),
         col("n_cross_naive"), col("n_cross_cluster"))
@@ -2378,57 +2399,93 @@ object DocOps {
     * so the partitioning is reused across rounds. This is exactly
     * the split a production distributed BPE trainer uses; more
     * rounds unroll linearly. */
+  /** Classic BPE `merge_vocab`: greedy LEFTMOST non-overlapping
+    * replacement of the (bx, by) pair inside one symbol array, as a
+    * left fold carrying (emitted prefix, pending symbol) — "aaa"
+    * merging (a,a) → ["aa","a"], exactly the gaps-and-islands odd-rank
+    * rule the row-level [[bpeApplyMerge]] implements (spec-pinned to
+    * it in ExactArithmeticSpec). Shared by the trainer's per-round
+    * apply and [[bpeApplyMerges]] (r17: the fold is one projection per
+    * word; the row form cost three windows and two joins per merge). */
+  private[graft] def bpeMergeFold(s: Column, bx: Column,
+      by: Column): Column = {
+    val init = struct(array().cast("array<string>").as("out"),
+      lit(null).cast("string").as("prev"))
+    aggregate(s, init,
+      (acc, x) => {
+        val out = acc.getField("out")
+        val prev = acc.getField("prev")
+        when(prev.isNull,
+          struct(out.as("out"), x.as("prev")))
+          .when(prev === bx && x === by,
+            struct(concat(out, array(concat(prev, x))).as("out"),
+              lit(null).cast("string").as("prev")))
+          .otherwise(
+            struct(concat(out, array(prev)).as("out"), x.as("prev")))
+      },
+      acc => when(acc.getField("prev").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(acc.getField("prev")))))
+  }
+
   def bpeTrainRounds(docs: DataFrame, rounds: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rounds >= 1 && rounds <= 10, s"rounds in [1,10]: $rounds")
-    val wm = Window.partitionBy("word").orderBy("pos")
     val vocab = docs
       .select(explode(regexp_extract_all(
         lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
+    // ARRAY formulation (r17, guide §2.4): one row per word carrying
+    // its symbol SEQUENCE as an array column, instead of one row per
+    // (word, pos) symbol. Pair stats become an adjacent-zip explode
+    // (bigramRows' trick) and the greedy merge becomes a per-row fold
+    // — each round collapses from three word-partitioned windows + two
+    // (word, pos) joins (~10 shuffle stages) to ONE pair aggregation
+    // plus a projection. Same counts, same greedy-leftmost semantics
+    // (ExactArithmeticSpec fixtures + the partitioning-invariance
+    // property + the unrolled DuckDB oracle all pin it).
     val seqs0 = vocab.select(col("word"), col("freq"),
-      posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
-      .withColumn("pos", col("pos").cast("long"))
-    val initTotal = seqs0.agg(sum("freq").as("total0"))
+      split(col("word"), "").as("syms"))
+    val initTotal = seqs0
+      .agg(sum(col("freq") * size(col("syms")).cast("long")).as("total0"))
+
+    // adjacent pairs with multiplicity: zip of the two length-(n-1)
+    // slices — identical pair rows to the old lead() window
+    def pairStats(seqs: DataFrame): DataFrame = {
+      val s = col("syms")
+      seqs.select(col("freq"), explode(zip_with(
+          slice(s, lit(1), size(s) - 1), slice(s, lit(2), size(s) - 1),
+          (a, b) => struct(a.as("x"), b.as("y")))).as("p"))
+        .groupBy(col("p.x").as("sym"), col("p.y").as("sym2"))
+        .agg(sum("freq").as("cnt"))
+    }
 
     def mergeRound(seqs: DataFrame, r: Int): (DataFrame, DataFrame) = {
-      val withNext = seqs.withColumn("sym2", lead(col("sym"), 1).over(wm))
-      val best = withNext.filter(col("sym2").isNotNull)
-        .groupBy("sym", "sym2").agg(sum("freq").as("cnt"))
+      val best = pairStats(seqs)
         .orderBy(col("cnt").desc, col("sym").asc, col("sym2").asc)
         .limit(1)
         .select(col("sym").as("bx"), col("sym2").as("by"), col("cnt"))
-      val marked = withNext.crossJoin(broadcast(best))
-      val kept = marked
-        .filter(col("sym") === col("bx") && col("sym2") === col("by"))
-        .withColumn("island", col("pos") - row_number().over(wm))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("word", "island").orderBy("pos")))
-        .filter(col("rk") % 2 === 1)
-        .select(col("word"), col("freq"), col("pos"), lit(true).as("kept"))
-      val applied = kept.agg(coalesce(sum("freq"), lit(0L)).as("n_merged"))
-      val absorbed = kept.select(col("word"), (col("pos") + 1L).as("pos"),
-        lit(true).as("absorbed"))
-      val next = marked
-        .join(kept.select("word", "pos", "kept"), Seq("word", "pos"), "left")
-        .join(absorbed, Seq("word", "pos"), "left")
-        .filter(col("absorbed").isNull)
-        .select(col("word"), col("freq"), col("pos"),
-          when(col("kept"), concat(col("sym"), col("sym2")))
-            .otherwise(col("sym")).as("sym"))
-        .withColumn("npos", (row_number().over(wm) - 1).cast("long"))
-        .select(col("word"), col("freq"), col("npos").as("pos"), col("sym"))
+      val merged = seqs.crossJoin(broadcast(best))
+        .withColumn("nsyms",
+          bpeMergeFold(col("syms"), col("bx"), col("by")))
+      // n_merged = Σ freq · (len_before − len_after): every applied
+      // merge shortens the word by exactly one symbol — the same
+      // number the old odd-rank kept count measured
+      val applied = merged.agg(coalesce(sum(col("freq") *
+          (size(col("syms")) - size(col("nsyms"))).cast("long")),
+        lit(0L)).as("n_merged"))
+      val next = merged.select(col("word"), col("freq"),
+        col("nsyms").as("syms"))
       val mergeRow = best.crossJoin(applied).select(lit(r).as("round"),
         col("bx").as("sym1"), col("by").as("sym2"),
         col("cnt").as("pair_count"), col("n_merged"))
       (next, mergeRow)
     }
 
-    // localCheckpoint per round: within a round the symbol frame is
-    // referenced three times (pair stats, kept marks, rebuild) and
-    // the next round builds on the result — without truncation the
-    // replayed lineage grows geometrically with rounds (the
+    // localCheckpoint per round: the symbol frame is read twice per
+    // round (pair stats, merge apply) and the next round builds on the
+    // result — truncation keeps the replayed lineage linear (the
     // connectedComponents lesson, DedupOps.scala:525)
     var seqs = seqs0.localCheckpoint()
     var merges = List.empty[DataFrame]
@@ -2493,13 +2550,26 @@ object DocOps {
     * rebuild) and feeds the next. */
   def bpeApplyMerges(words: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
-    var seqs = words.select(col("word"),
-        posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+    val syms = bpeApplyMergesArr(words, merges)
+    syms.select(col("word"),
+        posexplode(col("syms")).as(Seq("pos", "sym")))
       .withColumn("pos", col("pos").cast("long"))
-      .localCheckpoint()
+      .select(col("word"), col("pos"), col("sym"))
+  }
+
+  /** Array form of [[bpeApplyMerges]]: `(word, syms ARRAY)` — the
+    * ordered merge list applied as chained [[bpeMergeFold]]s, one
+    * PROJECTION over the distinct-word frame with zero shuffles
+    * (r17: the row form paid three word-partitioned windows + two
+    * (word, pos) joins + a checkpoint PER MERGE). [[bpeApplyMerge]]
+    * stays as the row-level parity baseline (ExactArithmeticSpec pins
+    * the two to identical symbol sequences). */
+  def bpeApplyMergesArr(words: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    var syms: Column = split(col("word"), "")
     for ((a, b) <- merges)
-      seqs = bpeApplyMerge(seqs, a, b).localCheckpoint()
-    seqs
+      syms = bpeMergeFold(syms, lit(a), lit(b))
+    words.select(col("word"), syms.as("syms"))
   }
 
   /** The step that makes [[bpeTrainRounds]] useful: train `rounds`
@@ -2525,8 +2595,11 @@ object DocOps {
     val docWords = docs.select(col("doc_id"),
       explode(regexp_extract_all(
         lower(col("text")), lit("[a-z]+"), lit(0))).as("word"))
-    val perWord = bpeApplyMerges(docWords.select("word").distinct(), merges)
-      .groupBy("word").agg(count(lit(1)).as("word_tokens"))
+    // array apply: per-word token count is size(syms) — no symbol
+    // explode, no count-back shuffle (r17)
+    val perWord = bpeApplyMergesArr(docWords.select("word").distinct(),
+        merges)
+      .select(col("word"), size(col("syms")).cast("long").as("word_tokens"))
     docWords.join(perWord, Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),

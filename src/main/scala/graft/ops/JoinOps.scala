@@ -377,8 +377,9 @@ object JoinOps {
     * bit-identical to the DuckDB oracle's. */
   def fuzzyNamePairsJw(part: DataFrame, minSim: Double = 0.93): DataFrame =
     blockedNameCandidates(part)
-      .withColumn("jw", round(graft.functions.JaroWinkler
-        .jaroWinkler(col("name_a"), col("name_b")), 6))
+      .withColumn("jw", graft.functions.RoundHalfUp.roundFused(
+        graft.functions.JaroWinkler
+          .jaroWinkler(col("name_a"), col("name_b")), 6))
       .filter(col("jw") >= minSim)
       .select("name_a", "name_b", "jw", "n_parts_a", "n_parts_b")
 
@@ -470,8 +471,9 @@ object JoinOps {
     probes
       .join(ranked.select(col("name").as("name_b"),
         col("n_parts").as("n_parts_b"), col("rank").as("rank_b")), "rank_b")
-      .withColumn("jw", round(graft.functions.JaroWinkler
-        .jaroWinkler(col("name_a"), col("name_b")), 6))
+      .withColumn("jw", graft.functions.RoundHalfUp.roundFused(
+        graft.functions.JaroWinkler
+          .jaroWinkler(col("name_a"), col("name_b")), 6))
       .filter(col("jw") >= minSim)
       .select("name_a", "name_b", "gap", "jw", "n_parts_a", "n_parts_b")
   }

@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object MiningOps {
 
+  /** File-local shadow of `functions.round` — every round here pins a
+    * DOUBLE (scores, pinned divisions), several inside per-candidate
+    * pair loops (the tf-idf cosine paths). Bit-identical fast round;
+    * loud type failure on any non-double input. See the
+    * [[VectorOps]] shadow for the full rationale (r17, guide §4). */
+  private def round(c: Column, scale: Int): Column =
+    graft.functions.RoundHalfUp.roundFused(c, scale)
+
   /** Association rules between distinct-term pairs. Output per pair
     * (term_a < term_b, binary string order on both engines):
     * `n_pair` co-occurrence count, `support` = n_pair/N,
@@ -39,9 +47,15 @@ object MiningOps {
   def termCooccurrence(docs: DataFrame, minDf: Long = 20,
       maxDfShare: Double = 0.9, minPair: Long = 10): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n"))
+    // per-doc dedup IN-ROW (array_distinct) instead of a corpus-wide
+    // `.distinct()`: the distinct key was (doc_id, term) and doc_id
+    // differs across rows, so deduping inside each token array emits
+    // exactly the same row set — minus one full shuffle of the
+    // exploded token frame, in EVERY cooccurrence_* query that builds
+    // this graph (r17, guide §2.4)
     val dt = docs
-      .select(col("doc_id"), explode(DedupOps.tokens(col("text"))).as("term"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(DedupOps.tokens(col("text")))).as("term"))
     val df = dt.groupBy("term").agg(count(lit(1)).as("df"))
     val vocab = df.crossJoin(broadcast(nDocs))
       .filter(col("df") >= minDf &&

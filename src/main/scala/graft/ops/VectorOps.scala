@@ -23,6 +23,17 @@ object VectorOps {
   /** Elementwise float→double cast, so all accumulation is fp64. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
+  /** File-local shadow of `functions.round`: every similarity/distance
+    * pin in this file rounds a DOUBLE, and many do it inside O(n²)
+    * pair loops where Spark's Round (Double.toString + BigDecimal per
+    * value) dominates the per-pair cost next to the fused dot product.
+    * [[graft.functions.RoundHalfUp]] is bit-identical (spec-gated) with
+    * a primitive fast path; its type check fails LOUDLY on any
+    * non-double input, so this shadow can never silently change a
+    * decimal lane's semantics (r17 optimization, guide §4). */
+  private def round(c: Column, scale: Int): Column =
+    graft.functions.RoundHalfUp.roundFused(c, scale)
+
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -2083,8 +2094,19 @@ object VectorOps {
   }
 
   /** Hamming distance between two packed code arrays: Σ_w
-    * bit_count(a_w XOR b_w) — stays inside whole-stage codegen. */
+    * bit_count(a_w XOR b_w) — the fused native expression
+    * ([[graft.functions.HammingDist]]: one codegen'd XOR+popcount
+    * loop); [[hammingDistHof]] is the readable bit-identical baseline
+    * it is spec-checked against (r17: the HOF form is CodegenFallback
+    * — interpreted, one array allocation per evaluation — which was
+    * the per-pair hot-loop cost of every brute Hamming scan). */
   def hammingDist(a: Column, b: Column): Column =
+    graft.functions.HammingDist.hammingFused(a, b)
+
+  /** The higher-order-function composition of [[hammingDist]] — kept
+    * as the parity baseline for the fused expression's spec
+    * (HammingDistSpec), the [[lshBucketHof]] convention. */
+  def hammingDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
       lit(0), (acc, v) => acc + v)
 
